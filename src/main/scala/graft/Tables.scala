@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Catalog over the driver-generated parquet fixtures
+  * (`/root/testdata/sf*`, see FIXTURES.md). The reference stack
+  * (dbt + DuckDB + Delta Lake, `/root/reference/README.md:1-2`) treats every
+  * relation as a named schema-ful table; this object is our equivalent of
+  * dbt's `source()` resolution: name → DataFrame, plus temp-view
+  * registration for the SQL entry point (SURVEY.md §3 EP3).
+  *
+  * Scale note (100 TB): reads are plain `spark.read.parquet`, so partition
+  * discovery, predicate pushdown, and column pruning all flow from Catalyst
+  * into the vectorized parquet reader; nothing here collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects outright; we read it as a nanos-since-epoch long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to Spark's
+    * native µs TimestampType (`ts div 1000` = floor, matching DuckDB's
+    * CAST(TIMESTAMP_NS AS TIMESTAMP) truncation). Queries must still
+    * truncate to whole seconds before *outputting* ts values (FIXTURES.md
+    * parity trap). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register all fixture tables as temp views (idempotent) so queries can
+    * use `spark.sql(...)` — the ad-hoc SQL entry point of the reference
+    * stack (DuckDB CLI / `dbt show`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** One declared query: the Spark-side implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the DuckDB oracle twin the driver
+  * hash-compares against (SURVEY.md §0, §5).
+  *
+  * Parity rules applied to every oracle-checked query (SURVEY.md §7.3):
+  * explicit total ORDER BY, doubles rounded, DuckDB wide int results cast
+  * down to Spark's types (sum(int)→BIGINT, length→INTEGER, ...),
+  * `events.ts` (ns) truncated to whole seconds before use.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, spark: String, oracle: String): QueryDef = {
+    // Same SQL text runs on Spark (over registered temp views) by default.
+    val s = spark
+    QueryDef(name, (sp, dir) => { Tables.registerAll(sp, dir); sp.sql(s) }, Some(oracle))
+  }
+}

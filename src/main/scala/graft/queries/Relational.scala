@@ -1,0 +1,680 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core (SURVEY.md §2.1 S1, §2.2 P1-P6, §2.3 J1-J8, §2.4 A1-A9,
+  * §2.5 W1-W4, §2.6 O1-O6). The reference provides these through DuckDB SQL
+  * under dbt models (`/root/reference/README.md:1-2`); here each is declared
+  * Spark-first with the DataFrame API (or Spark SQL where the construct is
+  * SQL-native, e.g. GROUPING SETS, correlated subqueries) so Catalyst picks
+  * the physical strategy — broadcast vs shuffle joins, partial aggregation,
+  * TakeOrderedAndProject for top-k, whole-stage codegen throughout.
+  *
+  * Scale notes are inline per query; the common ones:
+  *  - dimension tables (region/nation/supplier/part/customer) stay under the
+  *    broadcast threshold at any SF because they grow sublinearly vs the
+  *    fact table → star joins are broadcast-hash, no shuffle of lineitem.
+  *  - aggregations use hash partial+final (map-side combine) — the shuffled
+  *    payload is |groups| × partitions, not |rows|.
+  *  - every query pins a total ORDER BY only at the very top (a single
+  *    final sort of an already-reduced result), never mid-plan.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  // ---------------------------------------------------------------- S1 + A1
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort.
+    * Flagship (`SparkEntry.entry`). Pushdown: the l_shipdate predicate
+    * reaches the parquet scan; only 7 of 12 lineitem columns are read. */
+  def a1GroupbyAggs(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (round((sum(col("l_quantity")))*100)/100).as("sum_qty"),
+        (round((sum(col("l_extendedprice")))*100)/100).as("sum_base_price"),
+        (round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100).as("sum_disc_price"),
+        (round((sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))*100)/100).as("sum_charge"),
+        (round((avg(col("l_quantity")))*10000)/10000).as("avg_qty"),
+        (round((avg(col("l_extendedprice")))*10000)/10000).as("avg_price"),
+        (round((avg(col("l_discount")))*10000)/10000).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  val a1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       (round((sum(l_quantity))*100)/100) AS sum_qty,
+       (round((sum(l_extendedprice))*100)/100) AS sum_base_price,
+       (round((sum(l_extendedprice*(1-l_discount)))*100)/100) AS sum_disc_price,
+       (round((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*100)/100) AS sum_charge,
+       (round((avg(l_quantity))*10000)/10000) AS avg_qty,
+       (round((avg(l_extendedprice))*10000)/10000) AS avg_price,
+       (round((avg(l_discount))*10000)/10000) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a1_groupby_aggs", a1GroupbyAggs, Some(a1Oracle)),
+
+    // -------------------------------------------------------------- S1 / P1
+    // Projection with computed expressions + aliases; column pruning means
+    // the scan reads exactly the 5 referenced columns.
+    QueryDef("p1_projection", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (round((col("l_extendedprice") * (lit(1) - col("l_discount")))*100)/100).as("net_price"),
+          (round((col("l_extendedprice") * col("l_tax"))*100)/100).as("tax_amt"),
+          (col("l_quantity") > 25).as("bulk"))
+        .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+         (round((l_extendedprice*(1-l_discount))*100)/100) AS net_price,
+         (round((l_extendedprice*l_tax)*100)/100) AS tax_amt,
+         l_quantity > 25 AS bulk
+         FROM lineitem
+         ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P2
+    // Filter stack: conjunction/disjunction, IN, BETWEEN, LIKE, IS NOT NULL.
+    // All of these are pushable predicates (parquet row-group skipping).
+    QueryDef("p2_filter_predicates", (s, dir) => {
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(1000, 200000) &&
+          (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")) &&
+          col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          (round((col("o_totalprice"))*100)/100).as("o_totalprice"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         (round((o_totalprice)*100)/100) AS o_totalprice
+         FROM orders
+         WHERE o_orderstatus IN ('F','O')
+           AND o_totalprice BETWEEN 1000 AND 200000
+           AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+           AND o_orderdate IS NOT NULL
+         ORDER BY o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P3
+    QueryDef("p3_case_when", (s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("tier"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tier").asc_nulls_last)
+    }, Some(
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                     WHEN c_acctbal < 5000 THEN 'standard'
+                     ELSE 'premium' END AS tier, count(*) AS n
+         FROM customer GROUP BY 1 ORDER BY tier ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P4
+    QueryDef("p4_distinct", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P5
+    // DuckDB QUALIFY analogue: window + filter (latest order per customer).
+    // Scale: single hash-partitioned window by o_custkey — one shuffle, no
+    // driver involvement; at 100 TB this is the standard distinct-on plan.
+    QueryDef("p5_qualify", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))
+        .orderBy(col("o_custkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1
+         ORDER BY o_custkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P6
+    // Deterministic systematic sample (event_id % 20) — reproducible across
+    // engines, unlike rand(); Bernoulli sampling (`df.sample`) is
+    // demonstrated in the scalatest suite where determinism vs an external
+    // oracle isn't required.
+    QueryDef("p6_sample", (s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("value")))*100)/100).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n, (round((sum(value))*100)/100) AS sum_value
+         FROM events WHERE event_id % 20 = 0
+         GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J1
+    // TPC-H Q5-style star join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    // nation ⋈ region. Catalyst broadcasts every dimension side (all far
+    // below the 10 MB threshold at any SF since dims grow sublinearly);
+    // lineitem is never shuffled.
+    QueryDef("j1_join_inner", (s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
+    }, Some(
+      """SELECT n_name,
+         (round((sum(l_extendedprice*(1-l_discount)))*100)/100) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY n_name
+         ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J2
+    // Left outer join preserving customers with no orders; right side
+    // pre-aggregated before the join so the outer join is group-to-one.
+    QueryDef("j2_outer_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"),
+          (round((coalesce(sum(col("spend")), lit(0.0)))*100)/100).as("total_spend"),
+          sum(when(col("n_orders").isNull, 1).otherwise(0)).as("inactive"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    }, Some(
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         CAST(coalesce(sum(n_orders),0) AS BIGINT) AS n_orders,
+         (round((coalesce(sum(spend),0))*100)/100) AS total_spend,
+         CAST(sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS inactive
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J3
+    // Left semi join = EXISTS. No payload from the right side is carried —
+    // at scale this shuffles only the join key of the probe side.
+    QueryDef("j3_semi_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    }, Some(
+      """SELECT c_nationkey, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c.c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J4
+    // Left anti join = NOT EXISTS (the null-safe variant; SURVEY §7.3 flags
+    // NOT IN's null semantics — we deliberately use NOT EXISTS in both
+    // engines so the semantics agree).
+    QueryDef("j4_anti_join", (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey").asc_nulls_last)
+    }, Some(
+      """SELECT p_partkey, p_brand FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey)
+         ORDER BY p_partkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J5
+    QueryDef("j5_cross_join", (s, dir) => {
+      val r = t(s, dir, "region").select(col("r_name"))
+      val n = t(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n)
+        .orderBy(col("r_name").asc_nulls_last, col("n_name").asc_nulls_last)
+    }, Some(
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name ASC NULLS LAST, n_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J6
+    // Non-equi (range) join against a tiny bracket relation →
+    // BroadcastNestedLoopJoin with the 3-row side broadcast; the fact side
+    // streams through without a shuffle. At 100 TB the bracket side is
+    // still constant-size → same plan holds.
+    QueryDef("j6_range_join", (s, dir) => {
+      import s.implicits._
+      val brackets = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 1e9))
+        .toDF("bracket", "lo", "hi")
+      t(s, dir, "lineitem")
+        .join(broadcast(brackets),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("bracket"))
+        .agg(count(lit(1)).as("n"), (round((avg(col("l_extendedprice")))*100)/100).as("avg_price"))
+        .orderBy(col("bracket").asc_nulls_last)
+    }, Some(
+      """SELECT bracket, count(*) AS n, (round((avg(l_extendedprice))*100)/100) AS avg_price
+         FROM lineitem
+         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 1e9))
+              AS b(bracket, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY bracket ORDER BY bracket ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J8
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row re-execution, unlike a naive nested
+    // loop). Declared in SQL because that's the construct's native surface.
+    QueryDef("j8_correlated_subquery", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, (round((o_totalprice)*100)/100) AS o_totalprice
+           FROM orders o
+           WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+           ORDER BY o_orderkey ASC NULLS LAST""")
+    }, Some(
+      """SELECT o_orderkey, (round((o_totalprice)*100)/100) AS o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                   WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A2
+    QueryDef("a2_count_distinct", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A4
+    // GROUPING SETS via ROLLUP + CUBE. NULL group markers replaced with
+    // 'ALL' via coalesce so null-ordering quirks can't bite.
+    QueryDef("a4_rollup_cube", (s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("o_totalprice")))*100)/100).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status").asc_nulls_last, col("priority").asc_nulls_last)
+    }, Some(
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+                coalesce(o_orderpriority,'ALL') AS priority,
+                count(*) AS n, (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status ASC NULLS LAST, priority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A5
+    // Filtered aggregation (DuckDB `FILTER (WHERE ...)`) via conditional
+    // aggregation — identical partial-agg pipeline, no extra pass.
+    QueryDef("a5_filtered_agg", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          (round((coalesce(sum(when(col("event_type") === "purchase", col("value"))), lit(0.0)))*100)/100)
+            .as("purchase_value"))
+        .filter(col("purchases") > 0)
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type='purchase') AS purchases,
+                count(*) FILTER (WHERE event_type='click') AS clicks,
+                (round((coalesce(sum(value) FILTER (WHERE event_type='purchase'),0))*100)/100)
+                  AS purchase_value
+         FROM events GROUP BY user_id
+         HAVING count(*) FILTER (WHERE event_type='purchase') > 0
+         ORDER BY user_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A6
+    QueryDef("a6_having", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("l_quantity")))*100)/100).as("qty"))
+        .filter(col("n") >= 40)
+        .orderBy(col("l_partkey").asc_nulls_last)
+    }, Some(
+      """SELECT l_partkey, count(*) AS n, (round((sum(l_quantity))*100)/100) AS qty
+         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+         ORDER BY l_partkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A7
+    // Ordered list/string aggregation. Order pinned by sorting the
+    // collected array (collect_list order is otherwise partition-dependent
+    // — SURVEY §7.3).
+    QueryDef("a7_string_agg", (s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      c.filter(col("c_acctbal") > 9000)
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws("|", array_sort(collect_list(col("c_name")))).as("vips"),
+          count(lit(1)).as("n_vips"))
+        .orderBy(col("n_name").asc_nulls_last)
+    }, Some(
+      """SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS vips,
+                count(*) AS n_vips
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 9000
+         GROUP BY n_name ORDER BY n_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A8
+    // Statistical aggregates; exact percentile (not approx) for oracle
+    // parity. At 100 TB you'd swap `percentile` for `percentile_approx`
+    // (t-digest, mergeable) — exact percentile requires a full sort per
+    // group; noted here deliberately.
+    QueryDef("a8_stats_aggs", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round((stddev_samp(col("l_quantity")))*10000)/10000).as("sd_qty"),
+          (round((var_samp(col("l_quantity")))*10000)/10000).as("var_qty"),
+          (round((corr(col("l_quantity"), col("l_extendedprice")))*10000)/10000).as("corr_qty_price"),
+          (round((expr("percentile(l_extendedprice, 0.5)"))*10000)/10000).as("median_price"),
+          (round((expr("percentile(l_extendedprice, 0.9)"))*10000)/10000).as("p90_price"),
+          (round((min(col("l_discount")))*100)/100).as("min_disc"),
+          (round((max(col("l_discount")))*100)/100).as("max_disc"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag,
+                (round((stddev_samp(l_quantity))*10000)/10000) AS sd_qty,
+                (round((var_samp(l_quantity))*10000)/10000) AS var_qty,
+                (round((corr(l_quantity, l_extendedprice))*10000)/10000) AS corr_qty_price,
+                (round((quantile_cont(l_extendedprice, 0.5))*10000)/10000) AS median_price,
+                (round((quantile_cont(l_extendedprice, 0.9))*10000)/10000) AS p90_price,
+                (round((min(l_discount))*100)/100) AS min_disc,
+                (round((max(l_discount))*100)/100) AS max_disc
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- A9
+    // DISTINCT ON (DuckDB) = row_number + filter: first event per user.
+    QueryDef("a9_distinct_on", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event"),
+          col("event_type").as("first_type"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      """SELECT user_id, event_id AS first_event, event_type AS first_type
+         FROM (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- W1
+    // Ranking family. ntile/percent_rank need a total order per partition —
+    // tie-broken by key for determinism.
+    QueryDef("w1_ranking", (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          (round((percent_rank().over(w))*10000)/10000).as("pct_rank"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("c_nationkey").asc_nulls_last, col("rn").asc_nulls_last)
+    }, Some(
+      """SELECT c_nationkey, c_custkey,
+                CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+                CAST(drnk AS INTEGER) AS drnk,
+                CAST(quartile AS INTEGER) AS quartile,
+                (round((pct_rank)*10000)/10000) AS pct_rank
+         FROM (SELECT c_nationkey, c_custkey,
+                 row_number() OVER w AS rn, rank() OVER w AS rnk,
+                 dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile,
+                 percent_rank() OVER w AS pct_rank
+               FROM customer
+               WINDOW w AS (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC))
+         WHERE rn <= 5
+         ORDER BY c_nationkey ASC NULLS LAST, rn ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- W2
+    // Analytic family: lag/lead/first/last/nth over a per-customer order
+    // timeline. last_value needs the full-partition frame (Spark's default
+    // frame stops at CURRENT ROW) — pinned explicitly in both engines.
+    QueryDef("w2_lag_lead", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(wFull).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 1) OVER w AS prev_order,
+                lead(o_orderkey, 1) OVER w AS next_order,
+                first_value(o_orderkey) OVER w AS first_order,
+                last_value(o_orderkey) OVER w AS last_order,
+                nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- W3
+    // Explicit ROWS frame: centered moving average over each customer's
+    // order history.
+    QueryDef("w3_window_frames", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (round((avg(col("o_totalprice")).over(w))*100)/100).as("mov_avg3"),
+          (round((min(col("o_totalprice")).over(w))*100)/100).as("mov_min3"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                (round((avg(o_totalprice) OVER w)*100)/100) AS mov_avg3,
+                (round((min(o_totalprice) OVER w)*100)/100) AS mov_min3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- W4
+    QueryDef("w4_running_total", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (round((sum(col("o_totalprice")).over(w))*100)/100).as("running_spend"),
+          count(lit(1)).over(w).as("order_seq"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                (round((sum(o_totalprice) OVER w)*100)/100) AS running_spend,
+                count(*) OVER w AS order_seq
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- O1
+    // Multi-key sort with explicit NULLS FIRST/LAST (Spark and DuckDB have
+    // opposite defaults — SURVEY §7.3). Nulls introduced via nullif.
+    QueryDef("o1_order_nulls", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+          (round((col("l_extendedprice"))*100)/100).as("price"))
+        .orderBy(col("flag_or_null").asc_nulls_first,
+          col("price").desc_nulls_last,
+          col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+        .limit(500)
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+                nullif(l_returnflag, 'N') AS flag_or_null,
+                (round((l_extendedprice)*100)/100) AS price
+         FROM lineitem
+         ORDER BY flag_or_null ASC NULLS FIRST, price DESC NULLS LAST,
+                  l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+         LIMIT 500""")),
+
+    // ------------------------------------------------------------------- O2
+    QueryDef("o2_limit_offset", (s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+        .select(col("o_orderkey"), (round((col("o_totalprice"))*100)/100).as("o_totalprice"))
+        .offset(10).limit(50)
+    }, Some(
+      """SELECT o_orderkey, (round((o_totalprice)*100)/100) AS o_totalprice
+         FROM orders
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+         LIMIT 50 OFFSET 10""")),
+
+    // ------------------------------------------------------------------- O3
+    // Top-k: Catalyst compiles ORDER BY + LIMIT into TakeOrderedAndProject —
+    // each partition keeps a k-sized heap, only k×partitions rows move to
+    // the driver side of the exchange. This is the 100 TB-safe top-k.
+    QueryDef("o3_topk", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (round((col("l_extendedprice") * (lit(1) - col("l_discount")))*100)/100).as("net"))
+        .orderBy(col("net").desc_nulls_last,
+          col("l_orderkey").asc_nulls_last, col("l_partkey").asc_nulls_last)
+        .limit(25)
+    }, Some(
+      """SELECT l_orderkey, l_partkey,
+                (round((l_extendedprice*(1-l_discount))*100)/100) AS net
+         FROM lineitem
+         ORDER BY net DESC NULLS LAST, l_orderkey ASC NULLS LAST,
+                  l_partkey ASC NULLS LAST
+         LIMIT 25""")),
+
+    // ------------------------------------------------------------------- O4
+    // UNION ALL (positional) + UNION distinct.
+    QueryDef("o4_union", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val rich = c.filter(col("c_acctbal") > 9500).select(col("c_custkey"))
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      val unionAllN = rich.unionAll(auto).count()
+      val unionDistinctN = rich.union(auto).distinct().count()
+      import s.implicits._
+      Seq(("union_all", unionAllN), ("union_distinct", unionDistinctN))
+        .toDF("op", "n").orderBy(col("op").asc_nulls_last)
+    }, Some(
+      """SELECT 'union_all' AS op, count(*) AS n FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9500
+           UNION ALL
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+         UNION ALL
+         SELECT 'union_distinct' AS op, count(*) AS n FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9500
+           UNION
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+         ORDER BY op ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- O5
+    // INTERSECT / EXCEPT (set semantics) tagged and unioned.
+    QueryDef("o5_intersect_except", (s, dir) => {
+      val ordered = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+      val branded = t(s, dir, "part").filter(col("p_size") >= 40).select(col("p_partkey"))
+      val both = branded.intersect(ordered).withColumn("op", lit("intersect"))
+      val neverOrdered = branded.except(ordered).withColumn("op", lit("except"))
+      both.unionAll(neverOrdered)
+        .select(col("op"), col("p_partkey"))
+        .orderBy(col("op").asc_nulls_last, col("p_partkey").asc_nulls_last)
+    }, Some(
+      """SELECT 'intersect' AS op, p_partkey FROM (
+           SELECT p_partkey FROM part WHERE p_size >= 40
+           INTERSECT SELECT l_partkey FROM lineitem)
+         UNION ALL
+         SELECT 'except' AS op, p_partkey FROM (
+           SELECT p_partkey FROM part WHERE p_size >= 40
+           EXCEPT SELECT l_partkey FROM lineitem)
+         ORDER BY op ASC NULLS LAST, p_partkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- O6
+    // PIVOT with pinned value set (never let the engine discover pivot
+    // values at scale — that's an extra full pass).
+    QueryDef("o6_pivot", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg((round((sum(col("l_quantity")))*100)/100))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag,
+                (round((sum(CASE WHEN l_linestatus='F' THEN l_quantity END))*100)/100) AS F,
+                (round((sum(CASE WHEN l_linestatus='O' THEN l_quantity END))*100)/100) AS O
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- O6b
+    // UNPIVOT (wide → long) via Dataset.unpivot.
+    QueryDef("o6_unpivot", (s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg((round((sum(when(col("l_linestatus") === "F", col("l_quantity"))))*100)/100).as("F"),
+          (round((sum(when(col("l_linestatus") === "O", col("l_quantity"))))*100)/100).as("O"))
+      wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "l_linestatus", "qty")
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  (round((sum(CASE WHEN l_linestatus='F' THEN l_quantity END))*100)/100) AS F,
+                  (round((sum(CASE WHEN l_linestatus='O' THEN l_quantity END))*100)/100) AS O
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'F' AS l_linestatus, F AS qty FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'O' AS l_linestatus, O AS qty FROM wide
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""))
+  )
+}

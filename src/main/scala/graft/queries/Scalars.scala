@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar-function coverage (SURVEY.md §2.7): string / date / math / array /
+  * struct+map / JSON / hash families, plus explode (the UDTF analogue,
+  * §2.10) and the multimodal-metadata path (§2.9 / builder prompt).
+  *
+  * Every function here is a built-in `org.apache.spark.sql.functions`
+  * column expression → whole-stage-codegen'd; no UDFs anywhere (the
+  * reference's DuckDB scalar functions are vectorized C++; Spark's codegen
+  * builtins are the equivalent — SURVEY §2.10).
+  *
+  * Parity notes baked in:
+  *  - DuckDB returns BIGINT where Spark returns INT (length, levenshtein,
+  *    year, ceil, ...) → oracle casts down.
+  *  - transcendental fns (ln/exp/pow) may differ in the last ulp between
+  *    libm and the JVM → rounded to 6 decimals via the shared
+  *    `round(x*1e6)/1e6` form (bit-identical in both engines).
+  *  - `events.props` JSON is extracted with get_json_object/from_json on
+  *    the Spark side; the oracle uses regexp_extract so it cannot depend
+  *    on DuckDB's json extension being loadable.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------- F1
+    QueryDef("f1_string_funcs", (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lower_name"),
+        upper(col("p_brand")).as("upper_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_sub8"),
+        regexp_replace(col("p_name"), " ", "_").as("name_und"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        col("p_type").contains("a").as("has_a"),
+        col("p_name").startsWith("b").as("starts_b"),
+        trim(lit("  x  ")).as("trimmed"),
+        expr("left(p_name, 3)").as("left3"),
+        expr("right(p_name, 3)").as("right3"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"))
+        .orderBy(col("p_partkey").asc_nulls_last)
+    }, Some(
+      """SELECT p_partkey,
+         lower(p_name) AS lower_name,
+         upper(p_brand) AS upper_brand,
+         CAST(length(p_name) AS INTEGER) AS name_len,
+         substr(p_name, 1, 8) AS name_sub8,
+         replace(p_name, ' ', '_') AS name_und,
+         string_split(p_name, ' ')[1] AS first_word,
+         regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+         p_brand || ':' || p_type AS brand_type,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         contains(p_type, 'a') AS has_a,
+         starts_with(p_name, 'b') AS starts_b,
+         trim('  x  ') AS trimmed,
+         left(p_name, 3) AS left3,
+         right(p_name, 3) AS right3,
+         CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev
+         FROM part ORDER BY p_partkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F2
+    QueryDef("f2_date_funcs", (s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        col("o_orderdate").cast("date").as("odate"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("next_day"),
+        make_date(lit(2024), month(col("o_orderdate")), lit(1)).as("anniv"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+         CAST(o_orderdate AS DATE) AS odate,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(o_orderdate AS DATE) + 30 AS due_date,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+         o_orderdate + INTERVAL 1 DAY AS next_day,
+         make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1) AS anniv,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F3
+    QueryDef("f3_math_funcs", (s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.04).as("abs_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        (round((col("l_extendedprice"))*100)/100).as("price_r2"),
+        (round((pow(col("l_quantity"), 2))*1000000)/1000000).as("qty_sq"),
+        (round((sqrt(col("l_extendedprice")))*1000000)/1000000).as("price_sqrt"),
+        (round((log(col("l_extendedprice")))*1000000)/1000000).as("price_ln"),
+        (round((log10(col("l_extendedprice")))*1000000)/1000000).as("price_log10"),
+        (round((exp(col("l_discount")))*1000000)/1000000).as("disc_exp"),
+        signum(col("l_quantity") - 25).cast("int").as("qty_sign"),
+        greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),
+        least(col("l_quantity"), lit(25.0)).as("qty_lo"),
+        (col("l_orderkey") % 7).as("key_mod7"))
+        .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_discount - 0.04) AS abs_dev,
+         CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+         CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+         (round((l_extendedprice)*100)/100) AS price_r2,
+         (round((pow(l_quantity, 2))*1000000)/1000000) AS qty_sq,
+         (round((sqrt(l_extendedprice))*1000000)/1000000) AS price_sqrt,
+         (round((ln(l_extendedprice))*1000000)/1000000) AS price_ln,
+         (round((log10(l_extendedprice))*1000000)/1000000) AS price_log10,
+         (round((exp(l_discount))*1000000)/1000000) AS disc_exp,
+         CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+         greatest(l_quantity, 25.0) AS qty_hi,
+         least(l_quantity, 25.0) AS qty_lo,
+         l_orderkey % 7 AS key_mod7
+         FROM lineitem
+         ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F4
+    // Higher-order array functions over the 64-dim embedding vectors —
+    // the Spark-native path for vector math (SURVEY §2.7 array family;
+    // the cosine/topk path builds on the same primitives in §2.9 L3).
+    QueryDef("f4_array_funcs", (s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        expr("round((aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE)))*10000)/10000").as("sum_all"),
+        expr("round((sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))*10000)/10000").as("l2_norm"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        array_max(col("embedding")).as("max_val"),
+        slice(array_sort(col("embedding")), 1, 3).as("smallest3"))
+        .orderBy(col("vec_id").asc_nulls_last)
+    }, Some(
+      """SELECT vec_id,
+         CAST(len(embedding) AS INTEGER) AS dim,
+         embedding[1] AS first_val,
+         (round((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'))*10000)/10000) AS sum_all,
+         (round((sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))*10000)/10000) AS l2_norm,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+         list_aggregate(embedding, 'max') AS max_val,
+         (list_sort(embedding))[1:3] AS smallest3
+         FROM embeddings ORDER BY vec_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F5
+    // Struct pack/extract + map build/extract. The oracle states the
+    // equivalent flat result (struct round-trip is the identity on values).
+    QueryDef("f5_struct_map", (s, dir) => {
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("s"),
+          map(lit("nk"), col("n_nationkey")).as("m"))
+      n.select(
+        col("n_nationkey"),
+        col("s.name").as("s_name"),
+        col("s.rk").as("s_rk"),
+        element_at(col("m"), "nk").as("from_map"))
+        .orderBy(col("n_nationkey").asc_nulls_last)
+    }, Some(
+      """SELECT n_nationkey,
+         (struct_pack(name := n_name, rk := n_regionkey)).name AS s_name,
+         (struct_pack(name := n_name, rk := n_regionkey)).rk AS s_rk,
+         n_nationkey AS from_map
+         FROM nation ORDER BY n_nationkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F6
+    // JSON extraction from events.props ('{"k": 87}') — both the
+    // path-extraction form (get_json_object) and the schema-projection
+    // form (from_json → struct field).
+    QueryDef("f6_json_funcs", (s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_path,
+         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_struct
+         FROM events ORDER BY event_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F7
+    // Hash functions: md5 is engine-portable (oracle-checked); xxhash64 /
+    // uuid are engine-specific and exercised in the scalatest suite only.
+    QueryDef("f7_hash_funcs", (s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        md5(concat(col("c_name"), lit("|"), col("c_mktsegment")).cast("binary")).as("combo_md5"))
+        .orderBy(col("c_custkey").asc_nulls_last)
+    }, Some(
+      """SELECT c_custkey,
+         md5(c_name) AS name_md5,
+         md5(c_name || '|' || c_mktsegment) AS combo_md5
+         FROM customer ORDER BY c_custkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- F8
+    // explode = the table-function/unnest surface (§2.10 UDTF analogue).
+    // Scale: explode is pipelined inside codegen (no shuffle); the groupBy
+    // shuffles only distinct words.
+    QueryDef("f8_explode", (s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc_nulls_last, col("word").asc_nulls_last)
+        .limit(50)
+    }, Some(
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word
+         ORDER BY n DESC NULLS LAST, word ASC NULLS LAST
+         LIMIT 50""")),
+
+    // ------------------------------------------------------- M1 (multimodal)
+    // Multimodal columns (builder prompt / SURVEY §2.9): media carried as an
+    // opaque binary column + typed metadata computed without decoding.
+    // The decode/feature-extract stages live in graft.functions.Multimodal
+    // (deterministic stub decoder — no image/audio libs in this container);
+    // this query exercises the SQL-visible metadata path end-to-end.
+    QueryDef("m1_multimodal_meta", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(
+          col("doc_id"),
+          length(col("media")).as("n_bytes"),
+          ascii(substring(col("media").cast("string"), 1, 1)).as("b1"),
+          ascii(substring(col("media").cast("string"), 2, 1)).as("b2"),
+          ascii(substring(col("media").cast("string"), 3, 1)).as("b3"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         ascii(substr(text, 1, 1)) AS b1,
+         ascii(substr(text, 2, 1)) AS b2,
+         ascii(substr(text, 3, 1)) AS b3
+         FROM documents ORDER BY doc_id ASC NULLS LAST"""))
+  )
+}
