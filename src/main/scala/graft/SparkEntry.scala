@@ -14,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[Seq[QueryDef]] = Seq(
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs,
+    graft.queries.Scalars.defs,
+    graft.queries.Incremental.defs
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatten

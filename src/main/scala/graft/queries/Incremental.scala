@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming / incremental analogue over `events` (SURVEY.md §2.8 T1-T6 +
+  * §2.3 J7). The reference's incremental surface is dbt incremental models
+  * + Delta append/merge (`/root/reference/README.md:2` medallion demo);
+  * here each construct is expressed as a deterministic batch query so it is
+  * DuckDB-oracle-checkable. The *streaming* executions of the same shapes
+  * (withWatermark + window / session_window / dropDuplicatesWithinWatermark
+  * / flatMapGroupsWithState) live in graft.streaming.Streams and are
+  * exercised by the scalatest streaming suite — they are not oracle
+  * queries because a DuckDB oracle cannot run a micro-batch pipeline.
+  *
+  * All event timestamps are truncated to whole seconds (`ts_sec`) before
+  * use — the fixture's nanosecond precision cannot round-trip through
+  * Spark's µs TimestampType (FIXTURES.md parity trap).
+  */
+object Incremental {
+
+  /** events with ts_sec (second-truncated µs timestamp). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+
+  private val oracleEv =
+    """SELECT event_id, user_id, event_type, value, props,
+              CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_sec
+       FROM events"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------- T1
+    // Incremental high-watermark batch: only rows past the last processed
+    // watermark are read (the dbt `is_incremental()` pattern). The filter
+    // is a pushable predicate → at 100 TB this prunes parquet row groups /
+    // partitions before any compute.
+    QueryDef("t1_incremental_watermark", (s, dir) => {
+      ev(s, dir)
+        .filter(col("ts_sec") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("value")))*100)/100).as("sum_value"))
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv)
+         SELECT CAST(ts_sec AS DATE) AS day, event_type,
+                count(*) AS n, (round((sum(value))*100)/100) AS sum_value
+         FROM e WHERE ts_sec > TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1, 2
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T2
+    // Tumbling 1-hour windows. Batch form of
+    // groupBy(window($"ts","1 hour")) — date_trunc is the same epoch-aligned
+    // assignment and keeps the output a plain timestamp column.
+    QueryDef("t2_tumbling_window", (s, dir) => {
+      ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts_sec")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("value")))*100)/100).as("sum_value"))
+        .orderBy(col("hour").asc_nulls_last, col("event_type").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv)
+         SELECT CAST(date_trunc('hour', ts_sec) AS TIMESTAMP) AS hour, event_type,
+                count(*) AS n, (round((sum(value))*100)/100) AS sum_value
+         FROM e GROUP BY 1, 2
+         ORDER BY hour ASC NULLS LAST, event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T3
+    // Sliding windows: 1-hour window every 15 minutes via Spark's native
+    // window(ts, "1 hour", "15 minutes") — each event lands in exactly 4
+    // epoch-aligned windows; the oracle reproduces the assignment
+    // arithmetic explicitly.
+    QueryDef("t3_sliding_window", (s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts_sec"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv)
+         SELECT TIMESTAMP '1970-01-01 00:00:00'
+                  + INTERVAL ((CAST(floor(epoch(ts_sec)/900) AS BIGINT) - k.k) * 900) SECOND
+                  AS w_start,
+                count(*) AS n
+         FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+         GROUP BY 1
+         ORDER BY w_start ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T4
+    // Session windows (30-minute inactivity gap), batch form: lag-gap flag
+    // + running sum = session id, then per-session rollup. The streaming
+    // twin uses session_window(ts, "30 minutes") — see
+    // graft.streaming.Streams. Scale: one shuffle on user_id.
+    QueryDef("t4_session_window", (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts_sec")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts_sec"))) - unix_timestamp(min(col("ts_sec"))))
+            .as("dur_sec"))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("dur_sec"))
+        .orderBy(col("user_id").asc_nulls_last, col("session_start").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         flagged AS (
+           SELECT user_id, event_id, ts_sec,
+                  CASE WHEN lag(ts_sec) OVER w IS NULL
+                         OR date_diff('second', lag(ts_sec) OVER w, ts_sec) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, ts_sec,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts_sec ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM flagged)
+         SELECT user_id, min(ts_sec) AS session_start,
+                count(*) AS n_events,
+                date_diff('second', min(ts_sec), max(ts_sec)) AS dur_sec
+         FROM sess GROUP BY user_id, sess_id
+         ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T5
+    // Late-data / watermark semantics, batch-checked: watermark = global
+    // max(ts) - 24h; events older than the watermark would be dropped by a
+    // streaming sink. The scalar aggregate is broadcast, not collected.
+    QueryDef("t5_late_data", (s, dir) => {
+      val e = ev(s, dir)
+      val wm = e.agg((max(col("ts_sec")) - expr("INTERVAL 24 HOURS")).as("wm"))
+      e.crossJoin(broadcast(wm))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("ts_sec") >= col("wm"), 1)).as("on_time"),
+          count(when(col("ts_sec") < col("wm"), 1)).as("late"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         w AS (SELECT max(ts_sec) - INTERVAL 24 HOUR AS wm FROM e)
+         SELECT event_type,
+                count(*) FILTER (WHERE ts_sec >= wm) AS on_time,
+                count(*) FILTER (WHERE ts_sec < wm) AS late
+         FROM e CROSS JOIN w
+         GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T6
+    // Dedup on a business key: dropDuplicates(user_id, event_type) — the
+    // batch twin of dropDuplicatesWithinWatermark. Only key columns are
+    // output so which duplicate survives cannot affect the result.
+    QueryDef("t6_dedup_events", (s, dir) => {
+      ev(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n_users
+         FROM (SELECT DISTINCT user_id, event_type FROM events)
+         GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- J7
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it (graft.operators.AsOfJoin — union+window rewrite, one
+    // shuffle). Build side pre-aggregated per (user, second) so ties are
+    // deterministic. DuckDB runs its native ASOF LEFT JOIN as the oracle.
+    QueryDef("j7_asof_join", (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_sec"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_sec").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.backward(purchases, clicks,
+          key = "user_id", probeTs = "ts_sec", buildTs = "click_ts",
+          payload = Seq("click_id"))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_sec AS click_ts, max(event_id) AS click_id
+               FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_sec, c.click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_sec >= c.click_ts
+         ORDER BY p.event_id ASC NULLS LAST"""))
+  )
+}
