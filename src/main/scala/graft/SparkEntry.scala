@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.defs,
     graft.queries.Scalars.defs,
     graft.queries.Incremental.defs,
-    graft.queries.Llm.defs
+    graft.queries.Llm.defs,
+    graft.queries.Medallion.defs
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatten

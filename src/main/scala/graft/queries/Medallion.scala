@@ -1,0 +1,256 @@
+package graft.queries
+
+import java.nio.file.Files
+import graft.{QueryDef, Tables}
+import graft.operators.{Merge, Scd2}
+import graft.sources.DeltaLite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Medallion architecture + Delta-semantics surface (SURVEY.md §2.1 S2-S9)
+  * — the heart of the reference: dbt models materialized over Delta Lake
+  * in bronze → silver → gold layers (`/root/reference/README.md:2`).
+  * [[Pipeline]] is the dbt-DAG analogue (each model a pure
+  * `(SparkSession, dir) => DataFrame`, the DAG explicit function
+  * composition — SURVEY §3 EP1); the queries exercise every
+  * source/sink/storage operator through it.
+  *
+  * Sink queries write to fresh per-invocation temp dirs and read their own
+  * output back, so the declared result is a pure function of the fixtures
+  * — which is what makes write-path operators DuckDB-oracle-checkable
+  * (the oracle states the equivalent derivation from the inputs).
+  */
+object Medallion {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** The dbt-style model DAG (bronze → silver → gold). */
+  object Pipeline {
+    /** bronze: raw ingest, no cleaning (schema-on-read from parquet). */
+    def bronzeEvents(s: SparkSession, dir: String): DataFrame =
+      Tables.t(s, dir, "events")
+
+    /** silver: typed (ns→µs→s timestamps), deduped on the business key,
+      * null-guarded — the conformance layer. */
+    def silverEvents(s: SparkSession, dir: String): DataFrame =
+      bronzeEvents(s, dir)
+        .withColumn("ts_sec", date_trunc("second", col("ts")))
+        .dropDuplicates("event_id")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+
+    /** gold: daily revenue mart from the fact table. */
+    def goldDailyRevenue(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(expr("round((sum(l_extendedprice * (1 - l_discount)))*100)/100").as("revenue"),
+          count(lit(1)).as("n_items"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------- S2
+    // CSV source (dbt seed): write customers to CSV, read back with an
+    // explicit schema (schema-on-write, as dbt seeds declare types), join
+    // a dimension. Oracle = the same derivation from the original table
+    // (CSV round-trip is value-preserving: Spark writes shortest-repr
+    // doubles, which parse back exactly).
+    QueryDef("s2_csv_source", (s, dir) => {
+      val path = tmp("s2_csv")
+      t(s, dir, "customer").write.mode("overwrite")
+        .option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          expr("round((sum(c_acctbal))*100)/100").as("total_bal"))
+        .orderBy(col("n_name").asc_nulls_last)
+    }, Some(
+      """SELECT n_name, count(*) AS n_customers,
+                (round((sum(c_acctbal))*100)/100) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S3
+    // JSON-lines source: write an events slice to JSON, read back with an
+    // explicit schema (timestamps excluded — JSON timestamp formats are
+    // the classic round-trip trap; the props JSON-in-string column is the
+    // payload of interest and survives exactly).
+    QueryDef("s3_json_source", (s, dir) => {
+      val path = tmp("s3_json")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(schema).json(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(value))*100)/100").as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+                (round((sum(value))*100)/100) AS sum_value,
+                CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S4
+    // Delta snapshot read (latest version): create v0 with the closed
+    // orders, append the open ones, read the latest snapshot.
+    QueryDef("s4_delta_snapshot", (s, dir) => {
+      val path = tmp("s4_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus") === "F"))
+      DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "O"))
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders WHERE o_orderstatus IN ('F','O')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S5
+    // Time travel (VERSION AS OF 0): same table lineage as S4, but read
+    // the initial version after later commits exist.
+    QueryDef("s5_time_travel", (s, dir) => {
+      val path = tmp("s5_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus") === "F"))
+      DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "O"))
+      DeltaLite.read(s, path, asOf = Some(0L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S6
+    // Table materialization (dbt `table` / CREATE TABLE AS): materialize
+    // the gold mart to parquet, read it back as a table.
+    QueryDef("s6_table_sink", (s, dir) => {
+      val path = tmp("s6_gold")
+      Pipeline.goldDailyRevenue(s, dir).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("n_items") >= 5)
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """SELECT CAST(l_shipdate AS DATE) AS day,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100) AS revenue,
+                count(*) AS n_items
+         FROM lineitem GROUP BY 1 HAVING count(*) >= 5
+         ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S7
+    // Incremental append (dbt incremental `append`): two half-month
+    // batches committed separately, then the union snapshot aggregated.
+    QueryDef("s7_append_sink", (s, dir) => {
+      val path = tmp("s7_delta")
+      val e = Pipeline.silverEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_sec"))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      DeltaLite.create(s, path, e.filter(col("ts_sec") < cut))
+      DeltaLite.append(s, path, e.filter(col("ts_sec") >= cut))
+      DeltaLite.read(s, path)
+        .groupBy(col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """SELECT CAST(CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS DATE) AS day,
+                count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S8
+    // MERGE upsert (Delta MERGE INTO / dbt incremental `merge`): target =
+    // orders before 1997-07; updates = repriced orders from 1997 on
+    // (overlapping keys update, new keys insert).
+    QueryDef("s8_merge_upsert", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"))
+      Merge.upsert(target, updates, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH target AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+         u AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+         merged AS (
+           SELECT CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                       ELSE t.o_orderstatus END AS o_orderstatus,
+                  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                       ELSE t.o_totalprice END AS o_totalprice
+           FROM target t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey)
+         SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM merged GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- S9
+    // SCD Type-2 snapshot (dbt snapshot): each user's event_type history
+    // as validity intervals. Ties within a second pre-deduped (max
+    // event_id wins) so the interval order is total.
+    QueryDef("s9_scd2_snapshot", (s, dir) => {
+      val byUserSec = Window.partitionBy(col("user_id"), col("ts_sec"))
+        .orderBy(col("event_id").desc)
+      val deduped = Pipeline.silverEvents(s, dir)
+        .withColumn("rn", row_number().over(byUserSec))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts_sec"))
+      Scd2.build(deduped, keys = Seq("user_id"), ts = "ts_sec",
+          attrs = Seq("event_type"))
+        .orderBy(col("user_id").asc_nulls_last, col("valid_from").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_sec,
+                  event_id
+           FROM events),
+         d AS (
+           SELECT user_id, event_type, ts_sec FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+                         ORDER BY event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         flagged AS (
+           SELECT user_id, event_type, ts_sec,
+                  (lag(ts_sec) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS is_change
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC)),
+         ch AS (SELECT user_id, event_type, ts_sec FROM flagged WHERE is_change)
+         SELECT user_id, event_type,
+                ts_sec AS valid_from,
+                lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec ASC) AS valid_to,
+                lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec ASC) IS NULL AS is_current
+         FROM ch
+         ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST"""))
+  )
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Minimal versioned-table layer over parquet with Delta Lake semantics —
+  * the storage layer of the reference stack
+  * (`/root/reference/README.md:1-2`: "full deltalake implementation of
+  * medallion architecture"). No delta jars are linkable in this offline
+  * environment (SURVEY.md §7.1), so the Delta behaviors the reference
+  * relies on are implemented directly:
+  *
+  *   - versioned snapshots:   `path/v=<N>/` parquet dirs
+  *   - commit log:            `path/_graft_log/<N>.json` manifests,
+  *                            committed atomically (write temp + rename)
+  *                            AFTER the data write, so readers never see a
+  *                            half-written version (the Delta log's
+  *                            visibility rule)
+  *   - time travel:           read any committed version (S5)
+  *   - append / overwrite / MERGE / SCD2 upserts: S6-S9 via
+  *     [[graft.operators.Merge]] / [[graft.operators.Scd2]]
+  *
+  * Copy-on-write FULL snapshots per version — correct and simple at test
+  * scale. At 100 TB the log would instead record add/remove FILE actions
+  * per commit (the actual Delta protocol) so a MERGE rewrites only
+  * touched files; the read/commit API here is deliberately shaped so that
+  * swap is internal (readers resolve a version → file list → parquet
+  * scan; the scan stays distributed and predicate-pushable either way).
+  */
+object DeltaLite {
+
+  private def logDir(path: String) = Paths.get(path, "_graft_log")
+
+  /** Latest committed version, if the table exists. */
+  def latestVersion(path: String): Option[Long] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) None
+    else {
+      val vs = Files.list(ld).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Commit `df` as the next full-snapshot version; returns the version. */
+  def commit(spark: SparkSession, path: String, df: DataFrame, op: String): Long = {
+    val next = latestVersion(path).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    Files.createDirectories(logDir(path))
+    val tmp = logDir(path).resolve(s".$next.json.tmp")
+    val fin = logDir(path).resolve(s"$next.json")
+    val manifest =
+      s"""{"version":$next,"op":"$op","dir":"v=$next","committedAtMs":${System.currentTimeMillis()}}"""
+    Files.write(tmp, manifest.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, fin)  // atomic visibility of the commit
+    next
+  }
+
+  /** Snapshot read: latest version, or `VERSION AS OF` via `asOf`. */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path))
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    require(Files.exists(logDir(path).resolve(s"$v.json")),
+      s"version $v was never committed at $path")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  def create(spark: SparkSession, path: String, df: DataFrame): Long =
+    commit(spark, path, df, "CREATE")
+
+  /** Incremental append sink (dbt incremental `append` / S7). */
+  def append(spark: SparkSession, path: String, df: DataFrame): Long =
+    commit(spark, path, read(spark, path).unionByName(df), "APPEND")
+
+  /** MERGE INTO upsert sink (dbt incremental `merge` / Delta MERGE / S8). */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Long =
+    commit(spark, path,
+      graft.operators.Merge.upsert(read(spark, path), updates, keys), "MERGE")
+}
