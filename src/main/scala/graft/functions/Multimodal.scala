@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Multimodal column handling for training-data pipelines (builder
+  * prompt / SURVEY.md §2.9): image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extraction runs batch-wise inside executors.
+  *
+  * ┌─ STUB BOUNDARY ─────────────────────────────────────────────────────┐
+  * │ No image/audio codecs exist in this container, so [[decodeStub]] is │
+  * │ a DETERMINISTIC FAKE decoder (byte statistics standing in for pixel │
+  * │ decoding). Swap its body for a real codec (e.g. TwelveMonkeys /     │
+  * │ javacv) without touching any of the Spark plumbing around it — the  │
+  * │ schema, partitioning, and batch shape below are the real design.    │
+  * └─────────────────────────────────────────────────────────────────────┘
+  *
+  * Scale design: the media table is (id, media binary, meta struct). The
+  * decode stage is `mapPartitions` over a Dataset — the JVM-Scala
+  * equivalent of `mapInPandas` batch UDFs: per-partition iterator, so
+  * decoder init (model load, codec setup) amortizes across the partition
+  * instead of per row. Binary payloads never pass through a shuffle here;
+  * repartition by id range BEFORE decoding if upstream produced skewed
+  * file splits. Feature vectors come out as `array<float>`, joining the
+  * embedding pipeline (L3) directly.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, media: Array[Byte],
+      format: String, width: Int, height: Int)
+  final case class MediaFeatures(id: Long, n_bytes: Int,
+      features: Array[Float])
+
+  /** Wrap a text/binary source as a media table with typed metadata
+    * (metadata derived deterministically where a real pipeline would read
+    * container headers). */
+  def asMediaTable(df: DataFrame, id: String, payload: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("id"),
+      col(payload).cast("binary").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        (length(col(payload)) % 640).cast("int").as("width"),
+        (length(col(payload)) % 480).cast("int").as("height")).as("meta"))
+
+  /** STUB decoder: deterministic byte-statistics "features" (dim 8).
+    * Replace with a real codec at the stub boundary above. */
+  def decodeStub(media: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](8)
+    var i = 0
+    while (i < media.length) {
+      f(i % 8) += (media(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    if (media.length > 0) (0 until 8).foreach(j => f(j) /= media.length)
+    f
+  }
+
+  /** Batch feature extraction: mapPartitions so per-partition decoder
+    * setup cost amortizes (the mapInPandas batch-shape equivalent). */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real pipeline: initialize codec/model ONCE here
+        rows.map { case (id, bytes) =>
+          MediaFeatures(id, bytes.length, decodeStub(bytes))
+        }
+      }
+  }
+
+  /** Deterministic frame sampling over a fake "video" payload: fixed-size
+    * byte windows as frames, every `stride`-th taken — the partition-local
+    * pattern a real frame sampler follows. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) => (id, idx, frame.length, decodeStub(frame)) }
+      }
+      .toDF("id", "frame_idx", "frame_bytes", "frame_features")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming executions of the incremental shapes (SURVEY.md
+  * §2.8 T2-T7). The reference is batch (dbt has no streaming; its
+  * incremental models are the analogue), so these are the [N]-tagged
+  * forward-looking surface: the same transformations as
+  * graft.queries.Incremental, but runnable as micro-batch pipelines with
+  * watermarks and state. Verified in StreamingSpec via MemoryStream
+  * micro-batches (a DuckDB oracle cannot run a stateful pipeline — SURVEY
+  * §2.8 T7).
+  *
+  * Scale: all stateful operators key their state by a grouping column →
+  * state is hash-partitioned across executors; watermarks bound state
+  * size (late rows are dropped, closed windows/sessions are evicted).
+  */
+object Streams {
+
+  /** T2 streaming twin: tumbling 1-hour counts with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T4 streaming twin: native session windows (30-minute gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** T6 streaming twin: exactly-once dedup on the event id, with state
+    * bounded by the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------------- T7
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, start: Timestamp,
+      n_events: Int, dur_sec: Long)
+
+  /** T7: arbitrary stateful processing — explicit per-user session
+    * tracking via flatMapGroupsWithState; a session is emitted when a
+    * later event arrives past the 30-minute gap (event-time-driven close;
+    * a production pipeline would add an event-time timeout keyed to the
+    * watermark to also flush trailing sessions). The hand-rolled form of
+    * session_window, demonstrating custom keyed state. */
+  def statefulSessions(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= 30 * 60 * 1000 =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessionOut(userId, new Timestamp(s.start), s.n,
+                  (s.last - s.start) / 1000)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+}

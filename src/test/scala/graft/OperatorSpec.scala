@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{AsOfJoin, Merge, Scd2}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics of the custom operators (SURVEY.md §5 layer 2): MERGE
+  * upsert, SCD2 build, as-of join — hand-computed expectations on small
+  * in-memory frames. */
+class OperatorSpec extends AnyFunSuite with TestSpark {
+
+  test("Merge.upsert updates matched, inserts new, keeps unmatched") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("Merge.upsert null update values overwrite (UPDATE SET *)") {
+    import spark.implicits._
+    val target = Seq((1L, Some("a"))).toDF("k", "s")
+    val updates = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, None)))
+  }
+
+  test("Merge.upsert is idempotent") {
+    import spark.implicits._
+    val target = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val updates = Seq((2L, 5.0), (3L, 3.0)).toDF("k", "v")
+    val once = Merge.upsert(target, updates, Seq("k"))
+    val twice = Merge.upsert(once, updates, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq ===
+      twice.orderBy("k").collect().toSeq)
+  }
+
+  test("Scd2.build: intervals ordered, gap-free, one open row per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "x", 1000L), (1L, "x", 2000L), (1L, "y", 3000L), (1L, "x", 4000L),
+      (2L, "z", 1000L))
+      .toDF("k", "attr", "t")
+      .withColumn("t", timestamp_millis(col("t")))
+    val out = Scd2.build(changes, Seq("k"), "t", Seq("attr"))
+    // consecutive duplicate (1,x,2000) compressed away
+    assert(out.count() === 4)
+    val k1 = out.filter(col("k") === 1).orderBy("valid_from")
+      .select(col("attr"), col("is_current")).collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(k1.toSeq === Seq(("x", false), ("y", false), ("x", true)))
+    // gap-free: valid_to of row i == valid_from of row i+1
+    val iv = out.filter(col("k") === 1).orderBy("valid_from")
+      .select(col("valid_from").cast("long"), col("valid_to").cast("long"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(iv.toSeq === Seq((1L, 3L), (3L, 4L), (4L, -1L)))
+    // exactly one open row per key
+    val open = out.filter(col("valid_to").isNull).groupBy("k").count()
+      .collect().map(_.getLong(1))
+    assert(open.forall(_ === 1L))
+  }
+
+  test("AsOfJoin.backward matches latest at-or-before, null when none") {
+    import spark.implicits._
+    val probe = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 100L, "b100"), (1L, 200L, "b200"), (2L, 60L, "b60"))
+      .toDF("k", "bt", "payload")
+    val out = AsOfJoin.backward(probe, build, "k", "t", "bt", Seq("payload"))
+      .orderBy("k", "t")
+      .select("tag", "payload").as[(String, Option[String])].collect().toSeq
+    // p1 at t=100 matches b100 (inclusive <=); p2 matches b200 (latest);
+    // p3 at t=50 precedes every build row for k=2 → null
+    assert(out === Seq(("p1", Some("b100")), ("p2", Some("b200")),
+      ("p3", None)))
+  }
+
+  test("AsOfJoin matches DuckDB-oracle-verified shape on fixture data") {
+    // the j7 query itself is oracle-verified; here just pin row stability
+    val df = SparkEntry.queries("j7_asof_join")(spark, sf)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.filter(col("click_id").isNotNull).count() > 0)
+  }
+}

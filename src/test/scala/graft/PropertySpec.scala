@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties (SURVEY.md §5 layer 3) over scalacheck-generated
+  * frames. No scalatestplus bridge is resolvable offline, so generators
+  * are sampled explicitly with fixed seeds (deterministic runs). */
+class PropertySpec extends AnyFunSuite with TestSpark {
+
+  private val rowsGen = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0L, 9L), Gen.choose(-100.0, 100.0)))
+
+  private def samples(n: Int): Seq[List[(Long, Double)]] =
+    (0 until n).map(i =>
+      rowsGen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil))
+
+  test("filter commutes with projection") {
+    for (rows <- samples(5)) {
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val a = df.filter(col("k") > 4).select(col("k"), (col("v") * 2).as("w"))
+      val b = df.select(col("k"), (col("v") * 2).as("w")).filter(col("k") > 4)
+      assert(a.collect().sortBy(_.getLong(0)).toSeq ===
+        b.collect().sortBy(_.getLong(0)).toSeq)
+    }
+  }
+
+  test("unionAll cardinality is additive; distinct union is a fixpoint") {
+    for (Seq(r1, r2) <- samples(6).grouped(2)) {
+      import spark.implicits._
+      val (a, b) = (r1.toDF("k", "v"), r2.toDF("k", "v"))
+      assert(a.unionAll(b).count() === a.count() + b.count())
+      val u = a.union(b).distinct()
+      assert(u.union(u).distinct().count() === u.count())
+    }
+  }
+
+  test("merge upsert: key set = union of key sets, updates win") {
+    for (Seq(r1, r2) <- samples(6).grouped(2)) {
+      import spark.implicits._
+      val t = r1.toDF("k", "v").dropDuplicates("k")
+      val u = r2.toDF("k", "v").dropDuplicates("k")
+      val m = Merge.upsert(t, u, Seq("k"))
+      val keys = m.select("k").collect().map(_.getLong(0)).toSet
+      val expected = (t.select("k").collect().map(_.getLong(0)) ++
+        u.select("k").collect().map(_.getLong(0))).toSet
+      assert(keys === expected)
+      val uVals = u.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      m.collect().foreach { r =>
+        uVals.get(r.getLong(0)).foreach(uv => assert(r.getDouble(1) === uv))
+      }
+    }
+  }
+
+  test("cosine similarity bounded in [-1, 1] on fixture embeddings") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("norm").as("nb"))
+    val out = a.join(b, col("ida") < col("idb")).limit(5000)
+      .select((call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .agg(min("sim"), max("sim")).head()
+    assert(out.getDouble(0) >= -1.0000001 && out.getDouble(1) <= 1.0000001)
+  }
+
+  test("dropDuplicates is a fixpoint and minimal") {
+    for (rows <- samples(5)) {
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val d1 = df.dropDuplicates("k")
+      assert(d1.dropDuplicates("k").count() === d1.count())
+      assert(d1.count() === df.select("k").distinct().count())
+    }
+  }
+
+  test("SCD2 validity intervals never overlap per key (fixture events)") {
+    val scd = SparkEntry.queries("s9_scd2_snapshot")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val bad = scd
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      .count()
+    assert(bad === 0, "intervals must tile without gaps or overlaps")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming executions (SURVEY.md §2.8): MemoryStream
+  * micro-batches through the Streams transformations, asserting the
+  * streamed results equal the batch equivalents. */
+class StreamingSpec extends AnyFunSuite with TestSpark {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts with watermark (streaming == batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    val q = Streams.tumblingCounts(events).writeStream
+      .format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts(5), "click", 1.0), (2L, ts(20), "click", 2.0),
+        (3L, ts(65), "view", 3.0), (4L, ts(70), "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select(col("hour").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(out === Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 01:00:00", "view", 1L),
+        ("2024-01-01 01:00:00", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = Streams.dedupStream(events).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "a"), (1L, ts(1), "a"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "a"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("native session windows group by inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = Streams.sessionCounts(events).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // user 7: events at 0,10,20 (one session), then 120 (new session)
+      input.addData((1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(20), 7L),
+        (4L, ts(120), 7L))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 7).collect()
+      assert(sessions.length === 2)
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState custom sessionization (T7)") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.statefulSessions(input.toDS()).writeStream
+      .format("memory").queryName("stateful").outputMode("append").start()
+    try {
+      // two bursts 2h apart → first session closes when the second arrives
+      input.addData(
+        Streams.Event(1L, ts(0), 7L, "click", 1.0),
+        Streams.Event(2L, ts(10), 7L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(3L, ts(130), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("stateful").as[Streams.SessionOut].collect()
+      assert(out.length === 1) // first session emitted, second still open
+      assert(out.head.n_events === 2)
+      assert(out.head.dur_sec === 600L)
+    } finally q.stop()
+  }
+}
