@@ -74,7 +74,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * [[GraftFunctions.register]], `expr("vec_dot(a, b)")` resolves in SQL
   * and the DataFrame API alike. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = synchronized {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-specific functions that cannot be DuckDB-oracle-checked
+  * (SURVEY.md §2.11 rows T/R): approximate aggregates, seeded hashes,
+  * uuid, Bernoulli sampling. */
+class FunctionsSpec extends AnyFunSuite with TestSpark {
+
+  test("A3: approx_count_distinct within 5% of exact") {
+    val e = Tables.t(spark, sf, "events")
+    val row = e.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("xxhash64 is deterministic and spreads (seeded, engine-native)") {
+    val d = Tables.t(spark, sf, "documents")
+    val h1 = d.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    val h2 = d.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(h1.toSeq === h2.toSeq, "same input -> same hash across runs")
+    assert(h1.distinct.length === h1.length, "distinct texts -> distinct hashes")
+  }
+
+  test("uuid() yields unique values per row") {
+    val n = 1000
+    val u = spark.range(n).select(expr("uuid()").as("u"))
+      .distinct().count()
+    assert(u === n)
+  }
+
+  test("P6: Bernoulli sample(fraction, seed) is reproducible and ~fraction") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val total = l.count()
+    val s1 = l.sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = l.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 === s2, "same seed -> same sample")
+    assert(math.abs(s1.toDouble / total - 0.1) < 0.03,
+      s"sampled $s1 of $total")
+  }
+
+  test("TextFunctions.tokenCount: BPE-ish regex path handles punctuation") {
+    import spark.implicits._
+    val df = Seq("hello, world! it's 2024.", "one  two").toDF("text")
+    val counts = df.select(
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // "hello , world ! it ' s 2024 ." = 9; "one two" = 2
+    assert(counts === Seq(9, 2))
+  }
+}
