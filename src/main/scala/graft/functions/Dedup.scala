@@ -140,6 +140,25 @@ object Dedup {
     Array.tabulate(nPlanes, dim)((j, i) =>
       (splitmix(j.toLong * dim + i).toDouble / Long.MaxValue).toFloat)
 
+  /** IVF-style centroid assignment (the other ANN scale path besides
+    * hyperplane LSH): cluster embeddings with seeded k-means (mllib —
+    * distributed Lloyd iterations, deterministic under a fixed seed and
+    * stable input partitioning) and assign every vector its nearest
+    * centroid id. Search then probes only same-centroid candidates — at
+    * 100 TB the vectors are hash-partitioned by centroid so each probe is
+    * a single-partition lookup; multi-probe = also scan the next-nearest
+    * centroids. Returns the input plus a `centroid` int column. */
+  def ivfAssign(df: DataFrame, embCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("__vec",
+      array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
+      .setPredictionCol("centroid").fit(withVec)
+    model.transform(withVec).drop("__vec")
+  }
+
   /** Sign-bucket id for an embedding column under `nPlanes` hyperplanes —
     * the IVF/LSH scale path for ANN (SURVEY §2.9 L3): candidates are
     * restricted to equal buckets, turning top-k search into an equality

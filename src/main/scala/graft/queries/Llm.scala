@@ -227,6 +227,31 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L3 (d)
+    // ANN via IVF centroids: seeded k-means partitions the vector space
+    // into 16 cells; neighbors are searched only inside the query's cell
+    // (equality join on centroid id — same scale shape as LSH buckets but
+    // data-adaptive). Rows-only; recall property-tested in DedupSpec.
+    QueryDef("l3_ann_ivf", (s, dir) => {
+      val assigned = Dedup.ivfAssign(emb(s, dir), "embedding", k = 16)
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("centroid"))
+      val c = assigned.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"), col("centroid").as("cc"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.join(c, col("centroid") === col("cc"))
+        .withColumn("sim",
+          call_function("vec_dot", col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------- L4
     // Corpus token statistics per language (whitespace + BPE-ish token
     // counts, char stats).

@@ -48,6 +48,30 @@ object Medallion {
         .groupBy(col("l_shipdate").cast("date").as("day"))
         .agg(expr("round((sum(l_extendedprice * (1 - l_discount)))*100)/100").as("revenue"),
           count(lit(1)).as("n_items"))
+
+    /** gold: daily event activity mart from silver. */
+    def goldDailyEvents(s: SparkSession, dir: String): DataFrame =
+      silverEvents(s, dir)
+        .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(value))*100)/100").as("sum_value"))
+
+    /** The `dbt run` analogue (SURVEY §3 EP1): materialize the whole DAG
+      * in dependency order as DeltaLite tables under `targetDir`; each
+      * layer reads the fixtures / upstream layers, never the driver.
+      * Returns model name → table path. */
+    def runAll(s: SparkSession, dir: String, targetDir: String): Map[String, String] = {
+      val models: Seq[(String, SparkSession => DataFrame)] = Seq(
+        "bronze_events" -> (sp => bronzeEvents(sp, dir)),
+        "silver_events" -> (sp => silverEvents(sp, dir)),
+        "gold_daily_revenue" -> (sp => goldDailyRevenue(sp, dir)),
+        "gold_daily_events" -> (sp => goldDailyEvents(sp, dir)))
+      models.map { case (name, model) =>
+        val path = s"$targetDir/$name"
+        graft.sources.DeltaLite.create(s, path, model(s))
+        name -> path
+      }.toMap
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

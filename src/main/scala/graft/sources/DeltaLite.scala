@@ -82,4 +82,31 @@ object DeltaLite {
       keys: Seq[String]): Long =
     commit(spark, path,
       graft.operators.Merge.upsert(read(spark, path), updates, keys), "MERGE")
+
+  /** Delta `DELETE FROM ... WHERE cond`: commit a snapshot without the
+    * matching rows (cond is a Column predicate over the table). */
+  def delete(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): Long =
+    commit(spark, path, read(spark, path).filter(!cond), "DELETE")
+
+  /** Delta `UPDATE ... SET col = expr WHERE cond`. */
+  def update(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    val cur = read(spark, path)
+    val updated = cur.columns.foldLeft(cur) { (df, c) =>
+      set.get(c).map(e => df.withColumn(c, when(cond, e).otherwise(df(c))))
+        .getOrElse(df)
+    }
+    commit(spark, path, updated, "UPDATE")
+  }
+
+  /** Schema-evolving append (Delta `mergeSchema`): new columns from the
+    * batch are added to the table (nulls for history), missing batch
+    * columns are null-filled. */
+  def appendEvolve(spark: SparkSession, path: String, df: DataFrame): Long =
+    commit(spark, path,
+      read(spark, path).unionByName(df, allowMissingColumns = true),
+      "APPEND_EVOLVE")
 }

@@ -79,6 +79,21 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(hits >= 35, s"only $hits/50 perturbed vectors kept their bucket")
   }
 
+  test("IVF ANN: perturbed near-dup vectors land in their original's cell") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("embedding"))
+    val all = e.select(col("vec_id"), col("embedding")).unionByName(queries)
+    val assigned = Dedup.ivfAssign(all, "embedding", k = 16)
+      .select("vec_id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hits = (0L until 50L).count(i => assigned(i) == assigned(i + 10000))
+    assert(hits >= 40, s"only $hits/50 perturbed vectors share their cell")
+  }
+
   test("exact dedup: md5 grouping is a fixpoint") {
     val d = Tables.t(spark, sf, "documents")
     val once = d.withColumn("h", md5(col("text").cast("binary")))

@@ -69,6 +69,20 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(gold.agg(sum(col("n_items"))).head().getLong(0) === direct)
   }
 
+  test("Pipeline.runAll materializes the DAG as versioned tables (dbt run)") {
+    val target = Files.createTempDirectory("graft_dag").toString
+    val tables = Pipeline.runAll(spark, sf, target)
+    assert(tables.keySet === Set("bronze_events", "silver_events",
+      "gold_daily_revenue", "gold_daily_events"))
+    val gold = DeltaLite.read(spark, tables("gold_daily_revenue"))
+    val direct = Pipeline.goldDailyRevenue(spark, sf)
+    assert(gold.count() === direct.count())
+    assert(gold.agg(sum(col("n_items"))).head().getLong(0) ===
+      direct.agg(sum(col("n_items"))).head().getLong(0))
+    // every model is a committed DeltaLite version 0
+    tables.values.foreach(p => assert(DeltaLite.latestVersion(p) === Some(0L)))
+  }
+
   test("multimodal: stub decode plumbing (schema, batches, frames)") {
     implicit val s = spark
     val media = graft.functions.Multimodal.asMediaTable(
