@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FloatVectorDot
+
+/** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
+  * operators register via `SparkSessionExtensions`). Activate with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * and graft's native expressions resolve in SQL and the DataFrame API on
+  * every session of the application — the library-quality alternative to
+  * per-session [[graft.functions.GraftFunctions.register]] (which remains
+  * as an idempotent fallback for sessions created without the config). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+  }
+}

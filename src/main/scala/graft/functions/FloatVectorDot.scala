@@ -72,12 +72,18 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions; after
   * [[GraftFunctions.register]], `expr("vec_dot(a, b)")` resolves in SQL
-  * and the DataFrame API alike. */
+  * and the DataFrame API alike. Sessions created with
+  * `spark.sql.extensions=graft.GraftExtensions` get this automatically
+  * ([[graft.GraftExtensions]]); register() remains as the idempotent
+  * fallback for externally-created sessions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = synchronized {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot",
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
-      "scala_udf")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot",
+        (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
+        "scala_udf")
+    }
   }
 }

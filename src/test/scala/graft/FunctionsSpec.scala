@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * uuid, Bernoulli sampling. */
 class FunctionsSpec extends AnyFunSuite with TestSpark {
 
+  test("GraftExtensions injects vec_dot (no manual registration)") {
+    // TestSpark's session was built with
+    // spark.sql.extensions=graft.GraftExtensions — vec_dot must resolve
+    // without GraftFunctions.register
+    val r = Tables.t(spark, sf, "embeddings").limit(1)
+      .select(expr("vec_dot(embedding, embedding)").as("d")).head()
+    assert(r.getDouble(0) > 0.0)
+  }
+
   test("A3: approx_count_distinct within 5% of exact") {
     val e = Tables.t(spark, sf, "events")
     val row = e.agg(
