@@ -525,6 +525,44 @@ object Relational {
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- W3 (b)
+    // RANGE frame (value-based, not row-based): trailing 30-day spend per
+    // customer — rows with equal order dates share the frame, unlike ROWS.
+    QueryDef("w3_range_frame", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s").asc)
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (round((sum(col("o_totalprice")).over(w))*100)/100).as("spend_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                (round((sum(o_totalprice) OVER w)*100)/100) AS spend_30d,
+                count(*) OVER w AS n_30d
+         FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s ASC
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- A7 (b)
+    // array_agg proper (list-valued aggregation) with pinned element order.
+    QueryDef("a7_array_agg", (s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9700)
+        .groupBy(col("c_nationkey"))
+        .agg(array_sort(collect_list(col("c_custkey"))).as("vip_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    }, Some(
+      """SELECT c_nationkey,
+                list_sort(array_agg(c_custkey)) AS vip_keys,
+                count(*) AS n
+         FROM customer WHERE c_acctbal > 9700
+         GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- W4
     QueryDef("w4_running_total", (s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
