@@ -347,6 +347,65 @@ object Llm {
                   (acc, x) -> (acc*131 + x) % 1000000007) AS fingerprint
          FROM documents ORDER BY doc_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (e)
+    // n-gram (bigram) frequency analysis across the corpus — the n>1
+    // companion of the unigram counts in f8_explode.
+    QueryDef("l4_ngram_freq", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(explode(expr(
+          """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE array() END""")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc_nulls_last, col("bigram").asc_nulls_last)
+        .limit(50)
+    }, Some(
+      """SELECT bigram, count(*) AS n
+         FROM (SELECT unnest(
+                 CASE WHEN len(string_split(text,' ')) >= 2
+                      THEN list_transform(range(1, len(string_split(text,' '))),
+                             i -> string_split(text,' ')[i] || ' ' ||
+                                  string_split(text,' ')[i+1])
+                      ELSE [] END) AS bigram
+               FROM documents)
+         GROUP BY bigram
+         ORDER BY n DESC NULLS LAST, bigram ASC NULLS LAST
+         LIMIT 50""")),
+
+    // ------------------------------------------------------------- L3 (e)
+    // Euclidean (L2) distance pairs — the metric companion of cosine,
+    // computed from the same codegen'd dot products:
+    // |a-b|^2 = |a|^2 + |b|^2 - 2<a,b>.
+    QueryDef("l3_l2_distance", (s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 40)
+        .withColumn("sq", call_function("vec_dot", col("embedding"), col("embedding")))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("sq").as("sqa"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("sq").as("sqb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("dist", sqrt(greatest(
+          col("sqa") + col("sqb") -
+            lit(2.0) * call_function("vec_dot", col("ea"), col("eb")), lit(0.0))))
+        .select(col("ida"), col("idb"), expr("round(dist*10000)/10000").as("dist"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+         d AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2)
+         SELECT ida, idb,
+                (round((sqrt(greatest(qa + qb - 2*dot, 0)))*10000)/10000) AS dist
+         FROM d ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- L5
     // Text normalization chain: lower → collapse whitespace → trim, plus
     // the content-address (md5) of the normalized text and a 5-token head.
