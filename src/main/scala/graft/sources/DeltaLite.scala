@@ -37,12 +37,15 @@ object DeltaLite {
     val ld = logDir(path)
     if (!Files.isDirectory(ld)) None
     else {
-      val vs = Files.list(ld).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong)
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
+      val stream = Files.list(ld)
+      try {
+        val vs = stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong)
+          .toSeq
+        if (vs.isEmpty) None else Some(vs.max)
+      } finally stream.close()
     }
   }
 

@@ -47,6 +47,47 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     s2.sql("DROP TABLE orders_b"); s2.sql("DROP TABLE lineitem_b")
   }
 
+  test("partitioned gold table: static partition pruning on day filter") {
+    val path = Files.createTempDirectory("graft_part").toString
+    graft.queries.Medallion.Pipeline.goldDailyRevenue(spark, sf)
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val q = spark.read.parquet(path)
+      .filter(col("day") === lit("1996-01-05").cast("date"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filter in plan:\n$plan")
+    // the filter must NOT appear as a data filter (it's partition-level)
+    assert(!plan.matches("(?s).*PushedFilters: \\[.*day.*"),
+      "day filter should prune partitions, not rows")
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions") {
+    val path = Files.createTempDirectory("graft_dpp").toString
+    graft.queries.Medallion.Pipeline.goldDailyRevenue(spark, sf)
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // cost heuristics skip DPP at toy scale — relax them in a fresh
+    // session (at real scale the stats-based path fires on its own)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
+    import s2.implicits._
+    val fact = s2.read.parquet(path)
+    // small dim keyed by the PARTITION column, stored as parquet so its
+    // filter survives as a Filter node (a LocalRelation folds it away
+    // before DPP can use it)
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("1996-01-05", "hot"), ("1996-01-06", "cold"))
+      .toDF("d", "tag").withColumn("d", col("d").cast("date"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s2.read.parquet(dimPath).filter(col("tag") === "hot")
+    val q = fact.join(dim, fact("day") === dim("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in plan:\n$plan")
+    assert(q.count() >= 0)
+  }
+
   test("DeltaLite DELETE / UPDATE / schema evolution") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dml").toString
