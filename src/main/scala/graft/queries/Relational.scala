@@ -424,6 +424,40 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A10
+    // Boolean aggregates (DuckDB bool_and/bool_or ≡ Spark bool_and/bool_or).
+    QueryDef("a10_bool_aggs", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(bool_and(col("value") > 0).as("all_positive"),
+          bool_or(col("value") > 95).as("any_large"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type,
+                bool_and(value > 0) AS all_positive,
+                bool_or(value > 95) AS any_large,
+                count(*) AS n
+         FROM events GROUP BY event_type
+         ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- W1 (b)
+    // cume_dist — the remaining ranking-family member (needs a total
+    // order per partition for determinism, as w1).
+    QueryDef("w1_cume_dist", (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          expr("round((cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC))*10000)/10000").as("cd"))
+        .orderBy(col("c_nationkey").asc_nulls_last, col("c_custkey").asc_nulls_last)
+    }, Some(
+      """SELECT c_nationkey, c_custkey,
+                (round((cume_dist() OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal ASC, c_custkey ASC))*10000)/10000) AS cd
+         FROM customer
+         ORDER BY c_nationkey ASC NULLS LAST, c_custkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- A9
     // DISTINCT ON (DuckDB) = row_number + filter: first event per user.
     QueryDef("a9_distinct_on", (s, dir) => {
