@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // Driver contract: exactly (sfDir, outDir). An optional third arg
     // (comma-separated query names) narrows the run for local iteration.
+    require(args.length >= 2, "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
     val sfDir = args(0); val outDir = args(1)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
