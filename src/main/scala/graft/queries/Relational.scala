@@ -424,6 +424,19 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- A3
+    // Approximate distinct (HLL++). Approximate ⇒ no hash oracle (SURVEY
+    // §2.4 A3); rows-only here, tolerance vs exact in FunctionsSpec. At
+    // 100 TB this is the distinct-count of choice: mergeable sketches,
+    // no per-key state explosion.
+    QueryDef("a3_approx_distinct", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------ A10
     // Boolean aggregates (DuckDB bool_and/bool_or ≡ Spark bool_and/bool_or).
     QueryDef("a10_bool_aggs", (s, dir) => {

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("file source -> transform -> file sink micro-batch pipeline") {
+    // the production shape: readStream over arriving files, checkpointed
+    // append sink — MemoryStream covers semantics, this covers the I/O path
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val e = Tables.t(spark, sf, "events")
+      .withColumn("ts_sec", date_trunc("second", col("ts"))).drop("ts")
+    // three "arriving" batches
+    e.filter(col("event_id") % 3 === 0).write.parquet(s"$in/b0")
+    e.filter(col("event_id") % 3 === 1).write.parquet(s"$in/b1")
+    e.filter(col("event_id") % 3 === 2).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$in/*")
+      .filter(col("value") > 50)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out).count()
+    val batch = e.filter(col("value") > 50).count()
+    assert(streamed === batch, "streamed result must equal the batch run")
+  }
+
   test("flatMapGroupsWithState custom sessionization (T7)") {
     import spark.implicits._
     implicit val s = spark
