@@ -112,4 +112,12 @@ object DeltaLite {
     commit(spark, path,
       read(spark, path).unionByName(df, allowMissingColumns = true),
       "APPEND_EVOLVE")
+
+  /** Delta `OPTIMIZE` analogue: small-file compaction — rewrite the
+    * current snapshot into `numFiles` files. After N incremental appends
+    * a table accumulates N× the write parallelism in small files; at
+    * 100 TB compaction targets ~128 MB-1 GB per file so scans stay
+    * dominated by sequential reads, not file-open overhead. */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
+    commit(spark, path, read(spark, path).repartition(numFiles), "OPTIMIZE")
 }

@@ -88,6 +88,25 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() >= 0)
   }
 
+  test("DeltaLite OPTIMIZE compaction preserves data, shrinks file count") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_opt").toString
+    DeltaLite.create(spark, path,
+      (0L until 100L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(8))
+    DeltaLite.append(spark, path,
+      (100L until 200L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(8))
+    val before = DeltaLite.read(spark, path)
+    val v = DeltaLite.compact(spark, path, numFiles = 2)
+    val files = new java.io.File(s"$path/v=$v").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"expected <=2 parquet files, got $files")
+    val after = DeltaLite.read(spark, path)
+    assert(after.count() === 200)
+    assert(before.exceptAll(after).count() === 0)
+    // history untouched: pre-compaction version still readable
+    assert(DeltaLite.read(spark, path, Some(v - 1)).count() === 200)
+  }
+
   test("DeltaLite DELETE / UPDATE / schema evolution") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dml").toString
