@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one thread-safe SparkSession (graft.TestSpark) — run them
+// concurrently inside the forked JVM; Spark's FIFO scheduler interleaves
+// the tiny jobs across cores.
+Test / parallelExecution := true
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
