@@ -310,6 +310,41 @@ object Relational {
                                    WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- J9
+    // Recursive CTE (DuckDB WITH RECURSIVE; Spark 4 added support) — the
+    // dbt_utils.date_spine pattern: generate a gap-free day spine and
+    // left join the daily mart to expose zero-sale days. The same SQL
+    // text runs on both engines.
+    QueryDef.sql("j9_recursive_cte",
+      spark =
+        """WITH RECURSIVE spine(day) AS (
+             SELECT DATE '1995-01-01'
+             UNION ALL
+             SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine
+             WHERE day < DATE '1995-03-31'),
+           daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n,
+                    (round((sum(l_extendedprice))*100)/100) AS rev
+             FROM lineitem GROUP BY 1)
+           SELECT s.day, coalesce(n, CAST(0 AS BIGINT)) AS n_items,
+                  coalesce(rev, 0.0) AS revenue
+           FROM spine s LEFT JOIN daily d ON s.day = d.day
+           ORDER BY s.day ASC NULLS LAST""",
+      oracle =
+        """WITH RECURSIVE spine(day) AS (
+             SELECT DATE '1995-01-01'
+             UNION ALL
+             SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine
+             WHERE day < DATE '1995-03-31'),
+           daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n,
+                    (round((sum(l_extendedprice))*100)/100) AS rev
+             FROM lineitem GROUP BY 1)
+           SELECT s.day, coalesce(n, CAST(0 AS BIGINT)) AS n_items,
+                  coalesce(rev, 0.0) AS revenue
+           FROM spine s LEFT JOIN daily d ON s.day = d.day
+           ORDER BY s.day ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------- A2
     QueryDef("a2_count_distinct", (s, dir) => {
       t(s, dir, "events")
