@@ -16,6 +16,11 @@ Test / fork := true
 Test / parallelExecution := true
 Test / testForkedParallel := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." banner would trail it and break parsing,
+// and the default LoggedOutput strategy would prefix it with "[info] ".
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,7 +61,18 @@ object Bench {
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so any shutdown chatter precedes the JSON:
+    // the bench driver parses the final stdout line (build.sbt suppresses
+    // sbt's trailing [success] banner for the same reason). The JSON is
+    // also persisted to a file as a recovery path.
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
   }
 }

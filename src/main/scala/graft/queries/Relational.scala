@@ -168,6 +168,23 @@ object Relational {
          FROM events WHERE event_id % 20 = 0
          GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- P6 (b)
+    // Hash-Bernoulli sample: each row kept iff md5(key) falls under a
+    // threshold — i.i.d. per row like `df.sample(0.25)` but reproducible
+    // across engines (md5 is bit-identical everywhere, unlike rand()).
+    // First hex digit < '4' keeps 4/16 = 25% of rows. At 100 TB this is a
+    // pure map-side filter — no shuffle, pushes nothing to the driver.
+    QueryDef("p6_sample_bernoulli", (s, dir) => {
+      t(s, dir, "events")
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) < "4")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), (round((sum(col("value")))*100)/100).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n, (round((sum(value))*100)/100) AS sum_value
+         FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
+         GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- J1
     // TPC-H Q5-style star join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
     // nation ⋈ region. Catalyst broadcasts every dimension side (all far
@@ -375,6 +392,34 @@ object Relational {
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY status ASC NULLS LAST, priority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- A4 (b)
+    // GROUPING SETS literal form ((a),(b),()) + grouping_id() so each
+    // output row carries which set produced it — the part ROLLUP/CUBE can't
+    // express. Same SQL shape in both engines (grouping_id bit order is
+    // leftmost-column = most-significant bit in Spark and DuckDB alike);
+    // grouping_id cast to INTEGER because DuckDB returns BIGINT.
+    QueryDef.sql("a4_grouping_sets",
+      spark =
+        """SELECT coalesce(o_orderstatus,'ALL') AS status,
+                  coalesce(o_orderpriority,'ALL') AS priority,
+                  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+                  count(*) AS n,
+                  (round((sum(o_totalprice))*100)/100) AS total
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY gid ASC NULLS LAST, status ASC NULLS LAST,
+                    priority ASC NULLS LAST""",
+      oracle =
+        """SELECT coalesce(o_orderstatus,'ALL') AS status,
+                  coalesce(o_orderpriority,'ALL') AS priority,
+                  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+                  count(*) AS n,
+                  (round((sum(o_totalprice))*100)/100) AS total
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY gid ASC NULLS LAST, status ASC NULLS LAST,
+                    priority ASC NULLS LAST"""),
 
     // ------------------------------------------------------------------- A5
     // Filtered aggregation (DuckDB `FILTER (WHERE ...)`) via conditional
@@ -631,16 +676,21 @@ object Relational {
 
     // ------------------------------------------------------------- A7 (b)
     // array_agg proper (list-valued aggregation) with pinned element order.
+    // The list is emitted as a ','-joined string: the compare harness cannot
+    // hash array-typed cells, and BIGINT->string formatting is identical in
+    // both engines so the stringified form is deterministic and lossless.
     QueryDef("a7_array_agg", (s, dir) => {
       t(s, dir, "customer")
         .filter(col("c_acctbal") > 9700)
         .groupBy(col("c_nationkey"))
-        .agg(array_sort(collect_list(col("c_custkey"))).as("vip_keys"),
+        .agg(
+          array_join(transform(array_sort(collect_list(col("c_custkey"))),
+            _.cast("string")), ",").as("vip_keys"),
           count(lit(1)).as("n"))
         .orderBy(col("c_nationkey").asc_nulls_last)
     }, Some(
       """SELECT c_nationkey,
-                list_sort(array_agg(c_custkey)) AS vip_keys,
+                array_to_string(list_sort(array_agg(c_custkey)), ',') AS vip_keys,
                 count(*) AS n
          FROM customer WHERE c_acctbal > 9700
          GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""")),
@@ -723,11 +773,13 @@ object Relational {
       val c = t(s, dir, "customer")
       val rich = c.filter(col("c_acctbal") > 9500).select(col("c_custkey"))
       val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
-      val unionAllN = rich.unionAll(auto).count()
-      val unionDistinctN = rich.union(auto).distinct().count()
-      import s.implicits._
-      Seq(("union_all", unionAllN), ("union_distinct", unionDistinctN))
-        .toDF("op", "n").orderBy(col("op").asc_nulls_last)
+      // Fully lazy: each branch collapses to a 1-row count aggregate inside
+      // the plan (no driver-side action during query construction).
+      val unionAllN = rich.unionAll(auto)
+        .agg(count(lit(1)).as("n")).select(lit("union_all").as("op"), col("n"))
+      val unionDistinctN = rich.union(auto).distinct()
+        .agg(count(lit(1)).as("n")).select(lit("union_distinct").as("op"), col("n"))
+      unionAllN.unionAll(unionDistinctN).orderBy(col("op").asc_nulls_last)
     }, Some(
       """SELECT 'union_all' AS op, count(*) AS n FROM (
            SELECT c_custkey FROM customer WHERE c_acctbal > 9500

@@ -148,7 +148,13 @@ object Scalars {
         expr("round((sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))*10000)/10000").as("l2_norm"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         array_max(col("embedding")).as("max_val"),
-        slice(array_sort(col("embedding")), 1, 3).as("smallest3"))
+        // slice(array_sort(...)) still exercises the array path, but the 3
+        // smallest values are emitted as scalar double columns: the compare
+        // harness cannot hash array cells, and float->string formatting
+        // differs across engines so a joined string would be unstable.
+        element_at(array_sort(col("embedding")), 1).cast("double").as("smallest1"),
+        element_at(array_sort(col("embedding")), 2).cast("double").as("smallest2"),
+        element_at(array_sort(col("embedding")), 3).cast("double").as("smallest3"))
         .orderBy(col("vec_id").asc_nulls_last)
     }, Some(
       """SELECT vec_id,
@@ -158,7 +164,9 @@ object Scalars {
          (round((sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))*10000)/10000) AS l2_norm,
          CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
          list_aggregate(embedding, 'max') AS max_val,
-         (list_sort(embedding))[1:3] AS smallest3
+         CAST((list_sort(embedding))[1] AS DOUBLE) AS smallest1,
+         CAST((list_sort(embedding))[2] AS DOUBLE) AS smallest2,
+         CAST((list_sort(embedding))[3] AS DOUBLE) AS smallest3
          FROM embeddings ORDER BY vec_id ASC NULLS LAST""")),
 
     // ------------------------------------------------------------------- F5
@@ -231,6 +239,69 @@ object Scalars {
          GROUP BY word
          ORDER BY n DESC NULLS LAST, word ASC NULLS LAST
          LIMIT 50""")),
+
+    // ------------------------------------------------------------------- F9
+    // DECIMAL(p,s) arithmetic (SURVEY §1.2 type-system commitment): money
+    // values as exact decimals — construct, multiply, subtract, SUM, round,
+    // all in decimal space. The fixtures store doubles, and double→decimal
+    // casts round differently across engines at representation boundaries
+    // (HANDOFF rule 1), so the decimal is built from an integer cents value
+    // both engines derive identically, via a formatted string (decimal
+    // division is avoided: DuckDB's `/` leaves decimal space). From there
+    // everything IS exact decimal math — multiply scales add (s=2+2→4),
+    // SUM widens precision only, round() on decimals is exact half-up in
+    // both engines (no float representation to disagree over). Outputs are
+    // emitted as canonical decimal strings, which also proves scale
+    // handling ("5.00", not "5.0").
+    QueryDef.sql("f9_decimal",
+      spark =
+        """WITH cents AS (
+             SELECT l_returnflag,
+                    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                    CAST(round(l_discount*100) AS BIGINT) AS disc_c
+             FROM lineitem),
+           dec AS (
+             SELECT l_returnflag,
+                    CAST(concat(CAST(price_c DIV 100 AS STRING), '.',
+                                lpad(CAST(price_c % 100 AS STRING), 2, '0'))
+                         AS DECIMAL(18,2)) AS price,
+                    CAST(concat('0.', lpad(CAST(disc_c AS STRING), 2, '0'))
+                         AS DECIMAL(4,2)) AS disc
+             FROM cents)
+           SELECT l_returnflag,
+                  CAST(CAST(sum(price) AS DECIMAL(38,2)) AS STRING) AS gross,
+                  CAST(CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc))
+                            AS DECIMAL(38,4)) AS STRING) AS net,
+                  CAST(CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)), 1)
+                            AS DECIMAL(38,1)) AS STRING) AS net_r1,
+                  CAST(CAST(max(price) AS DECIMAL(18,2)) AS STRING) AS max_price,
+                  count(*) AS n
+           FROM dec GROUP BY l_returnflag
+           ORDER BY l_returnflag ASC NULLS LAST""",
+      oracle =
+        """WITH cents AS (
+             SELECT l_returnflag,
+                    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                    CAST(round(l_discount*100) AS BIGINT) AS disc_c
+             FROM lineitem),
+           dec AS (
+             SELECT l_returnflag,
+                    CAST(concat(CAST(price_c // 100 AS VARCHAR), '.',
+                                lpad(CAST(price_c % 100 AS VARCHAR), 2, '0'))
+                         AS DECIMAL(18,2)) AS price,
+                    CAST(concat('0.', lpad(CAST(disc_c AS VARCHAR), 2, '0'))
+                         AS DECIMAL(4,2)) AS disc
+             FROM cents)
+           SELECT l_returnflag,
+                  CAST(CAST(sum(price) AS DECIMAL(38,2)) AS VARCHAR) AS gross,
+                  CAST(CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc))
+                            AS DECIMAL(38,4)) AS VARCHAR) AS net,
+                  CAST(CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)), 1)
+                            AS DECIMAL(38,1)) AS VARCHAR) AS net_r1,
+                  CAST(CAST(max(price) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+                  count(*) AS n
+           FROM dec GROUP BY l_returnflag
+           ORDER BY l_returnflag ASC NULLS LAST"""),
 
     // ------------------------------------------------------- M1 (multimodal)
     // Multimodal columns (builder prompt / SURVEY §2.9): media carried as an
