@@ -1,36 +1,79 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import scala.jdk.CollectionConverters._
 
-/** Minimal versioned-table layer over parquet with Delta Lake semantics —
-  * the storage layer of the reference stack
-  * (`/root/reference/README.md:1-2`: "full deltalake implementation of
-  * medallion architecture"). No delta jars are linkable in this offline
-  * environment (SURVEY.md §7.1), so the Delta behaviors the reference
-  * relies on are implemented directly:
+/** Versioned-table layer over parquet with Delta Lake semantics — the
+  * storage layer of the reference stack (`/root/reference/README.md:1-2`:
+  * "full deltalake implementation of medallion architecture"). No delta
+  * jars are linkable in this offline environment (SURVEY.md §7.1), so the
+  * Delta protocol behaviors the reference relies on are implemented
+  * directly, as a FILE-LEVEL commit log (the actual Delta design, not
+  * copy-on-write snapshots):
   *
-  *   - versioned snapshots:   `path/v=<N>/` parquet dirs
-  *   - commit log:            `path/_graft_log/<N>.json` manifests,
-  *                            committed atomically (write temp + rename)
-  *                            AFTER the data write, so readers never see a
-  *                            half-written version (the Delta log's
-  *                            visibility rule)
-  *   - time travel:           read any committed version (S5)
-  *   - append / overwrite / MERGE / SCD2 upserts: S6-S9 via
-  *     [[graft.operators.Merge]] / [[graft.operators.Scd2]]
+  *   - commit log:    `path/_graft_log/<N>.json` — JSON-lines of actions,
+  *                    exactly the Delta log shape:
+  *                      {"commit":{...}}          version header + op
+  *                      {"metaData":{"schema":…}} table schema (evolvable)
+  *                      {"add":{"path":…,"rows":…,"stats":{col:{min,max}}}}
+  *                      {"remove":{"path":…}}
+  *                    committed atomically (write temp + rename) AFTER the
+  *                    data write, so readers never see a half-written
+  *                    version (the Delta log's visibility rule).
+  *   - snapshot read: replay actions 0..V → live file set → one parquet
+  *                    scan over exactly those files (distributed,
+  *                    predicate-pushable).
+  *   - APPEND writes ONLY the new batch (O(batch), never O(table)):
+  *                    adds files, removes nothing — unchanged files are
+  *                    never rewritten. At 100 TB a daily append costs the
+  *                    day, not the decade.
+  *   - MERGE/DELETE/UPDATE rewrite ONLY touched files: candidate files
+  *                    are pruned by per-file min/max stats (data
+  *                    skipping), then the truly-hit files are found with a
+  *                    `_metadata.file_path` scan; everything else is
+  *                    carried forward by reference.
+  *   - data skipping: [[scan]] prunes files whose [min,max] cannot
+  *                    intersect a column bound before Spark ever opens
+  *                    them — the Delta/iceberg stats-pruning read path.
+  *   - time travel:   read any committed version (S5); [[vacuum]] is the
+  *                    retention boundary.
   *
-  * Copy-on-write FULL snapshots per version — correct and simple at test
-  * scale. At 100 TB the log would instead record add/remove FILE actions
-  * per commit (the actual Delta protocol) so a MERGE rewrites only
-  * touched files; the read/commit API here is deliberately shaped so that
-  * swap is internal (readers resolve a version → file list → parquet
-  * scan; the scan stays distributed and predicate-pushable either way).
+  * Stats are collected with one distributed pass over the freshly written
+  * batch (grouped by `_metadata.file_path`), never over the whole table.
+  * String min/max are stored untruncated (Delta truncates to 32 chars
+  * with bound adjustment; our values are small — documented trade-off).
   */
 object DeltaLite {
 
-  private def logDir(path: String) = Paths.get(path, "_graft_log")
+  // ------------------------------------------------------------ log model
+
+  /** Per-column file statistics (driver-typed min/max; None when the file
+    * is all-null for the column or the type is stat-ineligible). */
+  final case class ColStats(min: Option[Any], max: Option[Any])
+
+  /** One live data file: path relative to the table root + row count +
+    * data-skipping stats. */
+  final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats])
+
+  /** Resolved table state at a version: schema + live file set. */
+  final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile]) {
+    def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  /** Inclusive column bound for stats-based file pruning: a file is kept
+    * unless its stats PROVE it cannot contain a row in [lower, upper].
+    * Missing stats ⇒ kept (pruning is only ever an optimization). */
+  final case class ColumnBound(column: String, lower: Option[Any] = None,
+      upper: Option[Any] = None)
+
+  private def root(path: String): Path = Paths.get(path).toAbsolutePath.normalize()
+  private def logDir(path: String): Path = root(path).resolve("_graft_log")
 
   /** Latest committed version, if the table exists. */
   def latestVersion(path: String): Option[Long] = {
@@ -49,75 +92,421 @@ object DeltaLite {
     }
   }
 
-  /** Commit `df` as the next full-snapshot version; returns the version. */
-  def commit(spark: SparkSession, path: String, df: DataFrame, op: String): Long = {
-    val next = latestVersion(path).map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(s"$path/v=$next")
-    Files.createDirectories(logDir(path))
-    val tmp = logDir(path).resolve(s".$next.json.tmp")
-    val fin = logDir(path).resolve(s"$next.json")
-    val manifest =
-      s"""{"version":$next,"op":"$op","dir":"v=$next","committedAtMs":${System.currentTimeMillis()}}"""
-    Files.write(tmp, manifest.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, fin)  // atomic visibility of the commit
-    next
+  // ---------------------------------------------------- stats (de)coding
+
+  /** Types that get min/max stats. Everything else (arrays, maps, structs,
+    * binary, boolean) is carried without stats — never pruned on. */
+  private def statEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
   }
 
-  /** Snapshot read: latest version, or `VERSION AS OF` via `asOf`. */
-  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
-    val v = asOf.orElse(latestVersion(path))
-      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
-    require(Files.exists(logDir(path).resolve(s"$v.json")),
-      s"version $v was never committed at $path")
-    spark.read.parquet(s"$path/v=$v")
+  /** Encode a collected min/max value as JSON for the log. */
+  private def encodeStat(dt: DataType, v: Any): Option[JValue] = (dt, v) match {
+    case (_, null) => None
+    case (FloatType, f: java.lang.Float) if f.isNaN => None
+    case (DoubleType, d: java.lang.Double) if d.isNaN => None
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(JLong(n.longValue()))
+    case (FloatType | DoubleType, n: Number) => Some(JDouble(n.doubleValue()))
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(JString(d.toString))
+    case (_: DecimalType, d: BigDecimal) => Some(JString(d.toString))
+    case (StringType, s: String) => Some(JString(s))
+    case (DateType, d: java.sql.Date) => Some(JLong(d.toLocalDate.toEpochDay))
+    case (DateType, d: java.time.LocalDate) => Some(JLong(d.toEpochDay))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(JLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(JLong(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(JLong(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L))
+    case _ => None
   }
 
-  def create(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, df, "CREATE")
+  /** Decode a logged stat back to a comparable driver value. The decoded
+    * representation only needs to be consistent with [[cmp]]. */
+  private def decodeStat(dt: DataType, j: JValue): Option[Any] = (dt, j) match {
+    case (_, JNull | JNothing) => None
+    case (ByteType | ShortType | IntegerType | LongType |
+          DateType | TimestampType | TimestampNTZType, JLong(l)) => Some(l)
+    case (ByteType | ShortType | IntegerType | LongType |
+          DateType | TimestampType | TimestampNTZType, JInt(i)) => Some(i.toLong)
+    case (FloatType | DoubleType, JDouble(d)) => Some(d)
+    case (FloatType | DoubleType, JLong(l)) => Some(l.toDouble)
+    case (FloatType | DoubleType, JInt(i)) => Some(i.toDouble)
+    case (_: DecimalType, JString(s)) => Some(BigDecimal(s))
+    case (StringType, JString(s)) => Some(s)
+    case _ => None
+  }
 
-  /** Incremental append sink (dbt incremental `append` / S7). */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, read(spark, path).unionByName(df), "APPEND")
+  /** Normalize a caller-supplied bound value (e.g. a java.sql.Timestamp
+    * from a Row, or a plain Int) to the comparable space of [[decodeStat]]. */
+  private def normBound(dt: DataType, v: Any): Option[Any] =
+    encodeStat(dt, v).flatMap(j => decodeStat(dt, j))
 
-  /** MERGE INTO upsert sink (dbt incremental `merge` / Delta MERGE / S8). */
-  def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String]): Long =
-    commit(spark, path,
-      graft.operators.Merge.upsert(read(spark, path), updates, keys), "MERGE")
+  /** Compare two decoded stat values of column type `dt`. */
+  private def cmp(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0 // incomparable ⇒ treat as overlapping (never prune wrongly)
+  }
 
-  /** Delta `DELETE FROM ... WHERE cond`: commit a snapshot without the
-    * matching rows (cond is a Column predicate over the table). */
-  def delete(spark: SparkSession, path: String,
-      cond: org.apache.spark.sql.Column): Long =
-    commit(spark, path, read(spark, path).filter(!cond), "DELETE")
-
-  /** Delta `UPDATE ... SET col = expr WHERE cond`. */
-  def update(spark: SparkSession, path: String,
-      cond: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.when
-    val cur = read(spark, path)
-    val updated = cur.columns.foldLeft(cur) { (df, c) =>
-      set.get(c).map(e => df.withColumn(c, when(cond, e).otherwise(df(c))))
-        .getOrElse(df)
+  /** Files of `snap` that could contain a row satisfying every bound —
+    * the data-skipping core. A file is dropped only when stats PROVE
+    * max < lower or min > upper for some bound. */
+  def pruneFiles(snap: Snapshot, bounds: Seq[ColumnBound]): Seq[AddFile] = {
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    snap.files.filter { f =>
+      bounds.forall { b =>
+        types.get(b.column) match {
+          case Some(dt) =>
+            val st = f.stats.get(b.column)
+            val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
+              yield cmp(dt, mx, nlo) >= 0).getOrElse(true)
+            val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
+              yield cmp(dt, mn, nhi) <= 0).getOrElse(true)
+            loOk && hiOk
+          case None => true
+        }
+      }
     }
-    commit(spark, path, updated, "UPDATE")
+  }
+
+  // ------------------------------------------------------------- replay
+
+  private def parseLine(line: String): JValue = JsonMethods.parse(line)
+
+  /** Replay the log to (and including) version `asOf` (default latest). */
+  def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val v = asOf.getOrElse(latest)
+    require(v <= latest && Files.exists(logDir(path).resolve(s"$v.json")),
+      s"version $v was never committed at $path")
+    var schema: StructType = null
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    (0L to v).foreach { i =>
+      val lines = Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala
+      lines.filter(_.nonEmpty).foreach { line =>
+        parseLine(line) match {
+          case JObject(fields) => fields.foreach {
+            case ("metaData", JObject(m)) =>
+              m.collectFirst { case ("schema", JString(s)) => s }
+                .foreach(s => schema = DataType.fromJson(s).asInstanceOf[StructType])
+            case ("add", a: JObject) =>
+              val af = decodeAdd(a, schema)
+              live(af.path) = af
+            case ("remove", JObject(r)) =>
+              r.collectFirst { case ("path", JString(p)) => p }.foreach(live.remove)
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+    }
+    require(schema != null, s"log at $path has no metaData action")
+    Snapshot(v, schema, live.values.toSeq)
+  }
+
+  private def decodeAdd(a: JObject, schema: StructType): AddFile = {
+    val m = a.obj.toMap
+    val p = m.get("path").collect { case JString(s) => s }
+      .getOrElse(sys.error("add action without path"))
+    val rows = m.get("rows").collect {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+    }.getOrElse(0L)
+    val types = if (schema == null) Map.empty[String, DataType]
+      else schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = m.get("stats") match {
+      case Some(JObject(cols)) =>
+        cols.flatMap { case (cn, cv) =>
+          (types.get(cn), cv) match {
+            case (Some(dt), JObject(mm)) =>
+              val mmm = mm.toMap
+              Some(cn -> ColStats(
+                mmm.get("min").flatMap(decodeStat(dt, _)),
+                mmm.get("max").flatMap(decodeStat(dt, _))))
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    AddFile(p, rows, stats)
+  }
+
+  // -------------------------------------------------------------- write
+
+  /** Write `df` (aligned to `schema`) as the data of version `version`;
+    * returns one AddFile per produced parquet part, with stats collected
+    * in a single distributed pass over ONLY the new batch. */
+  private def writeData(spark: SparkSession, tableRoot: Path, version: Long,
+      df: DataFrame, schema: StructType): Seq[AddFile] = {
+    val dir = tableRoot.resolve(f"files-$version%05d")
+    align(df, schema).write.mode("errorifexists").parquet(dir.toString)
+
+    val statFields = schema.fields.filter(f => statEligible(f.dataType))
+    val written = spark.read.schema(schema).parquet(dir.toString)
+    val aggs = count(lit(1)).as("__rows") +:
+      statFields.flatMap(f => Seq(
+        min(written.col(f.name)).as(s"__min__${f.name}"),
+        max(written.col(f.name)).as(s"__max__${f.name}")))
+    val rows = written
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    rows.toSeq.map { r =>
+      val abs = Paths.get(new java.net.URI(r.getAs[String]("__fp")))
+      val rel = tableRoot.relativize(abs).toString
+      val stats = statFields.flatMap { f =>
+        val mn = encodeStat(f.dataType, r.getAs[Any](s"__min__${f.name}"))
+          .flatMap(decodeStat(f.dataType, _))
+        val mx = encodeStat(f.dataType, r.getAs[Any](s"__max__${f.name}"))
+          .flatMap(decodeStat(f.dataType, _))
+        if (mn.isEmpty && mx.isEmpty) None else Some(f.name -> ColStats(mn, mx))
+      }.toMap
+      AddFile(rel, r.getAs[Long]("__rows"), stats)
+    }
+  }
+
+  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) df.col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  private def encodeAdd(f: AddFile, schema: StructType): JValue = {
+    val types = schema.fields.map(x => x.name -> x.dataType).toMap
+    val stats = JObject(f.stats.toList.sortBy(_._1).map { case (cn, cs) =>
+      val dt = types(cn)
+      cn -> JObject(List(
+        "min" -> cs.min.flatMap(encodeStat(dt, _)).getOrElse(JNull),
+        "max" -> cs.max.flatMap(encodeStat(dt, _)).getOrElse(JNull)))
+    })
+    JObject(List("add" -> JObject(List(
+      "path" -> JString(f.path), "rows" -> JLong(f.rows), "stats" -> stats))))
+  }
+
+  /** Atomically commit a version: actions to a temp file, then rename. */
+  private def writeCommit(path: String, version: Long, op: String,
+      schema: StructType, adds: Seq[AddFile], removes: Seq[String]): Long = {
+    Files.createDirectories(logDir(path))
+    val lines = Seq(
+      JsonMethods.compact(JObject(List("commit" -> JObject(List(
+        "version" -> JLong(version), "op" -> JString(op),
+        "committedAtMs" -> JLong(System.currentTimeMillis())))))),
+      JsonMethods.compact(JObject(List("metaData" -> JObject(List(
+        "schema" -> JString(schema.json))))))) ++
+      removes.map(p => JsonMethods.compact(JObject(List("remove" ->
+        JObject(List("path" -> JString(p))))))) ++
+      adds.map(f => JsonMethods.compact(encodeAdd(f, schema)))
+    val tmp = logDir(path).resolve(s".$version.json.tmp")
+    val fin = logDir(path).resolve(s"$version.json")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, fin) // atomic visibility of the commit
+    version
+  }
+
+  // ------------------------------------------------------------ read API
+
+  /** Snapshot read: latest version, or `VERSION AS OF` via `asOf`. One
+    * parquet scan over exactly the live files; schema comes from the log
+    * (so files written before a schema evolution read with nulls for the
+    * added columns). */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(path, asOf)
+    readFiles(spark, path, snap.schema, snap.files)
+  }
+
+  /** Stats-pruned scan: like [[read]] but skips files whose min/max prove
+    * they cannot satisfy `bounds` — the data-skipping read path. The
+    * caller still applies the exact row-level filter; pruning only
+    * reduces which files Spark opens. */
+  def scan(spark: SparkSession, path: String, bounds: Seq[ColumnBound],
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(path, asOf)
+    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds))
+  }
+
+  private def readFiles(spark: SparkSession, path: String, schema: StructType,
+      files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else {
+      val r = root(path)
+      spark.read.schema(schema).parquet(files.map(f => r.resolve(f.path).toString): _*)
+    }
+
+  // ----------------------------------------------------------- write API
+
+  def create(spark: SparkSession, path: String, df: DataFrame): Long = {
+    require(latestVersion(path).isEmpty, s"table already exists at $path")
+    val schema = df.schema
+    val adds = writeData(spark, root(path), 0L, df, schema)
+    writeCommit(path, 0L, "CREATE", schema, adds, Nil)
+  }
+
+  /** Incremental append sink (dbt incremental `append` / S7). Writes ONLY
+    * the batch — existing files are never rewritten (O(batch), the whole
+    * point of the file-level log). */
+  def append(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val snap = snapshot(path)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, df, snap.schema)
+    writeCommit(path, v, "APPEND", snap.schema, adds, Nil)
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the
-    * batch are added to the table (nulls for history), missing batch
-    * columns are null-filled. */
-  def appendEvolve(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path,
-      read(spark, path).unionByName(df, allowMissingColumns = true),
-      "APPEND_EVOLVE")
+    * batch extend the table schema (history reads them as null), missing
+    * batch columns are null-filled. Existing files untouched. */
+  def appendEvolve(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val snap = snapshot(path)
+    val known = snap.schema.fieldNames.toSet
+    val evolved = StructType(snap.schema.fields ++
+      df.schema.fields.filterNot(f => known.contains(f.name)))
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, df, evolved)
+    writeCommit(path, v, "APPEND_EVOLVE", evolved, adds, Nil)
+  }
+
+  /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
+    * Rewrites ONLY the files that contain a key present in `updates`:
+    * stats-prune candidates by the updates' key ranges, locate truly-hit
+    * files with a `_metadata.file_path` semi-join, upsert those rows, and
+    * carry every other file forward by reference. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge keys required")
+    val snap = snapshot(path)
+    val r = root(path)
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // One tiny agg over the update set → per-key bounds for file pruning.
+    val aggExprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
+      min(updates.col(k)).as(s"__lo$i"), max(updates.col(k)).as(s"__hi$i")) }
+    val bRow = updates.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val bounds = keys.zipWithIndex.map { case (k, i) =>
+      ColumnBound(k, Option(bRow.getAs[Any](s"__lo$i")), Option(bRow.getAs[Any](s"__hi$i")))
+    }
+    val candidates = pruneFiles(snap, bounds)
+
+    // Exact touched-file set: which candidate files hold an update key.
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val cand = spark.read.schema(snap.schema)
+          .parquet(candidates.map(f => r.resolve(f.path).toString): _*)
+        cand.select(col("_metadata.file_path").as("__fp") +: keys.map(cand.col): _*)
+          .join(updates.select(keys.map(updates.col): _*).distinct(), keys, "left_semi")
+          .select("__fp").distinct().collect()
+          .map(x => r.relativize(Paths.get(new java.net.URI(x.getString(0)))).toString)
+          .toSeq
+      }
+
+    val touchedSet = touched.toSet
+    val touchedRows = readFiles(spark, path, snap.schema,
+      snap.files.filter(f => touchedSet.contains(f.path)))
+    val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
+    val v = snap.version + 1
+    val adds = writeData(spark, r, v, merged, snap.schema)
+    writeCommit(path, v, "MERGE", snap.schema, adds, touched)
+  }
+
+  /** Delta `DELETE FROM ... WHERE cond`: rewrites ONLY files containing a
+    * matching row (found via `_metadata.file_path`); all other files are
+    * carried forward. Rows where `cond` is NULL are kept (SQL DELETE
+    * semantics). */
+  def delete(spark: SparkSession, path: String, cond: Column): Long = {
+    val snap = snapshot(path)
+    val hit = coalesce(cond, lit(false))
+    val (touched, kept) = touchedBy(spark, path, snap, hit)
+    val rewritten = kept.filter(!hit)
+    val v = snap.version + 1
+    val adds = if (touched.isEmpty) Nil
+      else writeData(spark, root(path), v, rewritten, snap.schema)
+    writeCommit(path, v, "DELETE", snap.schema, adds, touched)
+  }
+
+  /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
+    * discipline as [[delete]]. */
+  def update(spark: SparkSession, path: String, cond: Column,
+      set: Map[String, Column]): Long = {
+    val snap = snapshot(path)
+    val hit = coalesce(cond, lit(false))
+    val (touched, kept) = touchedBy(spark, path, snap, hit)
+    val rewritten = kept.columns.foldLeft(kept) { (df, c) =>
+      set.get(c).map(e => df.withColumn(c, when(hit, e).otherwise(df(c))))
+        .getOrElse(df)
+    }
+    val v = snap.version + 1
+    val adds = if (touched.isEmpty) Nil
+      else writeData(spark, root(path), v, rewritten, snap.schema)
+    writeCommit(path, v, "UPDATE", snap.schema, adds, touched)
+  }
+
+  /** Files of `snap` containing a row where `hit` is true, plus a
+    * DataFrame of exactly those files' rows. */
+  private def touchedBy(spark: SparkSession, path: String, snap: Snapshot,
+      hit: Column): (Seq[String], DataFrame) = {
+    val r = root(path)
+    val touched =
+      if (snap.files.isEmpty) Nil
+      else readFiles(spark, path, snap.schema, snap.files)
+        .select(col("_metadata.file_path").as("__fp"), hit.as("__hit"))
+        .filter(col("__hit")).select("__fp").distinct().collect()
+        .map(x => r.relativize(Paths.get(new java.net.URI(x.getString(0)))).toString)
+        .toSeq
+    val touchedSet = touched.toSet
+    (touched, readFiles(spark, path, snap.schema,
+      snap.files.filter(f => touchedSet.contains(f.path))))
+  }
 
   /** Delta `OPTIMIZE` analogue: small-file compaction — rewrite the
-    * current snapshot into `numFiles` files. After N incremental appends
-    * a table accumulates N× the write parallelism in small files; at
-    * 100 TB compaction targets ~128 MB-1 GB per file so scans stay
-    * dominated by sequential reads, not file-open overhead. */
-  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
-    commit(spark, path, read(spark, path).repartition(numFiles), "OPTIMIZE")
+    * current live set into `numFiles` files (removes all live files, adds
+    * the compacted ones; history stays time-travelable until [[vacuum]]).
+    * After N incremental appends a table accumulates N× the write
+    * parallelism in small files; at 100 TB compaction targets ~128 MB-1 GB
+    * per file so scans stay dominated by sequential reads, not file-open
+    * overhead. */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long = {
+    val snap = snapshot(path)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v,
+      readFiles(spark, path, snap.schema, snap.files).repartition(numFiles),
+      snap.schema)
+    writeCommit(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
+  }
+
+  /** Physically delete data files not referenced by the newest
+    * `keepVersions` snapshots (Delta `VACUUM`): the retention boundary —
+    * time travel older than that stops working, by design. Returns the
+    * deleted file count. */
+  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val referenced = (keepFrom to latest)
+      .flatMap(v => snapshot(path, Some(v)).files.map(_.path)).toSet
+    val r = root(path)
+    val all = Files.walk(r)
+    try {
+      val victims = all.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => r.relativize(p).toString)
+        .filterNot(referenced.contains)
+        .toList
+      victims.foreach(p => Files.delete(r.resolve(p)))
+      victims.size
+    } finally all.close()
+  }
 }

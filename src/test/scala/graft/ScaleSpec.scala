@@ -96,15 +96,94 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     DeltaLite.append(spark, path,
       (100L until 200L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(8))
     val before = DeltaLite.read(spark, path)
+    assert(DeltaLite.snapshot(path).files.length === 16)
     val v = DeltaLite.compact(spark, path, numFiles = 2)
-    val files = new java.io.File(s"$path/v=$v").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(files <= 2, s"expected <=2 parquet files, got $files")
+    val files = DeltaLite.snapshot(path).files.length
+    assert(files <= 2, s"expected <=2 live parquet files, got $files")
     val after = DeltaLite.read(spark, path)
     assert(after.count() === 200)
     assert(before.exceptAll(after).count() === 0)
     // history untouched: pre-compaction version still readable
     assert(DeltaLite.read(spark, path, Some(v - 1)).count() === 200)
+  }
+
+  test("DeltaLite file-level log: append adds files without rewriting; " +
+      "MERGE/DELETE rewrite only touched files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_filelog").toString
+    // two well-separated key ranges, written as separate commits
+    DeltaLite.create(spark, path,
+      (0L until 100L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(4))
+    val v0Files = DeltaLite.snapshot(path).files.map(_.path).toSet
+    DeltaLite.append(spark, path,
+      (1000L until 1100L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(4))
+    val v1 = DeltaLite.snapshot(path)
+    // append carried every v0 file forward by reference — no rewrite
+    assert(v0Files.subsetOf(v1.files.map(_.path).toSet))
+    assert(v1.files.length === 8)
+
+    // MERGE touching only the high range: low-range files must survive
+    DeltaLite.merge(spark, path,
+      Seq((1000L, -1.0), (1099L, -1.0), (5000L, -5.0)).toDF("k", "v"), Seq("k"))
+    val v2 = DeltaLite.snapshot(path)
+    assert(v0Files.subsetOf(v2.files.map(_.path).toSet),
+      "merge on the high key range must not rewrite low-range files")
+    val merged = DeltaLite.read(spark, path)
+    assert(merged.count() === 201) // 200 + 1 inserted key
+    assert(merged.filter($"k" === 1000L).select("v").as[Double].head() === -1.0)
+    assert(merged.filter($"k" === 50L).select("v").as[Double].head() === 100.0)
+
+    // DELETE in the low range: high-range files must survive
+    val highFiles = v2.files.map(_.path).toSet -- v0Files
+    DeltaLite.delete(spark, path, $"k" < 10L)
+    val v3 = DeltaLite.snapshot(path)
+    assert(highFiles.subsetOf(v3.files.map(_.path).toSet),
+      "delete on the low key range must not rewrite high-range files")
+    assert(DeltaLite.read(spark, path).count() === 191)
+    // time travel across all of it still works
+    assert(DeltaLite.read(spark, path, Some(0L)).count() === 100)
+  }
+
+  test("DeltaLite data skipping: scan prunes files by min/max stats") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_skip").toString
+    // 10 commits of 100 rows each, disjoint k ranges → per-file bounds
+    DeltaLite.create(spark, path,
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    (1 until 10).foreach { b =>
+      DeltaLite.append(spark, path,
+        (b * 100L until (b + 1) * 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.length === 10)
+    val pruned = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("k", lower = Some(250L), upper = Some(349L))))
+    assert(pruned.length === 2, s"expected 2 candidate files, got ${pruned.length}")
+    // pruned scan + exact filter ≡ full scan + exact filter
+    val viaScan = DeltaLite.scan(spark, path,
+        Seq(DeltaLite.ColumnBound("k", Some(250L), Some(349L))))
+      .filter($"k".between(250L, 349L))
+    val viaRead = DeltaLite.read(spark, path).filter($"k".between(250L, 349L))
+    assert(viaScan.count() === 100)
+    assert(viaScan.exceptAll(viaRead).count() === 0)
+    assert(viaScan.inputFiles.length === 2, "scan must open only surviving files")
+  }
+
+  test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_vac").toString
+    DeltaLite.create(spark, path,
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(2))
+    DeltaLite.append(spark, path,
+      (50L until 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(2))
+    DeltaLite.compact(spark, path, numFiles = 1)
+    // latest snapshot = 1 compacted file; the 4 originals are only
+    // referenced by v0/v1
+    val deleted = DeltaLite.vacuum(path, keepVersions = 1)
+    assert(deleted === 4, s"expected 4 vacuumed files, got $deleted")
+    assert(DeltaLite.read(spark, path).count() === 100)
+    // time travel beyond retention is gone, by design
+    intercept[Exception] { DeltaLite.read(spark, path, Some(0L)).count() }
   }
 
   test("DeltaLite DELETE / UPDATE / schema evolution") {
