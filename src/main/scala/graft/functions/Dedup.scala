@@ -140,24 +140,42 @@ object Dedup {
     Array.tabulate(nPlanes, dim)((j, i) =>
       (splitmix(j.toLong * dim + i).toDouble / Long.MaxValue).toFloat)
 
-  /** IVF-style centroid assignment (the other ANN scale path besides
-    * hyperplane LSH): cluster embeddings with seeded k-means (mllib —
+  /** Train the IVF coarse quantizer ONCE (the other ANN scale path
+    * besides hyperplane LSH): seeded k-means over the embeddings (mllib —
     * distributed Lloyd iterations, deterministic under a fixed seed and
-    * stable input partitioning) and assign every vector its nearest
-    * centroid id. Search then probes only same-centroid candidates — at
-    * 100 TB the vectors are hash-partitioned by centroid so each probe is
-    * a single-partition lookup; multi-probe = also scan the next-nearest
-    * centroids. Returns the input plus a `centroid` int column. */
-  def ivfAssign(df: DataFrame, embCol: String, k: Int,
-      seed: Long = 42L): DataFrame = {
+    * stable input partitioning). At 100 TB the model is trained on a
+    * SAMPLE of the corpus (k-means centroids converge on far less than
+    * the full data), then the tiny centroid table rides to every executor
+    * inside the model closure — train once, assign everywhere; never
+    * re-fit per batch/query. */
+  def ivfTrain(train: DataFrame, embCol: String, k: Int,
+      seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = df.withColumn("__vec",
-      array_to_vector(col(embCol).cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
-      .setPredictionCol("centroid").fit(withVec)
-    model.transform(withVec).drop("__vec")
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
+      .setPredictionCol("centroid")
+      .fit(train.withColumn("__vec",
+        array_to_vector(col(embCol).cast("array<double>"))))
   }
+
+  /** Assign every vector its nearest centroid id under a pre-trained
+    * quantizer (no `.fit` here — reuse one model across all batches).
+    * Search then probes only same-centroid candidates — the vectors are
+    * hash-partitioned by centroid so each probe is a single-partition
+    * lookup; multi-probe = also scan the next-nearest centroids. Returns
+    * the input plus a `centroid` int column. */
+  def ivfAssign(df: DataFrame, embCol: String,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model.transform(df.withColumn("__vec",
+      array_to_vector(col(embCol).cast("array<double>")))).drop("__vec")
+  }
+
+  /** Convenience train-and-assign for demos/tests — production code calls
+    * [[ivfTrain]] once and [[ivfAssign]] per batch. */
+  def ivfAssign(df: DataFrame, embCol: String, k: Int,
+      seed: Long = 42L): DataFrame =
+    ivfAssign(df, embCol, ivfTrain(df, embCol, k, seed))
 
   /** Sign-bucket id for an embedding column under `nPlanes` hyperplanes —
     * the IVF/LSH scale path for ANN (SURVEY §2.9 L3): candidates are

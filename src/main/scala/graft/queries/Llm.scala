@@ -233,7 +233,12 @@ object Llm {
     // (equality join on centroid id — same scale shape as LSH buckets but
     // data-adaptive). Rows-only; recall property-tested in DedupSpec.
     QueryDef("l3_ann_ivf", (s, dir) => {
-      val assigned = Dedup.ivfAssign(emb(s, dir), "embedding", k = 16)
+      // Train the coarse quantizer ONCE, then assign under the broadcast
+      // model — at 100 TB the train set is a sample, the assign is the
+      // corpus; the fit never re-runs per batch.
+      val e = emb(s, dir)
+      val model = Dedup.ivfTrain(e, "embedding", k = 16)
+      val assigned = Dedup.ivfAssign(e, "embedding", model)
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("norm").as("qn"), col("centroid"))
