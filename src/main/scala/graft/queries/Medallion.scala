@@ -239,6 +239,38 @@ object Medallion {
          FROM merged GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S10
+    // insert_overwrite (Delta replaceWhere / dbt incremental
+    // `insert_overwrite` strategy): materialize the daily-events mart,
+    // then a late-arriving correction replaces exactly one day's rows
+    // (that day re-derived with doubled values) — a file-level swap of
+    // the day's files in the commit log, never an O(table) rewrite. The
+    // oracle states the corrected end state directly from the fixtures.
+    QueryDef("s10_insert_overwrite", (s, dir) => {
+      val path = tmp("s10_delta")
+      val day = lit("2024-01-10").cast("date")
+      val daily = Pipeline.goldDailyEvents(s, dir)
+      // cluster rows by day so the overwritten day occupies its own files
+      DeltaLite.create(s, path, daily.repartition(8, col("day")))
+      val corrected = Pipeline.silverEvents(s, dir)
+        .filter(col("ts_sec").cast("date") === day)
+        .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(value * 2))*100)/100").as("sum_value"))
+      DeltaLite.replaceWhere(s, path, col("day") === day, corrected)
+      DeltaLite.read(s, path)
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    }, Some(
+      """WITH silver AS (
+           SELECT CAST(CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS DATE) AS day,
+                  event_type, value
+           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL)
+         SELECT day, event_type, count(*) AS n,
+                (round((sum(CASE WHEN day = DATE '2024-01-10'
+                                 THEN value * 2 ELSE value END))*100)/100) AS sum_value
+         FROM silver GROUP BY day, event_type
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- S9
     // SCD Type-2 snapshot (dbt snapshot): each user's event_type history
     // as validity intervals. Ties within a second pre-deduped (max

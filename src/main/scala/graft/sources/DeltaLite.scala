@@ -454,6 +454,25 @@ object DeltaLite {
     writeCommit(path, v, "UPDATE", snap.schema, adds, touched)
   }
 
+  /** Delta `replaceWhere` overwrite — the dbt incremental
+    * `insert_overwrite` strategy: atomically replace exactly the rows
+    * matching `cond` with the rows of `df`. Only files containing a
+    * matching row are rewritten (their non-matching rows are carried into
+    * the rewrite); all other files survive by reference. With data laid
+    * out by the predicate column (e.g. daily appends, cond = that day)
+    * this is a pure swap: remove the day's files, add the new ones —
+    * O(partition), never O(table). */
+  def replaceWhere(spark: SparkSession, path: String, cond: Column,
+      df: DataFrame): Long = {
+    val snap = snapshot(path)
+    val hit = coalesce(cond, lit(false))
+    val (touched, kept) = touchedBy(spark, path, snap, hit)
+    val newData = kept.filter(!hit).unionByName(align(df, snap.schema))
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, newData, snap.schema)
+    writeCommit(path, v, "REPLACE_WHERE", snap.schema, adds, touched)
+  }
+
   /** Files of `snap` containing a row where `hit` is true, plus a
     * DataFrame of exactly those files' rows. */
   private def touchedBy(spark: SparkSession, path: String, snap: Snapshot,

@@ -45,6 +45,28 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming medallion ingestion: land each micro-batch in a DeltaLite
+    * table as a file-level APPEND commit (CREATE on the first batch) —
+    * the bronze-layer write path of a streaming medallion pipeline. Each
+    * commit adds only the batch's files (O(batch)). A production sink
+    * would also record the batchId in the commit and skip already-landed
+    * batches on restart (the Delta streaming sink's txn-version
+    * idempotence pattern); the checkpoint bounds reprocessing here.
+    * Returns a started query writing to `path` with `checkpoint`. */
+  def toDeltaLite(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (graft.sources.DeltaLite.latestVersion(path).isEmpty)
+          graft.sources.DeltaLite.create(batch.sparkSession, path, batch)
+        else
+          graft.sources.DeltaLite.append(batch.sparkSession, path, batch)
+        ()
+      }
+      .start()
+
   // ------------------------------------------------------------------- T7
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

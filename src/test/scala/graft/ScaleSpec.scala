@@ -144,6 +144,35 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path, Some(0L)).count() === 100)
   }
 
+  test("DeltaLite replaceWhere swaps only the predicate's files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_rw").toString
+    // one commit per "day" → each day lives in its own files
+    DeltaLite.create(spark, path,
+      (0L until 100L).map(i => (1, i, i * 1.0)).toDF("day", "k", "v").coalesce(1))
+    DeltaLite.append(spark, path,
+      (0L until 100L).map(i => (2, i, i * 1.0)).toDF("day", "k", "v").coalesce(1))
+    DeltaLite.append(spark, path,
+      (0L until 100L).map(i => (3, i, i * 1.0)).toDF("day", "k", "v").coalesce(1))
+    val before = DeltaLite.snapshot(path)
+    val day2Files = before.files.filter(_.stats("day") match {
+      case DeltaLite.ColStats(Some(2L), Some(2L)) => true; case _ => false
+    }).map(_.path).toSet
+    assert(day2Files.size === 1)
+
+    DeltaLite.replaceWhere(spark, path, col("day") === 2,
+      (0L until 50L).map(i => (2, i, -1.0)).toDF("day", "k", "v"))
+    val after = DeltaLite.snapshot(path)
+    // the other days' files survive by reference; day-2's are gone
+    assert((before.files.map(_.path).toSet -- day2Files)
+      .subsetOf(after.files.map(_.path).toSet))
+    assert(day2Files.intersect(after.files.map(_.path).toSet).isEmpty)
+    val now = DeltaLite.read(spark, path)
+    assert(now.count() === 250)
+    assert(now.filter($"day" === 2).agg(sum($"v")).as[Double].head() === -50.0)
+    assert(now.filter($"day" === 1).count() === 100)
+  }
+
   test("DeltaLite data skipping: scan prunes files by min/max stats") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_skip").toString

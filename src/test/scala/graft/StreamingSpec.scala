@@ -104,6 +104,28 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(streamed === batch, "streamed result must equal the batch run")
   }
 
+  test("streaming micro-batches land as DeltaLite file-level commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamdelta")
+    val table = dir.resolve("bronze").toString
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.toDeltaLite(events, table, dir.resolve("ckpt").toString)
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      val v0Files = graft.sources.DeltaLite.snapshot(table).files.map(_.path).toSet
+      input.addData((3L, ts(3), "click", 3.0))
+      q.processAllAvailable()
+      val snap = graft.sources.DeltaLite.snapshot(table)
+      // second batch appended files; first batch's files survive by reference
+      assert(snap.version >= 1L)
+      assert(v0Files.subsetOf(snap.files.map(_.path).toSet))
+      assert(graft.sources.DeltaLite.read(spark, table).count() === 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState custom sessionization (T7)") {
     import spark.implicits._
     implicit val s = spark
