@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
   }
 }

@@ -70,28 +70,22 @@ object Dedup {
 
   // ----------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc, carried as two 32-bit halves (`hi`, `lo`) so
-    * bit-weight sums stay far from long overflow under ANSI mode. Feature
-    * hash = xxhash64(3-shingle) — shingles, not tokens: with a small
-    * shared vocabulary token SETS collapse to near-identical fingerprints
-    * for every doc (measured on the fixtures), while the shingle space is
-    * |vocab|³ and discriminates. Bit j weight ±1; sign of the per-bit sum
-    * forms the fingerprint. One explode + one 64-aggregate hash-agg. */
+  /** 64-bit SimHash per doc, carried as two 32-bit halves (`hi`, `lo`).
+    * Feature hash = xxhash64(3-shingle) — shingles, not tokens: with a
+    * small shared vocabulary token SETS collapse to near-identical
+    * fingerprints for every doc (measured on the fixtures), while the
+    * shingle space is |vocab|³ and discriminates. Bit j weight ±1; sign
+    * of the per-bit sum forms the fingerprint. One explode + ONE
+    * [[SimHashAgg]] typed-imperative aggregate (replacing a 64-aggregate
+    * codegen'd projection that cost ~6-8 s of janino compile on first
+    * run — see SimHashAgg scaladoc; output bit-identical). */
   def simHash(corpus: DataFrame, id: String, text: String): DataFrame = {
-    val toks = TextFunctions.shingleSets(corpus, id, text)
+    GraftFunctions.register(corpus.sparkSession)
+    TextFunctions.shingleSets(corpus, id, text)
       .withColumn("h", xxhash64(col("shingle")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"s$j")
-    }
-    val summed = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val lo = (0 until 32)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val hi = (32 until 64)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    summed.select(col(id), lo.as("lo"), hi.as("hi"))
+      .groupBy(col(id))
+      .agg(call_function("simhash_agg", col("h")).as("sh"))
+      .select(col(id), col("sh.lo").as("lo"), col("sh.hi").as("hi"))
   }
 
   /** SimHash near-dup candidates: 8 × 8-bit chunk bands — by pigeonhole,

@@ -85,5 +85,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
         "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_agg"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash_agg",
+        (exprs: Seq[Expression]) => SimHashAgg(exprs.head),
+        "scala_udf")
+    }
   }
 }
