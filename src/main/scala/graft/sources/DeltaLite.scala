@@ -84,7 +84,7 @@ object DeltaLite {
       try {
         val vs = stream.iterator().asScala
           .map(_.getFileName.toString)
-          .filter(_.endsWith(".json"))
+          .filter(_.matches("""\d+\.json"""))
           .map(_.stripSuffix(".json").toLong)
           .toSeq
         if (vs.isEmpty) None else Some(vs.max)
@@ -182,7 +182,32 @@ object DeltaLite {
 
   private def parseLine(line: String): JValue = JsonMethods.parse(line)
 
-  /** Replay the log to (and including) version `asOf` (default latest). */
+  /** Commits between checkpoints: every CHECKPOINT_INTERVAL-th commit
+    * also writes `checkpoint-<V>.json` — the full resolved state at V —
+    * so replay reads one checkpoint + at most CHECKPOINT_INTERVAL-1
+    * incremental commits instead of the whole history (the Delta
+    * `_last_checkpoint` design; keeps log replay O(1) in table age). */
+  val CheckpointInterval: Long = 10L
+
+  private def latestCheckpointAtOrBefore(path: String, v: Long): Option[Long] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) None
+    else {
+      val stream = Files.list(ld)
+      try {
+        val cs = stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("checkpoint-") && n.endsWith(".json"))
+          .map(_.stripPrefix("checkpoint-").stripSuffix(".json").toLong)
+          .filter(_ <= v)
+          .toSeq
+        if (cs.isEmpty) None else Some(cs.max)
+      } finally stream.close()
+    }
+  }
+
+  /** Replay the log to (and including) version `asOf` (default latest),
+    * starting from the newest checkpoint at or before it. */
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
@@ -191,27 +216,41 @@ object DeltaLite {
       s"version $v was never committed at $path")
     var schema: StructType = null
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    (0L to v).foreach { i =>
-      val lines = Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala
-      lines.filter(_.nonEmpty).foreach { line =>
-        parseLine(line) match {
-          case JObject(fields) => fields.foreach {
-            case ("metaData", JObject(m)) =>
-              m.collectFirst { case ("schema", JString(s)) => s }
-                .foreach(s => schema = DataType.fromJson(s).asInstanceOf[StructType])
-            case ("add", a: JObject) =>
-              val af = decodeAdd(a, schema)
-              live(af.path) = af
-            case ("remove", JObject(r)) =>
-              r.collectFirst { case ("path", JString(p)) => p }.foreach(live.remove)
-            case _ => ()
-          }
-          case _ => ()
-        }
-      }
+    val ckpt = latestCheckpointAtOrBefore(path, v)
+    ckpt.foreach { cv =>
+      applyActions(Files.readAllLines(
+        logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
+        s => schema = s, live)
+    }
+    ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
+      applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
+        s => schema = s, live)
     }
     require(schema != null, s"log at $path has no metaData action")
     Snapshot(v, schema, live.values.toSeq)
+  }
+
+  private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
+      live: scala.collection.mutable.LinkedHashMap[String, AddFile]): Unit = {
+    var schema: StructType = null
+    lines.filter(_.nonEmpty).foreach { line =>
+      parseLine(line) match {
+        case JObject(fields) => fields.foreach {
+          case ("metaData", JObject(m)) =>
+            m.collectFirst { case ("schema", JString(s)) => s }.foreach { s =>
+              schema = DataType.fromJson(s).asInstanceOf[StructType]
+              onSchema(schema)
+            }
+          case ("add", a: JObject) =>
+            val af = decodeAdd(a, schema)
+            live(af.path) = af
+          case ("remove", JObject(r)) =>
+            r.collectFirst { case ("path", JString(p)) => p }.foreach(live.remove)
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
   }
 
   private def decodeAdd(a: JObject, schema: StructType): AddFile = {
@@ -314,7 +353,24 @@ object DeltaLite {
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, fin) // atomic visibility of the commit
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeCheckpoint(path, version)
     version
+  }
+
+  /** Materialize the resolved state at `version` as a checkpoint file so
+    * later replays skip the preceding history. Failure-safe: a missing
+    * checkpoint only costs replay time, never correctness. */
+  private def writeCheckpoint(path: String, version: Long): Unit = {
+    val snap = snapshot(path, Some(version))
+    val lines =
+      JsonMethods.compact(JObject(List("metaData" -> JObject(List(
+        "schema" -> JString(snap.schema.json)))))) +:
+      snap.files.map(f => JsonMethods.compact(encodeAdd(f, snap.schema)))
+    val tmp = logDir(path).resolve(s".checkpoint-$version.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, logDir(path).resolve(s"checkpoint-$version.json"))
   }
 
   // ------------------------------------------------------------ read API
@@ -504,6 +560,24 @@ object DeltaLite {
       readFiles(spark, path, snap.schema, snap.files).repartition(numFiles),
       snap.schema)
     writeCommit(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
+  }
+
+  /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
+    * ONLY files smaller than `minRows` rows, coalesced (no shuffle) into
+    * ~`minRows`-sized files; full-size files are never rewritten. This is
+    * the steady-state maintenance op for an append-heavy table: cost is
+    * O(small files), not O(table) — at 100 TB, nightly OPTIMIZE touches
+    * the day's small appends and nothing else. Returns the current
+    * version unchanged when there is nothing to pack. */
+  def compactSmall(spark: SparkSession, path: String, minRows: Long): Long = {
+    val snap = snapshot(path)
+    val small = snap.files.filter(_.rows < minRows)
+    if (small.length <= 1) return snap.version
+    val packed = readFiles(spark, path, snap.schema, small)
+      .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, packed, snap.schema)
+    writeCommit(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path))
   }
 
   /** Physically delete data files not referenced by the newest

@@ -198,6 +198,44 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(viaScan.inputFiles.length === 2, "scan must open only surviving files")
   }
 
+  test("DeltaLite log checkpoints: replay from checkpoint equals full replay") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ckpt").toString
+    DeltaLite.create(spark, path, Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    (1L until 13L).foreach { i =>
+      DeltaLite.append(spark, path, Seq((i, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    // the 10th commit wrote a checkpoint
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_log", "checkpoint-10.json")))
+    // snapshot past the checkpoint (replays ckpt + 2 commits, not 13)
+    assert(DeltaLite.snapshot(path).files.length === 13)
+    assert(DeltaLite.read(spark, path).count() === 13)
+    // time travel before AND at the checkpoint still exact
+    assert(DeltaLite.read(spark, path, Some(4L)).count() === 5)
+    assert(DeltaLite.read(spark, path, Some(10L)).count() === 11)
+  }
+
+  test("DeltaLite compactSmall packs only small files, leaves big ones") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_pack").toString
+    DeltaLite.create(spark, path,
+      (0L until 1000L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    val bigFile = DeltaLite.snapshot(path).files.head.path
+    (0 until 3).foreach { b =>
+      DeltaLite.append(spark, path,
+        (0L until 10L).map(i => (10000L + b * 10 + i, 0.0)).toDF("k", "v").coalesce(1))
+    }
+    DeltaLite.compactSmall(spark, path, minRows = 100L)
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.map(_.path).contains(bigFile), "full-size file must survive")
+    assert(snap.files.length === 2, s"expected big + 1 packed, got ${snap.files.length}")
+    assert(DeltaLite.read(spark, path).count() === 1030)
+    // idempotent: nothing left to pack → same version back, no commit
+    val v = snap.version
+    assert(DeltaLite.compactSmall(spark, path, minRows = 100L) === v)
+  }
+
   test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_vac").toString
