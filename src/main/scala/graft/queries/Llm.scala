@@ -159,6 +159,50 @@ object Llm {
          FROM d WHERE dot / (sqrt(qa) * sqrt(qb)) > 0.35
          ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L2 (e)
+    // Embedding-cosine near-dup (builder prompt §dedup): duplicate
+    // DECISION over vector similarity — every doc that has a
+    // higher-similarity earlier twin maps to its canonical (lowest-id)
+    // match, the keep-first dedup policy. Exactness baseline like
+    // l3_cosine_pairs (the pair space is explicit); at 100 TB the
+    // identical groupBy runs over LSH/IVF-bucketed candidates
+    // (l3_ann_lsh / l3_ann_ivf) instead of the full pair join —
+    // candidates change, the decision operator does not.
+    QueryDef("l2_embedding_neardup", (s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("sim",
+          call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("sim") > 0.35)
+        .groupBy(col("idb").as("dup_id"))
+        .agg(min(col("ida")).as("canonical_id"),
+          count(lit(1)).as("n_matches"),
+          expr("round((max(sim))*10000)/10000").as("best_sim"))
+        .orderBy(col("dup_id").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         sims AS (
+           SELECT ida, idb, dot / (sqrt(qa) * sqrt(qb)) AS sim
+           FROM d WHERE dot / (sqrt(qa) * sqrt(qb)) > 0.35)
+         SELECT idb AS dup_id, min(ida) AS canonical_id,
+                count(*) AS n_matches,
+                (round((max(sim))*10000)/10000) AS best_sim
+         FROM sims GROUP BY idb
+         ORDER BY dup_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (b)
     // Brute-force top-5 cosine neighbors for the first 10 query vectors —
     // the exactness baseline for ANN. Window top-k, not a global sort.

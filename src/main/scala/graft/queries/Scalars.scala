@@ -303,6 +303,33 @@ object Scalars {
            FROM dec GROUP BY l_returnflag
            ORDER BY l_returnflag ASC NULLS LAST"""),
 
+    // ----------------------------------------------------------------- F10
+    // Spark 4 VariantType (SURVEY §1.2 JSON row): parse the JSON props
+    // column ONCE into a variant (binary-encoded, schema-on-read) and
+    // extract typed fields with variant_get — the engine-native
+    // replacement for repeated get_json_object string parses on semi-
+    // structured data. At 100 TB the parse cost is paid once per row and
+    // extraction is a binary offset lookup, not a string scan. Oracle:
+    // DuckDB regexp extraction of the same field (its json extension is
+    // off-limits per parity rules).
+    QueryDef("f10_variant", (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+                min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS min_k,
+                max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type
+         ORDER BY event_type ASC NULLS LAST""")),
+
     // ------------------------------------------------------- M1 (multimodal)
     // Multimodal columns (builder prompt / SURVEY §2.9): media carried as an
     // opaque binary column + typed metadata computed without decoding.
