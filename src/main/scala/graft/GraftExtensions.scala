@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, SimHashAgg}
+import graft.functions.{FloatVectorDot, MinHashAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -14,6 +14,18 @@ import graft.functions.{FloatVectorDot, SimHashAgg}
   * every session of the application — the library-quality alternative to
   * per-session [[graft.functions.GraftFunctions.register]] (which remains
   * as an idempotent fallback for sessions created without the config). */
+object GraftExtensions {
+  /** `minhash_agg(shingle[, numHashes])` — the optional second argument
+    * must be a foldable int literal (it sizes the signature buffer). */
+  val minHashBuilder: Seq[Expression] => Expression = {
+    case Seq(shingle) => MinHashAgg(shingle)
+    case Seq(shingle, n) =>
+      MinHashAgg(shingle, n.eval().asInstanceOf[Number].intValue())
+    case exprs => throw new IllegalArgumentException(
+      s"minhash_agg expects 1 or 2 arguments, got ${exprs.length}")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -24,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      GraftExtensions.minHashBuilder))
   }
 }

@@ -21,13 +21,19 @@ object Dedup {
   // ------------------------------------------------------------- MinHash-LSH
 
   /** MinHash signatures: `numHashes` permutations h_i(s) = xxhash64(i, s)
-    * min-reduced per doc — one hash-agg pass, 32 codegen'd min-aggregates,
-    * no UDAF needed. */
+    * min-reduced per doc — ONE [[MinHashAgg]] typed-imperative aggregate
+    * (primitive long[numHashes] buffer, merge = elementwise min),
+    * bit-identical to the 32-column `min(xxhash64(lit(i), shingle))`
+    * expression form it replaces (parity asserted in DedupSpec) without
+    * the wide-projection codegen compile. Output keeps the m0..mN-1
+    * column shape. */
   def minHashSignature(
       sets: DataFrame, id: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    sets.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    GraftFunctions.register(sets.sparkSession)
+    sets.groupBy(col(id))
+      .agg(call_function("minhash_agg", col("shingle"), lit(numHashes)).as("__sig"))
+      .select(col(id) +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
   }
 
   /** LSH banding: group the signature into `bands` bands of

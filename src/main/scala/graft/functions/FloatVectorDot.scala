@@ -92,5 +92,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => SimHashAgg(exprs.head),
         "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_agg",
+        graft.GraftExtensions.minHashBuilder,
+        "scala_udf")
+    }
   }
 }

@@ -18,6 +18,17 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     d.unionByName(mutated)
   }
 
+  test("minhash_agg signatures are bit-identical to the 32-column expression form") {
+    GraftFunctions.register(spark)
+    val sets = TextFunctions.shingleSets(corpus, "doc_id", "text")
+    val aggs = (0 until 32).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val viaExprs = sets.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val viaSketch = Dedup.minHashSignature(sets, "doc_id", 32)
+    assert(viaExprs.count() === viaSketch.count())
+    assert(viaExprs.exceptAll(viaSketch).count() === 0,
+      "minhash_agg must reproduce Spark's xxhash64 chain exactly")
+  }
+
   test("MinHash-LSH candidates achieve full recall at jaccard >= 0.8") {
     val sets = TextFunctions.shingleSets(corpus, "doc_id", "text")
     // brute-force ground truth: all pairs sharing >= 1 shingle
