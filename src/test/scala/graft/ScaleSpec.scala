@@ -88,6 +88,28 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() >= 0)
   }
 
+  test("runtime Bloom-filter join pruning injects on the fact side") {
+    // The 100 TB lever for selective dim->fact joins on NON-partition
+    // columns (where dynamic partition pruning can't help): Catalyst
+    // builds a bloom filter from the filtered dim keys and semi-filters
+    // the fact scan before the shuffle. Thresholds lowered to fire at
+    // test scale; assert the injected might_contain probe in the plan.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val l = Tables.t(s2, sf, "lineitem")
+    val o = Tables.t(s2, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected an injected bloom-filter probe in:\n$plan")
+    assert(q.collect().length === 1)
+  }
+
   test("DeltaLite OPTIMIZE compaction preserves data, shrinks file count") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_opt").toString
