@@ -287,7 +287,10 @@ object DeltaLite {
     * in a single distributed pass over ONLY the new batch. */
   private def writeData(spark: SparkSession, tableRoot: Path, version: Long,
       df: DataFrame, schema: StructType): Seq[AddFile] = {
-    val dir = tableRoot.resolve(f"files-$version%05d")
+    // uuid suffix: data dirs never collide, so concurrent writers only
+    // contend at the commit rename (see commit helpers below)
+    val dir = tableRoot.resolve(
+      f"files-$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
     align(df, schema).write.mode("errorifexists").parquet(dir.toString)
 
     val statFields = schema.fields.filter(f => statEligible(f.dataType))
@@ -373,6 +376,45 @@ object DeltaLite {
     Files.move(tmp, logDir(path).resolve(s"checkpoint-$version.json"))
   }
 
+  // ------------------------------- optimistic concurrency (Delta-style)
+
+  /** Commit an ADD-ONLY action set with optimistic retry: appends
+    * logically conflict with nothing, so when another writer wins the
+    * version (the atomic log rename fails), re-resolve the snapshot,
+    * merge any evolved schema, bump the version and retry — the Delta
+    * protocol's auto-resolvable-conflict rule. The batch's data files
+    * are already on disk and stay valid across retries. */
+  private def commitAddsWithRetry(path: String, op: String,
+      batchSchema: StructType, adds: Seq[AddFile]): Long = {
+    var attempts = 0
+    while (true) {
+      val snap = snapshot(path)
+      val known = snap.schema.fieldNames.toSet
+      val schema = StructType(snap.schema.fields ++
+        batchSchema.fields.filterNot(f => known.contains(f.name)))
+      try return writeCommit(path, snap.version + 1, op, schema, adds, Nil)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
+          attempts += 1 // lost the race — replay the new commits and retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Commit an action set that REMOVES files. A concurrent winner may
+    * have removed or rewritten the same files, so blind retry is unsafe
+    * (Delta's non-resolvable conflict class): surface it to the caller
+    * to re-run against the new snapshot. */
+  private def commitExclusive(path: String, version: Long, op: String,
+      schema: StructType, adds: Seq[AddFile], removes: Seq[String]): Long =
+    try writeCommit(path, version, op, schema, adds, removes)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit beat $op at version $version on $path; " +
+            "re-run the operation against the new snapshot")
+    }
+
   // ------------------------------------------------------------ read API
 
   /** Snapshot read: latest version, or `VERSION AS OF` via `asOf`. One
@@ -417,9 +459,8 @@ object DeltaLite {
     * point of the file-level log). */
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
-    val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, df, snap.schema)
-    writeCommit(path, v, "APPEND", snap.schema, adds, Nil)
+    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
+    commitAddsWithRetry(path, "APPEND", snap.schema, adds)
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the
@@ -430,9 +471,8 @@ object DeltaLite {
     val known = snap.schema.fieldNames.toSet
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
-    val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, df, evolved)
-    writeCommit(path, v, "APPEND_EVOLVE", evolved, adds, Nil)
+    val adds = writeData(spark, root(path), snap.version + 1, df, evolved)
+    commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -475,7 +515,7 @@ object DeltaLite {
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
     val v = snap.version + 1
     val adds = writeData(spark, r, v, merged, snap.schema)
-    writeCommit(path, v, "MERGE", snap.schema, adds, touched)
+    commitExclusive(path, v, "MERGE", snap.schema, adds, touched)
   }
 
   /** Delta `DELETE FROM ... WHERE cond`: rewrites ONLY files containing a
@@ -490,7 +530,7 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema)
-    writeCommit(path, v, "DELETE", snap.schema, adds, touched)
+    commitExclusive(path, v, "DELETE", snap.schema, adds, touched)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -507,7 +547,7 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema)
-    writeCommit(path, v, "UPDATE", snap.schema, adds, touched)
+    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -526,7 +566,7 @@ object DeltaLite {
     val newData = kept.filter(!hit).unionByName(align(df, snap.schema))
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema)
-    writeCommit(path, v, "REPLACE_WHERE", snap.schema, adds, touched)
+    commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -559,7 +599,7 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v,
       readFiles(spark, path, snap.schema, snap.files).repartition(numFiles),
       snap.schema)
-    writeCommit(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
+    commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
   }
 
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
@@ -577,7 +617,7 @@ object DeltaLite {
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema)
-    writeCommit(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path))
+    commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path))
   }
 
   /** Physically delete data files not referenced by the newest

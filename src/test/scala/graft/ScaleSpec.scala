@@ -258,6 +258,29 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.compactSmall(spark, path, minRows = 100L) === v)
   }
 
+  test("DeltaLite concurrent appends: optimistic retry lands every commit") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = Files.createTempDirectory("graft_conc").toString
+    DeltaLite.create(spark, path, Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    // 8 writers race on the commit rename; losers must retry, not fail,
+    // and no committed batch may be lost (the ACID append guarantee)
+    val writers = (1 to 8).map { w =>
+      Future {
+        DeltaLite.append(spark, path,
+          (0L until 10L).map(i => (w * 100L + i, w * 1.0)).toDF("k", "v").coalesce(1))
+      }
+    }
+    val versions = Await.result(Future.sequence(writers), 5.minutes)
+    assert(versions.toSet.size === 8, s"versions must be distinct: $versions")
+    assert(DeltaLite.latestVersion(path) === Some(8L))
+    assert(DeltaLite.read(spark, path).count() === 81)
+    assert(DeltaLite.read(spark, path).select(sum($"k")).as[Long].head() ===
+      (1 to 8).map(w => (0L until 10L).map(w * 100L + _).sum).sum)
+  }
+
   test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_vac").toString
@@ -273,6 +296,72 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === 100)
     // time travel beyond retention is gone, by design
     intercept[Exception] { DeltaLite.read(spark, path, Some(0L)).count() }
+  }
+
+  test("DeltaLite model check: 24 random ops vs an in-memory reference model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val path = Files.createTempDirectory("graft_model").toString
+    // reference model: key -> value (table schema (k bigint, v double),
+    // merge key = k); history(i) = model state at version i
+    var model = Map.empty[Long, Double]
+    var nextKey = 0L
+    def freshBatch(n: Int): Seq[(Long, Double)] = {
+      val b = (0 until n).map(i => (nextKey + i, rnd.nextInt(1000) * 1.0))
+      nextKey += n
+      b
+    }
+    val b0 = freshBatch(20)
+    model = b0.toMap
+    DeltaLite.create(spark, path, b0.toDF("k", "v").repartition(2))
+    val history = scala.collection.mutable.ArrayBuffer(model)
+
+    (1 to 24).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 => // append fresh keys
+          val b = freshBatch(1 + rnd.nextInt(10))
+          model = model ++ b
+          DeltaLite.append(spark, path, b.toDF("k", "v").coalesce(1))
+        case 1 => // merge: update a sample of existing keys + insert fresh
+          val existing = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(8).map(k => (k, -1.0 * k))
+          val inserts = freshBatch(rnd.nextInt(4))
+          val u = existing ++ inserts
+          if (u.nonEmpty) {
+            model = model ++ u
+            DeltaLite.merge(spark, path, u.toDF("k", "v").coalesce(1), Seq("k"))
+          } else DeltaLite.append(spark, path, freshBatch(1).toDF("k", "v"))
+        case 2 => // delete a residue class
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val doomed = model.keys.filter(_ % m == r).toSet
+          model = model -- doomed
+          DeltaLite.delete(spark, path, pmod(col("k"), lit(m)) === r)
+        case 3 => // update a key range
+          val cut = if (model.isEmpty) 0L else model.keys.max / 2
+          model = model.map { case (k, v) => if (k < cut) (k, v + 100) else (k, v) }
+          DeltaLite.update(spark, path, col("k") < cut,
+            Map("v" -> (col("v") + 100)))
+        case 4 => // maintenance: no logical change
+          if (rnd.nextBoolean()) DeltaLite.compactSmall(spark, path, minRows = 5L)
+          else DeltaLite.compact(spark, path, numFiles = 2)
+      }
+      history += model
+      // maintenance ops may or may not commit; track actual version count
+    }
+
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.as[(Long, Double)].collect().toMap
+    assert(asMap(DeltaLite.read(spark, path)) === history.last)
+    // time travel: every committed version must equal SOME prefix state
+    // (maintenance ops commit without changing data, so walk both seqs)
+    val latest = DeltaLite.latestVersion(path).get
+    var hi = 0
+    (0L to latest).foreach { v =>
+      val snap = asMap(DeltaLite.read(spark, path, Some(v)))
+      while (hi < history.length && history(hi) != snap) hi += 1
+      assert(hi < history.length,
+        s"version $v matches no model state (first mismatch after index $hi)")
+    }
   }
 
   test("DeltaLite DELETE / UPDATE / schema evolution") {
