@@ -67,6 +67,47 @@ object Streams {
       }
       .start()
 
+  // ------------------------------------------------------------- T7 (new)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** T7 on Spark 4's `transformWithState` API (the successor to
+    * flatMapGroupsWithState): per-user running event count + value total
+    * held in a typed `ValueState`, emitting the updated total on every
+    * micro-batch. Requires the RocksDB state store provider (the API is
+    * implemented only there) — state lives off-heap per key partition, so
+    * at 100 TB state size is bounded by distinct keys × 16 bytes and
+    * spills to local SST files, not executor heap. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      state = getHandle.getValueState[(Long, Double)]("agg", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      var (n, t) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; t += e.value }
+      state.update((n, t))
+      Iterator.single(UserTotal(key, n, t))
+    }
+  }
+
+  /** Wire [[RunningTotalProcessor]] over a stream of [[Event]]s. */
+  def runningTotals(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------------------------------------- T7
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -126,6 +126,39 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("transformWithState running totals (T7, Spark 4 API, RocksDB state)") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.runningTotals(input.toDS()).writeStream
+      .format("memory").queryName("twstotals").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts(0), 7L, "click", 1.5),
+        Streams.Event(2L, ts(1), 7L, "click", 2.5),
+        Streams.Event(3L, ts(2), 9L, "view", 10.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(4L, ts(3), 7L, "click", 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("twstotals").as[Streams.UserTotal].collect()
+      // batch 1 emits (7 -> 2, 4.0) and (9 -> 1, 10.0); batch 2 emits the
+      // carried-forward (7 -> 3, 10.0) — state survived the batch boundary
+      assert(rows.toSet === Set(
+        Streams.UserTotal(7L, 2L, 4.0), Streams.UserTotal(9L, 1L, 10.0),
+        Streams.UserTotal(7L, 3L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState custom sessionization (T7)") {
     import spark.implicits._
     implicit val s = spark
