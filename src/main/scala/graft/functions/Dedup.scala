@@ -177,6 +177,33 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     ivfAssign(df, embCol, ivfTrain(df, embCol, k, seed))
 
+  /** Multi-probe IVF: each vector gets its `probes` nearest centroid ids
+    * (probe rank 1 = the primary cell), so a query-side probe list joined
+    * against corpus-side primary cells raises recall at the cost of
+    * `probes`× candidates — still an equality join, never a scan. The
+    * centroid table is k rows and broadcast; distances use the codegen'd
+    * vec_dot (‖e−c‖² = e·e − 2e·c + c·c). Output: input + `centroid`
+    * (probe cell) and `probe_rk` (1..probes). */
+  def ivfProbes(df: DataFrame, id: String, embCol: String,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(df.sparkSession)
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat)) }.toSeq
+    val cent = df.sparkSession.createDataFrame(centers).toDF("centroid", "c_emb")
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__d2").asc, col("centroid").asc)
+    df.crossJoin(broadcast(cent))
+      .withColumn("__d2",
+        call_function("vec_dot", col(embCol), col(embCol))
+          - lit(2.0) * call_function("vec_dot", col(embCol), col("c_emb"))
+          + call_function("vec_dot", col("c_emb"), col("c_emb")))
+      .withColumn("probe_rk", row_number().over(w))
+      .filter(col("probe_rk") <= probes)
+      .drop("__d2", "c_emb")
+  }
+
   /** Sign-bucket id for an embedding column under `nPlanes` hyperplanes —
     * the IVF/LSH scale path for ANN (SURVEY §2.9 L3): candidates are
     * restricted to equal buckets, turning top-k search into an equality

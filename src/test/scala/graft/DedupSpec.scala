@@ -105,6 +105,31 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(hits >= 40, s"only $hits/50 perturbed vectors share their cell")
   }
 
+  test("multi-probe IVF raises cell recall over single-probe") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("embedding"))
+    val all = e.select(col("vec_id"), col("embedding")).unionByName(queries)
+    val model = Dedup.ivfTrain(all, "embedding", k = 16)
+    def cells(probes: Int): Map[Long, Set[Int]] =
+      Dedup.ivfProbes(all, "vec_id", "embedding", model, probes)
+        .select("vec_id", "centroid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    val single = cells(1)
+    val multi = cells(2)
+    def hits(m: Map[Long, Set[Int]]): Int =
+      (0L until 50L).count(i => (m(i) & m(i + 10000)).nonEmpty)
+    val h1 = hits(single)
+    val h2 = hits(multi)
+    assert(h2 >= h1, s"2-probe recall $h2 must not trail 1-probe $h1")
+    assert(h2 >= 45, s"2-probe: only $h2/50 perturbed vectors share a cell")
+    // probe rank 1 is a valid primary-cell assignment (same cardinality)
+    assert(single.values.forall(_.size == 1) && multi.values.forall(_.size == 2))
+  }
+
   test("exact dedup: md5 grouping is a fixpoint") {
     val d = Tables.t(spark, sf, "documents")
     val once = d.withColumn("h", md5(col("text").cast("binary")))
