@@ -455,6 +455,114 @@ object Llm {
                 (round((sqrt(greatest(qa + qb - 2*dot, 0)))*10000)/10000) AS dist
          FROM d ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (f)
+    // TF-IDF top terms per document — the classic relevance weighting a
+    // curation pipeline uses for keyword extraction / topic balance.
+    // Pure joins + aggs: tf per (doc, term), df per term, the corpus size
+    // as a lazy 1-row cross join (never a driver action), ln rounded to 6
+    // decimals for engine parity (HANDOFF rule 6). At 100 TB every stage
+    // is a keyed shuffle; the df table is tiny (|vocab|) and broadcasts.
+    QueryDef("l4_tfidf", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          expr("round((tf * ln((n_docs + 1) / (df + 1.0)))*1000000)/1000000"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("score"))
+        .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  (round((tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)))*1000000)/1000000) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
+         FROM ranked WHERE rk <= 3
+         ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L5 (b)
+    // Document chunking: fixed 200-char windows on a 150-char stride
+    // (overlapping chunks with stable ids) — the standard pre-embedding
+    // splitter in a training/RAG pipeline. One generator per doc row
+    // (sequence + explode), no shuffle until the output sort; at 100 TB
+    // chunking is map-only.
+    QueryDef("l5_chunking", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(1, length(text), 150), p -> substr(text, p, 200))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last)
+    }, Some(
+      """WITH c AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, length(text), 150)) AS p
+           FROM documents)
+         SELECT doc_id, CAST((p - 1) / 150 AS INTEGER) AS chunk_idx,
+                CAST(length(substr(text, CAST(p AS INTEGER), 200)) AS INTEGER) AS chunk_len,
+                md5(substr(text, CAST(p AS INTEGER), 200)) AS chunk_md5
+         FROM c
+         ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L5 (c)
+    // PII redaction: emails and phone-shaped tokens replaced with typed
+    // placeholders, with per-doc redaction counts. The fixtures carry no
+    // PII, so the query plants a deterministic contaminated header per
+    // doc (same expression in both engines) and then scrubs it — the
+    // assertable property is that redaction is exact and count-correct.
+    // Map-only at any scale.
+    QueryDef("l5_pii_redact", (s, dir) => {
+      val email = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phone = "555-[0-9]{4}"
+      t(s, dir, "documents")
+        .withColumn("dirty",
+          concat(lit("contact user"), col("doc_id"), lit("@corp.example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now. "),
+            col("text")))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(dirty, '$email', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(dirty, '$phone', 0)")).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("dirty"), email, "<EMAIL>"),
+            phone, "<PHONE>").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id,
+                  concat('contact user', doc_id, '@corp.example.com or 555-',
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now. ',
+                         text) AS dirty
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(dirty, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(dirty, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+                md5(regexp_replace(regexp_replace(dirty, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                    '555-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+         FROM d ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- L5
     // Text normalization chain: lower → collapse whitespace → trim, plus
     // the content-address (md5) of the normalized text and a 5-token head.
