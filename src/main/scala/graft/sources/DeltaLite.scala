@@ -620,6 +620,25 @@ object DeltaLite {
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path))
   }
 
+  /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
+    * range-clustered on `cols` (repartitionByRange + local sort), so each
+    * file covers a tight slice of the clustering key space and min/max
+    * data skipping prunes aggressively — the Delta Z-order / liquid
+    * clustering payoff, delivered with Spark's native range partitioner.
+    * One shuffle over the table; run it at the cadence appends degrade
+    * locality (like OPTIMIZE). History stays time-travelable. */
+  def cluster(spark: SparkSession, path: String, cols: Seq[String],
+      numFiles: Int): Long = {
+    require(cols.nonEmpty, "clustering columns required")
+    val snap = snapshot(path)
+    val rewritten = readFiles(spark, path, snap.schema, snap.files)
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, rewritten, snap.schema)
+    commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path))
+  }
+
   /** Physically delete data files not referenced by the newest
     * `keepVersions` snapshots (Delta `VACUUM`): the retention boundary —
     * time travel older than that stops working, by design. Returns the

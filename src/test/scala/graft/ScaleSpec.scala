@@ -281,6 +281,31 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       (1 to 8).map(w => (0L until 10L).map(w * 100L + _).sum).sum)
   }
 
+  test("DeltaLite cluster (ZORDER-lite) makes data skipping effective") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_zorder").toString
+    // every append spans the whole key space → every file's [min,max] is
+    // the full range and skipping can prune NOTHING
+    DeltaLite.create(spark, path,
+      (0L until 1000L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    (1 to 7).foreach { _ =>
+      DeltaLite.append(spark, path,
+        (0L until 1000L).map(i => (i, -1.0)).toDF("k", "v").coalesce(1))
+    }
+    val bound = Seq(DeltaLite.ColumnBound("k", Some(100L), Some(150L)))
+    val before = DeltaLite.pruneFiles(DeltaLite.snapshot(path), bound)
+    assert(before.length === 8, "unclustered: every file survives the bound")
+
+    DeltaLite.cluster(spark, path, Seq("k"), numFiles = 8)
+    val snap = DeltaLite.snapshot(path)
+    val after = DeltaLite.pruneFiles(snap, bound)
+    assert(after.length <= 2,
+      s"clustered: expected <=2 candidate files, got ${after.length}")
+    // correctness preserved
+    val q = DeltaLite.scan(spark, path, bound).filter($"k".between(100L, 150L))
+    assert(q.count() === 8 * 51)
+  }
+
   test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_vac").toString
