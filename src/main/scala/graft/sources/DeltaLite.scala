@@ -351,11 +351,20 @@ object DeltaLite {
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
       adds.map(f => JsonMethods.compact(encodeAdd(f, schema)))
-    val tmp = logDir(path).resolve(s".$version.json.tmp")
+    // Unique temp per writer, then an atomic hard link to the final name:
+    // link(2) fails with FileAlreadyExistsException when the version is
+    // already taken, so exactly ONE racing writer wins and no winner's
+    // commit can be silently replaced. (Files.move's no-replace check is
+    // check-then-rename — NOT atomic on POSIX, where rename overwrites —
+    // and a shared temp name lets racers clobber each other's content;
+    // both races were caught by the 8-writer test under full-suite load.)
+    val tmp = logDir(path).resolve(
+      s".$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     val fin = logDir(path).resolve(s"$version.json")
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, fin) // atomic visibility of the commit
+      StandardOpenOption.CREATE_NEW)
+    try Files.createLink(fin, tmp) // atomic claim + visibility of the commit
+    finally Files.deleteIfExists(tmp)
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(path, version)
     version
@@ -370,10 +379,13 @@ object DeltaLite {
       JsonMethods.compact(JObject(List("metaData" -> JObject(List(
         "schema" -> JString(snap.schema.json)))))) +:
       snap.files.map(f => JsonMethods.compact(encodeAdd(f, snap.schema)))
-    val tmp = logDir(path).resolve(s".checkpoint-$version.json.tmp")
+    val tmp = logDir(path).resolve(
+      s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, logDir(path).resolve(s"checkpoint-$version.json"))
+      StandardOpenOption.CREATE_NEW)
+    try Files.createLink(logDir(path).resolve(s"checkpoint-$version.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
   }
 
   // ------------------------------- optimistic concurrency (Delta-style)
