@@ -614,6 +614,33 @@ object DeltaLite {
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
   }
 
+  /** Change Data Feed (Delta `table_changes`): the row-level difference
+    * between two versions, computed from ONLY the files the log says
+    * changed — files carried forward by reference cancel by construction,
+    * so cost is O(touched files), never O(table). Returns the union of
+    * net-new rows (`_change_type = 'insert'`, covering inserts and
+    * update post-images) and net-removed rows (`'delete'`, covering
+    * deletes and update pre-images), as a multiset diff. Downstream
+    * incremental consumers (the dbt-style use) apply inserts and retract
+    * deletes. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val from = snapshot(path, Some(fromVersion))
+    val to = snapshot(path, Some(toVersion))
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    // read through the LATER schema so evolved columns align (nulls for
+    // rows from pre-evolution files)
+    val removedRows = readFiles(spark, path, to.schema,
+      from.files.filterNot(f => toPaths.contains(f.path)))
+    val addedRows = readFiles(spark, path, to.schema,
+      to.files.filterNot(f => fromPaths.contains(f.path)))
+    addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
+  }
+
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
     * ONLY files smaller than `minRows` rows, coalesced (no shuffle) into
     * ~`minRows`-sized files; full-size files are never rewritten. This is

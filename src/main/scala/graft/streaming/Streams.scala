@@ -67,6 +67,18 @@ object Streams {
       }
       .start()
 
+  /** Streaming source over an APPEND-ONLY DeltaLite table: Spark's file
+    * stream source watches the table's data-file glob, so each
+    * committed append batch becomes a micro-batch downstream — the
+    * read side of a streaming medallion hop (bronze table → silver
+    * stream). Append-only is the contract (like Delta's streaming reads
+    * without CDF): compaction/DML rewrites would re-surface rows; run
+    * maintenance on the sink side of the hop instead. */
+  def fromDeltaLite(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .parquet(java.nio.file.Paths.get(path).toAbsolutePath.toString + "/files-*")
+
   // ------------------------------------------------------------- T7 (new)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

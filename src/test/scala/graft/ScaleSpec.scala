@@ -281,6 +281,33 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       (1 to 8).map(w => (0L until 10L).map(w * 100L + _).sum).sum)
   }
 
+  test("DeltaLite change data feed diffs versions from touched files only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cdf").toString
+    DeltaLite.create(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1))   // v0
+    DeltaLite.append(spark, path, Seq((4L, "d")).toDF("k", "s"))          // v1
+    DeltaLite.merge(spark, path,
+      Seq((2L, "B"), (5L, "e")).toDF("k", "s"), Seq("k"))                 // v2
+    DeltaLite.delete(spark, path, col("k") === 1L)                        // v3
+
+    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      df.as[(Long, String, String)].collect().toSet
+
+    assert(set(DeltaLite.changes(spark, path, 0L, 1L)) ===
+      Set((4L, "d", "insert")))
+    assert(set(DeltaLite.changes(spark, path, 1L, 2L)) ===
+      Set((2L, "B", "insert"), (5L, "e", "insert"), (2L, "b", "delete")))
+    assert(set(DeltaLite.changes(spark, path, 2L, 3L)) ===
+      Set((1L, "a", "delete")))
+    // end-to-end: v0 plus all changes replays to the latest state
+    assert(set(DeltaLite.changes(spark, path, 0L, 3L)) ===
+      Set((4L, "d", "insert"), (2L, "B", "insert"), (5L, "e", "insert"),
+        (2L, "b", "delete"), (1L, "a", "delete")))
+    // identical versions diff to empty
+    assert(DeltaLite.changes(spark, path, 2L, 2L).count() === 0)
+  }
+
   test("DeltaLite cluster (ZORDER-lite) makes data skipping effective") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_zorder").toString

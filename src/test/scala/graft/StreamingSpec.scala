@@ -126,6 +126,29 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming source over an append-only DeltaLite table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deltasrc")
+    val table = dir.resolve("bronze").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
+    val schema = graft.sources.DeltaLite.snapshot(table).schema
+    val q = Streams.fromDeltaLite(spark, table, schema)
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .writeStream.format("memory").queryName("deltasrc")
+      .outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.sources.DeltaLite.append(spark, table,
+        Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v").coalesce(1))
+      q.processAllAvailable()
+      val r = spark.table("deltasrc").as[(Long, Double)].collect().head
+      assert(r === ((3L, 60.0)), s"stream must see both commits, got $r")
+    } finally q.stop()
+  }
+
   test("transformWithState running totals (T7, Spark 4 API, RocksDB state)") {
     import spark.implicits._
     implicit val s = spark
