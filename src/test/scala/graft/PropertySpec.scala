@@ -19,6 +19,43 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     (0 until n).map(i =>
       rowsGen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil))
 
+  test("sketch aggregates equal their expression forms on random strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val strGen = Gen.listOfN(200, Gen.zip(
+      Gen.choose(0L, 19L),
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+        .flatMap(s => Gen.oneOf(s, s + " é∂", "", "  ", s.reverse))))
+    for (i <- 0 until 3) {
+      val rows = strGen.apply(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      val df = rows.toDF("id", "s")
+      // minhash_agg vs N min(xxhash64(i, s)) columns
+      val aggs = (0 until 8).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j"))
+      val viaExprs = df.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      val viaAgg = df.groupBy(col("id"))
+        .agg(call_function("minhash_agg", col("s"), lit(8)).as("sig"))
+        .select(col("id") +: (0 until 8).map(j => col("sig").getItem(j).as(s"m$j")): _*)
+      assert(viaExprs.exceptAll(viaAgg).count() === 0)
+      assert(viaAgg.exceptAll(viaExprs).count() === 0)
+      // simhash_agg vs the 64-column bit-sum form
+      val h = df.withColumn("h", xxhash64(col("s")))
+      val bitSums = (0 until 64).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+          .as(s"s$j") }
+      val summed = h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      val lo = (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val hi = (32 until 64)
+        .map(j => when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
+      val shExprs = summed.select(col("id"), lo.as("lo"), hi.as("hi"))
+      val shAgg = h.groupBy(col("id"))
+        .agg(call_function("simhash_agg", col("h")).as("sh"))
+        .select(col("id"), col("sh.lo").as("lo"), col("sh.hi").as("hi"))
+      assert(shExprs.exceptAll(shAgg).count() === 0)
+      assert(shAgg.exceptAll(shExprs).count() === 0)
+    }
+  }
+
   test("filter commutes with projection") {
     for (rows <- samples(5)) {
       import spark.implicits._
