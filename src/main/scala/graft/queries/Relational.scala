@@ -421,6 +421,25 @@ object Relational {
            ORDER BY gid ASC NULLS LAST, status ASC NULLS LAST,
                     priority ASC NULLS LAST"""),
 
+    // ------------------------------------------------------------- A4 (c)
+    // GROUP BY ALL / ORDER BY ALL — the DuckDB SQL convenience the
+    // reference's dbt models lean on; Spark 4 speaks the identical
+    // dialect, so one SQL text runs on both engines (like the recursive
+    // CTE). Resolves to the same keyed hash agg as an explicit GROUP BY.
+    QueryDef.sql("a11_group_by_all",
+      spark =
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  (round((avg(o_totalprice))*100)/100) AS avg_total
+           FROM orders
+           GROUP BY ALL
+           ORDER BY ALL NULLS LAST""",
+      oracle =
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  (round((avg(o_totalprice))*100)/100) AS avg_total
+           FROM orders
+           GROUP BY ALL
+           ORDER BY ALL NULLS LAST"""),
+
     // ------------------------------------------------------------------- A5
     // Filtered aggregation (DuckDB `FILTER (WHERE ...)`) via conditional
     // aggregation — identical partial-agg pipeline, no extra pass.

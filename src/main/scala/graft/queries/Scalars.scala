@@ -330,6 +330,32 @@ object Scalars {
          FROM events GROUP BY event_type
          ORDER BY event_type ASC NULLS LAST""")),
 
+    // ----------------------------------------------------------------- F11
+    // Error-safe scalar functions under ANSI mode: TRY_CAST of a
+    // partially-malformed string column and try_divide by a sometimes-
+    // zero denominator both yield NULL instead of failing the job — the
+    // ANSI-robustness contract a pipeline needs at 100 TB, where some
+    // malformed row always exists. The parsed value round-trips
+    // value→string→double identically in both engines regardless of
+    // their string renderings; DuckDB expresses try_divide as a CASE.
+    QueryDef("f11_try_funcs", (s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        expr("""try_cast(CASE WHEN event_id % 3 = 0
+                              THEN concat('x', CAST(value AS STRING))
+                              ELSE CAST(value AS STRING) END AS DOUBLE)""")
+          .as("parsed"),
+        expr("try_divide(value, CAST(event_id % 5 AS DOUBLE))").as("ratio"))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      """SELECT event_id,
+                TRY_CAST(CASE WHEN event_id % 3 = 0
+                              THEN concat('x', CAST(value AS VARCHAR))
+                              ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS parsed,
+                CASE WHEN event_id % 5 = 0 THEN NULL
+                     ELSE value / CAST(event_id % 5 AS DOUBLE) END AS ratio
+         FROM events ORDER BY event_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------- M1 (multimodal)
     // Multimodal columns (builder prompt / SURVEY §2.9): media carried as an
     // opaque binary column + typed metadata computed without decoding.
