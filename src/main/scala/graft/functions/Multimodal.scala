@@ -71,6 +71,29 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: decimate the payload by `factor` (every factor-th byte),
+    * updating the metadata dims — the byte-level stand-in for an image
+    * resample at the stub boundary above. Map-only; payload size (and so
+    * shuffle/storage cost downstream) drops by ~factor. */
+  def resizeStub(media: DataFrame, factor: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    media.select(col("id"), col("media"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // real pipeline: initialize the resampler ONCE here
+        rows.map { r =>
+          val out = Array.tabulate(r.media.length / factor)(i => r.media(i * factor))
+          MediaRow(r.id, out, r.format, r.width / factor, r.height / factor)
+        }
+      }
+      .select(col("id"), col("media"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
   /** Deterministic frame sampling over a fake "video" payload: fixed-size
     * byte windows as frames, every `stride`-th taken — the partition-local
     * pattern a real frame sampler follows. */

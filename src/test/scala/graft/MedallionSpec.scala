@@ -100,5 +100,12 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(frames.count() > 0)
     assert(frames.schema.fieldNames.toSeq ===
       Seq("id", "frame_idx", "frame_bytes", "frame_features"))
+    // resize: payload decimated, dims scaled, schema preserved
+    val resized = graft.functions.Multimodal.resizeStub(media, 4)
+    assert(resized.schema.fieldNames.toSeq === Seq("id", "media", "meta"))
+    val (origLen, resLen) = (
+      media.filter(col("id") === 0).select(length(col("media"))).head().getInt(0),
+      resized.filter(col("id") === 0).select(length(col("media"))).head().getInt(0))
+    assert(resLen === origLen / 4)
   }
 }
