@@ -271,6 +271,38 @@ object Medallion {
          FROM silver GROUP BY day, event_type
          ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S11
+    // Data-skipping read under the oracle gate: lineitem lands in a
+    // DeltaLite table range-clustered on ship date (tight per-file
+    // min/max), then the 1995 monthly revenue mart reads it through
+    // scan() with a ship-date bound — files outside 1995 are pruned
+    // before Spark opens them, and the exact row filter still applies.
+    // The oracle derives the same mart from the raw fixture, so the
+    // pruned read path is hash-checked end-to-end.
+    QueryDef("s11_skipping_scan", (s, dir) => {
+      val path = tmp("s11_delta")
+      val l = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      DeltaLite.create(s, path, l.repartitionByRange(8, col("l_shipdate")))
+      val lo = java.time.LocalDateTime.of(1995, 1, 1, 0, 0, 0)
+      val hi = java.time.LocalDateTime.of(1995, 12, 31, 23, 59, 59)
+      DeltaLite.scan(s, path,
+          Seq(DeltaLite.ColumnBound("l_shipdate", Some(lo), Some(hi))))
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+          lit("1995-12-31 23:59:59").cast("timestamp_ntz")))
+        .groupBy(month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(l_extendedprice * (1 - l_discount)))*100)/100").as("revenue"))
+        .orderBy(col("m").asc_nulls_last)
+    }, Some(
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS m, count(*) AS n,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100) AS revenue
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-12-31 23:59:59'
+         GROUP BY 1 ORDER BY m ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- S9
     // SCD Type-2 snapshot (dbt snapshot): each user's event_type history
     // as validity intervals. Ties within a second pre-deduped (max

@@ -104,9 +104,14 @@ object DeltaLite {
     case _ => false
   }
 
-  /** Encode a collected min/max value as JSON for the log. */
+  /** Encode a collected min/max value as JSON for the log. Also accepts
+    * the DECODED representation (epoch-day / epoch-micros longs for
+    * temporal types) so re-encoding a decoded stat is the identity —
+    * [[encodeAdd]] writes stats that [[decodeStat]] produced. */
   private def encodeStat(dt: DataType, v: Any): Option[JValue] = (dt, v) match {
     case (_, null) => None
+    case (DateType | TimestampType | TimestampNTZType, l: Long) =>
+      Some(JLong(l))
     case (FloatType, f: java.lang.Float) if f.isNaN => None
     case (DoubleType, d: java.lang.Double) if d.isNaN => None
     case (ByteType | ShortType | IntegerType | LongType, n: Number) =>

@@ -281,6 +281,48 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       (1 to 8).map(w => (0L until 10L).map(w * 100L + _).sum).sum)
   }
 
+  test("DeltaLite stats prune on date/timestamp/decimal/string; null stats never prune") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_typedstats").toString
+    def batch(off: Int) =
+      (0 until 10).map { i =>
+        val day = off * 10 + i + 1
+        (java.sql.Date.valueOf(f"2024-01-$day%02d"),
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+          BigDecimal(day * 100).setScale(2),
+          f"name_$day%03d",
+          day * 1.0)
+      }.toDF("d", "ts", "dec", "s", "v")
+    DeltaLite.create(spark, path, batch(0).coalesce(1))             // days 1-10
+    DeltaLite.append(spark, path, batch(1).coalesce(1))             // days 11-20
+    // a file where one column is ALL NULL → no stats for it → never pruned
+    DeltaLite.append(spark, path,
+      Seq((java.sql.Date.valueOf("2024-02-01"),
+        java.sql.Timestamp.valueOf("2024-02-01 12:00:00"),
+        null.asInstanceOf[BigDecimal], "zz", 99.0))
+        .toDF("d", "ts", "dec", "s", "v").coalesce(1))              // Feb, null dec
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.length === 3)
+    def pruned(b: DeltaLite.ColumnBound*) = DeltaLite.pruneFiles(snap, b).length
+    // date bound: only the days 11-20 file
+    assert(pruned(DeltaLite.ColumnBound("d",
+      Some(java.sql.Date.valueOf("2024-01-12")),
+      Some(java.sql.Date.valueOf("2024-01-15")))) === 1)
+    // timestamp bound: the Feb file only
+    assert(pruned(DeltaLite.ColumnBound("ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")), None)) === 1)
+    // decimal bound: days 1-10 file (dec 100-1000) + the null-stats file
+    assert(pruned(DeltaLite.ColumnBound("dec",
+      None, Some(BigDecimal(1000)))) === 2)
+    // string bound: lexicographic [name_011, name_020] → middle file; the
+    // "zz" file is excluded by its own stats
+    assert(pruned(DeltaLite.ColumnBound("s",
+      Some("name_011"), Some("name_020"))) === 1)
+    // bound on a column with no stats anywhere (array-typed would be) or
+    // unknown column: nothing pruned
+    assert(pruned(DeltaLite.ColumnBound("nope", Some(1), Some(2))) === 3)
+  }
+
   test("DeltaLite change data feed diffs versions from touched files only") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_cdf").toString
