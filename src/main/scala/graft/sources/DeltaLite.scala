@@ -61,7 +61,8 @@ object DeltaLite {
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats])
 
   /** Resolved table state at a version: schema + live file set. */
-  final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile]) {
+  final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
   }
@@ -221,22 +222,24 @@ object DeltaLite {
       s"version $v was never committed at $path")
     var schema: StructType = null
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
     ckpt.foreach { cv =>
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
-        s => schema = s, live)
+        s => schema = s, live, txns)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
-        s => schema = s, live)
+        s => schema = s, live, txns)
     }
     require(schema != null, s"log at $path has no metaData action")
-    Snapshot(v, schema, live.values.toSeq)
+    Snapshot(v, schema, live.values.toSeq, txns.toMap)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
-      live: scala.collection.mutable.LinkedHashMap[String, AddFile]): Unit = {
+      live: scala.collection.mutable.LinkedHashMap[String, AddFile],
+      txns: scala.collection.mutable.HashMap[String, Long]): Unit = {
     var schema: StructType = null
     lines.filter(_.nonEmpty).foreach { line =>
       parseLine(line) match {
@@ -251,6 +254,12 @@ object DeltaLite {
             live(af.path) = af
           case ("remove", JObject(r)) =>
             r.collectFirst { case ("path", JString(p)) => p }.foreach(live.remove)
+          case ("txn", JObject(t)) =>
+            val m = t.toMap
+            for {
+              app <- m.get("app").collect { case JString(a) => a }
+              ver <- m.get("version").collect { case JLong(l) => l; case JInt(i) => i.toLong }
+            } txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
           case _ => ()
         }
         case _ => ()
@@ -345,7 +354,8 @@ object DeltaLite {
 
   /** Atomically commit a version: actions to a temp file, then rename. */
   private def writeCommit(path: String, version: Long, op: String,
-      schema: StructType, adds: Seq[AddFile], removes: Seq[String]): Long = {
+      schema: StructType, adds: Seq[AddFile], removes: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(logDir(path))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
@@ -353,6 +363,8 @@ object DeltaLite {
         "committedAtMs" -> JLong(System.currentTimeMillis())))))),
       JsonMethods.compact(JObject(List("metaData" -> JObject(List(
         "schema" -> JString(schema.json))))))) ++
+      txn.map { case (app, ver) => JsonMethods.compact(JObject(List("txn" ->
+        JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) }.toSeq ++
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
       adds.map(f => JsonMethods.compact(encodeAdd(f, schema)))
@@ -381,8 +393,11 @@ object DeltaLite {
   private def writeCheckpoint(path: String, version: Long): Unit = {
     val snap = snapshot(path, Some(version))
     val lines =
-      JsonMethods.compact(JObject(List("metaData" -> JObject(List(
+      (JsonMethods.compact(JObject(List("metaData" -> JObject(List(
         "schema" -> JString(snap.schema.json)))))) +:
+      snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+        JsonMethods.compact(JObject(List("txn" -> JObject(List(
+          "app" -> JString(app), "version" -> JLong(ver)))))) }) ++
       snap.files.map(f => JsonMethods.compact(encodeAdd(f, snap.schema)))
     val tmp = logDir(path).resolve(
       s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
@@ -402,14 +417,21 @@ object DeltaLite {
     * protocol's auto-resolvable-conflict rule. The batch's data files
     * are already on disk and stay valid across retries. */
   private def commitAddsWithRetry(path: String, op: String,
-      batchSchema: StructType, adds: Seq[AddFile]): Long = {
+      batchSchema: StructType, adds: Seq[AddFile],
+      txn: Option[(String, Long)] = None): Long = {
     var attempts = 0
     while (true) {
       val snap = snapshot(path)
+      // txn idempotence (Delta's streaming-sink rule): if this app already
+      // committed this or a later txn version — including via a racing
+      // duplicate of ourselves — the batch is already in the table.
+      txn.foreach { case (app, ver) =>
+        if (snap.txns.get(app).exists(_ >= ver)) return snap.version
+      }
       val known = snap.schema.fieldNames.toSet
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
-      try return writeCommit(path, snap.version + 1, op, schema, adds, Nil)
+      try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -478,6 +500,23 @@ object DeltaLite {
     val snap = snapshot(path)
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds)
+  }
+
+  /** Idempotent append for exactly-once sinks (Delta's `txn` action):
+    * the commit records (`app`, `txnVersion`); if the log already holds a
+    * txn for `app` at or beyond `txnVersion`, the batch was landed by a
+    * previous run (or a racing duplicate) and this call is a no-op — the
+    * restart-safety contract a streaming foreachBatch sink needs. NOTE:
+    * the batch's data files are written before the check-and-commit, so
+    * a skipped duplicate leaves orphan files that [[vacuum]] reclaims —
+    * the same garbage real Delta leaves for failed optimistic writers. */
+  def appendOnce(spark: SparkSession, path: String, df: DataFrame,
+      app: String, txnVersion: Long): Long = {
+    val snap = snapshot(path)
+    if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
+    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
+    commitAddsWithRetry(path, "APPEND", snap.schema, adds,
+      txn = Some((app, txnVersion)))
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the

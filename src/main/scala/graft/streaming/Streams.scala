@@ -46,13 +46,14 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming medallion ingestion: land each micro-batch in a DeltaLite
-    * table as a file-level APPEND commit (CREATE on the first batch) —
-    * the bronze-layer write path of a streaming medallion pipeline. Each
-    * commit adds only the batch's files (O(batch)). A production sink
-    * would also record the batchId in the commit and skip already-landed
-    * batches on restart (the Delta streaming sink's txn-version
-    * idempotence pattern); the checkpoint bounds reprocessing here.
-    * Returns a started query writing to `path` with `checkpoint`. */
+    * table as a file-level APPEND commit — the bronze-layer write path of
+    * a streaming medallion pipeline. Each commit adds only the batch's
+    * files (O(batch)) and records the batchId as a Delta-style `txn`
+    * action via [[graft.sources.DeltaLite.appendOnce]], so a restarted
+    * query that replays a batch is a no-op — exactly-once at the commit
+    * level, the Delta streaming sink's idempotence contract. The first
+    * batch creates the table (empty commit 0, then the idempotent
+    * append). Returns a started query writing to `path`. */
   def toDeltaLite(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
@@ -60,9 +61,9 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (graft.sources.DeltaLite.latestVersion(path).isEmpty)
-          graft.sources.DeltaLite.create(batch.sparkSession, path, batch)
-        else
-          graft.sources.DeltaLite.append(batch.sparkSession, path, batch)
+          graft.sources.DeltaLite.create(batch.sparkSession, path, batch.limit(0))
+        graft.sources.DeltaLite.appendOnce(batch.sparkSession, path, batch,
+          app = s"graft-stream", txnVersion = batchId)
         ()
       }
       .start()

@@ -238,6 +238,26 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path, Some(10L)).count() === 11)
   }
 
+  test("DeltaLite txn idempotence survives a log checkpoint") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_txnckpt").toString
+    DeltaLite.create(spark, path, Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    DeltaLite.appendOnce(spark, path,
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1), app = "job", txnVersion = 7L)
+    // push past a checkpoint boundary (checkpoint at v10)
+    (0 until 11).foreach { i =>
+      DeltaLite.append(spark, path, Seq((100L + i, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_log", "checkpoint-10.json")))
+    assert(DeltaLite.snapshot(path).txns === Map("job" -> 7L))
+    // the duplicate is still rejected after the checkpoint took over replay
+    val n = DeltaLite.read(spark, path).count()
+    DeltaLite.appendOnce(spark, path,
+      Seq((999L, 9.0)).toDF("k", "v").coalesce(1), app = "job", txnVersion = 7L)
+    assert(DeltaLite.read(spark, path).count() === n)
+  }
+
   test("DeltaLite compactSmall packs only small files, leaves big ones") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_pack").toString

@@ -123,6 +123,20 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(snap.version >= 1L)
       assert(v0Files.subsetOf(snap.files.map(_.path).toSet))
       assert(graft.sources.DeltaLite.read(spark, table).count() === 3)
+      // restart idempotence: replaying an already-landed batchId is a
+      // no-op (the txn action in the log rejects the duplicate)
+      val before = graft.sources.DeltaLite.snapshot(table)
+      graft.sources.DeltaLite.appendOnce(spark, table,
+        Seq((99L, ts(9), "dup", 99.0)).toDF("event_id", "ts", "event_type", "value"),
+        app = "graft-stream", txnVersion = 0L)
+      val after = graft.sources.DeltaLite.snapshot(table)
+      assert(after.version === before.version)
+      assert(graft.sources.DeltaLite.read(spark, table).count() === 3)
+      // a NEW txn version still lands
+      graft.sources.DeltaLite.appendOnce(spark, table,
+        Seq((4L, ts(4), "click", 4.0)).toDF("event_id", "ts", "event_type", "value"),
+        app = "graft-stream", txnVersion = 100L)
+      assert(graft.sources.DeltaLite.read(spark, table).count() === 4)
     } finally q.stop()
   }
 
