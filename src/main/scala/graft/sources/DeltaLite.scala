@@ -56,9 +56,13 @@ object DeltaLite {
     * is all-null for the column or the type is stat-ineligible). */
   final case class ColStats(min: Option[Any], max: Option[Any])
 
-  /** One live data file: path relative to the table root + row count +
-    * data-skipping stats. */
-  final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats])
+  /** One live data file: path relative to the table root + PHYSICAL row
+    * count + data-skipping stats + optional deletion vector. `dv` points
+    * at a parquet dir of (path, row_index) soft-deleted positions for
+    * this file; `rows`/`stats` stay physical (valid upper bounds for
+    * pruning — a DV only ever removes rows). */
+  final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
+      dv: Option[String] = None)
 
   /** Resolved table state at a version: schema + live file set. */
   final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
@@ -291,7 +295,8 @@ object DeltaLite {
         }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    AddFile(p, rows, stats)
+    val dv = m.get("dv").collect { case JString(d) => d }
+    AddFile(p, rows, stats, dv)
   }
 
   // -------------------------------------------------------------- write
@@ -349,7 +354,8 @@ object DeltaLite {
         "max" -> cs.max.flatMap(encodeStat(dt, _)).getOrElse(JNull)))
     })
     JObject(List("add" -> JObject(List(
-      "path" -> JString(f.path), "rows" -> JLong(f.rows), "stats" -> stats))))
+      "path" -> JString(f.path), "rows" -> JLong(f.rows),
+      "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats))))
   }
 
   /** Atomically commit a version: actions to a temp file, then rename. */
@@ -479,10 +485,79 @@ object DeltaLite {
       files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else {
+    else if (files.forall(_.dv.isEmpty)) {
       val r = root(path)
       spark.read.schema(schema).parquet(files.map(f => r.resolve(f.path).toString): _*)
+    } else
+      readFilesWithPos(spark, path, schema, files)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Like [[readFiles]] but with `path` (table-relative) and `row_index`
+    * position columns, deletion vectors applied — the row-position view
+    * that both the DV read path and DV creation share. */
+  private def readFilesWithPos(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[AddFile]): DataFrame = {
+    val r = root(path)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(schema.fields ++ Seq(StructField("path", StringType),
+          StructField("row_index", LongType))))
+    val prefixLen = s"file:$r/".length + 1 // substring is 1-based
+    val data = spark.read.schema(schema)
+      .parquet(files.map(f => r.resolve(f.path).toString): _*)
+      .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
+      .withColumn("row_index", col("_metadata.row_index"))
+    val dvDirs = files.flatMap(_.dv).distinct
+    if (dvDirs.isEmpty) data
+    else {
+      // deletion vectors: anti-join (file, row_index) against the DV
+      // rows — the DV side is tiny and broadcasts; data files are
+      // never rewritten by a soft delete
+      val dv = broadcast(
+        spark.read.parquet(dvDirs.map(d => r.resolve(d).toString): _*)
+          .select(col("path").as("__dv_path"), col("row_index").as("__dv_ri")))
+      data.join(dv,
+        col("path") === col("__dv_path") && col("row_index") === col("__dv_ri"),
+        "left_anti").drop("__dv_path", "__dv_ri")
     }
+  }
+
+  /** Soft delete via DELETION VECTORS (the Delta DV feature): rows
+    * matching `cond` are recorded as (file, row_index) positions in a DV
+    * parquet; the data files are NOT rewritten — the commit re-adds each
+    * touched file with its new DV attached, and every read path
+    * anti-joins the (tiny, broadcast) DV. The write cost of a delete
+    * drops from O(touched file bytes) to O(deleted row positions);
+    * [[compact]]/[[cluster]] materialize DVs away, [[vacuum]] keeps DV
+    * files of retained versions. Prior DVs of touched files are folded
+    * into the new DV so each file references exactly one. */
+  def deleteVectorized(spark: SparkSession, path: String, cond: Column): Long = {
+    val snap = snapshot(path)
+    val r = root(path)
+    val hit = coalesce(cond, lit(false))
+    val matches = readFilesWithPos(spark, path, snap.schema, snap.files)
+      .filter(hit)
+      .select("path", "row_index")
+    val touched = matches.select("path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty)
+      return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil)
+    val touchedSet = touched.toSet
+    val priorDvDirs = snap.files
+      .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
+    val priorRows =
+      if (priorDvDirs.isEmpty) None
+      else Some(spark.read.parquet(priorDvDirs.map(d => r.resolve(d).toString): _*)
+        .filter(col("path").isin(touched: _*)))
+    val dvRel = f"dv-${snap.version + 1}%05d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    priorRows.map(matches.unionByName(_)).getOrElse(matches)
+      .write.mode("errorifexists").parquet(r.resolve(dvRel).toString)
+    val readds = snap.files.filter(f => touchedSet.contains(f.path))
+      .map(_.copy(dv = Some(dvRel)))
+    commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
+      readds, touched)
+  }
 
   // ----------------------------------------------------------- write API
 
@@ -672,14 +747,17 @@ object DeltaLite {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val from = snapshot(path, Some(fromVersion))
     val to = snapshot(path, Some(toVersion))
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
+    // identity = (path, dv): a deletion-vector change re-adds the same
+    // physical file with a new DV, and the shared surviving rows cancel
+    // in the exceptAll below — only the newly-deleted rows surface
+    val fromKeys = from.files.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.files.map(f => (f.path, f.dv)).toSet
     // read through the LATER schema so evolved columns align (nulls for
     // rows from pre-evolution files)
     val removedRows = readFiles(spark, path, to.schema,
-      from.files.filterNot(f => toPaths.contains(f.path)))
+      from.files.filterNot(f => toKeys.contains((f.path, f.dv))))
     val addedRows = readFiles(spark, path, to.schema,
-      to.files.filterNot(f => fromPaths.contains(f.path)))
+      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))))
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
@@ -730,8 +808,10 @@ object DeltaLite {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
     val keepFrom = math.max(0L, latest - keepVersions + 1)
-    val referenced = (keepFrom to latest)
-      .flatMap(v => snapshot(path, Some(v)).files.map(_.path)).toSet
+    val keptSnaps = (keepFrom to latest).map(v => snapshot(path, Some(v)))
+    val referenced = keptSnaps.flatMap(_.files.map(_.path)).toSet
+    // a referenced deletion vector keeps every file under its dir
+    val referencedDvDirs = keptSnaps.flatMap(_.files.flatMap(_.dv)).distinct
     val r = root(path)
     val all = Files.walk(r)
     try {
@@ -739,6 +819,7 @@ object DeltaLite {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .map(p => r.relativize(p).toString)
         .filterNot(referenced.contains)
+        .filterNot(rel => referencedDvDirs.exists(d => rel.startsWith(d + "/")))
         .toList
       victims.foreach(p => Files.delete(r.resolve(p)))
       victims.size

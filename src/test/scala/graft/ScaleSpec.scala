@@ -343,6 +343,46 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(pruned(DeltaLite.ColumnBound("nope", Some(1), Some(2))) === 3)
   }
 
+  test("DeltaLite deletion vectors: soft delete without rewriting data files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_dv").toString
+    DeltaLite.create(spark, path,
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    DeltaLite.append(spark, path,
+      (100L until 200L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    val dataFiles = DeltaLite.snapshot(path).files.map(_.path).toSet
+
+    val vDel = DeltaLite.deleteVectorized(spark, path, $"k" % 10 === 0 && $"k" < 100)
+    val snap = DeltaLite.snapshot(path)
+    // same physical files — the low file re-added with a DV, high file untouched
+    assert(snap.files.map(_.path).toSet === dataFiles)
+    assert(snap.files.count(_.dv.isDefined) === 1)
+    assert(DeltaLite.read(spark, path).count() === 190)
+    assert(DeltaLite.read(spark, path).filter($"k" === 50).count() === 0)
+    // time travel to before the delete still sees all rows
+    assert(DeltaLite.read(spark, path, Some(vDel - 1)).count() === 200)
+
+    // second DV delete folds the prior vector
+    DeltaLite.deleteVectorized(spark, path, $"k" === 5L)
+    assert(DeltaLite.read(spark, path).count() === 189)
+    assert(DeltaLite.snapshot(path).files.count(_.dv.isDefined) === 1)
+
+    // CDF across the first DV commit: exactly the 10 soft-deleted rows
+    val cdf = DeltaLite.changes(spark, path, vDel - 1, vDel)
+      .as[(Long, Double, String)].collect().toSet
+    assert(cdf === (0L until 100L by 10).map(k => (k, k * 1.0, "delete")).toSet)
+
+    // compaction materializes the DV away; results unchanged
+    DeltaLite.compact(spark, path, numFiles = 1)
+    val compacted = DeltaLite.snapshot(path)
+    assert(compacted.files.forall(_.dv.isEmpty))
+    assert(DeltaLite.read(spark, path).count() === 189)
+
+    // vacuum keeps only the live compacted file + nothing DV'd remains live
+    DeltaLite.vacuum(path, keepVersions = 1)
+    assert(DeltaLite.read(spark, path).count() === 189)
+  }
+
   test("DeltaLite change data feed diffs versions from touched files only") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_cdf").toString
