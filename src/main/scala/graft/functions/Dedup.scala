@@ -125,6 +125,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the CLUSTER-level dedup
+    * decision: each doc gets the minimum doc-id of its duplicate group as
+    * `component`, so "keep one per group" is `filter(id === component)`.
+    * Iterative min-label propagation: labels flow along edges until a
+    * fixpoint (≤ graph-diameter rounds; near-dup graphs are
+    * small-diameter clusters, so a handful). Each round is one keyed
+    * shuffle — at 100 TB this is the standard large-graph CC shape
+    * (label propagation / hash-min), with the driver doing only the
+    * convergence check. Caches the frontier per round and unpersists. */
+  def connectedComponents(pairs: DataFrame, ida: String = "ida",
+      idb: String = "idb", maxIter: Int = 20): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col(ida).as("src"), col(idb).as("dst"))
+      .unionByName(pairs.select(col(idb).as("src"), col(ida).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(msgs, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------- Hyperplane-LSH ANN
 
   private def splitmix(seed: Long): Long = {

@@ -16,10 +16,13 @@ object TextFunctions {
     * BPE-ish fallback regex splits off punctuation for real corpora). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Token count via the BPE-ish regex path: words OR single non-space
-    * symbols, approximating a subword tokenizer's pre-tokenization. */
+  /** Token count via the BPE-ish regex path: word runs OR single
+    * non-space symbols — a subword tokenizer's pre-tokenization. The
+    * extraction regex `\w+|[^\w\s]` is deliberately lookaround-free so it
+    * means the same thing under Java regex and RE2 (DuckDB) — which makes
+    * the count oracle-checkable (l4_token_count). */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^\\w])|(?<=[^\\w])"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
   /** 3-word shingles of a token-array column (by name, so the token array
     * is computed once upstream). Empty when fewer than 3 tokens. */

@@ -455,6 +455,29 @@ object Llm {
                 (round((sqrt(greatest(qa + qb - 2*dot, 0)))*10000)/10000) AS dist
          FROM d ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (g)
+    // BPE-ish token counting (builder prompt: "whitespace + a BPE-ish
+    // regex"): per-language corpus totals under BOTH tokenizations. The
+    // extraction regex is lookaround-free so Java regex (Spark) and RE2
+    // (DuckDB) agree symbol for symbol. Map-only + one small agg.
+    QueryDef("l4_token_count", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          TextFunctions.tokenCount(col("text")).as("bpe_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws"),
+          sum(col("bpe_tokens")).as("total_bpe"),
+          expr("round((avg(bpe_tokens))*10000)/10000").as("avg_bpe"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
+                CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpe,
+                (round((avg(len(regexp_extract_all(text, '\w+|[^\w\s]'))))*10000)/10000) AS avg_bpe
+         FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L4 (f)
     // TF-IDF top terms per document — the classic relevance weighting a
     // curation pipeline uses for keyword extraction / topic balance.

@@ -130,6 +130,27 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(single.values.forall(_.size == 1) && multi.values.forall(_.size == 2))
   }
 
+  test("connected components groups near-dup pairs into duplicate clusters") {
+    import spark.implicits._
+    // two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("ida", "idb")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // keep-one-per-group = the component representatives
+    assert(cc.filter { case (id, comp) => id == comp }.keySet === Set(1L, 10L, 20L))
+    // end-to-end with real candidates: every minhash near-dup pair lands
+    // in one component
+    val nd = Dedup.minHashNearDups(corpus, "doc_id", "text", threshold = 0.8)
+    val comp = Dedup.connectedComponents(nd)
+      .as[(Long, Long)].collect().toMap
+    val offenders = nd.select("ida", "idb").as[(Long, Long)].collect()
+      .filter { case (a, b) => comp(a) != comp(b) }
+    assert(offenders.isEmpty, s"pairs split across components: ${offenders.take(5).toSeq}")
+  }
+
   test("exact dedup: md5 grouping is a fixpoint") {
     val d = Tables.t(spark, sf, "documents")
     val once = d.withColumn("h", md5(col("text").cast("binary")))
