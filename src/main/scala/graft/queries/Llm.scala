@@ -455,6 +455,22 @@ object Llm {
                 (round((sqrt(greatest(qa + qb - 2*dot, 0)))*10000)/10000) AS dist
          FROM d ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L2 (f)
+    // Cluster-level dedup decision: MinHash-LSH near-dup pairs →
+    // connected components → one row per duplicate GROUP with its keep
+    // representative (min doc id) and members. Rows-only (iterative
+    // label propagation isn't SQL-expressible); component/pair
+    // consistency is property-tested in DedupSpec.
+    QueryDef("l2_dedup_groups", (s, dir) => {
+      val pairs = Dedup.minHashNearDups(
+        corpusWithDups(s, dir), "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",", array_sort(collect_list(col("id")))).as("members"))
+        .orderBy(col("component").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------- L4 (g)
     // BPE-ish token counting (builder prompt: "whitespace + a BPE-ish
     // regex"): per-language corpus totals under BOTH tokenizations. The
