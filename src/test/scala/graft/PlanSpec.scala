@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants for the flagship queries — the 100 TB design
+  * claims of docs/PLANS.md enforced as tests, so a regression that
+  * silently de-optimizes a plan (lost pushdown, a dimension that stops
+  * broadcasting, candidate generation decaying to a cross product) fails
+  * the suite instead of only showing up in a bench number. Plans are
+  * inspected pre-execution (AQE not yet finalized) — the invariants below
+  * are all decided at planning time. */
+class PlanSpec extends AnyFunSuite with TestSpark {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("a1_groupby_aggs: date predicate reaches the parquet scan") {
+    val p = plan("a1_groupby_aggs")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected a pushed l_shipdate filter in:\n$p")
+    assert(!p.contains("ReadSchema: struct<l_orderkey"),
+      "scan must not read unprojected columns")
+  }
+
+  test("j1_join_inner: every dimension broadcasts; the fact side never sort-merges") {
+    val p = plan("j1_join_inner")
+    assert(count(p, "BroadcastHashJoin") === 5,
+      s"expected 5 broadcast joins in the star join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no dimension join may fall back to sort-merge at this scale")
+  }
+
+  test("o3_topk: top-k compiles to TakeOrderedAndProject") {
+    assert(plan("o3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("l3_cosine_topk: per-group limit pushed below the ranking window") {
+    assert(plan("l3_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("j7_asof_join: exactly one keyed shuffle feeds the as-of window") {
+    val p = plan("j7_asof_join")
+    assert(count(p, "Window") >= 1)
+    // the as-of key (__k) is shuffled exactly once, for the window; the
+    // only other hash exchange is the build side's pre-aggregation on its
+    // own keys — no per-key explosion, no repeated key shuffle
+    assert(count(p, "Exchange hashpartitioning(__k") === 1,
+      s"the as-of union must shuffle once on the key:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2)
+  }
+
+  test("minhash/simhash candidate generation is equality-join shaped") {
+    Seq("l2_minhash_lsh", "l2_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from equality joins, got:\n$p")
+    }
+  }
+
+  test("sketch aggregates run as object hash aggregates with partial merge") {
+    val p = plan("l2_simhash")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"expected partial+final ObjectHashAggregate pairs in:\n$p")
+  }
+
+  test("f10_variant: scan reads only the projected columns") {
+    val p = plan("f10_variant")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"variant query must read exactly 2 columns:\n$p")
+  }
+}
