@@ -471,7 +471,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val history = scala.collection.mutable.ArrayBuffer(model)
 
     (1 to 24).foreach { _ =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(7) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
           model = model ++ b
@@ -498,6 +498,17 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         case 4 => // maintenance: no logical change
           if (rnd.nextBoolean()) DeltaLite.compactSmall(spark, path, minRows = 5L)
           else DeltaLite.compact(spark, path, numFiles = 2)
+        case 5 => // deletion-vector soft delete of a residue class
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val doomed = model.keys.filter(_ % m == r).toSet
+          model = model -- doomed
+          DeltaLite.deleteVectorized(spark, path, pmod(col("k"), lit(m)) === r)
+        case 6 => // replaceWhere a key range with fresh rows
+          val cut = if (model.isEmpty) 0L else model.keys.max / 3
+          val repl = freshBatch(3)
+          model = model.filter { case (k, _) => k >= cut } ++ repl
+          DeltaLite.replaceWhere(spark, path, col("k") < cut,
+            repl.toDF("k", "v").coalesce(1))
       }
       history += model
       // maintenance ops may or may not commit; track actual version count
