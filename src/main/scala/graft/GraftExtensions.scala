@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, MinHashAgg, SimHashAgg}
+import graft.functions.{FloatVectorDot, InterleaveBits, MinHashAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       GraftExtensions.minHashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1))))
   }
 }

@@ -99,5 +99,12 @@ object GraftFunctions {
         graft.GraftExtensions.minHashBuilder,
         "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "interleave_bits",
+        (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1)),
+        "scala_udf")
+    }
   }
 }

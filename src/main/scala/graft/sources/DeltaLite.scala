@@ -800,6 +800,27 @@ object DeltaLite {
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path))
   }
 
+  /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
+    * (a, b)`): rewrite the live set range-partitioned on the Morton
+    * interleave of the keys (codegen'd
+    * [[graft.functions.InterleaveBits]]), so each file covers a tight
+    * 2-D box and min/max skipping prunes on EITHER column — where
+    * [[cluster]]'s linear ordering only tightens the leading key. */
+  def clusterZ(spark: SparkSession, path: String, colA: String, colB: String,
+      numFiles: Int): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val snap = snapshot(path)
+    val rewritten = readFiles(spark, path, snap.schema, snap.files)
+      .withColumn("__z", call_function("interleave_bits",
+        col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, rewritten, snap.schema)
+    commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path))
+  }
+
   /** Physically delete data files not referenced by the newest
     * `keepVersions` snapshots (Delta `VACUUM`): the retention boundary —
     * time travel older than that stops working, by design. Returns the

@@ -8,6 +8,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * uuid, Bernoulli sampling. */
 class FunctionsSpec extends AnyFunSuite with TestSpark {
 
+  test("interleave_bits: codegen equals interpreted equals reference morton") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (12345L, 67890L)).toDF("a", "b")
+    val out = df.select(call_function("interleave_bits", $"a", $"b").as("z"))
+      .as[Long].collect()
+    val expected = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (12345L, 67890L))
+      .map { case (a, b) => graft.functions.InterleaveBits.morton(a, b) }
+    assert(out.toSeq === expected)
+    assert(expected(1) === 1L)   // (1,0) -> bit 0
+    assert(expected(2) === 2L)   // (0,1) -> bit 1
+    assert(expected(4) === -1L)  // full 32+32 bits -> all 64 bits set
+  }
+
   test("GraftExtensions injects vec_dot (no manual registration)") {
     // TestSpark's session was built with
     // spark.sql.extensions=graft.GraftExtensions — vec_dot must resolve

@@ -435,6 +435,32 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() === 8 * 51)
   }
 
+  test("DeltaLite Z-order clustering prunes on BOTH dimensions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_z").toString
+    // 64x64 grid of (a, b) keys in row-major order: linear clustering on
+    // `a` leaves every file spanning the FULL b range
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b, a * 64.0 + b)
+    DeltaLite.create(spark, path, grid.toDF("a", "b", "v").coalesce(1))
+    DeltaLite.cluster(spark, path, Seq("a"), numFiles = 16)
+    val linear = DeltaLite.snapshot(path)
+    val box = Seq(
+      DeltaLite.ColumnBound("a", Some(8L), Some(15L)),
+      DeltaLite.ColumnBound("b", Some(8L), Some(15L)))
+    val prunedLinear = DeltaLite.pruneFiles(linear, box).length
+
+    DeltaLite.clusterZ(spark, path, "a", "b", numFiles = 16)
+    val z = DeltaLite.snapshot(path)
+    val prunedZ = DeltaLite.pruneFiles(z, box).length
+    assert(prunedZ < prunedLinear,
+      s"z-order must beat linear clustering on a 2-D box: z=$prunedZ linear=$prunedLinear")
+    assert(prunedZ <= 2, s"an aligned 8x8 box should live in <=2 z-files, got $prunedZ")
+    // correctness preserved under the pruned scan
+    val q = DeltaLite.scan(spark, path, box)
+      .filter($"a".between(8L, 15L) && $"b".between(8L, 15L))
+    assert(q.count() === 64)
+  }
+
   test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_vac").toString
