@@ -559,6 +559,13 @@ object DeltaLite {
       readds, touched)
   }
 
+  /** Expose a DeltaLite table to SQL as a temp view (optionally pinned to
+    * a version) — the EP3 ad-hoc surface over the storage layer:
+    * `SELECT ... FROM <name>` after registration. */
+  def registerView(spark: SparkSession, name: String, path: String,
+      asOf: Option[Long] = None): Unit =
+    read(spark, path, asOf).createOrReplaceTempView(name)
+
   // ----------------------------------------------------------- write API
 
   def create(spark: SparkSession, path: String, df: DataFrame): Long = {

@@ -163,6 +163,36 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming medallion hop: DeltaLite source -> transform -> DeltaLite sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hop")
+    val bronze = dir.resolve("bronze").toString
+    val silver = dir.resolve("silver").toString
+    graft.sources.DeltaLite.create(spark, bronze,
+      Seq((1L, "click", 1.0), (2L, "view", -5.0)).toDF("event_id", "event_type", "value")
+        .coalesce(1))
+    val schema = graft.sources.DeltaLite.snapshot(bronze).schema
+    // silver = cleaned bronze (drop non-positive values), streamed
+    val q = Streams.toDeltaLite(
+      Streams.fromDeltaLite(spark, bronze, schema).filter(col("value") > 0),
+      silver, dir.resolve("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(graft.sources.DeltaLite.read(spark, silver).count() === 1)
+      // a new bronze append flows through the hop as its own micro-batch
+      graft.sources.DeltaLite.append(spark, bronze,
+        Seq((3L, "click", 3.0), (4L, "view", 0.0)).toDF("event_id", "event_type", "value")
+          .coalesce(1))
+      q.processAllAvailable()
+      val out = graft.sources.DeltaLite.read(spark, silver)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(out === Seq(1L, 3L))
+      // SQL surface over the landed silver table
+      graft.sources.DeltaLite.registerView(spark, "silver_hop", silver)
+      assert(spark.sql("SELECT count(*) FROM silver_hop").as[Long].head() === 2L)
+    } finally q.stop()
+  }
+
   test("transformWithState running totals (T7, Spark 4 API, RocksDB state)") {
     import spark.implicits._
     implicit val s = spark
