@@ -559,6 +559,38 @@ object DeltaLite {
       readds, touched)
   }
 
+  /** `TIMESTAMP AS OF` time travel: the newest version committed at or
+    * before `tsMillis` (from the logged `committedAtMs` headers — only
+    * the one-line commit headers are parsed, not the action bodies). */
+  def versionAtTimestamp(path: String, tsMillis: Long): Long = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val vs = (0L to latest).flatMap { v =>
+      val first = Files.lines(logDir(path).resolve(s"$v.json"))
+      try {
+        val header = first.iterator().asScala.take(1).toSeq.headOption
+        header.flatMap(parseLine(_) match {
+          case JObject(fields) => fields.collectFirst {
+            case ("commit", JObject(c)) => c.collectFirst {
+              case ("committedAtMs", JLong(ms)) => (v, ms)
+              case ("committedAtMs", JInt(ms)) => (v, ms.toLong)
+            }
+          }.flatten
+          case _ => None
+        })
+      } finally first.close()
+    }
+    vs.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $path existed at or before timestamp $tsMillis"))
+  }
+
+  /** Snapshot read pinned to a wall-clock instant (Delta
+    * `TIMESTAMP AS OF`). */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAtTimestamp(path, tsMillis)))
+
   /** Expose a DeltaLite table to SQL as a temp view (optionally pinned to
     * a version) — the EP3 ad-hoc surface over the storage layer:
     * `SELECT ... FROM <name>` after registration. */

@@ -461,6 +461,31 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() === 64)
   }
 
+  test("DeltaLite TIMESTAMP AS OF resolves the version live at that instant") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_tt").toString
+    DeltaLite.create(spark, path, Seq((1L, 1.0)).toDF("k", "v"))
+    DeltaLite.append(spark, path, Seq((2L, 2.0)).toDF("k", "v"))
+    DeltaLite.append(spark, path, Seq((3L, 3.0)).toDF("k", "v"))
+    // read the logged commit instants back (no wall-clock in the test)
+    def committedAt(v: Long): Long = {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path, "_graft_log", s"$v.json")).get(0)
+      """"committedAtMs":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    }
+    assert(DeltaLite.versionAtTimestamp(path, committedAt(0)) === 0L)
+    assert(DeltaLite.versionAtTimestamp(path, committedAt(2) + 1000) === 2L)
+    // an instant between commits resolves to the earlier one
+    val between = committedAt(1)
+    val vAt = DeltaLite.versionAtTimestamp(path, between)
+    assert(vAt === 1L || (vAt === 2L && committedAt(2) == between),
+      "instant at commit 1 resolves to v1 (or v2 only on an exact tie)")
+    assert(DeltaLite.readAsOfTimestamp(spark, path, committedAt(1)).count() >= 2)
+    intercept[IllegalArgumentException] {
+      DeltaLite.versionAtTimestamp(path, committedAt(0) - 100000)
+    }
+  }
+
   test("DeltaLite vacuum: physically deletes unreferenced files, keeps retained versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_vac").toString
