@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.operators.SkewJoin
 import graft.sources.DeltaLite
 import org.apache.spark.sql.functions._
@@ -459,6 +460,33 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val q = DeltaLite.scan(spark, path, box)
       .filter($"a".between(8L, 15L) && $"b".between(8L, 15L))
     assert(q.count() === 64)
+  }
+
+  test("DeltaLite crash safety: a dead writer's leftovers never corrupt reads") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_crash").toString
+    DeltaLite.create(spark, path,
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    // simulate a writer that died mid-commit: data files written, commit
+    // line staged to a temp — but the atomic link never happened
+    val orphanDir = java.nio.file.Paths.get(path, "files-99999-deadbeef")
+    (51L until 60L).map(i => (i, -1.0)).toDF("k", "v").coalesce(1)
+      .write.parquet(orphanDir.toString)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_graft_log", ".1-deadbeef.json.tmp"),
+      "{\"commit\":{\"version\":1}}".getBytes("UTF-8"))
+    // readers see only committed state; the orphan is invisible
+    assert(DeltaLite.latestVersion(path) === Some(0L))
+    assert(DeltaLite.read(spark, path).count() === 50)
+    // and a new writer is not blocked by the debris
+    DeltaLite.append(spark, path, Seq((100L, 1.0)).toDF("k", "v").coalesce(1))
+    assert(DeltaLite.read(spark, path).count() === 51)
+    // vacuum reclaims the orphan data files (unreferenced by any version)
+    val deleted = DeltaLite.vacuum(path, keepVersions = 2)
+    assert(deleted >= 1, "orphan parquet files must be vacuumed")
+    assert(!java.nio.file.Files.list(orphanDir).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+    assert(DeltaLite.read(spark, path).count() === 51)
   }
 
   test("DeltaLite TIMESTAMP AS OF resolves the version live at that instant") {
