@@ -29,6 +29,14 @@ object Merge {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"updates schema ${updates.columns.toSeq} must match target $cols")
+    // Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING... on ambiguous
+    // sources; same contract here. One small agg over the (small) update
+    // side — cheap relative to the merge join it guards.
+    val dup = updates.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${dup.headOption.mkString} — " +
+        "a merge with duplicate source keys is non-deterministic")
 
     val u = updates.select(cols.map(c => col(c).as(s"__u_$c")): _*)
     val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)

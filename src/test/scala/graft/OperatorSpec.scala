@@ -9,6 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * in-memory frames. */
 class OperatorSpec extends AnyFunSuite with TestSpark {
 
+  test("MERGE rejects duplicate source keys (non-deterministic upsert)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val dupes = Seq((2L, "X"), (2L, "Y"), (3L, "c")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Merge.upsert(target, dupes, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate source keys"))
+    // unique sources still merge fine
+    val ok = graft.operators.Merge.upsert(target,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    assert(ok.count() === 3)
+  }
+
   test("Merge.upsert updates matched, inserts new, keeps unmatched") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
