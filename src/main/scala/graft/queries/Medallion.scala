@@ -339,6 +339,44 @@ object Medallion {
                 lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec ASC) AS valid_to,
                 lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec ASC) IS NULL AS is_current
          FROM ch
-         ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST"""))
+         ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S12
+    // Hive-style partitioned parquet sink + dynamic partition overwrite:
+    // the daily-events mart lands partitioned by event_type (one directory
+    // per value), then a late correction overwrites ONLY the 'click'
+    // partition (partitionOverwriteMode=dynamic — partitions absent from
+    // the incoming batch survive untouched, an O(partition) swap at the
+    // directory level, never an O(table) rewrite). The read-back filter on
+    // the partition column prunes to 2 of 5 directories before any data
+    // file is opened — at 100 TB this is the difference between listing
+    // two directories and scanning the table.
+    QueryDef("s12_partitioned_sink", (s, dir) => {
+      val path = tmp("s12_part")
+      Pipeline.goldDailyEvents(s, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val corrected = Pipeline.silverEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(value * 2))*100)/100").as("sum_value"))
+      corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    }, Some(
+      """WITH silver AS (
+           SELECT CAST(CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS DATE) AS day,
+                  event_type, value
+           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL)
+         SELECT day, event_type, count(*) AS n,
+                (round((sum(CASE WHEN event_type = 'click'
+                                 THEN value * 2 ELSE value END))*100)/100) AS sum_value
+         FROM silver WHERE event_type IN ('click', 'view')
+         GROUP BY day, event_type
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""))
   )
 }

@@ -866,6 +866,56 @@ object Relational {
          SELECT l_returnflag, 'F' AS l_linestatus, F AS qty FROM wide
          UNION ALL
          SELECT l_returnflag, 'O' AS l_linestatus, O AS qty FROM wide
-         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""))
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ A12
+    // Exact percentiles: continuous (linear interpolation between closest
+    // ranks — Spark `percentile` ≡ DuckDB `quantile_cont`) and discrete
+    // (smallest value at cumulative fraction ≥ p). Exact percentile is a
+    // sort-based agg: at scale the shuffle is keyed on the group column and
+    // each group sorts locally — fine for bounded group cardinality; the
+    // unbounded-cardinality path is approx_percentile (A3's sketch family).
+    QueryDef("a12_percentiles", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round((expr("percentile(l_extendedprice, 0.25)"))*10000)/10000).as("p25_price"),
+          (round((expr("percentile(l_extendedprice, 0.5)"))*10000)/10000).as("p50_price"),
+          (round((expr("percentile(l_extendedprice, 0.75)"))*10000)/10000).as("p75_price"),
+          (round((expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"))*100)/100).as("med_qty_disc"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag,
+                (round((quantile_cont(l_extendedprice, 0.25))*10000)/10000) AS p25_price,
+                (round((quantile_cont(l_extendedprice, 0.5))*10000)/10000) AS p50_price,
+                (round((quantile_cont(l_extendedprice, 0.75))*10000)/10000) AS p75_price,
+                (round((quantile_disc(l_quantity, 0.5))*100)/100) AS med_qty_disc
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- P7
+    // Stratified sampling: a different deterministic Bernoulli rate per
+    // stratum (order status), expressed as a hash-threshold filter both
+    // engines compute identically (md5 is bit-stable everywhere; no
+    // rand()). Map-only — the filter is applied at scan time, and at scale
+    // each partition samples independently with zero coordination.
+    QueryDef("p7_stratified_sample", (s, dir) => {
+      val h = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      val threshold = when(col("o_orderstatus") === "O", "2")
+        .when(col("o_orderstatus") === "F", "4").otherwise("8")
+      t(s, dir, "orders")
+        .filter(h < threshold)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (round((sum(col("o_totalprice")))*100)/100).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS sum_price
+         FROM orders
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <
+               (CASE WHEN o_orderstatus = 'O' THEN '2'
+                     WHEN o_orderstatus = 'F' THEN '4' ELSE '8' END)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST"""))
   )
 }

@@ -38,6 +38,26 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream inner join: impressions ⋈ conversions on user_id
+    * within a 30-minute event-time interval. Both inputs carry
+    * watermarks AND the join condition bounds event time in both
+    * directions — that pair is what lets Spark evict each side's join
+    * buffer once the watermark passes the interval (without the time
+    * bound, both buffers grow forever). State is hash-partitioned by
+    * the join key, so at scale each executor holds only its key range's
+    * open interval. */
+  def clickConversions(impressions: DataFrame, conversions: DataFrame): DataFrame = {
+    val i = impressions.withWatermark("imp_ts", "10 minutes")
+    val c = conversions.withWatermark("conv_ts", "10 minutes")
+    i.join(c,
+        i("user_id") === c("user_id") &&
+        c("conv_ts") >= i("imp_ts") &&
+        c("conv_ts") <= i("imp_ts") + expr("INTERVAL 30 MINUTES"),
+        "inner")
+      .select(i("user_id").as("user_id"), col("imp_id"), col("conv_id"),
+        col("imp_ts"), col("conv_ts"))
+  }
+
   /** T6 streaming twin: exactly-once dedup on the event id, with state
     * bounded by the watermark. */
   def dedupStream(events: DataFrame): DataFrame =

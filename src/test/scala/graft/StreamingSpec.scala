@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches conversions within 30 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Long, Timestamp)]
+    val i = imps.toDF().toDF("imp_id", "user_id", "imp_ts")
+    val c = convs.toDF().toDF("conv_id", "user_id", "conv_ts")
+    val q = Streams.clickConversions(i, c).writeStream
+      .format("memory").queryName("conv_join").outputMode("append").start()
+    try {
+      // user 1: impression at t0, conversion at t20 (inside interval) and
+      // t50 (outside). user 2: conversion with no impression. user 3:
+      // conversion BEFORE its impression (interval is one-directional).
+      imps.addData((10L, 1L, ts(0)), (11L, 3L, ts(30)))
+      convs.addData((20L, 1L, ts(20)), (21L, 1L, ts(50)),
+        (22L, 2L, ts(15)), (23L, 3L, ts(10)))
+      q.processAllAvailable()
+      val got = spark.table("conv_join")
+        .select("imp_id", "conv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted === Seq((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("native session windows group by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
