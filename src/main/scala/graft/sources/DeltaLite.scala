@@ -153,6 +153,33 @@ object DeltaLite {
     case _ => None
   }
 
+  /** Delta-style string stat truncation (32 chars). Unbounded string
+    * stats make the log O(value length) per file per column — at 100 TB
+    * with document-sized strings the log would dwarf the data. The
+    * truncated forms stay valid prune bounds by construction:
+    *  - min keeps a 32-char prefix, which sorts ≤ every value it
+    *    summarizes;
+    *  - max increments the last incrementable char of the prefix so it
+    *    sorts ≥ every value sharing the prefix; if every prefix char is
+    *    already ￿ the max stat is DROPPED (the file then can't be
+    *    pruned on this column's lower bound — conservative, never wrong).
+    */
+  private[graft] val MaxStringStatLen = 32
+  private def truncStatMin(dt: DataType, v: Any): Any = (dt, v) match {
+    case (StringType, s: String) if s.length > MaxStringStatLen =>
+      s.substring(0, MaxStringStatLen)
+    case _ => v
+  }
+  private def truncStatMax(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (StringType, s: String) if s.length > MaxStringStatLen =>
+      val prefix = s.substring(0, MaxStringStatLen).toCharArray
+      var i = prefix.length - 1
+      while (i >= 0 && prefix(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(prefix, 0, i) + (prefix(i) + 1).toChar)
+    case _ => Some(v)
+  }
+
   /** Normalize a caller-supplied bound value (e.g. a java.sql.Timestamp
     * from a Row, or a plain Int) to the comparable space of [[decodeStat]]. */
   private def normBound(dt: DataType, v: Any): Option[Any] =
@@ -329,8 +356,10 @@ object DeltaLite {
       val stats = statFields.flatMap { f =>
         val mn = encodeStat(f.dataType, r.getAs[Any](s"__min__${f.name}"))
           .flatMap(decodeStat(f.dataType, _))
+          .map(truncStatMin(f.dataType, _))
         val mx = encodeStat(f.dataType, r.getAs[Any](s"__max__${f.name}"))
           .flatMap(decodeStat(f.dataType, _))
+          .flatMap(truncStatMax(f.dataType, _))
         if (mn.isEmpty && mx.isEmpty) None else Some(f.name -> ColStats(mn, mx))
       }.toMap
       AddFile(rel, r.getAs[Long]("__rows"), stats)

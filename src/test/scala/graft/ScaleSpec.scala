@@ -344,6 +344,39 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(pruned(DeltaLite.ColumnBound("nope", Some(1), Some(2))) === 3)
   }
 
+  test("DeltaLite string stats are truncated to 32 chars and stay valid prune bounds") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_truncstats").toString
+    // document-sized strings: raw min/max would put ~200 chars per file
+    // per column into the log; truncation caps it at 32 (+1 for the
+    // incremented max)
+    def doc(prefix: String, i: Int) = prefix + ("x" * 200) + f"_$i%03d"
+    DeltaLite.create(spark, path,
+      (0 until 5).map(i => (doc("aaa_", i), i)).toDF("s", "v").coalesce(1))
+    DeltaLite.append(spark, path,
+      (0 until 5).map(i => (doc("mmm_", i), i)).toDF("s", "v").coalesce(1))
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.length === 2)
+    val statLens = snap.files.flatMap { f =>
+      val cs = f.stats("s")
+      Seq(cs.min, cs.max).flatten.map(_.asInstanceOf[String].length)
+    }
+    assert(statLens.nonEmpty && statLens.forall(_ <= DeltaLite.MaxStringStatLen + 1))
+    // truncated bounds must stay conservative: a bound INSIDE the aaa
+    // file's real value range keeps that file and drops the mmm file...
+    val kept = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("s", Some(doc("aaa_", 1)), Some(doc("aaa_", 3)))))
+    assert(kept.length === 1)
+    // ...and the pruned scan equals the unpruned read + exact filter
+    val lo = doc("aaa_", 1); val hi = doc("aaa_", 3)
+    val viaScan = DeltaLite.scan(spark, path,
+        Seq(DeltaLite.ColumnBound("s", Some(lo), Some(hi))))
+      .filter(col("s") >= lo && col("s") <= hi)
+    val viaFull = DeltaLite.read(spark, path)
+      .filter(col("s") >= lo && col("s") <= hi)
+    assert(viaScan.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaScan).isEmpty)
+  }
+
   test("DeltaLite deletion vectors: soft delete without rewriting data files") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dv").toString
