@@ -142,18 +142,27 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
+    // Hash-min round = ONE join + ONE keyed agg (the node's own label
+    // rides the union, so no second join to merge it back), and
+    // convergence is read off the label sum: labels are non-increasing
+    // per node, so an unchanged sum IS the fixpoint — a one-row action
+    // instead of a change-detection join. Decimal sum: id-space may be
+    // 64-bit hashes, keep the witness overflow-free.
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val msgs = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(msgs, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+      val next = edges.join(labels, col("dst") === col("id"))
+        .select(col("src"), col("component"))
+        .unionByName(labels.select(col("id").as("src"), col("component")))
+        .groupBy(col("src")).agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).isEmpty
+      val curSum = labelSum(next)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels.unpersist()
       labels = next
       iter += 1

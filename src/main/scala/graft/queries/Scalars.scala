@@ -378,6 +378,37 @@ object Scalars {
          ascii(substr(text, 1, 1)) AS b1,
          ascii(substr(text, 2, 1)) AS b2,
          ascii(substr(text, 3, 1)) AS b3
-         FROM documents ORDER BY doc_id ASC NULLS LAST"""))
+         FROM documents ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ F12
+    // Bitwise scalars (&, <<, >>, bit_count) and bitwise aggregates
+    // (bit_and/bit_or/bit_xor) — all codegen'd column expressions; the
+    // aggregate trio is partial+final mergeable like any hash agg. DuckDB
+    // widens sum() to HUGEINT and bit_count to TINYINT — oracle casts down.
+    QueryDef("f12_bitwise", (s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+          shiftleft(col("o_orderkey"), 2).as("k_shl"),
+          shiftright(col("o_orderkey"), 3).as("k_shr"),
+          bit_count(col("o_orderkey")).as("k_bits"))
+        .groupBy(col("o_orderstatus"))
+        .agg(bit_and(col("k_and")).as("agg_and"),
+          bit_or(col("k_and")).as("agg_or"),
+          bit_xor(col("k_and")).as("agg_xor"),
+          sum(col("k_bits")).as("sum_bits"),
+          sum(col("k_shl")).as("sum_shl"),
+          sum(col("k_shr")).as("sum_shr"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus,
+                bit_and(o_orderkey & 255) AS agg_and,
+                bit_or(o_orderkey & 255) AS agg_or,
+                bit_xor(o_orderkey & 255) AS agg_xor,
+                CAST(sum(CAST(bit_count(o_orderkey) AS INTEGER)) AS BIGINT) AS sum_bits,
+                CAST(sum(o_orderkey << 2) AS BIGINT) AS sum_shl,
+                CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr
+         FROM orders GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST"""))
   )
 }
