@@ -168,7 +168,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Hand back an eager localCheckpoint and drop the cache-manager entry:
+    // a returned .cache() would pin its blocks in the cache manager until
+    // an explicit unpersist that no caller can reasonably own (repeat
+    // invocations were observed to degrade the whole session as leaked
+    // blocks accumulated). Checkpoint blocks are freed by the
+    // ContextCleaner as soon as the result is unreferenced.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   // ------------------------------------------------- Hyperplane-LSH ANN

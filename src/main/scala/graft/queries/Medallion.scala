@@ -377,6 +377,65 @@ object Medallion {
                                  THEN value * 2 ELSE value END))*100)/100) AS sum_value
          FROM silver WHERE event_type IN ('click', 'view')
          GROUP BY day, event_type
-         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""))
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D1
+    // dbt schema tests (the reference project's test: blocks — unique,
+    // not_null, accepted_values, relationships) as one data-quality
+    // report: rule name → violation count. Each rule is a lazy 1-row
+    // aggregate (no driver actions); the relationship rule is a
+    // broadcast-able anti join. At 100 TB every rule is a single
+    // partial+final agg or anti join over the scanned table — the same
+    // shape dbt compiles its tests to.
+    QueryDef("d1_dq_checks", (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      // plant deterministic violations so every rule provably fires: a
+      // duplicated key (-1, twice), a NULL custkey, a bad status 'X', and
+      // orphan custkey -999 (the NULL custkey also orphans — anti-join
+      // null-key semantics match NOT EXISTS in both engines)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .unionByName(Seq(
+          (-2L, Option.empty[Long], "O"),
+          (-1L, Option(-999L), "X"),
+          (-1L, Option(-999L), "X"))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus"))
+      def report(rule: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(rule).as("rule"), col("n_violations"))
+      report("unique_o_orderkey",
+          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1))
+        .unionByName(report("not_null_o_custkey", o.filter(col("o_custkey").isNull)))
+        .unionByName(report("accepted_values_o_orderstatus",
+          o.filter(!col("o_orderstatus").isin("O", "F", "P"))))
+        .unionByName(report("relationship_orders_customer",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+        .orderBy(col("rule").asc_nulls_last)
+    }, Some(
+      """WITH dirty AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+           UNION ALL
+           SELECT * FROM (VALUES (CAST(-2 AS BIGINT), CAST(NULL AS BIGINT), 'O'),
+                                 (-1, -999, 'X'), (-1, -999, 'X'))
+             AS v(o_orderkey, o_custkey, o_orderstatus))
+         SELECT rule, n_violations FROM (
+           SELECT 'unique_o_orderkey' AS rule,
+                  (SELECT count(*) FROM (SELECT o_orderkey FROM dirty
+                    GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+           UNION ALL
+           SELECT 'not_null_o_custkey',
+                  (SELECT count(*) FROM dirty WHERE o_custkey IS NULL)
+           UNION ALL
+           SELECT 'accepted_values_o_orderstatus',
+                  (SELECT count(*) FROM dirty
+                   WHERE NOT (o_orderstatus IN ('O','F','P')))
+           UNION ALL
+           SELECT 'relationship_orders_customer',
+                  (SELECT count(*) FROM dirty o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)))
+         ORDER BY rule ASC NULLS LAST"""))
   )
 }
