@@ -126,6 +126,43 @@ object Llm {
         .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L2 (e)
+    // Edit-distance (Levenshtein) near-dup verify over equality-generated
+    // candidates: same 64-char length bucket, ida < idb — the fuzzy-match
+    // family's exact verifier, oracle-checked (both engines define
+    // levenshtein as unit-cost insert/delete/substitute). At scale the
+    // candidate set comes from LSH bands exactly like exact-Jaccard; the
+    // length bucket here stands in for the band key so the join is
+    // equality-shaped, never n².
+    QueryDef("l2_edit_distance", (s, dir) => {
+      val d = corpusWithDups(s, dir)
+        .filter(col("doc_id") % 1000000 < 40)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) / lit(64)).cast("int").as("bucket"))
+      val a = d.select(col("doc_id").as("ida"), col("text").as("ta"), col("bucket"))
+      val b = d.select(col("doc_id").as("idb"), col("text").as("tb"),
+        col("bucket").as("bb"))
+      a.join(b, col("bucket") === col("bb") && col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+        .filter(col("edit_dist") <= 30)
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         mut AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) - 1), ' ') AS text
+           FROM documents WHERE doc_id < 20),
+         d AS (SELECT doc_id, text,
+                      CAST(length(text) // 64 AS INTEGER) AS bucket
+               FROM (SELECT * FROM base UNION ALL SELECT * FROM mut))
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+         FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 30
+         ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (a)
     // Brute-force cosine similarity pairs above a threshold (0.35 ≈ p99.9
     // of the fixture distribution → a handful of rows). vec_dot is the

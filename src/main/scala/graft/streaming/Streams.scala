@@ -38,6 +38,15 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment join: a streaming fact side joined to a
+    * static (batch) dimension. No streaming state is involved — the
+    * static side is (re)resolved per micro-batch and broadcast, so this
+    * is the zero-shuffle dimension-enrichment path a bronze→silver hop
+    * uses; at scale the dim stays under the broadcast threshold and the
+    * stream is never repartitioned. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream inner join: impressions ⋈ conversions on user_id
     * within a 30-minute event-time interval. Both inputs carry
     * watermarks AND the join condition bounds event time in both

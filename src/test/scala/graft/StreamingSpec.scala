@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("event_id", "user_id")
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrichStream(events, dim, "user_id").writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, 7L), (2L, 8L), (3L, 99L))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(got.sorted === Seq((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches conversions within 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
