@@ -71,4 +71,26 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
       s"variant query must read exactly 2 columns:\n$p")
   }
+
+  test("d1_dq_checks: relationship rule is a broadcast anti join; no rule shuffles orders twice") {
+    val p = plan("d1_dq_checks")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"relationship test must anti-join against a broadcast customer side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s12_partitioned_sink: read-back prunes to the filtered partitions") {
+    val df = SparkEntry.queries("s12_partitioned_sink")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val partScan = scans.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"expected a partitioned scan in:\n${scans.mkString("\n")}"))
+    assert(partScan.contains("event_type"),
+      s"partition filter on event_type must prune directories:\n$partScan")
+  }
+
+  test("l2_edit_distance: candidates come from an equality join on the length bucket") {
+    val p = plan("l2_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance candidates must be equality-join shaped:\n$p")
+  }
 }
