@@ -916,6 +916,46 @@ object Relational {
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <
                (CASE WHEN o_orderstatus = 'O' THEN '2'
                      WHEN o_orderstatus = 'F' THEN '4' ELSE '8' END)
-         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST"""))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- X1
+    // Composite workload (TPC-H Q3 shape): selective dimension filter →
+    // two-level star join → keyed agg → top-10. The plan to expect at any
+    // scale: customer broadcasts into orders, that result broadcasts (or
+    // shuffle-joins at real SF) into the date-filtered lineitem scan with
+    // both date predicates pushed; the final top-10 is a
+    // TakeOrderedAndProject, never a global sort.
+    QueryDef("x1_workload_q3", (s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-07-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100)
+          .as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("o_orderdate").asc_nulls_last,
+          col("l_orderkey").asc_nulls_last)
+        .limit(10)
+    }, Some(
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST,
+                  l_orderkey ASC NULLS LAST
+         LIMIT 10"""))
   )
 }

@@ -97,6 +97,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming MERGE sink (the CDC-apply hop): each micro-batch upserts
+    * into a DeltaLite table by key via foreachBatch, so the table
+    * converges to latest-per-key. In-batch duplicates are pre-reduced to
+    * the row with the highest `seq` (MERGE's unique-source-key
+    * contract); a restart that replays a batch re-MERGEs it to the same
+    * end state — idempotent apply, the standard foreachBatch upsert
+    * contract. At scale the MERGE itself rewrites only key-overlapping
+    * files (see [[graft.sources.DeltaLite.merge]]). */
+  def upsertStream(df: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], seq: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(batch.col): _*)
+          .orderBy(batch.col(seq).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (graft.sources.DeltaLite.latestVersion(path).isEmpty)
+          graft.sources.DeltaLite.create(batch.sparkSession, path, latest)
+        else
+          graft.sources.DeltaLite.merge(batch.sparkSession, path, latest, keys)
+        ()
+      }
+      .start()
+
   /** Streaming source over an APPEND-ONLY DeltaLite table: Spark's file
     * stream source watches the table's data-file glob, so each
     * committed append batch becomes a micro-batch downstream — the

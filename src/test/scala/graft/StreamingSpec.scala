@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming MERGE sink converges the table to latest-per-key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val changes = input.toDF().toDF("user_id", "status", "seq")
+    val q = Streams.upsertStream(changes, path, ckpt, Seq("user_id"), "seq")
+    try {
+      // batch 0 has an in-batch duplicate for key 1 — highest seq wins
+      input.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "c", 2L))
+      q.processAllAvailable()
+      input.addData((2L, "d", 3L), (3L, "e", 1L))
+      q.processAllAvailable()
+      val got = graft.sources.DeltaLite.read(spark, path)
+        .select("user_id", "status").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(got === Seq((1L, "c"), (2L, "d"), (3L, "e")))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
