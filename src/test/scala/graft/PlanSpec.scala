@@ -93,4 +93,13 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"edit-distance candidates must be equality-join shaped:\n$p")
   }
+
+  test("x1_workload_q3: dims broadcast, predicates push, top-10 is TakeOrderedAndProject") {
+    val p = plan("x1_workload_q3")
+    assert(count(p, "BroadcastHashJoin") === 2, s"both joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("o_orderdate"), "both date predicates must reach the scans")
+  }
 }
