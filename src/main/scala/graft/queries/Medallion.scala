@@ -379,6 +379,55 @@ object Medallion {
          GROUP BY day, event_type
          ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S13
+    // dbt incremental `delete+insert` strategy (the fourth and last of
+    // dbt's incremental strategies next to append/merge/insert_overwrite):
+    // delete every target row whose key is in the batch, insert ALL batch
+    // rows — the batch legitimately carries multiple rows per key (a
+    // repriced order re-lands twice here), which MERGE forbids. Only
+    // key-overlapping files are rewritten (same touched-file discipline
+    // as MERGE).
+    QueryDef("s13_delete_insert", (s, dir) => {
+      val path = tmp("s13_delta")
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, target)
+      val base = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"))
+      val batch = base.unionByName(
+        base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 4000).as("o_totalprice")))
+      DeltaLite.deleteInsert(s, path, batch, Seq("o_orderkey"))
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH target AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+         base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+         batch AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 4000 FROM base
+           WHERE o_orderkey % 10 = 0),
+         merged AS (
+           SELECT * FROM target t
+           WHERE NOT EXISTS (SELECT 1 FROM batch b
+                             WHERE b.o_orderkey = t.o_orderkey)
+           UNION ALL SELECT * FROM batch)
+         SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM merged GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

@@ -683,38 +683,77 @@ object DeltaLite {
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
-    val r = root(path)
-    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
+    val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, merged, snap.schema)
+    commitExclusive(path, v, "MERGE", snap.schema, adds, touched)
+  }
 
-    // One tiny agg over the update set → per-key bounds for file pruning.
+  /** dbt incremental `delete+insert` strategy: delete every target row
+    * whose key appears in `batch`, then insert ALL batch rows. Unlike
+    * MERGE the batch may legitimately carry multiple rows per key —
+    * that is the strategy's reason to exist (e.g. re-landing an
+    * order's line items). Same touched-file discipline as [[merge]]:
+    * only files holding a batch key are rewritten. */
+  def deleteInsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "delete+insert keys required")
+    val snap = snapshot(path)
+    val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
+    val survivors = touchedRows.join(
+      batch.select(keys.map(batch.col): _*).distinct(), keys, "left_anti")
+    val newData = survivors.unionByName(align(batch, snap.schema))
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, newData, snap.schema)
+    commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched)
+  }
+
+  /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
+    * live file set is exactly version v's. Zero data files are copied
+    * or rewritten — v's files are re-added BY REFERENCE (so v must not
+    * have been vacuumed away), current files absent from v are removed.
+    * History keeps both timelines: the pre-restore state remains
+    * time-travelable. */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val cur = snapshot(path)
+    val old = snapshot(path, asOf = Some(version))
+    val oldPaths = old.files.map(_.path).toSet
+    val curPaths = cur.files.map(_.path).toSet
+    val readds = old.files.filterNot(f => curPaths.contains(f.path))
+    val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
+    commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes)
+  }
+
+  /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
+    * a DataFrame of exactly those files' rows: stats-prune candidates by
+    * the key bounds (one tiny agg), then an exact `_metadata.file_path`
+    * semi-join. Shared by [[merge]] and [[deleteInsert]]. */
+  private def filesHoldingKeys(spark: SparkSession, path: String,
+      snap: Snapshot, keyed: DataFrame, keys: Seq[String])
+      : (Seq[String], DataFrame) = {
+    val r = root(path)
     val aggExprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
-      min(updates.col(k)).as(s"__lo$i"), max(updates.col(k)).as(s"__hi$i")) }
-    val bRow = updates.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+      min(keyed.col(k)).as(s"__lo$i"), max(keyed.col(k)).as(s"__hi$i")) }
+    val bRow = keyed.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
     val bounds = keys.zipWithIndex.map { case (k, i) =>
       ColumnBound(k, Option(bRow.getAs[Any](s"__lo$i")), Option(bRow.getAs[Any](s"__hi$i")))
     }
     val candidates = pruneFiles(snap, bounds)
-
-    // Exact touched-file set: which candidate files hold an update key.
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
         val cand = spark.read.schema(snap.schema)
           .parquet(candidates.map(f => r.resolve(f.path).toString): _*)
         cand.select(col("_metadata.file_path").as("__fp") +: keys.map(cand.col): _*)
-          .join(updates.select(keys.map(updates.col): _*).distinct(), keys, "left_semi")
+          .join(keyed.select(keys.map(keyed.col): _*).distinct(), keys, "left_semi")
           .select("__fp").distinct().collect()
           .map(x => r.relativize(Paths.get(new java.net.URI(x.getString(0)))).toString)
           .toSeq
       }
-
     val touchedSet = touched.toSet
-    val touchedRows = readFiles(spark, path, snap.schema,
-      snap.files.filter(f => touchedSet.contains(f.path)))
-    val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
-    val v = snap.version + 1
-    val adds = writeData(spark, r, v, merged, snap.schema)
-    commitExclusive(path, v, "MERGE", snap.schema, adds, touched)
+    (touched, readFiles(spark, path, snap.schema,
+      snap.files.filter(f => touchedSet.contains(f.path))))
   }
 
   /** Delta `DELETE FROM ... WHERE cond`: rewrites ONLY files containing a

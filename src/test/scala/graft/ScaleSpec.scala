@@ -344,6 +344,45 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(pruned(DeltaLite.ColumnBound("nope", Some(1), Some(2))) === 3)
   }
 
+  test("DeltaLite delete+insert allows duplicate batch keys, rewrites only hit files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_delins").toString
+    // keys 1-20 range-clustered into 4 files (5 keys per file)
+    DeltaLite.create(spark, path,
+      (1 to 20).map(k => (k.toLong, k * 10.0)).toDF("k", "v")
+        .repartitionByRange(4, col("k")))
+    val before = DeltaLite.snapshot(path).files.map(_.path).toSet
+    assert(before.size === 4)
+    // batch hits only keys 2 and 4 (first file) — key 2 lands TWICE
+    val batch = Seq((2L, 777.0), (2L, 888.0), (4L, 999.0)).toDF("k", "v")
+    DeltaLite.deleteInsert(spark, path, batch, Seq("k"))
+    val after = DeltaLite.snapshot(path).files.map(_.path).toSet
+    assert((before & after).size === 3, "the three unhit files must survive by reference")
+    val got = DeltaLite.read(spark, path).as[(Long, Double)].collect().toSeq.sorted
+    assert(got.count(_._1 == 2L) === 2, "both batch rows for key 2 must land")
+    assert(got.filter(_._1 == 4L).map(_._2) === Seq(999.0))
+    assert(got.size === 21)  // 20 - 2 deleted + 3 inserted
+  }
+
+  test("DeltaLite RESTORE re-adds an old version's files by reference") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_restore").toString
+    DeltaLite.create(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))  // v0
+    DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "v"))             // v1
+    DeltaLite.delete(spark, path, col("k") === 1L)                           // v2
+    val v0Files = DeltaLite.snapshot(path, asOf = Some(0L)).files.map(_.path).toSet
+    val rv = DeltaLite.restore(spark, path, 0L)                              // v3
+    val now = DeltaLite.snapshot(path)
+    assert(now.version === rv)
+    assert(now.files.map(_.path).toSet === v0Files,
+      "restored live set must BE v0's files — no copies")
+    assert(DeltaLite.read(spark, path).as[(Long, String)].collect().toSeq.sorted
+      === Seq((1L, "a"), (2L, "b")))
+    // the pre-restore timeline stays travelable
+    assert(DeltaLite.read(spark, path, asOf = Some(2L))
+      .as[(Long, String)].collect().toSeq.sorted === Seq((2L, "b"), (3L, "c")))
+  }
+
   test("DeltaLite string stats are truncated to 32 chars and stay valid prune bounds") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_truncstats").toString
