@@ -536,6 +536,22 @@ object Relational {
         .orderBy(col("event_type").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------------ A13
+    // Approximate percentile (mergeable quantile sketch). Approximate ⇒
+    // rows-only like A3; tolerance vs the exact percentile in
+    // FunctionsSpec. At 100 TB this replaces a12's exact sort-based
+    // percentile: the sketch is a bounded-size, mergeable partial
+    // aggregate, so no per-group sort ever happens.
+    QueryDef("a13_approx_percentile", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------ A10
     // Boolean aggregates (DuckDB bool_and/bool_or ≡ Spark bool_and/bool_or).
     QueryDef("a10_bool_aggs", (s, dir) => {

@@ -43,6 +43,16 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       s"approx $approx vs exact $exact")
   }
 
+  test("A13: approx_percentile within 2% of the exact percentile") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val row = l.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
   test("xxhash64 is deterministic and spreads (seeded, engine-native)") {
     val d = Tables.t(spark, sf, "documents")
     val h1 = d.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
