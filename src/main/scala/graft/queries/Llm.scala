@@ -578,6 +578,36 @@ object Llm {
          FROM ranked WHERE rk <= 3
          ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (h)
+    // Heavy hitters — corpus-wide frequent tokens via approx_top_k
+    // (DataSketches frequent-items, Spark 4.1 builtin). THE scale path
+    // for "top terms over 100 TB": a constant-memory mergeable sketch
+    // per partition + a single-row merge, vs l4_ngram_freq's full
+    // (term → count) shuffle whose reduce side is O(vocab). At fixture
+    // scale the vocab (31 tokens) is far below the 1024 tracked slots,
+    // so the sketch is provably exact (frequent-items sketches have zero
+    // error until the map overflows) — which is why this sketch query
+    // can sit under the hard hash oracle, unlike a3/a13. k=40 > vocab so
+    // the sketch returns every token and the top-20 cutoff is pinned by
+    // the explicit (n DESC, tok ASC) sort, not sketch-internal tie order.
+    QueryDef("l4_heavy_hitters", (s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(expr("approx_top_k(tok, 40, 1024)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("n"))
+        .orderBy(col("n").desc_nulls_last, col("tok").asc_nulls_last)
+        .limit(20)
+    }, Some(
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+               FROM documents)
+         WHERE tok <> ''
+         GROUP BY tok
+         ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST
+         LIMIT 20""")),
+
     // ------------------------------------------------------------- L5 (b)
     // Document chunking: fixed 200-char windows on a 150-char stride
     // (overlapping chunks with stable ids) — the standard pre-embedding

@@ -43,6 +43,22 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       s"approx $approx vs exact $exact")
   }
 
+  test("L4: approx_top_k sketch is exact across a 32-partition merge") {
+    val toks = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 32 partitions forces one sketch per partition + a merge; with
+    // vocab << tracked slots the merged sketch must reproduce exact counts.
+    val sketched = toks.repartition(32)
+      .agg(expr("approx_top_k(tok, 40, 1024)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched == exact, s"sketch $sketched vs exact $exact")
+  }
+
   test("A13: approx_percentile within 2% of the exact percentile") {
     val l = Tables.t(spark, sf, "lineitem")
     val row = l.agg(
