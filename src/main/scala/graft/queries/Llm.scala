@@ -608,6 +608,63 @@ object Llm {
          ORDER BY n DESC NULLS LAST, tok ASC NULLS LAST
          LIMIT 20""")),
 
+    // ------------------------------------------------------------- L4 (i)
+    // BM25 relevance scoring (Robertson/Sparck-Jones, the Okapi form) for
+    // a fixed query against the corpus — the standard retrieval scorer a
+    // curation pipeline uses for query-targeted subset selection. Same
+    // scale shape as TF-IDF: doc-length and tf are keyed aggs over the
+    // exploded terms, df/N/avgdl are tiny one-row or |vocab|-row
+    // broadcasts, the scoring join never shuffles the big side twice.
+    // Per-term scores round to 6 dp before the sum (ln parity, HANDOFF
+    // rule 6); the summed score rounds to 4 dp.
+    QueryDef("l4_bm25", (s, dir) => {
+      val k1 = 1.2; val b = 0.75
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val qt = terms.filter(col("term").isin("join", "hash", "scan"))
+      val tf = qt.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = qt.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(dfT), "term")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .withColumn("score", expr(
+          s"""round((ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * tf * ($k1 + 1)
+                 / (tf + $k1 * (1 - $b + $b * dl / avgdl)))*1000000)/1000000"""))
+        .groupBy(col("doc_id"))
+        .agg(expr("round((sum(score))*10000)/10000").as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc_nulls_last)
+        .limit(100)
+    }, Some(
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+         qt AS (SELECT * FROM terms WHERE term IN ('join', 'hash', 'scan')),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         a AS (SELECT avg(dl) AS avgdl FROM dl),
+         scored AS (
+           SELECT tf.doc_id,
+                  (round((ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                      * tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl)))*1000000)/1000000) AS score
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+                CROSS JOIN n CROSS JOIN a)
+         SELECT doc_id, (round((sum(score))*10000)/10000) AS bm25,
+                CAST(count(*) AS BIGINT) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS LAST
+         LIMIT 100""")),
+
     // ------------------------------------------------------------- L5 (b)
     // Document chunking: fixed 200-char windows on a 150-char stride
     // (overlapping chunks with stable ids) — the standard pre-embedding
