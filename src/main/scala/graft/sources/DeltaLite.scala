@@ -64,9 +64,11 @@ object DeltaLite {
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
       dv: Option[String] = None)
 
-  /** Resolved table state at a version: schema + live file set. */
+  /** Resolved table state at a version: schema + live file set +
+    * CHECK constraints (name → SQL predicate, enforced on every write). */
   final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
   }
@@ -252,25 +254,27 @@ object DeltaLite {
     require(v <= latest && Files.exists(logDir(path).resolve(s"$v.json")),
       s"version $v was never committed at $path")
     var schema: StructType = null
+    var constraints = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
     ckpt.foreach { cv =>
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
-        s => schema = s, live, txns)
+        s => schema = s, live, txns, c => constraints = c)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
-        s => schema = s, live, txns)
+        s => schema = s, live, txns, c => constraints = c)
     }
     require(schema != null, s"log at $path has no metaData action")
-    Snapshot(v, schema, live.values.toSeq, txns.toMap)
+    Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
       live: scala.collection.mutable.LinkedHashMap[String, AddFile],
-      txns: scala.collection.mutable.HashMap[String, Long]): Unit = {
+      txns: scala.collection.mutable.HashMap[String, Long],
+      onConstraints: Map[String, String] => Unit): Unit = {
     var schema: StructType = null
     lines.filter(_.nonEmpty).foreach { line =>
       parseLine(line) match {
@@ -280,6 +284,12 @@ object DeltaLite {
               schema = DataType.fromJson(s).asInstanceOf[StructType]
               onSchema(schema)
             }
+            // Constraints ride the SAME metaData action as the schema:
+            // every commit re-states them, so absence (old logs, or a
+            // RESTORE to a pre-constraint metadata) means "none".
+            onConstraints(m.collectFirst { case ("constraints", JObject(cs)) =>
+              cs.collect { case (n, JString(e)) => n -> e }.toMap
+            }.getOrElse(Map.empty))
           case ("add", a: JObject) =>
             val af = decodeAdd(a, schema)
             live(af.path) = af
@@ -374,6 +384,53 @@ object DeltaLite {
     }: _*)
   }
 
+  // ------------------------------------- write-time validation (Delta)
+
+  /** Delta schema enforcement: reject a batch carrying columns the table
+    * does not have (that is [[appendEvolve]]'s job, never a silent drop)
+    * or a column whose type cannot LOSSLESSLY cast to the table's
+    * (`Cast.canUpCast` — int→long fine, long→int rejected). Missing
+    * batch columns are fine: they land as null, like Delta. */
+  private def checkWriteSchema(batch: StructType, table: StructType,
+      op: String, allowNew: Boolean = false): Unit = {
+    val types = table.fields.map(f => f.name -> f.dataType).toMap
+    batch.fields.foreach { f =>
+      types.get(f.name) match {
+        case None if !allowNew => throw new IllegalArgumentException(
+          s"$op rejected: batch column '${f.name}' is not in the table schema " +
+            s"(${table.fieldNames.mkString(", ")}); use appendEvolve for " +
+            "mergeSchema semantics")
+        case Some(dt) if f.dataType != dt &&
+            !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, dt) =>
+          throw new IllegalArgumentException(
+            s"$op rejected: batch column '${f.name}' has type " +
+              s"${f.dataType.simpleString}, which cannot safely widen to the " +
+              s"table's ${dt.simpleString}")
+        case _ => ()
+      }
+    }
+  }
+
+  /** CHECK-constraint enforcement on the rows a commit is about to write
+    * (SQL semantics: a row passes when the predicate is TRUE or NULL,
+    * fails only on definite FALSE). One map-only limit(1) job over the
+    * batch — column-pruned to the referenced columns, never O(table). */
+  private def checkConstraints(df: DataFrame, schema: StructType,
+      constraints: Map[String, String], op: String): Unit = {
+    if (constraints.isEmpty) return
+    val named = constraints.toSeq.sortBy(_._1)
+    val flags = named.map { case (n, e) => not(coalesce(expr(e), lit(true))).as(n) }
+    val row = align(df, schema).select(flags: _*)
+      .filter(named.map(n => col(n._1)).reduce(_ || _))
+      .limit(1).collect().headOption
+    row.foreach { r =>
+      val broken = named.indices.filter(r.getBoolean).map(named(_)._1)
+      throw new IllegalArgumentException(
+        s"$op rejected: CHECK constraint ${broken.mkString(", ")} violated " +
+          s"(${broken.map(constraints).mkString("; ")})")
+    }
+  }
+
   private def encodeAdd(f: AddFile, schema: StructType): JValue = {
     val types = schema.fields.map(x => x.name -> x.dataType).toMap
     val stats = JObject(f.stats.toList.sortBy(_._1).map { case (cn, cs) =>
@@ -390,14 +447,21 @@ object DeltaLite {
   /** Atomically commit a version: actions to a temp file, then rename. */
   private def writeCommit(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)],
+      constraints: Map[String, String]): Long = {
+    // `constraints` has NO default on purpose: metaData is re-stated on
+    // every commit, so a call site that forgot to carry the snapshot's
+    // constraints forward would silently DROP them from the table.
     Files.createDirectories(logDir(path))
+    val metaFields = List("schema" -> JString(schema.json)) ++
+      (if (constraints.isEmpty) Nil
+       else List("constraints" -> JObject(
+         constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
         "committedAtMs" -> JLong(System.currentTimeMillis())))))),
-      JsonMethods.compact(JObject(List("metaData" -> JObject(List(
-        "schema" -> JString(schema.json))))))) ++
+      JsonMethods.compact(JObject(List("metaData" -> JObject(metaFields))))) ++
       txn.map { case (app, ver) => JsonMethods.compact(JObject(List("txn" ->
         JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) }.toSeq ++
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
@@ -427,9 +491,12 @@ object DeltaLite {
     * checkpoint only costs replay time, never correctness. */
   private def writeCheckpoint(path: String, version: Long): Unit = {
     val snap = snapshot(path, Some(version))
+    val ckptMeta = List("schema" -> JString(snap.schema.json)) ++
+      (if (snap.constraints.isEmpty) Nil
+       else List("constraints" -> JObject(
+         snap.constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
     val lines =
-      (JsonMethods.compact(JObject(List("metaData" -> JObject(List(
-        "schema" -> JString(snap.schema.json)))))) +:
+      (JsonMethods.compact(JObject(List("metaData" -> JObject(ckptMeta)))) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         JsonMethods.compact(JObject(List("txn" -> JObject(List(
           "app" -> JString(app), "version" -> JLong(ver)))))) }) ++
@@ -466,7 +533,8 @@ object DeltaLite {
       val known = snap.schema.fieldNames.toSet
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
-      try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn)
+      try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
+        snap.constraints)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -480,8 +548,9 @@ object DeltaLite {
     * (Delta's non-resolvable conflict class): surface it to the caller
     * to re-run against the new snapshot. */
   private def commitExclusive(path: String, version: Long, op: String,
-      schema: StructType, adds: Seq[AddFile], removes: Seq[String]): Long =
-    try writeCommit(path, version, op, schema, adds, removes)
+      schema: StructType, adds: Seq[AddFile], removes: Seq[String],
+      constraints: Map[String, String]): Long =
+    try writeCommit(path, version, op, schema, adds, removes, None, constraints)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -570,7 +639,8 @@ object DeltaLite {
     val touched = matches.select("path").distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
-      return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil)
+      return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
+        None, snap.constraints)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -585,7 +655,7 @@ object DeltaLite {
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
-      readds, touched)
+      readds, touched, snap.constraints)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -633,7 +703,7 @@ object DeltaLite {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
     val schema = df.schema
     val adds = writeData(spark, root(path), 0L, df, schema)
-    writeCommit(path, 0L, "CREATE", schema, adds, Nil)
+    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty)
   }
 
   /** Incremental append sink (dbt incremental `append` / S7). Writes ONLY
@@ -641,6 +711,8 @@ object DeltaLite {
     * point of the file-level log). */
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
+    checkWriteSchema(df.schema, snap.schema, "APPEND")
+    checkConstraints(df, snap.schema, snap.constraints, "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds)
   }
@@ -657,6 +729,8 @@ object DeltaLite {
       app: String, txnVersion: Long): Long = {
     val snap = snapshot(path)
     if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
+    checkWriteSchema(df.schema, snap.schema, "APPEND")
+    checkConstraints(df, snap.schema, snap.constraints, "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds,
       txn = Some((app, txnVersion)))
@@ -667,11 +741,41 @@ object DeltaLite {
     * batch columns are null-filled. Existing files untouched. */
   def appendEvolve(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
+    checkWriteSchema(df.schema, snap.schema, "APPEND_EVOLVE", allowNew = true)
     val known = snap.schema.fieldNames.toSet
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
+    checkConstraints(df, evolved, snap.constraints, "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, df, evolved)
     commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
+  }
+
+  /** Delta `ALTER TABLE ... ADD CONSTRAINT name CHECK (check)` — the
+    * write-time half of dbt's schema tests: instead of testing AFTER a
+    * bad batch lands, the table refuses it. Validates the whole CURRENT
+    * table first (one column-pruned scan, exactly like Delta), then
+    * records the constraint in table metadata with a data-less commit;
+    * every subsequent write validates the rows it is about to commit.
+    * SQL CHECK semantics: NULL passes, only definite FALSE rejects. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      check: String): Long = {
+    val snap = snapshot(path)
+    require(!snap.constraints.contains(name),
+      s"constraint '$name' already exists on $path")
+    val bad = read(spark, path)
+      .filter(not(coalesce(expr(check), lit(true)))).limit(1).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name': existing rows violate CHECK ($check)")
+    commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
+      Nil, Nil, snap.constraints + (name -> check))
+  }
+
+  /** Delta `ALTER TABLE ... DROP CONSTRAINT name`. */
+  def dropConstraint(path: String, name: String): Long = {
+    val snap = snapshot(path)
+    require(snap.constraints.contains(name), s"no constraint '$name' on $path")
+    commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
+      Nil, Nil, snap.constraints - name)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -683,11 +787,13 @@ object DeltaLite {
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
+    checkWriteSchema(updates.schema, snap.schema, "MERGE")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
+    checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema)
-    commitExclusive(path, v, "MERGE", snap.schema, adds, touched)
+    commitExclusive(path, v, "MERGE", snap.schema, adds, touched, snap.constraints)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -700,13 +806,17 @@ object DeltaLite {
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "delete+insert keys required")
     val snap = snapshot(path)
+    checkWriteSchema(batch.schema, snap.schema, "DELETE_INSERT")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
     val survivors = touchedRows.join(
       batch.select(keys.map(batch.col): _*).distinct(), keys, "left_anti")
     val newData = survivors.unionByName(align(batch, snap.schema))
+    checkConstraints(align(batch, snap.schema), snap.schema, snap.constraints,
+      "DELETE_INSERT")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema)
-    commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched)
+    commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
+      snap.constraints)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -722,7 +832,8 @@ object DeltaLite {
     val curPaths = cur.files.map(_.path).toSet
     val readds = old.files.filterNot(f => curPaths.contains(f.path))
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
-    commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes)
+    commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
+      old.constraints)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -768,7 +879,7 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "DELETE", snap.schema, adds, touched)
+    commitExclusive(path, v, "DELETE", snap.schema, adds, touched, snap.constraints)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -782,10 +893,12 @@ object DeltaLite {
       set.get(c).map(e => df.withColumn(c, when(hit, e).otherwise(df(c))))
         .getOrElse(df)
     }
+    if (touched.nonEmpty)
+      checkConstraints(rewritten, snap.schema, snap.constraints, "UPDATE")
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched)
+    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched, snap.constraints)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -801,10 +914,14 @@ object DeltaLite {
     val snap = snapshot(path)
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
+    checkWriteSchema(df.schema, snap.schema, "REPLACE_WHERE")
     val newData = kept.filter(!hit).unionByName(align(df, snap.schema))
+    checkConstraints(align(df, snap.schema), snap.schema, snap.constraints,
+      "REPLACE_WHERE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema)
-    commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched)
+    commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
+      snap.constraints)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -837,7 +954,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v,
       readFiles(spark, path, snap.schema, snap.files).repartition(numFiles),
       snap.schema)
-    commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path))
+    commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
+      snap.constraints)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -885,7 +1003,8 @@ object DeltaLite {
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema)
-    commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path))
+    commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
+      snap.constraints)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -904,7 +1023,8 @@ object DeltaLite {
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path))
+    commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
+      snap.constraints)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -925,7 +1045,8 @@ object DeltaLite {
       .drop("__z")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path))
+    commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
+      snap.constraints)
   }
 
   /** Physically delete data files not referenced by the newest

@@ -29,6 +29,66 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.latestVersion(path) === Some(2L))
   }
 
+  test("DeltaLite: CHECK constraints gate every write path and survive the log") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_test_constraints").toString
+    DeltaLite.create(spark, path, Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"))
+    DeltaLite.addConstraint(spark, path, "v_positive", "v > 0")
+    DeltaLite.addConstraint(spark, path, "k_not_null", "k IS NOT NULL")
+
+    // adding a constraint existing data violates is refused
+    intercept[IllegalArgumentException](
+      DeltaLite.addConstraint(spark, path, "impossible", "v > 15"))
+
+    // good append passes; NULL v passes (SQL CHECK: unknown is not false)
+    DeltaLite.append(spark, path, Seq((3L, "c", 3.0)).toDF("k", "s", "v"))
+    DeltaLite.append(spark, path,
+      Seq((4L, "d", Option.empty[Double])).toDF("k", "s", "v"))
+
+    // violating APPEND / MERGE / UPDATE are refused and commit nothing
+    val before = DeltaLite.latestVersion(path)
+    intercept[IllegalArgumentException](DeltaLite.append(spark, path,
+      Seq((5L, "e", -1.0)).toDF("k", "s", "v")))
+    intercept[IllegalArgumentException](DeltaLite.merge(spark, path,
+      Seq((1L, "A", -9.0)).toDF("k", "s", "v"), Seq("k")))
+    intercept[IllegalArgumentException](DeltaLite.update(spark, path,
+      col("k") === 1L, Map("v" -> lit(-5.0))))
+    assert(DeltaLite.latestVersion(path) === before)
+
+    // constraints replay from the log (fresh snapshot) and drop cleanly
+    assert(DeltaLite.snapshot(path).constraints.keySet ===
+      Set("v_positive", "k_not_null"))
+    DeltaLite.dropConstraint(path, "v_positive")
+    DeltaLite.append(spark, path, Seq((5L, "e", -1.0)).toDF("k", "s", "v"))
+    assert(DeltaLite.read(spark, path).count() === 5)
+
+    // push past the checkpoint interval (10): the surviving constraint
+    // must replay from the CHECKPOINT metaData, not just raw commits
+    (0 until 5).foreach { i =>
+      DeltaLite.append(spark, path, Seq((10L + i, "x", 1.0)).toDF("k", "s", "v"))
+    }
+    assert(DeltaLite.latestVersion(path).exists(_ >= 10L))
+    assert(DeltaLite.snapshot(path).constraints.keySet === Set("k_not_null"))
+    intercept[IllegalArgumentException](DeltaLite.append(spark, path,
+      Seq((Option.empty[Long], "z", 1.0)).toDF("k", "s", "v")))
+  }
+
+  test("DeltaLite: schema enforcement rejects unknown columns and lossy casts") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_test_enforce").toString
+    DeltaLite.create(spark, path, Seq((1L, 1.0)).toDF("k", "v"))
+    // unknown column: refused on append, accepted via appendEvolve
+    intercept[IllegalArgumentException](DeltaLite.append(spark, path,
+      Seq((2L, 2.0, "extra")).toDF("k", "v", "note")))
+    DeltaLite.appendEvolve(spark, path, Seq((2L, 2.0, "extra")).toDF("k", "v", "note"))
+    assert(DeltaLite.read(spark, path).columns.toSeq === Seq("k", "v", "note"))
+    // lossy type (double → long position of k) refused; widening (int → long) fine
+    intercept[IllegalArgumentException](DeltaLite.append(spark, path,
+      Seq((3.5, 3.0)).toDF("k", "v")))
+    DeltaLite.append(spark, path, Seq((4, 4.0)).toDF("k", "v"))
+    assert(DeltaLite.read(spark, path).count() === 3)
+  }
+
   test("DeltaLite: reading an uncommitted version fails") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_test_delta2").toString
