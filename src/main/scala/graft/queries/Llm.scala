@@ -492,6 +492,33 @@ object Llm {
                 (round((sqrt(greatest(qa + qb - 2*dot, 0)))*10000)/10000) AS dist
          FROM d ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L3 (f)
+    // Per-label embedding centroids — the cluster-prototype primitive
+    // (class means for probing, IVF codebook refresh, diversity
+    // sampling). posexplode → keyed avg: partial aggregation collapses
+    // each partition to |labels|×64 (sum, count) cells, so the shuffle
+    // is O(labels × dim) regardless of corpus size — the right 100 TB
+    // shape. Output one row per (label, dim) with the mean rounded to
+    // 6 dp (float-sum order differs across engines below the ulp).
+    QueryDef("l3_centroid", (s, dir) => {
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("pos", col("pos") + lit(1))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr("round((avg(CAST(x AS DOUBLE)))*1000000)/1000000").as("c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label").asc_nulls_last, col("pos").asc_nulls_last)
+    }, Some(
+      """SELECT label, CAST(pos AS INTEGER) AS pos,
+                (round((avg(CAST(x AS DOUBLE)))*1000000)/1000000) AS c,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT label,
+                      unnest(embedding) AS x,
+                      unnest(range(1, len(embedding) + 1)) AS pos
+               FROM embeddings)
+         GROUP BY label, pos
+         ORDER BY label ASC NULLS LAST, pos ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (f)
     // Cluster-level dedup decision: MinHash-LSH near-dup pairs →
     // connected components → one row per duplicate GROUP with its keep
