@@ -102,4 +102,35 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
       p.contains("o_orderdate"), "both date predicates must reach the scans")
   }
+
+  test("l4_heavy_hitters: one sketch aggregate, no full (token,count) shuffle") {
+    val p = plan("l4_heavy_hitters")
+    // the frequent-items sketch is an ObjectHashAggregate with a partial
+    // side; the only exchange is the single-row sketch merge — a full
+    // groupBy(token) plan would hash-exchange the whole token stream
+    assert(count(p, "ObjectHashAggregate") === 2,
+      s"expected partial+final sketch aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"token stream must never shuffle by token:\n$p")
+  }
+
+  test("l4_bm25: corpus stats broadcast; the term stream shuffles only on its keys") {
+    val p = plan("l4_bm25")
+    // df / N / avgdl arrive as broadcasts (two of them 1-row nested loops)
+    assert(count(p, "BroadcastNestedLoopJoin") === 2,
+      s"N and avgdl must join as 1-row broadcasts:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"the df table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("l3_centroid: partial aggregation bounds the shuffle to labels×dim") {
+    val p = plan("l3_centroid")
+    // partial + final HashAggregate around a single keyed exchange: the
+    // exploded (label, pos, x) stream collapses per partition before it
+    // moves, so the exchange carries O(labels × dim) cells
+    assert(count(p, "HashAggregate") >= 2, s"expected partial+final agg:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"exactly one keyed exchange for the centroid agg:\n$p")
+  }
 }
