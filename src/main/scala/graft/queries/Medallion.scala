@@ -428,6 +428,32 @@ object Medallion {
          FROM merged GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S14
+    // The registered `graft-delta` format (GraftDeltaSource): the same
+    // lineage as S4/S5 read back through `spark.read.format(...)` with a
+    // filter + projection that exercise PrunedFilteredScan — log-stats
+    // file pruning, then parquet-level pushdown of the re-applied
+    // predicate. Proves the DataSourceRegister surface returns exactly
+    // the rows the native read path does, under the hard oracle.
+    QueryDef("s14_format_read", (s, dir) => {
+      val path = tmp("s14_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus") === "F"))
+      DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "O"))
+      s.read.format("graft-delta").load(path)
+        .filter(col("o_totalprice") > 200000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders
+         WHERE o_orderstatus IN ('F','O') AND o_totalprice > 200000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

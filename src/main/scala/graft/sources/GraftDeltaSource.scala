@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** DeltaLite as a REGISTERED Spark data source:
+  *
+  * {{{
+  *   spark.read.format("graft-delta").load(path)                     // latest
+  *   spark.read.format("graft-delta")
+  *     .option("versionAsOf", 3).load(path)                          // S5
+  *   spark.read.format("graft-delta")
+  *     .option("timestampAsOf", "2026-08-12 00:00:00").load(path)
+  * }}}
+  *
+  * Built on the V1 source API (`RelationProvider`/`PrunedFilteredScan`
+  * — the stable public extension surface; delta-spark itself shipped on
+  * it for years). Two pushdowns happen before Spark touches a row:
+  *
+  *   1. FILE pruning: pushed `Filter`s translate to [[DeltaLite.ColumnBound]]s
+  *      and prune whole files via the log's min/max stats
+  *      ([[GraftDeltaSource.boundsFromFilters]] — conservative: strict
+  *      bounds widen to inclusive, unsupported filters prune nothing).
+  *   2. ROW pushdown: supported filters are re-applied INSIDE the
+  *      relation's parquet scan ([[GraftDeltaSource.filterToColumn]]),
+  *      so parquet row-group stats and column pruning still engage.
+  *
+  * `unhandledFilters` returns every filter (the V1 contract allows
+  * advisory handling), so Spark re-applies them above the scan — the
+  * relation can therefore never return a wrong row, only open fewer
+  * files. Deletion vectors, schema evolution and time travel come for
+  * free from [[DeltaLite.scan]]. The `.rdd` boundary costs one
+  * InternalRow→Row conversion; latency-critical code uses
+  * [[DeltaLite.read]]/[[DeltaLite.scan]] directly (same plan, no
+  * conversion) — this surface exists so generic Spark tooling that
+  * speaks `format(...)` can read the table. */
+class GraftDeltaSource extends RelationProvider
+    with SchemaRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta requires a path: spark.read.format(\"graft-delta\").load(path)"))
+    val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
+      parameters.get("timestampAsOf").map(ts => DeltaLite.versionAtTimestamp(
+        path, java.sql.Timestamp.valueOf(ts).getTime)))
+    GraftDeltaRelation(ctx.sparkSession, path, asOf)
+  }
+
+  /** User-supplied schemas are not supported: the log IS the schema
+    * authority (reading with a divergent schema would silently miscast). */
+  override def createRelation(ctx: SQLContext, parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val rel = createRelation(ctx, parameters)
+    require(rel.schema == schema,
+      s"graft-delta tables own their schema (log: ${rel.schema.simpleString}); " +
+        "drop the .schema(...) call")
+    rel
+  }
+}
+
+object GraftDeltaSource {
+
+  /** Source `Filter`s → stat bounds for file pruning. Conservative by
+    * construction: strict inequalities widen to the inclusive
+    * [[DeltaLite.ColumnBound]] (prunes slightly less, never wrongly),
+    * disjunctions and exotic filters translate to nothing. */
+  def boundsFromFilters(filters: Seq[Filter]): Seq[DeltaLite.ColumnBound] =
+    filters.flatMap {
+      case EqualTo(a, v) => Seq(DeltaLite.ColumnBound(a, Some(v), Some(v)))
+      case GreaterThan(a, v) => Seq(DeltaLite.ColumnBound(a, lower = Some(v)))
+      case GreaterThanOrEqual(a, v) => Seq(DeltaLite.ColumnBound(a, lower = Some(v)))
+      case LessThan(a, v) => Seq(DeltaLite.ColumnBound(a, upper = Some(v)))
+      case LessThanOrEqual(a, v) => Seq(DeltaLite.ColumnBound(a, upper = Some(v)))
+      case And(l, r) => boundsFromFilters(Seq(l)) ++ boundsFromFilters(Seq(r))
+      case _ => Nil
+    }
+
+  /** Source `Filter` → `Column` predicate for in-scan re-application
+    * (parquet row-group pruning). None for filters without a faithful
+    * Column form here — they are simply not pushed. */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+      yield lc && rc
+    case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+      yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+final case class GraftDeltaRelation(spark: SparkSession, path: String,
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = DeltaLite.snapshot(path, asOf).schema
+
+  // Advisory handling: Spark re-applies every filter above the scan, so
+  // partial/conservative pushdown below can never change results.
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned = DeltaLite.scan(spark, path,
+      GraftDeltaSource.boundsFromFilters(filters.toSeq), asOf)
+    val filtered = filters.toSeq.flatMap(GraftDeltaSource.filterToColumn)
+      .foldLeft(pruned)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.toSeq.map(col): _*)
+    projected.rdd
+  }
+}

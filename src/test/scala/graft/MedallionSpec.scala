@@ -89,6 +89,49 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === 3)
   }
 
+  test("graft-delta is a registered Spark format: load, time travel, DV reads") {
+    import spark.implicits._
+    import graft.sources.GraftDeltaSource
+    val path = Files.createTempDirectory("graft_test_format").toString
+    DeltaLite.create(spark, path, Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"))
+    DeltaLite.append(spark, path, Seq((3L, "c", 3.0)).toDF("k", "s", "v"))
+
+    // format(...) resolves through the service loader, matches the native read
+    val viaFormat = spark.read.format("graft-delta").load(path)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(viaFormat === Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+
+    // versionAsOf option = S5 time travel
+    assert(spark.read.format("graft-delta").option("versionAsOf", 0)
+      .load(path).count() === 2)
+
+    // filter + projection run through PrunedFilteredScan (file pruning +
+    // in-scan pushdown) and still return exact rows
+    assert(spark.read.format("graft-delta").load(path)
+      .filter(col("k") >= 2L).select("s").as[String].collect().sorted.toSeq ===
+      Seq("b", "c"))
+
+    // deletion vectors apply on the format read path too
+    DeltaLite.deleteVectorized(spark, path, col("k") === 2L)
+    assert(spark.read.format("graft-delta").load(path)
+      .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+
+    // a user-supplied divergent schema is refused (the log owns the schema)
+    intercept[IllegalArgumentException](spark.read.format("graft-delta")
+      .schema("k LONG, wrong STRING").load(path).count())
+
+    // filter → stat-bound translation (file pruning) is conservative
+    import org.apache.spark.sql.sources._
+    val bounds = GraftDeltaSource.boundsFromFilters(Seq(
+      EqualTo("k", 5L), GreaterThan("v", 1.0),
+      And(LessThanOrEqual("k", 9L), IsNotNull("s")),
+      Or(EqualTo("k", 1L), EqualTo("k", 2L)))) // disjunction: no bound
+    assert(bounds === Seq(
+      DeltaLite.ColumnBound("k", Some(5L), Some(5L)),
+      DeltaLite.ColumnBound("v", Some(1.0), None),
+      DeltaLite.ColumnBound("k", None, Some(9L))))
+  }
+
   test("DeltaLite: reading an uncommitted version fails") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_test_delta2").toString
