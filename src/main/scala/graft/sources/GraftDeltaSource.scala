@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -38,9 +38,36 @@ import org.apache.spark.sql.types.StructType
   * conversion) — this surface exists so generic Spark tooling that
   * speaks `format(...)` can read the table. */
 class GraftDeltaSource extends RelationProvider
-    with SchemaRelationProvider with DataSourceRegister {
+    with SchemaRelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  /** Write side: `df.write.format("graft-delta").mode(m).save(path)`.
+    * ErrorIfExists/Ignore follow the SaveMode contract; Append lands a
+    * log-committed batch (constraint/schema-enforced); Overwrite is a
+    * `replaceWhere` over the full table — a new version whose live set
+    * is just the batch, with history still time-travelable. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta requires a path: df.write.format(\"graft-delta\").save(path)"))
+    val spark = ctx.sparkSession
+    val exists = DeltaLite.latestVersion(path).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(s"graft-delta table already exists at $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite if exists =>
+        DeltaLite.replaceWhere(spark, path, lit(true), data)
+      case SaveMode.Append if exists =>
+        DeltaLite.append(spark, path, data)
+      case _ =>
+        DeltaLite.create(spark, path, data)
+    }
+    GraftDeltaRelation(spark, path, None)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

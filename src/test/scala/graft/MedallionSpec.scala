@@ -132,6 +132,28 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       DeltaLite.ColumnBound("k", None, Some(9L))))
   }
 
+  test("graft-delta write side: SaveMode create/append/overwrite through the log") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_test_fmt_write").toString
+    Seq((1L, 1.0)).toDF("k", "v")
+      .write.format("graft-delta").mode("errorifexists").save(path)
+    Seq((2L, 2.0)).toDF("k", "v")
+      .write.format("graft-delta").mode("append").save(path)
+    assert(spark.read.format("graft-delta").load(path).count() === 2)
+    intercept[IllegalArgumentException](Seq((9L, 9.0)).toDF("k", "v")
+      .write.format("graft-delta").mode("errorifexists").save(path))
+    // append goes through enforcement: unknown column rejected
+    intercept[IllegalArgumentException](Seq((3L, 3.0, "x")).toDF("k", "v", "z")
+      .write.format("graft-delta").mode("append").save(path))
+    // overwrite = full replaceWhere; history stays travelable
+    Seq((7L, 7.0)).toDF("k", "v")
+      .write.format("graft-delta").mode("overwrite").save(path)
+    assert(spark.read.format("graft-delta").load(path)
+      .as[(Long, Double)].collect().toSeq === Seq((7L, 7.0)))
+    assert(spark.read.format("graft-delta").option("versionAsOf", 1)
+      .load(path).count() === 2)
+  }
+
   test("DeltaLite: reading an uncommitted version fails") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_test_delta2").toString
