@@ -39,9 +39,47 @@ import org.apache.spark.sql.types.StructType
   * speaks `format(...)` can read the table. */
 class GraftDeltaSource extends RelationProvider
     with SchemaRelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  /** Streaming sink: `events.writeStream.format("graft-delta")
+    * .option("checkpointLocation", cp).start(path)`. Each micro-batch
+    * lands via [[DeltaLite.appendOnce]] keyed on the batch id, so a
+    * replayed batch after restart is a no-op — exactly-once into the
+    * log on top of the checkpoint's at-least-once redelivery. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta sink requires a path: .start(path)"))
+    require(partitionColumns.isEmpty,
+      "graft-delta sink does not support partitionBy")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        val spark = data.sparkSession
+        // The incoming DataFrame's logical plan is streaming-tagged, so a
+        // fresh write job over it would be rejected; rebuild a batch frame
+        // over the already-executed micro-batch rows (collect-free: the
+        // physical rows are re-wrapped, not materialized on the driver).
+        val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          data.schema).resolveAndBind().createDeserializer()
+        val rows = data.queryExecution.toRdd.map(ir => deser(ir.copy()))
+        val batch = spark.createDataFrame(rows, data.schema)
+        if (DeltaLite.latestVersion(path).isEmpty)
+          DeltaLite.create(spark, path, batch.limit(0))
+        DeltaLite.appendOnce(spark, path, batch,
+          app = "graft-delta-sink", txnVersion = batchId)
+        ()
+      }
+      override def toString: String = s"GraftDeltaSink[$path]"
+    }
+  }
 
   /** Write side: `df.write.format("graft-delta").mode(m).save(path)`.
     * ErrorIfExists/Ignore follow the SaveMode contract; Append lands a

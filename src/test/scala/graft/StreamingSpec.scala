@@ -167,6 +167,32 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(streamed === batch, "streamed result must equal the batch run")
   }
 
+  test("writeStream.format(graft-delta) lands exactly-once commits via the registered sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_sink")
+    val table = dir.resolve("tbl").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append")
+      .start(table)
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(spark.read.format("graft-delta").load(table)
+        .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+      // batch ids are txn-logged: replaying batch 0 is a no-op
+      val before = graft.sources.DeltaLite.snapshot(table).version
+      graft.sources.DeltaLite.appendOnce(spark, table,
+        Seq((9L, 9.0)).toDF("k", "v"), app = "graft-delta-sink", txnVersion = 0L)
+      assert(graft.sources.DeltaLite.snapshot(table).version === before)
+    } finally q.stop()
+  }
+
   test("streaming micro-batches land as DeltaLite file-level commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
