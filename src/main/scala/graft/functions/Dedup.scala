@@ -258,6 +258,69 @@ object Dedup {
       .drop("__d2", "c_emb")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks: split the `dim`-D space into `m`
+    * subspaces of dim/m dims and train `k` codewords PER subspace (seeded
+    * k-means over the subvector slices — train ONCE, on a sample at
+    * scale). The result is an m × k × (dim/m) float table, a few KB,
+    * shipped to executors as a plan literal. 64-dim float vectors (256 B)
+    * encode to m=8 nibble-sized codes: the code table for a billion
+    * vectors fits in executor memory, and an asymmetric-distance (ADC)
+    * scan reads m small ints + m table lookups per candidate instead of
+    * 64 cold floats — the FAISS-style third ANN scale path next to
+    * hyperplane LSH and IVF. At full scale this composes as IVF-PQ:
+    * coarse cells from [[ivfTrain]] cut the candidate set, ADC re-ranks
+    * inside the probed cells. */
+  def pqTrain(train: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
+      dim: Int = 64, seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must split evenly into $m subspaces")
+    Array.tabulate(m) { j =>
+      ivfTrain(train.select(slice(col(embCol), j * sub + 1, sub).as("__s")),
+        "__s", k, seed + j).clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest-codeword ids
+    * (columns `pq0..pq{m-1}`). argmin is a pure expression: an array of
+    * (distance, idx) structs reduced by `array_min` (struct ordering is
+    * lexicographic, so ties break on the lower idx — deterministic).
+    * The ‖s‖² term is constant per subvector and dropped from the argmin. */
+  def pqEncode(df: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codeCols = (0 until m).map { j =>
+      val s = slice(col(embCol), j * sub + 1, sub)
+      val scored = array(codebooks(j).indices.map { i =>
+        val c = typedLit(codebooks(j)(i))
+        struct((call_function("vec_dot", c, c) -
+          lit(2.0) * call_function("vec_dot", s, c)).as("d"), lit(i).as("i"))
+      }: _*)
+      array_min(scored).getField("i").as(s"pq$j")
+    }
+    df.select(df.columns.map(col).toSeq ++ codeCols: _*)
+  }
+
+  /** ADC (asymmetric distance): exact query subvectors against the
+    * candidate's quantized codewords — Σ_j ‖q_j − c_j[code_j]‖². The
+    * codebook rides as a nested literal; `element_at` resolves the
+    * codeword per row, vec_dot (codegen) does the arithmetic. */
+  def pqAdcDistance(query: Column, codebooks: Array[Array[Array[Float]]],
+      codePrefix: String = "pq"): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    (0 until m).map { j =>
+      val s = slice(query, j * sub + 1, sub)
+      val c = element_at(typedLit(codebooks(j)), col(s"$codePrefix$j") + 1)
+      call_function("vec_dot", s, s) -
+        lit(2.0) * call_function("vec_dot", s, c) +
+        call_function("vec_dot", c, c)
+    }.reduce(_ + _)
+  }
+
   /** Sign-bucket id for an embedding column under `nPlanes` hyperplanes —
     * the IVF/LSH scale path for ANN (SURVEY §2.9 L3): candidates are
     * restricted to equal buckets, turning top-k search into an equality

@@ -338,6 +338,38 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L3 (g)
+    // ANN via product quantization (the FAISS-style compressed-codes
+    // path): codebooks train once on a deterministic 1-in-5 sample, the
+    // corpus encodes to m=8 small codes (256 B → 8 ints, memory-resident
+    // at any scale), and queries rank candidates by asymmetric distance
+    // — exact query subvectors vs quantized codewords, all codegen'd
+    // expressions over plan-literal codebooks. Rows-only (quantization
+    // isn't SQL-expressible); top-1 recall on planted near-dups is
+    // property-tested in DedupSpec. At 100 TB this composes as IVF-PQ:
+    // IVF cells cut candidates, ADC re-ranks inside cells.
+    QueryDef("l3_ann_pq", (s, dir) => {
+      val e = emb(s, dir)
+      val cb = Dedup.pqTrain(e.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "embedding")
+      val codes = Dedup.pqEncode(
+        e.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding")),
+        "embedding", cb)
+        .select(col("vec_id").as("nid") +:
+          cb.indices.map(j => col(s"pq$j")): _*)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("nid").asc)
+      codes.crossJoin(broadcast(q))
+        .withColumn("d2", Dedup.pqAdcDistance(col("qe"), cb))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(d2*10000)/10000").as("d2"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------- L4
     // Corpus token statistics per language (whitespace + BPE-ish token
     // counts, char stats).

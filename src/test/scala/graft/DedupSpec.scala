@@ -105,6 +105,34 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(hits >= 40, s"only $hits/50 perturbed vectors share their cell")
   }
 
+  test("PQ-ADC ranks each planted near-dup's original as its top-1 neighbor") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val cb = Dedup.pqTrain(e, "embedding")
+    val codes = Dedup.pqEncode(e.select(col("vec_id"), col("embedding")),
+      "embedding", cb)
+    // queries = 2%-perturbed copies of 50 corpus vectors; under ADC the
+    // unperturbed original should be the nearest code almost always
+    // (quantization error ≫ perturbation only in pathological cells)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("vec_id").asc)
+    val top1 = codes.crossJoin(broadcast(q))
+      .withColumn("d2", Dedup.pqAdcDistance(col("qe"), cb))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("qid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 50L).count(i => top1(i) == i)
+    assert(hits >= 45, s"only $hits/50 perturbed queries ranked their original top-1")
+    // sanity: codes are within range and all m columns materialized
+    val mx = codes.agg(max(col("pq0")), min(col("pq7"))).head()
+    assert(mx.getInt(0) <= 15 && mx.getInt(1) >= 0)
+  }
+
   test("multi-probe IVF raises cell recall over single-probe") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sf, "embeddings")
