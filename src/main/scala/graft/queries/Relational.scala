@@ -523,6 +523,35 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A14
+    // Linear-regression aggregate family (regr_*): slope/intercept/R²/
+    // avgx/avgy per group — the SQL-standard bivariate fit both engines
+    // implement natively. Single-pass mergeable moments (sums of x, y,
+    // xy, x²), so at 100 TB it is one partial+final hash agg like A1;
+    // results round to 6 dp (the moment arithmetic differs in the last
+    // ulp across engines).
+    QueryDef("a14_regr_aggs", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round((expr("regr_slope(l_extendedprice, l_quantity)"))*1000000)/1000000).as("slope"),
+          (round((expr("regr_intercept(l_extendedprice, l_quantity)"))*1000000)/1000000).as("intercept"),
+          (round((expr("regr_r2(l_extendedprice, l_quantity)"))*1000000)/1000000).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          (round((expr("regr_avgx(l_extendedprice, l_quantity)"))*1000000)/1000000).as("avgx"),
+          (round((expr("regr_avgy(l_extendedprice, l_quantity)"))*1000000)/1000000).as("avgy"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag,
+                (round((regr_slope(l_extendedprice, l_quantity))*1000000)/1000000) AS slope,
+                (round((regr_intercept(l_extendedprice, l_quantity))*1000000)/1000000) AS intercept,
+                (round((regr_r2(l_extendedprice, l_quantity))*1000000)/1000000) AS r2,
+                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+                (round((regr_avgx(l_extendedprice, l_quantity))*1000000)/1000000) AS avgx,
+                (round((regr_avgy(l_extendedprice, l_quantity))*1000000)/1000000) AS avgy
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- A3
     // Approximate distinct (HLL++). Approximate ⇒ no hash oracle (SURVEY
     // §2.4 A3); rows-only here, tolerance vs exact in FunctionsSpec. At
