@@ -53,8 +53,9 @@ class GraftDeltaSource extends RelationProvider
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-delta sink requires a path: .start(path)"))
+    val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta sink requires a path: .start(path)")))
     require(partitionColumns.isEmpty,
       "graft-delta sink does not support partitionBy")
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -89,8 +90,9 @@ class GraftDeltaSource extends RelationProvider
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: org.apache.spark.sql.DataFrame)
       : BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-delta requires a path: df.write.format(\"graft-delta\").save(path)"))
+    val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta requires a path: df.write.format(\"graft-delta\").save(path)")))
     val spark = ctx.sparkSession
     val exists = DeltaLite.latestVersion(path).isDefined
     mode match {
@@ -109,8 +111,9 @@ class GraftDeltaSource extends RelationProvider
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-delta requires a path: spark.read.format(\"graft-delta\").load(path)"))
+    val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta requires a path: spark.read.format(\"graft-delta\").load(path)")))
     val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map(ts => DeltaLite.versionAtTimestamp(
         path, java.sql.Timestamp.valueOf(ts).getTime)))
@@ -130,6 +133,14 @@ class GraftDeltaSource extends RelationProvider
 }
 
 object GraftDeltaSource {
+
+  /** The SQL catalog hands `path` as a `file:` URI (CREATE TABLE ...
+    * USING `graft-delta`); the DataFrame API hands a plain path. DeltaLite
+    * speaks local paths, so normalize the URI form down. */
+  def localPath(p: String): String =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
 
   /** Source `Filter`s → stat bounds for file pruning. Conservative by
     * construction: strict inequalities widen to the inclusive

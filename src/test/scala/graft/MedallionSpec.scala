@@ -132,6 +132,22 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       DeltaLite.ColumnBound("k", None, Some(9L))))
   }
 
+  test("graft-delta via SQL DDL: CREATE TABLE ... USING resolves the format") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_test_ddl").toString
+    DeltaLite.create(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    spark.sql(s"""CREATE TABLE graft_ddl USING `graft-delta`
+                  OPTIONS (path '$path')""")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl").head().getLong(0) === 2)
+      assert(spark.sql("SELECT s FROM graft_ddl WHERE k = 2").head().getString(0) === "b")
+      // writes through the log are visible to the SQL table (no caching)
+      DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s"))
+      spark.sql("REFRESH TABLE graft_ddl")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl").head().getLong(0) === 3)
+    } finally spark.sql("DROP TABLE graft_ddl")
+  }
+
   test("graft-delta write side: SaveMode create/append/overwrite through the log") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_test_fmt_write").toString

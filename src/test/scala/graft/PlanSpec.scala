@@ -124,6 +124,18 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("l3_ann_pq: top-k per query is group-limited BEFORE the shuffle") {
+    val p = plan("l3_ann_pq")
+    // partial WindowGroupLimit under the exchange caps what moves to
+    // 3 rows × partitions × queries; the ADC scan itself is the
+    // deliberate broadcast of the 10-row probe set over the code table
+    assert(count(p, "WindowGroupLimit") === 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 1 &&
+      !p.contains("CartesianProduct"),
+      s"probe set must broadcast over the codes scan:\n$p")
+  }
+
   test("l3_centroid: partial aggregation bounds the shuffle to labels×dim") {
     val p = plan("l3_centroid")
     // partial + final HashAggregate around a single keyed exchange: the
