@@ -380,6 +380,33 @@ object Scalars {
          ascii(substr(text, 3, 1)) AS b3
          FROM documents ORDER BY doc_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------- M2 (multimodal)
+    // Frame sampling over an opaque "video" payload (builder prompt:
+    // decode / frame-sample as partition-local stages): every 2nd
+    // 64-byte window of the binary column becomes a frame row via the
+    // typed-Dataset flatMap in Multimodal.sampleFrames — the real
+    // batch-shape plumbing (map-only, no shuffle until the output sort).
+    // The stub FEATURES are dropped here so the frame geometry itself
+    // (index, byte count) sits under the hard oracle; the feature path
+    // is covered by MedallionSpec's stub-decode test.
+    QueryDef("m2_frame_sample", (s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      graft.functions.Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("id"), col("frame_idx"), col("frame_bytes"))
+        .orderBy(col("id").asc_nulls_last, col("frame_idx").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+                CAST(least(64, octet_length(encode(text)) - i * 64) AS INTEGER)
+                  AS frame_bytes
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0)
+                                           AS BIGINT))) AS i
+               FROM documents)
+         WHERE i % 2 = 0
+         ORDER BY id ASC NULLS LAST, frame_idx ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ F12
     // Bitwise scalars (&, <<, >>, bit_count) and bitwise aggregates
     // (bit_and/bit_or/bit_xor) — all codegen'd column expressions; the
