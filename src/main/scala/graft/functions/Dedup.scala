@@ -273,13 +273,67 @@ object Dedup {
     * coarse cells from [[ivfTrain]] cut the candidate set, ADC re-ranks
     * inside the probed cells. */
   def pqTrain(train: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
-      dim: Int = 64, seed: Long = 42L): Array[Array[Array[Float]]] = {
+      dim: Int = 64, seed: Long = 42L, sampleLimit: Int = 4096,
+      iters: Int = 12): Array[Array[Array[Float]]] = {
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must split evenly into $m subspaces")
+    // Codebooks train DRIVER-SIDE on a bounded sample (the FAISS
+    // pattern: a few thousand vectors saturate 16-codeword subspace
+    // quantizers). The sample is the ONLY data that reaches the driver
+    // — m seeded Lloyd runs over ≤ sampleLimit × dim floats cost
+    // milliseconds, vs seconds of per-fit job overhead for distributed
+    // k-means at this size. Encode and ADC stay fully distributed.
+    val sample = train.select(col(embCol)).limit(sampleLimit).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain needs a non-empty training sample")
     Array.tabulate(m) { j =>
-      ivfTrain(train.select(slice(col(embCol), j * sub + 1, sub).as("__s")),
-        "__s", k, seed + j).clusterCenters.map(_.toArray.map(_.toFloat))
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub).map(_.toDouble))
+      lloyd(pts, k, iters, seed + j).map(_.map(_.toFloat))
     }
+  }
+
+  /** Standard Lloyd iterations with splitmix-seeded init (deterministic
+    * across runs/JVMs — no Math.random); empty clusters re-seed from a
+    * seeded point pick. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    def pick(s: Long): Array[Double] =
+      pts((((splitmix(s) % n) + n) % n).toInt).clone()
+    var cs = Array.tabulate(k)(i => pick(seed + i))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val v = pts(p)
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < k) {
+          var dist = 0.0; var x = 0
+          while (x < d) { val t = v(x) - cs(i)(x); dist += t * t; x += 1 }
+          if (dist < bd) { bd = dist; best = i }
+          i += 1
+        }
+        var x = 0
+        while (x < d) { sums(best)(x) += v(x); x += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      cs = Array.tabulate(k) { i =>
+        if (counts(i) == 0) pick(seed + 1000 + it * k + i)
+        else {
+          val c = new Array[Double](d)
+          var x = 0
+          while (x < d) { c(x) = sums(i)(x) / counts(i); x += 1 }
+          c
+        }
+      }
+      it += 1
+    }
+    cs
   }
 
   /** Encode every vector as its per-subspace nearest-codeword ids
