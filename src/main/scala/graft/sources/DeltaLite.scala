@@ -690,6 +690,34 @@ object DeltaLite {
       tsMillis: Long): DataFrame =
     read(spark, path, Some(versionAtTimestamp(path, tsMillis)))
 
+  /** Rows ADDED between two versions — the streaming-source read: the
+    * files live at `to` that were not live at `from` (by path). `from` =
+    * None means "the initial snapshot" (everything at `to`). A file
+    * REMOVED in the range means the range is not append-only (MERGE/
+    * DELETE/OPTIMIZE rewrote data); per the Delta streaming-source
+    * contract that is an error unless the caller opts into
+    * `allowRewrites` (Delta's ignoreChanges: rewritten files re-emit
+    * their surviving rows — at-least-once for those rows, documented). */
+  def readVersionAppends(spark: SparkSession, path: String,
+      from: Option[Long], to: Long, allowRewrites: Boolean): DataFrame = {
+    val toSnap = snapshot(path, Some(to))
+    from match {
+      case None => readFiles(spark, path, toSnap.schema, toSnap.files)
+      case Some(f) =>
+        val fromSnap = snapshot(path, Some(f))
+        val toPaths = toSnap.files.map(_.path).toSet
+        val removed = fromSnap.files.filterNot(x => toPaths.contains(x.path))
+        if (removed.nonEmpty && !allowRewrites)
+          throw new IllegalStateException(
+            s"versions ${f + 1}..$to of $path are not append-only " +
+              s"(${removed.size} file(s) removed/rewritten); " +
+              "set ignoreChanges=true to stream through rewrites")
+        val fromPaths = fromSnap.files.map(_.path).toSet
+        readFiles(spark, path, toSnap.schema,
+          toSnap.files.filterNot(x => fromPaths.contains(x.path)))
+    }
+  }
+
   /** Expose a DeltaLite table to SQL as a temp view (optionally pinned to
     * a version) — the EP3 ad-hoc surface over the storage layer:
     * `SELECT ... FROM <name>` after registration. */

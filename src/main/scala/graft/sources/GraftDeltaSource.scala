@@ -40,9 +40,39 @@ import org.apache.spark.sql.types.StructType
 class GraftDeltaSource extends RelationProvider
     with SchemaRelationProvider with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  // ----------------------------------------------------- streaming source
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
+    (shortName(), DeltaLite.snapshot(path).schema)
+  }
+
+  /** Streaming source: `spark.readStream.format("graft-delta").load(path)`.
+    * Offsets ARE log versions — batch N..M reads exactly the files that
+    * versions N+1..M added, so each committed row is delivered once (the
+    * Delta streaming-source design; a glob-based file stream would
+    * re-list and could not see through rewrites). Non-append commits in
+    * a range (MERGE/DELETE rewrote a file) fail the stream unless
+    * `.option("ignoreChanges", true)`, matching Delta's contract. */
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
+    new GraftDeltaStreamSource(ctx.sparkSession, path,
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
 
   /** Streaming sink: `events.writeStream.format("graft-delta")
     * .option("checkpointLocation", cp).start(path)`. Each micro-batch
@@ -177,6 +207,40 @@ object GraftDeltaSource {
     case Not(c) => filterToColumn(c).map(!_)
     case _ => None
   }
+}
+
+/** Version-offset streaming source over a DeltaLite table (see
+  * [[GraftDeltaSource.createSource]]). The schema pins at stream start;
+  * offsets round-trip through the checkpoint as plain version longs. */
+final class GraftDeltaStreamSource(spark: SparkSession, path: String,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val tableSchema: StructType = DeltaLite.snapshot(path).schema
+
+  override def schema: StructType = tableSchema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    DeltaLite.latestVersion(path).map(LongOffset(_))
+
+  private def version(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other => other.json.trim.toLong // SerializedOffset after restart
+    }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    // getBatch must return a STREAMING-tagged frame — see StreamingFrame.
+    org.apache.spark.sql.graft.StreamingFrame.tag(
+      DeltaLite.readVersionAppends(spark, path,
+        start.map(version), version(end), allowRewrites = ignoreChanges))
+  }
+
+  override def stop(): Unit = ()
 }
 
 final case class GraftDeltaRelation(spark: SparkSession, path: String,

@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(streamed === batch, "streamed result must equal the batch run")
   }
 
+  test("readStream.format(graft-delta): version offsets deliver each commit once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_source")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val q = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("fmt_src")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot = first batch
+      assert(spark.sql("SELECT k FROM fmt_src").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L))
+      // an append lands as its own micro-batch, exactly the new rows
+      graft.sources.DeltaLite.append(spark, table, Seq((3L, "c")).toDF("k", "s"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM fmt_src").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L))
+      // a non-append commit (MERGE rewrites a file) fails the stream:
+      // the append-only contract, same as Delta without ignoreChanges
+      graft.sources.DeltaLite.merge(spark, table,
+        Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft-delta) lands exactly-once commits via the registered sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
