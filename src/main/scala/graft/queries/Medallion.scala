@@ -454,6 +454,47 @@ object Medallion {
          WHERE o_orderstatus IN ('F','O') AND o_totalprice > 200000
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S15
+    // Change data feed (Delta CDF / `table_changes`): a lineage of
+    // create → delete → append over orders, then `DeltaLite.changes`
+    // diffs two versions into (row, _change_type) — computed from
+    // TOUCHED FILES only, never a full-table diff. The oracle rebuilds
+    // the same states set-algebraically (EXCEPT ALL both ways), pinning
+    // the CDF semantics (inserts = new-not-old, deletes = old-not-new,
+    // multiset — duplicate rows count) under the hard gate.
+    QueryDef("s15_cdf", (s, dir) => {
+      val path = tmp("s15_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus").isin("F", "O")))
+      DeltaLite.delete(s, path,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+      DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "P"))
+      DeltaLite.changes(s, path, 0L, 2L)
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("_change_type").asc_nulls_last,
+          col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH v0 AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderstatus IN ('F','O')),
+         v2 AS (
+           SELECT * FROM v0
+           WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderstatus = 'P'),
+         cdf AS (
+           SELECT *, 'insert' AS _change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v0)
+           UNION ALL
+           SELECT *, 'delete' AS _change_type FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v2))
+         SELECT _change_type, o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM cdf GROUP BY _change_type, o_orderstatus
+         ORDER BY _change_type ASC NULLS LAST, o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality
