@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("graft-delta source with ignoreChanges streams through a rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_src_ic")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // rewrite BEFORE the stream starts consuming post-snapshot versions:
+    // the initial snapshot carries v0; the merge rewrites a file in v1
+    graft.sources.DeltaLite.merge(spark, table,
+      Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+    val q = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", true).load(table)
+      .writeStream.format("memory").queryName("fmt_src_ic")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial offset is the LATEST version at start → post-merge state
+      assert(spark.sql("SELECT s FROM fmt_src_ic WHERE k = 1")
+        .as[String].head() === "A")
+      // a further rewrite does NOT fail the stream under ignoreChanges;
+      // the rewritten file re-emits its surviving rows (at-least-once)
+      graft.sources.DeltaLite.merge(spark, table,
+        Seq((2L, "B")).toDF("k", "s"), Seq("k"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM fmt_src_ic WHERE s = 'B'")
+        .head().getLong(0) >= 1L)
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft-delta) lands exactly-once commits via the registered sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
