@@ -1001,6 +1001,55 @@ object Relational {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST,
                   l_orderkey ASC NULLS LAST
-         LIMIT 10"""))
+         LIMIT 10""")),
+
+    // ------------------------------------------------------------------- X2
+    // Composite workload, TPC-H Q5 shape: local-supplier revenue by
+    // nation inside one region-year. Six tables; the 100× plan: lineitem
+    // (the only big table) flows through ONE pipeline — orders filters
+    // by date at its scan and broadcasts, customer/supplier/nation/
+    // region are dims and broadcast, the c_nationkey = s_nationkey
+    // "local supplier" condition rides the supplier join, and the final
+    // agg is partial+final on 5 nation keys. lineitem is never shuffled
+    // except into the group-by.
+    QueryDef("x2_workload_q5", (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100)
+          .as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
+    }, Some(
+      """SELECT n_name,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST"""))
   )
 }

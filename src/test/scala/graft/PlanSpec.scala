@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       p.contains("o_orderdate"), "both date predicates must reach the scans")
   }
 
+  test("x2_workload_q5: all five joins broadcast; lineitem shuffles only into the agg") {
+    val p = plan("x2_workload_q5")
+    assert(count(p, "BroadcastHashJoin") === 5, s"all joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "the order-date predicate must reach the orders scan")
+  }
+
   test("l4_heavy_hitters: one sketch aggregate, no full (token,count) shuffle") {
     val p = plan("l4_heavy_hitters")
     // the frequent-items sketch is an ObjectHashAggregate with a partial
