@@ -779,6 +779,29 @@ object Relational {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- W5
+    // Aggregate-as-window beyond sum/avg: an exact MEDIAN over a sliding
+    // 11-row frame (percentile ≡ DuckDB quantile_cont as a window
+    // aggregate). One keyed shuffle for the window partition; the
+    // per-frame percentile is frame-local work. At 100 TB the scalable
+    // twin is a13's approx sketch as a windowed aggregate.
+    QueryDef("w5_windowed_median", (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey")).rowsBetween(-10, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          (round((expr("percentile(o_totalprice, 0.5)").over(w))*100)/100)
+            .as("med11"))
+        .orderBy(col("o_orderstatus").asc_nulls_last,
+          col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, o_orderkey,
+                (round((quantile_cont(o_totalprice, 0.5) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))*100)/100) AS med11
+         FROM orders
+         ORDER BY o_orderstatus ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- O1
     // Multi-key sort with explicit NULLS FIRST/LAST (Spark and DuckDB have
     // opposite defaults — SURVEY §7.3). Nulls introduced via nullif.
