@@ -419,9 +419,13 @@ object DeltaLite {
       constraints: Map[String, String], op: String): Unit = {
     if (constraints.isEmpty) return
     val named = constraints.toSeq.sortBy(_._1)
-    val flags = named.map { case (n, e) => not(coalesce(expr(e), lit(true))).as(n) }
+    // synthetic flag names: constraint names are user input and must not
+    // have to survive col()-resolution (dots would read as nested fields)
+    val flags = named.zipWithIndex.map { case ((_, e), i) =>
+      not(coalesce(expr(e), lit(true))).as(s"__c$i")
+    }
     val row = align(df, schema).select(flags: _*)
-      .filter(named.map(n => col(n._1)).reduce(_ || _))
+      .filter(named.indices.map(i => col(s"__c$i")).reduce(_ || _))
       .limit(1).collect().headOption
     row.foreach { r =>
       val broken = named.indices.filter(r.getBoolean).map(named(_)._1)
