@@ -1073,6 +1073,46 @@ object Relational {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
-         ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST"""))
+         ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- X3
+    // Composite workload, TPC-H Q18 shape (large-volume customers): join
+    // against a HAVING-filtered aggregate of the fact table itself. The
+    // 100× plan: the big-order key set is a keyed agg of lineitem
+    // (partial+final) whose survivors are a tiny fraction — it joins
+    // back as a broadcast LeftSemi, so lineitem is re-scanned but never
+    // re-shuffled; orders/customer enrich via broadcast; the final
+    // per-order agg groups the filtered rows; top-100 is
+    // TakeOrderedAndProject.
+    QueryDef("x3_workload_q18", (s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 250).select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      l.join(broadcast(big), Seq("l_orderkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg((round((sum(col("l_quantity")))*100)/100).as("total_qty"))
+        .orderBy(col("o_totalprice").desc_nulls_last,
+          col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+        .limit(100)
+    }, Some(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                (round((sum(l_quantity))*100)/100) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+           AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS LAST,
+                  o_orderkey ASC NULLS LAST
+         LIMIT 100"""))
   )
 }

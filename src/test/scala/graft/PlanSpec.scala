@@ -111,6 +111,14 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       "the order-date predicate must reach the orders scan")
   }
 
+  test("x3_workload_q18: big-order keys broadcast as a semi join; top-100 never global-sorts") {
+    val p = plan("x3_workload_q18")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"the HAVING-filtered key set must semi-join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must be heap-based:\n$p")
+  }
+
   test("l4_heavy_hitters: one sketch aggregate, no full (token,count) shuffle") {
     val p = plan("l4_heavy_hitters")
     // the frequent-items sketch is an ObjectHashAggregate with a partial
