@@ -57,18 +57,23 @@ object DeltaLite {
   final case class ColStats(min: Option[Any], max: Option[Any])
 
   /** One live data file: path relative to the table root + PHYSICAL row
-    * count + data-skipping stats + optional deletion vector. `dv` points
-    * at a parquet dir of (path, row_index) soft-deleted positions for
-    * this file; `rows`/`stats` stay physical (valid upper bounds for
-    * pruning — a DV only ever removes rows). */
+    * count + data-skipping stats + optional deletion vector + partition
+    * values (Hive-layout tables; string-encoded like Delta's
+    * partitionValues). `dv` points at a parquet dir of (path, row_index)
+    * soft-deleted positions for this file; `rows`/`stats` stay physical
+    * (valid upper bounds for pruning — a DV only ever removes rows). */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
-      dv: Option[String] = None)
+      dv: Option[String] = None, pv: Map[String, String] = Map.empty)
 
   /** Resolved table state at a version: schema + live file set +
-    * CHECK constraints (name → SQL predicate, enforced on every write). */
+    * CHECK constraints (name → SQL predicate, enforced on every write) +
+    * partition columns (log-carried — partition pruning happens on the
+    * commit log's partitionValues BEFORE any stats pruning or file
+    * listing, the Delta partitioned-table read path). */
   final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
   }
@@ -198,14 +203,19 @@ object DeltaLite {
 
   /** Files of `snap` that could contain a row satisfying every bound —
     * the data-skipping core. A file is dropped only when stats PROVE
-    * max < lower or min > upper for some bound. */
+    * max < lower or min > upper for some bound. On a partitioned table a
+    * bound naming a partition column resolves against the file's logged
+    * partition value (an EXACT min==max bound — log-level partition
+    * pruning, stronger than stats and free of any file listing). */
   def pruneFiles(snap: Snapshot, bounds: Seq[ColumnBound]): Seq[AddFile] = {
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     snap.files.filter { f =>
       bounds.forall { b =>
         types.get(b.column) match {
           case Some(dt) =>
-            val st = f.stats.get(b.column)
+            val st: Option[ColStats] = f.stats.get(b.column).orElse(
+              f.pv.get(b.column).flatMap(parsePartitionValue(dt, _))
+                .map(v => ColStats(Some(v), Some(v))))
             val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
               yield cmp(dt, mx, nlo) >= 0).getOrElse(true)
             val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
@@ -215,6 +225,20 @@ object DeltaLite {
         }
       }
     }
+  }
+
+  /** Decode a Hive-layout partition value string into [[cmp]]'s
+    * comparable space. Unparseable / unsupported types yield None — the
+    * file is then kept (pruning stays an optimization). */
+  private def parsePartitionValue(dt: DataType, s: String): Option[Any] = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") return None // null partition
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+      case StringType => Some(s)
+      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay)
+      case FloatType | DoubleType => Some(s.toDouble)
+      case _ => None
+    } catch { case _: RuntimeException => None }
   }
 
   // ------------------------------------------------------------- replay
@@ -255,26 +279,28 @@ object DeltaLite {
       s"version $v was never committed at $path")
     var schema: StructType = null
     var constraints = Map.empty[String, String]
+    var partitionBy: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
     ckpt.foreach { cv =>
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
-        s => schema = s, live, txns, c => constraints = c)
+        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
-        s => schema = s, live, txns, c => constraints = c)
+        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p)
     }
     require(schema != null, s"log at $path has no metaData action")
-    Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints)
+    Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
       live: scala.collection.mutable.LinkedHashMap[String, AddFile],
       txns: scala.collection.mutable.HashMap[String, Long],
-      onConstraints: Map[String, String] => Unit): Unit = {
+      onConstraints: Map[String, String] => Unit,
+      onPartitionBy: Seq[String] => Unit): Unit = {
     var schema: StructType = null
     lines.filter(_.nonEmpty).foreach { line =>
       parseLine(line) match {
@@ -284,12 +310,16 @@ object DeltaLite {
               schema = DataType.fromJson(s).asInstanceOf[StructType]
               onSchema(schema)
             }
-            // Constraints ride the SAME metaData action as the schema:
-            // every commit re-states them, so absence (old logs, or a
-            // RESTORE to a pre-constraint metadata) means "none".
+            // Constraints and partition columns ride the SAME metaData
+            // action as the schema: every commit re-states them, so
+            // absence (old logs, or a RESTORE to a pre-constraint
+            // metadata) means "none".
             onConstraints(m.collectFirst { case ("constraints", JObject(cs)) =>
               cs.collect { case (n, JString(e)) => n -> e }.toMap
             }.getOrElse(Map.empty))
+            onPartitionBy(m.collectFirst { case ("partitionBy", JArray(ps)) =>
+              ps.collect { case JString(p) => p }
+            }.getOrElse(Nil))
           case ("add", a: JObject) =>
             val af = decodeAdd(a, schema)
             live(af.path) = af
@@ -333,46 +363,155 @@ object DeltaLite {
       case _ => Map.empty[String, ColStats]
     }
     val dv = m.get("dv").collect { case JString(d) => d }
-    AddFile(p, rows, stats, dv)
+    val pv = m.get("pv") match {
+      case Some(JObject(vals)) =>
+        vals.collect { case (c, JString(s)) => c -> s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    AddFile(p, rows, stats, dv, pv)
   }
 
   // -------------------------------------------------------------- write
 
   /** Write `df` (aligned to `schema`) as the data of version `version`;
-    * returns one AddFile per produced parquet part, with stats collected
-    * in a single distributed pass over ONLY the new batch. */
+    * returns one AddFile per produced parquet part. Row counts and
+    * min/max stats come from the PARQUET FOOTERS the write itself
+    * produced (the Iceberg design) — a driver-side metadata read per
+    * file, ZERO extra Spark jobs. Earlier versions ran a second
+    * distributed group-by-file pass over the fresh batch; at bench scale
+    * that doubled every write's job count, and at 100 TB it re-reads the
+    * day's data once more for numbers the writer already computed.
+    *
+    * With `partitionBy` non-empty the batch lands in Hive layout
+    * (`col=value/` dirs) under the version dir, partition values are
+    * parsed from each file's path, and the data files carry only the
+    * non-partition columns — the Delta partitioned-table file shape. */
   private def writeData(spark: SparkSession, tableRoot: Path, version: Long,
-      df: DataFrame, schema: StructType): Seq[AddFile] = {
+      df: DataFrame, schema: StructType,
+      partitionBy: Seq[String] = Nil): Seq[AddFile] = {
     // uuid suffix: data dirs never collide, so concurrent writers only
     // contend at the commit rename (see commit helpers below)
     val dir = tableRoot.resolve(
       f"files-$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
-    align(df, schema).write.mode("errorifexists").parquet(dir.toString)
+    // INT96 (Spark's historical default for TIMESTAMP) carries no usable
+    // footer statistics; micros INT64 is the modern format and stats-true.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val w = align(df, schema).write.mode("errorifexists")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(dir.toString)
+    footerAdds(spark, tableRoot, dir, schema, partitionBy)
+  }
 
-    val statFields = schema.fields.filter(f => statEligible(f.dataType))
-    val written = spark.read.schema(schema).parquet(dir.toString)
-    val aggs = count(lit(1)).as("__rows") +:
-      statFields.flatMap(f => Seq(
-        min(written.col(f.name)).as(s"__min__${f.name}"),
-        max(written.col(f.name)).as(s"__max__${f.name}")))
-    val rows = written
-      .groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+  /** One AddFile per parquet part under `dir`, with rows + per-column
+    * min/max decoded from the files' own footers (no Spark job). */
+  private def footerAdds(spark: SparkSession, tableRoot: Path, dir: Path,
+      schema: StructType, partitionBy: Seq[String]): Seq[AddFile] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statFields = schema.fields
+      .filter(f => statEligible(f.dataType) && !partitionBy.contains(f.name))
+    val walk = Files.walk(dir)
+    val parts = try {
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    } finally walk.close()
+    parts.map { p =>
+      val rel = tableRoot.relativize(p).toString
+      val pv = partitionValuesOf(dir.relativize(p).toString)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val byName = blocks.flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+        val stats = statFields.flatMap { f =>
+          footerColStats(f.dataType, byName.getOrElse(f.name, Nil))
+            .map(f.name -> _)
+        }.toMap
+        AddFile(rel, rows, stats, None, pv)
+      } finally reader.close()
+    }
+  }
 
-    rows.toSeq.map { r =>
-      val abs = Paths.get(new java.net.URI(r.getAs[String]("__fp")))
-      val rel = tableRoot.relativize(abs).toString
-      val stats = statFields.flatMap { f =>
-        val mn = encodeStat(f.dataType, r.getAs[Any](s"__min__${f.name}"))
-          .flatMap(decodeStat(f.dataType, _))
-          .map(truncStatMin(f.dataType, _))
-        val mx = encodeStat(f.dataType, r.getAs[Any](s"__max__${f.name}"))
-          .flatMap(decodeStat(f.dataType, _))
-          .flatMap(truncStatMax(f.dataType, _))
-        if (mn.isEmpty && mx.isEmpty) None else Some(f.name -> ColStats(mn, mx))
-      }.toMap
-      AddFile(rel, r.getAs[Long]("__rows"), stats)
+  /** Hive-layout `col=value` segments of a file's path → partition
+    * values (percent-escapes decoded — Spark escapes `/` etc. on write).
+    * `__HIVE_DEFAULT_PARTITION__` is Spark/Hive's null sentinel. */
+  private def partitionValuesOf(relUnderVersionDir: String): Map[String, String] =
+    relUnderVersionDir.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) ->
+        java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+    }.toMap
+
+  /** Merge one column's chunk statistics across a file's row groups into
+    * a ColStats, or None when any chunk lacks trustworthy stats
+    * (conservative: a file without stats is simply never pruned).
+    * Parquet comparators match our [[cmp]] space: signed numerics,
+    * Double.compare (NaN greatest — Spark's ordering; an all-NaN chunk
+    * yields NaN min/max, which [[encodeStat]] drops → unprunable, safe),
+    * unsigned-lexicographic UTF-8 for strings (ASCII-safe; fixture data
+    * is ASCII — documented trade-off, same as the previous Spark-agg
+    * path which compared driver strings with compareTo). */
+  private def footerColStats(dt: DataType,
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+      : Option[ColStats] = {
+    if (chunks.isEmpty) return None
+    var mn: Option[Any] = None
+    var mx: Option[Any] = None
+    chunks.foreach { c =>
+      val st = c.getStatistics
+      if (st == null || st.isEmpty) return None // no stats recorded: distrust file
+      if (st.hasNonNullValue) {
+        val (lo, hi) = (footerValue(dt, c, st.genericGetMin),
+          footerValue(dt, c, st.genericGetMax))
+        if (lo.isEmpty || hi.isEmpty) return None
+        if (mn.forall(m => cmp(dt, lo.get, m) < 0)) mn = lo
+        if (mx.forall(m => cmp(dt, hi.get, m) > 0)) mx = hi
+      } // all-null chunk: contributes no values, bounds unaffected
+    }
+    val mn2 = mn.map(truncStatMin(dt, _))
+    val mx2 = mx.flatMap(truncStatMax(dt, _))
+    if (mn2.isEmpty && mx2.isEmpty) None else Some(ColStats(mn2, mx2))
+  }
+
+  /** Decode one parquet statistics value into [[cmp]]'s comparable space
+    * (long for ints/dates/timestamps — parquet logical-type units
+    * normalized to our epoch-day / epoch-micros — double for floats,
+    * BigDecimal for decimals, String for UTF-8 binary). None = a shape
+    * we don't trust (e.g. INT96); the file then keeps no stats. */
+  private def footerValue(dt: DataType,
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      v: AnyRef): Option[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.io.api.Binary
+    val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+    (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(n.longValue())
+      case (FloatType | DoubleType, n: Number) =>
+        val d = n.doubleValue()
+        if (d.isNaN) None else Some(d)
+      case (DateType, n: Number) => Some(n.longValue()) // INT32 epoch days
+      case (TimestampType | TimestampNTZType, n: Number) =>
+        val unitScale = logical match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+              case _ => None // nanos would overflow the micros space; skip
+            }
+          case _ => None
+        }
+        unitScale.map(n.longValue() * _)
+      case (d: DecimalType, n: Number) => // INT32/INT64 unscaled
+        Some(BigDecimal(BigInt(n.longValue()), d.scale))
+      case (d: DecimalType, b: Binary) => // FIXED_LEN_BYTE_ARRAY unscaled
+        Some(BigDecimal(BigInt(new java.math.BigInteger(b.getBytes)), d.scale))
+      case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+      case _ => None
     }
   }
 
@@ -445,19 +584,25 @@ object DeltaLite {
     })
     JObject(List("add" -> JObject(List(
       "path" -> JString(f.path), "rows" -> JLong(f.rows),
-      "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats))))
+      "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats) ++
+      (if (f.pv.isEmpty) Nil
+       else List("pv" -> JObject(
+         f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))))))
   }
 
   /** Atomically commit a version: actions to a temp file, then rename. */
   private def writeCommit(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       txn: Option[(String, Long)],
-      constraints: Map[String, String]): Long = {
-    // `constraints` has NO default on purpose: metaData is re-stated on
-    // every commit, so a call site that forgot to carry the snapshot's
-    // constraints forward would silently DROP them from the table.
+      constraints: Map[String, String],
+      partitionBy: Seq[String]): Long = {
+    // `constraints`/`partitionBy` have NO default on purpose: metaData is
+    // re-stated on every commit, so a call site that forgot to carry the
+    // snapshot's values forward would silently DROP them from the table.
     Files.createDirectories(logDir(path))
     val metaFields = List("schema" -> JString(schema.json)) ++
+      (if (partitionBy.isEmpty) Nil
+       else List("partitionBy" -> JArray(partitionBy.toList.map(JString(_))))) ++
       (if (constraints.isEmpty) Nil
        else List("constraints" -> JObject(
          constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
@@ -496,6 +641,8 @@ object DeltaLite {
   private def writeCheckpoint(path: String, version: Long): Unit = {
     val snap = snapshot(path, Some(version))
     val ckptMeta = List("schema" -> JString(snap.schema.json)) ++
+      (if (snap.partitionBy.isEmpty) Nil
+       else List("partitionBy" -> JArray(snap.partitionBy.toList.map(JString(_))))) ++
       (if (snap.constraints.isEmpty) Nil
        else List("constraints" -> JObject(
          snap.constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
@@ -538,7 +685,7 @@ object DeltaLite {
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
-        snap.constraints)
+        snap.constraints, snap.partitionBy)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -553,8 +700,9 @@ object DeltaLite {
     * to re-run against the new snapshot. */
   private def commitExclusive(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
-      constraints: Map[String, String]): Long =
-    try writeCommit(path, version, op, schema, adds, removes, None, constraints)
+      constraints: Map[String, String], partitionBy: Seq[String]): Long =
+    try writeCommit(path, version, op, schema, adds, removes, None, constraints,
+      partitionBy)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -570,45 +718,90 @@ object DeltaLite {
     * added columns). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, snap.files)
+    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy)
   }
 
   /** Stats-pruned scan: like [[read]] but skips files whose min/max prove
-    * they cannot satisfy `bounds` — the data-skipping read path. The
-    * caller still applies the exact row-level filter; pruning only
+    * they cannot satisfy `bounds` — the data-skipping read path (bounds on
+    * partition columns prune exactly, via the logged partition values).
+    * The caller still applies the exact row-level filter; pruning only
     * reduces which files Spark opens. */
   def scan(spark: SparkSession, path: String, bounds: Seq[ColumnBound],
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds))
+    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds), snap.partitionBy)
   }
 
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
-      files: Seq[AddFile]): DataFrame =
+      files: Seq[AddFile], partitionBy: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (files.forall(_.dv.isEmpty)) {
       val r = root(path)
-      spark.read.schema(schema).parquet(files.map(f => r.resolve(f.path).toString): _*)
+      if (partitionBy.isEmpty)
+        spark.read.schema(schema).parquet(files.map(f => r.resolve(f.path).toString): _*)
+      else {
+        // Hive-layout table: data files carry only the non-partition
+        // columns; partition columns re-attach as per-group literals from
+        // the LOG's partition values (no directory listing or inference —
+        // the log is the source of truth). One scan branch per live
+        // partition value; plan-literal partition columns constant-fold,
+        // so a filter on them also prunes branches Catalyst-side.
+        val dataSchema = StructType(
+          schema.fields.filterNot(f => partitionBy.contains(f.name)))
+        files.groupBy(_.pv).toSeq.sortBy(_._1.toList.sortBy(_._1).mkString(","))
+          .map { case (pv, group) =>
+            val base = spark.read.schema(dataSchema)
+              .parquet(group.map(f => r.resolve(f.path).toString): _*)
+            attachPartitionCols(base, schema, partitionBy, pv)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+          }.reduce(_ unionByName _)
+      }
     } else
-      readFilesWithPos(spark, path, schema, files)
+      readFilesWithPos(spark, path, schema, files, partitionBy)
         .select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** Partition columns as typed literals from the logged string values
+    * (`__HIVE_DEFAULT_PARTITION__` / absent = null, like Spark's own
+    * partition inference). */
+  private def attachPartitionCols(df: DataFrame, schema: StructType,
+      partitionBy: Seq[String], pv: Map[String, String]): DataFrame = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    partitionBy.foldLeft(df) { (d, c) =>
+      val raw = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      d.withColumn(c,
+        raw.map(v => lit(v).cast(types(c))).getOrElse(lit(null).cast(types(c))))
+    }
+  }
 
   /** Like [[readFiles]] but with `path` (table-relative) and `row_index`
     * position columns, deletion vectors applied — the row-position view
     * that both the DV read path and DV creation share. */
   private def readFilesWithPos(spark: SparkSession, path: String,
-      schema: StructType, files: Seq[AddFile]): DataFrame = {
+      schema: StructType, files: Seq[AddFile],
+      partitionBy: Seq[String]): DataFrame = {
     val r = root(path)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(schema.fields ++ Seq(StructField("path", StringType),
           StructField("row_index", LongType))))
     val prefixLen = s"file:$r/".length + 1 // substring is 1-based
-    val data = spark.read.schema(schema)
-      .parquet(files.map(f => r.resolve(f.path).toString): _*)
-      .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
-      .withColumn("row_index", col("_metadata.row_index"))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    def scanGroup(group: Seq[AddFile], pv: Map[String, String]): DataFrame =
+      attachPartitionCols(
+        spark.read.schema(dataSchema)
+          .parquet(group.map(f => r.resolve(f.path).toString): _*)
+          .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
+          .withColumn("row_index", col("_metadata.row_index")),
+        schema, partitionBy, pv)
+        .select((schema.fieldNames.toSeq ++ Seq("path", "row_index")).map(col): _*)
+    val data =
+      if (partitionBy.isEmpty) scanGroup(files, Map.empty)
+      else files.groupBy(_.pv).toSeq
+        .sortBy(_._1.toList.sortBy(_._1).mkString(","))
+        .map { case (pv, group) => scanGroup(group, pv) }
+        .reduce(_ unionByName _)
     val dvDirs = files.flatMap(_.dv).distinct
     if (dvDirs.isEmpty) data
     else {
@@ -637,14 +830,15 @@ object DeltaLite {
     val snap = snapshot(path)
     val r = root(path)
     val hit = coalesce(cond, lit(false))
-    val matches = readFilesWithPos(spark, path, snap.schema, snap.files)
+    val matches = readFilesWithPos(spark, path, snap.schema, snap.files,
+      snap.partitionBy)
       .filter(hit)
       .select("path", "row_index")
     val touched = matches.select("path").distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
-        None, snap.constraints)
+        None, snap.constraints, snap.partitionBy)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -659,7 +853,7 @@ object DeltaLite {
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
-      readds, touched, snap.constraints)
+      readds, touched, snap.constraints, snap.partitionBy)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -706,7 +900,8 @@ object DeltaLite {
       from: Option[Long], to: Long, allowRewrites: Boolean): DataFrame = {
     val toSnap = snapshot(path, Some(to))
     from match {
-      case None => readFiles(spark, path, toSnap.schema, toSnap.files)
+      case None =>
+        readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy)
       case Some(f) =>
         val fromSnap = snapshot(path, Some(f))
         val toPaths = toSnap.files.map(_.path).toSet
@@ -718,7 +913,8 @@ object DeltaLite {
               "set ignoreChanges=true to stream through rewrites")
         val fromPaths = fromSnap.files.map(_.path).toSet
         readFiles(spark, path, toSnap.schema,
-          toSnap.files.filterNot(x => fromPaths.contains(x.path)))
+          toSnap.files.filterNot(x => fromPaths.contains(x.path)),
+          toSnap.partitionBy)
     }
   }
 
@@ -731,11 +927,14 @@ object DeltaLite {
 
   // ----------------------------------------------------------- write API
 
-  def create(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
     val schema = df.schema
-    val adds = writeData(spark, root(path), 0L, df, schema)
-    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty)
+    val adds = writeData(spark, root(path), 0L, df, schema, partitionBy)
+    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty, partitionBy)
   }
 
   /** Incremental append sink (dbt incremental `append` / S7). Writes ONLY
@@ -745,7 +944,8 @@ object DeltaLite {
     val snap = snapshot(path)
     checkWriteSchema(df.schema, snap.schema, "APPEND")
     checkConstraints(df, snap.schema, snap.constraints, "APPEND")
-    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
+    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
+      snap.partitionBy)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds)
   }
 
@@ -763,7 +963,8 @@ object DeltaLite {
     if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
     checkWriteSchema(df.schema, snap.schema, "APPEND")
     checkConstraints(df, snap.schema, snap.constraints, "APPEND")
-    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema)
+    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
+      snap.partitionBy)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds,
       txn = Some((app, txnVersion)))
   }
@@ -778,7 +979,8 @@ object DeltaLite {
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
     checkConstraints(df, evolved, snap.constraints, "APPEND_EVOLVE")
-    val adds = writeData(spark, root(path), snap.version + 1, df, evolved)
+    val adds = writeData(spark, root(path), snap.version + 1, df, evolved,
+      snap.partitionBy)
     commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
   }
 
@@ -799,7 +1001,7 @@ object DeltaLite {
     require(bad == 0L,
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
     commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints + (name -> check))
+      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy)
   }
 
   /** Delta `ALTER TABLE ... DROP CONSTRAINT name`. */
@@ -807,7 +1009,7 @@ object DeltaLite {
     val snap = snapshot(path)
     require(snap.constraints.contains(name), s"no constraint '$name' on $path")
     commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints - name)
+      Nil, Nil, snap.constraints - name, snap.partitionBy)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -824,8 +1026,10 @@ object DeltaLite {
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, merged, snap.schema)
-    commitExclusive(path, v, "MERGE", snap.schema, adds, touched, snap.constraints)
+    val adds = writeData(spark, root(path), v, merged, snap.schema,
+      snap.partitionBy)
+    commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
+      snap.constraints, snap.partitionBy)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -846,9 +1050,10 @@ object DeltaLite {
     checkConstraints(align(batch, snap.schema), snap.schema, snap.constraints,
       "DELETE_INSERT")
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, newData, snap.schema)
+    val adds = writeData(spark, root(path), v, newData, snap.schema,
+      snap.partitionBy)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -865,7 +1070,7 @@ object DeltaLite {
     val readds = old.files.filterNot(f => curPaths.contains(f.path))
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
-      old.constraints)
+      old.constraints, old.partitionBy)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -886,17 +1091,17 @@ object DeltaLite {
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
-        val cand = spark.read.schema(snap.schema)
-          .parquet(candidates.map(f => r.resolve(f.path).toString): _*)
-        cand.select(col("_metadata.file_path").as("__fp") +: keys.map(cand.col): _*)
+        val cand = readFilesWithPos(spark, path, snap.schema, candidates,
+          snap.partitionBy)
+        cand.select(col("path").as("__fp") +: keys.map(cand.col): _*)
           .join(keyed.select(keys.map(keyed.col): _*).distinct(), keys, "left_semi")
           .select("__fp").distinct().collect()
-          .map(x => r.relativize(Paths.get(new java.net.URI(x.getString(0)))).toString)
+          .map(_.getString(0))
           .toSeq
       }
     val touchedSet = touched.toSet
     (touched, readFiles(spark, path, snap.schema,
-      snap.files.filter(f => touchedSet.contains(f.path))))
+      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy))
   }
 
   /** Delta `DELETE FROM ... WHERE cond`: rewrites ONLY files containing a
@@ -910,8 +1115,10 @@ object DeltaLite {
     val rewritten = kept.filter(!hit)
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
-      else writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "DELETE", snap.schema, adds, touched, snap.constraints)
+      else writeData(spark, root(path), v, rewritten, snap.schema,
+        snap.partitionBy)
+    commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
+      snap.constraints, snap.partitionBy)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -929,8 +1136,10 @@ object DeltaLite {
       checkConstraints(rewritten, snap.schema, snap.constraints, "UPDATE")
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
-      else writeData(spark, root(path), v, rewritten, snap.schema)
-    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched, snap.constraints)
+      else writeData(spark, root(path), v, rewritten, snap.schema,
+        snap.partitionBy)
+    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
+      snap.constraints, snap.partitionBy)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -951,26 +1160,26 @@ object DeltaLite {
     checkConstraints(align(df, snap.schema), snap.schema, snap.constraints,
       "REPLACE_WHERE")
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, newData, snap.schema)
+    val adds = writeData(spark, root(path), v, newData, snap.schema,
+      snap.partitionBy)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
     * DataFrame of exactly those files' rows. */
   private def touchedBy(spark: SparkSession, path: String, snap: Snapshot,
       hit: Column): (Seq[String], DataFrame) = {
-    val r = root(path)
     val touched =
       if (snap.files.isEmpty) Nil
-      else readFiles(spark, path, snap.schema, snap.files)
-        .select(col("_metadata.file_path").as("__fp"), hit.as("__hit"))
+      else readFilesWithPos(spark, path, snap.schema, snap.files, snap.partitionBy)
+        .select(col("path").as("__fp"), hit.as("__hit"))
         .filter(col("__hit")).select("__fp").distinct().collect()
-        .map(x => r.relativize(Paths.get(new java.net.URI(x.getString(0)))).toString)
+        .map(_.getString(0))
         .toSeq
     val touchedSet = touched.toSet
     (touched, readFiles(spark, path, snap.schema,
-      snap.files.filter(f => touchedSet.contains(f.path))))
+      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy))
   }
 
   /** Delta `OPTIMIZE` analogue: small-file compaction — rewrite the
@@ -984,10 +1193,11 @@ object DeltaLite {
     val snap = snapshot(path)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v,
-      readFiles(spark, path, snap.schema, snap.files).repartition(numFiles),
-      snap.schema)
+      readFiles(spark, path, snap.schema, snap.files, snap.partitionBy)
+        .repartition(numFiles),
+      snap.schema, snap.partitionBy)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -1012,9 +1222,9 @@ object DeltaLite {
     // read through the LATER schema so evolved columns align (nulls for
     // rows from pre-evolution files)
     val removedRows = readFiles(spark, path, to.schema,
-      from.files.filterNot(f => toKeys.contains((f.path, f.dv))))
+      from.files.filterNot(f => toKeys.contains((f.path, f.dv))), to.partitionBy)
     val addedRows = readFiles(spark, path, to.schema,
-      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))))
+      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))), to.partitionBy)
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
@@ -1031,12 +1241,13 @@ object DeltaLite {
     val snap = snapshot(path)
     val small = snap.files.filter(_.rows < minRows)
     if (small.length <= 1) return snap.version
-    val packed = readFiles(spark, path, snap.schema, small)
+    val packed = readFiles(spark, path, snap.schema, small, snap.partitionBy)
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, packed, snap.schema)
+    val adds = writeData(spark, root(path), v, packed, snap.schema,
+      snap.partitionBy)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -1050,13 +1261,15 @@ object DeltaLite {
       numFiles: Int): Long = {
     require(cols.nonEmpty, "clustering columns required")
     val snap = snapshot(path)
-    val rewritten = readFiles(spark, path, snap.schema, snap.files)
+    val rewritten = readFiles(spark, path, snap.schema, snap.files,
+        snap.partitionBy)
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, rewritten, snap.schema)
+    val adds = writeData(spark, root(path), v, rewritten, snap.schema,
+      snap.partitionBy)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -1069,16 +1282,18 @@ object DeltaLite {
       numFiles: Int): Long = {
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
-    val rewritten = readFiles(spark, path, snap.schema, snap.files)
+    val rewritten = readFiles(spark, path, snap.schema, snap.files,
+        snap.partitionBy)
       .withColumn("__z", call_function("interleave_bits",
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, rewritten, snap.schema)
+    val adds = writeData(spark, root(path), v, rewritten, snap.schema,
+      snap.partitionBy)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints)
+      snap.constraints, snap.partitionBy)
   }
 
   /** Physically delete data files not referenced by the newest
