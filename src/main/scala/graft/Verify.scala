@@ -33,7 +33,19 @@ object Verify {
       .map { case (name, fn) => Future {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // Outputs are naive-UTC by contract: LTZ timestamps cast to NTZ
+          // (identity at the session's UTC tz) so the dumped parquet reads
+          // as plain TIMESTAMP in DuckDB — matching the oracle — no matter
+          // what outputTimestampType a concurrently-running DeltaLite
+          // write has temporarily set on the shared session.
+          val res = fn(spark, sfDir)
+          val out = res.schema.fields.foldLeft(res) { (d, f) =>
+            if (f.dataType == org.apache.spark.sql.types.TimestampType)
+              d.withColumn(f.name,
+                org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+            else d
+          }
+          out.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
         } catch { case e: Throwable =>

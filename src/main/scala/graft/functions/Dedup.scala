@@ -143,22 +143,34 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
     // Hash-min round = ONE join + ONE keyed agg (the node's own label
-    // rides the union, so no second join to merge it back), and
-    // convergence is read off the label sum: labels are non-increasing
-    // per node, so an unchanged sum IS the fixpoint — a one-row action
-    // instead of a change-detection join. Decimal sum: id-space may be
-    // 64-bit hashes, keep the witness overflow-free.
+    // rides the union, so no second join to merge it back), then a
+    // POINTER-JUMP: each node re-resolves its label through the label's
+    // own label (component := label(component)). The jump doubles the
+    // hop distance covered per round, so convergence is O(log diameter)
+    // instead of O(diameter) — the Hash-to-Min trick; on the near-dup
+    // graphs this roughly halves the sequential round count, which is
+    // the whole cost at bench scale (per-round job overhead dominates).
+    // Labels are always node ids (init = own id, min over node ids), so
+    // the jump join always finds its target; left+coalesce keeps it
+    // total regardless. Convergence is read off the label sum: labels
+    // are non-increasing per node, so an unchanged sum IS the fixpoint —
+    // a one-row action instead of a change-detection join. Decimal sum:
+    // id-space may be 64-bit hashes, keep the witness overflow-free.
     def labelSum(df: DataFrame): Any =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = edges.join(labels, col("dst") === col("id"))
+      val prop = edges.join(labels, col("dst") === col("id"))
         .select(col("src"), col("component"))
         .unionByName(labels.select(col("id").as("src"), col("component")))
         .groupBy(col("src")).agg(min(col("component")).as("component"))
         .select(col("src").as("id"), col("component"))
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("cid"), col("component").as("ccomp")).as("b"),
+          col("a.component") === col("b.cid"), "left")
+        .select(col("a.id"), coalesce(col("ccomp"), col("a.component")).as("component"))
         .cache()
       val curSum = labelSum(next)
       converged = curSum == prevSum
@@ -194,35 +206,43 @@ object Dedup {
     Array.tabulate(nPlanes, dim)((j, i) =>
       (splitmix(j.toLong * dim + i).toDouble / Long.MaxValue).toFloat)
 
-  /** Train the IVF coarse quantizer ONCE (the other ANN scale path
-    * besides hyperplane LSH): seeded k-means over the embeddings (mllib —
-    * distributed Lloyd iterations, deterministic under a fixed seed and
-    * stable input partitioning). At 100 TB the model is trained on a
-    * SAMPLE of the corpus (k-means centroids converge on far less than
-    * the full data), then the tiny centroid table rides to every executor
-    * inside the model closure — train once, assign everywhere; never
-    * re-fit per batch/query. */
+  /** Train the IVF coarse quantizer ONCE, DRIVER-SIDE, on a bounded
+    * deterministic sample (the FAISS pattern, same as [[pqTrain]]):
+    * k-means centroids converge on far less data than the full corpus, so
+    * ≤ `sampleLimit` vectors come to the driver and `iters` seeded Lloyd
+    * passes cost milliseconds — zero Spark jobs beyond the one sample
+    * collect, vs dozens of distributed Lloyd jobs for an in-query mllib
+    * `.fit` (measured 11.7 s solo / 140 s under concurrent load at
+    * sf0.1). The k × dim float table then rides to executors as a plan
+    * literal — train once, assign everywhere; never re-fit per
+    * batch/query. */
   def ivfTrain(train: DataFrame, embCol: String, k: Int,
-      seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
-      .setPredictionCol("centroid")
-      .fit(train.withColumn("__vec",
-        array_to_vector(col(embCol).cast("array<double>"))))
+      seed: Long = 42L, sampleLimit: Int = 4096,
+      iters: Int = 12): Array[Array[Float]] = {
+    val sample = train.select(col(embCol)).limit(sampleLimit).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "ivfTrain needs a non-empty training sample")
+    lloyd(sample, k, iters, seed).map(_.map(_.toFloat))
   }
 
-  /** Assign every vector its nearest centroid id under a pre-trained
-    * quantizer (no `.fit` here — reuse one model across all batches).
-    * Search then probes only same-centroid candidates — the vectors are
-    * hash-partitioned by centroid so each probe is a single-partition
-    * lookup; multi-probe = also scan the next-nearest centroids. Returns
-    * the input plus a `centroid` int column. */
+  /** Assign every vector its nearest centroid id under pre-trained
+    * centroids (no fit here — reuse one table across all batches). Pure
+    * codegen'd expression: argmin over k (distance, idx) structs reduced
+    * by array_min (lexicographic struct order → ties to the lower idx,
+    * deterministic), distances via vec_dot with the row-constant ‖e‖²
+    * term dropped. Search then probes only same-centroid candidates —
+    * vectors hash-partition by centroid, each probe is an equality-join
+    * lookup. Returns the input plus a `centroid` int column. */
   def ivfAssign(df: DataFrame, embCol: String,
-      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    model.transform(df.withColumn("__vec",
-      array_to_vector(col(embCol).cast("array<double>")))).drop("__vec")
+      centers: Array[Array[Float]]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val scored = array(centers.indices.map { i =>
+      val c = typedLit(centers(i))
+      struct((call_function("vec_dot", c, c) -
+        lit(2.0) * call_function("vec_dot", col(embCol), c)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    df.withColumn("centroid", array_min(scored).getField("i"))
   }
 
   /** Convenience train-and-assign for demos/tests — production code calls
@@ -239,13 +259,11 @@ object Dedup {
     * vec_dot (‖e−c‖² = e·e − 2e·c + c·c). Output: input + `centroid`
     * (probe cell) and `probe_rk` (1..probes). */
   def ivfProbes(df: DataFrame, id: String, embCol: String,
-      model: org.apache.spark.ml.clustering.KMeansModel,
-      probes: Int): DataFrame = {
+      centers: Array[Array[Float]], probes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(df.sparkSession)
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat)) }.toSeq
-    val cent = df.sparkSession.createDataFrame(centers).toDF("centroid", "c_emb")
+    val centRows = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    val cent = df.sparkSession.createDataFrame(centRows).toDF("centroid", "c_emb")
     val w = Window.partitionBy(col(id))
       .orderBy(col("__d2").asc, col("centroid").asc)
     df.crossJoin(broadcast(cent))

@@ -314,12 +314,14 @@ object Llm {
     // (equality join on centroid id — same scale shape as LSH buckets but
     // data-adaptive). Rows-only; recall property-tested in DedupSpec.
     QueryDef("l3_ann_ivf", (s, dir) => {
-      // Train the coarse quantizer ONCE, then assign under the broadcast
-      // model — at 100 TB the train set is a sample, the assign is the
-      // corpus; the fit never re-runs per batch.
+      // Train the coarse quantizer ONCE on a bounded driver-side sample
+      // (FAISS pattern), then assign via a pure codegen'd argmin over the
+      // plan-literal centroid table — at 100 TB the train set is a
+      // sample, the assign is the corpus; the fit never re-runs per
+      // batch and costs zero Spark jobs beyond the sample collect.
       val e = emb(s, dir)
-      val model = Dedup.ivfTrain(e, "embedding", k = 16)
-      val assigned = Dedup.ivfAssign(e, "embedding", model)
+      val centers = Dedup.ivfTrain(e, "embedding", k = 16)
+      val assigned = Dedup.ivfAssign(e, "embedding", centers)
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("norm").as("qn"), col("centroid"))

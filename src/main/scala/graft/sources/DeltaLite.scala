@@ -84,6 +84,10 @@ object DeltaLite {
   final case class ColumnBound(column: String, lower: Option[Any] = None,
       upper: Option[Any] = None)
 
+  /** Serializes the outputTimestampType set→write→restore window across
+    * concurrent DeltaLite writes sharing one session (see writeData). */
+  private val tsWriteLock = new Object
+
   private def root(path: String): Path = Paths.get(path).toAbsolutePath.normalize()
   private def logDir(path: String): Path = root(path).resolve("_graft_log")
 
@@ -395,10 +399,25 @@ object DeltaLite {
       f"files-$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
     // INT96 (Spark's historical default for TIMESTAMP) carries no usable
     // footer statistics; micros INT64 is the modern format and stats-true.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val w = align(df, schema).write.mode("errorifexists")
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(dir.toString)
+    // outputTimestampType has no per-writer option (checked ParquetOptions
+    // — only compression/mergeSchema/rebase modes), so save/restore the
+    // session value, under a lock so concurrent DeltaLite writes on the
+    // same session can't restore it out from under each other. Unrelated
+    // non-DeltaLite writes racing this window are the caller's documented
+    // caveat (graft.Verify casts its outputs to NTZ for exactly this).
+    tsWriteLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
+        val w = align(df, schema).write.mode("errorifexists")
+        (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+          .parquet(dir.toString)
+      } finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
+    }
     footerAdds(spark, tableRoot, dir, schema, partitionBy)
   }
 
@@ -437,13 +456,34 @@ object DeltaLite {
 
   /** Hive-layout `col=value` segments of a file's path → partition
     * values (percent-escapes decoded — Spark escapes `/` etc. on write).
-    * `__HIVE_DEFAULT_PARTITION__` is Spark/Hive's null sentinel. */
+    * `__HIVE_DEFAULT_PARTITION__` is Spark/Hive's null sentinel.
+    *
+    * Decoding is Hive `unescapePathName` semantics: ONLY `%XX` escapes,
+    * never `+`→space (URLDecoder would do that, but Spark's
+    * escapePathName leaves `+` literal, so `col=a+b` means the value
+    * "a+b"). */
   private def partitionValuesOf(relUnderVersionDir: String): Map[String, String] =
     relUnderVersionDir.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
       val i = seg.indexOf('=')
-      seg.substring(0, i) ->
-        java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
     }.toMap
+
+  /** Hive/Spark path unescape: decode `%XX` hex pairs, leave everything
+    * else (incl. `+`) untouched; malformed escapes pass through. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Merge one column's chunk statistics across a file's row groups into
     * a ColStats, or None when any chunk lacks trustworthy stats
@@ -464,8 +504,10 @@ object DeltaLite {
       val st = c.getStatistics
       if (st == null || st.isEmpty) return None // no stats recorded: distrust file
       if (st.hasNonNullValue) {
-        val (lo, hi) = (footerValue(dt, c, st.genericGetMin),
-          footerValue(dt, c, st.genericGetMax))
+        // Statistics[_]'s existential T defeats inference against the
+        // AnyRef parameter; the values are always boxed refs at runtime.
+        val (lo, hi) = (footerValue(dt, c, st.genericGetMin.asInstanceOf[AnyRef]),
+          footerValue(dt, c, st.genericGetMax.asInstanceOf[AnyRef]))
         if (lo.isEmpty || hi.isEmpty) return None
         if (mn.forall(m => cmp(dt, lo.get, m) < 0)) mn = lo
         if (mx.forall(m => cmp(dt, hi.get, m) > 0)) mx = hi
