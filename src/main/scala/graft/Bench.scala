@@ -50,6 +50,10 @@ object Bench {
     val pool = Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_POOL", math.max(8, cpus.toInt).toString).toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val loadStart =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
@@ -63,11 +67,21 @@ object Bench {
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
+    // Box-load evidence: a loaded shared container inflates wall-clock
+    // 10-25× (BENCH_r03: 478 s under load vs 18.6 s idle on the SAME
+    // build); recording /proc/loadavg start/end makes that legible in
+    // the artifact instead of reading as a code regression.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadEnd = loadavg()
+
     def line(entries: Seq[(String, Double, Boolean)]): String = {
       val qs = entries.map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1.0")
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
     }
     // Full per-query detail goes to the file; the PRINTED line carries a
     // headline subset because the bench driver keeps only the final 2000

@@ -372,6 +372,44 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L3 (h)
+    // IVF-PQ composition — the documented 100 TB ANN path: coarse IVF
+    // cells (sample-trained centroids) cut the candidate set via an
+    // EQUALITY join on cell id, queries probe their 2 nearest cells
+    // (multi-probe recall), and ADC re-ranks candidates inside the
+    // probed cells against PQ codes — exact query subvectors vs
+    // quantized codewords, all codegen'd expressions over plan-literal
+    // tables. At scale the corpus holds 8 small code ints + 1 cell int
+    // per vector (memory-resident at any corpus size); neither training
+    // step runs distributed jobs. Rows-only (quantization isn't
+    // SQL-expressible); top-1 recall vs brute force in DedupSpec.
+    QueryDef("l3_ann_ivfpq", (s, dir) => {
+      val e = emb(s, dir)
+      val centers = Dedup.ivfTrain(e, "embedding", k = 16)
+      val cb = Dedup.pqTrain(e.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "embedding")
+      val corpus = Dedup.pqEncode(
+        Dedup.ivfAssign(e.filter(col("vec_id") >= 10), "embedding", centers)
+          .select(col("vec_id"), col("embedding"), col("centroid")),
+        "embedding", cb)
+        .select(col("vec_id").as("nid") +: col("centroid").as("cc") +:
+          cb.indices.map(j => col(s"pq$j")): _*)
+      val q = Dedup.ivfProbes(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        "qid", "qe", centers, probes = 2)
+        .select(col("qid"), col("qe"), col("centroid"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("nid").asc)
+      q.join(corpus, col("centroid") === col("cc"))
+        .withColumn("d2", Dedup.pqAdcDistance(col("qe"), cb))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(d2*10000)/10000").as("d2"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------- L4
     // Corpus token statistics per language (whitespace + BPE-ish token
     // counts, char stats).

@@ -495,6 +495,107 @@ object Medallion {
          FROM cdf GROUP BY _change_type, o_orderstatus
          ORDER BY _change_type ASC NULLS LAST, o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S16
+    // Log-level partition pruning: orders lands in a DeltaLite table
+    // HIVE-PARTITIONED by o_orderstatus (partition values ride the commit
+    // log, data files carry only the other columns), then the read goes
+    // through scan() with an exact bound on the partition column — files
+    // of the other partitions are dropped from the log's file list
+    // BEFORE any listing or footer is touched (partition values act as
+    // exact min==max stats). The re-applied row filter keeps the result
+    // exact; the file-count assert lives in ScaleSpec. At 100 TB this is
+    // the difference between reading one partition and one table.
+    QueryDef("s16_partition_prune", (s, dir) => {
+      val path = tmp("s16_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      DeltaLite.create(s, path, o, partitionBy = Seq("o_orderstatus"))
+      DeltaLite.scan(s, path, Seq(DeltaLite.ColumnBound("o_orderstatus",
+          Some("F"), Some("F"))))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S17
+    // Multi-clause MERGE (the full Delta surface: WHEN MATCHED [AND cond]
+    // THEN DELETE / UPDATE, WHEN NOT MATCHED [AND cond] THEN INSERT, with
+    // first-match-wins priority): expensive matched orders are DELETED,
+    // the rest repriced, and only open-status source orders insert. The
+    // oracle restates the clause algebra as a FULL OUTER JOIN + CASE.
+    QueryDef("s17_merge_clauses", (s, dir) => {
+      val path = tmp("s17_delta")
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, target)
+      val source = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.mergeClauses(s, path, source, Seq("o_orderkey"), Seq(
+        Merge.MatchedDelete(Some(Merge.src("o_totalprice") > 150000.0)),
+        Merge.MatchedUpdate(None,
+          Map("o_totalprice" -> (Merge.src("o_totalprice") + 1000.0))),
+        Merge.NotMatchedInsert(Some(Merge.src("o_orderstatus") === "O"))))
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH target AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+         src AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+         j AS (
+           SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+                  t.o_orderstatus AS tst, s.o_orderstatus AS sst,
+                  t.o_totalprice AS tp, s.o_totalprice AS sp
+           FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey),
+         merged AS (
+           SELECT COALESCE(tk, sk) AS o_orderkey,
+                  CASE WHEN tk IS NOT NULL THEN tst ELSE sst END AS o_orderstatus,
+                  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN sp + 1000
+                       WHEN tk IS NOT NULL THEN tp
+                       ELSE sp END AS o_totalprice
+           FROM j
+           WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sp > 150000)
+             AND NOT (tk IS NULL AND sst <> 'O'))
+         SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM merged GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S18
+    // DESCRIBE HISTORY: the table's commit timeline from the log headers
+    // alone (driver-side metadata, no data read). Wall-clock timestamps
+    // and file counts vary run-to-run, so the declared result projects
+    // the deterministic columns; the full shape (adds/removes/timestamps
+    // monotone) is asserted in ScaleSpec.
+    QueryDef("s18_table_history", (s, dir) => {
+      val path = tmp("s18_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus") === "F"))
+      DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "O"))
+      DeltaLite.delete(s, path, col("o_totalprice") < 1000.0)
+      DeltaLite.history(s, path)
+        .select(col("version"), col("operation"))
+        .orderBy(col("version").desc_nulls_last)
+    }, Some(
+      """SELECT * FROM (VALUES (CAST(2 AS BIGINT), 'DELETE'),
+                               (1, 'APPEND'), (0, 'CREATE'))
+           AS h(version, operation)
+         ORDER BY version DESC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

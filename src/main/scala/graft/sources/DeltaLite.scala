@@ -184,8 +184,14 @@ object DeltaLite {
   private def truncStatMax(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (StringType, s: String) if s.length > MaxStringStatLen =>
       val prefix = s.substring(0, MaxStringStatLen).toCharArray
+      // A char is safely incrementable only when c+1 is still a valid
+      // non-surrogate BMP char: incrementing into U+D800..U+DFFF (or a
+      // surrogate itself) would encode as '?' bytes and break the
+      // UTF-8-order upper bound. U+FFFF stays "max-like" and is skipped.
+      def incrementable(c: Char): Boolean =
+        c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF)
       var i = prefix.length - 1
-      while (i >= 0 && prefix(i) == Char.MaxValue) i -= 1
+      while (i >= 0 && !incrementable(prefix(i))) i -= 1
       if (i < 0) None
       else Some(new String(prefix, 0, i) + (prefix(i) + 1).toChar)
     case _ => Some(v)
@@ -196,12 +202,20 @@ object DeltaLite {
   private def normBound(dt: DataType, v: Any): Option[Any] =
     encodeStat(dt, v).flatMap(j => decodeStat(dt, j))
 
-  /** Compare two decoded stat values of column type `dt`. */
+  /** Compare two decoded stat values of column type `dt`. Strings compare
+    * by UNSIGNED UTF-8 byte order — the order parquet writers use for
+    * binary min/max — so footer stats, logged stats, and caller bounds
+    * all live in one ordering for all of Unicode (String.compareTo's
+    * UTF-16 code-unit order disagrees for supplementary characters vs
+    * U+E000–U+FFFF, which could wrongly prune a file). */
   private def cmp(dt: DataType, a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case _ => 0 // incomparable ⇒ treat as overlapping (never prune wrongly)
   }
 
@@ -774,6 +788,19 @@ object DeltaLite {
     readFiles(spark, path, snap.schema, pruneFiles(snap, bounds), snap.partitionBy)
   }
 
+  /** Balanced unionByName: keeps the plan O(log n) deep for n scan
+    * branches — a left-deep reduce grows analysis time linearly with the
+    * live partition count, which a high-cardinality partitioned table
+    * hits hard. */
+  private def unionTree(dfs: Seq[DataFrame]): DataFrame = {
+    var level = dfs
+    while (level.size > 1)
+      level = level.grouped(2).map { g =>
+        if (g.size == 2) g(0).unionByName(g(1)) else g(0)
+      }.toSeq
+    level.head
+  }
+
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String]): DataFrame =
     if (files.isEmpty)
@@ -791,13 +818,14 @@ object DeltaLite {
         // so a filter on them also prunes branches Catalyst-side.
         val dataSchema = StructType(
           schema.fields.filterNot(f => partitionBy.contains(f.name)))
-        files.groupBy(_.pv).toSeq.sortBy(_._1.toList.sortBy(_._1).mkString(","))
+        unionTree(files.groupBy(_.pv).toSeq
+          .sortBy(_._1.toList.sortBy(_._1).mkString(","))
           .map { case (pv, group) =>
             val base = spark.read.schema(dataSchema)
               .parquet(group.map(f => r.resolve(f.path).toString): _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)
-          }.reduce(_ unionByName _)
+          })
       }
     } else
       readFilesWithPos(spark, path, schema, files, partitionBy)
@@ -840,10 +868,9 @@ object DeltaLite {
         .select((schema.fieldNames.toSeq ++ Seq("path", "row_index")).map(col): _*)
     val data =
       if (partitionBy.isEmpty) scanGroup(files, Map.empty)
-      else files.groupBy(_.pv).toSeq
+      else unionTree(files.groupBy(_.pv).toSeq
         .sortBy(_._1.toList.sortBy(_._1).mkString(","))
-        .map { case (pv, group) => scanGroup(group, pv) }
-        .reduce(_ unionByName _)
+        .map { case (pv, group) => scanGroup(group, pv) })
     val dvDirs = files.flatMap(_.dv).distinct
     if (dvDirs.isEmpty) data
     else {
@@ -929,6 +956,53 @@ object DeltaLite {
   def readAsOfTimestamp(spark: SparkSession, path: String,
       tsMillis: Long): DataFrame =
     read(spark, path, Some(versionAtTimestamp(path, tsMillis)))
+
+  /** `DESCRIBE HISTORY` analogue: one row per commit, newest first —
+    * (version, operation, timestamp, num_added_files, num_removed_files,
+    * rows_added). A pure driver-side metadata read over the commit files
+    * (O(log size), never touches data — same as real Delta, whose history
+    * comes from the log alone). `limit` caps how many newest commits are
+    * read at all. */
+  def history(spark: SparkSession, path: String,
+      limit: Option[Int] = None): DataFrame = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val from = limit.map(n => math.max(0L, latest - n + 1)).getOrElse(0L)
+    val rows = (from to latest).reverse.map { v =>
+      var op = ""; var ts = 0L; var adds = 0; var removes = 0; var rowsAdded = 0L
+      Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          parseLine(line) match {
+            case JObject(fields) => fields.foreach {
+              case ("commit", JObject(c)) =>
+                val m = c.toMap
+                m.get("op").collect { case JString(s) => op = s }
+                m.get("committedAtMs").collect {
+                  case JLong(l) => ts = l
+                  case JInt(i) => ts = i.toLong
+                }
+              case ("add", JObject(a)) =>
+                adds += 1
+                a.collectFirst { case ("rows", JLong(l)) => l
+                                 case ("rows", JInt(i)) => i.toLong }
+                  .foreach(rowsAdded += _)
+              case ("remove", _) => removes += 1
+              case _ => ()
+            }
+            case _ => ()
+          }
+        }
+      Row(v, op, new java.sql.Timestamp(ts), adds, removes, rowsAdded)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("num_added_files", IntegerType, nullable = false),
+      StructField("num_removed_files", IntegerType, nullable = false),
+      StructField("rows_added", LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
 
   /** Rows ADDED between two versions — the streaming-source read: the
     * files live at `to` that were not live at `from` (by path). `from` =
@@ -1066,6 +1140,39 @@ object DeltaLite {
     checkWriteSchema(updates.schema, snap.schema, "MERGE")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
+    checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, merged, snap.schema,
+      snap.partitionBy)
+    commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
+      snap.constraints, snap.partitionBy)
+  }
+
+  /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
+    * UPDATE/DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT`, `WHEN NOT
+    * MATCHED BY SOURCE ...`): clause semantics from
+    * [[graft.operators.Merge.merge]], file discipline from [[merge]] —
+    * only files that can hold an affected row are rewritten. With any
+    * NOT MATCHED BY SOURCE clause every live file is a candidate (rows
+    * absent from the source live anywhere); otherwise candidates are
+    * stats-pruned by the source's key bounds and confirmed with a
+    * `_metadata.file_path` semi-join. */
+  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String],
+      clauses: Seq[graft.operators.Merge.MergeClause]): Long = {
+    require(keys.nonEmpty, "merge keys required")
+    val snap = snapshot(path)
+    val hasBySource = clauses.exists {
+      case _: graft.operators.Merge.NotMatchedBySourceUpdate => true
+      case _: graft.operators.Merge.NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    val (touched, touchedRows) =
+      if (hasBySource)
+        (snap.files.map(_.path),
+          readFiles(spark, path, snap.schema, snap.files, snap.partitionBy))
+      else filesHoldingKeys(spark, path, snap, source, keys)
+    val merged = graft.operators.Merge.merge(touchedRows, source, keys, clauses)
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,

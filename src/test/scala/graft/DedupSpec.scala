@@ -133,6 +133,38 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(mx.getInt(0) <= 15 && mx.getInt(1) >= 0)
   }
 
+  test("IVF-PQ composition: probed cells + ADC rank the original top-1 for planted near-dups") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val centers = Dedup.ivfTrain(e, "embedding", k = 16)
+    val cb = Dedup.pqTrain(e, "embedding")
+    val corpus = Dedup.pqEncode(
+      Dedup.ivfAssign(e.select(col("vec_id"), col("embedding")),
+        "embedding", centers),
+      "embedding", cb)
+      .select(col("vec_id") +: col("centroid").as("cc") +:
+        cb.indices.map(j => col(s"pq$j")): _*)
+    val q = Dedup.ivfProbes(
+      e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"),
+          expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+            .as("qe")),
+      "qid", "qe", centers, probes = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("vec_id").asc)
+    val top1 = q.join(corpus, col("centroid") === col("cc"))
+      .withColumn("d2", Dedup.pqAdcDistance(col("qe"), cb))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("qid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall through BOTH approximations (cell gating + quantized codes):
+    // the unperturbed original should still surface as top-1 for most
+    val hits = (0L until 50L).count(i => top1.get(i).contains(i))
+    assert(hits >= 40,
+      s"only $hits/50 perturbed queries ranked their original top-1 via IVF-PQ")
+  }
+
   test("multi-probe IVF raises cell recall over single-probe") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sf, "embeddings")

@@ -152,6 +152,24 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"probe set must broadcast over the codes scan:\n$p")
   }
 
+  test("l3_ann_ivfpq: candidates come from the cell equality join, never a cartesian") {
+    val p = plan("l3_ann_ivfpq")
+    // coarse IVF cells gate the candidate set: query probes join corpus
+    // codes on centroid id (an equality join); ADC re-rank is expression-
+    // only. A cartesian over the corpus would be the brute-force shape
+    // this operator exists to avoid. The single permitted nested-loop is
+    // the 16-row centroid table broadcast inside ivfProbes (k rows, never
+    // corpus-sized).
+    assert(!p.contains("CartesianProduct"),
+      s"ivfpq candidates must come from the cell equality join:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the k-row centroid probe may nested-loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"corpus candidates must join on the cell id:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"per-query top-k must be group-limited before the final sort:\n$p")
+  }
+
   test("l3_centroid: partial aggregation bounds the shuffle to labels×dim") {
     val p = plan("l3_centroid")
     // partial + final HashAggregate around a single keyed exchange: the

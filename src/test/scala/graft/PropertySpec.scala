@@ -94,6 +94,34 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("multi-clause merge: priority, all clause kinds fire, and re-merge is a fixpoint") {
+    import spark.implicits._
+    val target = (0L until 20L).map(i => (i, i * 10.0)).toDF("k", "v")
+    val source = (10L until 30L).map(i => (i, i * 100.0)).toDF("k", "v")
+    // DELETE band 12-15 (first-match-wins over the unconditional UPDATE),
+    // UPDATE the rest of the matches, INSERT everything outside the band;
+    // insert values mirror update values so a second merge of the SAME
+    // source is a fixpoint (deleted keys stay deleted — the insert
+    // condition excludes them).
+    val band = (c: org.apache.spark.sql.Column) => c.between(12L, 15L)
+    val clauses = Seq(
+      Merge.MatchedDelete(Some(band(Merge.src("k")))),
+      Merge.MatchedUpdate(None, Map("v" -> (Merge.src("v") + 1.0))),
+      Merge.NotMatchedInsert(Some(!band(Merge.src("k"))),
+        Map("v" -> (Merge.src("v") + 1.0))))
+    val once = Merge.merge(target, source, Seq("k"), clauses)
+    val got = once.as[(Long, Double)].collect().toMap
+    val expect =
+      (0L until 10L).map(i => i -> i * 10.0).toMap ++       // untouched
+      Seq(10L, 11L, 16L, 17L, 18L, 19L).map(i => i -> (i * 100.0 + 1)) ++ // updated
+      (20L until 30L).map(i => i -> (i * 100.0 + 1))         // inserted
+    assert(got === expect) // 12-15 deleted
+    // fixpoint: merging the same source into the result changes nothing
+    val twice = Merge.merge(once, source, Seq("k"), clauses)
+    assert(once.exceptAll(twice).count() === 0)
+    assert(twice.exceptAll(once).count() === 0)
+  }
+
   test("cosine similarity bounded in [-1, 1] on fixture embeddings") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sf, "embeddings")

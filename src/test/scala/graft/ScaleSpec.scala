@@ -221,6 +221,169 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(viaScan.inputFiles.length === 2, "scan must open only surviving files")
   }
 
+  test("DeltaLite partitioned table: log-level pruning opens only the bound partition's files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_hivepart").toString
+    val df = (0L until 300L).map(i => (i, s"p${i % 3}", i * 1.0))
+      .toDF("k", "part", "v").repartition(2)
+    DeltaLite.create(spark, path, df, partitionBy = Seq("part"))
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.partitionBy === Seq("part"))
+    assert(snap.files.forall(_.pv.contains("part")))
+    val perPart = snap.files.groupBy(_.pv("part"))
+    assert(perPart.keySet === Set("p0", "p1", "p2"))
+    // partition bound prunes at the LOG level: only p1's files survive
+    val pruned = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("part", Some("p1"), Some("p1"))))
+    assert(pruned.map(_.pv("part")).toSet === Set("p1"))
+    assert(pruned.length === perPart("p1").length)
+    val scanned = DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("p1"), Some("p1"))))
+      .filter($"part" === "p1")
+    assert(scanned.inputFiles.length === perPart("p1").length,
+      "scan must open only the bound partition's files")
+    // partition column re-attaches from the log with full fidelity
+    assert(scanned.count() === 100)
+    val full = DeltaLite.read(spark, path)
+    assert(full.count() === 300)
+    assert(full.select("k", "part", "v").exceptAll(df).count() === 0)
+  }
+
+  test("DeltaLite partitioned table: DELETE/UPDATE/MERGE keep partition layout and values") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_partdml").toString
+    val df = (0L until 90L).map(i => (i, s"p${i % 3}", i * 1.0))
+      .toDF("k", "part", "v").coalesce(1)
+    DeltaLite.create(spark, path, df, partitionBy = Seq("part"))
+    // DELETE within one partition
+    DeltaLite.delete(spark, path, $"part" === "p0" && $"k" < 30L)
+    assert(DeltaLite.read(spark, path).filter($"part" === "p0").count() === 20)
+    // UPDATE across partitions
+    DeltaLite.update(spark, path, $"k" >= 60L, Map("v" -> lit(-1.0)))
+    assert(DeltaLite.read(spark, path).filter($"v" === -1.0).count() === 30)
+    // multi-clause MERGE: delete evens ≥ 80, reprice the rest, insert new
+    val src = ((70L until 95L).map(i => (i, s"p${i % 3}", 1000.0 + i)))
+      .toDF("k", "part", "v")
+    DeltaLite.mergeClauses(spark, path, src, Seq("k"), Seq(
+      graft.operators.Merge.MatchedDelete(
+        Some(graft.operators.Merge.src("k") >= 80L &&
+          graft.operators.Merge.src("k") % 2 === 0)),
+      graft.operators.Merge.MatchedUpdate(None,
+        Map("v" -> graft.operators.Merge.src("v"))),
+      graft.operators.Merge.NotMatchedInsert(None)))
+    val after = DeltaLite.read(spark, path)
+    // 90 - 10 deleted (0..29 p0 evens... k 80,82,84,86,88 deleted) + 5 inserted (90..94)
+    assert(after.filter($"k".between(80L, 89L) && $"k" % 2 === 0).count() === 0)
+    assert(after.filter($"k" >= 90L).count() === 5)
+    assert(after.filter($"k".between(70L, 79L) && $"v" >= 1000.0).count() === 10)
+    // every row still carries a consistent log-attached partition value
+    assert(after.filter($"part" =!= concat(lit("p"), ($"k" % 3).cast("string")))
+      .count() === 0)
+    // and the post-DML snapshot still partitions + prunes at the log level
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.partitionBy === Seq("part"))
+    assert(snap.files.forall(_.pv.contains("part")))
+  }
+
+  test("DeltaLite partition values: special characters and null round-trip") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_partesc").toString
+    // '+' must stay literal (Hive escapePathName does not escape it);
+    // '/' and '%' percent-escape; null → __HIVE_DEFAULT_PARTITION__
+    val vals = Seq("a+b", "x/y", "50%", "plain", null)
+    val df = vals.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("k", "part").coalesce(1)
+    DeltaLite.create(spark, path, df, partitionBy = Seq("part"))
+    val back = DeltaLite.read(spark, path).as[(Long, String)].collect().toMap
+    vals.zipWithIndex.foreach { case (p, i) =>
+      assert(back(i.toLong) === p, s"partition value '$p' must round-trip")
+    }
+    // null partition: never prunable (bound on part keeps the null file)
+    val snap = DeltaLite.snapshot(path)
+    val nullFiles = snap.files.filter(_.pv("part") == "__HIVE_DEFAULT_PARTITION__")
+    assert(nullFiles.nonEmpty)
+    val pruned = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("part", Some("plain"), Some("plain"))))
+    assert(pruned.exists(_.pv("part") == "__HIVE_DEFAULT_PARTITION__"),
+      "a null-partition file has no comparable value and must never be pruned")
+  }
+
+  test("DeltaLite footer stats match Spark-computed min/max per file (incl. ts/decimal)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_footer").toString
+    val df = (0L until 200L).map { i =>
+      (i,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:${i % 60}%02d:00"),
+        java.sql.Date.valueOf(f"2024-02-${i % 28 + 1}%02d"),
+        BigDecimal(i * 7).bigDecimal.setScale(2),
+        s"str_${i % 50}%03d",
+        i * 1.5)
+    }.toDF("k", "ts", "d", "dec", "s", "v").repartition(3)
+    DeltaLite.create(spark, path, df)
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.nonEmpty)
+    // per-file ground truth from a _metadata.file_path group-by
+    val r = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    val truth = spark.read.parquet(
+        snap.files.map(f => r.resolve(f.path).toString): _*)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(min($"k").as("kmin"), max($"k").as("kmax"),
+        min($"ts").as("tsmin"), max($"ts").as("tsmax"),
+        min($"d").as("dmin"), max($"d").as("dmax"),
+        min($"dec").as("decmin"), max($"dec").as("decmax"),
+        min($"s").as("smin"), max($"s").as("smax"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(row => row.getString(0).stripPrefix("file:") -> row).toMap
+    snap.files.foreach { f =>
+      val row = truth(r.resolve(f.path).toString)
+      assert(f.rows === row.getAs[Long]("rows"))
+      assert(f.stats("k").min.get === row.getAs[Long]("kmin"))
+      assert(f.stats("k").max.get === row.getAs[Long]("kmax"))
+      // timestamps decode to epoch-micros in the stats space
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      assert(f.stats("ts").min.get === micros(row.getAs[java.sql.Timestamp]("tsmin")))
+      assert(f.stats("ts").max.get === micros(row.getAs[java.sql.Timestamp]("tsmax")))
+      assert(f.stats("d").min.get ===
+        row.getAs[java.sql.Date]("dmin").toLocalDate.toEpochDay)
+      assert(f.stats("d").max.get ===
+        row.getAs[java.sql.Date]("dmax").toLocalDate.toEpochDay)
+      assert(f.stats("dec").min.get === BigDecimal(row.getAs[java.math.BigDecimal]("decmin")))
+      assert(f.stats("dec").max.get === BigDecimal(row.getAs[java.math.BigDecimal]("decmax")))
+      assert(f.stats("s").min.get === row.getAs[String]("smin"))
+      assert(f.stats("s").max.get === row.getAs[String]("smax"))
+    }
+  }
+
+  test("DeltaLite history lists every commit with op, counts, and monotone timestamps") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_hist").toString
+    DeltaLite.create(spark, path,
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    DeltaLite.append(spark, path,
+      (50L until 80L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    DeltaLite.delete(spark, path, $"k" < 10L)
+    DeltaLite.compact(spark, path)
+    val h = DeltaLite.history(spark, path).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_.getString(1)).toSeq ===
+      Seq("OPTIMIZE", "DELETE", "APPEND", "CREATE"))
+    // CREATE adds 1 file / 50 rows, removes none
+    val create = h.find(_.getLong(0) == 0L).get
+    assert(create.getInt(3) === 1 && create.getInt(4) === 0)
+    assert(create.getLong(5) === 50L)
+    // OPTIMIZE removes every prior live file
+    val opt = h.find(_.getLong(0) == 3L).get
+    assert(opt.getInt(4) === 2)
+    // timestamps are non-decreasing through the timeline
+    val ts = h.reverse.map(_.getTimestamp(2).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // limit caps how many newest commits are returned
+    assert(DeltaLite.history(spark, path, limit = Some(2))
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 2L))
+  }
+
   test("DeltaLite log checkpoints: replay from checkpoint equals full replay") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_ckpt").toString
