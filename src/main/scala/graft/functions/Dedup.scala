@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Near-duplicate detection for training-data curation (SURVEY.md §2.9 L2
   * and the builder prompt): MinHash+LSH and SimHash, both fully
@@ -135,11 +136,50 @@ object Dedup {
     * (label propagation / hash-min), with the driver doing only the
     * convergence check. Caches the frontier per round and unpersists. */
   def connectedComponents(pairs: DataFrame, ida: String = "ida",
-      idb: String = "idb", maxIter: Int = 20): DataFrame = {
+      idb: String = "idb", maxIter: Int = 20,
+      maxDriverEdges: Long = 500000L): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col(ida).as("src"), col(idb).as("dst"))
       .unionByName(pairs.select(col(idb).as("src"), col(ida).as("dst")))
       .distinct().cache()
+    // The near-dup graph is a SLIVER of the corpus (duplicate pairs, not
+    // documents): when the deduped edge set is boundedly small, finish
+    // with a driver-side union-find — O(E α(E)) in milliseconds versus
+    // several sequential shuffle rounds, the same bounded-driver-work
+    // pattern as pqTrain/ivfTrain. The count() below materializes the
+    // edge cache either way, so the check costs one row-count action.
+    // Above the bound (a genuinely huge dup graph at 100 TB) the
+    // distributed hash-min + pointer-jump loop below is the scale path.
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      val idType = pairs.schema(pairs.columns.indexOf(ida)).dataType
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      edges.collect().foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union-by-min: the root of a set is always its minimum, so the
+        // final representative needs no second pass
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = parent.keySet().asScala.toSeq
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+      edges.unpersist()
+      return pairs.sparkSession.createDataFrame(out.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
     // Hash-min round = ONE join + ONE keyed agg (the node's own label

@@ -201,6 +201,11 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
     // keep-one-per-group = the component representatives
     assert(cc.filter { case (id, comp) => id == comp }.keySet === Set(1L, 10L, 20L))
+    // the distributed hash-min + pointer-jump path (forced by a zero
+    // driver bound) must agree exactly with the union-find fast path
+    val ccDist = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist === cc)
     // end-to-end with real candidates: every minhash near-dup pair lands
     // in one component
     val nd = Dedup.minHashNearDups(corpus, "doc_id", "text", threshold = 0.8)
