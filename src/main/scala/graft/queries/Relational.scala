@@ -738,6 +738,53 @@ object Relational {
                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- W3 (c)
+    // Frame EXCLUDE CURRENT ROW (DuckDB window extension; Spark has no
+    // native EXCLUDE clause): peer-average of the ±2-row neighborhood
+    // WITHOUT the row itself. Spark-first identity — for distributive/
+    // algebraic aggregates, agg over frame EXCLUDE CURRENT ROW ≡
+    // combining the full-frame agg with the current row removed:
+    //   sum … EXCLUDE ≡ sum(frame) − x
+    //   count … EXCLUDE ≡ count(frame) − 1
+    //   avg … EXCLUDE ≡ (sum − x) / (count − 1)
+    // — still ONE window pass, codegen'd, no second shuffle. The oracle
+    // pins the set semantics with DuckDB's literal EXCLUDE CURRENT ROW on
+    // the (integer-exact) count; the avg uses the same subtract identity
+    // TEXTUALLY on both sides because a native avg-of-peers sums floats
+    // in a different order — last-ulp drift at a rounding boundary
+    // (HANDOFF parity rule 1).
+    QueryDef("w3_frame_exclude", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, 2)
+      t(s, dir, "orders")
+        .withColumn("f_sum", sum(col("o_totalprice")).over(w))
+        .withColumn("f_n", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          // single-row partition → empty excluded frame: NULL (SQL avg of
+          // nothing), not the NaN a raw double 0/0 would produce
+          when(col("f_n") > 1,
+            round(((col("f_sum") - col("o_totalprice")) /
+              (col("f_n") - 1))*100)/100).as("peer_avg"),
+          (col("f_n") - 1).as("peer_n"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                CASE WHEN count(*) OVER wi > 1 THEN
+                  (round((((sum(o_totalprice) OVER wi) - o_totalprice)
+                          / ((count(*) OVER wi) - 1))*100)/100)
+                END AS peer_avg,
+                count(*) OVER wx AS peer_n
+         FROM orders
+         WINDOW wi AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+                wx AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                       EXCLUDE CURRENT ROW)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- A7 (b)
     // array_agg proper (list-valued aggregation) with pinned element order.
     // The list is emitted as a ','-joined string: the compare harness cannot
