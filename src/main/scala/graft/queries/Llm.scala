@@ -532,6 +532,55 @@ object Llm {
          ORDER BY n DESC NULLS LAST, bigram ASC NULLS LAST
          LIMIT 50""")),
 
+    // ------------------------------------------------------------- L4 (k)
+    // Eval-set contamination check — the decontamination pass every
+    // LLM training pipeline runs before training: training documents
+    // sharing ≥1 word n-gram with a benchmark/eval document are flagged
+    // (the GPT-3/PaLM-style overlap rule; production pipelines use
+    // n ≈ 8-13 — on the 31-token fixture vocabulary trigrams are the
+    // discriminating scale, and n only shifts the transform indexes). Eval set here is a
+    // deterministic slice of the corpus (doc_id % 97 == 0). Scale shape:
+    // eval sets are tiny by construction, so the deduped eval-gram table
+    // BROADCASTS and the training side streams map-side through a
+    // broadcast semi-join — no shuffle of the training grams; the only
+    // exchange is the final per-language distinct-doc agg. At 100 TB
+    // the corpus is read once, filtered in place.
+    QueryDef("l4_contamination", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("lang"), explode(expr(
+          """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE array() END""")).as("gram"))
+      val evalGrams = grams(toks.filter(col("doc_id") % 97 === 0))
+        .select("gram").distinct()
+      val contaminated = grams(toks.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      contaminated.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          countDistinct(col("gram")).as("n_shared_grams"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT doc_id, lang, unnest(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END) AS gram
+           FROM toks),
+         evalg AS (
+           SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+         SELECT lang, count(DISTINCT doc_id) AS n_contaminated,
+                count(DISTINCT gram) AS n_shared_grams
+         FROM grams g
+         WHERE doc_id % 97 <> 0
+           AND EXISTS (SELECT 1 FROM evalg e WHERE e.gram = g.gram)
+         GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (e)
     // Euclidean (L2) distance pairs — the metric companion of cosine,
     // computed from the same codegen'd dot products:

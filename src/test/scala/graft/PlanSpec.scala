@@ -152,6 +152,17 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"probe set must broadcast over the codes scan:\n$p")
   }
 
+  test("l4_contamination: eval grams broadcast; training grams never shuffle for the join") {
+    val p = plan("l4_contamination")
+    // the eval-gram set is tiny by construction → BroadcastHashJoin
+    // (LeftSemi); the training-side gram stream is filtered map-side.
+    // A SortMergeJoin here would shuffle the full training gram stream.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval grams must broadcast-semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"training grams must not shuffle for the contamination join:\n$p")
+  }
+
   test("l3_ann_ivfpq: candidates come from the cell equality join, never a cartesian") {
     val p = plan("l3_ann_ivfpq")
     // coarse IVF cells gate the candidate set: query probes join corpus
