@@ -839,6 +839,45 @@ object Llm {
          FROM c
          ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (d)
+    // Training-mix assembly under a token budget: per language, keep
+    // documents in a deterministic content-independent order (md5 of the
+    // doc id — an unbiased engine-portable shuffle) until the cumulative
+    // token count reaches the language's budget. This is the data-mix
+    // step that turns a filtered corpus into a training set with chosen
+    // language proportions. One window pass per language partition; at
+    // 100 TB the same shape runs per (lang, shard) with per-shard budget
+    // allocation so no single partition sorts the whole language.
+    QueryDef("l5_training_mix", (s, dir) => {
+      val budget = 4000L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("toks"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        // a doc is taken if its PREDECESSORS left budget headroom — the
+        // standard greedy knapsack cut, deterministic given the order
+        .filter(col("cum") - col("toks") < budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS toks,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT *, sum(toks) OVER (PARTITION BY lang
+                       ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+         FROM c WHERE cum - toks < 4000
+         GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (c)
     // PII redaction: emails and phone-shaped tokens replaced with typed
     // placeholders, with per-doc redaction counts. The fixtures carry no
