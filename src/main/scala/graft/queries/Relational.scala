@@ -327,6 +327,60 @@ object Relational {
                                    WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- W1 (c)
+    // NTILE bucketing — equal-frequency splits over a total order (the
+    // train/val/test-split shape: deterministic decile assignment, floor
+    // distribution with the remainder to the leading buckets in both
+    // engines). One window over one sort; per-bucket profile aggregated
+    // after.
+    QueryDef.sql("w1_ntile",
+      spark =
+        """WITH t AS (
+             SELECT c_custkey, c_acctbal,
+                    ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                      AS decile
+             FROM customer)
+           SELECT decile, count(*) AS n,
+                  (round((min(c_acctbal))*100)/100) AS lo,
+                  (round((max(c_acctbal))*100)/100) AS hi
+           FROM t GROUP BY decile ORDER BY decile ASC NULLS LAST""",
+      oracle =
+        """WITH t AS (
+             SELECT c_custkey, c_acctbal,
+                    CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                      AS INTEGER) AS decile
+             FROM customer)
+           SELECT decile, count(*) AS n,
+                  (round((min(c_acctbal))*100)/100) AS lo,
+                  (round((max(c_acctbal))*100)/100) AS hi
+           FROM t GROUP BY decile ORDER BY decile ASC NULLS LAST"""),
+
+    // ------------------------------------------------------------------ J10
+    // LATERAL join (DuckDB lateral / Spark 3.2+ lateral subquery): top-3
+    // customers by balance PER NATION, the classic per-group top-N as a
+    // correlated inline subquery. Catalyst decorrelates the LIMIT into a
+    // ranked window under the hood — declarative text, no manual
+    // self-join. Same SQL runs on both engines.
+    QueryDef.sql("j10_lateral_join",
+      spark =
+        """SELECT n.n_name, c.c_custkey, c.bal
+           FROM nation n, LATERAL (
+             SELECT c_custkey, (round((c_acctbal)*100)/100) AS bal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) c
+           ORDER BY n.n_name ASC NULLS LAST, c.bal DESC NULLS LAST,
+                    c.c_custkey ASC NULLS LAST""",
+      oracle =
+        """SELECT n.n_name, c.c_custkey, c.bal
+           FROM nation n, LATERAL (
+             SELECT c_custkey, (round((c_acctbal)*100)/100) AS bal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) c
+           ORDER BY n.n_name ASC NULLS LAST, c.bal DESC NULLS LAST,
+                    c.c_custkey ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------- J9
     // Recursive CTE (DuckDB WITH RECURSIVE; Spark 4 added support) — the
     // dbt_utils.date_spine pattern: generate a gap-free day spine and
