@@ -785,7 +785,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val history = scala.collection.mutable.ArrayBuffer(model)
 
     (1 to 24).foreach { _ =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
           model = model ++ b
@@ -823,6 +823,31 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
           model = model.filter { case (k, _) => k >= cut } ++ repl
           DeltaLite.replaceWhere(spark, path, col("k") < cut,
             repl.toDF("k", "v").coalesce(1))
+        case 7 => // multi-clause merge: delete negatives among matches,
+          // update the rest, insert fresh rows conditionally
+          val existing = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(6).map(k => (k, rnd.nextInt(20) - 10.0))
+          val inserts = freshBatch(rnd.nextInt(3))
+          val src = existing ++ inserts
+          if (src.nonEmpty) {
+            val srcMap = src.toMap
+            model = model.flatMap { case (k, v) =>
+              srcMap.get(k) match {
+                case Some(sv) if sv < 0 => None              // matched delete
+                case Some(sv)           => Some(k -> (sv * 2)) // matched update
+                case None               => Some(k -> v)        // untouched
+              }
+            } ++ inserts.filter(_._2 >= 0).map { case (k, sv) => k -> (sv * 2) }
+            DeltaLite.mergeClauses(spark, path,
+              src.toDF("k", "v").coalesce(1), Seq("k"), Seq(
+                graft.operators.Merge.MatchedDelete(
+                  Some(graft.operators.Merge.src("v") < 0)),
+                graft.operators.Merge.MatchedUpdate(None,
+                  Map("v" -> (graft.operators.Merge.src("v") * 2))),
+                graft.operators.Merge.NotMatchedInsert(
+                  Some(graft.operators.Merge.src("v") >= 0),
+                  Map("v" -> (graft.operators.Merge.src("v") * 2)))))
+          } else DeltaLite.append(spark, path, freshBatch(1).toDF("k", "v"))
       }
       history += model
       // maintenance ops may or may not commit; track actual version count
