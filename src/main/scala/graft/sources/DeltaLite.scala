@@ -414,20 +414,30 @@ object DeltaLite {
     // INT96 (Spark's historical default for TIMESTAMP) carries no usable
     // footer statistics; micros INT64 is the modern format and stats-true.
     // outputTimestampType has no per-writer option (checked ParquetOptions
-    // — only compression/mergeSchema/rebase modes), so save/restore the
-    // session value, under a lock so concurrent DeltaLite writes on the
-    // same session can't restore it out from under each other. Unrelated
-    // non-DeltaLite writes racing this window are the caller's documented
-    // caveat (graft.Verify casts its outputs to NTZ for exactly this).
-    tsWriteLock.synchronized {
-      val tsKey = "spark.sql.parquet.outputTimestampType"
+    // — only compression/mergeSchema/rebase modes). The conf dance only
+    // matters when the schema actually carries an LTZ timestamp AND the
+    // session isn't already on MICROS (all graft mains + TestSpark set it
+    // at build time) — every other write goes straight through, because
+    // the fallback lock below serializes EVERY DeltaLite write on the
+    // session and that shows up immediately under concurrent benching.
+    def doWrite(): Unit = {
+      val w = align(df, schema).write.mode("errorifexists")
+      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+        .parquet(dir.toString)
+    }
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val hasLtz = schema.fields.exists(_.dataType == TimestampType)
+    if (!hasLtz || spark.conf.getOption(tsKey).contains("TIMESTAMP_MICROS"))
+      doWrite()
+    else tsWriteLock.synchronized {
+      // save/restore under a lock so concurrent DeltaLite writes on the
+      // same session can't restore it out from under each other; unrelated
+      // non-DeltaLite writes racing this window are the caller's caveat
+      // (graft.Verify casts its outputs to NTZ for exactly this).
       val prevTs = spark.conf.getOption(tsKey)
       spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try {
-        val w = align(df, schema).write.mode("errorifexists")
-        (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-          .parquet(dir.toString)
-      } finally prevTs match {
+      try doWrite()
+      finally prevTs match {
         case Some(v) => spark.conf.set(tsKey, v)
         case None    => spark.conf.unset(tsKey)
       }

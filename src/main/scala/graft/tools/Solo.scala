@@ -6,6 +6,7 @@ object Solo {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries("a1_groupby_aggs")(spark, sfDir).count()
