@@ -1389,6 +1389,46 @@ object DeltaLite {
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
   }
 
+  /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE tbl WHERE part = x`):
+    * compact ONLY the files whose logged partition values fall inside
+    * `bounds` — the nightly maintenance shape for an append-heavy
+    * partitioned table, where today's partition collects small files and
+    * yesterday's are already packed. Bounds must name partition columns;
+    * matching is EXACT against the log's partition values (a null
+    * partition never matches — `OPTIMIZE WHERE` should not silently
+    * rewrite the null bucket), so untouched partitions keep their file
+    * identities (cheap CDF / streaming-source diffs). Cost is
+    * O(matched partitions), never O(table). */
+  def compactPartition(spark: SparkSession, path: String,
+      bounds: Seq[ColumnBound], numFiles: Int = 1): Long = {
+    val snap = snapshot(path)
+    require(bounds.nonEmpty, "compactPartition needs at least one bound")
+    require(bounds.forall(b => snap.partitionBy.contains(b.column)),
+      s"bounds must name partition columns ${snap.partitionBy}; got " +
+        bounds.map(_.column).mkString(", "))
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val victims = snap.files.filter { f =>
+      bounds.forall { b =>
+        val dt = types(b.column)
+        f.pv.get(b.column).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          .flatMap(parsePartitionValue(dt, _)) match {
+          case Some(v) =>
+            b.lower.flatMap(normBound(dt, _)).forall(lo => cmp(dt, v, lo) >= 0) &&
+              b.upper.flatMap(normBound(dt, _)).forall(hi => cmp(dt, v, hi) <= 0)
+          case None => false
+        }
+      }
+    }
+    if (victims.length <= 1) return snap.version
+    val packed = readFiles(spark, path, snap.schema, victims, snap.partitionBy)
+      .repartition(numFiles)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, packed, snap.schema,
+      snap.partitionBy)
+    commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
+      victims.map(_.path), snap.constraints, snap.partitionBy)
+  }
+
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
     * ONLY files smaller than `minRows` rows, coalesced (no shuffle) into
     * ~`minRows`-sized files; full-size files are never rewritten. This is

@@ -285,6 +285,36 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(snap.files.forall(_.pv.contains("part")))
   }
 
+  test("DeltaLite partition-scoped OPTIMIZE compacts only the bound partition") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_partopt").toString
+    def batch(part: String, lo: Long, n: Long) =
+      (lo until lo + n).map(i => (i, part, i * 1.0)).toDF("k", "part", "v").coalesce(1)
+    DeltaLite.create(spark, path, batch("p0", 0, 10), partitionBy = Seq("part"))
+    // p1 collects small appends; p0 stays as-is
+    (0 until 4).foreach(b => DeltaLite.append(spark, path, batch("p1", 100 + b * 10, 10)))
+    val before = DeltaLite.snapshot(path)
+    val p0Before = before.files.filter(_.pv("part") == "p0").map(_.path).toSet
+    assert(before.files.count(_.pv("part") == "p1") === 4)
+    DeltaLite.compactPartition(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("p1"), Some("p1"))))
+    val after = DeltaLite.snapshot(path)
+    // p1 packed to one file; p0's file identities untouched
+    assert(after.files.count(_.pv("part") == "p1") === 1)
+    assert(after.files.filter(_.pv("part") == "p0").map(_.path).toSet === p0Before)
+    assert(DeltaLite.read(spark, path).count() === 50)
+    assert(DeltaLite.read(spark, path).filter($"part" === "p1")
+      .agg(sum($"k")).head.getLong(0) === (100L until 140L).sum)
+    // bounds must name partition columns
+    intercept[IllegalArgumentException] {
+      DeltaLite.compactPartition(spark, path,
+        Seq(DeltaLite.ColumnBound("k", Some(0L), Some(10L))))
+    }
+    // history records the op
+    assert(DeltaLite.history(spark, path).limit(1)
+      .collect()(0).getString(1) === "OPTIMIZE_PARTITION")
+  }
+
   test("DeltaLite partition values: special characters and null round-trip") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partesc").toString
