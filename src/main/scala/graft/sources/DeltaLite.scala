@@ -865,17 +865,27 @@ object DeltaLite {
       return spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(schema.fields ++ Seq(StructField("path", StringType),
           StructField("row_index", LongType))))
-    val prefixLen = s"file:$r/".length + 1 // substring is 1-based
     val dataSchema = StructType(
       schema.fields.filterNot(f => partitionBy.contains(f.name)))
-    def scanGroup(group: Seq[AddFile], pv: Map[String, String]): DataFrame =
-      attachPartitionCols(
-        spark.read.schema(dataSchema)
-          .parquet(group.map(f => r.resolve(f.path).toString): _*)
-          .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
-          .withColumn("row_index", col("_metadata.row_index")),
-        schema, partitionBy, pv)
-        .select((schema.fieldNames.toSeq ++ Seq("path", "row_index")).map(col): _*)
+    // The `path` column must reproduce each file's LOG KEY (AddFile.path)
+    // so DV anti-joins and touched-file detection match: table-relative
+    // for files under the root, absolute for by-reference files from a
+    // shallow CLONE — hence one substring offset per shape.
+    def scanGroup(group: Seq[AddFile], pv: Map[String, String]): DataFrame = {
+      val (abs, rel) = group.partition(f => Paths.get(f.path).isAbsolute)
+      def scanShape(fs: Seq[AddFile], prefixLen: Int): Option[DataFrame] =
+        if (fs.isEmpty) None
+        else Some(attachPartitionCols(
+          spark.read.schema(dataSchema)
+            .parquet(fs.map(f => r.resolve(f.path).toString): _*)
+            .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
+            .withColumn("row_index", col("_metadata.row_index")),
+          schema, partitionBy, pv)
+          .select((schema.fieldNames.toSeq ++ Seq("path", "row_index")).map(col): _*))
+      unionTree(Seq(
+        scanShape(rel, s"file:$r/".length + 1), // substring is 1-based
+        scanShape(abs, "file:".length + 1)).flatten)
+    }
     val data =
       if (partitionBy.isEmpty) scanGroup(files, Map.empty)
       else unionTree(files.groupBy(_.pv).toSeq
@@ -1212,6 +1222,31 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, newData, snap.schema,
       snap.partitionBy)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
+      snap.constraints, snap.partitionBy)
+  }
+
+  /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose version 0 references the source's current live files
+    * BY ABSOLUTE PATH — zero data copied, O(metadata) cost regardless of
+    * table size (the 100 TB dev/test-fork primitive). The clone then
+    * evolves independently: DML rewrites land under the clone's root
+    * (relative paths), the source never changes, and the clone's VACUUM
+    * only walks the clone's root so referenced source files are never
+    * deleted. Cloning a table with live deletion vectors is rejected
+    * (their positions key on source-relative paths); OPTIMIZE the source
+    * first to materialize DVs, like Delta requires. */
+  def cloneShallow(spark: SparkSession, sourcePath: String,
+      targetPath: String): Long = {
+    require(latestVersion(targetPath).isEmpty,
+      s"table already exists at $targetPath")
+    val snap = snapshot(sourcePath)
+    require(snap.files.forall(_.dv.isEmpty),
+      "cannot shallow-clone a table with live deletion vectors; " +
+        "run compact/cluster on the source first to materialize them")
+    val srcRoot = root(sourcePath)
+    val adds = snap.files.map(f =>
+      f.copy(path = srcRoot.resolve(f.path).toString))
+    writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
       snap.constraints, snap.partitionBy)
   }
 

@@ -285,6 +285,53 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(snap.files.forall(_.pv.contains("part")))
   }
 
+  test("DeltaLite shallow clone: zero-copy fork, independent evolution, safe vacuum") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_clonesrc").toString
+    val dst = Files.createTempDirectory("graft_clonedst").toString + "/t"
+    val df = (0L until 100L).map(i => (i, s"p${i % 2}", i * 1.0))
+      .toDF("k", "part", "v").coalesce(1)
+    DeltaLite.create(spark, src, df, partitionBy = Seq("part"))
+    DeltaLite.append(spark, src,
+      (100L until 120L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v").coalesce(1))
+    DeltaLite.cloneShallow(spark, src, dst)
+    // zero data files under the clone's root; reads equal the source
+    def parquetsUnder(p: String): Seq[java.nio.file.Path] = {
+      val w = Files.walk(java.nio.file.Paths.get(p))
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally w.close()
+    }
+    assert(parquetsUnder(dst).isEmpty, "shallow clone must copy no data")
+    assert(DeltaLite.read(spark, dst).exceptAll(DeltaLite.read(spark, src)).count() === 0)
+    assert(DeltaLite.read(spark, dst).count() === 120)
+    // DML on the clone: rewrites land under the CLONE root, source intact
+    DeltaLite.delete(spark, dst, $"k" < 50L)
+    assert(DeltaLite.read(spark, dst).count() === 70)
+    assert(DeltaLite.read(spark, src).count() === 120, "source must not change")
+    assert(parquetsUnder(dst).nonEmpty, "the rewrite lands under the clone")
+    // partitioned DML on the clone keeps log-attached partition values
+    assert(DeltaLite.read(spark, dst)
+      .filter($"part" =!= concat(lit("p"), ($"k" % 2).cast("string"))).count() === 0)
+    // merge into the clone; then vacuum: referenced SOURCE files survive
+    DeltaLite.merge(spark, dst,
+      Seq((200L, "p0", 1.0)).toDF("k", "part", "v"), Seq("k"))
+    val srcFilesBefore = parquetsUnder(src).toSet
+    DeltaLite.vacuum(dst, keepVersions = 1)
+    assert(parquetsUnder(src).toSet === srcFilesBefore,
+      "clone vacuum must never delete source data")
+    assert(DeltaLite.read(spark, dst).count() === 71)
+    assert(DeltaLite.read(spark, src).count() === 120)
+    // clone history starts its own timeline at CLONE
+    assert(DeltaLite.history(spark, dst).collect().last.getString(1) === "CLONE")
+    // DV-bearing sources are rejected (positions key on source paths)
+    DeltaLite.deleteVectorized(spark, src, $"k" === 0L)
+    intercept[IllegalArgumentException] {
+      DeltaLite.cloneShallow(spark, src,
+        Files.createTempDirectory("graft_clonedst2").toString + "/t")
+    }
+  }
+
   test("DeltaLite partition-scoped OPTIMIZE compacts only the bound partition") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partopt").toString
