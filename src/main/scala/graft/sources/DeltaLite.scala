@@ -1530,11 +1530,36 @@ object DeltaLite {
       snap.constraints, snap.partitionBy)
   }
 
+  /** `DESCRIBE DETAIL` analogue: one-row table summary from the log
+    * alone (no data read) — current version, row/file counts, partition
+    * columns, constraint count, and how many files are by-reference
+    * (shallow-clone) vs owned. */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapshot(path)
+    val absolute = snap.files.count(f => Paths.get(f.path).isAbsolute)
+    val row = Row(snap.version, snap.totalRows, snap.files.length,
+      snap.files.length - absolute, absolute,
+      snap.partitionBy.mkString(","), snap.constraints.size,
+      snap.schema.json)
+    val sch = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("num_owned_files", IntegerType, nullable = false),
+      StructField("num_referenced_files", IntegerType, nullable = false),
+      StructField("partition_columns", StringType, nullable = false),
+      StructField("num_constraints", IntegerType, nullable = false),
+      StructField("schema_json", StringType, nullable = false)))
+    spark.createDataFrame(java.util.List.of(row), sch)
+  }
+
   /** Physically delete data files not referenced by the newest
     * `keepVersions` snapshots (Delta `VACUUM`): the retention boundary —
     * time travel older than that stops working, by design. Returns the
-    * deleted file count. */
-  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    * deleted file count. `dryRun` (Delta `VACUUM ... DRY RUN`) reports
+    * the victim count without deleting anything. */
+  def vacuum(path: String, keepVersions: Int = 1,
+      dryRun: Boolean = false): Int = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
     val keepFrom = math.max(0L, latest - keepVersions + 1)
@@ -1551,7 +1576,7 @@ object DeltaLite {
         .filterNot(referenced.contains)
         .filterNot(rel => referencedDvDirs.exists(d => rel.startsWith(d + "/")))
         .toList
-      victims.foreach(p => Files.delete(r.resolve(p)))
+      if (!dryRun) victims.foreach(p => Files.delete(r.resolve(p)))
       victims.size
     } finally all.close()
   }

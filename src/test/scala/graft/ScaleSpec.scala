@@ -324,6 +324,12 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, src).count() === 120)
     // clone history starts its own timeline at CLONE
     assert(DeltaLite.history(spark, dst).collect().last.getString(1) === "CLONE")
+    // DESCRIBE DETAIL separates owned vs by-reference files
+    val det = DeltaLite.detail(spark, dst).collect()(0)
+    assert(det.getAs[Long]("num_rows") === 71L)
+    assert(det.getAs[Int]("num_referenced_files") > 0)
+    assert(det.getAs[Int]("num_owned_files") > 0)
+    assert(det.getAs[String]("partition_columns") === "part")
     // DV-bearing sources are rejected (positions key on source paths)
     DeltaLite.deleteVectorized(spark, src, $"k" === 0L)
     intercept[IllegalArgumentException] {
@@ -836,6 +842,9 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     DeltaLite.compact(spark, path, numFiles = 1)
     // latest snapshot = 1 compacted file; the 4 originals are only
     // referenced by v0/v1
+    // DRY RUN reports the victims without touching anything
+    assert(DeltaLite.vacuum(path, keepVersions = 1, dryRun = true) === 4)
+    assert(DeltaLite.read(spark, path, Some(0L)).count() > 0, "dry run deletes nothing")
     val deleted = DeltaLite.vacuum(path, keepVersions = 1)
     assert(deleted === 4, s"expected 4 vacuumed files, got $deleted")
     assert(DeltaLite.read(spark, path).count() === 100)
