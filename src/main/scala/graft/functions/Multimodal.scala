@@ -94,6 +94,30 @@ object Multimodal {
         struct(col("format"), col("width"), col("height")).as("meta"))
   }
 
+  /** Deterministic audio framing over a fake PCM payload: `frameBytes`
+    * windows every `hopBytes` (overlapping when hop < frame — the
+    * window/hop shape every STFT-style audio featurizer uses), with a
+    * per-window stub energy (mean byte value) standing in for a real DSP
+    * kernel at the stub boundary above. Map-only flatMap; window count
+    * per row is ceil(len / hop), geometry fully deterministic. */
+  def windowAudio(media: DataFrame, frameBytes: Int, hopBytes: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(frameBytes >= 1 && hopBytes >= 1, "frame and hop must be >= 1")
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Iterator.range(0, math.max(bytes.length, 1), hopBytes)
+          .takeWhile(_ < bytes.length)
+          .map { off =>
+            val end = math.min(off + frameBytes, bytes.length)
+            var sum = 0L; var i = off
+            while (i < end) { sum += bytes(i) & 0xFF; i += 1 }
+            (id, off / hopBytes, end - off, sum.toDouble / (end - off))
+          }
+      }
+      .toDF("id", "win_idx", "win_bytes", "energy")
+  }
+
   /** Deterministic frame sampling over a fake "video" payload: fixed-size
     * byte windows as frames, every `stride`-th taken — the partition-local
     * pattern a real frame sampler follows. */

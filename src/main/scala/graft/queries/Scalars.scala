@@ -407,6 +407,30 @@ object Scalars {
          WHERE i % 2 = 0
          ORDER BY id ASC NULLS LAST, frame_idx ASC NULLS LAST""")),
 
+    // ------------------------------------------------------- M3 (multimodal)
+    // Audio windowing over an opaque "PCM" payload: 256-byte frames every
+    // 128 bytes (overlapping window/hop — the STFT framing every audio
+    // featurizer uses) via the typed flatMap in Multimodal.windowAudio.
+    // The stub per-window energy is dropped here so the window GEOMETRY
+    // (index, byte count, overlap arithmetic) sits under the hard oracle;
+    // the energy path is covered by FunctionsSpec's exact-bytes test.
+    QueryDef("m3_audio_windows", (s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      graft.functions.Multimodal.windowAudio(media, frameBytes = 256, hopBytes = 128)
+        .select(col("id"), col("win_idx"), col("win_bytes"))
+        .orderBy(col("id").asc_nulls_last, col("win_idx").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id AS id, CAST(i AS INTEGER) AS win_idx,
+                CAST(least(256, octet_length(encode(text)) - i * 128) AS INTEGER)
+                  AS win_bytes
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, CAST(ceil(octet_length(encode(text)) / 128.0)
+                                           AS BIGINT))) AS i
+               FROM documents)
+         ORDER BY id ASC NULLS LAST, win_idx ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ F12
     // Bitwise scalars (&, <<, >>, bit_count) and bitwise aggregates
     // (bit_and/bit_or/bit_xor) — all codegen'd column expressions; the

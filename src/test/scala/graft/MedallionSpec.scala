@@ -249,4 +249,22 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       resized.filter(col("id") === 0).select(length(col("media"))).head().getInt(0))
     assert(resLen === origLen / 4)
   }
+
+  test("multimodal: audio window geometry and exact stub energies") {
+    import spark.implicits._
+    implicit val s = spark
+    // 10 bytes of known values; frame 4, hop 2 → windows at 0,2,4,6,8
+    val bytes = Array[Byte](0, 10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val media = Seq((1L, bytes)).toDF("id", "media")
+    val w = graft.functions.Multimodal.windowAudio(media, frameBytes = 4, hopBytes = 2)
+      .orderBy(col("win_idx"))
+      .as[(Long, Int, Int, Double)].collect()
+    assert(w.map(_._2).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(w.map(_._3).toSeq === Seq(4, 4, 4, 4, 2), "last window truncates")
+    // energy = mean byte value per window: off=2 covers bytes 20..50 etc.
+    assert(w.map(_._4).toSeq === Seq(15.0, 35.0, 55.0, 75.0, 85.0))
+    // empty payload → no windows
+    assert(graft.functions.Multimodal.windowAudio(
+      Seq((2L, Array.empty[Byte])).toDF("id", "media"), 4, 2).count() === 0)
+  }
 }
