@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import graft.sources.DeltaLite
+
+/** Maintenance SQL for DeltaLite tables (the Delta-style statements every
+  * table operator runs), injected via `SparkSessionExtensions
+  * .injectParser` — graft-specific statements parse here, EVERYTHING else
+  * delegates to Spark's own parser untouched:
+  *
+  *   DESCRIBE HISTORY '<path>' [LIMIT n]
+  *   DESCRIBE DETAIL '<path>'
+  *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
+  *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
+  *
+  * Table paths are quoted string literals (a DeltaLite table is a
+  * directory, not a catalog entry). Each statement is a
+  * [[LeafRunnableCommand]]: driver-side log metadata work (plus the
+  * rewrite jobs OPTIMIZE itself launches), rows back through the normal
+  * command execution path, so results compose with `spark.sql(...)`
+  * like any query. */
+object MaintenanceSql {
+
+  final case class DescribeHistoryCommand(path: String, limit: Option[Int])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("timestamp", TimestampType, nullable = false)(),
+      AttributeReference("num_added_files", IntegerType, nullable = false)(),
+      AttributeReference("num_removed_files", IntegerType, nullable = false)(),
+      AttributeReference("rows_added", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      DeltaLite.history(spark, path, limit).collect().toSeq
+  }
+
+  final case class DescribeDetailCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("num_files", IntegerType, nullable = false)(),
+      AttributeReference("num_owned_files", IntegerType, nullable = false)(),
+      AttributeReference("num_referenced_files", IntegerType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("num_constraints", IntegerType, nullable = false)(),
+      AttributeReference("schema_json", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      DeltaLite.detail(spark, path).collect().toSeq
+  }
+
+  final case class VacuumCommand(path: String, keepVersions: Int,
+      dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("deleted_files", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.vacuum(path, keepVersions, dryRun)))
+  }
+
+  final case class OptimizeCommand(path: String, minRows: Long,
+      partitionEq: Option[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = partitionEq match {
+        case Some((c, value)) => DeltaLite.compactPartition(spark, path,
+          Seq(DeltaLite.ColumnBound(c, Some(value), Some(value))))
+        case None => DeltaLite.compactSmall(spark, path, minRows)
+      }
+      Seq(Row(v))
+    }
+  }
+}
+
+/** Delegating parser: the four maintenance statements above, else Spark. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import MaintenanceSql._
+
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+MIN\s+ROWS\s+(\d+))?""" +
+      """(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?\s*;?\s*""").r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case HistoryRe(p, lim) =>
+      DescribeHistoryCommand(p, Option(lim).map(_.toInt))
+    case DetailRe(p) => DescribeDetailCommand(p)
+    case VacuumRe(p, keep, dry) =>
+      VacuumCommand(p, Option(keep).map(_.toInt).getOrElse(1), dry != null)
+    case OptimizeRe(p, minRows, c, v) =>
+      OptimizeCommand(p, Option(minRows).map(_.toLong).getOrElse(100000L),
+        (Option(c), Option(v)) match {
+          case (Some(cc), Some(vv)) => Some((cc, vv))
+          case _ => None
+        })
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

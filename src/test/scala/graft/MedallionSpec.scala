@@ -250,6 +250,41 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(resLen === origLen / 4)
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY/DETAIL, OPTIMIZE, VACUUM via spark.sql") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
+    DeltaLite.create(spark, path,
+      (0L until 40L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v").coalesce(1), partitionBy = Seq("part"))
+    (0 until 3).foreach { b =>
+      DeltaLite.append(spark, path,
+        (100L + b * 10 until 110L + b * 10).map(i => (i, "p0", i * 1.0))
+          .toDF("k", "part", "v").coalesce(1))
+    }
+    // DESCRIBE HISTORY (with LIMIT)
+    val h = spark.sql(s"DESCRIBE HISTORY '$path'").collect()
+    assert(h.length === 4 && h.head.getString(1) === "APPEND")
+    assert(spark.sql(s"DESCRIBE HISTORY '$path' LIMIT 2").count() === 2)
+    // DESCRIBE DETAIL
+    val det = spark.sql(s"DESCRIBE DETAIL '$path'").collect()(0)
+    assert(det.getAs[Long]("num_rows") === 70L)
+    assert(det.getAs[String]("partition_columns") === "part")
+    // OPTIMIZE WHERE packs only p0's files
+    val p1Files = DeltaLite.snapshot(path).files
+      .filter(_.pv("part") == "p1").map(_.path).toSet
+    spark.sql(s"OPTIMIZE '$path' WHERE part = 'p0'").collect()
+    val after = DeltaLite.snapshot(path)
+    assert(after.files.count(_.pv("part") == "p0") === 1)
+    assert(after.files.filter(_.pv("part") == "p1").map(_.path).toSet === p1Files)
+    // VACUUM DRY RUN counts, plain VACUUM deletes
+    val dry = spark.sql(s"VACUUM '$path' DRY RUN").collect()(0).getInt(0)
+    assert(dry > 0)
+    assert(spark.sql(s"VACUUM '$path'").collect()(0).getInt(0) === dry)
+    assert(DeltaLite.read(spark, path).count() === 70)
+    // non-graft SQL still parses through the delegate untouched
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
+  }
+
   test("multimodal: audio window geometry and exact stub energies") {
     import spark.implicits._
     implicit val s = spark
