@@ -63,6 +63,22 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.vacuum(path, keepVersions, dryRun)))
   }
 
+  final case class RestoreCommand(path: String, version: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.restore(spark, path, version)))
+  }
+
+  final case class CloneCommand(source: String, target: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.cloneShallow(spark, source, target)))
+  }
+
   final case class OptimizeCommand(path: String, minRows: Long,
       partitionEq: Option[(String, String)]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -91,6 +107,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+MIN\s+ROWS\s+(\d+))?""" +
       """(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?\s*;?\s*""").r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -104,6 +124,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case (Some(cc), Some(vv)) => Some((cc, vv))
           case _ => None
         })
+    case RestoreRe(p, v) => RestoreCommand(p, v.toLong)
+    case CloneRe(src, dst) => CloneCommand(src, dst)
     case _ => delegate.parsePlan(sqlText)
   }
 

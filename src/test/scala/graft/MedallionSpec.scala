@@ -276,7 +276,18 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     val after = DeltaLite.snapshot(path)
     assert(after.files.count(_.pv("part") == "p0") === 1)
     assert(after.files.filter(_.pv("part") == "p1").map(_.path).toSet === p1Files)
-    // VACUUM DRY RUN counts, plain VACUUM deletes
+    // RESTORE back to the pre-OPTIMIZE file layout (files still on disk)
+    val preOpt = spark.sql(s"DESCRIBE HISTORY '$path'").collect()
+      .map(_.getLong(0)).max - 1
+    spark.sql(s"RESTORE '$path' TO VERSION AS OF $preOpt")
+    assert(DeltaLite.read(spark, path).count() === 70)
+    assert(DeltaLite.snapshot(path).files.count(_.pv("part") == "p0") === 4)
+    // CLONE: zero-copy fork readable immediately
+    val dst = java.nio.file.Files.createTempDirectory("graft_sqlclone").toString + "/t"
+    spark.sql(s"CLONE '$path' TO '$dst'")
+    assert(DeltaLite.read(spark, dst).count() === 70)
+    // VACUUM DRY RUN counts the now-unreferenced OPTIMIZE pack; VACUUM
+    // deletes it and the live set still reads
     val dry = spark.sql(s"VACUUM '$path' DRY RUN").collect()(0).getInt(0)
     assert(dry > 0)
     assert(spark.sql(s"VACUUM '$path'").collect()(0).getInt(0) === dry)
