@@ -18,6 +18,10 @@ import graft.sources.DeltaLite
   *   DESCRIBE DETAIL '<path>'
   *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
   *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
+  *   RESTORE '<path>' TO VERSION AS OF n
+  *   CLONE '<src>' TO '<dst>'
+  *   CONVERT TO DELTA '<path>'
+  *   REORG '<path>' APPLY (PURGE)
   *
   * Table paths are quoted string literals (a DeltaLite table is a
   * directory, not a catalog entry). Each statement is a
@@ -79,6 +83,20 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.cloneShallow(spark, source, target)))
   }
 
+  final case class ConvertCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.convert(spark, path)))
+  }
+
+  final case class ReorgCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.reorgPurge(spark, path)))
+  }
+
   final case class OptimizeCommand(path: String, minRows: Long,
       partitionEq: Option[(String, String)]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -111,6 +129,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
+  private val ReorgRe =
+    """(?is)\s*REORG\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -126,6 +148,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         })
     case RestoreRe(p, v) => RestoreCommand(p, v.toLong)
     case CloneRe(src, dst) => CloneCommand(src, dst)
+    case ConvertRe(p) => ConvertCommand(p)
+    case ReorgRe(p) => ReorgCommand(p)
     case _ => delegate.parsePlan(sqlText)
   }
 

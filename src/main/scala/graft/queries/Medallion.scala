@@ -596,6 +596,59 @@ object Medallion {
            AS h(version, operation)
          ORDER BY version DESC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S19
+    // CONVERT TO DELTA: a pre-existing Hive-partitioned parquet directory
+    // (written by plain Spark, no log) is adopted in place — version 0
+    // enumerates the files with footer stats, zero bytes rewritten. The
+    // converted table then proves it has the FULL write surface by taking
+    // a DELETE, and the read goes through the partition-pruned scan path.
+    // Oracle = the same derivation from the raw table.
+    QueryDef("s19_convert_to_delta", (s, dir) => {
+      val path = tmp("s19_plain")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      DeltaLite.convert(s, path)
+      DeltaLite.delete(s, path, col("o_totalprice") < 1000.0)
+      DeltaLite.scan(s, path, Seq(DeltaLite.ColumnBound("o_orderstatus",
+          Some("P"), Some("P"))))
+        .filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders WHERE o_orderstatus = 'P' AND o_totalprice >= 1000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S20
+    // REORG APPLY (PURGE): soft deletes land as deletion vectors (no file
+    // rewritten), then REORG materializes them — ONLY the DV-carrying
+    // files are rewritten without their deleted rows, every other file is
+    // carried by reference (ScaleSpec asserts the file discipline). The
+    // read after REORG touches no DV anti-join.
+    QueryDef("s20_reorg_purge", (s, dir) => {
+      val path = tmp("s20_delta")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      DeltaLite.create(s, path, li)
+      DeltaLite.deleteVectorized(s, path, col("l_quantity") > 45.0)
+      DeltaLite.reorgPurge(s, path)
+      DeltaLite.read(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(l_quantity))*100)/100").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+                (round((sum(l_quantity))*100)/100) AS sum_qty
+         FROM lineitem WHERE NOT (l_quantity > 45)
+         GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

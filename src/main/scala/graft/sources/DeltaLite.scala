@@ -1073,6 +1073,47 @@ object DeltaLite {
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty, partitionBy)
   }
 
+  /** Delta `CONVERT TO DELTA parquet.\`path\``: adopt an EXISTING parquet
+    * directory (flat or Hive-partitioned) as a DeltaLite table IN PLACE.
+    * No data file is moved, rewritten, or read past its footer — version 0
+    * simply enumerates the files, with per-file row counts and min/max
+    * decoded from the parquet footers, so data skipping works from the
+    * first scan. Partition columns are discovered from the `col=value`
+    * path layout (order taken from the paths) and typed by Spark's
+    * standard partition inference on the same directory. After convert
+    * the table has the full write surface — append/merge/delete/time
+    * travel — because nothing distinguishes adopted files from written
+    * ones. At 100 TB this is the lake-onboarding path: one footer sweep
+    * instead of a rewrite. */
+  def convert(spark: SparkSession, path: String): Long = {
+    require(latestVersion(path).isEmpty, s"table already exists at $path")
+    val r = root(path)
+    // Spark's reader infers partition columns (typed) and appends them
+    // after the file columns — exactly the schema the log should carry.
+    val schema = spark.read.parquet(path).schema
+    val partitionBy = partitionColsOf(r)
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition path columns $partitionBy missing from inferred schema")
+    val adds = footerAdds(spark, r, r, schema, partitionBy)
+    require(adds.nonEmpty, s"no parquet files under $path to convert")
+    writeCommit(path, 0L, "CONVERT", schema, adds, Nil, None, Map.empty,
+      partitionBy)
+  }
+
+  /** Partition column names present in the Hive layout under `dir`
+    * (empty for a flat directory). */
+  private def partitionColsOf(dir: Path): Seq[String] = {
+    val walk = Files.walk(dir)
+    try {
+      walk.iterator().asScala
+        .find(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString.split('/').dropRight(1)
+          .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+        .getOrElse(Nil)
+    } finally walk.close()
+  }
+
   /** Incremental append sink (dbt incremental `append` / S7). Writes ONLY
     * the batch — existing files are never rewritten (O(batch), the whole
     * point of the file-level log). */
@@ -1482,6 +1523,28 @@ object DeltaLite {
       snap.partitionBy)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
       snap.constraints, snap.partitionBy)
+  }
+
+  /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
+    * Rewrites ONLY the files carrying a deletion vector — their surviving
+    * rows land in fresh files and the DV reference is dropped; every
+    * DV-free file is carried forward untouched. Cost is O(DV'd file
+    * bytes), not O(table). Run it when the DV anti-join tax outweighs the
+    * rewrite (or before [[cloneShallow]], which requires a DV-free
+    * source). No-op (version unchanged) when no file has a DV. */
+  def reorgPurge(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(path)
+    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    if (dvFiles.isEmpty) return snap.version
+    // readFiles applies the DV anti-join and re-attaches partition
+    // columns, so this is exactly the surviving-row view of those files.
+    val survivors = readFiles(spark, path, snap.schema, dvFiles,
+      snap.partitionBy)
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, survivors, snap.schema,
+      snap.partitionBy)
+    commitExclusive(path, v, "REORG", snap.schema, adds,
+      dvFiles.map(_.path), snap.constraints, snap.partitionBy)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set

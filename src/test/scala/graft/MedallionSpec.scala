@@ -292,6 +292,18 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(dry > 0)
     assert(spark.sql(s"VACUUM '$path'").collect()(0).getInt(0) === dry)
     assert(DeltaLite.read(spark, path).count() === 70)
+    // CONVERT TO DELTA adopts a plain parquet dir in place
+    val plain = java.nio.file.Files.createTempDirectory("graft_sqlconv").toString
+    (0L until 20L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(plain)
+    spark.sql(s"CONVERT TO DELTA '$plain'")
+    assert(DeltaLite.read(spark, plain).count() === 20)
+    // REORG APPLY (PURGE) materializes a DV'd soft delete
+    DeltaLite.deleteVectorized(spark, plain, $"k" < 5L)
+    spark.sql(s"REORG '$plain' APPLY (PURGE)")
+    val reorged = DeltaLite.snapshot(plain)
+    assert(reorged.files.forall(_.dv.isEmpty))
+    assert(DeltaLite.read(spark, plain).count() === 15)
     // non-graft SQL still parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import graft.operators.SkewJoin
 import graft.sources.DeltaLite
@@ -283,6 +283,69 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val snap = DeltaLite.snapshot(path)
     assert(snap.partitionBy === Seq("part"))
     assert(snap.files.forall(_.pv.contains("part")))
+  }
+
+  test("DeltaLite CONVERT adopts a partitioned parquet dir in place, files untouched") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_convert").toString
+    val df = (0L until 300L).map(i => (i, s"p${i % 3}", i * 1.0))
+      .toDF("k", "part", "v").repartition(2)
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    val before = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSet
+    DeltaLite.convert(spark, path)
+    // in-place: version 0 references EXACTLY the pre-existing files
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.version === 0L)
+    assert(snap.partitionBy === Seq("part"))
+    assert(snap.files.map(f => Paths.get(path).resolve(f.path).toString).toSet
+      === before)
+    // footer stats arrived with the adoption: k-bound pruning works
+    assert(snap.files.forall(_.stats.contains("k")))
+    // partition pruning works off the converted log
+    val pruned = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("part", Some("p2"), Some("p2"))))
+    assert(pruned.nonEmpty && pruned.forall(_.pv("part") == "p2"))
+    // full read parity with the original frame (partition col re-attached)
+    val back = DeltaLite.read(spark, path)
+    assert(back.count() === 300)
+    assert(back.select("k", "part", "v").exceptAll(df).count() === 0)
+    // the converted table has the full write surface
+    DeltaLite.append(spark, path,
+      (300L until 310L).map(i => (i, s"p${i % 3}", i * 1.0))
+        .toDF("k", "part", "v").coalesce(1))
+    DeltaLite.delete(spark, path, $"k" < 10L)
+    assert(DeltaLite.read(spark, path).count() === 300)
+    // converting twice is an error, not a corruption
+    intercept[IllegalArgumentException] { DeltaLite.convert(spark, path) }
+  }
+
+  test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_reorg").toString
+    // two files with disjoint k ranges so the delete's DV lands on one
+    val lo = (0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1)
+    val hi = (100L until 200L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1)
+    DeltaLite.create(spark, path, lo)
+    DeltaLite.append(spark, path, hi)
+    DeltaLite.deleteVectorized(spark, path, $"k" >= 150L)
+    val withDv = DeltaLite.snapshot(path)
+    val (dvd, clean) = withDv.files.partition(_.dv.nonEmpty)
+    assert(dvd.nonEmpty && clean.nonEmpty, "delete must DV only the hi file")
+    DeltaLite.reorgPurge(spark, path)
+    val after = DeltaLite.snapshot(path)
+    // no DV survives, untouched files are carried forward BY REFERENCE
+    assert(after.files.forall(_.dv.isEmpty))
+    assert(clean.map(_.path).toSet.subsetOf(after.files.map(_.path).toSet))
+    assert(after.files.map(_.path).toSet.intersect(dvd.map(_.path).toSet).isEmpty)
+    // data parity: surviving rows only, physical row counts now honest
+    val rows = DeltaLite.read(spark, path)
+    assert(rows.count() === 150)
+    assert(rows.filter($"k" >= 150L).count() === 0)
+    assert(after.totalRows === 150L)
+    // idempotent: nothing left to purge
+    val v = after.version
+    assert(DeltaLite.reorgPurge(spark, path) === v)
   }
 
   test("DeltaLite shallow clone: zero-copy fork, independent evolution, safe vacuum") {
