@@ -532,6 +532,49 @@ object Llm {
          ORDER BY n DESC NULLS LAST, bigram ASC NULLS LAST
          LIMIT 50""")),
 
+    // ------------------------------------------------------------- L4 (j)
+    // Gopher-style repetition filters: fraction of a document's bigrams
+    // taken by its single most-frequent bigram, and the fraction covered
+    // by ANY repeated bigram — the standard "remove boilerplate /
+    // degenerate repetition" quality gates (the fixtures' docs are
+    // single-line, so the line-dedup variants of these rules have no
+    // signal here; the n-gram variants are the discriminating ones).
+    // Scale shape: explode → per-(doc, bigram) count → per-doc agg is two
+    // partial-agg shuffles keyed on (doc_id, bigram) then doc_id — pure
+    // map-side-combine aggregation, no driver work, no skew (bigram
+    // counts are bounded by doc length). At 100 TB this is one corpus
+    // read + two exchanges of the much smaller count table.
+    QueryDef("l4_repetition", (s, dir) => {
+      val bg = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1]))""")).as("b"))
+      bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          expr("round((CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE))*10000)/10000")
+            .as("top_bigram_frac"),
+          expr("round((CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE))*10000)/10000")
+            .as("dup_bigram_frac"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS b
+           FROM documents WHERE len(string_split(text,' ')) >= 2),
+         c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2)
+         SELECT doc_id,
+                (round((CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE))*10000)/10000)
+                  AS top_bigram_frac,
+                (round((CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(cnt) AS DOUBLE))*10000)/10000)
+                  AS dup_bigram_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L4 (k)
     // Eval-set contamination check — the decontamination pass every
     // LLM training pipeline runs before training: training documents

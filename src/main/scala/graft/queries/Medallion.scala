@@ -706,6 +706,42 @@ object Medallion {
                   (SELECT count(*) FROM dirty o
                    WHERE NOT EXISTS (SELECT 1 FROM customer c
                                      WHERE c.c_custkey = o.o_custkey)))
-         ORDER BY rule ASC NULLS LAST"""))
+         ORDER BY rule ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D2
+    // dbt `source freshness`: per source partition, the newest loaded
+    // record's age against a pinned as-of instant, classified by
+    // warn_after / error_after thresholds — the staleness gate a dbt
+    // project runs before building. One partial+final max() agg over the
+    // source, driver never sees data. (Thresholds sit between the
+    // per-type maxima at sf0.01 so every status value is exercised;
+    // max(trunc) ≡ trunc(max) since date_trunc is monotone.)
+    QueryDef("d2_source_freshness", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(date_trunc("second", max(col("ts"))).as("max_loaded_at"))
+        .withColumn("age_sec", expr(
+          """CAST(unix_timestamp(TIMESTAMP '2024-02-01 00:00:00')
+                  - unix_timestamp(max_loaded_at) AS BIGINT)"""))
+        .withColumn("status",
+          when(col("age_sec") > 88400L, "error")
+            .when(col("age_sec") > 87000L, "warn")
+            .otherwise("pass"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type,
+                date_trunc('second', max(CAST(ts AS TIMESTAMP))) AS max_loaded_at,
+                CAST(epoch(TIMESTAMP '2024-02-01 00:00:00')
+                     - epoch(date_trunc('second', max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+                  AS age_sec,
+                CASE WHEN epoch(TIMESTAMP '2024-02-01 00:00:00')
+                          - epoch(date_trunc('second', max(CAST(ts AS TIMESTAMP)))) > 88400
+                       THEN 'error'
+                     WHEN epoch(TIMESTAMP '2024-02-01 00:00:00')
+                          - epoch(date_trunc('second', max(CAST(ts AS TIMESTAMP)))) > 87000
+                       THEN 'warn'
+                     ELSE 'pass' END AS status
+         FROM events GROUP BY event_type
+         ORDER BY event_type ASC NULLS LAST"""))
   )
 }
