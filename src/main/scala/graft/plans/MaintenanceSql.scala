@@ -22,6 +22,8 @@ import graft.sources.DeltaLite
   *   CLONE '<src>' TO '<dst>'
   *   CONVERT TO DELTA '<path>'
   *   REORG '<path>' APPLY (PURGE)
+  *   ALTER '<path>' RENAME COLUMN old TO new
+  *   ALTER '<path>' DROP COLUMN name
   *
   * Table paths are quoted string literals (a DeltaLite table is a
   * directory, not a catalog entry). Each statement is a
@@ -83,6 +85,22 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.cloneShallow(spark, source, target)))
   }
 
+  final case class RenameColumnCommand(path: String, oldName: String,
+      newName: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.renameColumn(path, oldName, newName)))
+  }
+
+  final case class DropColumnCommand(path: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.dropColumn(path, name)))
+  }
+
   final case class ConvertCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
@@ -133,6 +151,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
   private val ReorgRe =
     """(?is)\s*REORG\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  private val RenameColRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val DropColRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -150,6 +174,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CloneRe(src, dst) => CloneCommand(src, dst)
     case ConvertRe(p) => ConvertCommand(p)
     case ReorgRe(p) => ReorgCommand(p)
+    case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
+    case DropColRe(p, c) => DropColumnCommand(p, c)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -649,6 +649,35 @@ object Medallion {
          FROM lineitem WHERE NOT (l_quantity > 45)
          GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S21
+    // Column mapping (Delta RENAME/DROP COLUMN): both are METADATA-ONLY
+    // commits — no data file is touched at any table size. After the
+    // rename, an append under the NEW logical name lands in files whose
+    // physical column name matches the pre-rename files (the mapping
+    // pins physical names at column birth), so old and new files scan
+    // together; the drop then prunes its column at the scan. The oracle
+    // restates the end state from the raw table.
+    QueryDef("s21_column_mapping", (s, dir) => {
+      val path = tmp("s21_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      DeltaLite.create(s, path, o.filter(col("o_orderkey") % 2 === 0))
+      DeltaLite.renameColumn(path, "o_totalprice", "price")
+      DeltaLite.append(s, path, o.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price"))
+      DeltaLite.dropColumn(path, "o_orderpriority")
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(price))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

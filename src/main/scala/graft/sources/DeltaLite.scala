@@ -73,9 +73,16 @@ object DeltaLite {
   final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil) {
+      partitionBy: Seq[String] = Nil,
+      physical: Map[String, String] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
+    /** Column mapping (Delta column-mapping mode `name`): the PHYSICAL
+      * parquet column backing logical column `c`. Assigned at column
+      * birth and never changed — RENAME remaps logical→physical only, so
+      * files written before and after a rename share physical names and
+      * are never rewritten. Identity for unmapped columns. */
+    def phys(c: String): String = physical.getOrElse(c, c)
   }
 
   /** Inclusive column bound for stats-based file pruning: a file is kept
@@ -231,7 +238,10 @@ object DeltaLite {
       bounds.forall { b =>
         types.get(b.column) match {
           case Some(dt) =>
-            val st: Option[ColStats] = f.stats.get(b.column).orElse(
+            // stats are keyed by PHYSICAL column name (stable across
+            // renames); partition values by logical (= physical for
+            // partition columns, which cannot be renamed)
+            val st: Option[ColStats] = f.stats.get(snap.phys(b.column)).orElse(
               f.pv.get(b.column).flatMap(parsePartitionValue(dt, _))
                 .map(v => ColStats(Some(v), Some(v))))
             val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
@@ -298,28 +308,34 @@ object DeltaLite {
     var schema: StructType = null
     var constraints = Map.empty[String, String]
     var partitionBy: Seq[String] = Nil
+    var physical = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
     ckpt.foreach { cv =>
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
-        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p)
+        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
+        m => physical = m)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
-        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p)
+        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
+        m => physical = m)
     }
     require(schema != null, s"log at $path has no metaData action")
-    Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy)
+    Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
+      physical)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
       live: scala.collection.mutable.LinkedHashMap[String, AddFile],
       txns: scala.collection.mutable.HashMap[String, Long],
       onConstraints: Map[String, String] => Unit,
-      onPartitionBy: Seq[String] => Unit): Unit = {
+      onPartitionBy: Seq[String] => Unit,
+      onPhysical: Map[String, String] => Unit): Unit = {
     var schema: StructType = null
+    var physical = Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
       parseLine(line) match {
         case JObject(fields) => fields.foreach {
@@ -328,18 +344,22 @@ object DeltaLite {
               schema = DataType.fromJson(s).asInstanceOf[StructType]
               onSchema(schema)
             }
-            // Constraints and partition columns ride the SAME metaData
-            // action as the schema: every commit re-states them, so
-            // absence (old logs, or a RESTORE to a pre-constraint
-            // metadata) means "none".
+            // Constraints, partition columns, and the column-mapping
+            // table ride the SAME metaData action as the schema: every
+            // commit re-states them, so absence (old logs, or a RESTORE
+            // to a pre-constraint metadata) means "none".
             onConstraints(m.collectFirst { case ("constraints", JObject(cs)) =>
               cs.collect { case (n, JString(e)) => n -> e }.toMap
             }.getOrElse(Map.empty))
             onPartitionBy(m.collectFirst { case ("partitionBy", JArray(ps)) =>
               ps.collect { case JString(p) => p }
             }.getOrElse(Nil))
+            physical = m.collectFirst { case ("physicalNames", JObject(ms)) =>
+              ms.collect { case (l, JString(p)) => l -> p }.toMap
+            }.getOrElse(Map.empty)
+            onPhysical(physical)
           case ("add", a: JObject) =>
-            val af = decodeAdd(a, schema)
+            val af = decodeAdd(a, schema, physical)
             live(af.path) = af
           case ("remove", JObject(r)) =>
             r.collectFirst { case ("path", JString(p)) => p }.foreach(live.remove)
@@ -356,7 +376,8 @@ object DeltaLite {
     }
   }
 
-  private def decodeAdd(a: JObject, schema: StructType): AddFile = {
+  private def decodeAdd(a: JObject, schema: StructType,
+      physical: Map[String, String] = Map.empty): AddFile = {
     val m = a.obj.toMap
     val p = m.get("path").collect { case JString(s) => s }
       .getOrElse(sys.error("add action without path"))
@@ -364,8 +385,11 @@ object DeltaLite {
       case JLong(l) => l
       case JInt(i) => i.toLong
     }.getOrElse(0L)
+    // stats are keyed by PHYSICAL column name: resolve each key's type
+    // through the logical field it currently backs
     val types = if (schema == null) Map.empty[String, DataType]
-      else schema.fields.map(f => f.name -> f.dataType).toMap
+      else schema.fields.map(f =>
+        physical.getOrElse(f.name, f.name) -> f.dataType).toMap
     val stats = m.get("stats") match {
       case Some(JObject(cols)) =>
         cols.flatMap { case (cn, cv) =>
@@ -406,7 +430,8 @@ object DeltaLite {
     * non-partition columns — the Delta partitioned-table file shape. */
   private def writeData(spark: SparkSession, tableRoot: Path, version: Long,
       df: DataFrame, schema: StructType,
-      partitionBy: Seq[String] = Nil): Seq[AddFile] = {
+      partitionBy: Seq[String],
+      physical: Map[String, String]): Seq[AddFile] = {
     // uuid suffix: data dirs never collide, so concurrent writers only
     // contend at the commit rename (see commit helpers below)
     val dir = tableRoot.resolve(
@@ -421,7 +446,16 @@ object DeltaLite {
     // the fallback lock below serializes EVERY DeltaLite write on the
     // session and that shows up immediately under concurrent benching.
     def doWrite(): Unit = {
-      val w = align(df, schema).write.mode("errorifexists")
+      // data files carry PHYSICAL column names (column mapping): rename
+      // after aligning to the logical schema. Identity when no column
+      // was ever renamed. Partition columns are not renamable, so the
+      // partitionBy dirs keep their (logical = physical) names.
+      val aligned = align(df, schema)
+      val renamed =
+        if (physical.isEmpty) aligned
+        else aligned.select(schema.fields.map(f =>
+          col(f.name).as(physical.getOrElse(f.name, f.name))).toSeq: _*)
+      val w = renamed.write.mode("errorifexists")
       (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
         .parquet(dir.toString)
     }
@@ -442,13 +476,16 @@ object DeltaLite {
         case None    => spark.conf.unset(tsKey)
       }
     }
-    footerAdds(spark, tableRoot, dir, schema, partitionBy)
+    footerAdds(spark, tableRoot, dir, schema, partitionBy, physical)
   }
 
   /** One AddFile per parquet part under `dir`, with rows + per-column
-    * min/max decoded from the files' own footers (no Spark job). */
+    * min/max decoded from the files' own footers (no Spark job). Stats
+    * are keyed by PHYSICAL column name — the name actually in the
+    * footer, stable across renames. */
   private def footerAdds(spark: SparkSession, tableRoot: Path, dir: Path,
-      schema: StructType, partitionBy: Seq[String]): Seq[AddFile] = {
+      schema: StructType, partitionBy: Seq[String],
+      physical: Map[String, String]): Seq[AddFile] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statFields = schema.fields
       .filter(f => statEligible(f.dataType) && !partitionBy.contains(f.name))
@@ -470,8 +507,9 @@ object DeltaLite {
         val byName = blocks.flatMap(_.getColumns.asScala)
           .groupBy(_.getPath.toDotString)
         val stats = statFields.flatMap { f =>
-          footerColStats(f.dataType, byName.getOrElse(f.name, Nil))
-            .map(f.name -> _)
+          val pn = physical.getOrElse(f.name, f.name)
+          footerColStats(f.dataType, byName.getOrElse(pn, Nil))
+            .map(pn -> _)
         }.toMap
         AddFile(rel, rows, stats, None, pv)
       } finally reader.close()
@@ -640,13 +678,19 @@ object DeltaLite {
     }
   }
 
-  private def encodeAdd(f: AddFile, schema: StructType): JValue = {
-    val types = schema.fields.map(x => x.name -> x.dataType).toMap
-    val stats = JObject(f.stats.toList.sortBy(_._1).map { case (cn, cs) =>
-      val dt = types(cn)
-      cn -> JObject(List(
-        "min" -> cs.min.flatMap(encodeStat(dt, _)).getOrElse(JNull),
-        "max" -> cs.max.flatMap(encodeStat(dt, _)).getOrElse(JNull)))
+  private def encodeAdd(f: AddFile, schema: StructType,
+      physical: Map[String, String] = Map.empty): JValue = {
+    // stats keys are PHYSICAL column names; a key with no live logical
+    // column (its column was dropped) is re-encoded without type info
+    // being available, so it is omitted — pruning never reads it again.
+    val types = schema.fields.map(x =>
+      physical.getOrElse(x.name, x.name) -> x.dataType).toMap
+    val stats = JObject(f.stats.toList.sortBy(_._1).flatMap { case (cn, cs) =>
+      types.get(cn).map { dt =>
+        cn -> JObject(List(
+          "min" -> cs.min.flatMap(encodeStat(dt, _)).getOrElse(JNull),
+          "max" -> cs.max.flatMap(encodeStat(dt, _)).getOrElse(JNull)))
+      }
     })
     JObject(List("add" -> JObject(List(
       "path" -> JString(f.path), "rows" -> JLong(f.rows),
@@ -661,17 +705,22 @@ object DeltaLite {
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       txn: Option[(String, Long)],
       constraints: Map[String, String],
-      partitionBy: Seq[String]): Long = {
-    // `constraints`/`partitionBy` have NO default on purpose: metaData is
-    // re-stated on every commit, so a call site that forgot to carry the
-    // snapshot's values forward would silently DROP them from the table.
+      partitionBy: Seq[String],
+      physical: Map[String, String]): Long = {
+    // `constraints`/`partitionBy`/`physical` have NO default on purpose:
+    // metaData is re-stated on every commit, so a call site that forgot
+    // to carry the snapshot's values forward would silently DROP them
+    // from the table.
     Files.createDirectories(logDir(path))
     val metaFields = List("schema" -> JString(schema.json)) ++
       (if (partitionBy.isEmpty) Nil
        else List("partitionBy" -> JArray(partitionBy.toList.map(JString(_))))) ++
       (if (constraints.isEmpty) Nil
        else List("constraints" -> JObject(
-         constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
+         constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) }))) ++
+      (if (physical.isEmpty) Nil
+       else List("physicalNames" -> JObject(
+         physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) })))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
@@ -681,7 +730,7 @@ object DeltaLite {
         JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) }.toSeq ++
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
-      adds.map(f => JsonMethods.compact(encodeAdd(f, schema)))
+      adds.map(f => JsonMethods.compact(encodeAdd(f, schema, physical)))
     // Unique temp per writer, then an atomic hard link to the final name:
     // link(2) fails with FileAlreadyExistsException when the version is
     // already taken, so exactly ONE racing writer wins and no winner's
@@ -711,13 +760,16 @@ object DeltaLite {
        else List("partitionBy" -> JArray(snap.partitionBy.toList.map(JString(_))))) ++
       (if (snap.constraints.isEmpty) Nil
        else List("constraints" -> JObject(
-         snap.constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) })))
+         snap.constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) }))) ++
+      (if (snap.physical.isEmpty) Nil
+       else List("physicalNames" -> JObject(
+         snap.physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) })))
     val lines =
       (JsonMethods.compact(JObject(List("metaData" -> JObject(ckptMeta)))) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         JsonMethods.compact(JObject(List("txn" -> JObject(List(
           "app" -> JString(app), "version" -> JLong(ver)))))) }) ++
-      snap.files.map(f => JsonMethods.compact(encodeAdd(f, snap.schema)))
+      snap.files.map(f => JsonMethods.compact(encodeAdd(f, snap.schema, snap.physical)))
     val tmp = logDir(path).resolve(
       s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
@@ -751,7 +803,7 @@ object DeltaLite {
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
-        snap.constraints, snap.partitionBy)
+        snap.constraints, snap.partitionBy, snap.physical)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -766,9 +818,10 @@ object DeltaLite {
     * to re-run against the new snapshot. */
   private def commitExclusive(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
-      constraints: Map[String, String], partitionBy: Seq[String]): Long =
+      constraints: Map[String, String], partitionBy: Seq[String],
+      physical: Map[String, String]): Long =
     try writeCommit(path, version, op, schema, adds, removes, None, constraints,
-      partitionBy)
+      partitionBy, physical)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -784,7 +837,7 @@ object DeltaLite {
     * added columns). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy)
+    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
   }
 
   /** Stats-pruned scan: like [[read]] but skips files whose min/max prove
@@ -795,7 +848,7 @@ object DeltaLite {
   def scan(spark: SparkSession, path: String, bounds: Seq[ColumnBound],
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds), snap.partitionBy)
+    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds), snap.partitionBy, snap.physical)
   }
 
   /** Balanced unionByName: keeps the plan O(log n) deep for n scan
@@ -812,33 +865,43 @@ object DeltaLite {
   }
 
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
-      files: Seq[AddFile], partitionBy: Seq[String]): DataFrame =
+      files: Seq[AddFile], partitionBy: Seq[String],
+      physical: Map[String, String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (files.forall(_.dv.isEmpty)) {
       val r = root(path)
-      if (partitionBy.isEmpty)
-        spark.read.schema(schema).parquet(files.map(f => r.resolve(f.path).toString): _*)
-      else {
+      def phys(n: String) = physical.getOrElse(n, n)
+      if (partitionBy.isEmpty) {
+        // data files carry PHYSICAL names; read them and alias back to
+        // the logical schema (identity projection when never renamed —
+        // filters push through aliases, so pruning/pushdown unaffected)
+        val physSchema = StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+        val base = spark.read.schema(physSchema)
+          .parquet(files.map(f => r.resolve(f.path).toString): _*)
+        if (physical.isEmpty) base
+        else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
+      } else {
         // Hive-layout table: data files carry only the non-partition
         // columns; partition columns re-attach as per-group literals from
         // the LOG's partition values (no directory listing or inference —
         // the log is the source of truth). One scan branch per live
         // partition value; plan-literal partition columns constant-fold,
         // so a filter on them also prunes branches Catalyst-side.
-        val dataSchema = StructType(
-          schema.fields.filterNot(f => partitionBy.contains(f.name)))
+        val dataFields = schema.fields.filterNot(f => partitionBy.contains(f.name))
+        val dataSchema = StructType(dataFields.map(f => f.copy(name = phys(f.name))))
         unionTree(files.groupBy(_.pv).toSeq
           .sortBy(_._1.toList.sortBy(_._1).mkString(","))
           .map { case (pv, group) =>
             val base = spark.read.schema(dataSchema)
               .parquet(group.map(f => r.resolve(f.path).toString): _*)
+              .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)
           })
       }
     } else
-      readFilesWithPos(spark, path, schema, files, partitionBy)
+      readFilesWithPos(spark, path, schema, files, partitionBy, physical)
         .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Partition columns as typed literals from the logged string values
@@ -859,14 +922,17 @@ object DeltaLite {
     * that both the DV read path and DV creation share. */
   private def readFilesWithPos(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile],
-      partitionBy: Seq[String]): DataFrame = {
+      partitionBy: Seq[String],
+      physical: Map[String, String]): DataFrame = {
     val r = root(path)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(schema.fields ++ Seq(StructField("path", StringType),
           StructField("row_index", LongType))))
+    def phys(n: String) = physical.getOrElse(n, n)
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partitionBy.contains(f.name)))
+      schema.fields.filterNot(f => partitionBy.contains(f.name))
+        .map(f => f.copy(name = phys(f.name))))
     // The `path` column must reproduce each file's LOG KEY (AddFile.path)
     // so DV anti-joins and touched-file detection match: table-relative
     // for files under the root, absolute for by-reference files from a
@@ -881,7 +947,10 @@ object DeltaLite {
             .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
             .withColumn("row_index", col("_metadata.row_index")),
           schema, partitionBy, pv)
-          .select((schema.fieldNames.toSeq ++ Seq("path", "row_index")).map(col): _*))
+          // physical→logical rename happens in this final projection
+          // (partition cols and path/row_index are already logical)
+          .select(schema.fieldNames.map(n => col(phys(n)).as(n)).toSeq ++
+            Seq(col("path"), col("row_index")): _*))
       unionTree(Seq(
         scanShape(rel, s"file:$r/".length + 1), // substring is 1-based
         scanShape(abs, "file:".length + 1)).flatten)
@@ -920,14 +989,14 @@ object DeltaLite {
     val r = root(path)
     val hit = coalesce(cond, lit(false))
     val matches = readFilesWithPos(spark, path, snap.schema, snap.files,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
       .filter(hit)
       .select("path", "row_index")
     val touched = matches.select("path").distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
-        None, snap.constraints, snap.partitionBy)
+        None, snap.constraints, snap.partitionBy, snap.physical)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -942,7 +1011,7 @@ object DeltaLite {
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
-      readds, touched, snap.constraints, snap.partitionBy)
+      readds, touched, snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -1037,7 +1106,7 @@ object DeltaLite {
     val toSnap = snapshot(path, Some(to))
     from match {
       case None =>
-        readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy)
+        readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy, toSnap.physical)
       case Some(f) =>
         val fromSnap = snapshot(path, Some(f))
         val toPaths = toSnap.files.map(_.path).toSet
@@ -1050,7 +1119,7 @@ object DeltaLite {
         val fromPaths = fromSnap.files.map(_.path).toSet
         readFiles(spark, path, toSnap.schema,
           toSnap.files.filterNot(x => fromPaths.contains(x.path)),
-          toSnap.partitionBy)
+          toSnap.partitionBy, toSnap.physical)
     }
   }
 
@@ -1069,8 +1138,10 @@ object DeltaLite {
     require(partitionBy.forall(df.columns.contains),
       s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
     val schema = df.schema
-    val adds = writeData(spark, root(path), 0L, df, schema, partitionBy)
-    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty, partitionBy)
+    val adds = writeData(spark, root(path), 0L, df, schema, partitionBy,
+      Map.empty)
+    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty,
+      partitionBy, Map.empty)
   }
 
   /** Delta `CONVERT TO DELTA parquet.\`path\``: adopt an EXISTING parquet
@@ -1094,10 +1165,10 @@ object DeltaLite {
     val partitionBy = partitionColsOf(r)
     require(partitionBy.forall(schema.fieldNames.contains),
       s"partition path columns $partitionBy missing from inferred schema")
-    val adds = footerAdds(spark, r, r, schema, partitionBy)
+    val adds = footerAdds(spark, r, r, schema, partitionBy, Map.empty)
     require(adds.nonEmpty, s"no parquet files under $path to convert")
     writeCommit(path, 0L, "CONVERT", schema, adds, Nil, None, Map.empty,
-      partitionBy)
+      partitionBy, Map.empty)
   }
 
   /** Partition column names present in the Hive layout under `dir`
@@ -1122,7 +1193,7 @@ object DeltaLite {
     checkWriteSchema(df.schema, snap.schema, "APPEND")
     checkConstraints(df, snap.schema, snap.constraints, "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds)
   }
 
@@ -1141,7 +1212,7 @@ object DeltaLite {
     checkWriteSchema(df.schema, snap.schema, "APPEND")
     checkConstraints(df, snap.schema, snap.constraints, "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds,
       txn = Some((app, txnVersion)))
   }
@@ -1153,11 +1224,18 @@ object DeltaLite {
     val snap = snapshot(path)
     checkWriteSchema(df.schema, snap.schema, "APPEND_EVOLVE", allowNew = true)
     val known = snap.schema.fieldNames.toSet
+    // a NEW column's physical name is its logical name — it must not
+    // collide with the physical name backing a RENAMED existing column
+    val physNames = snap.schema.fieldNames.map(snap.phys).toSet
+    df.schema.fields.filterNot(f => known.contains(f.name)).foreach { f =>
+      require(!physNames.contains(f.name),
+        s"new column '${f.name}' collides with the physical name of a renamed column")
+    }
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
     checkConstraints(df, evolved, snap.constraints, "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, df, evolved,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
   }
 
@@ -1178,7 +1256,68 @@ object DeltaLite {
     require(bad == 0L,
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
     commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy)
+      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical)
+  }
+
+  /** Delta `ALTER TABLE ... RENAME COLUMN old TO new` (column-mapping
+    * mode `name`): METADATA-ONLY — zero data files touched at any table
+    * size. The logical schema renames the field; the column-mapping
+    * table records that the new logical name is still backed by the
+    * column's original PHYSICAL parquet name, so files written before
+    * and after the rename interoperate, and time travel to a pre-rename
+    * version sees the old name. Partition columns and columns referenced
+    * by a CHECK constraint are not renamable (Delta requires re-stating
+    * the constraint; we reject, which is strictly safer). */
+  def renameColumn(path: String, oldName: String, newName: String): Long = {
+    val snap = snapshot(path)
+    require(snap.schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${snap.schema.fieldNames.toSeq}")
+    require(!snap.schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    require(!snap.partitionBy.contains(oldName),
+      s"cannot rename partition column '$oldName'")
+    // the new logical name must not shadow any live PHYSICAL name of
+    // ANOTHER column, or stats keys / data columns would collide
+    val otherPhys = snap.schema.fieldNames.filterNot(_ == oldName)
+      .map(snap.phys).toSet
+    require(!otherPhys.contains(newName),
+      s"'$newName' collides with an existing physical column name")
+    require(!constraintMentions(snap.constraints, oldName),
+      s"cannot rename '$oldName': referenced by a CHECK constraint")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newPhysical = (snap.physical - oldName) + (newName -> snap.phys(oldName))
+    commitExclusive(path, snap.version + 1, "RENAME_COLUMN", newSchema,
+      Nil, Nil, snap.constraints, snap.partitionBy, newPhysical)
+  }
+
+  /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):
+    * METADATA-ONLY — the field leaves the logical schema, the physical
+    * data stays in place and is simply never read again (reads select
+    * only mapped physical columns, so pruning drops it at the scan).
+    * Time travel to a pre-drop version still sees the column. */
+  def dropColumn(path: String, name: String): Long = {
+    val snap = snapshot(path)
+    require(snap.schema.fieldNames.contains(name),
+      s"no column '$name' in ${snap.schema.fieldNames.toSeq}")
+    require(!snap.partitionBy.contains(name),
+      s"cannot drop partition column '$name'")
+    require(snap.schema.fields.length > 1, "cannot drop the only column")
+    require(!constraintMentions(snap.constraints, name),
+      s"cannot drop '$name': referenced by a CHECK constraint")
+    val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    commitExclusive(path, snap.version + 1, "DROP_COLUMN", newSchema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name)
+  }
+
+  /** Conservative word-boundary test: does any CHECK expression mention
+    * column `name`? (May over-match a same-named identifier in a string
+    * literal — rejecting too much is safe, silently breaking a
+    * constraint is not.) */
+  private def constraintMentions(constraints: Map[String, String],
+      name: String): Boolean = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    constraints.values.exists(e => re.findFirstIn(e).isDefined)
   }
 
   /** Delta `ALTER TABLE ... DROP CONSTRAINT name`. */
@@ -1186,7 +1325,7 @@ object DeltaLite {
     val snap = snapshot(path)
     require(snap.constraints.contains(name), s"no constraint '$name' on $path")
     commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints - name, snap.partitionBy)
+      Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -1204,9 +1343,9 @@ object DeltaLite {
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
@@ -1231,15 +1370,15 @@ object DeltaLite {
     val (touched, touchedRows) =
       if (hasBySource)
         (snap.files.map(_.path),
-          readFiles(spark, path, snap.schema, snap.files, snap.partitionBy))
+          readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical))
       else filesHoldingKeys(spark, path, snap, source, keys)
     val merged = graft.operators.Merge.merge(touchedRows, source, keys, clauses)
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -1261,9 +1400,9 @@ object DeltaLite {
       "DELETE_INSERT")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -1288,7 +1427,7 @@ object DeltaLite {
     val adds = snap.files.map(f =>
       f.copy(path = srcRoot.resolve(f.path).toString))
     writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -1305,7 +1444,7 @@ object DeltaLite {
     val readds = old.files.filterNot(f => curPaths.contains(f.path))
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
-      old.constraints, old.partitionBy)
+      old.constraints, old.partitionBy, old.physical)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -1327,7 +1466,7 @@ object DeltaLite {
       if (candidates.isEmpty) Nil
       else {
         val cand = readFilesWithPos(spark, path, snap.schema, candidates,
-          snap.partitionBy)
+          snap.partitionBy, snap.physical)
         cand.select(col("path").as("__fp") +: keys.map(cand.col): _*)
           .join(keyed.select(keys.map(keyed.col): _*).distinct(), keys, "left_semi")
           .select("__fp").distinct().collect()
@@ -1336,7 +1475,7 @@ object DeltaLite {
       }
     val touchedSet = touched.toSet
     (touched, readFiles(spark, path, snap.schema,
-      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy))
+      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy, snap.physical))
   }
 
   /** Delta `DELETE FROM ... WHERE cond`: rewrites ONLY files containing a
@@ -1351,9 +1490,9 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy)
+        snap.partitionBy, snap.physical)
     commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -1372,9 +1511,9 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy)
+        snap.partitionBy, snap.physical)
     commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -1396,9 +1535,9 @@ object DeltaLite {
       "REPLACE_WHERE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -1407,14 +1546,14 @@ object DeltaLite {
       hit: Column): (Seq[String], DataFrame) = {
     val touched =
       if (snap.files.isEmpty) Nil
-      else readFilesWithPos(spark, path, snap.schema, snap.files, snap.partitionBy)
+      else readFilesWithPos(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
         .select(col("path").as("__fp"), hit.as("__hit"))
         .filter(col("__hit")).select("__fp").distinct().collect()
         .map(_.getString(0))
         .toSeq
     val touchedSet = touched.toSet
     (touched, readFiles(spark, path, snap.schema,
-      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy))
+      snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy, snap.physical))
   }
 
   /** Delta `OPTIMIZE` analogue: small-file compaction — rewrite the
@@ -1428,11 +1567,11 @@ object DeltaLite {
     val snap = snapshot(path)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v,
-      readFiles(spark, path, snap.schema, snap.files, snap.partitionBy)
+      readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
         .repartition(numFiles),
-      snap.schema, snap.partitionBy)
+      snap.schema, snap.partitionBy, snap.physical)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -1457,9 +1596,9 @@ object DeltaLite {
     // read through the LATER schema so evolved columns align (nulls for
     // rows from pre-evolution files)
     val removedRows = readFiles(spark, path, to.schema,
-      from.files.filterNot(f => toKeys.contains((f.path, f.dv))), to.partitionBy)
+      from.files.filterNot(f => toKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
     val addedRows = readFiles(spark, path, to.schema,
-      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))), to.partitionBy)
+      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
@@ -1496,13 +1635,13 @@ object DeltaLite {
       }
     }
     if (victims.length <= 1) return snap.version
-    val packed = readFiles(spark, path, snap.schema, victims, snap.partitionBy)
+    val packed = readFiles(spark, path, snap.schema, victims, snap.partitionBy, snap.physical)
       .repartition(numFiles)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
-      victims.map(_.path), snap.constraints, snap.partitionBy)
+      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
@@ -1516,13 +1655,13 @@ object DeltaLite {
     val snap = snapshot(path)
     val small = snap.files.filter(_.rows < minRows)
     if (small.length <= 1) return snap.version
-    val packed = readFiles(spark, path, snap.schema, small, snap.partitionBy)
+    val packed = readFiles(spark, path, snap.schema, small, snap.partitionBy, snap.physical)
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
@@ -1539,12 +1678,12 @@ object DeltaLite {
     // readFiles applies the DV anti-join and re-attaches partition
     // columns, so this is exactly the surviving-row view of those files.
     val survivors = readFiles(spark, path, snap.schema, dvFiles,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "REORG", snap.schema, adds,
-      dvFiles.map(_.path), snap.constraints, snap.partitionBy)
+      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -1559,14 +1698,14 @@ object DeltaLite {
     require(cols.nonEmpty, "clustering columns required")
     val snap = snapshot(path)
     val rewritten = readFiles(spark, path, snap.schema, snap.files,
-        snap.partitionBy)
+        snap.partitionBy, snap.physical)
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -1580,7 +1719,7 @@ object DeltaLite {
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
     val rewritten = readFiles(spark, path, snap.schema, snap.files,
-        snap.partitionBy)
+        snap.partitionBy, snap.physical)
       .withColumn("__z", call_function("interleave_bits",
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))
@@ -1588,9 +1727,9 @@ object DeltaLite {
       .drop("__z")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy)
+      snap.partitionBy, snap.physical)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy)
+      snap.constraints, snap.partitionBy, snap.physical)
   }
 
   /** `DESCRIBE DETAIL` analogue: one-row table summary from the log

@@ -304,6 +304,11 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     val reorged = DeltaLite.snapshot(plain)
     assert(reorged.files.forall(_.dv.isEmpty))
     assert(DeltaLite.read(spark, plain).count() === 15)
+    // ALTER RENAME/DROP COLUMN: metadata-only column mapping
+    spark.sql(s"ALTER '$plain' RENAME COLUMN v TO w")
+    assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k", "w"))
+    spark.sql(s"ALTER '$plain' DROP COLUMN w")
+    assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k"))
     // non-graft SQL still parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }

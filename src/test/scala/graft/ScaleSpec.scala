@@ -320,6 +320,64 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException] { DeltaLite.convert(spark, path) }
   }
 
+  test("DeltaLite column mapping: RENAME/DROP COLUMN are metadata-only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_colmap").toString
+    val df = (0L until 100L).map(i => (i, i * 1.0, s"s$i"))
+      .toDF("k", "v", "s").coalesce(1)
+    DeltaLite.create(spark, path, df)                                   // v0
+    val filesBefore = DeltaLite.snapshot(path).files.map(_.path).toSet
+    DeltaLite.renameColumn(path, "v", "amount")                         // v1
+    // metadata-only: identical file set, new logical name, old physical
+    val snap1 = DeltaLite.snapshot(path)
+    assert(snap1.files.map(_.path).toSet === filesBefore)
+    assert(snap1.schema.fieldNames.toSeq === Seq("k", "amount", "s"))
+    assert(snap1.phys("amount") === "v")
+    val r1 = DeltaLite.read(spark, path)
+    assert(r1.columns.toSeq === Seq("k", "amount", "s"))
+    assert(r1.agg(sum($"amount")).collect()(0).getDouble(0) === 4950.0)
+    // stats pruning still works through the rename (physical-keyed stats)
+    assert(DeltaLite.pruneFiles(snap1,
+      Seq(DeltaLite.ColumnBound("amount", Some(1000.0), None))).isEmpty)
+    // appends + DML after the rename share physical names with old files
+    DeltaLite.append(spark, path,                                       // v2
+      (100L until 120L).map(i => (i, i * 1.0, s"s$i"))
+        .toDF("k", "amount", "s").coalesce(1))
+    assert(DeltaLite.read(spark, path).count() === 120)
+    DeltaLite.delete(spark, path, $"amount" >= 110.0)                   // v3
+    assert(DeltaLite.read(spark, path).count() === 110)
+    // time travel to a pre-rename version sees the old name
+    assert(DeltaLite.read(spark, path, asOf = Some(0L)).columns.toSeq
+      === Seq("k", "v", "s"))
+    // a second rename keeps the ORIGINAL physical name
+    DeltaLite.renameColumn(path, "amount", "price")                     // v4
+    assert(DeltaLite.snapshot(path).phys("price") === "v")
+    // DROP COLUMN: metadata-only, data files untouched
+    val beforeDrop = DeltaLite.snapshot(path).files.map(_.path).toSet
+    DeltaLite.dropColumn(path, "s")                                     // v5
+    val snapD = DeltaLite.snapshot(path)
+    assert(snapD.files.map(_.path).toSet === beforeDrop)
+    assert(DeltaLite.read(spark, path).columns.toSeq === Seq("k", "price"))
+    // guards: evolve-collision with a live physical name, rename onto an
+    // existing logical name
+    intercept[IllegalArgumentException] {
+      DeltaLite.appendEvolve(spark, path,
+        Seq((999L, 1.0, "x")).toDF("k", "price", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(path, "k", "price")
+    }
+    // the mapping survives a checkpoint (v10 writes checkpoint-10.json)
+    (0 until 5).foreach { i =>                                          // v6..v10
+      DeltaLite.append(spark, path,
+        Seq((200L + i, 1.0)).toDF("k", "price").coalesce(1))
+    }
+    assert(DeltaLite.snapshot(path).version === 10L)
+    assert(DeltaLite.snapshot(path).phys("price") === "v")
+    assert(DeltaLite.read(spark, path)
+      .agg(sum($"price")).collect()(0).getDouble(0) === 6000.0)
+  }
+
   test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_reorg").toString
