@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** DeltaLite as a REGISTERED Spark data source:
   *
@@ -53,7 +53,12 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
-    (shortName(), DeltaLite.snapshot(path).schema)
+    val base = DeltaLite.snapshot(path).schema
+    val s =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        GraftDeltaStreamSource.cdfSchema(base)
+      else base
+    (shortName(), s)
   }
 
   /** Streaming source: `spark.readStream.format("graft-delta").load(path)`.
@@ -71,7 +76,8 @@ class GraftDeltaSource extends RelationProvider
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
     new GraftDeltaStreamSource(ctx.sparkSession, path,
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   /** Streaming sink: `events.writeStream.format("graft-delta")
@@ -211,15 +217,24 @@ object GraftDeltaSource {
 
 /** Version-offset streaming source over a DeltaLite table (see
   * [[GraftDeltaSource.createSource]]). The schema pins at stream start;
-  * offsets round-trip through the checkpoint as plain version longs. */
+  * offsets round-trip through the checkpoint as plain version longs.
+  *
+  * With `readChangeFeed` (Delta's streaming CDF read) each micro-batch
+  * delivers the PER-COMMIT row-level changes of the versions it spans —
+  * `_change_type` insert/delete plus `_commit_version` — computed from
+  * only the files each commit touched ([[DeltaLite.changes]]); version 0
+  * arrives as the initial contents tagged insert. A schema change
+  * mid-stream fails the union, i.e. the stream — Delta's CDF contract
+  * (restart to pick up the new schema). */
 final class GraftDeltaStreamSource(spark: SparkSession, path: String,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, cdf: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private val tableSchema: StructType = DeltaLite.snapshot(path).schema
 
-  override def schema: StructType = tableSchema
+  override def schema: StructType =
+    if (cdf) GraftDeltaStreamSource.cdfSchema(tableSchema) else tableSchema
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     DeltaLite.latestVersion(path).map(LongOffset(_))
@@ -235,12 +250,37 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
       end: org.apache.spark.sql.execution.streaming.Offset)
       : org.apache.spark.sql.DataFrame = {
     // getBatch must return a STREAMING-tagged frame — see StreamingFrame.
-    org.apache.spark.sql.graft.StreamingFrame.tag(
-      DeltaLite.readVersionAppends(spark, path,
-        start.map(version), version(end), allowRewrites = ignoreChanges))
+    if (!cdf)
+      org.apache.spark.sql.graft.StreamingFrame.tag(
+        DeltaLite.readVersionAppends(spark, path,
+          start.map(version), version(end), allowRewrites = ignoreChanges))
+    else {
+      val from = start.map(version(_) + 1).getOrElse(0L)
+      val to = version(end)
+      org.apache.spark.sql.graft.StreamingFrame.tag(
+        (from to to).map(changesAt).reduce(_ unionByName _))
+    }
+  }
+
+  /** Row-level changes committed by exactly version `v`. */
+  private def changesAt(v: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val base =
+      if (v == 0L) DeltaLite.read(spark, path, asOf = Some(0L))
+        .withColumn("_change_type", lit("insert"))
+      else DeltaLite.changes(spark, path, v - 1, v)
+    base.withColumn("_commit_version", lit(v))
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftDeltaStreamSource {
+  /** The streaming CDF schema: table columns + change metadata. */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 }
 
 final case class GraftDeltaRelation(spark: SparkSession, path: String,

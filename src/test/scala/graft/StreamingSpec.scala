@@ -226,6 +226,47 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("graft-delta source with readChangeFeed streams per-commit row changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_cdf")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", true).load(table)
+      .writeStream.format("memory").queryName("fmt_cdf")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // v0 arrives as the initial contents tagged insert
+      assert(spark.sql(
+        "SELECT k FROM fmt_cdf WHERE _change_type = 'insert' AND _commit_version = 0")
+        .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      // an UPDATE-shaped merge yields the pre-image delete + post-image
+      // insert at its commit version
+      graft.sources.DeltaLite.merge(spark, table,
+        Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+      q.processAllAvailable()
+      val v1 = spark.sql(
+        "SELECT _change_type, s FROM fmt_cdf WHERE _commit_version = 1")
+        .as[(String, String)].collect().sorted.toSeq
+      assert(v1 === Seq(("delete", "a"), ("insert", "A")))
+      // a DELETE yields exactly the removed row
+      graft.sources.DeltaLite.delete(spark, table, $"k" === 2L)
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT _change_type, s FROM fmt_cdf WHERE _commit_version = 2")
+        .as[(String, String)].collect().toSeq === Seq(("delete", "b")))
+      // an append is inserts only
+      graft.sources.DeltaLite.append(spark, table, Seq((3L, "c")).toDF("k", "s"))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT _change_type, k FROM fmt_cdf WHERE _commit_version = 3")
+        .as[(String, Long)].collect().toSeq === Seq(("insert", 3L)))
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft-delta) lands exactly-once commits via the registered sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
