@@ -678,6 +678,40 @@ object Medallion {
          FROM orders GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S22
+    // Generated columns (Delta GENERATED ALWAYS AS): the table derives
+    // o_year = year(o_orderdate) at write time — the batch never carries
+    // it — and partitions by it. The read then bounds ONLY the base
+    // o_orderdate column: scan() maps the bound through the monotone
+    // year() shape onto the generated partition column and prunes whole
+    // partitions from the commit log before any file I/O. At 100 TB this
+    // is the canonical event-table layout: writers think in timestamps,
+    // the layout thinks in days/years, and neither repeats the other's
+    // predicate. File-count assert lives in ScaleSpec.
+    QueryDef("s22_generated_cols", (s, dir) => {
+      val path = tmp("s22_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      DeltaLite.create(s, path, o, partitionBy = Seq("o_year"),
+        generated = Map("o_year" -> "year(o_orderdate)"))
+      val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-12-31 23:59:59")
+      DeltaLite.scan(s, path,
+          Seq(DeltaLite.ColumnBound("o_orderdate", Some(lo), Some(hi))))
+        .filter(col("o_orderdate").between(lit(lo), lit(hi)))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_year").asc_nulls_last)
+    }, Some(
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 23:59:59'
+         GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

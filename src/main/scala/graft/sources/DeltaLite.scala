@@ -74,7 +74,8 @@ object DeltaLite {
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil,
-      physical: Map[String, String] = Map.empty) {
+      physical: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
     /** Column mapping (Delta column-mapping mode `name`): the PHYSICAL
@@ -309,6 +310,7 @@ object DeltaLite {
     var constraints = Map.empty[String, String]
     var partitionBy: Seq[String] = Nil
     var physical = Map.empty[String, String]
+    var generated = Map.empty[String, String]
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
@@ -316,16 +318,16 @@ object DeltaLite {
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m)
+        m => physical = m, g => generated = g)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m)
+        m => physical = m, g => generated = g)
     }
     require(schema != null, s"log at $path has no metaData action")
     Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
-      physical)
+      physical, generated)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
@@ -333,7 +335,8 @@ object DeltaLite {
       txns: scala.collection.mutable.HashMap[String, Long],
       onConstraints: Map[String, String] => Unit,
       onPartitionBy: Seq[String] => Unit,
-      onPhysical: Map[String, String] => Unit): Unit = {
+      onPhysical: Map[String, String] => Unit,
+      onGenerated: Map[String, String] => Unit): Unit = {
     var schema: StructType = null
     var physical = Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
@@ -358,6 +361,9 @@ object DeltaLite {
               ms.collect { case (l, JString(p)) => l -> p }.toMap
             }.getOrElse(Map.empty)
             onPhysical(physical)
+            onGenerated(m.collectFirst { case ("generatedColumns", JObject(gs)) =>
+              gs.collect { case (c, JString(e)) => c -> e }.toMap
+            }.getOrElse(Map.empty))
           case ("add", a: JObject) =>
             val af = decodeAdd(a, schema, physical)
             live(af.path) = af
@@ -431,7 +437,8 @@ object DeltaLite {
   private def writeData(spark: SparkSession, tableRoot: Path, version: Long,
       df: DataFrame, schema: StructType,
       partitionBy: Seq[String],
-      physical: Map[String, String]): Seq[AddFile] = {
+      physical: Map[String, String],
+      generated: Map[String, String]): Seq[AddFile] = {
     // uuid suffix: data dirs never collide, so concurrent writers only
     // contend at the commit rename (see commit helpers below)
     val dir = tableRoot.resolve(
@@ -450,7 +457,23 @@ object DeltaLite {
       // after aligning to the logical schema. Identity when no column
       // was ever renamed. Partition columns are not renamable, so the
       // partitionBy dirs keep their (logical = physical) names.
-      val aligned = align(df, schema)
+      // Generated columns are RECOMPUTED from their expressions on every
+      // write (Delta `GENERATED ALWAYS AS`): rewrite paths (merge/update/
+      // compact) stay consistent by construction — the recompute is one
+      // extra expression in the same write projection, never a pass —
+      // and an appended batch may simply omit them. Explicit wrong
+      // values are rejected earlier (generatedChecks) in the append
+      // family, like Delta.
+      val gened =
+        if (generated.isEmpty) df
+        else {
+          val base = df.columns.filterNot(generated.contains)
+          df.select(base.map(df.col).toSeq ++ schema.fields.toSeq.collect {
+            case f if generated.contains(f.name) =>
+              expr(generated(f.name)).cast(f.dataType).as(f.name)
+          }: _*)
+        }
+      val aligned = align(gened, schema)
       val renamed =
         if (physical.isEmpty) aligned
         else aligned.select(schema.fields.map(f =>
@@ -706,11 +729,12 @@ object DeltaLite {
       txn: Option[(String, Long)],
       constraints: Map[String, String],
       partitionBy: Seq[String],
-      physical: Map[String, String]): Long = {
-    // `constraints`/`partitionBy`/`physical` have NO default on purpose:
-    // metaData is re-stated on every commit, so a call site that forgot
-    // to carry the snapshot's values forward would silently DROP them
-    // from the table.
+      physical: Map[String, String],
+      generated: Map[String, String]): Long = {
+    // `constraints`/`partitionBy`/`physical`/`generated` have NO default
+    // on purpose: metaData is re-stated on every commit, so a call site
+    // that forgot to carry the snapshot's values forward would silently
+    // DROP them from the table.
     Files.createDirectories(logDir(path))
     val metaFields = List("schema" -> JString(schema.json)) ++
       (if (partitionBy.isEmpty) Nil
@@ -720,7 +744,10 @@ object DeltaLite {
          constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) }))) ++
       (if (physical.isEmpty) Nil
        else List("physicalNames" -> JObject(
-         physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) })))
+         physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) }))) ++
+      (if (generated.isEmpty) Nil
+       else List("generatedColumns" -> JObject(
+         generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) })))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
@@ -763,7 +790,10 @@ object DeltaLite {
          snap.constraints.toList.sortBy(_._1).map { case (n, e) => n -> JString(e) }))) ++
       (if (snap.physical.isEmpty) Nil
        else List("physicalNames" -> JObject(
-         snap.physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) })))
+         snap.physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) }))) ++
+      (if (snap.generated.isEmpty) Nil
+       else List("generatedColumns" -> JObject(
+         snap.generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) })))
     val lines =
       (JsonMethods.compact(JObject(List("metaData" -> JObject(ckptMeta)))) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
@@ -803,7 +833,7 @@ object DeltaLite {
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
-        snap.constraints, snap.partitionBy, snap.physical)
+        snap.constraints, snap.partitionBy, snap.physical, snap.generated)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -819,9 +849,10 @@ object DeltaLite {
   private def commitExclusive(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       constraints: Map[String, String], partitionBy: Seq[String],
-      physical: Map[String, String]): Long =
+      physical: Map[String, String],
+      generated: Map[String, String]): Long =
     try writeCommit(path, version, op, schema, adds, removes, None, constraints,
-      partitionBy, physical)
+      partitionBy, physical, generated)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -848,7 +879,61 @@ object DeltaLite {
   def scan(spark: SparkSession, path: String, bounds: Seq[ColumnBound],
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, pruneFiles(snap, bounds), snap.partitionBy, snap.physical)
+    val all = bounds ++ derivedGeneratedBounds(spark, snap, bounds)
+    readFiles(spark, path, snap.schema, pruneFiles(snap, all), snap.partitionBy, snap.physical)
+  }
+
+  /** Generated-column partition pruning (the Delta `GENERATED ALWAYS AS`
+    * payoff): a bound on a BASE column implies a bound on a generated
+    * column whose expression is a recognized MONOTONE shape of it —
+    * `date(ts)`, `year(ts)`, `date_trunc('day', ts)`, a prefix
+    * `date_format`/`substring`, `floor(x / n)`. With the generated column
+    * as the partition column, a filter like `ts >= '2024-06-01'` prunes
+    * whole partitions from the LOG, before any file listing — the user
+    * never has to repeat the predicate against the partition column.
+    * Bound mapping is sound exactly because each shape is non-decreasing:
+    * lo ≤ x ≤ hi  ⇒  f(lo) ≤ f(x) ≤ f(hi). Unrecognized expressions
+    * derive nothing (pruning stays an optimization, never a filter). */
+  private[graft] def derivedGeneratedBounds(spark: SparkSession,
+      snap: Snapshot, bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
+    if (snap.generated.isEmpty) return Nil
+    for {
+      (c, e) <- snap.generated.toSeq
+      base <- monotoneBaseOf(e).toSeq
+      b <- bounds.filter(x => x.column == base &&
+        (x.lower.isDefined || x.upper.isDefined))
+    } yield ColumnBound(c,
+      b.lower.flatMap(v => evalGeneratedAt(spark, e, base, v)),
+      b.upper.flatMap(v => evalGeneratedAt(spark, e, base, v)))
+  }
+
+  /** The single base column of `e` when `e` is one of the whitelisted
+    * monotone (non-decreasing) generation shapes; None otherwise.
+    * `floor(x / n)` requires a positive literal divisor — division by a
+    * negative would REVERSE the order and make the mapping unsound. */
+  private def monotoneBaseOf(e: String): Option[String] = {
+    val id = """`?([A-Za-z_][A-Za-z0-9_]*)`?"""
+    val shapes = Seq(
+      ("""(?i)^\s*(?:to_)?date\s*\(\s*""" + id + """\s*\)\s*$""").r,
+      ("""(?i)^\s*cast\s*\(\s*""" + id + """\s+as\s+date\s*\)\s*$""").r,
+      ("""(?i)^\s*year\s*\(\s*""" + id + """\s*\)\s*$""").r,
+      ("""(?i)^\s*date_trunc\s*\(\s*'(?:year|quarter|month|week|day|hour|minute)'\s*,\s*""" +
+        id + """\s*\)\s*$""").r,
+      ("""(?i)^\s*date_format\s*\(\s*""" + id + """\s*,\s*'yyyy(?:-MM(?:-dd)?)?'\s*\)\s*$""").r,
+      ("""(?i)^\s*substr(?:ing)?\s*\(\s*""" + id + """\s*,\s*1\s*,\s*\d+\s*\)\s*$""").r,
+      ("""(?i)^\s*floor\s*\(\s*""" + id + """\s*/\s*\d+(?:\.\d+)?\s*\)\s*$""").r)
+    shapes.flatMap(_.findFirstMatchIn(e).map(_.group(1))).headOption
+  }
+
+  /** Evaluate generation expression `e` at base-column value `v` — a
+    * 1-row LOCAL projection (LocalTableScan, driver-only, no cluster
+    * work), so the mapping uses EXACTLY the same Catalyst semantics and
+    * session timezone as write-time materialization in [[writeData]]. */
+  private def evalGeneratedAt(spark: SparkSession, e: String,
+      baseCol: String, v: Any): Option[Any] = {
+    val row = spark.range(1).select(lit(v).as(baseCol))
+      .select(expr(e).as("__g")).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.get(0))
   }
 
   /** Balanced unionByName: keeps the plan O(log n) deep for n scan
@@ -996,7 +1081,7 @@ object DeltaLite {
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
-        None, snap.constraints, snap.partitionBy, snap.physical)
+        None, snap.constraints, snap.partitionBy, snap.physical, snap.generated)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -1011,7 +1096,7 @@ object DeltaLite {
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
-      readds, touched, snap.constraints, snap.partitionBy, snap.physical)
+      readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -1133,16 +1218,45 @@ object DeltaLite {
   // ----------------------------------------------------------- write API
 
   def create(spark: SparkSession, path: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      generated: Map[String, String] = Map.empty): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
-    require(partitionBy.forall(df.columns.contains),
-      s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
-    val schema = df.schema
-    val adds = writeData(spark, root(path), 0L, df, schema, partitionBy,
-      Map.empty)
+    // Generated columns (Delta `GENERATED ALWAYS AS (expr)`): pure
+    // functions of the batch's OTHER columns, recomputed by every write.
+    // A generation expression may not reference another generated column
+    // (no chains — same rule as Delta), and a batch that supplies the
+    // column explicitly must agree with the expression (generatedChecks).
+    generated.foreach { case (c, e) =>
+      generated.keys.filter(_ != c).foreach { other =>
+        require(!s"\\b${java.util.regex.Pattern.quote(other)}\\b".r
+            .findFirstIn(e).isDefined,
+          s"generated column '$c' may not reference generated column '$other'")
+      }
+    }
+    val withGen = generated.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+    require(partitionBy.forall(withGen.columns.contains),
+      s"partition columns $partitionBy must exist in ${withGen.columns.toSeq}")
+    val schema = withGen.schema
+    checkConstraints(withGen, schema,
+      generatedChecks(df.columns.toSet, generated), "CREATE")
+    val adds = writeData(spark, root(path), 0L, withGen, schema, partitionBy,
+      Map.empty, generated)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty,
-      partitionBy, Map.empty)
+      partitionBy, Map.empty, generated)
   }
+
+  /** Implicit CHECK predicates enforcing `GENERATED ALWAYS AS` on a batch
+    * that EXPLICITLY supplies a generated column: the supplied value must
+    * agree with the expression (`col <=> expr` — null-safe, so a null
+    * matches only a null expression result). Columns the batch omits are
+    * recomputed by [[writeData]] and need no check. */
+  private def generatedChecks(batchCols: Set[String],
+      generated: Map[String, String]): Map[String, String] =
+    generated.collect { case (c, e) if batchCols.contains(c) =>
+      s"__generated_$c" -> s"`$c` <=> ($e)"
+    }
 
   /** Delta `CONVERT TO DELTA parquet.\`path\``: adopt an EXISTING parquet
     * directory (flat or Hive-partitioned) as a DeltaLite table IN PLACE.
@@ -1168,7 +1282,7 @@ object DeltaLite {
     val adds = footerAdds(spark, r, r, schema, partitionBy, Map.empty)
     require(adds.nonEmpty, s"no parquet files under $path to convert")
     writeCommit(path, 0L, "CONVERT", schema, adds, Nil, None, Map.empty,
-      partitionBy, Map.empty)
+      partitionBy, Map.empty, Map.empty)
   }
 
   /** Partition column names present in the Hive layout under `dir`
@@ -1191,9 +1305,10 @@ object DeltaLite {
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
     checkWriteSchema(df.schema, snap.schema, "APPEND")
-    checkConstraints(df, snap.schema, snap.constraints, "APPEND")
+    checkConstraints(df, snap.schema, snap.constraints ++
+      generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds)
   }
 
@@ -1210,9 +1325,10 @@ object DeltaLite {
     val snap = snapshot(path)
     if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
     checkWriteSchema(df.schema, snap.schema, "APPEND")
-    checkConstraints(df, snap.schema, snap.constraints, "APPEND")
+    checkConstraints(df, snap.schema, snap.constraints ++
+      generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitAddsWithRetry(path, "APPEND", snap.schema, adds,
       txn = Some((app, txnVersion)))
   }
@@ -1233,9 +1349,10 @@ object DeltaLite {
     }
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
-    checkConstraints(df, evolved, snap.constraints, "APPEND_EVOLVE")
+    checkConstraints(df, evolved, snap.constraints ++
+      generatedChecks(df.columns.toSet, snap.generated), "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, df, evolved,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
   }
 
@@ -1256,7 +1373,7 @@ object DeltaLite {
     require(bad == 0L,
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
     commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical)
+      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Delta `ALTER TABLE ... RENAME COLUMN old TO new` (column-mapping
@@ -1284,11 +1401,14 @@ object DeltaLite {
       s"'$newName' collides with an existing physical column name")
     require(!constraintMentions(snap.constraints, oldName),
       s"cannot rename '$oldName': referenced by a CHECK constraint")
+    require(!snap.generated.contains(oldName) &&
+        !constraintMentions(snap.generated, oldName),
+      s"cannot rename '$oldName': it is, or is referenced by, a generated column")
     val newSchema = StructType(snap.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val newPhysical = (snap.physical - oldName) + (newName -> snap.phys(oldName))
     commitExclusive(path, snap.version + 1, "RENAME_COLUMN", newSchema,
-      Nil, Nil, snap.constraints, snap.partitionBy, newPhysical)
+      Nil, Nil, snap.constraints, snap.partitionBy, newPhysical, snap.generated)
   }
 
   /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):
@@ -1305,9 +1425,14 @@ object DeltaLite {
     require(snap.schema.fields.length > 1, "cannot drop the only column")
     require(!constraintMentions(snap.constraints, name),
       s"cannot drop '$name': referenced by a CHECK constraint")
+    require(!constraintMentions(snap.generated, name),
+      s"cannot drop '$name': referenced by a generated column's expression")
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    // dropping a generated column itself is fine — it simply stops being
+    // computed (its metadata entry leaves with the schema field)
     commitExclusive(path, snap.version + 1, "DROP_COLUMN", newSchema,
-      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name)
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name,
+      snap.generated - name)
   }
 
   /** Conservative word-boundary test: does any CHECK expression mention
@@ -1325,7 +1450,7 @@ object DeltaLite {
     val snap = snapshot(path)
     require(snap.constraints.contains(name), s"no constraint '$name' on $path")
     commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical)
+      Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -1343,9 +1468,9 @@ object DeltaLite {
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
@@ -1376,9 +1501,9 @@ object DeltaLite {
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -1400,9 +1525,9 @@ object DeltaLite {
       "DELETE_INSERT")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -1427,7 +1552,7 @@ object DeltaLite {
     val adds = snap.files.map(f =>
       f.copy(path = srcRoot.resolve(f.path).toString))
     writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -1444,7 +1569,7 @@ object DeltaLite {
     val readds = old.files.filterNot(f => curPaths.contains(f.path))
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
-      old.constraints, old.partitionBy, old.physical)
+      old.constraints, old.partitionBy, old.physical, old.generated)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -1490,9 +1615,9 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy, snap.physical)
+        snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -1500,6 +1625,13 @@ object DeltaLite {
   def update(spark: SparkSession, path: String, cond: Column,
       set: Map[String, Column]): Long = {
     val snap = snapshot(path)
+    // GENERATED ALWAYS AS columns cannot be assigned (Delta's rule); they
+    // are recomputed from the updated base columns inside writeData.
+    set.keys.find(snap.generated.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"UPDATE rejected: '$c' is GENERATED ALWAYS AS " +
+          s"(${snap.generated(c)}) and cannot be assigned directly")
+    }
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
     val rewritten = kept.columns.foldLeft(kept) { (df, c) =>
@@ -1511,9 +1643,9 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy, snap.physical)
+        snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -1535,9 +1667,9 @@ object DeltaLite {
       "REPLACE_WHERE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -1569,9 +1701,9 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v,
       readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
         .repartition(numFiles),
-      snap.schema, snap.partitionBy, snap.physical)
+      snap.schema, snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -1639,9 +1771,9 @@ object DeltaLite {
       .repartition(numFiles)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
-      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical)
+      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
@@ -1659,9 +1791,9 @@ object DeltaLite {
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
@@ -1681,9 +1813,9 @@ object DeltaLite {
       snap.partitionBy, snap.physical)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REORG", snap.schema, adds,
-      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical)
+      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -1703,9 +1835,9 @@ object DeltaLite {
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -1727,9 +1859,9 @@ object DeltaLite {
       .drop("__z")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
   }
 
   /** `DESCRIBE DETAIL` analogue: one-row table summary from the log

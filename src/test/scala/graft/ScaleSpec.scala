@@ -249,6 +249,71 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(full.select("k", "part", "v").exceptAll(df).count() === 0)
   }
 
+  test("DeltaLite generated columns: materialized, validated, recomputed, partition-pruned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_gencol").toString
+    val df = (0L until 240L).map(i =>
+        (i, java.sql.Timestamp.valueOf(f"2024-06-${(i % 4) + 1}%02d 10:00:00"), i * 1.0))
+      .toDF("k", "ts", "v").repartition(2)
+    // batch does NOT carry the generated column: create materializes it
+    DeltaLite.create(spark, path, df, partitionBy = Seq("day"),
+      generated = Map("day" -> "date(ts)"))
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.generated === Map("day" -> "date(ts)"))
+    assert(snap.partitionBy === Seq("day"))
+    val full = DeltaLite.read(spark, path)
+    assert(full.count() === 240)
+    assert(full.filter($"day" =!= to_date($"ts")).count() === 0)
+
+    // append without the column → computed; wrong explicit value → rejected;
+    // correct explicit value → accepted
+    DeltaLite.append(spark, path,
+      Seq((1000L, java.sql.Timestamp.valueOf("2024-06-09 12:00:00"), 5.0))
+        .toDF("k", "ts", "v"))
+    assert(DeltaLite.read(spark, path).filter($"k" === 1000L)
+      .select($"day".cast("string")).head().getString(0) === "2024-06-09")
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, path,
+        Seq((2000L, java.sql.Timestamp.valueOf("2024-06-09 12:00:00"), 5.0,
+          java.sql.Date.valueOf("1999-01-01"))).toDF("k", "ts", "v", "day"))
+    }
+    assert(ex.getMessage.contains("__generated_day"))
+    DeltaLite.append(spark, path,
+      Seq((2000L, java.sql.Timestamp.valueOf("2024-06-09 12:00:00"), 5.0,
+        java.sql.Date.valueOf("2024-06-09"))).toDF("k", "ts", "v", "day"))
+
+    // UPDATE may not assign the generated column directly...
+    val ex2 = intercept[IllegalArgumentException] {
+      DeltaLite.update(spark, path, $"k" === 0L,
+        Map("day" -> lit(java.sql.Date.valueOf("1999-01-01"))))
+    }
+    assert(ex2.getMessage.contains("GENERATED"))
+    // ...and updating the BASE column recomputes it (the row changes partition)
+    DeltaLite.update(spark, path, $"k" === 1000L,
+      Map("ts" -> lit(java.sql.Timestamp.valueOf("2024-06-20 00:00:00"))))
+    assert(DeltaLite.read(spark, path).filter($"k" === 1000L)
+      .select($"day".cast("string")).head().getString(0) === "2024-06-20")
+
+    // the scale payoff: a bound on ts ALONE prunes day partitions through
+    // the monotone date(ts) mapping — no predicate on `day` anywhere
+    val snap2 = DeltaLite.snapshot(path)
+    val perDay = snap2.files.groupBy(_.pv("day"))
+    val lo = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-06-03 23:59:59")
+    val scanned = DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("ts", Some(lo), Some(hi))))
+    val expected = perDay.collect {
+      case (d, fs) if d >= "2024-06-02" && d <= "2024-06-03" => fs.size
+    }.sum
+    assert(scanned.inputFiles.length === expected,
+      "a ts bound must prune day partitions via the generated-column mapping")
+    assert(scanned.filter($"ts".between(lo, hi)).count() === 120)
+    // unrecognized shapes derive nothing (never wrongly prune)
+    assert(DeltaLite.derivedGeneratedBounds(spark,
+      snap2.copy(generated = Map("day" -> "date_add(date(ts), 1)")),
+      Seq(DeltaLite.ColumnBound("ts", Some(lo), Some(hi)))).isEmpty)
+  }
+
   test("DeltaLite partitioned table: DELETE/UPDATE/MERGE keep partition layout and values") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partdml").toString
