@@ -1208,6 +1208,32 @@ object DeltaLite {
     }
   }
 
+  /** Add-file count and row total committed by exactly version `v` —
+    * one driver-side read of that version's log file, no snapshot replay.
+    * The streaming source's admission control (`maxFilesPerTrigger` /
+    * `maxRowsPerTrigger`) walks these to size a micro-batch without
+    * touching any data file. */
+  def versionAddStats(path: String, v: Long): (Long, Long) = {
+    val lines = Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+    var files = 0L
+    var rows = 0L
+    lines.filter(_.nonEmpty).foreach { line =>
+      parseLine(line) match {
+        case JObject(fields) => fields.foreach {
+          case ("add", a: JObject) =>
+            files += 1
+            rows += a.obj.toMap.get("rows").collect {
+              case JLong(l) => l
+              case JInt(i) => i.toLong
+            }.getOrElse(0L)
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    (files, rows)
+  }
+
   /** Expose a DeltaLite table to SQL as a temp view (optionally pinned to
     * a version) — the EP3 ad-hoc surface over the storage layer:
     * `SELECT ... FROM <name>` after registration. */

@@ -77,7 +77,10 @@ class GraftDeltaSource extends RelationProvider
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
     new GraftDeltaStreamSource(ctx.sparkSession, path,
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("readChangeFeed").exists(_.toBoolean))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      metadataPath = metadataPath,
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 
   /** Streaming sink: `events.writeStream.format("graft-delta")
@@ -227,17 +230,79 @@ object GraftDeltaSource {
   * mid-stream fails the union, i.e. the stream — Delta's CDF contract
   * (restart to pick up the new schema). */
 final class GraftDeltaStreamSource(spark: SparkSession, path: String,
-    ignoreChanges: Boolean, cdf: Boolean = false)
+    ignoreChanges: Boolean, cdf: Boolean = false,
+    metadataPath: String = "",
+    maxFilesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private val tableSchema: StructType = DeltaLite.snapshot(path).schema
 
+  private def rateLimited: Boolean =
+    maxFilesPerTrigger.isDefined || maxRowsPerTrigger.isDefined
+
+  // Admission-control position: the last log version this source has
+  // SURFACED via getOffset/getBatch. Persisted under the stream's own
+  // metadataPath so a restart resumes from it — without this, a
+  // rate-limited getOffset on a fresh instance could construct an offset
+  // BEHIND the checkpoint's committed one and re-admit versions the sink
+  // already processed (the V1-source rate-limit restart hazard; Kafka
+  // and the file source each keep equivalent state for the same reason).
+  private val posFile: Option[java.nio.file.Path] =
+    if (!rateLimited || metadataPath.isEmpty) None
+    else Some(java.nio.file.Paths.get(
+      GraftDeltaSource.localPath(metadataPath), "graft-source-position"))
+  private var position: Option[Long] = posFile.filter(java.nio.file.Files.exists(_))
+    .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+
+  private def storePos(v: Long): Unit = {
+    if (position.forall(_ < v)) {
+      position = Some(v)
+      posFile.foreach { p =>
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, v.toString.getBytes("UTF-8"))
+      }
+    }
+  }
+
   override def schema: StructType =
     if (cdf) GraftDeltaStreamSource.cdfSchema(tableSchema) else tableSchema
 
+  /** Without rate limits: the latest log version. With
+    * `maxFilesPerTrigger`/`maxRowsPerTrigger`: walk forward from the
+    * current position, admitting whole versions (a commit is the atomic
+    * unit of exactly-once delivery, so it never splits) until a cap is
+    * reached — but always at least one version, or a single oversized
+    * commit would stall the stream forever. The walk reads only commit
+    * headers ([[DeltaLite.versionAddStats]]), no data files. */
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    DeltaLite.latestVersion(path).map(LongOffset(_))
+    DeltaLite.latestVersion(path).map { latest =>
+      if (!rateLimited) LongOffset(latest)
+      else {
+        val base = position.getOrElse(-1L)
+        if (latest <= base) LongOffset(base)
+        else {
+          var v = base
+          var files = 0L
+          var rows = 0L
+          var continue = true
+          while (continue && v < latest) {
+            val (f, r) = DeltaLite.versionAddStats(path, v + 1)
+            if (v > base &&
+                (maxFilesPerTrigger.exists(files + f > _) ||
+                 maxRowsPerTrigger.exists(rows + r > _))) continue = false
+            else {
+              v += 1; files += f; rows += r
+              if (maxFilesPerTrigger.exists(files >= _) ||
+                  maxRowsPerTrigger.exists(rows >= _)) continue = false
+            }
+          }
+          storePos(v)
+          LongOffset(v)
+        }
+      }
+    }
 
   private def version(o: org.apache.spark.sql.execution.streaming.Offset): Long =
     o match {
@@ -249,6 +314,10 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset)
       : org.apache.spark.sql.DataFrame = {
+    // Seed/advance the admission position from the engine's own offsets
+    // (covers restart replay of a logged-but-uncommitted batch).
+    storePos(version(end))
+    start.map(version).foreach(storePos)
     // getBatch must return a STREAMING-tagged frame — see StreamingFrame.
     if (!cdf)
       org.apache.spark.sql.graft.StreamingFrame.tag(

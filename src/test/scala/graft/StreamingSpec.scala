@@ -226,6 +226,37 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("graft-delta source admission control: maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_rate")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((0L, "v0")).toDF("k", "s").coalesce(1))
+    (1L to 3L).foreach(i => graft.sources.DeltaLite.append(spark, table,
+      Seq((i, s"v$i")).toDF("k", "s").coalesce(1)))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", 1).load(table)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("k").as[Long].collect().toSeq.sorted); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 4 one-file versions under a 1-file cap -> one version per batch, in
+    // commit order, union exactly-once (vs ONE batch without the cap:
+    // the initial offset would swallow the whole table)
+    assert(batches.asScala.toSeq === Seq(Seq(0L), Seq(1L), Seq(2L), Seq(3L)))
+    // the admission position persists under the stream's own metadata dir,
+    // so a restarted source can never construct a regressed offset
+    val pos = java.nio.file.Files.walk(dir.resolve("ckpt"))
+      .iterator().asScala.find(_.getFileName.toString == "graft-source-position")
+    assert(pos.isDefined)
+    assert(new String(java.nio.file.Files.readAllBytes(pos.get), "UTF-8").trim === "3")
+  }
+
   test("graft-delta source with readChangeFeed streams per-commit row changes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt_cdf")
