@@ -410,6 +410,34 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L3 (i)
+    // PERSISTED ANN index — the build-once / query-many serving split the
+    // in-query paths above compose into at 100 TB: `AnnIndex.build` runs
+    // the expensive pipeline once (sample-trained centroids + codebooks,
+    // distributed encode) into DeltaLite tables with the codes table
+    // PARTITIONED BY IVF CELL; `append` encodes a later corpus batch
+    // under the frozen model (O(batch) maintenance, no retrain);
+    // `query` reads ONLY the probed cells' partitions (log-level
+    // pruning) and ADC-re-ranks — no training or corpus encode on the
+    // serve path. Rows-only (quantization isn't SQL-expressible);
+    // determinism/recall/pruning are property-tested in DedupSpec.
+    QueryDef("l3_ann_index", (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_l3_index").toString
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") >= 10)
+      graft.operators.AnnIndex.build(s, root,
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding")
+      graft.operators.AnnIndex.append(s, root,
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      graft.operators.AnnIndex.query(s, root,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          "qid", "qe", probes = 2, topK = 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(d2*10000)/10000").as("d2"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------------- L4
     // Corpus token statistics per language (whitespace + BPE-ish token
     // counts, char stats).

@@ -165,6 +165,69 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"only $hits/50 perturbed queries ranked their original top-1 via IVF-PQ")
   }
 
+  test("AnnIndex: persisted build+append serves deterministic top-k with partition pruning") {
+    import graft.operators.AnnIndex
+    import graft.sources.DeltaLite
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 50).select(col("vec_id"), col("embedding"))
+    val root1 = java.nio.file.Files.createTempDirectory("graft_annidx1").toString
+    val root2 = java.nio.file.Files.createTempDirectory("graft_annidx2").toString
+    // build half, append the other half under the frozen model
+    AnnIndex.build(spark, root1, corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding")
+    AnnIndex.append(spark, root1, corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding")
+    // the codes table is partitioned by cell, append landed as version 1
+    val snap = DeltaLite.snapshot(s"$root1/codes")
+    assert(snap.partitionBy === Seq("cell"))
+    assert(snap.version === 1L)
+    assert(DeltaLite.read(spark, s"$root1/codes").count() === corpus.count())
+    // identical rebuild => identical results (everything is seeded)
+    AnnIndex.build(spark, root2, corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding")
+    AnnIndex.append(spark, root2, corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("qe"))
+    val r1 = AnnIndex.query(spark, root1, queries, "qid", "qe").collect()
+    val r2 = AnnIndex.query(spark, root2, queries, "qid", "qe").collect()
+    assert(r1.toSet === r2.toSet)
+    assert(r1.nonEmpty)
+    // near-dup recall through the PERSISTED index: a perturbed query of a
+    // corpus vector should usually rank its original first
+    val planted = e.filter(col("vec_id").between(50, 99))
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("qe"))
+    val top1 = AnnIndex.query(spark, root1, planted, "qid", "qe")
+      .filter(col("rk") === 1).select("qid", "nid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (50L until 100L).count(i => top1.get(i).contains(i))
+    assert(hits >= 40,
+      s"only $hits/50 perturbed corpus vectors ranked their original top-1 via the persisted index")
+    // serve-path pruning: a single-cell probe opens ONLY that cell's files
+    val one = AnnIndex.query(spark, root1,
+      e.filter(col("vec_id") === 60)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", probes = 1, topK = 1)
+    val cell = one.collect() // forces probe; result's cell via codes join
+    assert(cell.length === 1)
+    val probedCell = Dedup.ivfProbes(
+      e.filter(col("vec_id") === 60)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", AnnIndex.loadCenters(spark, root1), probes = 1)
+      .select("centroid").head().getInt(0)
+    val cellFiles = snap.files.count(_.pv.get("cell").contains(probedCell.toString))
+    val scanned = DeltaLite.scan(spark, s"$root1/codes",
+      Seq(DeltaLite.ColumnBound("cell", Some(probedCell), Some(probedCell))))
+    assert(scanned.inputFiles.length === cellFiles,
+      "single-cell serve must open only the probed cell's partition files")
+    assert(cellFiles < snap.files.size)
+  }
+
   test("multi-probe IVF raises cell recall over single-probe") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sf, "embeddings")
