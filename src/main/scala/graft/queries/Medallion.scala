@@ -712,6 +712,31 @@ object Medallion {
                                AND TIMESTAMP '1996-12-31 23:59:59'
          GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S23
+    // Identity columns (Delta GENERATED ALWAYS AS IDENTITY — the dbt
+    // surrogate-key surface): the table allocates `row_id` itself on
+    // create AND append; batches never carry it. Allocation is sparse
+    // (monotonically_increasing_id spacing — no shuffle, no extra pass,
+    // no global ordering barrier; gaps allowed, exactly Delta's
+    // contract), ascending across commits via a log-carried high-water
+    // mark that advances from the batch's own footer stats (zero extra
+    // jobs). The oracle pins what IS deterministic: row count, id
+    // uniqueness, and the first allocated value (= START WITH).
+    QueryDef("s23_identity", (s, dir) => {
+      val path = tmp("s23_delta")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      DeltaLite.create(s, path, o.filter(col("o_orderkey") % 2 === 0),
+        identity = Map("row_id" -> DeltaLite.IdentityCol(start = 1L, step = 1L)))
+      DeltaLite.append(s, path, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLite.read(s, path)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min(col("row_id")).as("first_id"))
+    }, Some(
+      """SELECT count(*) AS n, count(*) AS n_ids,
+                CAST(1 AS BIGINT) AS first_id
+         FROM orders""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality

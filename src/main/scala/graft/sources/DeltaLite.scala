@@ -70,12 +70,22 @@ object DeltaLite {
     * partition columns (log-carried — partition pruning happens on the
     * commit log's partitionValues BEFORE any stats pruning or file
     * listing, the Delta partitioned-table read path). */
+  /** Identity-column spec (Delta `GENERATED ALWAYS AS IDENTITY`): values
+    * allocate from `highWater` in `step` increments. Allocation is SPARSE
+    * (monotonically_increasing_id spacing — unique and ascending, gaps
+    * allowed, exactly Delta's documented contract) so a batch needs no
+    * extra pass or global ordering shuffle; the new high water is read
+    * back from the batch's own parquet footer stats. */
+  final case class IdentityCol(start: Long, step: Long,
+      highWater: Option[Long] = None)
+
   final case class Snapshot(version: Long, schema: StructType, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil,
       physical: Map[String, String] = Map.empty,
-      generated: Map[String, String] = Map.empty) {
+      generated: Map[String, String] = Map.empty,
+      identity: Map[String, IdentityCol] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
     /** Column mapping (Delta column-mapping mode `name`): the PHYSICAL
@@ -311,6 +321,7 @@ object DeltaLite {
     var partitionBy: Seq[String] = Nil
     var physical = Map.empty[String, String]
     var generated = Map.empty[String, String]
+    var identity = Map.empty[String, IdentityCol]
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val ckpt = latestCheckpointAtOrBefore(path, v)
@@ -318,16 +329,16 @@ object DeltaLite {
       applyActions(Files.readAllLines(
         logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m, g => generated = g)
+        m => physical = m, g => generated = g, i => identity = i)
     }
     ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m, g => generated = g)
+        m => physical = m, g => generated = g, x => identity = x)
     }
     require(schema != null, s"log at $path has no metaData action")
     Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
-      physical, generated)
+      physical, generated, identity)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
@@ -336,7 +347,8 @@ object DeltaLite {
       onConstraints: Map[String, String] => Unit,
       onPartitionBy: Seq[String] => Unit,
       onPhysical: Map[String, String] => Unit,
-      onGenerated: Map[String, String] => Unit): Unit = {
+      onGenerated: Map[String, String] => Unit,
+      onIdentity: Map[String, IdentityCol] => Unit): Unit = {
     var schema: StructType = null
     var physical = Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
@@ -363,6 +375,17 @@ object DeltaLite {
             onPhysical(physical)
             onGenerated(m.collectFirst { case ("generatedColumns", JObject(gs)) =>
               gs.collect { case (c, JString(e)) => c -> e }.toMap
+            }.getOrElse(Map.empty))
+            onIdentity(m.collectFirst { case ("identityColumns", JObject(ids)) =>
+              ids.collect { case (c, JObject(spec)) =>
+                val sm = spec.toMap
+                def num(k: String): Option[Long] = sm.get(k).collect {
+                  case JLong(l) => l
+                  case JInt(i) => i.toLong
+                }
+                c -> IdentityCol(num("start").getOrElse(1L),
+                  num("step").getOrElse(1L), num("highWater"))
+              }.toMap
             }.getOrElse(Map.empty))
           case ("add", a: JObject) =>
             val af = decodeAdd(a, schema, physical)
@@ -723,6 +746,15 @@ object DeltaLite {
          f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))))))
   }
 
+  private def encodeIdentity(
+      identity: Map[String, IdentityCol]): List[(String, JValue)] =
+    if (identity.isEmpty) Nil
+    else List("identityColumns" -> JObject(
+      identity.toList.sortBy(_._1).map { case (c, ic) =>
+        c -> JObject(List("start" -> JLong(ic.start), "step" -> JLong(ic.step)) ++
+          ic.highWater.map(h => List("highWater" -> JLong(h))).getOrElse(Nil))
+      }))
+
   /** Atomically commit a version: actions to a temp file, then rename. */
   private def writeCommit(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
@@ -730,11 +762,12 @@ object DeltaLite {
       constraints: Map[String, String],
       partitionBy: Seq[String],
       physical: Map[String, String],
-      generated: Map[String, String]): Long = {
-    // `constraints`/`partitionBy`/`physical`/`generated` have NO default
-    // on purpose: metaData is re-stated on every commit, so a call site
-    // that forgot to carry the snapshot's values forward would silently
-    // DROP them from the table.
+      generated: Map[String, String],
+      identity: Map[String, IdentityCol]): Long = {
+    // `constraints`/`partitionBy`/`physical`/`generated`/`identity` have
+    // NO default on purpose: metaData is re-stated on every commit, so a
+    // call site that forgot to carry the snapshot's values forward would
+    // silently DROP them from the table.
     Files.createDirectories(logDir(path))
     val metaFields = List("schema" -> JString(schema.json)) ++
       (if (partitionBy.isEmpty) Nil
@@ -747,7 +780,8 @@ object DeltaLite {
          physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) }))) ++
       (if (generated.isEmpty) Nil
        else List("generatedColumns" -> JObject(
-         generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) })))
+         generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) }))) ++
+      encodeIdentity(identity)
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
@@ -793,7 +827,8 @@ object DeltaLite {
          snap.physical.toList.sortBy(_._1).map { case (l, p) => l -> JString(p) }))) ++
       (if (snap.generated.isEmpty) Nil
        else List("generatedColumns" -> JObject(
-         snap.generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) })))
+         snap.generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) }))) ++
+      encodeIdentity(snap.identity)
     val lines =
       (JsonMethods.compact(JObject(List("metaData" -> JObject(ckptMeta)))) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
@@ -833,7 +868,8 @@ object DeltaLite {
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
-        snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+        snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+        snap.identity)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -850,9 +886,10 @@ object DeltaLite {
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       constraints: Map[String, String], partitionBy: Seq[String],
       physical: Map[String, String],
-      generated: Map[String, String]): Long =
+      generated: Map[String, String],
+      identity: Map[String, IdentityCol]): Long =
     try writeCommit(path, version, op, schema, adds, removes, None, constraints,
-      partitionBy, physical, generated)
+      partitionBy, physical, generated, identity)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1081,7 +1118,8 @@ object DeltaLite {
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
-        None, snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+        None, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -1096,7 +1134,8 @@ object DeltaLite {
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
-      readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -1245,8 +1284,20 @@ object DeltaLite {
 
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      generated: Map[String, String] = Map.empty): Long = {
+      generated: Map[String, String] = Map.empty,
+      identity: Map[String, IdentityCol] = Map.empty): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
+    // Identity columns (Delta `GENERATED ALWAYS AS IDENTITY`): the batch
+    // may never supply them (ALWAYS semantics) — the table allocates.
+    identity.foreach { case (c, ic) =>
+      require(ic.step > 0, s"identity column '$c' requires a positive step")
+      require(!df.columns.contains(c),
+        s"'$c' is GENERATED ALWAYS AS IDENTITY and cannot be supplied")
+      require(!generated.contains(c),
+        s"'$c' cannot be both a generated and an identity column")
+      require(!partitionBy.contains(c),
+        s"identity column '$c' cannot be a partition column")
+    }
     // Generated columns (Delta `GENERATED ALWAYS AS (expr)`): pure
     // functions of the batch's OTHER columns, recomputed by every write.
     // A generation expression may not reference another generated column
@@ -1262,16 +1313,46 @@ object DeltaLite {
     val withGen = generated.foldLeft(df) { case (d, (c, e)) =>
       if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
     }
-    require(partitionBy.forall(withGen.columns.contains),
-      s"partition columns $partitionBy must exist in ${withGen.columns.toSeq}")
-    val schema = withGen.schema
-    checkConstraints(withGen, schema,
+    val withIds = identity.foldLeft(withGen) { case (d, (c, ic)) =>
+      d.withColumn(c, identityExpr(ic, ic.start - ic.step))
+    }
+    require(partitionBy.forall(withIds.columns.contains),
+      s"partition columns $partitionBy must exist in ${withIds.columns.toSeq}")
+    val schema = withIds.schema
+    checkConstraints(withIds, schema,
       generatedChecks(df.columns.toSet, generated), "CREATE")
-    val adds = writeData(spark, root(path), 0L, withGen, schema, partitionBy,
+    val adds = writeData(spark, root(path), 0L, withIds, schema, partitionBy,
       Map.empty, generated)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty,
-      partitionBy, Map.empty, generated)
+      partitionBy, Map.empty, generated,
+      advanceHighWater(identity, adds, schema, Map.empty))
   }
+
+  /** Sparse identity allocation above `highWater`: unique and ascending
+    * via monotonically_increasing_id (partition-indexed, so NO shuffle,
+    * no extra pass, no global ordering barrier), gaps allowed — Delta's
+    * documented identity contract. Partition 0's first row takes
+    * `highWater + step` exactly, so a fresh table starts at `start`. */
+  private def identityExpr(ic: IdentityCol, highWater: Long)
+      : org.apache.spark.sql.Column =
+    lit(highWater) + lit(ic.step) * (monotonically_increasing_id() + 1L)
+
+  /** New identity high-water marks after a write: the max of each identity
+    * column across the batch's own parquet FOOTER stats (already decoded
+    * into the AddFiles — zero extra jobs). Falls back to the previous
+    * mark when the batch was empty. */
+  private def advanceHighWater(identity: Map[String, IdentityCol],
+      adds: Seq[AddFile], schema: StructType,
+      physical: Map[String, String]): Map[String, IdentityCol] =
+    identity.map { case (c, ic) =>
+      val pn = physical.getOrElse(c, c)
+      val maxes = adds.flatMap(_.stats.get(pn).flatMap(_.max)).collect {
+        case l: java.lang.Long => l.longValue()
+      }
+      c -> (if (maxes.isEmpty) ic
+            else ic.copy(highWater = Some(
+              math.max(maxes.max, ic.highWater.getOrElse(Long.MinValue)))))
+    }
 
   /** Implicit CHECK predicates enforcing `GENERATED ALWAYS AS` on a batch
     * that EXPLICITLY supplies a generated column: the supplied value must
@@ -1308,7 +1389,7 @@ object DeltaLite {
     val adds = footerAdds(spark, r, r, schema, partitionBy, Map.empty)
     require(adds.nonEmpty, s"no parquet files under $path to convert")
     writeCommit(path, 0L, "CONVERT", schema, adds, Nil, None, Map.empty,
-      partitionBy, Map.empty, Map.empty)
+      partitionBy, Map.empty, Map.empty, Map.empty)
   }
 
   /** Partition column names present in the Hive layout under `dir`
@@ -1330,12 +1411,51 @@ object DeltaLite {
     * point of the file-level log). */
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
-    checkWriteSchema(df.schema, snap.schema, "APPEND")
-    checkConstraints(df, snap.schema, snap.constraints ++
+    val withIds = materializeIdentity(df, snap, "APPEND")
+    checkWriteSchema(withIds.schema, snap.schema, "APPEND")
+    checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
-    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
+    val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
-    commitAddsWithRetry(path, "APPEND", snap.schema, adds)
+    if (snap.identity.isEmpty)
+      commitAddsWithRetry(path, "APPEND", snap.schema, adds)
+    else
+      // Identity allocation reads the snapshot's high-water mark, so a
+      // lost commit race CANNOT blind-retry (the winner may have taken
+      // the same id range — the values are baked into this batch's data
+      // files). Surface the conflict like the other read-dependent ops;
+      // Delta similarly downgrades concurrent identity appends.
+      commitExclusive(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
+        snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+        advanceHighWater(snap.identity, adds, snap.schema, snap.physical))
+  }
+
+  /** Row-INSERTING DML (merge/delete+insert/replaceWhere) would need
+    * per-clause identity allocation woven through its join plan; that
+    * surface is out of scope, so such ops fail loudly on identity tables
+    * instead of silently writing null/stale ids. Pure rewrites (DELETE/
+    * UPDATE/OPTIMIZE/CLUSTER) carry existing values and stay allowed. */
+  private def rejectIdentity(snap: Snapshot, op: String): Unit =
+    if (snap.identity.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$op is not supported on a table with identity columns " +
+          s"(${snap.identity.keys.toSeq.sorted.mkString(", ")}); " +
+          "use append for new rows")
+
+  /** GENERATED ALWAYS AS IDENTITY materialization for an incoming batch:
+    * the batch may never carry the column; values allocate sparsely above
+    * the snapshot's high-water mark. No-op for tables without identity. */
+  private def materializeIdentity(df: DataFrame, snap: Snapshot,
+      op: String): DataFrame = {
+    if (snap.identity.isEmpty) return df
+    snap.identity.keys.find(df.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"$op rejected: '$c' is GENERATED ALWAYS AS IDENTITY " +
+          "and cannot be supplied by the batch")
+    }
+    snap.identity.foldLeft(df) { case (d, (c, ic)) =>
+      d.withColumn(c, identityExpr(ic, ic.highWater.getOrElse(ic.start - ic.step)))
+    }
   }
 
   /** Idempotent append for exactly-once sinks (Delta's `txn` action):
@@ -1350,13 +1470,28 @@ object DeltaLite {
       app: String, txnVersion: Long): Long = {
     val snap = snapshot(path)
     if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
-    checkWriteSchema(df.schema, snap.schema, "APPEND")
-    checkConstraints(df, snap.schema, snap.constraints ++
+    val withIds = materializeIdentity(df, snap, "APPEND")
+    checkWriteSchema(withIds.schema, snap.schema, "APPEND")
+    checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
-    val adds = writeData(spark, root(path), snap.version + 1, df, snap.schema,
+    val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
-    commitAddsWithRetry(path, "APPEND", snap.schema, adds,
-      txn = Some((app, txnVersion)))
+    if (snap.identity.isEmpty)
+      commitAddsWithRetry(path, "APPEND", snap.schema, adds,
+        txn = Some((app, txnVersion)))
+    else
+      // exclusive for the same reason as [[append]]; the txn action still
+      // rides the commit so replays stay no-ops
+      try writeCommit(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
+        Some((app, txnVersion)), snap.constraints, snap.partitionBy,
+        snap.physical, snap.generated,
+        advanceHighWater(snap.identity, adds, snap.schema, snap.physical))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit beat identity APPEND at version " +
+              s"${snap.version + 1} on $path; re-run against the new snapshot")
+      }
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the
@@ -1375,11 +1510,17 @@ object DeltaLite {
     }
     val evolved = StructType(snap.schema.fields ++
       df.schema.fields.filterNot(f => known.contains(f.name)))
-    checkConstraints(df, evolved, snap.constraints ++
+    val withIds = materializeIdentity(df, snap, "APPEND_EVOLVE")
+    checkConstraints(withIds, evolved, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND_EVOLVE")
-    val adds = writeData(spark, root(path), snap.version + 1, df, evolved,
+    val adds = writeData(spark, root(path), snap.version + 1, withIds, evolved,
       snap.partitionBy, snap.physical, snap.generated)
-    commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
+    if (snap.identity.isEmpty)
+      commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
+    else
+      commitExclusive(path, snap.version + 1, "APPEND_EVOLVE", evolved, adds,
+        Nil, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+        advanceHighWater(snap.identity, adds, evolved, snap.physical))
   }
 
   /** Delta `ALTER TABLE ... ADD CONSTRAINT name CHECK (check)` — the
@@ -1399,7 +1540,8 @@ object DeltaLite {
     require(bad == 0L,
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
     commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical, snap.generated)
+      Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical,
+      snap.generated, snap.identity)
   }
 
   /** Delta `ALTER TABLE ... RENAME COLUMN old TO new` (column-mapping
@@ -1434,7 +1576,8 @@ object DeltaLite {
       if (f.name == oldName) f.copy(name = newName) else f))
     val newPhysical = (snap.physical - oldName) + (newName -> snap.phys(oldName))
     commitExclusive(path, snap.version + 1, "RENAME_COLUMN", newSchema,
-      Nil, Nil, snap.constraints, snap.partitionBy, newPhysical, snap.generated)
+      Nil, Nil, snap.constraints, snap.partitionBy, newPhysical, snap.generated,
+      snap.identity)
   }
 
   /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):
@@ -1458,7 +1601,7 @@ object DeltaLite {
     // computed (its metadata entry leaves with the schema field)
     commitExclusive(path, snap.version + 1, "DROP_COLUMN", newSchema,
       Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name,
-      snap.generated - name)
+      snap.generated - name, snap.identity - name)
   }
 
   /** Conservative word-boundary test: does any CHECK expression mention
@@ -1476,7 +1619,8 @@ object DeltaLite {
     val snap = snapshot(path)
     require(snap.constraints.contains(name), s"no constraint '$name' on $path")
     commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
-      Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical, snap.generated)
+      Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity)
   }
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
@@ -1488,6 +1632,7 @@ object DeltaLite {
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
+    rejectIdentity(snap, "MERGE")
     checkWriteSchema(updates.schema, snap.schema, "MERGE")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
@@ -1496,7 +1641,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, merged, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
@@ -1513,6 +1659,7 @@ object DeltaLite {
       clauses: Seq[graft.operators.Merge.MergeClause]): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
+    rejectIdentity(snap, "MERGE")
     val hasBySource = clauses.exists {
       case _: graft.operators.Merge.NotMatchedBySourceUpdate => true
       case _: graft.operators.Merge.NotMatchedBySourceDelete => true
@@ -1529,7 +1676,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, merged, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -1542,6 +1690,7 @@ object DeltaLite {
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "delete+insert keys required")
     val snap = snapshot(path)
+    rejectIdentity(snap, "DELETE_INSERT")
     checkWriteSchema(batch.schema, snap.schema, "DELETE_INSERT")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
     val survivors = touchedRows.join(
@@ -1553,7 +1702,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, newData, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -1578,7 +1728,8 @@ object DeltaLite {
     val adds = snap.files.map(f =>
       f.copy(path = srcRoot.resolve(f.path).toString))
     writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -1595,7 +1746,8 @@ object DeltaLite {
     val readds = old.files.filterNot(f => curPaths.contains(f.path))
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
-      old.constraints, old.partitionBy, old.physical, old.generated)
+      old.constraints, old.partitionBy, old.physical, old.generated,
+      old.identity)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -1643,7 +1795,8 @@ object DeltaLite {
       else writeData(spark, root(path), v, rewritten, snap.schema,
         snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -1658,6 +1811,11 @@ object DeltaLite {
         s"UPDATE rejected: '$c' is GENERATED ALWAYS AS " +
           s"(${snap.generated(c)}) and cannot be assigned directly")
     }
+    set.keys.find(snap.identity.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"UPDATE rejected: '$c' is GENERATED ALWAYS AS IDENTITY " +
+          "and cannot be assigned")
+    }
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
     val rewritten = kept.columns.foldLeft(kept) { (df, c) =>
@@ -1671,7 +1829,8 @@ object DeltaLite {
       else writeData(spark, root(path), v, rewritten, snap.schema,
         snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -1685,6 +1844,7 @@ object DeltaLite {
   def replaceWhere(spark: SparkSession, path: String, cond: Column,
       df: DataFrame): Long = {
     val snap = snapshot(path)
+    rejectIdentity(snap, "REPLACE_WHERE")
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
     checkWriteSchema(df.schema, snap.schema, "REPLACE_WHERE")
@@ -1695,7 +1855,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, newData, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -1729,7 +1890,8 @@ object DeltaLite {
         .repartition(numFiles),
       snap.schema, snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -1799,7 +1961,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, packed, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
-      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
@@ -1819,7 +1982,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, packed, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
@@ -1841,7 +2005,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REORG", snap.schema, adds,
-      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -1863,7 +2028,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -1887,7 +2053,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated)
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity)
   }
 
   /** `DESCRIBE DETAIL` analogue: one-row table summary from the log

@@ -314,6 +314,56 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       Seq(DeltaLite.ColumnBound("ts", Some(lo), Some(hi)))).isEmpty)
   }
 
+  test("DeltaLite identity columns: allocated, unique, ascending across appends, preserved by rewrites") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_identity").toString
+    val df = (0L until 100L).map(i => (s"r$i", i * 2.0)).toDF("name", "v")
+      .repartition(4)
+    DeltaLite.create(spark, path, df,
+      identity = Map("id" -> DeltaLite.IdentityCol(start = 10, step = 5)))
+    val snap0 = DeltaLite.snapshot(path)
+    assert(snap0.identity("id").highWater.isDefined)
+    val r0 = DeltaLite.read(spark, path)
+    assert(r0.count() === 100)
+    assert(r0.select(countDistinct(col("id"))).head().getLong(0) === 100)
+    // partition 0's first row takes exactly `start`; every id ≡ start (mod step)
+    assert(r0.agg(min(col("id"))).head().getLong(0) === 10L)
+    assert(r0.filter(pmod(col("id") - 10, lit(5)) =!= 0).count() === 0)
+    // appends allocate strictly above the recorded high water
+    DeltaLite.append(spark, path,
+      (0L until 50L).map(i => (s"a$i", i * 1.0)).toDF("name", "v").repartition(2))
+    val r1 = DeltaLite.read(spark, path)
+    assert(r1.count() === 150)
+    assert(r1.select(countDistinct(col("id"))).head().getLong(0) === 150)
+    val hw0 = snap0.identity("id").highWater.get
+    assert(r1.filter(col("name").startsWith("a"))
+      .agg(min(col("id"))).head().getLong(0) > hw0)
+    assert(DeltaLite.snapshot(path).identity("id").highWater.get > hw0)
+    // ALWAYS semantics: the batch may not supply the column...
+    intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, path, Seq((1L, "x", 1.0)).toDF("id", "name", "v"))
+    }
+    // ...UPDATE may not assign it, and row-inserting DML is rejected loudly
+    intercept[IllegalArgumentException] {
+      DeltaLite.update(spark, path, lit(true), Map("id" -> lit(0L)))
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLite.merge(spark, path, Seq(("x", 1.0)).toDF("name", "v"), Seq("name"))
+    }
+    // pure rewrites preserve allocated values (writeData never recomputes)
+    val hw1 = DeltaLite.snapshot(path).identity("id").highWater
+    val before = r1.select("name", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DeltaLite.delete(spark, path, col("v") < 10.0)
+    DeltaLite.compact(spark, path)
+    DeltaLite.read(spark, path).select("name", "id").collect().foreach { r =>
+      assert(before(r.getString(0)) === r.getLong(1),
+        s"rewrite changed the identity value of ${r.getString(0)}")
+    }
+    // rewrites carry the mark forward untouched (they allocate nothing)
+    assert(DeltaLite.snapshot(path).identity("id").highWater === hw1)
+  }
+
   test("DeltaLite partitioned table: DELETE/UPDATE/MERGE keep partition layout and values") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partdml").toString
