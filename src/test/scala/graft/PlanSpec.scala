@@ -181,6 +181,23 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"per-query top-k must be group-limited before the final sort:\n$p")
   }
 
+  test("l3_ann_index: the serve plan joins probed cells by equality, never a cartesian") {
+    val p = plan("l3_ann_index")
+    // same contract as the in-query IVF-PQ path, but over the PERSISTED
+    // index: candidates come from the codes-table equality join on the
+    // probed cell id; the only permitted nested loop is the k-row
+    // centroid broadcast inside ivfProbes; ADC re-rank is expression-
+    // only; per-query top-k group-limits before the final sort.
+    assert(!p.contains("CartesianProduct"),
+      s"persisted-index serve must join candidates on the cell id:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the k-row centroid probe may nested-loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"codes candidates must join on the cell id:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"per-query top-k must be group-limited before the final sort:\n$p")
+  }
+
   test("l3_centroid: partial aggregation bounds the shuffle to labels×dim") {
     val p = plan("l3_centroid")
     // partial + final HashAggregate around a single keyed exchange: the
