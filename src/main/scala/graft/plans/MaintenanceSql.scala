@@ -56,6 +56,8 @@ object MaintenanceSql {
       AttributeReference("num_referenced_files", IntegerType, nullable = false)(),
       AttributeReference("partition_columns", StringType, nullable = false)(),
       AttributeReference("num_constraints", IntegerType, nullable = false)(),
+      AttributeReference("generated_columns", StringType, nullable = false)(),
+      AttributeReference("identity_columns", StringType, nullable = false)(),
       AttributeReference("schema_json", StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       DeltaLite.detail(spark, path).collect().toSeq

@@ -2067,6 +2067,12 @@ object DeltaLite {
     val row = Row(snap.version, snap.totalRows, snap.files.length,
       snap.files.length - absolute, absolute,
       snap.partitionBy.mkString(","), snap.constraints.size,
+      snap.generated.toSeq.sortBy(_._1)
+        .map { case (c, e) => s"$c=$e" }.mkString(","),
+      snap.identity.toSeq.sortBy(_._1).map { case (c, ic) =>
+        s"$c(start=${ic.start},step=${ic.step}" +
+          ic.highWater.map(h => s",highWater=$h").getOrElse("") + ")"
+      }.mkString(","),
       snap.schema.json)
     val sch = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -2076,6 +2082,8 @@ object DeltaLite {
       StructField("num_referenced_files", IntegerType, nullable = false),
       StructField("partition_columns", StringType, nullable = false),
       StructField("num_constraints", IntegerType, nullable = false),
+      StructField("generated_columns", StringType, nullable = false),
+      StructField("identity_columns", StringType, nullable = false),
       StructField("schema_json", StringType, nullable = false)))
     spark.createDataFrame(java.util.List.of(row), sch)
   }

@@ -312,6 +312,9 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.derivedGeneratedBounds(spark,
       snap2.copy(generated = Map("day" -> "date_add(date(ts), 1)")),
       Seq(DeltaLite.ColumnBound("ts", Some(lo), Some(hi)))).isEmpty)
+    // DESCRIBE DETAIL surfaces the generation expression
+    assert(DeltaLite.detail(spark, path).collect()(0)
+      .getAs[String]("generated_columns") === "day=date(ts)")
   }
 
   test("DeltaLite identity columns: allocated, unique, ascending across appends, preserved by rewrites") {
@@ -362,6 +365,9 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
     // rewrites carry the mark forward untouched (they allocate nothing)
     assert(DeltaLite.snapshot(path).identity("id").highWater === hw1)
+    // DESCRIBE DETAIL surfaces the spec + live high water
+    val det = DeltaLite.detail(spark, path).collect()(0)
+    assert(det.getAs[String]("identity_columns").startsWith("id(start=10,step=5,highWater="))
   }
 
   test("DeltaLite partitioned table: DELETE/UPDATE/MERGE keep partition layout and values") {
@@ -566,6 +572,8 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(det.getAs[Int]("num_referenced_files") > 0)
     assert(det.getAs[Int]("num_owned_files") > 0)
     assert(det.getAs[String]("partition_columns") === "part")
+    assert(det.getAs[String]("generated_columns") === "")
+    assert(det.getAs[String]("identity_columns") === "")
     // DV-bearing sources are rejected (positions key on source paths)
     DeltaLite.deleteVectorized(spark, src, $"k" === 0L)
     intercept[IllegalArgumentException] {
