@@ -56,21 +56,80 @@ object Medallion {
         .agg(count(lit(1)).as("n"),
           expr("round((sum(value))*100)/100").as("sum_value"))
 
-    /** The `dbt run` analogue (SURVEY §3 EP1): materialize the whole DAG
-      * in dependency order as DeltaLite tables under `targetDir`; each
-      * layer reads the fixtures / upstream layers, never the driver.
-      * Returns model name → table path. */
-    def runAll(s: SparkSession, dir: String, targetDir: String): Map[String, String] = {
-      val models: Seq[(String, SparkSession => DataFrame)] = Seq(
-        "bronze_events" -> (sp => bronzeEvents(sp, dir)),
-        "silver_events" -> (sp => silverEvents(sp, dir)),
-        "gold_daily_revenue" -> (sp => goldDailyRevenue(sp, dir)),
-        "gold_daily_events" -> (sp => goldDailyEvents(sp, dir)))
-      models.map { case (name, model) =>
-        val path = s"$targetDir/$name"
-        graft.sources.DeltaLite.create(s, path, model(s))
-        name -> path
-      }.toMap
+    /** A dbt model node: name + upstream `ref()`s + the transform. The
+      * build function receives a resolver that reads an upstream model's
+      * MATERIALIZED DeltaLite table (dbt's ref() contract — downstream
+      * models consume what was written, not a re-derivation, so each
+      * model's lineage is the actual stored bytes). */
+    final case class Model(name: String, deps: Seq[String],
+        build: (SparkSession, String => DataFrame) => DataFrame)
+
+    /** The project DAG. `silver_events` refs bronze; `gold_daily_events`
+      * refs silver; `gold_daily_revenue` is an independent branch — so a
+      * 2-thread run overlaps it with the events chain, exactly dbt's
+      * `--threads` behavior. */
+    def dag(dir: String): Seq[Model] = Seq(
+      Model("bronze_events", Nil, (s, _) => bronzeEvents(s, dir)),
+      Model("silver_events", Seq("bronze_events"), (s, ref) =>
+        ref("bronze_events")
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+          .dropDuplicates("event_id")
+          .filter(col("event_type").isNotNull && col("value").isNotNull)),
+      Model("gold_daily_revenue", Nil, (s, _) => goldDailyRevenue(s, dir)),
+      Model("gold_daily_events", Seq("silver_events"), (s, ref) =>
+        ref("silver_events")
+          .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("round((sum(value))*100)/100").as("sum_value"))))
+
+    /** The `dbt run` analogue (SURVEY §3 EP1): materialize the DAG as
+      * DeltaLite tables under `targetDir`, executing INDEPENDENT models
+      * concurrently on `threads` workers (dbt `--threads`; Spark's
+      * scheduler interleaves their jobs). Each model starts the moment
+      * its refs are materialized — no level barrier. Fails fast with the
+      * first model error. Returns model name → table path. */
+    def runAll(s: SparkSession, dir: String, targetDir: String,
+        threads: Int = 4): Map[String, String] =
+      run(s, dag(dir), targetDir, threads)
+
+    /** The scheduler behind [[runAll]], usable with any model set. */
+    def run(s: SparkSession, models: Seq[Model], targetDir: String,
+        threads: Int = 4): Map[String, String] = {
+      import java.util.concurrent.{CompletableFuture, Executors}
+      val byName = models.map(m => m.name -> m).toMap
+      models.foreach(m => m.deps.foreach(d => require(byName.contains(d),
+        s"model ${m.name} refs unknown model $d")))
+      // topological order (Kahn) — also rejects accidental ref cycles
+      var order = Vector.empty[Model]
+      var remaining = models
+      while (remaining.nonEmpty) {
+        val (ready, rest) = remaining.partition(
+          _.deps.forall(d => order.exists(_.name == d)))
+        require(ready.nonEmpty,
+          s"ref cycle among ${remaining.map(_.name).mkString(", ")}")
+        order ++= ready; remaining = rest
+      }
+      val pool = Executors.newFixedThreadPool(math.max(1, threads))
+      try {
+        val futures = scala.collection.mutable.Map[String, CompletableFuture[String]]()
+        val ref = (n: String) =>
+          graft.sources.DeltaLite.read(s, s"$targetDir/$n")
+        order.foreach { m =>
+          val deps = m.deps.map(futures)
+          val f = CompletableFuture.allOf(deps: _*).thenApplyAsync(
+            { _ =>
+              val path = s"$targetDir/${m.name}"
+              graft.sources.DeltaLite.create(s, path, m.build(s, ref))
+              path
+            }: java.util.function.Function[Void, String], pool)
+          futures(m.name) = f
+        }
+        order.map { m =>
+          m.name -> (try futures(m.name).join()
+            catch { case e: java.util.concurrent.CompletionException =>
+              throw Option(e.getCause).getOrElse(e) })
+        }.toMap
+      } finally pool.shutdown()
     }
   }
 

@@ -222,6 +222,32 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       direct.agg(sum(col("n_items"))).head().getLong(0))
     // every model is a committed DeltaLite version 0
     tables.values.foreach(p => assert(DeltaLite.latestVersion(p) === Some(0L)))
+    // ref() lineage: gold_daily_events was built FROM the materialized
+    // silver table, so recomputing from it matches exactly
+    val silver = DeltaLite.read(spark, tables("silver_events"))
+    val goldEvents = DeltaLite.read(spark, tables("gold_daily_events"))
+    val expect = silver
+      .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("round((sum(value))*100)/100").as("sum_value"))
+    assert(goldEvents.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(goldEvents).count() === 0)
+    // a ref cycle is rejected up front, not deadlocked
+    val cyclic = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, Seq(
+        Pipeline.Model("a", Seq("b"), (_, r) => r("b")),
+        Pipeline.Model("b", Seq("a"), (_, r) => r("a"))),
+        Files.createTempDirectory("graft_cycle").toString)
+    }
+    assert(cyclic.getMessage.contains("ref cycle"))
+    // a failing model fails the run with ITS error, not a timeout/hang
+    val boom = intercept[RuntimeException] {
+      Pipeline.run(spark, Seq(
+        Pipeline.Model("ok", Nil, (s, _) => Pipeline.bronzeEvents(s, sf)),
+        Pipeline.Model("bad", Seq("ok"), (_, _) => sys.error("model exploded"))),
+        Files.createTempDirectory("graft_fail").toString)
+    }
+    assert(boom.getMessage.contains("model exploded"))
   }
 
   test("multimodal: stub decode plumbing (schema, batches, frames)") {
