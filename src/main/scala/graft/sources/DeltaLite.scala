@@ -308,30 +308,70 @@ object DeltaLite {
     }
   }
 
+  /** Tip-snapshot cache (the Delta driver's snapshot-management design):
+    * `snapshot()` is on EVERY operation's path, and a full log replay per
+    * call is O(live files) JSON parsing — the hot metadata cost once a
+    * table holds millions of files. The cache keeps the last resolved TIP
+    * per table (canonical path); a later call replays only the commits
+    * SINCE it (usually zero or one), after an always-fresh
+    * `latestVersion` listing — so external writers' commits are seen
+    * immediately and staleness is impossible. Historical `asOf` reads
+    * bypass the cache (full checkpoint-based replay, as before). */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  private val SnapCacheMax = 512
+
+  /** Test hook: drop all cached tips (forces full checkpoint replays). */
+  private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+
   /** Replay the log to (and including) version `asOf` (default latest),
-    * starting from the newest checkpoint at or before it. */
+    * starting from the cached tip, else the newest checkpoint at or
+    * before it. */
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
     val v = asOf.getOrElse(latest)
     require(v <= latest && Files.exists(logDir(path).resolve(s"$v.json")),
       s"version $v was never committed at $path")
-    var schema: StructType = null
-    var constraints = Map.empty[String, String]
-    var partitionBy: Seq[String] = Nil
-    var physical = Map.empty[String, String]
-    var generated = Map.empty[String, String]
-    var identity = Map.empty[String, IdentityCol]
-    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    val txns = scala.collection.mutable.HashMap[String, Long]()
-    val ckpt = latestCheckpointAtOrBefore(path, v)
-    ckpt.foreach { cv =>
-      applyActions(Files.readAllLines(
-        logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
-        s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m, g => generated = g, i => identity = i)
+    val key = root(path).toString
+    val cached = snapCache.get(key)
+    if (cached != null && cached.version == v) return cached
+    val snap =
+      if (cached != null && cached.version < v)
+        replay(path, v, from = Some(cached))
+      else
+        replay(path, v, from = None)
+    if (v == latest) {
+      if (snapCache.size >= SnapCacheMax) snapCache.clear()
+      snapCache.put(key, snap)
     }
-    ((ckpt.map(_ + 1).getOrElse(0L)) to v).foreach { i =>
+    snap
+  }
+
+  private def replay(path: String, v: Long, from: Option[Snapshot]): Snapshot = {
+    var schema: StructType = from.map(_.schema).orNull
+    var constraints = from.map(_.constraints).getOrElse(Map.empty[String, String])
+    var partitionBy = from.map(_.partitionBy).getOrElse(Nil: Seq[String])
+    var physical = from.map(_.physical).getOrElse(Map.empty[String, String])
+    var generated = from.map(_.generated).getOrElse(Map.empty[String, String])
+    var identity = from.map(_.identity).getOrElse(Map.empty[String, IdentityCol])
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    from.foreach(_.files.foreach(f => live(f.path) = f))
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    from.foreach(_.txns.foreach { case (a, t) => txns(a) = t })
+    val start = from match {
+      case Some(base) => base.version + 1
+      case None =>
+        val ckpt = latestCheckpointAtOrBefore(path, v)
+        ckpt.foreach { cv =>
+          applyActions(Files.readAllLines(
+            logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
+            s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
+            m => physical = m, g => generated = g, i => identity = i)
+        }
+        ckpt.map(_ + 1).getOrElse(0L)
+    }
+    (start to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
         m => physical = m, g => generated = g, x => identity = x)

@@ -711,6 +711,36 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       .collect().map(_.getLong(0)).toSeq === Seq(3L, 2L))
   }
 
+  test("DeltaLite tip-snapshot cache: incremental replay equals full replay, never stale") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snapcache").toString
+    DeltaLite.create(spark, path, (0L until 40L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    DeltaLite.snapshot(path) // warm the cache at v0
+    // a mix of state-changing ops: each later snapshot() call replays
+    // only the new commits onto the cached tip
+    DeltaLite.append(spark, path, Seq((100L, 1.0)).toDF("k", "v"))
+    DeltaLite.delete(spark, path, $"k" < 5L)
+    DeltaLite.update(spark, path, $"k" === 100L, Map("v" -> lit(9.0)))
+    DeltaLite.renameColumn(path, "v", "val")
+    DeltaLite.addConstraint(spark, path, "val_ok", "val >= 0")
+    val incremental = DeltaLite.snapshot(path)
+    // fresh full replay (checkpoint path) must agree on EVERY field
+    DeltaLite.clearSnapshotCache()
+    val full = DeltaLite.snapshot(path)
+    assert(incremental.version === full.version)
+    assert(incremental.schema === full.schema)
+    assert(incremental.files.toSet === full.files.toSet)
+    assert(incremental.constraints === full.constraints)
+    assert(incremental.physical === full.physical)
+    assert(incremental.txns === full.txns)
+    // the cache can never serve stale state: version discovery always
+    // lists the log, so an external writer's commit is picked up
+    val before = DeltaLite.snapshot(path).version
+    DeltaLite.append(spark, path, Seq((200L, 2.0)).toDF("k", "val"))
+    assert(DeltaLite.snapshot(path).version === before + 1)
+    assert(DeltaLite.read(spark, path).filter($"k" === 200L).count() === 1)
+  }
+
   test("DeltaLite log checkpoints: replay from checkpoint equals full replay") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_ckpt").toString
