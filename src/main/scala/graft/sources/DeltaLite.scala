@@ -1696,10 +1696,25 @@ object DeltaLite {
     * `_metadata.file_path` semi-join. */
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
-      clauses: Seq[graft.operators.Merge.MergeClause]): Long = {
+      clauses: Seq[graft.operators.Merge.MergeClause],
+      schemaEvolution: Boolean = false): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "MERGE")
+    // Delta `MERGE ... WITH SCHEMA EVOLUTION`: extra SOURCE columns join
+    // the table schema (must be explicit — without the flag they remain
+    // legal but are only visible to clause conditions). Existing files
+    // are NOT rewritten for the new columns: history reads them as null
+    // through the log schema, exactly like appendEvolve; only the merge's
+    // own rewrite carries values.
+    val known = snap.schema.fieldNames.toSet
+    val newFields =
+      if (!schemaEvolution) Seq.empty
+      else source.schema.fields.filterNot(f => known.contains(f.name)).toSeq
+    val physNames = snap.schema.fieldNames.map(snap.phys).toSet
+    newFields.foreach(f => require(!physNames.contains(f.name),
+      s"new column '${f.name}' collides with the physical name of a renamed column"))
+    val evolved = StructType(snap.schema.fields ++ newFields)
     val hasBySource = clauses.exists {
       case _: graft.operators.Merge.NotMatchedBySourceUpdate => true
       case _: graft.operators.Merge.NotMatchedBySourceDelete => true
@@ -1710,12 +1725,14 @@ object DeltaLite {
         (snap.files.map(_.path),
           readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical))
       else filesHoldingKeys(spark, path, snap, source, keys)
-    val merged = graft.operators.Merge.merge(touchedRows, source, keys, clauses)
-    checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
+    val target = newFields.foldLeft(touchedRows)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val merged = graft.operators.Merge.merge(target, source, keys, clauses)
+    checkConstraints(merged, evolved, snap.constraints, "MERGE")
     val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, merged, snap.schema,
+    val adds = writeData(spark, root(path), v, merged, evolved,
       snap.partitionBy, snap.physical, snap.generated)
-    commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
+    commitExclusive(path, v, "MERGE", evolved, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity)
   }

@@ -406,6 +406,42 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(snap.files.forall(_.pv.contains("part")))
   }
 
+  test("DeltaLite MERGE WITH SCHEMA EVOLUTION adds source columns without rewriting history") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_mergeevo").toString
+    // two files so one stays UNTOUCHED by the merge (low keys)
+    DeltaLite.create(spark, path,
+      (0L until 40L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    val untouched = DeltaLite.snapshot(path).files.map(_.path).toSet
+    val src = Seq((30L, 300.0, "u30"), (100L, 1000.0, "u100"))
+      .toDF("k", "v", "tag")
+    // without the flag, 'tag' stays condition-only: schema unchanged
+    DeltaLite.mergeClauses(spark, path, src, Seq("k"), Seq(
+      graft.operators.Merge.MatchedUpdate(None,
+        Map("v" -> graft.operators.Merge.src("v")))))
+    assert(!DeltaLite.snapshot(path).schema.fieldNames.contains("tag"))
+    // with the flag, star clauses evolve the schema and carry the values
+    DeltaLite.mergeClauses(spark, path, src, Seq("k"), Seq(
+      graft.operators.Merge.MatchedUpdate(None),
+      graft.operators.Merge.NotMatchedInsert(None)),
+      schemaEvolution = true)
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.schema.fieldNames.toSeq === Seq("k", "v", "tag"))
+    val r = DeltaLite.read(spark, path)
+    assert(r.count() === 41)
+    assert(r.filter($"k" === 30L).select("tag").head().getString(0) === "u30")
+    assert(r.filter($"k" === 100L).select("tag").head().getString(0) === "u100")
+    // pre-evolution rows read null for the new column...
+    assert(r.filter($"tag".isNull).count() === 39)
+    // ...because untouched files survive BY REFERENCE, never rewritten
+    assert(untouched.intersect(snap.files.map(_.path).toSet).nonEmpty,
+      "the un-keyed file must survive the evolving merge untouched")
+    // time travel still sees the pre-evolution schema
+    assert(!DeltaLite.read(spark, path, asOf = Some(0L))
+      .columns.contains("tag"))
+  }
+
   test("DeltaLite CONVERT adopts a partitioned parquet dir in place, files untouched") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_convert").toString
