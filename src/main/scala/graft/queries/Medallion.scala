@@ -771,6 +771,50 @@ object Medallion {
                                AND TIMESTAMP '1996-12-31 23:59:59'
          GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S24
+    // MERGE WITH SCHEMA EVOLUTION: the source carries o_orderstatus,
+    // which the target never had — the evolving merge adds it to the log
+    // schema, the merge's own rewrite carries its values, and the
+    // UNTOUCHED pre-evolution rows read it as null through the log
+    // schema (their files are never rewritten). The oracle restates the
+    // star-clause algebra as a full outer join; the null-status group IS
+    // the by-reference history.
+    QueryDef("s24_merge_evolution", (s, dir) => {
+      val path = tmp("s24_delta")
+      val o = t(s, dir, "orders")
+      DeltaLite.create(s, path,
+        o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_totalprice")))
+      val source = o
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderstatus"))
+      DeltaLite.mergeClauses(s, path, source, Seq("o_orderkey"), Seq(
+        Merge.MatchedUpdate(None), Merge.NotMatchedInsert(None)),
+        schemaEvolution = true)
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+         src AS (
+           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+         merged AS (
+           SELECT CASE WHEN s.o_orderkey IS NOT NULL
+                       THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+                  s.o_orderstatus AS o_orderstatus
+           FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+         SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM merged GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S23
     // Identity columns (Delta GENERATED ALWAYS AS IDENTITY — the dbt
     // surrogate-key surface): the table allocates `row_id` itself on
