@@ -24,6 +24,8 @@ import graft.sources.DeltaLite
   *   REORG '<path>' APPLY (PURGE)
   *   ALTER '<path>' RENAME COLUMN old TO new
   *   ALTER '<path>' DROP COLUMN name
+  *   ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
+  *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
   *
   * Table paths are quoted string literals (a DeltaLite table is a
   * directory, not a catalog entry). Each statement is a
@@ -58,6 +60,7 @@ object MaintenanceSql {
       AttributeReference("num_constraints", IntegerType, nullable = false)(),
       AttributeReference("generated_columns", StringType, nullable = false)(),
       AttributeReference("identity_columns", StringType, nullable = false)(),
+      AttributeReference("properties", StringType, nullable = false)(),
       AttributeReference("schema_json", StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       DeltaLite.detail(spark, path).collect().toSeq
@@ -101,6 +104,22 @@ object MaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.dropColumn(path, name)))
+  }
+
+  final case class SetPropertiesCommand(path: String,
+      props: Map[String, String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.setProperties(path, props)))
+  }
+
+  final case class UnsetPropertyCommand(path: String, key: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.unsetProperty(path, key)))
   }
 
   final case class ConvertCommand(path: String) extends LeafRunnableCommand {
@@ -159,6 +178,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetPropRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(\s*""" +
+      """'([^']+)'\s*\)\s*;?\s*""").r
+  // one `'k' = 'v'` pair inside SET TBLPROPERTIES (...)
+  private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -178,6 +204,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
     case DropColRe(p, c) => DropColumnCommand(p, c)
+    case SetPropsRe(p, pairs) =>
+      SetPropertiesCommand(p,
+        PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
+    case UnsetPropRe(p, k) => UnsetPropertyCommand(p, k)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -85,7 +85,8 @@ object DeltaLite {
       partitionBy: Seq[String] = Nil,
       physical: Map[String, String] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      identity: Map[String, IdentityCol] = Map.empty) {
+      identity: Map[String, IdentityCol] = Map.empty,
+      properties: Map[String, String] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
     /** Column mapping (Delta column-mapping mode `name`): the PHYSICAL
@@ -355,6 +356,7 @@ object DeltaLite {
     var physical = from.map(_.physical).getOrElse(Map.empty[String, String])
     var generated = from.map(_.generated).getOrElse(Map.empty[String, String])
     var identity = from.map(_.identity).getOrElse(Map.empty[String, IdentityCol])
+    var properties = from.map(_.properties).getOrElse(Map.empty[String, String])
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     from.foreach(_.files.foreach(f => live(f.path) = f))
     val txns = scala.collection.mutable.HashMap[String, Long]()
@@ -367,18 +369,20 @@ object DeltaLite {
           applyActions(Files.readAllLines(
             logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
             s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-            m => physical = m, g => generated = g, i => identity = i)
+            m => physical = m, g => generated = g, i => identity = i,
+        pr => properties = pr)
         }
         ckpt.map(_ + 1).getOrElse(0L)
     }
     (start to v).foreach { i =>
       applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
-        m => physical = m, g => generated = g, x => identity = x)
+        m => physical = m, g => generated = g, x => identity = x,
+        pr => properties = pr)
     }
     require(schema != null, s"log at $path has no metaData action")
     Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
-      physical, generated, identity)
+      physical, generated, identity, properties)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
@@ -388,7 +392,8 @@ object DeltaLite {
       onPartitionBy: Seq[String] => Unit,
       onPhysical: Map[String, String] => Unit,
       onGenerated: Map[String, String] => Unit,
-      onIdentity: Map[String, IdentityCol] => Unit): Unit = {
+      onIdentity: Map[String, IdentityCol] => Unit,
+      onProperties: Map[String, String] => Unit): Unit = {
     var schema: StructType = null
     var physical = Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
@@ -426,6 +431,9 @@ object DeltaLite {
                 c -> IdentityCol(num("start").getOrElse(1L),
                   num("step").getOrElse(1L), num("highWater"))
               }.toMap
+            }.getOrElse(Map.empty))
+            onProperties(m.collectFirst { case ("properties", JObject(ps)) =>
+              ps.collect { case (k, JString(x)) => k -> x }.toMap
             }.getOrElse(Map.empty))
           case ("add", a: JObject) =>
             val af = decodeAdd(a, schema, physical)
@@ -803,7 +811,8 @@ object DeltaLite {
       partitionBy: Seq[String],
       physical: Map[String, String],
       generated: Map[String, String],
-      identity: Map[String, IdentityCol]): Long = {
+      identity: Map[String, IdentityCol],
+      properties: Map[String, String]): Long = {
     // `constraints`/`partitionBy`/`physical`/`generated`/`identity` have
     // NO default on purpose: metaData is re-stated on every commit, so a
     // call site that forgot to carry the snapshot's values forward would
@@ -821,7 +830,10 @@ object DeltaLite {
       (if (generated.isEmpty) Nil
        else List("generatedColumns" -> JObject(
          generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) }))) ++
-      encodeIdentity(identity)
+      encodeIdentity(identity) ++
+      (if (properties.isEmpty) Nil
+       else List("properties" -> JObject(
+         properties.toList.sortBy(_._1).map { case (k, x) => k -> JString(x) })))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
@@ -868,7 +880,10 @@ object DeltaLite {
       (if (snap.generated.isEmpty) Nil
        else List("generatedColumns" -> JObject(
          snap.generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) }))) ++
-      encodeIdentity(snap.identity)
+      encodeIdentity(snap.identity) ++
+      (if (snap.properties.isEmpty) Nil
+       else List("properties" -> JObject(
+         snap.properties.toList.sortBy(_._1).map { case (k, x) => k -> JString(x) })))
     val lines =
       (JsonMethods.compact(JObject(List("metaData" -> JObject(ckptMeta)))) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
@@ -909,7 +924,7 @@ object DeltaLite {
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
         snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        snap.identity)
+        snap.identity, snap.properties)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -927,9 +942,10 @@ object DeltaLite {
       constraints: Map[String, String], partitionBy: Seq[String],
       physical: Map[String, String],
       generated: Map[String, String],
-      identity: Map[String, IdentityCol]): Long =
+      identity: Map[String, IdentityCol],
+      properties: Map[String, String]): Long =
     try writeCommit(path, version, op, schema, adds, removes, None, constraints,
-      partitionBy, physical, generated, identity)
+      partitionBy, physical, generated, identity, properties)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1148,6 +1164,7 @@ object DeltaLite {
     * into the new DV so each file references exactly one. */
   def deleteVectorized(spark: SparkSession, path: String, cond: Column): Long = {
     val snap = snapshot(path)
+    rejectIfAppendOnly(snap, "DELETE_DV")
     val r = root(path)
     val hit = coalesce(cond, lit(false))
     val matches = readFilesWithPos(spark, path, snap.schema, snap.files,
@@ -1159,7 +1176,7 @@ object DeltaLite {
     if (touched.isEmpty)
       return writeCommit(path, snap.version + 1, "DELETE_DV", snap.schema, Nil, Nil,
         None, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
     val touchedSet = touched.toSet
     val priorDvDirs = snap.files
       .filter(f => touchedSet.contains(f.path)).flatMap(_.dv).distinct
@@ -1175,7 +1192,7 @@ object DeltaLite {
       .map(_.copy(dv = Some(dvRel)))
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
       readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -1325,7 +1342,8 @@ object DeltaLite {
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
-      identity: Map[String, IdentityCol] = Map.empty): Long = {
+      identity: Map[String, IdentityCol] = Map.empty,
+      properties: Map[String, String] = Map.empty): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
     // Identity columns (Delta `GENERATED ALWAYS AS IDENTITY`): the batch
     // may never supply them (ALWAYS semantics) — the table allocates.
@@ -1365,7 +1383,7 @@ object DeltaLite {
       Map.empty, generated)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty,
       partitionBy, Map.empty, generated,
-      advanceHighWater(identity, adds, schema, Map.empty))
+      advanceHighWater(identity, adds, schema, Map.empty), properties)
   }
 
   /** Sparse identity allocation above `highWater`: unique and ascending
@@ -1429,7 +1447,7 @@ object DeltaLite {
     val adds = footerAdds(spark, r, r, schema, partitionBy, Map.empty)
     require(adds.nonEmpty, s"no parquet files under $path to convert")
     writeCommit(path, 0L, "CONVERT", schema, adds, Nil, None, Map.empty,
-      partitionBy, Map.empty, Map.empty, Map.empty)
+      partitionBy, Map.empty, Map.empty, Map.empty, Map.empty)
   }
 
   /** Partition column names present in the Hive layout under `dir`
@@ -1467,7 +1485,8 @@ object DeltaLite {
       // Delta similarly downgrades concurrent identity appends.
       commitExclusive(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
         snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, snap.schema, snap.physical))
+        advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
+        snap.properties)
   }
 
   /** Row-INSERTING DML (merge/delete+insert/replaceWhere) would need
@@ -1525,7 +1544,8 @@ object DeltaLite {
       try writeCommit(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
         Some((app, txnVersion)), snap.constraints, snap.partitionBy,
         snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, snap.schema, snap.physical))
+        advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
+        snap.properties)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new java.util.ConcurrentModificationException(
@@ -1560,7 +1580,8 @@ object DeltaLite {
     else
       commitExclusive(path, snap.version + 1, "APPEND_EVOLVE", evolved, adds,
         Nil, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, evolved, snap.physical))
+        advanceHighWater(snap.identity, adds, evolved, snap.physical),
+        snap.properties)
   }
 
   /** Delta `ALTER TABLE ... ADD CONSTRAINT name CHECK (check)` — the
@@ -1581,7 +1602,7 @@ object DeltaLite {
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
     commitExclusive(path, snap.version + 1, "ADD_CONSTRAINT", snap.schema,
       Nil, Nil, snap.constraints + (name -> check), snap.partitionBy, snap.physical,
-      snap.generated, snap.identity)
+      snap.generated, snap.identity, snap.properties)
   }
 
   /** Delta `ALTER TABLE ... RENAME COLUMN old TO new` (column-mapping
@@ -1617,7 +1638,7 @@ object DeltaLite {
     val newPhysical = (snap.physical - oldName) + (newName -> snap.phys(oldName))
     commitExclusive(path, snap.version + 1, "RENAME_COLUMN", newSchema,
       Nil, Nil, snap.constraints, snap.partitionBy, newPhysical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):
@@ -1641,7 +1662,7 @@ object DeltaLite {
     // computed (its metadata entry leaves with the schema field)
     commitExclusive(path, snap.version + 1, "DROP_COLUMN", newSchema,
       Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name,
-      snap.generated - name, snap.identity - name)
+      snap.generated - name, snap.identity - name, snap.properties)
   }
 
   /** Conservative word-boundary test: does any CHECK expression mention
@@ -1660,8 +1681,42 @@ object DeltaLite {
     require(snap.constraints.contains(name), s"no constraint '$name' on $path")
     commitExclusive(path, snap.version + 1, "DROP_CONSTRAINT", snap.schema,
       Nil, Nil, snap.constraints - name, snap.partitionBy, snap.physical,
-      snap.generated, snap.identity)
+      snap.generated, snap.identity, snap.properties)
   }
+
+  /** Delta `ALTER TABLE ... SET TBLPROPERTIES (k = v, ...)` — free-form
+    * table metadata in the log, merged key-wise (a metadata-only commit;
+    * no data touched at any table size). Recognized semantic property:
+    * `delta.appendOnly = true` turns the table append-only — every
+    * row-removing or row-rewriting op (DELETE/UPDATE/MERGE/delete+insert/
+    * replaceWhere, DV deletes) is refused until the property is unset,
+    * Delta's ingest-ledger protection. Unknown keys are carried verbatim
+    * (dbt `tblproperties` config lands here). */
+  def setProperties(path: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "no properties given")
+    val snap = snapshot(path)
+    commitExclusive(path, snap.version + 1, "SET_TBLPROPERTIES", snap.schema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity, snap.properties ++ props)
+  }
+
+  /** Delta `ALTER TABLE ... UNSET TBLPROPERTIES (k)`. */
+  def unsetProperty(path: String, key: String): Long = {
+    val snap = snapshot(path)
+    require(snap.properties.contains(key), s"no property '$key' on $path")
+    commitExclusive(path, snap.version + 1, "UNSET_TBLPROPERTIES", snap.schema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity, snap.properties - key)
+  }
+
+  /** `delta.appendOnly` enforcement: refuse any op that removes or
+    * rewrites committed rows. Appends, OPTIMIZE-family rewrites (row-
+    * preserving), and metadata commits stay allowed. */
+  private def rejectIfAppendOnly(snap: Snapshot, op: String): Unit =
+    if (snap.properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$op is not allowed: this table is append-only " +
+          "(TBLPROPERTIES delta.appendOnly = true)")
 
   /** MERGE INTO upsert (dbt incremental `merge` / Delta MERGE / S8).
     * Rewrites ONLY the files that contain a key present in `updates`:
@@ -1673,6 +1728,7 @@ object DeltaLite {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "MERGE")
+    rejectIfAppendOnly(snap, "MERGE")
     checkWriteSchema(updates.schema, snap.schema, "MERGE")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
     val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
@@ -1682,7 +1738,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
@@ -1701,6 +1757,7 @@ object DeltaLite {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "MERGE")
+    rejectIfAppendOnly(snap, "MERGE")
     // Delta `MERGE ... WITH SCHEMA EVOLUTION`: extra SOURCE columns join
     // the table schema (must be explicit — without the flag they remain
     // legal but are only visible to clause conditions). Existing files
@@ -1734,7 +1791,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", evolved, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -1748,6 +1805,7 @@ object DeltaLite {
     require(keys.nonEmpty, "delete+insert keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "DELETE_INSERT")
+    rejectIfAppendOnly(snap, "DELETE_INSERT")
     checkWriteSchema(batch.schema, snap.schema, "DELETE_INSERT")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
     val survivors = touchedRows.join(
@@ -1760,7 +1818,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -1786,7 +1844,7 @@ object DeltaLite {
       f.copy(path = srcRoot.resolve(f.path).toString))
     writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
@@ -1804,7 +1862,7 @@ object DeltaLite {
     val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
       old.constraints, old.partitionBy, old.physical, old.generated,
-      old.identity)
+      old.identity, old.properties)
   }
 
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
@@ -1844,6 +1902,7 @@ object DeltaLite {
     * semantics). */
   def delete(spark: SparkSession, path: String, cond: Column): Long = {
     val snap = snapshot(path)
+    rejectIfAppendOnly(snap, "DELETE")
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
     val rewritten = kept.filter(!hit)
@@ -1853,7 +1912,7 @@ object DeltaLite {
         snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -1861,6 +1920,7 @@ object DeltaLite {
   def update(spark: SparkSession, path: String, cond: Column,
       set: Map[String, Column]): Long = {
     val snap = snapshot(path)
+    rejectIfAppendOnly(snap, "UPDATE")
     // GENERATED ALWAYS AS columns cannot be assigned (Delta's rule); they
     // are recomputed from the updated base columns inside writeData.
     set.keys.find(snap.generated.contains).foreach { c =>
@@ -1887,7 +1947,7 @@ object DeltaLite {
         snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -1902,6 +1962,7 @@ object DeltaLite {
       df: DataFrame): Long = {
     val snap = snapshot(path)
     rejectIdentity(snap, "REPLACE_WHERE")
+    rejectIfAppendOnly(snap, "REPLACE_WHERE")
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
     checkWriteSchema(df.schema, snap.schema, "REPLACE_WHERE")
@@ -1913,7 +1974,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Files of `snap` containing a row where `hit` is true, plus a
@@ -1948,7 +2009,7 @@ object DeltaLite {
       snap.schema, snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -2019,7 +2080,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
       victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Bin-packing OPTIMIZE (what Delta's OPTIMIZE actually does): compact
@@ -2040,7 +2101,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
@@ -2063,7 +2124,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "REORG", snap.schema, adds,
       dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set
@@ -2086,7 +2147,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** True Z-order clustering on TWO bigint keys (`OPTIMIZE ZORDER BY
@@ -2111,7 +2172,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity)
+      snap.identity, snap.properties)
   }
 
   /** `DESCRIBE DETAIL` analogue: one-row table summary from the log
@@ -2130,6 +2191,8 @@ object DeltaLite {
         s"$c(start=${ic.start},step=${ic.step}" +
           ic.highWater.map(h => s",highWater=$h").getOrElse("") + ")"
       }.mkString(","),
+      snap.properties.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString(","),
       snap.schema.json)
     val sch = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -2141,6 +2204,7 @@ object DeltaLite {
       StructField("num_constraints", IntegerType, nullable = false),
       StructField("generated_columns", StringType, nullable = false),
       StructField("identity_columns", StringType, nullable = false),
+      StructField("properties", StringType, nullable = false),
       StructField("schema_json", StringType, nullable = false)))
     spark.createDataFrame(java.util.List.of(row), sch)
   }

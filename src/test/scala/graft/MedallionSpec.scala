@@ -335,6 +335,16 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k", "w"))
     spark.sql(s"ALTER '$plain' DROP COLUMN w")
     assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k"))
+    // SET/UNSET TBLPROPERTIES: appendOnly locks, unset re-opens
+    spark.sql(s"ALTER '$plain' SET TBLPROPERTIES ('delta.appendOnly' = 'true', 'team' = 'ingest')")
+    assert(spark.sql(s"DESCRIBE DETAIL '$plain'").collect()(0)
+      .getAs[String]("properties").contains("team=ingest"))
+    intercept[UnsupportedOperationException] {
+      DeltaLite.delete(spark, plain, $"k" === 5L)
+    }
+    spark.sql(s"ALTER '$plain' UNSET TBLPROPERTIES ('delta.appendOnly')")
+    DeltaLite.delete(spark, plain, $"k" === 5L)
+    assert(DeltaLite.read(spark, plain).count() === 14)
     // non-graft SQL still parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }

@@ -406,6 +406,50 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(snap.files.forall(_.pv.contains("part")))
   }
 
+  test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_props").toString
+    DeltaLite.create(spark, path,
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      properties = Map("owner" -> "ingest-team"))
+    DeltaLite.setProperties(path, Map("delta.appendOnly" -> "true"))
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.properties === Map(
+      "owner" -> "ingest-team", "delta.appendOnly" -> "true"))
+    // appends and row-preserving maintenance stay allowed...
+    DeltaLite.append(spark, path, Seq((100L, 5.0)).toDF("k", "v"))
+    DeltaLite.compact(spark, path)
+    assert(DeltaLite.read(spark, path).count() === 21)
+    // ...every row-removing/rewriting op is refused
+    intercept[UnsupportedOperationException] {
+      DeltaLite.delete(spark, path, $"k" < 5L)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLite.update(spark, path, $"k" === 0L, Map("v" -> lit(9.0)))
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLite.deleteVectorized(spark, path, $"k" === 0L)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLite.merge(spark, path, Seq((0L, 9.0)).toDF("k", "v"), Seq("k"))
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLite.replaceWhere(spark, path, $"k" < 5L,
+        Seq((0L, 9.0)).toDF("k", "v"))
+    }
+    assert(DeltaLite.read(spark, path).count() === 21)
+    // unset re-opens the table; properties survive checkpoint replay
+    DeltaLite.unsetProperty(path, "delta.appendOnly")
+    DeltaLite.delete(spark, path, $"k" === 100L)
+    assert(DeltaLite.read(spark, path).count() === 20)
+    (0 until 10).foreach(i => DeltaLite.append(spark, path,
+      Seq((1000L + i, 0.0)).toDF("k", "v"))) // cross a checkpoint boundary
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.snapshot(path).properties === Map("owner" -> "ingest-team"))
+    assert(DeltaLite.detail(spark, path).collect()(0)
+      .getAs[String]("properties") === "owner=ingest-team")
+  }
+
   test("DeltaLite MERGE WITH SCHEMA EVOLUTION adds source columns without rewriting history") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_mergeevo").toString
