@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaLite
+
+/** Incrementally-maintained aggregate materialized view — the engine
+  * behind dbt's incremental models, driven by the CHANGE DATA FEED so a
+  * refresh costs O(changes since last refresh), never O(source table).
+  *
+  * The view is `SELECT keys, sum(value), count(*) FROM source GROUP BY
+  * keys` (sum+count also derive avg). Refresh:
+  *
+  *   1. Read the target's `txn` entry to find the last APPLIED source
+  *      version — recorded on the SAME commit as each refresh's data
+  *      (create/merge carry it atomically), so a crash between "apply"
+  *      and "record" is impossible by construction and a replayed
+  *      refresh is a no-op (txn idempotence).
+  *   2. Fold the CDF rows of (applied, latest]: inserts contribute
+  *      +value/+1, deletes −value/−1 (an UPDATE arrives as delete +
+  *      insert, so it nets correctly). One keyed partial agg over only
+  *      the changed rows.
+  *   3. MERGE the per-key deltas into the view: groups whose count hits
+  *      zero DELETE, existing groups UPDATE by addition, new groups
+  *      INSERT. One shuffle on the view key, only key-overlapping view
+  *      files rewritten.
+  *
+  * Sums are carried as DECIMAL(28,4): incremental += arithmetic must
+  * reproduce a from-scratch recompute EXACTLY (doubles would drift ulp
+  * by addition order and break the equivalence the oracle checks).
+  *
+  * At 100 TB this is the difference between re-aggregating a fact table
+  * per refresh and touching just the day's changed files — the same
+  * contract as Delta/Databricks incremental MVs, built from parts this
+  * engine already has (CDF + multi-clause MERGE + txn actions). */
+object IncrementalMv {
+
+  private def app(sourcePath: String): String =
+    "graft-mv:" + java.nio.file.Paths.get(sourcePath)
+      .toAbsolutePath.normalize().toString
+
+  /** Create or incrementally refresh the view; returns the target's new
+    * version (unchanged when the source has nothing new). */
+  def refreshSum(spark: SparkSession, sourcePath: String, targetPath: String,
+      keys: Seq[String], valueCol: String): Long = {
+    require(keys.nonEmpty, "view keys required")
+    val srcVersion = DeltaLite.snapshot(sourcePath).version
+    val sumT = "decimal(28,4)"
+    val txnApp = app(sourcePath)
+
+    DeltaLite.latestVersion(targetPath) match {
+      case None =>
+        // initial materialization: one full aggregate, applied-version
+        // recorded on the SAME commit
+        val full = DeltaLite.read(spark, sourcePath)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(valueCol).cast(sumT)).cast(sumT).as("sum_value"),
+            count(lit(1)).as("n_rows"))
+        DeltaLite.create(spark, targetPath, full,
+          txn = Some((txnApp, srcVersion)))
+
+      case Some(_) =>
+        val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
+          sys.error(s"$targetPath is not a view over $sourcePath " +
+            "(no applied-version txn)"))
+        if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
+        val deltas = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
+          .withColumn("__sign", when(col("_change_type") === "insert", 1L)
+            .otherwise(-1L))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(valueCol).cast(sumT) * col("__sign")).cast(sumT)
+            .as("d_sum"),
+            sum(col("__sign")).as("d_n"))
+        DeltaLite.mergeClauses(spark, targetPath, deltas, keys, Seq(
+          // a group whose live row count reaches zero leaves the view
+          Merge.MatchedDelete(Some(col("n_rows") + Merge.src("d_n") === 0L)),
+          Merge.MatchedUpdate(None, Map(
+            "sum_value" -> (col("sum_value") + Merge.src("d_sum")).cast(sumT),
+            "n_rows" -> (col("n_rows") + Merge.src("d_n")))),
+          // brand-new groups must carry a positive count (a pure-delete
+          // delta for an unknown group would be a CDF/state bug)
+          Merge.NotMatchedInsert(Some(Merge.src("d_n") > 0L), Map(
+            "sum_value" -> Merge.src("d_sum").cast(sumT),
+            "n_rows" -> Merge.src("d_n")))),
+          txn = Some((txnApp, srcVersion)))
+    }
+  }
+
+  /** The view as a DataFrame (keys, sum_value, n_rows, avg_value). */
+  def read(spark: SparkSession, targetPath: String): DataFrame = {
+    val v = DeltaLite.read(spark, targetPath)
+    v.withColumn("avg_value",
+      (col("sum_value") / col("n_rows")).cast("decimal(28,8)"))
+  }
+}

@@ -771,6 +771,52 @@ object Medallion {
                                AND TIMESTAMP '1996-12-31 23:59:59'
          GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S25
+    // Incremental materialized view (the engine behind dbt incremental
+    // models): the view materializes once, then each refresh folds ONLY
+    // the change-data-feed rows since the last applied source version
+    // (recorded atomically as a txn on the view's own commit) and
+    // MERGEs per-key deltas — O(changes), never O(source). The oracle
+    // recomputes the final source state from scratch: incremental
+    // maintenance must be EXACTLY equivalent (sums ride DECIMAL so
+    // addition order cannot drift).
+    QueryDef("s25_incremental_mv", (s, dir) => {
+      val src = tmp("s25_src")
+      val mv = tmp("s25_mv") + "/mv"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, src,
+        o.filter(col("o_orderdate").isNotNull && // stable slice: pre-1997
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.operators.IncrementalMv.refreshSum(s, src, mv,
+        Seq("o_orderpriority"), "o_totalprice")
+      // later loads + corrections land in the SOURCE...
+      DeltaLite.append(s, src,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
+      DeltaLite.delete(s, src, col("o_totalprice") < 10000.0)
+      DeltaLite.update(s, src, col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      // ...and ONE incremental refresh catches the view up
+      graft.operators.IncrementalMv.refreshSum(s, src, mv,
+        Seq("o_orderpriority"), "o_totalprice")
+      DeltaLite.read(s, mv)
+        .select(col("o_orderpriority"), col("sum_value"), col("n_rows"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH final AS (
+           SELECT o_orderpriority,
+                  CASE WHEN o_orderstatus = 'F'
+                       THEN o_totalprice + 1000 ELSE o_totalprice END AS val
+           FROM orders WHERE o_totalprice >= 10000)
+         SELECT o_orderpriority,
+                CAST(sum(CAST(val AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_value,
+                count(*) AS n_rows
+         FROM final GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S24
     // MERGE WITH SCHEMA EVOLUTION: the source carries o_orderstatus,
     // which the target never had — the evolving merge adds it to the log

@@ -943,8 +943,9 @@ object DeltaLite {
       physical: Map[String, String],
       generated: Map[String, String],
       identity: Map[String, IdentityCol],
-      properties: Map[String, String]): Long =
-    try writeCommit(path, version, op, schema, adds, removes, None, constraints,
+      properties: Map[String, String],
+      txn: Option[(String, Long)] = None): Long =
+    try writeCommit(path, version, op, schema, adds, removes, txn, constraints,
       partitionBy, physical, generated, identity, properties)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1343,7 +1344,8 @@ object DeltaLite {
       partitionBy: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
       identity: Map[String, IdentityCol] = Map.empty,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
     // Identity columns (Delta `GENERATED ALWAYS AS IDENTITY`): the batch
     // may never supply them (ALWAYS semantics) — the table allocates.
@@ -1381,7 +1383,7 @@ object DeltaLite {
       generatedChecks(df.columns.toSet, generated), "CREATE")
     val adds = writeData(spark, root(path), 0L, withIds, schema, partitionBy,
       Map.empty, generated)
-    writeCommit(path, 0L, "CREATE", schema, adds, Nil, None, Map.empty,
+    writeCommit(path, 0L, "CREATE", schema, adds, Nil, txn, Map.empty,
       partitionBy, Map.empty, generated,
       advanceHighWater(identity, adds, schema, Map.empty), properties)
   }
@@ -1753,9 +1755,16 @@ object DeltaLite {
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
       clauses: Seq[graft.operators.Merge.MergeClause],
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
+    // txn idempotence (same rule as appendOnce): an already-applied
+    // version makes the whole merge a no-op — the exactly-once hook the
+    // incremental-MV refresher builds on.
+    txn.foreach { case (app, ver) =>
+      if (snap.txns.get(app).exists(_ >= ver)) return snap.version
+    }
     rejectIdentity(snap, "MERGE")
     rejectIfAppendOnly(snap, "MERGE")
     // Delta `MERGE ... WITH SCHEMA EVOLUTION`: extra SOURCE columns join
@@ -1791,7 +1800,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical, snap.generated)
     commitExclusive(path, v, "MERGE", evolved, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+      snap.identity, snap.properties, txn)
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row

@@ -406,6 +406,41 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(snap.files.forall(_.pv.contains("part")))
   }
 
+  test("IncrementalMv: CDF-driven refresh equals full recompute, exactly-once, O(changes)") {
+    import spark.implicits._
+    import graft.operators.IncrementalMv
+    val src = Files.createTempDirectory("graft_mv_src").toString
+    val tgt = Files.createTempDirectory("graft_mv_tgt").toString + "/mv"
+    DeltaLite.create(spark, src,
+      (0L until 100L).map(i => (i, s"g${i % 5}", i * 1.0)).toDF("k", "g", "v"))
+    IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    def recompute() = DeltaLite.read(spark, src).groupBy("g")
+      .agg(sum($"v".cast("decimal(28,4)")).cast("decimal(28,4)").as("sum_value"),
+        count(lit(1)).as("n_rows"))
+    def viewRows() = DeltaLite.read(spark, tgt).select("g", "sum_value", "n_rows")
+    assert(viewRows().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(viewRows()).count() === 0)
+    // mutate the source every way CDF can express: append, delete, update
+    DeltaLite.append(spark, src,
+      (100L until 130L).map(i => (i, s"g${i % 5}", i * 1.0)).toDF("k", "g", "v"))
+    DeltaLite.delete(spark, src, $"k" < 20L)
+    DeltaLite.update(spark, src, $"g" === "g0", Map("v" -> ($"v" + 7.0)))
+    val v1 = IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    assert(viewRows().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(viewRows()).count() === 0)
+    // idempotent: nothing new -> no new target version
+    assert(IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v") === v1)
+    // a group emptied in the source leaves the view entirely
+    DeltaLite.delete(spark, src, $"g" === "g3")
+    IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    assert(viewRows().filter($"g" === "g3").count() === 0)
+    assert(viewRows().exceptAll(recompute()).count() === 0)
+    // the applied source version rides the view's own commits (txn)
+    assert(DeltaLite.snapshot(tgt).txns.exists(_._1.startsWith("graft-mv:")))
+    // avg derives from sum+count
+    assert(IncrementalMv.read(spark, tgt).columns.contains("avg_value"))
+  }
+
   test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_props").toString
