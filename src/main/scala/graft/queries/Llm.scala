@@ -949,6 +949,41 @@ object Llm {
          FROM c WHERE cum - toks < 4000
          GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (e)
+    // Sequence packing (the GPT-pretraining concatenate-and-split step):
+    // documents stream in a deterministic order, token counts cumulate,
+    // and each doc lands in packed sequence floor(preceding_tokens / L)
+    // — fixed-length training sequences with no padding waste between
+    // docs. Sharded BY LANGUAGE: one window per shard, shards pack in
+    // parallel; at 100 TB the same shape runs per (lang, shard-hash) so
+    // no single partition orders a whole language. The per-sequence
+    // fill report is the packing QA artifact.
+    QueryDef("l5_sequence_pack", (s, dir) => {
+      val seqLen = 512
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")) / seqLen))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("lang").asc_nulls_last, col("seq_id").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY doc_id ASC) AS cum
+           FROM d)
+         SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         FROM c GROUP BY lang, seq_id
+         ORDER BY lang ASC NULLS LAST, seq_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (c)
     // PII redaction: emails and phone-shaped tokens replaced with typed
     // placeholders, with per-doc redaction counts. The fixtures carry no

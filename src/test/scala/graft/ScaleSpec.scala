@@ -439,6 +439,15 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.snapshot(tgt).txns.exists(_._1.startsWith("graft-mv:")))
     // avg derives from sum+count
     assert(IncrementalMv.read(spark, tgt).columns.contains("avg_value"))
+    // a row-preserving OPTIMIZE between refreshes must net to ZERO deltas
+    // (its removed and added files carry identical rows)
+    val vBefore = DeltaLite.snapshot(tgt).version
+    DeltaLite.compact(spark, src)
+    DeltaLite.append(spark, src, Seq((999L, "g1", 3.0)).toDF("k", "g", "v"))
+    IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    assert(DeltaLite.snapshot(tgt).version === vBefore + 1)
+    assert(viewRows().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(viewRows()).count() === 0)
   }
 
   test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
