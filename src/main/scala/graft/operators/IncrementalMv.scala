@@ -87,6 +87,60 @@ object IncrementalMv {
     }
   }
 
+  /** Like [[refreshSum]] but also maintains min/max — aggregates that
+    * CANNOT be folded incrementally under deletes (removing the current
+    * min forgets the runner-up). The production fix is dirty-group
+    * recompute: the change feed names the DIRTY keys, the live source
+    * re-aggregates ONLY those groups (a key semi-join scan — stats/
+    * partition-prunable when the source is laid out by key), and the
+    * view replaces exactly those rows: vanished groups DELETE, changed
+    * groups UPDATE wholesale, new groups INSERT. Cost: O(changes) to
+    * find dirty keys + O(rows of dirty groups) to re-aggregate — never
+    * O(source), and exactly-once via the same commit-borne txn. */
+  def refreshFull(spark: SparkSession, sourcePath: String, targetPath: String,
+      keys: Seq[String], valueCol: String): Long = {
+    require(keys.nonEmpty, "view keys required")
+    val srcVersion = DeltaLite.snapshot(sourcePath).version
+    val sumT = "decimal(28,4)"
+    val txnApp = app(sourcePath) + "#full"
+    def aggregate(rows: DataFrame): DataFrame = rows
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol).cast(sumT)).cast(sumT).as("sum_value"),
+        count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+
+    DeltaLite.latestVersion(targetPath) match {
+      case None =>
+        DeltaLite.create(spark, targetPath,
+          aggregate(DeltaLite.read(spark, sourcePath)),
+          txn = Some((txnApp, srcVersion)))
+      case Some(_) =>
+        val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
+          sys.error(s"$targetPath is not a full view over $sourcePath"))
+        if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
+        val dirty = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
+          .select(keys.map(col): _*).distinct()
+        val fresh = aggregate(
+          DeltaLite.read(spark, sourcePath).join(dirty, keys, "left_semi"))
+        // dirty ⟕ fresh: a dirty key with NO fresh row is a vanished group
+        val updates = dirty.join(fresh, keys, "left_outer")
+        DeltaLite.mergeClauses(spark, targetPath, updates, keys, Seq(
+          Merge.MatchedDelete(Some(Merge.src("n_rows").isNull)),
+          Merge.MatchedUpdate(None, Map(
+            "sum_value" -> Merge.src("sum_value"),
+            "n_rows" -> Merge.src("n_rows"),
+            "min_value" -> Merge.src("min_value"),
+            "max_value" -> Merge.src("max_value"))),
+          Merge.NotMatchedInsert(Some(Merge.src("n_rows").isNotNull), Map(
+            "sum_value" -> Merge.src("sum_value"),
+            "n_rows" -> Merge.src("n_rows"),
+            "min_value" -> Merge.src("min_value"),
+            "max_value" -> Merge.src("max_value")))),
+          txn = Some((txnApp, srcVersion)))
+    }
+  }
+
   /** The view as a DataFrame (keys, sum_value, n_rows, avg_value). */
   def read(spark: SparkSession, targetPath: String): DataFrame = {
     val v = DeltaLite.read(spark, targetPath)

@@ -771,6 +771,43 @@ object Medallion {
                                AND TIMESTAMP '1996-12-31 23:59:59'
          GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S26
+    // Min/max materialized view via DIRTY-GROUP recompute: min/max can't
+    // fold incrementally under deletes (dropping a group's max forgets
+    // the runner-up), so each refresh re-aggregates ONLY the groups the
+    // change feed touched — a key semi-join scan — and replaces exactly
+    // those view rows. The delete below removes whole-priority maxima,
+    // forcing the runner-up path the oracle then verifies from scratch.
+    QueryDef("s26_mv_minmax", (s, dir) => {
+      val src = tmp("s26_src")
+      val mv = tmp("s26_mv") + "/mv"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_totalprice"))
+      DeltaLite.create(s, src,
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+      graft.operators.IncrementalMv.refreshFull(s, src, mv,
+        Seq("o_orderpriority"), "o_totalprice")
+      DeltaLite.append(s, src,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
+      // removing the top of the price range dirties every group's max
+      DeltaLite.delete(s, src, col("o_totalprice") > 250000.0)
+      graft.operators.IncrementalMv.refreshFull(s, src, mv,
+        Seq("o_orderpriority"), "o_totalprice")
+      DeltaLite.read(s, mv)
+        .select(col("o_orderpriority"), col("sum_value"), col("n_rows"),
+          col("min_value"), col("max_value"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_value,
+                count(*) AS n_rows,
+                min(o_totalprice) AS min_value,
+                max(o_totalprice) AS max_value
+         FROM orders WHERE o_totalprice <= 250000
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S25
     // Incremental materialized view (the engine behind dbt incremental
     // models): the view materializes once, then each refresh folds ONLY

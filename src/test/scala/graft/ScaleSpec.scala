@@ -448,6 +448,44 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.snapshot(tgt).version === vBefore + 1)
     assert(viewRows().exceptAll(recompute()).count() === 0)
     assert(recompute().exceptAll(viewRows()).count() === 0)
+    // a deletion-vector soft delete must also flow through the feed
+    DeltaLite.deleteVectorized(spark, src, $"k" === 50L)
+    IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    assert(viewRows().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(viewRows()).count() === 0)
+  }
+
+  test("IncrementalMv.refreshFull: min/max stay exact via dirty-group recompute") {
+    import spark.implicits._
+    import graft.operators.IncrementalMv
+    val src = Files.createTempDirectory("graft_mvf_src").toString
+    val tgt = Files.createTempDirectory("graft_mvf_tgt").toString + "/mv"
+    DeltaLite.create(spark, src,
+      (0L until 90L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("k", "g", "v"))
+    IncrementalMv.refreshFull(spark, src, tgt, Seq("g"), "v")
+    def recompute() = DeltaLite.read(spark, src).groupBy("g")
+      .agg(sum($"v".cast("decimal(28,4)")).cast("decimal(28,4)").as("sum_value"),
+        count(lit(1)).as("n_rows"), min("v").as("min_value"),
+        max("v").as("max_value"))
+    def view() = DeltaLite.read(spark, tgt)
+      .select("g", "sum_value", "n_rows", "min_value", "max_value")
+    assert(view().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(view()).count() === 0)
+    // deleting a group's MAX row is the case pure folding cannot handle:
+    // the dirty-group recompute must surface the runner-up
+    val gMax = DeltaLite.read(spark, src).filter($"g" === "g1")
+      .agg(max("v")).head().getDouble(0)
+    DeltaLite.delete(spark, src, $"g" === "g1" && $"v" === gMax)
+    IncrementalMv.refreshFull(spark, src, tgt, Seq("g"), "v")
+    assert(view().filter($"g" === "g1").select("max_value").head().getDouble(0)
+      < gMax)
+    assert(view().exceptAll(recompute()).count() === 0)
+    // a fully-deleted group vanishes from the view
+    DeltaLite.delete(spark, src, $"g" === "g2")
+    IncrementalMv.refreshFull(spark, src, tgt, Seq("g"), "v")
+    assert(view().filter($"g" === "g2").count() === 0)
+    assert(view().exceptAll(recompute()).count() === 0)
+    assert(recompute().exceptAll(view()).count() === 0)
   }
 
   test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
