@@ -66,8 +66,9 @@ object IncrementalMv {
             "(no applied-version txn)"))
         if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
         val deltas = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
-          .withColumn("__sign", when(col("_change_type") === "insert", 1L)
-            .otherwise(-1L))
+          .withColumn("__sign",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
           .groupBy(keys.map(col): _*)
           .agg(sum(col(valueCol).cast(sumT) * col("__sign")).cast(sumT)
             .as("d_sum"),

@@ -2046,9 +2046,32 @@ object DeltaLite {
       from.files.filterNot(f => toKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
     val addedRows = readFiles(spark, path, to.schema,
       to.files.filterNot(f => fromKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
-    addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
+    // Delta CDF labels an UPDATE commit's rows update_preimage /
+    // update_postimage instead of delete / insert. The distinction is
+    // only well-defined PER COMMIT (an aggregate diff over many versions
+    // mixes ops), so it applies exactly when this diff spans one commit
+    // and that commit's header says UPDATE — which is how the streaming
+    // CDF source always calls this.
+    val (insLabel, delLabel) =
+      if (toVersion == fromVersion + 1 &&
+          commitOp(path, toVersion).contains("UPDATE"))
+        ("update_postimage", "update_preimage")
+      else ("insert", "delete")
+    addedRows.exceptAll(removedRows).withColumn("_change_type", lit(insLabel))
       .unionByName(
-        removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
+        removedRows.exceptAll(addedRows).withColumn("_change_type", lit(delLabel)))
+  }
+
+  /** The op string recorded in version `v`'s commit header. */
+  private def commitOp(path: String, v: Long): Option[String] = {
+    val lines = Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+    lines.headOption.flatMap(l => parseLine(l) match {
+      case JObject(fields) => fields.collectFirst {
+        case ("commit", JObject(c)) =>
+          c.collectFirst { case ("op", JString(o)) => o }
+      }.flatten
+      case _ => None
+    })
   }
 
   /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE tbl WHERE part = x`):

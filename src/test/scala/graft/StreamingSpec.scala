@@ -295,6 +295,14 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(spark.sql(
         "SELECT _change_type, k FROM fmt_cdf WHERE _commit_version = 3")
         .as[(String, Long)].collect().toSeq === Seq(("insert", 3L)))
+      // an UPDATE commit carries Delta's pre/post-image labels
+      graft.sources.DeltaLite.update(spark, table, $"k" === 3L,
+        Map("s" -> org.apache.spark.sql.functions.lit("C")))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT _change_type, s FROM fmt_cdf WHERE _commit_version = 4")
+        .as[(String, String)].collect().sorted.toSeq ===
+        Seq(("update_postimage", "C"), ("update_preimage", "c")))
     } finally q.stop()
   }
 
