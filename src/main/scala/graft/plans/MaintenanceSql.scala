@@ -191,7 +191,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeHistoryCommand(p, Option(lim).map(_.toInt))
     case DetailRe(p) => DescribeDetailCommand(p)
     case VacuumRe(p, keep, dry) =>
-      VacuumCommand(p, Option(keep).map(_.toInt).getOrElse(1), dry != null)
+      // no RETAIN clause → -1 → vacuum consults the table's
+      // graft.retention.keepVersions property, falling back to 1
+      VacuumCommand(p, Option(keep).map(_.toInt).getOrElse(-1), dry != null)
     case OptimizeRe(p, minRows, c, v) =>
       OptimizeCommand(p, Option(minRows).map(_.toLong).getOrElse(100000L),
         (Option(c), Option(v)) match {

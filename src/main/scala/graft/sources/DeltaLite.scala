@@ -2246,11 +2246,19 @@ object DeltaLite {
     * time travel older than that stops working, by design. Returns the
     * deleted file count. `dryRun` (Delta `VACUUM ... DRY RUN`) reports
     * the victim count without deleting anything. */
-  def vacuum(path: String, keepVersions: Int = 1,
+  def vacuum(path: String, keepVersions: Int = -1,
       dryRun: Boolean = false): Int = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
-    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    // -1 = "table default": the graft.retention.keepVersions property
+    // (the deletedFileRetentionDuration analogue for a version-addressed
+    // log), else 1 — so an ops-set retention policy travels WITH the
+    // table instead of living in every caller's cron job.
+    val keep =
+      if (keepVersions >= 0) keepVersions
+      else snapshot(path).properties.get("graft.retention.keepVersions")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+    val keepFrom = math.max(0L, latest - keep + 1)
     val keptSnaps = (keepFrom to latest).map(v => snapshot(path, Some(v)))
     val referenced = keptSnaps.flatMap(_.files.map(_.path)).toSet
     // a referenced deletion vector keeps every file under its dir

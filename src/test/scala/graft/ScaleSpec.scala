@@ -530,6 +530,15 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.snapshot(path).properties === Map("owner" -> "ingest-team"))
     assert(DeltaLite.detail(spark, path).collect()(0)
       .getAs[String]("properties") === "owner=ingest-team")
+    // retention policy travels with the table: a default vacuum honors
+    // graft.retention.keepVersions, so version latest-2 stays travelable
+    DeltaLite.setProperties(path, Map("graft.retention.keepVersions" -> "3"))
+    val latest = DeltaLite.latestVersion(path).get
+    DeltaLite.vacuum(path)
+    assert(DeltaLite.read(spark, path, asOf = Some(latest - 2)).count() >= 0)
+    // an explicit RETAIN still overrides the property
+    DeltaLite.vacuum(path, keepVersions = 1)
+    assert(DeltaLite.read(spark, path).count() === 30)
   }
 
   test("DeltaLite MERGE WITH SCHEMA EVOLUTION adds source columns without rewriting history") {
