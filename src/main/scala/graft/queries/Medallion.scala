@@ -782,6 +782,7 @@ object Medallion {
       val src = tmp("s26_src")
       val mv = tmp("s26_mv") + "/mv"
       val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0) // slim write volume: the mechanism, not the bytes, is under test
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"), col("o_totalprice"))
       DeltaLite.create(s, src,
@@ -804,7 +805,7 @@ object Medallion {
                 count(*) AS n_rows,
                 min(o_totalprice) AS min_value,
                 max(o_totalprice) AS max_value
-         FROM orders WHERE o_totalprice <= 250000
+         FROM orders WHERE o_orderkey % 4 = 0 AND o_totalprice <= 250000
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
@@ -821,6 +822,7 @@ object Medallion {
       val src = tmp("s25_src")
       val mv = tmp("s25_mv") + "/mv"
       val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0) // slim write volume: the mechanism, not the bytes, is under test
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderstatus"), col("o_totalprice"))
       DeltaLite.create(s, src,
@@ -847,7 +849,7 @@ object Medallion {
            SELECT o_orderpriority,
                   CASE WHEN o_orderstatus = 'F'
                        THEN o_totalprice + 1000 ELSE o_totalprice END AS val
-           FROM orders WHERE o_totalprice >= 10000)
+           FROM orders WHERE o_orderkey % 4 = 0 AND o_totalprice >= 10000)
          SELECT o_orderpriority,
                 CAST(sum(CAST(val AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_value,
                 count(*) AS n_rows
