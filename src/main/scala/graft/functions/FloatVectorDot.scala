@@ -106,5 +106,18 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1)),
         "scala_udf")
     }
+    // Spark's own runtime-filter bloom aggregate (the engine behind
+    // InjectRuntimeFilter), surfaced for DeltaLite's per-file bloom
+    // indexes: bloom_agg(xxhash64(col), estItems, numBits) -> binary
+    // readable with org.apache.spark.util.sketch.BloomFilter.readFrom.
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_agg",
+        (exprs: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+        "scala_udf")
+    }
   }
 }

@@ -771,6 +771,32 @@ object Medallion {
                                AND TIMESTAMP '1996-12-31 23:59:59'
          GROUP BY 1 ORDER BY o_year ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S27
+    // Bloom-index point lookup: orders lands UNCLUSTERED on the key
+    // (hash-distributed), so every file's [min,max] spans the key space
+    // and stats prune nothing — the needle-in-time-partitions workload.
+    // With graft.bloom.columns=o_orderkey each file carries a per-file
+    // bloom in the log; the point scan probes the blooms driver-side
+    // and opens ~1 file instead of all (ScaleSpec asserts the count; a
+    // false positive only ever opens an extra file, never changes
+    // results, which is why the oracle holds exactly).
+    QueryDef("s27_bloom_lookup", (s, dir) => {
+      val path = tmp("s27_delta")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(8, pmod(col("o_orderkey"), lit(8)))
+      DeltaLite.create(s, path, o,
+        properties = Map("graft.bloom.columns" -> "o_orderkey"))
+      DeltaLite.scan(s, path, Seq(DeltaLite.ColumnBound("o_orderkey",
+          Some(33L), Some(33L))))
+        .filter(col("o_orderkey") === 33L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("round(o_totalprice*100)/100").as("o_totalprice"))
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus,
+                (round(o_totalprice*100)/100) AS o_totalprice
+         FROM orders WHERE o_orderkey = 33""")),
+
     // ------------------------------------------------------------------ S26
     // Min/max materialized view via DIRTY-GROUP recompute: min/max can't
     // fold incrementally under deletes (dropping a group's max forgets

@@ -63,7 +63,8 @@ object DeltaLite {
     * soft-deleted positions for this file; `rows`/`stats` stay physical
     * (valid upper bounds for pruning — a DV only ever removes rows). */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
-      dv: Option[String] = None, pv: Map[String, String] = Map.empty)
+      dv: Option[String] = None, pv: Map[String, String] = Map.empty,
+      bloom: Map[String, String] = Map.empty)
 
   /** Resolved table state at a version: schema + live file set +
     * CHECK constraints (name → SQL predicate, enforced on every write) +
@@ -244,8 +245,10 @@ object DeltaLite {
     * bound naming a partition column resolves against the file's logged
     * partition value (an EXACT min==max bound — log-level partition
     * pruning, stronger than stats and free of any file listing). */
-  def pruneFiles(snap: Snapshot, bounds: Seq[ColumnBound]): Seq[AddFile] = {
+  def pruneFiles(snap: Snapshot, bounds: Seq[ColumnBound],
+      bloomProbes: Map[String, Long] = Map.empty): Seq[AddFile] = {
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dec = java.util.Base64.getDecoder
     snap.files.filter { f =>
       bounds.forall { b =>
         types.get(b.column) match {
@@ -262,6 +265,14 @@ object DeltaLite {
               yield cmp(dt, mn, nhi) <= 0).getOrElse(true)
             loOk && hiOk
           case None => true
+        }
+      } && bloomProbes.forall { case (pn, hash) =>
+        // a definitive bloom miss proves the file holds no matching row;
+        // a file without a bloom for this column is always kept
+        f.bloom.get(pn).forall { b64 =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(dec.decode(b64)))
+            .mightContainLong(hash)
         }
       }
     }
@@ -487,7 +498,12 @@ object DeltaLite {
         vals.collect { case (c, JString(s)) => c -> s }.toMap
       case _ => Map.empty[String, String]
     }
-    AddFile(p, rows, stats, dv, pv)
+    val bloom = m.get("bloom") match {
+      case Some(JObject(vals)) =>
+        vals.collect { case (c, JString(s)) => c -> s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    AddFile(p, rows, stats, dv, pv, bloom)
   }
 
   // -------------------------------------------------------------- write
@@ -509,7 +525,8 @@ object DeltaLite {
       df: DataFrame, schema: StructType,
       partitionBy: Seq[String],
       physical: Map[String, String],
-      generated: Map[String, String]): Seq[AddFile] = {
+      generated: Map[String, String],
+      properties: Map[String, String]): Seq[AddFile] = {
     // uuid suffix: data dirs never collide, so concurrent writers only
     // contend at the commit rename (see commit helpers below)
     val dir = tableRoot.resolve(
@@ -570,7 +587,53 @@ object DeltaLite {
         case None    => spark.conf.unset(tsKey)
       }
     }
-    footerAdds(spark, tableRoot, dir, schema, partitionBy, physical)
+    attachBlooms(spark, tableRoot,
+      footerAdds(spark, tableRoot, dir, schema, partitionBy, physical),
+      schema, partitionBy, physical, properties)
+  }
+
+  /** Per-file Bloom filter indexes (Delta's bloom index / BigQuery's
+    * search-index shape): with `graft.bloom.columns = c1,c2` in the
+    * table properties, every data write also records an ~numBits-wide
+    * bloom of each listed column per file, and a POINT-lookup bound on
+    * that column can then skip files min/max can't — the unclustered
+    * high-cardinality case (a needle order id in a time-partitioned
+    * table) where every file's [min,max] spans the whole key space.
+    * Built by Spark's own runtime-filter aggregate (bloom_agg) in ONE
+    * distributed pass over just the new files; probed driver-side with
+    * the sketch library's mightContainLong. False positives only ever
+    * OPEN an extra file, never change results. */
+  private def attachBlooms(spark: SparkSession, tableRoot: Path,
+      adds: Seq[AddFile], schema: StructType, partitionBy: Seq[String],
+      physical: Map[String, String],
+      properties: Map[String, String]): Seq[AddFile] = {
+    val cols = properties.get("graft.bloom.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(c => schema.fieldNames.contains(c) && !partitionBy.contains(c))
+    if (cols.isEmpty || adds.isEmpty) return adds
+    val numBits = properties.get("graft.bloom.bits")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(65536L)
+    graft.functions.GraftFunctions.register(spark)
+    val paths = adds.map(f => tableRoot.resolve(f.path).toString)
+    val perFile = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"), cols.map { c =>
+        val pn = physical.getOrElse(c, c)
+        call_function("bloom_agg", xxhash64(col(pn)),
+          lit(math.max(1L, numBits / 10)), lit(numBits)).as(pn)
+      }: _*)
+      .collect()
+    val b64 = java.util.Base64.getEncoder
+    val byPath = perFile.map { r =>
+      // input_file_name is a URI; resolve back to the log-relative path
+      val abs = java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+      val rel = tableRoot.relativize(abs).toString
+      rel -> cols.flatMap { c =>
+        val pn = physical.getOrElse(c, c)
+        Option(r.getAs[Array[Byte]](pn)).map(pn -> b64.encodeToString(_))
+      }.toMap
+    }.toMap
+    adds.map(f => f.copy(bloom = byPath.getOrElse(f.path, Map.empty)))
   }
 
   /** One AddFile per parquet part under `dir`, with rows + per-column
@@ -791,7 +854,10 @@ object DeltaLite {
       "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats) ++
       (if (f.pv.isEmpty) Nil
        else List("pv" -> JObject(
-         f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))))))
+         f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))) ++
+      (if (f.bloom.isEmpty) Nil
+       else List("bloom" -> JObject(
+         f.bloom.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))))))
   }
 
   private def encodeIdentity(
@@ -974,7 +1040,31 @@ object DeltaLite {
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
     val all = bounds ++ derivedGeneratedBounds(spark, snap, bounds)
-    readFiles(spark, path, snap.schema, pruneFiles(snap, all), snap.partitionBy, snap.physical)
+    readFiles(spark, path, snap.schema,
+      pruneFiles(snap, all, bloomProbesFor(spark, snap, bounds)),
+      snap.partitionBy, snap.physical)
+  }
+
+  /** xxhash64 probes for POINT bounds (lower == upper, non-null) on
+    * bloom-indexed columns, keyed by physical name. Hashed through a
+    * 1-row local projection with the literal CAST to the column's type,
+    * so the probe hash matches the write-side xxhash64(col) exactly
+    * (xxhash64 output depends on the input's Catalyst type). */
+  private def bloomProbesFor(spark: SparkSession, snap: Snapshot,
+      bounds: Seq[ColumnBound]): Map[String, Long] = {
+    val indexed = snap.files.iterator.flatMap(_.bloom.keys).toSet
+    if (indexed.isEmpty) return Map.empty
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    bounds.flatMap { b =>
+      (b.lower, b.upper, types.get(b.column)) match {
+        case (Some(lo), Some(hi), Some(dt)) if lo == hi &&
+            indexed.contains(snap.phys(b.column)) =>
+          Some(snap.phys(b.column) ->
+            spark.range(1).select(xxhash64(lit(lo).cast(dt)).as("h"))
+              .collect()(0).getLong(0))
+        case _ => None
+      }
+    }.toMap
   }
 
   /** Generated-column partition pruning (the Delta `GENERATED ALWAYS AS`
@@ -1382,7 +1472,7 @@ object DeltaLite {
     checkConstraints(withIds, schema,
       generatedChecks(df.columns.toSet, generated), "CREATE")
     val adds = writeData(spark, root(path), 0L, withIds, schema, partitionBy,
-      Map.empty, generated)
+      Map.empty, generated, properties)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, txn, Map.empty,
       partitionBy, Map.empty, generated,
       advanceHighWater(identity, adds, schema, Map.empty), properties)
@@ -1476,7 +1566,7 @@ object DeltaLite {
     checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     if (snap.identity.isEmpty)
       commitAddsWithRetry(path, "APPEND", snap.schema, adds)
     else
@@ -1536,7 +1626,7 @@ object DeltaLite {
     checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     if (snap.identity.isEmpty)
       commitAddsWithRetry(path, "APPEND", snap.schema, adds,
         txn = Some((app, txnVersion)))
@@ -1576,7 +1666,7 @@ object DeltaLite {
     checkConstraints(withIds, evolved, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, evolved,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     if (snap.identity.isEmpty)
       commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
     else
@@ -1737,7 +1827,7 @@ object DeltaLite {
     checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -1797,7 +1887,7 @@ object DeltaLite {
     checkConstraints(merged, evolved, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, evolved,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "MERGE", evolved, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties, txn)
@@ -1824,7 +1914,7 @@ object DeltaLite {
       "DELETE_INSERT")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -1918,7 +2008,7 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy, snap.physical, snap.generated)
+        snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -1953,7 +2043,7 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
-        snap.partitionBy, snap.physical, snap.generated)
+        snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -1980,7 +2070,7 @@ object DeltaLite {
       "REPLACE_WHERE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "REPLACE_WHERE", snap.schema, adds, touched,
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2015,7 +2105,8 @@ object DeltaLite {
     val adds = writeData(spark, root(path), v,
       readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
         .repartition(numFiles),
-      snap.schema, snap.partitionBy, snap.physical, snap.generated)
+      snap.schema, snap.partitionBy, snap.physical, snap.generated,
+      snap.properties)
     commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2109,7 +2200,7 @@ object DeltaLite {
       .repartition(numFiles)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "OPTIMIZE_PARTITION", snap.schema, adds,
       victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2130,7 +2221,7 @@ object DeltaLite {
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2153,7 +2244,7 @@ object DeltaLite {
       snap.partitionBy, snap.physical)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "REORG", snap.schema, adds,
       dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2176,7 +2267,7 @@ object DeltaLite {
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "CLUSTER", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)
@@ -2201,7 +2292,7 @@ object DeltaLite {
       .drop("__z")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, rewritten, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated)
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
     commitExclusive(path, v, "CLUSTER_Z", snap.schema, adds, snap.files.map(_.path),
       snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity, snap.properties)

@@ -488,6 +488,48 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(recompute().exceptAll(view()).count() === 0)
   }
 
+  test("DeltaLite bloom index: point lookups skip files min/max cannot prune") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_bloom").toString
+    // round-robin keys: every file's [min,max] spans ~the whole key
+    // space, so min/max stats prune NOTHING for a point lookup — the
+    // exact workload the bloom index exists for
+    val df = (0L until 4000L).map(i => (i, s"name$i")).toDF("k", "s")
+      .repartition(8, pmod(col("k"), lit(8)))
+    DeltaLite.create(spark, path, df,
+      properties = Map("graft.bloom.columns" -> "k"))
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.forall(_.bloom.contains("k")), "every file carries a bloom")
+    // min/max alone keeps (nearly) all files for the needle...
+    val statOnly = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("k", Some(1234L), Some(1234L))))
+    assert(statOnly.size >= snap.files.size - 1)
+    // ...the bloom-probed scan opens at most a couple (fp-tolerant)
+    val scanned = DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("k", Some(1234L), Some(1234L))))
+    assert(scanned.inputFiles.length <= 2,
+      s"bloom should skip to ~1 file, opened ${scanned.inputFiles.length} of ${snap.files.size}")
+    assert(scanned.filter($"k" === 1234L).select("s").head().getString(0) === "name1234")
+    // correctness is never at stake: a missing key returns empty, a range
+    // bound ignores blooms, a rewrite (DELETE) rebuilds them
+    assert(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("k", Some(999999L), Some(999999L))))
+      .filter($"k" === 999999L).count() === 0)
+    assert(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("k", Some(10L), Some(20L))))
+      .filter($"k".between(10L, 20L)).count() === 11)
+    DeltaLite.delete(spark, path, $"k" === 1234L)
+    val after = DeltaLite.snapshot(path)
+    assert(after.files.forall(_.bloom.contains("k")),
+      "rewritten files must re-carry blooms")
+    assert(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("k", Some(1234L), Some(1234L))))
+      .filter($"k" === 1234L).count() === 0)
+    // blooms survive the log round-trip (checkpoint + fresh replay)
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.snapshot(path).files.forall(_.bloom.contains("k")))
+  }
+
   test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_props").toString
