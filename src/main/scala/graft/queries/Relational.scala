@@ -1214,6 +1214,57 @@ object Relational {
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS LAST,
                   o_orderkey ASC NULLS LAST
-         LIMIT 100"""))
+         LIMIT 100""")),
+
+    // ------------------------------------------------------------------- X4
+    // TPC-H Q7 shape (volume shipping between two nations): lineitem
+    // filters on the shipdate range AT THE SCAN (pushed), then joins
+    // orders on the key and BROADCASTS supplier/customer/nation — the
+    // nation-pair disjunction prunes early through the broadcast dims,
+    // so the fact table streams through one pipeline into the 3-key agg.
+    // The 100 TB shape: one keyed shuffle (orders), everything else
+    // broadcast; the year() regroup is map-side.
+    QueryDef("x4_workload_q7", (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(expr("round((sum(volume))*100)/100").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation").asc_nulls_last,
+          col("cust_nation").asc_nulls_last, col("l_year").asc_nulls_last)
+    }, Some(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100) AS revenue,
+                count(*) AS n_items
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
+                  l_year ASC NULLS LAST"""))
   )
 }

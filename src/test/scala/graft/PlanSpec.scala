@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must be heap-based:\n$p")
   }
 
+  test("x4_workload_q7: shipdate pushes to the scan; all dims broadcast") {
+    val p = plan("x4_workload_q7")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate range must reach the lineitem scan:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 4,
+      s"supplier/customer/nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the nation-pair disjunction must not cross-join:\n$p")
+  }
+
   test("l4_heavy_hitters: one sketch aggregate, no full (token,count) shuffle") {
     val p = plan("l4_heavy_hitters")
     // the frequent-items sketch is an ObjectHashAggregate with a partial
