@@ -80,7 +80,8 @@ class GraftDeltaSource extends RelationProvider
       parameters.get("readChangeFeed").exists(_.toBoolean),
       metadataPath = metadataPath,
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
-      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
   /** Streaming sink: `events.writeStream.format("graft-delta")
@@ -233,7 +234,8 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, cdf: Boolean = false,
     metadataPath: String = "",
     maxFilesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -318,13 +320,19 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
     // (covers restart replay of a logged-but-uncommitted batch).
     storePos(version(end))
     start.map(version).foreach(storePos)
+    // Delta's `startingVersion`: subscribe WITHOUT the initial-snapshot
+    // backfill — the first batch delivers versions startingVersion..end
+    // only, as if the stream had been running since then. (With an
+    // explicit start offset from the checkpoint it is inert.)
+    val effStart: Option[Long] =
+      start.map(version).orElse(startingVersion.filter(_ > 0).map(_ - 1))
     // getBatch must return a STREAMING-tagged frame — see StreamingFrame.
     if (!cdf)
       org.apache.spark.sql.graft.StreamingFrame.tag(
         DeltaLite.readVersionAppends(spark, path,
-          start.map(version), version(end), allowRewrites = ignoreChanges))
+          effStart, version(end), allowRewrites = ignoreChanges))
     else {
-      val from = start.map(version(_) + 1).getOrElse(0L)
+      val from = effStart.map(_ + 1).getOrElse(0L)
       val to = version(end)
       org.apache.spark.sql.graft.StreamingFrame.tag(
         (from to to).map(changesAt).reduce(_ unionByName _))

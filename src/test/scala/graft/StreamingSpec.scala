@@ -257,6 +257,31 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(new String(java.nio.file.Files.readAllBytes(pos.get), "UTF-8").trim === "3")
   }
 
+  test("graft-delta source with startingVersion skips the initial-snapshot backfill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_startv")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table, Seq((1L, "a")).toDF("k", "s"))
+    graft.sources.DeltaLite.append(spark, table, Seq((2L, "b")).toDF("k", "s"))
+    graft.sources.DeltaLite.append(spark, table, Seq((3L, "c")).toDF("k", "s"))
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", 2).load(table)
+      .writeStream.format("memory").queryName("fmt_startv")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only version 2's rows arrive — no v0/v1 backfill
+      assert(spark.sql("SELECT k FROM fmt_startv").as[Long].collect().toSeq
+        === Seq(3L))
+      // later commits stream normally
+      graft.sources.DeltaLite.append(spark, table, Seq((4L, "d")).toDF("k", "s"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM fmt_startv").as[Long].collect().sorted.toSeq
+        === Seq(3L, 4L))
+    } finally q.stop()
+  }
+
   test("graft-delta source with readChangeFeed streams per-commit row changes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt_cdf")
