@@ -18,6 +18,7 @@ import graft.sources.DeltaLite
   *   DESCRIBE DETAIL '<path>'
   *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
   *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
+  *   OPTIMIZE '<path>' [WHERE <partCol> = '<value>'] ZORDER BY (a, b)
   *   RESTORE '<path>' TO VERSION AS OF n
   *   CLONE '<src>' TO '<dst>'
   *   CONVERT TO DELTA '<path>'
@@ -149,6 +150,22 @@ object MaintenanceSql {
       Seq(Row(v))
     }
   }
+
+  final case class ZOrderCommand(path: String,
+      partitionEq: Option[(String, String)], colA: String, colB: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = partitionEq match {
+        case Some((c, value)) => DeltaLite.clusterZPartition(spark, path,
+          Seq(DeltaLite.ColumnBound(c, Some(value), Some(value))),
+          colA, colB, numFiles = 4)
+        case None => DeltaLite.clusterZ(spark, path, colA, colB, numFiles = 8)
+      }
+      Seq(Row(v))
+    }
+  }
 }
 
 /** Delegating parser: the four maintenance statements above, else Spark. */
@@ -178,6 +195,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val ZOrderRe =
+    ("""(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?""" +
+      """\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*""").r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropRe =
@@ -194,6 +214,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // no RETAIN clause → -1 → vacuum consults the table's
       // graft.retention.keepVersions property, falling back to 1
       VacuumCommand(p, Option(keep).map(_.toInt).getOrElse(-1), dry != null)
+    case ZOrderRe(p, c, v, a, b) =>
+      ZOrderCommand(p, (Option(c), Option(v)) match {
+        case (Some(cc), Some(vv)) => Some((cc, vv))
+        case _ => None
+      }, a, b)
     case OptimizeRe(p, minRows, c, v) =>
       OptimizeCommand(p, Option(minRows).map(_.toLong).getOrElse(100000L),
         (Option(c), Option(v)) match {

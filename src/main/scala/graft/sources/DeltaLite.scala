@@ -2298,6 +2298,50 @@ object DeltaLite {
       snap.identity, snap.properties)
   }
 
+  /** Partition-scoped Z-order (`OPTIMIZE tbl WHERE part = x ZORDER BY
+    * (a, b)`) — the nightly layout job for a partitioned table: rewrite
+    * ONLY the bound partitions' files, Morton-ordered on (colA, colB)
+    * within each partition, so 2-D data skipping tightens where new data
+    * landed while every other partition keeps its file identities (cheap
+    * CDF / streaming diffs). O(matched partitions), never O(table). */
+  def clusterZPartition(spark: SparkSession, path: String,
+      bounds: Seq[ColumnBound], colA: String, colB: String,
+      numFiles: Int): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val snap = snapshot(path)
+    require(bounds.nonEmpty, "clusterZPartition needs at least one bound")
+    require(bounds.forall(b => snap.partitionBy.contains(b.column)),
+      s"bounds must name partition columns ${snap.partitionBy}; got " +
+        bounds.map(_.column).mkString(", "))
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val victims = snap.files.filter { f =>
+      bounds.forall { b =>
+        val dt = types(b.column)
+        f.pv.get(b.column).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          .flatMap(parsePartitionValue(dt, _)) match {
+          case Some(v) =>
+            b.lower.flatMap(normBound(dt, _)).forall(lo => cmp(dt, v, lo) >= 0) &&
+              b.upper.flatMap(normBound(dt, _)).forall(hi => cmp(dt, v, hi) <= 0)
+          case None => false
+        }
+      }
+    }
+    if (victims.isEmpty) return snap.version
+    val rewritten = readFiles(spark, path, snap.schema, victims,
+        snap.partitionBy, snap.physical)
+      .withColumn("__z", call_function("interleave_bits",
+        col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, rewritten, snap.schema,
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
+    commitExclusive(path, v, "CLUSTER_Z_PARTITION", snap.schema, adds,
+      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity, snap.properties)
+  }
+
   /** `DESCRIBE DETAIL` analogue: one-row table summary from the log
     * alone (no data read) — current version, row/file counts, partition
     * columns, constraint count, and how many files are by-reference

@@ -1267,6 +1267,40 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() === 64)
   }
 
+  test("DeltaLite partition-scoped ZORDER rewrites only the bound partition") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_zpart").toString
+    val grid = for (p <- Seq("p0", "p1"); a <- 0L until 32L; b <- 0L until 32L)
+      yield (p, a, b, a * 32.0 + b)
+    DeltaLite.create(spark, path,
+      grid.toDF("part", "a", "b", "v").repartition(4),
+      partitionBy = Seq("part"))
+    val before = DeltaLite.snapshot(path)
+    val p1Files = before.files.filter(_.pv("part") == "p1").map(_.path).toSet
+    DeltaLite.clusterZPartition(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("p0"), Some("p0"))),
+      "a", "b", numFiles = 8)
+    val after = DeltaLite.snapshot(path)
+    // the unbound partition keeps its exact file identities
+    assert(after.files.filter(_.pv("part") == "p1").map(_.path).toSet === p1Files)
+    // the bound partition's rewrite makes the 2-D box skippable
+    val box = Seq(
+      DeltaLite.ColumnBound("part", Some("p0"), Some("p0")),
+      DeltaLite.ColumnBound("a", Some(4L), Some(7L)),
+      DeltaLite.ColumnBound("b", Some(4L), Some(7L)))
+    assert(DeltaLite.pruneFiles(after, box).length <= 2)
+    assert(DeltaLite.scan(spark, path, box)
+      .filter($"part" === "p0" && $"a".between(4L, 7L) && $"b".between(4L, 7L))
+      .count() === 16)
+    // the SQL spelling drives the same op
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"OPTIMIZE '$path' WHERE part = 'p1' ZORDER BY (a, b)").collect()
+    val sqlAfter = DeltaLite.snapshot(path)
+    assert(sqlAfter.files.filter(_.pv("part") == "p1").map(_.path).toSet
+      .intersect(p1Files).isEmpty, "SQL ZORDER must rewrite the bound partition")
+    assert(DeltaLite.read(spark, path).count() === grid.size)
+  }
+
   test("DeltaLite crash safety: a dead writer's leftovers never corrupt reads") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_crash").toString
