@@ -381,6 +381,45 @@ object Relational {
            ORDER BY n.n_name ASC NULLS LAST, c.bal DESC NULLS LAST,
                     c.c_custkey ASC NULLS LAST"""),
 
+    // ------------------------------------------------------------------ J11
+    // POSITIONAL JOIN (DuckDB's row-aligned join): pair the i-th row of
+    // one ordered derivation with the i-th of another — the spreadsheet
+    // paste-columns-side-by-side operation. Spark expresses it as a
+    // row_number equi-join over each side's EXPLICIT total order (the
+    // oracle restates DuckDB's operator the same way, which is also its
+    // standard rewrite). Inherently order-dependent, so it only makes
+    // sense on small ordered sides — each side's window is one
+    // single-partition pass by construction; keyed joins remain the
+    // at-scale tool, this exists for reference parity.
+    QueryDef("j11_positional_join", (s, dir) => {
+      val byBal = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(20)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+      val byPrice = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(20)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      byBal.join(byPrice, Seq("pos"))
+        .select(col("pos"), col("c_custkey"),
+          expr("round(c_acctbal*100)/100").as("bal"),
+          col("o_orderkey"), expr("round(o_totalprice*100)/100").as("price"))
+        .orderBy(col("pos").asc_nulls_last)
+    }, Some(
+      """WITH a AS (
+           SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS pos,
+                  c_custkey, (round(c_acctbal*100)/100) AS bal
+           FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20),
+         b AS (
+           SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos,
+                  o_orderkey, (round(o_totalprice*100)/100) AS price
+           FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20)
+         SELECT a.pos AS pos, c_custkey, bal, o_orderkey, price
+         FROM a POSITIONAL JOIN b
+         ORDER BY pos ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- J9
     // Recursive CTE (DuckDB WITH RECURSIVE; Spark 4 added support) — the
     // dbt_utils.date_spine pattern: generate a gap-free day spine and
