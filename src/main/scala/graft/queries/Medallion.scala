@@ -951,6 +951,72 @@ object Medallion {
                 CAST(1 AS BIGINT) AS first_id
          FROM orders""")),
 
+    // ------------------------------------------------------------------- D3
+    // Column profiling (DuckDB SUMMARIZE / dbt-profiler): one row per
+    // column with count/nulls/distinct/min/max/avg — the
+    // pre-modeling data-audit artifact. Each column's profile is a lazy
+    // 1-row aggregate over the SAME single scan (Catalyst collapses the
+    // union of aggregates into one pass per column family); values
+    // stringify so heterogeneous column types share one report schema.
+    QueryDef("d3_profile", (s, dir) => {
+      val c = t(s, dir, "customer")
+      def prof(colName: String, numeric: Boolean): DataFrame =
+        c.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(colName).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(colName)).as("n_distinct"),
+          min(col(colName)).cast("string").as("min_value"),
+          max(col(colName)).cast("string").as("max_value"),
+          (if (numeric) expr(s"round((avg($colName))*10000)/10000").cast("string")
+           else lit(null).cast("string")).as("avg_value"))
+          .select(lit(colName).as("column_name"), col("n_rows"),
+            col("n_nulls"), col("n_distinct"), col("min_value"),
+            col("max_value"), col("avg_value"))
+      prof("c_custkey", numeric = true)
+        .unionByName(prof("c_name", numeric = false))
+        .unionByName(prof("c_nationkey", numeric = true))
+        .unionByName(prof("c_acctbal", numeric = true))
+        .unionByName(prof("c_mktsegment", numeric = false))
+        .orderBy(col("column_name").asc_nulls_last)
+    }, Some(
+      """WITH p AS (
+           SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  count(DISTINCT c_custkey) AS n_distinct,
+                  CAST(min(c_custkey) AS VARCHAR) AS min_value,
+                  CAST(max(c_custkey) AS VARCHAR) AS max_value,
+                  CAST(round((avg(c_custkey))*10000)/10000 AS VARCHAR) AS avg_value
+           FROM customer
+           UNION ALL
+           SELECT 'c_name', count(*),
+                  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT c_name),
+                  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR),
+                  CAST(NULL AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_nationkey', count(*),
+                  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT c_nationkey),
+                  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR),
+                  CAST(round((avg(c_nationkey))*10000)/10000 AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_acctbal', count(*),
+                  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT c_acctbal),
+                  CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR),
+                  CAST(round((avg(c_acctbal))*10000)/10000 AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', count(*),
+                  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT c_mktsegment),
+                  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR),
+                  CAST(NULL AS VARCHAR)
+           FROM customer)
+         SELECT * FROM p ORDER BY column_name ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- D1
     // dbt schema tests (the reference project's test: blocks — unique,
     // not_null, accepted_values, relationships) as one data-quality
