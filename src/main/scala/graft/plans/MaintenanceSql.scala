@@ -20,6 +20,7 @@ import graft.sources.DeltaLite
   *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
   *   OPTIMIZE '<path>' [WHERE <partCol> = '<value>'] ZORDER BY (a, b)
   *   RESTORE '<path>' TO VERSION AS OF n
+  *   RESTORE '<path>' TO TIMESTAMP AS OF '<instant>'
   *   CLONE '<src>' TO '<dst>'
   *   CONVERT TO DELTA '<path>'
   *   REORG '<path>' APPLY (PURGE)
@@ -81,6 +82,17 @@ object MaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.restore(spark, path, version)))
+  }
+
+  final case class RestoreTimestampCommand(path: String, ts: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.restoreAtTimestamp(spark, path,
+        java.time.Instant.parse(ts.replace(" ", "T") +
+          (if (ts.contains("Z") || ts.contains("+")) "" else "Z"))
+          .toEpochMilli)))
   }
 
   final case class CloneCommand(source: String, target: String)
@@ -183,6 +195,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?\s*;?\s*""").r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val ConvertRe =
@@ -226,6 +240,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case _ => None
         })
     case RestoreRe(p, v) => RestoreCommand(p, v.toLong)
+    case RestoreTsRe(p, ts) => RestoreTimestampCommand(p, ts)
     case CloneRe(src, dst) => CloneCommand(src, dst)
     case ConvertRe(p) => ConvertCommand(p)
     case ReorgRe(p) => ReorgCommand(p)

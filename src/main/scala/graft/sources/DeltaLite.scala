@@ -1964,6 +1964,13 @@ object DeltaLite {
       old.identity, old.properties)
   }
 
+  /** `RESTORE ... TO TIMESTAMP AS OF`: resolve the instant to the
+    * version live at that time (same rule as time-travel reads), then
+    * restore by version. */
+  def restoreAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Long =
+    restore(spark, path, versionAtTimestamp(path, tsMillis))
+
   /** Files of `snap` holding at least one of `keyed`'s key tuples, plus
     * a DataFrame of exactly those files' rows: stats-prune candidates by
     * the key bounds (one tiny agg), then an exact `_metadata.file_path`

@@ -1328,6 +1328,27 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === 51)
   }
 
+  test("DeltaLite RESTORE TO TIMESTAMP AS OF resolves like time travel") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_restoretz").toString
+    DeltaLite.create(spark, path, Seq((1L, "a")).toDF("k", "s"))
+    Thread.sleep(5)
+    DeltaLite.append(spark, path, Seq((2L, "b")).toDF("k", "s"))
+    Thread.sleep(5)
+    DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s"))
+    // instant just after v1: restore rolls the live set back to k∈{1,2}
+    val line1 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path, "_graft_log", "1.json")).get(0)
+    val ts1 = """"committedAtMs":(\d+)""".r.findFirstMatchIn(line1).get.group(1).toLong
+    DeltaLite.restoreAtTimestamp(spark, path, ts1)
+    assert(DeltaLite.read(spark, path).select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    // the SQL spelling (UTC instant) parses and runs
+    val iso = java.time.Instant.ofEpochMilli(ts1).toString
+    spark.sql(s"RESTORE '$path' TO TIMESTAMP AS OF '$iso'").collect()
+    assert(DeltaLite.read(spark, path).count() === 2)
+  }
+
   test("DeltaLite TIMESTAMP AS OF resolves the version live at that instant") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_tt").toString
