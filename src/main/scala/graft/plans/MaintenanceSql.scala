@@ -55,6 +55,7 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
       AttributeReference("num_files", IntegerType, nullable = false)(),
       AttributeReference("num_owned_files", IntegerType, nullable = false)(),
       AttributeReference("num_referenced_files", IntegerType, nullable = false)(),

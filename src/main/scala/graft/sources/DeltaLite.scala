@@ -64,7 +64,8 @@ object DeltaLite {
     * (valid upper bounds for pruning — a DV only ever removes rows). */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
       dv: Option[String] = None, pv: Map[String, String] = Map.empty,
-      bloom: Map[String, String] = Map.empty)
+      bloom: Map[String, String] = Map.empty,
+      bytes: Long = 0L)
 
   /** Resolved table state at a version: schema + live file set +
     * CHECK constraints (name → SQL predicate, enforced on every write) +
@@ -90,6 +91,8 @@ object DeltaLite {
       properties: Map[String, String] = Map.empty) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
+    /** Sum of logged file sizes (0 for pre-sizes-era adds). */
+    def totalBytes: Long = files.map(_.bytes).sum
     /** Column mapping (Delta column-mapping mode `name`): the PHYSICAL
       * parquet column backing logical column `c`. Assigned at column
       * birth and never changed — RENAME remaps logical→physical only, so
@@ -503,7 +506,11 @@ object DeltaLite {
         vals.collect { case (c, JString(s)) => c -> s }.toMap
       case _ => Map.empty[String, String]
     }
-    AddFile(p, rows, stats, dv, pv, bloom)
+    val bytes = m.get("bytes").collect {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+    }.getOrElse(0L)
+    AddFile(p, rows, stats, dv, pv, bloom, bytes)
   }
 
   // -------------------------------------------------------------- write
@@ -668,7 +675,7 @@ object DeltaLite {
           footerColStats(f.dataType, byName.getOrElse(pn, Nil))
             .map(pn -> _)
         }.toMap
-        AddFile(rel, rows, stats, None, pv)
+        AddFile(rel, rows, stats, None, pv, bytes = Files.size(p))
       } finally reader.close()
     }
   }
@@ -851,6 +858,7 @@ object DeltaLite {
     })
     JObject(List("add" -> JObject(List(
       "path" -> JString(f.path), "rows" -> JLong(f.rows),
+      "bytes" -> JLong(f.bytes),
       "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats) ++
       (if (f.pv.isEmpty) Nil
        else List("pv" -> JObject(
@@ -1395,30 +1403,34 @@ object DeltaLite {
     }
   }
 
-  /** Add-file count and row total committed by exactly version `v` —
-    * one driver-side read of that version's log file, no snapshot replay.
-    * The streaming source's admission control (`maxFilesPerTrigger` /
-    * `maxRowsPerTrigger`) walks these to size a micro-batch without
-    * touching any data file. */
-  def versionAddStats(path: String, v: Long): (Long, Long) = {
+  /** Add-file count, row total, and byte total committed by exactly
+    * version `v` — one driver-side read of that version's log file, no
+    * snapshot replay. The streaming source's admission control
+    * (`maxFilesPerTrigger` / `maxRowsPerTrigger` / `maxBytesPerTrigger`)
+    * walks these to size a micro-batch without touching any data file. */
+  def versionAddStats(path: String, v: Long): (Long, Long, Long) = {
     val lines = Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
     var files = 0L
     var rows = 0L
+    var bytes = 0L
     lines.filter(_.nonEmpty).foreach { line =>
       parseLine(line) match {
         case JObject(fields) => fields.foreach {
           case ("add", a: JObject) =>
-            files += 1
-            rows += a.obj.toMap.get("rows").collect {
+            val m = a.obj.toMap
+            def num(k: String): Long = m.get(k).collect {
               case JLong(l) => l
               case JInt(i) => i.toLong
             }.getOrElse(0L)
+            files += 1
+            rows += num("rows")
+            bytes += num("bytes")
           case _ => ()
         }
         case _ => ()
       }
     }
-    (files, rows)
+    (files, rows, bytes)
   }
 
   /** Expose a DeltaLite table to SQL as a temp view (optionally pinned to
@@ -2363,7 +2375,8 @@ object DeltaLite {
   def detail(spark: SparkSession, path: String): DataFrame = {
     val snap = snapshot(path)
     val absolute = snap.files.count(f => Paths.get(f.path).isAbsolute)
-    val row = Row(snap.version, snap.totalRows, snap.files.length,
+    val row = Row(snap.version, snap.totalRows, snap.totalBytes,
+      snap.files.length,
       snap.files.length - absolute, absolute,
       snap.partitionBy.mkString(","), snap.constraints.size,
       snap.generated.toSeq.sortBy(_._1)
@@ -2378,6 +2391,7 @@ object DeltaLite {
     val sch = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("num_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
       StructField("num_files", IntegerType, nullable = false),
       StructField("num_owned_files", IntegerType, nullable = false),
       StructField("num_referenced_files", IntegerType, nullable = false),

@@ -81,6 +81,7 @@ class GraftDeltaSource extends RelationProvider
       metadataPath = metadataPath,
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
       maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
       startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
@@ -235,6 +236,7 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
     metadataPath: String = "",
     maxFilesPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -242,7 +244,8 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
   private val tableSchema: StructType = DeltaLite.snapshot(path).schema
 
   private def rateLimited: Boolean =
-    maxFilesPerTrigger.isDefined || maxRowsPerTrigger.isDefined
+    maxFilesPerTrigger.isDefined || maxRowsPerTrigger.isDefined ||
+      maxBytesPerTrigger.isDefined
 
   // Admission-control position: the last log version this source has
   // SURFACED via getOffset/getBatch. Persisted under the stream's own
@@ -288,16 +291,19 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
           var v = base
           var files = 0L
           var rows = 0L
+          var bytes = 0L
           var continue = true
           while (continue && v < latest) {
-            val (f, r) = DeltaLite.versionAddStats(path, v + 1)
+            val (f, r, by) = DeltaLite.versionAddStats(path, v + 1)
             if (v > base &&
                 (maxFilesPerTrigger.exists(files + f > _) ||
-                 maxRowsPerTrigger.exists(rows + r > _))) continue = false
+                 maxRowsPerTrigger.exists(rows + r > _) ||
+                 maxBytesPerTrigger.exists(bytes + by > _))) continue = false
             else {
-              v += 1; files += f; rows += r
+              v += 1; files += f; rows += r; bytes += by
               if (maxFilesPerTrigger.exists(files >= _) ||
-                  maxRowsPerTrigger.exists(rows >= _)) continue = false
+                  maxRowsPerTrigger.exists(rows >= _) ||
+                  maxBytesPerTrigger.exists(bytes >= _)) continue = false
             }
           }
           storePos(v)

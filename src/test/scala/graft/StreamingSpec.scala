@@ -255,6 +255,19 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       .iterator().asScala.find(_.getFileName.toString == "graft-source-position")
     assert(pos.isDefined)
     assert(new String(java.nio.file.Files.readAllBytes(pos.get), "UTF-8").trim === "3")
+    // byte-based admission splits the same way (every version is larger
+    // than a 1-byte budget, and ≥1 version is always admitted)
+    val batches2 = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", 1).load(table)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt2").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2.add(df.select("k").as[Long].collect().toSeq.sorted); ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches2.asScala.toSeq === Seq(Seq(0L), Seq(1L), Seq(2L), Seq(3L)))
   }
 
   test("graft-delta source with startingVersion skips the initial-snapshot backfill") {
