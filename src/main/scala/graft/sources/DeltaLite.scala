@@ -614,12 +614,15 @@ object DeltaLite {
       adds: Seq[AddFile], schema: StructType, partitionBy: Seq[String],
       physical: Map[String, String],
       properties: Map[String, String]): Seq[AddFile] = {
-    val cols = properties.get("graft.bloom.columns")
+    val cols = properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.bloom.columns") => v
+      }
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       .filter(c => schema.fieldNames.contains(c) && !partitionBy.contains(c))
     if (cols.isEmpty || adds.isEmpty) return adds
-    val numBits = properties.get("graft.bloom.bits")
-      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(65536L)
+    val numBits = properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.bloom.bits") => v
+      }.flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(65536L)
     graft.functions.GraftFunctions.register(spark)
     val paths = adds.map(f => tableRoot.resolve(f.path).toString)
     val perFile = spark.read.parquet(paths: _*)
@@ -1817,7 +1820,8 @@ object DeltaLite {
     * rewrites committed rows. Appends, OPTIMIZE-family rewrites (row-
     * preserving), and metadata commits stay allowed. */
   private def rejectIfAppendOnly(snap: Snapshot, op: String): Unit =
-    if (snap.properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+    if (snap.properties.exists { case (k, v) =>
+        k.equalsIgnoreCase("delta.appendOnly") && v.equalsIgnoreCase("true") })
       throw new UnsupportedOperationException(
         s"$op is not allowed: this table is append-only " +
           "(TBLPROPERTIES delta.appendOnly = true)")
@@ -2419,8 +2423,9 @@ object DeltaLite {
     // table instead of living in every caller's cron job.
     val keep =
       if (keepVersions >= 0) keepVersions
-      else snapshot(path).properties.get("graft.retention.keepVersions")
-        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+      else snapshot(path).properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.retention.keepVersions") => v
+      }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
     val keepFrom = math.max(0L, latest - keep + 1)
     val keptSnaps = (keepFrom to latest).map(v => snapshot(path, Some(v)))
     val referenced = keptSnaps.flatMap(_.files.map(_.path)).toSet

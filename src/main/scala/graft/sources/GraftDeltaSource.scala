@@ -127,7 +127,10 @@ class GraftDeltaSource extends RelationProvider
     * ErrorIfExists/Ignore follow the SaveMode contract; Append lands a
     * log-committed batch (constraint/schema-enforced); Overwrite is a
     * `replaceWhere` over the full table — a new version whose live set
-    * is just the batch, with history still time-travelable. */
+    * is just the batch, with history still time-travelable. Table-create
+    * writes accept `tblproperty.<k>` options (e.g.
+    * `.option("tblproperty.graft.bloom.columns", "id")`), mapped to the
+    * new table's TBLPROPERTIES. */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: org.apache.spark.sql.DataFrame)
       : BaseRelation = {
@@ -136,6 +139,10 @@ class GraftDeltaSource extends RelationProvider
         "graft-delta requires a path: df.write.format(\"graft-delta\").save(path)")))
     val spark = ctx.sparkSession
     val exists = DeltaLite.latestVersion(path).isDefined
+    val props = parameters.collect {
+      case (k, v) if k.toLowerCase.startsWith("tblproperty.") =>
+        k.substring("tblproperty.".length) -> v
+    }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalArgumentException(s"graft-delta table already exists at $path")
@@ -145,7 +152,7 @@ class GraftDeltaSource extends RelationProvider
       case SaveMode.Append if exists =>
         DeltaLite.append(spark, path, data)
       case _ =>
-        DeltaLite.create(spark, path, data)
+        DeltaLite.create(spark, path, data, properties = props)
     }
     GraftDeltaRelation(spark, path, None)
   }

@@ -152,7 +152,16 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_test_fmt_write").toString
     Seq((1L, 1.0)).toDF("k", "v")
-      .write.format("graft-delta").mode("errorifexists").save(path)
+      .write.format("graft-delta").mode("errorifexists")
+      .option("tblproperty.graft.bloom.columns", "k")
+      .option("tblproperty.team", "ingest")
+      .save(path)
+    // tblproperty.* options land as table properties (keys arrive
+    // lowercased through Spark's option map; lookups are case-insensitive)
+    val created = DeltaLite.snapshot(path)
+    assert(created.properties.get("team").contains("ingest"))
+    assert(created.files.forall(_.bloom.nonEmpty),
+      "bloom columns configured at create must index the first write")
     Seq((2L, 2.0)).toDF("k", "v")
       .write.format("graft-delta").mode("append").save(path)
     assert(spark.read.format("graft-delta").load(path).count() === 2)
