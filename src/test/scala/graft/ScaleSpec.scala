@@ -1522,6 +1522,101 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("DeltaLite partitioned model check: 20 random ops on a Hive-layout table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val path = Files.createTempDirectory("graft_pmodel").toString
+    // model: key -> (partition, value); table (k, part, v) partitioned
+    var model = Map.empty[Long, (String, Double)]
+    var nextKey = 0L
+    def freshBatch(n: Int): Seq[(Long, String, Double)] = {
+      val b = (0 until n).map(i =>
+        (nextKey + i, s"p${rnd.nextInt(3)}", rnd.nextInt(1000) * 1.0))
+      nextKey += n
+      b
+    }
+    val b0 = freshBatch(30)
+    model = b0.map(r => r._1 -> (r._2, r._3)).toMap
+    DeltaLite.create(spark, path, b0.toDF("k", "part", "v").repartition(2),
+      partitionBy = Seq("part"))
+    val history = scala.collection.mutable.ArrayBuffer(model)
+    val verState = scala.collection.mutable.Map(
+      DeltaLite.latestVersion(path).get -> model)
+
+    (1 to 20).foreach { _ =>
+      rnd.nextInt(7) match {
+        case 0 => // append across partitions
+          val b = freshBatch(1 + rnd.nextInt(8))
+          model = model ++ b.map(r => r._1 -> (r._2, r._3))
+          DeltaLite.append(spark, path, b.toDF("k", "part", "v").coalesce(1))
+        case 1 => // delete a whole partition's residue class
+          val part = s"p${rnd.nextInt(3)}"
+          model = model.filterNot { case (k, (p, _)) => p == part && k % 2 == 0 }
+          DeltaLite.delete(spark, path,
+            col("part") === part && pmod(col("k"), lit(2)) === 0)
+        case 2 => // update values within one partition
+          val part = s"p${rnd.nextInt(3)}"
+          model = model.map { case (k, (p, v)) =>
+            if (p == part) k -> (p, v + 7) else k -> (p, v)
+          }
+          DeltaLite.update(spark, path, col("part") === part,
+            Map("v" -> (col("v") + 7)))
+        case 3 => // partition-scoped maintenance: no logical change
+          val part = s"p${rnd.nextInt(3)}"
+          val b = Seq(DeltaLite.ColumnBound("part", Some(part), Some(part)))
+          if (rnd.nextBoolean()) DeltaLite.compactPartition(spark, path, b)
+          else DeltaLite.clusterZPartition(spark, path, b, "k", "v", numFiles = 2)
+        case 4 => // replaceWhere one partition with fresh rows bound for it
+          val part = s"p${rnd.nextInt(3)}"
+          val repl = freshBatch(4).map(r => (r._1, part, r._3))
+          model = model.filterNot { case (_, (p, _)) => p == part } ++
+            repl.map(r => r._1 -> (r._2, r._3))
+          DeltaLite.replaceWhere(spark, path, col("part") === part,
+            repl.toDF("k", "part", "v").coalesce(1))
+        case 5 => // merge: moves a key's row ACROSS partitions
+          val moved = model.keys.toSeq.sorted.take(4)
+            .map(k => (k, s"p${rnd.nextInt(3)}", -1.0 * k))
+          val src = moved ++ freshBatch(rnd.nextInt(3))
+          model = model ++ src.map(r => r._1 -> (r._2, r._3))
+          DeltaLite.merge(spark, path, src.toDF("k", "part", "v").coalesce(1),
+            Seq("k"))
+        case 6 => // restore to a random earlier version
+          val versions = verState.keys.toSeq.sorted
+          val rv = versions(rnd.nextInt(versions.length))
+          model = verState(rv)
+          DeltaLite.restore(spark, path, rv)
+      }
+      history += model
+      verState(DeltaLite.latestVersion(path).get) = model
+    }
+
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Double)] =
+      df.as[(Long, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(asMap(DeltaLite.read(spark, path).select("k", "part", "v"))
+      === history.last)
+    // partition-value bookkeeping never drifts: every live file's logged
+    // pv agrees with every row it holds, at every surviving version
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.partitionBy === Seq("part"))
+    assert(snap.files.forall(_.pv.contains("part")))
+    assert(DeltaLite.read(spark, path)
+      .filter(col("part").isNull).count() === 0)
+    // partition pruning stays exact after the whole op mix
+    val p0 = asMap(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("p0"), Some("p0"))))
+      .filter($"part" === "p0").select("k", "part", "v"))
+    assert(p0 === history.last.filter { case (_, (p, _)) => p == "p0" })
+    // time travel: every version's state appears in model history order
+    val latest = DeltaLite.latestVersion(path).get
+    var hi = 0
+    (0L to latest).foreach { v =>
+      val s = asMap(DeltaLite.read(spark, path, Some(v)).select("k", "part", "v"))
+      while (hi < history.length && history(hi) != s) hi += 1
+      assert(hi < history.length, s"version $v matches no model state")
+    }
+  }
+
   test("DeltaLite DELETE / UPDATE / schema evolution") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dml").toString
