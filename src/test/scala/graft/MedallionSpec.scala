@@ -145,6 +145,18 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s"))
       spark.sql("REFRESH TABLE graft_ddl")
       assert(spark.sql("SELECT count(*) AS n FROM graft_ddl").head().getLong(0) === 3)
+      // CTAS through the registered format: the SELECT materializes as a
+      // brand-new log-committed table
+      val ctas = Files.createTempDirectory("graft_test_ctas").toString + "/t"
+      spark.sql(s"""CREATE TABLE graft_ctas USING `graft-delta`
+                    OPTIONS (path '$ctas')
+                    AS SELECT k, upper(s) AS s FROM graft_ddl WHERE k <= 2""")
+      try {
+        assert(DeltaLite.latestVersion(ctas) === Some(0L))
+        assert(spark.sql("SELECT s FROM graft_ctas WHERE k = 1")
+          .head().getString(0) === "A")
+        assert(DeltaLite.read(spark, ctas).count() === 2)
+      } finally spark.sql("DROP TABLE graft_ctas")
     } finally spark.sql("DROP TABLE graft_ddl")
   }
 
