@@ -28,6 +28,8 @@ import graft.sources.DeltaLite
   *   ALTER '<path>' DROP COLUMN name
   *   ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
+  *   ALTER '<path>' ADD CONSTRAINT name CHECK (expr)
+  *   ALTER '<path>' DROP CONSTRAINT name
   *
   * Table paths are quoted string literals (a DeltaLite table is a
   * directory, not a catalog entry). Each statement is a
@@ -120,6 +122,22 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.dropColumn(path, name)))
   }
 
+  final case class AddConstraintCommand(path: String, name: String,
+      check: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.addConstraint(spark, path, name, check)))
+  }
+
+  final case class DropConstraintCommand(path: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.dropConstraint(path, name)))
+  }
+
   final case class SetPropertiesCommand(path: String,
       props: Map[String, String]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -210,6 +228,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val ZOrderRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?""" +
       """\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*""").r
@@ -247,6 +271,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
     case DropColRe(p, c) => DropColumnCommand(p, c)
+    case AddConstraintRe(p, n, check) => AddConstraintCommand(p, n, check.trim)
+    case DropConstraintRe(p, n) => DropConstraintCommand(p, n)
     case SetPropsRe(p, pairs) =>
       SetPropertiesCommand(p,
         PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)

@@ -356,6 +356,14 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k", "w"))
     spark.sql(s"ALTER '$plain' DROP COLUMN w")
     assert(DeltaLite.read(spark, plain).columns.toSeq === Seq("k"))
+    // ADD/DROP CONSTRAINT via SQL: writes gate on the predicate
+    spark.sql(s"ALTER '$plain' ADD CONSTRAINT k_nonneg CHECK (k >= 0)")
+    intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, plain, Seq(-1L).toDF("k"))
+    }
+    spark.sql(s"ALTER '$plain' DROP CONSTRAINT k_nonneg")
+    DeltaLite.append(spark, plain, Seq(-1L).toDF("k"))
+    DeltaLite.delete(spark, plain, $"k" === -1L)
     // SET/UNSET TBLPROPERTIES: appendOnly locks, unset re-opens
     spark.sql(s"ALTER '$plain' SET TBLPROPERTIES ('delta.appendOnly' = 'true', 'team' = 'ingest')")
     assert(spark.sql(s"DESCRIBE DETAIL '$plain'").collect()(0)
