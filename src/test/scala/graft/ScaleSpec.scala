@@ -1394,7 +1394,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     intercept[Exception] { DeltaLite.read(spark, path, Some(0L)).count() }
   }
 
-  test("DeltaLite model check: 24 random ops vs an in-memory reference model") {
+  test("DeltaLite model check: 32 random ops vs an in-memory reference model") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val path = Files.createTempDirectory("graft_model").toString
@@ -1415,7 +1415,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val history = scala.collection.mutable.ArrayBuffer(model)
 
     verState(DeltaLite.latestVersion(path).get) = model
-    (1 to 24).foreach { _ =>
+    (1 to 32).foreach { _ =>
       rnd.nextInt(10) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
