@@ -1617,6 +1617,42 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("DeltaLite generated-column pruning soundness: 30 random ts bounds vs the model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val path = Files.createTempDirectory("graft_genmodel").toString
+    // rows spread over 60 days; day = date(ts) is the generated partition
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${(day % 28) + 1}%02d $hour%02d:00:00")
+    var rows = (0L until 200L).map(i =>
+      (i, ts(rnd.nextInt(28), rnd.nextInt(24)), i * 1.0))
+    DeltaLite.create(spark, path, rows.toDF("k", "ts", "v").repartition(3),
+      partitionBy = Seq("day"), generated = Map("day" -> "date(ts)"))
+    // a few appends so multiple files per partition exist
+    (0 until 3).foreach { _ =>
+      val extra = (0 until 40).map(i =>
+        (1000L + rnd.nextInt(100000), ts(rnd.nextInt(28), rnd.nextInt(24)),
+          rnd.nextInt(100) * 1.0))
+      rows = rows ++ extra
+      DeltaLite.append(spark, path, extra.toDF("k", "ts", "v").coalesce(1))
+    }
+    // soundness: for random [lo, hi] bounds on the BASE column, the
+    // derived-bound scan + exact filter must return EXACTLY the model's
+    // rows — a wrongly pruned partition would lose rows
+    (1 to 30).foreach { _ =>
+      val a = ts(rnd.nextInt(28), rnd.nextInt(24))
+      val b = ts(rnd.nextInt(28), rnd.nextInt(24))
+      val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
+      val got = DeltaLite.scan(spark, path,
+          Seq(DeltaLite.ColumnBound("ts", Some(lo), Some(hi))))
+        .filter($"ts".between(lo, hi))
+        .select("k", "ts").as[(Long, java.sql.Timestamp)].collect().toSet
+      val want = rows.filter(r => !r._2.before(lo) && !r._2.after(hi))
+        .map(r => (r._1, r._2)).toSet
+      assert(got === want, s"derived pruning lost/invented rows for [$lo, $hi]")
+    }
+  }
+
   test("DeltaLite DELETE / UPDATE / schema evolution") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dml").toString
