@@ -1653,6 +1653,37 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("DeltaLite bloom pruning soundness: 60 random point lookups never lose a row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val path = Files.createTempDirectory("graft_bloommodel").toString
+    // keys hash-scattered across files AND a string bloom column too
+    val rows = (0L until 3000L).map(i => (i, s"u${i % 977}", i * 0.5))
+    DeltaLite.create(spark, path,
+      rows.toDF("k", "u", "v").repartition(6, pmod(col("k"), lit(6))),
+      properties = Map("graft.bloom.columns" -> "k,u"))
+    (1 to 60).foreach { _ =>
+      if (rnd.nextBoolean()) {
+        // long key: half present, half absent
+        val key = if (rnd.nextBoolean()) rnd.nextInt(3000).toLong
+                  else 100000L + rnd.nextInt(1000)
+        val got = DeltaLite.scan(spark, path,
+            Seq(DeltaLite.ColumnBound("k", Some(key), Some(key))))
+          .filter($"k" === key).count()
+        assert(got === rows.count(_._1 == key).toLong,
+          s"bloom lookup lost rows for k=$key")
+      } else {
+        val u = if (rnd.nextBoolean()) s"u${rnd.nextInt(977)}"
+                else s"missing${rnd.nextInt(50)}"
+        val got = DeltaLite.scan(spark, path,
+            Seq(DeltaLite.ColumnBound("u", Some(u), Some(u))))
+          .filter($"u" === u).count()
+        assert(got === rows.count(_._2 == u).toLong,
+          s"bloom lookup lost rows for u=$u")
+      }
+    }
+  }
+
   test("DeltaLite DELETE / UPDATE / schema evolution") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_dml").toString
