@@ -984,6 +984,50 @@ object Llm {
          FROM c GROUP BY lang, seq_id
          ORDER BY lang ASC NULLS LAST, seq_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (f)
+    // Deterministic global shuffle + sharding (the last step before
+    // training): every doc gets a content-independent pseudo-random key
+    // (keyed md5 of its id — reshuffling = changing the seed string), a
+    // shard from the key's first hex digit, and a within-shard position
+    // from the full key order. This is a seeded permutation of the corpus
+    // with NO global sort: at 100 TB shards are written with
+    // repartition(shard) + sortWithinPartitions(key) — each shard orders
+    // only its own slice, shard count scales with the data. The per-shard
+    // report (count, bytes, md5 of the exact doc order) is the QA
+    // artifact that makes the permutation reproducible across engines;
+    // the ordered-concat agg is per-shard bounded at test SF and becomes
+    // the shard file write at scale.
+    QueryDef("l5_global_shuffle", (s, dir) => {
+      val nShards = 8
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")).cast("binary")).as("h"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) % nShards)
+            .cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_chars"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ",").cast("binary"))
+            .as("order_md5"))
+        .orderBy(col("shard").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         s AS (
+           SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 8
+                     AS BIGINT) AS shard
+           FROM d)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h ASC, doc_id ASC))
+                  AS order_md5
+         FROM s GROUP BY shard ORDER BY shard ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (c)
     // PII redaction: emails and phone-shaped tokens replaced with typed
     // placeholders, with per-doc redaction counts. The fixtures carry no

@@ -878,6 +878,64 @@ object Relational {
                        EXCLUDE CURRENT ROW)
          ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- W3 (d)
+    // Frame EXCLUDE GROUP / EXCLUDE TIES (the remaining SQL-standard
+    // exclusion modes; DuckDB implements them literally, Spark has none).
+    // Spark-first identity over an UNBOUNDED frame, where the peer group
+    // is always fully contained in the frame, so for distributive aggs:
+    //   agg EXCLUDE GROUP ≡ agg(partition) − agg(peer group)
+    //   agg EXCLUDE TIES  ≡ agg(partition) − agg(peer group) + current row
+    // The peer group is RANGE BETWEEN CURRENT ROW AND CURRENT ROW over the
+    // same ordering — Spark evaluates both frames in ONE Window operator
+    // (same partitioning+ordering), one shuffle, codegen'd arithmetic.
+    // Ordering by o_orderpriority (5 distinct values) guarantees large tie
+    // groups so GROUP and TIES genuinely diverge. Counts are checked
+    // against DuckDB's literal EXCLUDE GROUP/TIES (integer-exact,
+    // order-independent); the sum uses the subtract identity TEXTUALLY on
+    // both sides (HANDOFF parity rule 1 — a native exclusion sums floats
+    // in a different order, last-ulp drift at rounding boundaries).
+    QueryDef("w3_frame_exclude_ties", (s, dir) => {
+      val wAll = Window.partitionBy(col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPeer = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority").asc)
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("all_sum", sum(col("o_totalprice")).over(wAll))
+        .withColumn("all_n", count(lit(1)).over(wAll))
+        .withColumn("peer_sum", sum(col("o_totalprice")).over(wPeer))
+        .withColumn("peer_n", count(lit(1)).over(wPeer))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("all_n") - col("peer_n")).as("grp_n"),
+          (col("all_n") - col("peer_n") + 1).as("ties_n"),
+          // empty EXCLUDE GROUP frame (all rows are peers) → NULL sum
+          when(col("all_n") > col("peer_n"),
+            round((col("all_sum") - col("peer_sum"))*100)/100).as("grp_sum"),
+          (round((col("all_sum") - col("peer_sum") + col("o_totalprice"))*100)/100)
+            .as("ties_sum"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                count(*) OVER wg AS grp_n,
+                count(*) OVER wt AS ties_n,
+                CASE WHEN (count(*) OVER wa) > (count(*) OVER wp) THEN
+                  (round(((sum(o_totalprice) OVER wa) - (sum(o_totalprice) OVER wp))*100)/100)
+                END AS grp_sum,
+                (round(((sum(o_totalprice) OVER wa) - (sum(o_totalprice) OVER wp)
+                        + o_totalprice)*100)/100) AS ties_sum
+         FROM orders
+         WINDOW wa AS (PARTITION BY o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority ASC
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+                wg AS (PARTITION BY o_custkey ORDER BY o_orderpriority ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                       EXCLUDE GROUP),
+                wt AS (PARTITION BY o_custkey ORDER BY o_orderpriority ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                       EXCLUDE TIES)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- A7 (b)
     // array_agg proper (list-valued aggregation) with pinned element order.
     // The list is emitted as a ','-joined string: the compare harness cannot
