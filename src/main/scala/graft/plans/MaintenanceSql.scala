@@ -154,6 +154,20 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.unsetProperty(path, key)))
   }
 
+  /** `COPY INTO '<table>' FROM '<dir>'` — idempotent landing-zone load;
+    * reports the files loaded THIS run (0 = everything already loaded),
+    * the Databricks COPY INTO result shape. */
+  final case class CopyIntoCommand(path: String, source: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files_loaded", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (v, n) = DeltaLite.copyInto(spark, path, source)
+      Seq(Row(v, n))
+    }
+  }
+
   final case class ConvertCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
@@ -244,6 +258,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """'([^']+)'\s*\)\s*;?\s*""").r
   // one `'k' = 'v'` pair inside SET TBLPROPERTIES (...)
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -268,6 +284,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreTsRe(p, ts) => RestoreTimestampCommand(p, ts)
     case CloneRe(src, dst) => CloneCommand(src, dst)
     case ConvertRe(p) => ConvertCommand(p)
+    case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
     case DropColRe(p, c) => DropColumnCommand(p, c)

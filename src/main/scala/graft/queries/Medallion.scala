@@ -683,6 +683,40 @@ object Medallion {
          FROM orders WHERE o_orderstatus = 'P' AND o_totalprice >= 1000
          GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S28
+    // COPY INTO (idempotent landing-zone ingestion): a multi-file parquet
+    // drop loads once, a re-run is a NO-OP (loaded-file identities ride
+    // the load's own commit as txn actions — atomic, crash-safe), and a
+    // late-arriving file loads alone without re-reading the old ones.
+    // The oracle is the WHOLE source relation exactly once: any double
+    // load doubles a count and hash-fails.
+    QueryDef("s28_copy_into", (s, dir) => {
+      val landing = tmp("s28_landing")
+      val path = tmp("s28_target")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      // initial landing-zone drop: 4 data files
+      o.filter(col("o_orderdate") < cut).repartition(4)
+        .write.mode("overwrite").parquet(landing)
+      DeltaLite.create(s, path, o.limit(0))
+      DeltaLite.copyInto(s, path, landing) // loads the 4 files
+      DeltaLite.copyInto(s, path, landing) // idempotent re-run: no-op
+      // late arrival: one more file lands next to the loaded ones
+      o.filter(col("o_orderdate") >= cut).coalesce(1)
+        .write.mode("append").parquet(landing)
+      DeltaLite.copyInto(s, path, landing) // loads ONLY the new file
+      DeltaLite.read(s, path)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("yr").asc_nulls_last)
+    }, Some(
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders GROUP BY 1 ORDER BY yr ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S20
     // REORG APPLY (PURGE): soft deletes land as deletion vectors (no file
     // rewritten), then REORG materializes them — ONLY the DV-carrying

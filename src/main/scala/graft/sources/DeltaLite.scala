@@ -889,11 +889,14 @@ object DeltaLite {
       physical: Map[String, String],
       generated: Map[String, String],
       identity: Map[String, IdentityCol],
-      properties: Map[String, String]): Long = {
+      properties: Map[String, String],
+      txns: Seq[(String, Long)] = Nil): Long = {
     // `constraints`/`partitionBy`/`physical`/`generated`/`identity` have
     // NO default on purpose: metaData is re-stated on every commit, so a
     // call site that forgot to carry the snapshot's values forward would
-    // silently DROP them from the table.
+    // silently DROP them from the table. `txns` (multi-txn commits —
+    // COPY INTO records one loaded-file identity per txn action) is
+    // accumulative state, not re-stated metadata, so a default is safe.
     Files.createDirectories(logDir(path))
     val metaFields = List("schema" -> JString(schema.json)) ++
       (if (partitionBy.isEmpty) Nil
@@ -916,8 +919,9 @@ object DeltaLite {
         "version" -> JLong(version), "op" -> JString(op),
         "committedAtMs" -> JLong(System.currentTimeMillis())))))),
       JsonMethods.compact(JObject(List("metaData" -> JObject(metaFields))))) ++
-      txn.map { case (app, ver) => JsonMethods.compact(JObject(List("txn" ->
-        JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) }.toSeq ++
+      (txn.toSeq ++ txns).map { case (app, ver) =>
+        JsonMethods.compact(JObject(List("txn" ->
+          JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) } ++
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
       adds.map(f => JsonMethods.compact(encodeAdd(f, schema, physical)))
@@ -986,22 +990,33 @@ object DeltaLite {
     * are already on disk and stay valid across retries. */
   private def commitAddsWithRetry(path: String, op: String,
       batchSchema: StructType, adds: Seq[AddFile],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      txns: Seq[(String, Long)] = Nil): Long = {
     var attempts = 0
     while (true) {
       val snap = snapshot(path)
       // txn idempotence (Delta's streaming-sink rule): if this app already
       // committed this or a later txn version — including via a racing
-      // duplicate of ourselves — the batch is already in the table.
-      txn.foreach { case (app, ver) =>
-        if (snap.txns.get(app).exists(_ >= ver)) return snap.version
+      // duplicate of ourselves — the batch is already in the table. For a
+      // multi-txn batch (COPY INTO): ALL identities present = full replay
+      // (no-op); SOME present = a concurrent loader landed an overlapping
+      // subset, and blindly committing would double-load it — surface the
+      // conflict instead (the caller re-runs and re-filters).
+      val allTxns = txn.toSeq ++ txns
+      if (allTxns.nonEmpty) {
+        val done = allTxns.count { case (app, ver) =>
+          snap.txns.get(app).exists(_ >= ver) }
+        if (done == allTxns.size) return snap.version
+        if (done > 0) throw new java.util.ConcurrentModificationException(
+          s"concurrent $op committed an overlapping txn subset on $path; " +
+            "re-run against the new snapshot")
       }
       val known = snap.schema.fieldNames.toSet
       val schema = StructType(snap.schema.fields ++
         batchSchema.fields.filterNot(f => known.contains(f.name)))
       try return writeCommit(path, snap.version + 1, op, schema, adds, Nil, txn,
         snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        snap.identity, snap.properties)
+        snap.identity, snap.properties, txns)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempts < 100 =>
           attempts += 1 // lost the race — replay the new commits and retry
@@ -1021,9 +1036,10 @@ object DeltaLite {
       generated: Map[String, String],
       identity: Map[String, IdentityCol],
       properties: Map[String, String],
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      txns: Seq[(String, Long)] = Nil): Long =
     try writeCommit(path, version, op, schema, adds, removes, txn, constraints,
-      partitionBy, physical, generated, identity, properties)
+      partitionBy, physical, generated, identity, properties, txns)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1659,6 +1675,61 @@ object DeltaLite {
             s"concurrent commit beat identity APPEND at version " +
               s"${snap.version + 1} on $path; re-run against the new snapshot")
       }
+  }
+
+  /** Delta/Databricks `COPY INTO`-style idempotent bulk loading: the
+    * source directory's parquet data files are enumerated, every file
+    * whose identity (absolute path + size + mtime) was already loaded is
+    * skipped, and the rest append as ONE batch whose commit also records
+    * the newly loaded identities as txn actions — load + record are
+    * atomic, so re-runs (and crash-retries) are exactly-once per file
+    * identity. A file rewritten in place (same path, new size/mtime) is a
+    * NEW identity and loads again — re-presenting changed data is
+    * ingestion, silently ignoring it would be loss. The skip decision is
+    * commit-log-only: an already-loaded file is never opened again, so an
+    * incremental run over a landing zone costs O(new files) at any table
+    * size. Loaded-identity state is O(loaded files) of log metadata —
+    * the same order as the table's own add actions.
+    * Returns (table version, number of files loaded this run). */
+  def copyInto(spark: SparkSession, path: String,
+      sourceDir: String): (Long, Long) = {
+    val snap = snapshot(path)
+    val listing = Files.list(root(sourceDir))
+    val all = try listing.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        // Spark dir-write layout: data is part-*.parquet; _SUCCESS /
+        // .crc / _committed markers are not data
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+    finally listing.close()
+    def key(p: Path): String =
+      s"copy/$p@${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    val fresh = all.filterNot(p => snap.txns.contains(key(p)))
+    if (fresh.isEmpty) return (snap.version, 0L)
+    val df = spark.read.parquet(fresh.map(_.toString): _*)
+    val withIds = materializeIdentity(df, snap, "COPY INTO")
+    checkWriteSchema(withIds.schema, snap.schema, "COPY INTO")
+    checkConstraints(withIds, snap.schema, snap.constraints ++
+      generatedChecks(df.columns.toSet, snap.generated), "COPY INTO")
+    val adds = writeData(spark, root(path), snap.version + 1, withIds,
+      snap.schema, snap.partitionBy, snap.physical, snap.generated,
+      snap.properties)
+    val loadedTxns = fresh.map(p => key(p) -> 1L)
+    val v =
+      if (snap.identity.isEmpty)
+        commitAddsWithRetry(path, "COPY INTO", snap.schema, adds,
+          txns = loadedTxns)
+      else
+        // identity allocation pins this batch to the snapshot it read
+        // (same rule as [[append]]) — lost races surface, never retry
+        commitExclusive(path, snap.version + 1, "COPY INTO", snap.schema,
+          adds, Nil, snap.constraints, snap.partitionBy, snap.physical,
+          snap.generated,
+          advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
+          snap.properties, txns = loadedTxns)
+    (v, fresh.size.toLong)
   }
 
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the

@@ -374,6 +374,17 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     spark.sql(s"ALTER '$plain' UNSET TBLPROPERTIES ('delta.appendOnly')")
     DeltaLite.delete(spark, plain, $"k" === 5L)
     assert(DeltaLite.read(spark, plain).count() === 14)
+    // COPY INTO via SQL: first load reports the file count, re-run 0
+    val landing = java.nio.file.Files.createTempDirectory("graft_sqlcopy").toString
+    (100L until 110L).map(i => (i, i * 1.0)).toDF("k", "w")
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    val tgt = java.nio.file.Files.createTempDirectory("graft_sqlcopyt").toString + "/t"
+    DeltaLite.create(spark, tgt, Seq.empty[(Long, Double)].toDF("k", "w"))
+    assert(spark.sql(s"COPY INTO '$tgt' FROM '$landing'").collect()(0)
+      .getAs[Long]("num_files_loaded") === 1L)
+    assert(spark.sql(s"COPY INTO '$tgt' FROM '$landing'").collect()(0)
+      .getAs[Long]("num_files_loaded") === 0L)
+    assert(DeltaLite.read(spark, tgt).count() === 10)
     // non-graft SQL still parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }

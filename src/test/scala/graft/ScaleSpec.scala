@@ -992,6 +992,56 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === n)
   }
 
+  test("DeltaLite COPY INTO: exactly-once per file identity, O(new files)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_copysrc").toString
+    val path = Files.createTempDirectory("graft_copydst").toString
+    (0L until 100L).map(k => (k, k * 1.5)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(landing)
+    DeltaLite.create(spark, path, Seq.empty[(Long, Double)].toDF("k", "v"))
+    // first load takes every data file; the result is the full source
+    val (v1, n1) = DeltaLite.copyInto(spark, path, landing)
+    assert(n1 === 4L)
+    assert(DeltaLite.read(spark, path).count() === 100)
+    // re-run: no-op — no new version, no files loaded, no rows doubled
+    val (v2, n2) = DeltaLite.copyInto(spark, path, landing)
+    assert(v2 === v1 && n2 === 0L)
+    assert(DeltaLite.read(spark, path).count() === 100)
+    // a late file loads ALONE (incremental run = O(new files))
+    Seq((1000L, 9.9)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val filesBefore = DeltaLite.snapshot(path).files.map(_.path).toSet
+    val (v3, n3) = DeltaLite.copyInto(spark, path, landing)
+    assert(n3 === 1L && v3 === v1 + 1)
+    assert(DeltaLite.read(spark, path).count() === 101)
+    // the prior load's table files survive by identity (no rewrite)
+    assert(filesBefore.subsetOf(DeltaLite.snapshot(path).files.map(_.path).toSet))
+    // an in-place rewrite (same path, new size/mtime) is a NEW identity
+    val dataFile = Files.list(Paths.get(landing)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .minBy(_.toString)
+    val tmp = Files.createTempDirectory("graft_copytmp").toString
+    Seq((2000L, 7.7), (2001L, 7.8)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val newPart = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.copy(newPart, dataFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the local FS keeps a sibling .crc per file — stale after the
+    // in-place rewrite (a real landing zone has no such shadow file)
+    Files.deleteIfExists(dataFile.getParent.resolve(
+      "." + dataFile.getFileName.toString + ".crc"))
+    val (_, n4) = DeltaLite.copyInto(spark, path, landing)
+    assert(n4 === 1L, "a rewritten file must load again (new identity)")
+    assert(DeltaLite.read(spark, path).filter($"k" >= 2000L).count() === 2)
+    // loaded identities survive a checkpoint boundary (v10)
+    (0 until 11).foreach { i =>
+      DeltaLite.append(spark, path, Seq((500L + i, 0.1)).toDF("k", "v").coalesce(1))
+    }
+    val (_, n5) = DeltaLite.copyInto(spark, path, landing)
+    assert(n5 === 0L, "checkpoint replay must keep loaded-file identities")
+  }
+
   test("DeltaLite compactSmall packs only small files, leaves big ones") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_pack").toString
