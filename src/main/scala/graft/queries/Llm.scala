@@ -106,6 +106,58 @@ object Llm {
          JOIN sizes sb ON sb.doc_id = idb
          ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L2 (g)
+    // EXACT substring dedup (the suffix-array dedup of "Deduplicating
+    // Training Data Makes Language Models Better", reformulated for a
+    // cluster): two docs are substring-dups when they share a VERBATIM
+    // run of k=8 tokens. Every token position contributes its k-gram's
+    // content hash (map-only, O(tokens)); candidates come from an
+    // EQUALITY join on the gram hash — never an all-pairs compare — and
+    // a document-frequency cap (grams in >20 docs are boilerplate) bounds
+    // the join's fan-out, the standard guard against quadratic blowup on
+    // common phrases at corpus scale. Pairs sharing ≥5 distinct grams
+    // (≥ a 12-token verbatim run) are the dup report, keep-first by id.
+    // The oracle mirrors gram extraction + join literally in DuckDB.
+    QueryDef("l2_substring_dedup", (s, dir) => {
+      val k = 8
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"p -> md5(array_join(slice(toks, p, $k), ' ')))")).as("gh"))
+        .distinct()
+      val eligible = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("df_docs"))
+        .filter(col("df_docs").between(2, 20))
+        .select(col("gh"))
+      val cand = grams.join(eligible, "gh")
+      cand.as("a")
+        .join(cand.as("b"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .filter(col("shared_grams") >= 5)
+        .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+         g AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks) - 7, 1)) AS p,
+                  toks
+           FROM d),
+         h AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(list_slice(toks, p, p + 7), ' ')) AS gh
+           FROM g),
+         e AS (SELECT gh FROM h GROUP BY gh HAVING count(*) BETWEEN 2 AND 20),
+         c AS (SELECT h.doc_id, h.gh FROM h JOIN e USING (gh))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_grams
+         FROM c a JOIN c b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY a_id ASC NULLS LAST, b_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (b)
     // MinHash+LSH near-dup detection (shingle → 32 minhashes → 8 bands →
     // band-collision join → exact-Jaccard verify ≥ 0.5). Finds the 20
@@ -239,6 +291,36 @@ object Llm {
                 (round((max(sim))*10000)/10000) AS best_sim
          FROM sims GROUP BY idb
          ORDER BY dup_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L2 (h)
+    // SemDeDup (semantic dedup via embedding clusters): cluster the
+    // corpus with sample-trained k-means, then compare vectors only
+    // WITHIN their cell — the cluster assignment replaces the quadratic
+    // all-pairs compare with an equality join on centroid id, turning
+    // O(n²) cosine work into Σ|cell|². At 100 TB: centroids train once
+    // on a bounded driver-side sample (ivfTrain), assignment is a
+    // map-only codegen'd argmin, and cells hash-partition the pair join.
+    // A removed row names its kept canonical (min id in the dup set) —
+    // keep-first, same decision rule as the exact-dedup family. Seeded
+    // Scala k-means ⇒ rows-only here; DedupSpec pins determinism and
+    // recall vs the brute-force all-pairs decisions.
+    QueryDef("l2_semdedup", (s, dir) => {
+      val e = emb(s, dir)
+      val centers = Dedup.ivfTrain(e, "embedding", 16)
+      val asg = Dedup.ivfAssign(e, "embedding", centers)
+      val a = asg.select(col("centroid"), col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = asg.select(col("centroid"), col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, Seq("centroid")).filter(col("ida") < col("idb"))
+        .withColumn("sim",
+          call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("sim") > 0.35)
+        .groupBy(col("centroid"), col("idb").as("removed_id"))
+        .agg(min(col("ida")).as("kept_id"),
+          expr("round((max(sim))*10000)/10000").as("best_sim"))
+        .orderBy(col("removed_id").asc_nulls_last)
+    }, None),
 
     // ------------------------------------------------------------- L3 (b)
     // Brute-force top-5 cosine neighbors for the first 10 query vectors —

@@ -286,4 +286,55 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val twice = once.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
     assert(once.count() === twice.count())
   }
+
+  test("SemDeDup removes planted semantic duplicates; decisions verify vs brute force") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    // plant near-identical copies of the first 50 vectors (cos ≈ 0.9998)
+    val perturbed = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("embedding"), col("label"))
+    val all = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(perturbed)
+      .withColumn("norm",
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+    val centers = Dedup.ivfTrain(all, "embedding", 16)
+    val asg = Dedup.ivfAssign(all, "embedding", centers)
+    val a = asg.select(col("centroid"), col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = asg.select(col("centroid"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val removed = a.join(b, Seq("centroid")).filter(col("ida") < col("idb"))
+      .withColumn("sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") > 0.9)
+      .groupBy(col("idb").as("removed_id"))
+      .agg(min(col("ida")).as("kept_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a planted copy is removed iff it co-clustered with its original
+    // (the IVF cell test pins that rate ≥ 40/50); keep-first points back
+    val hits = (0L until 50L).count(i => removed.get(i + 10000).contains(i))
+    assert(hits >= 40, s"only $hits/50 planted duplicates were removed")
+    // every removal is justified by exact cosine (within-cell verify is
+    // exact, so semdedup can only UNDER-remove, never over-remove)
+    val brute = all.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("norm").as("na"))
+      .join(all.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("norm").as("nb")), col("ida") < col("idb"))
+      .withColumn("sim",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") > 0.9)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    removed.foreach { case (rm, kept) =>
+      assert(brute.contains((kept, rm)) ||
+        brute.exists { case (x, y) => y == rm && x < rm },
+        s"removal $rm (kept $kept) has no brute-force justification")
+    }
+    // the declared query is deterministic run-to-run (seeded k-means)
+    val q1 = SparkEntry.queries("l2_semdedup")(spark, sf).collect().toSeq
+    val q2 = SparkEntry.queries("l2_semdedup")(spark, sf).collect().toSeq
+    assert(q1 === q2)
+  }
 }

@@ -94,6 +94,18 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"edit-distance candidates must be equality-join shaped:\n$p")
   }
 
+  test("l2_substring_dedup: candidates come from an equality join on the gram hash") {
+    val p = plan("l2_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring-dedup candidates must be equality-join shaped:\n$p")
+  }
+
+  test("l2_semdedup: within-cell pairs come from an equality join on the centroid") {
+    val p = plan("l2_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pairs must be equality-join shaped (centroid key):\n$p")
+  }
+
   test("x1_workload_q3: dims broadcast, predicates push, top-10 is TakeOrderedAndProject") {
     val p = plan("x1_workload_q3")
     assert(count(p, "BroadcastHashJoin") === 2, s"both joins must broadcast:\n$p")
