@@ -98,12 +98,14 @@ object MaintenanceSql {
           .toEpochMilli)))
   }
 
-  final case class CloneCommand(source: String, target: String)
-      extends LeafRunnableCommand {
+  final case class CloneCommand(source: String, target: String,
+      deep: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(DeltaLite.cloneShallow(spark, source, target)))
+      Seq(Row(
+        if (deep) DeltaLite.cloneDeep(spark, source, target)
+        else DeltaLite.cloneShallow(spark, source, target)))
   }
 
   final case class RenameColumnCommand(path: String, oldName: String,
@@ -231,7 +233,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
   private val ReorgRe =
@@ -282,7 +284,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         })
     case RestoreRe(p, v) => RestoreCommand(p, v.toLong)
     case RestoreTsRe(p, ts) => RestoreTimestampCommand(p, ts)
-    case CloneRe(src, dst) => CloneCommand(src, dst)
+    case CloneRe(src, dst, deep) => CloneCommand(src, dst, deep != null)
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ReorgRe(p) => ReorgCommand(p)

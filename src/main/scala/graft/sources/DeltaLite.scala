@@ -2033,6 +2033,60 @@ object DeltaLite {
       snap.identity, snap.properties)
   }
 
+  /** Delta `CLONE ... DEEP`: a fully materialized, independent copy.
+    * Data files are byte-copied PRESERVING their table-relative layout,
+    * so every logged attribute — stats, partition values, blooms, and
+    * deletion-vector references (DV rows name files by relative path) —
+    * stays valid in the target without recomputation; the copy is pure
+    * I/O, no Spark jobs. By-reference files (a shallow-clone source)
+    * materialize under a fresh clone dir, so deep-cloning a shallow
+    * clone is the documented way to cut its tie to the origin; such
+    * files must not carry DVs (their DV rows name the ABSOLUTE origin
+    * path — REORG first). O(table bytes), embarrassingly parallel
+    * per-file at scale. The target starts its own timeline at CLONE. */
+  def cloneDeep(spark: SparkSession, sourcePath: String,
+      targetPath: String): Long = {
+    require(latestVersion(targetPath).isEmpty,
+      s"table already exists at $targetPath")
+    val snap = snapshot(sourcePath)
+    val srcRoot = root(sourcePath)
+    val dstRoot = root(targetPath)
+    Files.createDirectories(dstRoot)
+    def copyInto(src: Path, dst: Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    // DV dirs keep their relative names → the (path, row_index) rows in
+    // them keep meaning in the target
+    snap.files.flatMap(_.dv).distinct.foreach { d =>
+      val from = srcRoot.resolve(d)
+      val walk = Files.walk(from)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        copyInto(p, dstRoot.resolve(d).resolve(from.relativize(p).toString))
+      } finally walk.close()
+    }
+    val cloneDir = "files-00000-deep-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val adds = snap.files.zipWithIndex.map { case (f, i) =>
+      val p = Paths.get(f.path)
+      if (p.isAbsolute) {
+        require(f.dv.isEmpty,
+          "cannot deep-clone a deletion vector on a by-reference file " +
+            "(its DV names the origin's path); REORG the source first")
+        val rel = s"$cloneDir/$i-${p.getFileName}"
+        copyInto(p, dstRoot.resolve(rel))
+        f.copy(path = rel)
+      } else {
+        copyInto(srcRoot.resolve(f.path), dstRoot.resolve(f.path))
+        f
+      }
+    }
+    writeCommit(targetPath, 0L, "CLONE", snap.schema, adds, Nil, None,
+      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.identity, snap.properties)
+  }
+
   /** Delta `RESTORE TABLE ... TO VERSION AS OF v`: a NEW commit whose
     * live file set is exactly version v's. Zero data files are copied
     * or rewritten — v's files are re-added BY REFERENCE (so v must not

@@ -333,6 +333,12 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     val dst = java.nio.file.Files.createTempDirectory("graft_sqlclone").toString + "/t"
     spark.sql(s"CLONE '$path' TO '$dst'")
     assert(DeltaLite.read(spark, dst).count() === 70)
+    // CLONE ... DEEP: materialized fork, owns every file
+    val dstDeep = java.nio.file.Files.createTempDirectory("graft_sqldeep").toString + "/t"
+    spark.sql(s"CLONE '$path' TO '$dstDeep' DEEP")
+    assert(DeltaLite.read(spark, dstDeep).count() === 70)
+    assert(DeltaLite.snapshot(dstDeep).files.forall(f =>
+      !java.nio.file.Paths.get(f.path).isAbsolute))
     // VACUUM DRY RUN counts the now-unreferenced OPTIMIZE pack; VACUUM
     // deletes it and the live set still reads
     val dry = spark.sql(s"VACUUM '$path' DRY RUN").collect()(0).getInt(0)

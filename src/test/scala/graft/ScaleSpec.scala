@@ -795,6 +795,64 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("DeltaLite deep clone: fully independent copy, DVs and layout preserved") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_deepsrc").toString + "/t"
+    val dst = Files.createTempDirectory("graft_deepdst").toString + "/t"
+    val df = (0L until 120L).map(k => (k, s"p${k % 2}", k * 1.0)).toDF("k", "part", "v")
+    DeltaLite.create(spark, src, df, partitionBy = Seq("part"),
+      properties = Map("team" -> "ingest"))
+    DeltaLite.append(spark, src, (200L until 220L).map(k =>
+      (k, "p0", k * 1.0)).toDF("k", "part", "v"))
+    // a live deletion vector must survive the clone
+    DeltaLite.deleteVectorized(spark, src, $"k" < 10L)
+    val expected = DeltaLite.read(spark, src).collect().toSeq
+    DeltaLite.cloneDeep(spark, src, dst)
+    // same content; same per-file stats/pv discipline (partition prune works)
+    assert(DeltaLite.read(spark, dst).exceptAll(DeltaLite.read(spark, src)).count() === 0)
+    assert(DeltaLite.read(spark, dst).count() === expected.size)
+    assert(DeltaLite.snapshot(dst).files.exists(_.dv.nonEmpty),
+      "the DV reference must carry into the deep clone")
+    assert(DeltaLite.scan(spark, dst,
+      Seq(DeltaLite.ColumnBound("part", Some("p1"), Some("p1"))))
+      .filter($"part" === "p1").count() ===
+      expected.count(_.getString(1) == "p1"))
+    // full independence: obliterate the SOURCE — the clone still reads
+    def rmTree(p: String): Unit = {
+      val w = Files.walk(Paths.get(p))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    rmTree(java.nio.file.Paths.get(src).getParent.toString)
+    assert(DeltaLite.read(spark, dst).count() === expected.size)
+    // properties carried; DML on the clone works
+    assert(DeltaLite.snapshot(dst).properties("team") === "ingest")
+    DeltaLite.delete(spark, dst, $"k" >= 200L)
+    assert(DeltaLite.read(spark, dst).count() === expected.size - 20)
+  }
+
+  test("DeltaLite deep clone of a shallow clone materializes by-reference files") {
+    import spark.implicits._
+    val origin = Files.createTempDirectory("graft_deeporig").toString + "/t"
+    val shallow = Files.createTempDirectory("graft_deepsh").toString + "/t"
+    val deep = Files.createTempDirectory("graft_deepmat").toString + "/t"
+    DeltaLite.create(spark, origin,
+      (0L until 50L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    DeltaLite.cloneShallow(spark, origin, shallow)
+    DeltaLite.cloneDeep(spark, shallow, deep)
+    // deleting the ORIGIN breaks the shallow clone but not the deep one
+    def rmTree(p: String): Unit = {
+      val w = Files.walk(Paths.get(p))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    rmTree(java.nio.file.Paths.get(origin).getParent.toString)
+    assert(DeltaLite.read(spark, deep).count() === 50)
+    assert(DeltaLite.snapshot(deep).files.forall(f =>
+      !java.nio.file.Paths.get(f.path).isAbsolute),
+      "deep clone must own every file (no by-reference paths)")
+  }
+
   test("DeltaLite partition-scoped OPTIMIZE compacts only the bound partition") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partopt").toString

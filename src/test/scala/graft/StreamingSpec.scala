@@ -295,6 +295,38 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("graft-delta source with Trigger.AvailableNow drains the backlog then stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_avnow")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table, Seq((1L, "a")).toDF("k", "s"))
+    graft.sources.DeltaLite.append(spark, table, Seq((2L, "b")).toDF("k", "s"))
+    graft.sources.DeltaLite.append(spark, table, Seq((3L, "c")).toDF("k", "s"))
+    val out = dir.resolve("out").toString
+    def drain(): Unit = {
+      // parquet sink: resumable from the checkpoint (the memory sink is
+      // not), which is exactly the batch-like rerun AvailableNow is for
+      val q = spark.readStream.format("graft-delta").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // AvailableNow = batch-like run: the query terminates ITSELF once
+      // the offset captured at start is reached — no stop() needed
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    }
+    def landed(): Seq[Long] =
+      spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+    drain()
+    assert(landed() === Seq(1L, 2L, 3L))
+    // data landing AFTER termination stays un-consumed until the next run,
+    // which resumes from the checkpoint and drains ONLY the new commit
+    graft.sources.DeltaLite.append(spark, table, Seq((4L, "d")).toDF("k", "s"))
+    assert(landed() === Seq(1L, 2L, 3L))
+    drain()
+    assert(landed() === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("graft-delta source with readChangeFeed streams per-commit row changes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt_cdf")
