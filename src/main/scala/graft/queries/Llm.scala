@@ -565,6 +565,58 @@ object Llm {
     // ------------------------------------------------------------- L4 (c)
     // Per-document quality scoring: token count, distinct-token ratio,
     // mean word length, stopword ratio → quality bucket.
+    // ------------------------------------------------------------- L4 (k)
+    // Perplexity-bucket quality filtering (the CCNet recipe): score every
+    // doc by its negative mean log-likelihood under a unigram LM trained
+    // on the corpus ITSELF (add-one smoothing), then split the corpus
+    // into 4 equal-frequency buckets — head/middle/tail selection for
+    // training mixes. The LM "training" is one token-frequency aggregate;
+    // scoring joins tokens to frequencies (shuffle keyed by token, the
+    // corpus-stat scalars broadcast) — no driver state, no model file. At
+    // 100 TB the ntile over the global score order becomes per-shard
+    // bucketing against approx-quantile cutoffs; the equal-frequency
+    // semantics is identical. Scores are rounded to 6dp BEFORE the
+    // bucket sort so the tie order is engine-portable.
+    QueryDef("l4_perplexity", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val corpus = toks.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("tok")).as("v_size"))
+      val nll = toks.join(freq, "tok").crossJoin(broadcast(corpus))
+        .groupBy(col("doc_id"))
+        .agg((round(-avg(log((col("tf") + lit(1.0)) /
+          (col("n_total") + col("v_size")))) * 1000000) / 1000000).as("nll"))
+      val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
+      nll.withColumn("bucket", ntile(4).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(avg(col("nll"))*10000)/10000).as("avg_nll"),
+          min(col("nll")).as("min_nll"),
+          max(col("nll")).as("max_nll"))
+        .orderBy(col("bucket").asc_nulls_last)
+    }, Some(
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+         c AS (SELECT count(*) AS n_total, count(DISTINCT tok) AS v_size
+               FROM t),
+         s AS (
+           SELECT doc_id,
+                  (round((-avg(ln((tf + 1.0) / (n_total + v_size))))*1000000)/1000000)
+                    AS nll
+           FROM t JOIN f USING (tok) CROSS JOIN c GROUP BY doc_id),
+         b AS (
+           SELECT doc_id, nll,
+                  CAST(ntile(4) OVER (ORDER BY nll ASC, doc_id ASC) AS INTEGER)
+                    AS bucket
+           FROM s)
+         SELECT bucket, count(*) AS n_docs,
+                (round((avg(nll))*10000)/10000) AS avg_nll,
+                min(nll) AS min_nll, max(nll) AS max_nll
+         FROM b GROUP BY bucket ORDER BY bucket ASC NULLS LAST""")),
+
     QueryDef("l4_quality_score", (s, dir) => {
       t(s, dir, "documents")
         .withColumn("toks", TextFunctions.tokens(col("text")))
