@@ -1362,6 +1362,81 @@ object Relational {
                               AND TIMESTAMP '1996-12-31 00:00:00'
          GROUP BY supp_nation, cust_nation, l_year
          ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
-                  l_year ASC NULLS LAST"""))
+                  l_year ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ A15
+    // arg_max / arg_min (DuckDB) ≡ max_by / min_by (Spark 4): "which key
+    // attains the extreme" without a join-back or window. Ties are pinned
+    // by folding the key into the ordering value (price cents ≪ 7 digits
+    // + orderkey — exact integers in a double up to 2^53), so both
+    // engines pick the SAME row deterministically. One hash aggregate,
+    // partial+final — the extremes travel, never the rows.
+    QueryDef("a15_argminmax", (s, dir) => {
+      val v = round(col("l_extendedprice") * 100) * 10000000 + col("l_orderkey")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_orderkey"), v).as("priciest_order"),
+          min_by(col("l_orderkey"), v).as("cheapest_order"),
+          (round(max(col("l_extendedprice"))*100)/100).as("max_price"),
+          (round(min(col("l_extendedprice"))*100)/100).as("min_price"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag,
+                arg_max(l_orderkey, round(l_extendedprice * 100) * 10000000 + l_orderkey)
+                  AS priciest_order,
+                arg_min(l_orderkey, round(l_extendedprice * 100) * 10000000 + l_orderkey)
+                  AS cheapest_order,
+                (round((max(l_extendedprice))*100)/100) AS max_price,
+                (round((min(l_extendedprice))*100)/100) AS min_price
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- X5
+    // TPC-H Q21 shape (the fixture lacks commit/receipt dates, so
+    // l_returnflag = 'R' stands in for "late line"): suppliers who were
+    // the ONLY flagged supplier on a finished multi-supplier order. The
+    // scale-defining feature is the PAIR of decorrelated self-joins on
+    // the fact table — EXISTS (another supplier on the order) and NOT
+    // EXISTS (another FLAGGED supplier) — which Catalyst plans as
+    // LeftSemi/LeftAnti hash joins co-partitioned on l_orderkey, so the
+    // three lineitem passes share one shuffle key; orders filters
+    // map-side and supplier broadcasts for the final name lookup.
+    QueryDef("x5_workload_q21", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val oF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      l1
+        .join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(oF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc_nulls_last)
+        .limit(25)
+    }, Some(
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC NULLS LAST
+         LIMIT 25"""))
   )
 }

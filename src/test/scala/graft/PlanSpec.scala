@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"edit-distance candidates must be equality-join shaped:\n$p")
   }
 
+  test("x5_workload_q21: decorrelated self-joins stay equality-shaped semi/anti") {
+    val p = plan("x5_workload_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS must plan as semi/anti joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the supplier-inequality must ride the orderkey equality join:\n$p")
+  }
+
   test("l2_substring_dedup: candidates come from an equality join on the gram hash") {
     val p = plan("l2_substring_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
