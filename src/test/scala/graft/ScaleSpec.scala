@@ -1521,10 +1521,14 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     model = b0.toMap
     DeltaLite.create(spark, path, b0.toDF("k", "v").repartition(2))
     val history = scala.collection.mutable.ArrayBuffer(model)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.as[(Long, Double)].collect().toMap
+    // landing dirs already COPY INTO'd (their identities are load state)
+    val landings = scala.collection.mutable.ArrayBuffer.empty[String]
 
     verState(DeltaLite.latestVersion(path).get) = model
     (1 to 32).foreach { _ =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
           model = model ++ b
@@ -1603,14 +1607,35 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
           val rv = versions(rnd.nextInt(versions.length))
           model = verState(rv)
           DeltaLite.restore(spark, path, rv)
+        case 10 => // COPY INTO: first load lands, re-load is a NO-OP —
+          // even across RESTOREs (the documented Databricks caveat:
+          // RESTORE does not reset COPY INTO's load metadata, because
+          // the txn actions remain in the log)
+          if (landings.nonEmpty && rnd.nextBoolean()) {
+            val dir = landings(rnd.nextInt(landings.size))
+            val (_, n) = DeltaLite.copyInto(spark, path, dir)
+            assert(n === 0L, s"re-loading $dir must be a no-op")
+          } else {
+            val b = freshBatch(1 + rnd.nextInt(6))
+            val dir = Files.createTempDirectory("graft_model_landing").toString
+            b.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+            model = model ++ b
+            DeltaLite.copyInto(spark, path, dir)
+            landings += dir
+          }
+        case 11 => // deep clone side-fork: content equal at any mid-state,
+          // zero commits on the source (pure read + copy)
+          val vBefore = DeltaLite.latestVersion(path).get
+          val dst = Files.createTempDirectory("graft_model_clone").toString + "/t"
+          DeltaLite.cloneDeep(spark, path, dst)
+          assert(asMap(DeltaLite.read(spark, dst)) === model)
+          assert(DeltaLite.latestVersion(path).get === vBefore)
       }
       history += model
       verState(DeltaLite.latestVersion(path).get) = model
       // maintenance ops may or may not commit; track actual version count
     }
 
-    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
-      df.as[(Long, Double)].collect().toMap
     assert(asMap(DeltaLite.read(spark, path)) === history.last)
     // metadata commits mixed through the run must agree with the model
     // (RESTORE rolls properties back to the restored version's metadata,
