@@ -1144,6 +1144,47 @@ object Medallion {
                        THEN 'warn'
                      ELSE 'pass' END AS status
          FROM events GROUP BY event_type
-         ORDER BY event_type ASC NULLS LAST"""))
+         ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D4
+    // Volume anomaly detection (dbt-expectations' expect_table_row_count /
+    // elementary-style volume monitor): daily event counts vs the
+    // TRAILING 7-day average — a day at < 50% or > 200% of its own
+    // trailing baseline is flagged. One keyed daily aggregate (map-side
+    // combined) then one window pass over the tiny day series; at scale
+    // the day series stays tiny no matter the fact volume, so the monitor
+    // costs one aggregate over the partition-pruned day.
+    QueryDef("d4_volume_anomaly", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day").asc).rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_avg", avg(col("n")).over(w))
+        .withColumn("trail_n", count(col("n")).over(w))
+        // warm-up days (< 7 prior days) are not judged
+        .filter(col("trail_n") === 7)
+        .select(col("day"), col("n"),
+          (round(col("trail_avg")*100)/100).as("trail_avg"),
+          (round((col("n") / col("trail_avg"))*10000)/10000).as("ratio"),
+          (col("n") < col("trail_avg") * 0.5 ||
+            col("n") > col("trail_avg") * 2.0).as("anomaly"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """WITH daily AS (
+           SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT day, n,
+                  avg(n) OVER w AS trail_avg,
+                  count(n) OVER w AS trail_n
+           FROM daily
+           WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT day, n,
+                (round((trail_avg)*100)/100) AS trail_avg,
+                (round((n / trail_avg)*10000)/10000) AS ratio,
+                (n < trail_avg * 0.5 OR n > trail_avg * 2.0) AS anomaly
+         FROM t WHERE trail_n = 7
+         ORDER BY day ASC NULLS LAST"""))
   )
 }

@@ -99,6 +99,38 @@ object Scalars {
          strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders ORDER BY o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- F2 (b)
+    // Calendar arithmetic beyond the plain extracts: ISO weeks, month-end
+    // boundaries, next-weekday scheduling, month-offset bucketing. DuckDB
+    // has no next_day, so the oracle derives it from isodow arithmetic —
+    // same semantics (strictly-after next Monday), different spelling.
+    QueryDef("f13_calendar", (s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        weekofyear(d).as("iso_week"),
+        dayofweek(d).as("dow"),
+        dayofyear(d).as("doy"),
+        last_day(d).as("month_end"),
+        next_day(d, "Mon").as("next_monday"),
+        add_months(d, 2).as("plus_2mo"),
+        date_trunc("week", d).cast("date").as("week_start"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderkey,
+         CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+         CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(o_orderdate AS DATE) +
+           CAST(CASE WHEN (1 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7 = 0
+                     THEN 7
+                     ELSE (1 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7
+                END AS INTEGER) AS next_monday,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+         CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+         FROM orders ORDER BY o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- F3
     QueryDef("f3_math_funcs", (s, dir) => {
       t(s, dir, "lineitem").select(
