@@ -1100,6 +1100,32 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(n5 === 0L, "checkpoint replay must keep loaded-file identities")
   }
 
+  test("DeltaLite COPY INTO a partitioned table attaches partition values for pruning") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_copypsrc").toString
+    val path = Files.createTempDirectory("graft_copypdst").toString + "/t"
+    (0L until 80L).map(k => (k, s"p${k % 4}", k * 1.0)).toDF("k", "part", "v")
+      .repartition(2).write.mode("overwrite").parquet(landing)
+    DeltaLite.create(spark, path,
+      Seq.empty[(Long, String, Double)].toDF("k", "part", "v"),
+      partitionBy = Seq("part"))
+    val (_, n1) = DeltaLite.copyInto(spark, path, landing)
+    assert(n1 === 2L)
+    assert(DeltaLite.read(spark, path).count() === 80)
+    // the loaded files carry log-level partition values → pruning works
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.nonEmpty && snap.files.forall(_.pv.contains("part")))
+    val p1Files = snap.files.count(_.pv("part") == "p1")
+    assert(p1Files > 0 && p1Files < snap.files.size)
+    assert(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("p1"), Some("p1"))))
+      .filter($"part" === "p1").count() === 20)
+    // idempotent re-load on the partitioned path too
+    val (_, n2) = DeltaLite.copyInto(spark, path, landing)
+    assert(n2 === 0L)
+    assert(DeltaLite.read(spark, path).count() === 80)
+  }
+
   test("DeltaLite compactSmall packs only small files, leaves big ones") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_pack").toString
