@@ -259,7 +259,10 @@ object Dedup {
   def ivfTrain(train: DataFrame, embCol: String, k: Int,
       seed: Long = 42L, sampleLimit: Int = 4096,
       iters: Int = 12): Array[Array[Float]] = {
-    val sample = train.select(col(embCol)).limit(sampleLimit).collect()
+    // cast up front: the embedding column may arrive as array<double> /
+    // array<int> — without the cast the sample unboxing ClassCastExceptions
+    val sample = train.select(col(embCol).cast("array<float>"))
+      .limit(sampleLimit).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "ivfTrain needs a non-empty training sample")
     lloyd(sample, k, iters, seed).map(_.map(_.toFloat))
@@ -341,7 +344,9 @@ object Dedup {
     // — m seeded Lloyd runs over ≤ sampleLimit × dim floats cost
     // milliseconds, vs seconds of per-fit job overhead for distributed
     // k-means at this size. Encode and ADC stay fully distributed.
-    val sample = train.select(col(embCol)).limit(sampleLimit).collect()
+    // cast for type tolerance (array<double>/array<int> inputs), as ivfTrain
+    val sample = train.select(col(embCol).cast("array<float>"))
+      .limit(sampleLimit).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "pqTrain needs a non-empty training sample")
     Array.tabulate(m) { j =>

@@ -855,13 +855,18 @@ object Medallion {
       DeltaLite.delete(s, src, col("o_totalprice") > 250000.0)
       graft.operators.IncrementalMv.refreshFull(s, src, mv,
         Seq("o_orderpriority"), "o_totalprice")
+      // DECIMAL exactness lives INSIDE the MV; the query OUTPUT emits the
+      // suite-standard round(x*100)/100 double so the driver's hasher sees
+      // the same canonical form on both sides (round-5 lesson: raw DECIMAL
+      // outputs hash-mismatched in the driver despite bit-equal values).
       DeltaLite.read(s, mv)
-        .select(col("o_orderpriority"), col("sum_value"), col("n_rows"),
-          col("min_value"), col("max_value"))
+        .select(col("o_orderpriority"),
+          expr("round(cast(sum_value as double)*100)/100").as("sum_value"),
+          col("n_rows"), col("min_value"), col("max_value"))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     }, Some(
       """SELECT o_orderpriority,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_value,
+                (round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)*100)/100) AS sum_value,
                 count(*) AS n_rows,
                 min(o_totalprice) AS min_value,
                 max(o_totalprice) AS max_value
@@ -901,8 +906,12 @@ object Medallion {
       // ...and ONE incremental refresh catches the view up
       graft.operators.IncrementalMv.refreshSum(s, src, mv,
         Seq("o_orderpriority"), "o_totalprice")
+      // DECIMAL exactness lives INSIDE the MV; the query OUTPUT emits the
+      // suite-standard round(x*100)/100 double (see s26 note).
       DeltaLite.read(s, mv)
-        .select(col("o_orderpriority"), col("sum_value"), col("n_rows"))
+        .select(col("o_orderpriority"),
+          expr("round(cast(sum_value as double)*100)/100").as("sum_value"),
+          col("n_rows"))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     }, Some(
       """WITH final AS (
@@ -911,7 +920,7 @@ object Medallion {
                        THEN o_totalprice + 1000 ELSE o_totalprice END AS val
            FROM orders WHERE o_orderkey % 4 = 0 AND o_totalprice >= 10000)
          SELECT o_orderpriority,
-                CAST(sum(CAST(val AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sum_value,
+                (round(CAST(sum(CAST(val AS DECIMAL(28,4))) AS DOUBLE)*100)/100) AS sum_value,
                 count(*) AS n_rows
          FROM final GROUP BY o_orderpriority
          ORDER BY o_orderpriority ASC NULLS LAST""")),

@@ -103,9 +103,17 @@ object DeltaLite {
 
   /** Inclusive column bound for stats-based file pruning: a file is kept
     * unless its stats PROVE it cannot contain a row in [lower, upper].
-    * Missing stats ⇒ kept (pruning is only ever an optimization). */
+    * Missing stats ⇒ kept (pruning is only ever an optimization).
+    *
+    * `strictExact = true` marks a DERIVED string bound whose generating
+    * function is only order-faithful on canonical-width values (e.g.
+    * `date_format(ts,'yyyy-MM')`: lexical order matches time order only
+    * while years have 4 digits — year 10000 formats LOW). Such a bound
+    * is decisive only against an EXACT stat (min == max, the logged
+    * partition value) of the SAME string length; ranged stats or a
+    * width mismatch keep the file. */
   final case class ColumnBound(column: String, lower: Option[Any] = None,
-      upper: Option[Any] = None)
+      upper: Option[Any] = None, strictExact: Boolean = false)
 
   /** Serializes the outputTimestampType set→write→restore window across
     * concurrent DeltaLite writes sharing one session (see writeData). */
@@ -262,10 +270,21 @@ object DeltaLite {
             val st: Option[ColStats] = f.stats.get(snap.phys(b.column)).orElse(
               f.pv.get(b.column).flatMap(parsePartitionValue(dt, _))
                 .map(v => ColStats(Some(v), Some(v))))
+            // a strictExact bound may only prune on an EXACT same-width
+            // stat — ranged or width-mismatched stats could hide values
+            // where the deriving function folds out of lexical order
+            def decisive(bound: Any): Boolean = !b.strictExact ||
+              ((st.flatMap(_.min), st.flatMap(_.max)) match {
+                case (Some(mn), Some(mx)) if mn == mx => (mn, bound) match {
+                  case (s1: String, s2: String) => s1.length == s2.length
+                  case _ => true
+                }
+                case _ => false
+              })
             val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
-              yield cmp(dt, mx, nlo) >= 0).getOrElse(true)
+              yield !decisive(nlo) || cmp(dt, mx, nlo) >= 0).getOrElse(true)
             val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
-              yield cmp(dt, mn, nhi) <= 0).getOrElse(true)
+              yield !decisive(nhi) || cmp(dt, mn, nhi) <= 0).getOrElse(true)
             loOk && hiOk
           case None => true
         }
@@ -1108,33 +1127,53 @@ object DeltaLite {
   private[graft] def derivedGeneratedBounds(spark: SparkSession,
       snap: Snapshot, bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
     if (snap.generated.isEmpty) return Nil
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     for {
       (c, e) <- snap.generated.toSeq
-      base <- monotoneBaseOf(e).toSeq
+      (base, shape) <- monotoneBaseOf(e).toSeq
       b <- bounds.filter(x => x.column == base &&
         (x.lower.isDefined || x.upper.isDefined))
     } yield ColumnBound(c,
       b.lower.flatMap(v => evalGeneratedAt(spark, e, base, v)),
-      b.upper.flatMap(v => evalGeneratedAt(spark, e, base, v)))
+      b.upper.flatMap(v => evalGeneratedAt(spark, e, base, v)),
+      strictExact = shape match {
+        case TypedShape => false
+        case FormatShape => true // string result, width-fragile beyond 4-digit years
+        case PrefixShape => !types.get(base).contains(StringType)
+      })
   }
 
   /** The single base column of `e` when `e` is one of the whitelisted
     * monotone (non-decreasing) generation shapes; None otherwise.
     * `floor(x / n)` requires a positive literal divisor — division by a
     * negative would REVERSE the order and make the mapping unsound. */
-  private def monotoneBaseOf(e: String): Option[String] = {
+  private def monotoneBaseOf(e: String): Option[(String, ShapeKind)] = {
     val id = """`?([A-Za-z_][A-Za-z0-9_]*)`?"""
-    val shapes = Seq(
-      ("""(?i)^\s*(?:to_)?date\s*\(\s*""" + id + """\s*\)\s*$""").r,
-      ("""(?i)^\s*cast\s*\(\s*""" + id + """\s+as\s+date\s*\)\s*$""").r,
-      ("""(?i)^\s*year\s*\(\s*""" + id + """\s*\)\s*$""").r,
-      ("""(?i)^\s*date_trunc\s*\(\s*'(?:year|quarter|month|week|day|hour|minute)'\s*,\s*""" +
-        id + """\s*\)\s*$""").r,
-      ("""(?i)^\s*date_format\s*\(\s*""" + id + """\s*,\s*'yyyy(?:-MM(?:-dd)?)?'\s*\)\s*$""").r,
-      ("""(?i)^\s*substr(?:ing)?\s*\(\s*""" + id + """\s*,\s*1\s*,\s*\d+\s*\)\s*$""").r,
-      ("""(?i)^\s*floor\s*\(\s*""" + id + """\s*/\s*\d+(?:\.\d+)?\s*\)\s*$""").r)
-    shapes.flatMap(_.findFirstMatchIn(e).map(_.group(1))).headOption
+    val shapes: Seq[(scala.util.matching.Regex, ShapeKind)] = Seq(
+      ("""(?i)^\s*(?:to_)?date\s*\(\s*""" + id + """\s*\)\s*$""").r -> TypedShape,
+      ("""(?i)^\s*cast\s*\(\s*""" + id + """\s+as\s+date\s*\)\s*$""").r -> TypedShape,
+      ("""(?i)^\s*year\s*\(\s*""" + id + """\s*\)\s*$""").r -> TypedShape,
+      (("""(?i)^\s*date_trunc\s*\(\s*'(?:year|quarter|month|week|day|hour|minute)'\s*,\s*""" +
+        id + """\s*\)\s*$""").r) -> TypedShape,
+      ("""(?i)^\s*date_format\s*\(\s*""" + id + """\s*,\s*'yyyy(?:-MM(?:-dd)?)?'\s*\)\s*$""").r
+        -> FormatShape,
+      ("""(?i)^\s*substr(?:ing)?\s*\(\s*""" + id + """\s*,\s*1\s*,\s*\d+\s*\)\s*$""").r
+        -> PrefixShape,
+      ("""(?i)^\s*floor\s*\(\s*""" + id + """\s*/\s*\d+(?:\.\d+)?\s*\)\s*$""").r -> TypedShape)
+    shapes.flatMap { case (re, k) =>
+      re.findFirstMatchIn(e).map(m => (m.group(1), k)) }.headOption
   }
+
+  /** How a whitelisted generation shape preserves order: [[TypedShape]]s
+    * (date/year/trunc/floor) are monotone over their whole typed domain;
+    * [[FormatShape]] (date_format → string) only at canonical 4-digit-
+    * year width; [[PrefixShape]] (substring from 1) is fully monotone
+    * over STRING bases (byte-order prefix) but width-fragile when the
+    * base is temporal (the implicit cast re-enters string space). */
+  private sealed trait ShapeKind
+  private case object TypedShape extends ShapeKind
+  private case object FormatShape extends ShapeKind
+  private case object PrefixShape extends ShapeKind
 
   /** Evaluate generation expression `e` at base-column value `v` — a
     * 1-row LOCAL projection (LocalTableScan, driver-only, no cluster
@@ -1746,19 +1785,23 @@ object DeltaLite {
       require(!physNames.contains(f.name),
         s"new column '${f.name}' collides with the physical name of a renamed column")
     }
-    val evolved = StructType(snap.schema.fields ++
-      df.schema.fields.filterNot(f => known.contains(f.name)))
+    val newFields = df.schema.fields.filterNot(f => known.contains(f.name)).toSeq
+    val evolved = StructType(snap.schema.fields ++ newFields)
+    // a re-added column whose name was dropped before is born under a
+    // FRESH physical name so historical files' retired data stays dead
+    val physical = snap.physical ++
+      birthPhysical(snap, snap.version + 1, newFields)
     val withIds = materializeIdentity(df, snap, "APPEND_EVOLVE")
     checkConstraints(withIds, evolved, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, evolved,
-      snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    if (snap.identity.isEmpty)
+      snap.partitionBy, physical, snap.generated, snap.properties)
+    if (snap.identity.isEmpty && physical == snap.physical)
       commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
     else
       commitExclusive(path, snap.version + 1, "APPEND_EVOLVE", evolved, adds,
-        Nil, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, evolved, snap.physical),
+        Nil, snap.constraints, snap.partitionBy, physical, snap.generated,
+        advanceHighWater(snap.identity, adds, evolved, physical),
         snap.properties)
   }
 
@@ -1838,9 +1881,44 @@ object DeltaLite {
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
     // dropping a generated column itself is fine — it simply stops being
     // computed (its metadata entry leaves with the schema field)
+    //
+    // The dropped column's PHYSICAL name is retired forever: historical
+    // files still carry data under it, so a column later evolved in with
+    // the same name must be born under a FRESH physical name or those
+    // files' stale values would resurface as the new column's data
+    // (Delta avoids this by assigning fresh physical ids at birth).
+    val retired = (retiredPhys(snap.properties) + snap.phys(name))
+      .toSeq.sorted.mkString(",")
     commitExclusive(path, snap.version + 1, "DROP_COLUMN", newSchema,
       Nil, Nil, snap.constraints, snap.partitionBy, snap.physical - name,
-      snap.generated - name, snap.identity - name, snap.properties)
+      snap.generated - name, snap.identity - name,
+      snap.properties + (RetiredPhysKey -> retired))
+  }
+
+  /** Table property holding comma-separated physical names that once
+    * backed a since-dropped column — see [[dropColumn]]/[[birthPhysical]]. */
+  private val RetiredPhysKey = "graft.retired.physicalNames"
+
+  private def retiredPhys(props: Map[String, String]): Set[String] =
+    props.get(RetiredPhysKey).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Physical names for columns being BORN into the schema (the evolve
+    * paths): normally the logical name, but NEVER a physical name any
+    * historical file may already carry data under (a retired dropped
+    * column) — those get a fresh deterministic name `logical__v<N>`,
+    * recorded in the column-mapping table like a rename in reverse. */
+  private def birthPhysical(snap: Snapshot, v: Long,
+      newFields: Seq[StructField]): Map[String, String] = {
+    val retired = retiredPhys(snap.properties)
+    if (retired.isEmpty) return Map.empty
+    val taken = retired ++ snap.schema.fieldNames.map(snap.phys) ++
+      snap.schema.fieldNames
+    newFields.filter(f => retired.contains(f.name)).map { f =>
+      var cand = s"${f.name}__v$v"
+      while (taken.contains(cand)) cand = cand + "_"
+      f.name -> cand
+    }.toMap
   }
 
   /** Conservative word-boundary test: does any CHECK expression mention
@@ -1958,6 +2036,9 @@ object DeltaLite {
     newFields.foreach(f => require(!physNames.contains(f.name),
       s"new column '${f.name}' collides with the physical name of a renamed column"))
     val evolved = StructType(snap.schema.fields ++ newFields)
+    // evolved-in columns are born under fresh physical names when their
+    // logical name was retired by an earlier DROP COLUMN (see dropColumn)
+    val physical = snap.physical ++ birthPhysical(snap, snap.version + 1, newFields)
     val hasBySource = clauses.exists {
       case _: graft.operators.Merge.NotMatchedBySourceUpdate => true
       case _: graft.operators.Merge.NotMatchedBySourceDelete => true
@@ -1974,9 +2055,9 @@ object DeltaLite {
     checkConstraints(merged, evolved, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, evolved,
-      snap.partitionBy, snap.physical, snap.generated, snap.properties)
+      snap.partitionBy, physical, snap.generated, snap.properties)
     commitExclusive(path, v, "MERGE", evolved, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+      snap.constraints, snap.partitionBy, physical, snap.generated,
       snap.identity, snap.properties, txn)
   }
 
@@ -2320,6 +2401,57 @@ object DeltaLite {
     })
   }
 
+  /** A partition-scope bound resolved to [[cmp]]'s comparable space,
+    * validated EAGERLY: a bound value that cannot be interpreted as the
+    * partition column's type (e.g. the SQL path handing a raw String for
+    * an int/date column) must FAIL here, loudly — if it silently decayed
+    * to "no bound" the `.forall` below would match every file and a
+    * partition-scoped OPTIMIZE would rewrite the ENTIRE table, breaking
+    * the untouched-partition file-identity contract streaming readers
+    * depend on. */
+  private case class ScopeBound(column: String, dt: DataType,
+      lower: Option[Any], upper: Option[Any])
+
+  private def resolveScopeBounds(snap: Snapshot, bounds: Seq[ColumnBound],
+      op: String): Seq[ScopeBound] = {
+    require(bounds.nonEmpty, s"$op needs at least one bound")
+    require(bounds.forall(b => snap.partitionBy.contains(b.column)),
+      s"bounds must name partition columns ${snap.partitionBy}; got " +
+        bounds.map(_.column).mkString(", "))
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    bounds.map { b =>
+      val dt = types(b.column)
+      def res(side: String, v: Option[Any]): Option[Any] = v.map { raw =>
+        // the SQL path (`OPTIMIZE … WHERE c = 'v'`) always hands a String;
+        // parse it the same way logged partition values are decoded
+        normBound(dt, raw)
+          .orElse(raw match {
+            case s: String => parsePartitionValue(dt, s)
+            case _ => None
+          })
+          .getOrElse(throw new IllegalArgumentException(
+            s"$op: $side bound for partition column ${b.column} " +
+              s"($raw: ${raw.getClass.getSimpleName}) does not resolve to $dt"))
+      }
+      ScopeBound(b.column, dt, res("lower", b.lower), res("upper", b.upper))
+    }
+  }
+
+  /** EXACT partition-value membership against resolved scope bounds (a
+    * null partition never matches — `OPTIMIZE WHERE` must not silently
+    * rewrite the null bucket). */
+  private def partitionInScope(snap: Snapshot, resolved: Seq[ScopeBound],
+      f: AddFile): Boolean =
+    resolved.forall { b =>
+      f.pv.get(b.column).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        .flatMap(parsePartitionValue(b.dt, _)) match {
+        case Some(v) =>
+          b.lower.forall(lo => cmp(b.dt, v, lo) >= 0) &&
+            b.upper.forall(hi => cmp(b.dt, v, hi) <= 0)
+        case None => false
+      }
+    }
+
   /** Partition-scoped OPTIMIZE (Delta `OPTIMIZE tbl WHERE part = x`):
     * compact ONLY the files whose logged partition values fall inside
     * `bounds` — the nightly maintenance shape for an append-heavy
@@ -2333,23 +2465,8 @@ object DeltaLite {
   def compactPartition(spark: SparkSession, path: String,
       bounds: Seq[ColumnBound], numFiles: Int = 1): Long = {
     val snap = snapshot(path)
-    require(bounds.nonEmpty, "compactPartition needs at least one bound")
-    require(bounds.forall(b => snap.partitionBy.contains(b.column)),
-      s"bounds must name partition columns ${snap.partitionBy}; got " +
-        bounds.map(_.column).mkString(", "))
-    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val victims = snap.files.filter { f =>
-      bounds.forall { b =>
-        val dt = types(b.column)
-        f.pv.get(b.column).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
-          .flatMap(parsePartitionValue(dt, _)) match {
-          case Some(v) =>
-            b.lower.flatMap(normBound(dt, _)).forall(lo => cmp(dt, v, lo) >= 0) &&
-              b.upper.flatMap(normBound(dt, _)).forall(hi => cmp(dt, v, hi) <= 0)
-          case None => false
-        }
-      }
-    }
+    val resolved = resolveScopeBounds(snap, bounds, "compactPartition")
+    val victims = snap.files.filter(partitionInScope(snap, resolved, _))
     if (victims.length <= 1) return snap.version
     val packed = readFiles(spark, path, snap.schema, victims, snap.partitionBy, snap.physical)
       .repartition(numFiles)
@@ -2464,23 +2581,8 @@ object DeltaLite {
       numFiles: Int): Long = {
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
-    require(bounds.nonEmpty, "clusterZPartition needs at least one bound")
-    require(bounds.forall(b => snap.partitionBy.contains(b.column)),
-      s"bounds must name partition columns ${snap.partitionBy}; got " +
-        bounds.map(_.column).mkString(", "))
-    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val victims = snap.files.filter { f =>
-      bounds.forall { b =>
-        val dt = types(b.column)
-        f.pv.get(b.column).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
-          .flatMap(parsePartitionValue(dt, _)) match {
-          case Some(v) =>
-            b.lower.flatMap(normBound(dt, _)).forall(lo => cmp(dt, v, lo) >= 0) &&
-              b.upper.flatMap(normBound(dt, _)).forall(hi => cmp(dt, v, hi) <= 0)
-          case None => false
-        }
-      }
-    }
+    val resolved = resolveScopeBounds(snap, bounds, "clusterZPartition")
+    val victims = snap.files.filter(partitionInScope(snap, resolved, _))
     if (victims.isEmpty) return snap.version
     val rewritten = readFiles(spark, path, snap.schema, victims,
         snap.partitionBy, snap.physical)

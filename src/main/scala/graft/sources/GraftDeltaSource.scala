@@ -347,8 +347,15 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
     else {
       val from = effStart.map(_ + 1).getOrElse(0L)
       val to = version(end)
-      org.apache.spark.sql.graft.StreamingFrame.tag(
-        (from to to).map(changesAt).reduce(_ unionByName _))
+      // the engine may replay getBatch with an empty version range
+      // (start == end) after a restart — that is an empty CDF batch,
+      // not an error
+      val batch = (from to to).map(changesAt)
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          GraftDeltaStreamSource.cdfSchema(tableSchema)))
+      org.apache.spark.sql.graft.StreamingFrame.tag(batch)
     }
   }
 

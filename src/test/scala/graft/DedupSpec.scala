@@ -337,4 +337,17 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val q2 = SparkEntry.queries("l2_semdedup")(spark, sf).collect().toSeq
     assert(q1 === q2)
   }
+
+  test("ivfTrain/pqTrain tolerate non-float embedding columns (array<double>)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 64).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble())))
+      .toDF("id", "embedding")
+    assert(df.schema("embedding").dataType.simpleString === "array<double>")
+    val centers = graft.functions.Dedup.ivfTrain(df, "embedding", k = 4)
+    assert(centers.length === 4 && centers.forall(_.length === 8))
+    val cb = graft.functions.Dedup.pqTrain(df, "embedding", m = 2, k = 4, dim = 8)
+    assert(cb.length === 2)
+  }
 }

@@ -1869,4 +1869,97 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     // full history still readable (time travel across schema change)
     assert(DeltaLite.read(spark, path, Some(0L)).columns.length === 3)
   }
+
+  test("DROP COLUMN retires the physical name: a re-added column never resurrects dropped data") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_retire").toString
+    DeltaLite.create(spark, path,
+      Seq((1L, "old1"), (2L, "old2")).toDF("k", "s").coalesce(1))       // v0
+    DeltaLite.dropColumn(path, "s")                                     // v1
+    // re-adding 's' via schema evolution: the OLD files still physically
+    // carry the dropped column — the new one must be born under a fresh
+    // physical name, so history reads it as null, never as stale data
+    DeltaLite.appendEvolve(spark, path,
+      Seq((3L, "new3")).toDF("k", "s").coalesce(1))                     // v2
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.phys("s") !== "s",
+      "re-added column must get a fresh physical name")
+    val rows = DeltaLite.read(spark, path).as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(1L) === None && rows(2L) === None,
+      "pre-drop rows must read the re-added column as null")
+    assert(rows(3L) === Some("new3"))
+    // time travel before the drop still shows the original values
+    assert(DeltaLite.read(spark, path, asOf = Some(0L))
+      .as[(Long, String)].collect().toMap.apply(1L) === "old1")
+    // the MERGE evolution path honors retirement the same way
+    DeltaLite.dropColumn(path, "s")                                     // v3
+    DeltaLite.mergeClauses(spark, path,
+      Seq((1L, "merged1")).toDF("k", "s"), Seq("k"),
+      Seq(graft.operators.Merge.MatchedUpdate(None),
+        graft.operators.Merge.NotMatchedInsert(None)),
+      schemaEvolution = true)                                           // v4
+    val rows2 = DeltaLite.read(spark, path).as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows2(1L) === Some("merged1"))
+    assert(rows2(3L) === None,
+      "rows untouched by the merge must not resurrect v2's physical data")
+  }
+
+  test("partition-scoped OPTIMIZE: string bounds parse; unresolvable bounds fail loudly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_partopt3").toString
+    def batch(part: Long, lo: Long, n: Long) =
+      (lo until lo + n).map(i => (i, part, i * 1.0)).toDF("k", "part", "v")
+        .coalesce(1)
+    DeltaLite.create(spark, path, batch(0L, 0, 10), partitionBy = Seq("part"))
+    (0 until 3).foreach(b => DeltaLite.append(spark, path, batch(1L, 100 + b * 10, 10)))
+    val before = DeltaLite.snapshot(path)
+    val p0Before = before.files.filter(_.pv("part") == "0").map(_.path).toSet
+    // the SQL path hands a STRING bound for the long partition column —
+    // it must parse and scope correctly
+    DeltaLite.compactPartition(spark, path,
+      Seq(DeltaLite.ColumnBound("part", Some("1"), Some("1"))))
+    val after = DeltaLite.snapshot(path)
+    assert(after.files.count(_.pv("part") == "1") === 1)
+    assert(after.files.filter(_.pv("part") == "0").map(_.path).toSet === p0Before)
+    // an unresolvable bound must FAIL, never silently rewrite the table
+    val filesBefore = DeltaLite.snapshot(path).files.map(_.path).toSet
+    intercept[IllegalArgumentException] {
+      DeltaLite.compactPartition(spark, path,
+        Seq(DeltaLite.ColumnBound("part", Some("oops"), Some("oops"))))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.clusterZPartition(spark, path,
+        Seq(DeltaLite.ColumnBound("part", Some("oops"), Some("oops"))),
+        "k", "k", 1)
+    }
+    assert(DeltaLite.snapshot(path).files.map(_.path).toSet === filesBefore,
+      "a failed partition-scoped OPTIMIZE must leave every file identity intact")
+  }
+
+  test("generated date_format pruning is width-safe: far-future years are never wrongly pruned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_genwidth").toString
+    val normal = (0L until 20L).map(i =>
+        (i, java.sql.Timestamp.valueOf(f"1997-0${(i % 2) + 1}%d-05 10:00:00"), i * 1.0))
+      .toDF("k", "ts", "v").coalesce(1)
+    DeltaLite.create(spark, path, normal, partitionBy = Seq("ym"),
+      generated = Map("ym" -> "date_format(ts, 'yyyy-MM')"))
+    // a year-10000 row: date_format emits a NON-4-digit year whose string
+    // sorts LOW ("+10000-01" / "10000-01" < "1997-01" lexically)
+    DeltaLite.append(spark, path,
+      Seq((999L, 5.0)).toDF("k", "v")
+        .withColumn("ts", expr("make_timestamp(10000, 1, 1, 0, 0, 0)"))
+        .select($"k", $"ts", $"v").coalesce(1))
+    // bound ts >= 2200: the 1997 partitions are legitimately pruned
+    // (equal-width exact stat), but the year-10000 partition MUST survive
+    // even though its formatted value sorts below the derived bound
+    val lo = java.sql.Timestamp.valueOf("2200-01-01 00:00:00")
+    val scanned = DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("ts", Some(lo), None)))
+    val ks = scanned.select($"k").as[Long].collect().toSet
+    assert(ks === Set(999L),
+      s"expected only the far-future row to survive pruning, got $ks")
+  }
 }

@@ -327,6 +327,28 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(landed() === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("CDF getBatch tolerates an empty version range (restart replay)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_empty")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a")).toDF("k", "s"))
+    val src = new graft.sources.GraftDeltaStreamSource(spark, table,
+      ignoreChanges = false, cdf = true)
+    // the engine may replay getBatch with start == end after a restart:
+    // that is an EMPTY CDF batch, not an error
+    val batch = src.getBatch(Some(LongOffset(0L)), LongOffset(0L))
+    assert(batch.isStreaming, "getBatch must return a streaming-tagged frame")
+    assert(batch.schema.fieldNames.toSeq ===
+      Seq("k", "s", "_change_type", "_commit_version"))
+    // streaming-tagged frames refuse batch execution — count through the
+    // underlying RDD of the LogicalRDD the tag wraps
+    val rdd = batch.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.count() === 0L)
+  }
+
   test("graft-delta source with readChangeFeed streams per-commit row changes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt_cdf")
