@@ -32,6 +32,13 @@ object Incremental {
               CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_sec
        FROM events"""
 
+  /** events with epoch-second `ts_e` — the as-of family does its gap
+    * arithmetic on integers (matches Spark's `unix_timestamp(ts_sec)`). */
+  private val oracleEpochEv =
+    """SELECT event_id, user_id, event_type,
+              CAST(epoch(CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS BIGINT) AS ts_e
+       FROM events"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------- T1
@@ -194,6 +201,95 @@ object Incremental {
          SELECT p.event_id, p.user_id, p.ts_sec, c.click_id
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts_sec >= c.click_ts
-         ORDER BY p.event_id ASC NULLS LAST"""))
+         ORDER BY p.event_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- J7 (b)
+    // FORWARD as-of join (DuckDB `ASOF ... ON p.ts <= b.ts`): each
+    // purchase matched to the user's EARLIEST click at or after it — the
+    // "next action after conversion" shape. Timestamps ride as epoch
+    // seconds so all gap arithmetic is integer-exact. Same one-shuffle
+    // union+window plan as backward, ordered descending.
+    QueryDef("j7_asof_forward", (s, dir) => {
+      val e = ev(s, dir).withColumn("ts_e", unix_timestamp(col("ts_sec")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_e"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_e").as("click_e"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.forward(purchases, clicks,
+          key = "user_id", probeTs = "ts_e", buildTs = "click_e",
+          payload = Seq("click_id"))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEpochEv),
+         p AS (SELECT event_id, user_id, ts_e FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_e AS click_e, max(event_id) AS click_id
+               FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_e, c.click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_e <= c.click_e
+         ORDER BY p.event_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- J7 (c)
+    // Backward as-of join with a MAX-GAP TOLERANCE (pandas merge_asof
+    // `tolerance=`): a click older than 10 minutes does not explain the
+    // purchase. The oracle states tolerance as a post-ASOF CASE — sound
+    // because the as-of match is the NEAREST candidate, so any other is
+    // farther and tolerance can only null, never substitute.
+    QueryDef("j7_asof_tolerance", (s, dir) => {
+      val e = ev(s, dir).withColumn("ts_e", unix_timestamp(col("ts_sec")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_e"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_e").as("click_e"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.backward(purchases, clicks,
+          key = "user_id", probeTs = "ts_e", buildTs = "click_e",
+          payload = Seq("click_id", "click_e"),
+          tolerance = Some(lit(600L)))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEpochEv),
+         p AS (SELECT event_id, user_id, ts_e FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_e AS click_e, max(event_id) AS click_id
+               FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_e,
+                CASE WHEN p.ts_e - c.click_e <= 600 THEN c.click_id END AS click_id,
+                CASE WHEN p.ts_e - c.click_e <= 600 THEN c.click_e END AS click_e
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_e >= c.click_e
+         ORDER BY p.event_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- J7 (d)
+    // NEAREST as-of join (pandas `direction='nearest'`; no DuckDB ASOF
+    // equivalent): closest click on either side of the purchase, equal
+    // gaps preferring the backward match. The Spark plan is both ordered
+    // passes over ONE key shuffle; the oracle takes an independent path —
+    // rank ALL candidate clicks per purchase by (|gap|, click_e) and keep
+    // the first.
+    QueryDef("j7_asof_nearest", (s, dir) => {
+      val e = ev(s, dir).withColumn("ts_e", unix_timestamp(col("ts_sec")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_e"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_e").as("click_e"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.nearest(purchases, clicks,
+          key = "user_id", probeTs = "ts_e", buildTs = "click_e",
+          payload = Seq("click_id"))
+        .orderBy(col("event_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEpochEv),
+         p AS (SELECT event_id, user_id, ts_e FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_e AS click_e, max(event_id) AS click_id
+               FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+         cand AS (
+           SELECT p.event_id, p.user_id, p.ts_e, c.click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(c.click_e - p.ts_e) ASC, c.click_e ASC) AS rn
+           FROM p LEFT JOIN c ON p.user_id = c.user_id)
+         SELECT event_id, user_id, ts_e, click_id
+         FROM cand WHERE rn = 1
+         ORDER BY event_id ASC NULLS LAST"""))
   )
 }

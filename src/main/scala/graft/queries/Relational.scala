@@ -936,6 +936,53 @@ object Relational {
                        EXCLUDE TIES)
          ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- W3 (e)
+    // GROUPS frame mode (SQL standard; DuckDB implements it literally,
+    // Spark has ROWS/RANGE only): `GROUPS BETWEEN 1 PRECEDING AND 1
+    // FOLLOWING` frames the current PEER GROUP plus one whole group on
+    // each side. Spark-first identity: peer groups are consecutive under
+    // dense_rank, so a GROUPS frame of ±n groups ≡ a RANGE frame of ±n on
+    // the dense_rank VALUE — two Window ops over the SAME partitioning
+    // (dense_rank, then the range frame ordered by it), ONE shuffle; the
+    // second sort key is monotone in the first, so the extra sort is a
+    // cheap in-partition pass. The summed value rides as integer cents
+    // (round(x*100) is exact at TPC-H price scale) so the group sum is
+    // order-independent — bit-equal vs the oracle with no
+    // float-association drift; /100.0 converts to double identically in
+    // both engines. The oracle would be DuckDB's literal `GROUPS BETWEEN
+    // 1 PRECEDING AND 1 FOLLOWING`, but this DuckDB build rejects GROUPS
+    // mode ("not implemented yet"), so it restates the same semantics on
+    // an INDEPENDENT evaluation path: a per-customer self-join over
+    // dense_rank neighborhoods (|grp_b − grp_a| ≤ 1) + GROUP BY — no
+    // window frame at all on the oracle side.
+    QueryDef("w3_groups_frame", (s, dir) => {
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority").asc)
+      val wGroups = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("g").asc).rangeBetween(-1L, 1L)
+      t(s, dir, "orders")
+        .withColumn("cents", expr("cast(round(o_totalprice*100) as bigint)"))
+        .withColumn("g", dense_rank().over(wRank))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(wGroups).as("nbhd_n"),
+          (sum(col("cents")).over(wGroups) / lit(100.0)).as("nbhd_sum"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """WITH g AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                  dense_rank() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderpriority ASC) AS grp
+           FROM orders)
+         SELECT a.o_custkey, a.o_orderkey,
+                count(*) AS nbhd_n,
+                (sum(b.cents) / 100.0) AS nbhd_sum
+         FROM g a JOIN g b
+           ON a.o_custkey = b.o_custkey
+          AND b.grp BETWEEN a.grp - 1 AND a.grp + 1
+         GROUP BY a.o_custkey, a.o_orderkey
+         ORDER BY a.o_custkey ASC NULLS LAST, a.o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- A7 (b)
     // array_agg proper (list-valued aggregation) with pinned element order.
     // The list is emitted as a ','-joined string: the compare harness cannot

@@ -92,6 +92,43 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
       ("p3", None)))
   }
 
+  test("AsOfJoin.forward matches earliest at-or-after; tolerance nulls far matches") {
+    import spark.implicits._
+    val probe = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 500L, "p3"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 100L, "b100"), (1L, 200L, "b200"), (2L, 60L, "b60"))
+      .toDF("k", "bt", "payload")
+    val fwd = AsOfJoin.forward(probe, build, "k", "t", "bt", Seq("payload"))
+      .orderBy("k", "t")
+      .select("tag", "payload").as[(String, Option[String])].collect().toSeq
+    // p1 at 100 matches b100 (inclusive >=); p2 at 250 has no later build
+    // → null; p3 at 500 follows every k=2 build → null
+    assert(fwd === Seq(("p1", Some("b100")), ("p2", None), ("p3", None)))
+    val tol = AsOfJoin.backward(probe, build, "k", "t", "bt", Seq("payload"),
+        tolerance = Some(lit(40L)))
+      .orderBy("k", "t")
+      .select("tag", "payload").as[(String, Option[String])].collect().toSeq
+    // p2's backward match b200 is 50 > 40 away → nulled, never substituted;
+    // p3's b60 is 440 away → nulled
+    assert(tol === Seq(("p1", Some("b100")), ("p2", None), ("p3", None)))
+  }
+
+  test("AsOfJoin.nearest picks the closer side, backward on ties") {
+    import spark.implicits._
+    val probe = Seq((1L, 150L, "pmid"), (1L, 190L, "pnear200"),
+      (2L, 10L, "ponly_fwd"), (3L, 10L, "pnomatch"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 100L, "b100"), (1L, 200L, "b200"), (2L, 30L, "b30"))
+      .toDF("k", "bt", "payload")
+    val out = AsOfJoin.nearest(probe, build, "k", "t", "bt", Seq("payload"))
+      .orderBy("k", "t")
+      .select("tag", "payload").as[(String, Option[String])].collect().toSeq
+    // pmid: gaps 50/50 tie → backward b100; pnear200: 90 back vs 10 fwd →
+    // b200; ponly_fwd has only a forward candidate; k=3 has none
+    assert(out === Seq(("pmid", Some("b100")), ("pnear200", Some("b200")),
+      ("ponly_fwd", Some("b30")), ("pnomatch", None)))
+  }
+
   test("AsOfJoin matches DuckDB-oracle-verified shape on fixture data") {
     // the j7 query itself is oracle-verified; here just pin row stability
     val df = SparkEntry.queries("j7_asof_join")(spark, sf)

@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(count(p, "Exchange hashpartitioning") <= 2)
   }
 
+  test("asof forward/tolerance/nearest keep the one-keyed-shuffle plan") {
+    Seq("j7_asof_forward", "j7_asof_tolerance", "j7_asof_nearest").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange hashpartitioning(__k") === 1,
+        s"$q must shuffle the as-of key exactly once:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never explode per-key:\n$p")
+    }
+  }
+
+  test("w3_groups_frame: dense_rank + range frame share one shuffle") {
+    val p = plan("w3_groups_frame")
+    // both Window ops partition on o_custkey: one hash exchange on it
+    assert(count(p, "Exchange hashpartitioning(o_custkey") === 1,
+      s"the GROUPS rewrite must not re-shuffle between its two windows:\n$p")
+  }
+
   test("minhash/simhash candidate generation is equality-join shaped") {
     Seq("l2_minhash_lsh", "l2_simhash").foreach { q =>
       val p = plan(q)
