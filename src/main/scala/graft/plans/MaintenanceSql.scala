@@ -26,6 +26,8 @@ import graft.sources.DeltaLite
   *   REORG '<path>' APPLY (PURGE)
   *   ALTER '<path>' RENAME COLUMN old TO new
   *   ALTER '<path>' DROP COLUMN name
+  *   ALTER '<path>' ALTER COLUMN name SET DEFAULT expr
+  *   ALTER '<path>' ALTER COLUMN name DROP DEFAULT
   *   ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
   *   ALTER '<path>' ADD CONSTRAINT name CHECK (expr)
@@ -122,6 +124,22 @@ object MaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.dropColumn(path, name)))
+  }
+
+  final case class SetColumnDefaultCommand(path: String, column: String,
+      expr: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.setColumnDefault(spark, path, column, expr)))
+  }
+
+  final case class DropColumnDefaultCommand(path: String, column: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.unsetColumnDefault(path, column)))
   }
 
   final case class AddConstraintCommand(path: String, name: String,
@@ -241,6 +259,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RenameColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val SetDefaultRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val DropDefaultRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*""").r
   private val DropColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
@@ -289,6 +313,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
+    // the default variants must match BEFORE DROP COLUMN: `ALTER COLUMN c
+    // DROP DEFAULT` contains no ambiguity, but keep order explicit
+    case SetDefaultRe(p, c, e) => SetColumnDefaultCommand(p, c, e.trim)
+    case DropDefaultRe(p, c) => DropColumnDefaultCommand(p, c)
     case DropColRe(p, c) => DropColumnCommand(p, c)
     case AddConstraintRe(p, n, check) => AddConstraintCommand(p, n, check.trim)
     case DropConstraintRe(p, n) => DropConstraintCommand(p, n)

@@ -717,6 +717,55 @@ object Medallion {
                 (round((sum(o_totalprice))*100)/100) AS total
          FROM orders GROUP BY 1 ORDER BY yr ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S29
+    // Column DEFAULT values (Delta `allowColumnDefaults` / `ALTER COLUMN
+    // ... SET DEFAULT`): a write that OMITS the column materializes the
+    // default AT WRITE TIME — existing files never change, and changing
+    // the default later only affects later writes, so history is an audit
+    // of which default was active when each batch landed. Three eras:
+    // the create batch supplies the tag explicitly ('manual'), the second
+    // era appends WITHOUT the column under the create-time default
+    // ('backfill'), the third under an ALTERed expression default that
+    // reads the batch's own o_totalprice. The oracle replays the eras as
+    // CASE over the date slices.
+    QueryDef("s29_column_defaults", (s, dir) => {
+      val path = tmp("s29_delta")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val cut1 = lit("1995-01-01").cast("timestamp")
+      val cut2 = lit("1997-01-01").cast("timestamp")
+      DeltaLite.create(s, path,
+        o.filter(col("o_orderdate") < cut1).drop("o_orderdate")
+          .withColumn("ingest_tag", lit("manual")),
+        defaults = Map("ingest_tag" -> "'backfill'"))
+      DeltaLite.append(s, path,
+        o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+          .drop("o_orderdate")) // no tag → create-time default
+      DeltaLite.setColumnDefault(s, path, "ingest_tag",
+        "CASE WHEN o_totalprice > 200000 THEN 'late-big' ELSE 'late-small' END")
+      DeltaLite.append(s, path,
+        o.filter(col("o_orderdate") >= cut2).drop("o_orderdate"))
+      DeltaLite.read(s, path)
+        .groupBy(col("ingest_tag"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("ingest_tag").asc_nulls_last)
+    }, Some(
+      """WITH o AS (
+           SELECT o_totalprice,
+                  CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                         THEN 'manual'
+                       WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                         THEN 'backfill'
+                       WHEN o_totalprice > 200000 THEN 'late-big'
+                       ELSE 'late-small' END AS ingest_tag
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT ingest_tag, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM o GROUP BY ingest_tag
+         ORDER BY ingest_tag ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S20
     // REORG APPLY (PURGE): soft deletes land as deletion vectors (no file
     // rewritten), then REORG materializes them — ONLY the DV-carrying

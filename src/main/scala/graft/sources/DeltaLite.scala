@@ -1505,8 +1505,20 @@ object DeltaLite {
       generated: Map[String, String] = Map.empty,
       identity: Map[String, IdentityCol] = Map.empty,
       properties: Map[String, String] = Map.empty,
+      defaults: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
+    // Column DEFAULTs (see setColumnDefault): declared at create for
+    // columns of the CREATE batch (which defines the schema); applied to
+    // every later write that omits the column.
+    defaults.foreach { case (c, _) =>
+      require(df.columns.contains(c),
+        s"DEFAULT column '$c' must be in the create batch ${df.columns.toSeq}")
+      require(!generated.contains(c),
+        s"'$c' is GENERATED ALWAYS AS and cannot have a DEFAULT")
+      require(!identity.contains(c),
+        s"'$c' is an identity column and cannot have a DEFAULT")
+    }
     // Identity columns (Delta `GENERATED ALWAYS AS IDENTITY`): the batch
     // may never supply them (ALWAYS semantics) — the table allocates.
     identity.foreach { case (c, ic) =>
@@ -1539,13 +1551,20 @@ object DeltaLite {
     require(partitionBy.forall(withIds.columns.contains),
       s"partition columns $partitionBy must exist in ${withIds.columns.toSeq}")
     val schema = withIds.schema
+    // validate every DEFAULT expression against the final schema now
+    defaults.foreach { case (c, e) =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        .select(expr(e).cast(schema(c).dataType)).schema
+    }
+    val props = properties ++
+      defaults.map { case (c, e) => (DefaultPrefix + c) -> e }
     checkConstraints(withIds, schema,
       generatedChecks(df.columns.toSet, generated), "CREATE")
     val adds = writeData(spark, root(path), 0L, withIds, schema, partitionBy,
-      Map.empty, generated, properties)
+      Map.empty, generated, props)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, txn, Map.empty,
       partitionBy, Map.empty, generated,
-      advanceHighWater(identity, adds, schema, Map.empty), properties)
+      advanceHighWater(identity, adds, schema, Map.empty), props)
   }
 
   /** Sparse identity allocation above `highWater`: unique and ascending
@@ -1584,6 +1603,71 @@ object DeltaLite {
     generated.collect { case (c, e) if batchCols.contains(c) =>
       s"__generated_$c" -> s"`$c` <=> ($e)"
     }
+
+  // ------------------------------------------- column DEFAULT values
+
+  /** Table-property prefix holding per-column DEFAULT expressions (the
+    * Delta `allowColumnDefaults` writer feature / `ALTER TABLE ... ALTER
+    * COLUMN c SET DEFAULT expr`): a write that OMITS the column
+    * materializes the expression at WRITE time — existing files never
+    * change, history keeps the values each write produced (Delta's
+    * insert-time, never read-time, semantics: unsetting a default later
+    * does not rewrite anything). Riding `properties` means the state
+    * forwards through every commit, checkpoint and clone for free. */
+  private val DefaultPrefix = "graft.default."
+
+  private[graft] def columnDefaults(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(DefaultPrefix) =>
+      k.stripPrefix(DefaultPrefix) -> v }
+
+  /** Fill batch-missing DEFAULT columns; batch-supplied values always
+    * win (DEFAULT is a fallback, never an override). Expressions may
+    * reference other batch columns; evaluation order is name-sorted for
+    * determinism. */
+  private def applyDefaults(df: DataFrame, schema: StructType,
+      props: Map[String, String]): DataFrame = {
+    val defs = columnDefaults(props)
+    if (defs.isEmpty) return df
+    val have = df.columns.toSet
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    defs.toSeq.sortBy(_._1)
+      .filter { case (c, _) => !have.contains(c) && types.contains(c) }
+      .foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e).cast(types(c)))
+      }
+  }
+
+  /** Delta `ALTER TABLE ... ALTER COLUMN c SET DEFAULT e` — metadata-only
+    * commit; applies to FUTURE writes that omit the column. The
+    * expression must resolve against the table schema NOW (fail at
+    * ALTER, not at some later write). */
+  def setColumnDefault(spark: SparkSession, path: String, column: String,
+      e: String): Long = {
+    val snap = snapshot(path)
+    require(snap.schema.fieldNames.contains(column),
+      s"no column '$column' in ${snap.schema.fieldNames.toSeq}")
+    require(!snap.generated.contains(column),
+      s"'$column' is GENERATED ALWAYS AS and cannot have a DEFAULT")
+    require(!snap.identity.contains(column),
+      s"'$column' is an identity column and cannot have a DEFAULT")
+    spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      .select(expr(e).cast(snap.schema(column).dataType)).schema // analysis check
+    commitExclusive(path, snap.version + 1, "SET_COLUMN_DEFAULT", snap.schema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity,
+      snap.properties + (DefaultPrefix + column -> e))
+  }
+
+  /** Delta `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT`. */
+  def unsetColumnDefault(path: String, column: String): Long = {
+    val snap = snapshot(path)
+    require(snap.properties.contains(DefaultPrefix + column),
+      s"no DEFAULT on column '$column'")
+    commitExclusive(path, snap.version + 1, "DROP_COLUMN_DEFAULT", snap.schema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity,
+      snap.properties - (DefaultPrefix + column))
+  }
 
   /** Delta `CONVERT TO DELTA parquet.\`path\``: adopt an EXISTING parquet
     * directory (flat or Hive-partitioned) as a DeltaLite table IN PLACE.
@@ -1631,7 +1715,8 @@ object DeltaLite {
     * point of the file-level log). */
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val snap = snapshot(path)
-    val withIds = materializeIdentity(df, snap, "APPEND")
+    val filled = applyDefaults(df, snap.schema, snap.properties)
+    val withIds = materializeIdentity(filled, snap, "APPEND")
     checkWriteSchema(withIds.schema, snap.schema, "APPEND")
     checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
@@ -1691,7 +1776,8 @@ object DeltaLite {
       app: String, txnVersion: Long): Long = {
     val snap = snapshot(path)
     if (snap.txns.get(app).exists(_ >= txnVersion)) return snap.version
-    val withIds = materializeIdentity(df, snap, "APPEND")
+    val withIds = materializeIdentity(
+      applyDefaults(df, snap.schema, snap.properties), snap, "APPEND")
     checkWriteSchema(withIds.schema, snap.schema, "APPEND")
     checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
@@ -1748,7 +1834,8 @@ object DeltaLite {
     val fresh = all.filterNot(p => snap.txns.contains(key(p)))
     if (fresh.isEmpty) return (snap.version, 0L)
     val df = spark.read.parquet(fresh.map(_.toString): _*)
-    val withIds = materializeIdentity(df, snap, "COPY INTO")
+    val withIds = materializeIdentity(
+      applyDefaults(df, snap.schema, snap.properties), snap, "COPY INTO")
     checkWriteSchema(withIds.schema, snap.schema, "COPY INTO")
     checkConstraints(withIds, snap.schema, snap.constraints ++
       generatedChecks(df.columns.toSet, snap.generated), "COPY INTO")
@@ -1774,8 +1861,11 @@ object DeltaLite {
   /** Schema-evolving append (Delta `mergeSchema`): new columns from the
     * batch extend the table schema (history reads them as null), missing
     * batch columns are null-filled. Existing files untouched. */
-  def appendEvolve(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def appendEvolve(spark: SparkSession, path: String, dfIn: DataFrame): Long = {
     val snap = snapshot(path)
+    // DEFAULT fill applies to EXISTING schema columns the batch omits;
+    // genuinely new columns evolve in as usual
+    val df = applyDefaults(dfIn, snap.schema, snap.properties)
     checkWriteSchema(df.schema, snap.schema, "APPEND_EVOLVE", allowNew = true)
     val known = snap.schema.fieldNames.toSet
     // a NEW column's physical name is its logical name — it must not
@@ -2051,7 +2141,42 @@ object DeltaLite {
       else filesHoldingKeys(spark, path, snap, source, keys)
     val target = newFields.foldLeft(touchedRows)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
-    val merged = graft.operators.Merge.merge(target, source, keys, clauses)
+    // Column DEFAULTs apply to MERGE INSERTs exactly as in SQL: an INSERT
+    // that does not name a defaulted column takes the default; MATCHED
+    // updates never do (DEFAULT is insert-time only). Star clauses over a
+    // source that omits a defaulted column are rewritten to explicit
+    // per-column assignments so the fill lands ONLY in the insert branch
+    // (and the update star narrows to the columns the source carries,
+    // leaving the rest untouched). Defaults in merge context should be
+    // self-contained expressions (plain column names resolve against the
+    // TARGET side of the join, which is all-null in the insert branch).
+    val defs = columnDefaults(snap.properties)
+    val effClauses = if (defs.isEmpty) clauses else {
+      import graft.operators.Merge.{MatchedUpdate, NotMatchedInsert}
+      val srcCols = source.columns.toSet
+      val tgtCols = evolved.fieldNames.toSeq
+      val missingDefault =
+        tgtCols.filter(c => defs.contains(c) && !srcCols.contains(c))
+      clauses.map {
+        case NotMatchedInsert(cond, vals) if vals.isEmpty =>
+          if (missingDefault.isEmpty) NotMatchedInsert(cond, vals)
+          else NotMatchedInsert(cond, tgtCols.collect {
+            case c if srcCols.contains(c) => c -> graft.operators.Merge.src(c)
+            case c if defs.contains(c) => c -> expr(defs(c))
+          }.toMap)
+        case NotMatchedInsert(cond, vals) =>
+          NotMatchedInsert(cond, vals ++ defs.collect {
+            case (c, e) if !vals.contains(c) && !keys.contains(c) &&
+              tgtCols.contains(c) => c -> expr(e)
+          })
+        case MatchedUpdate(cond, set)
+            if set.isEmpty && missingDefault.nonEmpty =>
+          MatchedUpdate(cond, tgtCols.filter(srcCols.contains)
+            .map(c => c -> graft.operators.Merge.src(c)).toMap)
+        case other => other
+      }
+    }
+    val merged = graft.operators.Merge.merge(target, source, keys, effClauses)
     checkConstraints(merged, evolved, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, evolved,
@@ -2067,12 +2192,13 @@ object DeltaLite {
     * that is the strategy's reason to exist (e.g. re-landing an
     * order's line items). Same touched-file discipline as [[merge]]:
     * only files holding a batch key are rewritten. */
-  def deleteInsert(spark: SparkSession, path: String, batch: DataFrame,
+  def deleteInsert(spark: SparkSession, path: String, batchIn: DataFrame,
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "delete+insert keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "DELETE_INSERT")
     rejectIfAppendOnly(snap, "DELETE_INSERT")
+    val batch = applyDefaults(batchIn, snap.schema, snap.properties)
     checkWriteSchema(batch.schema, snap.schema, "DELETE_INSERT")
     val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
     val survivors = touchedRows.join(
@@ -2294,12 +2420,13 @@ object DeltaLite {
     * this is a pure swap: remove the day's files, add the new ones —
     * O(partition), never O(table). */
   def replaceWhere(spark: SparkSession, path: String, cond: Column,
-      df: DataFrame): Long = {
+      dfIn: DataFrame): Long = {
     val snap = snapshot(path)
     rejectIdentity(snap, "REPLACE_WHERE")
     rejectIfAppendOnly(snap, "REPLACE_WHERE")
     val hit = coalesce(cond, lit(false))
     val (touched, kept) = touchedBy(spark, path, snap, hit)
+    val df = applyDefaults(dfIn, snap.schema, snap.properties)
     checkWriteSchema(df.schema, snap.schema, "REPLACE_WHERE")
     val newData = kept.filter(!hit).unionByName(align(df, snap.schema))
     checkConstraints(align(df, snap.schema), snap.schema, snap.constraints,

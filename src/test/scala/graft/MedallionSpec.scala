@@ -370,6 +370,14 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     spark.sql(s"ALTER '$plain' DROP CONSTRAINT k_nonneg")
     DeltaLite.append(spark, plain, Seq(-1L).toDF("k"))
     DeltaLite.delete(spark, plain, $"k" === -1L)
+    // ALTER COLUMN SET/DROP DEFAULT via SQL (write-time fill itself is
+    // covered by ScaleSpec): the default lands namespaced and drops clean
+    spark.sql(s"ALTER '$plain' ALTER COLUMN k SET DEFAULT 777")
+    assert(DeltaLite.columnDefaults(DeltaLite.snapshot(plain).properties)
+      === Map("k" -> "777"))
+    spark.sql(s"ALTER '$plain' ALTER COLUMN k DROP DEFAULT")
+    assert(DeltaLite.columnDefaults(
+      DeltaLite.snapshot(plain).properties).isEmpty)
     // SET/UNSET TBLPROPERTIES: appendOnly locks, unset re-opens
     spark.sql(s"ALTER '$plain' SET TBLPROPERTIES ('delta.appendOnly' = 'true', 'team' = 'ingest')")
     assert(spark.sql(s"DESCRIBE DETAIL '$plain'").collect()(0)

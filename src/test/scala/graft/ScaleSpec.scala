@@ -1870,6 +1870,55 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path, Some(0L)).columns.length === 3)
   }
 
+  test("column DEFAULTs: write-time fill, insert-only in MERGE, checkpoint replay") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val path = Files.createTempDirectory("graft_defaults").toString
+    DeltaLite.create(spark, path,
+      Seq((1L, 10.0, "x")).toDF("k", "v", "tag"),
+      defaults = Map("tag" -> "'d0'"))                                  // v0
+    DeltaLite.append(spark, path, Seq((2L, 20.0)).toDF("k", "v"))       // v1
+    // supplied values always win over the default
+    DeltaLite.append(spark, path,
+      Seq((3L, 30.0, "own")).toDF("k", "v", "tag"))                     // v2
+    // ALTER to an expression default reading the batch's own columns
+    DeltaLite.setColumnDefault(spark, path, "tag",
+      "CASE WHEN v > 35 THEN 'hi' ELSE 'lo' END")                       // v3
+    DeltaLite.append(spark, path, Seq((4L, 40.0)).toDF("k", "v"))       // v4
+    // MERGE star clauses over a source that omits the defaulted column:
+    // the default fills ONLY the insert branch; the matched update keeps
+    // the target's existing tag
+    DeltaLite.mergeClauses(spark, path,
+      Seq((1L, 11.0), (5L, 5.0)).toDF("k", "v"), Seq("k"),
+      Seq(Merge.MatchedUpdate(None), Merge.NotMatchedInsert(None)))     // v5
+    def state(): Map[Long, (Double, Option[String])] =
+      DeltaLite.read(spark, path).as[(Long, Double, Option[String])]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val m = state()
+    assert(m(1L) === (11.0, Some("x")), "matched update must not apply the default")
+    assert(m(2L) === (20.0, Some("d0")))
+    assert(m(3L) === (30.0, Some("own")))
+    assert(m(4L) === (40.0, Some("hi")))
+    assert(m(5L) === (5.0, Some("lo")), "merge insert must take the default")
+    // DROP DEFAULT: omitted column goes back to null
+    DeltaLite.unsetColumnDefault(path, "tag")                           // v6
+    DeltaLite.append(spark, path, Seq((6L, 60.0)).toDF("k", "v"))       // v7
+    assert(state()(6L) === (60.0, None))
+    // the default survives a checkpoint (v10 writes checkpoint-10.json):
+    // replay from the checkpoint must still fill it
+    DeltaLite.setColumnDefault(spark, path, "tag", "'ck'")              // v8
+    DeltaLite.append(spark, path, Seq((7L, 70.0)).toDF("k", "v"))       // v9
+    DeltaLite.append(spark, path, Seq((8L, 80.0)).toDF("k", "v"))       // v10
+    assert(DeltaLite.snapshot(path).version === 10L)
+    DeltaLite.append(spark, path, Seq((9L, 90.0)).toDF("k", "v"))       // v11
+    assert(state()(9L) === (90.0, Some("ck")),
+      "a default set before the checkpoint must apply after replay")
+    // guards: unknown column fails at ALTER, not at some later write
+    intercept[IllegalArgumentException] {
+      DeltaLite.setColumnDefault(spark, path, "nope", "'x'")
+    }
+  }
+
   test("DROP COLUMN retires the physical name: a re-added column never resurrects dropped data") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_retire").toString
