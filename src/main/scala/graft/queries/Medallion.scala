@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.{QueryDef, Tables}
 import graft.operators.{Merge, Scd2}
 import graft.sources.DeltaLite
@@ -110,6 +110,9 @@ object Medallion {
         order ++= ready; remaining = rest
       }
       val pool = Executors.newFixedThreadPool(math.max(1, threads))
+      val results =
+        new java.util.concurrent.ConcurrentHashMap[String, RunResult]()
+      val runStart = System.nanoTime()
       try {
         val futures = scala.collection.mutable.Map[String, CompletableFuture[String]]()
         val ref = (n: String) =>
@@ -119,8 +122,19 @@ object Medallion {
           val f = CompletableFuture.allOf(deps: _*).thenApplyAsync(
             { _ =>
               val path = s"$targetDir/${m.name}"
-              graft.sources.DeltaLite.create(s, path, m.build(s, ref))
-              path
+              val t0 = System.nanoTime()
+              try {
+                val v = graft.sources.DeltaLite.create(s, path, m.build(s, ref))
+                val snap = graft.sources.DeltaLite.snapshot(path)
+                results.put(m.name, RunResult("success",
+                  (System.nanoTime() - t0) / 1e9, snap.totalRows, v))
+                path
+              } catch { case e: Throwable =>
+                results.put(m.name, RunResult(
+                  s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}",
+                  (System.nanoTime() - t0) / 1e9, 0L, -1L))
+                throw e
+              }
             }: java.util.function.Function[Void, String], pool)
           futures(m.name) = f
         }
@@ -129,7 +143,56 @@ object Medallion {
             catch { case e: java.util.concurrent.CompletionException =>
               throw Option(e.getCause).getOrElse(e) })
         }.toMap
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        // dbt's EP1 lifecycle artifacts, written even on a failed run
+        // (dbt writes partial run_results the same way): manifest.json is
+        // the DAG (nodes + depends_on + child_map), run_results.json the
+        // per-model outcome (status / wall / rows / table version).
+        writeArtifacts(targetDir, order,
+          scala.jdk.CollectionConverters.MapHasAsScala(results).asScala.toMap,
+          (System.nanoTime() - runStart) / 1e9)
+      }
+    }
+
+    /** Per-model outcome captured during [[run]] for run_results.json. */
+    final case class RunResult(status: String, executionSec: Double,
+        rows: Long, version: Long)
+
+    /** dbt-style `manifest.json` + `run_results.json` under `targetDir`.
+      * Node ids follow dbt's `model.<project>.<name>` convention so
+      * downstream tooling written against dbt artifacts parses these. */
+    private def writeArtifacts(targetDir: String, order: Seq[Model],
+        results: Map[String, RunResult], elapsedSec: Double): Unit = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      def uid(n: String) = s"model.graft.$n"
+      val manifest =
+        ("nodes" -> order.map(m =>
+          uid(m.name) -> (
+            ("name" -> m.name) ~
+            ("resource_type" -> "model") ~
+            ("path" -> s"$targetDir/${m.name}") ~
+            ("depends_on" -> ("nodes" -> m.deps.map(uid))))).toMap) ~
+        ("child_map" -> order.map(m =>
+          uid(m.name) -> order.filter(_.deps.contains(m.name))
+            .map(c => uid(c.name))).toMap)
+      val runResults =
+        ("results" -> order.flatMap(m => results.get(m.name).map(r =>
+          ("unique_id" -> uid(m.name)) ~
+          ("status" -> r.status) ~
+          ("execution_time" -> r.executionSec) ~
+          ("adapter_response" ->
+            ("rows_affected" -> r.rows) ~ ("version" -> r.version))))) ~
+        ("elapsed_time" -> elapsedSec)
+      val dir = Paths.get(targetDir)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("manifest.json"),
+        JsonMethods.pretty(JsonMethods.render(manifest))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(dir.resolve("run_results.json"),
+        JsonMethods.pretty(JsonMethods.render(runResults))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 

@@ -253,6 +253,45 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         expr("round((sum(value))*100)/100").as("sum_value"))
     assert(goldEvents.exceptAll(expect).count() === 0)
     assert(expect.exceptAll(goldEvents).count() === 0)
+    // EP1 lifecycle artifacts: manifest.json round-trips the DAG,
+    // run_results.json the per-model outcomes (dbt node-id convention)
+    locally {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def readJson(f: String): JValue = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(target, f)), "UTF-8"))
+      def asLong(j: JValue): Long = j match {
+        case JInt(x) => x.toLong; case JLong(x) => x
+        case other => fail(s"not a number: $other")
+      }
+      val manifest = readJson("manifest.json")
+      val nodes = (manifest \ "nodes").asInstanceOf[JObject].obj.toMap
+      assert(nodes.keySet === tables.keySet.map(n => s"model.graft.$n"))
+      val dagDeps = Pipeline.dag(sf).map(m => s"model.graft.${m.name}" ->
+        m.deps.map(d => s"model.graft.$d").toSet).toMap
+      nodes.foreach { case (id, node) =>
+        val deps = (node \ "depends_on" \ "nodes") match {
+          case JArray(xs) => xs.collect { case JString(x) => x }.toSet
+          case _ => Set.empty[String]
+        }
+        assert(deps === dagDeps(id), s"manifest deps must round-trip for $id")
+      }
+      val childMap = (manifest \ "child_map").asInstanceOf[JObject].obj.toMap
+      assert((childMap("model.graft.bronze_events") match {
+        case JArray(xs) => xs.collect { case JString(x) => x }.toSet
+        case _ => Set.empty[String]
+      }) === Set("model.graft.silver_events"))
+      val rr = (readJson("run_results.json") \ "results").asInstanceOf[JArray].arr
+      assert(rr.size === 4)
+      rr.foreach(r => assert((r \ "status") === JString("success")))
+      val rowsById = rr.map(r => (r \ "unique_id").asInstanceOf[JString].s ->
+        asLong(r \ "adapter_response" \ "rows_affected")).toMap
+      tables.foreach { case (n, p) =>
+        assert(rowsById(s"model.graft.$n") === DeltaLite.read(spark, p).count(),
+          s"run_results rows_affected must match the materialized table for $n")
+      }
+    }
     // a ref cycle is rejected up front, not deadlocked
     val cyclic = intercept[IllegalArgumentException] {
       Pipeline.run(spark, Seq(
