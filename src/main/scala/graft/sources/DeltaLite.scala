@@ -1447,16 +1447,24 @@ object DeltaLite {
         readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy, toSnap.physical)
       case Some(f) =>
         val fromSnap = snapshot(path, Some(f))
-        val toPaths = toSnap.files.map(_.path).toSet
-        val removed = fromSnap.files.filterNot(x => toPaths.contains(x.path))
+        // file identity is (path, dv): a deletion-vector delete keeps the
+        // path but removes ROWS, which breaks the append-only contract
+        // exactly like a rewrite — with a path-only identity it would
+        // stream through SILENTLY (no error, no events) while the table
+        // lost rows. Under ignoreChanges a DV'd file re-delivers its
+        // surviving rows, Delta's documented re-delivery semantics
+        // (downstream dedups on a key).
+        val toKeys = toSnap.files.map(x => (x.path, x.dv)).toSet
+        val removed = fromSnap.files.filterNot(x => toKeys.contains((x.path, x.dv)))
         if (removed.nonEmpty && !allowRewrites)
           throw new IllegalStateException(
             s"versions ${f + 1}..$to of $path are not append-only " +
-              s"(${removed.size} file(s) removed/rewritten); " +
-              "set ignoreChanges=true to stream through rewrites")
-        val fromPaths = fromSnap.files.map(_.path).toSet
+              s"(${removed.size} file(s) removed, rewritten, or DV-deleted); " +
+              "set ignoreChanges=true to stream through rewrites, or " +
+              "readChangeFeed=true to consume row-level change events")
+        val fromKeys = fromSnap.files.map(x => (x.path, x.dv)).toSet
         readFiles(spark, path, toSnap.schema,
-          toSnap.files.filterNot(x => fromPaths.contains(x.path)),
+          toSnap.files.filterNot(x => fromKeys.contains((x.path, x.dv))),
           toSnap.partitionBy, toSnap.physical)
     }
   }

@@ -226,6 +226,91 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("DV deletes break the append-only stream contract loudly, not silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_dv_guard")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    val q = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("fmt_dv_guard")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM fmt_dv_guard").head().getLong(0) === 3L)
+      // a deletion-vector delete keeps every file path — a path-only diff
+      // would stream through silently while the table lost rows; the
+      // source must refuse exactly like a rewrite
+      graft.sources.DeltaLite.deleteVectorized(spark, table, $"k" === 2L)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(err).exists(_.getMessage != null) &&
+        causes(err).exists(c => Option(c.getMessage).exists(
+          _.contains("DV-deleted"))),
+        s"expected the append-only guard to name DV deletes, got: $err")
+    } finally q.stop()
+  }
+
+  test("ignoreChanges streams through a DV delete by re-delivering survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_dv_ic")
+    val table = dir.resolve("tbl").toString
+    // one data file, so the DV lands on the file holding ALL three rows
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1))
+    val q = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", true).load(table)
+      .writeStream.format("memory").queryName("fmt_dv_ic")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      graft.sources.DeltaLite.deleteVectorized(spark, table, $"k" === 2L)
+      q.processAllAvailable()
+      // the DV'd file re-delivers its SURVIVING rows (at-least-once, like
+      // a rewrite under ignoreChanges); the deleted row never re-appears
+      assert(spark.sql("SELECT count(*) FROM fmt_dv_ic WHERE k = 1")
+        .head().getLong(0) === 2L)
+      assert(spark.sql("SELECT count(*) FROM fmt_dv_ic WHERE k = 2")
+        .head().getLong(0) === 1L, "the deleted row must not re-deliver")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed surfaces a DV delete as row-level delete events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_dv_cdf")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", true).load(table)
+      .writeStream.format("memory").queryName("fmt_dv_cdf")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the soft delete commits ONLY a deletion vector — no file removed,
+      // no file rewritten — yet the change feed must emit exactly the
+      // deleted row as a delete event
+      graft.sources.DeltaLite.deleteVectorized(spark, table, $"k" === 2L)
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT k, s FROM fmt_dv_cdf WHERE _change_type = 'delete' AND _commit_version = 1")
+        .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+      // a second DV on the SAME file (cumulative vectors) emits only the
+      // newly-deleted row
+      graft.sources.DeltaLite.deleteVectorized(spark, table, $"k" === 3L)
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT k FROM fmt_dv_cdf WHERE _change_type = 'delete' AND _commit_version = 2")
+        .as[Long].collect().toSeq === Seq(3L))
+    } finally q.stop()
+  }
+
   test("graft-delta source admission control: maxFilesPerTrigger bounds each micro-batch") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
