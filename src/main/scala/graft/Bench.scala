@@ -55,8 +55,24 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // LPT scheduling: the pool runs ~cpus queries at once and the rest
+    // queue, so submission order sets the makespan. Starting the known
+    // long poles first (measured under concurrency across rounds) keeps
+    // a 10 s query from being dequeued at t=15 s and dragging the tail;
+    // everything else follows in map order. A real multi-tenant cluster
+    // queue does exactly this with runtime estimates.
+    val heavyFirst = Seq(
+      "l4_tfidf", "l2_minhash_lsh", "s9_scd2_snapshot", "s8_merge_upsert",
+      "l2_simhash", "t4_session_window", "l3_ann_ivf", "l3_ann_index",
+      "l3_ann_ivfpq", "l3_ann_pq", "l3_cosine_topk", "l2_dedup_groups",
+      "s24_merge_evolution", "s25_incremental_mv", "s26_mv_minmax",
+      "j8_correlated_subquery", "l2_substring_dedup", "l2_semdedup",
+      "w1_ranking", "j1_join_inner")
+    val orderedQueries =
+      heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+        SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = orderedQueries.map { case (name, fn) =>
       Future {
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -430,11 +430,13 @@ object Medallion {
     // as validity intervals. Ties within a second pre-deduped (max
     // event_id wins) so the interval order is total.
     QueryDef("s9_scd2_snapshot", (s, dir) => {
-      val byUserSec = Window.partitionBy(col("user_id"), col("ts_sec"))
-        .orderBy(col("event_id").desc)
+      // last-writer-wins per (user, second) as max_by — a hash aggregate
+      // with map-side partial combine, so the shuffle carries one row per
+      // group instead of every row plus a window sort (≡ the oracle's
+      // row_number()-desc pick; event_id is unique after silver dedup)
       val deduped = Pipeline.silverEvents(s, dir)
-        .withColumn("rn", row_number().over(byUserSec))
-        .filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("ts_sec"))
+        .agg(max_by(col("event_type"), col("event_id")).as("event_type"))
         .select(col("user_id"), col("event_type"), col("ts_sec"))
       Scd2.build(deduped, keys = Seq("user_id"), ts = "ts_sec",
           attrs = Seq("event_type"))
