@@ -290,6 +290,108 @@ object Incremental {
            FROM p LEFT JOIN c ON p.user_id = c.user_id)
          SELECT event_id, user_id, ts_e, click_id
          FROM cand WHERE rn = 1
-         ORDER BY event_id ASC NULLS LAST"""))
+         ORDER BY event_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T8
+    // Time-series gap fill + forward fill (resampling): per-user daily
+    // purchase totals densified onto a per-user calendar spanning that
+    // user's own [min_day, max_day], missing days carrying the last
+    // observed value forward. The dense grid is generated MAP-SIDE from a
+    // 2-column span aggregate (`sequence` + `explode` — no driver loop, no
+    // cross join against a calendar table), the observed/grid alignment is
+    // a keyed equi-join, and the forward fill is one per-user window pass —
+    // at 100 TB: one shuffle for the span agg, one for the (user, day)
+    // join, one window sort, all on the same user-keyed distribution.
+    // Day values are rounded BEFORE the fill so the filled copy is
+    // bit-identical to its source row (no re-rounding drift).
+    QueryDef("t8_gap_fill", (s, dir) => {
+      val daily = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .agg((round(sum(col("value")) * 100) / 100).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w)
+            .as("filled_value"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy(col("user_id").asc_nulls_last, col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT user_id, CAST(ts_sec AS DATE) AS day,
+                  (round((sum(value))*100)/100) AS day_value
+           FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span)
+         SELECT g.user_id, g.day,
+                last_value(d.day_value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_value,
+                d.day_value IS NULL AS is_gap
+         FROM grid g LEFT JOIN daily d
+           ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY g.user_id ASC NULLS LAST, g.day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- T9
+    // Ordered conversion funnel (signup → first view after it → first
+    // purchase after that), reported per signup-day cohort. Each stage is
+    // a filtered min-aggregate equi-joined back on user_id — every join is
+    // user-keyed hash (never cartesian, never broadcast-dependent), stage
+    // ordering is enforced by the ts predicate INSIDE the join-then-agg,
+    // and the final cohort rollup is a tiny date-keyed agg. At 100 TB the
+    // per-stage frames are each a pushable event_type filter over the
+    // fact, reusing one user-keyed shuffle shape end to end.
+    QueryDef("t9_funnel", (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_sec"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("s_ts"))
+      val v1 = e.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts_sec") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("v_ts"))
+      val p1 = e.filter(col("event_type") === "purchase")
+        .join(v1, Seq("user_id"))
+        .filter(col("ts_sec") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("p_ts"))
+      s1.join(v1, Seq("user_id"), "left")
+        .join(p1, Seq("user_id"), "left")
+        .groupBy(col("s_ts").cast("date").as("cohort_day"))
+        .agg(count(lit(1)).as("n_signup"),
+          count(col("v_ts")).as("n_view"),
+          count(col("p_ts")).as("n_purchase"))
+        .orderBy(col("cohort_day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         s1 AS (SELECT user_id, min(ts_sec) AS s_ts FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         v1 AS (SELECT e.user_id, min(e.ts_sec) AS v_ts
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts_sec >= s1.s_ts
+                GROUP BY 1),
+         p1 AS (SELECT e.user_id, min(e.ts_sec) AS p_ts
+                FROM e JOIN v1 ON e.user_id = v1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_sec >= v1.v_ts
+                GROUP BY 1)
+         SELECT CAST(s1.s_ts AS DATE) AS cohort_day,
+                count(*) AS n_signup,
+                count(v1.v_ts) AS n_view,
+                count(p1.p_ts) AS n_purchase
+         FROM s1 LEFT JOIN v1 ON s1.user_id = v1.user_id
+                 LEFT JOIN p1 ON s1.user_id = p1.user_id
+         GROUP BY 1 ORDER BY cohort_day ASC NULLS LAST"""))
   )
 }

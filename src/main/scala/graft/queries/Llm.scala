@@ -897,8 +897,13 @@ object Llm {
         explode(split(col("text"), " ")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // document frequency FROM tf (one row per (doc, term) already):
+      // count(*) ≡ count(DISTINCT doc_id) over raw terms. Both the df
+      // branch and the probe side hang off the SAME (doc_id, term)
+      // shuffle, which ReuseExchange dedups — the corpus scan+explode
+      // (the dominant cost at 100 TB) runs ONCE, vs the old shape's
+      // second explode + distinct-aggregate.
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
@@ -1214,6 +1219,40 @@ object Llm {
                 array_to_string((string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:5], ' ') AS head5,
                 CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INTEGER) AS norm_len
          FROM documents ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L5 (f)
+    // Deterministic train/val/test split: membership is a pure function of
+    // a salted content-key hash (md5 band on the first two hex chars —
+    // 13/256 ≈ 5.1% test, 5.1% val, the rest train), NOT of rand() — so
+    // the split is reproducible run-to-run, stable under re-partitioning,
+    // needs no seed synchronization across 1000 executors, and any row's
+    // assignment can be re-derived for audit. Map-only assignment at any
+    // scale; the per-(source, split) census is the only shuffle.
+    QueryDef("l5_train_split", (s, dir) => {
+      val h2 = substring(
+        md5(concat(lit("split42:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h2 < "0d", "test").when(h2 < "1a", "val").otherwise("train"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source").asc_nulls_last, col("split").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT *, substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+           FROM documents)
+         SELECT source,
+                CASE WHEN h2 < '0d' THEN 'test'
+                     WHEN h2 < '1a' THEN 'val'
+                     ELSE 'train' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS first_doc
+         FROM d GROUP BY 1, 2
+         ORDER BY source ASC NULLS LAST, split ASC NULLS LAST""")),
 
     // ------------------------------------------------------------------- L6
     // Multimodal join: documents ⋈ embeddings (text + vector modalities of

@@ -69,6 +69,27 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the GROUPS rewrite must not re-shuffle between its two windows:\n$p")
   }
 
+  test("t8_gap_fill: map-side grid generation, keyed join, no explosion") {
+    val p = plan("t8_gap_fill")
+    assert(p.contains("Generate explode"),
+      s"the dense calendar must come from a map-side sequence explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid/observed alignment must be a keyed equi-join:\n$p")
+  }
+
+  test("t9_funnel: every stage join is equi-shaped, never a cross product") {
+    val p = plan("t9_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel stages must join on user_id only:\n$p")
+  }
+
+  test("l5_train_split: hash-band assignment is map-only before one census agg") {
+    val p = plan("l5_train_split")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"split assignment must not shuffle; only the census agg may:\n$p")
+    assert(!p.contains("rand("), "split must be deterministic, not rand()-based")
+  }
+
   test("minhash/simhash candidate generation is equality-join shaped") {
     Seq("l2_minhash_lsh", "l2_simhash").foreach { q =>
       val p = plan(q)
