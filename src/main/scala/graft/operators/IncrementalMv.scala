@@ -43,7 +43,8 @@ object IncrementalMv {
   /** Create or incrementally refresh the view; returns the target's new
     * version (unchanged when the source has nothing new). */
   def refreshSum(spark: SparkSession, sourcePath: String, targetPath: String,
-      keys: Seq[String], valueCol: String): Long = {
+      keys: Seq[String], valueCol: String,
+      properties: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, "view keys required")
     val srcVersion = DeltaLite.snapshot(sourcePath).version
     val sumT = "decimal(28,4)"
@@ -58,7 +59,7 @@ object IncrementalMv {
           .agg(sum(col(valueCol).cast(sumT)).cast(sumT).as("sum_value"),
             count(lit(1)).as("n_rows"))
         DeltaLite.create(spark, targetPath, full,
-          txn = Some((txnApp, srcVersion)))
+          properties = properties, txn = Some((txnApp, srcVersion)))
 
       case Some(_) =>
         val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
@@ -99,7 +100,8 @@ object IncrementalMv {
     * find dirty keys + O(rows of dirty groups) to re-aggregate — never
     * O(source), and exactly-once via the same commit-borne txn. */
   def refreshFull(spark: SparkSession, sourcePath: String, targetPath: String,
-      keys: Seq[String], valueCol: String): Long = {
+      keys: Seq[String], valueCol: String,
+      properties: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, "view keys required")
     val srcVersion = DeltaLite.snapshot(sourcePath).version
     val sumT = "decimal(28,4)"
@@ -115,7 +117,7 @@ object IncrementalMv {
       case None =>
         DeltaLite.create(spark, targetPath,
           aggregate(DeltaLite.read(spark, sourcePath)),
-          txn = Some((txnApp, srcVersion)))
+          properties = properties, txn = Some((txnApp, srcVersion)))
       case Some(_) =>
         val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
           sys.error(s"$targetPath is not a full view over $sourcePath"))

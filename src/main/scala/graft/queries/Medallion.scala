@@ -959,10 +959,13 @@ object Medallion {
         .filter(col("o_orderkey") % 4 === 0) // slim write volume: the mechanism, not the bytes, is under test
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"), col("o_totalprice"))
+      // optimized write: every commit of this tiny lifecycle produces
+      // right-sized files instead of one sliver per shuffle partition
       DeltaLite.create(s, src,
-        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        properties = Map("graft.optimizeWrite" -> "true"))
       graft.operators.IncrementalMv.refreshFull(s, src, mv,
-        Seq("o_orderpriority"), "o_totalprice")
+        Seq("o_orderpriority"), "o_totalprice", properties = Map("graft.optimizeWrite" -> "true"))
       DeltaLite.append(s, src,
         o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
       // removing the top of the price range dirties every group's max
@@ -1008,9 +1011,10 @@ object Medallion {
         o.filter(col("o_orderdate").isNotNull && // stable slice: pre-1997
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
           .select(col("o_orderkey"), col("o_orderpriority"),
-            col("o_orderstatus"), col("o_totalprice")))
+            col("o_orderstatus"), col("o_totalprice")),
+        properties = Map("graft.optimizeWrite" -> "true"))
       graft.operators.IncrementalMv.refreshSum(s, src, mv,
-        Seq("o_orderpriority"), "o_totalprice")
+        Seq("o_orderpriority"), "o_totalprice", properties = Map("graft.optimizeWrite" -> "true"))
       // later loads + corrections land in the SOURCE...
       DeltaLite.append(s, src,
         o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
@@ -1019,7 +1023,7 @@ object Medallion {
         Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
       // ...and ONE incremental refresh catches the view up
       graft.operators.IncrementalMv.refreshSum(s, src, mv,
-        Seq("o_orderpriority"), "o_totalprice")
+        Seq("o_orderpriority"), "o_totalprice", properties = Map("graft.optimizeWrite" -> "true"))
       // DECIMAL exactness lives INSIDE the MV; the query OUTPUT emits the
       // suite-standard round(x*100)/100 double (see s26 note).
       DeltaLite.read(s, mv)
@@ -1052,7 +1056,8 @@ object Medallion {
       val o = t(s, dir, "orders")
       DeltaLite.create(s, path,
         o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-          .select(col("o_orderkey"), col("o_totalprice")))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        properties = Map("graft.optimizeWrite" -> "true"))
       val source = o
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
         .select(col("o_orderkey"),

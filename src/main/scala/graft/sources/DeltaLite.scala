@@ -592,7 +592,41 @@ object DeltaLite {
         if (physical.isEmpty) aligned
         else aligned.select(schema.fields.map(f =>
           col(f.name).as(physical.getOrElse(f.name, f.name))).toSeq: _*)
-      val w = renamed.write.mode("errorifexists")
+      // OPTIMIZED WRITE (Delta `delta.autoOptimize.optimizeWrite`, opt-in
+      // via `graft.optimizeWrite = true`): size the write's task count to
+      // the DATA volume instead of inheriting the plan's parallelism, so
+      // a small commit produces a few right-sized files rather than one
+      // sliver per shuffle partition. The estimate is Catalyst's static
+      // sizeInBytes (no extra job), binned at `graft.optimizeWrite.
+      // binSize` (default 128 MiB of in-memory bytes) and clamped to the
+      // session's shuffle parallelism so a bad estimate can never UNDER-
+      // parallelize a genuinely large write below 1 task per bin nor
+      // exceed normal fan-out. Partitioned tables shuffle on their
+      // partition columns (rows of one dir land together — at most one
+      // file per dir per task) exactly like Delta's optimized shuffle;
+      // unpartitioned writes round-robin. Cost: one extra exchange of the
+      // final data — the trade Delta makes too; upstream parallelism is
+      // untouched (repartition, never coalesce, which would collapse the
+      // whole stage).
+      val sized = {
+        val enabled = properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("graft.optimizeWrite") => v
+        }.exists(v => v.equalsIgnoreCase("true") || v == "1")
+        if (!enabled) renamed
+        else {
+          val bin = properties.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("graft.optimizeWrite.binSize") => v
+          }.flatMap(v => scala.util.Try(v.toLong).toOption)
+            .getOrElse(128L * 1024 * 1024)
+          val est = renamed.queryExecution.optimizedPlan.stats.sizeInBytes
+          val cap = spark.sessionState.conf.numShufflePartitions
+          val n = ((est + bin - 1) / bin).min(cap).max(1).toInt
+          if (partitionBy.nonEmpty)
+            renamed.repartition(n, partitionBy.map(col): _*)
+          else renamed.repartition(n)
+        }
+      }
+      val w = sized.write.mode("errorifexists")
       (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
         .parquet(dir.toString)
     }

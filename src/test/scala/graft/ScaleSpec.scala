@@ -130,6 +130,31 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path, Some(v - 1)).count() === 200)
   }
 
+  test("optimized write sizes file count to data volume; default off") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartition(8)
+    // default: one sliver file per input partition
+    val plain = Files.createTempDirectory("graft_ow_off").toString
+    DeltaLite.create(spark, plain, df)
+    assert(DeltaLite.snapshot(plain).files.length === 8)
+    // optimizeWrite: the tiny batch bin-packs, on create AND append
+    val ow = Files.createTempDirectory("graft_ow_on").toString
+    DeltaLite.create(spark, ow, df,
+      properties = Map("graft.optimizeWrite" -> "true"))
+    assert(DeltaLite.snapshot(ow).files.length === 1)
+    DeltaLite.append(spark, ow, df)
+    assert(DeltaLite.snapshot(ow).files.length === 2)
+    assert(DeltaLite.read(spark, ow).count() === 2000)
+    // partitioned: rows of one dir land together — one file per dir
+    val owp = Files.createTempDirectory("graft_ow_part").toString
+    DeltaLite.create(spark, owp,
+      df.withColumn("p", (col("k") % 2).cast("int")),
+      partitionBy = Seq("p"),
+      properties = Map("graft.optimizeWrite" -> "true"))
+    assert(DeltaLite.snapshot(owp).files.length === 2)
+  }
+
   test("DeltaLite file-level log: append adds files without rewriting; " +
       "MERGE/DELETE rewrite only touched files") {
     import spark.implicits._
