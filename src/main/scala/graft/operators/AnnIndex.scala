@@ -44,8 +44,14 @@ object AnnIndex {
     import spark.implicits._
     val centers = Dedup.ivfTrain(corpus, embCol, cells, seed)
     val cb = Dedup.pqTrain(corpus, embCol, m, kCodes, dim, seed)
+    // optimized write: codes shuffle on `cell` before the write, so each
+    // cell dir holds ONE file per commit instead of a sliver from every
+    // encode task — the serve path then opens exactly one file per
+    // probed cell. The property persists in the table metadata, so
+    // incremental append() commits bin-pack the same way for free.
     DeltaLite.create(spark, codesPath(root),
-      encode(corpus, idCol, embCol, centers, cb), partitionBy = Seq("cell"))
+      encode(corpus, idCol, embCol, centers, cb), partitionBy = Seq("cell"),
+      properties = Map("graft.optimizeWrite" -> "true"))
     DeltaLite.create(spark, centersPath(root),
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("cell", "c_emb"))
