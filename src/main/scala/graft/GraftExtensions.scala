@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, InterleaveBits, MinHashAgg, SimHashAgg}
+import graft.functions.{CollateKey, FloatVectorDot, InterleaveBits, MinHashAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -23,6 +23,24 @@ object GraftExtensions {
       MinHashAgg(shingle, n.eval().asInstanceOf[Number].intValue())
     case exprs => throw new IllegalArgumentException(
       s"minhash_agg expects 1 or 2 arguments, got ${exprs.length}")
+  }
+
+  /** `collate_key(s[, locale[, strength]])` — locale and strength must be
+    * string literals: they pin one collator identity per expression. */
+  val collateKeyBuilder: Seq[Expression] => Expression = { exprs =>
+    def lit(e: Expression, what: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"collate_key: $what must be a string literal")
+    }
+    val tag = if (exprs.length > 1) lit(exprs(1), "locale") else "en"
+    val str = if (exprs.length > 2) lit(exprs(2), "strength") else "tertiary"
+    CollateKey(exprs.head, tag, CollateKey.strengths.getOrElse(
+      str.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"collate_key: unknown strength '$str' " +
+          s"(${CollateKey.strengths.keys.mkString("/")})")))
   }
 }
 
@@ -48,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
       (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("collate_key"),
+      new ExpressionInfo(classOf[CollateKey].getName, "collate_key"),
+      GraftExtensions.collateKeyBuilder))
   }
 }

@@ -106,6 +106,11 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1)),
         "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("collate_key"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "collate_key", graft.GraftExtensions.collateKeyBuilder, "scala_udf")
+    }
     // Spark's own runtime-filter bloom aggregate (the engine behind
     // InjectRuntimeFilter), surfaced for DeltaLite's per-file bloom
     // indexes: bloom_agg(xxhash64(col), estItems, numBits) -> binary

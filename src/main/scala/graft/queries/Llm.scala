@@ -562,6 +562,88 @@ object Llm {
          FROM documents GROUP BY 1, 2
          ORDER BY lang ASC NULLS LAST, predicted ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (n)
+    // C4-style line+document filtering (Raffel et al. 2020, the cleaning
+    // recipe behind C4): line rule — keep only lines that end in terminal
+    // punctuation AND carry ≥5 words; document rule — drop any document
+    // containing code braces or the 'lorem ipsum' boilerplate marker, and
+    // require ≥2 surviving lines. The fixtures carry no dirt, so the
+    // query plants a deterministic multi-line header per doc (same
+    // expression both engines — the l5_pii_redact pattern) and then
+    // cleans it. Shape at 100 TB: explode lines (map-side) → line
+    // predicate (map) → ONE doc-keyed re-aggregate → tiny source census;
+    // no joins, no driver state.
+    QueryDef("l4_c4_filters", (s, dir) => {
+      val nl = "\n"
+      val dirty = concat(
+        when(col("doc_id") % 7 === 0, lit("function() { var x = 1; }" + nl))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("Lorem ipsum dolor sit amet." + nl))
+          .otherwise(lit("")),
+        lit("First sentence of document "), col("doc_id").cast("string"),
+        lit(" is long enough to keep."), lit(nl),
+        lit("too short" + nl),
+        lit("no terminal punctuation on this line at all" + nl),
+        concat(substring(col("text"), 1, 80), lit(".")))
+      val lines = t(s, dir, "documents")
+        .withColumn("line", explode(split(dirty, nl)))
+      val keep = (col("line").endsWith(".") || col("line").endsWith("!") ||
+        col("line").endsWith("?")) && size(split(col("line"), " ")) >= 5
+      val perDoc = lines.groupBy(col("doc_id"), col("source"))
+        .agg(max(col("line").contains("{") ||
+            lower(col("line")).contains("lorem ipsum")).as("bad"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept_lines"),
+          sum(when(keep, length(col("line"))).otherwise(0L)).as("kept_chars"))
+        .withColumn("kept", !col("bad") && col("n_kept_lines") >= 2)
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
+          sum(when(col("kept"), col("n_kept_lines")).otherwise(0L))
+            .as("n_kept_lines"),
+          sum(when(col("kept"), col("kept_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("source").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id, source,
+                  concat(
+                    CASE WHEN doc_id % 7 = 0
+                         THEN 'function() { var x = 1; }' || chr(10) ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN 'Lorem ipsum dolor sit amet.' || chr(10) ELSE '' END,
+                    'First sentence of document ', CAST(doc_id AS VARCHAR),
+                    ' is long enough to keep.', chr(10),
+                    'too short', chr(10),
+                    'no terminal punctuation on this line at all', chr(10),
+                    substring(text, 1, 80), '.') AS dirty
+           FROM documents),
+         lines AS (
+           SELECT doc_id, source, unnest(string_split(dirty, chr(10))) AS line
+           FROM d),
+         per_doc AS (
+           SELECT doc_id, source,
+                  max(CASE WHEN line LIKE '%{%'
+                           OR lower(line) LIKE '%lorem ipsum%'
+                           THEN TRUE ELSE FALSE END) AS bad,
+                  sum(CASE WHEN (line LIKE '%.' OR line LIKE '%!'
+                                 OR line LIKE '%?')
+                            AND len(string_split(line, ' ')) >= 5
+                           THEN 1 ELSE 0 END) AS n_kept_lines,
+                  sum(CASE WHEN (line LIKE '%.' OR line LIKE '%!'
+                                 OR line LIKE '%?')
+                            AND len(string_split(line, ' ')) >= 5
+                           THEN length(line) ELSE 0 END) AS kept_chars
+           FROM lines GROUP BY 1, 2),
+         flagged AS (
+           SELECT *, (NOT bad) AND n_kept_lines >= 2 AS kept FROM per_doc)
+         SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+                CAST(sum(CASE WHEN kept THEN n_kept_lines ELSE 0 END) AS BIGINT) AS n_kept_lines,
+                CAST(sum(CASE WHEN kept THEN kept_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM flagged GROUP BY source
+         ORDER BY source ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L4 (c)
     // Per-document quality scoring: token count, distinct-token ratio,
     // mean word length, stopword ratio → quality bucket.

@@ -1181,6 +1181,41 @@ object Relational {
          SELECT l_returnflag, 'O' AS l_linestatus, O AS qty FROM wide
          ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- O7
+    // Collation-aware ordering (DuckDB ICU `COLLATE`): names with planted
+    // case noise ranked under the 'en' locale at PRIMARY strength via
+    // `collate_key` — a per-row binary sort key (graft.functions.
+    // CollateKey, codegen'd JDK Collator), so the locale order rides the
+    // ordinary byte-order sort machinery (O(n) collator work, not
+    // O(n log n) comparator calls; composes with range partitioning and
+    // min-max skipping). Binary order would sort the upper-cased half
+    // first — the ranks prove the collator is actually applied. The
+    // oracle states primary-strength semantics independently (case folds
+    // away) and breaks the remaining ties the same way the key does.
+    QueryDef("o7_collation", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val noisy = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")).as("name"))
+      noisy
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          call_function("collate_key", col("name"), lit("en"), lit("primary"))
+            .asc, col("c_custkey").asc)))
+        .select(col("rnk"), col("c_custkey"), col("name"))
+        .orderBy(col("rnk").asc_nulls_last)
+    }, Some(
+      """WITH noisy AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                       ELSE c_name END AS name
+           FROM customer WHERE c_custkey <= 200)
+         SELECT CAST(row_number() OVER (
+                  ORDER BY lower(name) ASC, c_custkey ASC) AS INTEGER) AS rnk,
+                c_custkey, name
+         FROM noisy ORDER BY rnk ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A12
     // Exact percentiles: continuous (linear interpolation between closest
     // ranks — Spark `percentile` ≡ DuckDB `quantile_cont`) and discrete

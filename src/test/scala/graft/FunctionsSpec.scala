@@ -33,6 +33,26 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     assert(r.getDouble(0) > 0.0)
   }
 
+  test("collate_key: locale order beats binary order; strengths nest") {
+    import spark.implicits._
+    val words = Seq("zebra", "éclair", "apple", "BANANA", "banana")
+      .toDF("w")
+    def order(strength: String): Seq[String] = words
+      .orderBy(expr(s"collate_key(w, 'en', '$strength')").asc, $"w".asc)
+      .as[String].collect().toSeq
+    // binary order exiles 'éclair' past 'zebra' and fronts 'BANANA';
+    // en-primary interleaves case and puts é between e-words and f-words
+    assert(order("primary") ===
+      Seq("apple", "BANANA", "banana", "éclair", "zebra"))
+    // tertiary adds case significance: lower sorts before upper in en
+    assert(order("tertiary") ===
+      Seq("apple", "banana", "BANANA", "éclair", "zebra"))
+    // non-literal locale is rejected loudly, not silently defaulted
+    intercept[Exception] {
+      words.select(expr("collate_key(w, w)")).collect()
+    }
+  }
+
   test("A3: approx_count_distinct within 5% of exact") {
     val e = Tables.t(spark, sf, "events")
     val row = e.agg(
