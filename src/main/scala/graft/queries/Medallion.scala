@@ -1313,6 +1313,71 @@ object Medallion {
                 (round((n / trail_avg)*10000)/10000) AS ratio,
                 (n < trail_avg * 0.5 OR n > trail_avg * 2.0) AS anomaly
          FROM t WHERE trail_n = 7
-         ORDER BY day ASC NULLS LAST"""))
+         ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D5
+    // Relation diff (dbt audit_helper compare_relations / Datafold
+    // data-diff): classify every key of two relation versions as
+    // added / removed / changed / identical, with per-class row counts
+    // and a changed-column census. ONE full outer key join — at 100 TB
+    // co-partitioned on the key (or broadcast if one side is a slim
+    // changeset), never a row-by-row driver compare. The two versions
+    // are planted deterministically from orders: %3-slice as baseline,
+    // %5-slice with a price bump on 'F' rows as the candidate.
+    QueryDef("d5_data_diff", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val a = o.filter(col("o_orderkey") % 3 =!= 0)
+      val b = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      val joined = a.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("a_status"), col("o_totalprice").as("a_price"))
+        .join(b.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_price")),
+          Seq("k"), "full_outer")
+      joined.select(
+          when(col("a_status").isNull, "added")
+            .when(col("b_status").isNull, "removed")
+            .when(col("a_status") === col("b_status") &&
+              col("a_price") === col("b_price"), "identical")
+            .otherwise("changed").as("class"),
+          when(col("a_price") =!= col("b_price"), 1L).otherwise(0L)
+            .as("price_changed"),
+          when(col("a_status") =!= col("b_status"), 1L).otherwise(0L)
+            .as("status_changed"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_changed")).as("n_price_changed"),
+          sum(col("status_changed")).as("n_status_changed"))
+        .orderBy(col("class").asc_nulls_last)
+    }, Some(
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         a AS (SELECT o_orderkey AS k, o_orderstatus AS a_status,
+                      o_totalprice AS a_price
+               FROM o WHERE o_orderkey % 3 <> 0),
+         b AS (SELECT o_orderkey AS k, o_orderstatus AS b_status,
+                      CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                           ELSE o_totalprice END AS b_price
+               FROM o WHERE o_orderkey % 5 <> 0),
+         j AS (SELECT coalesce(a.k, b.k) AS k, a_status, a_price,
+                      b_status, b_price
+               FROM a FULL OUTER JOIN b ON a.k = b.k),
+         c AS (SELECT
+                 CASE WHEN a_status IS NULL THEN 'added'
+                      WHEN b_status IS NULL THEN 'removed'
+                      WHEN a_status = b_status AND a_price = b_price
+                        THEN 'identical'
+                      ELSE 'changed' END AS class,
+                 CASE WHEN a_price <> b_price THEN 1 ELSE 0 END
+                   AS price_changed,
+                 CASE WHEN a_status <> b_status THEN 1 ELSE 0 END
+                   AS status_changed
+               FROM j)
+         SELECT class, count(*) AS n,
+                CAST(sum(price_changed) AS BIGINT) AS n_price_changed,
+                CAST(sum(status_changed) AS BIGINT) AS n_status_changed
+         FROM c GROUP BY class ORDER BY class ASC NULLS LAST"""))
   )
 }
