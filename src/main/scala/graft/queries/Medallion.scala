@@ -316,7 +316,8 @@ object Medallion {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_sec"))
       val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-      DeltaLite.create(s, path, e.filter(col("ts_sec") < cut))
+      DeltaLite.create(s, path, e.filter(col("ts_sec") < cut),
+        properties = Map("graft.optimizeWrite" -> "true"))
       DeltaLite.append(s, path, e.filter(col("ts_sec") >= cut))
       DeltaLite.read(s, path)
         .groupBy(col("ts_sec").cast("date").as("day"))
@@ -516,7 +517,8 @@ object Medallion {
       val o = t(s, dir, "orders")
       val target = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      DeltaLite.create(s, path, target)
+      DeltaLite.create(s, path, target,
+        properties = Map("graft.optimizeWrite" -> "true"))
       val base = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") + 1000).as("o_totalprice"))
@@ -590,7 +592,8 @@ object Medallion {
       val path = tmp("s15_delta")
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      DeltaLite.create(s, path, o.filter(col("o_orderstatus").isin("F", "O")))
+      DeltaLite.create(s, path, o.filter(col("o_orderstatus").isin("F", "O")),
+        properties = Map("graft.optimizeWrite" -> "true"))
       DeltaLite.delete(s, path,
         col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
       DeltaLite.append(s, path, o.filter(col("o_orderstatus") === "P"))
@@ -659,7 +662,8 @@ object Medallion {
       val o = t(s, dir, "orders")
       val target = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      DeltaLite.create(s, path, target)
+      DeltaLite.create(s, path, target,
+        properties = Map("graft.optimizeWrite" -> "true"))
       val source = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       DeltaLite.mergeClauses(s, path, source, Seq("o_orderkey"), Seq(
