@@ -1266,6 +1266,57 @@ object Relational {
                      WHEN o_orderstatus = 'F' THEN '4' ELSE '8' END)
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- P8
+    // Deterministic k-per-group sample (the distributed stand-in for
+    // per-group reservoir sampling): rank rows inside each group by a
+    // salted content hash — a uniform-but-reproducible order — and keep
+    // the first k. Unlike rand()-reservoirs this needs no state, no seed
+    // sync, and re-runs identically; the plan is one group-keyed window
+    // with WindowGroupLimit pushing the k-cut below the shuffle (top-k
+    // per group, never a full per-group sort at 100 TB).
+    QueryDef("p8_reservoir_sample", (s, dir) => {
+      val h = md5(concat(lit("rs7:"), col("o_orderkey").cast("string")))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(h.asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy(col("o_orderstatus").asc_nulls_last, col("rn").asc_nulls_last)
+    }, Some(
+      """WITH ranked AS (
+           SELECT o_orderstatus, o_orderkey,
+                  CAST(row_number() OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY md5('rs7:' || CAST(o_orderkey AS VARCHAR)) ASC,
+                             o_orderkey ASC) AS INTEGER) AS rn
+           FROM orders)
+         SELECT o_orderstatus, o_orderkey, rn FROM ranked WHERE rn <= 5
+         ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ A16
+    // Equi-width histogram without an engine histogram primitive: the
+    // bucket index is pure arithmetic (least(floor(x/width), n-1) — the
+    // width_bucket identity, stated portably in both engines), so the
+    // whole histogram is ONE partial+final hash aggregate keyed by
+    // bucket — map-side combined, shuffle bounded by bucket count, no
+    // sort anywhere. The per-bucket min/max double as bin-edge evidence.
+    QueryDef("a16_histogram", (s, dir) => {
+      val bucket = least(floor(col("o_totalprice") / 50000.0), lit(11.0))
+        .cast("int")
+      t(s, dir, "orders")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (round(min(col("o_totalprice"))*100)/100).as("lo"),
+          (round(max(col("o_totalprice"))*100)/100).as("hi"))
+        .orderBy(col("bucket").asc_nulls_last)
+    }, Some(
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INTEGER) AS bucket,
+                count(*) AS n,
+                (round((min(o_totalprice))*100)/100) AS lo,
+                (round((max(o_totalprice))*100)/100) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- X1
     // Composite workload (TPC-H Q3 shape): selective dimension filter →
     // two-level star join → keyed agg → top-10. The plan to expect at any

@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("rand("), "split must be deterministic, not rand()-based")
   }
 
+  test("p8_reservoir_sample: the k-cut is pushed below the shuffle") {
+    val p = plan("p8_reservoir_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"k-per-group must be a WindowGroupLimit, not a full sort:\n$p")
+  }
+
+  test("a16_histogram: one partial+final aggregate, no sort before agg") {
+    val p = plan("a16_histogram")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"histogram must be one bucket-keyed aggregate:\n$p")
+  }
+
   test("minhash/simhash candidate generation is equality-join shaped") {
     Seq("l2_minhash_lsh", "l2_simhash").foreach { q =>
       val p = plan(q)
