@@ -1579,7 +1579,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
 
     verState(DeltaLite.latestVersion(path).get) = model
     (1 to 32).foreach { _ =>
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
           model = model ++ b
@@ -1681,6 +1681,12 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
           DeltaLite.cloneDeep(spark, path, dst)
           assert(asMap(DeltaLite.read(spark, dst)) === model)
           assert(DeltaLite.latestVersion(path).get === vBefore)
+        case 12 => // toggle optimized write: a PHYSICAL layout knob only —
+          // every later write/rewrite bin-packs (or stops) with identical
+          // logical content, so the model needs no change at all
+          val on = rnd.nextBoolean().toString
+          propsModel += ("graft.optimizeWrite" -> on)
+          DeltaLite.setProperties(path, Map("graft.optimizeWrite" -> on))
       }
       history += model
       verState(DeltaLite.latestVersion(path).get) = model
@@ -1693,7 +1699,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     // so compare against what each recorded version carried — here the
     // final snapshot simply must be internally consistent with its log)
     assert(DeltaLite.snapshot(path).properties.keySet.subsetOf(
-      (0 to 3).map(i => s"tag$i").toSet))
+      (0 to 3).map(i => s"tag$i").toSet + "graft.optimizeWrite"))
     // time travel: every committed version must equal SOME prefix state
     // (maintenance ops commit without changing data, so walk both seqs)
     val latest = DeltaLite.latestVersion(path).get
