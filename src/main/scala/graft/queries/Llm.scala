@@ -644,6 +644,71 @@ object Llm {
          FROM flagged GROUP BY source
          ORDER BY source ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (o)
+    // Hashed-feature linear classifier INFERENCE (the fastText /
+    // production quality-classifier pattern): tokens hash into 256
+    // buckets (two md5 nibbles — engine-portable), each bucket carries a
+    // deterministic integer weight (Knuth multiplicative hash — the
+    // "trained model", a pure function so the oracle can restate it),
+    // a document's margin is the exact BIGINT sum of its token weights,
+    // and the score is one sigmoid of that exact rational — the ONLY
+    // transcendental per doc, rounded to 6dp for engine portability.
+    // At 100 TB: model scoring is explode → map (hash+weight lookup) →
+    // one doc-keyed sum — no UDF, no model file, no driver state; a real
+    // weight table would broadcast-join on bucket instead of inlining
+    // the weight formula, same shape.
+    QueryDef("l4_linear_classifier", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(concat(lit("feat:"), col("tok"))))
+        .withColumn("bucket",
+          (expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) * 16 +
+            (expr("instr('0123456789abcdef', substring(h, 2, 1))") - 1))
+        .withColumn("w",
+          (col("bucket").cast("bigint") * lit(2654435761L)) % 1000L - 500L)
+      val scored = toks.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("w")).as("margin_milli"))
+        .withColumn("score",
+          round((lit(1.0) / (lit(1.0) +
+            exp(-col("margin_milli").cast("double") / 1000.0))) * 1000000)
+            / 1000000)
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0.5, 1L).otherwise(0L)).as("n_positive"),
+          (round(avg(col("score"))*10000)/10000).as("avg_score"),
+          sum(col("margin_milli")).as("sum_margin"))
+        .orderBy(col("source").asc_nulls_last)
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         hashed AS (
+           SELECT doc_id, source, md5('feat:' || tok) AS h FROM toks),
+         feat AS (
+           SELECT doc_id, source,
+                  (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket
+           FROM hashed),
+         w AS (
+           SELECT doc_id, source,
+                  (CAST(bucket AS BIGINT) * 2654435761) % 1000 - 500 AS w
+           FROM feat),
+         scored AS (
+           SELECT doc_id, source,
+                  CAST(sum(w) AS BIGINT) AS margin_milli,
+                  (round((1.0 / (1.0 +
+                    exp(-CAST(sum(w) AS DOUBLE) / 1000.0)))*1000000)/1000000)
+                    AS score
+           FROM w GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_positive,
+                (round((avg(score))*10000)/10000) AS avg_score,
+                CAST(sum(margin_milli) AS BIGINT) AS sum_margin
+         FROM scored GROUP BY source ORDER BY source ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L4 (c)
     // Per-document quality scoring: token count, distinct-token ratio,
     // mean word length, stopword ratio → quality bucket.
