@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Scalars.defs,
     graft.queries.Incremental.defs,
     graft.queries.Llm.defs,
-    graft.queries.Medallion.defs
+    graft.queries.Medallion.defs,
+    graft.queries.Graph.defs
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatten

@@ -392,6 +392,59 @@ object Incremental {
                 count(p1.p_ts) AS n_purchase
          FROM s1 LEFT JOIN v1 ON s1.user_id = v1.user_id
                  LEFT JOIN p1 ON s1.user_id = p1.user_id
-         GROUP BY 1 ORDER BY cohort_day ASC NULLS LAST"""))
+         GROUP BY 1 ORDER BY cohort_day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T10
+    // Cohort retention triangle (the product-analytics WAU retention
+    // matrix): users cohort by their FIRST active ISO week, and each
+    // (cohort, week-offset) cell counts how many of them were active
+    // offset weeks later, with a percent against the cohort's own week-0
+    // size. Shape at 100 TB: the (user, week) de-dup and the first-week
+    // min are both user-keyed aggregates sharing one shuffle; the
+    // triangle itself aggregates a frame bounded by users × active
+    // weeks, and the pct window runs over the tiny (cohorts × offsets)
+    // result. Week offsets divide exactly (both engines truncate to
+    // Monday), so every cell is integer-exact; pct's half-way cases are
+    // exactly representable ratios that both engines round away from
+    // zero identically.
+    QueryDef("t10_retention", (s, dir) => {
+      val wk = ev(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts_sec").cast("date")).cast("date").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val cells = wk.join(cohort, Seq("user_id"))
+        .withColumn("offset_weeks", expr("datediff(wk, cohort_wk) div 7"))
+        .groupBy(col("cohort_wk"), col("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val w0 = Window.partitionBy(col("cohort_wk"))
+      cells
+        .withColumn("cohort_n",
+          max(when(col("offset_weeks") === 0, col("n_users"))).over(w0))
+        .select(col("cohort_wk"), col("offset_weeks"), col("n_users"),
+          (round((col("n_users").cast("double") / col("cohort_n").cast("double"))
+            * 10000) / 10000).as("pct"))
+        .orderBy(col("cohort_wk").asc_nulls_last,
+          col("offset_weeks").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         wk AS (
+           SELECT DISTINCT user_id,
+                  date_trunc('week', CAST(ts_sec AS DATE)) AS wk
+           FROM e),
+         cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1),
+         cells AS (
+           SELECT c.cohort_wk, date_diff('day', c.cohort_wk, w.wk) // 7
+                    AS offset_weeks,
+                  count(DISTINCT w.user_id) AS n_users
+           FROM wk w JOIN cohort c ON w.user_id = c.user_id
+           GROUP BY 1, 2)
+         SELECT cohort_wk, offset_weeks, n_users,
+                (round((CAST(n_users AS DOUBLE) /
+                  CAST(max(CASE WHEN offset_weeks = 0 THEN n_users END)
+                    OVER (PARTITION BY cohort_wk) AS DOUBLE))*10000)/10000)
+                  AS pct
+         FROM cells
+         ORDER BY cohort_wk ASC NULLS LAST, offset_weeks ASC NULLS LAST"""))
   )
 }

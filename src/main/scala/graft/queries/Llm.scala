@@ -709,6 +709,41 @@ object Llm {
                 CAST(sum(margin_milli) AS BIGINT) AS sum_margin
          FROM scored GROUP BY source ORDER BY source ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (p)
+    // BPE tokenizer training, merge-step statistics (Sennrich et al.
+    // 2016): the first merge of byte-pair encoding is the most frequent
+    // adjacent character pair, counted over words WEIGHTED by word
+    // frequency. The scale shape is the point — real BPE trainers never
+    // rescan the corpus per merge: one corpus pass builds the word-count
+    // table (map-side-combined explode → groupBy word), and the pair
+    // explode then runs over the VOCABULARY (distinct words × their
+    // lengths), which is sublinear in corpus size at 100 TB. Counts are
+    // exact integers, top-20 pinned by (freq DESC, pair ASC).
+    QueryDef("l4_bpe_pairs", (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
+    }, Some(
+      """WITH words AS (
+           SELECT tok AS w, count(*) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE len(tok) >= 2 GROUP BY 1),
+         pos AS (
+           SELECT w, wc, unnest(range(1, len(w))) AS i FROM words),
+         pairs AS (
+           SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc FROM pos)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+         FROM pairs GROUP BY pair
+         ORDER BY freq DESC, pair ASC LIMIT 20""")),
+
     // ------------------------------------------------------------- L4 (c)
     // Per-document quality scoring: token count, distinct-token ratio,
     // mean word length, stopword ratio → quality bucket.
@@ -1234,6 +1269,54 @@ object Llm {
          SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
          FROM c WHERE cum - toks < 4000
          GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L5 (g)
+    // Temperature-based multilingual sampling (the XLM-R / mT5 mix
+    // recipe, alpha = 0.3): each language's sampling probability is its
+    // token share raised to alpha and renormalized — upsampling the tail
+    // languages, flattening the head — and `epochs` is how many times a
+    // language's data is traversed under a fixed token budget. All the
+    // heavy work is ONE map-side-combined per-language aggregate; the
+    // temperature arithmetic runs over the tiny language frame (window
+    // sums over ≤ tens of rows). The only transcendental (pow) is
+    // pre-rounded to 6dp so the renormalization is engine-portable.
+    QueryDef("l5_temperature_mix", (s, dir) => {
+      val all = Window.partitionBy(lit(1))
+      t(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(all))
+        .withColumn("pwv",
+          round(pow(col("n_tokens").cast("double") / col("tot").cast("double"),
+            0.3) * 1000000) / 1000000)
+        .withColumn("psum", sum(col("pwv")).over(all))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          (round((col("n_tokens").cast("double") / col("tot").cast("double"))
+            * 1000000) / 1000000).as("share"),
+          (round((col("pwv") / col("psum")) * 1000000) / 1000000).as("p_temp"),
+          (round(((round((col("pwv") / col("psum")) * 1000000) / 1000000)
+            * 1000000 / col("n_tokens").cast("double")) * 10000) / 10000)
+            .as("epochs"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH st AS (
+           SELECT lang, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tt AS (SELECT *, sum(n_tokens) OVER () AS tot FROM st),
+         pw AS (SELECT *,
+                  (round((pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),
+                    0.3))*1000000)/1000000) AS pwv
+                FROM tt),
+         ps AS (SELECT *, sum(pwv) OVER () AS psum FROM pw)
+         SELECT lang, n_docs, n_tokens,
+                (round((CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))*1000000)/1000000)
+                  AS share,
+                (round((pwv / psum)*1000000)/1000000) AS p_temp,
+                (round(((round((pwv / psum)*1000000)/1000000)
+                  * 1000000 / CAST(n_tokens AS DOUBLE))*10000)/10000) AS epochs
+         FROM ps ORDER BY lang ASC NULLS LAST""")),
 
     // ------------------------------------------------------------- L5 (e)
     // Sequence packing (the GPT-pretraining concatenate-and-split step):
