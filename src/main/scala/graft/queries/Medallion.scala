@@ -328,6 +328,40 @@ object Medallion {
                 count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S31
+    // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
+    // opts in via `graft.autoCompact`, three priority slices land as
+    // separate append commits, and crossing the small-file threshold
+    // makes the LAST append self-compact in a follow-up OPTIMIZE_SMALL
+    // commit — no maintenance job to schedule. The oracle proves the
+    // layout op never touches logical content; the file-count collapse,
+    // history entry, and time-travel behavior are ScaleSpec-asserted.
+    // At 100 TB the check is log-metadata-only per write, and compaction
+    // cost stays O(small files), never O(table).
+    QueryDef("s31_auto_compact", (s, dir) => {
+      val path = tmp("s31_ac")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      DeltaLite.create(s, path,
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        properties = Map("graft.autoCompact" -> "true",
+          "graft.autoCompact.minRows" -> "100000000",
+          "graft.autoCompact.minNumFiles" -> "3"))
+      DeltaLite.append(s, path, o.filter(col("o_orderpriority") === "2-HIGH"))
+      DeltaLite.append(s, path, o.filter(col("o_orderpriority") === "3-MEDIUM"))
+      DeltaLite.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- S8
     // MERGE upsert (Delta MERGE INTO / dbt incremental `merge`): target =
     // orders before 1997-07; updates = repriced orders from 1997 on

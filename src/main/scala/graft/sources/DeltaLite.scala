@@ -1764,18 +1764,21 @@ object DeltaLite {
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
       snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    if (snap.identity.isEmpty)
-      commitAddsWithRetry(path, "APPEND", snap.schema, adds)
-    else
-      // Identity allocation reads the snapshot's high-water mark, so a
-      // lost commit race CANNOT blind-retry (the winner may have taken
-      // the same id range — the values are baked into this batch's data
-      // files). Surface the conflict like the other read-dependent ops;
-      // Delta similarly downgrades concurrent identity appends.
-      commitExclusive(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
-        snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
-        snap.properties)
+    val v =
+      if (snap.identity.isEmpty)
+        commitAddsWithRetry(path, "APPEND", snap.schema, adds)
+      else
+        // Identity allocation reads the snapshot's high-water mark, so a
+        // lost commit race CANNOT blind-retry (the winner may have taken
+        // the same id range — the values are baked into this batch's data
+        // files). Surface the conflict like the other read-dependent ops;
+        // Delta similarly downgrades concurrent identity appends.
+        commitExclusive(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
+          snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+          advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
+          snap.properties)
+    maybeAutoCompact(spark, path)
+    v
   }
 
   /** Row-INSERTING DML (merge/delete+insert/replaceWhere) would need
@@ -1825,23 +1828,26 @@ object DeltaLite {
       generatedChecks(df.columns.toSet, snap.generated), "APPEND")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, snap.schema,
       snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    if (snap.identity.isEmpty)
-      commitAddsWithRetry(path, "APPEND", snap.schema, adds,
-        txn = Some((app, txnVersion)))
-    else
-      // exclusive for the same reason as [[append]]; the txn action still
-      // rides the commit so replays stay no-ops
-      try writeCommit(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
-        Some((app, txnVersion)), snap.constraints, snap.partitionBy,
-        snap.physical, snap.generated,
-        advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
-        snap.properties)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"concurrent commit beat identity APPEND at version " +
-              s"${snap.version + 1} on $path; re-run against the new snapshot")
-      }
+    val v =
+      if (snap.identity.isEmpty)
+        commitAddsWithRetry(path, "APPEND", snap.schema, adds,
+          txn = Some((app, txnVersion)))
+      else
+        // exclusive for the same reason as [[append]]; the txn action still
+        // rides the commit so replays stay no-ops
+        try writeCommit(path, snap.version + 1, "APPEND", snap.schema, adds, Nil,
+          Some((app, txnVersion)), snap.constraints, snap.partitionBy,
+          snap.physical, snap.generated,
+          advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
+          snap.properties)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit beat identity APPEND at version " +
+                s"${snap.version + 1} on $path; re-run against the new snapshot")
+        }
+    maybeAutoCompact(spark, path)
+    v
   }
 
   /** Delta/Databricks `COPY INTO`-style idempotent bulk loading: the
@@ -1897,6 +1903,7 @@ object DeltaLite {
           snap.generated,
           advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
           snap.properties, txns = loadedTxns)
+    maybeAutoCompact(spark, path)
     (v, fresh.size.toLong)
   }
 
@@ -2654,6 +2661,37 @@ object DeltaLite {
     * O(small files), not O(table) — at 100 TB, nightly OPTIMIZE touches
     * the day's small appends and nothing else. Returns the current
     * version unchanged when there is nothing to pack. */
+  /** Delta `delta.autoOptimize.autoCompact` analogue (opt-in via
+    * `graft.autoCompact = true`): after a file-ADDING commit (append /
+    * appendOnce / COPY INTO — the ops that accumulate slivers), if the
+    * table now holds at least `graft.autoCompact.minNumFiles` (default
+    * 8) files under `graft.autoCompact.minRows` (default 1024) rows,
+    * run [[compactSmall]] inline as a FOLLOW-UP commit. The triggering
+    * write's version is returned unchanged; the compaction is its own
+    * OPTIMIZE_SMALL log entry, exactly as if a manual OPTIMIZE had run
+    * — logical content never changes, time travel sees both states.
+    * Best-effort like Delta's auto compaction: a lost commit race never
+    * fails the write that triggered it (the small files simply remain
+    * for the next write to pick up). The threshold check is log-only
+    * (file row counts ride the add actions), so a non-triggering write
+    * pays zero extra I/O. */
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit = {
+    val snap = snapshot(path)
+    def prop(key: String): Option[String] = snap.properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+    val enabled = prop("graft.autoCompact")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1")
+    if (!enabled) return
+    val minRows = prop("graft.autoCompact.minRows")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(1024L)
+    val minFiles = prop("graft.autoCompact.minNumFiles")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
+    if (snap.files.count(_.rows < minRows) >= minFiles)
+      try compactSmall(spark, path, minRows)
+      catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
   def compactSmall(spark: SparkSession, path: String, minRows: Long): Long = {
     val snap = snapshot(path)
     val small = snap.files.filter(_.rows < minRows)

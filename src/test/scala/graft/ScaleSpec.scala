@@ -1171,6 +1171,40 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.compactSmall(spark, path, minRows = 100L) === v)
   }
 
+  test("DeltaLite auto compact: small appends self-compact past the threshold; default off") {
+    import spark.implicits._
+    def batch(b: Int) =
+      (0L until 10L).map(i => (b * 10L + i, b * 1.0)).toDF("k", "v").coalesce(1)
+    // default OFF: small appends accumulate slivers indefinitely
+    val off = Files.createTempDirectory("graft_ac_off").toString
+    DeltaLite.create(spark, off, batch(0))
+    (1 to 4).foreach(b => DeltaLite.append(spark, off, batch(b)))
+    assert(DeltaLite.snapshot(off).files.length === 5)
+    // opt-in: the 4th sliver crosses minNumFiles=4 and the append's own
+    // commit is followed by an OPTIMIZE_SMALL that packs them
+    val on = Files.createTempDirectory("graft_ac_on").toString
+    DeltaLite.create(spark, on, batch(0),
+      properties = Map("graft.autoCompact" -> "true",
+        "graft.autoCompact.minRows" -> "100",
+        "graft.autoCompact.minNumFiles" -> "4"))
+    (1 to 2).foreach(b => DeltaLite.append(spark, on, batch(b)))
+    assert(DeltaLite.snapshot(on).files.length === 3,
+      "below the threshold nothing compacts")
+    DeltaLite.append(spark, on, batch(3))
+    val snap = DeltaLite.snapshot(on)
+    assert(snap.files.length === 1,
+      s"4 slivers must self-compact to 1, got ${snap.files.length}")
+    // the compaction is its own follow-up commit after the append's
+    assert(DeltaLite.history(spark, on)
+      .filter($"operation" === "OPTIMIZE_SMALL").count() === 1)
+    // logical content is never changed by the layout op
+    assert(DeltaLite.read(spark, on).count() === 40)
+    assert(DeltaLite.read(spark, on).select(sum($"k")).as[Long].head() ===
+      (0L until 40L).sum)
+    // time travel still sees the pre-compaction sliver state
+    assert(DeltaLite.snapshot(on, asOf = Some(snap.version - 1)).files.length === 4)
+  }
+
   test("DeltaLite concurrent appends: optimistic retry lands every commit") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
