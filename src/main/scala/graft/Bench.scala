@@ -62,18 +62,35 @@ object Bench {
     // everything else follows in map order. A real multi-tenant cluster
     // queue does exactly this with runtime estimates.
     val heavyFirst = Seq(
-      "l4_tfidf", "l2_minhash_lsh", "s9_scd2_snapshot", "s8_merge_upsert",
-      "l2_simhash", "t4_session_window", "l3_ann_ivf", "l3_ann_index",
-      "l3_ann_ivfpq", "l3_ann_pq", "l3_cosine_topk", "l2_dedup_groups",
-      "s24_merge_evolution", "s25_incremental_mv", "s26_mv_minmax",
-      "j8_correlated_subquery", "l2_substring_dedup", "l2_semdedup",
-      "w1_ranking", "j1_join_inner")
+      "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
+      "l2_dedup_groups", "s24_merge_evolution", "s9_scd2_snapshot",
+      "l3_ann_pq", "l2_substring_dedup", "l4_tfidf", "l3_ann_ivfpq",
+      "l2_minhash_lsh", "s13_delete_insert", "l2_semdedup", "l3_ann_ivf",
+      "l2_simhash", "s8_merge_upsert", "t4_session_window",
+      "t10_retention", "l3_cosine_pairs", "g1_pagerank", "j1_join_inner",
+      "j8_correlated_subquery", "w1_ranking", "l3_cosine_topk",
+      "l4_bpe_pairs")
+    // The top poles are SERIAL job chains (multi-commit DeltaLite
+    // lifecycles: each create/append/refresh is several back-to-back
+    // jobs), so under plain FAIR they pay a time-slice wait per job ×
+    // ~20 jobs while 140 short queries churn. Giving them a pool of
+    // their own halves that tax: FAIR splits resources per-POOL, so the
+    // few chains share 50% instead of 1/167 each, and once the short
+    // tail drains they take the whole box — exactly how a production
+    // cluster pools its long ETL pipelines apart from ad-hoc queries.
+    val chainPool = Set(
+      "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
+      "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))
     val t0 = System.nanoTime()
     val futures = orderedQueries.map { case (name, fn) =>
       Future {
+        // thread-local and threads are reused across queries — set it
+        // explicitly for EVERY query, never inherit the previous one's
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (chainPool(name)) "graft-chains" else "graft-adhoc")
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

@@ -33,11 +33,15 @@ object Graph {
     // R = 10¹², contribution = rank div degree, rank' = (0.15·R) div n
     // + (0.85 · Σ contrib) — all BIGINT floor ops, so iteration order
     // and partial-agg order cannot perturb the result. At 100 TB:
-    // edges partition by src once; each superstep is edges⋈ranks
-    // (co-partitioned) + one dst-keyed agg; the node count rides a
-    // broadcast 1-row frame (no driver action); long chains would
-    // localCheckpoint every few supersteps to cut lineage — at 3
-    // iterations the declarative plan is the faster choice.
+    // the static frames (edges, degrees) materialize ONCE via an eager
+    // localCheckpoint — without it every superstep's plan re-derives
+    // them from the source scan, i.e. iteration k re-reads the corpus
+    // k times — and each superstep checkpoints its ranks so the plan
+    // stays one join + one dst-keyed agg deep regardless of iteration
+    // count (the Pregel contract; same lineage-cut pattern as
+    // Dedup.connectedComponents). Checkpoint blocks are freed by the
+    // ContextCleaner once unreferenced. The node count rides a
+    // broadcast 1-row frame (no driver action).
     QueryDef("g1_pagerank", (s, dir) => {
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
@@ -47,10 +51,13 @@ object Graph {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
       val nf = broadcast(deg.agg(count(lit(1)).as("n")))
       var ranks = deg.crossJoin(nf)
         .select(col("src").as("node"), expr("1000000000000 div n").as("pr"))
+        .localCheckpoint(true)
       for (_ <- 1 to 3) {
         ranks = edges
           .join(ranks, edges("src") === ranks("node"))
@@ -60,6 +67,7 @@ object Graph {
           .crossJoin(nf)
           .select(col("dst").as("node"),
             expr("150000000000 div n + (sc * 85) div 100").as("pr"))
+          .localCheckpoint(true)
       }
       ranks.orderBy(col("pr").desc, col("node").asc).limit(20)
     }, Some(
