@@ -80,7 +80,9 @@ object Bench {
     // cluster pools its long ETL pipelines apart from ad-hoc queries.
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
-      "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups")
+      "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
+      "g1_pagerank", "l3_ann_pq", "l3_ann_ivfpq", "l3_ann_ivf",
+      "l2_semdedup", "s9_scd2_snapshot")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

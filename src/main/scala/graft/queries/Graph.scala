@@ -33,12 +33,13 @@ object Graph {
     // R = 10¹², contribution = rank div degree, rank' = (0.15·R) div n
     // + (0.85 · Σ contrib) — all BIGINT floor ops, so iteration order
     // and partial-agg order cannot perturb the result. At 100 TB:
-    // the static frames (edges, degrees) materialize ONCE via an eager
-    // localCheckpoint — without it every superstep's plan re-derives
-    // them from the source scan, i.e. iteration k re-reads the corpus
-    // k times — and each superstep checkpoints its ranks so the plan
-    // stays one join + one dst-keyed agg deep regardless of iteration
-    // count (the Pregel contract; same lineage-cut pattern as
+    // the static frames (edges, degrees) and each superstep's ranks are
+    // LAZILY localCheckpointed — without the cut every superstep's plan
+    // re-derives its inputs from the source scan (iteration k re-reads
+    // the corpus k times); lazy (not eager) so the whole iterate still
+    // executes as ONE action with each intermediate materialized once,
+    // instead of paying a scheduler round-trip per eager checkpoint
+    // job (the Pregel contract; same lineage-cut pattern as
     // Dedup.connectedComponents). Checkpoint blocks are freed by the
     // ContextCleaner once unreferenced. The node count rides a
     // broadcast 1-row frame (no driver action).
@@ -51,13 +52,13 @@ object Graph {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nf = broadcast(deg.agg(count(lit(1)).as("n")))
       var ranks = deg.crossJoin(nf)
         .select(col("src").as("node"), expr("1000000000000 div n").as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       for (_ <- 1 to 3) {
         ranks = edges
           .join(ranks, edges("src") === ranks("node"))
@@ -67,7 +68,7 @@ object Graph {
           .crossJoin(nf)
           .select(col("dst").as("node"),
             expr("150000000000 div n + (sc * 85) div 100").as("pr"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       ranks.orderBy(col("pr").desc, col("node").asc).limit(20)
     }, Some(

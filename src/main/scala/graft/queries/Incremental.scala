@@ -445,6 +445,50 @@ object Incremental {
                     OVER (PARTITION BY cohort_wk) AS DOUBLE))*10000)/10000)
                   AS pct
          FROM cells
-         ORDER BY cohort_wk ASC NULLS LAST, offset_weeks ASC NULLS LAST"""))
+         ORDER BY cohort_wk ASC NULLS LAST, offset_weeks ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- W6
+    // Longest consecutive-day streak per user (gaps-and-islands): the
+    // island key is day-number minus per-user row_number — consecutive
+    // days share it, any gap starts a new island — so streaks fall out
+    // of ONE user-keyed window pass plus two integer-exact aggregates,
+    // never a self-join or recursion. At 100 TB everything after the
+    // (user, day) dedup is keyed by user and reuses that one shuffle.
+    QueryDef("w6_streaks", (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      val daily = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .distinct()
+      daily
+        .withColumn("island",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT DISTINCT user_id, CAST(ts_sec AS DATE) AS day
+           FROM e WHERE event_type = 'purchase'),
+         isl AS (
+           SELECT user_id,
+                  date_diff('day', DATE '2024-01-01', day)
+                    - row_number() OVER (PARTITION BY user_id
+                        ORDER BY day ASC) AS island
+           FROM daily),
+         runs AS (
+           SELECT user_id, island, count(*) AS len
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+                count(*) AS n_streaks,
+                CAST(sum(len) AS BIGINT) AS active_days
+         FROM runs GROUP BY user_id
+         ORDER BY user_id ASC NULLS LAST"""))
   )
 }

@@ -744,6 +744,58 @@ object Llm {
          FROM pairs GROUP BY pair
          ORDER BY freq DESC, pair ASC LIMIT 20""")),
 
+    // ------------------------------------------------------------- L4 (q)
+    // URL parsing + domain-level blocklist census (the RefinedWeb /
+    // CCNet URL-filtering stage): each doc gets a deterministic planted
+    // source URL (fixtures carry none — the l5_pii_redact pattern), the
+    // host and query param come from Spark's codegen'd parse_url, the
+    // registrable domain from the same regexp both engines run, and the
+    // census rolls up per domain with a blocklist flag — the
+    // domain-aggregation shape URL dedup and blocklist filtering share.
+    // Map-only until one domain-keyed aggregate; at 100 TB the domain
+    // census is the tiny side that then broadcast-joins back as the
+    // filter.
+    QueryDef("l4_url_extract", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://host"), (col("doc_id") % 50).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"),
+          lit("?q=w"), (col("doc_id") % 13).cast("string")))
+      docs
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .withColumn("qparam", parse_url(col("url"), lit("QUERY"), lit("q")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("qparam")).as("n_queries"),
+          max((col("domain") === "example0.com").cast("int")).as("blocked"))
+        .orderBy(col("domain").asc_nulls_last)
+    }, Some(
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://host' || CAST(doc_id % 50 AS VARCHAR) ||
+                  '.example' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '.com/p/' || CAST(doc_id AS VARCHAR) ||
+                  '?q=w' || CAST(doc_id % 13 AS VARCHAR) AS url
+           FROM documents),
+         parsed AS (
+           SELECT doc_id,
+                  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                  regexp_extract(url, '\?q=([^&]+)$', 1) AS qparam,
+                  regexp_extract(regexp_extract(url, 'https://([^/]+)/', 1),
+                    '([^.]+\.[^.]+)$', 1) AS domain
+           FROM u)
+         SELECT domain, count(*) AS n_docs,
+                count(DISTINCT host) AS n_hosts,
+                count(DISTINCT qparam) AS n_queries,
+                CAST(max(CASE WHEN domain = 'example0.com'
+                         THEN 1 ELSE 0 END) AS INTEGER) AS blocked
+         FROM parsed GROUP BY domain
+         ORDER BY domain ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L4 (c)
     // Per-document quality scoring: token count, distinct-token ratio,
     // mean word length, stopword ratio → quality bucket.

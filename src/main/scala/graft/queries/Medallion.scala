@@ -362,6 +362,47 @@ object Medallion {
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S32
+    // Row tracking (Delta `delta.enableRowTracking`): every committed
+    // file takes a disjoint [base, base+rows) id range above a
+    // log-carried high-water mark, and `_row_id` = base + in-file
+    // position. With one SORTED file per commit the ids are a pure
+    // function of commit order, so DuckDB restates them as
+    // row_number() per slice with the appended slice offset by the
+    // first slice's count — the oracle proves the allocation contract
+    // (dense per file, disjoint across commits, append starts at the
+    // mark). Stability under DV deletes/RESTORE and fresh-after-rewrite
+    // are ScaleSpec-asserted.
+    QueryDef("s32_row_tracking", (s, dir) => {
+      val path = tmp("s32_rowid")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def slice(st: String) = o.filter(col("o_orderstatus") === st)
+        .repartition(1).sortWithinPartitions(col("o_orderkey"))
+      DeltaLite.create(s, path, slice("F"),
+        properties = Map("delta.enableRowTracking" -> "true"))
+      DeltaLite.append(s, path, slice("O"))
+      DeltaLite.readWithRowIds(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("_row_id")).as("min_id"),
+          max(col("_row_id")).as("max_id"), sum(col("_row_id")).as("sum_id"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH f AS (
+           SELECT count(*) AS nf FROM orders WHERE o_orderstatus = 'F'),
+         ids AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderstatus = 'F' THEN 0
+                       ELSE (SELECT nf FROM f) END
+                    + row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderkey) - 1 AS rid
+           FROM orders WHERE o_orderstatus IN ('F', 'O'))
+         SELECT o_orderstatus, count(*) AS n,
+                min(rid) AS min_id, max(rid) AS max_id,
+                CAST(sum(rid) AS BIGINT) AS sum_id
+         FROM ids GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- S8
     // MERGE upsert (Delta MERGE INTO / dbt incremental `merge`): target =
     // orders before 1997-07; updates = repriced orders from 1997 on

@@ -65,7 +65,8 @@ object DeltaLite {
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
       dv: Option[String] = None, pv: Map[String, String] = Map.empty,
       bloom: Map[String, String] = Map.empty,
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      baseRowId: Option[Long] = None)
 
   /** Resolved table state at a version: schema + live file set +
     * CHECK constraints (name → SQL predicate, enforced on every write) +
@@ -529,7 +530,11 @@ object DeltaLite {
       case JLong(l) => l
       case JInt(i) => i.toLong
     }.getOrElse(0L)
-    AddFile(p, rows, stats, dv, pv, bloom, bytes)
+    val baseRowId = m.get("baseRowId").collect {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+    }
+    AddFile(p, rows, stats, dv, pv, bloom, bytes, baseRowId)
   }
 
   // -------------------------------------------------------------- write
@@ -916,6 +921,7 @@ object DeltaLite {
       "path" -> JString(f.path), "rows" -> JLong(f.rows),
       "bytes" -> JLong(f.bytes),
       "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats) ++
+      f.baseRowId.map(b => List("baseRowId" -> JLong(b))).getOrElse(Nil) ++
       (if (f.pv.isEmpty) Nil
        else List("pv" -> JObject(
          f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))) ++
@@ -951,6 +957,36 @@ object DeltaLite {
     // COPY INTO records one loaded-file identity per txn action) is
     // accumulative state, not re-stated metadata, so a default is safe.
     Files.createDirectories(logDir(path))
+    // ROW TRACKING (Delta `delta.enableRowTracking`, fresh-row-ID tier):
+    // every committed file gets a disjoint row-id range [baseRowId,
+    // baseRowId + rows) above a property-carried high-water mark, so
+    // `_row_id` = base + in-file position is unique table-wide. The
+    // assignment lives HERE, in the single commit choke point, so every
+    // write path gets it for free and a retried commit (fresh snapshot →
+    // fresh properties) re-assigns above the winner's mark. Files that
+    // already carry a base (DV re-adds, RESTORE re-adds by reference)
+    // KEEP it — their rows' ids survive soft deletes and restores —
+    // while rewrite paths produce new files and thus fresh ids (exactly
+    // Delta's fresh/stable row-id distinction; the stable tier would
+    // materialize ids into a column before rewrites). Ranges are never
+    // reclaimed: the mark only ever moves up.
+    val rowTrackingOn = properties.exists { case (k, v) =>
+      k.equalsIgnoreCase("delta.enableRowTracking") && v.equalsIgnoreCase("true") }
+    val (adds2, properties2) =
+      if (!rowTrackingOn || adds.isEmpty) (adds, properties)
+      else {
+        val hwKey = "graft.rowTracking.highWater"
+        var hw = properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(hwKey) => v
+        }.flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
+        val assigned = adds.map { f =>
+          f.baseRowId match {
+            case Some(b) => hw = math.max(hw, b + f.rows); f
+            case None => val b = hw; hw += f.rows; f.copy(baseRowId = Some(b))
+          }
+        }
+        (assigned, properties + (hwKey -> hw.toString))
+      }
     val metaFields = List("schema" -> JString(schema.json)) ++
       (if (partitionBy.isEmpty) Nil
        else List("partitionBy" -> JArray(partitionBy.toList.map(JString(_))))) ++
@@ -964,9 +1000,9 @@ object DeltaLite {
        else List("generatedColumns" -> JObject(
          generated.toList.sortBy(_._1).map { case (c, e) => c -> JString(e) }))) ++
       encodeIdentity(identity) ++
-      (if (properties.isEmpty) Nil
+      (if (properties2.isEmpty) Nil
        else List("properties" -> JObject(
-         properties.toList.sortBy(_._1).map { case (k, x) => k -> JString(x) })))
+         properties2.toList.sortBy(_._1).map { case (k, x) => k -> JString(x) })))
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
@@ -977,7 +1013,7 @@ object DeltaLite {
           JObject(List("app" -> JString(app), "version" -> JLong(ver)))))) } ++
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
-      adds.map(f => JsonMethods.compact(encodeAdd(f, schema, physical)))
+      adds2.map(f => JsonMethods.compact(encodeAdd(f, schema, physical)))
     // Unique temp per writer, then an atomic hard link to the final name:
     // link(2) fails with FileAlreadyExistsException when the version is
     // already taken, so exactly ONE racing writer wins and no winner's
@@ -1109,6 +1145,31 @@ object DeltaLite {
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
     readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
+  }
+
+  /** Snapshot read exposing the row-tracking id as a `_row_id` column
+    * (Delta `delta.enableRowTracking` read surface): `_row_id` =
+    * the file's committed `baseRowId` + the row's in-file position —
+    * unique table-wide, STABLE under soft deletes (DV re-adds keep the
+    * base and survivors keep their positions) and under RESTORE (files
+    * re-add by reference, base included). Files committed before the
+    * property was enabled carry no base and read `_row_id` null (Delta
+    * requires a backfill for them too — enablement is forward-only).
+    * The id map is log metadata: a tiny broadcast (path → base) join,
+    * no extra pass over the data. */
+  def readWithRowIds(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(path, asOf)
+    val withPos = readFilesWithPos(spark, path, snap.schema, snap.files,
+      snap.partitionBy, snap.physical)
+    val bases = snap.files.map(f => (f.path, f.baseRowId.map(Long.box).orNull))
+    val baseDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(bases.map(Row.fromTuple), 1),
+      StructType(Seq(StructField("__b_path", StringType, nullable = false),
+        StructField("__b_base", LongType, nullable = true)))))
+    withPos.join(baseDf, col("path") === col("__b_path"), "left")
+      .withColumn("_row_id", col("__b_base") + col("row_index"))
+      .drop("path", "row_index", "__b_path", "__b_base")
   }
 
   /** Stats-pruned scan: like [[read]] but skips files whose min/max prove

@@ -1171,6 +1171,49 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.compactSmall(spark, path, minRows = 100L) === v)
   }
 
+  test("DeltaLite row tracking: unique _row_id ranges, stable under DV delete and RESTORE, fresh after rewrite") {
+    import spark.implicits._
+    def batch(b: Int) =
+      (0L until 10L).map(i => (b * 10L + i, b * 1.0)).toDF("k", "v").coalesce(1)
+    val path = Files.createTempDirectory("graft_rowid").toString
+    DeltaLite.create(spark, path, batch(0),
+      properties = Map("delta.enableRowTracking" -> "true"))
+    (1 to 2).foreach(b => DeltaLite.append(spark, path, batch(b)))
+    val ids0 = DeltaLite.readWithRowIds(spark, path)
+      .select($"k", $"_row_id".as[Long]).as[(Long, Long)].collect().toMap
+    assert(ids0.size === 30 && ids0.values.toSet.size === 30,
+      "row ids must be unique table-wide")
+    // DV soft delete: survivors keep their ids (file re-adds keep base,
+    // surviving positions are unchanged)
+    DeltaLite.deleteVectorized(spark, path, $"k" % 10 === 3L)
+    val ids1 = DeltaLite.readWithRowIds(spark, path)
+      .select($"k", $"_row_id".as[Long]).as[(Long, Long)].collect().toMap
+    assert(ids1.size === 27)
+    assert(ids1.forall { case (k, id) => ids0(k) === id },
+      "surviving rows must keep their row ids across a DV delete")
+    // rewrite (REORG materializes the DV): fresh-tier ids may reassign
+    // but must stay unique, and the id high-water never reuses a range
+    DeltaLite.reorgPurge(spark, path)
+    val ids2 = DeltaLite.readWithRowIds(spark, path)
+      .select($"_row_id".as[Long]).collect().toSeq
+    assert(ids2.size === 27 && ids2.toSet.size === 27)
+    assert(ids2.max >= 30, "rewritten files must allocate above the mark")
+    // pre-enablement files read null ids; post-enablement files get them
+    val late = Files.createTempDirectory("graft_rowid_late").toString
+    DeltaLite.create(spark, late, batch(0))
+    DeltaLite.setProperties(late, Map("delta.enableRowTracking" -> "true"))
+    DeltaLite.append(spark, late, batch(1))
+    val byNull = DeltaLite.readWithRowIds(spark, late)
+      .groupBy($"_row_id".isNull.as("pre")).count()
+      .as[(Boolean, Long)].collect().toMap
+    assert(byNull(true) === 10 && byNull(false) === 10,
+      "enablement is forward-only: old files null, new files tracked")
+    // the high-water mark rides properties through commits and replay
+    DeltaLite.clearSnapshotCache()
+    val hw = DeltaLite.snapshot(path).properties("graft.rowTracking.highWater").toLong
+    assert(hw >= 57, s"mark must cover every allocated range, got $hw")
+  }
+
   test("DeltaLite auto compact: small appends self-compact past the threshold; default off") {
     import spark.implicits._
     def batch(b: Int) =
