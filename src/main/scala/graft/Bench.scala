@@ -78,11 +78,17 @@ object Bench {
     // few chains share 50% instead of 1/167 each, and once the short
     // tail drains they take the whole box — exactly how a production
     // cluster pools its long ETL pipelines apart from ad-hoc queries.
+    // Keep this pool SMALL (6-7 members): it splits half the box across
+    // its members, so every added query dilutes the share that makes
+    // the split work (12 members measured 34 s where 6 measured 24 s).
+    // NOTE run-to-run comparisons need a clean page cache: each bench
+    // leaves a dirty-page writeback backlog (thousands of temp DeltaLite
+    // files) that stalls the NEXT run's IO in D-state — loadavg counts
+    // those, so "idle CPU, loadavg 5" = writeback, wait it out.
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
-      "g1_pagerank", "l3_ann_pq", "l3_ann_ivfpq", "l3_ann_ivf",
-      "l2_semdedup", "s9_scd2_snapshot")
+      "g1_pagerank")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

@@ -504,7 +504,7 @@ object Llm {
     // serve path. Rows-only (quantization isn't SQL-expressible);
     // determinism/recall/pruning are property-tested in DedupSpec.
     QueryDef("l3_ann_index", (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_l3_index").toString
+      val root = graft.TempDirs.fresh("l3_index")
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") >= 10)
       graft.operators.AnnIndex.build(s, root,

@@ -25,8 +25,7 @@ import org.apache.spark.sql.types._
 object Medallion {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
-  private def tmp(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+  private def tmp(tag: String): String = graft.TempDirs.fresh(tag)
 
   /** The dbt-style model DAG (bronze → silver → gold). */
   object Pipeline {
