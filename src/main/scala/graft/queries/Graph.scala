@@ -102,6 +102,97 @@ object Graph {
                      JOIN deg dg ON dg.src = e.src
                 GROUP BY e.dst)
          SELECT node, pr FROM r3
-         ORDER BY pr DESC, node ASC LIMIT 20"""))
+         ORDER BY pr DESC, node ASC LIMIT 20""")),
+
+    // ------------------------------------------------------------------- G2
+    // Multi-source BFS over the same trade graph: hop distance from the
+    // customers of nation 0, three supersteps of min-propagation
+    // (dist' = min(dist, 1 + min over in-edges of dist(src))), reported as
+    // a reachability histogram. All-integer relaxation — min over BIGINT
+    // hops is order- and retry-insensitive, so the iterative result is
+    // bit-exact vs the same three steps unrolled as CTEs. Per superstep:
+    // one join of the frontier against edges (both hash-partitioned on the
+    // node key) plus one dst-keyed min aggregate with map-side combine;
+    // the rank frame is lineage-cut (lazy localCheckpoint) exactly like
+    // G1 so superstep k never re-derives k-1 plans from the corpus scan.
+    QueryDef("g2_bfs_hops", (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      val sources = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      var dist = edges.select(col("src").as("node")).distinct()
+        .join(sources.withColumn("zero", lit(0L)), Seq("node"), "left_outer")
+        .select(col("node"), col("zero").as("d"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val prop = edges
+          .join(dist.filter(col("d").isNotNull), edges("src") === dist("node"))
+          .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+        dist = dist
+          .join(prop, dist("node") === prop("dst"), "left_outer")
+          .select(dist("node"),
+            when(dist("d").isNull, col("nd"))
+              .when(col("nd").isNull, dist("d"))
+              .otherwise(least(dist("d"), col("nd"))).as("d"))
+          .localCheckpoint(false)
+      }
+      dist.filter(col("d").isNotNull)
+        .groupBy(col("d").as("hops"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hops").asc)
+    }, Some(
+      """WITH pairs AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         srcs AS (
+           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+           FROM customer WHERE c_nationkey = 0),
+         d0 AS (
+           SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END AS d
+           FROM (SELECT DISTINCT src AS node FROM edges) n
+           LEFT JOIN srcs s ON n.node = s.node),
+         d1 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d0 a LEFT JOIN (
+             SELECT e.dst, min(r.d + 1) AS nd
+             FROM edges e JOIN d0 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst),
+         d2 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d1 a LEFT JOIN (
+             SELECT e.dst, min(r.d + 1) AS nd
+             FROM edges e JOIN d1 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst),
+         d3 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d2 a LEFT JOIN (
+             SELECT e.dst, min(r.d + 1) AS nd
+             FROM edges e JOIN d2 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst)
+         SELECT d AS hops, count(*) AS n_nodes
+         FROM d3 WHERE d IS NOT NULL
+         GROUP BY d ORDER BY hops ASC"""))
   )
 }

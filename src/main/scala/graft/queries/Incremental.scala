@@ -489,6 +489,53 @@ object Incremental {
                 count(*) AS n_streaks,
                 CAST(sum(len) AS BIGINT) AS active_days
          FROM runs GROUP BY user_id
-         ORDER BY user_id ASC NULLS LAST"""))
+         ORDER BY user_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T11
+    // dbt microbatch incremental strategy (dbt 1.9 `incremental_strategy:
+    // microbatch`): the load window splits into event-time day batches,
+    // each batch recomputes its slice of the daily mart independently and
+    // lands via a window-scoped REPLACE WHERE — so a batch retry is
+    // idempotent (proven here by re-running the Jan-3 batch; the final
+    // state is unchanged, which the full-recompute oracle certifies).
+    // Scale shape: the target is PARTITIONED BY day, so each batch's
+    // replaceWhere touches exactly one partition's files (copy-on-write of
+    // that day only, never the table), each batch reads only its day slice
+    // of the source (partition-prunable filter), and failed days re-run
+    // without coordination — the point of microbatch at 100 TB: no single
+    // giant MERGE, bounded per-batch state, per-day backfill.
+    QueryDef("t11_microbatch", (s, dir) => {
+      import graft.sources.DeltaLite
+      val path = graft.TempDirs.fresh("t11_delta")
+      val days = (1 to 5).map(d => f"2024-01-$d%02d")
+      def batch(day: String): DataFrame = ev(s, dir)
+        .withColumn("day", col("ts_sec").cast("date"))
+        .filter(col("day") === lit(day).cast("date"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (round(sum(col("value")) * 100) / 100).as("total_value"))
+      DeltaLite.create(s, path, batch(days.head), partitionBy = Seq("day"),
+        properties = Map("graft.optimizeWrite" -> "true"))
+      days.tail.foreach { d =>
+        DeltaLite.replaceWhere(s, path,
+          col("day") === lit(d).cast("date"), batch(d))
+      }
+      // retried batch: same window, same input → same final state
+      DeltaLite.replaceWhere(s, path,
+        col("day") === lit("2024-01-03").cast("date"), batch("2024-01-03"))
+      DeltaLite.read(s, path)
+        .select(col("day"), col("event_type"), col("n_events"),
+          col("total_value"))
+        .orderBy(col("day").asc_nulls_last, col("event_type").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv)
+         SELECT CAST(ts_sec AS DATE) AS day, event_type,
+                count(*) AS n_events,
+                (round((sum(value))*100)/100) AS total_value
+         FROM e
+         WHERE CAST(ts_sec AS DATE) >= DATE '2024-01-01'
+           AND CAST(ts_sec AS DATE) <= DATE '2024-01-05'
+         GROUP BY 1, 2
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""))
   )
 }

@@ -1456,6 +1456,83 @@ object Medallion {
          SELECT class, count(*) AS n,
                 CAST(sum(price_changed) AS BIGINT) AS n_price_changed,
                 CAST(sum(status_changed) AS BIGINT) AS n_status_changed
-         FROM c GROUP BY class ORDER BY class ASC NULLS LAST"""))
+         FROM c GROUP BY class ORDER BY class ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D6
+    // dbt `relationships` test across the whole DAG: every FK edge of the
+    // star schema audited in one report (child rows, orphan rows). Two
+    // parents are deterministically thinned (customer %97, part %101
+    // slices removed) so the orphan counter provably fires; the clean
+    // edges certify zero. Each edge is one left-outer join against the
+    // parent's DISTINCT key followed by a conditional count — for small
+    // parents (nation/region/customer/part/supplier) the join broadcasts,
+    // so the fact-side edges (lineitem×3) are map-only passes; nothing in
+    // the report shuffles the child beyond the agg's 1-row partials.
+    QueryDef("d6_relationships", (s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck))
+          .join(broadcast(parent.select(col(pk)).distinct()),
+            col(ck) === col(pk), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col(pk).isNull, lit(1))).as("n_orphans"))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 97 =!= 0)
+      val part = t(s, dir, "part").filter(col("p_partkey") % 101 =!= 0)
+      val li = t(s, dir, "lineitem")
+      edge("customer_nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey")
+        .unionByName(edge("lineitem_orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(edge("lineitem_part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(edge("lineitem_supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(edge("nation_region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"))
+        .unionByName(edge("orders_customer", t(s, dir, "orders"), "o_custkey",
+          cust, "c_custkey"))
+        .unionByName(edge("supplier_nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .orderBy(col("edge").asc_nulls_last)
+    }, Some(
+      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+         prt AS (SELECT p_partkey FROM part WHERE p_partkey % 101 <> 0),
+         checks AS (
+           SELECT 'customer_nation' AS edge, count(*) AS n_child,
+                  count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS n_orphans
+           FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+             ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT 'lineitem_orders', count(*),
+                  count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+             ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'lineitem_part', count(*),
+                  count(CASE WHEN p_partkey IS NULL THEN 1 END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM prt) p
+             ON l_partkey = p_partkey
+           UNION ALL
+           SELECT 'lineitem_supplier', count(*),
+                  count(CASE WHEN s_suppkey IS NULL THEN 1 END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+             ON l_suppkey = s_suppkey
+           UNION ALL
+           SELECT 'nation_region', count(*),
+                  count(CASE WHEN r_regionkey IS NULL THEN 1 END)
+           FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) p
+             ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'orders_customer', count(*),
+                  count(CASE WHEN c_custkey IS NULL THEN 1 END)
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM cust) p
+             ON o_custkey = c_custkey
+           UNION ALL
+           SELECT 'supplier_nation', count(*),
+                  count(CASE WHEN n_nationkey IS NULL THEN 1 END)
+           FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+             ON s_nationkey = n_nationkey)
+         SELECT edge, n_child, n_orphans
+         FROM checks ORDER BY edge ASC NULLS LAST"""))
   )
 }

@@ -1570,6 +1570,135 @@ object Relational {
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
          ORDER BY numwait DESC, s_name ASC NULLS LAST
-         LIMIT 25"""))
+         LIMIT 25""")),
+
+    // ------------------------------------------------------------------- X6
+    // TPC-H Q13 shape: customer order-count distribution. The scale move
+    // is aggregation-below-join: orders collapses to one (custkey, cnt)
+    // row per customer BEFORE the outer join (map-side combine bounds the
+    // shuffle to |customers|, never |orders|), then the histogram agg runs
+    // over an already-reduced frame. The naive Q13 plan (outer join first,
+    // then count) shuffles every order row — at 100 TB that is the whole
+    // fact table through the exchange for a result with ~50 distinct rows.
+    QueryDef("x6_workload_q13", (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some(
+      """WITH per_cust AS (
+           SELECT o_custkey, count(*) AS cnt FROM orders
+           WHERE o_orderpriority <> '1-URGENT'
+           GROUP BY o_custkey)
+         SELECT c_count, count(*) AS custdist FROM (
+           SELECT COALESCE(cnt, 0) AS c_count
+           FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""")),
+
+    // ------------------------------------------------------------------- X7
+    // TPC-H Q11 shape: suppliers whose lineitem value exceeds 0.1% of the
+    // global total (scalar-subquery threshold). Parity: per-value cast to
+    // DECIMAL(18,2) BEFORE summing makes both sums order-independent and
+    // exact, and the threshold compare is the integer form value*1000 >
+    // total (no float in the predicate, so no boundary flips); the output
+    // goes back to the suite-standard rounded double. Scale: one shuffle
+    // on l_suppkey with map-side combine; the global total is a 1-row
+    // broadcast (no driver collect); supplier names broadcast in.
+    QueryDef("x7_workload_q11", (s, dir) => {
+      val perSupp = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("v")).as("value"))
+      val total = perSupp.agg(sum(col("value")).as("tot"))
+      perSupp
+        .crossJoin(broadcast(total))
+        .filter(col("value") * 1000 > col("tot"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"),
+          (round(col("value").cast("double") * 100) / 100).as("value"))
+        .orderBy(col("value").desc, col("s_name").asc_nulls_last)
+    }, Some(
+      """WITH ps AS (
+           SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+           FROM lineitem GROUP BY l_suppkey),
+         tot AS (SELECT sum(value) AS tot FROM ps)
+         SELECT s_name, (round(CAST(value AS DOUBLE)*100)/100) AS value
+         FROM ps CROSS JOIN tot
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE value * 1000 > tot
+         ORDER BY value DESC, s_name ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- X8
+    // TPC-H Q4 shape: orders in a quarter with at least one line shipped
+    // after the order date (EXISTS → left-semi). The semi join carries the
+    // non-equi conjunct inside the hash join (probe-side residual), so the
+    // fact table never materializes matched pairs — output is bounded by
+    // |orders in the quarter| before the tiny priority aggregate.
+    QueryDef("x8_workload_q4", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ J12
+    // Salted skew join — the manual remedy when one fact key dominates and
+    // the dim side is too big to broadcast (AQE's skew split only kicks in
+    // for sort-merge; this form fixes the hash-partition hotspot itself).
+    // The dim side replicates SALT ways (explode of a literal array), the
+    // fact side picks a DETERMINISTIC salt from xxhash64 of its line id,
+    // and the join key widens to (key, salt) — each hot key now spreads
+    // over SALT reducers. Results are provably identical to the unsalted
+    // join (every fact row still meets exactly one dim replica), which is
+    // what the oracle checks. shuffle_hash hint pins the 100 TB plan shape
+    // (no broadcast at test SF, no sort-merge sort of the replicated dim).
+    QueryDef("j12_skew_salted", (s, dir) => {
+      val saltN = 8
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltN)))
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt",
+          explode(array((0 until saltN).map(i => lit(i.toLong)): _*)))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (round(sum(col("l_extendedprice")) * 100) / 100).as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                (round((sum(l_extendedprice))*100)/100) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST"""))
   )
 }

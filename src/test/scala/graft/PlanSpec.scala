@@ -287,4 +287,30 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(count(p, "Exchange hashpartitioning") === 1,
       s"exactly one keyed exchange for the centroid agg:\n$p")
   }
+
+  test("x6_workload_q13: orders aggregate below the customer join") {
+    val p = plan("x6_workload_q13")
+    // the per-customer count collapses orders BEFORE the outer join — the
+    // scan-side filter is pushed and both aggregates run partial+final,
+    // so the join input is |customers|+|custkeys|, never |orders| rows
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"),
+      s"priority filter must reach the orders scan:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"expected partial+final for per-customer count AND histogram:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in Q13:\n$p")
+  }
+
+  test("j12_skew_salted: the salted join shuffles on (key, salt), no broadcast, no sort") {
+    val p = plan("j12_skew_salted")
+    // the whole point: each hot key spreads over SALT reducers via a
+    // widened hash key — the hint pins shuffled-hash so neither a
+    // broadcast (possible at test SF, impossible at 100 TB) nor a
+    // sort-merge (sorts the 8x-replicated dim) sneaks in
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffled hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"replicated dim must not be sorted:\n$p")
+    assert(p.contains("Generate explode"),
+      s"dim side must replicate via explode:\n$p")
+  }
 }
