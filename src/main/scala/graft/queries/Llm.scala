@@ -1560,6 +1560,159 @@ object Llm {
                 (round((avg(norm))*10000)/10000) AS avg_norm
          FROM documents JOIN n ON doc_id = vec_id
          GROUP BY lang, label
-         ORDER BY lang ASC NULLS LAST, label ASC NULLS LAST"""))
+         ORDER BY lang ASC NULLS LAST, label ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (m)
+    // MMR diversified re-rank (Carbonell & Goldstein 1998): after
+    // retrieval, pick k=4 results greedily maximizing λ·rel(c) −
+    // (1−λ)·max_{s∈S} sim(c, s) with λ=0.7 — the standard fix for
+    // retrieval sets that are all near-duplicates of each other (RAG
+    // context packing, eval-set selection). Engine parity: relevance and
+    // candidate-pair similarities pre-round to scaled BIGINTs (×10⁴), so
+    // every greedy comparison is INTEGER (score = 7·rel − 3·maxsim; ties
+    // pinned by nid) — the unrolled oracle matches bit-for-bit. Scale
+    // shape: the greedy loop runs over the per-query TOP-8 candidate
+    // frame (retrieval output, k² pair sims per query — never the
+    // corpus); candidates and sims are lineage-cut once and every step
+    // reuses them: one anti-join + one selected-keyed max + one 8-row
+    // window pick per step, all bounded by |queries|·topN.
+    QueryDef("l3_mmr_rerank", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"))
+      val wRel = Window.partitionBy(col("qid"))
+        .orderBy(col("reli").desc, col("nid").asc)
+      val cand = q.crossJoin(c)
+        .withColumn("reli",
+          expr("CAST(round(vec_dot(qe, ne) / (qn * nn) * 10000) AS BIGINT)"))
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= 8)
+        .select(col("qid"), col("nid"), col("reli"), col("ne"), col("nn"))
+        .localCheckpoint(false)
+      val sims = cand
+        .select(col("qid"), col("nid").as("a"), col("ne").as("ae"),
+          col("nn").as("an"))
+        .join(cand.select(col("qid"), col("nid").as("b"), col("ne").as("be"),
+          col("nn").as("bn")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          expr("CAST(round(vec_dot(ae, be) / (an * bn) * 10000) AS BIGINT)")
+            .as("simi"))
+        .localCheckpoint(false)
+      val wPick = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nid").asc)
+      var selected = cand
+        .select(col("qid"), col("nid"), (col("reli") * 7).as("score"))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(1).as("step"), col("score"))
+        .localCheckpoint(false)
+      for (k <- 2 to 4) {
+        val sel = selected.select(col("qid").as("sq"), col("nid").as("sn"))
+        val maxsim = sims
+          .join(sel, sims("qid") === col("sq") && sims("b") === col("sn"))
+          .groupBy(sims("qid").as("mq"), col("a"))
+          .agg(max(col("simi")).as("ms"))
+        val next = cand
+          .join(sel, cand("qid") === col("sq") && cand("nid") === col("sn"),
+            "left_anti")
+          .join(maxsim, cand("qid") === col("mq") && cand("nid") === col("a"))
+          .select(cand("qid"), cand("nid"),
+            (col("reli") * 7 - col("ms") * 3).as("score"))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("nid"), lit(k).as("step"), col("score"))
+        selected = selected.unionByName(next).localCheckpoint(false)
+      }
+      selected.orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
+    }, Some(
+      """WITH rel AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  CAST(round(
+                    sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                       * sqrt(sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                  * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+                    * 10000) AS BIGINT) AS reli
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < 2 AND b.vec_id >= 10
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT qid, nid, reli FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY reli DESC, nid ASC) AS rk FROM rel)
+           WHERE rk <= 8),
+         sims AS (
+           SELECT ca.qid, ca.nid AS a, cb.nid AS b,
+                  CAST(round(
+                    sum(CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                * CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                       * sqrt(sum(CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                  * CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+                    * 10000) AS BIGINT) AS simi
+           FROM cand ca
+           JOIN cand cb ON ca.qid = cb.qid AND ca.nid <> cb.nid
+           JOIN embeddings ea ON ea.vec_id = ca.nid
+           JOIN embeddings eb ON eb.vec_id = cb.nid
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2, 3),
+         s1 AS (
+           SELECT qid, nid, 1 AS step, reli * 7 AS score FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY reli * 7 DESC, nid ASC) AS rk FROM cand)
+           WHERE rk = 1),
+         st2 AS (
+           SELECT qid, nid, 2 AS step, score FROM (
+             SELECT qid, nid, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, nid ASC) AS rk
+             FROM (SELECT c.qid, c.nid, 7 * c.reli - 3 * max(si.simi) AS score
+                   FROM cand c
+                   JOIN sims si ON si.qid = c.qid AND si.a = c.nid
+                   JOIN s1 ON s1.qid = c.qid AND si.b = s1.nid
+                   WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                                     WHERE x.qid = c.qid AND x.nid = c.nid)
+                   GROUP BY c.qid, c.nid, c.reli))
+           WHERE rk = 1),
+         sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM st2),
+         st3 AS (
+           SELECT qid, nid, 3 AS step, score FROM (
+             SELECT qid, nid, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, nid ASC) AS rk
+             FROM (SELECT c.qid, c.nid, 7 * c.reli - 3 * max(si.simi) AS score
+                   FROM cand c
+                   JOIN sims si ON si.qid = c.qid AND si.a = c.nid
+                   JOIN sel2 ON sel2.qid = c.qid AND si.b = sel2.nid
+                   WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                                     WHERE x.qid = c.qid AND x.nid = c.nid)
+                   GROUP BY c.qid, c.nid, c.reli))
+           WHERE rk = 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM st3),
+         st4 AS (
+           SELECT qid, nid, 4 AS step, score FROM (
+             SELECT qid, nid, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, nid ASC) AS rk
+             FROM (SELECT c.qid, c.nid, 7 * c.reli - 3 * max(si.simi) AS score
+                   FROM cand c
+                   JOIN sims si ON si.qid = c.qid AND si.a = c.nid
+                   JOIN sel3 ON sel3.qid = c.qid AND si.b = sel3.nid
+                   WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                                     WHERE x.qid = c.qid AND x.nid = c.nid)
+                   GROUP BY c.qid, c.nid, c.reli))
+           WHERE rk = 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM st4)
+         SELECT qid, nid, step, score FROM sel4
+         ORDER BY qid ASC NULLS LAST, step ASC NULLS LAST"""))
   )
 }
