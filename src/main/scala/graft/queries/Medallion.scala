@@ -1533,6 +1533,62 @@ object Medallion {
            FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p
              ON s_nationkey = n_nationkey)
          SELECT edge, n_child, n_orphans
-         FROM checks ORDER BY edge ASC NULLS LAST"""))
+         FROM checks ORDER BY edge ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S33
+    // Incrementally-maintained JOIN materialized view (the enrichment
+    // mart): facts ⋈ customer-dim kept fresh by delta propagation —
+    // ΔJ = ΔA⋈B_new ∪ A_applied⋈ΔB — never a full join recompute. The
+    // lifecycle exercises BOTH legs: an orders append (new facts join
+    // the current dim) and a customer append (a LATE-ARRIVING DIM — old
+    // facts for the newly-landed customers join via time travel to A's
+    // applied snapshot). Both sources' applied versions ride each
+    // refresh commit as txn actions (appendTxns), so a replayed refresh
+    // is a no-op and a half-applied version pair cannot exist. The
+    // full-recompute oracle certifies the incremental result exactly.
+    QueryDef("s33_join_mv", (s, dir) => {
+      import graft.operators.IncrementalMv
+      val srcA = tmp("s33_facts")
+      val srcB = tmp("s33_dim")
+      val mv = tmp("s33_mv") + "/mv"
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0) // slim write volume: the mechanism, not the bytes, is under test
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val colsA = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val colsB = Seq("c_custkey", "c_mktsegment")
+      val ow = Map("graft.optimizeWrite" -> "true")
+      DeltaLite.create(s, srcA,
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(colsA.map(col): _*), properties = ow)
+      DeltaLite.create(s, srcB, c.filter(col("c_custkey") % 5 =!= 0),
+        properties = ow)
+      IncrementalMv.refreshJoinAppendOnly(s, srcA, srcB, mv,
+        "o_custkey", "c_custkey", colsA, colsB, properties = ow)
+      // leg 1: new facts arrive
+      DeltaLite.append(s, srcA,
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .select(colsA.map(col): _*))
+      IncrementalMv.refreshJoinAppendOnly(s, srcA, srcB, mv,
+        "o_custkey", "c_custkey", colsA, colsB)
+      // leg 2: late-arriving dim rows — THEIR old facts must appear
+      DeltaLite.append(s, srcB, c.filter(col("c_custkey") % 5 === 0))
+      IncrementalMv.refreshJoinAppendOnly(s, srcA, srcB, mv,
+        "o_custkey", "c_custkey", colsA, colsB)
+      DeltaLite.read(s, mv)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*100)/100")
+            .as("total"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    }, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+                (round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*100)/100) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 3 = 0
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment ASC NULLS LAST"""))
   )
 }

@@ -1609,7 +1609,8 @@ object DeltaLite {
       identity: Map[String, IdentityCol] = Map.empty,
       properties: Map[String, String] = Map.empty,
       defaults: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      txns: Seq[(String, Long)] = Nil): Long = {
     require(latestVersion(path).isEmpty, s"table already exists at $path")
     // Column DEFAULTs (see setColumnDefault): declared at create for
     // columns of the CREATE batch (which defines the schema); applied to
@@ -1667,7 +1668,7 @@ object DeltaLite {
       Map.empty, generated, props)
     writeCommit(path, 0L, "CREATE", schema, adds, Nil, txn, Map.empty,
       partitionBy, Map.empty, generated,
-      advanceHighWater(identity, adds, schema, Map.empty), props)
+      advanceHighWater(identity, adds, schema, Map.empty), props, txns)
   }
 
   /** Sparse identity allocation above `highWater`: unique and ascending
@@ -1907,6 +1908,33 @@ object DeltaLite {
               s"concurrent commit beat identity APPEND at version " +
                 s"${snap.version + 1} on $path; re-run against the new snapshot")
         }
+    maybeAutoCompact(spark, path)
+    v
+  }
+
+  /** Idempotent append gated on SEVERAL txn identities riding one commit
+    * (the multi-source analogue of [[appendOnce]] — e.g. an incremental
+    * view over two sources records each source's applied version
+    * atomically with the view data). Replay rule is COPY INTO's: ALL
+    * identities already present = full replay, no-op; a PARTIAL overlap
+    * means a concurrent writer landed a different slice and committing
+    * blindly would double-apply — surfaced as
+    * ConcurrentModificationException for the caller to re-derive. */
+  def appendTxns(spark: SparkSession, path: String, df: DataFrame,
+      txns: Seq[(String, Long)]): Long = {
+    require(txns.nonEmpty, "appendTxns requires at least one txn identity")
+    val snap = snapshot(path)
+    rejectIdentity(snap, "APPEND_TXNS")
+    if (txns.forall { case (a, v) => snap.txns.get(a).exists(_ >= v) })
+      return snap.version
+    val filled = applyDefaults(df, snap.schema, snap.properties)
+    checkWriteSchema(filled.schema, snap.schema, "APPEND")
+    checkConstraints(filled, snap.schema, snap.constraints ++
+      generatedChecks(df.columns.toSet, snap.generated), "APPEND")
+    val adds = writeData(spark, root(path), snap.version + 1, filled,
+      snap.schema, snap.partitionBy, snap.physical, snap.generated,
+      snap.properties)
+    val v = commitAddsWithRetry(path, "APPEND", snap.schema, adds, txns = txns)
     maybeAutoCompact(spark, path)
     v
   }

@@ -459,4 +459,40 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(graft.functions.Multimodal.windowAudio(
       Seq((2L, Array.empty[Byte])).toDF("id", "media"), 4, 2).count() === 0)
   }
+
+  test("join MV: delta propagation equals full recompute; replay no-op; append-only enforced") {
+    import spark.implicits._
+    import graft.operators.IncrementalMv
+    val a = Files.createTempDirectory("graft_test_mvj_a").toString
+    val b = Files.createTempDirectory("graft_test_mvj_b").toString
+    val mv = Files.createTempDirectory("graft_test_mvj_t").toString + "/mv"
+    DeltaLite.create(spark, a,
+      Seq((1L, 10L, 5.0), (2L, 20L, 7.0)).toDF("fk", "cust", "v"))
+    DeltaLite.create(spark, b,
+      Seq((10L, "x")).toDF("ck", "seg")) // cust 20 is late-arriving
+    def refresh(): Long = IncrementalMv.refreshJoinAppendOnly(spark, a, b, mv,
+      "cust", "ck", Seq("fk", "cust", "v"), Seq("ck", "seg"))
+    refresh()
+    assert(DeltaLite.read(spark, mv).count() === 1) // only cust 10 joins yet
+
+    // leg 1: new facts join the current dim
+    DeltaLite.append(spark, a, Seq((3L, 10L, 9.0)).toDF("fk", "cust", "v"))
+    refresh()
+    // leg 2: the late dim row surfaces the OLD fact for cust 20
+    DeltaLite.append(spark, b, Seq((20L, "y")).toDF("ck", "seg"))
+    val v = refresh()
+    val got = DeltaLite.read(spark, mv).orderBy("fk")
+      .as[(Long, Long, Double, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 10L, 5.0, 10L, "x"), (2L, 20L, 7.0, 20L, "y"),
+      (3L, 10L, 9.0, 10L, "x")),
+      "incremental join view must equal the full A JOIN B recompute")
+
+    // replayed refresh (nothing advanced) is a no-op at the same version
+    assert(refresh() === v)
+
+    // a delete in a source breaks the append-only contract LOUDLY
+    DeltaLite.delete(spark, a, col("fk") === 1L)
+    val e = intercept[IllegalArgumentException](refresh())
+    assert(e.getMessage.contains("append-only"))
+  }
 }
