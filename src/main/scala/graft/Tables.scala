@@ -21,18 +21,27 @@ object Tables {
 
   /** Read one fixture table.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright; we read it as a nanos-since-epoch long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to Spark's
-    * native µs TimestampType (`ts div 1000` = floor, matching DuckDB's
-    * CAST(TIMESTAMP_NS AS TIMESTAMP) truncation). Queries must still
-    * truncate to whole seconds before *outputting* ts values (FIXTURES.md
-    * parity trap). */
+    * `events.ts` has shipped in two physical forms across fixture
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects unless read as a nanos-since-epoch long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * without UTC adjustment (which Spark infers as TIMESTAMP_NTZ). Both
+    * normalize to Spark's native µs TimestampType here, matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` (floor truncation for nanos; identity for
+    * micros at the UTC session tz), so queries see ONE canonical `ts`
+    * regardless of fixture vintage. Queries must still truncate to whole
+    * seconds before *outputting* ts values (FIXTURES.md parity trap). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-era fixture
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ micros fixture: identity cast at UTC
+          raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -193,6 +193,57 @@ object Graph {
              WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst)
          SELECT d AS hops, count(*) AS n_nodes
          FROM d3 WHERE d IS NOT NULL
-         GROUP BY d ORDER BY hops ASC"""))
+         GROUP BY d ORDER BY hops ASC""")),
+
+    // ------------------------------------------------------------------- G3
+    // Triangle counting over the co-supplier graph (suppliers that share
+    // an order are adjacent). The distributed-classic formulation: edges
+    // are canonicalized src < dst ONCE, and each triangle {a<b<c} is
+    // enumerated exactly once by the two-hop join e(a,b)⋈e(b,c)⋈e(a,c) —
+    // every step an EQUALITY hash join on node keys, no cartesian, no
+    // per-node adjacency materialization. At 100 TB the standard
+    // degree-ordering refinement (orient edges low-degree→high-degree)
+    // bounds the open-wedge intermediate to O(E^1.5); on this graph the
+    // canonical id order plays that role. The per-node participation
+    // report is a 3-way unpivot of the triangle list + one count agg.
+    QueryDef("g3_triangle_count", (s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = lo.alias("x").join(lo.alias("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+      tri.select(col("ta").as("node"))
+        .unionAll(tri.select(col("tb").as("node")))
+        .unionAll(tri.select(col("tc").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node").asc)
+        .limit(20)
+    }, Some(
+      """WITH lo AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.sk AS a, y.sk AS b
+           FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk),
+         tri AS (
+           SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+           FROM e e1
+           JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+         SELECT node, count(*) AS n_triangles FROM (
+           SELECT ta AS node FROM tri
+           UNION ALL SELECT tb FROM tri
+           UNION ALL SELECT tc FROM tri) u
+         GROUP BY node
+         ORDER BY n_triangles DESC, node ASC
+         LIMIT 20"""))
   )
 }

@@ -536,6 +536,161 @@ object Incremental {
          WHERE CAST(ts_sec AS DATE) >= DATE '2024-01-01'
            AND CAST(ts_sec AS DATE) <= DATE '2024-01-05'
          GROUP BY 1, 2
-         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST"""))
+         ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T12
+    // Time-series LINEAR interpolation (the resample().interpolate() of
+    // the pandas world): per-user daily purchase totals densified onto the
+    // user's own calendar (same spine build as t8), with missing days
+    // filled by the straight line between the PREVIOUS and NEXT observed
+    // values — prev/next arrive via one last(ignoreNulls)-backward and one
+    // first(ignoreNulls)-forward window over a single (user, day) sort,
+    // so the whole interpolation is TWO frame passes over one shuffle,
+    // never a self-join against the observation set. Edge days before the
+    // first / after the last observation coalesce to the nearest observed
+    // value. Parity: observed values round to cents BEFORE interpolating;
+    // the line arithmetic is textually mirrored and rounds to 4dp.
+    QueryDef("t12_interpolate", (s, dir) => {
+      val daily = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .agg((round(sum(col("value")) * 100) / 100).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when(col("day_value").isNotNull, col("day")),
+          ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("day_value").isNotNull, col("day")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("day"),
+          (round(when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nd") === col("pd"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")).cast("double")))
+            * 10000) / 10000).as("interp_value"),
+          col("day_value").isNull.as("is_interpolated"))
+        .orderBy(col("user_id").asc_nulls_last, col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT user_id, CAST(ts_sec AS DATE) AS day,
+                  (round((sum(value))*100)/100) AS day_value
+           FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span),
+         j AS (
+           SELECT g.user_id, g.day, d.day_value,
+                  last_value(d.day_value IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  first_value(d.day_value IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM grid g LEFT JOIN daily d
+             ON g.user_id = d.user_id AND g.day = d.day)
+         SELECT user_id, day,
+                (round((CASE WHEN pv IS NULL THEN nv
+                             WHEN nv IS NULL THEN pv
+                             WHEN nd = pd THEN pv
+                             ELSE pv + (nv - pv)
+                               * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                 / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                        END)*10000)/10000) AS interp_value,
+                day_value IS NULL AS is_interpolated
+         FROM j
+         ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T13
+    // Exponentially-weighted moving average (α = 0.3) over per-type daily
+    // totals — the monitoring/trend smoother. Engine-parity form: weights
+    // (0.7)^k over the last 6 observations expand to the INTEGER lattice
+    // 7^k·10^(5-k) (common denominator 10^5), values are BIGINT cents, so
+    // numerator and denominator are exact integer window-band sums and the
+    // ONLY float op is the final division (rounded 4dp) — no pow(), no
+    // float accumulation order anywhere. The band self-join (b.rn between
+    // a.rn-5 and a.rn) is an EQUALITY join on the series key with a band
+    // residual; at 100 TB each series' band pairs are O(6·len) rows keyed
+    // and shuffled once — the window-frame shape without needing a
+    // position-dependent weight inside a frame aggregate (which SQL frames
+    // cannot express).
+    QueryDef("t13_ewma", (s, dir) => {
+      val daily = ev(s, dir)
+        .filter(col("event_type").isin("purchase", "view", "click"))
+        .groupBy(col("event_type"), col("ts_sec").cast("date").as("day"))
+        .agg(expr("CAST(round((sum(value))*100) AS BIGINT)").as("v_c"))
+      val wn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val rnk = daily.withColumn("rn", row_number().over(wn))
+      val a = rnk.select(col("event_type"), col("day"), col("rn"))
+      val b = rnk.select(col("event_type").as("b_type"),
+        col("rn").as("b_rn"), col("v_c"))
+      val wExpr = "CASE a_k WHEN 0 THEN 100000 WHEN 1 THEN 70000 " +
+        "WHEN 2 THEN 49000 WHEN 3 THEN 34300 WHEN 4 THEN 24010 " +
+        "ELSE 16807 END"
+      a.join(b, col("event_type") === col("b_type") &&
+          col("b_rn").between(col("rn") - 5, col("rn")))
+        .withColumn("a_k", col("rn") - col("b_rn"))
+        .withColumn("w", expr(wExpr))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v_c") * col("w")).as("num"),
+          sum(col("w")).as("den"))
+        .select(col("event_type"), col("day"),
+          (round((col("num").cast("double") / col("den").cast("double")
+            / 100.0) * 10000) / 10000).as("ewma"))
+        .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT event_type, CAST(ts_sec AS DATE) AS day,
+                  CAST(round((sum(value))*100) AS BIGINT) AS v_c
+           FROM e WHERE event_type IN ('purchase', 'view', 'click')
+           GROUP BY 1, 2),
+         rnk AS (
+           SELECT event_type, day, v_c,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY day ASC) AS rn
+           FROM daily),
+         band AS (
+           SELECT a.event_type, a.day, b.v_c, a.rn - b.rn AS a_k
+           FROM rnk a JOIN rnk b
+             ON a.event_type = b.event_type
+            AND b.rn BETWEEN a.rn - 5 AND a.rn),
+         agg AS (
+           SELECT event_type, day,
+                  CAST(sum(v_c * (CASE a_k WHEN 0 THEN 100000
+                    WHEN 1 THEN 70000 WHEN 2 THEN 49000 WHEN 3 THEN 34300
+                    WHEN 4 THEN 24010 ELSE 16807 END)) AS BIGINT) AS num,
+                  CAST(sum(CASE a_k WHEN 0 THEN 100000
+                    WHEN 1 THEN 70000 WHEN 2 THEN 49000 WHEN 3 THEN 34300
+                    WHEN 4 THEN 24010 ELSE 16807 END) AS BIGINT) AS den
+           FROM band GROUP BY 1, 2)
+         SELECT event_type, day,
+                (round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  / 100.0)*10000)/10000) AS ewma
+         FROM agg
+         ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST"""))
   )
 }

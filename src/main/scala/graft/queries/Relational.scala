@@ -1317,6 +1317,40 @@ object Relational {
                 (round((max(o_totalprice))*100)/100) AS hi
          FROM orders GROUP BY 1 ORDER BY bucket ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A17
+    // Mode (most frequent value) per group. Native `mode()` exists in both
+    // engines but leaves TIES engine-defined, so the oracle-parity form is
+    // the explicit two-level aggregate: count per (group, value), then
+    // pick the max-count value with ties broken toward the SMALLEST value
+    // — one window pass over the already-reduced counts frame. At 100 TB
+    // the first aggregate is the only fact-sized shuffle (map-side
+    // combine on (flag, qty) — bounded by distinct values, here ≤50 per
+    // group); the ranking window runs over that tiny frame.
+    QueryDef("a17_mode", (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """WITH counts AS (
+           SELECT l_returnflag, l_quantity, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         ranked AS (
+           SELECT l_returnflag, l_quantity, cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cnt DESC, l_quantity ASC) AS rn
+           FROM counts)
+         SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n
+         FROM ranked WHERE rn = 1
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- X1
     // Composite workload (TPC-H Q3 shape): selective dimension filter →
     // two-level star join → keyed agg → top-10. The plan to expect at any
@@ -1699,6 +1733,193 @@ object Relational {
                 (round((sum(l_extendedprice))*100)/100) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority ASC NULLS LAST"""))
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- X9
+    // TPC-H Q17 shape: revenue from small-quantity orders of one brand
+    // (correlated avg-quantity subquery → aggregate-then-join). Parity:
+    // quantities compare as BIGINT cents and the 20%-of-avg predicate is
+    // the cross-multiplied integer form `q*5*cnt < sum_q` — no float
+    // division anywhere near the filter. Scale: the brand filter broadcasts
+    // into the fact scan FIRST (partkey pushdown bounds everything after
+    // it), the per-part avg is one map-side-combined shuffle over the
+    // restricted fact, and the final result is a single scalar.
+    QueryDef("x9_workload_q17", (s, dir) => {
+      val pf = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(pf, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          expr("CAST(round((l_quantity)*100) AS BIGINT)").as("q_c"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("q_c")).as("sum_qc"), count(lit(1)).as("cnt"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("q_c") * 5 * col("cnt") < col("sum_qc"))
+        .agg((round((sum(col("l_extendedprice")) / 7.0)*100)/100)
+          .as("avg_yearly"))
+    }, Some(
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice,
+                  CAST(round((l_quantity)*100) AS BIGINT) AS q_c
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23'),
+         pp AS (
+           SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS sum_qc,
+                  count(*) AS cnt
+           FROM li GROUP BY 1)
+         SELECT (round((sum(l_extendedprice) / 7.0)*100)/100) AS avg_yearly
+         FROM li JOIN pp USING (l_partkey)
+         WHERE q_c * 5 * cnt < sum_qc""")),
+
+    // ------------------------------------------------------------------ X10
+    // TPC-H Q22 shape: "wealthy inactive customers" — above-average
+    // balance, no urgent orders (the fixture gives every customer SOME
+    // order, so the inactivity cut is priority-scoped to keep the result
+    // non-empty) — reported per nation. Parity: balances compare
+    // as BIGINT cents against the cross-multiplied mean (`bal*cnt >
+    // sum_bal`), so the above-average cut has no float boundary. Scale:
+    // the global (sum, count) pair is a 1-row broadcast (never a driver
+    // collect); the no-orders test is a left-anti hash join on custkey —
+    // the orders side projects to its join key only, so the anti join
+    // ships keys, not rows.
+    QueryDef("x10_workload_q22", (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          expr("CAST(round((c_acctbal)*100) AS BIGINT)").as("bal_c"))
+        .filter(col("bal_c") > 0)
+      val stats = broadcast(cust.agg(sum(col("bal_c")).as("sum_bal"),
+        count(lit(1)).as("cnt")))
+      cust.crossJoin(stats)
+        .filter(col("bal_c") * col("cnt") > col("sum_bal"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          (round((sum(col("c_acctbal")))*100)/100).as("totacctbal"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    }, Some(
+      """WITH cust AS (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(round((c_acctbal)*100) AS BIGINT) AS bal_c
+           FROM customer
+           WHERE CAST(round((c_acctbal)*100) AS BIGINT) > 0),
+         stats AS (
+           SELECT CAST(sum(bal_c) AS BIGINT) AS sum_bal, count(*) AS cnt
+           FROM cust)
+         SELECT c_nationkey, count(*) AS numcust,
+                (round((sum(c_acctbal))*100)/100) AS totacctbal
+         FROM cust CROSS JOIN stats
+         WHERE bal_c * cnt > sum_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ X11
+    // TPC-H Q15 shape: the top-revenue supplier(s) of a quarter (view +
+    // scalar max subquery). Parity: per-line revenue rounds to BIGINT
+    // cents BEFORE summing, so the per-supplier totals and the max are
+    // order-free integers and the `= max` cut is exact (a float-sum
+    // equality would flip at representation boundaries). Scale: one
+    // map-side-combined shuffle on l_suppkey over the date-pruned scan;
+    // the max rides back as a 1-row broadcast; supplier names broadcast
+    // into a result bounded by ties.
+    QueryDef("x11_workload_q15", (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          expr("CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)")
+            .as("rev_c"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_c")).as("total_c"))
+      val mx = broadcast(rev.agg(max(col("total_c")).as("max_c")))
+      rev.crossJoin(mx)
+        .filter(col("total_c") === col("max_c"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (round((col("total_c").cast("double") / 100.0)*100)/100)
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey").asc_nulls_last)
+    }, Some(
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*100)
+                    AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1),
+         mx AS (SELECT max(total_c) AS max_c FROM rev)
+         SELECT s_suppkey, s_name,
+                (round((CAST(total_c AS DOUBLE) / 100.0)*100)/100)
+                  AS total_revenue
+         FROM rev CROSS JOIN mx
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_c = max_c
+         ORDER BY s_suppkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ J13
+    // Interval-overlap join via temporal bucketing — the scale-safe
+    // rewrite of the classic `a.start <= b.end AND b.start <= a.end`
+    // theta join. Each interval replicates to every day-bucket it
+    // touches (map-side sequence+explode), the join becomes an EQUALITY
+    // join on the bucket plus the overlap residual, and duplicate
+    // matches from multi-bucket overlaps collapse in the final distinct
+    // aggregate. At 100 TB the theta form is a cartesian per key-less
+    // pair (O(n·m)); the bucketed form shuffles O(n·avg_span_buckets)
+    // rows hash-distributed by day — the standard spatial-binning move.
+    // Intervals derive from the fixtures: per-user-per-day activity
+    // spans × per-type-per-day busy spans, bucket = epoch day.
+    QueryDef("j13_interval_bucket", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("ts_e"))
+      val ua = e.groupBy(col("user_id"),
+          expr("CAST(ts_e div 86400 AS BIGINT)").as("a_day"))
+        .agg(min(col("ts_e")).as("a_s"), max(col("ts_e")).as("a_e"))
+        .filter(col("a_e") > col("a_s") + 1800)
+      val tb = e.filter(col("event_type") === "purchase")
+        .groupBy(expr("CAST(ts_e div 86400 AS BIGINT)").as("b_day"))
+        .agg(min(col("ts_e")).as("b_s"), max(col("ts_e")).as("b_e"))
+      val uaB = ua.select(col("user_id"), col("a_s"), col("a_e"),
+        explode(sequence(expr("a_s div 86400"), expr("a_e div 86400")))
+          .as("bucket"))
+      val tbB = tb.select(col("b_s"), col("b_e"),
+        explode(sequence(expr("b_s div 86400"), expr("b_e div 86400")))
+          .as("bucket"))
+      uaB.join(tbB, Seq("bucket"))
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("user_id"), col("a_s"), col("b_s")).distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(epoch(CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP)) AS BIGINT) AS ts_e
+           FROM events),
+         ua AS (
+           SELECT user_id, ts_e // 86400 AS a_day,
+                  min(ts_e) AS a_s, max(ts_e) AS a_e
+           FROM e GROUP BY 1, 2
+           HAVING max(ts_e) > min(ts_e) + 1800),
+         tb AS (
+           SELECT ts_e // 86400 AS b_day,
+                  min(ts_e) AS b_s, max(ts_e) AS b_e
+           FROM e WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT user_id, count(*) AS n_overlaps FROM (
+           SELECT DISTINCT user_id, a_s, b_s
+           FROM ua JOIN tb ON a_s <= b_e AND b_s <= a_e) t
+         GROUP BY user_id
+         ORDER BY user_id ASC NULLS LAST"""))
   )
 }
