@@ -313,4 +313,37 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("Generate explode"),
       s"dim side must replicate via explode:\n$p")
   }
+
+  test("j13_interval_bucket: bucketed overlap join is equality-shaped, never cartesian") {
+    val p = plan("j13_interval_bucket")
+    // the whole point of the bucketing rewrite: the overlap theta join
+    // becomes an equality join on the day bucket (+ residual), with each
+    // interval replicated map-side via sequence+explode
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed interval join must not be a cartesian:\n$p")
+    assert(p.contains("Generate explode"),
+      s"intervals must replicate to buckets via explode:\n$p")
+  }
+
+  test("g3_triangle_count: triangle enumeration is hash-equality joins only") {
+    val p = plan("g3_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must be equality-shaped:\n$p")
+  }
+
+  test("t13_ewma: band self-join stays keyed on the series, no cartesian") {
+    val p = plan("t13_ewma")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must be an equality join with a residual:\n$p")
+  }
+
+  test("x9_workload_q17: brand filter is pushed and joined below the avg aggregate") {
+    val p = plan("x9_workload_q17")
+    assert(p.contains("PushedFilters") && p.contains("p_brand"),
+      s"brand filter must reach the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in Q17:\n$p")
+  }
 }
