@@ -1713,6 +1713,192 @@ object Llm {
            WHERE rk = 1),
          sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM st4)
          SELECT qid, nid, step, score FROM sel4
-         ORDER BY qid ASC NULLS LAST, step ASC NULLS LAST"""))
+         ORDER BY qid ASC NULLS LAST, step ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (k)
+    // Reciprocal-rank fusion (Cormack et al.) of two retrievers for the
+    // same queries: the full 64-dim cosine ranking fused with a truncated
+    // 32-dim ("matryoshka" prefix) ranking — the cheap-projection /
+    // full-precision split real retrieval stacks fuse. RRF score =
+    // Σ 1/(60 + rank) over the lists that returned the doc (k=60, the
+    // paper constant). Parity: ranks are integers, each doc's score is a
+    // sum of at most TWO floats (IEEE-commutative — order can't perturb
+    // it), rounded to 6dp before the fused ordering. Scale: each
+    // retriever is the l3_cosine_topk shape (pair scores → per-query
+    // window top-10), the fusion is one (qid, nid)-keyed outer join over
+    // two 10-row-per-query frames — fusion cost is O(queries·k), corpus
+    // cost stays inside the retrievers.
+    QueryDef("l3_rrf_fusion", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"))
+      val pairs = q.crossJoin(c)
+        .withColumn("sim_full",
+          call_function("vec_dot", col("qe"), col("ne"))
+            / (col("qn") * col("nn")))
+        .withColumn("sim_trunc",
+          expr("""aggregate(zip_with(slice(qe, 1, 32), slice(ne, 1, 32),
+                    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                / (sqrt(aggregate(transform(slice(qe, 1, 32),
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                 * sqrt(aggregate(transform(slice(ne, 1, 32),
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"""))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("sim_full").desc, col("nid").asc)
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("sim_trunc").desc, col("nid").asc)
+      val rf = pairs.withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 10).select(col("qid"), col("nid"), col("rk"))
+      val rt = pairs.withColumn("rk", row_number().over(wt))
+        .filter(col("rk") <= 10)
+        .select(col("qid").as("tqid"), col("nid").as("tnid"),
+          col("rk").as("trk"))
+      val wo = Window.partitionBy(col("fq"))
+        .orderBy(col("rrf").desc, col("fn").asc)
+      rf.join(rt, col("qid") === col("tqid") && col("nid") === col("tnid"),
+          "full_outer")
+        .select(coalesce(col("qid"), col("tqid")).as("fq"),
+          coalesce(col("nid"), col("tnid")).as("fn"),
+          (round((coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("trk")), lit(0.0)))
+            * 1000000) / 1000000).as("rrf"))
+        .withColumn("frk", row_number().over(wo))
+        .filter(col("frk") <= 5)
+        .select(col("fq").as("qid"), col("frk").as("fused_rank"),
+          col("fn").as("nid"), col("rrf"))
+        .orderBy(col("qid").asc_nulls_last, col("fused_rank").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb,
+                  sum(CASE WHEN i <= 32
+                      THEN CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      ELSE 0.0 END) AS tdot,
+                  sum(CASE WHEN i <= 32
+                      THEN CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      ELSE 0.0 END) AS ta,
+                  sum(CASE WHEN i <= 32
+                      THEN CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      ELSE 0.0 END) AS tb
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < 8 AND b.vec_id >= 8
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         rf AS (
+           SELECT qid, nid, rk FROM (
+             SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY dot / (sqrt(qa) * sqrt(qb)) DESC, nid ASC)
+                      AS rk
+             FROM d) WHERE rk <= 10),
+         rt AS (
+           SELECT qid AS tqid, nid AS tnid, rk AS trk FROM (
+             SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY tdot / (sqrt(ta) * sqrt(tb)) DESC, nid ASC)
+                      AS rk
+             FROM d) WHERE rk <= 10),
+         fused AS (
+           SELECT COALESCE(qid, tqid) AS fq, COALESCE(nid, tnid) AS fn,
+                  (round((COALESCE(1.0 / (60 + rk), 0.0)
+                        + COALESCE(1.0 / (60 + trk), 0.0))*1000000)/1000000)
+                    AS rrf
+           FROM rf FULL OUTER JOIN rt ON qid = tqid AND nid = tnid),
+         ranked AS (
+           SELECT fq, fn, rrf,
+                  row_number() OVER (PARTITION BY fq
+                    ORDER BY rrf DESC, fn ASC) AS frk
+           FROM fused)
+         SELECT fq AS qid, CAST(frk AS INTEGER) AS fused_rank, fn AS nid,
+                rrf
+         FROM ranked WHERE frk <= 5
+         ORDER BY qid ASC NULLS LAST, fused_rank ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (l)
+    // DSIR-style importance weighting (Xie et al. 2023): score each doc
+    // by the mean log-likelihood RATIO between a target-domain unigram LM
+    // (here: the English slice) and the raw-corpus LM, both add-one
+    // smoothed over the SHARED vocabulary — the data-selection signal
+    // that upweights target-looking documents. Same engine-parity recipe
+    // as l4_perplexity: both LMs are one token-frequency aggregate, the
+    // corpus scalars ride a broadcast 1-row frame, scoring is a
+    // token-keyed join + per-doc avg rounded to 6dp. At 100 TB the
+    // target LM trains on the (small) target slice, the raw LM partials
+    // map-side, and the per-token log-ratio table broadcasts into a
+    // map-only scoring pass.
+    QueryDef("l4_dsir", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val rawF = toks.groupBy(col("tok")).agg(count(lit(1)).as("rf"))
+      val tgtF = toks.filter(col("lang") === "en")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val corpus = broadcast(toks.agg(
+        count(lit(1)).as("n_raw"),
+        countDistinct(col("tok")).as("v_size"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt")))
+      val scored = toks
+        .join(rawF, "tok")
+        .join(tgtF, Seq("tok"), "left")
+        .crossJoin(corpus)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((round(avg(
+          log((coalesce(col("tf"), lit(0L)) + lit(1.0))
+            / (col("n_tgt") + col("v_size")))
+            - log((col("rf") + lit(1.0)) / (col("n_raw") + col("v_size"))))
+          * 1000000) / 1000000).as("dsir_score"))
+      scored
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(avg(col("dsir_score"))*10000)/10000).as("avg_score"),
+          min(col("dsir_score")).as("min_score"),
+          max(col("dsir_score")).as("max_score"),
+          sum(when(col("dsir_score") > 0, 1L).otherwise(0L)).as("n_selected"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH t AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         rawf AS (SELECT tok, count(*) AS rf FROM t GROUP BY 1),
+         tgtf AS (SELECT tok, count(*) AS tf FROM t WHERE lang = 'en'
+                  GROUP BY 1),
+         c AS (SELECT count(*) AS n_raw, count(DISTINCT tok) AS v_size,
+                      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tgt
+               FROM t),
+         s AS (
+           SELECT doc_id, lang,
+                  (round((avg(ln((COALESCE(tf, 0) + 1.0)
+                                 / (n_tgt + v_size))
+                             - ln((rf + 1.0) / (n_raw + v_size))))
+                    *1000000)/1000000) AS dsir_score
+           FROM t
+           JOIN rawf USING (tok)
+           LEFT JOIN tgtf USING (tok)
+           CROSS JOIN c
+           GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+                (round((avg(dsir_score))*10000)/10000) AS avg_score,
+                min(dsir_score) AS min_score,
+                max(dsir_score) AS max_score,
+                CAST(sum(CASE WHEN dsir_score > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_selected
+         FROM s GROUP BY lang
+         ORDER BY lang ASC NULLS LAST"""))
   )
 }

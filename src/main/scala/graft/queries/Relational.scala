@@ -1866,6 +1866,45 @@ object Relational {
          WHERE total_c = max_c
          ORDER BY s_suppkey ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ X12
+    // TPC-H Q10 shape: top returned-item revenue per customer in a
+    // quarter. The plan at any scale: both date bounds push into the
+    // orders scan and the returnflag pushes into lineitem; the
+    // fact-to-orders join is keyed on orderkey, the customer attributes
+    // arrive via a broadcast (shuffle at real SF — same shape), and the
+    // top-20 compiles to TakeOrderedAndProject, never a global sort.
+    QueryDef("x12_workload_q10", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        .agg((round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100)
+          .as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc_nulls_last)
+        .limit(20)
+    }, Some(
+      """SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                  AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+         ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
+         LIMIT 20""")),
+
     // ------------------------------------------------------------------ J13
     // Interval-overlap join via temporal bucketing — the scale-safe
     // rewrite of the classic `a.start <= b.end AND b.start <= a.end`
