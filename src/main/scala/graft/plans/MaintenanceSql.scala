@@ -28,6 +28,7 @@ import graft.sources.DeltaLite
   *   ALTER '<path>' DROP COLUMN name
   *   ALTER '<path>' ALTER COLUMN name SET DEFAULT expr
   *   ALTER '<path>' ALTER COLUMN name DROP DEFAULT
+  *   ALTER '<path>' ALTER COLUMN name TYPE <widerType>
   *   ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
   *   ALTER '<path>' ADD CONSTRAINT name CHECK (expr)
@@ -132,6 +133,16 @@ object MaintenanceSql {
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.setColumnDefault(spark, path, column, expr)))
+  }
+
+  final case class WidenColumnTypeCommand(path: String, column: String,
+      typeName: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.widenColumnType(path, column,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(typeName))))
   }
 
   final case class DropColumnDefaultCommand(path: String, column: String)
@@ -262,6 +273,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val SetDefaultRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val WidenTypeRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+([A-Za-z0-9()]+)\s*;?\s*""").r
   private val DropDefaultRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*""").r
@@ -316,6 +330,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the default variants must match BEFORE DROP COLUMN: `ALTER COLUMN c
     // DROP DEFAULT` contains no ambiguity, but keep order explicit
     case SetDefaultRe(p, c, e) => SetColumnDefaultCommand(p, c, e.trim)
+    case WidenTypeRe(p, c, t) => WidenColumnTypeCommand(p, c, t.trim)
     case DropDefaultRe(p, c) => DropColumnDefaultCommand(p, c)
     case DropColRe(p, c) => DropColumnCommand(p, c)
     case AddConstraintRe(p, n, check) => AddConstraintCommand(p, n, check.trim)

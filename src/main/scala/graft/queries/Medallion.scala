@@ -1589,6 +1589,54 @@ object Medallion {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey % 3 = 0
          GROUP BY c_mktsegment
-         ORDER BY c_mktsegment ASC NULLS LAST"""))
+         ORDER BY c_mktsegment ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S34
+    // Type widening (Delta `delta.enableTypeWidening` / `ALTER COLUMN ...
+    // TYPE <wider>`): the INT quantity column widens to BIGINT as a
+    // METADATA-ONLY commit — zero files rewritten at any table size — and
+    // the narrow-era files up-promote at scan time through the parquet
+    // reader's widening path while the post-widen append lands values
+    // ABOVE Int.MaxValue natively (the overflow headroom that motivates
+    // the migration). The oracle replays both eras' arithmetic straight
+    // off the fixture, certifying narrow-era values survive bit-exactly
+    // next to wide-era ones. ScaleSpec carries the file-identity,
+    // time-travel, stats-pruning and refusal contracts.
+    QueryDef("s34_type_widening", (s, dir) => {
+      val path = tmp("s34_delta")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate"),
+          expr("CAST(round((l_quantity)*100) AS INT)").as("qty_c"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      DeltaLite.create(s, path,
+        li.filter(col("l_shipdate") < cut).drop("l_shipdate"))
+      DeltaLite.widenColumnType(path, "qty_c",
+        org.apache.spark.sql.types.LongType)
+      // wide-era batch: values deliberately beyond Int.MaxValue
+      DeltaLite.append(s, path,
+        li.filter(col("l_shipdate") >= cut).drop("l_shipdate")
+          .withColumn("qty_c", col("qty_c") + lit(3000000000L)))
+      DeltaLite.read(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty_c")).as("sum_qty_c"),
+          max(col("qty_c")).as("max_qty_c"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """WITH li AS (
+           SELECT l_returnflag,
+                  CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                       THEN CAST(CAST(round((l_quantity)*100) AS INTEGER)
+                                 AS BIGINT)
+                       ELSE CAST(round((l_quantity)*100) AS BIGINT)
+                            + 3000000000 END AS qty_c
+           FROM lineitem WHERE l_orderkey % 3 = 0)
+         SELECT l_returnflag, count(*) AS n,
+                CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+                max(qty_c) AS max_qty_c
+         FROM li GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS LAST"""))
   )
 }

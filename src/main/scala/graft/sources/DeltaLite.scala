@@ -2090,6 +2090,61 @@ object DeltaLite {
       snap.identity, snap.properties)
   }
 
+  /** Delta type widening (`delta.enableTypeWidening` / `ALTER COLUMN ...
+    * TYPE <wider>`): METADATA-ONLY — the schema re-states the column at
+    * the wider type and no data file is touched at any table size. Old
+    * files keep their narrow physical encoding; the parquet reader
+    * up-promotes them at scan time (int32→int64, int32→float64,
+    * float→double — Spark 4's widening read path), while writes after the
+    * change land natively wide. Stats need NO migration: the log's
+    * decoded stat space already collapses every integer width to Long and
+    * every float width to Double ([[decodeStat]]), so old-file bounds
+    * keep pruning correctly under the new type. Narrow batches appended
+    * after the widen up-cast through the existing Cast.canUpCast
+    * enforcement rule. Time travel to a pre-widen version reads the
+    * narrow schema.
+    *
+    * Refused for: partition columns (their values parse by type from
+    * path strings), identity columns (allocation arithmetic is pinned to
+    * the declared type), generated columns and generator inputs (the
+    * expression's result type is part of the written contract), and
+    * columns with a live per-file bloom index (bloom probes hash the
+    * CAST-to-column-type value, so pre-widen blooms would wrongly prune
+    * — OPTIMIZE first to rebuild files, then widen). */
+  def widenColumnType(path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot(path)
+    val field = snap.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' in ${snap.schema.fieldNames.toSeq}"))
+    val ok = (field.dataType, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported type change ${field.dataType.simpleString} -> " +
+      s"${to.simpleString}: only integer widening (byte/short/int -> " +
+      "int/long/double) and float -> double are metadata-only")
+    require(!snap.partitionBy.contains(name),
+      s"cannot widen partition column '$name'")
+    require(!snap.identity.contains(name),
+      s"cannot widen identity column '$name'")
+    require(!snap.generated.contains(name) &&
+        !constraintMentions(snap.generated, name),
+      s"cannot widen '$name': it is, or is referenced by, a generated column")
+    val pn = snap.phys(name)
+    require(snap.files.forall(f => !f.bloom.contains(pn)),
+      s"cannot widen '$name': live files carry a bloom index keyed to the " +
+        "narrow type's hash — OPTIMIZE to rewrite them first")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    commitExclusive(path, snap.version + 1, "WIDEN_COLUMN_TYPE", newSchema,
+      Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity, snap.properties)
+  }
+
   /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):
     * METADATA-ONLY — the field leaves the logical schema, the physical
     * data stays in place and is simply never read again (reads select

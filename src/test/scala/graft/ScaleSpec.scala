@@ -2063,6 +2063,68 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       "rows untouched by the merge must not resurrect v2's physical data")
   }
 
+  test("type widening: metadata-only, stats keep pruning, narrow history reads wide") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("graft_widen").toString
+    DeltaLite.create(spark, path,
+      Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("n", "f", "s").coalesce(1)) // v0
+    DeltaLite.append(spark, path,
+      Seq((100, 9.5f, "c")).toDF("n", "f", "s").coalesce(1))               // v1
+    val before = DeltaLite.snapshot(path)
+    DeltaLite.widenColumnType(path, "n", LongType)                         // v2
+    DeltaLite.widenColumnType(path, "f", DoubleType)                       // v3
+    val after = DeltaLite.snapshot(path)
+    // metadata-only: the data files are IDENTICAL by path
+    assert(after.files.map(_.path).sorted === before.files.map(_.path).sorted,
+      "widening must not rewrite any data file")
+    assert(after.schema("n").dataType === LongType)
+    assert(after.schema("f").dataType === DoubleType)
+    // wide-era append: a value beyond Int.MaxValue lands natively
+    DeltaLite.append(spark, path,
+      Seq((5000000000L, 1.25, "d")).toDF("n", "f", "s").coalesce(1))       // v4
+    val rows = DeltaLite.read(spark, path).as[(Long, Double, String)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 100L, 5000000000L))
+    assert(rows.map(_._2).toSeq === Seq(1.5, 2.5, 9.5, 1.25))
+    // narrow-era stats still prune under the WIDE type: a bound above
+    // the first file's max must drop it
+    val pruned = DeltaLite.pruneFiles(DeltaLite.snapshot(path),
+      Seq(DeltaLite.ColumnBound("n", lower = Some(50L))))
+    assert(pruned.size < DeltaLite.snapshot(path).files.size,
+      "narrow-era files must still prune on the widened column's stats")
+    // time travel BEFORE the widen reads the narrow schema
+    assert(DeltaLite.read(spark, path, asOf = Some(1L))
+      .schema("n").dataType === IntegerType)
+    // a narrow batch still appends (up-cast through enforcement)
+    DeltaLite.append(spark, path,
+      Seq((7, 3.5f, "e")).toDF("n", "f", "s").coalesce(1))                 // v5
+    assert(DeltaLite.read(spark, path).count() === 5)
+    // refusals: narrowing, identity/partition/generated/bloom'd columns
+    intercept[IllegalArgumentException] {
+      DeltaLite.widenColumnType(path, "n", IntegerType)
+    }
+    val part = Files.createTempDirectory("graft_widen_p").toString
+    DeltaLite.create(spark, part,
+      Seq((1, "x")).toDF("k", "p"), partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.widenColumnType(part, "p", LongType)
+    }
+    val bl = Files.createTempDirectory("graft_widen_b").toString
+    DeltaLite.create(spark, bl, Seq((1, "x")).toDF("k", "s"),
+      properties = Map("graft.bloom.columns" -> "k"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.widenColumnType(bl, "k", LongType)
+    }
+    // SQL spelling (commands run eagerly at sql()): string->string is
+    // refused — the DeltaLite error, not a parse error, proves the
+    // statement routed through the graft parser
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER '$path' ALTER COLUMN s TYPE string")
+    }
+    assert(err.getMessage.contains("unsupported type change"))
+  }
+
   test("partition-scoped OPTIMIZE: string bounds parse; unresolvable bounds fail loudly") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partopt3").toString
