@@ -218,9 +218,17 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
+      // a clustered table (graft.clusterBy) re-routes plain OPTIMIZE onto
+      // the incremental clustering path — the Databricks behavior for
+      // liquid-clustered tables; partition-scoped OPTIMIZE keeps its
+      // compaction meaning either way
+      val clusterBy = DeltaLite.clusterByColumns(
+        DeltaLite.snapshot(path).properties)
       val v = partitionEq match {
         case Some((c, value)) => DeltaLite.compactPartition(spark, path,
           Seq(DeltaLite.ColumnBound(c, Some(value), Some(value))))
+        case None if clusterBy.nonEmpty =>
+          DeltaLite.clusterIncremental(spark, path, clusterBy)
         case None => DeltaLite.compactSmall(spark, path, minRows)
       }
       Seq(Row(v))

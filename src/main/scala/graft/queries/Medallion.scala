@@ -1637,6 +1637,41 @@ object Medallion {
                 CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
                 max(qty_c) AS max_qty_c
          FROM li GROUP BY l_returnflag
-         ORDER BY l_returnflag ASC NULLS LAST"""))
+         ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S35
+    // Liquid-style incremental clustering (`graft.clusterBy` + OPTIMIZE):
+    // the first OPTIMIZE Morton-orders the initial load; the second pass
+    // after an append rewrites ONLY the appended files — layout
+    // maintenance tracks the new data (O(batch)), never the table, which
+    // is the liquid contract vs classic full-rewrite ZORDER. The oracle
+    // certifies the invariant that matters: clustering passes are pure
+    // LAYOUT ops — logical content after create+optimize+append+optimize
+    // is exactly the fixture replay. ScaleSpec pins the file-identity and
+    // pruning mechanics.
+    QueryDef("s35_liquid_cluster", (s, dir) => {
+      val path = tmp("s35_delta")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_shipdate"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      DeltaLite.create(s, path,
+        li.filter(col("l_shipdate") < cut).repartition(4),
+        properties = Map("graft.clusterBy" -> "l_orderkey,l_partkey"))
+      s.sql(s"OPTIMIZE '$path'")       // clusters the initial 4 files
+      DeltaLite.append(s, path,
+        li.filter(col("l_shipdate") >= cut).repartition(3))
+      s.sql(s"OPTIMIZE '$path'")       // clusters ONLY the 3 new files
+      DeltaLite.read(s, path)
+        .groupBy(expr("l_orderkey % 10").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(l_quantity))*100)/100").as("sum_qty"))
+        .orderBy(col("bucket").asc_nulls_last)
+    }, Some(
+      """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
+                (round((sum(l_quantity))*100)/100) AS sum_qty
+         FROM lineitem WHERE l_orderkey % 3 = 0
+         GROUP BY 1 ORDER BY bucket ASC NULLS LAST"""))
   )
 }

@@ -2921,6 +2921,84 @@ object DeltaLite {
       snap.identity, snap.properties)
   }
 
+  /** Liquid-clustering-style INCREMENTAL clustering (Delta `CLUSTER BY`
+    * + OPTIMIZE): rewrite ONLY the files that arrived since the last
+    * clustering pass — appends, merges, compactions — into
+    * clustering-ordered files (Morton for 2 columns, hierarchical range
+    * sort otherwise), leaving every already-clustered file's identity
+    * untouched. That is the liquid contract vs classic ZORDER: layout
+    * maintenance cost tracks the NEW data (O(batch)), never the table
+    * (O(100 TB)), at the price that each pass clusters its own increment
+    * rather than re-interleaving the whole key space — periodic full
+    * [[clusterZ]] remains available when global interleaving is worth
+    * the rewrite. "Already clustered" is decided from the LOG alone:
+    * a live file is clustered iff the commit that added it was a
+    * CLUSTER_INCREMENTAL pass (provenance walk over commit headers,
+    * driver-side metadata work only). Declared via the
+    * `graft.clusterBy` table property, which re-routes plain
+    * [[compactSmall]]-style OPTIMIZE onto this path (the Databricks
+    * OPTIMIZE-on-clustered-table behavior). */
+  def clusterIncremental(spark: SparkSession, path: String,
+      cols: Seq[String], numFiles: Int = 0): Long = {
+    require(cols.nonEmpty, "clustering columns required")
+    graft.functions.GraftFunctions.register(spark)
+    val snap = snapshot(path)
+    // provenance: which op added each live file (later adds win — a path
+    // can only be re-added after a remove, and the newest add is live)
+    val addedBy = scala.collection.mutable.Map[String, String]()
+    (0L to snap.version).foreach { v =>
+      var op = ""
+      val adds = scala.collection.mutable.Buffer[String]()
+      Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          parseLine(line) match {
+            case JObject(fields) => fields.foreach {
+              case ("commit", JObject(c)) =>
+                c.collectFirst { case ("op", JString(s)) => s }.foreach(op = _)
+              case ("add", JObject(a)) =>
+                a.collectFirst { case ("path", JString(p)) => p }
+                  .foreach(adds += _)
+              case _ => ()
+            }
+            case _ => ()
+          }
+        }
+      adds.foreach(p => addedBy(p) = op)
+    }
+    val victims = snap.files.filterNot(f =>
+      addedBy.get(f.path).contains("CLUSTER_INCREMENTAL"))
+    if (victims.isEmpty) return snap.version
+    val n = if (numFiles > 0) numFiles
+      else math.max(1, math.ceil(victims.map(_.rows).sum / 500000.0).toInt)
+    val base = readFiles(spark, path, snap.schema, victims,
+      snap.partitionBy, snap.physical)
+    val ordered = cols match {
+      case Seq(a, b) =>
+        base.withColumn("__z", call_function("interleave_bits",
+            col(a).cast("long"), col(b).cast("long")))
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case cs =>
+        base.repartitionByRange(n, cs.map(col): _*)
+          .sortWithinPartitions(cs.map(col): _*)
+    }
+    val v = snap.version + 1
+    val adds = writeData(spark, root(path), v, ordered, snap.schema,
+      snap.partitionBy, snap.physical, snap.generated, snap.properties)
+    commitExclusive(path, v, "CLUSTER_INCREMENTAL", snap.schema, adds,
+      victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical,
+      snap.generated, snap.identity, snap.properties)
+  }
+
+  /** Clustering columns from the `graft.clusterBy` table property, if
+    * declared (case-insensitive key — Spark lowercases option keys). */
+  def clusterByColumns(properties: Map[String, String]): Seq[String] =
+    properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.clusterBy") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   /** Partition-scoped Z-order (`OPTIMIZE tbl WHERE part = x ZORDER BY
     * (a, b)`) — the nightly layout job for a partitioned table: rewrite
     * ONLY the bound partitions' files, Morton-ordered on (colA, colB)

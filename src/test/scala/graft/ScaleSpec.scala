@@ -2125,6 +2125,44 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(err.getMessage.contains("unsupported type change"))
   }
 
+  test("incremental clustering: only post-cluster files rewrite; pruning tightens") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_liquid").toString
+    // 2-D keyed rows scattered across 4 unclustered files
+    val rows1 = (0 until 800).map(i => (i.toLong % 40, (i / 40).toLong, i))
+    DeltaLite.create(spark, path, rows1.toDF("x", "y", "v").repartition(4),
+      properties = Map("graft.clusterBy" -> "x,y"))
+    val v1 = DeltaLite.clusterIncremental(spark, path, Seq("x", "y"))
+    val clustered1 = DeltaLite.snapshot(path).files.map(_.path).toSet
+    // append a second wave; the next pass must touch ONLY those files
+    val rows2 = (800 until 1200).map(i => (i.toLong % 40, (i / 40).toLong, i))
+    DeltaLite.append(spark, path, rows2.toDF("x", "y", "v").repartition(3))
+    val v2 = DeltaLite.clusterIncremental(spark, path, Seq("x", "y"))
+    assert(v2 === v1 + 2)
+    val after = DeltaLite.snapshot(path).files.map(_.path).toSet
+    assert(clustered1.subsetOf(after),
+      "files clustered by pass 1 must keep their identities through pass 2")
+    // logical content is untouched by both passes
+    assert(DeltaLite.read(spark, path).as[(Long, Long, Int)].collect().toSet
+      === (rows1 ++ rows2).map(t => (t._1, t._2, t._3)).toSet)
+    // a 2-D box bound prunes: Morton order means a tight (x, y) box
+    // can't need every file
+    val snap = DeltaLite.snapshot(path)
+    val pruned = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("x", Some(0L), Some(4L)),
+        DeltaLite.ColumnBound("y", Some(0L), Some(4L))))
+    assert(pruned.size < snap.files.size,
+      "a tight 2-D box must skip at least one clustered file")
+    // nothing new since pass 2 → a third pass is a NO-OP (same version)
+    assert(DeltaLite.clusterIncremental(spark, path, Seq("x", "y")) === v2)
+    // plain OPTIMIZE on a clustered table routes to incremental
+    // clustering, not compaction: appended sliver gets clustered
+    DeltaLite.append(spark, path, Seq((1L, 1L, 9999)).toDF("x", "y", "v"))
+    val v3 = spark.sql(s"OPTIMIZE '$path'").collect().head.getLong(0)
+    assert(v3 === v2 + 2)
+    assert(DeltaLite.read(spark, path).count() === 1201)
+  }
+
   test("partition-scoped OPTIMIZE: string bounds parse; unresolvable bounds fail loudly") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_partopt3").toString
