@@ -63,7 +63,7 @@ object Bench {
     // queue does exactly this with runtime estimates.
     val heavyFirst = Seq(
       "s26_mv_minmax", "s25_incremental_mv", "t11_microbatch", "s33_join_mv",
-      "l3_ann_index",
+      "l3_ann_index", "s35_liquid_cluster", "s34_type_widening",
       "l2_dedup_groups", "s24_merge_evolution", "s9_scd2_snapshot",
       "l3_ann_pq", "l2_substring_dedup", "l4_tfidf", "l3_ann_ivfpq",
       "l2_minhash_lsh", "s13_delete_insert", "l2_semdedup", "l3_ann_ivf",

@@ -1905,6 +1905,83 @@ object Relational {
          ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
          LIMIT 20""")),
 
+    // ------------------------------------------------------------------ X13
+    // TPC-H Q19 shape: disjunction-of-conjunctions over a join (the
+    // "promo revenue" OR-of-ANDs). The plan move: the COMMON conjunct of
+    // all three arms (the brand set, the global quantity range) pushes
+    // into the scans as a pre-filter, the part side broadcasts, and the
+    // residual OR evaluates inside the join — Catalyst's CNF extraction
+    // doing at plan time what hand-written UNION-of-three-joins would
+    // cost three scans to do. One float op chain mirrored textually.
+    QueryDef("x13_workload_q19", (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20))
+        .agg((round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))*100)/100)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }, Some(
+      """SELECT (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity >= 1 AND l_quantity <= 30
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity <= 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity >= 20))""")),
+
+    // ------------------------------------------------------------------ X14
+    // TPC-H Q16 shape: distinct supplier counts per part attribute group,
+    // excluding a blacklist (NOT IN → left-anti). The supplier relation
+    // here is lineitem's (partkey, suppkey) pairs (the fixture has no
+    // partsupp). Scale shape: the blacklist is a tiny broadcast anti
+    // join on the fact BEFORE the distinct aggregate; the (group,
+    // suppkey) dedup and the final count share one group-keyed shuffle
+    // (partial dedup map-side); part attributes broadcast in.
+    QueryDef("x14_workload_q16", (s, dir) => {
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc_nulls_last,
+          col("p_type").asc_nulls_last, col("p_size").asc_nulls_last)
+        .limit(25)
+    }, Some(
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_size <= 20
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand ASC NULLS LAST,
+                  p_type ASC NULLS LAST, p_size ASC NULLS LAST
+         LIMIT 25""")),
+
     // ------------------------------------------------------------------ J13
     // Interval-overlap join via temporal bucketing — the scale-safe
     // rewrite of the classic `a.start <= b.end AND b.start <= a.end`
