@@ -463,6 +463,43 @@ object Scalars {
                FROM documents)
          ORDER BY id ASC NULLS LAST, win_idx ASC NULLS LAST""")),
 
+    // ------------------------------------------------------- M4 (multimodal)
+    // ViT patch-grid geometry: image dimensions ride typed metadata next
+    // to the opaque payload (derived deterministically from the byte
+    // length here — the decode that would read them from headers is the
+    // documented stub boundary), and the patch tiling every vision
+    // transformer performs — ceil-divided grid, right/bottom padding,
+    // CLS-token sequence length — is exact integer arithmetic computed
+    // WITHOUT decoding a pixel: map-only over the corpus at any scale.
+    QueryDef("m4_patch_grid", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"))
+        .withColumn("w", expr("CAST(64 + n_bytes % 100 AS INT)"))
+        .withColumn("h", expr("CAST(48 + n_bytes % 77 AS INT)"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("CAST((w + 15) div 16 AS INT)").as("patches_x"),
+          expr("CAST((h + 15) div 16 AS INT)").as("patches_y"),
+          expr("CAST(((w + 15) div 16) * 16 - w AS INT)").as("pad_x"),
+          expr("CAST(((h + 15) div 16) * 16 - h AS INT)").as("pad_y"),
+          expr("CAST(((w + 15) div 16) * ((h + 15) div 16) + 1 AS INT)")
+            .as("seq_len"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH m AS (
+           SELECT doc_id,
+                  CAST(64 + octet_length(encode(text)) % 100 AS INTEGER) AS w,
+                  CAST(48 + octet_length(encode(text)) % 77 AS INTEGER) AS h
+           FROM documents)
+         SELECT doc_id, w, h,
+                CAST((w + 15) // 16 AS INTEGER) AS patches_x,
+                CAST((h + 15) // 16 AS INTEGER) AS patches_y,
+                CAST(((w + 15) // 16) * 16 - w AS INTEGER) AS pad_x,
+                CAST(((h + 15) // 16) * 16 - h AS INTEGER) AS pad_y,
+                CAST(((w + 15) // 16) * ((h + 15) // 16) + 1 AS INTEGER)
+                  AS seq_len
+         FROM m ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ F12
     // Bitwise scalars (&, <<, >>, bit_count) and bitwise aggregates
     // (bit_and/bit_or/bit_xor) — all codegen'd column expressions; the
