@@ -343,6 +343,83 @@ object DeltaLite {
     }
   }
 
+  // --------------------------------------------- protocol table features
+
+  /** Delta table-features protocol, emulated on the metadata-properties
+    * channel (real Delta carries a separate `protocol` action; ours rides
+    * `metaData.properties`, which every commit, checkpoint, RESTORE and
+    * clone already re-states/forwards — same refusal semantics, zero new
+    * replay machinery). A feature in the READER set gates every snapshot
+    * resolution; a feature in the WRITER set additionally gates commits.
+    * The point is FORWARD compatibility: a log written by a future/other
+    * implementation that requires a feature this engine does not know
+    * must refuse loudly instead of silently misreading — e.g. a foreign
+    * "v2Checkpoint" reader feature means our checkpoint replay would be
+    * WRONG, not merely incomplete. Feature-requiring operations
+    * auto-register (widenColumnType → typeWidening, deleteVectorized →
+    * deletionVectors), mirroring Delta's automatic protocol upgrades. */
+  private[graft] val ProtocolReaderKey = "graft.protocol.readerFeatures"
+  private[graft] val ProtocolWriterKey = "graft.protocol.writerFeatures"
+  private[graft] val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "typeWidening", "timestampNtz",
+    "generatedColumns", "rowTracking", "changeDataFeed")
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set(
+      "appendOnly", "checkConstraints", "identityColumns", "columnDefaults",
+      "copyInto", "liquidClustering", "bloomFilters", "optimizedWrite",
+      "autoCompact")
+
+  private def featureSet(props: Map[String, String], key: String): Set[String] =
+    props.getOrElse(key, "").split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  private def checkReaderFeatures(path: String,
+      props: Map[String, String]): Unit = {
+    val unknown = featureSet(props, ProtocolReaderKey) -- SupportedReaderFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"table at $path requires reader features ${unknown.toSeq.sorted
+        .mkString(", ")} this engine does not support; refusing to read " +
+        "rather than misinterpret the log")
+  }
+
+  private def checkWriterFeatures(path: String,
+      props: Map[String, String]): Unit = {
+    val unknown = featureSet(props, ProtocolWriterKey) -- SupportedWriterFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"table at $path requires writer features ${unknown.toSeq.sorted
+        .mkString(", ")} this engine does not support; the table stays " +
+        "readable but refuses commits")
+  }
+
+  /** Merge `feature` into the properties' reader and/or writer feature
+    * sets (a writer feature is implied by a reader feature, like Delta). */
+  private def withFeature(props: Map[String, String], feature: String,
+      reader: Boolean): Map[String, String] = {
+    val w = (featureSet(props, ProtocolWriterKey) + feature).toSeq.sorted
+    val base = props + (ProtocolWriterKey -> w.mkString(","))
+    if (!reader) base
+    else {
+      val r = (featureSet(props, ProtocolReaderKey) + feature).toSeq.sorted
+      base + (ProtocolReaderKey -> r.mkString(","))
+    }
+  }
+
+  /** Manually require a table feature (Delta `ALTER TABLE ... SET
+    * TBLPROPERTIES ('delta.feature.X' = 'supported')` analogue). Only
+    * features THIS engine supports can be enabled through it — a foreign
+    * feature can only ever arrive via a log another writer produced. */
+  def enableTableFeature(path: String, feature: String,
+      reader: Boolean = false): Long = {
+    val snap = snapshot(path)
+    require(SupportedWriterFeatures.contains(feature) &&
+        (!reader || SupportedReaderFeatures.contains(feature)),
+      s"cannot require feature '$feature': this engine does not support " +
+        "it, so the resulting table would refuse itself")
+    commitExclusive(path, snap.version + 1, "SET_PROTOCOL_FEATURE",
+      snap.schema, Nil, Nil, snap.constraints, snap.partitionBy,
+      snap.physical, snap.generated, snap.identity,
+      withFeature(snap.properties, feature, reader))
+  }
+
   /** Tip-snapshot cache (the Delta driver's snapshot-management design):
     * `snapshot()` is on EVERY operation's path, and a full log replay per
     * call is O(live files) JSON parsing — the hot metadata cost once a
@@ -415,6 +492,9 @@ object DeltaLite {
         pr => properties = pr)
     }
     require(schema != null, s"log at $path has no metaData action")
+    // forward-compat gate: a log requiring reader features we don't
+    // implement must refuse resolution, not silently misread
+    checkReaderFeatures(path, properties)
     Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
       physical, generated, identity, properties)
   }
@@ -956,6 +1036,7 @@ object DeltaLite {
     // silently DROP them from the table. `txns` (multi-txn commits —
     // COPY INTO records one loaded-file identity per txn action) is
     // accumulative state, not re-stated metadata, so a default is safe.
+    checkWriterFeatures(path, properties)
     Files.createDirectories(logDir(path))
     // ROW TRACKING (Delta `delta.enableRowTracking`, fresh-row-ID tier):
     // every committed file gets a disjoint row-id range [baseRowId,
@@ -1442,9 +1523,12 @@ object DeltaLite {
       .write.mode("errorifexists").parquet(r.resolve(dvRel).toString)
     val readds = snap.files.filter(f => touchedSet.contains(f.path))
       .map(_.copy(dv = Some(dvRel)))
+    // a table carrying DVs needs the DV read path → auto-require the
+    // reader feature with the first vector (Delta's automatic upgrade)
     commitExclusive(path, snap.version + 1, "DELETE_DV", snap.schema,
       readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+      snap.identity,
+      withFeature(snap.properties, "deletionVectors", reader = true))
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or
@@ -2140,9 +2224,12 @@ object DeltaLite {
         "narrow type's hash — OPTIMIZE to rewrite them first")
     val newSchema = StructType(snap.schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
+    // widened tables need the widening read path → auto-require the
+    // reader feature (Delta's automatic protocol upgrade on enablement)
     commitExclusive(path, snap.version + 1, "WIDEN_COLUMN_TYPE", newSchema,
       Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
-      snap.generated, snap.identity, snap.properties)
+      snap.generated, snap.identity,
+      withFeature(snap.properties, "typeWidening", reader = true))
   }
 
   /** Delta `ALTER TABLE ... DROP COLUMN name` (column mapping):

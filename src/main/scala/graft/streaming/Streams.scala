@@ -67,6 +67,28 @@ object Streams {
         col("imp_ts"), col("conv_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickConversions]]
+    * but unmatched impressions must still be REPORTED (the ad-attribution
+    * "no conversion" row). The engine can only emit a null-padded left
+    * row once the conversion-side watermark has passed the end of that
+    * impression's interval — proof no match can still arrive — so outer
+    * results trail the watermark by the interval length; state for both
+    * sides is evicted on the same boundary. That watermark-bounded state
+    * is the 100 TB contract: without it an outer stream join buffers the
+    * full history. */
+  def clickConversionsOuter(impressions: DataFrame,
+      conversions: DataFrame): DataFrame = {
+    val i = impressions.withWatermark("imp_ts", "10 minutes")
+    val c = conversions.withWatermark("conv_ts", "10 minutes")
+    i.join(c,
+        i("user_id") === c("user_id") &&
+        c("conv_ts") >= i("imp_ts") &&
+        c("conv_ts") <= i("imp_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(i("user_id").as("user_id"), col("imp_id"), col("conv_id"),
+        col("imp_ts"), col("conv_ts"))
+  }
+
   /** T6 streaming twin: exactly-once dedup on the event id, with state
     * bounded by the watermark. */
   def dedupStream(events: DataFrame): DataFrame =

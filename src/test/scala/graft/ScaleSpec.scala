@@ -1776,7 +1776,8 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     // so compare against what each recorded version carried — here the
     // final snapshot simply must be internally consistent with its log)
     assert(DeltaLite.snapshot(path).properties.keySet.subsetOf(
-      (0 to 3).map(i => s"tag$i").toSet + "graft.optimizeWrite"))
+      (0 to 3).map(i => s"tag$i").toSet + "graft.optimizeWrite" +
+        DeltaLite.ProtocolReaderKey + DeltaLite.ProtocolWriterKey))
     // time travel: every committed version must equal SOME prefix state
     // (maintenance ops commit without changing data, so walk both seqs)
     val latest = DeltaLite.latestVersion(path).get
@@ -2123,6 +2124,67 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       spark.sql(s"ALTER '$path' ALTER COLUMN s TYPE string")
     }
     assert(err.getMessage.contains("unsupported type change"))
+  }
+
+  test("protocol table features: foreign reader feature refuses reads; writer feature refuses commits") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_proto").toString
+    DeltaLite.create(spark, path, Seq((1L, "a"), (2L, "gone")).toDF("k", "s"))
+    // auto-registration: the first REAL DV requires the reader feature
+    DeltaLite.deleteVectorized(spark, path, col("k") === 2L)
+    assert(DeltaLite.snapshot(path).properties
+      .getOrElse(DeltaLite.ProtocolReaderKey, "").contains("deletionVectors"))
+    // a feature this engine implements can be required explicitly
+    DeltaLite.enableTableFeature(path, "columnMapping", reader = true)
+    assert(DeltaLite.read(spark, path).count() === 1)
+    // a feature we DON'T implement cannot be enabled (the table would
+    // refuse itself)
+    intercept[IllegalArgumentException] {
+      DeltaLite.enableTableFeature(path, "futureMagic")
+    }
+    // our own writer refuses to REQUIRE a foreign writer feature too —
+    // the property channel is still a commit, and commits are gated
+    intercept[UnsupportedOperationException] {
+      DeltaLite.setProperties(path,
+        Map(DeltaLite.ProtocolWriterKey -> "deletionVectors,futureWriteMagic"))
+    }
+    // a FOREIGN log (another implementation's commit) is emulated by
+    // crafting the commit file directly: header + metaData re-stated
+    // with the feature merged into properties
+    def foreignCommit(tbl: String, v: Long, key: String, feature: String): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val log = Paths.get(tbl).resolve("_graft_log")
+      val metaLine = Files.readAllLines(log.resolve(s"${v - 1}.json")).asScala
+        .find(_.contains("\"metaData\"")).get
+      val merged = JsonMethods.parse(metaLine) merge
+        JObject("metaData" -> JObject("properties" ->
+          JObject(key -> JString(feature))))
+      Files.write(log.resolve(s"$v.json"), java.util.List.of(
+        """{"commit":{"op":"FOREIGN","committedAtMs":0}}""",
+        JsonMethods.compact(merged)))
+      DeltaLite.clearSnapshotCache()
+    }
+    // foreign WRITER feature: reads stay fine, commits refuse
+    val pathW = Files.createTempDirectory("graft_protoW").toString
+    DeltaLite.create(spark, pathW, Seq((1L, "a")).toDF("k", "s"))
+    foreignCommit(pathW, 1L, DeltaLite.ProtocolWriterKey, "futureWriteMagic")
+    assert(DeltaLite.read(spark, pathW).count() === 1, "reads must survive")
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLite.append(spark, pathW, Seq((2L, "b")).toDF("k", "s"))
+    }
+    assert(e1.getMessage.contains("futureWriteMagic"))
+    // foreign READER feature: even snapshot resolution refuses loudly
+    val path2 = Files.createTempDirectory("graft_proto2").toString
+    DeltaLite.create(spark, path2, Seq((1L, "a")).toDF("k", "s"))
+    foreignCommit(path2, 1L, DeltaLite.ProtocolReaderKey, "v9Checkpoint")
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLite.read(spark, path2)
+    }
+    assert(e2.getMessage.contains("v9Checkpoint"))
+    // time travel BEFORE the foreign feature still reads (the gate is
+    // per-resolved-snapshot, exactly Delta's semantics)
+    assert(DeltaLite.read(spark, path2, asOf = Some(0L)).count() === 1)
   }
 
   test("incremental clustering: only post-cluster files rewrite; pruning tightens") {

@@ -118,6 +118,44 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Long, Timestamp)]
+    val i = imps.toDF().toDF("imp_id", "user_id", "imp_ts")
+    val c = convs.toDF().toDF("conv_id", "user_id", "conv_ts")
+    val q = Streams.clickConversionsOuter(i, c).writeStream
+      .format("memory").queryName("conv_outer").outputMode("append").start()
+    try {
+      // user 1 converts inside the interval; user 2 never converts — its
+      // null-padded row may only surface once the conversion watermark
+      // proves no match can still arrive
+      imps.addData((10L, 1L, ts(0)), (11L, 2L, ts(1)))
+      convs.addData((20L, 1L, ts(20)))
+      q.processAllAvailable()
+      val matched = spark.table("conv_outer")
+        .select("imp_id", "conv_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(matched.toSeq.contains((10L, 20L)))
+      assert(!matched.toSeq.contains((11L, -1L)),
+        "the unmatched row must NOT surface before the watermark passes")
+      // advance both watermarks far past imp 11's interval end
+      imps.addData((12L, 9L, ts(600)))
+      convs.addData((29L, 9L, ts(600)))
+      q.processAllAvailable()
+      // one more micro-batch so the new watermark takes effect
+      imps.addData((13L, 9L, ts(660)))
+      convs.addData((30L, 9L, ts(660)))
+      q.processAllAvailable()
+      val after = spark.table("conv_outer")
+        .select("imp_id", "conv_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(after.toSeq.contains((11L, -1L)),
+        s"unmatched impression must emit null-padded after eviction, got ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("native session windows group by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
