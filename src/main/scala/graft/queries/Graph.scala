@@ -210,10 +210,16 @@ object Graph {
       val lo = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // the deduped edge list is REFERENCED THREE TIMES by the triangle
+      // join — without a lineage cut each reference re-derives the whole
+      // corpus-scan + pair-join pipeline (measured 68 s at sf0.1 under
+      // concurrency; 3 s with the cut). Lazy localCheckpoint materializes
+      // it once inside the single action (g1's Pregel pattern).
       val e = lo.alias("x").join(lo.alias("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("a"), col("y.sk").as("b"))
         .distinct()
+        .localCheckpoint(false)
       val tri = e.alias("e1")
         .join(e.alias("e2"), col("e1.b") === col("e2.a"))
         .join(e.alias("e3"),
@@ -244,6 +250,91 @@ object Graph {
            UNION ALL SELECT tc FROM tri) u
          GROUP BY node
          ORDER BY n_triangles DESC, node ASC
-         LIMIT 20"""))
+         LIMIT 20""")),
+
+    // ------------------------------------------------------------------- G4
+    // Hash-min label propagation (the connected-components relaxation)
+    // over the co-supplier graph, 3 supersteps — the ORACLE-GATED twin of
+    // the rows-only l2_dedup_groups machinery: labels are BIGINT node
+    // ids, each superstep takes min(own, min over neighbors), and a fixed
+    // superstep count is bit-exact in both engines regardless of
+    // convergence (min over ints is order/retry-insensitive). Per
+    // superstep: one edges⋈labels equality join + one dst-keyed min agg
+    // with map-side combine, label frame lineage-cut (g1's lazy
+    // localCheckpoint pattern). The component census after round 3 is the
+    // output; at 100 TB the same loop runs to convergence with
+    // pointer-jumping (Dedup.connectedComponents), which DedupSpec pins.
+    QueryDef("g4_label_prop", (s, dir) => {
+      // edges are BLOCKED to same-nation supplier pairs (the broadcast
+      // nation map is the blocking key) — the unrestricted co-supplier
+      // graph collapses to one component, blocked it keeps a real
+      // component census (23 components at sf0.01)
+      val nat = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = lo.alias("x").join(lo.alias("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .join(nat.alias("na"), col("x.sk") === col("na.s_suppkey"))
+        .join(nat.alias("nb"), col("y.sk") === col("nb.s_suppkey"))
+        .filter(col("na.s_nationkey") === col("nb.s_nationkey"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      var lab = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val nl = edges.join(lab, edges("src") === lab("node"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+        lab = lab.join(nl, lab("node") === nl("dst"), "left")
+          .select(col("node"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint(false)
+      }
+      lab.groupBy(col("lab").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component").asc_nulls_last)
+    }, Some(
+      """WITH lo AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         pairs AS (
+           SELECT DISTINCT x.sk AS a, y.sk AS b
+           FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk
+           JOIN supplier sa ON x.sk = sa.s_suppkey
+           JOIN supplier sb ON y.sk = sb.s_suppkey
+           WHERE sa.s_nationkey = sb.s_nationkey),
+         edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         l0 AS (
+           SELECT DISTINCT src AS node, src AS lab FROM edges),
+         l1 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l0 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l0 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst),
+         l2 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l1 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l1 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst),
+         l3 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l2 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l2 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst)
+         SELECT lab AS component, count(*) AS n_nodes
+         FROM l3 GROUP BY lab
+         ORDER BY component ASC NULLS LAST"""))
   )
 }

@@ -1899,6 +1899,62 @@ object Llm {
                 CAST(sum(CASE WHEN dsir_score > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_selected
          FROM s GROUP BY lang
-         ORDER BY lang ASC NULLS LAST"""))
+         ORDER BY lang ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L6 (b)
+    // Interleaved multimodal sequence packing — the vision-language
+    // training assembly step: each document contributes its TEXT tokens
+    // plus its image's ViT patch tokens (m4's geometry over typed
+    // metadata — no pixel decode) plus two separator tokens, and
+    // documents pack greedily into 2048-token context windows per source
+    // shard via the l5_sequence_pack window-cumsum (shards pack in
+    // parallel at 100 TB; all arithmetic integer-exact). The per-sequence
+    // report splits the budget into text vs image tokens — the mix
+    // statistic a multimodal data pipeline monitors.
+    QueryDef("l6_mm_pack", (s, dir) => {
+      val ctx = 2048
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("text_toks"),
+          length(col("text").cast("binary")).as("n_bytes"))
+        .withColumn("w", expr("CAST(64 + n_bytes % 100 AS INT)"))
+        .withColumn("h", expr("CAST(48 + n_bytes % 77 AS INT)"))
+        .withColumn("img_toks",
+          expr("CAST(((w + 15) div 16) * ((h + 15) div 16) AS INT)"))
+        .withColumn("toks", col("text_toks") + col("img_toks") + 2)
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("seq_id", floor((col("cum") - col("toks")) / ctx))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("text_toks")).as("text_tokens"),
+          sum(col("img_toks")).as("image_tokens"),
+          sum(col("toks")).as("seq_tokens"))
+        .orderBy(col("source").asc_nulls_last, col("seq_id").asc_nulls_last)
+    }, Some(
+      """WITH d AS (
+           SELECT source, doc_id,
+                  len(string_split(text, ' ')) AS text_toks,
+                  CAST(64 + octet_length(encode(text)) % 100 AS INTEGER) AS w,
+                  CAST(48 + octet_length(encode(text)) % 77 AS INTEGER) AS h
+           FROM documents),
+         t AS (
+           SELECT source, doc_id, text_toks,
+                  CAST(((w + 15) // 16) * ((h + 15) // 16) AS INTEGER)
+                    AS img_toks,
+                  text_toks + CAST(((w + 15) // 16) * ((h + 15) // 16)
+                    AS INTEGER) + 2 AS toks
+           FROM d),
+         c AS (
+           SELECT *, sum(toks) OVER (PARTITION BY source
+                       ORDER BY doc_id ASC) AS cum
+           FROM t)
+         SELECT source, CAST(floor((cum - toks) / 2048) AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+                CAST(sum(img_toks) AS BIGINT) AS image_tokens,
+                CAST(sum(toks) AS BIGINT) AS seq_tokens
+         FROM c GROUP BY source, seq_id
+         ORDER BY source ASC NULLS LAST, seq_id ASC NULLS LAST"""))
   )
 }
