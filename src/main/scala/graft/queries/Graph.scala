@@ -207,16 +207,27 @@ object Graph {
     // canonical id order plays that role. The per-node participation
     // report is a 3-way unpivot of the triangle list + one count agg.
     QueryDef("g3_triangle_count", (s, dir) => {
+      // Edges are BLOCKED to same-nation supplier pairs: the raw
+      // co-supplier graph is a near-clique at sf0.1 (453k of 499k
+      // possible edges → 137M open wedges, measured 73 s), and triangle
+      // counting on a clique is degenerate — real triangle workloads run
+      // on sparse graphs, and the blocking key keeps the fixture graph
+      // one (18k edges / 218k wedges at sf0.1). The nation map rides a
+      // broadcast.
+      val nat = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
       val lo = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
       // the deduped edge list is REFERENCED THREE TIMES by the triangle
       // join — without a lineage cut each reference re-derives the whole
-      // corpus-scan + pair-join pipeline (measured 68 s at sf0.1 under
-      // concurrency; 3 s with the cut). Lazy localCheckpoint materializes
-      // it once inside the single action (g1's Pregel pattern).
+      // corpus-scan + pair-join pipeline. Lazy localCheckpoint
+      // materializes it once inside the single action (g1's pattern).
       val e = lo.alias("x").join(lo.alias("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
+        .join(nat.alias("na"), col("x.sk") === col("na.s_suppkey"))
+        .join(nat.alias("nb"), col("y.sk") === col("nb.s_suppkey"))
+        .filter(col("na.s_nationkey") === col("nb.s_nationkey"))
         .select(col("x.sk").as("a"), col("y.sk").as("b"))
         .distinct()
         .localCheckpoint(false)
@@ -238,7 +249,10 @@ object Graph {
            SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
          e AS (
            SELECT DISTINCT x.sk AS a, y.sk AS b
-           FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk),
+           FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk
+           JOIN supplier sa ON x.sk = sa.s_suppkey
+           JOIN supplier sb ON y.sk = sb.s_suppkey
+           WHERE sa.s_nationkey = sb.s_nationkey),
          tri AS (
            SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
            FROM e e1

@@ -1982,6 +1982,150 @@ object Relational {
                   p_type ASC NULLS LAST, p_size ASC NULLS LAST
          LIMIT 25""")),
 
+    // ------------------------------------------------------------------ X15
+    // TPC-H Q6 shape: the forecast-revenue scan — filter + single-row
+    // aggregate with NO join. The point at scale: all three predicates
+    // (date range, discount band, quantity cap) push into the parquet
+    // scan, so the exchange carries exactly ONE partial-agg row per task
+    // — the query is scan-bandwidth-bound, the floor any engine should
+    // hit.
+    QueryDef("x15_workload_q6", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg((round((sum(col("l_extendedprice") * col("l_discount")))*100)/100)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }, Some(
+      """SELECT (round((sum(l_extendedprice * l_discount))*100)/100) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")),
+
+    // ------------------------------------------------------------------ X16
+    // TPC-H Q14 shape: promo revenue share — a conditional aggregate
+    // ratio. Parity: both the promo slice and the total sum as BIGINT
+    // cents (per-row round BEFORE the sum), so the ratio divides two
+    // exact integers and cannot drift with summation order; the part
+    // type broadcast-joins into the month-bounded fact scan.
+    QueryDef("x16_workload_q14", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          expr("CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)")
+            .as("net_c"),
+          col("p_type"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("net_c")).otherwise(0L))
+            .as("promo_c"),
+          sum(col("net_c")).as("total_c"))
+        .select(
+          (round((col("promo_c").cast("double") * 100.0
+            / col("total_c").cast("double")) * 10000) / 10000)
+            .as("promo_share_pct"),
+          (round((col("total_c").cast("double") / 100.0)*100)/100)
+            .as("total_revenue"))
+    }, Some(
+      """WITH l AS (
+           SELECT CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                    AS net_c,
+                  p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
+         a AS (
+           SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN net_c ELSE 0 END)
+                    AS BIGINT) AS promo_c,
+                  CAST(sum(net_c) AS BIGINT) AS total_c
+           FROM l)
+         SELECT (round((CAST(promo_c AS DOUBLE) * 100.0
+                  / CAST(total_c AS DOUBLE))*10000)/10000) AS promo_share_pct,
+                (round((CAST(total_c AS DOUBLE) / 100.0)*100)/100)
+                  AS total_revenue
+         FROM a""")),
+
+    // ------------------------------------------------------------------ X17
+    // TPC-H Q8 shape: national market share — NATION_3's slice of
+    // Europe's STANDARD-part import revenue per year. The two-level
+    // conditional-ratio aggregate runs over ONE pass of the multiply
+    // filtered star join (every dimension broadcasts; customer-side
+    // region filter and part-type filter push before the fact join), and
+    // the per-year ratio divides two exact BIGINT-cents sums.
+    QueryDef("x17_workload_q8", (s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val custEu = t(s, dir, "customer")
+        .join(broadcast(nat.filter(col("n_regionkey") === 3)
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = t(s, dir, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val pStd = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(pStd), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).as("yr"),
+          expr("CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)")
+            .as("net_c"),
+          col("supp_nation"))
+        .groupBy(col("yr"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("net_c"))
+            .otherwise(0L)).as("nation_c"),
+          sum(col("net_c")).as("total_c"))
+        .select(col("yr"),
+          (round((col("nation_c").cast("double")
+            / col("total_c").cast("double")) * 10000) / 10000)
+            .as("mkt_share"),
+          (round((col("total_c").cast("double") / 100.0)*100)/100)
+            .as("total_revenue"))
+        .orderBy(col("yr").asc_nulls_last)
+    }, Some(
+      """WITH l AS (
+           SELECT year(o_orderdate) AS yr,
+                  CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                    AS net_c,
+                  sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE p_type = 'STANDARD' AND cn.n_regionkey = 3),
+         a AS (
+           SELECT yr,
+                  CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN net_c ELSE 0 END) AS BIGINT) AS nation_c,
+                  CAST(sum(net_c) AS BIGINT) AS total_c
+           FROM l GROUP BY yr)
+         SELECT yr,
+                (round((CAST(nation_c AS DOUBLE)
+                  / CAST(total_c AS DOUBLE))*10000)/10000) AS mkt_share,
+                (round((CAST(total_c AS DOUBLE) / 100.0)*100)/100)
+                  AS total_revenue
+         FROM a ORDER BY yr ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ J13
     // Interval-overlap join via temporal bucketing — the scale-safe
     // rewrite of the classic `a.start <= b.end AND b.start <= a.end`
