@@ -346,4 +346,21 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"brand filter must reach the part scan:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in Q17:\n$p")
   }
+
+  test("x17_workload_q8: every dimension broadcasts, fact never sort-merges") {
+    val p = plan("x17_workload_q8")
+    assert(!p.contains("SortMergeJoin"),
+      s"the star join must not fall back to sort-merge:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"part/customer-region/supplier-nation must broadcast:\n$p")
+  }
+
+  test("x13_workload_q19: common conjuncts push into both scans") {
+    val p = plan("x13_workload_q19")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"the global quantity band must reach the lineitem scan:\n$p")
+    assert(p.contains("p_brand"),
+      s"the brand set must reach the part side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in Q19:\n$p")
+  }
 }
