@@ -2126,6 +2126,42 @@ object Relational {
                   AS total_revenue
          FROM a ORDER BY yr ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ X18
+    // TPC-H Q12 shape: shipping-class audit — per class (l_linestatus
+    // standing in for the fixture's missing l_shipmode), count lines on
+    // critical-priority orders vs the rest, over a ship-date year. The
+    // CASE pair evaluates inside one partial+final aggregate over the
+    // orderkey-keyed join; the date bounds push into the fact scan and
+    // the orders side projects to (key, priority) only. With Q12 the
+    // suite covers 19 of 22 TPC-H query shapes — q2/q9/q20 need the
+    // partsupp table the fixtures do not carry.
+    QueryDef("x18_workload_q12", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ J13
     // Interval-overlap join via temporal bucketing — the scale-safe
     // rewrite of the classic `a.start <= b.end AND b.start <= a.end`
