@@ -2162,6 +2162,164 @@ object Relational {
          GROUP BY l_linestatus
          ORDER BY l_linestatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ X19
+    // TPC-H Q2 shape: minimum-cost supplier per part (correlated MIN
+    // subquery → aggregate-then-join-back on the (part, min) pair). The
+    // fixtures carry no partsupp, so the part-supplier relation derives
+    // from lineitem's distinct pairs with a DETERMINISTIC synthesized
+    // integer cost — both engines compute identical values, so the
+    // argmin set is exact. Plan: the min-cost table and the join-back
+    // share one partkey-keyed shuffle; part/supplier/nation attributes
+    // broadcast; the region filter lands before any fact-sized work.
+    QueryDef("x19_workload_q2", (s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .distinct()
+        .withColumn("cost_c",
+          expr("(partkey * 31 + suppkey * 17) % 1000"))
+      val pf = broadcast(t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val suppEu = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 3)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val eligible = ps
+        .join(pf, col("partkey") === col("p_partkey"))
+        .join(suppEu, col("suppkey") === col("s_suppkey"))
+      val minCost = eligible.groupBy(col("partkey").as("mk"))
+        .agg(min(col("cost_c")).as("min_c"))
+      eligible
+        .join(minCost, col("partkey") === col("mk") &&
+          col("cost_c") === col("min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("partkey").as("p_partkey"), col("cost_c"))
+        .orderBy(col("s_acctbal").desc_nulls_last, col("n_name").asc_nulls_last,
+          col("s_name").asc_nulls_last, col("p_partkey").asc_nulls_last)
+        .limit(20)
+    }, Some(
+      """WITH ps AS (
+           SELECT partkey, suppkey,
+                  (partkey * 31 + suppkey * 17) % 1000 AS cost_c
+           FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                 FROM lineitem)),
+         elig AS (
+           SELECT ps.partkey, ps.cost_c, s.s_name, s.s_acctbal, n.n_name
+           FROM ps
+           JOIN part ON ps.partkey = p_partkey
+           JOIN supplier s ON ps.suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           WHERE p_size = 15 AND p_type = 'STANDARD' AND n.n_regionkey = 3),
+         mc AS (SELECT partkey AS mk, min(cost_c) AS min_c
+                FROM elig GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, partkey AS p_partkey, cost_c
+         FROM elig JOIN mc ON partkey = mk AND cost_c = min_c
+         ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS LAST,
+                  s_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+         LIMIT 20""")),
+
+    // ------------------------------------------------------------------ X20
+    // TPC-H Q9 shape: product-line profit per supplier nation per year —
+    // the widest join in the suite (lineitem ⋈ part ⋈ supplier ⋈ nation
+    // ⋈ orders) with profit = revenue − cost·quantity. Cost is the same
+    // synthesized deterministic integer as Q2; revenue rounds to cents
+    // per row; quantity is integral — so per-line profit is an exact
+    // BIGINT and the nation×year sums are summation-order-free. Every
+    // dimension broadcasts; the only fact-sized exchanges are the
+    // orderkey join and the final tiny group-by.
+    QueryDef("x20_workload_q9", (s, dir) => {
+      val pf = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")))
+      val sn = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      t(s, dir, "lineitem")
+        .join(pf, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("nation"), col("o_year"),
+          (expr("CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)")
+            - expr("((l_partkey * 31 + l_suppkey * 17) % 1000)")
+              * expr("CAST(round(l_quantity) AS BIGINT)")).as("amount_c"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg((round((sum(col("amount_c")).cast("double") / 100.0)*100)/100)
+          .as("sum_profit"))
+        .orderBy(col("nation").asc_nulls_last, col("o_year").desc_nulls_last)
+    }, Some(
+      """WITH l AS (
+           SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                  CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)
+                    - ((l_partkey * 31 + l_suppkey * 17) % 1000)
+                      * CAST(round(l_quantity) AS BIGINT) AS amount_c
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE p_type = 'PROMO')
+         SELECT nation, o_year,
+                (round((CAST(sum(amount_c) AS DOUBLE) / 100.0)*100)/100)
+                  AS sum_profit
+         FROM l GROUP BY nation, o_year
+         ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ X21
+    // TPC-H Q20 shape: suppliers holding excess stock of promo parts —
+    // the nested-IN chain (parts → part-supplier excess test → supplier
+    // semi join). Availqty is the synthesized deterministic integer;
+    // "excess" = availqty > half the 1996 shipped quantity for that
+    // (part, supplier), compared in integers (availqty·2 > shipped). The
+    // chain lowers to: per-(part,supp) shipped aggregate over the
+    // date-pruned fact, integer filter, then a LEFT SEMI into supplier —
+    // no correlated re-execution anywhere.
+    QueryDef("x21_workload_q20", (s, dir) => {
+      val promo = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(expr("CAST(round(sum(l_quantity)) AS BIGINT)").as("shipped_q"))
+      val excess = shipped
+        .withColumn("availqty",
+          expr("(l_partkey * 7 + l_suppkey * 13) % 100 + 50"))
+        .filter(col("availqty") * 2 > col("shipped_q"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 1)
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name").asc_nulls_last)
+    }, Some(
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(round(sum(l_quantity)) AS BIGINT) AS shipped_q
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1, 2),
+         excess AS (
+           SELECT l_suppkey FROM shipped
+           WHERE ((l_partkey * 7 + l_suppkey * 13) % 100 + 50) * 2
+                 > shipped_q)
+         SELECT s_name, n_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey = 1
+           AND s_suppkey IN (SELECT l_suppkey FROM excess)
+         ORDER BY s_name ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ J13
     // Interval-overlap join via temporal bucketing — the scale-safe
     // rewrite of the classic `a.start <= b.end AND b.start <= a.end`

@@ -1680,9 +1680,14 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
           model = model.map { case (k, v) => if (k < cut) (k, v + 100) else (k, v) }
           DeltaLite.update(spark, path, col("k") < cut,
             Map("v" -> (col("v") + 100)))
-        case 4 => // maintenance: no logical change
-          if (rnd.nextBoolean()) DeltaLite.compactSmall(spark, path, minRows = 5L)
-          else DeltaLite.compact(spark, path, numFiles = 2)
+        case 4 => // maintenance: no logical change (compaction or an
+          // incremental clustering pass — liquid clustering must compose
+          // with every other op class)
+          rnd.nextInt(3) match {
+            case 0 => DeltaLite.compactSmall(spark, path, minRows = 5L)
+            case 1 => DeltaLite.compact(spark, path, numFiles = 2)
+            case _ => DeltaLite.clusterIncremental(spark, path, Seq("k"))
+          }
         case 5 => // deletion-vector soft delete of a residue class
           val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
           val doomed = model.keys.filter(_ % m == r).toSet
