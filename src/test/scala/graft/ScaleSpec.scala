@@ -2192,6 +2192,46 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path2, asOf = Some(0L)).count() === 1)
   }
 
+  test("type widening races concurrent appends: all commits land, widened schema wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = Files.createTempDirectory("graft_widen_race").toString
+    DeltaLite.create(spark, path, Seq((0, "seed")).toDF("n", "s").coalesce(1))
+    // 4 appender threads × 5 batches race one widening thread; appends
+    // auto-retry on conflicts (re-resolving the schema each attempt, so
+    // post-widen retries re-state the WIDE schema), the widen retries
+    // its exclusive commit until it claims a version
+    val appenders = (1 to 4).map { t =>
+      Future {
+        (0 until 5).foreach { i =>
+          DeltaLite.append(spark, path,
+            Seq((t * 100 + i, s"b$t-$i")).toDF("n", "s").coalesce(1))
+        }
+      }
+    }
+    val widener = Future {
+      var done = false
+      while (!done) {
+        try { DeltaLite.widenColumnType(path, "n", LongType); done = true }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    Await.result(Future.sequence(appenders :+ widener), 120.seconds)
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.schema("n").dataType === LongType,
+      "the widen must survive the append storm")
+    val rows = DeltaLite.read(spark, path).as[(Long, String)].collect()
+    assert(rows.length === 21, s"all 21 rows must land, got ${rows.length}")
+    assert(rows.map(_._1).toSet.size === 21, "no duplicated appends")
+    // wide values append fine after the dust settles
+    DeltaLite.append(spark, path,
+      Seq((7000000000L, "wide")).toDF("n", "s").coalesce(1))
+    assert(DeltaLite.read(spark, path).count() === 22)
+  }
+
   test("incremental clustering: only post-cluster files rewrite; pruning tightens") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_liquid").toString
