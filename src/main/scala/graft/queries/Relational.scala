@@ -1351,6 +1351,66 @@ object Relational {
          FROM ranked WHERE rn = 1
          ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A19
+    // Bitmap-rollup EXACT distinct count: user ids pack into 63-bit words
+    // (bit 63 stays clear — DuckDB refuses the signed-overflow shift, and
+    // portable bitmaps shouldn't ride the sign bit anyway): word =
+    // id div 63, bit = id mod 63. Per-(day, word) bitmaps merge
+    // with bit_or — a MERGEABLE integer aggregate, so daily bitmaps
+    // roll up to any coarser grain without rescanning the fact — and the
+    // final count is sum(bit_count(word)). This is the roaring-bitmap /
+    // BITMAP_COUNT_DISTINCT pattern warehouses use when approx sketches
+    // (A3) aren't acceptable and COUNT(DISTINCT) re-shuffles at every
+    // grain: the shuffle here is bounded by (days × live words), not
+    // rows, and re-aggregation to weekly grain reuses the daily bitmaps.
+    QueryDef("a19_bitmap_distinct", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(date_trunc("second", col("ts")).cast("date").as("day"),
+          col("user_id"))
+      val words = e.groupBy(col("day"),
+          expr("CAST(user_id div 63 AS BIGINT)").as("word_idx"))
+        .agg(bit_or(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(user_id % 63 AS INT)) AS BIGINT)")).as("word"))
+      val daily = words.groupBy(col("day"))
+        .agg(sum(bit_count(col("word")).cast("long")).as("n_users"))
+      // weekly rollup REUSES the daily word bitmaps (bit_or merges) —
+      // the whole point of the mergeable representation
+      val weekly = words
+        .groupBy(date_trunc("week", col("day")).cast("date").as("wk"),
+          col("word_idx"))
+        .agg(bit_or(col("word")).as("word"))
+        .groupBy(col("wk"))
+        .agg(sum(bit_count(col("word")).cast("long")).as("wk_users"))
+      daily
+        .join(weekly,
+          date_trunc("week", col("day")).cast("date") === col("wk"))
+        .select(col("day"), col("n_users"), col("wk_users"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day,
+                  user_id
+           FROM events),
+         words AS (
+           SELECT day, CAST(user_id // 63 AS BIGINT) AS word_idx,
+                  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                    AS word
+           FROM e GROUP BY 1, 2),
+         daily AS (
+           SELECT day, CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+           FROM words GROUP BY 1),
+         weekly AS (
+           SELECT wk, CAST(sum(bit_count(word)) AS BIGINT) AS wk_users
+           FROM (SELECT CAST(date_trunc('week', day) AS DATE) AS wk,
+                        word_idx, bit_or(word) AS word
+                 FROM words GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT day, n_users, wk_users
+         FROM daily JOIN weekly
+           ON CAST(date_trunc('week', day) AS DATE) = wk
+         ORDER BY day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- X1
     // Composite workload (TPC-H Q3 shape): selective dimension filter →
     // two-level star join → keyed agg → top-10. The plan to expect at any
