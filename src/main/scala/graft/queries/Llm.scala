@@ -106,6 +106,96 @@ object Llm {
          JOIN sizes sb ON sb.doc_id = idb
          ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L2 (j)
+    // INCREMENTAL dedup — the production shape: a new batch dedups
+    // against the EXISTING corpus (and itself), never corpus×corpus.
+    // Verdicts per incoming doc, first match wins: exact-dup (md5
+    // equality against existing hashes — at 100 TB that map is a
+    // pre-built hash table, here derived in-query), near-dup (shared
+    // 3-gram shingle candidates + Jaccard ≥ 0.5 verify, candidates from
+    // an EQUALITY join so the incoming batch touches only colliding
+    // existing docs), else new. The asymmetric join is the point: cost
+    // scales with |batch| × collision fan-out, not |corpus|² — rerunning
+    // yesterday's dedup never reopens the deduped corpus.
+    QueryDef("l2_incremental_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+      val existing = docs.filter(col("doc_id") < 80)
+      val incoming = docs.filter(col("doc_id") >= 80)
+      val exHash = existing.select(md5(col("text").cast("binary")).as("eh"),
+        col("doc_id").as("eid"))
+      val inHash = incoming.select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("ih"))
+      val exact = inHash.join(exHash, col("ih") === col("eh"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min(col("eid")).as("exact_dup_of"))
+      val exSets = TextFunctions.shingleSets(existing, "doc_id", "text")
+        .select(col("doc_id").as("eid"), col("shingle"))
+      val inSets = TextFunctions.shingleSets(incoming, "doc_id", "text")
+      val inter = inSets.join(exSets, Seq("shingle"))
+        .groupBy(col("doc_id"), col("eid")).agg(count(lit(1)).as("inter"))
+      val szE = exSets.groupBy(col("eid")).agg(count(lit(1)).as("sze"))
+      val szI = inSets.groupBy(col("doc_id")).agg(count(lit(1)).as("szi"))
+      val near = inter.join(szE, "eid").join(szI, "doc_id")
+        .filter(expr("CAST(inter AS DOUBLE) / (szi + sze - inter) >= 0.5"))
+        .groupBy(col("doc_id")).agg(min(col("eid")).as("near_dup_of"))
+      exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("exact_dup_of").isNotNull, "exact_dup")
+            .when(col("near_dup_of").isNotNull, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents
+                       WHERE doc_id < 120),
+         ex AS (SELECT * FROM docs WHERE doc_id < 80),
+         inc AS (SELECT * FROM docs WHERE doc_id >= 80),
+         exact AS (
+           SELECT i.doc_id, i.lang, min(e.doc_id) AS exact_dup_of
+           FROM inc i LEFT JOIN ex e ON md5(i.text) = md5(e.text)
+           GROUP BY 1, 2),
+         exsets AS (
+           SELECT DISTINCT doc_id AS eid, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM ex)),
+         insets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM inc)),
+         sze AS (SELECT eid, count(*) AS sze FROM exsets GROUP BY 1),
+         szi AS (SELECT doc_id, count(*) AS szi FROM insets GROUP BY 1),
+         itab AS (
+           SELECT i.doc_id, e.eid, count(*) AS ic
+           FROM insets i JOIN exsets e ON i.shingle = e.shingle
+           GROUP BY 1, 2),
+         near AS (
+           SELECT n.doc_id, min(n.eid) AS near_dup_of
+           FROM (SELECT itab.doc_id, itab.eid
+                 FROM itab
+                 JOIN sze ON itab.eid = sze.eid
+                 JOIN szi ON itab.doc_id = szi.doc_id
+                 WHERE CAST(ic AS DOUBLE) / (szi + sze - ic) >= 0.5) n
+           GROUP BY 1)
+         SELECT e.doc_id, e.lang,
+                CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                     WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS verdict,
+                COALESCE(e.exact_dup_of, n.near_dup_of) AS dup_of
+         FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
+         ORDER BY e.doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (g)
     // EXACT substring dedup (the suffix-array dedup of "Deduplicating
     // Training Data Makes Language Models Better", reformulated for a
