@@ -1411,6 +1411,55 @@ object Relational {
            ON CAST(date_trunc('week', day) AS DATE) = wk
          ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A20
+    // Rolling 7-day distinct users (the DAU/WAU rolling-window metric)
+    // over the SAME mergeable word bitmaps as A19 — the composition that
+    // makes the bitmap representation pay: a sliding distinct count
+    // cannot partial-aggregate as raw ids (distinct isn't mergeable),
+    // but word bitmaps OR across any day set, so the rolling window is a
+    // ±6-day band self-join over the TINY (day, word) frame + one
+    // bit_or per (day, word) + bit_count sum. The fact table is scanned
+    // ONCE; the band join runs over days×words, not rows.
+    QueryDef("a20_rolling_distinct", (s, dir) => {
+      val words = t(s, dir, "events")
+        .select(date_trunc("second", col("ts")).cast("date").as("day"),
+          col("user_id"))
+        .groupBy(col("day"),
+          expr("CAST(user_id div 63 AS BIGINT)").as("word_idx"))
+        .agg(bit_or(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(user_id % 63 AS INT)) AS BIGINT)")).as("word"))
+      val days = words.select(col("day")).distinct()
+        .select(col("day").as("d"))
+      days
+        .join(words,
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"), col("word_idx"))
+        .agg(bit_or(col("word")).as("word"))
+        .groupBy(col("d").as("day"))
+        .agg(sum(bit_count(col("word")).cast("long")).as("rolling_7d_users"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day,
+                  user_id
+           FROM events),
+         words AS (
+           SELECT day, CAST(user_id // 63 AS BIGINT) AS word_idx,
+                  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                    AS word
+           FROM e GROUP BY 1, 2),
+         days AS (SELECT DISTINCT day AS d FROM words),
+         banded AS (
+           SELECT days.d, w.word_idx, bit_or(w.word) AS word
+           FROM days JOIN words w
+             ON w.day BETWEEN days.d - INTERVAL 6 DAY AND days.d
+           GROUP BY 1, 2)
+         SELECT d AS day,
+                CAST(sum(bit_count(word)) AS BIGINT) AS rolling_7d_users
+         FROM banded GROUP BY 1
+         ORDER BY day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- X1
     // Composite workload (TPC-H Q3 shape): selective dimension filter →
     // two-level star join → keyed agg → top-10. The plan to expect at any
