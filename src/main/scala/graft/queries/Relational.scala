@@ -1294,6 +1294,99 @@ object Relational {
          SELECT o_orderstatus, o_orderkey, rn FROM ranked WHERE rn <= 5
          ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- P9
+    // Deterministic WEIGHTED sample (priority sampling): each row draws a
+    // content-keyed uniform u (6 md5 hex digits → an exact integer, same
+    // digit-polynomial in both engines) and competes on priority u / w
+    // with weight = order value in cents. The division is ONE
+    // correctly-rounded IEEE op over identical integers — bit-identical
+    // across engines with NO transcendentals and NO rounding step — so
+    // the top-k by (priority, id) is exact. This is the
+    // quality-weighted corpus sampling shape (sample rate ∝ weight)
+    // with reproducibility = the seed string, map-only until the top-k.
+    QueryDef("p9_weighted_sample", (s, dir) => {
+      val hexU = "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576 + " +
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536 + " +
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(h, 6, 1)) - 1)"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          md5(concat(lit("ws11:"), col("o_orderkey").cast("string"))).as("h"))
+        .withColumn("u", expr(s"CAST($hexU AS BIGINT)"))
+        .withColumn("w_c",
+          expr("CAST(round((o_totalprice)*100) AS BIGINT)"))
+        .withColumn("priority",
+          col("u").cast("double") / col("w_c").cast("double"))
+        .orderBy(col("priority").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+        .limit(20)
+        .select(col("o_orderkey"),
+          (round((col("o_totalprice"))*100)/100).as("o_totalprice"),
+          col("u"), col("w_c"))
+    }, Some(
+      """WITH d AS (
+           SELECT o_orderkey, o_totalprice,
+                  md5('ws11:' || CAST(o_orderkey AS VARCHAR)) AS h
+           FROM orders),
+         k AS (
+           SELECT o_orderkey, o_totalprice,
+                  CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
+                     + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
+                     + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
+                     + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
+                     + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+                     + (instr('0123456789abcdef', substring(h, 6, 1)) - 1)
+                    AS BIGINT) AS u,
+                  CAST(round((o_totalprice)*100) AS BIGINT) AS w_c
+           FROM d)
+         SELECT o_orderkey, (round((o_totalprice)*100)/100) AS o_totalprice,
+                u, w_c
+         FROM k
+         ORDER BY CAST(u AS DOUBLE) / CAST(w_c AS DOUBLE) ASC NULLS LAST,
+                  o_orderkey ASC NULLS LAST
+         LIMIT 20""")),
+
+    // ------------------------------------------------------------------- W7
+    // FILTER-ed window aggregates: per customer, the running count and
+    // running spend of URGENT orders only, alongside the unfiltered
+    // running count — DuckDB's `count(*) FILTER (...) OVER w` restated
+    // as the conditional-sum identity Spark compiles to the same single
+    // Window operator (one shuffle, one sort, all three aggregates in
+    // one pass; integer-exact).
+    QueryDef("w7_filtered_window", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("n_all", count(lit(1)).over(w))
+        .withColumn("n_urgent",
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .over(w))
+        .withColumn("urgent_spend",
+          (round((sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice")).otherwise(0.0)).over(w))*100)/100))
+        .select(col("o_custkey"), col("o_orderkey"), col("n_all"),
+          col("n_urgent"), col("urgent_spend"))
+        .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+                count(*) OVER w AS n_all,
+                CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                  OVER w AS BIGINT) AS n_urgent,
+                (round((COALESCE(sum(o_totalprice)
+                    FILTER (WHERE o_orderpriority = '1-URGENT') OVER w,
+                  0.0))*100)/100) AS urgent_spend
+         FROM orders
+         WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A16
     // Equi-width histogram without an engine histogram primitive: the
     // bucket index is pure arithmetic (least(floor(x/width), n-1) — the
