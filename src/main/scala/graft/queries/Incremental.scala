@@ -538,6 +538,81 @@ object Incremental {
          GROUP BY 1, 2
          ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ J14
+    // Point-in-time (PIT) join against SCD2 validity intervals — THE
+    // warehouse temporal join: each purchase picks the dimension version
+    // that was valid AT its timestamp (valid_from <= ts < valid_to, open
+    // current interval). The dimension is the same SCD2 build as
+    // s9_scd2_snapshot; the join is EQUALITY on the key with the
+    // interval residual — intervals partition time per key, so at most
+    // one version matches and the join never fans out. At 100 TB this
+    // keyed-equality + residual form shuffles each side once on user_id
+    // (the AsOfJoin union+window rewrite is the equivalent single-
+    // shuffle formulation when the dimension is too hot to hash-join).
+    // Purchases before a user's first version report state 'none'.
+    QueryDef("j14_pit_scd2", (s, dir) => {
+      import graft.operators.Scd2
+      val deduped = ev(s, dir)
+        .groupBy(col("user_id"), col("ts_sec"))
+        .agg(max_by(col("event_type"), col("event_id")).as("event_type"),
+          max_by(col("value"), col("event_id")).as("value"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts_sec"))
+      // the dimension tracks the user's BROWSING state (non-purchase
+      // events) so each purchase joins the state it happened DURING —
+      // a dimension containing the facts themselves would degenerately
+      // self-match at every row
+      val dim = Scd2.build(
+        deduped.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"), col("ts_sec")),
+        keys = Seq("user_id"), ts = "ts_sec", attrs = Seq("event_type"))
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      val purchases = deduped.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_sec"), col("value"))
+      purchases
+        .join(dim,
+          col("user_id") === col("d_user") &&
+            col("valid_from") <= col("ts_sec") &&
+            (col("valid_to").isNull || col("ts_sec") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("state"), lit("none")).as("state_at_purchase"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (round((sum(col("value")))*100)/100).as("total_value"))
+        .orderBy(col("state_at_purchase").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         d AS (
+           SELECT user_id, event_type, value, ts_sec FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+                         ORDER BY event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         flagged AS (
+           SELECT user_id, event_type, ts_sec,
+                  (lag(ts_sec) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w)
+                    AS is_change
+           FROM (SELECT * FROM d WHERE event_type <> 'purchase')
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC)),
+         dim AS (
+           SELECT user_id AS d_user, event_type AS state,
+                  ts_sec AS valid_from,
+                  lead(ts_sec) OVER (PARTITION BY user_id
+                    ORDER BY ts_sec ASC) AS valid_to
+           FROM (SELECT user_id, event_type, ts_sec FROM flagged
+                 WHERE is_change)),
+         p AS (SELECT user_id, ts_sec, value FROM d
+               WHERE event_type = 'purchase')
+         SELECT COALESCE(dim.state, 'none') AS state_at_purchase,
+                count(*) AS n_purchases,
+                (round((sum(p.value))*100)/100) AS total_value
+         FROM p LEFT JOIN dim
+           ON p.user_id = dim.d_user
+          AND dim.valid_from <= p.ts_sec
+          AND (dim.valid_to IS NULL OR p.ts_sec < dim.valid_to)
+         GROUP BY 1
+         ORDER BY state_at_purchase ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T12
     // Time-series LINEAR interpolation (the resample().interpolate() of
     // the pandas world): per-user daily purchase totals densified onto the
