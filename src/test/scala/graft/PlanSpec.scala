@@ -355,6 +355,13 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"part/customer-region/supplier-nation must broadcast:\n$p")
   }
 
+  test("j14_pit_scd2: the PIT join is key-equality shaped, never a cartesian") {
+    val p = plan("j14_pit_scd2")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the interval residual must ride the user_id equality join:\n$p")
+  }
+
   test("x13_workload_q19: common conjuncts push into both scans") {
     val p = plan("x13_workload_q19")
     assert(p.contains("PushedFilters") && p.contains("l_quantity"),
