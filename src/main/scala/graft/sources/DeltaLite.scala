@@ -3019,9 +3019,10 @@ object DeltaLite {
     * rather than re-interleaving the whole key space — periodic full
     * [[clusterZ]] remains available when global interleaving is worth
     * the rewrite. "Already clustered" is decided from the LOG alone:
-    * a live file is clustered iff the commit that added it was a
-    * CLUSTER_INCREMENTAL pass (provenance walk over commit headers,
-    * driver-side metadata work only). Declared via the
+    * after a pass every live file is clustered, so the candidates are
+    * exactly the live files added by commits SINCE the last pass —
+    * found via backward header reads + an O(delta-commits) add walk,
+    * never a full-history replay. Declared via the
     * `graft.clusterBy` table property, which re-routes plain
     * [[compactSmall]]-style OPTIMIZE onto this path (the Databricks
     * OPTIMIZE-on-clustered-table behavior). */
@@ -3030,30 +3031,46 @@ object DeltaLite {
     require(cols.nonEmpty, "clustering columns required")
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
-    // provenance: which op added each live file (later adds win — a path
-    // can only be re-added after a remove, and the newest add is live)
-    val addedBy = scala.collection.mutable.Map[String, String]()
-    (0L to snap.version).foreach { v =>
-      var op = ""
-      val adds = scala.collection.mutable.Buffer[String]()
+    // Provenance without a full-history walk: immediately after a
+    // CLUSTER_INCREMENTAL commit EVERY live file is clustered (the pass
+    // rewrites all candidates), so the unclustered set is exactly the
+    // live files ADDED by commits AFTER the last pass — including
+    // compaction rewrites (which destroy clustering order) and DV
+    // re-adds. Find the last pass by reading version HEADERS backward
+    // (one line each), then collect add paths from only the commits
+    // since it: O(delta commits), not O(table age).
+    def commitOp(v: Long): String = {
+      val first = Files.lines(logDir(path).resolve(s"$v.json"))
+      try first.iterator().asScala.take(1).toSeq.headOption.flatMap(
+        parseLine(_) match {
+          case JObject(fields) => fields.collectFirst {
+            case ("commit", JObject(c)) =>
+              c.collectFirst { case ("op", JString(s)) => s }.getOrElse("")
+          }
+          case _ => None
+        }).getOrElse("")
+      finally first.close()
+    }
+    val lastPass = (snap.version to 0L by -1L)
+      .find(v => commitOp(v) == "CLUSTER_INCREMENTAL")
+    val addedSince = scala.collection.mutable.Set[String]()
+    ((lastPass.map(_ + 1).getOrElse(0L)) to snap.version).foreach { v =>
       Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
         .filter(_.nonEmpty).foreach { line =>
           parseLine(line) match {
             case JObject(fields) => fields.foreach {
-              case ("commit", JObject(c)) =>
-                c.collectFirst { case ("op", JString(s)) => s }.foreach(op = _)
               case ("add", JObject(a)) =>
                 a.collectFirst { case ("path", JString(p)) => p }
-                  .foreach(adds += _)
+                  .foreach(addedSince += _)
               case _ => ()
             }
             case _ => ()
           }
         }
-      adds.foreach(p => addedBy(p) = op)
     }
-    val victims = snap.files.filterNot(f =>
-      addedBy.get(f.path).contains("CLUSTER_INCREMENTAL"))
+    val victims =
+      if (lastPass.isEmpty) snap.files
+      else snap.files.filter(f => addedSince.contains(f.path))
     if (victims.isEmpty) return snap.version
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.ceil(victims.map(_.rows).sum / 500000.0).toInt)
