@@ -538,6 +538,53 @@ object Incremental {
          GROUP BY 1, 2
          ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T14
+    // Late-arrival audit — the census that sizes a pipeline's watermark:
+    // with event_id as the arrival order, a row is LATE when its event
+    // time is behind the running maximum event time already arrived, and
+    // its lag is the gap to that high-water mark. One arrival-ordered
+    // window pass (running max over epoch seconds, integer-exact) feeds
+    // a per-day census: late fraction and worst lag — exactly the
+    // numbers that justify `withWatermark("ts", X)` in the streaming
+    // twins. At 100 TB the window partitions by ingest shard (arrival
+    // order is per-shard there); the fixture's single global order keeps
+    // the oracle total.
+    QueryDef("t14_late_audit", (s, dir) => {
+      val w = Window.orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("ts_e", unix_timestamp(col("ts_sec")))
+        .withColumn("hwm", max(col("ts_e")).over(w))
+        .select(col("ts_sec").cast("date").as("day"),
+          (col("hwm") - col("ts_e")).as("lag_s"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("lag_s") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("lag_s")).as("max_lag_s"),
+          (round((sum(when(col("lag_s") > 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double")) * 10000) / 10000)
+            .as("late_frac"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         o AS (
+           SELECT CAST(ts_sec AS DATE) AS day,
+                  CAST(epoch(ts_sec) AS BIGINT) AS ts_e,
+                  max(CAST(epoch(ts_sec) AS BIGINT)) OVER (
+                    ORDER BY event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS hwm
+           FROM e)
+         SELECT day, count(*) AS n_events,
+                CAST(sum(CASE WHEN hwm - ts_e > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+                max(hwm - ts_e) AS max_lag_s,
+                (round((CAST(sum(CASE WHEN hwm - ts_e > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE))*10000)/10000)
+                  AS late_frac
+         FROM o GROUP BY day
+         ORDER BY day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ J14
     // Point-in-time (PIT) join against SCD2 validity intervals — THE
     // warehouse temporal join: each purchase picks the dimension version
