@@ -403,6 +403,12 @@ object DeltaLite {
     }
   }
 
+  /** Test/introspection hook: is `feature` required by these properties? */
+  private[graft] def featurePresent(props: Map[String, String],
+      reader: Boolean, feature: String): Boolean =
+    featureSet(props,
+      if (reader) ProtocolReaderKey else ProtocolWriterKey).contains(feature)
+
   /** Manually require a table feature (Delta `ALTER TABLE ... SET
     * TBLPROPERTIES ('delta.feature.X' = 'supported')` analogue). Only
     * features THIS engine supports can be enabled through it — a foreign

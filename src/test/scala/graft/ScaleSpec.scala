@@ -2232,6 +2232,29 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === 22)
   }
 
+  test("protocol features survive checkpoint replay and RESTORE") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_proto_ckpt").toString
+    DeltaLite.create(spark, path, Seq((1L, "a")).toDF("k", "s"))
+    DeltaLite.enableTableFeature(path, "columnMapping", reader = true)   // v1
+    val vFeature = DeltaLite.latestVersion(path).get
+    // cross a checkpoint boundary (interval = 10) so the next replay
+    // resolves from the checkpoint, not the original commits
+    (0 until 12).foreach { i =>
+      DeltaLite.append(spark, path, Seq((10L + i, s"b$i")).toDF("k", "s"))
+    }
+    DeltaLite.clearSnapshotCache()
+    val snap = DeltaLite.snapshot(path)
+    assert(DeltaLite.featurePresent(snap.properties, reader = true,
+      "columnMapping"), "reader feature must survive checkpoint replay")
+    // RESTORE to BEFORE the feature rolls the requirement back with the
+    // metadata (protocol rides properties; Delta proper never downgrades
+    // — ours documents the divergence by construction of the channel)
+    DeltaLite.restore(spark, path, vFeature - 1)
+    assert(!DeltaLite.featurePresent(DeltaLite.snapshot(path).properties,
+      reader = true, "columnMapping"))
+  }
+
   test("incremental clustering: only post-cluster files rewrite; pruning tightens") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_liquid").toString
