@@ -1991,6 +1991,75 @@ object Llm {
          FROM s GROUP BY lang
          ORDER BY lang ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (h)
+    // Length-bucketed batching — the dynamic-padding efficiency move:
+    // batches of 8 padded to their longest member waste
+    // 8·max(len)−Σlen tokens, so sorting docs by length BEFORE batching
+    // (within each source shard) collapses the per-batch spread. The
+    // query builds both batchings — arrival order vs length order, each
+    // ONE window pass over the same per-source sort key space — and
+    // reports the padding bill per strategy plus the savings ratio
+    // (integer token counts; the only division is the final rounded
+    // ratio). At 100 TB this runs per shard, embarrassingly parallel,
+    // and the savings ratio is the number that justifies the sort.
+    QueryDef("l5_length_buckets", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("len").cast("long"))
+      val wNaive = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      val wSorted = Window.partitionBy(col("source"))
+        .orderBy(col("len").asc, col("doc_id").asc)
+      def pad(df: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+          out: String) =
+        df.withColumn("b", ((row_number().over(w) - 1) / 8).cast("long"))
+          .groupBy(col("source"), col("b"))
+          .agg((max(col("len")) * count(lit(1)) - sum(col("len"))).as("p"))
+          .groupBy(col("source"))
+          .agg(sum(col("p")).as(out))
+      val naive = pad(toks, wNaive, "naive_pad")
+      val sorted = pad(toks, wSorted, "sorted_pad")
+      val totals = toks.groupBy(col("source"))
+        .agg(sum(col("len")).as("total_tokens"))
+      totals.join(naive, Seq("source")).join(sorted, Seq("source"))
+        .select(col("source"), col("total_tokens"),
+          col("naive_pad"), col("sorted_pad"),
+          (round((lit(1.0) - col("sorted_pad").cast("double")
+            / col("naive_pad").cast("double")) * 10000) / 10000)
+            .as("savings"))
+        .orderBy(col("source").asc_nulls_last)
+    }, Some(
+      """WITH toks AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+           FROM documents),
+         naive AS (
+           SELECT source, CAST(sum(p) AS BIGINT) AS naive_pad FROM (
+             SELECT source,
+                    CAST(max(len) * count(*) - sum(len) AS BIGINT) AS p
+             FROM (SELECT source, len,
+                          (row_number() OVER (PARTITION BY source
+                             ORDER BY doc_id ASC) - 1) // 8 AS b
+                   FROM toks)
+             GROUP BY source, b)
+           GROUP BY source),
+         srt AS (
+           SELECT source, CAST(sum(p) AS BIGINT) AS sorted_pad FROM (
+             SELECT source,
+                    CAST(max(len) * count(*) - sum(len) AS BIGINT) AS p
+             FROM (SELECT source, len,
+                          (row_number() OVER (PARTITION BY source
+                             ORDER BY len ASC, doc_id ASC) - 1) // 8 AS b
+                   FROM toks)
+             GROUP BY source, b)
+           GROUP BY source),
+         tot AS (SELECT source, CAST(sum(len) AS BIGINT) AS total_tokens
+                 FROM toks GROUP BY source)
+         SELECT source, total_tokens, naive_pad, sorted_pad,
+                (round((1.0 - CAST(sorted_pad AS DOUBLE)
+                  / CAST(naive_pad AS DOUBLE))*10000)/10000) AS savings
+         FROM tot JOIN naive USING (source) JOIN srt USING (source)
+         ORDER BY source ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L6 (b)
     // Interleaved multimodal sequence packing — the vision-language
     // training assembly step: each document contributes its TEXT tokens
