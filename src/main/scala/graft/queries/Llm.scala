@@ -2060,6 +2060,56 @@ object Llm {
          FROM tot JOIN naive USING (source) JOIN srt USING (source)
          ORDER BY source ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (o)
+    // Corpus novelty curve — the diminishing-returns diagnostic for data
+    // collection: in doc_id (ingestion) order, what fraction of each
+    // slice's 3-gram shingles has never appeared in any earlier doc?
+    // first-occurrence attribution is ONE gram-keyed min aggregate (the
+    // same shuffle key the dedup family uses) joined back to the gram
+    // list; the per-slice census is integer counts + one rounded ratio.
+    // A flattening curve says new data is mostly repetition — the
+    // measurement behind dataset-scaling decisions. At 100 TB the gram
+    // space shards by hash; the first-seen map is exactly the structure
+    // incremental dedup (l2_incremental_dedup) maintains across batches.
+    QueryDef("l4_novelty", (s, dir) => {
+      val grams = TextFunctions.shingleSets(
+        t(s, dir, "documents"), "doc_id", "text")
+      val first = grams.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("shingle"))
+        .groupBy((col("doc_id") / 100).cast("long").as("slice"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"),
+          (round((sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
+            * 10000) / 10000).as("novelty"))
+        .orderBy(col("slice").asc_nulls_last)
+    }, Some(
+      """WITH sets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM documents)),
+         first AS (
+           SELECT shingle, min(doc_id) AS first_doc
+           FROM sets GROUP BY 1)
+         SELECT CAST(doc_id // 100 AS BIGINT) AS slice,
+                count(*) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                (round((CAST(sum(CASE WHEN first_doc = doc_id
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE))*10000)/10000) AS novelty
+         FROM sets JOIN first USING (shingle)
+         GROUP BY 1
+         ORDER BY slice ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L6 (b)
     // Interleaved multimodal sequence packing — the vision-language
     // training assembly step: each document contributes its TEXT tokens
