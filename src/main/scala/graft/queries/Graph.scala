@@ -101,7 +101,7 @@ object Graph {
                 FROM edges e JOIN r2 r ON e.src = r.node
                      JOIN deg dg ON dg.src = e.src
                 GROUP BY e.dst)
-         SELECT node, pr FROM r3
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
          ORDER BY pr DESC, node ASC LIMIT 20""")),
 
     // ------------------------------------------------------------------- G2

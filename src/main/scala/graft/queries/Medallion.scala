@@ -402,6 +402,55 @@ object Medallion {
          FROM ids GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S36
+    // STABLE-tier row tracking (Delta row-tracking spec, materialized row
+    // ids): s32 proves the fresh-tier allocation contract; this proves the
+    // ids (and per-row commit versions) SURVIVE rewrites, because rewrite
+    // paths materialize them into the new files. The table is built with
+    // deterministic ids (sorted single-file commits), every 10th key is
+    // DV-deleted, then REORG + OPTIMIZE rewrite every file — after which
+    // each survivor must still carry its commit-time id, and its commit
+    // version must still be the commit that first wrote it (0 for the 'F'
+    // slice, 1 for the appended 'O' slice), not the rewrite's. The oracle
+    // restates per-row identity from the allocation contract and filters
+    // to survivors — it can only match if identity survived both rewrites.
+    QueryDef("s36_row_tracking_stable", (s, dir) => {
+      val path = tmp("s36_rowid")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def slice(st: String) = o.filter(col("o_orderstatus") === st)
+        .repartition(1).sortWithinPartitions(col("o_orderkey"))
+      DeltaLite.create(s, path, slice("F"),
+        properties = Map("delta.enableRowTracking" -> "true"))
+      DeltaLite.append(s, path, slice("O"))
+      DeltaLite.deleteVectorized(s, path, col("o_orderkey") % 10 === 0)
+      DeltaLite.reorgPurge(s, path)
+      DeltaLite.compactSmall(s, path, minRows = 1000000000L)
+      DeltaLite.readWithRowIds(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("_row_id")).as("min_id"),
+          max(col("_row_id")).as("max_id"), sum(col("_row_id")).as("sum_id"),
+          max(col("_row_commit_version")).as("max_commit"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH f AS (
+           SELECT count(*) AS nf FROM orders WHERE o_orderstatus = 'F'),
+         ids AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderstatus = 'F' THEN 0
+                       ELSE (SELECT nf FROM f) END
+                    + row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderkey) - 1 AS rid
+           FROM orders WHERE o_orderstatus IN ('F', 'O'))
+         SELECT o_orderstatus, count(*) AS n,
+                min(rid) AS min_id, max(rid) AS max_id,
+                CAST(sum(rid) AS BIGINT) AS sum_id,
+                CAST(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END
+                     AS BIGINT) AS max_commit
+         FROM ids WHERE o_orderkey % 10 <> 0
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- S8
     // MERGE upsert (Delta MERGE INTO / dbt incremental `merge`): target =
     // orders before 1997-07; updates = repriced orders from 1997 on

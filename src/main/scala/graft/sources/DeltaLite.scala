@@ -66,7 +66,8 @@ object DeltaLite {
       dv: Option[String] = None, pv: Map[String, String] = Map.empty,
       bloom: Map[String, String] = Map.empty,
       bytes: Long = 0L,
-      baseRowId: Option[Long] = None)
+      baseRowId: Option[Long] = None,
+      rowCommitVersion: Option[Long] = None)
 
   /** Resolved table state at a version: schema + live file set +
     * CHECK constraints (name → SQL predicate, enforced on every write) +
@@ -372,6 +373,25 @@ object DeltaLite {
   private def featureSet(props: Map[String, String], key: String): Set[String] =
     props.getOrElse(key, "").split(",").map(_.trim).filter(_.nonEmpty).toSet
 
+  /** Delta `delta.enableRowTracking`. */
+  private[graft] def rowTrackingEnabled(props: Map[String, String]): Boolean =
+    props.exists { case (k, v) =>
+      k.equalsIgnoreCase("delta.enableRowTracking") && v.equalsIgnoreCase("true") }
+
+  /** STABLE-tier row tracking (Delta row-tracking spec, `materialized
+    * row ids`): physical column names under which rewrite paths
+    * (OPTIMIZE / CLUSTER / REORG) persist each row's id and
+    * last-modified commit version INTO the rewritten files. Data files
+    * are read through an explicit logical-schema projection, so these
+    * extra physical columns are invisible to every normal read; only
+    * [[readWithRowIds]] projects them, preferring the materialized value
+    * over the fresh-tier `baseRowId + position` computation. This is
+    * exactly Delta's fresh/stable split: fresh ids are log arithmetic
+    * (cheap, but re-assigned when a rewrite produces new files); stable
+    * ids survive compaction because the rewrite wrote them down. */
+  private[graft] val MatRowIdCol = "_graft_row_id_phys"
+  private[graft] val MatRowCommitCol = "_graft_row_commit_phys"
+
   private def checkReaderFeatures(path: String,
       props: Map[String, String]): Unit = {
     val unknown = featureSet(props, ProtocolReaderKey) -- SupportedReaderFeatures
@@ -388,6 +408,18 @@ object DeltaLite {
       s"table at $path requires writer features ${unknown.toSeq.sorted
         .mkString(", ")} this engine does not support; the table stays " +
         "readable but refuses commits")
+    // A commit must not POISON the table either: setProperties / ALTER SET
+    // TBLPROPERTIES could slip an unknown value into the READER feature key
+    // (the writer check above would pass), after which every snapshot()
+    // throws — including the UNSET commit that would fix it, since commits
+    // resolve a snapshot first. The table would be permanently unreadable
+    // by the engine that wrote it. Mirror the enableTableFeature guard here
+    // at the single commit choke point.
+    val unknownR = featureSet(props, ProtocolReaderKey) -- SupportedReaderFeatures
+    if (unknownR.nonEmpty) throw new UnsupportedOperationException(
+      s"refusing to commit reader features ${unknownR.toSeq.sorted
+        .mkString(", ")} at $path: this engine does not support them, so " +
+        "the commit would make the table unreadable by its own writer")
   }
 
   /** Merge `feature` into the properties' reader and/or writer feature
@@ -620,7 +652,11 @@ object DeltaLite {
       case JLong(l) => l
       case JInt(i) => i.toLong
     }
-    AddFile(p, rows, stats, dv, pv, bloom, bytes, baseRowId)
+    val rowCommitVersion = m.get("rowCommitVersion").collect {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+    }
+    AddFile(p, rows, stats, dv, pv, bloom, bytes, baseRowId, rowCommitVersion)
   }
 
   // -------------------------------------------------------------- write
@@ -678,11 +714,17 @@ object DeltaLite {
               expr(generated(f.name)).cast(f.dataType).as(f.name)
           }: _*)
         }
-      val aligned = align(gened, schema)
+      // Materialized row-tracking columns (stable tier) ride through the
+      // alignment untouched when the rewrite path attached them — they
+      // are physical-only (never in the logical schema, never renamed).
+      val matCols = df.columns.toSeq
+        .filter(c => c == MatRowIdCol || c == MatRowCommitCol)
+      val aligned = align(gened, schema, matCols)
       val renamed =
         if (physical.isEmpty) aligned
         else aligned.select(schema.fields.map(f =>
-          col(f.name).as(physical.getOrElse(f.name, f.name))).toSeq: _*)
+          col(f.name).as(physical.getOrElse(f.name, f.name))).toSeq ++
+          matCols.map(col): _*)
       // OPTIMIZED WRITE (Delta `delta.autoOptimize.optimizeWrite`, opt-in
       // via `graft.optimizeWrite = true`): size the write's task count to
       // the DATA volume instead of inheriting the plan's parallelism, so
@@ -930,12 +972,14 @@ object DeltaLite {
     }
   }
 
-  private def align(df: DataFrame, schema: StructType): DataFrame = {
+  private def align(df: DataFrame, schema: StructType,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val have = df.columns.toSet
     df.select(schema.fields.toSeq.map { f =>
       if (have.contains(f.name)) df.col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    } ++ passthrough.filter(have.contains).map(c =>
+      df.col(c).cast(LongType).as(c)): _*)
   }
 
   // ------------------------------------- write-time validation (Delta)
@@ -1008,6 +1052,8 @@ object DeltaLite {
       "bytes" -> JLong(f.bytes),
       "dv" -> f.dv.map(JString(_)).getOrElse(JNull), "stats" -> stats) ++
       f.baseRowId.map(b => List("baseRowId" -> JLong(b))).getOrElse(Nil) ++
+      f.rowCommitVersion.map(v => List("rowCommitVersion" -> JLong(v)))
+        .getOrElse(Nil) ++
       (if (f.pv.isEmpty) Nil
        else List("pv" -> JObject(
          f.pv.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))) ++
@@ -1057,8 +1103,7 @@ object DeltaLite {
     // Delta's fresh/stable row-id distinction; the stable tier would
     // materialize ids into a column before rewrites). Ranges are never
     // reclaimed: the mark only ever moves up.
-    val rowTrackingOn = properties.exists { case (k, v) =>
-      k.equalsIgnoreCase("delta.enableRowTracking") && v.equalsIgnoreCase("true") }
+    val rowTrackingOn = rowTrackingEnabled(properties)
     val (adds2, properties2) =
       if (!rowTrackingOn || adds.isEmpty) (adds, properties)
       else {
@@ -1069,7 +1114,13 @@ object DeltaLite {
         val assigned = adds.map { f =>
           f.baseRowId match {
             case Some(b) => hw = math.max(hw, b + f.rows); f
-            case None => val b = hw; hw += f.rows; f.copy(baseRowId = Some(b))
+            case None =>
+              val b = hw; hw += f.rows
+              // defaultRowCommitVersion rides the fresh assignment: rows
+              // of a fresh file were last written AT this commit. Carried
+              // files (DV re-adds, RESTORE) keep their original version.
+              f.copy(baseRowId = Some(b),
+                rowCommitVersion = f.rowCommitVersion.orElse(Some(version)))
           }
         }
         (assigned, properties + (hwKey -> hw.toString))
@@ -1235,29 +1286,77 @@ object DeltaLite {
   }
 
   /** Snapshot read exposing the row-tracking id as a `_row_id` column
-    * (Delta `delta.enableRowTracking` read surface): `_row_id` =
-    * the file's committed `baseRowId` + the row's in-file position —
-    * unique table-wide, STABLE under soft deletes (DV re-adds keep the
-    * base and survivors keep their positions) and under RESTORE (files
-    * re-add by reference, base included). Files committed before the
-    * property was enabled carry no base and read `_row_id` null (Delta
-    * requires a backfill for them too — enablement is forward-only).
-    * The id map is log metadata: a tiny broadcast (path → base) join,
-    * no extra pass over the data. */
+    * plus `_row_commit_version` (Delta `delta.enableRowTracking` read
+    * surface). Per row, each is the MATERIALIZED value when the file
+    * carries one (stable tier — written by rewrite paths, survives
+    * OPTIMIZE / CLUSTER / REORG), else the fresh-tier computation: the
+    * file's committed `baseRowId` + the row's in-file position, and the
+    * file's `rowCommitVersion`. Fresh ids are already stable under soft
+    * deletes (DV re-adds keep the base and survivors keep their
+    * positions) and under RESTORE (files re-add by reference, base
+    * included); materialization extends that to rewrites. Files
+    * committed before the property was enabled carry no base and read
+    * `_row_id` null (Delta requires a backfill for them too — enablement
+    * is forward-only). The id map is log metadata: a tiny broadcast
+    * (path → base, commit) join, no extra pass over the data. */
   def readWithRowIds(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    val withPos = readFilesWithPos(spark, path, snap.schema, snap.files,
-      snap.partitionBy, snap.physical)
-    val bases = snap.files.map(f => (f.path, f.baseRowId.map(Long.box).orNull))
-    val baseDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(bases.map(Row.fromTuple), 1),
-      StructType(Seq(StructField("__b_path", StringType, nullable = false),
-        StructField("__b_base", LongType, nullable = true)))))
-    withPos.join(baseDf, col("path") === col("__b_path"), "left")
-      .withColumn("_row_id", col("__b_base") + col("row_index"))
-      .drop("path", "row_index", "__b_path", "__b_base")
+    val withPos = readFilesWithPos(spark, path, withMatCols(snap.schema),
+      snap.files, snap.partitionBy, snap.physical)
+    withJoinedRowIds(spark, withPos, snap.files)
+      .withColumn("_row_id",
+        coalesce(col(MatRowIdCol), col("__b_base") + col("row_index")))
+      .withColumn("_row_commit_version",
+        coalesce(col(MatRowCommitCol), col("__b_commit")))
+      .drop("path", "row_index", "__b_path", "__b_base", "__b_commit",
+        MatRowIdCol, MatRowCommitCol)
   }
+
+  /** Logical schema + the two materialized row-tracking columns (read
+    * from data files where present; parquet's missing-column-as-null
+    * semantics cover files written before materialization). */
+  private def withMatCols(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(MatRowIdCol, LongType, nullable = true),
+      StructField(MatRowCommitCol, LongType, nullable = true)))
+
+  /** Broadcast-join the log's per-file fresh-tier row-id metadata
+    * (`__b_base`, `__b_commit`) onto a positional read. */
+  private def withJoinedRowIds(spark: SparkSession, withPos: DataFrame,
+      files: Seq[AddFile]): DataFrame = {
+    val bases = files.map(f => Row(f.path,
+      f.baseRowId.map(Long.box).orNull,
+      f.rowCommitVersion.map(Long.box).orNull))
+    val baseDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(bases, 1),
+      StructType(Seq(StructField("__b_path", StringType, nullable = false),
+        StructField("__b_base", LongType, nullable = true),
+        StructField("__b_commit", LongType, nullable = true)))))
+    withPos.join(baseDf, col("path") === col("__b_path"), "left")
+  }
+
+  /** Rewrite-path read (OPTIMIZE / CLUSTER / REORG): like [[readFiles]],
+    * but on a row-tracked table the result ALSO carries the two
+    * materialized row-tracking columns, resolved to each surviving row's
+    * CURRENT id and commit version — so writing the result back
+    * preserves row identity across the rewrite (the stable tier).
+    * Without row tracking this is exactly [[readFiles]]. */
+  private def readForRewrite(spark: SparkSession, path: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (!rowTrackingEnabled(snap.properties))
+      readFiles(spark, path, snap.schema, files, snap.partitionBy,
+        snap.physical)
+    else {
+      val withPos = readFilesWithPos(spark, path, withMatCols(snap.schema),
+        files, snap.partitionBy, snap.physical)
+      withJoinedRowIds(spark, withPos, files)
+        .withColumn(MatRowIdCol,
+          coalesce(col(MatRowIdCol), col("__b_base") + col("row_index")))
+        .withColumn(MatRowCommitCol,
+          coalesce(col(MatRowCommitCol), col("__b_commit")))
+        .drop("path", "row_index", "__b_path", "__b_base", "__b_commit")
+    }
 
   /** Stats-pruned scan: like [[read]] but skips files whose min/max prove
     * they cannot satisfy `bounds` — the data-skipping read path (bounds on
@@ -2752,7 +2851,7 @@ object DeltaLite {
     val snap = snapshot(path)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v,
-      readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
+      readForRewrite(spark, path, snap, snap.files)
         .repartition(numFiles),
       snap.schema, snap.partitionBy, snap.physical, snap.generated,
       snap.properties)
@@ -2881,7 +2980,7 @@ object DeltaLite {
     val resolved = resolveScopeBounds(snap, bounds, "compactPartition")
     val victims = snap.files.filter(partitionInScope(snap, resolved, _))
     if (victims.length <= 1) return snap.version
-    val packed = readFiles(spark, path, snap.schema, victims, snap.partitionBy, snap.physical)
+    val packed = readForRewrite(spark, path, snap, victims)
       .repartition(numFiles)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
@@ -2933,7 +3032,7 @@ object DeltaLite {
     val snap = snapshot(path)
     val small = snap.files.filter(_.rows < minRows)
     if (small.length <= 1) return snap.version
-    val packed = readFiles(spark, path, snap.schema, small, snap.partitionBy, snap.physical)
+    val packed = readForRewrite(spark, path, snap, small)
       .coalesce(math.max(1L, small.map(_.rows).sum / minRows).toInt)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
@@ -2954,10 +3053,10 @@ object DeltaLite {
     val snap = snapshot(path)
     val dvFiles = snap.files.filter(_.dv.nonEmpty)
     if (dvFiles.isEmpty) return snap.version
-    // readFiles applies the DV anti-join and re-attaches partition
-    // columns, so this is exactly the surviving-row view of those files.
-    val survivors = readFiles(spark, path, snap.schema, dvFiles,
-      snap.partitionBy, snap.physical)
+    // readForRewrite applies the DV anti-join and re-attaches partition
+    // columns, so this is exactly the surviving-row view of those files
+    // (with row identity materialized on a row-tracked table).
+    val survivors = readForRewrite(spark, path, snap, dvFiles)
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
       snap.partitionBy, snap.physical, snap.generated, snap.properties)
@@ -2977,8 +3076,7 @@ object DeltaLite {
       numFiles: Int): Long = {
     require(cols.nonEmpty, "clustering columns required")
     val snap = snapshot(path)
-    val rewritten = readFiles(spark, path, snap.schema, snap.files,
-        snap.partitionBy, snap.physical)
+    val rewritten = readForRewrite(spark, path, snap, snap.files)
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val v = snap.version + 1
@@ -2999,8 +3097,7 @@ object DeltaLite {
       numFiles: Int): Long = {
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
-    val rewritten = readFiles(spark, path, snap.schema, snap.files,
-        snap.partitionBy, snap.physical)
+    val rewritten = readForRewrite(spark, path, snap, snap.files)
       .withColumn("__z", call_function("interleave_bits",
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))
@@ -3036,6 +3133,27 @@ object DeltaLite {
       cols: Seq[String], numFiles: Int = 0): Long = {
     require(cols.nonEmpty, "clustering columns required")
     graft.functions.GraftFunctions.register(spark)
+    // Snapshot-then-commit with NO retry would make OPTIMIZE on a
+    // clustered table fail outright if a concurrent append lands between
+    // the snapshot read and the commit — unlike other maintenance paths
+    // there is no caller retry in the OPTIMIZE SQL command path. Retry the
+    // whole read→cluster→commit cycle, re-resolving snapshot + candidate
+    // set each attempt (the rewrite work is wasted on conflict, which is
+    // the standard OCC trade — correctness first).
+    var attempt = 0
+    while (true) {
+      try return clusterIncrementalOnce(spark, path, cols, numFiles)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def clusterIncrementalOnce(spark: SparkSession, path: String,
+      cols: Seq[String], numFiles: Int): Long = {
     val snap = snapshot(path)
     // Provenance without a full-history walk: immediately after a
     // CLUSTER_INCREMENTAL commit EVERY live file is clustered (the pass
@@ -3059,29 +3177,33 @@ object DeltaLite {
     }
     val lastPass = (snap.version to 0L by -1L)
       .find(v => commitOp(v) == "CLUSTER_INCREMENTAL")
-    val addedSince = scala.collection.mutable.Set[String]()
-    ((lastPass.map(_ + 1).getOrElse(0L)) to snap.version).foreach { v =>
-      Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          parseLine(line) match {
-            case JObject(fields) => fields.foreach {
-              case ("add", JObject(a)) =>
-                a.collectFirst { case ("path", JString(p)) => p }
-                  .foreach(addedSince += _)
-              case _ => ()
+    // First pass on a table: EVERY live file is a victim, so the add-walk
+    // result would be discarded — skip the O(full history) JSON parsing
+    // entirely and only walk commits when a prior pass bounds the range.
+    val victims = lastPass match {
+      case None => snap.files
+      case Some(last) =>
+        val addedSince = scala.collection.mutable.Set[String]()
+        ((last + 1) to snap.version).foreach { v =>
+          Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+            .filter(_.nonEmpty).foreach { line =>
+              parseLine(line) match {
+                case JObject(fields) => fields.foreach {
+                  case ("add", JObject(a)) =>
+                    a.collectFirst { case ("path", JString(p)) => p }
+                      .foreach(addedSince += _)
+                  case _ => ()
+                }
+                case _ => ()
+              }
             }
-            case _ => ()
-          }
         }
+        snap.files.filter(f => addedSince.contains(f.path))
     }
-    val victims =
-      if (lastPass.isEmpty) snap.files
-      else snap.files.filter(f => addedSince.contains(f.path))
     if (victims.isEmpty) return snap.version
     val n = if (numFiles > 0) numFiles
       else math.max(1, math.ceil(victims.map(_.rows).sum / 500000.0).toInt)
-    val base = readFiles(spark, path, snap.schema, victims,
-      snap.partitionBy, snap.physical)
+    val base = readForRewrite(spark, path, snap, victims)
     val ordered = cols match {
       case Seq(a, b) =>
         base.withColumn("__z", call_function("interleave_bits",
@@ -3123,8 +3245,7 @@ object DeltaLite {
     val resolved = resolveScopeBounds(snap, bounds, "clusterZPartition")
     val victims = snap.files.filter(partitionInScope(snap, resolved, _))
     if (victims.isEmpty) return snap.version
-    val rewritten = readFiles(spark, path, snap.schema, victims,
-        snap.partitionBy, snap.physical)
+    val rewritten = readForRewrite(spark, path, snap, victims)
       .withColumn("__z", call_function("interleave_bits",
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))

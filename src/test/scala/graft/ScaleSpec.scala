@@ -1171,7 +1171,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.compactSmall(spark, path, minRows = 100L) === v)
   }
 
-  test("DeltaLite row tracking: unique _row_id ranges, stable under DV delete and RESTORE, fresh after rewrite") {
+  test("DeltaLite row tracking: unique _row_id ranges, stable under DV delete, RESTORE, and rewrites") {
     import spark.implicits._
     def batch(b: Int) =
       (0L until 10L).map(i => (b * 10L + i, b * 1.0)).toDF("k", "v").coalesce(1)
@@ -1191,13 +1191,14 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(ids1.size === 27)
     assert(ids1.forall { case (k, id) => ids0(k) === id },
       "surviving rows must keep their row ids across a DV delete")
-    // rewrite (REORG materializes the DV): fresh-tier ids may reassign
-    // but must stay unique, and the id high-water never reuses a range
+    // rewrite (REORG materializes the DV): STABLE tier — the rewrite
+    // wrote each survivor's id into the new file, so ids are preserved
     DeltaLite.reorgPurge(spark, path)
     val ids2 = DeltaLite.readWithRowIds(spark, path)
-      .select($"_row_id".as[Long]).collect().toSeq
-    assert(ids2.size === 27 && ids2.toSet.size === 27)
-    assert(ids2.max >= 30, "rewritten files must allocate above the mark")
+      .select($"k", $"_row_id".as[Long]).as[(Long, Long)].collect().toMap
+    assert(ids2.size === 27 && ids2.values.toSet.size === 27)
+    assert(ids2.forall { case (k, id) => ids0(k) === id },
+      "stable tier: surviving rows keep their ids across REORG")
     // pre-enablement files read null ids; post-enablement files get them
     val late = Files.createTempDirectory("graft_rowid_late").toString
     DeltaLite.create(spark, late, batch(0))
@@ -1212,6 +1213,47 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     DeltaLite.clearSnapshotCache()
     val hw = DeltaLite.snapshot(path).properties("graft.rowTracking.highWater").toLong
     assert(hw >= 57, s"mark must cover every allocated range, got $hw")
+  }
+
+  test("DeltaLite stable row tracking: ids and commit versions survive OPTIMIZE, CLUSTER, and REORG rewrites") {
+    import spark.implicits._
+    def batch(b: Int) =
+      (0L until 10L).map(i => (b * 10L + i, b * 1.0)).toDF("k", "v").coalesce(1)
+    val path = Files.createTempDirectory("graft_rowid_stable").toString
+    DeltaLite.create(spark, path, batch(0),
+      properties = Map("delta.enableRowTracking" -> "true"))
+    (1 to 2).foreach(b => DeltaLite.append(spark, path, batch(b)))
+    def ids() = DeltaLite.readWithRowIds(spark, path)
+      .select($"k", $"_row_id".as[Long], $"_row_commit_version".as[Long])
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val ids0 = ids()
+    assert(ids0.size === 30)
+    // defaultRowCommitVersion = the commit that wrote the row's file
+    assert(ids0(5L)._2 === 0L && ids0(15L)._2 === 1L && ids0(25L)._2 === 2L)
+    // OPTIMIZE: all three small files rewrite into one — ids + commit
+    // versions must be materialized into the packed file
+    DeltaLite.compactSmall(spark, path, minRows = 1000L)
+    assert(DeltaLite.snapshot(path).files.length === 1)
+    assert(ids() === ids0, "ids+versions must survive compaction")
+    // CLUSTER: full rewrite, range-partitioned — identity still rides
+    DeltaLite.cluster(spark, path, Seq("v", "k"), numFiles = 2)
+    assert(ids() === ids0, "ids+versions must survive clustering")
+    // DV delete then REORG purge: survivors keep their identity
+    DeltaLite.deleteVectorized(spark, path, $"k" % 10 === 3L)
+    DeltaLite.reorgPurge(spark, path)
+    val after = ids()
+    assert(after.size === 27)
+    assert(after.forall { case (k, v) => ids0(k) === v },
+      "survivors keep id+version across REORG purge")
+    // incremental clustering (the OPTIMIZE-on-clustered-table path)
+    DeltaLite.append(spark, path, batch(3))
+    val pre = ids()
+    DeltaLite.clusterIncremental(spark, path, Seq("k"))
+    assert(ids() === pre, "ids+versions must survive incremental clustering")
+    // log replay (cold cache) resolves the same materialized identity
+    DeltaLite.clearSnapshotCache()
+    assert(ids() === pre)
   }
 
   test("DeltaLite auto compact: small appends self-compact past the threshold; default off") {

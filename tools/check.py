@@ -29,19 +29,20 @@ def main():
             continue
         sql = oracles[name]
         try:
-            oracle = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
-            otypes = [d[1] for d in con.description]
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            otypes = [str(t) for t in orel.types]
+            oracle = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         try:
-            rel = con.execute(
+            rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ucols = list(rel.columns)
+            utypes = [str(t) for t in rel.types]
             ours = rel.fetchall()
-            ucols = [d[0] for d in con.description]
-            utypes = [d[1] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
             n_fail += 1
@@ -57,11 +58,43 @@ def main():
             print(f"FAIL {name}: rows differ: oracle={len(oracle)} ours={len(ours)}")
             n_fail += 1
             continue
+        # Compare DuckDB *logical* types (rel.types), not DB-API codes:
+        # HUGEINT vs BIGINT both stringify as NUMBER at the DB-API layer,
+        # but the driver's hasher canonicalizes integer widths differently,
+        # so a width divergence is a guaranteed driver hash-fail. Same for
+        # DECIMAL vs DOUBLE/FLOAT. Those are hard FAILs; anything else that
+        # differs is still just a warning.
         type_warn = ""
         ot = [str(otypes[i]) for i in operm]
         ut = [str(utypes[i]) for i in uperm]
+        type_fail = None
         if ot != ut:
-            type_warn = f"  [type-warn] oracle={ot} ours={ut}"
+            INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                          "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                          "UBIGINT", "UHUGEINT"}
+            FLOATY = {"FLOAT", "DOUBLE"}
+            for i, (a, b) in enumerate(zip(ot, ut)):
+                if a == b:
+                    continue
+                if a in INT_WIDTHS and b in INT_WIDTHS:
+                    type_fail = (ocols[operm[i]], a, b)
+                    break
+                a_dec, b_dec = a.startswith("DECIMAL"), b.startswith("DECIMAL")
+                if (a_dec and (b in FLOATY or b in INT_WIDTHS)) or \
+                   (b_dec and (a in FLOATY or a in INT_WIDTHS)) or \
+                   (a_dec and b_dec and a != b) or \
+                   (a in FLOATY and b in INT_WIDTHS) or \
+                   (b in FLOATY and a in INT_WIDTHS):
+                    type_fail = (ocols[operm[i]], a, b)
+                    break
+            else:
+                type_warn = f"  [type-warn] oracle={ot} ours={ut}"
+        if type_fail:
+            c, a, b = type_fail
+            print(f"FAIL {name}: col {c} logical type: oracle={a} ours={b} "
+                  f"(driver hash canonicalizes these differently)")
+            n_fail += 1
+            continue
         bad = None
         max_float_diff = 0.0
         for r, (orow, urow) in enumerate(zip(oracle, ours)):
