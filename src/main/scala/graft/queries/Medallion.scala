@@ -589,6 +589,134 @@ object Medallion {
          FROM ch
          ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S37
+    // dbt snapshot `timestamp` strategy + `invalidate_hard_deletes`: the
+    // source is a sequence of DAILY STATES (one row per user per day with
+    // events; `updated_at` = the day's last event instant). The timestamp
+    // strategy opens an interval whenever `updated_at` moves and stamps
+    // `valid_from` with it (source time, not scan time); a user with NO
+    // events on a later run day is a hard delete — the open interval
+    // closes at that run's instant — and a later reappearance re-inserts.
+    // The oracle restates the run calendar + per-user presence segments
+    // with the same window algebra over the fixtures.
+    QueryDef("s37_scd2_timestamp", (s, dir) => {
+      val state = Pipeline.silverEvents(s, dir)
+        .withColumn("run_ts", col("ts_sec").cast("date").cast("timestamp"))
+        .groupBy(col("user_id"), col("run_ts"))
+        .agg(max(col("ts_sec")).as("updated_at"))
+      Scd2.buildRuns(state, keys = Seq("user_id"), runTs = "run_ts",
+          attrs = Seq("updated_at"), strategy = "timestamp",
+          updatedAt = Some("updated_at"), invalidateHardDeletes = true)
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id").asc_nulls_last, col("valid_from").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT user_id,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_sec
+           FROM events),
+         state AS (
+           SELECT user_id,
+                  CAST(CAST(ts_sec AS DATE) AS TIMESTAMP) AS run_ts,
+                  max(ts_sec) AS updated_at
+           FROM e GROUP BY 1, 2),
+         cal AS (
+           SELECT run_ts,
+                  row_number() OVER (ORDER BY run_ts ASC) AS idx,
+                  lead(run_ts) OVER (ORDER BY run_ts ASC) AS next_run_ts
+           FROM (SELECT DISTINCT run_ts FROM state)),
+         j AS (SELECT st.user_id, st.run_ts, st.updated_at, c.idx, c.next_run_ts
+               FROM state st JOIN cal c USING (run_ts)),
+         f AS (
+           SELECT *,
+                  (lag(idx) OVER w IS NULL OR idx <> lag(idx) OVER w + 1
+                   OR updated_at IS DISTINCT FROM lag(updated_at) OVER w) AS chg,
+                  CASE WHEN (lead(idx) OVER w IS NULL
+                             OR lead(idx) OVER w <> idx + 1)
+                            AND next_run_ts IS NOT NULL
+                       THEN next_run_ts END AS gap_close
+           FROM j WINDOW w AS (PARTITION BY user_id ORDER BY idx ASC)),
+         g AS (
+           SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY idx ASC) AS ivl
+           FROM f),
+         iv AS (
+           SELECT user_id, ivl, min(idx) AS open_idx,
+                  min_by(updated_at, idx) AS valid_from,
+                  max(gap_close) AS close_ts
+           FROM g GROUP BY user_id, ivl)
+         SELECT user_id, valid_from,
+                coalesce(close_ts,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY open_idx ASC)) AS valid_to,
+                coalesce(close_ts,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY open_idx ASC)) IS NULL AS is_current
+         FROM iv
+         ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S38
+    // dbt snapshot `check` strategy WITH `invalidate_hard_deletes`: same
+    // daily-state source, but change detection compares the tracked attr
+    // (the day's dominant event_type) — consecutive same-type days
+    // compress into one interval — while absence still closes the open
+    // interval at the missed run and reappearance re-inserts even when
+    // the type matches (the dbt contract).
+    QueryDef("s38_scd2_hard_delete", (s, dir) => {
+      val state = Pipeline.silverEvents(s, dir)
+        .withColumn("run_ts", col("ts_sec").cast("date").cast("timestamp"))
+        .groupBy(col("user_id"), col("run_ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("event_type"))
+      Scd2.buildRuns(state, keys = Seq("user_id"), runTs = "run_ts",
+          attrs = Seq("event_type"), strategy = "check",
+          invalidateHardDeletes = true)
+        .orderBy(col("user_id").asc_nulls_last, col("valid_from").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_sec
+           FROM events),
+         state AS (
+           SELECT user_id,
+                  CAST(CAST(ts_sec AS DATE) AS TIMESTAMP) AS run_ts,
+                  max_by(event_type, event_id) AS event_type
+           FROM e GROUP BY 1, 2),
+         cal AS (
+           SELECT run_ts,
+                  row_number() OVER (ORDER BY run_ts ASC) AS idx,
+                  lead(run_ts) OVER (ORDER BY run_ts ASC) AS next_run_ts
+           FROM (SELECT DISTINCT run_ts FROM state)),
+         j AS (SELECT st.user_id, st.run_ts, st.event_type, c.idx, c.next_run_ts
+               FROM state st JOIN cal c USING (run_ts)),
+         f AS (
+           SELECT *,
+                  (lag(idx) OVER w IS NULL OR idx <> lag(idx) OVER w + 1
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg,
+                  CASE WHEN (lead(idx) OVER w IS NULL
+                             OR lead(idx) OVER w <> idx + 1)
+                            AND next_run_ts IS NOT NULL
+                       THEN next_run_ts END AS gap_close
+           FROM j WINDOW w AS (PARTITION BY user_id ORDER BY idx ASC)),
+         g AS (
+           SELECT *, sum(CASE WHEN chg THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY idx ASC) AS ivl
+           FROM f),
+         iv AS (
+           SELECT user_id, ivl, min(idx) AS open_idx,
+                  min_by(run_ts, idx) AS valid_from,
+                  min_by(event_type, idx) AS event_type,
+                  max(gap_close) AS close_ts
+           FROM g GROUP BY user_id, ivl)
+         SELECT user_id, event_type, valid_from,
+                coalesce(close_ts,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY open_idx ASC)) AS valid_to,
+                coalesce(close_ts,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY open_idx ASC)) IS NULL AS is_current
+         FROM iv
+         ORDER BY user_id ASC NULLS LAST, valid_from ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S12
     // Hive-style partitioned parquet sink + dynamic partition overwrite:
     // the daily-events mart lands partitioned by event_type (one directory

@@ -77,6 +77,65 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(open.forall(_ === 1L))
   }
 
+  test("Scd2.buildRuns: hard deletes close at the missed run, reappearance re-inserts, timestamp strategy stamps source time") {
+    import spark.implicits._
+    // run calendar t=1..5; key 1: present 1,2 (x), 3 (y), absent 4,
+    //   reappears 5 with the SAME attr (must re-insert);
+    // key 2: present 1 only (deleted at 2, never returns);
+    // key 3: present at every run, attr constant (one interval, open)
+    val runs = Seq(
+      (1L, "x", 1000L, 10000L), (1L, "x", 2000L, 10000L),
+      (1L, "y", 3000L, 30000L), (1L, "y", 5000L, 30000L),
+      (2L, "z", 1000L, 11000L),
+      (3L, "w", 1000L, 12000L), (3L, "w", 2000L, 12000L),
+      (3L, "w", 3000L, 12000L), (3L, "w", 4000L, 12000L),
+      (3L, "w", 5000L, 12000L))
+      .toDF("k", "attr", "t", "ua")
+      .withColumn("t", timestamp_millis(col("t")))
+      .withColumn("ua", timestamp_millis(col("ua")))
+    val out = Scd2.buildRuns(runs, Seq("k"), "t", Seq("attr"),
+      strategy = "check", invalidateHardDeletes = true).cache()
+    def ivals(k: Long) = out.filter(col("k") === k).orderBy("valid_from")
+      .select(col("attr"), col("valid_from").cast("long"),
+        col("valid_to").cast("long"), col("is_current"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+    // key 1: [1,3) x, [3,4) y CLOSED BY THE MISSED RUN 4, re-insert [5,∞) y
+    assert(ivals(1L).toSeq === Seq(("x", 1L, 3L, false),
+      ("y", 3L, 4L, false), ("y", 5L, -1L, true)))
+    // key 2: deleted at run 2 — closed, NOTHING open
+    assert(ivals(2L).toSeq === Seq(("z", 1L, 2L, false)))
+    // key 3: always present, attr constant — one open interval
+    assert(ivals(3L).toSeq === Seq(("w", 1L, -1L, true)))
+    // invariants across all keys: ≤1 open row, no overlaps
+    val open = out.filter(col("valid_to").isNull).groupBy("k").count()
+      .collect().map(_.getLong(1))
+    assert(open.forall(_ === 1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    assert(out.withColumn("nf", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("nf").isNotNull &&
+        col("valid_to") > col("nf")).count() === 0,
+      "intervals must never overlap")
+    // without invalidateHardDeletes absence is invisible: key 1 compresses
+    // to x→y (re-appearance with same attr does NOT re-insert) and key 2
+    // stays open forever
+    val soft = Scd2.buildRuns(runs, Seq("k"), "t", Seq("attr"),
+      strategy = "check", invalidateHardDeletes = false)
+    assert(soft.filter(col("k") === 1L).count() === 2)
+    assert(soft.filter(col("k") === 2L && col("is_current")).count() === 1)
+    // timestamp strategy: valid_from = updated_at, detection by its motion
+    val tsOut = Scd2.buildRuns(runs, Seq("k"), "t", Seq("ua"),
+      strategy = "timestamp", updatedAt = Some("ua"),
+      invalidateHardDeletes = true)
+    val k1ts = tsOut.filter(col("k") === 1L).orderBy("valid_from")
+      .select(col("valid_from").cast("long"), col("valid_to").cast("long"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // ua moves 10→30 at run 3 (one interval per distinct ua), delete at 4,
+    // re-insert at run 5 (ua still 30): [10,30) [30,4) [30,∞)
+    assert(k1ts.toSeq === Seq((10L, 30L), (30L, 4L), (30L, -1L)))
+  }
+
   test("AsOfJoin.backward matches latest at-or-before, null when none") {
     import spark.implicits._
     val probe = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))

@@ -1055,6 +1055,97 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path, Some(10L)).count() === 11)
   }
 
+  test("DeltaLite parquet multi-part checkpoint: written past the threshold, replayed via a distributed scan, equal to log replay") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_pckpt").toString
+    // force the parquet form at toy scale: 1-file threshold, 4-row parts
+    DeltaLite.create(spark, path,
+      (0L until 8L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(2),
+      properties = Map(
+        "graft.checkpoint.parquetThreshold" -> "1",
+        "graft.checkpoint.partRows" -> "4"))
+    (1 to 12).foreach { b =>
+      DeltaLite.append(spark, path,
+        Seq((100L + b, b * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    // the 10th commit wrote a parquet checkpoint DIR, not a JSON file
+    val ckpt = Paths.get(path, "_graft_log", "checkpoint-10.parquet")
+    assert(Files.isDirectory(ckpt), "expected a parquet checkpoint dir")
+    assert(Files.exists(ckpt.resolve("_SUCCESS")))
+    val parts = Files.list(ckpt).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts > 1, s"expected multi-part checkpoint, got $parts part(s)")
+    assert(!Files.exists(Paths.get(path, "_graft_log", "checkpoint-10.json")))
+    // cold resolution goes through the parquet checkpoint...
+    DeltaLite.clearSnapshotCache()
+    val viaCkpt = DeltaLite.snapshot(path)
+    assert(viaCkpt.version === 12 && viaCkpt.files.length === 14)
+    assert(DeltaLite.read(spark, path).count() === 20)
+    // ...and resolves EXACTLY the state a commit-only replay produces
+    // (field-level AddFile equality: stats, row-id bases, the lot)
+    Files.move(ckpt, Paths.get(path, "_graft_log", ".ckpt-hidden"))
+    DeltaLite.clearSnapshotCache()
+    val viaLog = DeltaLite.snapshot(path)
+    assert(viaCkpt.files.toSet === viaLog.files.toSet)
+    assert(viaCkpt.schema === viaLog.schema)
+    assert(viaCkpt.properties === viaLog.properties)
+    // stats survived the typed round-trip → data skipping still prunes
+    Files.move(Paths.get(path, "_graft_log", ".ckpt-hidden"), ckpt)
+    DeltaLite.clearSnapshotCache()
+    val pruned = DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound("k", Some(108L), Some(108L))))
+    assert(pruned.count() === 1)
+    // vacuum must never eat checkpoint parts (they live in the log dir)
+    DeltaLite.vacuum(path, keepVersions = 1)
+    assert(Files.exists(ckpt.resolve("_SUCCESS")))
+    assert(Files.list(ckpt).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) === parts)
+  }
+
+  test("DeltaLite parquet checkpoint at 1e5 actions: snapshot resolution without driver JSON parse") {
+    import org.apache.spark.sql.types._
+    // Fabricate a log whose add actions were never driver-JSON-encoded:
+    // 10 commits x 10k adds through the real commit path, then the
+    // checkpoint trigger writes the multi-part parquet form and a cold
+    // snapshot resolves 100k files through the distributed scan.
+    val path = Files.createTempDirectory("graft_pckpt_big").toString
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    val props = Map(
+      "graft.checkpoint.parquetThreshold" -> "1",
+      "graft.checkpoint.partRows" -> "20000")
+    DeltaLite.create(spark, path,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      properties = props)
+    val seedFiles = DeltaLite.snapshot(path).files.map(_.path)
+    (1L to 10L).foreach { v =>
+      val adds = (0 until 10000).map { i =>
+        DeltaLite.AddFile(
+          path = f"files-$v%05d/part-$i%05d.parquet",
+          rows = 10L, bytes = 1000L,
+          stats = Map("k" -> DeltaLite.ColStats(
+            Some((v * 10000 + i) * 10L), Some((v * 10000 + i) * 10L + 9L))))
+      }
+      DeltaLite.commitExclusive(path, v, "APPEND", schema, adds,
+        if (v == 1L) seedFiles else Nil,
+        Map.empty, Nil, Map.empty, Map.empty, Map.empty, props)
+    }
+    val ckpt = Paths.get(path, "_graft_log", "checkpoint-10.parquet")
+    assert(Files.isDirectory(ckpt) && Files.exists(ckpt.resolve("_SUCCESS")))
+    assert(Files.list(ckpt).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) >= 5,
+      "100k actions at 20k/part must be multi-part")
+    DeltaLite.clearSnapshotCache()
+    val t0 = System.nanoTime()
+    val snap = DeltaLite.snapshot(path)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(snap.version === 10 && snap.files.length === 100000)
+    // spot-check a typed stat made the round trip
+    val f = snap.files.find(_.path == "files-00003/part-00042.parquet").get
+    assert(f.stats("k") === DeltaLite.ColStats(Some(300420L), Some(300429L)))
+    info(f"100k-file snapshot resolved from parquet checkpoint in $sec%.2f s")
+  }
+
   test("DeltaLite txn idempotence survives a log checkpoint") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_txnckpt").toString
