@@ -65,6 +65,7 @@ object Bench {
       "s26_mv_minmax", "s25_incremental_mv", "t11_microbatch", "s33_join_mv",
       "l3_ann_index", "s35_liquid_cluster", "s34_type_widening",
       "l2_dedup_groups", "s24_merge_evolution", "s9_scd2_snapshot",
+      "s36_row_tracking_stable",
       "l3_ann_pq", "l2_substring_dedup", "l4_tfidf", "l3_ann_ivfpq",
       "l2_minhash_lsh", "s13_delete_insert", "l2_semdedup", "l3_ann_ivf",
       "l2_simhash", "s8_merge_upsert", "t4_session_window",
@@ -86,10 +87,13 @@ object Bench {
     // leaves a dirty-page writeback backlog (thousands of temp DeltaLite
     // files) that stalls the NEXT run's IO in D-state — loadavg counts
     // those, so "idle CPU, loadavg 5" = writeback, wait it out.
+    // l3_ann_ivf joined in round 7: its driver-side k-means train is a
+    // sample-collect job CHAIN before the query body — the r6 idle run
+    // still had it at 12.8 s of queue time in the ad-hoc pool.
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
-      "g1_pagerank")
+      "g1_pagerank", "l3_ann_ivf")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

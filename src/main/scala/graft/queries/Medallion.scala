@@ -1028,7 +1028,7 @@ object Medallion {
         .write.mode("append").parquet(landing)
       DeltaLite.copyInto(s, path, landing) // loads ONLY the new file
       DeltaLite.read(s, path)
-        .groupBy(year(col("o_orderdate")).as("yr"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           expr("round((sum(o_totalprice))*100)/100").as("total"))
         .orderBy(col("yr").asc_nulls_last)

@@ -403,7 +403,7 @@ object Relational {
         .withColumn("pos", row_number().over(
           Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
       byBal.join(byPrice, Seq("pos"))
-        .select(col("pos"), col("c_custkey"),
+        .select(col("pos").cast("long").as("pos"), col("c_custkey"),
           expr("round(c_acctbal*100)/100").as("bal"),
           col("o_orderkey"), expr("round(o_totalprice*100)/100").as("price"))
         .orderBy(col("pos").asc_nulls_last)
@@ -1159,6 +1159,28 @@ object Relational {
                 (round((sum(CASE WHEN l_linestatus='O' THEN l_quantity END))*100)/100) AS O
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ O6c
+    // DYNAMIC PIVOT (DuckDB `PIVOT ... ON col USING agg`): the IN list is
+    // DISCOVERED, not pinned. Spark requires the two-phase form — a
+    // distinct-collect of the pivot values (one tiny job over one column,
+    // grouped map-side; its result is a handful of column names, which
+    // must fit the driver by definition — they become the output schema),
+    // then the pivot itself with the discovered list. Sorted for a
+    // deterministic column order. The oracle is DuckDB's native dynamic
+    // PIVOT, which runs the same discovery internally.
+    QueryDef("o6_pivot_dynamic", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val values = o.select(col("o_orderpriority")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      o.groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", values)
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """PIVOT orders ON o_orderpriority USING count(*)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
 
     // ------------------------------------------------------------------- O6b
     // UNPIVOT (wide → long) via Dataset.unpivot.
@@ -2285,7 +2307,7 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
         .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
-        .select(year(col("o_orderdate")).as("yr"),
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
           expr("CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)")
             .as("net_c"),
           col("supp_nation"))
@@ -2440,7 +2462,8 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation")))
       val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
       t(s, dir, "lineitem")
         .join(pf, col("l_partkey") === col("p_partkey"))
         .join(sn, col("l_suppkey") === col("s_suppkey"))

@@ -1175,10 +1175,25 @@ object DeltaLite {
       (if (properties2.isEmpty) Nil
        else List("properties" -> JObject(
          properties2.toList.sortBy(_._1).map { case (k, x) => k -> JString(x) })))
+    // IN-COMMIT TIMESTAMPS (Delta `delta.enableInCommitTimestamps`,
+    // `graft.inCommitTimestamps` here): TIMESTAMP AS OF / RESTORE resolve
+    // versions from commit-header instants, so those instants must be
+    // MONOTONIC in version order — but a retried commit or clock skew
+    // between writers can hand a later version an earlier wall clock.
+    // With the property on, the header instant is max(parent's + 1,
+    // wallclock): still real time when clocks behave, strictly increasing
+    // when they don't. One extra one-line header read per commit.
+    val ictOn = properties.exists { case (k, x) =>
+      k.equalsIgnoreCase("graft.inCommitTimestamps") && x.equalsIgnoreCase("true") }
+    val commitMs =
+      if (!ictOn || version == 0L) clockMs()
+      else math.max(
+        commitHeaderMs(path, version - 1).map(_ + 1L).getOrElse(Long.MinValue),
+        clockMs())
     val lines = Seq(
       JsonMethods.compact(JObject(List("commit" -> JObject(List(
         "version" -> JLong(version), "op" -> JString(op),
-        "committedAtMs" -> JLong(System.currentTimeMillis())))))),
+        "committedAtMs" -> JLong(commitMs)))))),
       JsonMethods.compact(JObject(List("metaData" -> JObject(metaFields))))) ++
       (txn.toSeq ++ txns).map { case (app, ver) =>
         JsonMethods.compact(JObject(List("txn" ->
@@ -1840,6 +1855,26 @@ object DeltaLite {
       readds, touched, snap.constraints, snap.partitionBy, snap.physical, snap.generated,
       snap.identity,
       withFeature(snap.properties, "deletionVectors", reader = true))
+  }
+
+  /** Injectable wall clock (test hook for the in-commit-timestamp skew
+    * tests; production value is the system clock). */
+  private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
+
+  /** One commit's header instant — a one-line read. */
+  private def commitHeaderMs(path: String, v: Long): Option[Long] = {
+    val first = Files.lines(logDir(path).resolve(s"$v.json"))
+    try first.iterator().asScala.take(1).toSeq.headOption.flatMap(
+      parseLine(_) match {
+        case JObject(fields) => fields.collectFirst {
+          case ("commit", JObject(c)) => c.collectFirst {
+            case ("committedAtMs", JLong(ms)) => ms
+            case ("committedAtMs", JInt(ms)) => ms.toLong
+          }
+        }.flatten
+        case _ => None
+      })
+    finally first.close()
   }
 
   /** `TIMESTAMP AS OF` time travel: the newest version committed at or

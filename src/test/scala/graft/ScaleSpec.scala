@@ -1146,6 +1146,55 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     info(f"100k-file snapshot resolved from parquet checkpoint in $sec%.2f s")
   }
 
+  test("DeltaLite in-commit timestamps: monotonic headers under clock skew; TIMESTAMP AS OF and RESTORE resolve from them") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ict").toString
+    val origClock = DeltaLite.clockMs
+    try {
+      var t = 1000000L
+      DeltaLite.clockMs = () => t
+      DeltaLite.create(spark, path, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+        properties = Map("graft.inCommitTimestamps" -> "true"))
+      t = 2000000L
+      DeltaLite.append(spark, path, Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+      // clock SKEW: a later writer's wall clock is 500 s behind
+      t = 1500000L
+      DeltaLite.append(spark, path, Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+      t = 1600000L
+      DeltaLite.append(spark, path, Seq((3L, 3.0)).toDF("k", "v").coalesce(1))
+      // header instants ride the commit monotonically: v2/v3 were clamped
+      // to parent+1, never their (earlier) wall clock
+      val hist = DeltaLite.history(spark, path)
+        .select(col("version"), col("timestamp").cast("long") * 1000 +
+          expr("cast(date_format(timestamp, 'SSS') as long)"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      assert(hist.sliding(2).forall(p => p(0) < p(1)),
+        s"headers must strictly increase, got ${hist.toSeq}")
+      // TIMESTAMP AS OF at the honest instant sees v1, not the skewed v3
+      assert(DeltaLite.versionAtTimestamp(path, 2000000L) === 1L)
+      assert(DeltaLite.versionAtTimestamp(path, 2000001L) === 2L)
+      assert(DeltaLite.versionAtTimestamp(path, 2000002L) === 3L)
+      assert(DeltaLite.readAsOfTimestamp(spark, path, 2000000L).count() === 2)
+      // RESTORE TIMESTAMP AS OF rolls back to the instant's version
+      DeltaLite.restoreAtTimestamp(spark, path, 2000000L)
+      assert(DeltaLite.read(spark, path).count() === 2)
+      // control: WITHOUT the property the same skew produces a
+      // non-monotonic header sequence (why the feature exists)
+      val ctl = Files.createTempDirectory("graft_ict_ctl").toString
+      t = 1000000L
+      DeltaLite.create(spark, ctl, Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+      t = 2000000L
+      DeltaLite.append(spark, ctl, Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+      t = 1500000L
+      DeltaLite.append(spark, ctl, Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+      val ctlHist = DeltaLite.history(spark, ctl)
+        .select(col("version"), col("timestamp").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      assert(!ctlHist.sliding(2).forall(p => p(0) < p(1)),
+        "control table must show the skew the feature prevents")
+    } finally DeltaLite.clockMs = origClock
+  }
+
   test("DeltaLite txn idempotence survives a log checkpoint") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_txnckpt").toString
