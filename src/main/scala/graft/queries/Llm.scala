@@ -2164,6 +2164,169 @@ object Llm {
                 CAST(sum(img_toks) AS BIGINT) AS image_tokens,
                 CAST(sum(toks) AS BIGINT) AS seq_tokens
          FROM c GROUP BY source, seq_id
-         ORDER BY source ASC NULLS LAST, seq_id ASC NULLS LAST"""))
+         ORDER BY source ASC NULLS LAST, seq_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (k)
+    // Scalar-quantized (int8) similarity — the memory-compression path a
+    // serving tier runs before exact re-rank: each vector quantizes to
+    // per-vector-scaled int8 codes (64 B vs 256 B float32 — 4× smaller,
+    // SIMD-friendly integer dots), and cosine over the QUANTIZED codes is
+    // scale-invariant (the per-vector scale cancels), so ranking needs
+    // only integer sums + one sqrt. All sums are integer-exact (|q| ≤ 127,
+    // dim 64 → well under 2^53), so Spark and DuckDB agree bit-for-bit on
+    // dot/norm products — the whole query is oracle-gated, unlike the
+    // float-sum paths that need rounding tolerance. At 100 TB the codes
+    // column replaces the float vectors in the candidate-generation scan;
+    // exact vectors are fetched only for the final top-k re-rank.
+    QueryDef("l3_ann_sq8", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e
+        .withColumn("scale",
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(m, y) -> greatest(m, abs(CAST(y AS DOUBLE)))) / 127.0"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))"))
+        .withColumn("q2",
+          expr("aggregate(transform(q, x -> x * x), 0L, (a, v) -> a + v)"))
+      val qs = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("q2").as("qa2"))
+      val cs = qv.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("q").as("qb"), col("q2").as("qb2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      qs.crossJoin(cs)
+        .withColumn("dotq",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("sim",
+          col("dotq") / sqrt((col("qa2") * col("qb2")).cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH sc AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q
+           FROM sc),
+         n AS (
+           SELECT vec_id, q,
+                  list_aggregate(list_transform(q, x -> x * x), 'sum') AS q2
+           FROM qv),
+         d AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  sum(a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)]) AS dotq,
+                  any_value(a.q2) AS qa2, any_value(b.q2) AS qb2
+           FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, nid,
+                  dotq / sqrt(CAST(qa2 * qb2 AS DOUBLE)) AS sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY dotq / sqrt(CAST(qa2 * qb2 AS DOUBLE)) DESC,
+                             nid ASC) AS rk
+           FROM d)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid,
+                (round(sim*10000)/10000) AS sim
+         FROM ranked WHERE rk <= 5
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L2 (k)
+    // Shingle CONTAINMENT — the asymmetric near-dup measure (|S(A)∩S(B)|
+    // / |S(A)|) that catches "A is a quoted/truncated copy inside B",
+    // which symmetric Jaccard under-scores when the container is much
+    // longer. The planted mutated copies (last token dropped) have
+    // containment exactly 1.0 in their originals — S(mutated) ⊂ S(orig).
+    // Candidates come from the shared-shingle EQUALITY join (the LSH
+    // shape at scale), never all-pairs.
+    QueryDef("l2_containment", (s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+        .filter(col("doc_id") < 40 || col("doc_id") >= 1000000)
+      val sets = TextFunctions.shingleSets(corpus, "doc_id", "text")
+      val a = sets.select(col("doc_id").as("ida"), col("shingle"))
+      val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
+      val pairs = a.join(b, col("shingle") === col("shb") && col("ida") =!= col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      pairs
+        .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+        .filter(expr("CAST(inter AS DOUBLE) / sza >= 0.6"))
+        .select(col("ida"), col("idb"), col("inter"),
+          expr("round((CAST(inter AS DOUBLE) / sza)*10000)/10000")
+            .as("containment"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 40
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) - 1), ' ') AS text
+           FROM documents WHERE doc_id < 20),
+         sets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM corpus)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           FROM sets a JOIN sets b
+             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT ida, idb, inter,
+                (round((CAST(inter AS DOUBLE) / sa.sz)*10000)/10000)
+                  AS containment
+         FROM pairs JOIN sizes sa ON sa.doc_id = ida
+         WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6
+         ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (r)
+    // Zipf fit — the corpus-health diagnostic: natural text follows
+    // freq ∝ rank^s with s ≈ -1; template spam and boilerplate bend the
+    // log-log line. Slope/R² come from regr aggregates over the top-100
+    // ranks. Scale shape: the vocabulary census is one keyed agg; the
+    // top-100 cut is TakeOrderedAndProject (never a global sort), and the
+    // regression runs on 100 rows.
+    QueryDef("l4_zipf", (s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy(col("freq").desc, col("tok").asc).limit(100)
+      top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok").asc)))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("round(regr_slope(ln(freq), ln(rk)) * 10000)/10000")
+            .as("zipf_slope"),
+          expr("round(regr_r2(ln(freq), ln(rk)) * 10000)/10000")
+            .as("fit_r2"))
+    }, Some(
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (
+           SELECT tok, count(*) AS freq FROM toks
+           WHERE tok <> '' GROUP BY 1),
+         ranked AS (
+           SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk
+           FROM freq ORDER BY freq DESC, tok ASC LIMIT 100)
+         SELECT count(*) AS n_terms,
+                (round(regr_slope(ln(freq), ln(rk)) * 10000)/10000)
+                  AS zipf_slope,
+                (round(regr_r2(ln(freq), ln(rk)) * 10000)/10000) AS fit_r2
+         FROM ranked"""))
   )
 }
