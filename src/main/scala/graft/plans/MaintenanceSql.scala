@@ -17,6 +17,7 @@ import graft.sources.DeltaLite
   *   DESCRIBE HISTORY '<path>' [LIMIT n]
   *   DESCRIBE DETAIL '<path>'
   *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
+  *   VACUUM '<path>' USING INVENTORY (<sql>) [RETAIN n VERSIONS] [DRY RUN]
   *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
   *   OPTIMIZE '<path>' [WHERE <partCol> = '<value>'] ZORDER BY (a, b)
   *   RESTORE '<path>' TO VERSION AS OF n
@@ -80,6 +81,20 @@ object MaintenanceSql {
       AttributeReference("deleted_files", IntegerType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.vacuum(path, keepVersions, dryRun)))
+  }
+
+  /** Delta's `VACUUM … USING INVENTORY (subquery)`: the candidate file
+    * census comes from the subquery (a storage-inventory report table)
+    * instead of a recursive listing — the listing is the actual vacuum
+    * bottleneck on 100 TB object stores. The subquery must yield a string
+    * `path` column of table-root-relative paths. */
+  final case class VacuumInventoryCommand(path: String, inventorySql: String,
+      keepVersions: Int, dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("deleted_files", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.vacuumInventory(spark, path, spark.sql(inventorySql),
+        keepVersions, dryRun)))
   }
 
   final case class RestoreCommand(path: String, version: Long)
@@ -262,6 +277,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val VacuumInvRe =
+    ("""(?is)\s*VACUUM\s+'([^']+)'\s+USING\s+INVENTORY\s*\((.+)\)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+MIN\s+ROWS\s+(\d+))?""" +
       """(?:\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?\s*;?\s*""").r
@@ -313,6 +331,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case HistoryRe(p, lim) =>
       DescribeHistoryCommand(p, Option(lim).map(_.toInt))
     case DetailRe(p) => DescribeDetailCommand(p)
+    // the inventory form must match first: plain VacuumRe's path group
+    // would otherwise swallow `VACUUM 'p' USING INVENTORY (...)` partially
+    case VacuumInvRe(p, inv, keep, dry) =>
+      VacuumInventoryCommand(p, inv.trim,
+        Option(keep).map(_.toInt).getOrElse(-1), dry != null)
     case VacuumRe(p, keep, dry) =>
       // no RETAIN clause → -1 → vacuum consults the table's
       // graft.retention.keepVersions property, falling back to 1

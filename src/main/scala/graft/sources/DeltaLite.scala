@@ -3575,4 +3575,65 @@ object DeltaLite {
       victims.size
     } finally all.close()
   }
+
+  /** Inventory-based VACUUM — Delta's `VACUUM … USING INVENTORY` shape.
+    *
+    * [[vacuum]] discovers candidates with a recursive directory walk; on
+    * object stores at 100 TB that LISTING — billions of keys, throttled
+    * paginated API calls — is the vacuum bottleneck, which is why Delta
+    * accepts a pre-computed file inventory (e.g. an S3 Inventory / GCS
+    * Storage Insights report) as the candidate source instead. Here the
+    * inventory is a DataFrame with a string `path` column of
+    * table-root-relative file paths, and the dead-file set is computed as
+    * a DISTRIBUTED anti-join (inventory ∖ referenced), so no single
+    * machine ever materializes the file census. Deletion likewise runs
+    * per-partition on executors — O(victims / parallelism) wall clock.
+    *
+    * Safety rules match [[vacuum]]: only `.parquet` files, never the log
+    * dir, never files under a referenced deletion-vector directory, and —
+    * because an inventory row is UNTRUSTED input — any path that escapes
+    * the table root (`..`, absolute) is ignored rather than resolved.
+    * Staleness is safe in one direction only: files missing from the
+    * inventory are simply not collected this pass (a newer file listed by
+    * an old inventory can't be deleted either — it's referenced by the
+    * CURRENT snapshots read here, not the inventory's vintage).
+    */
+  def vacuumInventory(spark: SparkSession, path: String, inventory: DataFrame,
+      keepVersions: Int = -1, dryRun: Boolean = false): Long = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val keep =
+      if (keepVersions >= 0) keepVersions
+      else snapshot(path).properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.retention.keepVersions") => v
+      }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+    val keepFrom = math.max(0L, latest - keep + 1)
+    val keptSnaps = (keepFrom to latest).map(v => snapshot(path, Some(v)))
+    val referenced = keptSnaps.flatMap(_.files.map(_.path)).distinct
+    val dvDirs = keptSnaps.flatMap(_.files.flatMap(_.dv)).distinct
+    import spark.implicits._
+    val refDf = referenced.toDF("path")
+    val underDv = dvDirs
+      .map(d => col("path").startsWith(d + "/"))
+      .foldLeft(lit(false))(_ || _)
+    val victims = inventory
+      .select(col("path").cast("string").as("path"))
+      .filter(col("path").endsWith(".parquet"))
+      .filter(!col("path").startsWith("_graft_log/"))
+      .filter(!col("path").startsWith("/") && !col("path").contains(".."))
+      .filter(!underDv)
+      .join(refDf, Seq("path"), "left_anti")
+    if (dryRun) victims.count()
+    else {
+      val rootStr = root(path).toString
+      val deleted = spark.sparkContext.longAccumulator("vacuum_inventory_deleted")
+      victims.select("path").as[String].foreachPartition { it: Iterator[String] =>
+        it.foreach { rel =>
+          val p = Paths.get(rootStr).resolve(rel).normalize()
+          if (p.startsWith(rootStr) && Files.deleteIfExists(p)) deleted.add(1)
+        }
+      }
+      deleted.value
+    }
+  }
 }

@@ -2531,4 +2531,55 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(ks === Set(999L),
       s"expected only the far-future row to survive pruning, got $ks")
   }
+
+  test("inventory-based VACUUM: anti-join candidates, inventory-scoped, traversal-safe") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_vacinv").toString
+    DeltaLite.create(spark, path,
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(4))
+    // create orphans: overwrite-style delete+insert rewrites touched files
+    DeltaLite.delete(spark, path, $"k" < 10L)
+    DeltaLite.append(spark, path,
+      (100L until 110L).map(i => (i, 0.0)).toDF("k", "v").repartition(2))
+    val r = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    def listing(): Set[String] = {
+      val w = Files.walk(r)
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => r.relativize(p).toString).toSet
+      finally w.close()
+    }
+    // the storage-inventory report = the full listing, as a DataFrame
+    val fullInv = listing().toSeq.toDF("path")
+    val expected = DeltaLite.vacuum(path, keepVersions = 1, dryRun = true)
+    val viaInv = DeltaLite.vacuumInventory(spark, path, fullInv,
+      keepVersions = 1, dryRun = true)
+    assert(viaInv === expected.toLong,
+      "inventory anti-join must find exactly the walk-based victim set")
+    assert(viaInv > 0, "the rewrite must have produced orphans")
+    // inventory-SCOPED: holding one orphan out of the inventory keeps it
+    val orphans = {
+      val live = DeltaLite.snapshot(path).files.map(_.path).toSet
+      listing().filterNot(live.contains).filterNot(_.startsWith("_graft_log/"))
+    }
+    val heldOut = orphans.head
+    val partialInv = listing().filterNot(_ == heldOut).toSeq.toDF("path")
+      // hostile rows must be ignored, not resolved
+      .union(Seq("../outside.parquet", "/etc/passwd.parquet").toDF("path"))
+    val deleted = DeltaLite.vacuumInventory(spark, path, partialInv,
+      keepVersions = 1)
+    assert(deleted === viaInv - 1)
+    assert(Files.exists(r.resolve(heldOut)),
+      "a file absent from the inventory must survive the pass")
+    // referenced data is intact; the held-out orphan goes next pass —
+    // driven through the SQL spelling this time
+    assert(DeltaLite.read(spark, path).count() === 20)
+    listing().toSeq.toDF("path").createOrReplaceTempView("storage_inventory")
+    val viaSql = spark.sql(
+      s"VACUUM '$path' USING INVENTORY (SELECT path FROM storage_inventory) " +
+        "RETAIN 1 VERSIONS")
+      .collect()(0).getLong(0)
+    assert(viaSql === 1L)
+    assert(DeltaLite.read(spark, path).count() === 20)
+  }
 }
