@@ -2328,5 +2328,80 @@ object Llm {
                   AS zipf_slope,
                 (round(regr_r2(ln(freq), ln(rk)) * 10000)/10000) AS fit_r2
          FROM ranked"""))
+  ,
+
+    // ------------------------------------------------------------------ L7
+    // END-TO-END preprocessing pipeline — the composite workload the
+    // whole L-family exists for, as ONE declarative DAG: language gate →
+    // length gate → exact dedup (keep-first per content hash) → token
+    // census + mean-word-length quality band → per-language sequence
+    // packing → per-language yield report (docs in → docs surviving →
+    // tokens → packed 2048-token sequences). Catalyst fuses the gates
+    // into the scan; the only shuffles are the dedup hash and the
+    // per-language pack window — at 100 TB both key by content-hash /
+    // language, so the pipeline is two exchanges end to end, and every
+    // stage is the same operator the standalone queries certify.
+    QueryDef("l7_pipeline", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs
+        .filter(col("lang").isin("en", "de", "fr"))
+        .filter(length(col("text")) >= 50)
+      val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      val deduped = kept
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val scored = deduped
+        .withColumn("toks", size(split(col("text"), " ")))
+        .withColumn("mean_wl",
+          (length(col("text")) - col("toks") + 1).cast("double") / col("toks"))
+        .filter(col("toks") >= 10 && col("mean_wl").between(3.0, 10.0))
+      val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      val packed = scored
+        .withColumn("cum", sum(col("toks") + 1).over(wPack))
+        .withColumn("seq_id", floor((col("cum") - (col("toks") + 1)) / 2048))
+      packed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          (max(col("seq_id")) + 1).as("n_sequences"))
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_in")),
+          Seq("lang"))
+        .select(col("lang"), col("n_docs_in"), col("n_docs"),
+          col("n_tokens"), col("n_sequences"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH kept AS (
+           SELECT doc_id, lang, text FROM documents
+           WHERE lang IN ('en','de','fr') AND length(text) >= 50),
+         dedup AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(text)
+                         ORDER BY doc_id ASC) AS rn
+             FROM kept) WHERE rn = 1),
+         scored AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS toks,
+                  CAST(length(text) - len(string_split(text, ' ')) + 1
+                    AS DOUBLE) / len(string_split(text, ' ')) AS mean_wl
+           FROM dedup),
+         band AS (
+           SELECT * FROM scored
+           WHERE toks >= 10 AND mean_wl BETWEEN 3.0 AND 10.0),
+         packed AS (
+           SELECT lang, toks,
+                  CAST(floor((sum(toks + 1) OVER (PARTITION BY lang
+                      ORDER BY doc_id ASC) - (toks + 1)) / 2048) AS BIGINT)
+                    AS seq_id
+           FROM band),
+         summary AS (
+           SELECT lang, count(*) AS n_docs,
+                  CAST(sum(toks) AS BIGINT) AS n_tokens,
+                  CAST(max(seq_id) + 1 AS BIGINT) AS n_sequences
+           FROM packed GROUP BY 1),
+         input AS (SELECT lang, count(*) AS n_docs_in
+                   FROM documents GROUP BY 1)
+         SELECT s.lang, i.n_docs_in, s.n_docs, s.n_tokens, s.n_sequences
+         FROM summary s JOIN input i USING (lang)
+         ORDER BY s.lang ASC NULLS LAST"""))
   )
 }
