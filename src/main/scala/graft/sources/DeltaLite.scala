@@ -330,8 +330,20 @@ object DeltaLite {
   /** A discovered checkpoint: version + format. Parquet checkpoints are
     * directories `checkpoint-<V>.parquet/` of N part files (multi-part),
     * valid only once Spark's `_SUCCESS` marker exists; JSON checkpoints
-    * are the single-file `checkpoint-<V>.json` form. */
-  private final case class CkptRef(version: Long, parquet: Boolean)
+    * are the single-file `checkpoint-<V>.json` form; v2 checkpoints are a
+    * JSON manifest `checkpoint-<V>.v2.json` referencing parquet SIDECAR
+    * files under `_graft_log/_sidecars/` (Delta's v2Checkpoint design —
+    * unchanged sidecars are REUSED across checkpoints, so writing one is
+    * O(changed buckets), not O(live files)). Format ranks replay
+    * preference at a version tie: v2 > parquet > json (all restate the
+    * same resolved state; higher ranks scale better). */
+  private final case class CkptRef(version: Long, format: String) {
+    def rank: Int = format match {
+      case "v2" => 2
+      case "parquet" => 1
+      case _ => 0
+    }
+  }
 
   private def latestCheckpointAtOrBefore(path: String, v: Long,
       parquetOk: Boolean): Option[CkptRef] = {
@@ -343,23 +355,30 @@ object DeltaLite {
         val cs = stream.iterator().asScala
           .map(_.getFileName.toString)
           .flatMap { n =>
-            if (n.startsWith("checkpoint-") && n.endsWith(".json"))
+            // the .v2.json test must run FIRST: the plain-json branch's
+            // suffix strip would otherwise parse "15.v2" as a version
+            if (parquetOk && n.startsWith("checkpoint-") &&
+                n.endsWith(".v2.json"))
+              Some(CkptRef(
+                n.stripPrefix("checkpoint-").stripSuffix(".v2.json").toLong,
+                "v2"))
+            else if (n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
+              None // sidecar replay needs a live session; skip, don't crash
+            else if (n.startsWith("checkpoint-") && n.endsWith(".json"))
               Some(CkptRef(
                 n.stripPrefix("checkpoint-").stripSuffix(".json").toLong,
-                parquet = false))
+                "json"))
             else if (parquetOk && n.startsWith("checkpoint-") &&
                 n.endsWith(".parquet") &&
                 Files.exists(ld.resolve(n).resolve("_SUCCESS")))
               Some(CkptRef(
                 n.stripPrefix("checkpoint-").stripSuffix(".parquet").toLong,
-                parquet = true))
+                "parquet"))
             else None
           }
           .filter(_.version <= v)
           .toSeq
-        // prefer the newest version; at a tie prefer parquet (it is the
-        // scalable replay path, and both restate the same resolved state)
-        cs.sortBy(c => (c.version, c.parquet)).lastOption
+        cs.sortBy(c => (c.version, c.rank)).lastOption
       } finally stream.close()
     }
   }
@@ -374,16 +393,18 @@ object DeltaLite {
     * resolution; a feature in the WRITER set additionally gates commits.
     * The point is FORWARD compatibility: a log written by a future/other
     * implementation that requires a feature this engine does not know
-    * must refuse loudly instead of silently misreading — e.g. a foreign
-    * "v2Checkpoint" reader feature means our checkpoint replay would be
-    * WRONG, not merely incomplete. Feature-requiring operations
-    * auto-register (widenColumnType → typeWidening, deleteVectorized →
-    * deletionVectors), mirroring Delta's automatic protocol upgrades. */
+    * must refuse loudly instead of silently misreading. Feature-requiring
+    * operations auto-register (widenColumnType → typeWidening,
+    * deleteVectorized → deletionVectors), mirroring Delta's automatic
+    * protocol upgrades. "v2Checkpoint" (manifest + sidecar checkpoints,
+    * [[writeV2Checkpoint]]) is a SUPPORTED reader feature since round 7 —
+    * tables whose checkpoints use the sidecar form are readable, and ones
+    * requiring features beyond this list still refuse. */
   private[graft] val ProtocolReaderKey = "graft.protocol.readerFeatures"
   private[graft] val ProtocolWriterKey = "graft.protocol.writerFeatures"
   private[graft] val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "typeWidening", "timestampNtz",
-    "generatedColumns", "rowTracking", "changeDataFeed")
+    "generatedColumns", "rowTracking", "changeDataFeed", "v2Checkpoint")
   private[graft] val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures ++ Set(
       "appendOnly", "checkConstraints", "identityColumns", "columnDefaults",
@@ -543,12 +564,17 @@ object DeltaLite {
         val ckpt = latestCheckpointAtOrBefore(path, v,
           parquetOk = sparkOpt.isDefined)
         ckpt.foreach {
-          case CkptRef(cv, true) =>
+          case CkptRef(cv, "v2") =>
+            readV2Checkpoint(sparkOpt.get, path, cv,
+              s => schema = s, live, txns, c => constraints = c,
+              p => partitionBy = p, m => physical = m, g => generated = g,
+              i => identity = i, pr => properties = pr)
+          case CkptRef(cv, "parquet") =>
             readParquetCheckpoint(sparkOpt.get, path, cv,
               s => schema = s, live, txns, c => constraints = c,
               p => partitionBy = p, m => physical = m, g => generated = g,
               i => identity = i, pr => properties = pr)
-          case CkptRef(cv, false) =>
+          case CkptRef(cv, _) =>
             applyActions(Files.readAllLines(
               logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
               s => schema = s, live, txns, c => constraints = c,
@@ -1243,7 +1269,11 @@ object DeltaLite {
     }.flatMap(x => scala.util.Try(x.trim.toLong).toOption).getOrElse(10000L)
     val sparkOpt = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-    if (snap.files.length >= threshold && sparkOpt.isDefined)
+    val v2 = snap.properties.exists { case (k, x) =>
+      k.equalsIgnoreCase("graft.checkpoint.v2") && x.equalsIgnoreCase("true") }
+    if (v2 && sparkOpt.isDefined)
+      writeV2Checkpoint(sparkOpt.get, path, version, snap)
+    else if (snap.files.length >= threshold && sparkOpt.isDefined)
       writeParquetCheckpoint(sparkOpt.get, path, version, snap)
     else {
       val lines = checkpointJsonLines(snap) ++
@@ -1399,31 +1429,262 @@ object DeltaLite {
       physical.getOrElse(f.name, f.name) -> f.dataType).toMap
     df.filter(col("kind") === "add").drop("kind", "json")
       .collect().foreach { r =>
-        def statsOf(minCol: String, maxCol: String): Map[String, ColStats] = {
-          val mins = Option(r.getAs[Map[String, String]](minCol))
-            .getOrElse(Map.empty)
-          val maxs = Option(r.getAs[Map[String, String]](maxCol))
-            .getOrElse(Map.empty)
-          (mins.keySet ++ maxs.keySet).flatMap { cn =>
-            types.get(cn).map { dt =>
-              cn -> ColStats(mins.get(cn).flatMap(untagStat(dt, _)),
-                maxs.get(cn).flatMap(untagStat(dt, _)))
-            }
-          }.toMap
+        val f = addFromCkptRow(r, types)
+        live(f.path) = f
+      }
+  }
+
+  /** Decode one typed checkpoint/sidecar parquet row back to an AddFile
+    * (shared by the multi-part and v2-sidecar replay paths). */
+  private def addFromCkptRow(r: Row, types: Map[String, DataType]): AddFile = {
+    def statsOf(minCol: String, maxCol: String): Map[String, ColStats] = {
+      val mins = Option(r.getAs[Map[String, String]](minCol))
+        .getOrElse(Map.empty)
+      val maxs = Option(r.getAs[Map[String, String]](maxCol))
+        .getOrElse(Map.empty)
+      (mins.keySet ++ maxs.keySet).flatMap { cn =>
+        types.get(cn).map { dt =>
+          cn -> ColStats(mins.get(cn).flatMap(untagStat(dt, _)),
+            maxs.get(cn).flatMap(untagStat(dt, _)))
         }
-        val f = AddFile(
-          path = r.getAs[String]("path"),
-          rows = r.getAs[Long]("rows"),
-          stats = statsOf("stats_min", "stats_max"),
-          dv = Option(r.getAs[String]("dv")),
-          pv = Option(r.getAs[Map[String, String]]("pv")).getOrElse(Map.empty),
-          bloom = Option(r.getAs[Map[String, String]]("bloom"))
-            .getOrElse(Map.empty),
-          bytes = r.getAs[Long]("bytes"),
-          baseRowId = Option(r.get(r.fieldIndex("base_row_id")))
-            .map(_.asInstanceOf[Long]),
-          rowCommitVersion = Option(r.get(r.fieldIndex("row_commit_version")))
-            .map(_.asInstanceOf[Long]))
+      }.toMap
+    }
+    AddFile(
+      path = r.getAs[String]("path"),
+      rows = r.getAs[Long]("rows"),
+      stats = statsOf("stats_min", "stats_max"),
+      dv = Option(r.getAs[String]("dv")),
+      pv = Option(r.getAs[Map[String, String]]("pv")).getOrElse(Map.empty),
+      bloom = Option(r.getAs[Map[String, String]]("bloom"))
+        .getOrElse(Map.empty),
+      bytes = r.getAs[Long]("bytes"),
+      baseRowId = Option(r.get(r.fieldIndex("base_row_id")))
+        .map(_.asInstanceOf[Long]),
+      rowCommitVersion = Option(r.get(r.fieldIndex("row_commit_version")))
+        .map(_.asInstanceOf[Long]))
+  }
+
+  // --------------------------------------- v2 checkpoints (sidecar form)
+
+  /** Delta v2Checkpoint: `checkpoint-<V>.v2.json` is a small JSON
+    * MANIFEST (metaData/txn lines + one `sidecar` line per bucket) whose
+    * file actions live in parquet SIDECAR files under
+    * `_graft_log/_sidecars/`, bucketed by a stable hash of the data-file
+    * path. The property this buys over the multi-part form is
+    * INCREMENTAL checkpointing: a bucket whose membership is unchanged
+    * since the previous v2 checkpoint keeps its fingerprint, so its
+    * sidecar file is REUSED by reference — at 100-TB metadata (millions
+    * of add actions, checkpoint every 10 commits) each checkpoint writes
+    * O(changed buckets) instead of re-serializing the full live set.
+    * Sidecar rows use [[CkptParquetSchema]] minus `kind`/`json`, so
+    * replay is the same distributed scan + typed decode as multi-part.
+    *
+    * Sidecar GC runs at write time: files unreferenced by ANY present v2
+    * manifest AND older than [[SidecarGcAgeMs]] are deleted — the age
+    * floor keeps a concurrent writer's just-written, not-yet-linked
+    * sidecars safe (same reasoning as Delta's checkpoint retention). */
+  private val SidecarGcAgeMs: Long = 10L * 60L * 1000L
+
+  private def sidecarDir(path: String): Path =
+    logDir(path).resolve("_sidecars")
+
+  private def sidecarBucket(filePath: String, nBuckets: Int): Int =
+    Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(filePath), nBuckets)
+
+  /** Parse the sidecar lines of a v2 manifest:
+    * bucket → (relative file, fingerprint, nAdds). */
+  private def manifestSidecars(lines: Seq[String]): Map[Int, (String, String, Long)] =
+    lines.filter(_.nonEmpty).flatMap { line =>
+      parseLine(line) match {
+        case JObject(fields) => fields.collectFirst {
+          case ("sidecar", JObject(sc)) =>
+            val m = sc.toMap
+            def str(k: String) = m.get(k).collect { case JString(s) => s }
+            def num(k: String) = m.get(k).collect {
+              case JLong(l) => l
+              case JInt(i) => i.toLong
+            }
+            for {
+              b <- num("bucket"); f <- str("file"); fp <- str("fingerprint")
+            } yield b.toInt -> (f, fp, num("nAdds").getOrElse(0L))
+        }.flatten
+        case _ => None
+      }
+    }.toMap
+
+  private def writeV2Checkpoint(spark: SparkSession, path: String,
+      version: Long, snap: Snapshot): Unit = {
+    val nBuckets = snap.properties.collectFirst {
+      case (k, x) if k.equalsIgnoreCase("graft.checkpoint.sidecarBuckets") => x
+    }.flatMap(x => scala.util.Try(x.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(16)
+    val byBucket: Map[Int, Seq[AddFile]] =
+      snap.files.groupBy(f => sidecarBucket(f.path, nBuckets))
+    // fingerprint = md5 over the bucket's path-sorted encoded add actions
+    // — any member/stat/schema-encoding change changes it
+    def fingerprint(files: Seq[AddFile]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.sortBy(_.path).foreach { f =>
+        md.update(JsonMethods.compact(
+          encodeAdd(f, snap.schema, snap.physical)).getBytes("UTF-8"))
+        md.update('\n'.toByte)
+      }
+      f"${new java.math.BigInteger(1, md.digest())}%032x"
+    }
+    val prints: Map[Int, String] =
+      byBucket.map { case (b, fs) => b -> fingerprint(fs) }
+    // previous v2 manifest (any version < this one): reusable sidecars
+    val ld = logDir(path)
+    val prevVersion: Option[Long] = {
+      val stream = Files.list(ld)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
+        .map(_.stripPrefix("checkpoint-").stripSuffix(".v2.json").toLong)
+        .filter(_ < version)
+        .foldLeft(Option.empty[Long])((acc, x) =>
+          Some(acc.fold(x)(math.max(_, x))))
+      finally stream.close()
+    }
+    val prev: Map[Int, (String, String, Long)] = prevVersion.map { pv =>
+      manifestSidecars(Files.readAllLines(
+        ld.resolve(s"checkpoint-$pv.v2.json")).asScala.toSeq)
+    }.getOrElse(Map.empty)
+    val reused: Map[Int, String] = byBucket.keys.flatMap { b =>
+      prev.get(b).collect { case (file, fp, _) if fp == prints(b) => b -> file }
+    }.toMap
+    val changed = byBucket.keys.filterNot(reused.contains).toSeq.sorted
+    // write every changed bucket in ONE partitioned job: repartition on
+    // the bucket key puts each bucket's rows in a single task, so each
+    // bucket directory gets exactly one parquet part — one sidecar file
+    val written: Map[Int, String] =
+      if (changed.isEmpty) Map.empty
+      else {
+        Files.createDirectories(sidecarDir(path))
+        val types = snap.schema.fields.map(f =>
+          snap.physical.getOrElse(f.name, f.name) -> f.dataType).toMap
+        val schemaWithBucket = StructType(
+          StructField("bucket", IntegerType, nullable = false) +:
+            CkptParquetSchema.fields.filterNot(f =>
+              f.name == "kind" || f.name == "json"))
+        val rows = changed.flatMap { b =>
+          byBucket(b).map { f =>
+            def statMap(pick: ColStats => Option[Any]): Map[String, String] =
+              f.stats.flatMap { case (cn, cs) =>
+                for { dt <- types.get(cn); v <- pick(cs); t <- tagStat(dt, v) }
+                  yield cn -> t
+              }
+            Row(b, f.path, f.rows, f.bytes, f.dv.orNull,
+              f.baseRowId.map(Long.box).orNull,
+              f.rowCommitVersion.map(Long.box).orNull,
+              f.pv, f.bloom, statMap(_.min), statMap(_.max))
+          }
+        }
+        val tmp = ld.resolve(
+          s".v2tmp-$version-${java.util.UUID.randomUUID.toString.take(8)}")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, math.max(1, changed.size)),
+            schemaWithBucket)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(tmp.toString)
+        try {
+          changed.map { b =>
+            val bdir = tmp.resolve(s"bucket=$b")
+            val part = {
+              val st = Files.list(bdir)
+              try st.iterator().asScala
+                .find(p => p.getFileName.toString.endsWith(".parquet"))
+                .getOrElse(sys.error(s"no parquet part for sidecar bucket $b"))
+              finally st.close()
+            }
+            val name =
+              s"${java.util.UUID.randomUUID.toString}.parquet"
+            Files.move(part, sidecarDir(path).resolve(name))
+            b -> s"_sidecars/$name"
+          }.toMap
+        } finally deleteRecursively(tmp)
+      }
+    val sidecarLines = byBucket.keys.toSeq.sorted.map { b =>
+      val file = reused.getOrElse(b, written(b))
+      JsonMethods.compact(JObject(List("sidecar" -> JObject(List(
+        "bucket" -> JInt(b), "file" -> JString(file),
+        "fingerprint" -> JString(prints(b)),
+        "nAdds" -> JLong(byBucket(b).size.toLong))))))
+    }
+    val lines = checkpointJsonLines(snap) ++ sidecarLines
+    val tmpj = ld.resolve(
+      s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.v2.json.tmp")
+    Files.write(tmpj, lines.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    try Files.createLink(ld.resolve(s"checkpoint-$version.v2.json"), tmpj)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmpj)
+    gcSidecars(path)
+  }
+
+  /** Delete sidecar files referenced by NO present v2 manifest, aged past
+    * [[SidecarGcAgeMs]] (concurrent-writer safety floor). */
+  private def gcSidecars(path: String): Unit = {
+    val sd = sidecarDir(path)
+    if (!Files.isDirectory(sd)) return
+    val ld = logDir(path)
+    val referenced: Set[String] = {
+      val stream = Files.list(ld)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
+        .flatMap(n => manifestSidecars(
+          Files.readAllLines(ld.resolve(n)).asScala.toSeq).values.map(_._1))
+        .map(_.stripPrefix("_sidecars/"))
+        .toSet
+      finally stream.close()
+    }
+    val cutoff = System.currentTimeMillis() - SidecarGcAgeMs
+    val stream = Files.list(sd)
+    try stream.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(p => referenced.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach(Files.deleteIfExists(_))
+    finally stream.close()
+  }
+
+  private def readV2Checkpoint(spark: SparkSession, path: String,
+      cv: Long,
+      onSchema: StructType => Unit,
+      live: scala.collection.mutable.LinkedHashMap[String, AddFile],
+      txns: scala.collection.mutable.HashMap[String, Long],
+      onConstraints: Map[String, String] => Unit,
+      onPartitionBy: Seq[String] => Unit,
+      onPhysical: Map[String, String] => Unit,
+      onGenerated: Map[String, String] => Unit,
+      onIdentity: Map[String, IdentityCol] => Unit,
+      onProperties: Map[String, String] => Unit): Unit = {
+    val ld = logDir(path)
+    val lines = Files.readAllLines(
+      ld.resolve(s"checkpoint-$cv.v2.json")).asScala.toSeq
+    var schema: StructType = null
+    var physical = Map.empty[String, String]
+    // metaData/txn lines apply as usual; `sidecar` lines fall through
+    // applyActions' catch-all and are parsed separately below
+    applyActions(lines,
+      s => { schema = s; onSchema(s) }, live, txns, onConstraints,
+      onPartitionBy, m => { physical = m; onPhysical(m) }, onGenerated,
+      onIdentity, onProperties)
+    require(schema != null,
+      s"v2 checkpoint manifest checkpoint-$cv.v2.json has no metaData row")
+    val sidecars = manifestSidecars(lines)
+    if (sidecars.isEmpty) return
+    val types = schema.fields.map(f =>
+      physical.getOrElse(f.name, f.name) -> f.dataType).toMap
+    val sidecarSchema = StructType(CkptParquetSchema.fields.filterNot(f =>
+      f.name == "kind" || f.name == "json"))
+    // sidecar refs are log-dir-relative ("_sidecars/<uuid>.parquet")
+    val paths = sidecars.values.map(s => ld.resolve(s._1).toString)
+      .toSeq.distinct
+    spark.read.schema(sidecarSchema).parquet(paths: _*)
+      .collect().foreach { r =>
+        val f = addFromCkptRow(r, types)
         live(f.path) = f
       }
   }

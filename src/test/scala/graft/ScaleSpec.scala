@@ -2582,4 +2582,55 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(viaSql === 1L)
     assert(DeltaLite.read(spark, path).count() === 20)
   }
+
+  test("v2 checkpoints: sidecar manifest replay + incremental sidecar reuse") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_v2ckpt").toString
+    DeltaLite.create(spark, path,
+      (0L until 40L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(4))
+    DeltaLite.setProperties(path, Map("graft.checkpoint.v2" -> "true",
+      "graft.checkpoint.sidecarBuckets" -> "8"))
+    DeltaLite.enableTableFeature(path, "v2Checkpoint", reader = true)
+    // single-file appends up to version 10 — the checkpoint boundary
+    while (DeltaLite.latestVersion(path).get < 10)
+      DeltaLite.append(spark, path,
+        Seq((100L + DeltaLite.latestVersion(path).get, 0.0)).toDF("k", "v")
+          .coalesce(1))
+    val ld = java.nio.file.Paths.get(path, "_graft_log")
+    assert(Files.exists(ld.resolve("checkpoint-10.v2.json")),
+      "v2-enabled table must write a manifest, not a classic checkpoint")
+    assert(!Files.exists(ld.resolve("checkpoint-10.json")))
+    def sidecarsOf(v: Long): Seq[String] =
+      Files.readAllLines(ld.resolve(s"checkpoint-$v.v2.json")).asScala
+        .flatMap("\"file\":\"([^\"]+)\"".r.findFirstMatchIn(_)
+          .map(_.group(1))).toSeq
+    val s10 = sidecarsOf(10)
+    assert(s10.nonEmpty && s10.forall(_.startsWith("_sidecars/")))
+    assert(s10.forall(f => Files.exists(ld.resolve(f))))
+    // cache-cleared resolution through the manifest equals the live state
+    val before = DeltaLite.snapshot(path).files
+      .map(f => (f.path, f.rows, f.bytes, f.baseRowId)).toSet
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.snapshot(path).files
+      .map(f => (f.path, f.rows, f.bytes, f.baseRowId)).toSet === before)
+    // 9 metadata-only commits + ONE single-file append → checkpoint 20
+    // touches exactly one bucket; every other sidecar must be REUSED
+    (1 to 9).foreach(i =>
+      DeltaLite.setProperties(path, Map(s"audit.k$i" -> i.toString)))
+    DeltaLite.append(spark, path, Seq((999L, 9.9)).toDF("k", "v").coalesce(1))
+    assert(DeltaLite.latestVersion(path).get === 20)
+    val s20 = sidecarsOf(20)
+    assert((s20.toSet -- s10.toSet).size <= 1,
+      s"one appended file may rewrite at most its own bucket; " +
+        s"got new sidecars ${(s20.toSet -- s10.toSet)}")
+    assert((s10.toSet intersect s20.toSet).nonEmpty,
+      "unchanged buckets must reuse their sidecar files by reference")
+    // hard replay proof: with commits 0..19 gone, only the manifest +
+    // sidecars can resolve the table
+    val rowsAt20 = DeltaLite.read(spark, path).count()
+    (0L until 20L).foreach(v => Files.deleteIfExists(ld.resolve(s"$v.json")))
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.read(spark, path).count() === rowsAt20)
+    assert(DeltaLite.snapshot(path).properties.get("audit.k9") === Some("9"))
+  }
 }
