@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CollateKey, FloatVectorDot, InterleaveBits, MinHashAgg, SimHashAgg}
+import graft.functions.{CollateKey, FloatVectorDot, InterleaveBits, JaroWinklerSimilarity, MinHashAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -70,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("collate_key"),
       new ExpressionInfo(classOf[CollateKey].getName, "collate_key"),
       GraftExtensions.collateKeyBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1))))
   }
 }

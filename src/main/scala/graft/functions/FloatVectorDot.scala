@@ -111,6 +111,13 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "collate_key", graft.GraftExtensions.collateKeyBuilder, "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "jaro_winkler",
+        (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1)),
+        "scala_udf")
+    }
     // Spark's own runtime-filter bloom aggregate (the engine behind
     // InjectRuntimeFilter), surfaced for DeltaLite's per-file bloom
     // indexes: bloom_agg(xxhash64(col), estItems, numBits) -> binary

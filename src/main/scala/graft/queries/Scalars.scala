@@ -529,6 +529,43 @@ object Scalars {
                 CAST(sum(o_orderkey << 2) AS BIGINT) AS sum_shl,
                 CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr
          FROM orders GROUP BY o_orderstatus
-         ORDER BY o_orderstatus ASC NULLS LAST"""))
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ F14
+    // Fuzzy string matching: jaro_winkler (graft.functions.
+    // JaroWinklerSimilarity — a codegen Catalyst expression with
+    // DuckDB-parity byte-level semantics, fuzz-pinned in FunctionsSpec)
+    // driving a BLOCKED fuzzy self-join: candidate pairs come from a
+    // (brand, size) equality join, the similarity kernel only scores
+    // within blocks. That is the 100-TB shape for fuzzy dedup/record
+    // linkage — an unblocked fuzzy join is O(n²) and banned; blocking
+    // keys make it one hash shuffle plus per-block quadratic work bounded
+    // by the largest block. The threshold compares ROUNDED values so an
+    // engine ulp at the cut line cannot flip membership.
+    QueryDef("f14_jaro_winkler", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_brand").as("brand"), col("p_size").as("size"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand").as("brand"), col("p_size").as("size"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("brand", "size"))
+        .where(col("key_a") < col("key_b"))
+        .withColumn("sim",
+          expr("round(jaro_winkler(name_a, name_b) * 1000000) / 1000000"))
+        .where(col("sim") >= 0.5)
+        .select(col("brand"), col("size"), col("key_a"), col("key_b"), col("sim"))
+        .orderBy(col("brand").asc_nulls_last, col("size").asc_nulls_last,
+          col("key_a").asc_nulls_last, col("key_b").asc_nulls_last)
+    }, Some(
+      """SELECT a.p_brand AS brand, a.p_size AS size,
+                a.p_partkey AS key_a, b.p_partkey AS key_b,
+                round(jaro_winkler_similarity(a.p_name, b.p_name)*1000000)/1000000 AS sim
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name)*1000000)/1000000 >= 0.5
+         ORDER BY brand ASC NULLS LAST, size ASC NULLS LAST,
+                  key_a ASC NULLS LAST, key_b ASC NULLS LAST"""))
   )
 }

