@@ -90,10 +90,13 @@ object Bench {
     // l3_ann_ivf joined in round 7: its driver-side k-means train is a
     // sample-collect job CHAIN before the query body — the r6 idle run
     // still had it at 12.8 s of queue time in the ad-hoc pool.
+    // o8_recursive_cte: WITH RECURSIVE executes as a ~24-step loop of
+    // tiny frontier joins — scheduler-latency-bound like the lifecycle
+    // chains, so it shares their pool instead of queueing ad-hoc slots.
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
-      "g1_pagerank", "l3_ann_ivf")
+      "g1_pagerank", "l3_ann_ivf", "o8_recursive_cte")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

@@ -1238,6 +1238,53 @@ object Relational {
                 c_custkey, name
          FROM noisy ORDER BY rnk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- O8
+    // Recursive CTE (WITH RECURSIVE) — the reference stack's recursive
+    // SQL surface (DuckDB recursive CTEs), runnable VERBATIM on Spark 4:
+    // both engines execute the same text, so the oracle is a fully
+    // independent recursive evaluator, not a restatement. The recursion
+    // walks each sampled customer's order chain in date order,
+    // accumulating an exact BIGINT-cents running total; depth = the
+    // longest per-customer chain (bounded, ~24 at sf0.1, under Spark's
+    // default 100-level recursion limit). Scale shape: Spark lowers each
+    // step to ONE (c, rn)-equality hash join of the frontier against the
+    // static numbered frame — frontier-sized, never corpus², and the
+    // numbered frame's shuffle is computed once. The iterative twins
+    // (g1/g2) hand-build this loop; o8 certifies the declarative spelling.
+    QueryDef.sql("o8_recursive_cte",
+      spark =
+        """WITH RECURSIVE ord AS (
+             SELECT o_custkey AS c,
+                    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+             FROM orders WHERE o_custkey % 10 = 0),
+           chain AS (
+             SELECT c, rn, cents AS cum, CAST(1 AS BIGINT) AS hops
+             FROM ord WHERE rn = 1
+             UNION ALL
+             SELECT o.c, o.rn, ch.cum + o.cents, ch.hops + 1
+             FROM chain ch JOIN ord o ON o.c = ch.c AND o.rn = ch.rn + 1)
+           SELECT c AS custkey, max(hops) AS chain_len,
+                  max(cum) AS total_cents
+           FROM chain GROUP BY c ORDER BY custkey ASC NULLS LAST""",
+      oracle =
+        """WITH RECURSIVE ord AS (
+             SELECT o_custkey AS c,
+                    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+             FROM orders WHERE o_custkey % 10 = 0),
+           chain AS (
+             SELECT c, rn, cents AS cum, CAST(1 AS BIGINT) AS hops
+             FROM ord WHERE rn = 1
+             UNION ALL
+             SELECT o.c, o.rn, ch.cum + o.cents, ch.hops + 1
+             FROM chain ch JOIN ord o ON o.c = ch.c AND o.rn = ch.rn + 1)
+           SELECT c AS custkey, max(hops) AS chain_len,
+                  max(cum) AS total_cents
+           FROM chain GROUP BY c ORDER BY custkey ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------ A12
     // Exact percentiles: continuous (linear interpolation between closest
     // ranks — Spark `percentile` ≡ DuckDB `quantile_cont`) and discrete
