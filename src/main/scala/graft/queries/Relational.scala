@@ -2646,6 +2646,96 @@ object Relational {
            SELECT DISTINCT user_id, a_s, b_s
            FROM ua JOIN tb ON a_s <= b_e AND b_s <= a_e) t
          GROUP BY user_id
-         ORDER BY user_id ASC NULLS LAST"""))
+         ORDER BY user_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ A21
+    // One-pass distributed OLS by normal equations — the closed-form
+    // multi-feature regression a 100-TB pipeline can actually run: the
+    // ENTIRE fit is one partial-aggregable pass. Per-order features roll
+    // up under the fact table's natural orderkey shuffle; the Gram matrix
+    // (X^T X) and moment vector (X^T y) are ten mergeable sums computed
+    // EXACTLY in DECIMAL (no float summation order anywhere — map-side
+    // combine is free to reorder); the 3x3 solve is Cramer's rule on ONE
+    // row in doubles, a fixed IEEE expression tree both engines evaluate
+    // bit-identically, so coefficients AND R-squared are oracle-exact.
+    // The same text runs verbatim on Spark and DuckDB. Extends A8/A14
+    // (built-in regr_* are single-feature) to true multivariate fitting;
+    // k features cost k(k+3)/2 sums — still one pass, no iteration, the
+    // scalable alternative to gradient descent for linear models.
+    QueryDef.sql("a21_normal_equations",
+      spark =
+        """WITH per_order AS (
+  SELECT CAST(count(*) AS DECIMAL(18,0)) AS x1,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DECIMAL(18,0)) AS x2,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS DECIMAL(18,0)) AS y
+  FROM lineitem GROUP BY l_orderkey),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+         CAST(sum(x1*x1) AS DOUBLE) AS sx11, CAST(sum(x1*x2) AS DOUBLE) AS sx12,
+         CAST(sum(x2*x2) AS DOUBLE) AS sx22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1*y) AS DOUBLE) AS sx1y, CAST(sum(x2*y) AS DOUBLE) AS sx2y,
+         CAST(sum(y*y) AS DOUBLE) AS syy,
+         count(*) AS n_rows
+  FROM per_order),
+s AS (
+  SELECT n_rows, n, sy, syy, sx1, sx2, sx11, sx12, sx22, sx1y, sx2y,
+    (n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx12 - sx11*sx2)) AS det,
+    (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y) + sx2*(sx1y*sx12 - sx11*sx2y)) AS det0,
+    (n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx2y - sx1y*sx2)) AS det1,
+    (n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*sx12 - sx11*sx2)) AS det2
+  FROM g),
+b AS (
+  SELECT n_rows, n, sy, syy, sx1, sx2, sx11, sx12, sx22, sx1y, sx2y,
+         (det0/det) AS b0, (det1/det) AS b1, (det2/det) AS b2
+  FROM s)
+SELECT n_rows,
+  (round((b0)*1000000)/1000000) AS beta0,
+  (round((b1)*1000000)/1000000) AS beta1,
+  (round((b2)*1000000)/1000000) AS beta2,
+  (round((1 - (syy - 2*(b0*sy + b1*sx1y + b2*sx2y)
+    + (b0*(b0*n + b1*sx1 + b2*sx2)
+     + b1*(b0*sx1 + b1*sx11 + b2*sx12)
+     + b2*(b0*sx2 + b1*sx12 + b2*sx22)))
+    / (syy - sy*sy/n))*1000000)/1000000) AS r2
+FROM b""",
+      oracle =
+        """WITH per_order AS (
+  SELECT CAST(count(*) AS DECIMAL(18,0)) AS x1,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DECIMAL(18,0)) AS x2,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS DECIMAL(18,0)) AS y
+  FROM lineitem GROUP BY l_orderkey),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+         CAST(sum(x1*x1) AS DOUBLE) AS sx11, CAST(sum(x1*x2) AS DOUBLE) AS sx12,
+         CAST(sum(x2*x2) AS DOUBLE) AS sx22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1*y) AS DOUBLE) AS sx1y, CAST(sum(x2*y) AS DOUBLE) AS sx2y,
+         CAST(sum(y*y) AS DOUBLE) AS syy,
+         count(*) AS n_rows
+  FROM per_order),
+s AS (
+  SELECT n_rows, n, sy, syy, sx1, sx2, sx11, sx12, sx22, sx1y, sx2y,
+    (n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx12 - sx11*sx2)) AS det,
+    (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y) + sx2*(sx1y*sx12 - sx11*sx2y)) AS det0,
+    (n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx2y - sx1y*sx2)) AS det1,
+    (n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*sx12 - sx11*sx2)) AS det2
+  FROM g),
+b AS (
+  SELECT n_rows, n, sy, syy, sx1, sx2, sx11, sx12, sx22, sx1y, sx2y,
+         (det0/det) AS b0, (det1/det) AS b1, (det2/det) AS b2
+  FROM s)
+SELECT n_rows,
+  (round((b0)*1000000)/1000000) AS beta0,
+  (round((b1)*1000000)/1000000) AS beta1,
+  (round((b2)*1000000)/1000000) AS beta2,
+  (round((1 - (syy - 2*(b0*sy + b1*sx1y + b2*sx2y)
+    + (b0*(b0*n + b1*sx1 + b2*sx2)
+     + b1*(b0*sx1 + b1*sx11 + b2*sx12)
+     + b2*(b0*sx2 + b1*sx12 + b2*sx22)))
+    / (syy - sy*sy/n))*1000000)/1000000) AS r2
+FROM b""")
   )
 }
