@@ -17,6 +17,7 @@ import graft.sources.DeltaLite
   *   DESCRIBE HISTORY '<path>' [LIMIT n]
   *   DESCRIBE DETAIL '<path>'
   *   VACUUM '<path>' [RETAIN n VERSIONS] [DRY RUN]
+  *   VACUUM '<path>' LOGS [RETAIN n VERSIONS] [DRY RUN]
   *   VACUUM '<path>' USING INVENTORY (<sql>) [RETAIN n VERSIONS] [DRY RUN]
   *   OPTIMIZE '<path>' [MIN ROWS n] [WHERE <partCol> = '<value>']
   *   OPTIMIZE '<path>' [WHERE <partCol> = '<value>'] ZORDER BY (a, b)
@@ -95,6 +96,18 @@ object MaintenanceSql {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.vacuumInventory(spark, path, spark.sql(inventorySql),
         keepVersions, dryRun)))
+  }
+
+  /** `VACUUM '<path>' LOGS` — Delta's log-retention cleanup
+    * (`logRetentionDuration`), version-addressed: prunes commit files and
+    * checkpoints strictly below the newest checkpoint that anchors the
+    * retained range. See [[DeltaLite.cleanupLogs]]. */
+  final case class CleanupLogsCommand(path: String, keepVersions: Int,
+      dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("deleted_log_files", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.cleanupLogs(path, keepVersions, dryRun)))
   }
 
   final case class RestoreCommand(path: String, version: Long)
@@ -277,6 +290,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val VacuumLogsRe =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+LOGS(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val VacuumInvRe =
     ("""(?is)\s*VACUUM\s+'([^']+)'\s+USING\s+INVENTORY\s*\((.+)\)""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
@@ -333,6 +348,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DetailRe(p) => DescribeDetailCommand(p)
     // the inventory form must match first: plain VacuumRe's path group
     // would otherwise swallow `VACUUM 'p' USING INVENTORY (...)` partially
+    case VacuumLogsRe(p, keep, dry) =>
+      // no RETAIN clause → -1 → cleanupLogs consults the table's
+      // graft.retention.logKeepVersions property, falling back to 30
+      CleanupLogsCommand(p, Option(keep).map(_.toInt).getOrElse(-1), dry != null)
     case VacuumInvRe(p, inv, keep, dry) =>
       VacuumInventoryCommand(p, inv.trim,
         Option(keep).map(_.toInt).getOrElse(-1), dry != null)

@@ -522,8 +522,11 @@ object DeltaLite {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
     val v = asOf.getOrElse(latest)
-    require(v <= latest && Files.exists(logDir(path).resolve(s"$v.json")),
-      s"version $v was never committed at $path")
+    require(v <= latest, s"version $v was never committed at $path")
+    if (!Files.exists(logDir(path).resolve(s"$v.json")))
+      throw new IllegalArgumentException(
+        s"version $v at $path was pruned by log retention cleanup " +
+          s"(earliest retained commit: ${earliestVersion(path).getOrElse(-1L)})")
     val key = root(path).toString
     val cached = snapCache.get(key)
     if (cached != null && cached.version == v) return cached
@@ -2144,7 +2147,9 @@ object DeltaLite {
   def versionAtTimestamp(path: String, tsMillis: Long): Long = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
-    val vs = (0L to latest).flatMap { v =>
+    // start at the earliest RETAINED commit — below it the headers were
+    // pruned by cleanupLogs and a timestamp there is unresolvable anyway
+    val vs = (earliestVersion(path).getOrElse(0L) to latest).flatMap { v =>
       val first = Files.lines(logDir(path).resolve(s"$v.json"))
       try {
         val header = first.iterator().asScala.take(1).toSeq.headOption
@@ -2180,7 +2185,9 @@ object DeltaLite {
       limit: Option[Int] = None): DataFrame = {
     val latest = latestVersion(path)
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
-    val from = limit.map(n => math.max(0L, latest - n + 1)).getOrElse(0L)
+    val floor = earliestVersion(path).getOrElse(0L) // cleanupLogs-pruned history is absent, not an error
+    val from = math.max(floor,
+      limit.map(n => math.max(0L, latest - n + 1)).getOrElse(0L))
     val rows = (from to latest).reverse.map { v =>
       var op = ""; var ts = 0L; var adds = 0; var removes = 0; var rowsAdded = 0L
       Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
@@ -3677,7 +3684,10 @@ object DeltaLite {
         }).getOrElse("")
       finally first.close()
     }
-    val lastPass = (snap.version to 0L by -1L)
+    // the backward header scan stops at the log-cleanup floor: below it
+    // commit files were pruned, and "no pass found" already degrades
+    // safely to the every-live-file first-pass rewrite
+    val lastPass = (snap.version to earliestVersion(path).getOrElse(0L) by -1L)
       .find(v => commitOp(v) == "CLUSTER_INCREMENTAL")
     // First pass on a table: EVERY live file is a victim, so the add-walk
     // result would be discarded — skip the O(full history) JSON parsing
@@ -3795,6 +3805,101 @@ object DeltaLite {
       StructField("properties", StringType, nullable = false),
       StructField("schema_json", StringType, nullable = false)))
     spark.createDataFrame(java.util.List.of(row), sch)
+  }
+
+  /** Earliest commit file still present in the log (0 for its whole
+    * life unless [[cleanupLogs]] has pruned history). */
+  def earliestVersion(path: String): Option[Long] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) None
+    else {
+      val stream = Files.list(ld)
+      try {
+        val vs = stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches("""\d+\.json"""))
+          .map(_.stripSuffix(".json").toLong)
+          .toSeq
+        vs.minOption
+      } finally stream.close()
+    }
+  }
+
+  /** Delete EXPIRED COMMIT LOG files (Delta's `logRetentionDuration`
+    * cleanup, version-addressed like [[vacuum]]): at 100-TB scale the
+    * metadata grows without bound — one JSON file per commit forever —
+    * and log listing/replay cost grows with it, so real Delta prunes
+    * commits older than the retention window once a checkpoint covers
+    * them. Semantics:
+    *
+    *   - the newest `keepVersions` versions stay time-travelable
+    *     (default: the `graft.retention.logKeepVersions` table property,
+    *     else 30);
+    *   - the ANCHOR is the newest checkpoint at or below the earliest
+    *     retained version; commits and checkpoints STRICTLY below the
+    *     anchor are deleted. Retained-range replay resolves from the
+    *     anchor checkpoint — which therefore becomes load-bearing (the
+    *     pre-cleanup invariant "checkpoints are only an optimization"
+    *     ends at the anchor, exactly Delta's contract);
+    *   - no checkpoint at or below the earliest retained version ⇒
+    *     nothing is deleted (never cut the replay chain);
+    *   - v2-manifest deletion orphans its unshared sidecars; the
+    *     age-floored [[gcSidecars]] pass collects them;
+    *   - time travel below the anchor then fails LOUDLY with a
+    *     "pruned by log cleanup" error (see [[snapshot]]), never a
+    *     misleading "never committed".
+    *
+    * Returns the number of log files deleted (commit files + checkpoint
+    * files/dirs). `dryRun` reports without deleting. */
+  def cleanupLogs(path: String, keepVersions: Int = -1,
+      dryRun: Boolean = false): Int = {
+    val latest = latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
+    val keep =
+      if (keepVersions >= 0) keepVersions
+      else snapshot(path).properties.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("graft.retention.logKeepVersions") => v
+      }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(30)
+    val earliestRetained = math.max(0L, latest - keep + 1)
+    // anchor on ANY checkpoint format — replay needs a live session for
+    // parquet/v2 forms, but every query path here runs with one, and the
+    // JSON fallback ranks lowest so a same-version JSON twin still wins
+    val anchor = latestCheckpointAtOrBefore(path, earliestRetained,
+      parquetOk = true) match {
+      case Some(c) => c.version
+      case None => return 0 // no safe anchor: refuse to cut the chain
+    }
+    if (anchor <= 0L) return 0
+    val ld = logDir(path)
+    val stream = Files.list(ld)
+    val victims = try {
+      stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        if (n.matches("""\d+\.json""")) n.stripSuffix(".json").toLong < anchor
+        else if (n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
+          n.stripPrefix("checkpoint-").stripSuffix(".v2.json").toLong < anchor
+        else if (n.startsWith("checkpoint-") && n.endsWith(".json"))
+          n.stripPrefix("checkpoint-").stripSuffix(".json").toLong < anchor
+        else if (n.startsWith("checkpoint-") && n.endsWith(".parquet"))
+          n.stripPrefix("checkpoint-").stripSuffix(".parquet").toLong < anchor
+        else false
+      }.toList
+    } finally stream.close()
+    if (!dryRun) {
+      victims.foreach { p =>
+        if (Files.isDirectory(p)) { // multi-part checkpoint dir
+          val parts = Files.list(p)
+          try parts.iterator().asScala.foreach(Files.deleteIfExists(_))
+          finally parts.close()
+          Files.deleteIfExists(p)
+        } else Files.deleteIfExists(p)
+      }
+      gcSidecars(path)
+      // the cached tip snapshot stays valid (cleanup never touches the
+      // retained range), but a cached PRE-anchor historical state cannot
+      // exist in snapCache (only tips are cached) — nothing to invalidate
+    }
+    victims.size
   }
 
   /** Physically delete data files not referenced by the newest

@@ -2633,4 +2633,67 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.read(spark, path).count() === rowsAt20)
     assert(DeltaLite.snapshot(path).properties.get("audit.k9") === Some("9"))
   }
+
+  test("cleanupLogs prunes pre-anchor history; retained range stays resolvable") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_logclean").toString
+    DeltaLite.create(spark, path,
+      Seq((0L, "a")).toDF("k", "s").coalesce(1))                        // v0
+    (1 to 25).foreach(i =>
+      DeltaLite.append(spark, path,
+        Seq((i.toLong, s"s$i")).toDF("k", "s").coalesce(1)))            // v1..v25
+    val ld = Paths.get(path, "_graft_log")
+    assert(Files.exists(ld.resolve("checkpoint-20.json")) ||
+      Files.exists(ld.resolve("checkpoint-20.v2.json")) ||
+      Files.exists(ld.resolve("checkpoint-20.parquet")),
+      "expected a checkpoint at v20 (every 10 commits)")
+
+    // retain 5 → earliest retained v21; anchor = checkpoint 20; commits
+    // 0..19 and checkpoint-10 are victims, checkpoint-20 survives
+    val dry = DeltaLite.cleanupLogs(path, keepVersions = 5, dryRun = true)
+    assert(dry === 21, s"dry run must count 20 commits + checkpoint-10, got $dry")
+    assert(Files.exists(ld.resolve("0.json")), "dry run deletes nothing")
+    val deleted = DeltaLite.cleanupLogs(path, keepVersions = 5)
+    assert(deleted === 21)
+    assert(!Files.exists(ld.resolve("0.json")))
+    assert(!Files.exists(ld.resolve("19.json")))
+    assert(Files.exists(ld.resolve("20.json")), "anchor version's commit survives")
+    assert(!Files.exists(ld.resolve("checkpoint-10.json")))
+    assert(DeltaLite.earliestVersion(path) === Some(20L))
+
+    // retained range fully resolvable from the anchor checkpoint
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.read(spark, path).count() === 26L)
+    assert(DeltaLite.read(spark, path, Some(21L)).count() === 22L)
+    // history reports only the retained range, newest first
+    val hist = DeltaLite.history(spark, path).select("version")
+      .as[Long].collect().toSeq
+    assert(hist === (20L to 25L).reverse)
+    // pruned version fails LOUDLY with the cleanup message
+    val e = intercept[IllegalArgumentException](DeltaLite.snapshot(path, Some(5L)))
+    assert(e.getMessage.contains("pruned by log retention cleanup"))
+    // post-cleanup commits + further cleanup stay healthy
+    DeltaLite.append(spark, path, Seq((99L, "z")).toDF("k", "s").coalesce(1)) // v26
+    assert(DeltaLite.read(spark, path).count() === 27L)
+    // keep=30 covers everything retained → nothing more to delete
+    assert(DeltaLite.cleanupLogs(path, keepVersions = 30) === 0)
+    // SQL spelling end-to-end (dry run keeps state)
+    val n = spark.sql(s"VACUUM '$path' LOGS RETAIN 5 VERSIONS DRY RUN")
+      .collect()(0).getInt(0)
+    assert(n === 0, "anchor is already the newest checkpoint ≤ earliest retained")
+  }
+
+  test("cleanupLogs refuses to cut the chain when no checkpoint anchors it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_logclean_anchor").toString
+    DeltaLite.create(spark, path,
+      Seq((0L, "a")).toDF("k", "s").coalesce(1))                        // v0
+    (1 to 5).foreach(i =>
+      DeltaLite.append(spark, path,
+        Seq((i.toLong, s"s$i")).toDF("k", "s").coalesce(1)))            // v1..v5
+    // no checkpoint exists yet (first at v10) → cleanup must be a no-op
+    assert(DeltaLite.cleanupLogs(path, keepVersions = 1) === 0)
+    assert(Files.exists(Paths.get(path, "_graft_log", "0.json")))
+    assert(DeltaLite.read(spark, path).count() === 6L)
+  }
 }
