@@ -2402,6 +2402,66 @@ object Llm {
                    FROM documents GROUP BY 1)
          SELECT s.lang, i.n_docs_in, s.n_docs, s.n_tokens, s.n_sequences
          FROM summary s JOIN input i USING (lang)
-         ORDER BY s.lang ASC NULLS LAST"""))
+         ORDER BY s.lang ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- L5
+    // Preference-pair construction — the chosen/rejected dataset shape
+    // RLHF/DPO training consumes: within each source, rank documents by
+    // an integer-exact quality score (vocabulary richness minus length —
+    // no float anywhere, so ranking is engine-identical), then zip the
+    // best k against the worst k rank-for-rank. Self-pairs and
+    // non-positive score gaps are dropped (a group too small for
+    // disjoint top/bottom halves never emits a degenerate pair).
+    // Scale: scoring is map-only; both rankings come from ONE
+    // source-keyed shuffle (two window passes over the same partitioning,
+    // top-k bounded by WindowGroupLimit); the rank-equality self-join is
+    // k-row-per-group tiny. At 100 TB the candidate set per source stays
+    // k regardless of corpus size — pair construction is never corpus².
+    QueryDef("l5_preference_pairs", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        (size(array_distinct(split(col("text"), " "))).cast("long") * 1000L
+          - size(split(col("text"), " ")).cast("long")).as("score"))
+      val best = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val worst = Window.partitionBy(col("source"))
+        .orderBy(col("score").asc, col("doc_id").desc)
+      val ranked = scored
+        .withColumn("rb", row_number().over(best))
+        .withColumn("rw", row_number().over(worst))
+      val b = ranked.select(col("source"), col("rb"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+      val w = ranked.select(col("source"), col("rw"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+      b.join(w, b("source") === w("source") && b("rb") === w("rw"))
+        .where(col("rb") <= 4 && col("chosen_id") =!= col("rejected_id") &&
+          col("chosen_score") > col("rejected_score"))
+        .select(b("source"), col("rb").cast("long").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"),
+          col("chosen_score"), col("rejected_score"),
+          (col("chosen_score") - col("rejected_score")).as("gap"))
+        .orderBy(col("source").asc_nulls_last, col("pair_rank").asc_nulls_last)
+    }, Some(
+      """WITH scored AS (
+           SELECT doc_id, source,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+                    - CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, source, score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, doc_id ASC) AS rb,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score ASC, doc_id DESC) AS rw
+           FROM scored)
+         SELECT b.source AS source, CAST(b.rb AS BIGINT) AS pair_rank,
+                b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+                b.score AS chosen_score, w.score AS rejected_score,
+                b.score - w.score AS gap
+         FROM ranked b JOIN ranked w
+           ON b.source = w.source AND b.rb = w.rw
+         WHERE b.rb <= 4 AND b.doc_id <> w.doc_id AND b.score > w.score
+         ORDER BY source ASC NULLS LAST, pair_rank ASC NULLS LAST"""))
   )
 }
