@@ -512,6 +512,49 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L3 (j)
+    // Johnson-Lindenstrauss random projection: 64-dim vectors compress to
+    // m=16 via a DETERMINISTIC ±1 sign matrix derived from xxhash64(j,k)
+    // — no stored projection matrix, any executor regenerates it from the
+    // lambda, so the reduce is a pure map-only pass (zero shuffle, zero
+    // broadcast) and re-runs bit-identically. JL guarantees pairwise
+    // geometry survives within ~1/√m distortion, so downstream search
+    // runs 4× cheaper per dot product; at 100 TB the projected column is
+    // what gets stored/scanned, with exact vectors only touching the
+    // final re-rank (same split as PQ, but distance math stays plain
+    // cosine). Brute-force top-k here runs IN THE PROJECTED SPACE over
+    // the documented broadcast-tiny query set. Rows-only; the distortion
+    // bound and planted-near-dup preservation are property-tested in
+    // DedupSpec.
+    QueryDef("l3_random_projection", (s, dir) => {
+      val m = 16
+      val e = emb(s, dir)
+        .withColumn("p", expr(
+          s"""transform(sequence(0, ${m - 1}), k ->
+                aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+                  (acc, j) -> acc + CAST(embedding[j] AS DOUBLE) *
+                    CASE WHEN pmod(xxhash64(j, k), 2) = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END))"""))
+        .withColumn("pn",
+          expr("sqrt(aggregate(p, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("p").as("qp"), col("pn").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("p").as("np"), col("pn").as("nn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.crossJoin(c)
+        .withColumn("sim",
+          expr("aggregate(zip_with(qp, np, (a, b) -> a * b), " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)") / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
     // ------------------------------------------------------------- L3 (g)
     // ANN via product quantization (the FAISS-style compressed-codes
     // path): codebooks train once on a deterministic 1-in-5 sample, the
