@@ -111,6 +111,18 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "collate_key", graft.GraftExtensions.collateKeyBuilder, "scala_udf")
     }
+    // the probe side of the runtime-filter bloom pair: might_contain(
+    // bloomBinary, xxhash64(v)) — internal to Spark's InjectRuntimeFilter,
+    // surfaced here so two-tier bloom-then-verify joins are expressible
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "might_contain",
+        (exprs: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs(0), exprs(1)),
+        "scala_udf")
+    }
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -512,6 +512,57 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L2 (k)
+    // Bloom-accelerated incremental dedup — the two-tier membership shape
+    // a streaming ingest runs at 100 TB: the corpus's fingerprint set is
+    // summarized into ONE ~100 KB bloom filter (a single mergeable
+    // aggregate over the corpus, built once per epoch, broadcast free),
+    // every incoming doc probes it map-side, and only the bloom-POSITIVE
+    // sliver pays the exact verification join. False positives are
+    // corrected by that join and false negatives are impossible, so the
+    // approximation NEVER leaks into the answer — the final verdicts are
+    // deterministic and oracle-gated even though the bloom itself is
+    // engine-specific. Probe-set reduction is asserted in FunctionsSpec.
+    // Fingerprint = md5 of the 100-char prefix (l4_fingerprint's key).
+    QueryDef("l2_bloom_dedup", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.Tables.registerAll(s, dir)
+      // might_contain requires the filter side as a SCALAR SUBQUERY (or
+      // constant) — Spark plans it as one broadcast-able aggregate job
+      s.sql(
+        """WITH d AS (
+             SELECT doc_id,
+                    md5(CAST(substring(text, 1, 100) AS BINARY)) AS h
+             FROM documents),
+           c AS (SELECT h FROM d WHERE doc_id % 7 <> 0),
+           b AS (SELECT doc_id, h FROM d WHERE doc_id % 7 = 0),
+           probed AS (
+             SELECT doc_id, h,
+                    might_contain(
+                      (SELECT bloom_agg(xxhash64(h),
+                         CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))
+                       FROM c),
+                      xxhash64(h)) AS maybe
+             FROM b),
+           dups AS (
+             SELECT p.doc_id
+             FROM (SELECT doc_id, h FROM probed WHERE maybe) p
+             LEFT SEMI JOIN (SELECT DISTINCT h FROM c) cd ON p.h = cd.h)
+           SELECT b.doc_id,
+                  CASE WHEN dups.doc_id IS NOT NULL THEN 'dup' ELSE 'new'
+                  END AS verdict
+           FROM b LEFT JOIN dups ON b.doc_id = dups.doc_id
+           ORDER BY b.doc_id ASC NULLS LAST""")
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id, md5(substr(text, 1, 100)) AS h FROM documents),
+         c AS (SELECT DISTINCT h FROM d WHERE doc_id % 7 <> 0),
+         b AS (SELECT doc_id, h FROM d WHERE doc_id % 7 = 0)
+         SELECT b.doc_id,
+                CASE WHEN EXISTS (SELECT 1 FROM c WHERE c.h = b.h)
+                     THEN 'dup' ELSE 'new' END AS verdict
+         FROM b ORDER BY b.doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (j)
     // Johnson-Lindenstrauss random projection: 64-dim vectors compress to
     // m=16 via a DETERMINISTIC ±1 sign matrix derived from xxhash64(j,k)

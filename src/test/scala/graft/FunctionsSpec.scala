@@ -124,6 +124,43 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     assert(counts === Seq(9, 2))
   }
 
+  test("bloom two-tier dedup: no false negatives, probe set shrinks, verdicts exact") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.t(spark, sf, "documents")
+      .withColumn("h", md5(substring(col("text"), 1, 100).cast("binary")))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0).select(col("h"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("h"))
+    val probed = spark.sql(
+      """WITH d AS (SELECT doc_id,
+                           md5(CAST(substring(text, 1, 100) AS BINARY)) AS h
+                    FROM documents),
+         c AS (SELECT h FROM d WHERE doc_id % 7 <> 0)
+         SELECT doc_id,
+                might_contain(
+                  (SELECT bloom_agg(xxhash64(h),
+                     CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) FROM c),
+                  xxhash64(h)) AS maybe
+         FROM d WHERE doc_id % 7 = 0""")
+    val trueDups = batch.join(corpus.distinct(), Seq("h"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val positives = probed.filter(col("maybe"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bloom contract: every true dup is bloom-positive (no false negatives)
+    assert(trueDups.subsetOf(positives))
+    // the verification join's probe set is a sliver of the batch (with a
+    // right-sized bloom the positives are ~ the dups + tiny FP tail)
+    val batchN = batch.count()
+    assert(positives.size < batchN / 2,
+      s"bloom filtered too little: ${positives.size} of $batchN probed")
+    // final verdicts (bloom + verify) == plain-join verdicts
+    val verdicts = SparkEntry.queries("l2_bloom_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts.count(_._2 == "dup") === trueDups.size)
+    trueDups.foreach(d => assert(verdicts(d) === "dup"))
+  }
+
   test("jaro_winkler: DuckDB-parity pins (bytes, empties, boost, cap)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
