@@ -813,6 +813,44 @@ object Incremental {
                 (round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
                   / 100.0)*10000)/10000) AS ewma
          FROM agg
-         ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST"""))
+         ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T15
+    // OHLC resampling — the canonical time-series downsample (open/high/
+    // low/close per bucket): open/close are min_by/max_by on the RAW µs
+    // timestamp, which is unique per user in the fixtures (pinned by the
+    // oracle's identical arg_min/arg_max), so no tie-break machinery is
+    // needed; values are exact BIGINT cents. ONE hash aggregate — the
+    // partial side already collapses each (user, hour) to a single
+    // running OHLC tuple, so the exchange carries buckets, not events;
+    // at 100 TB this is the scan-bandwidth-bound shape, same as any
+    // mergeable rollup (min_by/max_by partials merge associatively).
+    QueryDef("t15_ohlc", (s, dir) => {
+      ev(s, dir)
+        .where(col("user_id") < 50)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          round(col("value") * 100).cast("long").as("cents"), col("ts"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(min_by(col("cents"), col("ts")).as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max_by(col("cents"), col("ts")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id").asc_nulls_last, col("hr").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT user_id,
+                  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
+                  CAST(round(value*100) AS BIGINT) AS cents,
+                  CAST(ts AS TIMESTAMP) AS tsx
+           FROM events WHERE user_id < 50)
+         SELECT user_id, hr,
+                arg_min(cents, tsx) AS open,
+                max(cents) AS high,
+                min(cents) AS low,
+                arg_max(cents, tsx) AS close,
+                count(*) AS n
+         FROM e GROUP BY 1, 2
+         ORDER BY user_id ASC NULLS LAST, hr ASC NULLS LAST"""))
   )
 }
