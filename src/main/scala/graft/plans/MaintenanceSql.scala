@@ -35,6 +35,13 @@ import graft.sources.DeltaLite
   *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
   *   ALTER '<path>' ADD CONSTRAINT name CHECK (expr)
   *   ALTER '<path>' DROP CONSTRAINT name
+  *   DELETE FROM '<path>' WHERE <cond>
+  *   UPDATE '<path>' SET a = e1[, b = e2 ...] WHERE <cond>
+  *   INSERT INTO '<path>' <select>
+  *   MERGE INTO '<path>' USING (<select>) ON (k[, ...])
+  *     [WHEN MATCHED THEN UPDATE ALL | DELETE]
+  *     [WHEN NOT MATCHED THEN INSERT ALL]
+  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE]
   *
   * Table paths are quoted string literals (a DeltaLite table is a
   * directory, not a catalog entry). Each statement is a
@@ -96,6 +103,64 @@ object MaintenanceSql {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.vacuumInventory(spark, path, spark.sql(inventorySql),
         keepVersions, dryRun)))
+  }
+
+  /** `DELETE FROM '<path>' WHERE cond` — stats-pruned copy-on-write
+    * delete ([[DeltaLite.delete]]); returns the committed version. */
+  final case class DeleteCommand(path: String, cond: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.delete(spark, path,
+        org.apache.spark.sql.functions.expr(cond))))
+  }
+
+  /** `UPDATE '<path>' SET a = e1, b = e2 WHERE cond`. */
+  final case class UpdateCommand(path: String, sets: Seq[(String, String)],
+      cond: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.update(spark, path,
+        org.apache.spark.sql.functions.expr(cond),
+        sets.map { case (c, e) =>
+          c -> org.apache.spark.sql.functions.expr(e) }.toMap)))
+  }
+
+  /** `INSERT INTO '<path>' <select>` — append the subquery's rows. */
+  final case class InsertIntoCommand(path: String, selectSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.append(spark, path, spark.sql(selectSql))))
+  }
+
+  /** `MERGE INTO '<path>' USING (<select>) ON (k, ...)` with the
+    * star-clause grammar (UPDATE ALL / INSERT ALL / DELETE — the dbt
+    * incremental-merge shape); clause order is first-match-wins like the
+    * full [[graft.operators.Merge]] API underneath. */
+  final case class MergeIntoCommand(path: String, sourceSql: String,
+      keys: Seq[String], matched: Option[String],
+      insertAll: Boolean, bySourceDelete: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val clauses = Seq.newBuilder[graft.operators.Merge.MergeClause]
+      matched.foreach {
+        case "UPDATE ALL" => clauses += graft.operators.Merge.MatchedUpdate()
+        case "DELETE" => clauses += graft.operators.Merge.MatchedDelete()
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHEN MATCHED action: $other")
+      }
+      if (insertAll) clauses += graft.operators.Merge.NotMatchedInsert()
+      if (bySourceDelete)
+        clauses += graft.operators.Merge.NotMatchedBySourceDelete()
+      Seq(Row(DeltaLite.mergeClauses(spark, path, spark.sql(sourceSql),
+        keys, clauses.result())))
+    }
   }
 
   /** `VACUUM '<path>' LOGS` — Delta's log-retention cleanup
@@ -284,12 +349,48 @@ object MaintenanceSql {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import MaintenanceSql._
 
+  /** Split `a = f(x, y), b = 2` on commas at paren/quote depth 0 —
+    * the UPDATE SET list's assignments may nest function calls. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val InsertIntoRe =
+    """(?is)\s*INSERT\s+INTO\s+'([^']+)'\s+(SELECT\s.+?|WITH\s.+?)\s*;?\s*""".r
+  // star-clause MERGE: USING (...) is greedy so a subquery containing
+  // ") ON (" text would mis-split — acceptable for a path-literal
+  // maintenance dialect (same trade VacuumInvRe makes)
+  private val MergeIntoRe =
+    ("""(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s*\((.+)\)\s+ON\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""" +
+      """(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+ALL|DELETE))?""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+(INSERT\s+ALL))?""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+(DELETE))?\s*;?\s*""").r
   private val VacuumLogsRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+LOGS(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val VacuumInvRe =
@@ -348,6 +449,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DetailRe(p) => DescribeDetailCommand(p)
     // the inventory form must match first: plain VacuumRe's path group
     // would otherwise swallow `VACUUM 'p' USING INVENTORY (...)` partially
+    case DeleteRe(p, cond) => DeleteCommand(p, cond)
+    case UpdateRe(p, setList, cond) =>
+      UpdateCommand(p, splitTopLevel(setList).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad SET assignment: $a")
+        a.substring(0, i).trim -> a.substring(i + 1).trim
+      }, cond)
+    case InsertIntoRe(p, sel) => InsertIntoCommand(p, sel)
+    case MergeIntoRe(p, src, keys, matched, ins, bySrcDel) =>
+      MergeIntoCommand(p, src.trim,
+        keys.split(",").map(_.trim).toSeq,
+        Option(matched).map(_.toUpperCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")),
+        ins != null, bySrcDel != null)
     case VacuumLogsRe(p, keep, dry) =>
       // no RETAIN clause → -1 → cleanupLogs consults the table's
       // graft.retention.logKeepVersions property, falling back to 30

@@ -442,6 +442,51 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }
 
+  test("SQL DML: DELETE / UPDATE / INSERT INTO / MERGE INTO on DeltaLite paths") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_sqldml").toString
+    DeltaLite.create(spark, p,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "v").coalesce(1))
+    // INSERT INTO appends the subquery's rows
+    spark.sql(s"INSERT INTO '$p' SELECT 4 AS k, 'd' AS s, 40 AS v")
+    assert(DeltaLite.read(spark, p).count() === 4)
+    // UPDATE with a nested-function SET list (top-level comma split)
+    spark.sql(
+      s"UPDATE '$p' SET v = v + least(1, 2), s = upper(s) WHERE k <= 2")
+    val afterUpdate = DeltaLite.read(spark, p).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(afterUpdate === Seq((1L, "A", 11L), (2L, "B", 21L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // DELETE
+    spark.sql(s"DELETE FROM '$p' WHERE k = 3")
+    assert(DeltaLite.read(spark, p).orderBy("k").select("k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    // star-clause MERGE: update-all matched, insert-all new
+    spark.sql(
+      s"""MERGE INTO '$p' USING (
+            SELECT 4 AS k, 'dd' AS s, 44 AS v
+            UNION ALL SELECT 5 AS k, 'e' AS s, 50 AS v) ON (k)
+          WHEN MATCHED THEN UPDATE ALL
+          WHEN NOT MATCHED THEN INSERT ALL""")
+    val merged = DeltaLite.read(spark, p).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merged === Seq((1L, "A", 11L), (2L, "B", 21L),
+      (4L, "dd", 44L), (5L, "e", 50L)))
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE shrinks to the source's keys
+    spark.sql(
+      s"""MERGE INTO '$p' USING (SELECT 5 AS k, 'e2' AS s, 51 AS v) ON (k)
+          WHEN MATCHED THEN UPDATE ALL
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(DeltaLite.read(spark, p).collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))) === Seq((5L, "e2", 51L)))
+    // catalog-table DML still delegates to Spark's parser: the unquoted
+    // ref resolves (and fails) as a CATALOG table, not a graft path
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("DELETE FROM missing_catalog_tbl WHERE x = 1"))
+    assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
   test("multimodal: audio window geometry and exact stub energies") {
     import spark.implicits._
     implicit val s = spark
