@@ -1741,6 +1741,80 @@ object DeltaLite {
     * have removed or rewritten the same files, so blind retry is unsafe
     * (Delta's non-resolvable conflict class): surface it to the caller
     * to re-run against the new snapshot. */
+  /** Test hook: runs between an operation's snapshot-resolution and its
+    * commit attempt — lets a race test inject a concurrent commit into
+    * exactly the conflict window (same injectable-seam pattern as
+    * [[clockMs]]). Production value is a no-op. */
+  private[graft] var testHookBeforeCommit: () => Unit = () => ()
+
+  /** Delta-style LOGICAL conflict resolution (the ConflictChecker): a
+    * rewrite operation that loses the physical commit race re-examines
+    * what the winners actually did instead of discarding its work.
+    * The rebase is allowed only when EVERY semantic read of the losing
+    * operation is provably unaffected:
+    *
+    *   - winners changed no table metadata (schema / properties /
+    *     constraints / partitioning / column mapping / generated /
+    *     identity — any change invalidates the loser's write projection);
+    *   - every file the loser removes is still live with an IDENTICAL
+    *     log entry (a concurrent DV on a victim means concurrently
+    *     deleted rows that a stale rewrite would resurrect; a vanished
+    *     victim means a concurrent rewrite already consumed it);
+    *   - the winners' newly added files don't conflict with the loser's
+    *     read: for predicate DML (`readConflict`) the winner's adds are
+    *     READ and the predicate evaluated — an appended row matching a
+    *     DELETE/UPDATE predicate is a genuine serialization conflict
+    *     (Delta's ConcurrentAppendException); pure file-rewrite
+    *     maintenance (OPTIMIZE / REORG / CLUSTER) reads nothing beyond
+    *     its victims, so winner adds never conflict.
+    *
+    * On a clean check the SAME adds/removes re-commit on top of the
+    * winners — the rewrite work (often minutes of IO at 100-TB file
+    * sizes) is preserved; at most one cheap predicate scan of the
+    * winners' adds is spent per rebase. Anything else throws
+    * ConcurrentModificationException exactly as before. */
+  private[graft] def commitResolve(path: String, base: Snapshot, op: String,
+      adds: Seq[AddFile], removes: Seq[String],
+      readConflict: Option[Seq[AddFile] => Boolean],
+      maxRebases: Int = 20): Long = {
+    var version = base.version + 1
+    var rebases = 0
+    testHookBeforeCommit()
+    while (true) {
+      try return writeCommit(path, version, op, base.schema, adds, removes,
+        None, base.constraints, base.partitionBy, base.physical,
+        base.generated, base.identity, base.properties)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          rebases += 1
+          def conflict(why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit beat $op at version $version on $path " +
+                s"and cannot be rebased ($why); re-run against the new snapshot")
+          if (rebases > maxRebases) conflict("rebase limit reached")
+          clearSnapshotCache()
+          val tip = snapshot(path)
+          if (tip.schema != base.schema || tip.properties != base.properties ||
+              tip.constraints != base.constraints ||
+              tip.partitionBy != base.partitionBy ||
+              tip.physical != base.physical ||
+              tip.generated != base.generated || tip.identity != base.identity)
+            conflict("table metadata changed concurrently")
+          val baseByPath = base.files.map(f => f.path -> f).toMap
+          val tipByPath = tip.files.map(f => f.path -> f).toMap
+          removes.foreach { p =>
+            if (!tipByPath.get(p).exists(baseByPath.get(p).contains(_)))
+              conflict(s"victim file $p was rewritten or deleted concurrently")
+          }
+          val winnerAdds = tip.files.filterNot(f => baseByPath.contains(f.path))
+          if (winnerAdds.nonEmpty && readConflict.exists(f => f(winnerAdds)))
+            conflict("concurrently appended rows match the operation's predicate")
+          version = tip.version + 1
+      }
+    }
+    -1L // unreachable
+  }
+
   private[graft] def commitExclusive(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       constraints: Map[String, String], partitionBy: Seq[String],
@@ -3265,9 +3339,13 @@ object DeltaLite {
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
         snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "DELETE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    // rebase over concurrent blind appends; a winner's appended row that
+    // MATCHES the predicate is a real ConcurrentAppend conflict (the
+    // delete must be serializable against rows it should have removed)
+    commitResolve(path, snap, "DELETE", adds, touched,
+      readConflict = Some(winnerAdds =>
+        readFiles(spark, path, snap.schema, winnerAdds, snap.partitionBy,
+          snap.physical).filter(hit).limit(1).count() > 0))
   }
 
   /** Delta `UPDATE ... SET col = expr WHERE cond`: same touched-file
@@ -3300,9 +3378,12 @@ object DeltaLite {
     val adds = if (touched.isEmpty) Nil
       else writeData(spark, root(path), v, rewritten, snap.schema,
         snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "UPDATE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    // same rebase-vs-conflict rule as DELETE: a concurrently appended row
+    // matching the predicate should have been updated — real conflict
+    commitResolve(path, snap, "UPDATE", adds, touched,
+      readConflict = Some(winnerAdds =>
+        readFiles(spark, path, snap.schema, winnerAdds, snap.partitionBy,
+          snap.physical).filter(hit).limit(1).count() > 0))
   }
 
   /** Delta `replaceWhere` overwrite — the dbt incremental
@@ -3364,9 +3445,10 @@ object DeltaLite {
         .repartition(numFiles),
       snap.schema, snap.partitionBy, snap.physical, snap.generated,
       snap.properties)
-    commitExclusive(path, v, "OPTIMIZE", snap.schema, adds, snap.files.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    // maintenance reads nothing beyond its victims — winner appends
+    // rebase freely (their files are not in the remove set)
+    commitResolve(path, snap, "OPTIMIZE", adds, snap.files.map(_.path),
+      readConflict = None)
   }
 
   /** Change Data Feed (Delta `table_changes`): the row-level difference
@@ -3546,9 +3628,8 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, packed, snap.schema,
       snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "OPTIMIZE_SMALL", snap.schema, adds, small.map(_.path),
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    commitResolve(path, snap, "OPTIMIZE_SMALL", adds, small.map(_.path),
+      readConflict = None)
   }
 
   /** Delta `REORG TABLE ... APPLY (PURGE)`: materialize soft deletes.
@@ -3569,9 +3650,8 @@ object DeltaLite {
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, survivors, snap.schema,
       snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "REORG", snap.schema, adds,
-      dvFiles.map(_.path), snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    commitResolve(path, snap, "REORG", adds, dvFiles.map(_.path),
+      readConflict = None)
   }
 
   /** `OPTIMIZE ... ZORDER BY` analogue: rewrite the live set

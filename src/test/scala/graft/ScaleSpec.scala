@@ -2683,6 +2683,67 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(n === 0, "anchor is already the newest checkpoint ≤ earliest retained")
   }
 
+  test("conflict resolution: OPTIMIZE rebases over a concurrent append, keeps both effects") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_rebase_opt").toString
+    DeltaLite.create(spark, path, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    DeltaLite.append(spark, path, Seq((2L, "b")).toDF("k", "s").coalesce(1))
+    DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s").coalesce(1))
+    // inject an append into exactly the snapshot→commit window
+    DeltaLite.testHookBeforeCommit = () => {
+      DeltaLite.testHookBeforeCommit = () => ()
+      DeltaLite.append(spark, path, Seq((99L, "z")).toDF("k", "s").coalesce(1))
+    }
+    try {
+      val v = DeltaLite.compactSmall(spark, path, minRows = 100)
+      // base was v2, the racer took v3 → the rebased compaction lands at v4
+      assert(v === 4L, s"expected rebased commit at v4, got $v")
+    } finally DeltaLite.testHookBeforeCommit = () => ()
+    val rows = DeltaLite.read(spark, path).orderBy("k").select("k")
+      .as[Long].collect().toSeq
+    assert(rows === Seq(1L, 2L, 3L, 99L), "both effects must survive")
+    // the racer's file was NOT a compaction victim and stays live
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.exists(_.rows == 1L),
+      "the concurrently appended file must survive the rebased OPTIMIZE")
+  }
+
+  test("conflict resolution: DELETE rebases over non-matching appends, conflicts on matching ones") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_rebase_del").toString
+    DeltaLite.create(spark, path,
+      (0L until 10L).map(k => (k, s"s$k")).toDF("k", "s").coalesce(1))
+    // non-matching concurrent append (k=100 doesn't satisfy k < 5) → rebase
+    DeltaLite.testHookBeforeCommit = () => {
+      DeltaLite.testHookBeforeCommit = () => ()
+      DeltaLite.append(spark, path, Seq((100L, "x")).toDF("k", "s").coalesce(1))
+    }
+    try DeltaLite.delete(spark, path, col("k") < 5L)
+    finally DeltaLite.testHookBeforeCommit = () => ()
+    assert(DeltaLite.read(spark, path).orderBy("k").select("k")
+      .as[Long].collect().toSeq === (5L until 10L) :+ 100L)
+    // matching concurrent append (k=3 satisfies k < 5) → genuine conflict
+    DeltaLite.testHookBeforeCommit = () => {
+      DeltaLite.testHookBeforeCommit = () => ()
+      DeltaLite.append(spark, path, Seq((3L, "y")).toDF("k", "s").coalesce(1))
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        DeltaLite.delete(spark, path, col("k") < 5L))
+      assert(e.getMessage.contains("match the operation's predicate"))
+    } finally DeltaLite.testHookBeforeCommit = () => ()
+    // a concurrent metadata change can never be rebased over
+    DeltaLite.testHookBeforeCommit = () => {
+      DeltaLite.testHookBeforeCommit = () => ()
+      DeltaLite.setProperties(path, Map("team" -> "ingest"))
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        DeltaLite.delete(spark, path, col("k") >= 100L))
+      assert(e.getMessage.contains("metadata changed"))
+    } finally DeltaLite.testHookBeforeCommit = () => ()
+  }
+
   test("cleanupLogs refuses to cut the chain when no checkpoint anchors it") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_logclean_anchor").toString
