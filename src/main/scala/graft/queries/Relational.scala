@@ -1238,6 +1238,42 @@ object Relational {
                 c_custkey, name
          FROM noisy ORDER BY rnk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ P10
+    // Join-consistent (correlated) sampling: both tables sample by the
+    // SAME deterministic hash band of the JOIN KEY, so a sampled order
+    // keeps ALL its lineitems — the sampled join IS a uniform sample of
+    // the full join. Independent Bernoulli sampling on each side would
+    // keep only p² of matching pairs and break every FK-dependent
+    // statistic; the key-hash band keeps per-order aggregates exact
+    // within the sample. At 100 TB this is how join cardinality and
+    // revenue estimates come from 1% of the data: the band predicate is
+    // map-side on both inputs (rows drop before the exchange), and the
+    // hash needs no coordination between producers of the two tables.
+    QueryDef("p10_consistent_sample", (s, dir) => {
+      def keep(c: org.apache.spark.sql.Column) = substring(
+        md5(concat(lit("cs7:"), c.cast("string")).cast("binary")), 1, 2) < "1a"
+      val o = t(s, dir, "orders").where(keep(col("o_orderkey")))
+      val l = t(s, dir, "lineitem").where(keep(col("l_orderkey")))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH o AS (
+           SELECT * FROM orders
+           WHERE substring(md5('cs7:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'),
+         l AS (
+           SELECT * FROM lineitem
+           WHERE substring(md5('cs7:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '1a')
+         SELECT o_orderpriority,
+                count(*) AS n_lines,
+                count(DISTINCT o_orderkey) AS n_orders,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM o JOIN l ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------- O8
     // Recursive CTE (WITH RECURSIVE) — the reference stack's recursive
     // SQL surface (DuckDB recursive CTEs), runnable VERBATIM on Spark 4:
