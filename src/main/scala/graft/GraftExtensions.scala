@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CollateKey, FloatVectorDot, InterleaveBits, JaroWinklerSimilarity, MinHashAgg, SimHashAgg}
+import graft.functions.{CollateKey, FloatVectorDot, HilbertIndex, InterleaveBits, JaroWinklerSimilarity, MinHashAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("collate_key"),
       new ExpressionInfo(classOf[CollateKey].getName, "collate_key"),
       GraftExtensions.collateKeyBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),

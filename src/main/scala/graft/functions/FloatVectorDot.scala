@@ -111,6 +111,13 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "collate_key", graft.GraftExtensions.collateKeyBuilder, "scala_udf")
     }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hilbert_index",
+        (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1)),
+        "scala_udf")
+    }
     // the probe side of the runtime-filter bloom pair: might_contain(
     // bloomBinary, xxhash64(v)) — internal to Spark's InjectRuntimeFilter,
     // surfaced here so two-tier bloom-then-verify joins are expressible

@@ -3687,7 +3687,7 @@ object DeltaLite {
     graft.functions.GraftFunctions.register(spark)
     val snap = snapshot(path)
     val rewritten = readForRewrite(spark, path, snap, snap.files)
-      .withColumn("__z", call_function("interleave_bits",
+      .withColumn("__z", call_function(curveFn(snap.properties),
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -3798,7 +3798,7 @@ object DeltaLite {
     val base = readForRewrite(spark, path, snap, victims)
     val ordered = cols match {
       case Seq(a, b) =>
-        base.withColumn("__z", call_function("interleave_bits",
+        base.withColumn("__z", call_function(curveFn(snap.properties),
             col(a).cast("long"), col(b).cast("long")))
           .repartitionByRange(n, col("__z"))
           .sortWithinPartitions(col("__z"))
@@ -3814,6 +3814,23 @@ object DeltaLite {
       victims.map(_.path), snap.constraints, snap.partitionBy, snap.physical,
       snap.generated, snap.identity, snap.properties)
   }
+
+  /** The 2-D layout curve for clustering rewrites: `graft.cluster.curve
+    * = hilbert` picks [[graft.functions.HilbertIndex]] (liquid
+    * clustering's choice — consecutive curve intervals stay spatially
+    * contiguous, no Z-diagonal jumps), default stays the Morton
+    * interleave. The property rides table metadata, so every
+    * clustering path — full, partition-scoped, incremental — agrees on
+    * the curve without caller coordination. */
+  private def curveFn(properties: Map[String, String]): String =
+    properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.cluster.curve") => v
+    }.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("hilbert") => "hilbert_index"
+      case Some("zorder") | Some("morton") | None => "interleave_bits"
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.cluster.curve '$other' (hilbert / zorder / morton)")
+    }
 
   /** Clustering columns from the `graft.clusterBy` table property, if
     * declared (case-insensitive key — Spark lowercases option keys). */
@@ -3838,7 +3855,7 @@ object DeltaLite {
     val victims = snap.files.filter(partitionInScope(snap, resolved, _))
     if (victims.isEmpty) return snap.version
     val rewritten = readForRewrite(spark, path, snap, victims)
-      .withColumn("__z", call_function("interleave_bits",
+      .withColumn("__z", call_function(curveFn(snap.properties),
         col(colA).cast("long"), col(colB).cast("long")))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

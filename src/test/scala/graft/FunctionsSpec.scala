@@ -124,6 +124,34 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     assert(counts === Seq(9, 2))
   }
 
+  test("hilbert_index: known cells, full adjacency walk, codegen parity") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.HilbertIndex
+    // order-1 square: the canonical U walk (0,0)→(0,1)→(1,1)→(1,0)
+    // scaled to order 31 the first quadrant step is at bit 30
+    assert(HilbertIndex.xy2d(0L, 0L) === 0L)
+    // adjacency: EVERY consecutive pair of d along an order-5 curve
+    // (1024 cells) is grid-adjacent — the property Morton lacks
+    val pts = (0L until 1024L).map(HilbertIndex.d2xy(5, _))
+    pts.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // xy2d inverts d2xy when the point is placed at the top of the
+    // order-31 grid (shift by 31-5 = 26 bits per axis scales the cell)
+    val idx = pts.map { case (x, y) => HilbertIndex.xy2d(x << 26, y << 26) }
+    assert(idx === idx.sorted, "scaled walk must be monotone in d")
+    // codegen evaluates identically to the static kernel
+    val rows = Seq((3L, 5L), (0L, 0L), (123456L, 654321L),
+      ((1L << 31) - 1, (1L << 31) - 1)).toDF("a", "b")
+    val got = rows.select(expr("hilbert_index(a, b)")).as[Long].collect().toSeq
+    val want = Seq((3L, 5L), (0L, 0L), (123456L, 654321L),
+      ((1L << 31) - 1, (1L << 31) - 1)).map { case (a, b) =>
+      graft.functions.HilbertIndex.xy2d(a, b) }
+    assert(got === want)
+  }
+
   test("bloom two-tier dedup: no false negatives, probe set shrinks, verdicts exact") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, sf)

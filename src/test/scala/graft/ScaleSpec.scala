@@ -1685,6 +1685,36 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(q.count() === 64)
   }
 
+  test("Hilbert curve clustering prunes 2-D boxes at least as well as Morton") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_hilbert").toString
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b, a * 64.0 + b)
+    DeltaLite.create(spark, path, grid.toDF("a", "b", "v").coalesce(1))
+    val box = Seq(
+      DeltaLite.ColumnBound("a", Some(8L), Some(15L)),
+      DeltaLite.ColumnBound("b", Some(8L), Some(15L)))
+    DeltaLite.clusterZ(spark, path, "a", "b", numFiles = 16)
+    val prunedMorton = DeltaLite.pruneFiles(DeltaLite.snapshot(path), box).length
+    // flip the table's layout curve — every clustering path re-reads it
+    // from metadata, so the SAME clusterZ call now walks the Hilbert curve
+    DeltaLite.setProperties(path, Map("graft.cluster.curve" -> "hilbert"))
+    DeltaLite.clusterZ(spark, path, "a", "b", numFiles = 16)
+    val hil = DeltaLite.snapshot(path)
+    val prunedHilbert = DeltaLite.pruneFiles(hil, box).length
+    assert(prunedHilbert <= prunedMorton,
+      s"hilbert=$prunedHilbert must not prune worse than morton=$prunedMorton")
+    assert(prunedHilbert <= 2,
+      s"an aligned 8x8 box should live in <=2 hilbert files, got $prunedHilbert")
+    // correctness preserved under the pruned scan
+    val q = DeltaLite.scan(spark, path, box)
+      .filter($"a".between(8L, 15L) && $"b".between(8L, 15L))
+    assert(q.count() === 64)
+    // unknown curve names fail loudly, not silently-as-morton
+    DeltaLite.setProperties(path, Map("graft.cluster.curve" -> "peano"))
+    intercept[IllegalArgumentException](
+      DeltaLite.clusterZ(spark, path, "a", "b", numFiles = 4))
+  }
+
   test("DeltaLite partition-scoped ZORDER rewrites only the bound partition") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_zpart").toString
