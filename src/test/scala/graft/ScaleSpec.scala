@@ -1894,11 +1894,18 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
             Map("v" -> (col("v") + 100)))
         case 4 => // maintenance: no logical change (compaction or an
           // incremental clustering pass — liquid clustering must compose
-          // with every other op class)
+          // with every other op class; the layout curve flips randomly
+          // between Morton and Hilbert, which must never change content)
           rnd.nextInt(3) match {
             case 0 => DeltaLite.compactSmall(spark, path, minRows = 5L)
             case 1 => DeltaLite.compact(spark, path, numFiles = 2)
-            case _ => DeltaLite.clusterIncremental(spark, path, Seq("k"))
+            case _ =>
+              val curve = if (rnd.nextBoolean()) "hilbert" else "zorder"
+              propsModel += ("graft.cluster.curve" -> curve)
+              DeltaLite.setProperties(path, Map("graft.cluster.curve" -> curve))
+              history += model
+              verState(DeltaLite.latestVersion(path).get) = model
+              DeltaLite.clusterIncremental(spark, path, Seq("k"))
           }
         case 5 => // deletion-vector soft delete of a residue class
           val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
@@ -1994,6 +2001,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     // final snapshot simply must be internally consistent with its log)
     assert(DeltaLite.snapshot(path).properties.keySet.subsetOf(
       (0 to 3).map(i => s"tag$i").toSet + "graft.optimizeWrite" +
+        "graft.cluster.curve" +
         DeltaLite.ProtocolReaderKey + DeltaLite.ProtocolWriterKey))
     // time travel: every committed version must equal SOME prefix state
     // (maintenance ops commit without changing data, so walk both seqs)
@@ -2005,6 +2013,25 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       assert(hi < history.length,
         s"version $v matches no model state (first mismatch after index $hi)")
     }
+
+    // log cleanup composes with the whole messy history (DVs, clones,
+    // restores, COPY INTO txns, curve flips, checkpoints): prune to the
+    // newest 5 versions, then the retained range must still replay to
+    // the same model states and the tip must be untouched
+    DeltaLite.clearSnapshotCache()
+    DeltaLite.cleanupLogs(path, keepVersions = 5)
+    val floor = DeltaLite.earliestVersion(path).get
+    assert(asMap(DeltaLite.read(spark, path)) === history.last)
+    var hi2 = 0
+    (floor to latest).foreach { v =>
+      val snap = asMap(DeltaLite.read(spark, path, Some(v)))
+      while (hi2 < history.length && history(hi2) != snap) hi2 += 1
+      assert(hi2 < history.length,
+        s"post-cleanup version $v matches no model state")
+    }
+    if (floor > 0)
+      intercept[IllegalArgumentException](
+        DeltaLite.read(spark, path, Some(floor - 1)))
   }
 
   test("DeltaLite partitioned model check: 20 random ops on a Hive-layout table") {
