@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft statements parse in GraftSqlParser, all other SQL delegates
     // to Spark's parser untouched.
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // year(c) <op> N → range bounds on c, so the predicate reaches the
+    // parquet scan as a pushable min/max filter (see UnfoldDatePredicates)
+    ext.injectOptimizerRule(_ => graft.plans.UnfoldDatePredicates)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

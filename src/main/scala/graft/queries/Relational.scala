@@ -1238,6 +1238,28 @@ object Relational {
                 c_custkey, name
          FROM noisy ORDER BY rnk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- P2 (b)
+    // year()-predicate pushdown via the UnfoldDatePredicates optimizer
+    // rule (graft.plans — injected through SparkSessionExtensions): the
+    // analyzer's `year(cast(ts AS date)) = 1995` is opaque to parquet
+    // min/max skipping, so the rule unfolds it into exact range bounds
+    // that land in PushedFilters (PlanSpec asserts the pushdown; both
+    // engines evaluate year() natively here, so the oracle certifies the
+    // rewrite's exactness across =, >=, < shapes and the null contract).
+    QueryDef("p2_year_unfold", (s, dir) => {
+      t(s, dir, "orders")
+        .where(expr("year(o_orderdate) = 1995 OR year(o_orderdate) >= 1998"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE year(o_orderdate) = 1995 OR year(o_orderdate) >= 1998
+         GROUP BY 1 ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ P10
     // Join-consistent (correlated) sampling: both tables sample by the
     // SAME deterministic hash band of the JOIN KEY, so a sampled order

@@ -124,6 +124,37 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     assert(counts === Seq(9, 2))
   }
 
+  test("UnfoldDatePredicates: boundary-exact on date, NTZ and LTZ timestamps") {
+    import spark.implicits._
+    // NTZ boundaries straddling 1995: rule bounds must include exactly
+    // the two 1995 instants and keep null-row semantics
+    val ntz = Seq("1994-12-31 23:59:59.999999", "1995-01-01 00:00:00",
+      "1995-12-31 23:59:59.999999", "1996-01-01 00:00:00", null)
+      .toDF("s").select(col("s").cast("timestamp_ntz").as("ts"))
+    def pick(df: org.apache.spark.sql.DataFrame, cond: String): Seq[String] =
+      df.where(expr(cond)).select(col("ts").cast("string"))
+        .collect().map(_.getString(0)).toSeq.sorted
+    assert(pick(ntz, "year(ts) = 1995") ===
+      Seq("1995-01-01 00:00:00", "1995-12-31 23:59:59.999999"))
+    assert(pick(ntz, "year(ts) > 1995") === Seq("1996-01-01 00:00:00"))
+    assert(pick(ntz, "year(ts) <= 1994") === Seq("1994-12-31 23:59:59.999999"))
+    assert(pick(ntz, "1995 = year(ts)") === pick(ntz, "year(ts) = 1995"))
+    // the rewrite actually fired (no year() survives in the plan)
+    assert(!ntz.where(expr("year(ts) = 1995"))
+      .queryExecution.optimizedPlan.toString.contains("year("))
+    // DateType attribute form
+    val dts = Seq("1994-12-31", "1995-01-01", "1995-12-31", "1996-01-01")
+      .toDF("s").select(col("s").cast("date").as("d"))
+    assert(dts.where(expr("year(d) = 1995")).count() === 2)
+    // LTZ: bounds are built in the session zone, matching eval semantics
+    val ltz = Seq("1994-12-31 23:59:59", "1995-01-01 00:00:00",
+      "1995-12-31 23:59:59", "1996-01-01 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    assert(ltz.where(expr("year(ts) = 1995")).count() === 2)
+    assert(!ltz.where(expr("year(ts) = 1995"))
+      .queryExecution.optimizedPlan.toString.contains("year("))
+  }
+
   test("hilbert_index: known cells, full adjacency walk, codegen parity") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

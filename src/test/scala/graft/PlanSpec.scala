@@ -370,4 +370,17 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the brand set must reach the part side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in Q19:\n$p")
   }
+
+  test("p2_year_unfold: year() predicates become pushed range bounds") {
+    val p = plan("p2_year_unfold")
+    assert(!p.contains("year("),
+      s"UnfoldDatePredicates must eliminate the opaque year() call:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1995-01-01") &&
+      p.contains("LessThan(o_orderdate,1996-01-01"),
+      s"the 1995 equality must push as a [lo, hi) range:\n$p")
+    // PushedFilters renders truncated; the Filter operator carries the
+    // full rewritten predicate
+    assert(p.contains(">= 1998-01-01"),
+      s"the >= 1998 bound must be rewritten to a range:\n$p")
+  }
 }
