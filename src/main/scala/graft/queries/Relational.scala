@@ -1238,6 +1238,56 @@ object Relational {
                 c_custkey, name
          FROM noisy ORDER BY rnk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A22
+    // Robust statistics: per-group median, MAD (median absolute
+    // deviation), and the 3-sigma-equivalent robust outlier census
+    // (|x − med| > 3·1.4826·MAD — the consistency-scaled rule that
+    // mean/stddev outlier tests get wrong under contamination, since
+    // outliers inflate the very stddev meant to flag them). Everything
+    // after the two exact percentiles is INTEGER arithmetic: deviations
+    // are doubled into exact integers (medians of ints end in .0/.5) and
+    // the threshold comparison runs as BIGINT cross-multiplication
+    // (adev2·10⁴ > 44478·mad2), so no float boundary can flip a verdict
+    // between engines. Scale: two group-keyed percentile aggregates +
+    // one broadcast joinback of 5-row frames — the fact shuffles twice
+    // on the same tiny key space, never more.
+    QueryDef("a22_robust_mad", (s, dir) => {
+      val c = t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val med = c.groupBy(col("g"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = c.join(broadcast(med), "g")
+        .withColumn("adev2", (abs(col("cents") - col("med")) * 2).cast("long"))
+      val mad = dev.groupBy(col("g"))
+        .agg(expr("percentile(adev2, 0.5)").as("mad2"))
+      dev.join(broadcast(mad), "g")
+        .groupBy(col("g"))
+        .agg(expr("round((max(med))*100)/100").as("median_cents"),
+          expr("round((max(mad2)/2)*100)/100").as("mad_cents"),
+          sum(when(col("adev2") * 10000 >
+            (lit(44478) * col("mad2")).cast("long"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g").asc_nulls_last)
+    }, Some(
+      """WITH c AS (
+           SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         med AS (SELECT g, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1),
+         dev AS (SELECT c.g, CAST(2*abs(c.cents - m.med) AS BIGINT) AS adev2,
+                        c.cents, m.med
+                 FROM c JOIN med m ON c.g = m.g),
+         mad AS (SELECT g, quantile_cont(adev2, 0.5) AS mad2 FROM dev GROUP BY 1)
+         SELECT d.g,
+                (round((max(d.med))*100)/100) AS median_cents,
+                (round((max(mad.mad2)/2)*100)/100) AS mad_cents,
+                CAST(sum(CASE WHEN d.adev2 * 10000 > CAST(44478 * mad.mad2 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                count(*) AS n
+         FROM dev d JOIN mad ON d.g = mad.g
+         GROUP BY d.g ORDER BY d.g ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- P2 (b)
     // year()-predicate pushdown via the UnfoldDatePredicates optimizer
     // rule (graft.plans — injected through SparkSessionExtensions): the
