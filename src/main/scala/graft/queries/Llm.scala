@@ -512,6 +512,64 @@ object Llm {
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, None),
 
+    // ------------------------------------------------------------- L6 (c)
+    // Contrastive hard-negative mining — the batch-construction step of
+    // CLIP/DPR-style training: for each anchor document, the best
+    // negatives are the most-similar embeddings that are NOT valid pairs
+    // (here: same language, different source — semantically close but
+    // provably wrong), because random negatives are too easy and teach
+    // nothing. The language block is the scale lever: candidate
+    // generation is a lang-equality join (never corpus squared), the
+    // source-mismatch residual evaluates inside the hash join, and
+    // WindowGroupLimit bounds each anchor to its top-3 below the
+    // shuffle. Cosines round to 4dp in both engines (l3-family rule).
+    QueryDef("l6_hard_negatives", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = emb(s, dir)
+      val de = d.join(e, col("doc_id") === col("vec_id"))
+      val anchors = de.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("lang"),
+          col("source").as("qsrc"), col("embedding").as("qe"), col("norm").as("qn"))
+      val cands = de.select(col("doc_id").as("nid"), col("lang"),
+        col("source").as("nsrc"), col("embedding").as("ne"), col("norm").as("nn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      anchors.join(cands, Seq("lang"))
+        .where(col("qsrc") =!= col("nsrc"))
+        .withColumn("sim",
+          call_function("vec_dot", col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("lang"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH de AS (
+           SELECT doc_id, lang, source, embedding
+           FROM documents JOIN embeddings ON doc_id = vec_id),
+         d AS (
+           SELECT a.doc_id AS qid, b.doc_id AS nid, a.lang AS lang,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM de a
+           JOIN de b ON a.lang = b.lang AND a.source <> b.source
+                    AND a.doc_id < 10
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT qid, nid, lang, dot / (sqrt(qa) * sqrt(qb)) AS sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY dot / (sqrt(qa) * sqrt(qb)) DESC, nid ASC) AS rk
+           FROM d)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid, lang,
+                (round(sim*10000)/10000) AS sim
+         FROM ranked WHERE rk <= 3
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (k)
     // Bloom-accelerated incremental dedup — the two-tier membership shape
     // a streaming ingest runs at 100 TB: the corpus's fingerprint set is
