@@ -89,6 +89,27 @@ object Streams {
         col("imp_ts"), col("conv_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — both unmatched sides must
+    * surface: impressions that never converted AND conversions whose
+    * impression was lost (attribution's orphan-conversion audit). Each
+    * side's null-padded rows emit only once the OTHER side's watermark
+    * proves no partner can still arrive, so the emission lag is bounded
+    * by watermark + interval on both sides and state eviction stays
+    * symmetric — the same watermark-bounded-state contract as the left
+    * outer form, applied in both directions. */
+  def clickConversionsFullOuter(impressions: DataFrame,
+      conversions: DataFrame): DataFrame = {
+    val i = impressions.withWatermark("imp_ts", "10 minutes")
+    val c = conversions.withWatermark("conv_ts", "10 minutes")
+    i.join(c,
+        i("user_id") === c("user_id") &&
+        c("conv_ts") >= i("imp_ts") &&
+        c("conv_ts") <= i("imp_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(coalesce(i("user_id"), c("user_id")).as("user_id"),
+        col("imp_id"), col("conv_id"), col("imp_ts"), col("conv_ts"))
+  }
+
   /** T6 streaming twin: exactly-once dedup on the event id, with state
     * bounded by the watermark. */
   def dedupStream(events: DataFrame): DataFrame =

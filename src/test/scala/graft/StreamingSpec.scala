@@ -156,6 +156,41 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join surfaces both unmatched sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Long, Timestamp)]
+    val i = imps.toDF().toDF("imp_id", "user_id", "imp_ts")
+    val c = convs.toDF().toDF("conv_id", "user_id", "conv_ts")
+    val q = Streams.clickConversionsFullOuter(i, c).writeStream
+      .format("memory").queryName("conv_full").outputMode("append").start()
+    try {
+      // user 1 matches; impression 11 never converts; conversion 21 has
+      // no impression (the orphan-conversion case left outer cannot see)
+      imps.addData((10L, 1L, ts(0)), (11L, 2L, ts(1)))
+      convs.addData((20L, 1L, ts(20)), (21L, 3L, ts(5)))
+      q.processAllAvailable()
+      def rows() = spark.table("conv_full")
+        .select("imp_id", "conv_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(rows().contains((10L, 20L)))
+      assert(!rows().contains((11L, -1L)) && !rows().contains((-1L, 21L)),
+        "neither unmatched side may surface before its watermark proof")
+      // advance both watermarks far past every open interval, then one
+      // more micro-batch so the new watermark takes effect
+      imps.addData((12L, 9L, ts(600))); convs.addData((29L, 9L, ts(600)))
+      q.processAllAvailable()
+      imps.addData((13L, 9L, ts(660))); convs.addData((30L, 9L, ts(660)))
+      q.processAllAvailable()
+      assert(rows().contains((11L, -1L)),
+        s"unmatched impression must emit null-padded, got ${rows()}")
+      assert(rows().contains((-1L, 21L)),
+        s"orphan conversion must emit null-padded, got ${rows()}")
+    } finally q.stop()
+  }
+
   test("native session windows group by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
