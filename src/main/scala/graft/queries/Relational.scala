@@ -1238,6 +1238,45 @@ object Relational {
                 c_custkey, name
          FROM noisy ORDER BY rnk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------- W8
+    // Ratio-to-report: each row's share of its partition total — the
+    // percent-of-total window idiom every BI layer ships. The partition
+    // sum is an UNBOUNDED window aggregate (no ordering, so no sort —
+    // one pass over each partition's rows after the seg-keyed shuffle),
+    // and the ranking window reuses the SAME partitioning; the share is
+    // ONE IEEE division of exact BIGINT cents, deterministic in both
+    // engines, rounded to 6dp. WindowGroupLimit bounds the top-10 cut.
+    QueryDef("w8_ratio_to_report", (s, dir) => {
+      val seg = Window.partitionBy(col("seg"))
+      val rnk = Window.partitionBy(col("seg"))
+        .orderBy(col("cents").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .withColumn("seg_cents", sum(col("cents")).over(seg))
+        .withColumn("rk", row_number().over(rnk))
+        .filter(col("rk") <= 10)
+        .select(col("seg"), col("rk"), col("c_custkey"), col("cents"),
+          col("seg_cents"),
+          expr("round((CAST(cents AS DOUBLE) / seg_cents)*1000000)/1000000")
+            .as("share"))
+        .orderBy(col("seg").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS cents
+           FROM customer),
+         w AS (
+           SELECT seg, c_custkey, cents,
+                  CAST(sum(cents) OVER (PARTITION BY seg) AS BIGINT) AS seg_cents,
+                  row_number() OVER (PARTITION BY seg
+                    ORDER BY cents DESC, c_custkey ASC) AS rk
+           FROM c)
+         SELECT seg, CAST(rk AS INTEGER) AS rk, c_custkey, cents, seg_cents,
+                (round((CAST(cents AS DOUBLE) / seg_cents)*1000000)/1000000) AS share
+         FROM w WHERE rk <= 10
+         ORDER BY seg ASC NULLS LAST, rk ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A22
     // Robust statistics: per-group median, MAD (median absolute
     // deviation), and the 3-sigma-equivalent robust outlier census
