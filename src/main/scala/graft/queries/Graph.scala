@@ -349,6 +349,87 @@ object Graph {
              GROUP BY e.dst) p ON l.node = p.dst)
          SELECT lab AS component, count(*) AS n_nodes
          FROM l3 GROUP BY lab
-         ORDER BY component ASC NULLS LAST"""))
+         ORDER BY component ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- G5
+    // Link prediction by common neighbors + Jaccard over the part
+    // CO-PURCHASE graph (parts appearing in the same order — the
+    // "customers also bought" recommender graph; the co-supplier graph
+    // of G3/G4 is a per-nation clique, degenerate for link prediction).
+    // An edge requires ≥ 2 shared orders: the weight floor is the scale
+    // control — it prunes single-co-occurrence noise AND keeps the
+    // wedge count (Σ deg²) bounded as the corpus grows (measured: 101M
+    // wedge pairs unfiltered at sf0.1 → 1.4k filtered; edge count stays
+    // ~3.5k across 0.001→0.1). For every NON-adjacent pair (a < b)
+    // sharing a neighbor: score = |N(a)∩N(b)| and Jaccard =
+    // cn / (deg(a)+deg(b)-cn) as a scaled-BIGINT ppm (floor div ≡
+    // DuckDB //, bit-exact ranking). Shape: wedge enumeration is ONE
+    // self-equality-join of the symmetrized edge list on the middle
+    // node (the G3 two-hop idiom — candidates are generated, never a
+    // node cross join), then a pair-keyed count, a LEFT ANTI join
+    // against the canonical edges to drop adjacent pairs, and two
+    // degree lookups by key. Every join is equality-shaped; the
+    // edge/degree frames are lineage-cut once (G1's pattern).
+    QueryDef("g5_common_neighbors", (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      // deduped edges ⇒ each middle node contributes exactly one wedge
+      // per ordered pair, so count(*) IS the common-neighbor count
+      val cn = und.alias("w1").join(und.alias("w2"),
+          col("w1.dst") === col("w2.src") && col("w1.src") < col("w2.dst"))
+        .select(col("w1.src").as("pa"), col("w2.dst").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("cn"))
+        .join(pairs, col("pa") === col("a") && col("pb") === col("b"),
+          "left_anti")
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      cn.join(deg.select(col("src").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("src").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("cn"),
+          expr("(cn * 1000000) div (da + db - cn)").as("jac_ppm"))
+        .orderBy(col("cn").desc, col("jac_ppm").desc,
+          col("pa").asc, col("pb").asc)
+        .limit(20)
+    }, Some(
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b
+           FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         cn AS (
+           SELECT w1.src AS pa, w2.dst AS pb, count(*) AS cn
+           FROM und w1 JOIN und w2
+             ON w1.dst = w2.src AND w1.src < w2.dst
+           GROUP BY 1, 2),
+         nonadj AS (
+           SELECT c.* FROM cn c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pairs p WHERE p.a = c.pa AND p.b = c.pb)),
+         deg AS (SELECT src, count(*) AS d FROM und GROUP BY src)
+         SELECT n.pa, n.pb, CAST(n.cn AS BIGINT) AS cn,
+                CAST((n.cn * 1000000) // (da.d + db.d - n.cn) AS BIGINT)
+                  AS jac_ppm
+         FROM nonadj n
+         JOIN deg da ON da.src = n.pa
+         JOIN deg db ON db.src = n.pb
+         ORDER BY cn DESC, jac_ppm DESC, n.pa ASC, n.pb ASC
+         LIMIT 20"""))
   )
 }

@@ -2614,6 +2614,155 @@ object Llm {
          FROM ranked b JOIN ranked w
            ON b.source = w.source AND b.rb = w.rw
          WHERE b.rb <= 4 AND b.doc_id <> w.doc_id AND b.score > w.score
-         ORDER BY source ASC NULLS LAST, pair_rank ASC NULLS LAST"""))
+         ORDER BY source ASC NULLS LAST, pair_rank ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (s)
+    // Inverted-index build — the materialized posting-list table a
+    // sparse-retrieval serving tier reads (the BM25 query, l4_bm25, is
+    // the probe side; THIS is the index it would probe instead of
+    // re-exploding the corpus). Per term: document frequency, total
+    // term frequency, and the doc_id-ordered posting-list head
+    // ("doc:tf doc:tf …"). Shape: ONE (doc_id, term) shuffle for tf,
+    // ONE term-keyed agg for the lists — at 100 TB the index is
+    // written PARTITIONED BY a term-hash bucket so a query term opens
+    // one partition (the s27/AnnIndex serving discipline), and the
+    // posting head is bounded (slice 10) so no single hot term ("the")
+    // materializes an unbounded row; full lists would stay distributed
+    // as (term, doc, tf) rows. sort_array on (doc_id, tf) structs ≡
+    // the oracle's ORDER BY doc_id (doc_id unique within a term).
+    QueryDef("l4_inverted_index", (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          array_join(
+            transform(
+              slice(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+                1, 10),
+              p => concat(p.getField("doc_id"), lit(":"), p.getField("tf")))
+            , " ").as("postings_head"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(30)
+    }, Some(
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         inv AS (
+           SELECT term, count(*) AS df, sum(tf) AS total_tf,
+                  (list(doc_id || ':' || tf ORDER BY doc_id ASC))[1:10]
+                    AS plist
+           FROM tf GROUP BY term)
+         SELECT term, CAST(df AS BIGINT) AS df,
+                CAST(total_tf AS BIGINT) AS total_tf,
+                array_to_string(plist, ' ') AS postings_head
+         FROM inv ORDER BY df DESC, term ASC LIMIT 30""")),
+
+    // ------------------------------------------------------------- L3 (k)
+    // Distributed Lloyd's k-means, TWO supersteps, integer-exact: coords
+    // are quantized to shifted BIGINTs (round(x·1000)+32768 ⇒ all
+    // operands non-negative, so floor `div` ≡ DuckDB `//` with no
+    // negative-division parity concern; the shift is translation-
+    // invariant for squared distances). Seeds = the 8 lowest vec_ids;
+    // assignment is MAP-ONLY — centroids ride a literal array column
+    // (array_min over per-centroid (d2, cid) structs = argmin with the
+    // cid tiebreak), never a corpus×K join; the update step is the
+    // l3_centroid posexplode shape — one (cid, pos)-keyed agg whose
+    // map-side partials bound the shuffle at K·dim rows per partition.
+    // The only driver materialization is the K×dim centroid table
+    // (8×64 longs per round — the Dedup.ivfTrain boundedness contract);
+    // corpus rows never collect. At 100 TB each superstep costs one
+    // corpus scan + one K·dim-wide shuffle — the textbook distributed
+    // Lloyd profile; more supersteps = the same two jobs repeated.
+    QueryDef("l3_kmeans_lloyd", (s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 32768)")
+          .as("q"))
+      def centsLit(cs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.Column =
+        array(cs.sortBy(_._1).map { case (cid, cq) =>
+          struct(lit(cid).as("cid"), array(cq.map(lit(_)): _*).as("cq"))
+        }: _*)
+      def assign(df: DataFrame, cents: org.apache.spark.sql.Column): DataFrame =
+        df.withColumn("cents", cents)
+          .withColumn("best", expr(
+            """array_min(transform(cents, c -> named_struct(
+              'd2', aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
+                              CAST(0 AS BIGINT), (s, v) -> s + v),
+              'cid', c.cid)))"""))
+          .select(col("vec_id"), col("q"),
+            col("best.cid").as("cid"), col("best.d2").as("d2"))
+      // seeds: bounded K×dim collect (8 rows), same contract as ivfTrain
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("cid"), col("q"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+      val a1 = assign(e, centsLit(c0))
+      // superstep update: per-(cid, dim) exact integer mean (floor div)
+      val c1 = a1.select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"), expr("sv div n").as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+        .toSeq
+      val a2 = assign(e, centsLit(c1))
+      val csum = map(c1.sortBy(_._1).flatMap { case (cid, cq) =>
+        Seq(lit(cid), lit(cq.sum)) }: _*)
+      a2.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+        .withColumn("c_sum", element_at(csum, col("cid")))
+        .select(col("cid"), col("n"), col("inertia"), col("c_sum"))
+        .orderBy(col("cid").asc_nulls_last)
+    }, Some(
+      """WITH qv AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         + 32768) AS q
+           FROM embeddings),
+         qp AS (
+           SELECT vec_id, CAST(i AS INTEGER) AS pos,
+                  q[CAST(i AS INTEGER)] AS v
+           FROM qv CROSS JOIN range(1, 65) r(i)),
+         c0 AS (SELECT vec_id AS cid, pos, v AS cv FROM qp WHERE vec_id < 8),
+         d1 AS (
+           SELECT p.vec_id, c.cid,
+                  sum((p.v - c.cv) * (p.v - c.cv)) AS d2
+           FROM qp p JOIN c0 c ON p.pos = c.pos
+           GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cid ASC) AS rk
+           FROM d1),
+         c1 AS (
+           SELECT a.cid, p.pos, CAST(sum(p.v) // count(*) AS BIGINT) AS cv
+           FROM a1 a JOIN qp p ON a.vec_id = p.vec_id
+           WHERE a.rk = 1
+           GROUP BY 1, 2),
+         dd2 AS (
+           SELECT p.vec_id, c.cid,
+                  sum((p.v - c.cv) * (p.v - c.cv)) AS d2
+           FROM qp p JOIN c1 c ON p.pos = c.pos
+           GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cid, d2,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cid ASC) AS rk
+           FROM dd2),
+         cs AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS c_sum
+                FROM c1 GROUP BY cid)
+         SELECT a.cid AS cid, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(a.d2) AS BIGINT) AS inertia,
+                any_value(cs.c_sum) AS c_sum
+         FROM a2 a JOIN cs ON a.cid = cs.cid
+         WHERE a.rk = 1
+         GROUP BY a.cid
+         ORDER BY cid ASC NULLS LAST"""))
   )
 }

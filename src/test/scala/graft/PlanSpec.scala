@@ -383,4 +383,33 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains(">= 1998-01-01"),
       s"the >= 1998 bound must be rewritten to a range:\n$p")
   }
+
+  test("g5_common_neighbors: wedge enumeration is equality joins only") {
+    val p = plan("g5_common_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti/degree joins must all be equality-shaped:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+  }
+
+  test("l4_inverted_index: posting build reads only doc_id and text") {
+    val p = plan("l4_inverted_index")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the corpus scan must prune to the two used columns:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 terms must not globally sort:\n$p")
+  }
+
+  test("l3_kmeans_lloyd: assignment is map-only — shuffles only for the " +
+      "K·dim centroid update and the final K-row census") {
+    val q = SparkEntry.queries("l3_kmeans_lloyd")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"centroids must ride a literal array column, never a corpus join:\n$p")
+    // one exchange for the final cid census; the (cid, pos) update
+    // exchanges live in the two already-executed collect() jobs
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"the output plan shuffles once, keyed on cid:\n$p")
+  }
 }
