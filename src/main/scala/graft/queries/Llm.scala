@@ -2763,6 +2763,107 @@ object Llm {
          FROM a2 a JOIN cs ON a.cid = cs.cid
          WHERE a.rk = 1
          GROUP BY a.cid
-         ORDER BY cid ASC NULLS LAST"""))
+         ORDER BY cid ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (t)
+    // BPE tokenizer TRAINING — three greedy merge rounds (l4_bpe_pairs
+    // counts one round's candidates; THIS learns the merge table, the
+    // artifact a tokenizer ships). The classic scale shape: after ONE
+    // corpus scan collapses text to the (distinct word, count) table,
+    // every round runs on the VOCABULARY — pair counting weighted by
+    // word count, argmax, merge application — so training cost is
+    // O(vocab), never O(corpus), exactly why word-level BPE training
+    // scales to 100 TB corpora. Words are char-tokenized as
+    // space-joined strings; a merge rewrites ' a b ' → ' ab ' via
+    // leftmost-non-overlap replace — greedy left-to-right in BOTH
+    // engines, so the learned merges are bit-identical. The per-round
+    // argmax is a 1-row bounded collect (the ivfTrain contract); the
+    // oracle unrolls all three rounds as CTEs with scalar-subquery
+    // argmaxes.
+    QueryDef("l4_bpe_train", (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(expr(
+          "concat(' ', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' '), ' ')")
+          .as("t"), col("wc"))
+        .localCheckpoint(false)
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(col("wc"), expr("split(trim(t), ' ')").as("arr"))
+          .select(col("wc"), explode(expr(
+            """CASE WHEN size(arr) >= 2
+               THEN transform(sequence(1, size(arr) - 1),
+                    i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))
+               ELSE array() END""")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+      var v = vocab
+      val merges = (1 to 3).map { r =>
+        // bounded 1-row argmax collect per round (freq desc, pair asc)
+        val best = pairCounts(v)
+          .orderBy(col("freq").desc, col("pair").asc).limit(1)
+          .collect()(0)
+        val (pair, freq) = (best.getString(0), best.getLong(1))
+        v = v.select(expr(
+            s"replace(t, ' ${pair} ', ' ${pair.replace(" ", "")} ')").as("t"),
+            col("wc"))
+          .localCheckpoint(false)
+        (r.toLong, pair, freq)
+      }
+      s.createDataFrame(merges).toDF("merge_rank", "pair", "freq")
+        .orderBy(col("merge_rank").asc_nulls_last)
+    }, Some(
+      """WITH v0 AS (
+           SELECT ' ' || array_to_string(
+                    list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+                  || ' ' AS t,
+                  count(*) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         p1 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v0 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b1 AS (SELECT pair, freq FROM p1
+                ORDER BY freq DESC, pair ASC LIMIT 1),
+         v1 AS (
+           SELECT replace(t, ' ' || (SELECT pair FROM b1) || ' ',
+                    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')
+                  AS t, wc
+           FROM v0),
+         p2 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v1 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b2 AS (SELECT pair, freq FROM p2
+                ORDER BY freq DESC, pair ASC LIMIT 1),
+         v2 AS (
+           SELECT replace(t, ' ' || (SELECT pair FROM b2) || ' ',
+                    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ')
+                  AS t, wc
+           FROM v1),
+         p3 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v2 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b3 AS (SELECT pair, freq FROM p3
+                ORDER BY freq DESC, pair ASC LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS merge_rank, pair, freq FROM b1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), pair, freq FROM b2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), pair, freq FROM b3
+         ORDER BY merge_rank ASC NULLS LAST"""))
   )
 }

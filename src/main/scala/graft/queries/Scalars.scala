@@ -566,6 +566,40 @@ object Scalars {
           AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name)*1000000)/1000000 >= 0.5
          ORDER BY brand ASC NULLS LAST, size ASC NULLS LAST,
-                  key_a ASC NULLS LAST, key_b ASC NULLS LAST"""))
+                  key_a ASC NULLS LAST, key_b ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ F15
+    // SQL-defined functions — the dbt-macro / DuckDB CREATE MACRO
+    // surface: a reusable business metric (scalar SQL UDF, BIGINT-cents
+    // exact) and a parameterized relation (SQL table function), both
+    // declared in SQL and INLINED by Catalyst into the calling plan —
+    // codegen sees the expanded expression, so unlike a JVM closure UDF
+    // there is zero black-box penalty and predicates/pruning still flow
+    // through the table function's body. Oracle = the macro-expanded
+    // query verbatim (DuckDB expands its macros the same way).
+    QueryDef("f15_sql_macro", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+                 p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+               RETURN CAST(round(p * (1 - d) * (1 + t) * 100) AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION prio_orders(pfx STRING)
+               RETURNS TABLE (ok BIGINT, prio STRING)
+               RETURN SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderpriority < pfx""")
+      s.sql("""SELECT prio, count(*) AS n_lines,
+                      sum(net_cents(l_extendedprice, l_discount, l_tax))
+                        AS net_cents
+               FROM prio_orders('3') u
+               JOIN lineitem ON l_orderkey = u.ok
+               GROUP BY prio
+               ORDER BY prio ASC NULLS LAST""")
+    }, Some(
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                  * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS net_cents
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderpriority < '3'
+         GROUP BY 1
+         ORDER BY prio ASC NULLS LAST"""))
   )
 }

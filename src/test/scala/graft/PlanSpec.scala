@@ -412,4 +412,13 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(count(p, "Exchange hashpartitioning") === 1,
       s"the output plan shuffles once, keyed on cid:\n$p")
   }
+
+  test("f15_sql_macro: SQL UDF and table function inline into the plan") {
+    val p = plan("f15_sql_macro")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL-defined functions must expand to native expressions:\n$p")
+    // the table function's body predicate must reach the orders scan
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"),
+      s"the TVF's priority filter must push into the parquet scan:\n$p")
+  }
 }
