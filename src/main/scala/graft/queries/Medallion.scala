@@ -1849,6 +1849,34 @@ object Medallion {
       """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
                 (round((sum(l_quantity))*100)/100) AS sum_qty
          FROM lineitem WHERE l_orderkey % 3 = 0
-         GROUP BY 1 ORDER BY bucket ASC NULLS LAST"""))
+         GROUP BY 1 ORDER BY bucket ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S43
+    // ORC interchange sink/source — the second columnar format a
+    // lakehouse trades with other engines (Spark ships the ORC
+    // reader/writer alongside parquet; Hive/Trino fleets are ORC-first).
+    // Round-trip: project+write a silver slice as snappy ORC, read it
+    // back, and aggregate under a pushed predicate — proving the scan
+    // path (vectorized reader, predicate pushdown, column pruning) is
+    // format-agnostic, not a parquet special case. PlanSpec asserts the
+    // ORC scan carries PushedFilters exactly like the parquet twin. At
+    // 100 TB format choice changes the file codec, not the plan.
+    QueryDef("s43_orc_interchange", (s, dir) => {
+      val path = tmp("s43_orc")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") > 30.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(l_extendedprice))*100)/100").as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+                (round((sum(l_extendedprice))*100)/100) AS revenue
+         FROM lineitem WHERE l_quantity > 30.0
+         GROUP BY 1 ORDER BY l_returnflag ASC NULLS LAST"""))
   )
 }

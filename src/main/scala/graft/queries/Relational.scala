@@ -2883,6 +2883,38 @@ SELECT n_rows,
      + b1*(b0*sx1 + b1*sx11 + b2*sx12)
      + b2*(b0*sx2 + b1*sx12 + b2*sx22)))
     / (syy - sy*sy/n))*1000000)/1000000) AS r2
-FROM b""")
+FROM b"""),
+
+    // ------------------------------------------------------------------ P11
+    // Stable contiguous global IDs WITHOUT a corpus-wide single-partition
+    // window — the classic Spark scale killer is `row_number() OVER
+    // (ORDER BY …)` with no PARTITION BY: every row funnels through one
+    // task. The distributed idiom is two-phase: rank within a
+    // deterministic shard (32-way here), count rows per shard, prefix-sum
+    // the 32-row count frame into shard offsets (the ONLY single-partition
+    // window, bounded at #shards rows), broadcast the offsets back, and
+    // add. Total order = (shard, doc_id), reproducible run-over-run — the
+    // property monotonically_increasing_id does NOT give you. This is how
+    // a 100 TB corpus gets training-example IDs: one corpus shuffle on the
+    // shard key, one bounded driver-free prefix sum, one broadcast join.
+    QueryDef("p11_stable_ids", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("shard", expr("doc_id % 32"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      val within = d.withColumn("rn", row_number().over(w))
+      val ow = Window.orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = within.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(ow), lit(0L)))
+        .select(col("shard"), col("offset"))
+      within.join(broadcast(off), Seq("shard"))
+        .select(col("doc_id"), (col("offset") + col("rn")).as("global_id"))
+        .orderBy(col("global_id").asc_nulls_last)
+    }, Some(
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY doc_id % 32, doc_id)
+                  AS global_id
+         FROM documents
+         ORDER BY global_id ASC NULLS LAST"""))
   )
 }

@@ -413,6 +413,25 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the output plan shuffles once, keyed on cid:\n$p")
   }
 
+  test("s43_orc_interchange: the ORC scan pushes predicates like parquet") {
+    val p = plan("s43_orc_interchange")
+    assert(p.contains("Format: ORC") || p.contains("orc"),
+      s"the read side must be the ORC source:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"the quantity predicate must reach the ORC scan:\n$p")
+  }
+
+  test("p11_stable_ids: no corpus-wide single-partition window") {
+    val p = plan("p11_stable_ids")
+    // the corpus window partitions by shard; the only SinglePartition
+    // exchange feeds the 32-row offsets prefix sum (+ the output sort's
+    // range exchange) — never the corpus row_number
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      s"only the bounded offsets frame may single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back to the corpus:\n$p")
+  }
+
   test("f15_sql_macro: SQL UDF and table function inline into the plan") {
     val p = plan("f15_sql_macro")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
