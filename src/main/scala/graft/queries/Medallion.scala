@@ -1877,6 +1877,45 @@ object Medallion {
       """SELECT l_returnflag, count(*) AS n,
                 (round((sum(l_extendedprice))*100)/100) AS revenue
          FROM lineitem WHERE l_quantity > 30.0
-         GROUP BY 1 ORDER BY l_returnflag ASC NULLS LAST"""))
+         GROUP BY 1 ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S44
+    // Bucketed tables + co-located join — the pre-shuffle that pays for
+    // itself: both sides are written ONCE with bucketBy(8, joinkey) +
+    // sortBy, so every subsequent join on that key is a SortMergeJoin
+    // with ZERO exchange and ZERO sort on either input (the scan's
+    // bucket layout IS the required distribution and order). At 100 TB
+    // this converts the nightly fact-dim reconciliation from two
+    // corpus shuffles per run to none — the bucketing cost amortizes
+    // across every downstream join. The merge hint pins SMJ so the
+    // invariant is about exchanges, not broadcast luck; the only
+    // exchange left in the plan feeds the final priority rollup.
+    // PlanSpec asserts exactly one hash exchange and no sort above
+    // either scan. Table names are per-call unique (the catalog is
+    // process-shared); data lives under the TempDirs root.
+    QueryDef("s44_bucketed_join", (s, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val (ot, lt) = (s"s44_o_$u", s"s44_l_$u")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp("s44_orders"))
+        .mode("overwrite").saveAsTable(ot)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("s44_lineitem"))
+        .mode("overwrite").saveAsTable(lt)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("round((sum(l_extendedprice))*100)/100").as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                (round((sum(l_extendedprice))*100)/100) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority ASC NULLS LAST"""))
   )
 }

@@ -432,6 +432,20 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"shard offsets must broadcast back to the corpus:\n$p")
   }
 
+  test("s44_bucketed_join: co-located join needs no exchange and no sort") {
+    val p = plan("s44_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"the merge hint must pin a sort-merge join:\n$p")
+    // bucket layout satisfies both distribution and order: the ONLY hash
+    // exchange feeds the final priority rollup, and no Sort node sits
+    // between the scans and the join (SelectedBucketsCount proves the
+    // bucketed read path)
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"bucketed inputs must join without shuffling:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"both sides must read through the bucketed layout:\n$p")
+  }
+
   test("f15_sql_macro: SQL UDF and table function inline into the plan") {
     val p = plan("f15_sql_macro")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
