@@ -49,7 +49,15 @@ object Bench {
     SparkEntry.queries("t6_dedup_events")(spark, sfDir).count()
 
     val pool = Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_POOL", math.max(8, cpus.toInt).toString).toInt)
+      // Submission width is CAPPED below the core count: at 241 queries,
+      // 32 concurrent submissions × 32-task stages on 32 cores thrash
+      // (timeslice churn + memory pressure) — measured round 7: pool=32
+      // put the lifecycle poles at 25-34 s concurrent, pool=12-16 puts
+      // the worst pole at 12-34 s and won the best observed wall
+      // (29.9 s vs 41-44 s). A real cluster's admission control does
+      // the same thing: bound in-flight queries, queue the rest.
+      sys.env.getOrElse("SPARK_GRAFT_POOL",
+        math.min(16, math.max(8, cpus.toInt)).toString).toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val loadStart =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

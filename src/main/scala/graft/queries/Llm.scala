@@ -2864,6 +2864,76 @@ object Llm {
          SELECT CAST(2 AS BIGINT), pair, freq FROM b2
          UNION ALL
          SELECT CAST(3 AS BIGINT), pair, freq FROM b3
-         ORDER BY merge_rank ASC NULLS LAST"""))
+         ORDER BY merge_rank ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (m)
+    // Retrieval EVALUATION metrics — the harness that grades every other
+    // L3 retrieval path: per query (the documented broadcast-tiny ≤20
+    // query set), rank the corpus by cosine and score precision@5,
+    // reciprocal rank of the first relevant hit, and recall@10 against
+    // label ground truth (same `label` = relevant). Similarities are
+    // 6dp-rounded BEFORE ranking with an id tiebreak, so rank order —
+    // and therefore every metric — is engine-identical (the
+    // l4_perplexity tie-pinning rule). Shape: queries×corpus is the
+    // exactness baseline (bounded by the query set, never corpus²); at
+    // 100 TB the same metric aggregation runs over any ANN path's
+    // top-k output instead — candidates change, the grader does not.
+    // Window ranks + two conditional aggs per query; one qid shuffle.
+    QueryDef("l3_retrieval_metrics", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("label").as("qlab"))
+      val c = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("norm").as("cn"), col("label").as("clab"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid").asc)
+      q.crossJoin(c)
+        .withColumn("sim", expr(
+          "round((vec_dot(qe, ce) / (qn * cn)) * 1000000) / 1000000"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("rel", (col("qlab") === col("clab")).cast("long"))
+        .groupBy(col("qid"))
+        .agg(
+          expr("round((sum(CASE WHEN rk <= 5 THEN rel ELSE 0 END) / 5.0D) * 10000) / 10000")
+            .as("p_at_5"),
+          expr("round((1.0D / min(CASE WHEN rel = 1 THEN rk END)) * 10000) / 10000")
+            .as("rr"),
+          sum(when(col("rk") <= 10, col("rel")).otherwise(0L))
+            .as("rel_in_top10"),
+          sum(col("rel")).as("n_rel"))
+        .orderBy(col("qid").asc_nulls_last)
+    }, Some(
+      """WITH q AS (
+           SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS cid,
+                  b.label AS clab,
+                  round((sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                             * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                       * sqrt(sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                  * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+                    * 1000000) / 1000000 AS sim
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < 20 AND b.vec_id >= 20
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2, 3, 4),
+         ranked AS (
+           SELECT qid, clab = qlab AS rel,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, cid ASC) AS rk
+           FROM q)
+         SELECT qid,
+                round((sum(CASE WHEN rk <= 5 AND rel THEN 1 ELSE 0 END) / 5.0)
+                  * 10000) / 10000 AS p_at_5,
+                round((1.0 / min(CASE WHEN rel THEN rk END)) * 10000) / 10000
+                  AS rr,
+                CAST(sum(CASE WHEN rk <= 10 AND rel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rel_in_top10,
+                CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         FROM ranked
+         GROUP BY qid
+         ORDER BY qid ASC NULLS LAST"""))
   )
 }
