@@ -446,6 +446,40 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"both sides must read through the bucketed layout:\n$p")
   }
 
+  test("AQE re-plans a statically-SMJ join to broadcast from runtime stats") {
+    // the 100 TB claim behind "let AQE re-plan": a build side whose
+    // post-filter size the static planner cannot know (static broadcast
+    // is disabled here, so planning picks SMJ) converts to
+    // BroadcastHashJoin at RUNTIME once the filter's true output size is
+    // observed — the engine's safety net for mis-estimated selectivities
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+      k -> util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      val fact = Tables.t(spark, sf, "lineitem")
+      val dim = Tables.t(spark, sf, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val statik = j.queryExecution.executedPlan.toString
+      assert(statik.contains("SortMergeJoin") ||
+        statik.contains("AdaptiveSparkPlan isFinalPlan=false"),
+        s"static plan must not already broadcast:\n$statik")
+      j.collect()
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true") &&
+        fin.contains("BroadcastHashJoin"),
+        s"AQE must convert the join to broadcast at runtime:\n$fin")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("f15_sql_macro: SQL UDF and table function inline into the plan") {
     val p = plan("f15_sql_macro")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
