@@ -2885,6 +2885,95 @@ SELECT n_rows,
     / (syy - sy*sy/n))*1000000)/1000000) AS r2
 FROM b"""),
 
+    // ------------------------------------------------------------------ A23
+    // K-fold cross-validated regression in ONE corpus pass — the
+    // sufficient-statistics trick: per-fold EXACT integer sums (n, Σx,
+    // Σy, Σx², Σxy, Σy²) are the only thing the corpus contributes;
+    // "train on k−1 folds" is then (totals − fold) arithmetic on the
+    // 5-row fold frame, and the held-out RMSE expands algebraically as
+    // Σ(y−b0−b1x)² = Σy² − 2b0Σy − 2b1Σxy + n·b0² + 2b0b1Σx + b1²Σx²
+    // — so evaluation needs NO second data pass and NO per-row
+    // prediction join. Fold assignment is deterministic (orderkey % 5).
+    // All sums are BIGINT-exact (y in whole dollars keeps Σy² < 2⁶³);
+    // the float math runs on a fixed expression tree over identical
+    // integer inputs, same text in both engines (the a21 discipline).
+    // At 100 TB: one partial-aggregable pass + 5-row math — the
+    // distributed-CV idiom that replaces k training scans with one.
+    QueryDef.sql("a23_kfold_cv",
+      """WITH obs AS (
+  SELECT l_orderkey % 5 AS fold,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+f AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM obs GROUP BY fold),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+         CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+         CAST(sum(sxy) AS BIGINT) AS tsxy, CAST(sum(syy) AS BIGINT) AS tsyy
+  FROM f),
+lofo AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         CAST(tn - n AS DOUBLE) AS hn, CAST(tsx - sx AS DOUBLE) AS hsx,
+         CAST(tsy - sy AS DOUBLE) AS hsy, CAST(tsxx - sxx AS DOUBLE) AS hsxx,
+         CAST(tsxy - sxy AS DOUBLE) AS hsxy
+  FROM f CROSS JOIN tot),
+beta AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         (hn*hsxy - hsx*hsy) / (hn*hsxx - hsx*hsx) AS b1,
+         (hsy - ((hn*hsxy - hsx*hsy) / (hn*hsxx - hsx*hsx)) * hsx) / hn AS b0
+  FROM lofo)
+SELECT fold, n AS n_eval,
+  (round((b1)*1000000)/1000000) AS slope,
+  (round((b0)*1000000)/1000000) AS intercept,
+  (round((sqrt((CAST(syy AS DOUBLE) - 2*b0*CAST(sy AS DOUBLE)
+    - 2*b1*CAST(sxy AS DOUBLE) + CAST(n AS DOUBLE)*b0*b0
+    + 2*b0*b1*CAST(sx AS DOUBLE) + b1*b1*CAST(sxx AS DOUBLE))
+    / CAST(n AS DOUBLE)))*1000000)/1000000) AS rmse
+FROM beta
+ORDER BY fold ASC NULLS LAST""",
+      oracle =
+        """WITH obs AS (
+  SELECT l_orderkey % 5 AS fold,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+f AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM obs GROUP BY fold),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+         CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+         CAST(sum(sxy) AS BIGINT) AS tsxy, CAST(sum(syy) AS BIGINT) AS tsyy
+  FROM f),
+lofo AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         CAST(tn - n AS DOUBLE) AS hn, CAST(tsx - sx AS DOUBLE) AS hsx,
+         CAST(tsy - sy AS DOUBLE) AS hsy, CAST(tsxx - sxx AS DOUBLE) AS hsxx,
+         CAST(tsxy - sxy AS DOUBLE) AS hsxy
+  FROM f CROSS JOIN tot),
+beta AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy,
+         (hn*hsxy - hsx*hsy) / (hn*hsxx - hsx*hsx) AS b1,
+         (hsy - ((hn*hsxy - hsx*hsy) / (hn*hsxx - hsx*hsx)) * hsx) / hn AS b0
+  FROM lofo)
+SELECT fold, n AS n_eval,
+  (round((b1)*1000000)/1000000) AS slope,
+  (round((b0)*1000000)/1000000) AS intercept,
+  (round((sqrt((CAST(syy AS DOUBLE) - 2*b0*CAST(sy AS DOUBLE)
+    - 2*b1*CAST(sxy AS DOUBLE) + CAST(n AS DOUBLE)*b0*b0
+    + 2*b0*b1*CAST(sx AS DOUBLE) + b1*b1*CAST(sxx AS DOUBLE))
+    / CAST(n AS DOUBLE)))*1000000)/1000000) AS rmse
+FROM beta
+ORDER BY fold ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------ P11
     // Stable contiguous global IDs WITHOUT a corpus-wide single-partition
     // window — the classic Spark scale killer is `row_number() OVER
