@@ -1851,6 +1851,70 @@ object Medallion {
          FROM lineitem WHERE l_orderkey % 3 = 0
          GROUP BY 1 ORDER BY bucket ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ D7
+    // Distribution drift monitor (Population Stability Index) — the data-
+    // quality staple for ML feature pipelines that D3/D4/D5 don't cover:
+    // bucket a metric (a16's equi-width identity), compare the reference
+    // window's bucket shares against the current window's, and score
+    // Σ (p−q)·ln(p/q) with Laplace smoothing so an empty bucket can't
+    // divide by zero. PSI > 0.2 is the conventional retrain alarm. ONE
+    // corpus scan: both windows' counts come from conditional aggregates
+    // under the same bucket-keyed shuffle (bounded at bucket count by
+    // map-side partials); the float math is a fixed expression tree over
+    // exact BIGINT counts — same text both engines. At 100 TB this is a
+    // map-only classify + K-row aggregate; the totals ride a broadcast
+    // 1-row frame, never a driver action.
+    QueryDef.sql("d7_drift_psi",
+      """WITH b AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cur
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM b),
+c AS (
+  SELECT bucket, n_ref, n_cur,
+         (CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE)) AS p,
+         (CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE)) AS q
+  FROM b CROSS JOIN t)
+SELECT bucket, n_ref, n_cur,
+       (round(((p - q) * ln(p / q))*1000000)/1000000) AS contrib,
+       (round((sum((p - q) * ln(p / q)) OVER ())*1000000)/1000000) AS psi
+FROM c
+ORDER BY bucket ASC NULLS LAST""",
+      oracle =
+        """WITH b AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cur
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM b),
+c AS (
+  SELECT bucket, n_ref, n_cur,
+         (CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE)) AS p,
+         (CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE)) AS q
+  FROM b CROSS JOIN t)
+SELECT bucket, n_ref, n_cur,
+       (round(((p - q) * ln(p / q))*1000000)/1000000) AS contrib,
+       (round((sum((p - q) * ln(p / q)) OVER ())*1000000)/1000000) AS psi
+FROM c
+ORDER BY bucket ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------ S43
     // ORC interchange sink/source — the second columnar format a
     // lakehouse trades with other engines (Spark ships the ORC
