@@ -480,6 +480,29 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter injects a fact-side probe") {
+    // the other runtime-filtering leg next to AQE and DPP: when the dim
+    // side of a shuffle join carries a selective predicate, Catalyst
+    // builds a bloom filter from it and probes the FACT side's scan —
+    // fact rows that cannot join die before the exchange. Thresholds
+    // are sized for 100 TB facts, so the test relaxes them; the
+    // mechanism is what's being pinned.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import org.apache.spark.sql.functions.col
+    val fact = Tables.t(s2, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val dim = Tables.t(s2, sf, "part")
+      .filter(col("p_name").startsWith("azure"))
+      .select(col("p_partkey"))
+    val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+    val p = j.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+      s"expected an injected runtime bloom filter in:\n$p")
+  }
+
   test("f15_sql_macro: SQL UDF and table function inline into the plan") {
     val p = plan("f15_sql_macro")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
