@@ -851,6 +851,62 @@ object Incremental {
                 arg_max(cents, tsx) AS close,
                 count(*) AS n
          FROM e GROUP BY 1, 2
-         ORDER BY user_id ASC NULLS LAST, hr ASC NULLS LAST"""))
+         ORDER BY user_id ASC NULLS LAST, hr ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T16
+    // Seasonal decomposition (classical additive, STL-lite): the daily
+    // event series splits into trend (7-day CENTERED moving average),
+    // day-of-week seasonal factor (mean residual per weekday), and the
+    // seasonally-adjusted remainder — the census a forecasting pipeline
+    // runs before modeling. Scale shape: the corpus collapses to the
+    // DAILY frame in one keyed agg; every window after that runs over
+    // the bounded series (rows = distinct days), never the corpus.
+    // Observed counts are BIGINT; the MA sums ≤7 integers (exact in a
+    // double regardless of order), so only the per-weekday mean is
+    // float-order-sensitive — 6dp rounding absorbs it. Edge days
+    // without a full 7-day window are excluded identically via a
+    // frame-count guard.
+    QueryDef("t16_seasonal_adjust", (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).as("observed"))
+      val wMa = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("wn", count(lit(1)).over(wMa))
+        .withColumn("trend", expr("round((avg(observed) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))*1000000)/1000000"))
+        .filter(col("wn") === 7)
+        .withColumn("resid", col("observed") - col("trend"))
+        .withColumn("dow", dayofweek(col("day")))
+      trended
+        .withColumn("seasonal", expr("round((avg(resid) OVER (PARTITION BY dow))*1000000)/1000000"))
+        .select(col("day"), col("observed"),
+          col("trend"),
+          col("seasonal"),
+          expr("round((observed - seasonal)*1000000)/1000000").as("adjusted"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT CAST(ts_sec AS DATE) AS day, count(*) AS observed
+           FROM e GROUP BY 1),
+         t AS (
+           SELECT day, observed,
+                  count(*) OVER w AS wn,
+                  round((avg(observed) OVER w)*1000000)/1000000 AS trend
+           FROM daily
+           WINDOW w AS (ORDER BY day ASC
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         r AS (
+           SELECT day, observed, trend, observed - trend AS resid,
+                  CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+           FROM t WHERE wn = 7)
+         SELECT day, observed, trend,
+                round((avg(resid) OVER (PARTITION BY dow))*1000000)/1000000
+                  AS seasonal,
+                round((observed
+                  - round((avg(resid) OVER (PARTITION BY dow))*1000000)/1000000)
+                  *1000000)/1000000 AS adjusted
+         FROM r
+         ORDER BY day ASC NULLS LAST"""))
   )
 }
