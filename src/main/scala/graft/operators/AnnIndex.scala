@@ -96,8 +96,12 @@ object AnnIndex {
     val wanted = probed.select(col("centroid")).distinct()
       .collect().map(_.getInt(0))
     require(wanted.nonEmpty, "no probe cells — empty query set?")
+    // IN-set log-level pruning: the scan opens EXACTLY the probed cells'
+    // partitions, not the covering [min, max] range — probing cells
+    // {0, 7} must not read partitions 1..6 (at 100 TB with hundreds of
+    // cells a covering range reads ~(max−min)/probes× more than needed).
     val codes = DeltaLite.scan(spark, codesPath(root),
-      Seq(DeltaLite.ColumnBound("cell", Some(wanted.min), Some(wanted.max))))
+      Seq(DeltaLite.ColumnBound.in("cell", wanted.toSeq.sorted)))
     val w = Window.partitionBy(col(qid))
       .orderBy(col("d2").asc, col("nid").asc)
     codes.join(probed, col("cell") === col("centroid"))

@@ -115,7 +115,22 @@ object DeltaLite {
     * partition value) of the SAME string length; ranged stats or a
     * width mismatch keep the file. */
   final case class ColumnBound(column: String, lower: Option[Any] = None,
-      upper: Option[Any] = None, strictExact: Boolean = false)
+      upper: Option[Any] = None, strictExact: Boolean = false,
+      inSet: Option[Seq[Any]] = None)
+
+  object ColumnBound {
+    /** IN-set bound: a file is kept only if SOME value of `values` could
+      * be inside its [min, max] (exactly a point lookup per value — on a
+      * partition column this is exact log-level partition pruning of an
+      * arbitrary point SET, not its covering range). The point-set
+      * consumers (ANN probe lists, dictionary-key lookups) need this
+      * because a covering [min, max] range over a sparse set like
+      * {0, 7} would open every partition in between; at 100 TB with
+      * hundreds of cells that is ~(max−min)/|set|× extra reads. An empty
+      * set proves no row can match, so every file prunes. */
+    def in(column: String, values: Seq[Any]): ColumnBound =
+      ColumnBound(column, inSet = Some(values))
+  }
 
   /** Serializes the outputTimestampType set→write→restore window across
     * concurrent DeltaLite writes sharing one session (see writeData). */
@@ -259,7 +274,7 @@ object DeltaLite {
     * partition value (an EXACT min==max bound — log-level partition
     * pruning, stronger than stats and free of any file listing). */
   def pruneFiles(snap: Snapshot, bounds: Seq[ColumnBound],
-      bloomProbes: Map[String, Long] = Map.empty): Seq[AddFile] = {
+      bloomProbes: Map[String, Seq[Long]] = Map.empty): Seq[AddFile] = {
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val dec = java.util.Base64.getDecoder
     snap.files.filter { f =>
@@ -287,16 +302,31 @@ object DeltaLite {
               yield !decisive(nlo) || cmp(dt, mx, nlo) >= 0).getOrElse(true)
             val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
               yield !decisive(nhi) || cmp(dt, mn, nhi) <= 0).getOrElse(true)
-            loOk && hiOk
+            // IN-set: kept only if SOME value could be inside [min, max].
+            // Stats-free files are kept; an unnormalizable value keeps the
+            // file (pruning stays an optimization); an EMPTY set prunes
+            // every file that HAS stats (no value can match).
+            val inOk = b.inSet.forall { vs =>
+              st.isEmpty || vs.exists { v =>
+                normBound(dt, v) match {
+                  case None => true
+                  case Some(nv) => !decisive(nv) ||
+                    (st.flatMap(_.min).forall(mn => cmp(dt, mn, nv) <= 0) &&
+                     st.flatMap(_.max).forall(mx => cmp(dt, mx, nv) >= 0))
+                }
+              }
+            }
+            loOk && hiOk && inOk
           case None => true
         }
-      } && bloomProbes.forall { case (pn, hash) =>
-        // a definitive bloom miss proves the file holds no matching row;
-        // a file without a bloom for this column is always kept
+      } && bloomProbes.forall { case (pn, hashes) =>
+        // a definitive bloom miss for EVERY probed value proves the file
+        // holds no matching row; a file without a bloom for this column
+        // is always kept (decode once, probe each value)
         f.bloom.get(pn).forall { b64 =>
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(dec.decode(b64)))
-            .mightContainLong(hash)
+          hashes.exists(bf.mightContainLong)
         }
       }
     }
@@ -1931,23 +1961,32 @@ object DeltaLite {
       snap.partitionBy, snap.physical)
   }
 
-  /** xxhash64 probes for POINT bounds (lower == upper, non-null) on
-    * bloom-indexed columns, keyed by physical name. Hashed through a
-    * 1-row local projection with the literal CAST to the column's type,
-    * so the probe hash matches the write-side xxhash64(col) exactly
-    * (xxhash64 output depends on the input's Catalyst type). */
+  /** xxhash64 probes for POINT bounds (lower == upper, non-null) and
+    * IN-set bounds on bloom-indexed columns, keyed by physical name.
+    * Hashed through a 1-row local projection with each literal CAST to
+    * the column's type, so the probe hash matches the write-side
+    * xxhash64(col) exactly (xxhash64 output depends on the input's
+    * Catalyst type). IN-set values hash in ONE local 1-row job (probe
+    * sets are driver-side metadata — queries × probes ints). */
   private def bloomProbesFor(spark: SparkSession, snap: Snapshot,
-      bounds: Seq[ColumnBound]): Map[String, Long] = {
+      bounds: Seq[ColumnBound]): Map[String, Seq[Long]] = {
     val indexed = snap.files.iterator.flatMap(_.bloom.keys).toSet
     if (indexed.isEmpty) return Map.empty
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     bounds.flatMap { b =>
-      (b.lower, b.upper, types.get(b.column)) match {
-        case (Some(lo), Some(hi), Some(dt)) if lo == hi &&
-            indexed.contains(snap.phys(b.column)) =>
-          Some(snap.phys(b.column) ->
-            spark.range(1).select(xxhash64(lit(lo).cast(dt)).as("h"))
-              .collect()(0).getLong(0))
+      val pointVals: Option[Seq[Any]] = (b.lower, b.upper, b.inSet) match {
+        case (_, _, Some(vs)) => Some(vs)
+        case (Some(lo), Some(hi), None) if lo == hi => Some(Seq(lo))
+        case _ => None
+      }
+      (pointVals, types.get(b.column)) match {
+        case (Some(vs), Some(dt)) if indexed.contains(snap.phys(b.column)) =>
+          val hashes = if (vs.isEmpty) Seq.empty[Long] else {
+            val row = spark.range(1).select(vs.zipWithIndex.map { case (v, i) =>
+              xxhash64(lit(v).cast(dt)).as(s"h$i") }: _*).collect()(0)
+            vs.indices.map(row.getLong)
+          }
+          Some(snap.phys(b.column) -> hashes)
         case _ => None
       }
     }.toMap

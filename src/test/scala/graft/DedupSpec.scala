@@ -275,6 +275,28 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(scanned.inputFiles.length === cellFiles,
       "single-cell serve must open only the probed cell's partition files")
     assert(cellFiles < snap.files.size)
+
+    // IN-set serve-path pruning: a NON-contiguous probe set {lo, hi}
+    // must open exactly those two cells' files — not the covering
+    // [lo, hi] range (which at 100 TB would read every cell in between)
+    val present = snap.files.flatMap(_.pv.get("cell")).map(_.toInt).distinct.sorted
+    val (lo, hi) = (present.head, present.last)
+    assert(hi - lo >= 2 && present.length >= 3,
+      "fixture needs a 3+-cell spread to observe set-vs-range pruning")
+    val setFiles = snap.files.count(_.pv.get("cell").exists(v =>
+      v == lo.toString || v == hi.toString))
+    val inScan = DeltaLite.scan(spark, s"$root1/codes",
+      Seq(DeltaLite.ColumnBound.in("cell", Seq(lo, hi))))
+    assert(inScan.inputFiles.length === setFiles,
+      "IN-set scan must open exactly the probed cells' files")
+    val rangeScan = DeltaLite.scan(spark, s"$root1/codes",
+      Seq(DeltaLite.ColumnBound("cell", Some(lo), Some(hi))))
+    assert(rangeScan.inputFiles.length > setFiles,
+      "the covering range opens strictly more files than the exact set")
+    // and the pruned scan still returns exactly the two cells' rows
+    assert(inScan.count() ===
+      DeltaLite.read(spark, s"$root1/codes")
+        .filter(col("cell").isin(lo, hi)).count())
   }
 
   test("multi-probe IVF raises cell recall over single-probe") {

@@ -555,6 +555,53 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.snapshot(path).files.forall(_.bloom.contains("k")))
   }
 
+  test("DeltaLite IN-set bound: point-set pruning beats the covering range; bloom probes each value") {
+    import spark.implicits._
+    // clustered layout: file i holds keys [1000i, 1000i+999] — min/max
+    // stats are exact per file, so set-vs-range pruning is observable
+    val path = Files.createTempDirectory("graft_inset").toString
+    val df = (0L until 8000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    DeltaLite.create(spark, path, df)
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.size === 8)
+    // a sparse set {5, 7500} touches 2 files; its covering range [5, 7500]
+    // would keep all 8 — the IN-set must NOT fall back to the range
+    val set = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound.in("k", Seq(5L, 7500L))))
+    assert(set.size === 2, s"IN {5, 7500} must keep 2 files, kept ${set.size}")
+    val range = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("k", Some(5L), Some(7500L))))
+    assert(range.size === 8)
+    // the pruned scan still answers exactly
+    assert(DeltaLite.scan(spark, path,
+      Seq(DeltaLite.ColumnBound.in("k", Seq(5L, 7500L))))
+      .filter($"k".isin(5L, 7500L)).count() === 2)
+    // empty set: no value can match — every stats-carrying file prunes
+    assert(DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound.in("k", Seq.empty))).isEmpty)
+    // strings prune too (UTF-8 order space)
+    assert(DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound.in("s", Seq("v5")))).size >= 1)
+    // bloom interplay: round-robin keys defeat min/max, the per-value
+    // bloom probes rescue the IN-set down to ~|set| files
+    val bp = Files.createTempDirectory("graft_inset_bloom").toString
+    DeltaLite.create(spark, bp,
+      (0L until 4000L).map(i => (i, s"n$i")).toDF("k", "s")
+        .repartition(8, pmod(col("k"), lit(8))),
+      properties = Map("graft.bloom.columns" -> "k"))
+    val bsnap = DeltaLite.snapshot(bp)
+    val statKept = DeltaLite.pruneFiles(bsnap,
+      Seq(DeltaLite.ColumnBound.in("k", Seq(17L, 33L)))).size
+    val bloomScan = DeltaLite.scan(spark, bp,
+      Seq(DeltaLite.ColumnBound.in("k", Seq(17L, 33L))))
+    assert(bloomScan.inputFiles.length <= 3,
+      s"bloom IN-probe should open ~2 files, opened ${bloomScan.inputFiles.length}")
+    assert(bloomScan.inputFiles.length < statKept,
+      s"bloom probes must beat stats-only pruning ($statKept kept)")
+    assert(bloomScan.filter($"k".isin(17L, 33L)).count() === 2)
+  }
+
   test("DeltaLite TBLPROPERTIES: carried in the log; delta.appendOnly locks out row changes") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_props").toString
