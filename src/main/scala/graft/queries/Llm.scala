@@ -2663,10 +2663,11 @@ object Llm {
 
     // ------------------------------------------------------------- L3 (k)
     // Distributed Lloyd's k-means, TWO supersteps, integer-exact: coords
-    // are quantized to shifted BIGINTs (round(x·1000)+32768 ⇒ all
-    // operands non-negative, so floor `div` ≡ DuckDB `//` with no
-    // negative-division parity concern; the shift is translation-
-    // invariant for squared distances). Seeds = the 8 lowest vec_ids;
+    // are quantized to shifted-and-CLAMPED BIGINTs
+    // (greatest(0, round(x·1000)+32768) ⇒ all operands non-negative by
+    // construction, so floor `div` ≡ DuckDB `//` with no
+    // negative-division parity concern at any value range; the shift is
+    // translation-invariant for squared distances). Seeds = the 8 lowest vec_ids;
     // assignment is MAP-ONLY — centroids ride a literal array column
     // (array_min over per-centroid (d2, cid) structs = argmin with the
     // cid tiebreak), never a corpus×K join; the update step is the
@@ -2679,7 +2680,13 @@ object Llm {
     // Lloyd profile; more supersteps = the same two jobs repeated.
     QueryDef("l3_kmeans_lloyd", (s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 32768)")
+        // greatest(0, …) clamp: the +32768 shift only guarantees
+        // non-negative operands for |x| <= 32.768; embeddings are
+        // ~N(0, σ) with no hard bound, and a negative operand would let
+        // Spark's truncating `div` diverge from DuckDB's floor `//`.
+        // Both engines clamp identically, so parity holds at ANY range.
+        expr("""transform(embedding, x -> greatest(CAST(0 AS BIGINT),
+                 CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 32768))""")
           .as("q"))
       def centsLit(cs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.Column =
         array(cs.sortBy(_._1).map { case (cid, cq) =>
@@ -2722,8 +2729,9 @@ object Llm {
       """WITH qv AS (
            SELECT vec_id,
                   list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                         + 32768) AS q
+                    x -> greatest(CAST(0 AS BIGINT),
+                         CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         + 32768)) AS q
            FROM embeddings),
          qp AS (
            SELECT vec_id, CAST(i AS INTEGER) AS pos,
@@ -2803,8 +2811,12 @@ object Llm {
           .orderBy(col("freq").desc, col("pair").asc).limit(1)
           .collect()(0)
         val (pair, freq) = (best.getString(0), best.getLong(1))
-        v = v.select(expr(
-            s"replace(t, ' ${pair} ', ' ${pair.replace(" ", "")} ')").as("t"),
+        // typed-column replace: the data-derived pair rides as a LITERAL
+        // value, never interpolated into parsed SQL — a corpus token
+        // containing a quote/backslash/metacharacter cannot break parsing
+        // or shift semantics
+        v = v.select(org.apache.spark.sql.functions.replace(col("t"),
+            lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("t"),
             col("wc"))
           .localCheckpoint(false)
         (r.toLong, pair, freq)

@@ -1970,12 +1970,18 @@ ORDER BY bucket ASC NULLS LAST"""),
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", tmp("s44_lineitem"))
         .mode("overwrite").saveAsTable(lt)
-      s.table(lt).hint("merge")
+      val joined = s.table(lt).hint("merge")
         .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           expr("round((sum(l_extendedprice))*100)/100").as("revenue"))
         .orderBy(col("o_orderpriority").asc_nulls_last)
+      // the plan above is already resolved to the tables' file relations;
+      // dropping the (EXTERNAL — data untouched) catalog entries here
+      // keeps repeated harness/bench runs from leaking catalog state
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      joined
     }, Some(
       """SELECT o_orderpriority, count(*) AS n_lines,
                 (round((sum(l_extendedprice))*100)/100) AS revenue

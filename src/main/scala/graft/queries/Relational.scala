@@ -2894,7 +2894,10 @@ FROM b"""),
     // Σ(y−b0−b1x)² = Σy² − 2b0Σy − 2b1Σxy + n·b0² + 2b0b1Σx + b1²Σx²
     // — so evaluation needs NO second data pass and NO per-row
     // prediction join. Fold assignment is deterministic (orderkey % 5).
-    // All sums are BIGINT-exact (y in whole dollars keeps Σy² < 2⁶³);
+    // Sums in x are BIGINT-exact; Σy² — the one sum that would wrap
+    // BIGINT silently in Spark (non-ANSI) while DuckDB promotes to
+    // HUGEINT — accumulates as DECIMAL(38,0) in BOTH engines, so the
+    // engines agree at ANY scale factor, not just the tested ones;
     // the float math runs on a fixed expression tree over identical
     // integer inputs, same text in both engines (the a21 discipline).
     // At 100 TB: one partial-aggregable pass + 5-row math — the
@@ -2909,12 +2912,12 @@ f AS (
   SELECT fold, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
-         CAST(sum(y*y) AS BIGINT) AS syy
+         sum(CAST(y*y AS DECIMAL(38,0))) AS syy
   FROM obs GROUP BY fold),
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
          CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
-         CAST(sum(sxy) AS BIGINT) AS tsxy, CAST(sum(syy) AS BIGINT) AS tsyy
+         CAST(sum(sxy) AS BIGINT) AS tsxy, sum(syy) AS tsyy
   FROM f),
 lofo AS (
   SELECT fold, n, sx, sy, sxx, sxy, syy,
@@ -2946,12 +2949,12 @@ f AS (
   SELECT fold, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
-         CAST(sum(y*y) AS BIGINT) AS syy
+         sum(CAST(y*y AS DECIMAL(38,0))) AS syy
   FROM obs GROUP BY fold),
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
          CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
-         CAST(sum(sxy) AS BIGINT) AS tsxy, CAST(sum(syy) AS BIGINT) AS tsyy
+         CAST(sum(sxy) AS BIGINT) AS tsxy, sum(syy) AS tsyy
   FROM f),
 lofo AS (
   SELECT fold, n, sx, sy, sxx, sxy, syy,
