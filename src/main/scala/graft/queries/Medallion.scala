@@ -1986,6 +1986,40 @@ ORDER BY bucket ASC NULLS LAST"""),
       """SELECT o_orderpriority, count(*) AS n_lines,
                 (round((sum(l_extendedprice))*100)/100) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY o_orderpriority ASC NULLS LAST"""))
+         GROUP BY 1 ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S45
+    // Avro interchange sink/source — the ROW-oriented fleet format
+    // (Kafka topics, schema-registry contracts, log shippers are
+    // Avro-first; Spark 4 bundles the reader/writer in spark-sql).
+    // Round-trip: project+write an orders slice as Avro, read it back,
+    // filter and aggregate. Unlike the ORC/parquet twins there is no
+    // file-level predicate pushdown to assert — Avro blocks carry no
+    // min/max stats — which is exactly why the lakehouse keeps Avro at
+    // the INGEST boundary and converts to columnar for the silver tier;
+    // this query proves the boundary itself round-trips losslessly
+    // (schema + values), with column PRUNING still effective (the Avro
+    // reader projects only the requested fields per record). At 100 TB
+    // Avro is the wire/landing codec, never the scan codec. This
+    // distribution bundles the Avro classes in spark-sql but omits the
+    // "avro" alias from the DataSourceRegister service file, so the
+    // format goes by its fully-qualified class name.
+    QueryDef("s45_avro_interchange", (s, dir) => {
+      val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val path = tmp("s45_avro")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").format(AvroFmt).save(path)
+      s.read.format(AvroFmt).load(path)
+        .filter(col("o_totalprice") > 150000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(o_totalprice))*100)/100").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                (round((sum(o_totalprice))*100)/100) AS total
+         FROM orders WHERE o_totalprice > 150000.0
+         GROUP BY 1 ORDER BY o_orderstatus ASC NULLS LAST"""))
   )
 }
