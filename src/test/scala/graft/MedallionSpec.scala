@@ -310,6 +310,75 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(boom.getMessage.contains("model exploded"))
   }
 
+  test("Pipeline selective rebuild (state:modified+): editing one model rebuilds only its subtree") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_state").toString
+    val names = Seq("bronze_events", "silver_events", "gold_daily_revenue",
+      "gold_daily_events")
+    def version(n: String): Long =
+      DeltaLite.latestVersion(s"$target/$n").get
+    def statuses(): Map[String, String] = {
+      val rr = (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(target, "run_results.json")), "UTF-8"))
+        \ "results").asInstanceOf[JArray].arr
+      rr.map(r => (r \ "unique_id").asInstanceOf[JString].s
+        .stripPrefix("model.graft.") ->
+        (r \ "status").asInstanceOf[JString].s).toMap
+    }
+    // first selective run: nothing materialized — every model builds
+    Pipeline.runAll(spark, sf, target, selective = true)
+    names.foreach(n => assert(version(n) === 0L))
+    assert(statuses().values.forall(_ == "success"))
+    // unchanged rerun: full cache hit — ZERO new commits on any table
+    Pipeline.runAll(spark, sf, target, selective = true)
+    names.foreach(n => assert(version(n) === 0L, s"$n must not recommit"))
+    assert(statuses().values.forall(_ == "reused"))
+    // edit the mid-DAG silver model (code + behavior change together, as
+    // an edited SQL file would): silver and its descendant gold rebuild;
+    // the upstream bronze and the independent revenue branch do not
+    val edited = Pipeline.dag(sf).map {
+      case m if m.name == "silver_events" => m.copy(
+        code = m.code + " -- v2: double the value column",
+        build = (s, ref) => ref("bronze_events")
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+          .dropDuplicates("event_id")
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .withColumn("value", col("value") * 2))
+      case m => m
+    }
+    Pipeline.run(spark, edited, target, selective = true)
+    assert(version("bronze_events") === 0L, "upstream must not rebuild")
+    assert(version("gold_daily_revenue") === 0L,
+      "the independent branch must not rebuild")
+    // stale rebuild = replaceWhere commit + fingerprint-stamp commit
+    assert(version("silver_events") === 2L)
+    assert(version("gold_daily_events") === 2L)
+    assert(statuses() === Map("bronze_events" -> "reused",
+      "gold_daily_revenue" -> "reused", "silver_events" -> "success",
+      "gold_daily_events" -> "success"))
+    // the rebuilt gold reflects the edit THROUGH the materialized ref
+    val doubled = DeltaLite.read(spark, s"$target/gold_daily_events")
+    val expect = DeltaLite.read(spark, s"$target/silver_events")
+      .groupBy(col("ts_sec").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("round((sum(value))*100)/100").as("sum_value"))
+    assert(doubled.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(doubled).count() === 0)
+    // the edited state is itself stable: rerun reuses everything again
+    Pipeline.run(spark, edited, target, selective = true)
+    assert(version("silver_events") === 2L)
+    assert(version("gold_daily_events") === 2L)
+    assert(statuses().values.forall(_ == "reused"))
+    // time travel still serves the PRE-edit silver (rebuild-in-place
+    // keeps history; version 0 is the original materialization)
+    val preEdit = DeltaLite.read(spark, s"$target/silver_events",
+      asOf = Some(0L))
+    val postEdit = DeltaLite.read(spark, s"$target/silver_events")
+    assert(math.abs(preEdit.agg(sum(col("value"))).head().getDouble(0) * 2 -
+      postEdit.agg(sum(col("value"))).head().getDouble(0)) < 1e-6)
+  }
+
   test("multimodal: stub decode plumbing (schema, batches, frames)") {
     implicit val s = spark
     val media = graft.functions.Multimodal.asMediaTable(
