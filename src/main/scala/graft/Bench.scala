@@ -101,10 +101,16 @@ object Bench {
     // o8_recursive_cte: WITH RECURSIVE executes as a ~24-step loop of
     // tiny frontier joins — scheduler-latency-bound like the lifecycle
     // chains, so it shares their pool instead of queueing ad-hoc slots.
+    // Round-8 joiners (the r7 loaded run's remaining serial-chain poles,
+    // 23-36 s of queue time each in the ad-hoc pool): g2_bfs_hops /
+    // g4_label_prop iterate small frontier jobs like o8; s37/s20/s43 are
+    // multi-commit DeltaLite lifecycles like s25/s26.
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
-      "g1_pagerank", "l3_ann_ivf", "o8_recursive_cte")
+      "g1_pagerank", "l3_ann_ivf", "o8_recursive_cte",
+      "g2_bfs_hops", "g4_label_prop", "s37_scd2_timestamp",
+      "s20_reorg_purge", "s43_orc_interchange")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))
@@ -159,13 +165,18 @@ object Bench {
     val printed = line(headline.flatMap(byName.get))
     // Stop Spark BEFORE printing so any shutdown chatter precedes the JSON:
     // the bench driver parses the final stdout line (build.sbt suppresses
-    // sbt's trailing [success] banner for the same reason). The JSON is
-    // also persisted to a file as a recovery path.
+    // sbt's trailing [success] banner for the same reason). Logging goes
+    // to OFF first — the executor-drain path logs accumulator-GC stack
+    // traces that otherwise land in the parsed tail — and the JSON opens
+    // with a fresh newline so a torn partial line can never prefix it.
+    // The JSON is also persisted to a file as a recovery path.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
       (line(results) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    println()
     println(printed)
     System.out.flush()
   }
