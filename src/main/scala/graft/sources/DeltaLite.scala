@@ -1267,6 +1267,29 @@ object DeltaLite {
     // check-then-rename — NOT atomic on POSIX, where rename overwrites —
     // and a shared temp name lets racers clobber each other's content;
     // both races were caught by the 8-writer test under full-suite load.)
+    //
+    // COMMIT BOUNDARY CONTRACT (the object-store port seam). Every write
+    // path in this file funnels into the claim below; its contract is:
+    //   (1) claiming version N either succeeds for exactly one writer or
+    //       fails with FileAlreadyExistsException — never two winners;
+    //   (2) a won commit file is IMMUTABLE — no later attempt may replace
+    //       or mutate `N.json` (readers cache replayed versions forever);
+    //   (3) a failed claim leaves no partial/temp state behind.
+    // Everything above (OCC, commitResolve rebase, snapshot replay) is
+    // derived from these three properties and nothing else. The link(2)
+    // implementation satisfies them on a SINGLE POSIX filesystem only —
+    // object stores have no hard links and their rename is copy+delete.
+    // Porting to an object store means swapping ONLY this claim:
+    //   - S3: conditional PUT with `If-None-Match: *` (native since
+    //     2024-08); GCS: `x-goog-if-generation-match: 0`; Azure Blob:
+    //     ETag `If-None-Match: *` — each is exactly contract (1)+(2),
+    //     and (3) holds because the conditional PUT IS the only write.
+    //   - Stores without conditional create need an external
+    //     coordinator claiming (table, version) — the DynamoDB-style
+    //     log-store design — or a documented single-writer-per-table
+    //     operational constraint at that boundary.
+    // ScaleSpec's "commit claim contract" test asserts (1)-(3) directly
+    // so a future port has the contract pinned, not just described.
     val tmp = logDir(path).resolve(
       s".$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     val fin = logDir(path).resolve(s"$version.json")

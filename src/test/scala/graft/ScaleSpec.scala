@@ -2787,6 +2787,64 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(n === 0, "anchor is already the newest checkpoint ≤ earliest retained")
   }
 
+  test("commit claim contract: one winner per version, immutable won commits, no temp litter") {
+    // The three properties every object-store port of the claim
+    // primitive must preserve (see writeCommit's COMMIT BOUNDARY
+    // CONTRACT note): (1) exactly one winner per version, (2) a won
+    // N.json is immutable, (3) a failed claim leaves nothing behind.
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_claim").toString
+    DeltaLite.create(spark, path, Seq((1L, "a")).toDF("k", "s").coalesce(1)) // v0
+    DeltaLite.append(spark, path, Seq((2L, "b")).toDF("k", "s").coalesce(1)) // v1
+    val log = java.nio.file.Paths.get(path, "_graft_log")
+    def bytes(v: Long): Seq[Byte] =
+      java.nio.file.Files.readAllBytes(log.resolve(s"$v.json")).toSeq
+    // a winner takes v2 inside the loser's snapshot→commit window; the
+    // losing OPTIMIZE's claim on v2 FAILS and it rebases to v3
+    var v2AtWin: Seq[Byte] = null
+    DeltaLite.testHookBeforeCommit = () => {
+      DeltaLite.testHookBeforeCommit = () => ()
+      DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s").coalesce(1))
+      v2AtWin = bytes(2L)
+    }
+    try {
+      assert(DeltaLite.compactSmall(spark, path, minRows = 100) === 3L)
+    } finally DeltaLite.testHookBeforeCommit = () => ()
+    // (2) the winner's commit file survives the losing claim byte-for-byte
+    assert(bytes(2L) === v2AtWin,
+      "a won commit must never be replaced by a losing claim")
+    // (1) exactly one commit file per version, contiguous 0..3
+    val commits = {
+      val st = java.nio.file.Files.list(log)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("""\d+\.json""")).toSeq.sorted
+      finally st.close()
+    }
+    assert(commits === Seq("0.json", "1.json", "2.json", "3.json"))
+    // (3) no temp/partial claim state litters the log
+    val litter = {
+      val st = java.nio.file.Files.list(log)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tmp")).toSeq
+      finally st.close()
+    }
+    assert(litter.isEmpty, s"failed claims must clean up, found $litter")
+    // a stale direct claim at an already-won version fails LOUDLY and
+    // leaves the won file untouched
+    val tip = DeltaLite.snapshot(path)
+    val tipBytes = bytes(tip.version)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaLite.commitExclusive(path, tip.version, "TEST_CLAIM",
+        tip.schema, Nil, Nil, tip.constraints, tip.partitionBy,
+        tip.physical, tip.generated, tip.identity, tip.properties)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(bytes(tip.version) === tipBytes)
+    // all four effects are readable: both appends + the base row survive
+    assert(DeltaLite.read(spark, path).orderBy("k").select("k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("conflict resolution: OPTIMIZE rebases over a concurrent append, keeps both effects") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_rebase_opt").toString
