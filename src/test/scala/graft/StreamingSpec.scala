@@ -704,6 +704,67 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("transformWithState checkpoint restore pins parallelism: a changed shuffle conf cannot re-shard state") {
+    // The common ops mistake: bump spark.sql.shuffle.partitions on a
+    // restart and expect the state store to re-shard. Structured
+    // Streaming PINS the state partition count in the checkpoint's
+    // offset log at first start and silently keeps it on every restart
+    // — state stays correct, the conf change is a no-op for the
+    // stateful operator. This test pins that contract: totals carry
+    // across a restart under a DIFFERENT session conf, and both offset
+    // log entries record the ORIGINAL partition count. (A real re-shard
+    // requires a fresh checkpoint + state rebuild — at 100 TB of RocksDB
+    // state that is a planned migration, never a conf flip.)
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    val input = MemoryStream[Streams.Event]
+    def start() = Streams.runningTotals(input.toDS()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q1 = start()
+      input.addData(
+        Streams.Event(1L, ts(0), 7L, "click", 1.5),
+        Streams.Event(2L, ts(1), 7L, "click", 2.5),
+        Streams.Event(3L, ts(2), 9L, "view", 10.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // restart the SAME checkpoint under a different parallelism
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val q2 = start()
+      input.addData(Streams.Event(4L, ts(3), 7L, "click", 6.0))
+      q2.processAllAvailable()
+      q2.stop()
+      // state survived the restart: user 7's total carries 2+1 events
+      val rows = spark.read.parquet(out).as[Streams.UserTotal].collect()
+      assert(rows.contains(Streams.UserTotal(7L, 3L, 10.0)),
+        s"restored state must carry totals across the restart, got ${rows.toSeq}")
+      // both offset entries pin the ORIGINAL partition count — the
+      // restarted query ignored the session's 16 and kept 4
+      def offsetConf(batch: Int): String = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ckpt, "offsets", batch.toString)), "UTF-8")
+      assert(offsetConf(0).contains("\"spark.sql.shuffle.partitions\":\"4\""))
+      assert(offsetConf(1).contains("\"spark.sql.shuffle.partitions\":\"4\""),
+        "the restart must keep the checkpointed partition count, not the new conf")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState custom sessionization (T7)") {
     import spark.implicits._
     implicit val s = spark
