@@ -2094,6 +2094,44 @@ ORDER BY bucket ASC NULLS LAST"""),
       """SELECT o_orderstatus, count(*) AS n,
                 (round((sum(o_totalprice))*100)/100) AS total
          FROM orders WHERE o_totalprice > 150000.0
-         GROUP BY 1 ORDER BY o_orderstatus ASC NULLS LAST"""))
+         GROUP BY 1 ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S46
+    // IN-set point lookup — the multi-key fetch workload (serve a batch
+    // of entity ids from a big fact table) that neither a range bound
+    // nor a single-point bound covers: the probe keys are SPARSE, so a
+    // covering [min, max] range keeps every file, and round-robin
+    // ingest order means min/max stats can't prune either. The table
+    // carries a bloom index on the key; the scan takes a
+    // ColumnBound.in(keys), and pruneFiles probes each key against each
+    // file's bloom — opening ~|keys| files out of the whole table.
+    // That's the 100 TB shape: a k-key batch fetch reads O(k) files
+    // from the LOG's metadata, no listing, no full scan. The 5-row key
+    // collect is bounded driver-side metadata (the serve pattern: the
+    // key batch arrives from the caller; here it's derived
+    // deterministically so the oracle can restate it as a subquery).
+    QueryDef("s46_inset_lookup", (s, dir) => {
+      val path = tmp("s46_delta")
+      DeltaLite.create(s, path,
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8, pmod(col("o_orderkey"), lit(8))),
+        properties = Map("graft.bloom.columns" -> "o_orderkey"))
+      val keys: Seq[Any] = t(s, dir, "orders")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey").asc).limit(5)
+        .collect().map(_.get(0)).toSeq
+      DeltaLite.scan(s, path,
+          Seq(DeltaLite.ColumnBound.in("o_orderkey", keys)))
+        .filter(col("o_orderkey").isInCollection(keys))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("round((o_totalprice)*100)/100").as("price"))
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderkey, o_custkey,
+                (round((o_totalprice)*100)/100) AS price
+         FROM orders
+         WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                              ORDER BY o_orderkey ASC LIMIT 5)
+         ORDER BY o_orderkey ASC NULLS LAST"""))
   )
 }
