@@ -65,7 +65,51 @@ object Medallion {
       * model means changing its `code` (and build) together. */
     final case class Model(name: String, deps: Seq[String],
         build: (SparkSession, String => DataFrame) => DataFrame,
-        code: String = "")
+        code: String = "", contract: Option[Contract] = None,
+        preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil)
+
+    /** dbt model CONTRACT (`contract: {enforced: true}`): the declared
+      * output schema is a hard interface — the build's actual schema must
+      * match EXACTLY (same column set, same types; order-insensitive,
+      * like dbt's contract checker) or the model errors WITHOUT
+      * materializing, so a breaking change can never reach downstream
+      * consumers. `notNull` columns become DeltaLite CHECK constraints on
+      * the target (dbt maps `constraints: [not_null]` to warehouse
+      * column constraints the same way), so enforcement then rides EVERY
+      * later write path — append, merge, replaceWhere — not just the
+      * model run that declared it. Schema checks are pure metadata (zero
+      * data reads at any scale); the not-null gate is the write path's
+      * own constraint scan, which at 100 TB touches only the rows being
+      * written. */
+    final case class Contract(columns: Seq[(String, String)],
+        notNull: Seq[String] = Nil) {
+      notNull.foreach(c => require(columns.exists(_._1 == c),
+        s"contract not_null column '$c' is not a declared column"))
+    }
+
+    private[graft] def enforceContract(model: String, c: Contract,
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      val actual = schema.fields.map(f =>
+        f.name -> f.dataType.simpleString).toMap
+      val declared = c.columns.toMap
+      val missing = (declared.keySet -- actual.keySet).toSeq.sorted
+      val extra = (actual.keySet -- declared.keySet).toSeq.sorted
+      require(missing.isEmpty && extra.isEmpty,
+        s"CONTRACT_VIOLATION model=$model: schema shape differs from the " +
+          s"enforced contract (missing=$missing extra=$extra)")
+      c.columns.foreach { case (n, t) =>
+        require(actual(n) == t, s"CONTRACT_VIOLATION model=$model " +
+          s"column=$n: contract declares $t, build produced ${actual(n)}")
+      }
+    }
+
+    /** dbt pre-/post-hook rendering: the one template variable that
+      * matters operationally is `{{ this }}` — the model's own target
+      * relation. Rendered to the target PATH (hook text supplies its own
+      * quoting, matching the lake's quoted-path DML grammar). */
+    private[graft] def renderHook(hook: String, path: String): String =
+      hook.replaceAll("""\{\{\s*this\s*\}\}""",
+        java.util.regex.Matcher.quoteReplacement(path))
 
     /** Table property carrying the model fingerprint that produced the
       * materialization — the persisted `state` that dbt's
@@ -185,18 +229,41 @@ object Medallion {
                     (System.nanoTime() - t0) / 1e9, snap.totalRows,
                     snap.version))
                 } else {
+                  // dbt hook order: pre-hooks → build+materialize →
+                  // post-hooks; a reused (state:modified+ cache-hit)
+                  // model runs neither, exactly like a skipped dbt node.
+                  m.preHooks.foreach(h => s.sql(renderHook(h, path)))
                   val built = m.build(s, ref)
+                  // contract gate BEFORE any write: a breaking schema
+                  // never materializes, even transiently
+                  m.contract.foreach(c => enforceContract(m.name, c,
+                    built.schema))
                   val v =
-                    if (!exists)
-                      D.create(s, path, built,
+                    if (!exists) {
+                      val v0 = D.create(s, path, built,
                         properties = Map(FingerprintKey -> fp(m.name)))
-                    else {
+                      // contract not_null → persistent CHECK constraints:
+                      // from here on, every write path enforces them
+                      m.contract.toSeq.flatMap(_.notNull).foreach { col =>
+                        D.addConstraint(s, path,
+                          s"contract_${col}_not_null", s"$col IS NOT NULL")
+                      }
+                      v0
+                    } else {
                       // stale rebuild in place: full-table replace, then
                       // stamp the new fingerprint (history keeps the old
                       // materialization time-travelable)
                       D.replaceWhere(s, path, lit(true), built)
                       D.setProperties(path, Map(FingerprintKey -> fp(m.name)))
                     }
+                  // post-hooks see the just-materialized relation two
+                  // ways: `{{ this }}` renders to the target path (for
+                  // the lake's quoted-path DML), and a temp view named
+                  // after the model serves FROM-position reads (dbt's
+                  // `{{ this }}` as a queryable relation).
+                  if (m.postHooks.nonEmpty)
+                    D.read(s, path).createOrReplaceTempView(m.name)
+                  m.postHooks.foreach(h => s.sql(renderHook(h, path)))
                   val snap = D.snapshot(path)
                   results.put(m.name, RunResult("success",
                     (System.nanoTime() - t0) / 1e9, snap.totalRows, v))
@@ -1988,6 +2055,245 @@ SELECT bucket, n_ref, n_cur,
        (round((sum((p - q) * ln(p / q)) OVER ())*1000000)/1000000) AS psi
 FROM c
 ORDER BY bucket ASC NULLS LAST"""),
+
+    // ------------------------------------------------------------------- D8
+    // dbt model CONTRACT validation as data (`contract: {enforced: true}`
+    // plus column `constraints`): the census of raw rows that would break
+    // each declared rule of a contracted silver model — not-null keys,
+    // type castability (TRY_CAST), accepted values, and a business range
+    // check. The staged frame re-types bronze as strings (raw-ingest
+    // reality) and plants one violation per rule so every gate provably
+    // fires. One pass over the source, each rule a conditional count in
+    // a single aggregate — at 100 TB this is the same one-scan shape as
+    // d1; no per-rule rescans. Pipeline.Contract (the build-time gate)
+    // is the enforcement twin of this report — see MedallionSpec.
+    QueryDef("d8_contract_enforce", (s, dir) => {
+      import s.implicits._
+      val staged = t(s, dir, "events")
+        .select(col("event_id").cast("string").as("id_s"),
+          date_trunc("second", col("ts")).cast("string").as("ts_s"),
+          col("event_type"),
+          expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)")
+            .as("val_s"))
+        .unionByName(Seq(
+          (Option.empty[String], Option("2024-01-01 00:00:00"), "click", "100"),
+          (Option("x9"), Option("2024-01-01 00:00:00"), "click", "100"),
+          (Option("9000001"), Option("not-a-ts"), "view", "200"),
+          (Option("9000002"), Option("2024-01-02 00:00:00"), "oops", "abc"),
+          (Option("9000003"), Option("2024-01-03 00:00:00"), "purchase", "-500"))
+          .toDF("id_s", "ts_s", "event_type", "val_s"))
+      staged.agg(
+          sum(when(col("id_s").isNull, 1L).otherwise(0L))
+            .as("not_null_event_id"),
+          sum(when(col("id_s").isNotNull &&
+              expr("TRY_CAST(id_s AS BIGINT)").isNull, 1L).otherwise(0L))
+            .as("cast_event_id_bigint"),
+          sum(when(expr("TRY_CAST(ts_s AS TIMESTAMP)").isNull, 1L)
+            .otherwise(0L)).as("cast_ts_timestamp"),
+          sum(when(expr("TRY_CAST(val_s AS BIGINT)").isNull, 1L)
+            .otherwise(0L)).as("cast_value_bigint"),
+          sum(when(!col("event_type").isin(
+              "click", "error", "purchase", "signup", "view"), 1L)
+            .otherwise(0L)).as("accepted_values_event_type"),
+          sum(when(expr("TRY_CAST(val_s AS BIGINT)") < 0L, 1L)
+            .otherwise(0L)).as("value_non_negative"))
+        .selectExpr("stack(6, " +
+          "'not_null_event_id', not_null_event_id, " +
+          "'cast_event_id_bigint', cast_event_id_bigint, " +
+          "'cast_ts_timestamp', cast_ts_timestamp, " +
+          "'cast_value_bigint', cast_value_bigint, " +
+          "'accepted_values_event_type', accepted_values_event_type, " +
+          "'value_non_negative', value_non_negative) " +
+          "AS (rule, n_violations)")
+        .withColumn("status",
+          when(col("n_violations") === 0L, "pass").otherwise("fail"))
+        .orderBy(col("rule").asc_nulls_last)
+    }, Some(
+      """WITH staged AS (
+           SELECT CAST(event_id AS VARCHAR) AS id_s,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS VARCHAR) AS ts_s,
+                  event_type,
+                  CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS val_s
+           FROM events
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(NULL AS VARCHAR), '2024-01-01 00:00:00', 'click', '100'),
+             ('x9', '2024-01-01 00:00:00', 'click', '100'),
+             ('9000001', 'not-a-ts', 'view', '200'),
+             ('9000002', '2024-01-02 00:00:00', 'oops', 'abc'),
+             ('9000003', '2024-01-03 00:00:00', 'purchase', '-500'))
+             AS v(id_s, ts_s, event_type, val_s)),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN id_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS not_null_event_id,
+             CAST(sum(CASE WHEN id_s IS NOT NULL
+                  AND TRY_CAST(id_s AS BIGINT) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cast_event_id_bigint,
+             CAST(sum(CASE WHEN TRY_CAST(ts_s AS TIMESTAMP) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cast_ts_timestamp,
+             CAST(sum(CASE WHEN TRY_CAST(val_s AS BIGINT) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cast_value_bigint,
+             CAST(sum(CASE WHEN event_type NOT IN
+                  ('click','error','purchase','signup','view')
+                  THEN 1 ELSE 0 END) AS BIGINT)
+               AS accepted_values_event_type,
+             CAST(sum(CASE WHEN TRY_CAST(val_s AS BIGINT) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS value_non_negative
+           FROM staged),
+         rules AS (
+           SELECT 'not_null_event_id' AS rule,
+                  not_null_event_id AS n_violations FROM agg
+           UNION ALL SELECT 'cast_event_id_bigint', cast_event_id_bigint
+           FROM agg
+           UNION ALL SELECT 'cast_ts_timestamp', cast_ts_timestamp FROM agg
+           UNION ALL SELECT 'cast_value_bigint', cast_value_bigint FROM agg
+           UNION ALL SELECT 'accepted_values_event_type',
+                  accepted_values_event_type FROM agg
+           UNION ALL SELECT 'value_non_negative', value_non_negative
+           FROM agg)
+         SELECT rule, n_violations,
+                CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END
+                  AS status
+         FROM rules ORDER BY rule ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- D9
+    // dbt UNIT TESTS (dbt 1.8 `unit_tests:` blocks): run a model's logic
+    // against MOCKED inputs (`given:` fixture rows) and diff the result
+    // against `expect:` rows — logic verified in isolation from real
+    // data, the missing layer between schema tests (d1) and full-run
+    // validation. Two cases: the gold daily-events aggregation (grouping
+    // + rounding + null-sum semantics: sum over only-NULL values is
+    // NULL, coalesced like dbt fixtures would) and the silver dedup
+    // (row_number keep-first over a composite order). The diff is the
+    // dbt comparator: symmetric EXCEPT counts; a test passes iff both
+    // directions are empty. Everything is literal-driven, so the engines
+    // must agree through the COMPUTE, not the data — a pure parity probe
+    // of the SQL surface the models use. Scale: unit tests run on
+    // fixture literals; cost is independent of warehouse size.
+    QueryDef.sql("d9_unit_test",
+      """WITH mock_silver(ts_sec, event_type, value) AS (VALUES
+           (TIMESTAMP '2024-01-01 10:00:00', 'click', CAST(1.25 AS DOUBLE)),
+           (TIMESTAMP '2024-01-01 11:30:00', 'click', CAST(2.25 AS DOUBLE)),
+           (TIMESTAMP '2024-01-01 23:59:59', 'view', CAST(NULL AS DOUBLE)),
+           (TIMESTAMP '2024-01-02 00:00:00', 'click', CAST(0.004 AS DOUBLE))),
+         gold_actual AS (
+           SELECT CAST(ts_sec AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(coalesce(sum(value), CAST(0 AS DOUBLE)) * 100) / 100
+                    AS sum_value
+           FROM mock_silver GROUP BY 1, 2),
+         gold_expect(day, event_type, n, sum_value) AS (VALUES
+           (DATE '2024-01-01', 'click', CAST(2 AS BIGINT),
+            CAST(3.5 AS DOUBLE)),
+           (DATE '2024-01-01', 'view', CAST(1 AS BIGINT),
+            CAST(0.0 AS DOUBLE)),
+           (DATE '2024-01-02', 'click', CAST(1 AS BIGINT),
+            CAST(0.0 AS DOUBLE))),
+         mock_bronze(event_id, ts_sec, value) AS (VALUES
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00',
+            CAST(5.0 AS DOUBLE)),
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 09:00:00',
+            CAST(4.0 AS DOUBLE)),
+           (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+            CAST(7.0 AS DOUBLE))),
+         silver_actual AS (
+           SELECT event_id, ts_sec, value FROM (
+             SELECT event_id, ts_sec, value,
+                    row_number() OVER (PARTITION BY event_id
+                      ORDER BY ts_sec ASC, value ASC) AS rn
+             FROM mock_bronze) r WHERE rn = 1),
+         silver_expect(event_id, ts_sec, value) AS (VALUES
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 09:00:00',
+            CAST(4.0 AS DOUBLE)),
+           (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+            CAST(7.0 AS DOUBLE))),
+         report AS (
+           SELECT 'gold_daily_events_agg' AS test_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM gold_actual) AS n_actual,
+             (SELECT CAST(count(*) AS BIGINT) FROM gold_expect) AS n_expected,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM gold_actual EXCEPT SELECT * FROM gold_expect))
+               AS n_unexpected,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM gold_expect EXCEPT SELECT * FROM gold_actual))
+               AS n_missing
+           UNION ALL
+           SELECT 'silver_dedup_keep_first',
+             (SELECT CAST(count(*) AS BIGINT) FROM silver_actual),
+             (SELECT CAST(count(*) AS BIGINT) FROM silver_expect),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM silver_actual
+                EXCEPT SELECT * FROM silver_expect)),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM silver_expect
+                EXCEPT SELECT * FROM silver_actual)))
+         SELECT test_name, n_actual, n_expected, n_unexpected, n_missing,
+                CASE WHEN n_unexpected = 0 AND n_missing = 0
+                     THEN 'pass' ELSE 'fail' END AS status
+         FROM report ORDER BY test_name ASC NULLS LAST""",
+      oracle =
+      """WITH mock_silver(ts_sec, event_type, value) AS (VALUES
+           (TIMESTAMP '2024-01-01 10:00:00', 'click', CAST(1.25 AS DOUBLE)),
+           (TIMESTAMP '2024-01-01 11:30:00', 'click', CAST(2.25 AS DOUBLE)),
+           (TIMESTAMP '2024-01-01 23:59:59', 'view', CAST(NULL AS DOUBLE)),
+           (TIMESTAMP '2024-01-02 00:00:00', 'click', CAST(0.004 AS DOUBLE))),
+         gold_actual AS (
+           SELECT CAST(ts_sec AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(coalesce(sum(value), CAST(0 AS DOUBLE)) * 100) / 100
+                    AS sum_value
+           FROM mock_silver GROUP BY 1, 2),
+         gold_expect(day, event_type, n, sum_value) AS (VALUES
+           (DATE '2024-01-01', 'click', CAST(2 AS BIGINT),
+            CAST(3.5 AS DOUBLE)),
+           (DATE '2024-01-01', 'view', CAST(1 AS BIGINT),
+            CAST(0.0 AS DOUBLE)),
+           (DATE '2024-01-02', 'click', CAST(1 AS BIGINT),
+            CAST(0.0 AS DOUBLE))),
+         mock_bronze(event_id, ts_sec, value) AS (VALUES
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00',
+            CAST(5.0 AS DOUBLE)),
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 09:00:00',
+            CAST(4.0 AS DOUBLE)),
+           (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+            CAST(7.0 AS DOUBLE))),
+         silver_actual AS (
+           SELECT event_id, ts_sec, value FROM (
+             SELECT event_id, ts_sec, value,
+                    row_number() OVER (PARTITION BY event_id
+                      ORDER BY ts_sec ASC, value ASC) AS rn
+             FROM mock_bronze) r WHERE rn = 1),
+         silver_expect(event_id, ts_sec, value) AS (VALUES
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 09:00:00',
+            CAST(4.0 AS DOUBLE)),
+           (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+            CAST(7.0 AS DOUBLE))),
+         report AS (
+           SELECT 'gold_daily_events_agg' AS test_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM gold_actual) AS n_actual,
+             (SELECT CAST(count(*) AS BIGINT) FROM gold_expect) AS n_expected,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM gold_actual EXCEPT SELECT * FROM gold_expect))
+               AS n_unexpected,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM gold_expect EXCEPT SELECT * FROM gold_actual))
+               AS n_missing
+           UNION ALL
+           SELECT 'silver_dedup_keep_first',
+             (SELECT CAST(count(*) AS BIGINT) FROM silver_actual),
+             (SELECT CAST(count(*) AS BIGINT) FROM silver_expect),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM silver_actual
+                EXCEPT SELECT * FROM silver_expect)),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT * FROM silver_expect
+                EXCEPT SELECT * FROM silver_actual)))
+         SELECT test_name, n_actual, n_expected, n_unexpected, n_missing,
+                CASE WHEN n_unexpected = 0 AND n_missing = 0
+                     THEN 'pass' ELSE 'fail' END AS status
+         FROM report ORDER BY test_name ASC NULLS LAST"""),
 
     // ------------------------------------------------------------------ S43
     // ORC interchange sink/source — the second columnar format a

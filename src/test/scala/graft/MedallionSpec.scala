@@ -609,4 +609,84 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     val e = intercept[IllegalArgumentException](refresh())
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("Pipeline model contracts: enforced schema gate + not_null becomes a table constraint") {
+    import Pipeline.{Contract, Model}
+    val target = Files.createTempDirectory("graft_contract").toString
+    val contracted = Model("silver_typed", Nil,
+      (s, _) => Pipeline.silverEvents(s, sf)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts_sec")),
+      code = "select event_id, event_type, value, ts_sec from silver",
+      contract = Some(Contract(
+        columns = Seq("event_id" -> "bigint", "event_type" -> "string",
+          "value" -> "double", "ts_sec" -> "timestamp"),
+        notNull = Seq("event_id", "event_type"))))
+    Pipeline.run(spark, Seq(contracted), target)
+    // not_null contract columns persisted as CHECK constraints — EVERY
+    // later write path is now gated, not just this run
+    val snap = DeltaLite.snapshot(s"$target/silver_typed")
+    assert(snap.constraints.keySet ===
+      Set("contract_event_id_not_null", "contract_event_type_not_null"))
+    import spark.implicits._
+    val bad = intercept[IllegalArgumentException](DeltaLite.append(spark,
+      s"$target/silver_typed",
+      Seq((null.asInstanceOf[java.lang.Long], "click", 1.0,
+        new java.sql.Timestamp(0L)))
+        .toDF("event_id", "event_type", "value", "ts_sec")))
+    assert(bad.getMessage.contains("contract_event_id_not_null"))
+    // a type-breaking edit fails BEFORE materializing (no new commit)
+    val v0 = DeltaLite.latestVersion(s"$target/silver_typed").get
+    val broken = contracted.copy(code = contracted.code + " -- v2",
+      build = (s, _) => Pipeline.silverEvents(s, sf)
+        .select(col("event_id").cast("int"), col("event_type"),
+          col("value"), col("ts_sec")))
+    val e1 = intercept[IllegalArgumentException](
+      Pipeline.run(spark, Seq(broken), target, selective = true))
+    assert(e1.getMessage.contains("CONTRACT_VIOLATION") &&
+      e1.getMessage.contains("column=event_id"))
+    assert(DeltaLite.latestVersion(s"$target/silver_typed").get === v0,
+      "a contract violation must not commit anything")
+    // a column-set-breaking edit names the missing/extra columns
+    val dropped = contracted.copy(code = contracted.code + " -- v3",
+      build = (s, _) => Pipeline.silverEvents(s, sf)
+        .select(col("event_id"), col("event_type"), col("value")))
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.run(spark, Seq(dropped), target, selective = true))
+    assert(e2.getMessage.contains("missing=List(ts_sec)"))
+    // declaring not_null on an undeclared column is rejected at Model
+    // construction, mirroring dbt's contract/constraint consistency check
+    intercept[IllegalArgumentException](Contract(
+      columns = Seq("a" -> "bigint"), notNull = Seq("b")))
+  }
+
+  test("Pipeline pre/post hooks run around the build with {{ this }} resolved; reused models skip hooks") {
+    import Pipeline.Model
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_hooks").toString
+    val audit = s"$target/audit_log"
+    DeltaLite.create(spark, audit,
+      Seq(("bootstrap", 0L)).toDF("tag", "n").coalesce(1))
+    val hooked = Model("gold_rev", Nil,
+      (s, _) => Pipeline.goldDailyRevenue(s, sf),
+      code = "select ... revenue",
+      preHooks = Seq(
+        s"INSERT INTO '$audit' SELECT 'pre_gold_rev' AS tag, 0L AS n"),
+      postHooks = Seq(
+        // {{ this }} resolves to the model's own target path — the
+        // post-hook audits the row count of what was just materialized
+        s"INSERT INTO '$audit' SELECT 'post_gold_rev' AS tag, " +
+          "count(*) AS n FROM gold_rev"))
+    Pipeline.run(spark, Seq(hooked), target, selective = true)
+    val rows = DeltaLite.read(spark, audit)
+      .as[(String, Long)].collect().toMap
+    val built = DeltaLite.read(spark, s"$target/gold_rev").count()
+    assert(rows.contains("pre_gold_rev"))
+    assert(rows("post_gold_rev") === built,
+      "post-hook must see the materialized table via {{ this }}")
+    // cache-hit rerun: model is reused → hooks must NOT re-fire
+    Pipeline.run(spark, Seq(hooked), target, selective = true)
+    assert(DeltaLite.read(spark, audit).count() === 3L,
+      "a reused model runs neither pre- nor post-hooks")
+  }
 }
