@@ -2946,6 +2946,185 @@ object Llm {
                 CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
          FROM ranked
          GROUP BY qid
-         ORDER BY qid ASC NULLS LAST"""))
+         ORDER BY qid ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (q)
+    // BINARY QUANTIZATION + Hamming rerank — the 256×-compression serving
+    // tier (64 float32 dims → 64 sign bits in two 32-bit words; the
+    // modern vector-DB default for first-stage retrieval). Stage 1 ranks
+    // candidates by Hamming distance — INTEGER-exact, so the candidate
+    // cut is bit-identical across engines — keeping top-20 per query;
+    // stage 2 reranks only those 20 with the exact float cosine. At
+    // 100 TB the packed words are 16 bytes/vector (the whole corpus
+    // index fits where 0.4% of the floats would), Hamming is two XOR+
+    // popcount ALU ops inside codegen, and the expensive float pass
+    // touches only queries×20 rows, never queries×corpus. Candidate
+    // generation here is a cross join at test scale; the production path
+    // buckets by the first word (equality join) exactly like l3_ann_lsh
+    // — same sign bits, same recall math.
+    QueryDef("l3_binary_quant", (s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("w0", expr(
+          """aggregate(sequence(0, 31), 0L, (a, i) ->
+               a + IF(CAST(element_at(embedding, i + 1) AS DOUBLE) > 0D,
+                      shiftleft(1L, i), 0L))"""))
+        .withColumn("w1", expr(
+          """aggregate(sequence(32, 63), 0L, (a, i) ->
+               a + IF(CAST(element_at(embedding, i + 1) AS DOUBLE) > 0D,
+                      shiftleft(1L, i - 32), 0L))"""))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("w0").as("qw0"), col("w1").as("qw1"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"), col("w0").as("cw0"), col("w1").as("cw1"))
+      val hw = Window.partitionBy(col("qid"))
+        .orderBy(col("ham").asc, col("nid").asc)
+      val rw = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.crossJoin(c)
+        .withColumn("ham",
+          expr("bit_count(qw0 ^ cw0) + bit_count(qw1 ^ cw1)"))
+        .withColumn("hrk", row_number().over(hw))
+        .filter(col("hrk") <= 20)
+        .withColumn("sim", expr(
+          "round((vec_dot(qe, ne) / (qn * nn)) * 1000000) / 1000000"))
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), col("ham"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH p AS (
+           SELECT vec_id, embedding,
+                  CAST(list_sum(list_transform(range(0, 32), i ->
+                    CASE WHEN CAST(embedding[CAST(i + 1 AS INTEGER)]
+                           AS DOUBLE) > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+                  CAST(list_sum(list_transform(range(32, 64), i ->
+                    CASE WHEN CAST(embedding[CAST(i + 1 AS INTEGER)]
+                           AS DOUBLE) > 0
+                         THEN (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM embeddings),
+         h AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  CAST(bit_count(xor(a.w0, b.w0))
+                       + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS ham
+           FROM p a JOIN p b ON a.vec_id < 10 AND b.vec_id >= 10),
+         cand AS (
+           SELECT qid, nid, ham,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ham ASC, nid ASC) AS hrk
+           FROM h),
+         d AS (
+           SELECT c.qid, c.nid, c.ham,
+                  round((sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                     * sqrt(sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+                    * 1000000) / 1000000 AS sim
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.qid
+           JOIN embeddings b ON b.vec_id = c.nid
+           CROSS JOIN range(1, 65) r(i)
+           WHERE c.hrk <= 20
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT qid, nid, ham, sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid ASC) AS rk
+           FROM d)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid, ham,
+                (round(sim*10000)/10000) AS sim
+         FROM ranked WHERE rk <= 5
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L3 (r)
+    // MATRYOSHKA (MRL) two-stage retrieval — embeddings trained so every
+    // prefix is itself an embedding: stage 1 scores with only the FIRST
+    // 16 of 64 dims (4× less I/O and FLOPs — at 100 TB the short prefix
+    // is a separate, hot, column-pruned projection of the vector store),
+    // keeps top-20 per query, stage 2 reranks those with the full-width
+    // cosine. Both stage scores pre-round to 6dp before ranking so the
+    // candidate cut and the final order are engine-identical. Same
+    // funnel shape as l3_binary_quant but the cheap metric is a prefix
+    // cosine instead of Hamming — the two compose (binary-quantized
+    // prefix) in production.
+    QueryDef("l3_matryoshka", (s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("p16", expr("slice(embedding, 1, 16)"))
+        .withColumn("n16", expr(
+          "sqrt(CAST(vec_dot(p16, p16) AS DOUBLE))"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"), col("p16").as("qp"), col("n16").as("qn16"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"), col("p16").as("np"), col("n16").as("nn16"))
+      val pw = Window.partitionBy(col("qid"))
+        .orderBy(col("sim16").desc, col("nid").asc)
+      val rw = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      q.crossJoin(c)
+        .withColumn("sim16", expr(
+          "round((vec_dot(qp, np) / (qn16 * nn16)) * 1000000) / 1000000"))
+        .withColumn("prk", row_number().over(pw))
+        .filter(col("prk") <= 20)
+        .withColumn("sim", expr(
+          "round((vec_dot(qe, ne) / (qn * nn)) * 1000000) / 1000000"))
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          expr("round(sim16*10000)/10000").as("sim16"),
+          expr("round(sim*10000)/10000").as("sim"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH s16 AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  round((sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                     * sqrt(sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+                    * 1000000) / 1000000 AS sim16
+           FROM embeddings a
+           JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10
+           CROSS JOIN range(1, 17) r(i)
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT qid, nid, sim16,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim16 DESC, nid ASC) AS prk
+           FROM s16),
+         d AS (
+           SELECT c.qid, c.nid, c.sim16,
+                  round((sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+                     * sqrt(sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+                    * 1000000) / 1000000 AS sim
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.qid
+           JOIN embeddings b ON b.vec_id = c.nid
+           CROSS JOIN range(1, 65) r(i)
+           WHERE c.prk <= 20
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT qid, nid, sim16, sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid ASC) AS rk
+           FROM d)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid,
+                (round(sim16*10000)/10000) AS sim16,
+                (round(sim*10000)/10000) AS sim
+         FROM ranked WHERE rk <= 5
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST"""))
   )
 }
