@@ -2878,6 +2878,213 @@ object Llm {
          SELECT CAST(3 AS BIGINT), pair, freq FROM b3
          ORDER BY merge_rank ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (t)
+    // BPE tokenizer ENCODING — the serving half of l4_bpe_train: apply
+    // the learned merge table, in rank order, to tokenize a document
+    // slice. Training is O(vocab) rounds with bounded 1-row argmax
+    // collects (same three merges as l4_bpe_train, re-derived here so
+    // the query is self-contained); ENCODING is the corpus-scale pass —
+    // per word, char-tokenize then apply each merge as a
+    // leftmost-non-overlap replace (greedy left-to-right in BOTH
+    // engines), all inside codegen'd string expressions, map-only until
+    // the final per-doc aggregate. Output: per-doc token count before/
+    // after merges + the compression the merge table bought. At 100 TB
+    // the merge table is a broadcast literal (vocab-bounded) and
+    // encoding never shuffles until the doc-keyed count — the tokenizer
+    // deployment shape.
+    QueryDef("l4_bpe_encode", (s, dir) => {
+      val vocabAll = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(expr(
+          "concat(' ', array_join(transform(sequence(1, length(w), 1), i -> substring(w, i, 1)), ' '), ' ')")
+          .as("t"), col("wc"))
+        .localCheckpoint(false)
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(col("wc"), expr("split(trim(t), ' ')").as("arr"))
+          .select(col("wc"), explode(expr(
+            """CASE WHEN size(arr) >= 2
+               THEN transform(sequence(1, size(arr) - 1),
+                    i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))
+               ELSE array() END""")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+      var v = vocabAll
+      val merges = (1 to 3).map { _ =>
+        val best = pairCounts(v)
+          .orderBy(col("freq").desc, col("pair").asc).limit(1)
+          .collect()(0).getString(0)
+        v = v.select(org.apache.spark.sql.functions.replace(col("t"),
+            lit(s" $best "), lit(s" ${best.replace(" ", "")} ")).as("t"),
+            col("wc"))
+          .localCheckpoint(false)
+        best
+      }
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), expr(
+          "concat(' ', array_join(transform(sequence(1, length(w), 1), i -> substring(w, i, 1)), ' '), ' ')")
+          .as("t"))
+        .withColumn("n_chars", expr("size(split(trim(t), ' '))"))
+      val encoded = merges.foldLeft(docs) { (d, pair) =>
+        d.withColumn("t", org.apache.spark.sql.functions.replace(col("t"),
+          lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+      }
+      encoded
+        .withColumn("n_tok", expr("size(split(trim(t), ' '))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars").cast("long")).as("n_char_tokens"),
+          sum(col("n_tok").cast("long")).as("n_bpe_tokens"))
+        .withColumn("saved",
+          col("n_char_tokens") - col("n_bpe_tokens"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH v0 AS (
+           SELECT ' ' || array_to_string(
+                    list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+                  || ' ' AS t,
+                  count(*) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         p1 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v0 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b1 AS (SELECT pair FROM p1 ORDER BY freq DESC, pair ASC LIMIT 1),
+         v1 AS (
+           SELECT replace(t, ' ' || (SELECT pair FROM b1) || ' ',
+                    ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')
+                  AS t, wc
+           FROM v0),
+         p2 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v1 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b2 AS (SELECT pair FROM p2 ORDER BY freq DESC, pair ASC LIMIT 1),
+         v2 AS (
+           SELECT replace(t, ' ' || (SELECT pair FROM b2) || ' ',
+                    ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ')
+                  AS t, wc
+           FROM v1),
+         p3 AS (
+           SELECT u.p AS pair, CAST(sum(v.wc) AS BIGINT) AS freq
+           FROM v2 v, unnest(CASE WHEN len(string_split(trim(t), ' ')) >= 2
+             THEN list_transform(range(1, len(string_split(trim(t), ' '))),
+                  i -> string_split(trim(t), ' ')[i] || ' ' ||
+                       string_split(trim(t), ' ')[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1),
+         b3 AS (SELECT pair FROM p3 ORDER BY freq DESC, pair ASC LIMIT 1),
+         dw AS (
+           SELECT doc_id,
+                  ' ' || array_to_string(
+                    list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+                  || ' ' AS t
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE doc_id < 30)),
+         enc AS (
+           SELECT doc_id,
+                  CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_chars,
+                  replace(
+                    replace(
+                      replace(t,
+                        ' ' || (SELECT pair FROM b1) || ' ',
+                        ' ' || replace((SELECT pair FROM b1), ' ', '') || ' '),
+                      ' ' || (SELECT pair FROM b2) || ' ',
+                      ' ' || replace((SELECT pair FROM b2), ' ', '') || ' '),
+                    ' ' || (SELECT pair FROM b3) || ' ',
+                    ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ')
+                  AS t2
+           FROM dw)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+                CAST(sum(len(string_split(trim(t2), ' '))) AS BIGINT)
+                  AS n_bpe_tokens,
+                CAST(sum(n_chars) - sum(len(string_split(trim(t2), ' ')))
+                  AS BIGINT) AS saved
+         FROM enc GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (u)
+    // PMI COLLOCATIONS — pointwise mutual information over adjacent
+    // bigrams, the classic collocation miner (phrase detection for
+    // tokenizer vocab seeding and data-quality probes). PMI(a,b) =
+    // ln((c_ab/B) / ((c_a/N)(c_b/N))) from FOUR exact integer counts:
+    // bigram count, both unigram counts, and the two corpus totals —
+    // all keyed aggs with map-side partials; totals ride a broadcast
+    // 1-row frame. The ≥5 count floor is the scale control (drops the
+    // long random tail BEFORE the unigram joins) and the significance
+    // filter in one. Float math is a fixed ln expression over identical
+    // BIGINTs, 6dp-rounded; top-20 by (pmi, pair) is fully pinned.
+    QueryDef("l4_pmi_collocations", (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(expr("split(text, ' ')").as("arr"))
+      val uni = words.select(explode(col("arr")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi = words.select(explode(expr(
+          """CASE WHEN size(arr) >= 2
+             THEN transform(sequence(1, size(arr) - 1),
+                  i -> struct(element_at(arr, i) AS a,
+                              element_at(arr, i + 1) AS b))
+             ELSE array() END""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val totals = broadcast(words.select(
+        sum(expr("size(arr)")).cast("long").as("n"),
+        sum(expr("greatest(size(arr) - 1, 0)")).cast("long").as("nb")))
+      bi.join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+        .crossJoin(totals)
+        .withColumn("pmi", expr(
+          """round(ln((CAST(cab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+               ((CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))))
+             * 1000000) / 1000000"""))
+        .select(concat(col("a"), lit(" "), col("b")).as("pair"),
+          col("cab"), col("ca"), col("cb"), col("pmi"))
+        .orderBy(col("pmi").desc, col("pair").asc)
+        .limit(20)
+    }, Some(
+      """WITH w AS (SELECT string_split(text, ' ') AS arr FROM documents),
+         uni AS (
+           SELECT u.w AS w, CAST(count(*) AS BIGINT) AS cw
+           FROM w, unnest(arr) u(w) GROUP BY 1),
+         bi AS (
+           SELECT string_split(p, chr(1))[1] AS a,
+                  string_split(p, chr(1))[2] AS b,
+                  CAST(count(*) AS BIGINT) AS cab
+           FROM w, unnest(CASE WHEN len(arr) >= 2
+             THEN list_transform(range(1, len(arr)),
+                  i -> arr[i] || chr(1) || arr[i + 1])
+             ELSE [] END) u(p)
+           GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         totals AS (
+           SELECT CAST(sum(len(arr)) AS BIGINT) AS n,
+                  CAST(sum(greatest(len(arr) - 1, 0)) AS BIGINT) AS nb
+           FROM w)
+         SELECT bi.a || ' ' || bi.b AS pair, bi.cab, ua.cw AS ca,
+                ub.cw AS cb,
+                round(ln((CAST(cab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+                  ((CAST(ua.cw AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(ub.cw AS DOUBLE) / CAST(n AS DOUBLE))))
+                  * 1000000) / 1000000 AS pmi
+         FROM bi
+         JOIN uni ua ON ua.w = bi.a
+         JOIN uni ub ON ub.w = bi.b
+         CROSS JOIN totals
+         ORDER BY pmi DESC, pair ASC
+         LIMIT 20""")),
+
     // ------------------------------------------------------------- L3 (m)
     // Retrieval EVALUATION metrics — the harness that grades every other
     // L3 retrieval path: per query (the documented broadcast-tiny ≤20
