@@ -110,7 +110,11 @@ object Bench {
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
       "g1_pagerank", "l3_ann_ivf", "o8_recursive_cte",
       "g2_bfs_hops", "g4_label_prop", "s37_scd2_timestamp",
-      "s20_reorg_purge", "s43_orc_interchange")
+      "s20_reorg_purge", "s43_orc_interchange",
+      // round-8 serial chains: g6 iterates frontier joins like g2;
+      // the BPE pair (argmax-collect rounds) are job chains like
+      // l3_ann_ivf's train
+      "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

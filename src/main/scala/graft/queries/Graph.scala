@@ -430,6 +430,105 @@ object Graph {
          JOIN deg da ON da.src = n.pa
          JOIN deg db ON db.src = n.pb
          ORDER BY cn DESC, jac_ppm DESC, n.pa ASC, n.pb ASC
-         LIMIT 20"""))
+         LIMIT 20""")),
+
+    // ------------------------------------------------------------------- G6
+    // WEIGHTED single-source shortest paths (Bellman-Ford supersteps)
+    // over the trade graph — g2's BFS counts hops; this prices them.
+    // Edge cost derives from trade intensity: cost = 20 − least(10,
+    // shared orders), i.e. heavily-traded links are cheaper — exact
+    // BIGINTs end to end, so every relaxation and the final distances
+    // are bit-identical across engines. Each superstep = one
+    // co-partitioned join (edges ⋈ frontier on src) + one dst-keyed
+    // min-agg + one left-outer merge back — the Pregel shape; N rounds
+    // shuffle the DISTANCE table N times, never the corpus. Lineage cut
+    // per round via lazy localCheckpoint (the g1 contract). Three
+    // rounds bound the horizon like g2; at 100 TB rounds iterate until
+    // a no-improvement round (convergence check = one count agg).
+    QueryDef("g6_weighted_sssp", (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"),
+          col("o_orderkey"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("o_orderkey")).as("nord"))
+        .withColumn("cost", lit(20L) - least(lit(10L), col("nord")))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("cost"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("cost")))
+        .localCheckpoint(false)
+      val sources = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      var dist = edges.select(col("src").as("node")).distinct()
+        .join(sources.withColumn("zero", lit(0L)), Seq("node"), "left_outer")
+        .select(col("node"), col("zero").as("d"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val prop = edges
+          .join(dist.filter(col("d").isNotNull), edges("src") === dist("node"))
+          .groupBy(col("dst")).agg(min(col("d") + col("cost")).as("nd"))
+        dist = dist
+          .join(prop, dist("node") === prop("dst"), "left_outer")
+          .select(dist("node"),
+            when(dist("d").isNull, col("nd"))
+              .when(col("nd").isNull, dist("d"))
+              .otherwise(least(dist("d"), col("nd"))).as("d"))
+          .localCheckpoint(false)
+      }
+      dist.filter(col("d").isNotNull)
+        .orderBy(col("d").asc, col("node").asc)
+        .limit(25)
+        .select(col("node"), col("d"))
+    }, Some(
+      """WITH pw AS (
+           SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b,
+                  CAST(20 - least(10, count(DISTINCT o_orderkey))
+                    AS BIGINT) AS cost
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT a AS src, b AS dst, cost FROM pw
+           UNION ALL SELECT b, a, cost FROM pw),
+         srcs AS (
+           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+           FROM customer WHERE c_nationkey = 0),
+         d0 AS (
+           SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END AS d
+           FROM (SELECT DISTINCT src AS node FROM edges) n
+           LEFT JOIN srcs s ON n.node = s.node),
+         d1 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d0 a LEFT JOIN (
+             SELECT e.dst, min(r.d + e.cost) AS nd
+             FROM edges e JOIN d0 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst),
+         d2 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d1 a LEFT JOIN (
+             SELECT e.dst, min(r.d + e.cost) AS nd
+             FROM edges e JOIN d1 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst),
+         d3 AS (
+           SELECT a.node,
+                  CASE WHEN a.d IS NULL THEN p.nd
+                       WHEN p.nd IS NULL THEN a.d
+                       ELSE LEAST(a.d, p.nd) END AS d
+           FROM d2 a LEFT JOIN (
+             SELECT e.dst, min(r.d + e.cost) AS nd
+             FROM edges e JOIN d2 r ON e.src = r.node
+             WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst)
+         SELECT node, d FROM d3 WHERE d IS NOT NULL
+         ORDER BY d ASC, node ASC
+         LIMIT 25"""))
   )
 }

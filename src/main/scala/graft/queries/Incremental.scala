@@ -907,6 +907,123 @@ object Incremental {
                   - round((avg(resid) OVER (PARTITION BY dow))*1000000)/1000000)
                   *1000000)/1000000 AS adjusted
          FROM r
-         ORDER BY day ASC NULLS LAST"""))
+         ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T17
+    // CHANGEPOINT DETECTION (offline binary segmentation, single split)
+    // over the daily event-count series — the level-shift detector that
+    // complements d4's per-day volume anomaly (a changepoint is a
+    // REGIME move, not an outlier day). Statistic: the CUSUM deviation
+    // |n·S_k − k·T| (prefix sum vs its expected share), INTEGER-exact in
+    // BIGINTs so the argmax day is bit-identical across engines — no
+    // float variance estimates anywhere. The corpus collapses to the
+    // bounded daily frame in ONE keyed agg; prefix sums are a window
+    // over that ~30-row series (the t16 pattern — a single-partition
+    // window over an already-aggregated bounded frame, never over the
+    // corpus). At 100 TB the daily frame stays tiny no matter the event
+    // volume; multi-changepoint = recurse on the two halves.
+    QueryDef("t17_changepoint", (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wOrd = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("k",
+          row_number().over(Window.orderBy(col("day").asc)).cast("long"))
+        .withColumn("s_k", sum(col("x")).over(wOrd))
+        .crossJoin(broadcast(daily.agg(
+          sum(col("x")).as("t_sum"), count(lit(1)).as("n"))))
+        // scaled deviation: |n*S_k - k*T| — exact BIGINT, no division
+        .withColumn("dev", abs(col("n") * col("s_k") - col("k") * col("t_sum")))
+        // the last position is not a valid split (right side empty)
+        .withColumn("dev", when(col("k") === col("n"), lit(0L))
+          .otherwise(col("dev")))
+      val best = broadcast(scored
+        .orderBy(col("dev").desc, col("day").asc).limit(1)
+        .select(col("day").as("cp_day"), col("dev").as("cp_dev")))
+      scored.crossJoin(best)
+        .select(col("day"), col("x"), col("k"), col("s_k"), col("dev"),
+          (col("day") === col("cp_day")).as("is_changepoint"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT CAST(ts_sec AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM e GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(x) AS BIGINT) AS t_sum,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM daily),
+         scored AS (
+           SELECT day, x,
+                  CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) AS k,
+                  CAST(sum(x) OVER (ORDER BY day ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s_k,
+                  t_sum, n
+           FROM daily CROSS JOIN tot),
+         dev AS (
+           SELECT day, x, k, s_k,
+                  CASE WHEN k = n THEN CAST(0 AS BIGINT)
+                       ELSE abs(n * s_k - k * t_sum) END AS dev
+           FROM scored),
+         best AS (
+           SELECT day AS cp_day FROM dev
+           ORDER BY dev DESC, day ASC LIMIT 1)
+         SELECT day, x, k, s_k, dev,
+                (day = (SELECT cp_day FROM best)) AS is_changepoint
+         FROM dev
+         ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T18
+    // TIME-WEIGHTED AVERAGE over irregular samples — the correct mean
+    // for event-sampled signals (a value "holds" until the next
+    // observation; the arithmetic mean over-weights bursts). Per user:
+    // weight each value by the seconds until that user's next event
+    // (lead over one user-keyed sort — ONE shuffle), last event carries
+    // no interval and drops out. Values ride as exact cents-BIGINTs so
+    // the weighted sum is integer-exact and partial-agg order cannot
+    // perturb it (sum order over doubles differs between engines); ONE
+    // IEEE division + round at the very end. At 100 TB this is a
+    // map-side lead + keyed agg — the same one-pass shape as t13's
+    // EWMA, no self-joins.
+    QueryDef("t18_time_weighted_avg", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      ev(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("w_sec",
+          (unix_timestamp(lead(col("ts_sec"), 1).over(w))
+            - unix_timestamp(col("ts_sec"))).cast("long"))
+        .filter(col("w_sec").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("w_sec")).as("span_sec"),
+          sum(col("cents") * col("w_sec")).as("wsum"))
+        .withColumn("twa", expr(
+          "round((CAST(wsum AS DOUBLE) / CAST(span_sec AS DOUBLE) / 100.0D) * 1000000) / 1000000"))
+        .select(col("user_id"), col("n_intervals"), col("span_sec"),
+          col("twa"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         iv AS (
+           SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(epoch(lead(ts_sec, 1) OVER (PARTITION BY user_id
+                      ORDER BY ts_sec ASC, event_id ASC))
+                    - epoch(ts_sec) AS BIGINT) AS w_sec
+           FROM e)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(w_sec) AS BIGINT) AS span_sec,
+                round((CAST(sum(cents * w_sec) AS DOUBLE)
+                  / CAST(sum(w_sec) AS DOUBLE) / 100.0) * 1000000) / 1000000
+                  AS twa
+         FROM iv WHERE w_sec IS NOT NULL
+         GROUP BY user_id
+         ORDER BY user_id ASC NULLS LAST"""))
   )
 }
