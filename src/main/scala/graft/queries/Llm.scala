@@ -3332,6 +3332,96 @@ object Llm {
                 (round(sim16*10000)/10000) AS sim16,
                 (round(sim*10000)/10000) AS sim
          FROM ranked WHERE rk <= 5
-         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST"""))
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L2 (o)
+    // CONTENT-DEFINED CHUNKING dedup (the rsync/FastCDC idea at the
+    // token level): chunk boundaries are picked by a rolling hash over a
+    // 3-token window (cut where h % 16 == 0), so an insertion or
+    // deletion only perturbs the chunks it touches — unlike fixed-width
+    // chunking, where one dropped token shifts EVERY later boundary and
+    // kills dedup (exactly what the planted last-token-dropped mutants
+    // demonstrate: their chunk sets re-align after the edit). The shared
+    // chunk census then finds sub-document duplication that whole-doc
+    // hashing misses. All integer hashing → boundaries are bit-identical
+    // across engines; the pipeline is map-only lambda expressions until
+    // ONE chunk-keyed aggregate. At 100 TB chunks are hashed to 16-byte
+    // keys before the shuffle (here the text rides along for the
+    // readable census) and the census join back to docs is a bounded
+    // hot-chunk broadcast.
+    QueryDef("l2_cdc_chunks", (s, dir) => {
+      corpusWithDups(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .withColumn("tv", expr(
+          "transform(toks, w -> CAST(length(w)*131 + ascii(substring(w,1,1)) AS BIGINT))"))
+        .withColumn("cuts", expr(
+          """concat(array(0),
+               CASE WHEN n >= 3 THEN
+                 filter(transform(sequence(3, n), i ->
+                   IF(((element_at(tv, i-2)*131 + element_at(tv, i-1))*131
+                       + element_at(tv, i)) % 1000000007 % 16 = 0
+                      AND i < n, i, CAST(NULL AS INT))),
+                   x -> x IS NOT NULL)
+               ELSE array() END,
+               array(n))"""))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(cuts) - 1), j ->
+               array_join(slice(toks, element_at(cuts, j) + 1,
+                 element_at(cuts, j + 1) - element_at(cuts, j)), ' '))"""))
+          .as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .withColumn("n_toks", expr("size(split(chunk, ' '))"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk").asc)
+        .limit(20)
+    }, Some(
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) - 1), ' ') AS text
+           FROM documents WHERE doc_id < 20),
+         base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM corpus),
+         tv AS (
+           SELECT doc_id, toks, n,
+                  list_transform(toks, w ->
+                    CAST(length(w)*131 + ascii(substr(w,1,1)) AS BIGINT)) AS tv
+           FROM base),
+         cu AS (
+           SELECT doc_id, toks,
+                  list_concat(list_concat(
+                    [CAST(0 AS BIGINT)],
+                    CASE WHEN n >= 3 THEN
+                      list_filter(list_transform(range(3, n + 1), i ->
+                        CASE WHEN ((tv[CAST(i-2 AS INTEGER)]*131
+                                    + tv[CAST(i-1 AS INTEGER)])*131
+                                   + tv[CAST(i AS INTEGER)])
+                                  % 1000000007 % 16 = 0
+                                  AND i < n THEN i END),
+                        x -> x IS NOT NULL)
+                    ELSE [] END),
+                    [n]) AS cuts
+           FROM tv),
+         chunks AS (
+           SELECT doc_id, u.chunk FROM cu,
+             unnest(list_transform(range(2, len(cuts) + 1), j ->
+               array_to_string(list_slice(toks,
+                 CAST(cuts[CAST(j-1 AS INTEGER)] + 1 AS INTEGER),
+                 CAST(cuts[CAST(j AS INTEGER)] AS INTEGER)), ' ')))
+             u(chunk))
+         SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occ,
+                CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_toks
+         FROM chunks GROUP BY chunk
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occ DESC, chunk ASC
+         LIMIT 20"""))
   )
 }
