@@ -468,6 +468,89 @@ object Medallion {
                 count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S47
+    // CHECK constraints as a WRITE GATE (Delta `ALTER TABLE ADD
+    // CONSTRAINT`): the table declares `value >= 0` / `event_type IS
+    // NOT NULL` predicates once, and every later write path — append,
+    // merge, replaceWhere — validates ONLY the rows being written
+    // (O(batch), never O(table)). A conforming late batch lands; a
+    // dirty batch is REFUSED atomically (the failed append leaves no
+    // partial state — the commit-claim contract), so the table can only
+    // ever contain conforming rows. The oracle recomputes what the
+    // gated table must hold: the conforming slice of the source.
+    // MedallionSpec carries the log-replay/drop semantics; this query
+    // puts the enforcement outcome itself under the oracle.
+    QueryDef("s47_check_constraint", (s, dir) => {
+      val path = tmp("s47_delta")
+      val e = Pipeline.silverEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts_sec"))
+        .filter(col("value") >= 0.0)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      DeltaLite.create(s, path, e.filter(col("ts_sec") < cut))
+      DeltaLite.addConstraint(s, path, "value_non_negative", "value >= 0")
+      DeltaLite.addConstraint(s, path, "type_not_null",
+        "event_type IS NOT NULL")
+      // the conforming late batch lands through the gate
+      DeltaLite.append(s, path, e.filter(col("ts_sec") >= cut))
+      // the dirty batch (planted negative) is refused atomically
+      import s.implicits._
+      val dirty = Seq((99999999L, "click", -1.0,
+        new java.sql.Timestamp(1704067200000L)))
+        .toDF("event_id", "event_type", "value", "ts_sec")
+      val refused =
+        try { DeltaLite.append(s, path, dirty); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "constraint gate must refuse the dirty batch")
+      DeltaLite.read(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(value))*100)/100").as("sum_value"),
+          expr("CAST(round(min(value) * 100) AS BIGINT)").as("min_cents"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+                (round((sum(value))*100)/100) AS sum_value,
+                CAST(round(min(value) * 100) AS BIGINT) AS min_cents
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL
+           AND value >= 0
+         GROUP BY 1 ORDER BY event_type ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S48
+    // RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the
+    // live table state back to a prior version as a NEW commit — the
+    // operational undo for a bad load, with the bad version still
+    // time-travelable afterwards (history is append-only; RESTORE moves
+    // the head, never erases). Lifecycle: create (v0) → corrupting
+    // overwrite-append (v1) → RESTORE to v0 (v2). Reading the restored
+    // head must equal the v0 content — which the oracle recomputes from
+    // the raw source — and the post-restore append proves the table
+    // keeps writing normally. Log metadata only: RESTORE re-points live
+    // files, costs O(log), never rewrites data at any scale.
+    QueryDef("s48_restore", (s, dir) => {
+      val path = tmp("s48_delta")
+      val daily = Pipeline.goldDailyRevenue(s, dir)
+      DeltaLite.create(s, path, daily)                      // v0: good load
+      DeltaLite.append(s, path,                             // v1: bad load
+        daily.withColumn("revenue", col("revenue") * -1.0))
+      DeltaLite.restore(s, path, 0L)                        // v2: undo
+      DeltaLite.read(s, path)
+        .agg(count(lit(1)).as("n_days"),
+          expr("round((sum(revenue))*100)/100").as("revenue"),
+          sum(col("n_items")).as("n_items"))
+    }, Some(
+      """WITH g AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                    AS revenue,
+                  count(*) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_days,
+                (round((sum(revenue))*100)/100) AS revenue,
+                CAST(sum(n_items) AS BIGINT) AS n_items
+         FROM g""")),
+
     // ------------------------------------------------------------------ S31
     // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
     // opts in via `graft.autoCompact`, three priority slices land as
