@@ -511,4 +511,60 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("PushedFilters") && p.contains("o_orderpriority"),
       s"the TVF's priority filter must push into the parquet scan:\n$p")
   }
+
+  test("t18_time_weighted_avg: lead window and user agg share ONE shuffle") {
+    // the interval weighting (lead over user_id) and the final per-user
+    // aggregate are co-partitioned — the keyed sort feeds both, so the
+    // corpus shuffles exactly once no matter the event volume
+    val p = plan("t18_time_weighted_avg")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"expected exactly one keyed shuffle in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesians in:\n$p")
+  }
+
+  test("t17_changepoint: single-partition windows run over the daily frame, not the corpus") {
+    // the corpus collapses in a partial+final day agg FIRST; the
+    // unbounded prefix-sum window then touches only the bounded daily
+    // series — the single-partition exchange must sit ABOVE the
+    // aggregate in the plan text (above = applied to its output)
+    val p = plan("t17_changepoint")
+    val single = p.indexOf("Exchange SinglePartition")
+    val agg = p.indexOf("HashAggregate")
+    assert(single >= 0 && agg >= 0 && single < agg,
+      s"the SinglePartition window exchange must consume the day " +
+        s"aggregate's bounded output, not raw events:\n$p")
+  }
+
+  test("l4_pmi_collocations: corpus totals broadcast; bigram/unigram joins are equality-shaped") {
+    val p = plan("l4_pmi_collocations")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unigram lookups must stay equality joins:\n$p")
+  }
+
+  test("l2_cdc_chunks: chunking is map-only lambdas before the chunk-keyed aggregate") {
+    // no joins at all: boundaries and chunks are computed per-row by
+    // higher-order functions; the only shuffles are the chunk-keyed
+    // count-distinct aggregate pair (expand + final) and the top-20 cut
+    val p = plan("l2_cdc_chunks")
+    assert(!p.contains("Join"), s"CDC chunking must not join:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"chunk census must shuffle at most twice (distinct rewrite):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must compile to TakeOrderedAndProject:\n$p")
+  }
+
+  test("l3_binary_quant: Hamming stage is codegen'd xor/bit_count, rerank only after the candidate cut") {
+    val p = plan("l3_binary_quant")
+    assert(p.contains("bit_count"),
+      s"Hamming distance must run as native bit_count:\n$p")
+    // the expensive float dot (vec_dot) must appear ABOVE the candidate
+    // window filter in the plan (later stage), i.e. the first vec_dot
+    // occurrence sits above the first row_number window
+    val dot = p.indexOf("vec_dot")
+    val win = p.lastIndexOf("Window")
+    assert(dot >= 0 && win >= 0 && dot < win,
+      s"exact rerank must consume the Hamming candidate cut:\n$p")
+  }
 }
