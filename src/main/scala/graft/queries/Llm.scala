@@ -3334,6 +3334,90 @@ object Llm {
          FROM ranked WHERE rk <= 5
          ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (l)
+    // URL CANONICALIZATION dedup — the first dedup any web-crawl
+    // pipeline runs (before any content hashing): tracking params
+    // (utm_*), fragments, host case, and trailing slashes make the SAME
+    // resource crawl as many URLs. Two deterministic variants per doc
+    // (one decorated, one bare) canonicalize to one URL by PARSING —
+    // lowercase host, path sans trailing slash, surviving query param —
+    // rather than fragile replace-chains; regexp_extract_all counts the
+    // stripped tracking params. Everything is per-row regexp codegen
+    // until ONE canonical-keyed aggregate + the bounded domain census —
+    // the l1 exact-dedup shuffle shape with the canonical key standing
+    // in for the content hash. At 100 TB this replaces content-hashing
+    // half the crawl: dedup BEFORE fetch/decode, on keys of ~100 bytes.
+    QueryDef("l5_url_canonicalize", (s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(
+          concat(lit("https://Host"), (col("doc_id") % 50).cast("string"),
+            lit(".Example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string"),
+            lit("/?q=w"), (col("doc_id") % 13).cast("string"),
+            lit("&utm_source=feed&utm_campaign=c"),
+            (col("doc_id") % 3).cast("string"), lit("#frag")),
+          concat(lit("https://host"), (col("doc_id") % 50).cast("string"),
+            lit(".example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string"),
+            lit("?q=w"), (col("doc_id") % 13).cast("string"))))
+          .as("url"))
+      urls
+        .withColumn("host",
+          lower(regexp_extract(col("url"), "https://([^/?#]+)", 1)))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("url"), "https://[^/?#]+([^?#]*)", 1),
+          "/$", ""))
+        .withColumn("q",
+          regexp_extract(col("url"), "[?&]q=([^&#]+)", 1))
+        .withColumn("canonical",
+          concat(lit("https://"), col("host"), col("path"),
+            lit("?q="), col("q")))
+        .withColumn("n_utm",
+          expr("size(regexp_extract_all(url, '[?&](utm_[a-z]+)=', 1))"))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"),
+          sum(col("n_utm").cast("long")).as("n_tracking_params"))
+        .withColumn("dup_urls", col("n_urls") - col("n_canonical"))
+        .orderBy(col("domain").asc_nulls_last)
+    }, Some(
+      """WITH u AS (
+           SELECT doc_id, unnest([
+             'https://Host' || CAST(doc_id % 50 AS VARCHAR) ||
+             '.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST(doc_id AS VARCHAR) ||
+             '/?q=w' || CAST(doc_id % 13 AS VARCHAR) ||
+             '&utm_source=feed&utm_campaign=c' ||
+             CAST(doc_id % 3 AS VARCHAR) || '#frag',
+             'https://host' || CAST(doc_id % 50 AS VARCHAR) ||
+             '.example' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST(doc_id AS VARCHAR) ||
+             '?q=w' || CAST(doc_id % 13 AS VARCHAR)]) AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(url, 'https://([^/?#]+)', 1)) AS host,
+                  regexp_replace(
+                    regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1),
+                    '/$', '') AS path,
+                  regexp_extract(url, '[\?&]q=([^&#]+)', 1) AS q,
+                  CAST(len(regexp_extract_all(url, '[\?&](utm_[a-z]+)=', 1))
+                    AS INTEGER) AS n_utm
+           FROM u),
+         k AS (
+           SELECT doc_id, n_utm,
+                  'https://' || host || path || '?q=' || q AS canonical,
+                  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+           FROM c)
+         SELECT domain, count(*) AS n_urls,
+                count(DISTINCT canonical) AS n_canonical,
+                CAST(sum(n_utm) AS BIGINT) AS n_tracking_params,
+                count(*) - count(DISTINCT canonical) AS dup_urls
+         FROM k GROUP BY domain
+         ORDER BY domain ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (o)
     // CONTENT-DEFINED CHUNKING dedup (the rsync/FastCDC idea at the
     // token level): chunk boundaries are picked by a rolling hash over a
