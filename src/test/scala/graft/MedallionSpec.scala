@@ -610,6 +610,33 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("Observation API: DQ metrics ride the write action itself — no second scan") {
+    // dbt-style test metrics usually cost a second pass over the model;
+    // Spark's Observation collects them ON the materializing action
+    // (accumulator-backed, exact for deterministic plans). At 100 TB
+    // this is the difference between auditing a load and re-reading it:
+    // row count, null census, and freshness bounds arrive with the job.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("silver_dq")
+    val silver = Pipeline.silverEvents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("null_values"),
+        sum((col("value") < 0).cast("long")).as("negative_values"),
+        max(col("ts_sec")).as("max_loaded_at"))
+    val n = silver.count() // ONE action: metrics piggyback on it
+    val m = obs.get
+    assert(m("n_rows") === n,
+      "observed row count must equal the action's own count")
+    assert(m("null_values") === 0L,
+      "silver filters null values; the in-flight census must agree")
+    assert(m("max_loaded_at") != null)
+    // the metric values match a (deliberately) second-pass recompute
+    val expectNeg = Pipeline.silverEvents(spark, sf)
+      .filter(col("value") < 0).count()
+    assert(m("negative_values") === expectNeg)
+  }
+
   test("Pipeline model contracts: enforced schema gate + not_null becomes a table constraint") {
     import Pipeline.{Contract, Model}
     val target = Files.createTempDirectory("graft_contract").toString
