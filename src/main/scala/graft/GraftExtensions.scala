@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // year(c) <op> N → range bounds on c, so the predicate reaches the
     // parquet scan as a pushable min/max filter (see UnfoldDatePredicates)
     ext.injectOptimizerRule(_ => graft.plans.UnfoldDatePredicates)
+    // aggregate-over-source → re-aggregate-over-MV redirection for
+    // registered materialized views (see MvRewrite; off by conf or when
+    // nothing is registered)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

@@ -551,6 +551,79 @@ object Medallion {
                 CAST(sum(n_items) AS BIGINT) AS n_items
          FROM g""")),
 
+    // ------------------------------------------------------------------ S49
+    // Automatic MV QUERY REWRITE (plans/MvRewrite — the optimizer half
+    // of the MV story; s25/s26/s33 are the maintenance half): a
+    // registered materialized view makes any derivable aggregate over
+    // the SOURCE transparently re-aggregate the MV instead — same user
+    // query, 10^4×-less-IO plan. The lifecycle here: materialize a fact
+    // table, build its (day, event_type) rollup MV, register, then run
+    // a coarser (day-only) aggregate — the query REQUIREs that the
+    // optimized plan scans the MV and never the fact table, so the
+    // oracle (recomputing from raw events) is checking the REWRITTEN
+    // plan's answer. Measures ride as exact cents-BIGINTs: re-summing
+    // MV partials is bit-identical to the direct sum, so the rewrite's
+    // equivalence is exact, not approximate. The freshness guard
+    // (source version stamped at registration) disarms the rewrite the
+    // moment the source advances — stale answers are structurally
+    // impossible, and the MV's own refresh query can never feed the old
+    // MV back into itself (MedallionSpec proves both).
+    QueryDef("s49_mv_rewrite", (s, dir) => {
+      val base = tmp("s49_mv")
+      val src = s"$base/fact"
+      val mvp = s"$base/mv"
+      val fact = Pipeline.silverEvents(s, dir)
+        .select(col("ts_sec").cast("date").as("day"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      DeltaLite.create(s, src, fact)
+      DeltaLite.create(s, mvp, DeltaLite.read(s, src)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"),
+          max(col("cents")).as("mx")))
+      graft.plans.MvRewrite.register(s, graft.plans.MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("day" -> "day", "event_type" -> "event_type"),
+        sumMap = Map("cents" -> "s"), cntCol = "c",
+        maxMap = Map("cents" -> "mx")))
+      try {
+        val q = DeltaLite.read(s, src)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            max(col("cents")).as("max_cents"))
+          .withColumn("avg_value", expr(
+            "round((CAST(sum_cents AS DOUBLE) / n / 100.0D) * 10000) / 10000"))
+          .orderBy(col("day").asc_nulls_last)
+        val roots = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.nonEmpty && roots.forall(_.startsWith(mvp)),
+          s"the aggregate must have been rewritten onto the MV, got $roots")
+        // force materialization WHILE registered (the DataFrame is
+        // lazily re-planned later otherwise, after deregistration)
+        val out = q.collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*), q.schema)
+      } finally graft.plans.MvRewrite.deregister(src)
+    }, Some(
+      """WITH f AS (
+           SELECT CAST(CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS DATE) AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL)
+         SELECT day, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                max(cents) AS max_cents,
+                round((CAST(sum(cents) AS DOUBLE) / count(*) / 100.0)
+                  * 10000) / 10000 AS avg_value
+         FROM f GROUP BY day
+         ORDER BY day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S31
     // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
     // opts in via `graft.autoCompact`, three priority slices land as

@@ -610,6 +610,109 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("MV auto-rewrite: aggregates over the source transparently re-aggregate the MV") {
+    import graft.plans.MvRewrite
+    val dir = Files.createTempDirectory("graft_mvrw").toString
+    val src = s"$dir/fact"
+    val mvp = s"$dir/mv"
+    val fact = Pipeline.silverEvents(spark, sf)
+      .select(col("ts_sec").cast("date").as("day"), col("event_type"),
+        col("value"))
+    DeltaLite.create(spark, src, fact)
+    val base = DeltaLite.read(spark, src)
+    DeltaLite.create(spark, mvp, base
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("c"),
+        min(col("value")).as("mn"), max(col("value")).as("mx")))
+    try {
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("day" -> "day", "event_type" -> "event_type"),
+        sumMap = Map("value" -> "s"), cntCol = "c",
+        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx")))
+      def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+      val q = DeltaLite.read(spark, src)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          avg(col("value")).as("av"), max(col("value")).as("mxv"))
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.forall(_.startsWith(mvp)),
+        s"the aggregate must redirect onto the MV scan, got $roots")
+      // rewritten results equal the un-rewritten computation exactly
+      // (sum re-association over doubles: compare at 1e-9 tolerance)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val direct = DeltaLite.read(spark, src).groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          avg(col("value")).as("av"), max(col("value")).as("mxv"))
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      spark.conf.set("spark.graft.mv.autoRewrite", "true")
+      val got = q.collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      assert(got.keySet === direct.keySet)
+      got.foreach { case (k, (n, sv, av, mxv)) =>
+        val (dn, dsv, dav, dmxv) = direct(k)
+        assert(n === dn, s"count differs for $k")
+        assert(math.abs(sv - dsv) < 1e-9 && math.abs(av - dav) < 1e-9,
+          s"sum/avg differ for $k")
+        assert(mxv === dmxv, s"max differs for $k")
+      }
+      // a non-derivable aggregate (count distinct) must NOT rewrite
+      val nd = scanRoots(DeltaLite.read(spark, src).groupBy(col("day"))
+        .agg(countDistinct(col("event_type")).as("nt")))
+      assert(nd.nonEmpty && nd.forall(_.startsWith(src)),
+        s"count-distinct cannot derive from the MV, got $nd")
+      // a filtered source must NOT rewrite (v1 matcher is exact)
+      val fp = scanRoots(DeltaLite.read(spark, src)
+        .filter(col("event_type") === "click")
+        .groupBy(col("day")).agg(sum(col("value")).as("sv")))
+      assert(fp.nonEmpty && fp.forall(_.startsWith(src)),
+        s"a filtered aggregate must fall through to the source, got $fp")
+      // FRESHNESS GUARD: a source commit past the registered version
+      // disarms the rewrite — the stale MV must never answer, and the
+      // refresh query itself (an aggregate over the source!) must not
+      // feed the old MV back into itself
+      val v0 = q.collect().map(_.getLong(1)).sum
+      DeltaLite.append(spark, src, fact.limit(5))
+      val stale = scanRoots(DeltaLite.read(spark, src).groupBy(col("day"))
+        .agg(count(lit(1)).as("n")))
+      assert(stale.nonEmpty && stale.forall(_.startsWith(src)),
+        s"a stale MV must disarm the rewrite, got $stale")
+      DeltaLite.replaceWhere(spark, mvp, lit(true),
+        DeltaLite.read(spark, src)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("value")).as("s"), count(lit(1)).as("c"),
+            min(col("value")).as("mn"), max(col("value")).as("mx")))
+      // refresh re-arms by re-registration (stamps the new version)
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("day" -> "day", "event_type" -> "event_type"),
+        sumMap = Map("value" -> "s"), cntCol = "c",
+        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx")))
+      val q2 = DeltaLite.read(spark, src).groupBy(col("day"))
+        .agg(count(lit(1)).as("n"))
+      val r2 = scanRoots(q2)
+      assert(r2.nonEmpty && r2.forall(_.startsWith(mvp)),
+        s"re-registration must re-arm the rewrite, got $r2")
+      val v1 = q2.collect().map(_.getLong(1)).sum
+      assert(v1 === v0 + 5,
+        "the re-armed rewrite must serve the refreshed MV")
+    } finally {
+      MvRewrite.deregister(src)
+      spark.conf.set("spark.graft.mv.autoRewrite", "true")
+    }
+  }
+
   test("Observation API: DQ metrics ride the write action itself — no second scan") {
     // dbt-style test metrics usually cost a second pass over the model;
     // Spark's Observation collects them ON the materializing action
