@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Soundness model (each condition checked structurally; ANY miss
   * falls through to the original plan — the rule can only ever decline,
   * never corrupt):
-  *  - the aggregate's child is a bare scan of the registered source
-  *    table (optionally under a pruning Project of plain attributes):
-  *    detected by every scan root path living under the source dir. A
-  *    Filter anywhere disqualifies (v1 keeps the matcher exact).
+  *  - the aggregate's child is a scan of the registered source table,
+  *    optionally under pruning Projects of plain attributes and
+  *    deterministic Filters: detected by every scan root path living
+  *    under the source dir. Filters referencing only MV KEY columns
+  *    replay over the MV (they select whole groups, so surviving
+  *    partials are exactly the surviving rows' partials); a filter
+  *    touching any measure column disqualifies.
   *  - the query's GROUP BY attrs are a subset of the MV's key columns —
   *    re-aggregating the MV by fewer keys is exactly the partial-agg
   *    merge Spark itself performs, valid because sum/count/min/max are
@@ -95,18 +98,27 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         (for {
-          mv <- sourceMv(child)
-          rewritten <- rewrite(groupings, aggExprs, mv)
+          (mv, filters) <- sourceMv(child)
+          rewritten <- rewrite(groupings, aggExprs, mv, filters)
         } yield rewritten).getOrElse(agg)
     }
   }
 
   /** The registered MV whose SOURCE table this subtree scans — a bare
-    * LogicalRelation, optionally under an attribute-only Project. */
-  private def sourceMv(plan: LogicalPlan): Option[MvDef] = plan match {
+    * LogicalRelation, optionally under attribute-only Projects and
+    * Filters. Filter conditions are collected for replay over the MV;
+    * they are only SAFE there when every referenced column is an MV
+    * grouping key (the filter then selects whole groups — the partial
+    * aggregates of the surviving groups are exactly the partial
+    * aggregates of the surviving source rows). [[rewrite]] enforces
+    * that; a measure-column filter falls through to the source. */
+  private def sourceMv(
+      plan: LogicalPlan): Option[(MvDef, Seq[Expression])] = plan match {
     case Project(projectList, child)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       sourceMv(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      sourceMv(child).map { case (mv, fs) => (mv, cond +: fs) }
     case lr: LogicalRelation => lr.relation match {
       case hfs: HadoopFsRelation =>
         val roots = hfs.location.rootPaths.map(_.toUri.getPath)
@@ -118,6 +130,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           // version disarms the rewrite until re-registration
           .filter(mv => graft.sources.DeltaLite
             .latestVersion(mv.sourcePath).contains(mv.sourceVersion))
+          .map(mv => (mv, Nil))
       case _ => None
     }
     case _ => None
@@ -129,13 +142,37 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], mv: MvDef): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], mv: MvDef,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     // fresh MV scan per rewrite: current snapshot, fresh exprIds
     val spark = SparkSession.active
-    val mvPlan = graft.sources.DeltaLite.read(spark, mv.mvPath)
+    val mvScan = graft.sources.DeltaLite.read(spark, mv.mvPath)
       .queryExecution.analyzed
-    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+    val mvOut = mvScan.output.map(a => a.name -> a).toMap
     def mvAttr(n: String): Option[Attribute] = mvOut.get(n)
+
+    // replay source filters over the MV — safe only when every
+    // referenced column is a grouping KEY (whole-group selection);
+    // deterministic-only, since the filter now runs once per GROUP, not
+    // once per row
+    val newFilters: Option[Seq[Expression]] = traverse(filters.map { f =>
+      if (!f.deterministic) None
+      else {
+        val refs = f.references.toSeq
+        val mapped = traverse(refs.map(a =>
+          mv.keyMap.get(a.name).flatMap(mvAttr).map(a -> _)))
+        mapped.map { pairs =>
+          val sub = pairs.map { case (from, to) => from.exprId -> to }.toMap
+          f.transform {
+            case a: AttributeReference if sub.contains(a.exprId) =>
+              sub(a.exprId)
+          }
+        }
+      }
+    })
+    if (newFilters.isEmpty) return None
+    val mvPlan = newFilters.get.foldLeft(mvScan: LogicalPlan)((p, c) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(c, p))
 
     // GROUP BY attrs must all be MV keys
     val newGroupings: Option[Seq[Attribute]] =

@@ -672,12 +672,32 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         .agg(countDistinct(col("event_type")).as("nt")))
       assert(nd.nonEmpty && nd.forall(_.startsWith(src)),
         s"count-distinct cannot derive from the MV, got $nd")
-      // a filtered source must NOT rewrite (v1 matcher is exact)
-      val fp = scanRoots(DeltaLite.read(spark, src)
+      // a KEY-column filter selects whole groups — it replays over the
+      // MV and the rewrite still fires, matching the direct answer
+      val kf = DeltaLite.read(spark, src)
         .filter(col("event_type") === "click")
+        .groupBy(col("day")).agg(sum(col("value")).as("sv"))
+      val kfr = scanRoots(kf)
+      assert(kfr.nonEmpty && kfr.forall(_.startsWith(mvp)),
+        s"a key-only filter must replay over the MV, got $kfr")
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val kfDirect = DeltaLite.read(spark, src)
+        .filter(col("event_type") === "click")
+        .groupBy(col("day")).agg(sum(col("value")).as("sv"))
+        .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+      spark.conf.set("spark.graft.mv.autoRewrite", "true")
+      val kfGot = kf.collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+      assert(kfGot.keySet === kfDirect.keySet)
+      kfGot.foreach { case (k, v) =>
+        assert(math.abs(v - kfDirect(k)) < 1e-9, s"filtered sum differs: $k") }
+      // a MEASURE-column filter must NOT rewrite (per-row, not
+      // per-group, selection — the MV cannot answer it)
+      val fp = scanRoots(DeltaLite.read(spark, src)
+        .filter(col("value") > 10.0)
         .groupBy(col("day")).agg(sum(col("value")).as("sv")))
       assert(fp.nonEmpty && fp.forall(_.startsWith(src)),
-        s"a filtered aggregate must fall through to the source, got $fp")
+        s"a measure-filtered aggregate must fall through, got $fp")
       // FRESHNESS GUARD: a source commit past the registered version
       // disarms the rewrite — the stale MV must never answer, and the
       // refresh query itself (an aggregate over the source!) must not
