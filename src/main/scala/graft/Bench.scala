@@ -114,7 +114,10 @@ object Bench {
       // round-8 serial chains: g6 iterates frontier joins like g2;
       // the BPE pair (argmax-collect rounds) are job chains like
       // l3_ann_ivf's train
-      "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode")
+      "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode",
+      // t19 is a ~30-step recursive CTE: tiny frontier joins,
+      // scheduler-latency-bound like o8
+      "t19_holt_linear")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

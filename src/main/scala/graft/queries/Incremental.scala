@@ -1024,6 +1024,71 @@ object Incremental {
                   AS twa
          FROM iv WHERE w_sec IS NOT NULL
          GROUP BY user_id
-         ORDER BY user_id ASC NULLS LAST"""))
+         ORDER BY user_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T19
+    // HOLT LINEAR (double-exponential) smoothing — t13's EWMA tracks a
+    // LEVEL; Holt adds a coupled TREND so the forecast extrapolates
+    // instead of lagging a drifting series. The coupled recursion
+    // (level_t needs trend_{t-1} and vice versa) has NO closed form, so
+    // it cannot be a window expression — it runs as a RECURSIVE CTE over
+    // the bounded daily frame, identically worded on both engines (the
+    // o8 surface doing real numeric work). Each step is a fixed IEEE
+    // expression over the previous row, evaluated in the SAME order on
+    // both engines → bit-identical trajectories; 6dp display rounding
+    // only. Scale: the corpus collapses to ~30 daily rows in one keyed
+    // agg FIRST; the recursion is O(days), never O(events) — at 100 TB
+    // per-series Holt over many keys becomes the same recursion keyed
+    // by series (the CTE join carries the key), each series bounded.
+    QueryDef("t19_holt_linear", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE daily AS (
+             SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+                    CAST(count(*) AS DOUBLE) AS x,
+                    CAST(row_number() OVER
+                      (ORDER BY CAST(date_trunc('second', ts) AS DATE))
+                      AS BIGINT) AS k
+             FROM events GROUP BY 1),
+           holt AS (
+             SELECT a.day, a.x, a.k,
+                    a.x AS level, b.x - a.x AS trend
+             FROM daily a JOIN daily b ON a.k = 1 AND b.k = 2
+             UNION ALL
+             SELECT d.day, d.x, d.k,
+                    0.5D * d.x + 0.5D * (h.level + h.trend) AS level,
+                    0.3D * ((0.5D * d.x + 0.5D * (h.level + h.trend))
+                      - h.level) + 0.7D * h.trend AS trend
+             FROM holt h JOIN daily d ON d.k = h.k + 1)
+           SELECT day, CAST(x AS BIGINT) AS observed,
+                  round(level * 1000000) / 1000000 AS level,
+                  round(trend * 1000000) / 1000000 AS trend,
+                  round((level + 3 * trend) * 1000000) / 1000000
+                    AS forecast_3d
+           FROM holt ORDER BY day ASC NULLS LAST""")
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day,
+                  CAST(count(*) AS DOUBLE) AS x,
+                  CAST(row_number() OVER
+                    (ORDER BY CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                       AS DATE)) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         holt AS (
+           SELECT a.day, a.x, a.k,
+                  a.x AS level, b.x - a.x AS trend
+           FROM daily a JOIN daily b ON a.k = 1 AND b.k = 2
+           UNION ALL
+           SELECT d.day, d.x, d.k,
+                  0.5 * d.x + 0.5 * (h.level + h.trend) AS level,
+                  0.3 * ((0.5 * d.x + 0.5 * (h.level + h.trend))
+                    - h.level) + 0.7 * h.trend AS trend
+           FROM holt h JOIN daily d ON d.k = h.k + 1)
+         SELECT day, CAST(x AS BIGINT) AS observed,
+                round(level * 1000000) / 1000000 AS level,
+                round(trend * 1000000) / 1000000 AS trend,
+                round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
+         FROM holt ORDER BY day ASC NULLS LAST"""))
   )
 }
