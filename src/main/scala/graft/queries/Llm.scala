@@ -3418,6 +3418,107 @@ object Llm {
          FROM k GROUP BY domain
          ORDER BY domain ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (m)
+    // SPAN CORRUPTION (T5/UL2 denoising objective): mask ~15% of tokens
+    // in hash-chosen positions, collapse CONSECUTIVE masked tokens into
+    // one sentinel span, and emit the (corrupted input, span targets)
+    // pair the seq2seq trainer consumes — corrupted = text with each
+    // span replaced by <Xk>, targets = <Xk> followed by the span's
+    // tokens. Mask choice is integer hashing (bit-identical engines);
+    // span islands fall out of the classic gaps-and-islands trick
+    // (pos − running-masked-count is constant exactly on a consecutive
+    // masked run); reconstruction is an ordered string fold (the
+    // struct-sort idiom / ORDER BY string_agg). ONE doc-keyed window
+    // sort does everything — the same single-shuffle shape as l5
+    // sequence packing; corpus-scale work is all per-row.
+    QueryDef("l5_span_corruption", (s, dir) => {
+      val wCum = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .withColumn("pos", col("pos") + 1)
+        .withColumn("masked",
+          expr("((doc_id * 1000003L + pos * 7919L) % 97) < 15"))
+        .withColumn("mrn",
+          sum(when(col("masked"), 1L).otherwise(0L)).over(wCum))
+        .withColumn("span_start", col("masked") &&
+          coalesce(!lag(col("masked"), 1).over(wDoc), lit(true)))
+        .withColumn("span_id",
+          sum(when(col("span_start"), 1L).otherwise(0L)).over(wCum))
+        .withColumn("cpiece",
+          when(!col("masked"), col("tok"))
+            .when(col("span_start"),
+              concat(lit("<X"), col("span_id").cast("string"), lit(">")))
+            .otherwise(lit("")))
+        .withColumn("tpiece",
+          when(!col("masked"), lit(""))
+            .when(col("span_start"),
+              concat(lit("<X"), col("span_id").cast("string"), lit("> "),
+                col("tok")))
+            .otherwise(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("masked").cast("long")).as("n_masked"),
+          coalesce(max(col("span_id")), lit(0L)).as("n_spans"),
+          expr("""substring(array_join(filter(
+              transform(array_sort(collect_list(struct(pos, cpiece))),
+                x -> x.cpiece), p -> p != ''), ' '), 1, 120)""")
+            .as("corrupted_head"),
+          expr("""substring(array_join(filter(
+              transform(array_sort(collect_list(struct(pos, tpiece))),
+                x -> x.tpiece), p -> p != ''), ' '), 1, 120)""")
+            .as("targets_head"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                  string_split(text, ' ')[CAST(u.pos AS INTEGER)] AS tok
+           FROM documents,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) u(pos)),
+         m AS (
+           SELECT doc_id, pos, tok,
+                  ((doc_id * 1000003 + pos * 7919) % 97) < 15 AS masked
+           FROM toks),
+         sp AS (
+           SELECT doc_id, pos, tok, masked,
+                  masked AND coalesce(NOT lag(masked) OVER w, TRUE)
+                    AS span_start
+           FROM m
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC)),
+         ids AS (
+           SELECT doc_id, pos, tok, masked, span_start,
+                  sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY doc_id ORDER BY pos ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS span_id
+           FROM sp),
+         pieces AS (
+           SELECT doc_id, pos, masked, span_id,
+                  CASE WHEN NOT masked THEN tok
+                       WHEN span_start
+                         THEN '<X' || CAST(span_id AS VARCHAR) || '>'
+                       ELSE '' END AS cpiece,
+                  CASE WHEN NOT masked THEN ''
+                       WHEN span_start
+                         THEN '<X' || CAST(span_id AS VARCHAR) || '> ' || tok
+                       ELSE tok END AS tpiece
+           FROM ids)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_masked,
+                CAST(coalesce(max(span_id), 0) AS BIGINT) AS n_spans,
+                substr(coalesce(string_agg(cpiece, ' ' ORDER BY pos)
+                  FILTER (WHERE cpiece <> ''), ''), 1, 120)
+                  AS corrupted_head,
+                substr(coalesce(string_agg(tpiece, ' ' ORDER BY pos)
+                  FILTER (WHERE tpiece <> ''), ''), 1, 120)
+                  AS targets_head
+         FROM pieces GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (o)
     // CONTENT-DEFINED CHUNKING dedup (the rsync/FastCDC idea at the
     // token level): chunk boundaries are picked by a rolling hash over a
