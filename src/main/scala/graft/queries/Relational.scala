@@ -3007,6 +3007,71 @@ ORDER BY fold ASC NULLS LAST"""),
                 row_number() OVER (ORDER BY doc_id % 32, doc_id)
                   AS global_id
          FROM documents
-         ORDER BY global_id ASC NULLS LAST"""))
+         ORDER BY global_id ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ X22
+    // TPC-DS q67 SHAPE over the star schema — the decision-support
+    // pattern TPC-H lacks: a partial ROLLUP (per-nation totals at three
+    // grain levels in ONE aggregate pass) feeding a per-group window
+    // top-k over the combined lattice. grouping() columns disambiguate
+    // rollup nulls from data nulls AND pin the rank tiebreak across
+    // grains; money rides as cents-BIGINTs so ranking is integer-exact.
+    // Scale: GROUPING SETS expand map-side (one shuffle keyed on the
+    // group tuple), and the rank's PARTITION BY nation re-shuffles only
+    // the lattice rows — never the fact table twice. Identical SQL text
+    // on both engines.
+    QueryDef.sql("x22_ds_rollup_topk",
+      spark =
+        """WITH base AS (
+           SELECT n_name,
+                  CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  o_orderstatus AS status,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         agg AS (
+           SELECT n_name, yr, status,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents,
+                  count(*) AS n,
+                  CAST(grouping(yr) AS INTEGER) AS g_yr,
+                  CAST(grouping(status) AS INTEGER) AS g_st
+           FROM base GROUP BY n_name, ROLLUP(yr, status)),
+         rk AS (
+           SELECT n_name, yr, status, sum_cents, n, g_yr, g_st,
+                  CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY sum_cents DESC, g_yr ASC, g_st ASC,
+                             yr ASC NULLS FIRST, status ASC NULLS FIRST)
+                    AS INTEGER) AS rk
+           FROM agg)
+         SELECT n_name, yr, status, sum_cents, n, g_yr, g_st, rk
+         FROM rk WHERE rk <= 5
+         ORDER BY n_name ASC NULLS LAST, rk ASC NULLS LAST""",
+      oracle =
+        """WITH base AS (
+           SELECT n_name,
+                  CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  o_orderstatus AS status,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         agg AS (
+           SELECT n_name, yr, status,
+                  CAST(sum(cents) AS BIGINT) AS sum_cents,
+                  count(*) AS n,
+                  CAST(grouping(yr) AS INTEGER) AS g_yr,
+                  CAST(grouping(status) AS INTEGER) AS g_st
+           FROM base GROUP BY n_name, ROLLUP(yr, status)),
+         rk AS (
+           SELECT n_name, yr, status, sum_cents, n, g_yr, g_st,
+                  CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY sum_cents DESC, g_yr ASC, g_st ASC,
+                             yr ASC NULLS FIRST, status ASC NULLS FIRST)
+                    AS INTEGER) AS rk
+           FROM agg)
+         SELECT n_name, yr, status, sum_cents, n, g_yr, g_st, rk
+         FROM rk WHERE rk <= 5
+         ORDER BY n_name ASC NULLS LAST, rk ASC NULLS LAST"""),
   )
 }
