@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Content-defined chunking (FastCDC at the token level): boundaries
+    * from a rolling hash over a 3-token window (cut where h % 16 == 0),
+    * so an insertion/deletion perturbs only the chunks it touches — the
+    * l2_cdc_chunks operator and PropertySpec's edit-locality proof share
+    * this one definition. Pure integer lambda expressions (codegen'd,
+    * deterministic, engine-parity-safe). Returns one `chunk` row per
+    * (idCol) via explode. */
+  def cdcChunkRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("toks", expr(s"split($textCol, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      .withColumn("tv", expr(
+        "transform(toks, w -> CAST(length(w)*131 + ascii(substring(w,1,1)) AS BIGINT))"))
+      .withColumn("cuts", expr(
+        """concat(array(0),
+             CASE WHEN n >= 3 THEN
+               filter(transform(sequence(3, n), i ->
+                 IF(((element_at(tv, i-2)*131 + element_at(tv, i-1))*131
+                     + element_at(tv, i)) % 1000000007 % 16 = 0
+                    AND i < n, i, CAST(NULL AS INT))),
+                 x -> x IS NOT NULL)
+             ELSE array() END,
+             array(n))"""))
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(cuts) - 1), j ->
+             array_join(slice(toks, element_at(cuts, j) + 1,
+               element_at(cuts, j + 1) - element_at(cuts, j)), ' '))"""))
+        .as("chunk"))
+
   /** Whitespace tokenizer (the fixtures are single-space word soup; a
     * BPE-ish fallback regex splits off punctuation for real corpora). */
   def tokens(text: Column): Column = split(text, "\\s+")

@@ -3535,26 +3535,7 @@ object Llm {
     // readable census) and the census join back to docs is a bounded
     // hot-chunk broadcast.
     QueryDef("l2_cdc_chunks", (s, dir) => {
-      corpusWithDups(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .withColumn("n", expr("size(toks)"))
-        .withColumn("tv", expr(
-          "transform(toks, w -> CAST(length(w)*131 + ascii(substring(w,1,1)) AS BIGINT))"))
-        .withColumn("cuts", expr(
-          """concat(array(0),
-               CASE WHEN n >= 3 THEN
-                 filter(transform(sequence(3, n), i ->
-                   IF(((element_at(tv, i-2)*131 + element_at(tv, i-1))*131
-                       + element_at(tv, i)) % 1000000007 % 16 = 0
-                      AND i < n, i, CAST(NULL AS INT))),
-                   x -> x IS NOT NULL)
-               ELSE array() END,
-               array(n))"""))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(cuts) - 1), j ->
-               array_join(slice(toks, element_at(cuts, j) + 1,
-                 element_at(cuts, j + 1) - element_at(cuts, j)), ' '))"""))
-          .as("chunk"))
+      TextFunctions.cdcChunkRows(corpusWithDups(s, dir), "doc_id", "text")
         .groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))

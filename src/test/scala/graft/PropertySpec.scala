@@ -154,4 +154,91 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       .count()
     assert(bad === 0, "intervals must tile without gaps or overlaps")
   }
+
+  test("CDC chunking: a one-token edit perturbs only nearby chunks (edit locality)") {
+    // THE content-defined-chunking claim, as a property: delete ONE
+    // random token from a random document and the chunk sets re-align —
+    // only the chunks overlapping the edit's hash window can differ,
+    // so the shared-chunk count stays within a constant of the total
+    // (fixed-width chunking shifts EVERY boundary after the edit and
+    // shares ~nothing). All 60 cases ride one Spark job.
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(42)
+    val words = Vector("the", "fast", "key", "order", "sort", "table",
+      "scan", "merge", "join", "hash", "page", "row", "col", "disk")
+    val cases = (0 until 60).map { i =>
+      val n = 50 + rnd.nextInt(150)
+      val toks = Vector.fill(n)(words(rnd.nextInt(words.size)))
+      val cut = 5 + rnd.nextInt(n - 10)
+      val mutated = toks.take(cut) ++ toks.drop(cut + 1)
+      (i.toLong, toks.mkString(" "), mutated.mkString(" "))
+    }
+    val df = cases.toDF("id", "orig", "mut")
+    val origChunks = TextFunctions.cdcChunkRows(
+      df.select(col("id"), col("orig").as("text")), "id", "text")
+      .groupBy("id").agg(collect_list(col("chunk")).as("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val mutChunks = TextFunctions.cdcChunkRows(
+      df.select(col("id"), col("mut").as("text")), "id", "text")
+      .groupBy("id").agg(collect_list(col("chunk")).as("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.foreach { case (id, _, _) =>
+      val o = origChunks(id); val m = mutChunks(id)
+      // multiset intersection size
+      val om = o.groupBy(identity).view.mapValues(_.size)
+      val mm = m.groupBy(identity).view.mapValues(_.size)
+      val shared = om.map { case (c, k) => math.min(k, mm.getOrElse(c, 0)) }.sum
+      val differing = (o.size - shared) + (m.size - shared)
+      assert(differing <= 6,
+        s"case $id: a 1-token edit changed $differing chunks " +
+          s"(orig ${o.size}, mut ${m.size}) — boundaries did not re-align")
+    }
+  }
+
+  test("MV rewrite: random aggregate shapes over the MV equal the direct computation") {
+    import spark.implicits._
+    import graft.plans.MvRewrite
+    import graft.sources.DeltaLite
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvprop").toString
+    val src = s"$dir/fact"; val mvp = s"$dir/mv"
+    val rnd = new scala.util.Random(7)
+    // integer measures → every derivation is exact, no float tolerance
+    val rows = (1 to 4000).map { i =>
+      (s"k${rnd.nextInt(7)}", s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong)
+    }
+    DeltaLite.create(spark, src, rows.toDF("a", "b", "v").repartition(4))
+    DeltaLite.create(spark, mvp, DeltaLite.read(spark, src)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")))
+    try {
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("a" -> "a", "b" -> "b"),
+        sumMap = Map("v" -> "s"), cntCol = "c",
+        minMap = Map("v" -> "mn"), maxMap = Map("v" -> "mx")))
+      val groupChoices = Seq(Seq("a"), Seq("b"), Seq("a", "b"))
+      (0 until 8).foreach { i =>
+        val keys = groupChoices(i % groupChoices.size)
+        val fns = Seq(
+          sum(col("v")).as("m1"), count(lit(1)).as("m2"),
+          min(col("v")).as("m3"), max(col("v")).as("m4"))
+        val picked = rnd.shuffle(fns).take(1 + rnd.nextInt(3))
+        def q() = DeltaLite.read(spark, src)
+          .groupBy(keys.map(col): _*).agg(picked.head, picked.tail: _*)
+          .orderBy(keys.map(col): _*)
+        val rewritten = q().collect()
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val direct = q().collect()
+        spark.conf.set("spark.graft.mv.autoRewrite", "true")
+        assert(rewritten.map(_.toString).toSeq ===
+          direct.map(_.toString).toSeq,
+          s"case $i (keys=$keys, aggs=${picked.size}) diverged")
+      }
+    } finally {
+      MvRewrite.deregister(src)
+      spark.conf.set("spark.graft.mv.autoRewrite", "true")
+    }
+  }
 }
