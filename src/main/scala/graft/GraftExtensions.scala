@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered materialized views (see MvRewrite; off by conf or when
     // nothing is registered)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // global COUNT/MIN/MAX over a DeltaLite scan → one-row LocalRelation
+    // from the log's per-file stats (metadata-only aggregates)
+    ext.injectOptimizerRule(_ => graft.plans.StatsAggRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

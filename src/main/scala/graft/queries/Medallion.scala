@@ -624,6 +624,56 @@ object Medallion {
          FROM f GROUP BY day
          ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S50
+    // METADATA-ONLY aggregates (plans/StatsAggRewrite — Delta's
+    // OptimizeMetadataOnlyQuery idea over the DeltaLite log): global
+    // COUNT(*)/MIN/MAX over a table scan answer from the log's per-file
+    // stats as a one-row LocalRelation — zero data I/O, zero executor
+    // tasks. These are THE operational queries (row count, freshness
+    // max(ts), watermark bounds); at 100 TB they go from a full-table
+    // pass to a driver-side log read. The query REQUIREs the plan
+    // collapsed (no relation node survives) so the oracle is checking
+    // the STATS-derived answer against DuckDB's recompute from raw
+    // data. Soundness guards (DV present, COUNT(col), grouped aggs,
+    // filters, 32-char string-stat truncation) are MedallionSpec-pinned.
+    QueryDef("s50_stats_agg", (s, dir) => {
+      val path = tmp("s50_stats")
+      val fact = Pipeline.silverEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts_sec"))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      DeltaLite.create(s, path, fact.filter(col("ts_sec") < cut))
+      DeltaLite.append(s, path, fact.filter(col("ts_sec") >= cut))
+      val q = DeltaLite.read(s, path).agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        min(col("ts_sec")).as("first_ts"),
+        max(col("ts_sec")).as("last_ts"))
+      val survived = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr
+      }
+      require(survived.isEmpty,
+        "the global aggregate must answer from log stats (no scan)")
+      q
+    }, Some(
+      """WITH f AS (
+           SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS ts_sec
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL)
+         SELECT count(*) AS n,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                min(cents) AS min_cents, max(cents) AS max_cents,
+                min(ts_sec) AS first_ts, max(ts_sec) AS last_ts
+         FROM f""")),
+
     // ------------------------------------------------------------------ S31
     // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
     // opts in via `graft.autoCompact`, three priority slices land as

@@ -733,6 +733,56 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("metadata-only aggregates: global COUNT/MIN/MAX answer from log stats, no scan") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_statsagg").toString + "/t"
+    DeltaLite.create(spark, p, Seq(
+      (1L, 10.5, "alpha", new java.sql.Timestamp(1704067200000L)),
+      (2L, -3.25, "zeta", new java.sql.Timestamp(1704070800000L)))
+      .toDF("k", "v", "s", "ts").repartition(2))
+    DeltaLite.append(spark, p, Seq(
+      (3L, 99.0, "beta", new java.sql.Timestamp(1704153600000L)))
+      .toDF("k", "v", "s", "ts").coalesce(1))
+    def hasRelation(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          true
+      }.nonEmpty
+    val q = DeltaLite.read(spark, p).agg(
+      count(lit(1)).as("n"), min(col("k")).as("mnk"),
+      max(col("v")).as("mxv"), min(col("s")).as("mns"),
+      max(col("ts")).as("mxts"))
+    assert(!hasRelation(q), "the scan must collapse to a LocalRelation:\n" +
+      q.queryExecution.optimizedPlan)
+    val row = q.collect()(0)
+    assert(row.getLong(0) === 3L && row.getLong(1) === 1L &&
+      row.getDouble(2) === 99.0 && row.getString(3) === "alpha")
+    assert(row.getTimestamp(4) === new java.sql.Timestamp(1704153600000L))
+    // cross-check against the real scan
+    spark.conf.set("spark.graft.statsAgg", "false")
+    val direct = DeltaLite.read(spark, p).agg(
+      count(lit(1)), min(col("k")), max(col("v")), min(col("s")),
+      max(col("ts"))).collect()(0)
+    spark.conf.set("spark.graft.statsAgg", "true")
+    assert(row.toSeq === direct.toSeq)
+    // declines: COUNT(col) has non-null semantics stats can't prove
+    assert(hasRelation(DeltaLite.read(spark, p).agg(count(col("v")))))
+    // declines: grouped aggregate
+    assert(hasRelation(DeltaLite.read(spark, p)
+      .groupBy(col("s")).agg(count(lit(1)))))
+    // declines: filter above the scan
+    assert(hasRelation(DeltaLite.read(spark, p)
+      .filter(col("k") > 1L).agg(count(lit(1)))))
+    // declines: avg is not derivable from min/max/rows
+    assert(hasRelation(DeltaLite.read(spark, p).agg(avg(col("v")))))
+    // declines after a DV delete: physical rows over-count and the
+    // extremum may be deleted — and the answer stays CORRECT via scan
+    DeltaLite.deleteVectorized(spark, p, col("k") === 3L)
+    val afterDv = DeltaLite.read(spark, p)
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mxv")).collect()(0)
+    assert(afterDv.getLong(0) === 2L && afterDv.getDouble(1) === 10.5)
+  }
+
   test("Observation API: DQ metrics ride the write action itself — no second scan") {
     // dbt-style test metrics usually cost a second pass over the model;
     // Spark's Observation collects them ON the materializing action
