@@ -1089,6 +1089,67 @@ object Incremental {
                 round(level * 1000000) / 1000000 AS level,
                 round(trend * 1000000) / 1000000 AS trend,
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
-         FROM holt ORDER BY day ASC NULLS LAST"""))
+         FROM holt ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T20
+    // ROBUST ANOMALY FLAGS on the detrended series — t16 decomposes,
+    // THIS alarms: residual = observed − 7-day centered-MA trend, scale
+    // = MAD (median absolute deviation, the outlier-immune spread the
+    // z-score lacks), flag when |resid| > 3·1.4826·MAD. Residuals are
+    // 6dp-pre-rounded so the medians interpolate over identical values
+    // in both engines; the corpus collapses to the daily frame first
+    // (t16 discipline) and every window/median runs over ~24 rows. The
+    // classic ops pairing: d4 alarms on raw volume, t17 on regime
+    // shifts, THIS on local spikes against the seasonal-free trend.
+    QueryDef("t20_stl_anomaly", (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).as("observed"))
+      val wMa = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+      val resids = daily
+        .withColumn("wn", count(lit(1)).over(wMa))
+        .withColumn("trend", expr(
+          "round((avg(observed) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))*1000000)/1000000"))
+        .filter(col("wn") === 7)
+        .withColumn("resid", expr(
+          "round((observed - trend)*1000000)/1000000"))
+      val med = broadcast(resids.agg(
+        expr("percentile(resid, 0.5D)").as("med")))
+      val mad = broadcast(resids.crossJoin(med).agg(
+        expr("percentile(abs(resid - med), 0.5D)").as("mad"),
+        first(col("med")).as("med")))
+      resids.crossJoin(mad)
+        .select(col("day"), col("observed"), col("trend"), col("resid"),
+          expr("round(med*1000000)/1000000").as("resid_median"),
+          expr("round(mad*1000000)/1000000").as("resid_mad"),
+          expr("abs(resid - med) > 3.0D * 1.4826D * mad").as("is_anomaly"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         daily AS (
+           SELECT CAST(ts_sec AS DATE) AS day, count(*) AS observed
+           FROM e GROUP BY 1),
+         t AS (
+           SELECT day, observed,
+                  count(*) OVER w AS wn,
+                  round((avg(observed) OVER w)*1000000)/1000000 AS trend
+           FROM daily
+           WINDOW w AS (ORDER BY day ASC
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         r AS (
+           SELECT day, observed, trend,
+                  round((observed - trend)*1000000)/1000000 AS resid
+           FROM t WHERE wn = 7),
+         med AS (SELECT quantile_cont(resid, 0.5) AS med FROM r),
+         mad AS (
+           SELECT quantile_cont(abs(resid - med), 0.5) AS mad,
+                  any_value(med) AS med
+           FROM r CROSS JOIN med)
+         SELECT day, observed, trend, resid,
+                round(med*1000000)/1000000 AS resid_median,
+                round(mad*1000000)/1000000 AS resid_mad,
+                (abs(resid - med) > 3.0 * 1.4826 * mad) AS is_anomaly
+         FROM r CROSS JOIN mad
+         ORDER BY day ASC NULLS LAST"""))
   )
 }

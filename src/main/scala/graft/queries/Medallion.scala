@@ -2211,6 +2211,75 @@ object Medallion {
     // exact BIGINT counts — same text both engines. At 100 TB this is a
     // map-only classify + K-row aggregate; the totals ride a broadcast
     // 1-row frame, never a driver action.
+    // ----------------------------------------------------------------- D10
+    // CHI-SQUARE INDEPENDENCE test (event_type × weekday) — the
+    // categorical-association check next to d7's PSI (numeric drift):
+    // is activity mix independent of day-of-week? Observed counts are
+    // ONE (type, weekday)-keyed aggregate; marginals/total are window
+    // sums over the bounded 35-cell contingency table (never the
+    // corpus); expected and per-cell contributions are a fixed IEEE
+    // tree over identical BIGINT counts, whole-table χ² summed over 35
+    // cells and 6dp-rounded (the d7 float discipline). At 100 TB the
+    // corpus collapses to the cell table in one shuffle; everything
+    // after is O(cells).
+    QueryDef("d10_chi_square", (s, dir) => {
+      val cells = Pipeline.silverEvents(s, dir)
+        .groupBy(col("event_type"),
+          dayofweek(col("ts_sec").cast("date")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wAll = Window.partitionBy()
+      val wRow = Window.partitionBy(col("event_type"))
+      val wCol = Window.partitionBy(col("dow"))
+      cells
+        .withColumn("r", sum(col("o")).over(wRow))
+        .withColumn("c", sum(col("o")).over(wCol))
+        .withColumn("t", sum(col("o")).over(wAll))
+        .withColumn("e", expr(
+          "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)"))
+        .withColumn("contrib", expr(
+          "round(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) * 1000000) / 1000000"))
+        .withColumn("chi2",
+          expr("round((sum(contrib) OVER ()) * 1000000) / 1000000"))
+        .select(col("event_type"), col("dow"), col("o"),
+          expr("round(e * 1000000) / 1000000").as("expected"),
+          col("contrib"), col("chi2"))
+        .orderBy(col("event_type").asc_nulls_last, col("dow").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS ts_sec
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         cells AS (
+           SELECT event_type,
+                  CAST(dayofweek(CAST(ts_sec AS DATE)) + 1 AS INTEGER)
+                    AS dow,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM e GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, dow, o,
+                  sum(o) OVER (PARTITION BY event_type) AS r,
+                  sum(o) OVER (PARTITION BY dow) AS c,
+                  sum(o) OVER () AS t
+           FROM cells),
+         x AS (
+           SELECT event_type, dow, o,
+                  CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)
+                    AS e,
+                  round(((CAST(o AS DOUBLE)
+                    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                       / CAST(t AS DOUBLE))) * 1000000) / 1000000 AS contrib
+           FROM m)
+         SELECT event_type, dow, o,
+                round(e * 1000000) / 1000000 AS expected, contrib,
+                round((sum(contrib) OVER ()) * 1000000) / 1000000 AS chi2
+         FROM x
+         ORDER BY event_type ASC NULLS LAST, dow ASC NULLS LAST""")),
+
     QueryDef.sql("d7_drift_psi",
       """WITH b AS (
   SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
