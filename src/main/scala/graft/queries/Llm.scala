@@ -3418,6 +3418,112 @@ object Llm {
          FROM k GROUP BY domain
          ORDER BY domain ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L6 (d)
+    // EMBEDDING DRIFT monitoring — d7's PSI lifted into vector space:
+    // has the distribution of distances-to-centroid shifted between two
+    // cohorts (labels 0-4 = reference, 5-9 = current)? The whole
+    // pipeline is INTEGER-exact until the final PSI tree: dims quantize
+    // to 1e-3-scaled BIGINTs, the global centroid is exact scaled dim
+    // SUMS (never a float mean), each vector's squared distance is
+    // Σ(qᵢ·n − Sᵢ)² in BIGINTs — order-insensitive, so the bucket
+    // assignment (integer floor-div thresholds) is bit-identical across
+    // engines with NO rounding leaps of faith. One posexplode dim agg
+    // (64 rows) broadcast back as an array; per-row distance is a
+    // codegen'd zip_with fold; ONE bucket-keyed shuffle; PSI = the d7
+    // Laplace-smoothed float tree over exact counts. At 100 TB this is
+    // the production embedding-health check: map-only scoring + a
+    // 10-row report.
+    QueryDef("l6_embedding_drift", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      val dims = e.select(posexplode(col("q")))
+        .groupBy(col("pos")).agg(sum(col("col")).as("sv"))
+      val sArr = broadcast(dims.agg(
+        expr("transform(array_sort(collect_list(struct(pos, sv))), x -> x.sv)")
+          .as("sarr"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n")))))
+      val scored = e.crossJoin(sArr)
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(q, sarr, (x, y) -> (x * n - y) * (x * n - y)),
+             0L, (a, v) -> a + v)"""))
+        // dist2 / (1000·n)² = squared L2; unit-ish vectors to a
+        // near-zero centroid concentrate at ≈1 (measured 0.97-1.02), so
+        // the bins window [0.96, 1.02) at 0.006 resolution:
+        // bucket = clamp((1000·d² − 960) / 6)
+        .withColumn("bucket", expr(
+          """least(greatest((dist2 * 1000L - 960L * 1000000L * n * n)
+               div (6L * 1000000L * n * n), 0L), 9L)"""))
+        .withColumn("grp",
+          when(col("label") < 5, "ref").otherwise("cur"))
+      val b = scored.groupBy(col("bucket"))
+        .agg(sum(when(col("grp") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("grp") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = broadcast(b.agg(sum(col("n_ref")).as("tot_ref"),
+        sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("nb")))
+      b.crossJoin(tot)
+        .withColumn("p", expr(
+          "CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE)"))
+        .withColumn("qq", expr(
+          "CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE)"))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          expr("round(((p - qq) * ln(p / qq))*1000000)/1000000").as("contrib"),
+          expr("round((sum((p - qq) * ln(p / qq)) OVER ())*1000000)/1000000")
+            .as("psi"))
+        .orderBy(col("bucket").asc_nulls_last)
+    }, Some(
+      """WITH q AS (
+           SELECT vec_id, label,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                    AS q
+           FROM embeddings),
+         dims AS (
+           SELECT u.pos,
+                  CAST(sum(q.q[CAST(u.pos AS INTEGER)]) AS BIGINT) AS sv
+           FROM q, unnest(range(1, 65)) u(pos)
+           GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         d AS (
+           SELECT q.vec_id, q.label,
+                  CAST(sum((q.q[CAST(dims.pos AS INTEGER)] * n.n - dims.sv)
+                       * (q.q[CAST(dims.pos AS INTEGER)] * n.n - dims.sv))
+                    AS BIGINT) AS dist2,
+                  any_value(n.n) AS n
+           FROM q CROSS JOIN n CROSS JOIN dims
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT CAST(least(greatest((dist2 * 1000 - 960 * 1000000 * n * n)
+                      // (6 * 1000000 * n * n), 0), 9) AS BIGINT)
+                    AS bucket,
+                  CASE WHEN label < 5 THEN 'ref' ELSE 'cur' END AS grp
+           FROM d),
+         b AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+                  CAST(sum(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cur
+           FROM scored GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+                  CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+                  CAST(count(*) AS BIGINT) AS nb
+           FROM b),
+         c AS (
+           SELECT bucket, n_ref, n_cur,
+                  CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE)
+                    AS p,
+                  CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE)
+                    AS qq
+           FROM b CROSS JOIN tot)
+         SELECT bucket, n_ref, n_cur,
+                round(((p - qq) * ln(p / qq))*1000000)/1000000 AS contrib,
+                round((sum((p - qq) * ln(p / qq)) OVER ())*1000000)/1000000
+                  AS psi
+         FROM c
+         ORDER BY bucket ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (m)
     // SPAN CORRUPTION (T5/UL2 denoising objective): mask ~15% of tokens
     // in hash-chosen positions, collapse CONSECUTIVE masked tokens into
