@@ -116,8 +116,8 @@ object Bench {
       // l3_ann_ivf's train
       "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode",
       // t19 is a ~30-step recursive CTE: tiny frontier joins,
-      // scheduler-latency-bound like o8
-      "t19_holt_linear")
+      // scheduler-latency-bound like o8; g7 iterates like g4
+      "t19_holt_linear", "g7_modularity")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

@@ -529,6 +529,131 @@ object Graph {
              WHERE r.d IS NOT NULL GROUP BY e.dst) p ON a.node = p.dst)
          SELECT node, d FROM d3 WHERE d IS NOT NULL
          ORDER BY d ASC, node ASC
-         LIMIT 25"""))
+         LIMIT 25""")),
+
+    // ------------------------------------------------------------------- G7
+    // MODULARITY of the g4 label-prop communities — the quality score
+    // that says whether a partition is structure or noise: Q = Σ_c
+    // (e_c/m − (d_c/2m)²). Computed INTEGER-exact by clearing
+    // denominators: Q·4m² = Σ_c (4·m·e_c − d_c²) in BIGINTs, ONE floor
+    // div to ppm at the end — bit-identical across engines, no float
+    // summation anywhere. Inputs are three keyed aggregates off frames
+    // g4 already builds (per-community internal-edge count from the
+    // canonical pair list + label equality join; degree sums; total m)
+    // — at 100 TB each is one shuffle over the EDGE list, never
+    // all-pairs. The per-community rows expose which communities carry
+    // the modularity and which are noise.
+    QueryDef("g7_modularity", (s, dir) => {
+      val nat = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = lo.alias("x").join(lo.alias("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .join(nat.alias("na"), col("x.sk") === col("na.s_suppkey"))
+        .join(nat.alias("nb"), col("y.sk") === col("nb.s_suppkey"))
+        .filter(col("na.s_nationkey") === col("nb.s_nationkey"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      var lab = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val nl = edges.join(lab, edges("src") === lab("node"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+        lab = lab.join(nl, lab("node") === nl("dst"), "left")
+          .select(col("node"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint(false)
+      }
+      val m = broadcast(pairs.agg(count(lit(1)).as("m")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val dSum = lab.join(deg, "node")
+        .groupBy(col("lab")).agg(sum(col("deg")).as("d_c"),
+          count(lit(1)).as("n_nodes"))
+      val eIn = pairs
+        .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_c"))
+      dSum.join(eIn, Seq("lab"), "left_outer")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(m)
+        .withColumn("q_num", expr("4L * m * e_c - d_c * d_c"))
+        .select(col("lab").as("community"), col("n_nodes"), col("d_c"),
+          col("e_c"), col("q_num"),
+          expr("(sum(q_num) OVER ()) * 1000000L div (4L * m * m)")
+            .as("q_ppm"))
+        .orderBy(col("community").asc_nulls_last)
+    }, Some(
+      """WITH lo AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         pairs AS (
+           SELECT DISTINCT x.sk AS a, y.sk AS b
+           FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk
+           JOIN supplier sa ON x.sk = sa.s_suppkey
+           JOIN supplier sb ON y.sk = sb.s_suppkey
+           WHERE sa.s_nationkey = sb.s_nationkey),
+         edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         l0 AS (
+           SELECT DISTINCT src AS node, src AS lab FROM edges),
+         l1 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l0 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l0 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst),
+         l2 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l1 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l1 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst),
+         l3 AS (
+           SELECT l.node,
+                  least(l.lab, COALESCE(p.nlab, l.lab)) AS lab
+           FROM l2 l LEFT JOIN (
+             SELECT e.dst, min(r.lab) AS nlab
+             FROM edges e JOIN l2 r ON e.src = r.node
+             GROUP BY e.dst) p ON l.node = p.dst),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM edges GROUP BY 1),
+         ds AS (
+           SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS d_c,
+                  CAST(count(*) AS BIGINT) AS n_nodes
+           FROM l3 l JOIN deg d ON l.node = d.node
+           GROUP BY 1),
+         ei AS (
+           SELECT la.lab, CAST(count(*) AS BIGINT) AS e_c
+           FROM pairs p
+           JOIN l3 la ON p.a = la.node
+           JOIN l3 lb ON p.b = lb.node
+           WHERE la.lab = lb.lab
+           GROUP BY 1),
+         rep AS (
+           SELECT ds.lab AS community, ds.n_nodes, ds.d_c,
+                  COALESCE(ei.e_c, CAST(0 AS BIGINT)) AS e_c,
+                  4 * m.m * COALESCE(ei.e_c, 0) - ds.d_c * ds.d_c AS q_num,
+                  m.m AS m
+           FROM ds LEFT JOIN ei ON ds.lab = ei.lab
+           CROSS JOIN m)
+         SELECT community, n_nodes, d_c, e_c,
+                CAST(q_num AS BIGINT) AS q_num,
+                CAST((sum(q_num) OVER ()) * 1000000 // (4 * m * m)
+                  AS BIGINT) AS q_ppm
+         FROM rep
+         ORDER BY community ASC NULLS LAST"""))
   )
 }
