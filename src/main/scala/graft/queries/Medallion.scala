@@ -674,6 +674,46 @@ object Medallion {
                 min(ts_sec) AS first_ts, max(ts_sec) AS last_ts
          FROM f""")),
 
+    // ------------------------------------------------------------------ S51
+    // GENERATE symlink_format_manifest — the interop bridge to
+    // log-unaware engines (Presto/Trino/Athena/Hive external tables):
+    // export the live file set as plain-text manifests, then prove a
+    // reader that knows NOTHING about the log reproduces the table by
+    // following the manifest alone. The lifecycle exercises staleness
+    // correctness: create → append → DELETE (file rewrite) →
+    // re-generate; the manifest must serve post-delete truth (the
+    // rewritten file, not the dead one). Export is log-metadata-only;
+    // the manifest read collects one line per FILE (bounded by file
+    // count, not rows). DV tables refuse — MedallionSpec pins that and
+    // the partitioned per-partition layout.
+    QueryDef("s51_manifest", (s, dir) => {
+      val path = tmp("s51_delta")
+      val fact = Pipeline.silverEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cut = 5000000L
+      DeltaLite.create(s, path, fact.filter(col("event_id") < cut))
+      DeltaLite.append(s, path, fact.filter(col("event_id") >= cut))
+      DeltaLite.delete(s, path, col("event_type") === "error")
+      val manifests = DeltaLite.generateSymlinkManifest(s, path)
+      // a log-unaware reader: follow the manifest lines, read parquet
+      val files = manifests.flatMap(m =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(m)), "UTF-8").split("\n").toSeq)
+        .filter(_.nonEmpty)
+      s.read.parquet(files: _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL
+           AND event_type <> 'error'
+         GROUP BY 1 ORDER BY event_type ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S31
     // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
     // opts in via `graft.autoCompact`, three priority slices land as

@@ -3349,6 +3349,50 @@ object DeltaLite {
       old.identity, old.properties)
   }
 
+  /** Delta `GENERATE symlink_format_manifest`: export the CURRENT live
+    * file set as plain-text manifests that log-unaware engines
+    * (Presto/Trino/Athena/Hive external tables) can read — one absolute
+    * data-file path per line, under `_symlink_format_manifest/`
+    * (per-partition `<k>=<v>/` subdirs for Hive-layout tables, exactly
+    * Delta's layout). Previous manifests are wiped first so dropped
+    * partitions and rewritten files cannot resurface. REFUSES when any
+    * live file carries a deletion vector: a symlink reader has no DV
+    * concept and would resurrect soft-deleted rows — Delta blocks the
+    * same way. The export is log-metadata-only (no data reads) and the
+    * manifest is a SNAPSHOT: re-generate after each write the external
+    * reader should see (or wire it as a post-commit hook). Returns the
+    * manifest file paths. */
+  def generateSymlinkManifest(spark: SparkSession,
+      path: String): Seq[String] = {
+    import java.nio.file.{Files => JFiles}
+    val snap = snapshot(path)
+    require(snap.files.forall(_.dv.isEmpty),
+      "GENERATE symlink_format_manifest: table has deletion vectors; " +
+        "a symlink reader would resurrect soft-deleted rows")
+    val r = root(path)
+    val mdir = r.resolve("_symlink_format_manifest")
+    if (JFiles.exists(mdir)) {
+      val all = JFiles.walk(mdir).iterator()
+      val toDelete = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      while (all.hasNext) toDelete += all.next()
+      toDelete.sortBy(-_.getNameCount).foreach(JFiles.deleteIfExists(_))
+    }
+    val groups: Seq[(java.nio.file.Path, Seq[String])] =
+      if (snap.partitionBy.isEmpty)
+        Seq(mdir -> snap.files.map(f => r.resolve(f.path).toString))
+      else snap.files.groupBy(_.pv).toSeq.map { case (pv, fs) =>
+        val sub = snap.partitionBy.foldLeft(mdir)((d, k) =>
+          d.resolve(s"$k=${pv.getOrElse(k, "__HIVE_DEFAULT_PARTITION__")}"))
+        sub -> fs.map(f => r.resolve(f.path).toString)
+      }
+    groups.map { case (dir, lines) =>
+      JFiles.createDirectories(dir)
+      val mf = dir.resolve("manifest")
+      JFiles.write(mf, lines.sorted.mkString("\n").getBytes("UTF-8"))
+      mf.toString
+    }
+  }
+
   /** `RESTORE ... TO TIMESTAMP AS OF`: resolve the instant to the
     * version live at that time (same rule as time-travel reads), then
     * restore by version. */

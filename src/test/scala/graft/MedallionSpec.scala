@@ -783,6 +783,36 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(afterDv.getLong(0) === 2L && afterDv.getDouble(1) === 10.5)
   }
 
+  test("symlink manifest: per-partition layout, staleness wipe, DV refusal") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_manifest").toString + "/t"
+    DeltaLite.create(spark, p,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("k", "s", "part").repartition(2, col("part")),
+      partitionBy = Seq("part"))
+    val m1 = DeltaLite.generateSymlinkManifest(spark, p)
+    // Hive layout: one manifest per live partition
+    assert(m1.size === 2 &&
+      m1.exists(_.contains("part=p1")) && m1.exists(_.contains("part=p2")))
+    // the manifest-following reader sees exactly the table
+    val viaManifest = m1.flatMap(m => new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(m)),
+      "UTF-8").split("\n")).filter(_.nonEmpty)
+    assert(spark.read.parquet(viaManifest: _*).count() === 3)
+    // dropping a partition then re-generating wipes its stale manifest
+    DeltaLite.delete(spark, p, col("part") === "p2")
+    val m2 = DeltaLite.generateSymlinkManifest(spark, p)
+    assert(m2.size === 1 && m2.head.contains("part=p1"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      p, "_symlink_format_manifest", "part=p2")),
+      "a dropped partition's manifest dir must be wiped")
+    // DV tables refuse: a symlink reader would resurrect deleted rows
+    DeltaLite.deleteVectorized(spark, p, col("k") === 1L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.generateSymlinkManifest(spark, p))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
   test("Observation API: DQ metrics ride the write action itself — no second scan") {
     // dbt-style test metrics usually cost a second pass over the model;
     // Spark's Observation collects them ON the materializing action
