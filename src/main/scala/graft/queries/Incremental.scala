@@ -1091,6 +1091,76 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T21
+    // LAST-TOUCH ATTRIBUTION — the event-stream join every marketing /
+    // conversion pipeline runs: attribute each purchase to the user's
+    // most recent PRIOR click within a 7-day lookback, plus the click
+    // volume inside the window (the multi-touch denominator). Two
+    // window passes over ONE user-keyed sort: an ignore-nulls last()
+    // carries the latest click (id, time) forward — the t12/J7 as-of
+    // idiom, no self-join — and a RANGE frame over epoch seconds counts
+    // window clicks. The lookback gate then filters carried clicks
+    // older than 7 days. Everything shuffles once on user_id; at
+    // 100 TB this is the same single-sort shape as t4 sessionization.
+    QueryDef("t21_attribution", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_e").asc, col("event_id").asc)
+      val wCarry = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRange = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_e").asc)
+        .rangeBetween(-604800L, -1L)
+      ev(s, dir)
+        .withColumn("ts_e", unix_timestamp(col("ts_sec")))
+        .withColumn("click_ev", when(col("event_type") === "click",
+          struct(col("ts_e"), col("event_id"))))
+        .withColumn("last_click",
+          last(col("click_ev"), ignoreNulls = true).over(wCarry))
+        .withColumn("n_clicks_7d",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .over(wRange))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_sec", col("ts_e") - col("last_click.ts_e"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_sec").as("purchase_ts"),
+          when(col("gap_sec") <= 604800L, col("last_click.event_id"))
+            .as("attributed_click"),
+          when(col("gap_sec") <= 604800L, col("gap_sec")).as("gap_sec"),
+          coalesce(col("n_clicks_7d"), lit(0L)).as("n_clicks_7d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("revenue_cents"))
+        .orderBy(col("purchase_id").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         t AS (
+           SELECT event_id, user_id, ts_sec, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS revenue_cents,
+                  CAST(epoch(ts_sec) AS BIGINT) AS ts_e
+           FROM e),
+         c AS (
+           SELECT event_id, user_id, ts_sec, event_type, revenue_cents,
+                  ts_e,
+                  last_value(CASE WHEN event_type = 'click'
+                      THEN ts_e END IGNORE NULLS) OVER wc AS lc_ts,
+                  last_value(CASE WHEN event_type = 'click'
+                      THEN event_id END IGNORE NULLS) OVER wc AS lc_id,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END) OVER wr AS BIGINT) AS n_clicks_7d
+           FROM t
+           WINDOW wc AS (PARTITION BY user_id
+                         ORDER BY ts_e ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  wr AS (PARTITION BY user_id ORDER BY ts_e ASC
+                         RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING))
+         SELECT event_id AS purchase_id, user_id,
+                ts_sec AS purchase_ts,
+                CASE WHEN ts_e - lc_ts <= 604800 THEN lc_id END
+                  AS attributed_click,
+                CASE WHEN ts_e - lc_ts <= 604800 THEN ts_e - lc_ts END
+                  AS gap_sec,
+                coalesce(n_clicks_7d, 0) AS n_clicks_7d,
+                revenue_cents
+         FROM c WHERE event_type = 'purchase'
+         ORDER BY purchase_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T20
     // ROBUST ANOMALY FLAGS on the detrended series — t16 decomposes,
     // THIS alarms: residual = observed − 7-day centered-MA trend, scale
