@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("soundex_code"),
+      new ExpressionInfo(classOf[graft.functions.SoundexCode].getName, "soundex_code"),
+      (exprs: Seq[Expression]) => graft.functions.SoundexCode(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1))))

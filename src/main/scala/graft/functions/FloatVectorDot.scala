@@ -112,6 +112,13 @@ object GraftFunctions {
         "collate_key", graft.GraftExtensions.collateKeyBuilder, "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("soundex_code"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "soundex_code",
+        (exprs: Seq[Expression]) => SoundexCode(exprs.head),
+        "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hilbert_index",

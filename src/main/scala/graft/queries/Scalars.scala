@@ -600,6 +600,33 @@ object Scalars {
          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          WHERE o_orderpriority < '3'
          GROUP BY 1
-         ORDER BY prio ASC NULLS LAST"""))
+         ORDER BY prio ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ F16
+    // PHONETIC BLOCKING for record linkage — soundex_code (custom
+    // codegen Catalyst expression, NARA-spec American Soundex incl. the
+    // H/W merge rule) as the COARSE blocking key, jaro_winkler (f14) as
+    // the FINE score inside blocks: candidate pairs come from an
+    // EQUALITY join on equal phonetic codes, never an all-pairs fuzzy
+    // scan — the same candidates-then-verify discipline as every dedup
+    // path here, which is what keeps name matching feasible at 100 TB
+    // (blocks are ~surname-cardinality buckets). Rows-only: DuckDB
+    // ships no soundex; FunctionsSpec pins the classic NARA vectors
+    // (Robert/Ashcraft/Tymczak/Pfister/...) and the null contract.
+    QueryDef("f16_phonetic_blocking", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+        .withColumn("sdx", expr("soundex_code(split(p_name, ' ')[0])"))
+      val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        col("sdx"))
+      val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+        col("sdx").as("sdxb"))
+      a.join(b, col("sdx") === col("sdxb") && col("ka") < col("kb"))
+        .withColumn("jw", expr("round(jaro_winkler(na, nb) * 10000) / 10000"))
+        .filter(col("jw") >= 0.85)
+        .select(col("ka"), col("kb"), col("sdx"), col("jw"))
+        .orderBy(col("jw").desc, col("ka").asc, col("kb").asc)
+        .limit(20)
+    }, None)
   )
 }

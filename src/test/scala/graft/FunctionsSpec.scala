@@ -252,4 +252,42 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .where(col("x").isNotNull).count()
     assert(n === 0L)
   }
+
+  test("soundex_code: NARA vectors, H/W merge, merges/breaks, null contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // classic NARA examples, incl. the two famous trip-ups: Ashcraft
+    // (same-coded letters separated only by H still merge) and Pfister
+    // (the first letter's own code participates in the collapse)
+    val vectors = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261",
+      "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "robert" -> "R163",
+      "Washington" -> "W252", "Lee" -> "L000",
+      "Gutierrez" -> "G362", "Jackson" -> "J250",
+      "O'Brian" -> "O165")
+    val got = vectors.map(_._1).toDF("s")
+      .select(expr("soundex_code(s)").as("c")).as[String].collect()
+    vectors.map(_._2).zip(got).zip(vectors.map(_._1)).foreach {
+      case ((want, g), in) => assert(g === want, s"soundex($in)")
+    }
+    // codegen path equals the direct kernel on fixture part names
+    val mism = Tables.t(spark, sf, "part")
+      .select(col("p_name"), expr("soundex_code(p_name)").as("c"))
+      .collect().count { r =>
+        val direct = graft.functions.Soundex.code(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+        Option(r.getString(1)) != Option(direct).map(_.toString)
+      }
+    assert(mism === 0, "codegen and interpreted kernels must agree")
+    // no leading letter → NULL; NULL → NULL
+    val nulls = Seq("123", "", "42nd?").toDF("s")
+      .select(expr("soundex_code(s)").as("c"))
+      .where(col("c").isNotNull).count()
+    assert(nulls === 0L)
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("soundex_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+  }
 }
