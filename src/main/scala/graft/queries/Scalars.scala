@@ -615,17 +615,23 @@ object Scalars {
     // (Robert/Ashcraft/Tymczak/Pfister/...) and the null contract.
     QueryDef("f16_phonetic_blocking", (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      // linkage runs over the DISTINCT key domain, not row instances:
+      // the corpus collapses to (name, count) first — at 100 TB the
+      // fuzzy compute is O(distinct names²/blocks) while row volume
+      // only feeds the one keyed count (the l4_bpe_train vocab move)
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
         .withColumn("sdx", expr("soundex_code(split(p_name, ' ')[0])"))
-      val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+      val a = names.select(col("p_name").as("na"), col("n_rows").as("ca"),
         col("sdx"))
-      val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+      val b = names.select(col("p_name").as("nb"), col("n_rows").as("cb"),
         col("sdx").as("sdxb"))
-      a.join(b, col("sdx") === col("sdxb") && col("ka") < col("kb"))
+      a.join(b, col("sdx") === col("sdxb") && col("na") < col("nb"))
         .withColumn("jw", expr("round(jaro_winkler(na, nb) * 10000) / 10000"))
         .filter(col("jw") >= 0.85)
-        .select(col("ka"), col("kb"), col("sdx"), col("jw"))
-        .orderBy(col("jw").desc, col("ka").asc, col("kb").asc)
+        .select(col("na"), col("nb"), col("sdx"), col("jw"),
+          (col("ca") * col("cb")).as("pair_rows"))
+        .orderBy(col("jw").desc, col("na").asc, col("nb").asc)
         .limit(20)
     }, None)
   )
