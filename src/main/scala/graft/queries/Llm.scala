@@ -3418,6 +3418,94 @@ object Llm {
          FROM k GROUP BY domain
          ORDER BY domain ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (v)
+    // RAKE KEYPHRASE extraction — the classic unsupervised phrase miner
+    // (vocab seeding, doc tagging): candidate phrases are maximal
+    // stopword-free token runs (gaps-and-islands on the stopword
+    // breaks), word score = degree/frequency over phrase co-occurrence,
+    // phrase score = Σ member word scores. Scores stay INTEGER: deg and
+    // freq are exact counts, score_ppm = deg·1e6 div freq, and the
+    // phrase sum is a BIGINT — no float summation, bit-identical
+    // ranking. Shape: one doc-keyed window sort for islands, one
+    // word-keyed agg for stats, one phrase-keyed agg for scores — at
+    // 100 TB all keyed shuffles over token volume, no pair spaces.
+    QueryDef("l4_rake_keyphrases", (s, dir) => {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .withColumn("stop", col("tok").isin("the", "a", "of"))
+        .withColumn("nsrn",
+          count(when(!col("stop"), 1)).over(
+            wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(!col("stop"))
+        .withColumn("island", col("pos") - col("nsrn"))
+      val phrases = toks
+        .groupBy(col("doc_id"), col("island"))
+        .agg(expr(
+          """array_join(transform(array_sort(collect_list(struct(pos, tok))),
+             x -> x.tok), ' ')""").as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") >= 2)
+      val words = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("score_ppm", expr("deg * 1000000L div freq"))
+      phrases
+        .groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"),
+          first(col("plen")).as("plen"))
+        .select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(words.select(col("w"), col("score_ppm")), "w")
+        .groupBy(col("phrase"), col("n_occ"))
+        .agg(sum(col("score_ppm")).as("rake_ppm"))
+        .orderBy(col("rake_ppm").desc, col("phrase").asc)
+        .limit(20)
+        .select(col("phrase"), col("n_occ"), col("rake_ppm"))
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                  string_split(text, ' ')[CAST(u.pos AS INTEGER)] AS tok
+           FROM documents,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) u(pos)),
+         ns AS (
+           SELECT doc_id, pos, tok,
+                  tok IN ('the', 'a', 'of') AS stop,
+                  count(CASE WHEN NOT (tok IN ('the', 'a', 'of'))
+                    THEN 1 END) OVER
+                    (PARTITION BY doc_id ORDER BY pos ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS nsrn
+           FROM toks),
+         isl AS (
+           SELECT doc_id, pos, tok, pos - nsrn AS island
+           FROM ns WHERE NOT stop),
+         phrases AS (
+           SELECT doc_id, island,
+                  string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                  CAST(count(*) AS BIGINT) AS plen
+           FROM isl GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         words AS (
+           SELECT u.w, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(p.plen) AS BIGINT) AS deg
+           FROM phrases p, unnest(string_split(p.phrase, ' ')) u(w)
+           GROUP BY 1),
+         ws AS (SELECT w, (deg * 1000000) // freq AS score_ppm FROM words),
+         ph AS (
+           SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+           FROM phrases GROUP BY 1),
+         pw AS (
+           SELECT ph.phrase, ph.n_occ, u.w
+           FROM ph, unnest(string_split(ph.phrase, ' ')) u(w))
+         SELECT pw.phrase, pw.n_occ,
+                CAST(sum(ws.score_ppm) AS BIGINT) AS rake_ppm
+         FROM pw JOIN ws ON pw.w = ws.w
+         GROUP BY pw.phrase, pw.n_occ
+         ORDER BY rake_ppm DESC, phrase ASC
+         LIMIT 20""")),
+
     // ------------------------------------------------------------- L6 (d)
     // EMBEDDING DRIFT monitoring — d7's PSI lifted into vector space:
     // has the distribution of distances-to-centroid shifted between two

@@ -3073,5 +3073,102 @@ ORDER BY fold ASC NULLS LAST"""),
          SELECT n_name, yr, status, sum_cents, n, g_yr, g_st, rk
          FROM rk WHERE rk <= 5
          ORDER BY n_name ASC NULLS LAST, rk ASC NULLS LAST"""),
+
+    // ------------------------------------------------------------------ A24
+    // WELCH'S t-TEST (unequal variances) — weekend vs weekday event
+    // values: the hypothesis test d10's chi-square is for categories,
+    // this is for means. Everything derives from SIX exact BIGINTs (n,
+    // Σcents, Σcents² per group — one conditional aggregate pass, the
+    // a21/a23 sufficient-statistics discipline), so the t statistic and
+    // Welch-Satterthwaite df are a fixed IEEE tree over identical
+    // integers; 6dp rounding is display only. At 100 TB: one map-side
+    // partial agg, a 1-row result, no second pass.
+    QueryDef.sql("a24_welch_ttest",
+      spark =
+        """WITH g AS (
+             SELECT CASE WHEN dayofweek(CAST(ts AS DATE)) IN (1, 7)
+                         THEN 'weekend' ELSE 'weekday' END AS grp,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events WHERE value IS NOT NULL),
+           st AS (
+             SELECT
+               CAST(sum(CASE WHEN grp = 'weekday' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN grp = 'weekday' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN grp = 'weekday' THEN cents * cents
+                 ELSE 0 END) AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN cents * cents
+                 ELSE 0 END) AS BIGINT) AS q2
+             FROM g),
+           d AS (
+             SELECT n1, n2,
+                    CAST(s1 AS DOUBLE) / n1 / 100.0D AS m1,
+                    CAST(s2 AS DOUBLE) / n2 / 100.0D AS m2,
+                    (CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / 10000.0D
+                      AS v1,
+                    (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / 10000.0D
+                      AS v2
+             FROM st)
+           SELECT n1, n2,
+                  round(m1 * 1000000) / 1000000 AS mean_weekday,
+                  round(m2 * 1000000) / 1000000 AS mean_weekend,
+                  round(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 1000000)
+                    / 1000000 AS t_stat,
+                  round((
+                    ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) /
+                    ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                  ) * 10000) / 10000 AS df_welch
+           FROM d""",
+      oracle =
+        """WITH g AS (
+             SELECT CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                         THEN 'weekend' ELSE 'weekday' END AS grp,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events WHERE value IS NOT NULL),
+           st AS (
+             SELECT
+               CAST(sum(CASE WHEN grp = 'weekday' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN grp = 'weekday' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN grp = 'weekday' THEN cents * cents
+                 ELSE 0 END) AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN grp = 'weekend' THEN cents * cents
+                 ELSE 0 END) AS BIGINT) AS q2
+             FROM g),
+           d AS (
+             SELECT n1, n2,
+                    CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+                    CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+                    (CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / 10000.0
+                      AS v1,
+                    (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / 10000.0
+                      AS v2
+             FROM st)
+           SELECT n1, n2,
+                  round(m1 * 1000000) / 1000000 AS mean_weekday,
+                  round(m2 * 1000000) / 1000000 AS mean_weekend,
+                  round(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 1000000)
+                    / 1000000 AS t_stat,
+                  round((
+                    ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) /
+                    ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                  ) * 10000) / 10000 AS df_welch
+           FROM d"""),
   )
 }
