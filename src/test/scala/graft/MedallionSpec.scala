@@ -775,12 +775,27 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       .filter(col("k") > 1L).agg(count(lit(1)))))
     // declines: avg is not derivable from min/max/rows
     assert(hasRelation(DeltaLite.read(spark, p).agg(avg(col("v")))))
+    // declines on a TIME-TRAVEL scan once the referenced files left the
+    // live set: v0's files don't resolve in the current snapshot after
+    // the overwrite, so the rule falls through — and the answer is the
+    // historical truth via the real scan
+    DeltaLite.replaceWhere(spark, p, lit(true),
+      Seq((9L, 1.0, "only", new java.sql.Timestamp(0L)))
+        .toDF("k", "v", "s", "ts").coalesce(1))
+    val tt = DeltaLite.read(spark, p, asOf = Some(0L))
+      .agg(count(lit(1)).as("n"))
+    assert(hasRelation(tt),
+      "a time-travel scan of rewritten files must not answer from " +
+        "current-snapshot stats")
+    assert(tt.collect()(0).getLong(0) === 2L)
+    // the CURRENT head still collapses
+    assert(!hasRelation(DeltaLite.read(spark, p).agg(count(lit(1)))))
     // declines after a DV delete: physical rows over-count and the
     // extremum may be deleted — and the answer stays CORRECT via scan
-    DeltaLite.deleteVectorized(spark, p, col("k") === 3L)
+    DeltaLite.deleteVectorized(spark, p, col("k") === 9L)
     val afterDv = DeltaLite.read(spark, p)
       .agg(count(lit(1)).as("n"), max(col("v")).as("mxv")).collect()(0)
-    assert(afterDv.getLong(0) === 2L && afterDv.getDouble(1) === 10.5)
+    assert(afterDv.getLong(0) === 0L && afterDv.isNullAt(1))
   }
 
   test("symlink manifest: per-partition layout, staleness wipe, DV refusal") {
