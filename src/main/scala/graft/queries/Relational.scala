@@ -3074,6 +3074,87 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM rk WHERE rk <= 5
          ORDER BY n_name ASC NULLS LAST, rk ASC NULLS LAST"""),
 
+    // ------------------------------------------------------------------- O9
+    // Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITIES (o5's distinct forms collapse them): with ship-mode
+    // keys occurring many times per month, "how many occurrences survive
+    // the other month" is a bag question. Spark's intersectAll/exceptAll
+    // compile to the same replicate-by-min/difference-of-counts shuffle
+    // DuckDB runs. The census aggregates each result so the oracle
+    // compare is order-free over exact counts.
+    QueryDef("o9_set_ops_all", (s, dir) => {
+      def keys(m: Int) = t(s, dir, "lineitem")
+        .filter(expr(s"month(l_shipdate) = $m AND year(l_shipdate) = 1996"))
+        .select(col("l_returnflag").as("k1"), col("l_linestatus").as("k2"))
+      val jan = keys(1); val feb = keys(2)
+      jan.intersectAll(feb).groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+        .join(jan.exceptAll(feb).groupBy(col("k1"), col("k2"))
+          .agg(count(lit(1)).as("n_except_all")),
+          Seq("k1", "k2"), "full_outer")
+        .select(col("k1"), col("k2"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy(col("k1").asc_nulls_last, col("k2").asc_nulls_last)
+    }, Some(
+      """WITH jan AS (
+           SELECT l_returnflag AS k1, l_linestatus AS k2 FROM lineitem
+           WHERE month(l_shipdate) = 1 AND year(l_shipdate) = 1996),
+         feb AS (
+           SELECT l_returnflag AS k1, l_linestatus AS k2 FROM lineitem
+           WHERE month(l_shipdate) = 2 AND year(l_shipdate) = 1996),
+         ia AS (
+           SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_intersect_all
+           FROM (SELECT * FROM jan INTERSECT ALL SELECT * FROM feb)
+           GROUP BY 1, 2),
+         ea AS (
+           SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_except_all
+           FROM (SELECT * FROM jan EXCEPT ALL SELECT * FROM feb)
+           GROUP BY 1, 2)
+         SELECT coalesce(ia.k1, ea.k1) AS k1,
+                coalesce(ia.k2, ea.k2) AS k2,
+                coalesce(n_intersect_all, 0) AS n_intersect_all,
+                coalesce(n_except_all, 0) AS n_except_all
+         FROM ia FULL OUTER JOIN ea ON ia.k1 = ea.k1 AND ia.k2 = ea.k2
+         ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ J16
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    // every SCD/merge pipeline needs when the business key is nullable:
+    // plain `=` silently drops null-keyed rows on BOTH sides; null-safe
+    // equality matches null TO null. Planted null keys on both sides
+    // prove the difference: the census counts matches per key including
+    // the NULL bucket, next to what a plain join would have produced.
+    // Plan note: Spark hashes `<=>` keys like any equi-join (null is
+    // just a hash value) — still a keyed shuffle, never a cartesian.
+    QueryDef("j16_null_safe_join", (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "orders")
+        .select(when(col("o_orderpriority") === "5-LOW",
+          lit(null).cast("string")).otherwise(col("o_orderpriority")))
+        .toDF("k")
+      val b = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        null.asInstanceOf[String]).toDF("bk")
+      a.join(b, col("k") <=> col("bk"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_null_safe"))
+        .withColumn("n_plain",
+          when(col("k").isNull, 0L).otherwise(col("n_null_safe")))
+        .orderBy(col("k").asc_nulls_first)
+    }, Some(
+      """WITH a AS (
+           SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                       ELSE o_orderpriority END AS k
+           FROM orders),
+         b AS (
+           SELECT unnest(['1-URGENT', '2-HIGH', '3-MEDIUM',
+                          '4-NOT SPECIFIED', NULL]) AS bk)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_null_safe,
+                CAST(CASE WHEN k IS NULL THEN 0 ELSE count(*) END
+                  AS BIGINT) AS n_plain
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk
+         GROUP BY k
+         ORDER BY k ASC NULLS FIRST""")),
+
     // ------------------------------------------------------------------ A24
     // WELCH'S t-TEST (unequal variances) — weekend vs weekday event
     // values: the hypothesis test d10's chi-square is for categories,
