@@ -3155,6 +3155,91 @@ ORDER BY fold ASC NULLS LAST"""),
          GROUP BY k
          ORDER BY k ASC NULLS FIRST""")),
 
+    // ------------------------------------------------------------------ A25
+    // GINI COEFFICIENT of customer revenue concentration — the
+    // inequality census behind every "top-N% of customers" claim.
+    // Closed form over the ranked series: G = 2·Σ(i·xᵢ)/(n·Σx) −
+    // (n+1)/n with xᵢ ascending — Σ(i·xᵢ) and Σx are EXACT BIGINTs over
+    // ranked cents, so everything up to the final two divisions is
+    // integer; per-customer revenue is one keyed agg and the rank is
+    // one window over the CUSTOMER-cardinality frame (the corpus never
+    // sorts — 100 TB discipline: rank the aggregate, not the facts).
+    QueryDef("a25_gini", (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * col("cents")).as("weighted"))
+        .select(col("n_customers"), col("total_cents"),
+          expr("""round((2.0D * weighted
+                   / (CAST(n_customers AS DOUBLE) * total_cents)
+                   - CAST(n_customers + 1 AS DOUBLE) / n_customers)
+                  * 1000000) / 1000000""").as("gini"))
+    }, Some(
+      """WITH rev AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents ASC,
+                    o_custkey ASC) AS BIGINT) AS i
+           FROM rev)
+         SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                round((2.0 * sum(i * cents)
+                  / (CAST(count(*) AS DOUBLE) * sum(cents))
+                  - CAST(count(*) + 1 AS DOUBLE) / count(*))
+                  * 1000000) / 1000000 AS gini
+         FROM ranked""")),
+
+    // ------------------------------------------------------------------ D11
+    // BENFORD'S LAW first-digit audit on order amounts — the classic
+    // fabricated-data screen: natural multi-scale amounts follow
+    // P(d) = log10(1 + 1/d); uniform or hand-typed data does not (the
+    // synthetic fixture amounts are uniform, so this census SHOWS the
+    // deviation — the detector firing on non-Benford data is the
+    // demonstration). First digit is string math over exact cents (no
+    // float log tricks on the data side); expected shares and the
+    // per-digit deviation are a fixed IEEE tree over exact counts.
+    QueryDef("d11_benford", (s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("d", expr(
+          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INTEGER)"))
+        .filter(col("d") >= 1)
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("d"), col("n"),
+          expr("round((CAST(n AS DOUBLE) / total) * 1000000) / 1000000")
+            .as("observed"),
+          expr("round(log10(1.0D + 1.0D / d) * 1000000) / 1000000")
+            .as("benford"),
+          expr("""round(abs(CAST(n AS DOUBLE) / total
+                  - log10(1.0D + 1.0D / d)) * 1000000) / 1000000""")
+            .as("abs_dev"))
+        .orderBy(col("d").asc_nulls_last)
+    }, Some(
+      """WITH f AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+           FROM orders),
+         c AS (
+           SELECT d, CAST(count(*) AS BIGINT) AS n
+           FROM f WHERE d >= 1 GROUP BY 1),
+         t AS (SELECT d, n, sum(n) OVER () AS total FROM c)
+         SELECT d, n,
+                round((CAST(n AS DOUBLE) / total) * 1000000) / 1000000
+                  AS observed,
+                round(log10(1.0 + 1.0 / d) * 1000000) / 1000000 AS benford,
+                round(abs(CAST(n AS DOUBLE) / total
+                  - log10(1.0 + 1.0 / d)) * 1000000) / 1000000 AS abs_dev
+         FROM t ORDER BY d ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A24
     // WELCH'S t-TEST (unequal variances) — weekend vs weekday event
     // values: the hypothesis test d10's chi-square is for categories,
