@@ -3506,6 +3506,70 @@ object Llm {
          ORDER BY rake_ppm DESC, phrase ASC
          LIMIT 20""")),
 
+    // ------------------------------------------------------------- L4 (w)
+    // JENSEN-SHANNON DIVERGENCE between two sources' unigram
+    // distributions — the symmetric, bounded [0, ln 2] corpus
+    // comparator (PSI diverges on empty buckets; JS is what mixture
+    // curation actually optimizes). P and Q are Laplace-smoothed token
+    // shares over the UNION vocabulary from exact counts; M = (P+Q)/2;
+    // JS = (KL(P‖M) + KL(Q‖M))/2 with per-token contributions rounded
+    // 6dp and the top movers reported alongside the whole-corpus
+    // divergence. ONE token-keyed aggregate with conditional counts —
+    // the d7 shuffle shape; vocab-sized frames after.
+    QueryDef("l4_js_divergence", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+      val tot = broadcast(toks.agg(sum(col("c0")).as("t0"),
+        sum(col("c1")).as("t1"), count(lit(1)).as("v")))
+      toks.crossJoin(tot)
+        .withColumn("p", expr(
+          "CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE)"))
+        .withColumn("m", expr("(p + q) / 2.0D"))
+        .withColumn("contrib", expr(
+          "round(((p * ln(p / m) + q * ln(q / m)) / 2.0D) * 100000000) / 100000000"))
+        .withColumn("js", expr(
+          "round((sum(contrib) OVER ()) * 1000000) / 1000000"))
+        .select(col("w"), col("c0"), col("c1"), col("contrib"), col("js"))
+        .orderBy(col("contrib").desc, col("w").asc)
+        .limit(20)
+    }, Some(
+      """WITH toks AS (
+           SELECT w,
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+                  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE source IN ('src0', 'src1'))
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(c0) AS BIGINT) AS t0,
+                  CAST(sum(c1) AS BIGINT) AS t1,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM toks),
+         pq AS (
+           SELECT w, c0, c1,
+                  CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE) AS p,
+                  CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE) AS q
+           FROM toks CROSS JOIN tot),
+         c AS (
+           SELECT w, c0, c1,
+                  round(((p * ln(p / ((p + q) / 2.0))
+                    + q * ln(q / ((p + q) / 2.0))) / 2.0) * 100000000)
+                    / 100000000 AS contrib
+           FROM pq)
+         SELECT w, c0, c1, contrib,
+                round((sum(contrib) OVER ()) * 1000000) / 1000000 AS js
+         FROM c
+         ORDER BY contrib DESC, w ASC
+         LIMIT 20""")),
+
     // ------------------------------------------------------------- L6 (d)
     // EMBEDDING DRIFT monitoring — d7's PSI lifted into vector space:
     // has the distribution of distances-to-centroid shifted between two

@@ -3009,6 +3009,45 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM documents
          ORDER BY global_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ P12
+    // SYSTEMATIC SAMPLING (every k-th element of a stable total order)
+    // — the survey-sampling method with guaranteed stratification-like
+    // spread that Bernoulli (p6) and hash-band (p10) sampling don't
+    // give: exactly ⌈n/k⌉ rows, evenly spaced over the order. Rides
+    // p11's two-phase distributed global IDs (rank within 32 shards +
+    // broadcast prefix offsets — no corpus-wide single-partition sort),
+    // then the k-step is a pure map-side modulus. The census proves
+    // spacing: per-modulus counts and the exact sampled id range.
+    QueryDef("p12_systematic_sample", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("shard", expr("doc_id % 32"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      val within = d.withColumn("rn", row_number().over(w))
+      val ow = Window.orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = within.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(ow), lit(0L)))
+        .select(col("shard"), col("offset"))
+      within.join(broadcast(off), Seq("shard"))
+        .select(col("doc_id"), (col("offset") + col("rn")).as("gid"))
+        .filter(expr("gid % 25 = 1"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("gid")).as("first_gid"), max(col("gid")).as("last_gid"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("doc_id")).as("sum_docs"))
+    }, Some(
+      """WITH ids AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id % 32, doc_id) AS gid
+           FROM documents)
+         SELECT count(*) AS n_sampled,
+                CAST(min(gid) AS BIGINT) AS first_gid,
+                CAST(max(gid) AS BIGINT) AS last_gid,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                CAST(sum(doc_id) AS BIGINT) AS sum_docs
+         FROM ids WHERE gid % 25 = 1""")),
+
     // ------------------------------------------------------------------ X22
     // TPC-DS q67 SHAPE over the star schema — the decision-support
     // pattern TPC-H lacks: a partial ROLLUP (per-nation totals at three
