@@ -2493,6 +2493,117 @@ object Llm {
     // per-language pack window — at 100 TB both key by content-hash /
     // language, so the pipeline is two exchanges end to end, and every
     // stage is the same operator the standalone queries certify.
+    // ------------------------------------------------------------- L7 (b)
+    // CURATION FUNNEL census — the dashboard number every data team
+    // watches: survivors (docs AND tokens) after each successive gate,
+    // raw → language → quality → exact-dedup → decontamination. Each
+    // doc computes its deepest surviving stage in ONE pass (gates are
+    // cumulative booleans; dedup = keep-first over the hash window
+    // among stage-3 survivors; decontamination = anti-match against the
+    // eval split's exact hashes via a broadcast-scale set), then ONE
+    // stack aggregate emits the per-stage rows with share-of-raw. At
+    // 100 TB: the same single corpus pass + hash shuffle l7_pipeline
+    // uses — the funnel is free metadata on top of the pipeline run.
+    QueryDef("l7_curation_funnel", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") < 10)
+        .select(md5(col("text").cast("binary")).as("eh")).distinct()
+      val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      val staged = docs
+        .withColumn("toks", size(split(col("text"), " ")))
+        .withColumn("g2", col("lang").isin("en", "de", "fr"))
+        .withColumn("mean_wl",
+          (length(col("text")) - col("toks") + 1).cast("double") / col("toks"))
+        .withColumn("g3", col("g2") && length(col("text")) >= 50 &&
+          col("toks") >= 10 && col("mean_wl").between(3.0, 10.0))
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(wDedup))
+        .withColumn("g4", col("g3") && col("rn") === 1)
+      val contaminated = staged.join(broadcast(eval),
+          col("h") === col("eh"), "left_outer")
+        .withColumn("g5", col("g4") && col("eh").isNull && col("doc_id") >= 10)
+      contaminated.agg(
+          count(lit(1)).as("s1_docs"), sum(col("toks")).as("s1_toks"),
+          sum(when(col("g2"), 1L).otherwise(0L)).as("s2_docs"),
+          sum(when(col("g2"), col("toks")).otherwise(0L)).as("s2_toks"),
+          sum(when(col("g3"), 1L).otherwise(0L)).as("s3_docs"),
+          sum(when(col("g3"), col("toks")).otherwise(0L)).as("s3_toks"),
+          sum(when(col("g4"), 1L).otherwise(0L)).as("s4_docs"),
+          sum(when(col("g4"), col("toks")).otherwise(0L)).as("s4_toks"),
+          sum(when(col("g5"), 1L).otherwise(0L)).as("s5_docs"),
+          sum(when(col("g5"), col("toks")).otherwise(0L)).as("s5_toks"))
+        .selectExpr("""stack(5,
+            'stage1_raw', s1_docs, CAST(s1_toks AS BIGINT),
+            'stage2_lang', s2_docs, CAST(s2_toks AS BIGINT),
+            'stage3_quality', s3_docs, CAST(s3_toks AS BIGINT),
+            'stage4_dedup', s4_docs, CAST(s4_toks AS BIGINT),
+            'stage5_decontaminated', s5_docs, CAST(s5_toks AS BIGINT))
+          AS (stage, n_docs, n_tokens)""", "s1_docs")
+        .select(col("stage"), col("n_docs"), col("n_tokens"),
+          expr("CAST(n_docs * 1000000L div s1_docs AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("stage").asc_nulls_last)
+    }, Some(
+      """WITH staged AS (
+           SELECT doc_id, lang, text,
+                  len(string_split(text, ' ')) AS toks,
+                  md5(text) AS h,
+                  lang IN ('en', 'de', 'fr') AS g2,
+                  CAST(length(text) - len(string_split(text, ' ')) + 1
+                    AS DOUBLE) / len(string_split(text, ' ')) AS mean_wl
+           FROM documents),
+         g3s AS (
+           SELECT *,
+                  g2 AND length(text) >= 50 AND toks >= 10
+                     AND mean_wl BETWEEN 3.0 AND 10.0 AS g3
+           FROM staged),
+         g4s AS (
+           SELECT *,
+                  g3 AND row_number() OVER (PARTITION BY h
+                    ORDER BY doc_id ASC) = 1 AS g4
+           FROM g3s),
+         ev AS (SELECT DISTINCT md5(text) AS eh FROM documents
+                WHERE doc_id < 10),
+         g5s AS (
+           SELECT g4s.*,
+                  g4 AND ev.eh IS NULL AND doc_id >= 10 AS g5
+           FROM g4s LEFT JOIN ev ON g4s.h = ev.eh),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS s1_docs,
+                  CAST(sum(toks) AS BIGINT) AS s1_toks,
+                  CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s2_docs,
+                  CAST(sum(CASE WHEN g2 THEN toks ELSE 0 END) AS BIGINT)
+                    AS s2_toks,
+                  CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s3_docs,
+                  CAST(sum(CASE WHEN g3 THEN toks ELSE 0 END) AS BIGINT)
+                    AS s3_toks,
+                  CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s4_docs,
+                  CAST(sum(CASE WHEN g4 THEN toks ELSE 0 END) AS BIGINT)
+                    AS s4_toks,
+                  CAST(sum(CASE WHEN g5 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s5_docs,
+                  CAST(sum(CASE WHEN g5 THEN toks ELSE 0 END) AS BIGINT)
+                    AS s5_toks
+           FROM g5s),
+         rows_ AS (
+           SELECT 'stage1_raw' AS stage, s1_docs AS n_docs,
+                  s1_toks AS n_tokens, s1_docs FROM agg
+           UNION ALL SELECT 'stage2_lang', s2_docs, s2_toks, s1_docs
+           FROM agg
+           UNION ALL SELECT 'stage3_quality', s3_docs, s3_toks, s1_docs
+           FROM agg
+           UNION ALL SELECT 'stage4_dedup', s4_docs, s4_toks, s1_docs
+           FROM agg
+           UNION ALL SELECT 'stage5_decontaminated', s5_docs, s5_toks,
+                  s1_docs FROM agg)
+         SELECT stage, n_docs, n_tokens,
+                CAST((n_docs * 1000000) // s1_docs AS BIGINT) AS share_ppm
+         FROM rows_
+         ORDER BY stage ASC NULLS LAST""")),
+
     QueryDef("l7_pipeline", (s, dir) => {
       val docs = t(s, dir, "documents")
       val kept = docs

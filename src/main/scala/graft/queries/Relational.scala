@@ -3194,6 +3194,62 @@ ORDER BY fold ASC NULLS LAST"""),
          GROUP BY k
          ORDER BY k ASC NULLS FIRST""")),
 
+    // ------------------------------------------------------------------ X23
+    // MARKET-BASKET association rules (support / confidence / lift)
+    // over part co-purchases — the retail-analytics classic TPC misses.
+    // Everything INTEGER: n_a (orders containing a), n_ab (orders
+    // containing both), N (orders), conf_ppm = n_ab·1e6 div n_a,
+    // lift_ppm = n_ab·N·1e6 div (n_a·n_b) — floor div ≡ DuckDB //, so
+    // ranking is bit-exact. The ≥2-co-occurrence floor is the scale
+    // control (the g5 move: prunes the Σdeg² wedge space before any
+    // pair join); candidate pairs come from ONE order-keyed
+    // self-equality join, never parts×parts.
+    QueryDef("x23_market_basket", (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = broadcast(lp.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val freq = lp.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      val pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(freq.select(col("pk").as("a"), col("n_p").as("n_a")), "a")
+        .join(freq.select(col("pk").as("b"), col("n_p").as("n_b")), "b")
+        .crossJoin(nOrders)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * 1000000L div n_a").as("conf_ppm"),
+          expr("n_ab * n_orders * 1000000L div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
+        .limit(15)
+    }, Some(
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+               FROM lp),
+         freq AS (
+           SELECT pk, CAST(count(*) AS BIGINT) AS n_p
+           FROM lp GROUP BY 1),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2
+           HAVING count(*) >= 2)
+         SELECT a, b, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+                CAST((n_ab * 1000000) // fa.n_p AS BIGINT) AS conf_ppm,
+                CAST((n_ab * n.n_orders * 1000000)
+                  // (fa.n_p * fb.n_p) AS BIGINT) AS lift_ppm
+         FROM pairs
+         JOIN freq fa ON fa.pk = a
+         JOIN freq fb ON fb.pk = b
+         CROSS JOIN n
+         ORDER BY lift_ppm DESC, a ASC, b ASC
+         LIMIT 15""")),
+
     // ------------------------------------------------------------------ A25
     // GINI COEFFICIENT of customer revenue concentration — the
     // inequality census behind every "top-N% of customers" claim.
