@@ -601,6 +601,24 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"top-20 must compile to TakeOrderedAndProject:\n$p")
   }
 
+  test("x23_market_basket: pair candidates from the order-keyed equality join, never parts×parts") {
+    val p = plan("x23_market_basket")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay an equality join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must compile to TakeOrderedAndProject:\n$p")
+  }
+
+  test("l7_curation_funnel: one corpus scan feeds every stage gate") {
+    // the funnel reads `documents` exactly twice by design (the staged
+    // pass + the broadcast eval-hash split) — NOT once per stage
+    val p = plan("l7_curation_funnel")
+    assert(count(p, "documents.parquet") <= 2,
+      s"the five stage gates must share the corpus scan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the eval-hash set must broadcast:\n$p")
+  }
+
   test("l3_binary_quant: Hamming stage is codegen'd xor/bit_count, rerank only after the candidate cut") {
     val p = plan("l3_binary_quant")
     assert(p.contains("bit_count"),
