@@ -3250,6 +3250,147 @@ ORDER BY fold ASC NULLS LAST"""),
          ORDER BY lift_ppm DESC, a ASC, b ASC
          LIMIT 15""")),
 
+    // ------------------------------------------------------------------ A26
+    // SKEWNESS / KURTOSIS from sufficient statistics — the two moment
+    // stats a8 doesn't cover, and a PARITY TRAP dodged deliberately:
+    // Spark's skewness/kurtosis builtins are the BIASED population
+    // estimators while DuckDB's are bias-corrected sample estimators —
+    // the builtins can never hash-match. Both sides therefore compute
+    // the SAME population formulas from five exact BIGINT power sums
+    // (n, Σx..Σx⁴ over whole-unit values so x⁴ stays far from
+    // overflow): g1 = m3/m2^1.5, g2 = m4/m2² − 3, central moments
+    // expanded algebraically from raw sums — one conditional-aggregate
+    // pass, map-side partials, fixed IEEE tree, 6dp.
+    QueryDef.sql("a26_higher_moments",
+      spark =
+        """WITH v AS (
+             SELECT l_returnflag AS flag,
+                    CAST(round(l_quantity) AS BIGINT) AS x
+             FROM lineitem),
+           st AS (
+             SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    CAST(sum(x*x) AS BIGINT) AS s2,
+                    CAST(sum(x*x*x) AS BIGINT) AS s3,
+                    CAST(sum(x*x*x*x) AS BIGINT) AS s4
+             FROM v GROUP BY flag),
+           m AS (
+             SELECT flag, n,
+                    CAST(s1 AS DOUBLE) / n AS mu,
+                    CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      AS m2,
+                    CAST(s3 AS DOUBLE) / n
+                      - 3.0D * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                      + 2.0D * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n) AS m3,
+                    CAST(s4 AS DOUBLE) / n
+                      - 4.0D * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s3 AS DOUBLE) / n)
+                      + 6.0D * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                      - 3.0D * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n) AS m4
+             FROM st)
+           SELECT flag, n,
+                  round(mu * 1000000) / 1000000 AS mean_qty,
+                  round((m3 / power(m2, 1.5D)) * 1000000) / 1000000
+                    AS skewness_pop,
+                  round((m4 / (m2 * m2) - 3.0D) * 1000000) / 1000000
+                    AS kurtosis_excess
+           FROM m ORDER BY flag ASC NULLS LAST""",
+      oracle =
+        """WITH v AS (
+             SELECT l_returnflag AS flag,
+                    CAST(round(l_quantity) AS BIGINT) AS x
+             FROM lineitem),
+           st AS (
+             SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    CAST(sum(x*x) AS BIGINT) AS s2,
+                    CAST(sum(x*x*x) AS BIGINT) AS s3,
+                    CAST(sum(x*x*x*x) AS BIGINT) AS s4
+             FROM v GROUP BY flag),
+           m AS (
+             SELECT flag, n,
+                    CAST(s1 AS DOUBLE) / n AS mu,
+                    CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      AS m2,
+                    CAST(s3 AS DOUBLE) / n
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                      + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n) AS m3,
+                    CAST(s4 AS DOUBLE) / n
+                      - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s3 AS DOUBLE) / n)
+                      + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                      - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n) AS m4
+             FROM st)
+           SELECT flag, n,
+                  round(mu * 1000000) / 1000000 AS mean_qty,
+                  round((m3 / power(m2, 1.5)) * 1000000) / 1000000
+                    AS skewness_pop,
+                  round((m4 / (m2 * m2) - 3.0) * 1000000) / 1000000
+                    AS kurtosis_excess
+           FROM m ORDER BY flag ASC NULLS LAST"""),
+
+    // ------------------------------------------------------------------ W10
+    // TIME-INTERVAL RANGE frames — `RANGE BETWEEN INTERVAL '6' DAY
+    // PRECEDING AND CURRENT ROW` over a DATE ordering: the trailing-
+    // 7-day rolling revenue, with the frame bound by CALENDAR TIME, not
+    // row counts (w3's numeric ranges) — gaps in the series shrink the
+    // window automatically, which row frames get wrong. Runs over the
+    // bounded daily frame (t16 discipline); revenue rides as exact
+    // cents so the rolling sums are order-insensitive BIGINTs.
+    QueryDef.sql("w10_interval_range_frame",
+      spark =
+        """WITH daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+             FROM lineitem
+             WHERE year(l_shipdate) = 1997
+             GROUP BY 1)
+           SELECT day, cents,
+                  CAST(sum(cents) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL '6' DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS trailing_7d_cents,
+                  CAST(count(*) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL '6' DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS days_in_window
+           FROM daily
+           ORDER BY day ASC NULLS LAST""",
+      oracle =
+        """WITH daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+             FROM lineitem
+             WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1997
+             GROUP BY 1)
+           SELECT day, cents,
+                  CAST(sum(cents) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL '6' DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS trailing_7d_cents,
+                  CAST(count(*) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL '6' DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS days_in_window
+           FROM daily
+           ORDER BY day ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------ A25
     // GINI COEFFICIENT of customer revenue concentration — the
     // inequality census behind every "top-N% of customers" claim.
