@@ -2493,6 +2493,57 @@ object Llm {
     // per-language pack window — at 100 TB both key by content-hash /
     // language, so the pipeline is two exchanges end to end, and every
     // stage is the same operator the standalone queries certify.
+    // ------------------------------------------------------------- L5 (n)
+    // SOFT DEDUP via sampling weights — the alternative to dropping
+    // duplicates: keep every copy but weight it 1/cluster_size so the
+    // training distribution matches the deduplicated one in expectation
+    // (the "document-level downweighting" recipe; preserves within-
+    // cluster variation hard dedup destroys). Clusters are exact-hash
+    // groups (the l1 shuffle); weights are exact ppm integers; the
+    // census reports, per cluster-size bucket, how much effective
+    // probability mass survives vs raw — the number that says whether
+    // soft and hard dedup would even differ on this corpus. One hash
+    // shuffle + one bounded bucket agg.
+    QueryDef("l5_soft_dedup_weights", (s, dir) => {
+      val sized = corpusWithDups(s, dir)
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("toks", size(split(col("text"), " ")))
+      val clusters = sized.groupBy(col("h"))
+        .agg(count(lit(1)).as("csize"), sum(col("toks")).as("ctoks"))
+      clusters
+        .withColumn("w_ppm", expr("1000000L div csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"),
+          sum(col("ctoks")).as("n_tokens"),
+          first(col("w_ppm")).as("weight_ppm"))
+        .select(col("csize"), col("n_clusters"), col("n_docs"),
+          col("n_tokens"), col("weight_ppm"),
+          expr("n_clusters * 1000000L").as("effective_mass_ppm"))
+        .orderBy(col("csize").asc_nulls_last)
+    }, Some(
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) - 1), ' ') AS text
+           FROM documents WHERE doc_id < 20),
+         clusters AS (
+           SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS csize,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS ctoks
+           FROM corpus GROUP BY 1)
+         SELECT csize,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(csize) AS BIGINT) AS n_docs,
+                CAST(sum(ctoks) AS BIGINT) AS n_tokens,
+                CAST((1000000 // csize) AS BIGINT) AS weight_ppm,
+                CAST(count(*) * 1000000 AS BIGINT) AS effective_mass_ppm
+         FROM clusters
+         GROUP BY csize
+         ORDER BY csize ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L7 (b)
     // CURATION FUNNEL census — the dashboard number every data team
     // watches: survivors (docs AND tokens) after each successive gate,
