@@ -196,6 +196,31 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("soundex_code: format invariants on random strings") {
+    // whatever the input, the output is NULL or exactly letter+3 digits,
+    // case-insensitive, and stable under repeated suffix noise
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789'- ".toCharArray
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(12)
+      val in = new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      val out = graft.functions.Soundex.code(UTF8String.fromString(in))
+      if (out != null) {
+        val sx = out.toString
+        assert(sx.matches("[A-Z][0-9]{3}"), s"soundex('$in') = '$sx'")
+        // case-insensitivity
+        val lower = graft.functions.Soundex.code(
+          UTF8String.fromString(in.toLowerCase))
+        assert(lower != null && lower.toString == sx,
+          s"case instability on '$in'")
+      } else {
+        assert(in.isEmpty || !in.head.isLetter || in.head > 'z',
+          s"null for letter-headed input '$in'")
+      }
+    }
+  }
+
   test("MV rewrite: random aggregate shapes over the MV equal the direct computation") {
     import spark.implicits._
     import graft.plans.MvRewrite
