@@ -2493,6 +2493,99 @@ object Llm {
     // per-language pack window — at 100 TB both key by content-hash /
     // language, so the pipeline is two exchanges end to end, and every
     // stage is the same operator the standalone queries certify.
+    // ------------------------------------------------------------- L6 (e)
+    // CHAT/SFT CONVERSATION PACKING — assemble multi-turn training
+    // conversations from raw event streams: sessionize per user (the
+    // t4 30-minute-gap discipline), map event kinds to chat roles,
+    // render turns in order into one conversation string, and report
+    // the per-conversation turn mix + a chars/4 token estimate (the
+    // budget number an SFT packer bins on). The ordered fold is the
+    // struct-sort idiom; money renders as exact cents so turn content
+    // is engine-identical. ONE user-keyed window sort (sessionize +
+    // order turns) then a session-keyed aggregate — the t4 shuffle
+    // shape end to end; at 100 TB conversations build map-side within
+    // each user's sorted run.
+    QueryDef("l6_chat_pack", (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_sec", date_trunc("second", col("ts")))
+        .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts_sec"))
+              - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .withColumn("role",
+          when(col("event_type").isin("view", "click"), "user")
+            .when(col("event_type").isin("purchase", "signup"), "assistant")
+            .otherwise("system"))
+        .withColumn("turn", concat(col("role"), lit(": "),
+          col("event_type"), lit(" "),
+          expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)")))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts_sec")).as("session_start"),
+          count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L))
+            .as("n_assistant"),
+          expr("""substring(array_join(transform(
+              array_sort(collect_list(struct(ts_sec, event_id, turn))),
+              x -> x.turn), ' | '), 1, 120)""").as("convo_head"),
+          expr("CAST(sum(length(turn) + 3) div 4 AS BIGINT)")
+            .as("est_tokens"))
+        .select(col("user_id"), col("session_start"), col("n_turns"),
+          col("n_user"), col("n_assistant"), col("convo_head"),
+          col("est_tokens"))
+        .orderBy(col("user_id").asc_nulls_last,
+          col("session_start").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS ts_sec
+           FROM events),
+         sess AS (
+           SELECT *,
+                  sum(CASE WHEN prev_ts IS NULL OR
+                      date_diff('second', prev_ts, ts_sec) > 1800
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                      ORDER BY ts_sec ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sess_id
+           FROM (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec ASC, event_id ASC) AS prev_ts
+                 FROM e)),
+         turns AS (
+           SELECT user_id, sess_id, ts_sec, event_id,
+                  (CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                        WHEN event_type IN ('purchase', 'signup')
+                          THEN 'assistant'
+                        ELSE 'system' END) AS role,
+                  (CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                        WHEN event_type IN ('purchase', 'signup')
+                          THEN 'assistant'
+                        ELSE 'system' END) || ': ' || event_type || ' '
+                    || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                    AS turn
+           FROM sess)
+         SELECT user_id, min(ts_sec) AS session_start,
+                count(*) AS n_turns,
+                CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_user,
+                CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant,
+                substr(string_agg(turn, ' | '
+                  ORDER BY ts_sec ASC, event_id ASC), 1, 120)
+                  AS convo_head,
+                CAST(sum(length(turn) + 3) // 4 AS BIGINT) AS est_tokens
+         FROM turns
+         GROUP BY user_id, sess_id
+         ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (n)
     // SOFT DEDUP via sampling weights — the alternative to dropping
     // duplicates: keep every copy but weight it 1/cluster_size so the

@@ -302,6 +302,16 @@ object Medallion {
     /** dbt-style `manifest.json` + `run_results.json` under `targetDir`.
       * Node ids follow dbt's `model.<project>.<name>` convention so
       * downstream tooling written against dbt artifacts parses these. */
+    /** dbt EXPOSURES — the downstream consumers (dashboards, ML jobs,
+      * notebooks) declared against models so lineage extends past the
+      * warehouse edge: `dbt ls --select +exposure:...` style impact
+      * analysis needs them in manifest.json. Declared statically here
+      * (the analogue of exposures: blocks in schema.yml). */
+    val exposures: Seq[(String, String, Seq[String])] = Seq(
+      ("revenue_dashboard", "dashboard", Seq("gold_daily_revenue")),
+      ("activity_monitor", "dashboard", Seq("gold_daily_events")),
+      ("events_feature_feed", "ml", Seq("silver_events")))
+
     private def writeArtifacts(targetDir: String, order: Seq[Model],
         results: Map[String, RunResult], elapsedSec: Double): Unit = {
       import org.json4s.JsonDSL._
@@ -315,8 +325,19 @@ object Medallion {
             ("path" -> s"$targetDir/${m.name}") ~
             ("depends_on" -> ("nodes" -> m.deps.map(uid))))).toMap) ~
         ("child_map" -> order.map(m =>
-          uid(m.name) -> order.filter(_.deps.contains(m.name))
-            .map(c => uid(c.name))).toMap)
+          uid(m.name) -> (order.filter(_.deps.contains(m.name))
+            .map(c => uid(c.name)) ++
+            exposures.filter(_._3.contains(m.name))
+              .map(e => s"exposure.graft.${e._1}"))).toMap) ~
+        ("exposures" -> exposures
+          .filter(e => e._3.forall(d => order.exists(_.name == d)))
+          .map { case (name, kind, deps) =>
+            s"exposure.graft.$name" -> (
+              ("name" -> name) ~
+              ("resource_type" -> "exposure") ~
+              ("type" -> kind) ~
+              ("depends_on" -> ("nodes" -> deps.map(uid))))
+          }.toMap)
       val runResults =
         ("results" -> order.flatMap(m => results.get(m.name).map(r =>
           ("unique_id" -> uid(m.name)) ~

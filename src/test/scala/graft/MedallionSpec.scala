@@ -828,6 +828,28 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("dbt exposures land in manifest.json with reverse lineage in child_map") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_expo").toString
+    Pipeline.runAll(spark, sf, target)
+    val m = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target, "manifest.json")), "UTF-8"))
+    val expo = (m \ "exposures").asInstanceOf[JObject].obj.toMap
+    assert(expo.contains("exposure.graft.revenue_dashboard"))
+    val rd = expo("exposure.graft.revenue_dashboard")
+    assert((rd \ "type").asInstanceOf[JString].s === "dashboard")
+    assert((rd \ "depends_on" \ "nodes").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s) ===
+      List("model.graft.gold_daily_revenue"))
+    // impact analysis: the model's child_map includes the exposure —
+    // "what breaks if I change gold_daily_revenue" now crosses the
+    // warehouse edge
+    val cm = (m \ "child_map" \ "model.graft.gold_daily_revenue")
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+    assert(cm.contains("exposure.graft.revenue_dashboard"))
+  }
+
   test("Observation API: DQ metrics ride the write action itself — no second scan") {
     // dbt-style test metrics usually cost a second pass over the model;
     // Spark's Observation collects them ON the materializing action
