@@ -3250,6 +3250,69 @@ ORDER BY fold ASC NULLS LAST"""),
          ORDER BY lift_ppm DESC, a ASC, b ASC
          LIMIT 15""")),
 
+    // ------------------------------------------------------------------ X24
+    // TPC-DS q53/q63 SHAPE — windowed share-of-average: monthly brand
+    // sales vs that brand's average monthly sales, flagging months that
+    // deviate >10% (the seasonality-outlier screen). INTEGER-exact
+    // ratio: share_ppm = cents·n_months·1e6 div total_cents (the
+    // window's avg cleared of its division), so the flag threshold
+    // compares BIGINTs and can't ulp-flip. One (brand, month) agg over
+    // the fact join + one brand-partitioned window over the bounded
+    // lattice — the fact table shuffles once. Same SQL text on both
+    // engines except the floor-div spelling.
+    QueryDef("x24_ds_windowed_share", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH m AS (
+             SELECT p_brand AS brand,
+                    CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                      AS INTEGER) AS ym,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE year(l_shipdate) = 1997
+             GROUP BY 1, 2),
+           w AS (
+             SELECT brand, ym, cents,
+                    CAST(sum(cents) OVER (PARTITION BY brand) AS BIGINT)
+                      AS total_cents,
+                    CAST(count(*) OVER (PARTITION BY brand) AS BIGINT)
+                      AS n_months
+             FROM m)
+           SELECT brand, ym, cents,
+                  CAST(cents * n_months * 1000000 div total_cents
+                    AS BIGINT) AS share_of_avg_ppm,
+                  (cents * n_months * 1000000 div total_cents) > 1100000
+                    OR (cents * n_months * 1000000 div total_cents)
+                       < 900000 AS is_outlier
+           FROM w
+           ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")
+    }, Some(
+      """WITH m AS (
+           SELECT p_brand AS brand,
+                  CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                    AS INTEGER) AS ym,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1997
+           GROUP BY 1, 2),
+         w AS (
+           SELECT brand, ym, cents,
+                  CAST(sum(cents) OVER (PARTITION BY brand) AS BIGINT)
+                    AS total_cents,
+                  CAST(count(*) OVER (PARTITION BY brand) AS BIGINT)
+                    AS n_months
+           FROM m)
+         SELECT brand, ym, cents,
+                CAST((cents * n_months * 1000000) // total_cents
+                  AS BIGINT) AS share_of_avg_ppm,
+                ((cents * n_months * 1000000) // total_cents) > 1100000
+                  OR ((cents * n_months * 1000000) // total_cents)
+                     < 900000 AS is_outlier
+         FROM w
+         ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A26
     // SKEWNESS / KURTOSIS from sufficient statistics — the two moment
     // stats a8 doesn't cover, and a PARITY TRAP dodged deliberately:

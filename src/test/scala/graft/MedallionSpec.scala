@@ -727,6 +727,13 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       val v1 = q2.collect().map(_.getLong(1)).sum
       assert(v1 === v0 + 5,
         "the re-armed rewrite must serve the refreshed MV")
+      // HAVING composes for free: the Filter sits ABOVE the Aggregate,
+      // so transformUp rewrites the aggregate beneath it untouched
+      val hv = DeltaLite.read(spark, src).groupBy(col("day"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 5)
+      val hr = scanRoots(hv)
+      assert(hr.nonEmpty && hr.forall(_.startsWith(mvp)),
+        s"HAVING over a rewritable aggregate must still hit the MV: $hr")
     } finally {
       MvRewrite.deregister(src)
       spark.conf.set("spark.graft.mv.autoRewrite", "true")
