@@ -3313,6 +3313,73 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM w
          ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A27
+    // POISSON BOOTSTRAP — the only bootstrap that scales: classic
+    // resampling needs n draws WITH replacement (a global operation);
+    // Poisson(1) weights are independent per row, so each of the 8
+    // resamples is a MAP-SIDE weight column and the whole ensemble is
+    // one pass. Weights are deterministic (inverse-CDF on a per-(row,
+    // replicate) hash against fixed Poisson(1) pmf cutoffs — integer
+    // compares, bit-identical engines), so the resample means and their
+    // spread (the bootstrap standard error of mean order value) are
+    // exact. replicate×row expansion via a literal 8-element array —
+    // still one scan; at 100 TB this is THE way to put error bars on a
+    // corpus statistic.
+    QueryDef("a27_poisson_bootstrap", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH reps AS (
+             SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    r,
+                    (o_orderkey * 1103515245 + r * 12345) % 1000000 AS u
+             FROM orders
+             LATERAL VIEW explode(sequence(0, 7)) AS r),
+           wts AS (
+             SELECT r, cents,
+                    CAST(CASE WHEN u < 367879 THEN 0
+                         WHEN u < 735759 THEN 1
+                         WHEN u < 919699 THEN 2
+                         WHEN u < 980994 THEN 3
+                         ELSE 4 END AS BIGINT) AS w
+             FROM reps),
+           means AS (
+             SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+                    round((CAST(sum(w * cents) AS DOUBLE) / sum(w)
+                      / 100.0D) * 10000) / 10000 AS mean_value
+             FROM wts GROUP BY r)
+           SELECT CAST(r AS INTEGER) AS replicate, n_eff, mean_value,
+                  round((stddev_samp(mean_value) OVER ()) * 10000) / 10000
+                    AS bootstrap_se
+           FROM means
+           ORDER BY replicate ASC NULLS LAST""")
+    }, Some(
+      """WITH reps AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(u.r AS BIGINT) AS r,
+                  (o_orderkey * 1103515245 + CAST(u.r AS BIGINT) * 12345)
+                    % 1000000 AS u
+           FROM orders, unnest(range(0, 8)) u(r)),
+         wts AS (
+           SELECT r, cents,
+                  CAST(CASE WHEN u < 367879 THEN 0
+                       WHEN u < 735759 THEN 1
+                       WHEN u < 919699 THEN 2
+                       WHEN u < 980994 THEN 3
+                       ELSE 4 END AS BIGINT) AS w
+           FROM reps),
+         means AS (
+           SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+                  round((CAST(sum(w * cents) AS DOUBLE) / sum(w)
+                    / 100.0) * 10000) / 10000 AS mean_value
+           FROM wts GROUP BY r)
+         SELECT CAST(r AS INTEGER) AS replicate, n_eff, mean_value,
+                round((stddev_samp(mean_value) OVER ()) * 10000) / 10000
+                  AS bootstrap_se
+         FROM means
+         ORDER BY replicate ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A26
     // SKEWNESS / KURTOSIS from sufficient statistics — the two moment
     // stats a8 doesn't cover, and a PARITY TRAP dodged deliberately:
