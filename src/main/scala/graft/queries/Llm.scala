@@ -2493,6 +2493,75 @@ object Llm {
     // per-language pack window — at 100 TB both key by content-hash /
     // language, so the pipeline is two exchanges end to end, and every
     // stage is the same operator the standalone queries certify.
+    // ------------------------------------------------------------- L4 (x)
+    // SELF-BLEU diversity probe — the genai-data health metric: how
+    // much does each document's n-gram content overlap the REST of the
+    // sample? High self-BLEU = mode collapse / template spam; the
+    // number curation teams track when synthetic data enters the mix.
+    // Per sampled doc: distinct bigrams, the fraction found in ANY
+    // other sampled doc (bigram EQUALITY semi-join — never pairwise
+    // text compare), ratio as exact ppm ints, and the sample mean as
+    // one more integer div. The ≤20-doc sample bound is the scale
+    // contract (the l3 query-set discipline); corpus-wide diversity
+    // tracks the same ratio over hash-bucketed bigram joins.
+    QueryDef("l4_self_bleu", (s, dir) => {
+      val bg = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .withColumn("arr", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(arr) >= 2
+             THEN transform(sequence(1, size(arr) - 1),
+                  i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))
+             ELSE array() END""")).as("bigram"))
+        .distinct()
+      val other = bg.select(col("doc_id").as("od"), col("bigram").as("ob"))
+      val matched = bg.join(other,
+          col("bigram") === col("ob") && col("doc_id") =!= col("od"),
+          "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+      val per = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+        .join(matched, Seq("doc_id"), "left_outer")
+        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+        .withColumn("self_bleu_ppm",
+          expr("n_matched * 1000000L div n_bigrams"))
+      per.select(col("doc_id"), col("n_bigrams"), col("n_matched"),
+          col("self_bleu_ppm"),
+          expr("CAST(sum(self_bleu_ppm) OVER () div count(*) OVER () AS BIGINT)")
+            .as("sample_mean_ppm"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH bg AS (
+           SELECT DISTINCT doc_id, bigram FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text, ' ')) >= 2
+                    THEN list_transform(range(1, len(string_split(text, ' '))),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i + 1])
+                    ELSE [] END) AS bigram
+             FROM documents WHERE doc_id < 20)),
+         matched AS (
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+           FROM bg b
+           WHERE EXISTS (SELECT 1 FROM bg o
+                         WHERE o.bigram = b.bigram
+                           AND o.doc_id <> b.doc_id)
+           GROUP BY 1),
+         per AS (
+           SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(coalesce(any_value(m.n_matched), 0) AS BIGINT)
+                    AS n_matched
+           FROM bg LEFT JOIN matched m ON bg.doc_id = m.doc_id
+           GROUP BY 1),
+         r AS (
+           SELECT doc_id, n_bigrams, n_matched,
+                  CAST((n_matched * 1000000) // n_bigrams AS BIGINT)
+                    AS self_bleu_ppm
+           FROM per)
+         SELECT doc_id, n_bigrams, n_matched, self_bleu_ppm,
+                CAST((sum(self_bleu_ppm) OVER ()) // (count(*) OVER ())
+                  AS BIGINT) AS sample_mean_ppm
+         FROM r
+         ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L6 (e)
     // CHAT/SFT CONVERSATION PACKING — assemble multi-turn training
     // conversations from raw event streams: sessionize per user (the
