@@ -1091,6 +1091,60 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T22
+    // DAU / WAU / MAU + STICKINESS — the product-engagement KPI set.
+    // Exact windowed DISTINCT users (which plain window frames cannot
+    // express) via the bounded-grid join: the corpus collapses ONCE to
+    // the distinct (user, day) frame, the day grid joins activity in
+    // [d−6, d] / [d−29, d] ranges, and each window is a COUNT DISTINCT
+    // over that bounded join — rows ≈ users×window, never events×
+    // anything. Stickiness = DAU·1e6 div MAU stays integer. At 100 TB
+    // the (user, day) frame IS the scalable representation (the t10
+    // cohort move); at extreme user counts the exact distinct swaps
+    // for the a3 HLL sketch with identical plumbing.
+    QueryDef("t22_dau_wau_mau", (s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .distinct()
+        .localCheckpoint(false)
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = days.alias("d").join(ud.alias("u"),
+          expr("u.day BETWEEN date_sub(d.day, 6) AND d.day"))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("wau"))
+      val mau = days.alias("d").join(ud.alias("u"),
+          expr("u.day BETWEEN date_sub(d.day, 29) AND d.day"))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("mau"))
+      dau.join(wau, "day").join(mau, "day")
+        .withColumn("stickiness_ppm", expr("dau * 1000000L div mau"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         ud AS (
+           SELECT DISTINCT user_id, CAST(ts_sec AS DATE) AS day FROM e),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (
+           SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           FROM ud GROUP BY 1),
+         wau AS (
+           SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+           FROM days d JOIN ud u
+             ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+           GROUP BY 1),
+         mau AS (
+           SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+           FROM days d JOIN ud u
+             ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+           GROUP BY 1)
+         SELECT dau.day, dau, wau, mau,
+                CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_ppm
+         FROM dau JOIN wau ON dau.day = wau.day
+         JOIN mau ON dau.day = mau.day
+         ORDER BY dau.day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T21
     // LAST-TOUCH ATTRIBUTION — the event-stream join every marketing /
     // conversion pipeline runs: attribute each purchase to the user's
