@@ -1091,6 +1091,73 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ W11
+    // SEQUENCE-PATTERN MATCH over sessions (MATCH_RECOGNIZE-lite): each
+    // session renders as its ordered event-initial STRING (one
+    // struct-sort fold), and ordered patterns become REGEXES over that
+    // string — 'v.*c.*p' = view, later click, later purchase, with
+    // arbitrary noise between (t9's funnel counts stage TIMES; this
+    // matches ORDER with gaps, the MATCH_RECOGNIZE use case). Census:
+    // sessions matching each successive pattern prefix. One user-keyed
+    // sessionize + session-keyed fold; regexes run per SESSION STRING
+    // (bounded), never per event.
+    QueryDef("w11_sequence_pattern", (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts_sec"))
+              - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(expr("""array_join(transform(
+            array_sort(collect_list(struct(ts_sec, event_id,
+              substring(event_type, 1, 1) AS i))), x -> x.i), '')""")
+          .as("seq"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(expr("CAST(seq RLIKE 'v' AS LONG)")).as("n_view"),
+          sum(expr("CAST(seq RLIKE 'v.*c' AS LONG)")).as("n_view_click"),
+          sum(expr("CAST(seq RLIKE 'v.*c.*p' AS LONG)"))
+            .as("n_view_click_purchase"),
+          sum(expr("CAST(seq RLIKE '^s' AS LONG)"))
+            .as("n_signup_first"),
+          expr("CAST(sum(length(seq)) AS BIGINT)").as("n_events"))
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         sess AS (
+           SELECT user_id, event_id, ts_sec, event_type,
+                  sum(CASE WHEN prev_ts IS NULL OR
+                      date_diff('second', prev_ts, ts_sec) > 1800
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                      ORDER BY ts_sec ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sess_id
+           FROM (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec ASC, event_id ASC) AS prev_ts
+                 FROM e)),
+         seqs AS (
+           SELECT user_id, sess_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts_sec ASC, event_id ASC) AS seq
+           FROM sess GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(CASE WHEN regexp_matches(seq, 'v')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+                CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                  THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_view_click_purchase,
+                CAST(sum(CASE WHEN regexp_matches(seq, '^s')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_first,
+                CAST(sum(length(seq)) AS BIGINT) AS n_events
+         FROM seqs""")),
+
     // ------------------------------------------------------------------ T22
     // DAU / WAU / MAU + STICKINESS — the product-engagement KPI set.
     // Exact windowed DISTINCT users (which plain window frames cannot

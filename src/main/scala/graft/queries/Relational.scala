@@ -3313,6 +3313,101 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM w
          ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A28
+    // MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric partner to
+    // a24's Welch test: compares weekend vs weekday value DISTRIBUTIONS
+    // with no normality assumption, on RANKS. Tie-averaged ranks are
+    // half-integers, so everything rides DOUBLED ranks (2·rank sums
+    // stay exact BIGINTs; ties resolved by the (low+high) closed form
+    // from a per-value count+cumsum — no per-row float); U and the
+    // normal-approximation z (with tie-corrected variance) are a fixed
+    // IEEE tree over those integers. One value-keyed agg + one bounded
+    // window pass over the distinct-value frame — the corpus never
+    // sorts globally.
+    QueryDef.sql("a28_mann_whitney",
+      spark =
+        """WITH g AS (
+             SELECT CASE WHEN dayofweek(CAST(ts AS DATE)) IN (1, 7)
+                         THEN 1 ELSE 0 END AS is_wknd,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events WHERE value IS NOT NULL),
+           vc AS (
+             SELECT cents, CAST(count(*) AS BIGINT) AS c,
+                    CAST(sum(is_wknd) AS BIGINT) AS c_wknd
+             FROM g GROUP BY cents),
+           rk AS (
+             SELECT cents, c, c_wknd,
+                    CAST(coalesce(sum(c) OVER (ORDER BY cents ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS below
+             FROM vc),
+           st AS (
+             SELECT CAST(sum(c_wknd * (2 * below + c + 1)) AS BIGINT)
+                      AS r2_wknd,
+                    CAST(sum(c_wknd) AS BIGINT) AS n1,
+                    CAST(sum(c - c_wknd) AS BIGINT) AS n2,
+                    CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+             FROM rk),
+           u AS (
+             SELECT n1, n2,
+                    (CAST(r2_wknd AS DOUBLE) / 2.0D
+                      - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0D) AS u1
+             FROM st),
+           z AS (
+             SELECT n1, n2, u1,
+                    sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0D
+                      * ((n1 + n2 + 1)
+                        - CAST((SELECT tie_term FROM st) AS DOUBLE)
+                          / ((n1 + n2) * (CAST(n1 + n2 AS DOUBLE) - 1))))
+                      AS sd
+             FROM u)
+           SELECT n1 AS n_weekend, n2 AS n_weekday,
+                  round(u1 * 100) / 100 AS u_stat,
+                  round(((u1 - CAST(n1 AS DOUBLE) * n2 / 2.0D) / sd)
+                    * 1000000) / 1000000 AS z_approx
+           FROM z""",
+      oracle =
+        """WITH g AS (
+             SELECT CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                         THEN 1 ELSE 0 END AS is_wknd,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events WHERE value IS NOT NULL),
+           vc AS (
+             SELECT cents, CAST(count(*) AS BIGINT) AS c,
+                    CAST(sum(is_wknd) AS BIGINT) AS c_wknd
+             FROM g GROUP BY cents),
+           rk AS (
+             SELECT cents, c, c_wknd,
+                    CAST(coalesce(sum(c) OVER (ORDER BY cents ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS below
+             FROM vc),
+           st AS (
+             SELECT CAST(sum(c_wknd * (2 * below + c + 1)) AS BIGINT)
+                      AS r2_wknd,
+                    CAST(sum(c_wknd) AS BIGINT) AS n1,
+                    CAST(sum(c - c_wknd) AS BIGINT) AS n2,
+                    CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+             FROM rk),
+           u AS (
+             SELECT n1, n2,
+                    (CAST(r2_wknd AS DOUBLE) / 2.0
+                      - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) AS u1
+             FROM st),
+           z AS (
+             SELECT n1, n2, u1,
+                    sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                      * ((n1 + n2 + 1)
+                        - CAST((SELECT tie_term FROM st) AS DOUBLE)
+                          / ((n1 + n2) * (CAST(n1 + n2 AS DOUBLE) - 1))))
+                      AS sd
+             FROM u)
+           SELECT n1 AS n_weekend, n2 AS n_weekday,
+                  round(u1 * 100) / 100 AS u_stat,
+                  round(((u1 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sd)
+                    * 1000000) / 1000000 AS z_approx
+           FROM z"""),
+
     // ------------------------------------------------------------------ A27
     // POISSON BOOTSTRAP — the only bootstrap that scales: classic
     // resampling needs n draws WITH replacement (a global operation);
