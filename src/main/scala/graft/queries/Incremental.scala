@@ -1091,6 +1091,69 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T23
+    // INTERARRIVAL BURSTINESS — the queueing-theory census per event
+    // type: coefficient of variation of inter-event gaps and the
+    // Goh-Barabási burstiness index B = (CV−1)/(CV+1) (−1 periodic, 0
+    // Poisson, →1 bursty). Gaps are exact integer seconds from ONE
+    // type-keyed lead sort; CV derives from three exact BIGINT
+    // sufficient stats (n, Σg, Σg²) — the a24/a26 discipline, so B is
+    // a fixed IEEE tree. What it's for: capacity planning reads CV
+    // directly; a B shift flags upstream batching/retry storms before
+    // volume alarms (d4) move.
+    QueryDef("t23_interarrival_burstiness", (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      ev(s, dir)
+        .withColumn("gap",
+          (unix_timestamp(col("ts_sec"))
+            - unix_timestamp(lag(col("ts_sec"), 1).over(w))).cast("long"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_g"),
+          sum(col("gap") * col("gap")).as("sum_g2"))
+        .withColumn("mean_gap_sec", expr(
+          "round((CAST(sum_g AS DOUBLE) / n_gaps) * 100) / 100"))
+        .withColumn("cv", expr(
+          """round((sqrt((CAST(sum_g2 AS DOUBLE)
+               - CAST(sum_g AS DOUBLE) * sum_g / n_gaps) / n_gaps)
+               / (CAST(sum_g AS DOUBLE) / n_gaps)) * 1000000) / 1000000"""))
+        .withColumn("burstiness", expr(
+          "round(((cv - 1.0D) / (cv + 1.0D)) * 1000000) / 1000000"))
+        .select(col("event_type"), col("n_gaps"), col("mean_gap_sec"),
+          col("cv"), col("burstiness"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         gaps AS (
+           SELECT event_type,
+                  CAST(date_diff('second',
+                    lag(ts_sec) OVER (PARTITION BY event_type
+                      ORDER BY ts_sec ASC, event_id ASC), ts_sec)
+                    AS BIGINT) AS gap
+           FROM e),
+         st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(gap) AS BIGINT) AS sum_g,
+                  CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+           FROM gaps WHERE gap IS NOT NULL
+           GROUP BY 1),
+         m AS (
+           SELECT event_type, n_gaps,
+                  round((CAST(sum_g AS DOUBLE) / n_gaps) * 100) / 100
+                    AS mean_gap_sec,
+                  round((sqrt((CAST(sum_g2 AS DOUBLE)
+                    - CAST(sum_g AS DOUBLE) * sum_g / n_gaps) / n_gaps)
+                    / (CAST(sum_g AS DOUBLE) / n_gaps)) * 1000000)
+                    / 1000000 AS cv
+           FROM st)
+         SELECT event_type, n_gaps, mean_gap_sec, cv,
+                round(((cv - 1.0) / (cv + 1.0)) * 1000000) / 1000000
+                  AS burstiness
+         FROM m
+         ORDER BY event_type ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ W11
     // SEQUENCE-PATTERN MATCH over sessions (MATCH_RECOGNIZE-lite): each
     // session renders as its ordered event-initial STRING (one
