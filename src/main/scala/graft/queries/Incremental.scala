@@ -1091,6 +1091,59 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T24
+    // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
+    // event stream: per hour, error share vs a 1% SLO in exact ppm,
+    // the rolling-6h burn rate (how many times faster than allowed the
+    // budget is burning — the multiwindow-burn-alert number), and the
+    // month-to-date budget consumed. ALL integer until display: shares
+    // as error·1e6 div total, burn = share div SLO share, cumulative
+    // budget from running sums — threshold compares on BIGINTs, alerts
+    // can't ulp-flip. One hour-keyed agg collapses the corpus; windows
+    // run over the bounded hourly frame (t16 discipline).
+    QueryDef("t24_slo_burn", (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts_sec")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+      val w6 = Window.orderBy(col("hour").asc).rowsBetween(-5, 0)
+      val wCum = Window.orderBy(col("hour").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .withColumn("err_ppm", expr("n_err * 1000000L div n"))
+        .withColumn("burn_6h_x100", expr(
+          "(sum(n_err) OVER (ORDER BY hour ASC ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) * 100L * 100L div (sum(n) OVER (ORDER BY hour ASC ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))"))
+        .withColumn("budget_used_ppm", expr(
+          "(sum(n_err) OVER (ORDER BY hour ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100L * 1000000L div (sum(n) OVER (ORDER BY hour ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"))
+        .select(col("hour"), col("n"), col("n_err"), col("err_ppm"),
+          col("burn_6h_x100"),
+          (col("burn_6h_x100") > 200L).as("page_alert"),
+          col("budget_used_ppm"))
+        .orderBy(col("hour").asc_nulls_last)
+    }, Some(
+      s"""WITH e AS ($oracleEv),
+         hourly AS (
+           SELECT CAST(date_trunc('hour', ts_sec) AS TIMESTAMP) AS hour,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_err
+           FROM e GROUP BY 1)
+         SELECT hour, n, n_err,
+                CAST((n_err * 1000000) // n AS BIGINT) AS err_ppm,
+                CAST((sum(n_err) OVER w6) * 100 * 100
+                  // (sum(n) OVER w6) AS BIGINT) AS burn_6h_x100,
+                ((sum(n_err) OVER w6) * 100 * 100
+                  // (sum(n) OVER w6)) > 200 AS page_alert,
+                CAST((sum(n_err) OVER wc) * 100 * 1000000
+                  // (sum(n) OVER wc) AS BIGINT) AS budget_used_ppm
+         FROM hourly
+         WINDOW w6 AS (ORDER BY hour ASC
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+           wc AS (ORDER BY hour ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY hour ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T23
     // INTERARRIVAL BURSTINESS — the queueing-theory census per event
     // type: coefficient of variation of inter-event gaps and the
