@@ -3923,6 +3923,9 @@ object Llm {
         .withColumn("dist2", expr(
           """aggregate(zip_with(q, sarr, (x, y) -> (x * n - y) * (x * n - y)),
              0L, (a, v) -> a + v)"""))
+        // Headroom: dist2 ≤ 64·(2·1000·n)² — safe to n ≈ 2.6e6 vectors
+        // per partition-of-analysis; larger corpora run the same census
+        // per shard and merge counts (bucket sums are additive).
         // dist2 / (1000·n)² = squared L2; unit-ish vectors to a
         // near-zero centroid concentrate at ≈1 (measured 0.97-1.02), so
         // the bins window [0.96, 1.02) at 0.006 resolution:

@@ -3625,6 +3625,9 @@ ORDER BY fold ASC NULLS LAST"""),
     // integer; per-customer revenue is one keyed agg and the rank is
     // one window over the CUSTOMER-cardinality frame (the corpus never
     // sorts — 100 TB discipline: rank the aggregate, not the facts).
+    // Headroom note: Σ(i·xᵢ) peaks at ~n²·mean_cents — safe through
+    // ~1e8 customers at these amounts; beyond that, scale cents→dollars
+    // before ranking (both engines identically) to reclaim 100×.
     QueryDef("a25_gini", (s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
