@@ -2655,6 +2655,68 @@ object Llm {
          GROUP BY user_id, sess_id
          ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (o)
+    // FILL-IN-THE-MIDDLE (FIM) transform — the code-model pretraining
+    // staple (PSM format): split each doc into prefix/middle/suffix at
+    // two HASH-CHOSEN token boundaries (deterministic integer split
+    // points from doc_id — bit-identical engines, and uniform-ish over
+    // the doc like the real random transform), then render
+    // `<PRE> prefix <SUF> suffix <MID> middle` so the model learns to
+    // infill with right context. Map-only slicing lambdas per row; the
+    // census reports split-point stats + rendered heads. At 100 TB FIM
+    // is a map stage in the packing pipeline — zero shuffles of its
+    // own (the census agg here is the demo's reporting).
+    QueryDef("l5_fim_transform", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("n", size(col("arr")))
+        .filter(col("n") >= 10)
+        // two ordered cut points in [1, n-1], hash-derived
+        .withColumn("c1", expr(
+          "CAST(1 + (doc_id * 2654435761L) % (n - 2) AS INT)"))
+        .withColumn("c2raw", expr(
+          "CAST(1 + (doc_id * 40503L + 7) % (n - 2) AS INT)"))
+        .withColumn("lo", least(col("c1"), col("c2raw")))
+        .withColumn("hi", greatest(col("c1"), col("c2raw")) + 1)
+        .withColumn("fim", expr(
+          """concat('<PRE> ', array_join(slice(arr, 1, lo), ' '),
+             ' <SUF> ', array_join(slice(arr, hi + 1, n - hi), ' '),
+             ' <MID> ', array_join(slice(arr, lo + 1, hi - lo), ' '))"""))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("lo").as("prefix_end"), col("hi").as("middle_end"),
+          (col("hi") - col("lo")).as("middle_len"),
+          expr("substring(fim, 1, 120)").as("fim_head"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS arr,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+           FROM documents),
+         cuts AS (
+           SELECT doc_id, arr, n,
+                  CAST(1 + (doc_id * 2654435761) % (n - 2) AS INTEGER)
+                    AS c1,
+                  CAST(1 + (doc_id * 40503 + 7) % (n - 2) AS INTEGER)
+                    AS c2raw
+           FROM b WHERE n >= 10),
+         lh AS (
+           SELECT doc_id, arr, n,
+                  least(c1, c2raw) AS lo,
+                  greatest(c1, c2raw) + 1 AS hi
+           FROM cuts)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+                CAST(lo AS INTEGER) AS prefix_end,
+                CAST(hi AS INTEGER) AS middle_end,
+                CAST(hi - lo AS INTEGER) AS middle_len,
+                substr('<PRE> ' || array_to_string(list_slice(arr, 1, lo), ' ')
+                  || ' <SUF> '
+                  || array_to_string(list_slice(arr, hi + 1, n), ' ')
+                  || ' <MID> '
+                  || array_to_string(list_slice(arr, lo + 1, hi), ' '),
+                  1, 120) AS fim_head
+         FROM lh
+         ORDER BY doc_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (n)
     // SOFT DEDUP via sampling weights — the alternative to dropping
     // duplicates: keep every copy but weight it 1/cluster_size so the

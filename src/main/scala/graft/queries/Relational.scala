@@ -3313,6 +3313,73 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM w
          ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ W12
+    // ROLLING REGRESSION SLOPE — the trend detector a moving average
+    // lags on: per day, the least-squares slope of revenue over the
+    // trailing 7 days, from FOUR windowed sufficient sums (k, Σx, Σy,
+    // Σxy, Σx² with x = day index, y = cents — all exact BIGINT window
+    // sums; the a21 sufficient-statistics discipline inside a window
+    // frame). One day-keyed agg collapses the fact table; the windows
+    // run over the bounded daily frame. Slope sign flips are the
+    // trend-break signal t17's global changepoint doesn't localize.
+    QueryDef.sql("w12_rolling_slope",
+      spark =
+        """WITH daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day,
+                    CAST(datediff(CAST(l_shipdate AS DATE),
+                      DATE '1997-01-01') AS BIGINT) AS x,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+             FROM lineitem
+             WHERE year(l_shipdate) = 1997
+             GROUP BY 1, 2),
+           w AS (
+             SELECT day, y,
+                    CAST(count(*) OVER f AS BIGINT) AS k,
+                    CAST(sum(x) OVER f AS BIGINT) AS sx,
+                    CAST(sum(y) OVER f AS BIGINT) AS sy,
+                    CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+                    CAST(sum(x * x) OVER f AS BIGINT) AS sxx
+             FROM daily
+             WINDOW f AS (ORDER BY day ASC
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           SELECT day, y AS cents,
+                  CASE WHEN k >= 3 AND k * sxx - sx * sx <> 0
+                       THEN round((CAST(k * sxy - sx * sy AS DOUBLE)
+                         / CAST(k * sxx - sx * sx AS DOUBLE) / 100.0D)
+                         * 10000) / 10000
+                  END AS slope_7d
+           FROM w
+           ORDER BY day ASC NULLS LAST""",
+      oracle =
+        """WITH daily AS (
+             SELECT CAST(l_shipdate AS DATE) AS day,
+                    CAST(date_diff('day', DATE '1997-01-01',
+                      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+             FROM lineitem
+             WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1997
+             GROUP BY 1, 2),
+           w AS (
+             SELECT day, y,
+                    CAST(count(*) OVER f AS BIGINT) AS k,
+                    CAST(sum(x) OVER f AS BIGINT) AS sx,
+                    CAST(sum(y) OVER f AS BIGINT) AS sy,
+                    CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+                    CAST(sum(x * x) OVER f AS BIGINT) AS sxx
+             FROM daily
+             WINDOW f AS (ORDER BY day ASC
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           SELECT day, y AS cents,
+                  CASE WHEN k >= 3 AND k * sxx - sx * sx <> 0
+                       THEN round((CAST(k * sxy - sx * sy AS DOUBLE)
+                         / CAST(k * sxx - sx * sx AS DOUBLE) / 100.0)
+                         * 10000) / 10000
+                  END AS slope_7d
+           FROM w
+           ORDER BY day ASC NULLS LAST"""),
+
     // ------------------------------------------------------------------ A28
     // MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric partner to
     // a24's Welch test: compares weekend vs weekday value DISTRIBUTIONS
