@@ -2655,6 +2655,50 @@ object Llm {
          GROUP BY user_id, sess_id
          ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L5 (p)
+    // CLASS-BALANCED DOWNSAMPLING — equalize label counts to the
+    // minority class (the classifier-data staple; naive random
+    // sampling keeps the imbalance): rank within each label by a
+    // deterministic hash order (so the kept subset is stable and
+    // engine-identical, the p10 consistent-sampling discipline) and
+    // keep rank ≤ min class size. One label-keyed window + a broadcast
+    // 1-row min; census proves exact balance. At 100 TB the same rank
+    // cutoff runs per label partition — no global sort, no collect.
+    QueryDef("l5_balanced_downsample", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val minN = broadcast(e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("min_n")))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(expr("(vec_id * 2654435761L) % 1000003").asc,
+          col("vec_id").asc)
+      GraftFunctions.register(s)
+      e.withColumn("rk", row_number().over(w))
+        .crossJoin(minN)
+        .filter(col("rk") <= col("min_n"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("vec_id")).as("first_kept"),
+          expr("CAST(sum(vec_id) AS BIGINT)").as("sum_kept_ids"))
+        .orderBy(col("label").asc_nulls_last)
+    }, Some(
+      """WITH n AS (
+           SELECT CAST(min(cnt) AS BIGINT) AS min_n FROM (
+             SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1)),
+         rk AS (
+           SELECT label, vec_id,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY (vec_id * 2654435761) % 1000003 ASC,
+                             vec_id ASC) AS rk
+           FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+                min(vec_id) AS first_kept,
+                CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+         FROM rk CROSS JOIN n
+         WHERE rk <= min_n
+         GROUP BY label
+         ORDER BY label ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L5 (o)
     // FILL-IN-THE-MIDDLE (FIM) transform — the code-model pretraining
     // staple (PSM format): split each doc into prefix/middle/suffix at
