@@ -98,7 +98,10 @@ object Soundex {
           lastCode = c
         }
       } else {
-        lastCode = '0' // non-letters break merges like vowels
+        // non-letters: skipped entirely (like H/W) — lastCode survives,
+        // so same-coded letters straddling punctuation still merge
+        // (e.g. hyphenated surnames: Sack-Zack → S220, the blocking-
+        // recall-preserving behavior the scaladoc documents)
       }
       i += 1
     }

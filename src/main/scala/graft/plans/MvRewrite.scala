@@ -203,7 +203,14 @@ object MvRewrite extends Rule[LogicalPlan] {
               mv.minMap.get(ar.name).flatMap(mvAttr).map(m => aggOf(Min(m)))
             case Max(ar: AttributeReference) =>
               mv.maxMap.get(ar.name).flatMap(mvAttr).map(m => aggOf(Max(m)))
-            case Average(ar: AttributeReference, _) =>
+            case Average(ar: AttributeReference, _) if !ar.nullable =>
+              // AVG divides by the NON-NULL count of the measure; the MV
+              // stores COUNT(*). The two agree only when the measure is
+              // provably non-null — a nullable measure must DECLINE
+              // (rewriting would divide by too many rows and silently
+              // shrink the average, breaking the can-only-decline
+              // contract). Extending MvDef with a per-measure non-null
+              // count would lift this; until then nullable ⇒ fall through.
               for {
                 s <- mv.sumMap.get(ar.name).flatMap(mvAttr)
                 c <- mvAttr(mv.cntCol)

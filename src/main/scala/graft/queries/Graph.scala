@@ -586,9 +586,16 @@ object Graph {
         .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
         .crossJoin(m)
         .withColumn("q_num", expr("4L * m * e_c - d_c * d_c"))
+        // Σq_num can be NEGATIVE (modularity of a poor partition < 0):
+        // Spark `div` truncates toward zero, DuckDB `//` floors — they
+        // disagree by 1 on any negative non-exact quotient. Explicit
+        // BIGINT floordiv (non-negative mod, then exact div) matches
+        // DuckDB for every sign; denom 4m² > 0 always.
+        .withColumn("q_tot", expr("(sum(q_num) OVER ()) * 1000000L"))
+        .withColumn("denom", expr("4L * m * m"))
         .select(col("lab").as("community"), col("n_nodes"), col("d_c"),
           col("e_c"), col("q_num"),
-          expr("(sum(q_num) OVER ()) * 1000000L div (4L * m * m)")
+          expr("(q_tot - (((q_tot % denom) + denom) % denom)) div denom")
             .as("q_ppm"))
         .orderBy(col("community").asc_nulls_last)
     }, Some(

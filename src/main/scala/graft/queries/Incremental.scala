@@ -546,15 +546,36 @@ object Incremental {
     // window pass (running max over epoch seconds, integer-exact) feeds
     // a per-day census: late fraction and worst lag — exactly the
     // numbers that justify `withWatermark("ts", X)` in the streaming
-    // twins. At 100 TB the window partitions by ingest shard (arrival
-    // order is per-shard there); the fixture's single global order keeps
-    // the oracle total.
+    // twins. The running max is DISTRIBUTED two-phase (the p11 move,
+    // adapted from rank to max): arrival order splits into ≤32
+    // CONTIGUOUS event_id blocks, each block computes its own running
+    // max in parallel, and the global high-water mark is
+    // greatest(prefix max of all strictly-earlier blocks, in-block
+    // running max) — prefix maxes live on a ≤32-row frame, the only
+    // thing that ever single-partitions. At 100 TB the block count is
+    // the parallelism knob (or the physical ingest shard id); no plan
+    // node ever moves the corpus to one partition.
     QueryDef("t14_late_audit", (s, dir) => {
-      val w = Window.orderBy(col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, dir)
+      val base = ev(s, dir)
         .withColumn("ts_e", unix_timestamp(col("ts_sec")))
-        .withColumn("hwm", max(col("ts_e")).over(w))
+      val bounds = broadcast(base.agg(
+        min(col("event_id")).as("lo"),
+        greatest(lit(1L), ceil((max(col("event_id")) - min(col("event_id"))
+          + lit(1)).cast("double") / 32.0D).cast("long")).as("blk")))
+      val sharded = base.crossJoin(bounds)
+        .withColumn("shard", expr("CAST(event_id - lo AS BIGINT) div blk"))
+      val iw = Window.partitionBy(col("shard")).orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = sharded.withColumn("hwm_in", max(col("ts_e")).over(iw))
+      val ow = Window.orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = within.groupBy(col("shard"))
+        .agg(max(col("ts_e")).as("smax"))
+        .withColumn("pmax", max(col("smax")).over(ow))
+        .select(col("shard"), col("pmax"))
+      within.join(broadcast(prefix), Seq("shard"))
+        .withColumn("hwm",
+          greatest(col("hwm_in"), coalesce(col("pmax"), col("hwm_in"))))
         .select(col("ts_sec").cast("date").as("day"),
           (col("hwm") - col("ts_e")).as("lag_s"))
         .groupBy(col("day"))
@@ -1277,30 +1298,34 @@ object Incremental {
     // ------------------------------------------------------------------ T22
     // DAU / WAU / MAU + STICKINESS — the product-engagement KPI set.
     // Exact windowed DISTINCT users (which plain window frames cannot
-    // express) via the bounded-grid join: the corpus collapses ONCE to
-    // the distinct (user, day) frame, the day grid joins activity in
-    // [d−6, d] / [d−29, d] ranges, and each window is a COUNT DISTINCT
-    // over that bounded join — rows ≈ users×window, never events×
-    // anything. Stickiness = DAU·1e6 div MAU stays integer. At 100 TB
-    // the (user, day) frame IS the scalable representation (the t10
-    // cohort move); at extreme user counts the exact distinct swaps
-    // for the a3 HLL sketch with identical plumbing.
+    // express) via sequence+explode EQUI-aggregation (the t8 gap-fill
+    // move): the corpus collapses ONCE to the distinct (user, day)
+    // frame, then each activity row EMITS the ≤7 / ≤30 window-days it
+    // covers and the rolling distinct is a plain keyed COUNT DISTINCT —
+    // O(grid×window) rows and zero non-equi joins (the grid×days
+    // BroadcastNestedLoopJoin this replaced paid |grid|·|days|
+    // comparisons — quadratic in the observation span). Emitted days
+    // with no activity of their own drop out in the inner join with the
+    // DAU frame, which restricts output to observed days exactly like
+    // the BETWEEN-join formulation. Stickiness = DAU·1e6 div MAU stays
+    // integer. At 100 TB the (user, day) frame IS the scalable
+    // representation (the t10 cohort move); at extreme user counts the
+    // exact distinct swaps for the a3 HLL sketch, same plumbing.
     QueryDef("t22_dau_wau_mau", (s, dir) => {
       val ud = ev(s, dir)
         .select(col("user_id"), col("ts_sec").cast("date").as("day"))
         .distinct()
         .localCheckpoint(false)
-      val days = ud.select(col("day")).distinct()
       val dau = ud.groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("dau"))
-      val wau = days.alias("d").join(ud.alias("u"),
-          expr("u.day BETWEEN date_sub(d.day, 6) AND d.day"))
-        .groupBy(col("d.day").as("day"))
-        .agg(countDistinct(col("u.user_id")).as("wau"))
-      val mau = days.alias("d").join(ud.alias("u"),
-          expr("u.day BETWEEN date_sub(d.day, 29) AND d.day"))
-        .groupBy(col("d.day").as("day"))
-        .agg(countDistinct(col("u.user_id")).as("mau"))
+      val wau = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val mau = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 29))")).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
       dau.join(wau, "day").join(mau, "day")
         .withColumn("stickiness_ppm", expr("dau * 1000000L div mau"))
         .orderBy(col("day").asc_nulls_last)

@@ -1048,11 +1048,16 @@ object Llm {
     // into 4 equal-frequency buckets — head/middle/tail selection for
     // training mixes. The LM "training" is one token-frequency aggregate;
     // scoring joins tokens to frequencies (shuffle keyed by token, the
-    // corpus-stat scalars broadcast) — no driver state, no model file. At
-    // 100 TB the ntile over the global score order becomes per-shard
-    // bucketing against approx-quantile cutoffs; the equal-frequency
-    // semantics is identical. Scores are rounded to 6dp BEFORE the
-    // bucket sort so the tie order is engine-portable.
+    // corpus-stat scalars broadcast) — no driver state, no model file.
+    // The equal-frequency split is a DISTRIBUTED exact ntile: docs bin
+    // by a deterministic nll value range (bins are contiguous in the
+    // (nll, doc_id) order), rank within bins in parallel, add broadcast
+    // prefix offsets (p11 two-phase), then apply ntile's closed form
+    // bucket(r, n) map-side — identical semantics to a global ntile(4)
+    // with NO corpus-cardinality frame on one partition. Bin count is
+    // bounded by the nll VALUE range (LM statistics), not corpus size.
+    // Scores are rounded to 6dp BEFORE ranking so the tie order is
+    // engine-portable.
     QueryDef("l4_perplexity", (s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -1063,8 +1068,32 @@ object Llm {
         .groupBy(col("doc_id"))
         .agg((round(-avg(log((col("tf") + lit(1.0)) /
           (col("n_total") + col("v_size")))) * 1000000) / 1000000).as("nll"))
-      val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
-      nll.withColumn("bucket", ntile(4).over(w))
+      val binned = nll.withColumn("bin",
+        expr("CAST(floor(nll * 100.0D) AS BIGINT)"))
+      val iw = Window.partitionBy(col("bin"))
+        .orderBy(col("nll").asc, col("doc_id").asc)
+      val within = binned.withColumn("j", row_number().over(iw).cast("long"))
+      val ow = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = within.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .withColumn("o", coalesce(sum(col("cnt")).over(ow), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("bin"), col("o"), col("n"))
+      // ntile(4)'s closed form: the first n%4 buckets hold ⌈n/4⌉ rows,
+      // the rest ⌊n/4⌋ — computable per-row from the exact global rank
+      // r = offset + in-bin row_number (CASE keeps the ⌊n/4⌋=0 small-n
+      // edge out of the divisor)
+      within.join(broadcast(off), Seq("bin"))
+        .withColumn("r", col("o") + col("j"))
+        .withColumn("bucket", expr(
+          """CAST(CASE WHEN r <= (n % 4L) * ((n div 4L) + 1L)
+             THEN ((r - 1L) div ((n div 4L) + 1L)) + 1L
+             ELSE (n % 4L)
+                  + ((r - 1L - (n % 4L) * ((n div 4L) + 1L)) div (n div 4L))
+                  + 1L
+             END AS INT)"""))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           (round(avg(col("nll"))*10000)/10000).as("avg_nll"),
@@ -3235,11 +3264,19 @@ object Llm {
                ELSE array() END""")).as("pair"))
           .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
       var v = vocab
-      val merges = (1 to 3).map { r =>
-        // bounded 1-row argmax collect per round (freq desc, pair asc)
-        val best = pairCounts(v)
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var r = 0
+      var dry = false
+      while (r < 3 && !dry) {
+        r += 1
+        // bounded 1-row argmax collect per round (freq desc, pair asc);
+        // a round can yield NO pairs (corpus of single-char words after
+        // earlier merges) — stop merging early instead of crashing
+        val bestOpt = pairCounts(v)
           .orderBy(col("freq").desc, col("pair").asc).limit(1)
-          .collect()(0)
+          .collect().headOption
+        if (bestOpt.isEmpty) { dry = true } else {
+        val best = bestOpt.get
         val (pair, freq) = (best.getString(0), best.getLong(1))
         // typed-column replace: the data-derived pair rides as a LITERAL
         // value, never interpolated into parsed SQL — a corpus token
@@ -3249,9 +3286,10 @@ object Llm {
             lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("t"),
             col("wc"))
           .localCheckpoint(false)
-        (r.toLong, pair, freq)
+        merges += ((r.toLong, pair, freq))
+        }
       }
-      s.createDataFrame(merges).toDF("merge_rank", "pair", "freq")
+      s.createDataFrame(merges.toSeq).toDF("merge_rank", "pair", "freq")
         .orderBy(col("merge_rank").asc_nulls_last)
     }, Some(
       """WITH v0 AS (
@@ -3339,15 +3377,23 @@ object Llm {
                ELSE array() END""")).as("pair"))
           .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
       var v = vocabAll
-      val merges = (1 to 3).map { _ =>
-        val best = pairCounts(v)
+      // a merge round with NO remaining pairs (single-char-word corpus
+      // after earlier merges) stops training early — headOption, never
+      // a bare collect()(0) that would throw on the empty frame
+      val merges = scala.collection.mutable.ArrayBuffer[String]()
+      var dry = false
+      while (merges.length < 3 && !dry) {
+        pairCounts(v)
           .orderBy(col("freq").desc, col("pair").asc).limit(1)
-          .collect()(0).getString(0)
-        v = v.select(org.apache.spark.sql.functions.replace(col("t"),
-            lit(s" $best "), lit(s" ${best.replace(" ", "")} ")).as("t"),
-            col("wc"))
-          .localCheckpoint(false)
-        best
+          .collect().headOption.map(_.getString(0)) match {
+          case None => dry = true
+          case Some(best) =>
+            v = v.select(org.apache.spark.sql.functions.replace(col("t"),
+                lit(s" $best "), lit(s" ${best.replace(" ", "")} ")).as("t"),
+                col("wc"))
+              .localCheckpoint(false)
+            merges += best
+        }
       }
       val docs = t(s, dir, "documents").filter(col("doc_id") < 30)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -3690,8 +3690,8 @@ ORDER BY fold ASC NULLS LAST"""),
     // (n+1)/n with xᵢ ascending — Σ(i·xᵢ) and Σx are EXACT BIGINTs over
     // ranked cents, so everything up to the final two divisions is
     // integer; per-customer revenue is one keyed agg and the rank is
-    // one window over the CUSTOMER-cardinality frame (the corpus never
-    // sorts — 100 TB discipline: rank the aggregate, not the facts).
+    // a TWO-PHASE distributed rank over the aggregate (rank the
+    // aggregate, not the facts — and never on one partition either).
     // Headroom note: Σ(i·xᵢ) peaks at ~n²·mean_cents — safe through
     // ~1e8 customers at these amounts; beyond that, scale cents→dollars
     // before ranking (both engines identically) to reclaim 100×.
@@ -3700,8 +3700,27 @@ ORDER BY fold ASC NULLS LAST"""),
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .as("cents"))
-      val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-      rev.withColumn("i", row_number().over(w).cast("long"))
+      // DISTRIBUTED exact rank (the p11 two-phase move, keyed on the
+      // SORT VALUE): bin customers by a deterministic cents range —
+      // bins are contiguous in the (cents, custkey) order because bin
+      // is monotone in cents — rank within bins in parallel, then add
+      // broadcast prefix-count offsets. Customer cardinality is
+      // unbounded at 100 TB; the only single-partition frames here are
+      // the ≤~few-hundred-row bin offsets and the final 1-row census.
+      // Bin width 1e7 cents ($100k) bounds bins by the VALUE range
+      // (amounts), never the row count; at other domains derive widths
+      // from a percentile_approx sketch of the aggregate instead.
+      val binned = rev.withColumn("bin", expr("cents div 10000000L"))
+      val iw = Window.partitionBy(col("bin"))
+        .orderBy(col("cents").asc, col("o_custkey").asc)
+      val within = binned.withColumn("j", row_number().over(iw).cast("long"))
+      val ow = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = within.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .withColumn("o", coalesce(sum(col("cnt")).over(ow), lit(0L)))
+        .select(col("bin"), col("o"))
+      within.join(broadcast(off), Seq("bin"))
+        .withColumn("i", col("o") + col("j"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("total_cents"),
           sum(col("i") * col("cents")).as("weighted"))

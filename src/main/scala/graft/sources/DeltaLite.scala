@@ -3372,9 +3372,14 @@ object DeltaLite {
     val r = root(path)
     val mdir = r.resolve("_symlink_format_manifest")
     if (JFiles.exists(mdir)) {
-      val all = JFiles.walk(mdir).iterator()
+      // Files.walk returns a Stream backed by OPEN directory handles —
+      // close it (try/finally) or repeated GENERATE calls leak fds.
+      val walk = JFiles.walk(mdir)
       val toDelete = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      while (all.hasNext) toDelete += all.next()
+      try {
+        val all = walk.iterator()
+        while (all.hasNext) toDelete += all.next()
+      } finally walk.close()
       toDelete.sortBy(-_.getNameCount).foreach(JFiles.deleteIfExists(_))
     }
     val groups: Seq[(java.nio.file.Path, Seq[String])] =
@@ -3382,7 +3387,8 @@ object DeltaLite {
         Seq(mdir -> snap.files.map(f => r.resolve(f.path).toString))
       else snap.files.groupBy(_.pv).toSeq.map { case (pv, fs) =>
         val sub = snap.partitionBy.foldLeft(mdir)((d, k) =>
-          d.resolve(s"$k=${pv.getOrElse(k, "__HIVE_DEFAULT_PARTITION__")}"))
+          d.resolve(s"$k=${escapePartitionValue(
+            pv.getOrElse(k, "__HIVE_DEFAULT_PARTITION__"))}"))
         sub -> fs.map(f => r.resolve(f.path).toString)
       }
     groups.map { case (dir, lines) =>
@@ -3391,6 +3397,21 @@ object DeltaLite {
       JFiles.write(mf, lines.sorted.mkString("\n").getBytes("UTF-8"))
       mf.toString
     }
+  }
+
+  /** Hive/Delta partition-path escaping: raw partition VALUES go into
+    * `<k>=<v>/` directory names, so path metacharacters ('/', '=', '#',
+    * '%', ':', control bytes, …) must percent-escape or they corrupt
+    * the manifest layout — Delta escapes exactly this set. */
+  private def escapePartitionValue(v: String): String = {
+    val needsEscape = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c < 0x20 || c == 0x7F || needsEscape.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
   }
 
   /** `RESTORE ... TO TIMESTAMP AS OF`: resolve the instant to the

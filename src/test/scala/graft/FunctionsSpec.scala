@@ -266,7 +266,10 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       "Honeyman" -> "H555", "robert" -> "R163",
       "Washington" -> "W252", "Lee" -> "L000",
       "Gutierrez" -> "G362", "Jackson" -> "J250",
-      "O'Brian" -> "O165")
+      "O'Brian" -> "O165",
+      // interior punctuation is SKIPPED (doesn't break the merge chain):
+      // ...ck-Za... — the Z merges into the preceding 'ck' code run
+      "Sack-Zack" -> "S220")
     val got = vectors.map(_._1).toDF("s")
       .select(expr("soundex_code(s)").as("c")).as[String].collect()
     vectors.map(_._2).zip(got).zip(vectors.map(_._1)).foreach {

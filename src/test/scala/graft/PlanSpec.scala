@@ -631,4 +631,50 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(dot >= 0 && win >= 0 && dot < win,
       s"exact rerank must consume the Hamming candidate cut:\n$p")
   }
+
+  test("t14_late_audit: running HWM is two-phase — corpus window partitions by shard") {
+    val p = plan("t14_late_audit")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the in-block running max must partition by the event_id block:\n$p")
+    // SinglePartition exchanges: the ≤32-row per-shard prefix-max frame
+    // plus the two 1-row (lo, blk) bounds aggregates — all bounded by
+    // construction; the corpus row_number/max window itself must not
+    // appear among them (it partitions by shard, asserted above)
+    assert(count(p, "Exchange SinglePartition") <= 3,
+      s"only bounded frames may single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard prefix maxes must broadcast back to the corpus:\n$p")
+  }
+
+  test("a25_gini: exact rank is two-phase — no customer-cardinality frame on one partition") {
+    val p = plan("a25_gini")
+    assert(p.contains("hashpartitioning(bin"),
+      s"the rank window must partition by the cents value bin:\n$p")
+    // SinglePartition exchanges: the ≤~200-row bin-offsets prefix sum
+    // and the final 1-row census — both bounded
+    assert(count(p, "Exchange SinglePartition") <= 2,
+      s"only bounded frames may single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bin offsets must broadcast back to the customer aggregate:\n$p")
+  }
+
+  test("l4_perplexity: equal-frequency buckets without a global ntile sort") {
+    val p = plan("l4_perplexity")
+    assert(p.contains("hashpartitioning(bin"),
+      s"the rank window must partition by the nll value bin:\n$p")
+    assert(!p.contains("ntile"),
+      s"bucketing must be the closed-form rank map, not a global ntile:\n$p")
+    // SinglePartition exchanges: the ≤#bins-row offsets windows and the
+    // 1-row corpus-stats aggregate — bounded; never the doc frame
+    assert(count(p, "Exchange SinglePartition") <= 3,
+      s"only bounded frames may single-partition:\n$p")
+  }
+
+  test("t22_dau_wau_mau: rolling distincts are equi-aggregations, not a BETWEEN nested-loop join") {
+    val p = plan("t22_dau_wau_mau")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the grid×days range join must not survive the explode rewrite:\n$p")
+    assert(p.contains("Generate explode"),
+      s"each (user, day) row must emit its covered window days:\n$p")
+  }
 }
