@@ -65,6 +65,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       keyMap: Map[String, String], sumMap: Map[String, String],
       cntCol: String, minMap: Map[String, String] = Map.empty,
       maxMap: Map[String, String] = Map.empty,
+      nnMap: Map[String, String] = Map.empty,
       sourceVersion: Long = -1L)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
@@ -203,17 +204,23 @@ object MvRewrite extends Rule[LogicalPlan] {
               mv.minMap.get(ar.name).flatMap(mvAttr).map(m => aggOf(Min(m)))
             case Max(ar: AttributeReference) =>
               mv.maxMap.get(ar.name).flatMap(mvAttr).map(m => aggOf(Max(m)))
-            case Average(ar: AttributeReference, _) if !ar.nullable =>
-              // AVG divides by the NON-NULL count of the measure; the MV
-              // stores COUNT(*). The two agree only when the measure is
-              // provably non-null — a nullable measure must DECLINE
-              // (rewriting would divide by too many rows and silently
-              // shrink the average, breaking the can-only-decline
-              // contract). Extending MvDef with a per-measure non-null
-              // count would lift this; until then nullable ⇒ fall through.
+            case Average(ar: AttributeReference, _) =>
+              // AVG divides by the NON-NULL count of the measure, not
+              // COUNT(*) — the two diverge the moment the measure column
+              // holds a NULL, and a rewrite using COUNT(*) would
+              // silently shrink the average (breaking the can-only-
+              // decline contract). Denominator resolution: a provably
+              // non-null measure (rare — parquet scans type everything
+              // nullable) may use COUNT(*); otherwise the MV must carry
+              // a per-measure non-null count column (nnMap, i.e.
+              // COUNT(measure) materialized alongside SUM) or AVG
+              // declines.
+              val denom: Option[Attribute] =
+                if (!ar.nullable) mvAttr(mv.cntCol)
+                else mv.nnMap.get(ar.name).flatMap(mvAttr)
               for {
                 s <- mv.sumMap.get(ar.name).flatMap(mvAttr)
-                c <- mvAttr(mv.cntCol)
+                c <- denom
               } yield Divide(
                 Cast(aggOf(Sum(s)), DoubleType),
                 Cast(aggOf(Sum(c)), DoubleType))

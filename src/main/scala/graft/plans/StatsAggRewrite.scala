@@ -118,7 +118,9 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
     * chars (valid PRUNE bounds, not necessarily real values) — so a
     * 32-char string bound is ambiguous and declines. Decimals decline
     * (precision bookkeeping isn't worth the risk). */
-  private def statExtremum(files: Seq[DeltaLite.AddFile], col: String,
+  /** Also reused by the dbt docs catalog (Medallion.Pipeline
+    * .generateCatalog) — same decline rules, zero data reads. */
+  private[graft] def statExtremum(files: Seq[DeltaLite.AddFile], col: String,
       dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Option[Any] = {
     import org.apache.spark.sql.types._
     // empty files (0 physical rows) contribute no extremum — skip them;

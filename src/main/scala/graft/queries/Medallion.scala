@@ -355,6 +355,143 @@ object Medallion {
         JsonMethods.pretty(JsonMethods.render(runResults))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+
+    /** `dbt docs generate` → `catalog.json`: the COLUMN-LEVEL catalog
+      * dbt users browse daily — per-model schema (name / type /
+      * ordinal), table stats (row count, bytes, file count, version)
+      * and per-column min/max — assembled ENTIRELY from DeltaLite log
+      * metadata via the s50 stats machinery
+      * ([[graft.plans.StatsAggRewrite.statExtremum]]): zero data files
+      * open at ANY table size, which is exactly how a docs site must be
+      * built over a 100 TB lake (dbt against a warehouse issues
+      * information_schema + stats queries for the same reason). Columns
+      * whose extrema are unknowable from stats (deletion vectors,
+      * 32-char string-bound truncation, stat-ineligible types) simply
+      * omit min/max — same decline rules as the stats-only aggregate
+      * rewrite, so the catalog never shows a wrong value. Node ids
+      * follow dbt's `model.<project>.<name>`; written next to
+      * manifest.json / run_results.json. */
+    def generateCatalog(targetDir: String, order: Seq[Model]): String = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      val D = graft.sources.DeltaLite
+      def uid(n: String) = s"model.graft.$n"
+      def render(dt: org.apache.spark.sql.types.DataType,
+          v: Any): Option[String] = v match {
+        case null => None
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case i: java.lang.Integer if dt == DateType =>
+          Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+        case l: java.lang.Long if dt == TimestampType =>
+          Some(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(l, 1000000L),
+            Math.floorMod(l, 1000000L) * 1000L).toString)
+        case x => Some(x.toString)
+      }
+      val nodes = order.flatMap { m =>
+        val path = s"$targetDir/${m.name}"
+        D.latestVersion(path).map { _ =>
+          val snap = D.snapshot(path)
+          val hasDv = snap.files.exists(_.dv.nonEmpty)
+          val cols = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+            val extrema: (Option[String], Option[String]) =
+              if (hasDv) (None, None) // a DV can delete the extreme row
+              else {
+                // stats are keyed by PHYSICAL column name (stable
+                // across renames) — resolve before the lookup
+                def ex(isMin: Boolean): Option[String] =
+                  graft.plans.StatsAggRewrite.statExtremum(
+                    snap.files, snap.phys(f.name), f.dataType, isMin)
+                    .flatMap(render(f.dataType, _))
+                (ex(isMin = true), ex(isMin = false))
+              }
+            f.name -> (
+              ("name" -> f.name) ~
+              ("type" -> f.dataType.simpleString) ~
+              ("index" -> i) ~
+              ("min" -> extrema._1) ~
+              ("max" -> extrema._2))
+          }
+          uid(m.name) -> (
+            ("metadata" -> (
+              ("name" -> m.name) ~
+              ("type" -> "table") ~
+              ("version" -> snap.version))) ~
+            ("columns" -> cols.toMap) ~
+            ("stats" -> (
+              ("row_count" -> snap.totalRows) ~
+              ("bytes" -> snap.totalBytes) ~
+              ("num_files" -> snap.files.size))))
+        }
+      }
+      val catalog = ("nodes" -> nodes.toMap) ~
+        ("errors" -> Option.empty[String])
+      val out = Paths.get(targetDir).resolve("catalog.json")
+      Files.createDirectories(out.getParent)
+      Files.write(out, JsonMethods.pretty(JsonMethods.render(catalog))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.toString
+    }
+
+    /** dbt `test --store-failures`: a data test's VIOLATING rows
+      * materialize to an audit table (`dq_failures/<test>` under the
+      * target, dbt's `dbt_test__audit.<test_name>`) so triage reads the
+      * rows themselves, not just a count. Rerun semantics match dbt's
+      * replace — but through the DeltaLite log, so prior runs stay
+      * time-travelable instead of dropped. Run metadata (test name,
+      * model under test, invocation id) rides as literal columns. The
+      * write costs only the failing rows — at 100 TB a passing test
+      * writes an empty commit and nothing else. Returns (failure count,
+      * audit-table version). */
+    def storeTestFailures(s: SparkSession, targetDir: String,
+        testName: String, model: String, invocationId: String,
+        failures: DataFrame): (Long, Long) = {
+      val D = graft.sources.DeltaLite
+      val path = s"$targetDir/dq_failures/$testName"
+      val stamped = failures
+        .withColumn("_test_name", lit(testName))
+        .withColumn("_model", lit(model))
+        .withColumn("_invocation_id", lit(invocationId))
+      val v =
+        if (D.latestVersion(path).isEmpty) D.create(s, path, stamped)
+        else D.replaceWhere(s, path, lit(true), stamped)
+      (D.snapshot(path).totalRows, v)
+    }
+
+    /** dbt SEMANTIC-LAYER metric (`metrics:` block): a declared measure
+      * (aggregation + expression) over a model, with a time dimension
+      * and optional categorical dimensions, COMPILED to SQL at a
+      * requested grain. The compiler is closed-form string generation —
+      * a metric is METADATA, so any surface holding the spec (BI tool,
+      * notebook, this engine) emits the identical query; the generated
+      * text is engine-portable (date_trunc + ordinal GROUP BY run
+      * verbatim on Spark and DuckDB, which is how the d12 oracle gates
+      * it). Measures are declared in exact integer units (cents,
+      * counts) so metric values are reproducible across engines and
+      * partial-aggregation orders — the same discipline as every money
+      * column in this engine. */
+    final case class Metric(name: String, model: String, agg: String,
+        measure: String, timeDim: String, dims: Seq[String] = Nil)
+
+    /** Declared metrics for the demo marts (the analogue of
+      * `metrics:` in schema.yml). */
+    val metrics: Seq[Metric] = Seq(
+      Metric("revenue_cents", "gold_daily_revenue", "sum",
+        "CAST(round(revenue * 100) AS BIGINT)", "day"),
+      Metric("items_sold", "gold_daily_revenue", "sum", "n_items", "day"))
+
+    /** Compile `m` to SQL at `grain`. The FROM relation defaults to the
+      * metric's model name (a view/table of the materialized mart). */
+    def compileMetricSql(m: Metric, grain: String): String = {
+      val timeCol = s"CAST(date_trunc('$grain', ${m.timeDim}) AS DATE)"
+      val dimCols = m.dims.map(d => s"$d, ").mkString
+      val keys = 1 to (m.dims.size + 1)
+      s"SELECT $timeCol AS ${m.timeDim}_$grain, $dimCols" +
+        s"CAST(${m.agg}(${m.measure}) AS BIGINT) AS ${m.name} " +
+        s"FROM ${m.model} GROUP BY ${keys.mkString(", ")} " +
+        s"ORDER BY ${keys.map(k => s"$k ASC NULLS LAST").mkString(", ")}"
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2630,6 +2767,34 @@ ORDER BY bucket ASC NULLS LAST"""),
                 CASE WHEN n_unexpected = 0 AND n_missing = 0
                      THEN 'pass' ELSE 'fail' END AS status
          FROM report ORDER BY test_name ASC NULLS LAST"""),
+
+    // ------------------------------------------------------------------ D12
+    // dbt SEMANTIC-LAYER metric query: the `revenue_cents` metric
+    // (declared measure + time dim in Pipeline.metrics, the `metrics:`
+    // block of modern dbt) COMPILED to SQL at month grain and executed
+    // over the gold mart. The SAME generated text runs verbatim on
+    // Spark (over the mart as a view) and on DuckDB (over the mart as a
+    // CTE) — the metric layer's whole point is that the spec, not
+    // hand-written SQL, defines the number, so the oracle gates the
+    // compiler itself. Measure units are exact cents (BIGINT), so the
+    // metric is reproducible across engines and aggregation orders.
+    // Scale: the metric query consumes the PRE-AGGREGATED mart (one row
+    // per day) — grain rollups never touch the fact table, and the s49
+    // MV-rewrite family covers the mart's own maintenance.
+    QueryDef("d12_semantic_metric", (s, dir) => {
+      val m = Pipeline.metrics.head
+      Pipeline.goldDailyRevenue(s, dir).createOrReplaceTempView(m.model)
+      s.sql(Pipeline.compileMetricSql(m, "month"))
+    }, Some {
+      val m = Pipeline.metrics.head
+      s"""WITH gold_daily_revenue AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                    AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         ${Pipeline.compileMetricSql(m, "month")}"""
+    }),
 
     // ------------------------------------------------------------------ S43
     // ORC interchange sink/source — the second columnar format a

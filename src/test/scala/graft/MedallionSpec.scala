@@ -615,21 +615,27 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     val dir = Files.createTempDirectory("graft_mvrw").toString
     val src = s"$dir/fact"
     val mvp = s"$dir/mv"
+    // NULLs planted in the measure: AVG's denominator is the NON-NULL
+    // count, so a rewrite dividing by COUNT(*) would be visibly wrong —
+    // the MV carries COUNT(value) (nnMap) to derive AVG correctly
     val fact = Pipeline.silverEvents(spark, sf)
       .select(col("ts_sec").cast("date").as("day"), col("event_type"),
-        col("value"))
+        when(col("event_id") % 10 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
     DeltaLite.create(spark, src, fact)
     val base = DeltaLite.read(spark, src)
     DeltaLite.create(spark, mvp, base
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("value")).as("s"), count(lit(1)).as("c"),
+        count(col("value")).as("cn"),
         min(col("value")).as("mn"), max(col("value")).as("mx")))
     try {
       MvRewrite.register(spark, MvRewrite.MvDef(
         sourcePath = src, mvPath = mvp,
         keyMap = Map("day" -> "day", "event_type" -> "event_type"),
         sumMap = Map("value" -> "s"), cntCol = "c",
-        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx")))
+        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx"),
+        nnMap = Map("value" -> "cn")))
       def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
         df.queryExecution.optimizedPlan.collect {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -672,6 +678,26 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         .agg(countDistinct(col("event_type")).as("nt")))
       assert(nd.nonEmpty && nd.forall(_.startsWith(src)),
         s"count-distinct cannot derive from the MV, got $nd")
+      // AVG over a NULLABLE measure with no registered non-null count
+      // must DECLINE (COUNT(*) is the wrong denominator when the
+      // measure holds NULLs) — re-register without nnMap and check the
+      // aggregate stays on the source scan
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("day" -> "day", "event_type" -> "event_type"),
+        sumMap = Map("value" -> "s"), cntCol = "c",
+        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx")))
+      val avgDecline = scanRoots(DeltaLite.read(spark, src)
+        .groupBy(col("day")).agg(avg(col("value")).as("av")))
+      assert(avgDecline.nonEmpty && avgDecline.forall(_.startsWith(src)),
+        s"nullable-measure AVG without nnMap must stay on the source, got $avgDecline")
+      // restore the full registration for the remaining asserts
+      MvRewrite.register(spark, MvRewrite.MvDef(
+        sourcePath = src, mvPath = mvp,
+        keyMap = Map("day" -> "day", "event_type" -> "event_type"),
+        sumMap = Map("value" -> "s"), cntCol = "c",
+        minMap = Map("value" -> "mn"), maxMap = Map("value" -> "mx"),
+        nnMap = Map("value" -> "cn")))
       // a KEY-column filter selects whole groups — it replays over the
       // MV and the rewrite still fires, matching the direct answer
       val kf = DeltaLite.read(spark, src)
@@ -962,5 +988,119 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     Pipeline.run(spark, Seq(hooked), target, selective = true)
     assert(DeltaLite.read(spark, audit).count() === 3L,
       "a reused model runs neither pre- nor post-hooks")
+  }
+
+  test("dbt docs: catalog.json carries columns, types, row counts and stats-derived min/max") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_catalog").toString
+    val order = Pipeline.dag(sf)
+    Pipeline.runAll(spark, sf, target)
+    val path = Pipeline.generateCatalog(target, order)
+    val catalog = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    val nodes = (catalog \ "nodes").asInstanceOf[JObject].obj.toMap
+    assert(nodes.keySet === order.map(m => s"model.graft.${m.name}").toSet)
+    def asLong(j: JValue): Long = j match {
+      case JInt(x) => x.toLong; case JLong(x) => x
+      case other => fail(s"not a number: $other")
+    }
+    // column-level shape: every materialized column appears with its
+    // type and ordinal, exactly the mart's schema
+    val gold = nodes("model.graft.gold_daily_revenue")
+    val snap = DeltaLite.snapshot(s"$target/gold_daily_revenue")
+    val cols = (gold \ "columns").asInstanceOf[JObject].obj.toMap
+    assert(cols.keySet === snap.schema.fieldNames.toSet)
+    snap.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      assert((cols(f.name) \ "type") === JString(f.dataType.simpleString))
+      assert(asLong(cols(f.name) \ "index") === i.toLong)
+    }
+    // table stats come from the log, not a scan
+    assert(asLong(gold \ "stats" \ "row_count") === snap.totalRows)
+    assert(asLong(gold \ "stats" \ "num_files") === snap.files.size.toLong)
+    // per-column min/max: the day column's extrema match a direct
+    // aggregate over the materialized table (catalog renders dates ISO)
+    val ext = DeltaLite.read(spark, s"$target/gold_daily_revenue")
+      .agg(min(col("day")).cast("string"), max(col("day")).cast("string"))
+      .head()
+    assert((cols("day") \ "min") === JString(ext.getString(0)))
+    assert((cols("day") \ "max") === JString(ext.getString(1)))
+    // n_items (long) extrema render as plain numbers
+    val ni = DeltaLite.read(spark, s"$target/gold_daily_revenue")
+      .agg(min(col("n_items")), max(col("n_items"))).head()
+    assert((cols("n_items") \ "min") === JString(ni.getLong(0).toString))
+    assert((cols("n_items") \ "max") === JString(ni.getLong(1).toString))
+  }
+
+  test("dbt test --store-failures: violating rows land in the audit table; rerun replaces") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_storefail").toString
+    // planted violation: accepted_values over an enum-ish column
+    val dirty = Seq(
+      (1L, "click", 1.0), (2L, "view", 2.0), (3L, "zorp", -1.0),
+      (4L, "zap", 0.5)).toDF("event_id", "event_type", "value")
+    val accepted = Seq("click", "view", "purchase", "signup")
+    val failures = dirty.filter(!col("event_type").isInCollection(accepted))
+    val (n1, v1) = Pipeline.storeTestFailures(spark, target,
+      "accepted_values_events_event_type", "silver_events", "run-001",
+      failures)
+    assert(n1 === 2L && v1 === 0L)
+    val audit = DeltaLite.read(spark,
+      s"$target/dq_failures/accepted_values_events_event_type")
+    assert(audit.count() === 2L)
+    // the rows themselves are readable for triage, with run metadata
+    assert(audit.select(col("event_type")).as[String].collect().sorted
+      === Array("zap", "zorp"))
+    assert(audit.select(col("_model")).distinct().as[String].collect()
+      === Array("silver_events"))
+    assert(audit.select(col("_invocation_id")).distinct().as[String]
+      .collect() === Array("run-001"))
+    // rerun after a partial fix REPLACES the audit contents (dbt
+    // semantics) — and the prior run stays time-travelable in the log
+    val fixedFailures = dirty.filter(col("event_type") === "zorp")
+    val (n2, v2) = Pipeline.storeTestFailures(spark, target,
+      "accepted_values_events_event_type", "silver_events", "run-002",
+      fixedFailures)
+    assert(n2 === 1L && v2 === 1L)
+    val audit2 = DeltaLite.read(spark,
+      s"$target/dq_failures/accepted_values_events_event_type")
+    assert(audit2.count() === 1L)
+    assert(audit2.select(col("_invocation_id")).as[String].collect()
+      === Array("run-002"))
+    val prior = DeltaLite.read(spark,
+      s"$target/dq_failures/accepted_values_events_event_type", asOf = Some(0L))
+    assert(prior.count() === 2L, "run-001 failures remain time-travelable")
+    // a PASSING test stores an empty audit table, not an error
+    val (n3, _) = Pipeline.storeTestFailures(spark, target,
+      "not_null_events_value", "silver_events", "run-001",
+      dirty.filter(col("value").isNull))
+    assert(n3 === 0L)
+    assert(DeltaLite.read(spark,
+      s"$target/dq_failures/not_null_events_value").count() === 0L)
+  }
+
+  test("semantic layer: metric spec compiles to engine-portable SQL") {
+    val m = Pipeline.metrics.head
+    assert(m.name === "revenue_cents" && m.model === "gold_daily_revenue")
+    val sql = Pipeline.compileMetricSql(m, "month")
+    // the compiled text is closed-form and engine-portable: date_trunc
+    // at the grain, the declared measure under the declared agg, ordinal
+    // grouping — the d12 oracle runs this VERBATIM on DuckDB
+    assert(sql ===
+      "SELECT CAST(date_trunc('month', day) AS DATE) AS day_month, " +
+        "CAST(sum(CAST(round(revenue * 100) AS BIGINT)) AS BIGINT) " +
+        "AS revenue_cents " +
+        "FROM gold_daily_revenue GROUP BY 1 " +
+        "ORDER BY 1 ASC NULLS LAST")
+    // grain is a compile-time parameter: same spec, other rollup
+    assert(Pipeline.compileMetricSql(m, "year").contains("date_trunc('year'"))
+    // a dimensioned metric interleaves dims between grain and measure
+    val dim = Pipeline.Metric("events", "gold_daily_events", "sum", "n",
+      "day", dims = Seq("event_type"))
+    assert(Pipeline.compileMetricSql(dim, "week") ===
+      "SELECT CAST(date_trunc('week', day) AS DATE) AS day_week, " +
+        "event_type, CAST(sum(n) AS BIGINT) AS events " +
+        "FROM gold_daily_events GROUP BY 1, 2 " +
+        "ORDER BY 1 ASC NULLS LAST, 2 ASC NULLS LAST")
   }
 }
