@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global row_number WITHOUT moving the data to one partition —
+  * the two-phase rank used everywhere this engine needs a total order
+  * over an unbounded-cardinality frame (stable IDs, systematic
+  * sampling, Gini ranks, equal-frequency bucketing).
+  *
+  * Phase 1 ranks within `bin` partitions in parallel; phase 2 computes
+  * each bin's prefix row count on the BIN-cardinality frame (the only
+  * thing that ever single-partitions) and broadcasts it back; the
+  * global rank is `prefix_offset + within_rank`.
+  *
+  * Correctness contract on `bin`: the global order implied by
+  * (bin ASC, order...) must BE the intended total order. Two standard
+  * ways to satisfy it:
+  *  - bin IS the leading sort key (p11/p12 shard-major IDs:
+  *    `doc_id % 32` with the oracle ordering by the same expression);
+  *  - bin is MONOTONE in the leading sort key (value-range binning:
+  *    `cents div 1e7` for a rank over cents — equal values always land
+  *    in the same bin, so ties stay inside one partition and the
+  *    within-bin tiebreak is total).
+  * Bin count must be bounded by something other than row count
+  * (a parallelism constant, or the VALUE range of the sort key) —
+  * that is what keeps the offsets frame tiny at 100 TB.
+  */
+object DistributedRank {
+
+  /** Adds `out` = exact global rank (1-based, BIGINT) of each row under
+    * (bin ASC, order...). With `totalOut` set, also adds the total row
+    * count as a column (carried on the broadcast offsets frame — no
+    * extra pass over the data). */
+  def withGlobalRank(df: DataFrame, bin: Column, order: Seq[Column],
+      out: String, totalOut: Option[String] = None): DataFrame = {
+    val binned = df.withColumn("__drk_bin", bin)
+    val iw = Window.partitionBy(col("__drk_bin")).orderBy(order: _*)
+    val within = binned.withColumn("__drk_j",
+      row_number().over(iw).cast("long"))
+    // prefix offsets over the bin-cardinality frame — bounded by the
+    // operator's contract, the lone SinglePartition window
+    val ow = Window.orderBy(col("__drk_bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offBase = within.groupBy(col("__drk_bin"))
+      .agg(count(lit(1)).as("__drk_cnt"))
+      .withColumn("__drk_off",
+        coalesce(sum(col("__drk_cnt")).over(ow), lit(0L)))
+    val off = totalOut match {
+      case Some(t) => offBase
+        .withColumn(t, sum(col("__drk_cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("__drk_bin"), col("__drk_off"), col(t))
+      case None => offBase.select(col("__drk_bin"), col("__drk_off"))
+    }
+    within.join(broadcast(off), Seq("__drk_bin"))
+      .withColumn(out, col("__drk_off") + col("__drk_j"))
+      .drop("__drk_bin", "__drk_j", "__drk_off")
+  }
+}

@@ -1068,25 +1068,14 @@ object Llm {
         .groupBy(col("doc_id"))
         .agg((round(-avg(log((col("tf") + lit(1.0)) /
           (col("n_total") + col("v_size")))) * 1000000) / 1000000).as("nll"))
-      val binned = nll.withColumn("bin",
-        expr("CAST(floor(nll * 100.0D) AS BIGINT)"))
-      val iw = Window.partitionBy(col("bin"))
-        .orderBy(col("nll").asc, col("doc_id").asc)
-      val within = binned.withColumn("j", row_number().over(iw).cast("long"))
-      val ow = Window.orderBy(col("bin").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = within.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-        .withColumn("o", coalesce(sum(col("cnt")).over(ow), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .select(col("bin"), col("o"), col("n"))
       // ntile(4)'s closed form: the first n%4 buckets hold ⌈n/4⌉ rows,
       // the rest ⌊n/4⌋ — computable per-row from the exact global rank
-      // r = offset + in-bin row_number (CASE keeps the ⌊n/4⌋=0 small-n
-      // edge out of the divisor)
-      within.join(broadcast(off), Seq("bin"))
-        .withColumn("r", col("o") + col("j"))
+      // r (operators/DistributedRank over nll value bins; n rides the
+      // broadcast offsets frame). CASE keeps the ⌊n/4⌋=0 small-n edge
+      // out of the divisor.
+      graft.operators.DistributedRank.withGlobalRank(nll,
+          expr("CAST(floor(nll * 100.0D) AS BIGINT)"),
+          Seq(col("nll").asc, col("doc_id").asc), "r", totalOut = Some("n"))
         .withColumn("bucket", expr(
           """CAST(CASE WHEN r <= (n % 4L) * ((n div 4L) + 1L)
              THEN ((r - 1L) div ((n div 4L) + 1L)) + 1L

@@ -2991,16 +2991,9 @@ ORDER BY fold ASC NULLS LAST"""),
     // shard key, one bounded driver-free prefix sum, one broadcast join.
     QueryDef("p11_stable_ids", (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
-        .withColumn("shard", expr("doc_id % 32"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
-      val within = d.withColumn("rn", row_number().over(w))
-      val ow = Window.orderBy(col("shard").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = within.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(ow), lit(0L)))
-        .select(col("shard"), col("offset"))
-      within.join(broadcast(off), Seq("shard"))
-        .select(col("doc_id"), (col("offset") + col("rn")).as("global_id"))
+      graft.operators.DistributedRank.withGlobalRank(d,
+          expr("doc_id % 32"), Seq(col("doc_id").asc), "global_id")
+        .select(col("doc_id"), col("global_id"))
         .orderBy(col("global_id").asc_nulls_last)
     }, Some(
       """SELECT doc_id,
@@ -3020,16 +3013,9 @@ ORDER BY fold ASC NULLS LAST"""),
     // spacing: per-modulus counts and the exact sampled id range.
     QueryDef("p12_systematic_sample", (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
-        .withColumn("shard", expr("doc_id % 32"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
-      val within = d.withColumn("rn", row_number().over(w))
-      val ow = Window.orderBy(col("shard").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = within.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(ow), lit(0L)))
-        .select(col("shard"), col("offset"))
-      within.join(broadcast(off), Seq("shard"))
-        .select(col("doc_id"), (col("offset") + col("rn")).as("gid"))
+      graft.operators.DistributedRank.withGlobalRank(d,
+          expr("doc_id % 32"), Seq(col("doc_id").asc), "gid")
+        .select(col("doc_id"), col("gid"))
         .filter(expr("gid % 25 = 1"))
         .agg(count(lit(1)).as("n_sampled"),
           min(col("gid")).as("first_gid"), max(col("gid")).as("last_gid"),
@@ -3700,8 +3686,9 @@ ORDER BY fold ASC NULLS LAST"""),
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .as("cents"))
-      // DISTRIBUTED exact rank (the p11 two-phase move, keyed on the
-      // SORT VALUE): bin customers by a deterministic cents range —
+      // DISTRIBUTED exact rank (operators/DistributedRank — the p11
+      // two-phase move, keyed on the SORT VALUE): bin customers by a
+      // deterministic cents range —
       // bins are contiguous in the (cents, custkey) order because bin
       // is monotone in cents — rank within bins in parallel, then add
       // broadcast prefix-count offsets. Customer cardinality is
@@ -3710,17 +3697,9 @@ ORDER BY fold ASC NULLS LAST"""),
       // Bin width 1e7 cents ($100k) bounds bins by the VALUE range
       // (amounts), never the row count; at other domains derive widths
       // from a percentile_approx sketch of the aggregate instead.
-      val binned = rev.withColumn("bin", expr("cents div 10000000L"))
-      val iw = Window.partitionBy(col("bin"))
-        .orderBy(col("cents").asc, col("o_custkey").asc)
-      val within = binned.withColumn("j", row_number().over(iw).cast("long"))
-      val ow = Window.orderBy(col("bin").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = within.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-        .withColumn("o", coalesce(sum(col("cnt")).over(ow), lit(0L)))
-        .select(col("bin"), col("o"))
-      within.join(broadcast(off), Seq("bin"))
-        .withColumn("i", col("o") + col("j"))
+      graft.operators.DistributedRank.withGlobalRank(rev,
+          expr("cents div 10000000L"),
+          Seq(col("cents").asc, col("o_custkey").asc), "i")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("total_cents"),
           sum(col("i") * col("cents")).as("weighted"))

@@ -195,4 +195,37 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(n > 0)
     assert(df.filter(col("click_id").isNotNull).count() > 0)
   }
+
+  test("DistributedRank: two-phase global rank equals a single-partition row_number") {
+    import spark.implicits._
+    import graft.operators.DistributedRank
+    // values deliberately collide across and inside bins; ties broken by id
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    // value-range bins (v div 10): monotone in v, ties stay in-bin
+    val got = DistributedRank.withGlobalRank(df,
+        expr("v div 10L"), Seq(col("v").asc, col("id").asc), "r",
+        totalOut = Some("n"))
+      .select(col("id"), col("r"), col("n"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val want = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got.size === 500)
+    got.foreach { case (id, (r, total)) =>
+      assert(r === want(id), s"rank mismatch for id=$id")
+      assert(total === 500L)
+    }
+    // ranks are a permutation of 1..n — contiguous, no gaps or dups
+    assert(got.values.map(_._1).toSeq.sorted === (1L to 500L))
+    // shard-major variant (bin IS the leading key): matches the
+    // (bin, id) lexicographic order exactly
+    val got2 = DistributedRank.withGlobalRank(df,
+        expr("id % 8"), Seq(col("id").asc), "g")
+      .select(col("id"), col("g"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want2 = rows.map(_._1).sortBy(id => (id % 8, id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    assert(got2 === want2)
+  }
 }

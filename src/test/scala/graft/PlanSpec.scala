@@ -648,7 +648,7 @@ class PlanSpec extends AnyFunSuite with TestSpark {
 
   test("a25_gini: exact rank is two-phase — no customer-cardinality frame on one partition") {
     val p = plan("a25_gini")
-    assert(p.contains("hashpartitioning(bin"),
+    assert(p.contains("hashpartitioning(__drk_bin"),
       s"the rank window must partition by the cents value bin:\n$p")
     // SinglePartition exchanges: the ≤~200-row bin-offsets prefix sum
     // and the final 1-row census — both bounded
@@ -660,7 +660,7 @@ class PlanSpec extends AnyFunSuite with TestSpark {
 
   test("l4_perplexity: equal-frequency buckets without a global ntile sort") {
     val p = plan("l4_perplexity")
-    assert(p.contains("hashpartitioning(bin"),
+    assert(p.contains("hashpartitioning(__drk_bin"),
       s"the rank window must partition by the nll value bin:\n$p")
     assert(!p.contains("ntile"),
       s"bucketing must be the closed-form rank map, not a global ntile:\n$p")
