@@ -55,7 +55,115 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
           row <- answer(aggExprs, files)
         } yield LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
           Seq(row))).getOrElse(agg)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty =>
+        answerGrouped(groupings, aggExprs, child)
+          .map(rows => LocalRelation(
+            agg.output.map(_.asInstanceOf[Attribute]), rows))
+          .getOrElse(agg)
     }
+  }
+
+  /** GROUP BY over PARTITION columns of a partitioned DeltaLite scan —
+    * the grouped twin of the global rewrite. A partitioned read presents
+    * as a union tree whose branches each carry their partition values as
+    * plan LITERALS (attached from the log, DeltaLite.readFiles); when
+    * every grouping expression resolves to such a literal position, the
+    * groups ARE the branches (merged when grouping on a partition-key
+    * subset), and per-group COUNT(*)/MIN/MAX answer from each branch's
+    * file stats — `SELECT day, count(*) ... GROUP BY day` over a
+    * day-partitioned 100 TB table becomes a driver-side log read.
+    * Decline rules inherit from the global path (DV anywhere, missing
+    * stats, 32-char string bounds) plus: a grouping or measure position
+    * that is a data column declines (grouping literals only), a measure
+    * that is itself a partition literal declines (no cross-branch
+    * literal ordering), and a branch with zero physical rows emits NO
+    * group — matching SQL, where an empty partition produces no row. */
+  private def answerGrouped(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[Seq[InternalRow]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val childOut = child.output
+    val branchPlans: Seq[LogicalPlan] = child match {
+      case u: Union => u.children
+      case p: Project => Seq(p)
+      case _ => return None
+    }
+    val branches: Seq[PBranch] = branchPlans.map {
+      case Project(plist, lr: LogicalRelation)
+          if plist.size == childOut.size =>
+        val files = scannedAddFiles(lr).getOrElse(return None)
+        PBranch(plist.map {
+          case Alias(l: Literal, _) => l
+          case a: AttributeReference => a
+          case Alias(a: AttributeReference, _) => a
+          case _ => return None
+        }, files)
+      case _ => return None
+    }
+    if (branches.exists(_.files.exists(_.dv.isDefined))) return None
+    val posOf: Map[ExprId, Int] =
+      childOut.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val gPos: Seq[Int] = groupings.map {
+      case a: AttributeReference => posOf.getOrElse(a.exprId, return None)
+      case _ => return None
+    }
+    if (!branches.forall(b =>
+      gPos.forall(i => b.entries(i).isInstanceOf[Literal]))) return None
+    val groups: Seq[(Seq[Literal], Seq[PBranch])] = branches
+      .groupBy(b => gPos.map(i => b.entries(i).asInstanceOf[Literal]))
+      .toSeq
+    val rows = groups.flatMap { case (_, bs) =>
+      val files = bs.flatMap(_.files)
+      // an all-empty group would emit count=0 where SQL emits no row
+      if (files.map(_.rows).sum == 0L) None
+      else {
+        val vals = aggExprs.map {
+          case a: AttributeReference =>
+            val i = posOf.getOrElse(a.exprId, return None)
+            bs.head.entries(i) match {
+              case l: Literal => l.value
+              case _ => return None
+            }
+          case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            fn match {
+              case Count(Seq(Literal(1, _))) =>
+                java.lang.Long.valueOf(files.map(_.rows).sum)
+              case Min(ar: AttributeReference) =>
+                groupExtremum(bs, posOf, ar, isMin = true)
+                  .getOrElse(return None)
+              case Max(ar: AttributeReference) =>
+                groupExtremum(bs, posOf, ar, isMin = false)
+                  .getOrElse(return None)
+              case _ => return None
+            }
+          case _ => return None
+        }
+        Some(InternalRow.fromSeq(vals))
+      }
+    }
+    Some(rows)
+  }
+
+  /** One partition branch of a unioned DeltaLite scan: position-aligned
+    * projection entries (literal partition values / scan attributes) +
+    * that branch's resolved log files. */
+  private final case class PBranch(entries: Seq[Expression],
+      files: Seq[DeltaLite.AddFile])
+
+  /** Extremum of a DATA-column measure over a group's combined file set.
+    * Every branch must present the measure as the SAME underlying scan
+    * attribute name (one table ⇒ one physical column name); a measure
+    * that is a partition literal in any branch declines. */
+  private def groupExtremum(bs: Seq[PBranch], posOf: Map[ExprId, Int],
+      ar: AttributeReference, isMin: Boolean): Option[Any] = {
+    val i = posOf.getOrElse(ar.exprId, return None)
+    val names = bs.map(_.entries(i) match {
+      case a: AttributeReference => a.name
+      case _ => return None
+    })
+    if (names.distinct.size != 1) return None
+    statExtremum(bs.flatMap(_.files), names.head, ar.dataType, isMin)
   }
 
   /** The scanned files' log entries, when the subtree is a bare scan of

@@ -872,6 +872,48 @@ object Medallion {
            AND event_type <> 'error'
          GROUP BY 1 ORDER BY event_type ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S52
+    // GROUPED metadata-only aggregates — the partition-key GROUP BY twin
+    // of s50 (Delta's OptimizeMetadataOnlyQuery): per-partition
+    // COUNT(*)/MIN/MAX over a partitioned table answer from the commit
+    // log's per-branch partition literals + file stats, no scan. The
+    // query REQUIREs the optimized plan holds no relation at all —
+    // `SELECT status, count(*), min/max(...) GROUP BY status` over a
+    // 100 TB day-partitioned table is a driver-side log read (THE
+    // operational census every lakehouse dashboard runs hourly). Two
+    // commits per partition prove multi-file merge; the oracle
+    // recomputes from raw rows.
+    QueryDef("s52_partition_stats_agg", (s, dir) => {
+      val path = tmp("s52_pstats")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cut = 3000000L
+      DeltaLite.create(s, path, o.filter(col("o_orderkey") < cut),
+        partitionBy = Seq("o_orderstatus"))
+      DeltaLite.append(s, path, o.filter(col("o_orderkey") >= cut))
+      val q = DeltaLite.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      val survived = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr
+      }
+      require(survived.isEmpty,
+        "the partition-key aggregate must answer from log stats (no scan)")
+      q.orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+                max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+         FROM orders
+         GROUP BY 1 ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S31
     // Auto compaction (Delta `delta.autoOptimize.autoCompact`): the table
     // opts in via `graft.autoCompact`, three priority slices land as

@@ -831,6 +831,66 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(afterDv.getLong(0) === 0L && afterDv.isNullAt(1))
   }
 
+  test("metadata-only aggregates: partition-key GROUP BY answers per-partition from the log") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_pstats").toString + "/t"
+    // two partition columns × multi-commit → multi-file branches AND
+    // mergeable subset groups
+    DeltaLite.create(spark, p, Seq(
+      (1L, 10L, "a", "x"), (2L, 20L, "a", "y"),
+      (3L, 30L, "b", "x"), (4L, 40L, "b", "x"))
+      .toDF("k", "cents", "p1", "p2"),
+      partitionBy = Seq("p1", "p2"))
+    DeltaLite.append(spark, p, Seq((5L, 5L, "a", "x"), (6L, 60L, "b", "y"))
+      .toDF("k", "cents", "p1", "p2"))
+    def hasRelation(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          true
+      }.nonEmpty
+    // full partition-key grouping: one group per live (p1, p2)
+    val q = DeltaLite.read(spark, p).groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"))
+    assert(!hasRelation(q), "partition-key GROUP BY must collapse:\n" +
+      q.queryExecution.optimizedPlan)
+    // SUBSET grouping merges branches: p1 alone combines (a,x)+(a,y)
+    val sub = DeltaLite.read(spark, p).groupBy(col("p1"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"), max(col("k")).as("mxk"))
+    assert(!hasRelation(sub), "subset grouping must collapse:\n" +
+      sub.queryExecution.optimizedPlan)
+    // values match the real scan exactly (both shapes)
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val gotQ = sorted(q); val gotSub = sorted(sub)
+    spark.conf.set("spark.graft.statsAgg", "false")
+    assert(gotQ === sorted(DeltaLite.read(spark, p)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"))))
+    assert(gotSub === sorted(DeltaLite.read(spark, p).groupBy(col("p1"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"), max(col("k")).as("mxk"))))
+    spark.conf.set("spark.graft.statsAgg", "true")
+    // declines: grouping on a DATA column (not a partition literal)
+    assert(hasRelation(DeltaLite.read(spark, p).groupBy(col("cents"))
+      .agg(count(lit(1)))))
+    // declines: a measure stats can't answer (sum)
+    assert(hasRelation(DeltaLite.read(spark, p).groupBy(col("p1"))
+      .agg(sum(col("cents")))))
+    // declines: a measure that is itself a partition literal (no
+    // cross-branch literal ordering)
+    assert(hasRelation(DeltaLite.read(spark, p).groupBy(col("p1"))
+      .agg(max(col("p2")))))
+    // a DELETEd partition's group disappears (branches follow the log)
+    DeltaLite.delete(spark, p, col("p1") === "b" && col("p2") === "y")
+    val after = DeltaLite.read(spark, p).groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n"))
+    assert(!hasRelation(after))
+    assert(sorted(after).size === 3)
+  }
+
   test("symlink manifest: per-partition layout, staleness wipe, DV refusal") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_manifest").toString + "/t"
