@@ -89,6 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SoundexCode].getName, "soundex_code"),
       (exprs: Seq[Expression]) => graft.functions.SoundexCode(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("nysiis_code"),
+      new ExpressionInfo(classOf[graft.functions.NysiisCode].getName, "nysiis_code"),
+      (exprs: Seq[Expression]) => graft.functions.NysiisCode(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1))))

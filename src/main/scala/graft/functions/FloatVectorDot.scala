@@ -119,6 +119,13 @@ object GraftFunctions {
         "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nysiis_code"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nysiis_code",
+        (exprs: Seq[Expression]) => NysiisCode(exprs.head),
+        "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hilbert_index",

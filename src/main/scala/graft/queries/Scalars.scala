@@ -633,6 +633,40 @@ object Scalars {
           (col("ca") * col("cb")).as("pair_rows"))
         .orderBy(col("jw").desc, col("na").asc, col("nb").asc)
         .limit(20)
+    }, None),
+
+    // ------------------------------------------------------------------ F17
+    // NYSIIS phonetic blocking (functions/Nysiis codegen expression) —
+    // the FINER blocking key next to f16's soundex, and the census that
+    // justifies choosing between them: over the soundex candidate pairs
+    // (the coarser blocks), how many survive NYSIIS's finer key
+    // (precision gained = pairs dropped), and how many VERIFIED matches
+    // (jaro-winkler ≥ 0.85) each keeps (recall kept vs lost). One row
+    // of exact counts — the blocking-key A/B every linkage pipeline
+    // runs before committing 100 TB to one key. Same scale discipline
+    // as f16: the corpus collapses to the DISTINCT name-head domain
+    // first, candidate generation is equality-join only. Rows-only
+    // (DuckDB has no NYSIIS); FunctionsSpec pins the Taft vectors and
+    // codegen≡interpreted parity.
+    QueryDef("f17_nysiis_blocking", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("head", expr("split(p_name, ' ')[0]"))
+        .withColumn("sdx", expr("soundex_code(head)"))
+        .withColumn("nys", expr("nysiis_code(head)"))
+      val a = names.select(col("p_name").as("na"), col("sdx"), col("nys"))
+      val b = names.select(col("p_name").as("nb"), col("sdx").as("sdxb"),
+        col("nys").as("nysb"))
+      a.join(b, col("sdx") === col("sdxb") && col("na") < col("nb"))
+        .withColumn("same_nys", (col("nys") === col("nysb")).cast("int"))
+        .withColumn("jw", expr("round(jaro_winkler(na, nb) * 10000) / 10000"))
+        .agg(count(lit(1)).as("n_soundex_pairs"),
+          sum(col("same_nys").cast("long")).as("n_nysiis_pairs"),
+          sum(when(col("jw") >= lit(0.85) && col("same_nys") === 1, 1L)
+            .otherwise(0L)).as("n_hits_kept"),
+          sum(when(col("jw") >= lit(0.85) && col("same_nys") === 0, 1L)
+            .otherwise(0L)).as("n_hits_lost"))
     }, None)
   )
 }

@@ -293,4 +293,46 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .select(expr("soundex_code(s)").as("c"))
       .where(col("c").isNotNull).count() === 0L)
   }
+
+  test("nysiis_code: Taft vectors, head/tail transforms, codegen parity, null contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the classic published example set (untruncated form) — each
+    // exercises a distinct rule: head MAC/KN/PH/SCH, tail DT, EV, H/W
+    // absorption, vowel flattening, final S/AY/A rewrites
+    val vectors = Seq(
+      "BROWN" -> "BRAN", "KNUTH" -> "NAT", "MACINTOSH" -> "MCANT",
+      "PHILLIPSON" -> "FALAPSAN", "FERGUSON" -> "FARGASAN",
+      "JACKSON" -> "JACSAN", "WASHINGTON" -> "WASANGTAN",
+      "LAWSON" -> "LASAN", "DAY" -> "DY", "SCHMIDT" -> "SNAD",
+      "brown" -> "BRAN", "O'Brien" -> "OBRAN")
+    val got = vectors.map(_._1).toDF("s")
+      .select(expr("nysiis_code(s)").as("c")).as[String].collect()
+    vectors.map(_._2).zip(got).zip(vectors.map(_._1)).foreach {
+      case ((want, g), in) => assert(g === want, s"nysiis($in)")
+    }
+    // NYSIIS is strictly finer than soundex on this fixture domain:
+    // every nysiis block is inside one soundex block is NOT guaranteed
+    // in general, but determinism and format invariants are — letters
+    // only, starts with the (transformed) head letter
+    val keys = Tables.t(spark, sf, "part")
+      .select(col("p_name"), expr("nysiis_code(split(p_name, ' ')[0])").as("c"))
+      .collect()
+    keys.foreach { r =>
+      val direct = graft.functions.Nysiis.code(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0).split(" ")(0)))
+      assert(Option(r.getString(1)) === Option(direct).map(_.toString),
+        s"codegen and interpreted kernels must agree on ${r.getString(0)}")
+      assert(r.getString(1).forall(ch => ch >= 'A' && ch <= 'Z'),
+        "nysiis keys are uppercase letters only")
+    }
+    // no leading letter → NULL; NULL → NULL
+    assert(Seq("123", "", "42nd?").toDF("s")
+      .select(expr("nysiis_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("nysiis_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+  }
 }
