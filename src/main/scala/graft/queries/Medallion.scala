@@ -479,7 +479,9 @@ object Medallion {
     val metrics: Seq[Metric] = Seq(
       Metric("revenue_cents", "gold_daily_revenue", "sum",
         "CAST(round(revenue * 100) AS BIGINT)", "day"),
-      Metric("items_sold", "gold_daily_revenue", "sum", "n_items", "day"))
+      Metric("items_sold", "gold_daily_revenue", "sum", "n_items", "day"),
+      Metric("events", "gold_daily_events", "sum", "n", "day",
+        dims = Seq("event_type")))
 
     /** Compile `m` to SQL at `grain`. The FROM relation defaults to the
       * metric's model name (a view/table of the materialized mart). */
@@ -2836,6 +2838,30 @@ ORDER BY bucket ASC NULLS LAST"""),
                   CAST(count(*) AS BIGINT) AS n_items
            FROM lineitem GROUP BY 1)
          ${Pipeline.compileMetricSql(m, "month")}"""
+    }),
+
+    // ------------------------------------------------------------------ D13
+    // Dimensioned + re-grained metric: the `events` metric declares a
+    // categorical dimension (event_type) and compiles at WEEK grain —
+    // proving the spec's two degrees of freedom (dims interleave
+    // between grain and measure; grain is a compile-time parameter)
+    // through the same verbatim-both-engines gate as d12. date_trunc
+    // 'week' is Monday-start on Spark AND DuckDB, so the rollup
+    // boundary is engine-portable; counts are BIGINTs end-to-end.
+    QueryDef("d13_metric_dimensioned", (s, dir) => {
+      val m = Pipeline.metrics.find(_.name == "events").get
+      Pipeline.goldDailyEvents(s, dir).createOrReplaceTempView(m.model)
+      s.sql(Pipeline.compileMetricSql(m, "week"))
+    }, Some {
+      val m = Pipeline.metrics.find(_.name == "events").get
+      s"""WITH gold_daily_events AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  (round((sum(value))*100)/100) AS sum_value
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1, 2)
+         ${Pipeline.compileMetricSql(m, "week")}"""
     }),
 
     // ------------------------------------------------------------------ S43
