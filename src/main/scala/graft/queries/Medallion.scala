@@ -483,6 +483,81 @@ object Medallion {
       Metric("events", "gold_daily_events", "sum", "n", "day",
         dims = Seq("event_type")))
 
+    /** dbt `source freshness` declaration: a source table's
+      * `loaded_at_field` plus the warn/error staleness thresholds of a
+      * `freshness:` block in schema.yml. */
+    final case class SourceFreshness(source: String, loadedAtField: String,
+        warnAfterSec: Long, errorAfterSec: Long) {
+      require(warnAfterSec <= errorAfterSec,
+        s"source $source: warn_after must not exceed error_after")
+    }
+
+    /** The `dbt source freshness` command: per source, one MAX(loaded_at)
+      * aggregate (over a DeltaLite source this is the s50 metadata-only
+      * rewrite — a log read; over raw parquet it is a scan of ONE column
+      * with every other column pruned), age measured against the caller's
+      * `asOf` instant (explicit, never wall-clock — deterministic reruns
+      * and backfills), statused pass/warn/error against the declared
+      * thresholds, and recorded as dbt's `sources.json` artifact next to
+      * manifest.json / run_results.json / catalog.json. Returns
+      * (source → (status, max_loaded_at epoch-sec, age_sec)). */
+    def checkSourceFreshness(s: SparkSession, dir: String,
+        targetDir: String, specs: Seq[SourceFreshness],
+        asOf: java.sql.Timestamp): Map[String, (String, Long, Long)] = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val asOfSec = asOf.getTime / 1000L
+      // evaluated PER SPEC (the same source may carry several threshold
+      // declarations); the returned map keys by source, last spec wins
+      val perSpec: Seq[(SourceFreshness, (String, Long, Long))] =
+        specs.map { sp =>
+          val mx = Tables.t(s, dir, sp.source)
+            .agg(max(unix_timestamp(col(sp.loadedAtField))).as("mx"))
+            .head()
+          val maxSec = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+          val age = asOfSec - maxSec
+          val status =
+            if (maxSec == 0L || age > sp.errorAfterSec) "error"
+            else if (age > sp.warnAfterSec) "warn"
+            else "pass"
+          sp -> ((status, maxSec, age))
+        }
+      val doc =
+        ("results" -> perSpec.map { case (sp, (status, maxSec, age)) =>
+          ("unique_id" -> s"source.graft.${sp.source}") ~
+          ("status" -> status) ~
+          ("max_loaded_at" -> maxSec) ~
+          ("age" -> age) ~
+          ("criteria" -> (("warn_after" -> sp.warnAfterSec) ~
+            ("error_after" -> sp.errorAfterSec)))
+        }) ~ ("as_of" -> asOfSec)
+      val out = Paths.get(targetDir)
+      Files.createDirectories(out)
+      Files.write(out.resolve("sources.json"),
+        JsonMethods.pretty(JsonMethods.render(doc))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      perSpec.map { case (sp, r) => sp.source -> r }.toMap
+    }
+
+    /** dbt `seed`: a version-controlled CSV materialized as a first-class
+      * DAG node — the seed is just a Model whose build is a schema'd CSV
+      * read, so `ref()` from downstream models, fingerprint-based
+      * state:modified+ reuse, contracts and hooks all apply unchanged.
+      * (dbt seeds are for SMALL reference data — the read is one file on
+      * the driver-side listing; never use a seed for fact data.) The
+      * model's `code` carries the CSV's SHA-256 like dbt's seed
+      * checksum, so editing the file re-fingerprints the node and
+      * state:modified+ rebuilds exactly its subtree. */
+    def seedModel(name: String, csvPath: String,
+        schema: org.apache.spark.sql.types.StructType): Model = {
+      val checksum = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Files.readAllBytes(Paths.get(csvPath)))
+        .map("%02x".format(_)).mkString
+      Model(name, Nil,
+        (s, _) => s.read.schema(schema).option("header", "true").csv(csvPath),
+        code = s"seed:$csvPath:$checksum")
+    }
+
     /** Compile `m` to SQL at `grain`. The FROM relation defaults to the
       * metric's model name (a view/table of the materialized mart). */
     def compileMetricSql(m: Metric, grain: String): String = {

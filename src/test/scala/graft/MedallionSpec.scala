@@ -1139,6 +1139,76 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       s"$target/dq_failures/not_null_events_value").count() === 0L)
   }
 
+  test("dbt source freshness: thresholds status each source; sources.json artifact") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_fresh").toString
+    // anchor on the fixture's own newest event so statuses are planted,
+    // not guessed: asOf = 2h after the newest row
+    val maxTs = Tables.t(spark, sf, "events")
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val asOf = new java.sql.Timestamp((maxTs + 7200L) * 1000L)
+    val specs = Seq(
+      Pipeline.SourceFreshness("events", "ts", 86400L, 172800L), // 2h < 1d
+      Pipeline.SourceFreshness("events", "ts", 3600L, 1000000000L), // 2h > 1h
+      Pipeline.SourceFreshness("lineitem", "l_shipdate", 60L, 3600L))
+    val res = Pipeline.checkSourceFreshness(spark, sf, target,
+      Seq(specs.head), asOf)
+    assert(res("events")._1 === "pass")
+    assert(res("events")._3 === 7200L, "age is asOf - max(loaded_at)")
+    val warn = Pipeline.checkSourceFreshness(spark, sf, target,
+      Seq(specs(1)), asOf)
+    assert(warn("events")._1 === "warn")
+    val err = Pipeline.checkSourceFreshness(spark, sf, target,
+      Seq(specs(2)), asOf)
+    assert(err("lineitem")._1 === "error",
+      "1992-1998 ship dates are years past any 1h threshold")
+    // the artifact carries dbt's shape: unique_id, status, criteria
+    Pipeline.checkSourceFreshness(spark, sf, target, specs, asOf)
+    val doc = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target, "sources.json")), "UTF-8"))
+    val rs = (doc \ "results").asInstanceOf[JArray].arr
+    assert(rs.size === 3)
+    assert((rs.head \ "unique_id") === JString("source.graft.events"))
+    assert((rs.head \ "status") === JString("pass"))
+    assert((rs(1) \ "status") === JString("warn"))
+    assert((rs(2) \ "status") === JString("error"))
+    assert((rs.head \ "criteria" \ "warn_after") !== JNothing)
+  }
+
+  test("dbt seed: CSV lands as a DAG node; content edit re-fingerprints the subtree") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_seed")
+    val csv = dir.resolve("region_map.csv")
+    java.nio.file.Files.write(csv,
+      "code,region\nA,north\nB,south\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("code", StringType),
+      StructField("region", StringType)))
+    def dag() = {
+      val seed = Pipeline.seedModel("region_map", csv.toString, schema)
+      Seq(seed, Pipeline.Model("regions_upper", Seq("region_map"),
+        (s, ref) => ref("region_map")
+          .select(col("code"), upper(col("region")).as("region_u")),
+        code = "select code, upper(region) from ref(region_map)"))
+    }
+    val target = dir.resolve("target").toString
+    Pipeline.run(spark, dag(), target)
+    assert(DeltaLite.read(spark, s"$target/region_map").count() === 2L)
+    assert(DeltaLite.read(spark, s"$target/regions_upper")
+      .filter(col("region_u") === "NORTH").count() === 1L)
+    // unchanged rerun: both nodes reuse (fingerprint covers the CSV hash)
+    Pipeline.run(spark, dag(), target, selective = true)
+    assert(DeltaLite.latestVersion(s"$target/region_map") === Some(0L))
+    assert(DeltaLite.latestVersion(s"$target/regions_upper") === Some(0L))
+    // editing the seed CONTENT re-fingerprints seed + descendant
+    java.nio.file.Files.write(csv,
+      "code,region\nA,north\nB,south\nC,east\n".getBytes("UTF-8"))
+    Pipeline.run(spark, dag(), target, selective = true)
+    assert(DeltaLite.read(spark, s"$target/region_map").count() === 3L)
+    assert(DeltaLite.read(spark, s"$target/regions_upper").count() === 3L)
+    assert(DeltaLite.latestVersion(s"$target/region_map").get >= 1L)
+  }
+
   test("semantic layer: metric spec compiles to engine-portable SQL") {
     val m = Pipeline.metrics.head
     assert(m.name === "revenue_cents" && m.model === "gold_daily_revenue")
