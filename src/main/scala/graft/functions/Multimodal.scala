@@ -132,4 +132,55 @@ object Multimodal {
       }
       .toDF("id", "frame_idx", "frame_bytes", "frame_features")
   }
+
+  /** Perceptual difference-hash (dHash) over the media payload. The
+    * 8×9 GRAYSCALE GRID below is derived from byte statistics — the
+    * stand-in for decode+downsample at the stub boundary above — but
+    * the dHash fold over it is the REAL published algorithm (bit i set
+    * when grid(r)(c) > grid(r)(c+1), 8 rows × 8 adjacent-column
+    * comparisons = a 64-bit fingerprint whose Hamming distance is the
+    * visual-near-dup metric). Swap the grid derivation for a real
+    * resampler and every downstream stage (banded Hamming LSH, xor +
+    * bit_count verify) is unchanged. */
+  def dHashStub(media: Array[Byte]): Long = {
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Int](8, 9)
+    var i = 0
+    while (i < media.length) {
+      val r = i % 8
+      val c = (i / 8) % 9
+      sum(r)(c) += (media(i) & 0xFF)
+      cnt(r)(c) += 1
+      i += 1
+    }
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = if (cnt(r)(c) > 0) sum(r)(c).toDouble / cnt(r)(c) else 0.0
+        val b = if (cnt(r)(c + 1) > 0) sum(r)(c + 1).toDouble / cnt(r)(c + 1) else 0.0
+        if (a > b) h |= (1L << bit)
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Batch perceptual hashing: mapPartitions like [[extractFeatures]]
+    * (decoder init amortizes per partition). Output (id, phash BIGINT)
+    * feeds the banded Hamming join — the image near-dup pipeline shape. */
+  def perceptualHashes(media: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real pipeline: initialize codec/resampler ONCE here
+        rows.map { case (id, bytes) => (id, dHashStub(bytes)) }
+      }
+      .toDF("id", "phash")
+  }
 }

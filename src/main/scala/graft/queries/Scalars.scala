@@ -500,6 +500,48 @@ object Scalars {
                   AS seq_len
          FROM m ORDER BY doc_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------- M5 (multimodal)
+    // Perceptual-hash near-dup detection — the IMAGE twin of l2's text
+    // dedup family: dHash 64-bit fingerprints (functions/Multimodal
+    // .perceptualHashes — grid derivation is the documented stub
+    // boundary, the dHash fold is the real published algorithm), then
+    // banded Hamming LSH exactly like l2_minhash_lsh: the corpus
+    // collapses to the DISTINCT hash domain, each hash explodes into 4
+    // sixteen-bit bands, candidates are band-equality joins (never
+    // all-pairs), and the verify stage is codegen xor + bit_count ≤ 6.
+    // Census row: distinct hashes, exact dups (identical fingerprints),
+    // candidate pairs, verified near-dups, Hamming range. Rows-only
+    // (hash derivation is stub-internal); the banded-join shape is the
+    // tested contract at 100 TB — swap the grid for a real resampler
+    // and nothing downstream changes.
+    QueryDef("m5_perceptual_dedup", (s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      val ph = graft.functions.Multimodal.perceptualHashes(media)
+      val dom = ph.groupBy(col("phash")).agg(count(lit(1)).as("n_imgs"))
+        .localCheckpoint(false)
+      val bands = dom.select(col("phash"), explode(expr(
+        """transform(sequence(0, 3),
+           k -> named_struct('k', k,
+                'v', shiftright(phash, CAST(k * 16 AS INT)) & 65535L))"""))
+        .as("b"))
+        .select(col("phash"), col("b.k").as("k"), col("b.v").as("v"))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.k") === col("y.k") && col("x.v") === col("y.v") &&
+          col("x.phash") < col("y.phash"))
+        .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
+        .distinct()
+      val exactDups = dom.filter(col("n_imgs") > 1)
+        .agg(coalesce(sum(col("n_imgs") - 1), lit(0L)).as("n_exact_dups"))
+      cand.withColumn("ham", expr("bit_count(pa ^ pb)"))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_near_dup_pairs"),
+          min(col("ham")).as("min_ham"), max(col("ham")).as("max_ham"))
+        .crossJoin(broadcast(exactDups))
+        .crossJoin(broadcast(dom.agg(count(lit(1)).as("n_distinct_hashes"))))
+    }, None),
+
     // ------------------------------------------------------------------ F12
     // Bitwise scalars (&, <<, >>, bit_count) and bitwise aggregates
     // (bit_and/bit_or/bit_xor) — all codegen'd column expressions; the

@@ -1139,6 +1139,37 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       s"$target/dq_failures/not_null_events_value").count() === 0L)
   }
 
+  test("multimodal: dHash is deterministic, batch path matches the kernel, census coheres") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // kernel determinism + identical-payload collision (the exact-dup case)
+    val a = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(Multimodal.dHashStub(a) === Multimodal.dHashStub(a.clone()))
+    // the batch (mapPartitions) path produces exactly the kernel's hashes
+    val media = Tables.t(spark, sf, "documents").limit(200)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+    val fromBatch = Multimodal.perceptualHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = media.as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> Multimodal.dHashStub(b) }.toMap
+    assert(fromBatch === direct)
+    // the near-dup census is internally coherent: verified ≤ candidates,
+    // and every identical-text pair hashes identically (exact dups ≥
+    // text dups within the sampled frame)
+    val row = SparkEntry.queries("m5_perceptual_dedup")(spark, sf).head()
+    val nCand = row.getAs[Long]("n_candidate_pairs")
+    val nNear = row.getAs[Long]("n_near_dup_pairs")
+    val nDistinct = row.getAs[Long]("n_distinct_hashes")
+    assert(nNear <= nCand)
+    assert(nDistinct > 0L)
+    if (nCand > 0L) {
+      assert(row.getAs[Int]("min_ham") >= 1,
+        "candidate pairs are over DISTINCT hashes — Hamming ≥ 1")
+      assert(row.getAs[Int]("max_ham") <= 64)
+    }
+  }
+
   test("dbt source freshness: thresholds status each source; sources.json artifact") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
