@@ -558,12 +558,21 @@ object Incremental {
     QueryDef("t14_late_audit", (s, dir) => {
       val base = ev(s, dir)
         .withColumn("ts_e", unix_timestamp(col("ts_sec")))
-      val bounds = broadcast(base.agg(
-        min(col("event_id")).as("lo"),
+      // block bounds via ONE bounded driver collect (1 row, 2 scalars —
+      // the l3_kmeans codebook discipline): riding them as literals
+      // instead of a crossJoin'd 1-row frame halves the event scans,
+      // since both the in-block window branch and the prefix branch
+      // would otherwise recompute the bounds aggregate
+      val bRow = base.agg(
+        expr("CAST(min(event_id) AS BIGINT)").as("lo"),
         greatest(lit(1L), ceil((max(col("event_id")) - min(col("event_id"))
-          + lit(1)).cast("double") / 32.0D).cast("long")).as("blk")))
-      val sharded = base.crossJoin(bounds)
-        .withColumn("shard", expr("CAST(event_id - lo AS BIGINT) div blk"))
+          + lit(1)).cast("double") / 32.0D).cast("long")).as("blk"))
+        .collect()(0)
+      val (lo, blk) =
+        if (bRow.isNullAt(0)) (0L, 1L) else (bRow.getLong(0), bRow.getLong(1))
+      val sharded = base
+        .withColumn("shard",
+          expr(s"CAST(event_id - ${lo}L AS BIGINT) div ${blk}L"))
       val iw = Window.partitionBy(col("shard")).orderBy(col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val within = sharded.withColumn("hwm_in", max(col("ts_e")).over(iw))

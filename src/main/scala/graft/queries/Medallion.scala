@@ -569,6 +569,38 @@ object Medallion {
         s"FROM ${m.model} GROUP BY ${keys.mkString(", ")} " +
         s"ORDER BY ${keys.map(k => s"$k ASC NULLS LAST").mkString(", ")}"
     }
+
+    /** dbt DERIVED metric: a ratio of two DECLARED metrics (by name) —
+      * `expr: metric('a') / metric('b')` in dbt's semantic layer. Both
+      * inputs must live on the same model/time dimension and be
+      * undimensioned (a dimensioned ratio needs a dim-aligned join —
+      * declare it as its own Metric instead). */
+    final case class DerivedMetric(name: String, num: String, den: String)
+
+    /** Compile a derived ratio at `grain`: both input measures aggregate
+      * in the SAME pass, and the ratio emits in exact MILLI-units via
+      * floor((1000·num)/den) — num·1000 stays under 2^53 for any sane
+      * measure (exact in IEEE doubles), the division is the identical
+      * double on both engines, so the floor is engine-portable without
+      * either engine's integer-division operator (`div` vs `//`). */
+    def compileDerivedMetricSql(dm: DerivedMetric, grain: String): String = {
+      val n = metrics.find(_.name == dm.num).getOrElse(
+        throw new IllegalArgumentException(s"unknown metric ${dm.num}"))
+      val d = metrics.find(_.name == dm.den).getOrElse(
+        throw new IllegalArgumentException(s"unknown metric ${dm.den}"))
+      require(n.model == d.model && n.timeDim == d.timeDim,
+        s"derived metric ${dm.name}: inputs must share model + time dim")
+      require(n.dims.isEmpty && d.dims.isEmpty,
+        s"derived metric ${dm.name}: inputs must be undimensioned")
+      val timeCol = s"CAST(date_trunc('$grain', ${n.timeDim}) AS DATE)"
+      s"SELECT $timeCol AS ${n.timeDim}_$grain, " +
+        s"CAST(${n.agg}(${n.measure}) AS BIGINT) AS ${n.name}, " +
+        s"CAST(${d.agg}(${d.measure}) AS BIGINT) AS ${d.name}, " +
+        s"CAST(floor((1000.0 * CAST(${n.agg}(${n.measure}) AS DOUBLE)) " +
+        s"/ CAST(${d.agg}(${d.measure}) AS DOUBLE)) AS BIGINT) " +
+        s"AS ${dm.name} " +
+        s"FROM ${n.model} GROUP BY 1 ORDER BY 1 ASC NULLS LAST"
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2937,6 +2969,33 @@ ORDER BY bucket ASC NULLS LAST"""),
            WHERE event_type IS NOT NULL AND value IS NOT NULL
            GROUP BY 1, 2)
          ${Pipeline.compileMetricSql(m, "week")}"""
+    }),
+
+    // ------------------------------------------------------------------ D14
+    // DERIVED metric (dbt `expr: metric('a') / metric('b')`): average
+    // order-item value in milli-cents = revenue_cents / items_sold at
+    // month grain — compiled from the two DECLARED metric specs (the
+    // compiler resolves them by name and aggregates both measures in
+    // ONE pass over the mart). The ratio emits via the engine-portable
+    // floor((1000·num)/den) form — exact BIGINT sums, identical IEEE
+    // division on both engines — so the same generated text gates on
+    // DuckDB verbatim, like d12/d13.
+    QueryDef("d14_derived_metric", (s, dir) => {
+      Pipeline.goldDailyRevenue(s, dir)
+        .createOrReplaceTempView("gold_daily_revenue")
+      s.sql(Pipeline.compileDerivedMetricSql(
+        Pipeline.DerivedMetric("avg_item_milli_cents",
+          "revenue_cents", "items_sold"), "month"))
+    }, Some {
+      s"""WITH gold_daily_revenue AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                    AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         ${Pipeline.compileDerivedMetricSql(
+            Pipeline.DerivedMetric("avg_item_milli_cents",
+              "revenue_cents", "items_sold"), "month")}"""
     }),
 
     // ------------------------------------------------------------------ S43

@@ -1263,5 +1263,23 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         "event_type, CAST(sum(n) AS BIGINT) AS events " +
         "FROM gold_daily_events GROUP BY 1, 2 " +
         "ORDER BY 1 ASC NULLS LAST, 2 ASC NULLS LAST")
+    // derived metric: resolves declared inputs by name, one-pass both
+    // measures, engine-portable milli-unit floor ratio
+    val dsql = Pipeline.compileDerivedMetricSql(
+      Pipeline.DerivedMetric("avg_item_milli_cents",
+        "revenue_cents", "items_sold"), "month")
+    assert(dsql.contains("AS revenue_cents, ") &&
+      dsql.contains("AS items_sold, ") &&
+      dsql.contains("CAST(floor((1000.0 * ") &&
+      dsql.contains("AS avg_item_milli_cents"))
+    // unknown input and cross-model inputs are rejected at compile time
+    intercept[IllegalArgumentException] {
+      Pipeline.compileDerivedMetricSql(
+        Pipeline.DerivedMetric("x", "no_such_metric", "items_sold"), "month")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.compileDerivedMetricSql(
+        Pipeline.DerivedMetric("x", "revenue_cents", "events"), "month")
+    }
   }
 }
