@@ -155,6 +155,90 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .queryExecution.optimizedPlan.toString.contains("year("))
   }
 
+  test("UnfoldDatePredicates: date_trunc grain predicates become range bounds") {
+    import spark.implicits._
+    def noTrunc(df: org.apache.spark.sql.DataFrame, cond: String): Boolean =
+      !df.where(expr(cond)).queryExecution.optimizedPlan.toString
+        .contains("date_trunc")
+    // DATE attribute (the metric layer's grain-filter shape): month
+    // boundary straddle, both literal spellings, every comparison class
+    val d = Seq("2024-01-31", "2024-02-01", "2024-02-29", "2024-03-01", null)
+      .toDF("s").select(col("s").cast("date").as("day"))
+    def pickD(cond: String): Seq[String] =
+      d.where(expr(cond)).select(col("day").cast("string"))
+        .collect().map(_.getString(0)).toSeq.sorted
+    assert(pickD("date_trunc('month', day) = TIMESTAMP '2024-02-01 00:00:00'")
+      === Seq("2024-02-01", "2024-02-29"))
+    assert(pickD("date_trunc('month', day) >= TIMESTAMP '2024-02-01 00:00:00'")
+      === Seq("2024-02-01", "2024-02-29", "2024-03-01"))
+    assert(pickD("date_trunc('month', day) > TIMESTAMP '2024-02-01 00:00:00'")
+      === Seq("2024-03-01"))
+    assert(pickD("date_trunc('month', day) < TIMESTAMP '2024-02-01 00:00:00'")
+      === Seq("2024-01-31"))
+    assert(pickD("TIMESTAMP '2024-02-01 00:00:00' = date_trunc('month', day)")
+      === pickD("date_trunc('month', day) = TIMESTAMP '2024-02-01 00:00:00'"))
+    assert(noTrunc(d,
+      "date_trunc('month', day) = TIMESTAMP '2024-02-01 00:00:00'"),
+      "the month-grain rewrite must fire on a date attribute")
+    // week grain: Monday boundaries (2024-02-05 is a Monday)
+    assert(pickD("date_trunc('week', day) = TIMESTAMP '2024-01-29 00:00:00'")
+      === Seq("2024-01-31", "2024-02-01"))
+    assert(noTrunc(d,
+      "date_trunc('week', day) = TIMESTAMP '2024-01-29 00:00:00'"))
+    // UNALIGNED literal: our rule declines (no interval exists) and the
+    // answer stays correct — constant-false here, however Spark's own
+    // optimizer chooses to express it
+    assert(pickD("date_trunc('month', day) = TIMESTAMP '2024-02-02 00:00:00'")
+      === Seq.empty)
+    assert(pickD("date_trunc('month', day) >= TIMESTAMP '2024-02-02 00:00:00'")
+      === Seq("2024-03-01"),
+      "unaligned range comparisons keep exact eval semantics")
+    // LTZ timestamp attribute: quarter grain in the session zone
+    val ts = Seq("2024-03-31 23:59:59", "2024-04-01 00:00:00",
+      "2024-06-30 23:59:59", "2024-07-01 00:00:00", null)
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    assert(ts.where(expr(
+      "date_trunc('quarter', ts) = TIMESTAMP '2024-04-01 00:00:00'"))
+      .count() === 2)
+    assert(noTrunc(ts,
+      "date_trunc('quarter', ts) = TIMESTAMP '2024-04-01 00:00:00'"))
+    // NTZ attribute: year grain, zone-free
+    val ntz2 = Seq("2023-12-31 23:59:59.999999", "2024-01-01 00:00:00",
+      "2024-12-31 23:59:59.999999", "2025-01-01 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp_ntz").as("ts"))
+    assert(ntz2.where(expr(
+      "date_trunc('year', ts) = TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+      .count() === 2)
+    // sub-day grains: our rule declines (date-grain intervals don't
+    // apply); eval semantics hold regardless of how Spark's own
+    // optimizer then expresses the predicate
+    assert(ts.where(expr(
+      "date_trunc('hour', ts) = TIMESTAMP '2024-06-30 23:00:00'"))
+      .count() === 1)
+    // PLAN pin on a real parquet scan (local frames constant-fold, so
+    // only a file-backed relation proves the rewrite): vanilla Spark
+    // leaves date_trunc as an opaque DataFilter with EMPTY PushedFilters
+    // (probed on this fixture); with the rule, the month predicate must
+    // become pushed o_orderdate range bounds — the nested
+    // CAST(CAST(ts AS DATE) AS TIMESTAMP) analyzer shape
+    val q = Tables.t(spark, sf, "orders").where(expr(
+      "date_trunc('month', CAST(o_orderdate AS DATE)) = TIMESTAMP '1995-02-01 00:00:00'"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("date_trunc"),
+      "the grain predicate must unfold on a parquet-backed scan")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+        "GreaterThanOrEqual(o_orderdate,") ||
+      (exec.contains("PushedFilters: [") &&
+        exec.contains("GreaterThanOrEqual(o_orderdate")),
+      s"the unfolded bounds must reach the parquet scan:\n$exec")
+    // and the unfolded month matches a hand-written range exactly
+    val n1 = q.count()
+    val n2 = Tables.t(spark, sf, "orders").where(expr(
+      """o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'""")).count()
+    assert(n1 === n2 && n1 > 0L)
+  }
+
   test("hilbert_index: known cells, full adjacency walk, codegen parity") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
