@@ -1491,6 +1491,98 @@ object Incremental {
                 round(mad*1000000)/1000000 AS resid_mad,
                 (abs(resid - med) > 3.0 * 1.4826 * mad) AS is_anomaly
          FROM r CROSS JOIN mad
-         ORDER BY day ASC NULLS LAST"""))
+         ORDER BY day ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ T25
+    // KAPLAN-MEIER retention curve — the survival-analysis staple every
+    // product team runs on user lifetimes, with CENSORING done right: a
+    // user still active in the final week is censored (they leave the
+    // risk set without counting as churn), which naive retention curves
+    // get wrong. ALL integer: per-lifetime deaths d and risk-set n are
+    // exact BIGINTs (n via a reverse running sum over the BOUNDED
+    // lifetime frame — days of observation span, never users), the
+    // hazard is d·1e6 div n, and the survival product S(t) = Π(1-d/n)
+    // runs as a ppm-scaled integer recursion (s·(n-d) div n) through a
+    // RECURSIVE CTE — the t19 move — so both engines walk the identical
+    // truncating-integer sequence and the oracle is hash-exact with no
+    // float product anywhere. Corpus collapses in one (user,day) agg;
+    // recursion depth = distinct lifetimes ≤ observation days.
+    QueryDef("t25_kaplan_meier", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE ud AS (
+             SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS day
+             FROM events GROUP BY 1, 2),
+           lives AS (
+             SELECT user_id, min(day) AS first_day, max(day) AS last_day
+             FROM ud GROUP BY 1),
+           bounds AS (SELECT max(last_day) AS end_day FROM lives),
+           cohort AS (
+             SELECT CAST(datediff(last_day, first_day) AS BIGINT) AS lt,
+                    CASE WHEN last_day <= date_sub(end_day, 7)
+                         THEN 1 ELSE 0 END AS churned
+             FROM lives CROSS JOIN bounds),
+           grp AS (
+             SELECT lt, CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(sum(churned) AS BIGINT) AS d
+             FROM cohort GROUP BY 1),
+           risk AS (
+             SELECT lt, d,
+                    CAST(sum(n_users) OVER (ORDER BY lt DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n,
+                    CAST(row_number() OVER (ORDER BY lt ASC) AS BIGINT) AS k
+             FROM grp),
+           km AS (
+             SELECT lt, d, n, k, ((n - d) * 1000000) div n AS s_ppm
+             FROM risk WHERE k = 1
+             UNION ALL
+             SELECT r.lt, r.d, r.n, r.k, (km.s_ppm * (r.n - r.d)) div r.n
+             FROM km JOIN risk r ON r.k = km.k + 1)
+           SELECT CAST(lt AS BIGINT) AS lifetime_days,
+                  CAST(d AS BIGINT) AS n_churned,
+                  CAST(n AS BIGINT) AS n_at_risk,
+                  CAST((d * 1000000) div n AS BIGINT) AS hazard_ppm,
+                  CAST(s_ppm AS BIGINT) AS survival_ppm
+           FROM km ORDER BY lifetime_days ASC NULLS LAST""")
+    }, Some(
+      """WITH RECURSIVE ud AS (
+           SELECT user_id,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day
+           FROM events GROUP BY 1, 2),
+         lives AS (
+           SELECT user_id, min(day) AS first_day, max(day) AS last_day
+           FROM ud GROUP BY 1),
+         bounds AS (SELECT max(last_day) AS end_day FROM lives),
+         cohort AS (
+           SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+                    AS lt,
+                  CASE WHEN last_day <= end_day - 7
+                       THEN 1 ELSE 0 END AS churned
+           FROM lives CROSS JOIN bounds),
+         grp AS (
+           SELECT lt, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(churned) AS BIGINT) AS d
+           FROM cohort GROUP BY 1),
+         risk AS (
+           SELECT lt, d,
+                  CAST(sum(n_users) OVER (ORDER BY lt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n,
+                  CAST(row_number() OVER (ORDER BY lt ASC) AS BIGINT) AS k
+           FROM grp),
+         km AS (
+           SELECT lt, d, n, k, ((n - d) * 1000000) // n AS s_ppm
+           FROM risk WHERE k = 1
+           UNION ALL
+           SELECT r.lt, r.d, r.n, r.k, (km.s_ppm * (r.n - r.d)) // r.n
+           FROM km JOIN risk r ON r.k = km.k + 1)
+         SELECT CAST(lt AS BIGINT) AS lifetime_days,
+                CAST(d AS BIGINT) AS n_churned,
+                CAST(n AS BIGINT) AS n_at_risk,
+                CAST((d * 1000000) // n AS BIGINT) AS hazard_ppm,
+                CAST(s_ppm AS BIGINT) AS survival_ppm
+         FROM km ORDER BY lifetime_days ASC NULLS LAST"""))
   )
 }

@@ -3727,6 +3727,68 @@ ORDER BY fold ASC NULLS LAST"""),
                   * 1000000) / 1000000 AS gini
          FROM ranked""")),
 
+    // ------------------------------------------------------------------ A29
+    // SPEARMAN RANK CORRELATION between customer revenue and order
+    // count — the robust (monotone, outlier-immune) dependence measure
+    // next to Pearson: correlate the RANKS, not the values. Both rank
+    // sides run as the two-phase DistributedRank over the customer
+    // aggregate (value-monotone bins, custkey tiebreak — a TOTAL order,
+    // so both engines rank identically with no tie-averaging ambiguity);
+    // ranks are exact BIGINTs, all five sufficient sums (Σx, Σy, Σx²,
+    // Σy², Σxy) are exact BIGINTs, and ρ is ONE closed IEEE expression
+    // over them rounded at 6dp. Headroom: n·Σxy ≤ n⁴ — exact through
+    // ~50k customers in ppm-safe territory, n^4 < 2^63 to ~55k; beyond
+    // that compute the sums as DOUBLEs of exact ranks (both engines
+    // identically) or Welford-style per shard.
+    QueryDef("a29_spearman", (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"), count(lit(1)).as("n_orders"))
+      val rx = graft.operators.DistributedRank.withGlobalRank(per,
+        expr("cents div 10000000L"),
+        Seq(col("cents").asc, col("o_custkey").asc), "rx")
+      val rxy = graft.operators.DistributedRank.withGlobalRank(rx,
+        expr("n_orders div 4L"),
+        Seq(col("n_orders").asc, col("o_custkey").asc), "ry")
+      rxy.agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n").as("n_customers"),
+          expr("""round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                  * 1000000) / 1000000""").as("spearman_rho"))
+    }, Some(
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT CAST(row_number() OVER (ORDER BY cents ASC,
+                    o_custkey ASC) AS BIGINT) AS rx,
+                  CAST(row_number() OVER (ORDER BY n_orders ASC,
+                    o_custkey ASC) AS BIGINT) AS ry
+           FROM per),
+         sums AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(rx) AS BIGINT) AS sx,
+                  CAST(sum(ry) AS BIGINT) AS sy,
+                  CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                  CAST(sum(ry * ry) AS BIGINT) AS syy,
+                  CAST(sum(rx * ry) AS BIGINT) AS sxy
+           FROM ranked)
+         SELECT n AS n_customers,
+                round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                  * 1000000) / 1000000 AS spearman_rho
+         FROM sums""")),
+
     // ------------------------------------------------------------------ D11
     // BENFORD'S LAW first-digit audit on order amounts — the classic
     // fabricated-data screen: natural multi-scale amounts follow
