@@ -1523,6 +1523,69 @@ object Llm {
     // splitter in a training/RAG pipeline. One generator per doc row
     // (sequence + explode), no shuffle until the output sort; at 100 TB
     // chunking is map-only.
+    // ------------------------------------------------------------- L5 (n)
+    // CORPUS-LEVEL LINE DEDUP WITH REASSEMBLY — the C4/RefinedWeb step
+    // that exact-doc dedup (l1) misses: boilerplate SEGMENTS repeating
+    // across documents (nav bars, license headers) are removed from
+    // every document but their FIRST occurrence (global keep-first by
+    // (doc_id, position) — deterministic, so the oracle is hash-exact),
+    // and each document is REASSEMBLED from its surviving segments in
+    // original order. Segments here are fixed 8-word windows (the
+    // fixture has no line breaks; swap the segmenter for split('\n')
+    // on real text — everything downstream is unchanged). Plan shape
+    // at 100 TB: one explode, ONE shuffle keyed on segment text for the
+    // keep-first window (content cardinality ≈ corpus, no hot keys),
+    // one doc-keyed agg to rebuild — never all-pairs, never a sort of
+    // the corpus. Output: per-doc before/after segment census + md5 of
+    // the rebuilt text (the oracle proves byte-exact reassembly).
+    QueryDef("l5_line_dedup", (s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(ceil(size(w) / 8.0D) AS INT) - 1),
+             i -> named_struct('i', i,
+                  's', array_join(slice(w, i * 8 + 1, 8), ' ')))"""))
+          .as("seg"))
+        .select(col("doc_id"), col("seg.i").as("seg_idx"),
+          col("seg.s").as("seg_text"))
+      val w = Window.partitionBy(col("seg_text"))
+        .orderBy(col("doc_id").asc, col("seg_idx").asc)
+      segs.withColumn("kept", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_segs_after"),
+          md5(expr(
+            """coalesce(array_join(transform(array_sort(
+                 collect_list(CASE WHEN kept
+                   THEN named_struct('i', seg_idx, 's', seg_text) END)),
+                 x -> x.s), ' '), '')""")).as("rebuilt_md5"))
+        .filter(col("doc_id") < 30)
+        .orderBy(col("doc_id").asc_nulls_last)
+    }, Some(
+      """WITH wl AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segs AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                  array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ')
+                    AS seg_text
+           FROM (SELECT doc_id, w,
+                        unnest(range(0, CAST(ceil(len(w) / 8.0)
+                          AS BIGINT))) AS i
+                 FROM wl)),
+         flag AS (
+           SELECT doc_id, seg_idx, seg_text,
+                  (row_number() OVER (PARTITION BY seg_text
+                     ORDER BY doc_id, seg_idx) = 1) AS kept
+           FROM segs)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs_before,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_segs_after,
+                md5(coalesce(string_agg(CASE WHEN kept THEN seg_text END,
+                  ' ' ORDER BY seg_idx), '')) AS rebuilt_md5
+         FROM flag
+         WHERE doc_id < 30
+         GROUP BY 1 ORDER BY doc_id ASC NULLS LAST""")),
+
     QueryDef("l5_chunking", (s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), posexplode(
