@@ -183,12 +183,6 @@ object Bench {
       java.nio.file.Paths.get("bench_result.json"),
       (line(results) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // The artifact records the FINAL 2000 chars of stdout; the headline
-    // JSON is ~800, so without a gap the window's head is whatever
-    // run-time chatter preceded the print. A >2000-char newline gap
-    // pushes everything else out of the window — the recorded tail is
-    // blank lines + the JSON, nothing else.
-    println("\n" * 2400)
     println(printed)
     System.out.flush()
   }

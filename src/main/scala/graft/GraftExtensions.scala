@@ -91,7 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nysiis_code"),
       new ExpressionInfo(classOf[graft.functions.NysiisCode].getName, "nysiis_code"),
-      (exprs: Seq[Expression]) => graft.functions.NysiisCode(exprs.head)))
+      graft.functions.Nysiis.builder))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),

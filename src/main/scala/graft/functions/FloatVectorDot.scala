@@ -121,9 +121,7 @@ object GraftFunctions {
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nysiis_code"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "nysiis_code",
-        (exprs: Seq[Expression]) => NysiisCode(exprs.head),
-        "scala_udf")
+        "nysiis_code", Nysiis.builder, "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {

@@ -32,8 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Each produced char appends to the key unless it equals the
   *     key's current last char (adjacent dedup).
   *  5. final: drop trailing S, rewrite trailing AY→Y, drop trailing A.
-  *  6. UNTRUNCATED (the classic 6-char cut only coarsens blocking;
-  *     `substring(nysiis_code(x), 1, 6)` restores it when wanted).
+  *  6. truncate to `maxLen` chars. The DEFAULT is the classic Taft
+  *     6-char cut — keys interoperate with NYSIIS output from other
+  *     record-linkage systems. `nysiis_code(x, 0)` keeps the full
+  *     untruncated key (finer blocking, NOT interop-portable);
+  *     `nysiis_code(x, n)` truncates to n.
   *
   * Reference vectors reproduced by this spec: BROWN→BRAN, KNUTH→NAT,
   * MACINTOSH→MCANT, PHILLIPSON→FALAPSAN, FERGUSON→FARGASAN,
@@ -41,7 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SCHMIDT→SNAD. Pure per-row byte loop as a static method inside
   * whole-stage codegen.
   */
-case class NysiisCode(child: Expression) extends UnaryExpression {
+case class NysiisCode(child: Expression, maxLen: Int = 6)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -53,11 +57,11 @@ case class NysiisCode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nysiis_code"
 
   override protected def nullSafeEval(v: Any): Any =
-    Nysiis.code(v.asInstanceOf[UTF8String])
+    Nysiis.code(v.asInstanceOf[UTF8String], maxLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.Nysiis.code($c);
+      s"""${ev.value} = graft.functions.Nysiis.code($c, $maxLen);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(
@@ -66,13 +70,32 @@ case class NysiisCode(child: Expression) extends UnaryExpression {
 
 object Nysiis {
 
+  /** SQL builder shared by the two registration sites (GraftExtensions
+    * + GraftFunctions.register — keep in sync): `nysiis_code(s)` = the
+    * classic interop 6-char Taft key; `nysiis_code(s, n)` truncates at
+    * n; n <= 0 keeps the full untruncated key. n must be an integer
+    * literal. */
+  val builder: Seq[Expression] => NysiisCode = (exprs: Seq[Expression]) =>
+    NysiisCode(exprs.head,
+      if (exprs.size < 2) 6
+      else exprs(1) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"nysiis_code: maxLen must be an integer literal, got $other")
+      })
+
   private def isLetter(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
 
   private def isVowel(c: Char): Boolean =
     c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U'
 
-  def code(s: UTF8String): UTF8String = {
+  /** Classic interop form: 6-char Taft truncation. */
+  def code(s: UTF8String): UTF8String = code(s, 6)
+
+  /** maxLen <= 0 keeps the full untruncated key. */
+  def code(s: UTF8String, maxLen: Int): UTF8String = {
     val bytes = s.getBytes
     if (bytes.isEmpty || !isLetter(bytes(0))) return null
     // 1. uppercase ASCII letters only
@@ -142,6 +165,7 @@ object Nysiis {
     if (out.length > 1 && out.endsWith("S")) out = out.substring(0, out.length - 1)
     if (out.endsWith("AY")) out = out.substring(0, out.length - 2) + "Y"
     if (out.length > 1 && out.endsWith("A")) out = out.substring(0, out.length - 1)
+    if (maxLen > 0 && out.length > maxLen) out = out.substring(0, maxLen)
     UTF8String.fromString(out)
   }
 }

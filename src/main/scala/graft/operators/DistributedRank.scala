@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   * Bin count must be bounded by something other than row count
   * (a parallelism constant, or the VALUE range of the sort key) —
   * that is what keeps the offsets frame tiny at 100 TB.
+  *
+  * `bin` must be NON-NULL for every row: a NULL bin has no place in
+  * the (bin ASC, order...) total order, and the offsets equi-join
+  * would silently drop the row. The operator enforces this at
+  * runtime — a NULL bin raises instead of vanishing.
   */
 object DistributedRank {
 
@@ -35,7 +40,10 @@ object DistributedRank {
     * extra pass over the data). */
   def withGlobalRank(df: DataFrame, bin: Column, order: Seq[Column],
       out: String, totalOut: Option[String] = None): DataFrame = {
-    val binned = df.withColumn("__drk_bin", bin)
+    val binned = df.withColumn("__drk_bin",
+      when(bin.isNotNull, bin).otherwise(raise_error(lit(
+        "graft.DistributedRank: bin expression evaluated to NULL — " +
+        "the rank contract requires a non-null bin for every row"))))
     val iw = Window.partitionBy(col("__drk_bin")).orderBy(order: _*)
     val within = binned.withColumn("__drk_j",
       row_number().over(iw).cast("long"))

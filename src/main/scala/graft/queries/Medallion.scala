@@ -389,6 +389,12 @@ object Medallion {
             Math.floorMod(l, 1000000L) * 1000L).toString)
         case x => Some(x.toString)
       }
+      // A declared model whose target table has no DeltaLite log is NOT
+      // silently dropped: it lands in `errors` so catalog consumers can
+      // tell "not materialized yet" from "not declared at all".
+      val skipped = order.filter(m =>
+        D.latestVersion(s"$targetDir/${m.name}").isEmpty)
+        .map(m => s"model ${uid(m.name)} skipped: no materialized table at $targetDir/${m.name}")
       val nodes = order.flatMap { m =>
         val path = s"$targetDir/${m.name}"
         D.latestVersion(path).map { _ =>
@@ -426,7 +432,7 @@ object Medallion {
         }
       }
       val catalog = ("nodes" -> nodes.toMap) ~
-        ("errors" -> Option.empty[String])
+        ("errors" -> (if (skipped.isEmpty) None else Some(skipped.toList)))
       val out = Paths.get(targetDir).resolve("catalog.json")
       Files.createDirectories(out.getParent)
       Files.write(out, JsonMethods.pretty(JsonMethods.render(catalog))

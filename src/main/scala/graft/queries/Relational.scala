@@ -331,20 +331,37 @@ object Relational {
     // NTILE bucketing — equal-frequency splits over a total order (the
     // train/val/test-split shape: deterministic decile assignment, floor
     // distribution with the remainder to the leading buckets in both
-    // engines). One window over one sort; per-bucket profile aggregated
-    // after.
-    QueryDef.sql("w1_ntile",
-      spark =
-        """WITH t AS (
-             SELECT c_custkey, c_acctbal,
-                    ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
-                      AS decile
-             FROM customer)
-           SELECT decile, count(*) AS n,
-                  (round((min(c_acctbal))*100)/100) AS lo,
-                  (round((max(c_acctbal))*100)/100) AS hi
-           FROM t GROUP BY decile ORDER BY decile ASC NULLS LAST""",
-      oracle =
+    // engines). A bare `ntile(10) OVER (ORDER BY ...)` moves EVERY
+    // customer row to one partition — the one window shape that cannot
+    // survive a 100× scale-up — so the Spark side is the DISTRIBUTED
+    // exact ntile (the l4_perplexity move): bin by a value-monotone
+    // range of the leading sort key (c_acctbal spans a fixed [-1000,
+    // 10000) domain, so `floor(bal/100)` gives ≤111 bins regardless of
+    // row count), exact global rank via the two-phase
+    // [[graft.operators.DistributedRank]], then ntile's closed form
+    // bucket(r, n): the first n%10 buckets hold ⌈n/10⌉ rows, the rest
+    // ⌊n/10⌋ — identical semantics to the oracle's global ntile(10),
+    // with only the ≤111-row bin-offsets frame ever single-partitioned.
+    QueryDef("w1_ntile", (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.DistributedRank.withGlobalRank(cust,
+          expr("CAST(floor(c_acctbal / 100.0D) AS BIGINT)"),
+          Seq(col("c_acctbal").asc, col("c_custkey").asc),
+          "r", totalOut = Some("n_rows"))
+        .withColumn("decile", expr(
+          """CAST(CASE WHEN r <= (n_rows % 10L) * ((n_rows div 10L) + 1L)
+             THEN ((r - 1L) div ((n_rows div 10L) + 1L)) + 1L
+             ELSE (n_rows % 10L)
+                  + ((r - 1L - (n_rows % 10L) * ((n_rows div 10L) + 1L))
+                     div (n_rows div 10L))
+                  + 1L
+             END AS INT)"""))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          (round(min(col("c_acctbal")) * 100) / 100).as("lo"),
+          (round(max(col("c_acctbal")) * 100) / 100).as("hi"))
+        .orderBy(col("decile").asc_nulls_last)
+    }, Some(
         """WITH t AS (
              SELECT c_custkey, c_acctbal,
                     CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
@@ -353,7 +370,7 @@ object Relational {
            SELECT decile, count(*) AS n,
                   (round((min(c_acctbal))*100)/100) AS lo,
                   (round((max(c_acctbal))*100)/100) AS hi
-           FROM t GROUP BY decile ORDER BY decile ASC NULLS LAST"""),
+           FROM t GROUP BY decile ORDER BY decile ASC NULLS LAST""")),
 
     // ------------------------------------------------------------------ J10
     // LATERAL join (DuckDB lateral / Spark 3.2+ lateral subquery): top-3

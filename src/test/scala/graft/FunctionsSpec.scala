@@ -381,13 +381,14 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
   test("nysiis_code: Taft vectors, head/tail transforms, codegen parity, null contract") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // the classic published example set (untruncated form) — each
-    // exercises a distinct rule: head MAC/KN/PH/SCH, tail DT, EV, H/W
-    // absorption, vowel flattening, final S/AY/A rewrites
+    // the classic published example set — each exercises a distinct
+    // rule: head MAC/KN/PH/SCH, tail DT, EV, H/W absorption, vowel
+    // flattening, final S/AY/A rewrites. Default = classic Taft 6-char
+    // truncation (interop with other linkage systems).
     val vectors = Seq(
       "BROWN" -> "BRAN", "KNUTH" -> "NAT", "MACINTOSH" -> "MCANT",
-      "PHILLIPSON" -> "FALAPSAN", "FERGUSON" -> "FARGASAN",
-      "JACKSON" -> "JACSAN", "WASHINGTON" -> "WASANGTAN",
+      "PHILLIPSON" -> "FALAPS", "FERGUSON" -> "FARGAS",
+      "JACKSON" -> "JACSAN", "WASHINGTON" -> "WASANG",
       "LAWSON" -> "LASAN", "DAY" -> "DY", "SCHMIDT" -> "SNAD",
       "brown" -> "BRAN", "O'Brien" -> "OBRAN")
     val got = vectors.map(_._1).toDF("s")
@@ -395,6 +396,17 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
     vectors.map(_._2).zip(got).zip(vectors.map(_._1)).foreach {
       case ((want, g), in) => assert(g === want, s"nysiis($in)")
     }
+    // nysiis_code(s, 0) keeps the full untruncated key; (s, n) cuts at n
+    val longVectors = Seq(
+      "PHILLIPSON" -> "FALAPSAN", "FERGUSON" -> "FARGASAN",
+      "WASHINGTON" -> "WASANGTAN")
+    val gotLong = longVectors.map(_._1).toDF("s")
+      .select(expr("nysiis_code(s, 0)").as("c")).as[String].collect()
+    longVectors.map(_._2).zip(gotLong).zip(longVectors.map(_._1)).foreach {
+      case ((want, g), in) => assert(g === want, s"nysiis($in, 0)")
+    }
+    assert(Seq("WASHINGTON").toDF("s")
+      .select(expr("nysiis_code(s, 4)").as("c")).as[String].head() === "WASA")
     // NYSIIS is strictly finer than soundex on this fixture domain:
     // every nysiis block is inside one soundex block is NOT guaranteed
     // in general, but determinism and format invariants are — letters

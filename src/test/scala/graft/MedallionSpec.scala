@@ -1090,6 +1090,22 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       .agg(min(col("n_items")), max(col("n_items"))).head()
     assert((cols("n_items") \ "min") === JString(ni.getLong(0).toString))
     assert((cols("n_items") \ "max") === JString(ni.getLong(1).toString))
+    // fully-built DAG → no errors
+    assert((catalog \ "errors") === JNull || (catalog \ "errors") === JNothing)
+    // a declared-but-unmaterialized model is NOT silently dropped: it
+    // lands in `errors` so consumers can tell "not built" from "not
+    // declared"
+    val ghost = Pipeline.Model("ghost_model", Nil, (_, _) => fail("never"))
+    val path2 = Pipeline.generateCatalog(target, order :+ ghost)
+    val cat2 = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2)), "UTF-8"))
+    val nodes2 = (cat2 \ "nodes").asInstanceOf[JObject].obj.toMap
+    assert(nodes2.keySet === order.map(m => s"model.graft.${m.name}").toSet)
+    val errs = (cat2 \ "errors") match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case other => fail(s"errors must list skipped models: $other")
+    }
+    assert(errs.exists(e => e.contains("ghost_model") && e.contains("skipped")))
   }
 
   test("dbt test --store-failures: violating rows land in the audit table; rerun replaces") {

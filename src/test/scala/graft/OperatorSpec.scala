@@ -228,4 +228,22 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
       .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
     assert(got2 === want2)
   }
+
+  test("DistributedRank: a NULL bin raises instead of silently dropping the row") {
+    import spark.implicits._
+    import graft.operators.DistributedRank
+    // a bin expression that nulls out for one row: without the guard the
+    // offsets equi-join would drop that row and ranks would still look
+    // contiguous — the failure must be LOUD
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      DistributedRank.withGlobalRank(df,
+        expr("v div 10L"), Seq(col("v").asc, col("id").asc), "r")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("DistributedRank")),
+      s"expected the non-null-bin contract error, got: $ex")
+  }
 }

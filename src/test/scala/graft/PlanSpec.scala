@@ -670,6 +670,20 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"only bounded frames may single-partition:\n$p")
   }
 
+  test("w1_ntile: deciles without a global ntile sort — no customer-cardinality frame on one partition") {
+    val p = plan("w1_ntile")
+    assert(p.contains("hashpartitioning(__drk_bin"),
+      s"the rank window must partition by the acctbal value bin:\n$p")
+    assert(!p.contains("ntile"),
+      s"bucketing must be the closed-form rank map, not a global ntile:\n$p")
+    // SinglePartition exchanges: only the ≤111-row bin-offsets prefix
+    // windows — never the customer frame
+    assert(count(p, "Exchange SinglePartition") <= 2,
+      s"only bounded frames may single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bin offsets must broadcast back to the customer frame:\n$p")
+  }
+
   test("t22_dau_wau_mau: rolling distincts are equi-aggregations, not a BETWEEN nested-loop join") {
     val p = plan("t22_dau_wau_mau")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
