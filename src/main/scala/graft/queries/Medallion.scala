@@ -465,6 +465,55 @@ object Medallion {
       (D.snapshot(path).totalRows, v)
     }
 
+    /** dbt `on_schema_change` incremental config: the four-way declared
+      * policy an incremental model applies when a batch's schema
+      * diverges from the already-materialized target (dbt docs, the
+      * incremental materialization's `process_schema_changes`):
+      *  - `ignore` (dbt's default): NEW batch columns are dropped — the
+      *    declared policy makes the drop explicit user intent — and the
+      *    insert lands on the target's schema (columns the batch omits
+      *    fill NULL, Delta append semantics).
+      *  - `append_new_columns`: new columns evolve INTO the target
+      *    ([[graft.sources.DeltaLite.appendEvolve]] — history reads
+      *    them as NULL through the log schema, zero file rewrites);
+      *    columns missing from the batch are kept, NULL for new rows.
+      *  - `sync_all_columns`: new columns evolve in AND target columns
+      *    absent from the batch are DROPPED first
+      *    ([[graft.sources.DeltaLite.dropColumn]] — metadata-only
+      *    through column mapping, no data rewrite at any scale).
+      *  - `fail`: any divergence raises BEFORE any commit — the target
+      *    version is untouched.
+      * Every path is metadata + the append itself: at 100 TB the policy
+      * costs exactly what the batch write costs. */
+    def incrementalAppend(s: SparkSession, path: String, batch: DataFrame,
+        onSchemaChange: String = "ignore"): Long = {
+      val D = graft.sources.DeltaLite
+      val tgt = D.snapshot(path).schema.fieldNames.toSeq
+      val have = batch.columns.toSeq
+      val added = have.filterNot(tgt.contains)
+      val removed = tgt.filterNot(have.contains)
+      onSchemaChange match {
+        case "ignore" =>
+          val keep = have.filter(tgt.contains)
+          D.append(s, path, batch.select(keep.map(batch.col): _*))
+        case "append_new_columns" =>
+          D.appendEvolve(s, path, batch)
+        case "sync_all_columns" =>
+          removed.foreach(c => D.dropColumn(path, c))
+          D.appendEvolve(s, path, batch)
+        case "fail" =>
+          if (added.nonEmpty || removed.nonEmpty)
+            throw new IllegalArgumentException(
+              "on_schema_change=fail: batch schema diverges from the " +
+              s"target (added: [${added.mkString(", ")}]; " +
+              s"removed: [${removed.mkString(", ")}])")
+          D.append(s, path, batch)
+        case other => throw new IllegalArgumentException(
+          s"unknown on_schema_change policy '$other' " +
+          "(ignore | append_new_columns | sync_all_columns | fail)")
+      }
+    }
+
     /** dbt SEMANTIC-LAYER metric (`metrics:` block): a declared measure
       * (aggregation + expression) over a model, with a time dimension
       * and optional categorical dimensions, COMPILED to SQL at a

@@ -3126,12 +3126,30 @@ object DeltaLite {
     * NOT MATCHED BY SOURCE clause every live file is a candidate (rows
     * absent from the source live anywhere); otherwise candidates are
     * stats-pruned by the source's key bounds and confirmed with a
-    * `_metadata.file_path` semi-join. */
+    * `_metadata.file_path` semi-join.
+    *
+    * `incrementalPredicates` is dbt's `incremental_predicates` config:
+    * declared SQL predicates over TARGET columns that scope the merge's
+    * target side BEFORE key matching. Semantics follow dbt's generated
+    * MERGE (predicates ride the ON condition): a target row failing (or
+    * nulling) any predicate is invisible to every clause — MATCHED
+    * clauses cannot touch it, NOT MATCHED BY SOURCE clauses cannot
+    * delete it, and it is carried forward byte-identical. dbt's
+    * documented footgun carries over deliberately: a source key whose
+    * only target match is out of scope INSERTs a second row — the
+    * config trades that contract for scan cost. At scale this is the
+    * point: simple `col <op> literal` conjuncts become stats bounds
+    * ([[scopePredicateBounds]]) that shrink the candidate-file set the
+    * key-confirm scan reads (on a 100 TB target a `day >= X` predicate
+    * turns the confirm scan from all-files into the recent tail);
+    * conjuncts the extractor cannot read still apply row-level, so
+    * pruning stays an optimization, never a semantics change. */
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String],
       clauses: Seq[graft.operators.Merge.MergeClause],
       schemaEvolution: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      incrementalPredicates: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
     // txn idempotence (same rule as appendOnce): an already-applied
@@ -3164,11 +3182,21 @@ object DeltaLite {
       case _: graft.operators.Merge.NotMatchedBySourceDelete => true
       case _ => false
     }
+    val scopeCol: Option[Column] =
+      if (incrementalPredicates.isEmpty) None
+      else Some(incrementalPredicates.map(p => expr(p)).reduce(_ && _))
+    val scopeBounds =
+      scopePredicateBounds(spark, snap.schema, incrementalPredicates)
     val (touched, touchedRows) =
-      if (hasBySource)
-        (snap.files.map(_.path),
-          readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical))
-      else filesHoldingKeys(spark, path, snap, source, keys)
+      if (hasBySource) {
+        // by-source clauses can touch ANY in-scope row; candidates are
+        // every file the scope bounds cannot disprove (all files when
+        // no predicates are declared — the pre-config behavior)
+        val cands = pruneFiles(snap, scopeBounds)
+        (cands.map(_.path),
+          readFiles(spark, path, snap.schema, cands, snap.partitionBy, snap.physical))
+      } else filesHoldingKeys(spark, path, snap, source, keys,
+        scopeCol, scopeBounds)
     val target = newFields.foldLeft(touchedRows)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
     // Column DEFAULTs apply to MERGE INSERTs exactly as in SQL: an INSERT
@@ -3206,7 +3234,17 @@ object DeltaLite {
         case other => other
       }
     }
-    val merged = graft.operators.Merge.merge(target, source, keys, effClauses)
+    // out-of-scope rows in touched files ride through unchanged (no
+    // clause may see them); NULL predicate results read as out of scope,
+    // matching an ON-condition that fails to hold
+    val (scoped, outOfScope) = scopeCol match {
+      case Some(c) =>
+        val hit = coalesce(c, lit(false))
+        (target.filter(hit), Some(target.filter(!hit)))
+      case None => (target, None)
+    }
+    val merged0 = graft.operators.Merge.merge(scoped, source, keys, effClauses)
+    val merged = outOfScope.fold(merged0)(merged0.unionByName(_))
     checkConstraints(merged, evolved, snap.constraints, "MERGE")
     val v = snap.version + 1
     val adds = writeData(spark, root(path), v, merged, evolved,
@@ -3425,22 +3463,103 @@ object DeltaLite {
     * a DataFrame of exactly those files' rows: stats-prune candidates by
     * the key bounds (one tiny agg), then an exact `_metadata.file_path`
     * semi-join. Shared by [[merge]] and [[deleteInsert]]. */
-  private def filesHoldingKeys(spark: SparkSession, path: String,
-      snap: Snapshot, keyed: DataFrame, keys: Seq[String])
-      : (Seq[String], DataFrame) = {
-    val r = root(path)
+  /** Extract stats-prunable [[ColumnBound]]s from dbt-style
+    * `incremental_predicates` strings: simple `col <op> literal`
+    * conjuncts (both operand orders, foldable right-hand sides) become
+    * bounds for [[pruneFiles]]. Anything the extractor cannot read is
+    * simply not used for file pruning — the caller still applies the
+    * predicate row-level, so extraction stays a pure optimization. */
+  private[graft] def scopePredicateBounds(spark: SparkSession,
+      schema: StructType, preds: Seq[String]): Seq[ColumnBound] = {
+    if (preds.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.filter(preds.map(p => expr(p)).reduce(_ && _))
+      .queryExecution.analyzed
+    val conds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    def conj(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    // foldable RHS evaluated to a DRIVER value (days Int → sql.Date,
+    // UTF8String → String, ...) so normBound can re-encode it
+    object Lit {
+      def unapply(e: Expression): Option[Any] =
+        if (!e.foldable) None
+        else Option(e.eval(null)).map(v =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(v, e.dataType))
+    }
+    conds.flatMap(conj).flatMap {
+      case GreaterThan(a: AttributeReference, Lit(v)) =>
+        Seq(ColumnBound(a.name, lower = Some(v)))
+      case GreaterThanOrEqual(a: AttributeReference, Lit(v)) =>
+        Seq(ColumnBound(a.name, lower = Some(v)))
+      case LessThan(a: AttributeReference, Lit(v)) =>
+        Seq(ColumnBound(a.name, upper = Some(v)))
+      case LessThanOrEqual(a: AttributeReference, Lit(v)) =>
+        Seq(ColumnBound(a.name, upper = Some(v)))
+      case EqualTo(a: AttributeReference, Lit(v)) =>
+        Seq(ColumnBound(a.name, Some(v), Some(v)))
+      case GreaterThan(Lit(v), a: AttributeReference) =>
+        Seq(ColumnBound(a.name, upper = Some(v)))
+      case GreaterThanOrEqual(Lit(v), a: AttributeReference) =>
+        Seq(ColumnBound(a.name, upper = Some(v)))
+      case LessThan(Lit(v), a: AttributeReference) =>
+        Seq(ColumnBound(a.name, lower = Some(v)))
+      case LessThanOrEqual(Lit(v), a: AttributeReference) =>
+        Seq(ColumnBound(a.name, lower = Some(v)))
+      case EqualTo(Lit(v), a: AttributeReference) =>
+        Seq(ColumnBound(a.name, Some(v), Some(v)))
+      case _ => Nil
+    }
+  }
+
+  /** The candidate-file set a MERGE with these keys (+ optional
+    * incremental predicates) would read for its key-confirm scan —
+    * source key bounds plus predicate bounds through [[pruneFiles]].
+    * Exposed for tests/inspection of the predicate's pruning effect. */
+  private[graft] def mergeCandidates(spark: SparkSession, path: String,
+      source: DataFrame, keys: Seq[String],
+      incrementalPredicates: Seq[String] = Nil): Seq[AddFile] = {
+    val snap = snapshot(path)
+    pruneFiles(snap, sourceKeyBounds(source, keys) ++
+      scopePredicateBounds(spark, snap.schema, incrementalPredicates))
+  }
+
+  private def sourceKeyBounds(keyed: DataFrame,
+      keys: Seq[String]): Seq[ColumnBound] = {
     val aggExprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
       min(keyed.col(k)).as(s"__lo$i"), max(keyed.col(k)).as(s"__hi$i")) }
     val bRow = keyed.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
-    val bounds = keys.zipWithIndex.map { case (k, i) =>
-      ColumnBound(k, Option(bRow.getAs[Any](s"__lo$i")), Option(bRow.getAs[Any](s"__hi$i")))
+    keys.zipWithIndex.map { case (k, i) =>
+      ColumnBound(k, Option(bRow.getAs[Any](s"__lo$i")),
+        Option(bRow.getAs[Any](s"__hi$i")))
     }
+  }
+
+  private def filesHoldingKeys(spark: SparkSession, path: String,
+      snap: Snapshot, keyed: DataFrame, keys: Seq[String],
+      scope: Option[Column] = None,
+      scopeBounds: Seq[ColumnBound] = Nil)
+      : (Seq[String], DataFrame) = {
+    val r = root(path)
+    val bounds = sourceKeyBounds(keyed, keys) ++ scopeBounds
     val candidates = pruneFiles(snap, bounds)
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
-        val cand = readFilesWithPos(spark, path, snap.schema, candidates,
+        val base = readFilesWithPos(spark, path, snap.schema, candidates,
           snap.partitionBy, snap.physical)
+        // the confirm scan only needs IN-SCOPE matches: an out-of-scope
+        // row can never be touched, so its file need not rewrite
+        val cand = scope.fold(base)(c => base.filter(coalesce(c, lit(false))))
         cand.select(col("path").as("__fp") +: keys.map(cand.col): _*)
           .join(keyed.select(keys.map(keyed.col): _*).distinct(), keys, "left_semi")
           .select("__fp").distinct().collect()

@@ -1298,4 +1298,65 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         Pipeline.DerivedMetric("x", "revenue_cents", "events"), "month")
     }
   }
+
+  test("dbt on_schema_change: ignore / append_new_columns / sync_all_columns / fail") {
+    import spark.implicits._
+    def build(): String = {
+      val path = Files.createTempDirectory("graft_oschg").toString
+      DeltaLite.create(spark, path,
+        Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+      path
+    }
+    // the widened source every mode is exercised against: a NEW column
+    // (tag) and a REMOVED one (v)
+    val widened = Seq((3L, 3.0, "x"), (4L, 4.0, "y")).toDF("k", "v", "tag")
+    val narrowed = Seq((5L, "z")).toDF("k", "tag")
+
+    // ignore (dbt default): new column dropped, target schema unchanged
+    val p1 = build()
+    Pipeline.incrementalAppend(spark, p1, widened, "ignore")
+    val r1 = DeltaLite.read(spark, p1)
+    assert(r1.columns.toSeq === Seq("k", "v"))
+    assert(r1.count() === 4)
+
+    // append_new_columns: tag evolves in; old rows read it as NULL
+    val p2 = build()
+    Pipeline.incrementalAppend(spark, p2, widened, "append_new_columns")
+    val r2 = DeltaLite.read(spark, p2)
+    assert(r2.columns.toSeq === Seq("k", "v", "tag"))
+    assert(r2.filter($"tag".isNull).count() === 2)
+    assert(r2.filter($"tag".isNotNull).count() === 2)
+    // a batch missing an existing column keeps it, NULL for new rows
+    Pipeline.incrementalAppend(spark, p2, narrowed, "append_new_columns")
+    val r2b = DeltaLite.read(spark, p2)
+    assert(r2b.columns.toSeq === Seq("k", "v", "tag"))
+    assert(r2b.filter($"k" === 5L && $"v".isNull).count() === 1)
+
+    // sync_all_columns: v is DROPPED (metadata-only), tag evolves in
+    val p3 = build()
+    Pipeline.incrementalAppend(spark, p3, narrowed, "sync_all_columns")
+    val r3 = DeltaLite.read(spark, p3)
+    assert(r3.columns.toSeq === Seq("k", "tag"))
+    assert(r3.count() === 3)
+    assert(r3.filter($"k" === 5L).select("tag").head().getString(0) === "z")
+
+    // fail: raises BEFORE any commit — version stays put
+    val p4 = build()
+    val v0 = DeltaLite.latestVersion(p4).get
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.incrementalAppend(spark, p4, widened, "fail")
+    }
+    assert(ex.getMessage.contains("on_schema_change=fail"))
+    assert(ex.getMessage.contains("tag"))
+    assert(DeltaLite.latestVersion(p4).get === v0)
+    // fail with an IDENTICAL schema is a plain append
+    Pipeline.incrementalAppend(spark, p4,
+      Seq((9L, 9.0)).toDF("k", "v"), "fail")
+    assert(DeltaLite.read(spark, p4).count() === 3)
+
+    // unknown policy names are rejected
+    intercept[IllegalArgumentException] {
+      Pipeline.incrementalAppend(spark, p4, widened, "explode")
+    }
+  }
 }

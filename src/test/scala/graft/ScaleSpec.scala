@@ -2949,4 +2949,76 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     val full = postings.filter(col("term") === term).count()
     assert(probe.count() === full && full > 0)
   }
+
+  test("incremental_predicates: candidate files shrink, results identical; scope gates clauses") {
+    import spark.implicits._
+    val M = graft.operators.Merge
+    def build(): String = {
+      val path = Files.createTempDirectory("graft_incrpred").toString
+      // wave 1 (Jan, odd keys) and wave 2 (Feb, even keys) — one file
+      // each, disjoint day ranges, overlapping key ranges
+      val jan = (1L to 399L by 2).map(k => (k, "2024-01-15", k * 1.0))
+        .toDF("k", "d", "v").withColumn("day", to_date($"d")).drop("d")
+        .select($"k", $"day", $"v").coalesce(1)
+      val feb = (2L to 400L by 2).map(k => (k, "2024-02-15", k * 1.0))
+        .toDF("k", "d", "v").withColumn("day", to_date($"d")).drop("d")
+        .select($"k", $"day", $"v").coalesce(1)
+      DeltaLite.create(spark, path, jan)
+      DeltaLite.append(spark, path, feb)
+      path
+    }
+    val preds = Seq("day >= DATE'2024-02-01'")
+    // source keys 150/250 live ONLY in the Feb file; 401 is new. Key
+    // bounds [150, 401] overlap BOTH files, so without the predicate
+    // the key-confirm scan must read both; the predicate's stats bound
+    // disproves the Jan file without opening it.
+    val src = Seq((150L, "2024-03-01", -1.0), (250L, "2024-03-01", -2.0),
+        (401L, "2024-03-01", -3.0))
+      .toDF("k", "d", "v").withColumn("day", to_date($"d")).drop("d")
+      .select($"k", $"day", $"v")
+    val pathA = build()
+    val without = DeltaLite.mergeCandidates(spark, pathA, src, Seq("k"))
+    val withPred = DeltaLite.mergeCandidates(spark, pathA, src, Seq("k"), preds)
+    assert(without.size === 2, "both waves overlap the source key bounds")
+    assert(withPred.size === 1, "the Jan file must prune on the day bound")
+    assert(withPred.size < without.size)
+    // identical result either way (the semi-join confirm already
+    // protected correctness; the predicate removes scan cost only)
+    val clauses = Seq(
+      M.MatchedUpdate(None, Map("v" -> M.src("v"))),
+      M.NotMatchedInsert(None))
+    val pathB = build()
+    DeltaLite.mergeClauses(spark, pathA, src, Seq("k"), clauses,
+      incrementalPredicates = preds)
+    DeltaLite.mergeClauses(spark, pathB, src, Seq("k"), clauses)
+    val a = DeltaLite.read(spark, pathA).orderBy("k").collect().toSeq
+    val b = DeltaLite.read(spark, pathB).orderBy("k").collect().toSeq
+    assert(a === b)
+    assert(a.count(r => r.getDouble(2) < 0) === 3)
+    // dbt's documented footgun carries over: a source key whose only
+    // match is OUT of scope inserts a second row instead of updating
+    val pathC = build()
+    val srcOdd = Seq((151L, "2024-03-01", -9.0))
+      .toDF("k", "d", "v").withColumn("day", to_date($"d")).drop("d")
+      .select($"k", $"day", $"v")
+    DeltaLite.mergeClauses(spark, pathC, srcOdd, Seq("k"), clauses,
+      incrementalPredicates = preds)
+    val c151 = DeltaLite.read(spark, pathC).filter($"k" === 151L)
+      .orderBy($"v").collect()
+    assert(c151.length === 2, "out-of-scope match must INSERT (dbt contract)")
+    assert(c151.map(_.getDouble(2)).toSeq === Seq(-9.0, 151.0))
+    // NOT MATCHED BY SOURCE clauses respect the scope too: delete
+    // everything in-scope absent from the source — Jan rows (out of
+    // scope) must all survive
+    val pathD = build()
+    DeltaLite.mergeClauses(spark, pathD, src, Seq("k"), Seq(
+      M.MatchedUpdate(None, Map("v" -> M.src("v"))),
+      M.NotMatchedBySourceDelete(None)),
+      incrementalPredicates = preds)
+    val d = DeltaLite.read(spark, pathD)
+    assert(d.filter($"day" < to_date(lit("2024-02-01"))).count() === 200,
+      "out-of-scope rows are invisible to by-source deletes")
+    assert(d.filter($"day" >= to_date(lit("2024-02-01"))).count() === 2,
+      "in-scope rows absent from the source are deleted")
+  }
 }
