@@ -66,7 +66,77 @@ object Medallion {
     final case class Model(name: String, deps: Seq[String],
         build: (SparkSession, String => DataFrame) => DataFrame,
         code: String = "", contract: Option[Contract] = None,
-        preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil)
+        preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
+        version: Option[Int] = None, latestVersion: Option[Int] = None,
+        deprecationDate: Option[String] = None)
+
+    /** dbt MODEL VERSIONS (`versions:` config): a versioned model is
+      * one Model entry PER VERSION, all sharing `name`. Node identity
+      * is `name.vN` (dbt's `model.<project>.<name>.vN` unique-id tail),
+      * the materialized table is `name_vN` (dbt's default versioned
+      * alias), and a ref string may be:
+      *  - `"name"`    → the family's LATEST version — declared
+      *                  `latestVersion`, else the highest `version`
+      *                  (dbt's latest_version default) — so consumers
+      *                  FLOAT across migrations;
+      *  - `"name.vN"` → PINNED to version N (dbt `ref('name', v=N)`);
+      *  - an unversioned model's plain name (unchanged behavior).
+      * `deprecationDate` mirrors dbt's `deprecation_date`: a ref
+      * resolving to a non-latest or deprecated version surfaces a
+      * warning in run_results.json, and the date rides manifest.json —
+      * the governance trail that lets a 100-model mart evolve v1→v2
+      * with pinned consumers migrating on their own schedule. */
+    def nodeId(m: Model): String =
+      m.version.map(v => s"${m.name}.v$v").getOrElse(m.name)
+
+    /** Materialized table name under the target dir (dbt's default
+      * versioned alias `<name>_v<N>`). */
+    def tableName(m: Model): String =
+      m.version.map(v => s"${m.name}_v$v").getOrElse(m.name)
+
+    private def latestOf(family: Seq[Model]): Model = {
+      val declared = family.flatMap(_.latestVersion).distinct
+      require(declared.size <= 1, s"model ${family.head.name}: " +
+        s"conflicting latest_version declarations (${declared.mkString(", ")})")
+      val latestV = declared.headOption.getOrElse(family.flatMap(_.version).max)
+      family.find(_.version.contains(latestV)).getOrElse(
+        throw new IllegalArgumentException(s"model ${family.head.name}: " +
+          s"latest_version $latestV is not a declared version"))
+    }
+
+    /** Resolve a ref string against the model set (see [[nodeId]]):
+      * exact node id (unversioned name or pinned `name.vN`) first,
+      * else the versioned family's latest. */
+    def resolveRef(models: Seq[Model], d: String): Model =
+      models.find(m => nodeId(m) == d).getOrElse {
+        val family = models.filter(m => m.name == d && m.version.isDefined)
+        require(family.nonEmpty, s"ref '$d' matches no model")
+        latestOf(family)
+      }
+
+    /** dbt's deprecation + version-pin warnings for a model set — the
+      * `dbt parse` console output, persisted into run_results.json. */
+    private def versionWarnings(models: Seq[Model]): Seq[String] =
+      models.flatMap { m =>
+        m.deps.flatMap { d =>
+          val t = resolveRef(models, d)
+          if (t.version.isEmpty) Nil
+          else {
+            val latest = latestOf(models.filter(x =>
+              x.name == t.name && x.version.isDefined))
+            val stale =
+              if (nodeId(t) != nodeId(latest))
+                Seq(s"model ${nodeId(m)} depends on ${nodeId(t)}, which is " +
+                  s"not the latest version (${nodeId(latest)})")
+              else Nil
+            val dep = t.deprecationDate
+              .filter(_ <= java.time.LocalDate.now().toString)
+              .map(dd => s"model ${nodeId(m)} depends on ${nodeId(t)}, " +
+                s"deprecated since $dd").toSeq
+            stale ++ dep
+          }
+        }
+      }
 
     /** dbt model CONTRACT (`contract: {enforced: true}`): the declared
       * output schema is a hard interface — the build's actual schema must
@@ -128,9 +198,10 @@ object Medallion {
     def fingerprints(order: Seq[Model]): Map[String, String] = {
       val fp = scala.collection.mutable.Map[String, String]()
       order.foreach { m =>
-        val basis = (Seq(m.name, m.code) ++ m.deps.sorted.map(fp))
+        val depIds = m.deps.map(d => nodeId(resolveRef(order, d))).sorted
+        val basis = (Seq(nodeId(m), m.code) ++ depIds.map(fp))
           .mkString("\u0000") // NUL-joined: code text cannot alias a dep list
-        fp(m.name) = java.security.MessageDigest.getInstance("SHA-256")
+        fp(nodeId(m)) = java.security.MessageDigest.getInstance("SHA-256")
           .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
       }
       fp.toMap
@@ -186,19 +257,26 @@ object Medallion {
     def run(s: SparkSession, models: Seq[Model], targetDir: String,
         threads: Int = 4, selective: Boolean = false): Map[String, String] = {
       import java.util.concurrent.{CompletableFuture, Executors}
-      val byName = models.map(m => m.name -> m).toMap
-      models.foreach(m => m.deps.foreach(d => require(byName.contains(d),
-        s"model ${m.name} refs unknown model $d")))
-      // topological order (Kahn) — also rejects accidental ref cycles
+      val ids = models.map(nodeId)
+      require(ids.distinct.size == ids.size,
+        s"duplicate model ids: ${ids.diff(ids.distinct).mkString(", ")}")
+      models.foreach(m => m.deps.foreach(d => resolveRef(models, d)))
+      // topological order (Kahn) — also rejects accidental ref cycles.
+      // Refs resolve BEFORE ordering, so a floating ref schedules after
+      // whichever version it lands on.
       var order = Vector.empty[Model]
       var remaining = models
       while (remaining.nonEmpty) {
         val (ready, rest) = remaining.partition(
-          _.deps.forall(d => order.exists(_.name == d)))
+          _.deps.forall { d =>
+            val t = nodeId(resolveRef(models, d))
+            order.exists(o => nodeId(o) == t)
+          })
         require(ready.nonEmpty,
-          s"ref cycle among ${remaining.map(_.name).mkString(", ")}")
+          s"ref cycle among ${remaining.map(nodeId).mkString(", ")}")
         order ++= ready; remaining = rest
       }
+      val warnings = versionWarnings(models)
       val fp = fingerprints(order)
       val pool = Executors.newFixedThreadPool(math.max(1, threads))
       val results =
@@ -206,26 +284,26 @@ object Medallion {
       val runStart = System.nanoTime()
       try {
         val futures = scala.collection.mutable.Map[String, CompletableFuture[String]]()
-        val ref = (n: String) =>
-          graft.sources.DeltaLite.read(s, s"$targetDir/$n")
+        val ref = (n: String) => graft.sources.DeltaLite.read(
+          s, s"$targetDir/${tableName(resolveRef(models, n))}")
         order.foreach { m =>
-          val deps = m.deps.map(futures)
+          val deps = m.deps.map(d => futures(nodeId(resolveRef(models, d))))
           val f = CompletableFuture.allOf(deps: _*).thenApplyAsync(
             { _ =>
-              val path = s"$targetDir/${m.name}"
+              val path = s"$targetDir/${tableName(m)}"
               val t0 = System.nanoTime()
               try {
                 val D = graft.sources.DeltaLite
                 val exists = D.latestVersion(path).isDefined
                 val fresh = selective && exists &&
                   D.snapshot(path).properties.get(FingerprintKey)
-                    .contains(fp(m.name))
+                    .contains(fp(nodeId(m)))
                 if (fresh) {
                   // state:modified+ cache hit: the stored fingerprint
                   // matches — serve the existing materialization, no
                   // build, no commit, no data read
                   val snap = D.snapshot(path)
-                  results.put(m.name, RunResult("reused",
+                  results.put(nodeId(m), RunResult("reused",
                     (System.nanoTime() - t0) / 1e9, snap.totalRows,
                     snap.version))
                 } else {
@@ -241,7 +319,7 @@ object Medallion {
                   val v =
                     if (!exists) {
                       val v0 = D.create(s, path, built,
-                        properties = Map(FingerprintKey -> fp(m.name)))
+                        properties = Map(FingerprintKey -> fp(nodeId(m))))
                       // contract not_null → persistent CHECK constraints:
                       // from here on, every write path enforces them
                       m.contract.toSeq.flatMap(_.notNull).foreach { col =>
@@ -254,7 +332,7 @@ object Medallion {
                       // stamp the new fingerprint (history keeps the old
                       // materialization time-travelable)
                       D.replaceWhere(s, path, lit(true), built)
-                      D.setProperties(path, Map(FingerprintKey -> fp(m.name)))
+                      D.setProperties(path, Map(FingerprintKey -> fp(nodeId(m))))
                     }
                   // post-hooks see the just-materialized relation two
                   // ways: `{{ this }}` renders to the target path (for
@@ -262,24 +340,24 @@ object Medallion {
                   // after the model serves FROM-position reads (dbt's
                   // `{{ this }}` as a queryable relation).
                   if (m.postHooks.nonEmpty)
-                    D.read(s, path).createOrReplaceTempView(m.name)
+                    D.read(s, path).createOrReplaceTempView(tableName(m))
                   m.postHooks.foreach(h => s.sql(renderHook(h, path)))
                   val snap = D.snapshot(path)
-                  results.put(m.name, RunResult("success",
+                  results.put(nodeId(m), RunResult("success",
                     (System.nanoTime() - t0) / 1e9, snap.totalRows, v))
                 }
                 path
               } catch { case e: Throwable =>
-                results.put(m.name, RunResult(
+                results.put(nodeId(m), RunResult(
                   s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}",
                   (System.nanoTime() - t0) / 1e9, 0L, -1L))
                 throw e
               }
             }: java.util.function.Function[Void, String], pool)
-          futures(m.name) = f
+          futures(nodeId(m)) = f
         }
         order.map { m =>
-          m.name -> (try futures(m.name).join()
+          nodeId(m) -> (try futures(nodeId(m)).join()
             catch { case e: java.util.concurrent.CompletionException =>
               throw Option(e.getCause).getOrElse(e) })
         }.toMap
@@ -291,7 +369,7 @@ object Medallion {
         // per-model outcome (status / wall / rows / table version).
         writeArtifacts(targetDir, order,
           scala.jdk.CollectionConverters.MapHasAsScala(results).asScala.toMap,
-          (System.nanoTime() - runStart) / 1e9)
+          (System.nanoTime() - runStart) / 1e9, warnings)
       }
     }
 
@@ -313,20 +391,32 @@ object Medallion {
       ("events_feature_feed", "ml", Seq("silver_events")))
 
     private def writeArtifacts(targetDir: String, order: Seq[Model],
-        results: Map[String, RunResult], elapsedSec: Double): Unit = {
+        results: Map[String, RunResult], elapsedSec: Double,
+        warnings: Seq[String] = Nil): Unit = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       def uid(n: String) = s"model.graft.$n"
+      def dep(d: String) = uid(nodeId(resolveRef(order, d)))
       val manifest =
-        ("nodes" -> order.map(m =>
-          uid(m.name) -> (
+        ("nodes" -> order.map { m =>
+          // a versioned node stamps its version, the family's declared
+          // latest, and any deprecation date — dbt's governance fields
+          val lv = if (m.version.isEmpty) None
+            else latestOf(order.filter(x =>
+              x.name == m.name && x.version.isDefined)).version
+          uid(nodeId(m)) -> (
             ("name" -> m.name) ~
             ("resource_type" -> "model") ~
-            ("path" -> s"$targetDir/${m.name}") ~
-            ("depends_on" -> ("nodes" -> m.deps.map(uid))))).toMap) ~
+            ("path" -> s"$targetDir/${tableName(m)}") ~
+            ("version" -> m.version) ~
+            ("latest_version" -> lv) ~
+            ("deprecation_date" -> m.deprecationDate) ~
+            ("depends_on" -> ("nodes" -> m.deps.map(dep))))
+        }.toMap) ~
         ("child_map" -> order.map(m =>
-          uid(m.name) -> (order.filter(_.deps.contains(m.name))
-            .map(c => uid(c.name)) ++
+          uid(nodeId(m)) -> (order.filter(_.deps.exists(d =>
+              nodeId(resolveRef(order, d)) == nodeId(m)))
+            .map(c => uid(nodeId(c))) ++
             exposures.filter(_._3.contains(m.name))
               .map(e => s"exposure.graft.${e._1}"))).toMap) ~
         ("exposures" -> exposures
@@ -339,12 +429,13 @@ object Medallion {
               ("depends_on" -> ("nodes" -> deps.map(uid))))
           }.toMap)
       val runResults =
-        ("results" -> order.flatMap(m => results.get(m.name).map(r =>
-          ("unique_id" -> uid(m.name)) ~
+        ("results" -> order.flatMap(m => results.get(nodeId(m)).map(r =>
+          ("unique_id" -> uid(nodeId(m))) ~
           ("status" -> r.status) ~
           ("execution_time" -> r.executionSec) ~
           ("adapter_response" ->
             ("rows_affected" -> r.rows) ~ ("version" -> r.version))))) ~
+        ("warnings" -> warnings.toList) ~
         ("elapsed_time" -> elapsedSec)
       val dir = Paths.get(targetDir)
       Files.createDirectories(dir)
@@ -376,7 +467,7 @@ object Medallion {
       import org.json4s.jackson.JsonMethods
       import org.apache.spark.sql.types.{DateType, TimestampType}
       val D = graft.sources.DeltaLite
-      def uid(n: String) = s"model.graft.$n"
+      def uid(m: Model) = s"model.graft.${nodeId(m)}"
       def render(dt: org.apache.spark.sql.types.DataType,
           v: Any): Option[String] = v match {
         case null => None
@@ -393,10 +484,11 @@ object Medallion {
       // silently dropped: it lands in `errors` so catalog consumers can
       // tell "not materialized yet" from "not declared at all".
       val skipped = order.filter(m =>
-        D.latestVersion(s"$targetDir/${m.name}").isEmpty)
-        .map(m => s"model ${uid(m.name)} skipped: no materialized table at $targetDir/${m.name}")
+        D.latestVersion(s"$targetDir/${tableName(m)}").isEmpty)
+        .map(m => s"model ${uid(m)} skipped: no materialized table " +
+          s"at $targetDir/${tableName(m)}")
       val nodes = order.flatMap { m =>
-        val path = s"$targetDir/${m.name}"
+        val path = s"$targetDir/${tableName(m)}"
         D.latestVersion(path).map { _ =>
           val snap = D.snapshot(path)
           val hasDv = snap.files.exists(_.dv.nonEmpty)
@@ -419,9 +511,9 @@ object Medallion {
               ("min" -> extrema._1) ~
               ("max" -> extrema._2))
           }
-          uid(m.name) -> (
+          uid(m) -> (
             ("metadata" -> (
-              ("name" -> m.name) ~
+              ("name" -> tableName(m)) ~
               ("type" -> "table") ~
               ("version" -> snap.version))) ~
             ("columns" -> cols.toMap) ~

@@ -1359,4 +1359,94 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       Pipeline.incrementalAppend(spark, p4, widened, "explode")
     }
   }
+
+  test("dbt model versions: ref pins and floats, manifest stamps versions + deprecation, warnings surface") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_mversions").toString
+    // dim_parts v1 (cents as DOUBLE dollars) → v2 (exact BIGINT cents,
+    // breaking rename) — the classic governed migration. v1 carries a
+    // past deprecation_date; v2 is the declared latest.
+    val v1 = Pipeline.Model("dim_parts", Nil,
+      (s, _) => Seq((1L, 1.5), (2L, 2.5)).toDF("part_id", "price"),
+      code = "select part_id, price from src", version = Some(1),
+      latestVersion = Some(2), deprecationDate = Some("2020-01-01"))
+    val v2 = Pipeline.Model("dim_parts", Nil,
+      (s, _) => Seq((1L, 150L), (2L, 250L)).toDF("part_id", "price_cents"),
+      code = "select part_id, price_cents from src", version = Some(2),
+      latestVersion = Some(2))
+    // one consumer PINNED to v1 (not yet migrated), one FLOATING on the
+    // family name (rides latest automatically)
+    val pinned = Pipeline.Model("legacy_report", Seq("dim_parts.v1"),
+      (_, ref) => ref("dim_parts.v1").withColumn("doubled", col("price") * 2),
+      code = "select *, price * 2 as doubled from ref(dim_parts, v=1)")
+    val floating = Pipeline.Model("parts_mart", Seq("dim_parts"),
+      (_, ref) => ref("dim_parts").withColumn("doubled_cents", col("price_cents") * 2L),
+      code = "select *, price_cents * 2 as doubled_cents from ref(dim_parts)")
+    val models = Seq(v1, v2, pinned, floating)
+    val out = Pipeline.run(spark, models, target)
+    // node ids are name.vN; tables materialize under the versioned alias
+    assert(out.keySet === Set("dim_parts.v1", "dim_parts.v2",
+      "legacy_report", "parts_mart"))
+    assert(DeltaLite.read(spark, s"$target/dim_parts_v1").columns.toSeq
+      === Seq("part_id", "price"))
+    assert(DeltaLite.read(spark, s"$target/dim_parts_v2").columns.toSeq
+      === Seq("part_id", "price_cents"))
+    // the pinned consumer read v1, the floating one resolved latest=v2
+    assert(DeltaLite.read(spark, s"$target/legacy_report").columns.toSeq
+      === Seq("part_id", "price", "doubled"))
+    val mart = DeltaLite.read(spark, s"$target/parts_mart")
+    assert(mart.columns.toSeq === Seq("part_id", "price_cents", "doubled_cents"))
+    assert(mart.filter(col("part_id") === 1L)
+      .select("doubled_cents").head().getLong(0) === 300L)
+    // manifest records BOTH versions with latest_version + deprecation
+    val manifest = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/manifest.json")), "UTF-8"))
+    val nodes = (manifest \ "nodes").asInstanceOf[JObject].obj.toMap
+    assert(nodes.contains("model.graft.dim_parts.v1"))
+    assert(nodes.contains("model.graft.dim_parts.v2"))
+    assert((nodes("model.graft.dim_parts.v1") \ "version") === JInt(1))
+    assert((nodes("model.graft.dim_parts.v1") \ "latest_version") === JInt(2))
+    assert((nodes("model.graft.dim_parts.v1") \ "deprecation_date") === JString("2020-01-01"))
+    assert((nodes("model.graft.dim_parts.v2") \ "version") === JInt(2))
+    assert((nodes("model.graft.dim_parts.v2") \ "deprecation_date") === JNothing)
+    // ref edges resolve to concrete versions in depends_on
+    def depsOf(id: String): Seq[String] =
+      (nodes(id) \ "depends_on" \ "nodes") match {
+        case JArray(xs) => xs.collect { case JString(x) => x }
+        case other => fail(s"bad depends_on: $other")
+      }
+    assert(depsOf("model.graft.legacy_report") === Seq("model.graft.dim_parts.v1"))
+    assert(depsOf("model.graft.parts_mart") === Seq("model.graft.dim_parts.v2"))
+    // deprecation + non-latest-pin warnings land in run_results.json
+    val rr = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/run_results.json")), "UTF-8"))
+    val warns = (rr \ "warnings") match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case other => fail(s"bad warnings: $other")
+    }
+    assert(warns.exists(w => w.contains("legacy_report") &&
+      w.contains("deprecated since 2020-01-01")))
+    assert(warns.exists(w => w.contains("legacy_report") &&
+      w.contains("not the latest version (dim_parts.v2)")))
+    assert(!warns.exists(_.contains("parts_mart")))
+    // state:modified+ still works across versions: editing v2 rebuilds
+    // v2 and the FLOATING consumer only; v1 and the pinned consumer reuse
+    val v2b = v2.copy(code = v2.code + " -- edited")
+    val out2 = Pipeline.run(spark, Seq(v1, v2b, pinned, floating), target,
+      selective = true)
+    val rr2 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/run_results.json")), "UTF-8"))
+    val statuses = (rr2 \ "results") match {
+      case JArray(xs) => xs.map(x => (
+        (x \ "unique_id").asInstanceOf[JString].s,
+        (x \ "status").asInstanceOf[JString].s)).toMap
+      case other => fail(s"bad results: $other")
+    }
+    assert(statuses("model.graft.dim_parts.v1") === "reused")
+    assert(statuses("model.graft.legacy_report") === "reused")
+    assert(statuses("model.graft.dim_parts.v2") === "success")
+    assert(statuses("model.graft.parts_mart") === "success")
+  }
 }
