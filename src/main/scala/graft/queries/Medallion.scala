@@ -628,7 +628,65 @@ object Medallion {
         "CAST(round(revenue * 100) AS BIGINT)", "day"),
       Metric("items_sold", "gold_daily_revenue", "sum", "n_items", "day"),
       Metric("events", "gold_daily_events", "sum", "n", "day",
+        dims = Seq("event_type")),
+      Metric("event_value_cents", "gold_daily_events", "sum",
+        "CAST(round(sum_value * 100) AS BIGINT)", "day",
         dims = Seq("event_type")))
+
+    /** dbt SAVED QUERY (`saved_queries:` block): several declared
+      * metrics + shared dimensions + a grain, compiled into ONE SQL
+      * artifact — the semantic layer's reusable report. All measures
+      * aggregate in a single pass over the model (one scan, one keyed
+      * shuffle at any scale — N metrics never cost N queries), and the
+      * generated text is engine-portable exactly like d12–d14, which is
+      * how the d15 oracle gates it verbatim on both engines. dbt's
+      * `exports:` materializes the compiled result as a table; that is
+      * [[exportSavedQuery]]. */
+    final case class SavedQuery(name: String, metricNames: Seq[String],
+        dims: Seq[String], grain: String)
+
+    /** Declared saved queries (the analogue of `saved_queries:` in
+      * semantic_models.yml). */
+    val savedQueries: Seq[SavedQuery] = Seq(
+      SavedQuery("events_monthly_rollup",
+        Seq("events", "event_value_cents"), Seq("event_type"), "month"))
+
+    def compileSavedQuerySql(sq: SavedQuery): String = {
+      val ms = sq.metricNames.map(n => metrics.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"unknown metric $n")))
+      require(ms.nonEmpty, s"saved query ${sq.name}: no metrics")
+      require(ms.map(_.model).distinct.size == 1 &&
+        ms.map(_.timeDim).distinct.size == 1,
+        s"saved query ${sq.name}: metrics must share model + time dim")
+      // requested group-bys must be declared dims on EVERY metric, or
+      // the single-pass aggregate would re-grain a measure silently
+      sq.dims.foreach(d => require(ms.forall(_.dims.contains(d)),
+        s"saved query ${sq.name}: dimension '$d' is not declared on " +
+          s"every metric"))
+      val head = ms.head
+      val timeCol = s"CAST(date_trunc('${sq.grain}', ${head.timeDim}) AS DATE)"
+      val dimCols = sq.dims.map(d => s"$d, ").mkString
+      val keys = 1 to (sq.dims.size + 1)
+      s"SELECT $timeCol AS ${head.timeDim}_${sq.grain}, $dimCols" +
+        ms.map(m => s"CAST(${m.agg}(${m.measure}) AS BIGINT) AS ${m.name}")
+          .mkString(", ") +
+        s" FROM ${head.model} GROUP BY ${keys.mkString(", ")} " +
+        s"ORDER BY ${keys.map(k => s"$k ASC NULLS LAST").mkString(", ")}"
+    }
+
+    /** dbt saved-query `exports:`: materialize the compiled artifact as
+      * a DeltaLite table under the target dir (export_as: table).
+      * Rerun = full replace, prior exports stay time-travelable.
+      * Returns the export path. */
+    def exportSavedQuery(s: SparkSession, targetDir: String,
+        sq: SavedQuery): String = {
+      val D = graft.sources.DeltaLite
+      val path = s"$targetDir/exports/${sq.name}"
+      val df = s.sql(compileSavedQuerySql(sq))
+      if (D.latestVersion(path).isEmpty) D.create(s, path, df)
+      else D.replaceWhere(s, path, lit(true), df)
+      path
+    }
 
     /** dbt `source freshness` declaration: a source table's
       * `loaded_at_field` plus the warn/error staleness thresholds of a
@@ -3143,6 +3201,36 @@ ORDER BY bucket ASC NULLS LAST"""),
          ${Pipeline.compileDerivedMetricSql(
             Pipeline.DerivedMetric("avg_item_milli_cents",
               "revenue_cents", "items_sold"), "month")}"""
+    }),
+
+    // ------------------------------------------------------------------ D15
+    // SAVED QUERY (dbt `saved_queries:` + `exports:`): two declared
+    // metrics (events, event_value_cents) + their shared dimension
+    // (event_type) + month grain compile into ONE single-pass SQL
+    // artifact — N metrics, one scan, one keyed shuffle. The Spark side
+    // ALSO exercises the export: the compiled result materializes as a
+    // DeltaLite table (export_as: table) and the query reads the export
+    // back — so the oracle gates the compiler AND the export round-trip
+    // in one O check. The compiled text runs verbatim on both engines
+    // (d12's discipline: date_trunc + ordinal GROUP BY, BIGINT
+    // measures).
+    QueryDef("d15_saved_query", (s, dir) => {
+      val sq = Pipeline.savedQueries.head
+      Pipeline.goldDailyEvents(s, dir)
+        .createOrReplaceTempView("gold_daily_events")
+      val path = Pipeline.exportSavedQuery(s, tmp("d15_export"), sq)
+      graft.sources.DeltaLite.read(s, path)
+        .orderBy(col("day_month").asc_nulls_last,
+          col("event_type").asc_nulls_last)
+    }, Some {
+      s"""WITH gold_daily_events AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  (round((sum(value))*100)/100) AS sum_value
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1, 2)
+         ${Pipeline.compileSavedQuerySql(Pipeline.savedQueries.head)}"""
     }),
 
     // ------------------------------------------------------------------ S43
