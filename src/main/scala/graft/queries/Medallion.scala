@@ -68,7 +68,8 @@ object Medallion {
         code: String = "", contract: Option[Contract] = None,
         preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
         version: Option[Int] = None, latestVersion: Option[Int] = None,
-        deprecationDate: Option[String] = None)
+        deprecationDate: Option[String] = None,
+        group: Option[String] = None, access: String = "protected")
 
     /** dbt MODEL VERSIONS (`versions:` config): a versioned model is
       * one Model entry PER VERSION, all sharing `name`. Node identity
@@ -181,6 +182,53 @@ object Medallion {
       hook.replaceAll("""\{\{\s*this\s*\}\}""",
         java.util.regex.Matcher.quoteReplacement(path))
 
+    /** dbt GROUPS + ACCESS (`groups:` blocks, `access:` config): a
+      * PRIVATE model is referenceable only by models in ITS OWN group;
+      * `protected` (dbt's default) and `public` resolve freely inside a
+      * project. Enforced at DAG validation — before any build — so an
+      * access violation can never half-materialize, exactly dbt's parse
+      * error. Governance is pure metadata: zero cost at any scale. */
+    private def enforceAccess(models: Seq[Model]): Unit =
+      models.foreach { m =>
+        m.deps.foreach { d =>
+          val t = resolveRef(models, d)
+          if (t.access == "private" && t.group != m.group)
+            throw new IllegalArgumentException(
+              s"access violation: model ${nodeId(m)} " +
+              s"(group ${m.group.getOrElse("<none>")}) refs PRIVATE model " +
+              s"${nodeId(t)} (group ${t.group.getOrElse("<none>")}) — " +
+              "private models are referenceable only within their group")
+          require(Set("private", "protected", "public").contains(t.access),
+            s"model ${nodeId(t)}: unknown access '${t.access}'")
+        }
+      }
+
+    /** `dbt clone`: stand up a dev environment from a production run's
+      * materializations WITHOUT copying data — every prod table arrives
+      * as a DeltaLite SHALLOW CLONE (version-0 references to prod's
+      * live files, O(metadata) per table regardless of size — the
+      * 100 TB dev-fork primitive). The clone carries prod's table
+      * properties, INCLUDING the model fingerprint, so a subsequent
+      * `run(selective = true)` against the dev target rebuilds exactly
+      * the models the dev edit touched and serves everything else from
+      * the zero-copy clones; prod is never written. Models already
+      * present in dev are left alone (dbt clone's default). Returns
+      * model table name → cloned (or kept) dev path. */
+    def cloneEnv(s: SparkSession, prodDir: String, devDir: String,
+        models: Seq[Model]): Map[String, String] = {
+      val D = graft.sources.DeltaLite
+      models.flatMap { m =>
+        val name = tableName(m)
+        val prod = s"$prodDir/$name"
+        val dev = s"$devDir/$name"
+        if (D.latestVersion(prod).isEmpty) None // not materialized in prod
+        else {
+          if (D.latestVersion(dev).isEmpty) D.cloneShallow(s, prod, dev)
+          Some(name -> dev)
+        }
+      }.toMap
+    }
+
     /** Table property carrying the model fingerprint that produced the
       * materialization — the persisted `state` that dbt's
       * `--select state:modified+` compares manifests against. Living in
@@ -261,6 +309,7 @@ object Medallion {
       require(ids.distinct.size == ids.size,
         s"duplicate model ids: ${ids.diff(ids.distinct).mkString(", ")}")
       models.foreach(m => m.deps.foreach(d => resolveRef(models, d)))
+      enforceAccess(models)
       // topological order (Kahn) — also rejects accidental ref cycles.
       // Refs resolve BEFORE ordering, so a floating ref schedules after
       // whichever version it lands on.
@@ -411,6 +460,8 @@ object Medallion {
             ("version" -> m.version) ~
             ("latest_version" -> lv) ~
             ("deprecation_date" -> m.deprecationDate) ~
+            ("group" -> m.group) ~
+            ("access" -> m.access) ~
             ("depends_on" -> ("nodes" -> m.deps.map(dep))))
         }.toMap) ~
         ("child_map" -> order.map(m =>

@@ -1449,4 +1449,86 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(statuses("model.graft.dim_parts.v2") === "success")
     assert(statuses("model.graft.parts_mart") === "success")
   }
+
+  test("dbt groups/access: private models are referenceable only within their group") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_access").toString
+    def core(consumerGroup: Option[String]) = Seq(
+      Pipeline.Model("core_int", Nil,
+        (s, _) => Seq((1L, 10L)).toDF("k", "v"),
+        group = Some("core"), access = "private"),
+      Pipeline.Model("mart", Seq("core_int"),
+        (_, ref) => ref("core_int"), group = consumerGroup))
+    // same group: resolves and builds
+    val out = Pipeline.run(spark, core(Some("core")), target)
+    assert(out.contains("mart"))
+    // cross-group ref to a PRIVATE model: parse-time error, nothing built
+    val target2 = Files.createTempDirectory("graft_access2").toString
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, core(Some("finance")), target2)
+    }
+    assert(ex.getMessage.contains("access violation"))
+    assert(ex.getMessage.contains("core_int"))
+    assert(DeltaLite.latestVersion(s"$target2/core_int").isEmpty,
+      "an access violation must fail before any build")
+    // protected (default) resolves across groups
+    val target3 = Files.createTempDirectory("graft_access3").toString
+    val prot = Seq(
+      Pipeline.Model("core_pub", Nil,
+        (s, _) => Seq((1L, 10L)).toDF("k", "v"), group = Some("core")),
+      Pipeline.Model("mart2", Seq("core_pub"),
+        (_, ref) => ref("core_pub"), group = Some("finance")))
+    assert(Pipeline.run(spark, prot, target3).contains("mart2"))
+  }
+
+  test("dbt clone: zero-copy dev environment, selective rebuild over cloned state, prod untouched") {
+    val prod = Files.createTempDirectory("graft_cloneprod").toString
+    val dev = Files.createTempDirectory("graft_clonedev").toString
+    val models = Pipeline.dag(sf)
+    Pipeline.run(spark, models, prod)
+    val prodVersions = models.map(m =>
+      m.name -> DeltaLite.latestVersion(s"$prod/${m.name}").get).toMap
+    // clone: every prod table arrives as a shallow clone — metadata
+    // only, data files still referenced from prod by absolute path
+    val cloned = Pipeline.cloneEnv(spark, prod, dev, models)
+    assert(cloned.keySet === models.map(_.name).toSet)
+    models.foreach { m =>
+      val snap = DeltaLite.snapshot(s"$dev/${m.name}")
+      assert(snap.files.forall(f =>
+        java.nio.file.Paths.get(f.path).isAbsolute &&
+        f.path.startsWith(prod)),
+        s"clone of ${m.name} must reference prod files, not copies")
+      // identical content through the clone
+      assert(DeltaLite.read(spark, s"$dev/${m.name}").count() ===
+        DeltaLite.read(spark, s"$prod/${m.name}").count())
+    }
+    // a dev edit to ONE leaf model: selective run rebuilds exactly it,
+    // everything else reuses the cloned materializations (fingerprints
+    // rode the clone's properties)
+    val edited = models.map(m =>
+      if (m.name == "gold_daily_revenue") m.copy(code = m.code + " -- dev edit")
+      else m)
+    Pipeline.run(spark, edited, dev, selective = true)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rr = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dev/run_results.json")), "UTF-8"))
+    val statuses = (rr \ "results") match {
+      case JArray(xs) => xs.map(x => (
+        (x \ "unique_id").asInstanceOf[JString].s,
+        (x \ "status").asInstanceOf[JString].s)).toMap
+      case other => fail(s"bad results: $other")
+    }
+    assert(statuses("model.graft.gold_daily_revenue") === "success")
+    assert(statuses("model.graft.bronze_events") === "reused")
+    assert(statuses("model.graft.silver_events") === "reused")
+    assert(statuses("model.graft.gold_daily_events") === "reused")
+    // prod never moved
+    models.foreach(m => assert(
+      DeltaLite.latestVersion(s"$prod/${m.name}").get === prodVersions(m.name)))
+    // re-clone is a no-op on existing dev tables (dbt clone default)
+    val devRevVersion = DeltaLite.latestVersion(s"$dev/gold_daily_revenue").get
+    Pipeline.cloneEnv(spark, prod, dev, models)
+    assert(DeltaLite.latestVersion(s"$dev/gold_daily_revenue").get === devRevVersion)
+  }
 }
