@@ -828,8 +828,9 @@ object Medallion {
 
     /** dbt DERIVED metric: a ratio of two DECLARED metrics (by name) —
       * `expr: metric('a') / metric('b')` in dbt's semantic layer. Both
-      * inputs must live on the same model/time dimension and be
-      * undimensioned (a dimensioned ratio needs a dim-aligned join —
+      * inputs must live on the same model/time dimension and declare
+      * IDENTICAL dims (same-model dim-aligned ratios compile to ONE
+      * pass; a cross-model or cross-dim ratio needs an aligned join —
       * declare it as its own Metric instead). */
     final case class DerivedMetric(name: String, num: String, den: String)
 
@@ -846,16 +847,49 @@ object Medallion {
         throw new IllegalArgumentException(s"unknown metric ${dm.den}"))
       require(n.model == d.model && n.timeDim == d.timeDim,
         s"derived metric ${dm.name}: inputs must share model + time dim")
-      require(n.dims.isEmpty && d.dims.isEmpty,
-        s"derived metric ${dm.name}: inputs must be undimensioned")
+      require(n.dims == d.dims,
+        s"derived metric ${dm.name}: inputs must declare identical dims")
       val timeCol = s"CAST(date_trunc('$grain', ${n.timeDim}) AS DATE)"
-      s"SELECT $timeCol AS ${n.timeDim}_$grain, " +
+      val dimCols = n.dims.map(c => s"$c, ").mkString
+      val keys = 1 to (n.dims.size + 1)
+      s"SELECT $timeCol AS ${n.timeDim}_$grain, $dimCols" +
         s"CAST(${n.agg}(${n.measure}) AS BIGINT) AS ${n.name}, " +
         s"CAST(${d.agg}(${d.measure}) AS BIGINT) AS ${d.name}, " +
         s"CAST(floor((1000.0 * CAST(${n.agg}(${n.measure}) AS DOUBLE)) " +
         s"/ CAST(${d.agg}(${d.measure}) AS DOUBLE)) AS BIGINT) " +
         s"AS ${dm.name} " +
-        s"FROM ${n.model} GROUP BY 1 ORDER BY 1 ASC NULLS LAST"
+        s"FROM ${n.model} GROUP BY ${keys.mkString(", ")} " +
+        s"ORDER BY ${keys.map(k => s"$k ASC NULLS LAST").mkString(", ")}"
+    }
+
+    /** dbt/MetricFlow CUMULATIVE metric: a base metric accumulated over
+      * the grain series — all-time running total, or grain-to-date when
+      * `grainToDate` names a coarser calendar unit (MTD/YTD). Compiles
+      * to the base metric's single-pass aggregate plus ONE window sum
+      * over the GRAIN-cardinality frame (days/months — the aggregate,
+      * never the facts; the "rank the aggregate" discipline, so the
+      * unpartitioned window is calendar-bounded at any data scale).
+      * `ROWS UNBOUNDED PRECEDING` over exact BIGINTs runs verbatim on
+      * both engines. */
+    final case class CumulativeMetric(name: String, base: String,
+        grainToDate: Option[String] = None)
+
+    def compileCumulativeMetricSql(cm: CumulativeMetric,
+        grain: String): String = {
+      val b = metrics.find(_.name == cm.base).getOrElse(
+        throw new IllegalArgumentException(s"unknown metric ${cm.base}"))
+      require(b.dims.isEmpty,
+        s"cumulative metric ${cm.name}: base must be undimensioned")
+      val timeAlias = s"${b.timeDim}_$grain"
+      val part = cm.grainToDate.map(g =>
+        s"PARTITION BY CAST(date_trunc('$g', $timeAlias) AS DATE) ")
+        .getOrElse("")
+      s"SELECT $timeAlias, ${b.name}, " +
+        s"CAST(sum(${b.name}) OVER (${part}ORDER BY $timeAlias ASC " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        s"AS ${cm.name} " +
+        s"FROM (${compileMetricSql(b, grain)}) " +
+        s"ORDER BY 1 ASC NULLS LAST"
     }
   }
 
@@ -3282,6 +3316,57 @@ ORDER BY bucket ASC NULLS LAST"""),
            WHERE event_type IS NOT NULL AND value IS NOT NULL
            GROUP BY 1, 2)
          ${Pipeline.compileSavedQuerySql(Pipeline.savedQueries.head)}"""
+    }),
+
+    // ------------------------------------------------------------------ D16
+    // CUMULATIVE metric (MetricFlow `type: cumulative` + grain_to_date):
+    // YTD revenue at month grain — the base metric's single-pass
+    // aggregate plus one window running sum over the MONTH-cardinality
+    // frame (the aggregate, never the facts — the unpartitioned window
+    // is calendar-bounded at any scale; the year partition bounds it
+    // further). Exact BIGINT cents under ROWS UNBOUNDED PRECEDING, so
+    // the compiled text gates verbatim on both engines like d12–d15.
+    QueryDef("d16_cumulative_metric", (s, dir) => {
+      Pipeline.goldDailyRevenue(s, dir)
+        .createOrReplaceTempView("gold_daily_revenue")
+      s.sql(Pipeline.compileCumulativeMetricSql(
+        Pipeline.CumulativeMetric("revenue_cents_ytd", "revenue_cents",
+          grainToDate = Some("year")), "month"))
+    }, Some {
+      s"""WITH gold_daily_revenue AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  (round((sum(l_extendedprice * (1 - l_discount)))*100)/100)
+                    AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         ${Pipeline.compileCumulativeMetricSql(
+            Pipeline.CumulativeMetric("revenue_cents_ytd", "revenue_cents",
+              grainToDate = Some("year")), "month")}"""
+    }),
+
+    // ------------------------------------------------------------------ D17
+    // DIMENSIONED ratio metric: value-per-event in milli-cents PER
+    // event_type — the d14 ratio with the dims degree of freedom
+    // (inputs resolved by name must declare IDENTICAL dims; same-model
+    // dim-aligned ratios stay ONE pass — both measures + the ratio from
+    // a single keyed shuffle over the mart).
+    QueryDef("d17_dimensioned_ratio", (s, dir) => {
+      Pipeline.goldDailyEvents(s, dir)
+        .createOrReplaceTempView("gold_daily_events")
+      s.sql(Pipeline.compileDerivedMetricSql(
+        Pipeline.DerivedMetric("value_per_event_milli",
+          "event_value_cents", "events"), "month"))
+    }, Some {
+      s"""WITH gold_daily_events AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  (round((sum(value))*100)/100) AS sum_value
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1, 2)
+         ${Pipeline.compileDerivedMetricSql(
+            Pipeline.DerivedMetric("value_per_event_milli",
+              "event_value_cents", "events"), "month")}"""
     }),
 
     // ------------------------------------------------------------------ S43
