@@ -694,7 +694,7 @@ object Medallion {
       * `exports:` materializes the compiled result as a table; that is
       * [[exportSavedQuery]]. */
     final case class SavedQuery(name: String, metricNames: Seq[String],
-        dims: Seq[String], grain: String)
+        dims: Seq[String], grain: String, where: Seq[String] = Nil)
 
     /** Declared saved queries (the analogue of `saved_queries:` in
       * semantic_models.yml). */
@@ -718,10 +718,16 @@ object Medallion {
       val timeCol = s"CAST(date_trunc('${sq.grain}', ${head.timeDim}) AS DATE)"
       val dimCols = sq.dims.map(d => s"$d, ").mkString
       val keys = 1 to (sq.dims.size + 1)
+      // dbt `where:` query params: declared row filters conjoined ahead
+      // of the aggregate — they reach the scan (pushdown), so a filtered
+      // saved query reads LESS, never more
+      val whereSql =
+        if (sq.where.isEmpty) ""
+        else s" WHERE ${sq.where.map(w => s"($w)").mkString(" AND ")}"
       s"SELECT $timeCol AS ${head.timeDim}_${sq.grain}, $dimCols" +
         ms.map(m => s"CAST(${m.agg}(${m.measure}) AS BIGINT) AS ${m.name}")
           .mkString(", ") +
-        s" FROM ${head.model} GROUP BY ${keys.mkString(", ")} " +
+        s" FROM ${head.model}$whereSql GROUP BY ${keys.mkString(", ")} " +
         s"ORDER BY ${keys.map(k => s"$k ASC NULLS LAST").mkString(", ")}"
     }
 

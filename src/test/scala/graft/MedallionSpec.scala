@@ -1288,6 +1288,26 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       dsql.contains("AS items_sold, ") &&
       dsql.contains("CAST(floor((1000.0 * ") &&
       dsql.contains("AS avg_item_milli_cents"))
+    // saved query: several metrics + shared dims + grain in ONE pass;
+    // where: params conjoin ahead of the aggregate (reach the scan)
+    val sq = Pipeline.SavedQuery("rollup", Seq("events", "event_value_cents"),
+      Seq("event_type"), "month", where = Seq("event_type <> 'view'"))
+    val ssql = Pipeline.compileSavedQuerySql(sq)
+    assert(ssql.contains("AS events, ") || ssql.contains("AS events "),
+      s"saved query must emit every metric: $ssql")
+    assert(ssql.contains("AS event_value_cents"))
+    assert(ssql.contains("FROM gold_daily_events WHERE (event_type <> 'view') GROUP BY 1, 2"))
+    assert(ssql.indexOf("sum(") === ssql.lastIndexOf("sum(CAST") ||
+      ssql.split("FROM").length === 2, "one pass: a single FROM clause")
+    // undeclared dim and cross-model metric mixes are rejected
+    intercept[IllegalArgumentException] {
+      Pipeline.compileSavedQuerySql(Pipeline.SavedQuery("bad",
+        Seq("events", "revenue_cents"), Nil, "month"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.compileSavedQuerySql(Pipeline.SavedQuery("bad",
+        Seq("revenue_cents", "items_sold"), Seq("event_type"), "month"))
+    }
     // unknown input and cross-model inputs are rejected at compile time
     intercept[IllegalArgumentException] {
       Pipeline.compileDerivedMetricSql(
