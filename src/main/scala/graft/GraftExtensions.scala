@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // global COUNT/MIN/MAX over a DeltaLite scan → one-row LocalRelation
     // from the log's per-file stats (metadata-only aggregates)
     ext.injectOptimizerRule(_ => graft.plans.StatsAggRewrite)
+    // verified PK-FK inner joins that project nothing from the dimension
+    // drop the join operator entirely (see FkJoinElimination; off by
+    // conf, disarmed by any commit to either table)
+    ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

@@ -3324,6 +3324,44 @@ ORDER BY bucket ASC NULLS LAST"""),
          ${Pipeline.compileSavedQuerySql(Pipeline.savedQueries.head)}"""
     }),
 
+    // ------------------------------------------------------------------ S53
+    // FK join elimination (plans/FkJoinElimination — the RELY-constraint
+    // rewrite): a star-schema census that JOINS the dimension but
+    // consumes nothing from it except the join key. With the FK
+    // registered (verified PK-unique + contained, version-stamped), the
+    // optimizer drops the join operator entirely — the oracle runs the
+    // ACTUAL join, so the O gate proves the elimination is semantically
+    // invisible. At 100 TB the eliminated work is a dimension scan + a
+    // fact-sized shuffle/broadcast probe. PlanSpec pins the join-free
+    // plan and the decline paths (filtered dimension, extra dimension
+    // column, stale version stamp).
+    QueryDef("s53_fk_join_elim", (s, dir) => {
+      val base = tmp("s53_fk")
+      val D = graft.sources.DeltaLite
+      val ordersPath = s"$base/orders"
+      val custPath = s"$base/customer"
+      D.create(s, custPath, t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      D.create(s, ordersPath, t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      graft.plans.FkJoinElimination.register(s, ordersPath, "o_custkey",
+        custPath, "c_custkey")
+      val o = D.read(s, ordersPath)
+      val c = D.read(s, custPath)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy((c("c_custkey") % lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .orderBy(col("bucket").asc_nulls_last)
+    }, Some(
+      """SELECT c_custkey % 10 AS bucket,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ D16
     // CUMULATIVE metric (MetricFlow `type: cumulative` + grain_to_date):
     // YTD revenue at month grain — the base metric's single-pass

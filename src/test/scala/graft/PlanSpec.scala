@@ -684,6 +684,56 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"bin offsets must broadcast back to the customer frame:\n$p")
   }
 
+  test("s53_fk_join_elim: the dimension join vanishes; decline paths keep it") {
+    val p = plan("s53_fk_join_elim")
+    assert(!p.contains("Join"),
+      s"the verified PK-FK join must be eliminated:\n$p")
+    // one scan: the fact table only — the dimension is never read
+    assert(count(p, "Scan parquet") === 1,
+      s"elimination must leave exactly the fact scan:\n$p")
+
+    // decline paths — same registered FK, so build the tables once
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_decline")
+    val cust = s"$base/customer"; val ords = s"$base/orders"
+    D.create(spark, cust, Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name")))
+    D.create(spark, ords, Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")))
+    graft.plans.FkJoinElimination.register(spark, ords, "o_custkey",
+      cust, "c_custkey")
+    def q(dim: org.apache.spark.sql.DataFrame) = {
+      val o = D.read(spark, ords)
+      o.join(dim, o("o_custkey") === dim("c_custkey"))
+        .groupBy((dim("c_custkey") % lit(10L)).as("b"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    }
+    // armed: eliminated
+    assert(!q(D.read(spark, cust)).queryExecution.executedPlan.toString
+      .contains("Join"))
+    // a FILTERED dimension can drop keys — join must survive
+    assert(q(D.read(spark, cust).filter(col("c_custkey") > 10L))
+      .queryExecution.executedPlan.toString.contains("Join"))
+    // referencing a non-key dimension column — join must survive
+    val o2 = D.read(spark, ords); val c2 = D.read(spark, cust)
+    assert(o2.join(c2, o2("o_custkey") === c2("c_custkey"))
+      .select(o2("o_orderkey"), c2("c_name"))
+      .queryExecution.executedPlan.toString.contains("Join"))
+    // any commit to either table DISARMS until re-registration
+    D.append(spark, ords, spark.range(1)
+      .select((lit(-1L)).as("o_orderkey"), lit(999999999L).as("o_custkey")))
+    assert(q(D.read(spark, cust)).queryExecution.executedPlan.toString
+      .contains("Join"),
+      "a child commit (possibly breaking containment) must disarm")
+    // re-registration now FAILS: the appended orphan breaks containment
+    intercept[IllegalArgumentException] {
+      graft.plans.FkJoinElimination.register(spark, ords, "o_custkey",
+        cust, "c_custkey")
+    }
+    graft.plans.FkJoinElimination.deregister(ords, "o_custkey")
+  }
+
   test("t22_dau_wau_mau: rolling distincts are equi-aggregations, not a BETWEEN nested-loop join") {
     val p = plan("t22_dau_wau_mau")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
