@@ -734,6 +734,47 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(ords, "o_custkey")
   }
 
+  test("FK elimination, LEFT OUTER: join drops with no filter; null FKs keep the left-join contract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_louter")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"))
+    // one NULL fk row: a left join keeps it with a NULL key
+    D.create(spark, fact,
+      Seq((10L, Some(1L)), (11L, Some(2L)), (12L, None), (13L, Some(1L)))
+        .toDF("id", "fk"))
+    graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
+    val f = D.read(spark, fact); val d = D.read(spark, dim)
+    val q = f.join(d, f("fk") === d("k"), "left_outer")
+      .select(f("id"), d("k"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"left-outer PK-FK join must eliminate:\n$p")
+    // IS NOT NULL must NOT appear: every fact row survives a left join
+    assert(!p.contains("isnotnull(fk"),
+      s"left-outer elimination must not filter null FKs:\n$p")
+    val got = q.orderBy("id").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // the PK column reads as the FK verbatim: NULL where fk is NULL
+    assert(got === Seq((10L, 1L), (11L, 2L), (12L, -1L), (13L, 1L)))
+    // cross-check against the REAL join with the rule disabled
+    spark.conf.set("spark.graft.fk.joinElim", "false")
+    try {
+      val want = f.join(d, f("fk") === d("k"), "left_outer")
+        .select(f("id"), d("k")).orderBy("id").collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.fk.joinElim")
+    // a RIGHT-side fact under LeftOuter must never eliminate (the
+    // dimension side preserves unmatched rows) — swap roles and check
+    val q2 = d.join(f, f("fk") === d("k"), "left_outer")
+      .select(d("k"), f("fk"))
+    assert(q2.queryExecution.executedPlan.toString.contains("Join"),
+      "dim LEFT JOIN fact must keep its join")
+    graft.plans.FkJoinElimination.deregister(fact, "fk")
+  }
+
   test("t22_dau_wau_mau: rolling distincts are equi-aggregations, not a BETWEEN nested-loop join") {
     val p = plan("t22_dau_wau_mau")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
