@@ -657,6 +657,53 @@ object Medallion {
       }
     }
 
+    /** dbt incremental model, `merge` strategy, with BOTH incremental
+      * configs composed the way dbt's materialization does: the
+      * `on_schema_change` policy reconciles a diverged batch schema
+      * FIRST (same four modes as [[incrementalAppend]] — ignore drops
+      * new batch columns, append_new_columns/sync_all_columns evolve
+      * the target, fail raises before any commit), then the upsert runs
+      * as a full MERGE with `incremental_predicates` scoping the target
+      * side ([[graft.sources.DeltaLite.mergeClauses]] — candidate-file
+      * pruning from the predicate's stats bounds). One batch-sized
+      * write at any scale. */
+    def incrementalMerge(s: SparkSession, path: String, batch: DataFrame,
+        keys: Seq[String], onSchemaChange: String = "ignore",
+        incrementalPredicates: Seq[String] = Nil): Long = {
+      val D = graft.sources.DeltaLite
+      val M = graft.operators.Merge
+      val tgt = D.snapshot(path).schema.fieldNames.toSeq
+      val have = batch.columns.toSeq
+      val added = have.filterNot(tgt.contains)
+      val removed = tgt.filterNot(have.contains)
+      val clauses = Seq(M.MatchedUpdate(None, Map.empty),
+        M.NotMatchedInsert(None))
+      def merge(src: DataFrame, evolve: Boolean) =
+        D.mergeClauses(s, path, src, keys, clauses,
+          schemaEvolution = evolve,
+          incrementalPredicates = incrementalPredicates)
+      onSchemaChange match {
+        case "ignore" =>
+          merge(batch.select(have.filter(tgt.contains).map(batch.col): _*),
+            evolve = false)
+        case "append_new_columns" => merge(batch, evolve = true)
+        case "sync_all_columns" =>
+          removed.filterNot(keys.contains)
+            .foreach(c => D.dropColumn(path, c))
+          merge(batch, evolve = true)
+        case "fail" =>
+          if (added.nonEmpty || removed.nonEmpty)
+            throw new IllegalArgumentException(
+              "on_schema_change=fail: batch schema diverges from the " +
+              s"target (added: [${added.mkString(", ")}]; " +
+              s"removed: [${removed.mkString(", ")}])")
+          merge(batch, evolve = false)
+        case other => throw new IllegalArgumentException(
+          s"unknown on_schema_change policy '$other' " +
+          "(ignore | append_new_columns | sync_all_columns | fail)")
+      }
+    }
+
     /** dbt SEMANTIC-LAYER metric (`metrics:` block): a declared measure
       * (aggregation + expression) over a model, with a time dimension
       * and optional categorical dimensions, COMPILED to SQL at a

@@ -1551,4 +1551,61 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     Pipeline.cloneEnv(spark, prod, dev, models)
     assert(DeltaLite.latestVersion(s"$dev/gold_daily_revenue").get === devRevVersion)
   }
+
+  test("dbt incremental merge strategy: on_schema_change + incremental_predicates compose") {
+    import spark.implicits._
+    def build(): String = {
+      val path = Files.createTempDirectory("graft_incmerge").toString
+      val jan = Seq((1L, "2024-01-15", 1.0), (2L, "2024-01-15", 2.0))
+        .toDF("k", "d", "v").withColumn("day", to_date(col("d"))).drop("d")
+        .select(col("k"), col("day"), col("v")).coalesce(1)
+      val feb = Seq((3L, "2024-02-15", 3.0), (4L, "2024-02-15", 4.0))
+        .toDF("k", "d", "v").withColumn("day", to_date(col("d"))).drop("d")
+        .select(col("k"), col("day"), col("v")).coalesce(1)
+      DeltaLite.create(spark, path, jan)
+      DeltaLite.append(spark, path, feb)
+      path
+    }
+    val widened = Seq((3L, "2024-03-01", -3.0, "x"), (5L, "2024-03-01", -5.0, "y"))
+      .toDF("k", "d", "v", "tag").withColumn("day", to_date(col("d"))).drop("d")
+      .select(col("k"), col("day"), col("v"), col("tag"))
+    val preds = Seq("day >= DATE'2024-02-01'")
+
+    // ignore + predicate: tag dropped, key 3 updated (in scope), key 5
+    // inserted; Jan rows untouched and invisible to the merge
+    val p1 = build()
+    Pipeline.incrementalMerge(spark, p1, widened, Seq("k"), "ignore", preds)
+    val r1 = DeltaLite.read(spark, p1)
+    assert(r1.columns.toSeq === Seq("k", "day", "v"))
+    assert(r1.count() === 5)
+    assert(r1.filter(col("k") === 3L).select("v").head().getDouble(0) === -3.0)
+    assert(r1.filter(col("k") <= 2L && col("v") > 0).count() === 2)
+
+    // append_new_columns + predicate: tag evolves in, old rows NULL
+    val p2 = build()
+    Pipeline.incrementalMerge(spark, p2, widened, Seq("k"),
+      "append_new_columns", preds)
+    val r2 = DeltaLite.read(spark, p2)
+    assert(r2.columns.toSeq === Seq("k", "day", "v", "tag"))
+    assert(r2.filter(col("tag").isNotNull).count() === 2)
+
+    // sync_all_columns: a batch missing v drops it (keys survive)
+    val p3 = build()
+    val narrowed = Seq((4L, "2024-03-02", "z"))
+      .toDF("k", "d", "tag").withColumn("day", to_date(col("d"))).drop("d")
+      .select(col("k"), col("day"), col("tag"))
+    Pipeline.incrementalMerge(spark, p3, narrowed, Seq("k"),
+      "sync_all_columns", preds)
+    val r3 = DeltaLite.read(spark, p3)
+    assert(r3.columns.toSeq === Seq("k", "day", "tag"))
+    assert(r3.filter(col("k") === 4L).select("tag").head().getString(0) === "z")
+
+    // fail raises before any commit
+    val p4 = build()
+    val v0 = DeltaLite.latestVersion(p4).get
+    intercept[IllegalArgumentException] {
+      Pipeline.incrementalMerge(spark, p4, widened, Seq("k"), "fail", preds)
+    }
+    assert(DeltaLite.latestVersion(p4).get === v0)
+  }
 }
