@@ -792,6 +792,54 @@ object Medallion {
       path
     }
 
+    /** MetricFlow CONVERSION metric (the fourth declared metric type
+      * next to simple/ratio/cumulative): of the base events, how many
+      * saw a conversion event for the SAME entity within the window —
+      * funnel-as-metadata. Compiles to candidate generation by ENTITY
+      * EQUALITY (the date window is a residual on the per-entity join,
+      * never a corpus range join), a distinct hit set at (entity, day)
+      * grain, and one LEFT JOIN flag per base event — three keyed
+      * shuffles bounded by the event table, portable verbatim on both
+      * engines (BETWEEN + INTERVAL n DAY, ppm floor-division). */
+    final case class ConversionMetric(name: String, model: String,
+        entity: String, timeDim: String, baseFilter: String,
+        conversionFilter: String, windowDays: Int)
+
+    def compileConversionMetricSql(cm: ConversionMetric,
+        grain: String): String = {
+      require(cm.windowDays >= 0,
+        s"conversion metric ${cm.name}: negative window")
+      // inline subqueries, no WITH — the compiled artifact must embed
+      // under a caller's own CTE prelude (the d12-family composition
+      // contract), and SQL does not nest WITH
+      val base =
+        s"(SELECT ${cm.entity} AS entity, ${cm.timeDim} AS d " +
+          s"FROM ${cm.model} WHERE (${cm.baseFilter}))"
+      val conv =
+        s"(SELECT DISTINCT ${cm.entity} AS entity, ${cm.timeDim} AS d " +
+          s"FROM ${cm.model} WHERE (${cm.conversionFilter}))"
+      s"""SELECT CAST(date_trunc('$grain', d) AS DATE)
+                  AS ${cm.timeDim}_$grain,
+                CAST(count(*) AS BIGINT) AS base_events,
+                CAST(sum(converted) AS BIGINT) AS ${cm.name},
+                CAST(floor((1000000.0 * CAST(sum(converted) AS DOUBLE))
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                  AS ${cm.name}_rate_ppm
+         FROM (
+           SELECT b.d,
+                  CASE WHEN h.entity IS NOT NULL THEN 1 ELSE 0 END
+                    AS converted
+           FROM $base b
+           LEFT JOIN (
+             SELECT DISTINCT b2.entity, b2.d
+             FROM $base b2 JOIN $conv c ON c.entity = b2.entity
+               AND c.d BETWEEN b2.d
+                 AND CAST(b2.d + INTERVAL ${cm.windowDays} DAY AS DATE)
+           ) h ON b.entity = h.entity AND b.d = h.d
+         ) flagged
+         GROUP BY 1 ORDER BY 1 ASC NULLS LAST"""
+    }
+
     /** dbt `source freshness` declaration: a source table's
       * `loaded_at_field` plus the warn/error staleness thresholds of a
       * `freshness:` block in schema.yml. */
@@ -3369,6 +3417,33 @@ ORDER BY bucket ASC NULLS LAST"""),
            WHERE event_type IS NOT NULL AND value IS NOT NULL
            GROUP BY 1, 2)
          ${Pipeline.compileSavedQuerySql(Pipeline.savedQueries.head)}"""
+    }),
+
+    // ------------------------------------------------------------------ D18
+    // CONVERSION metric (MetricFlow `type: conversion`): view→purchase
+    // within 7 days per user, at week grain — the funnel KPI as a
+    // DECLARED metric spec instead of a hand-written query (t9 is the
+    // imperative twin). Candidates by user equality with the window as
+    // a residual; exact integer conversions + ppm rate gate verbatim on
+    // both engines.
+    QueryDef("d18_conversion_metric", (s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("date").as("day"))
+        .createOrReplaceTempView("stg_events")
+      s.sql(Pipeline.compileConversionMetricSql(
+        Pipeline.ConversionMetric("view_to_purchase", "stg_events",
+          "user_id", "day", "event_type = 'view'",
+          "event_type = 'purchase'", 7), "week"))
+    }, Some {
+      s"""WITH stg_events AS (
+           SELECT user_id, event_type, CAST(ts AS DATE) AS day
+           FROM events WHERE event_type IS NOT NULL)
+         ${Pipeline.compileConversionMetricSql(
+            Pipeline.ConversionMetric("view_to_purchase", "stg_events",
+              "user_id", "day", "event_type = 'view'",
+              "event_type = 'purchase'", 7), "week")}"""
     }),
 
     // ------------------------------------------------------------------ S53
