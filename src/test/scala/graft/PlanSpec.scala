@@ -775,6 +775,12 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(fact, "fk")
   }
 
+  test("d18_conversion_metric: conversion candidates are entity-equality joins, never a range cross join") {
+    val p = plan("d18_conversion_metric")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the date window must ride the user-equality join as a residual:\n$p")
+  }
+
   test("t22_dau_wau_mau: rolling distincts are equi-aggregations, not a BETWEEN nested-loop join") {
     val p = plan("t22_dau_wau_mau")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
