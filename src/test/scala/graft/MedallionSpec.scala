@@ -1608,4 +1608,42 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     }
     assert(DeltaLite.latestVersion(p4).get === v0)
   }
+
+  test("dbt retry: failures and never-reached models rebuild, completed models reuse") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_retry").toString
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val models = Seq(
+      Pipeline.Model("stable", Nil,
+        (s, _) => Seq((1L, "a")).toDF("k", "v"), code = "stable v1"),
+      Pipeline.Model("flaky", Nil,
+        (s, _) => { if (!flag.get) sys.error("upstream outage")
+          Seq((2L, "b")).toDF("k", "v") }, code = "flaky v1"),
+      Pipeline.Model("downstream", Seq("flaky"),
+        (_, ref) => ref("flaky"), code = "downstream v1"))
+    intercept[RuntimeException] { Pipeline.run(spark, models, target) }
+    // partial artifacts: the error status is recorded, stable completed
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def statuses(): Map[String, String] = {
+      val rr = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$target/run_results.json")), "UTF-8"))
+      (rr \\ "results") match {
+        case JArray(xs) => xs.map(x => (
+          (x \\ "unique_id").asInstanceOf[JString].s,
+          (x \\ "status").asInstanceOf[JString].s)).toMap
+        case other => fail(s"bad results: $other")
+      }
+    }
+    assert(statuses()("model.graft.flaky").startsWith("error"))
+    assert(DeltaLite.latestVersion(s"$target/downstream").isEmpty)
+    // outage over: retry reuses stable, builds flaky + downstream
+    flag.set(true)
+    Pipeline.retry(spark, models, target)
+    val st = statuses()
+    assert(st("model.graft.stable") === "reused")
+    assert(st("model.graft.flaky") === "success")
+    assert(st("model.graft.downstream") === "success")
+    assert(DeltaLite.read(spark, s"$target/downstream").count() === 1)
+  }
 }
