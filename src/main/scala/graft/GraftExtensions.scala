@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NysiisCode].getName, "nysiis_code"),
       graft.functions.Nysiis.builder))
     ext.injectFunction((
+      FunctionIdentifier("metaphone_code"),
+      new ExpressionInfo(classOf[graft.functions.MetaphoneCode].getName, "metaphone_code"),
+      graft.functions.Metaphone.builder))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1))))

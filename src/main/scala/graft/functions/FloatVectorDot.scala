@@ -124,6 +124,11 @@ object GraftFunctions {
         "nysiis_code", Nysiis.builder, "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("metaphone_code"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "metaphone_code", Metaphone.builder, "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hilbert_index",

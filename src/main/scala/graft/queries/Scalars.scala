@@ -690,6 +690,42 @@ object Scalars {
     // first, candidate generation is equality-join only. Rows-only
     // (DuckDB has no NYSIIS); FunctionsSpec pins the Taft vectors and
     // codegen≡interpreted parity.
+    // ------------------------------------------------------------------ F18
+    // Metaphone phonetic blocking (functions/Metaphone codegen
+    // expression) — the three-key blocking A/B/C census: over the
+    // soundex candidate pairs (the coarsest blocks), how many survive
+    // the NYSIIS key vs the Metaphone key, and how many jaro-verified
+    // matches each keeps — the complete evidence a linkage pipeline
+    // needs to pick its blocking key before committing 100 TB to one.
+    // Same scale discipline as f16/f17: DISTINCT name-head domain
+    // first, equality-join candidates only. Rows-only (DuckDB has
+    // neither function); FunctionsSpec pins the spec vectors +
+    // codegen≡interpreted parity.
+    QueryDef("f18_metaphone_blocking", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("head", expr("split(p_name, ' ')[0]"))
+        .withColumn("sdx", expr("soundex_code(head)"))
+        .withColumn("nys", expr("nysiis_code(head)"))
+        .withColumn("mtp", expr("metaphone_code(head)"))
+      val a = names.select(col("p_name").as("na"), col("sdx"),
+        col("nys"), col("mtp"))
+      val b = names.select(col("p_name").as("nb"), col("sdx").as("sdxb"),
+        col("nys").as("nysb"), col("mtp").as("mtpb"))
+      a.join(b, col("sdx") === col("sdxb") && col("na") < col("nb"))
+        .withColumn("same_nys", (col("nys") === col("nysb")).cast("int"))
+        .withColumn("same_mtp", (col("mtp") === col("mtpb")).cast("int"))
+        .withColumn("jw", expr("round(jaro_winkler(na, nb) * 10000) / 10000"))
+        .agg(count(lit(1)).as("n_soundex_pairs"),
+          sum(col("same_nys").cast("long")).as("n_nysiis_pairs"),
+          sum(col("same_mtp").cast("long")).as("n_metaphone_pairs"),
+          sum(when(col("jw") >= lit(0.85) && col("same_mtp") === 1, 1L)
+            .otherwise(0L)).as("n_hits_kept_mtp"),
+          sum(when(col("jw") >= lit(0.85) && col("same_mtp") === 0, 1L)
+            .otherwise(0L)).as("n_hits_lost_mtp"))
+    }, None),
+
     QueryDef("f17_nysiis_blocking", (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val names = t(s, dir, "part")

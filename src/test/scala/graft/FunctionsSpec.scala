@@ -431,4 +431,46 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .select(expr("nysiis_code(s)").as("c"))
       .where(col("c").isNotNull).count() === 0L)
   }
+
+  test("metaphone_code: spec vectors, digraph silences, codegen parity, null contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the scaladoc-spec vector set — each exercises a distinct rule:
+    // head KN/WR/X, GH silence, digraph-H silence (PH/CH/SCH/TH),
+    // DGE→J, final MB, vowel handling, W-absorb
+    val vectors = Seq(
+      "KNIGHT" -> "NT", "PHONE" -> "FN", "CHURCH" -> "XRX",
+      "SCHOOL" -> "SKL", "WRIGHT" -> "RT", "JUDGE" -> "JJ",
+      "BOMB" -> "BM", "SCIENCE" -> "SSNS", "THOMPSON" -> "0MPSN",
+      "XAVIER" -> "SFR", "knight" -> "NT", "O'Brien" -> "OBRN")
+    val got = vectors.map(_._1).toDF("s")
+      .select(expr("metaphone_code(s)").as("c")).as[String].collect()
+    vectors.map(_._2).zip(got).zip(vectors.map(_._1)).foreach {
+      case ((want, g), in) => assert(g === want, s"metaphone($in)")
+    }
+    // optional truncation arg
+    assert(Seq("THOMPSON").toDF("s")
+      .select(expr("metaphone_code(s, 4)").as("c")).as[String].head() === "0MPS")
+    // codegen and interpreted kernels agree over the fixture domain;
+    // keys are uppercase letters/digit-0 only
+    val keys = Tables.t(spark, sf, "part")
+      .select(col("p_name"), expr("metaphone_code(split(p_name, ' ')[0])").as("c"))
+      .collect()
+    keys.foreach { r =>
+      val direct = graft.functions.Metaphone.code(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0).split(" ")(0)), 0)
+      assert(Option(r.getString(1)) === Option(direct).map(_.toString),
+        s"codegen and interpreted kernels must agree on ${r.getString(0)}")
+      assert(r.getString(1).forall(ch => (ch >= 'A' && ch <= 'Z') || ch == '0'),
+        "metaphone keys are uppercase letters plus the TH digit")
+    }
+    // no leading letter → NULL; NULL → NULL
+    assert(Seq("123", "", "42nd?").toDF("s")
+      .select(expr("metaphone_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("metaphone_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+  }
 }
