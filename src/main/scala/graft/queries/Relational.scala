@@ -1377,6 +1377,60 @@ object Relational {
     // revenue estimates come from 1% of the data: the band predicate is
     // map-side on both inputs (rows drop before the exchange), and the
     // hash needs no coordination between producers of the two tables.
+    // ------------------------------------------------------------------ P13
+    // STRATIFIED proportional sampling — a FIXED total budget K split
+    // across strata as exact floor quotas (floor(K·n_s/N)), each
+    // stratum filled by deterministic-hash rank (the p10 consistency
+    // discipline: same rows every run, any engine). This is the
+    // training-mix primitive Bernoulli-per-stratum can't give: the
+    // output size is exactly Σ quotas, not a binomial draw. Scale
+    // shape: the per-stratum rank first cuts at the LITERAL budget
+    // bound (rank ≤ K → WindowGroupLimit, a map-side top-K per
+    // partition before the shuffle — the stratum never globally
+    // sorts), the exact dynamic quota then filters the ≤K·strata
+    // survivors against the broadcast quota frame.
+    QueryDef("p13_stratified_sample", (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val quotas = cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_stratum"))
+        .crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+        .withColumn("quota", expr("(500L * n_stratum) div n_total"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("h").asc, col("c_custkey").asc)
+      val cut = cust
+        .withColumn("h", md5(concat(lit("ss13:"),
+          col("c_custkey").cast("string")).cast("binary")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= lit(500L)) // literal → WindowGroupLimit
+      cut.join(broadcast(quotas), Seq("c_mktsegment"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("n_stratum")).as("n_stratum"),
+          max(col("quota")).as("quota"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("c_custkey")).as("sum_keys"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    }, Some(
+      """WITH q AS (
+           SELECT c_mktsegment, count(*) AS n_stratum,
+                  (500 * count(*)) // (SELECT count(*) FROM customer)
+                    AS quota
+           FROM customer GROUP BY 1),
+         r AS (
+           SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY md5('ss13:' || CAST(c_custkey AS VARCHAR)) ASC,
+                             c_custkey ASC) AS rk
+           FROM customer)
+         SELECT r.c_mktsegment,
+                CAST(max(q.n_stratum) AS BIGINT) AS n_stratum,
+                CAST(max(q.quota) AS BIGINT) AS quota,
+                count(*) AS n_sampled,
+                CAST(sum(r.c_custkey) AS BIGINT) AS sum_keys
+         FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
+         WHERE r.rk <= q.quota
+         GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
+
     QueryDef("p10_consistent_sample", (s, dir) => {
       def keep(c: org.apache.spark.sql.Column) = substring(
         md5(concat(lit("cs7:"), c.cast("string")).cast("binary")), 1, 2) < "1a"

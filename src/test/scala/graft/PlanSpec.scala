@@ -775,6 +775,14 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(fact, "fk")
   }
 
+  test("p13_stratified_sample: the literal budget cut is a WindowGroupLimit, never a full stratum sort") {
+    val p = plan("p13_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank <= 500 must cut map-side before the stratum shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the quota frame must broadcast:\n$p")
+  }
+
   test("d18_conversion_metric: conversion candidates are entity-equality joins, never a range cross join") {
     val p = plan("d18_conversion_metric")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
