@@ -266,4 +266,31 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       spark.conf.set("spark.graft.mv.autoRewrite", "true")
     }
   }
+
+  test("DistributedRank: random data × random monotone bin widths equal the driver total order") {
+    import spark.implicits._
+    import graft.operators.DistributedRank
+    val gen = Gen.listOfN(400, Gen.zip(Gen.choose(1L, 100000L),
+      Gen.choose(-5000L, 5000L)))
+    (0 until 4).foreach { i =>
+      val raw = gen.apply(Gen.Parameters.default, Seed(91L + i)).getOrElse(Nil)
+      // distinct ids so the (v, id) order is total
+      val rows = raw.zipWithIndex.map { case ((_, v), idx) => (idx.toLong, v) }
+      val width = Seq(7L, 100L, 999L, 4096L)(i) // random-ish bin widths
+      val df = rows.toDF("id", "v").repartition(5)
+      // floor-div keeps bins monotone over NEGATIVE values too
+      val got = DistributedRank.withGlobalRank(df,
+          expr(s"CAST(floor(v / $width.0D) AS BIGINT)"),
+          Seq(col("v").asc, col("id").asc), "r", totalOut = Some("n"))
+        .select(col("id"), col("r"), col("n")).collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+      val want = rows.sortBy { case (id, v) => (v, id) }
+        .zipWithIndex.map { case ((id, _), j) => id -> (j + 1).toLong }.toMap
+      assert(got.size === rows.size)
+      got.foreach { case (id, (r, n)) =>
+        assert(n === rows.size.toLong)
+        assert(r === want(id), s"width=$width id=$id")
+      }
+    }
+  }
 }
