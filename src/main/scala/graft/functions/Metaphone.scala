@@ -77,14 +77,27 @@ object Metaphone {
     * + GraftFunctions.register — keep in sync): `metaphone_code(s)` =
     * full untruncated key; `metaphone_code(s, n)` truncates at n. */
   val builder: Seq[Expression] => MetaphoneCode = (exprs: Seq[Expression]) =>
-    MetaphoneCode(exprs.head,
-      if (exprs.size < 2) 0
-      else exprs(1) match {
-        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-          l.value.toString.toInt
-        case other => throw new IllegalArgumentException(
-          s"metaphone_code: maxLen must be an integer literal, got $other")
-      })
+    {
+      if (exprs.isEmpty || exprs.size > 2)
+        throw new IllegalArgumentException(
+          s"metaphone_code expects 1 or 2 arguments, got ${exprs.size}")
+      MetaphoneCode(exprs.head,
+        if (exprs.size < 2) 0
+        else exprs(1) match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.value != null =>
+            l.value match {
+              case i: Int => i
+              case lg: Long => lg.toInt
+              case sh: Short => sh.toInt
+              case b: Byte => b.toInt
+              case other => throw new IllegalArgumentException(
+                s"metaphone_code: maxLen must be an integer literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"metaphone_code: maxLen must be a non-null integer literal, got $other")
+        })
+    }
 
   private def isLetter(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')

@@ -38,10 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     untruncated key (finer blocking, NOT interop-portable);
   *     `nysiis_code(x, n)` truncates to n.
   *
-  * Reference vectors reproduced by this spec: BROWN→BRAN, KNUTH→NAT,
-  * MACINTOSH→MCANT, PHILLIPSON→FALAPSAN, FERGUSON→FARGASAN,
-  * JACKSON→JACSAN, WASHINGTON→WASANGTAN, LAWSON→LASAN, DAY→DY,
-  * SCHMIDT→SNAD. Pure per-row byte loop as a static method inside
+  * Reference vectors reproduced by this spec (shown UNTRUNCATED, i.e.
+  * the `nysiis_code(x, 0)` form; the 1-arg default cuts them at 6 —
+  * PHILLIPSON→FALAPS, FERGUSON→FARGAS, WASHINGTON→WASANG):
+  * BROWN→BRAN, KNUTH→NAT, MACINTOSH→MCANT, PHILLIPSON→FALAPSAN,
+  * FERGUSON→FARGASAN, JACKSON→JACSAN, WASHINGTON→WASANGTAN,
+  * LAWSON→LASAN, DAY→DY, SCHMIDT→SNAD. Pure per-row byte loop as a static method inside
   * whole-stage codegen.
   */
 case class NysiisCode(child: Expression, maxLen: Int = 6)
@@ -76,14 +78,27 @@ object Nysiis {
     * n; n <= 0 keeps the full untruncated key. n must be an integer
     * literal. */
   val builder: Seq[Expression] => NysiisCode = (exprs: Seq[Expression]) =>
-    NysiisCode(exprs.head,
-      if (exprs.size < 2) 6
-      else exprs(1) match {
-        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-          l.value.toString.toInt
-        case other => throw new IllegalArgumentException(
-          s"nysiis_code: maxLen must be an integer literal, got $other")
-      })
+    {
+      if (exprs.isEmpty || exprs.size > 2)
+        throw new IllegalArgumentException(
+          s"nysiis_code expects 1 or 2 arguments, got ${exprs.size}")
+      NysiisCode(exprs.head,
+        if (exprs.size < 2) 6
+        else exprs(1) match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.value != null =>
+            l.value match {
+              case i: Int => i
+              case lg: Long => lg.toInt
+              case sh: Short => sh.toInt
+              case b: Byte => b.toInt
+              case other => throw new IllegalArgumentException(
+                s"nysiis_code: maxLen must be an integer literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"nysiis_code: maxLen must be a non-null integer literal, got $other")
+        })
+    }
 
   private def isLetter(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')

@@ -645,31 +645,45 @@ object Medallion {
     def incrementalAppend(s: SparkSession, path: String, batch: DataFrame,
         onSchemaChange: String = "ignore"): Long = {
       val D = graft.sources.DeltaLite
-      val tgt = D.snapshot(path).schema.fieldNames.toSeq
-      val have = batch.columns.toSeq
-      val added = have.filterNot(tgt.contains)
-      val removed = tgt.filterNot(have.contains)
+      val (tgt, added, removed) = schemaDivergence(path, batch)
       onSchemaChange match {
         case "ignore" =>
-          val keep = have.filter(tgt.contains)
-          D.append(s, path, batch.select(keep.map(batch.col): _*))
+          D.append(s, path, batch.select(
+            batch.columns.filter(tgt.contains).map(batch.col).toSeq: _*))
         case "append_new_columns" =>
           D.appendEvolve(s, path, batch)
         case "sync_all_columns" =>
           removed.foreach(c => D.dropColumn(path, c))
           D.appendEvolve(s, path, batch)
         case "fail" =>
-          if (added.nonEmpty || removed.nonEmpty)
-            throw new IllegalArgumentException(
-              "on_schema_change=fail: batch schema diverges from the " +
-              s"target (added: [${added.mkString(", ")}]; " +
-              s"removed: [${removed.mkString(", ")}])")
+          failOnDivergence(added, removed)
           D.append(s, path, batch)
-        case other => throw new IllegalArgumentException(
-          s"unknown on_schema_change policy '$other' " +
-          "(ignore | append_new_columns | sync_all_columns | fail)")
+        case other => unknownPolicy(other)
       }
     }
+
+    /** (target columns, batch-only columns, target-only columns) — the
+      * shared divergence census behind every on_schema_change policy. */
+    private def schemaDivergence(path: String,
+        batch: DataFrame): (Seq[String], Seq[String], Seq[String]) = {
+      val tgt = graft.sources.DeltaLite.snapshot(path)
+        .schema.fieldNames.toSeq
+      val have = batch.columns.toSeq
+      (tgt, have.filterNot(tgt.contains), tgt.filterNot(have.contains))
+    }
+
+    private def failOnDivergence(added: Seq[String],
+        removed: Seq[String]): Unit =
+      if (added.nonEmpty || removed.nonEmpty)
+        throw new IllegalArgumentException(
+          "on_schema_change=fail: batch schema diverges from the " +
+          s"target (added: [${added.mkString(", ")}]; " +
+          s"removed: [${removed.mkString(", ")}])")
+
+    private def unknownPolicy(other: String): Nothing =
+      throw new IllegalArgumentException(
+        s"unknown on_schema_change policy '$other' " +
+        "(ignore | append_new_columns | sync_all_columns | fail)")
 
     /** dbt incremental model, `merge` strategy, with BOTH incremental
       * configs composed the way dbt's materialization does: the
@@ -686,10 +700,7 @@ object Medallion {
         incrementalPredicates: Seq[String] = Nil): Long = {
       val D = graft.sources.DeltaLite
       val M = graft.operators.Merge
-      val tgt = D.snapshot(path).schema.fieldNames.toSeq
-      val have = batch.columns.toSeq
-      val added = have.filterNot(tgt.contains)
-      val removed = tgt.filterNot(have.contains)
+      val (tgt, added, removed) = schemaDivergence(path, batch)
       val clauses = Seq(M.MatchedUpdate(None, Map.empty),
         M.NotMatchedInsert(None))
       def merge(src: DataFrame, evolve: Boolean) =
@@ -698,7 +709,8 @@ object Medallion {
           incrementalPredicates = incrementalPredicates)
       onSchemaChange match {
         case "ignore" =>
-          merge(batch.select(have.filter(tgt.contains).map(batch.col): _*),
+          merge(batch.select(
+            batch.columns.filter(tgt.contains).map(batch.col).toSeq: _*),
             evolve = false)
         case "append_new_columns" => merge(batch, evolve = true)
         case "sync_all_columns" =>
@@ -706,15 +718,9 @@ object Medallion {
             .foreach(c => D.dropColumn(path, c))
           merge(batch, evolve = true)
         case "fail" =>
-          if (added.nonEmpty || removed.nonEmpty)
-            throw new IllegalArgumentException(
-              "on_schema_change=fail: batch schema diverges from the " +
-              s"target (added: [${added.mkString(", ")}]; " +
-              s"removed: [${removed.mkString(", ")}])")
+          failOnDivergence(added, removed)
           merge(batch, evolve = false)
-        case other => throw new IllegalArgumentException(
-          s"unknown on_schema_change policy '$other' " +
-          "(ignore | append_new_columns | sync_all_columns | fail)")
+        case other => unknownPolicy(other)
       }
     }
 

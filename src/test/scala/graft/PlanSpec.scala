@@ -775,6 +775,48 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(fact, "fk")
   }
 
+  test("FK elimination soundness holes stay closed: union provenance, left-outer non-key ref, nested tables") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_sound")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, 10L), (2L, 20L)).toDF("k", "score"))
+    D.create(spark, fact, Seq((10L, 1L), (11L, 2L)).toDF("id", "fk"))
+    graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
+    val d = D.read(spark, dim)
+    // 1. a UNION above the fact scan reuses its exprIds but merges
+    //    rows with NO containment guarantee — must keep the join, and
+    //    the orphan row must vanish through the REAL inner join
+    val extra = Seq((99L, 777L)).toDF("id", "fk") // 777 not in dim
+    val unioned = D.read(spark, fact).union(extra)
+    val q1 = unioned.join(d, unioned("fk") === d("k"))
+      .select(unioned("id"), d("k"))
+    assert(q1.queryExecution.executedPlan.toString.contains("Join"),
+      "union-derived FK values carry no guarantee — join must survive")
+    assert(q1.count() === 2L, "the orphan union row must not survive")
+    // 2. LEFT OUTER referencing a NON-KEY dimension column: the join
+    //    output wraps right attrs nullable — the reference check must
+    //    still see it and decline (this used to crash the planner)
+    val f2 = D.read(spark, fact)
+    val q2 = f2.join(d, f2("fk") === d("k"), "left_outer")
+      .select(f2("id"), d("score"))
+    assert(q2.queryExecution.executedPlan.toString.contains("Join"),
+      "a referenced dimension measure must keep the left join")
+    assert(q2.count() === 2L)
+    // 3. a DIFFERENT table physically nested under the registered
+    //    parent's dir must not borrow its verification
+    val nested = s"$dim/archive"
+    D.create(spark, nested, Seq((5L, 50L)).toDF("k", "score"))
+    val n = D.read(spark, nested)
+    val f3 = D.read(spark, fact)
+    val q3 = f3.join(n, f3("fk") === n("k")).select(f3("id"), n("k"))
+    assert(q3.queryExecution.executedPlan.toString.contains("Join"),
+      "a nested table is NOT the verified parent — join must survive")
+    assert(q3.count() === 0L, "no fact fk matches the nested table's keys")
+    graft.plans.FkJoinElimination.deregister(fact, "fk")
+  }
+
   test("p13_stratified_sample: the literal budget cut is a WindowGroupLimit, never a full stratum sort") {
     val p = plan("p13_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
