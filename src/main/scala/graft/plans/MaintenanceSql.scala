@@ -34,6 +34,9 @@ import graft.sources.DeltaLite
   *   ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER '<path>' UNSET TBLPROPERTIES ('k')
   *   ALTER '<path>' ADD CONSTRAINT name CHECK (expr)
+  *   ALTER '<path>' ADD CONSTRAINT name FOREIGN KEY (fk)
+  *     REFERENCES '<path>' (key) RELY
+  *   ALTER '<path>' DROP FOREIGN KEY (fk)
   *   ALTER '<path>' DROP CONSTRAINT name
   *   DELETE FROM '<path>' WHERE <cond>
   *   UPDATE '<path>' SET a = e1[, b = e2 ...] WHERE <cond>
@@ -254,6 +257,34 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.addConstraint(spark, path, name, check)))
   }
 
+  /** Databricks-style RELY foreign key: `ALTER '<child>' ADD CONSTRAINT
+    * name FOREIGN KEY (fk) REFERENCES '<parent>' (key) RELY` — verifies
+    * the relationship against the data (PK uniqueness + containment)
+    * and ARMS [[graft.plans.FkJoinElimination]]; registration refuses
+    * on violation, and any later commit to either table disarms the
+    * rewrite until re-run. DROP with the same name (child+fk keyed)
+    * disarms explicitly. */
+  final case class AddForeignKeyCommand(childPath: String, fkCol: String,
+      parentPath: String, parentKey: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("armed", BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.plans.FkJoinElimination.register(
+        spark, childPath, fkCol, parentPath, parentKey)
+      Seq(Row(true))
+    }
+  }
+
+  final case class DropForeignKeyCommand(childPath: String,
+      fkCol: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("armed", BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.plans.FkJoinElimination.deregister(childPath, fkCol)
+      Seq(Row(false))
+    }
+  }
+
   final case class DropConstraintCommand(path: String, name: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -427,6 +458,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val AddFkRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*""" +
+      """\s+FOREIGN\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+REFERENCES\s+""" +
+      """'([^']+)'\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+RELY\s*;?\s*""").r
+  private val DropFkRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+FOREIGN\s+KEY\s*\(\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*""").r
   private val DropConstraintRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
@@ -498,6 +536,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WidenTypeRe(p, c, t) => WidenColumnTypeCommand(p, c, t.trim)
     case DropDefaultRe(p, c) => DropColumnDefaultCommand(p, c)
     case DropColRe(p, c) => DropColumnCommand(p, c)
+    case AddFkRe(child, fk, parent, key) =>
+      AddForeignKeyCommand(child, fk, parent, key)
+    case DropFkRe(child, fk) => DropForeignKeyCommand(child, fk)
     case AddConstraintRe(p, n, check) => AddConstraintCommand(p, n, check.trim)
     case DropConstraintRe(p, n) => DropConstraintCommand(p, n)
     case SetPropsRe(p, pairs) =>

@@ -775,6 +775,38 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(fact, "fk")
   }
 
+  test("FK DDL: ADD CONSTRAINT ... FOREIGN KEY ... RELY arms the rewrite; DROP disarms; violations refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_ddl")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    D.create(spark, fact, Seq((10L, 1L), (11L, 2L)).toDF("id", "fk"))
+    def q() = {
+      val f = D.read(spark, fact); val d = D.read(spark, dim)
+      f.join(d, f("fk") === d("k")).select(f("id"), d("k"))
+    }
+    assert(q().queryExecution.executedPlan.toString.contains("Join"),
+      "unarmed: the join stays")
+    val armed = spark.sql(
+      s"ALTER '$fact' ADD CONSTRAINT fk_dim FOREIGN KEY (fk) " +
+      s"REFERENCES '$dim' (k) RELY").collect()
+    assert(armed.map(_.getBoolean(0)).toSeq === Seq(true))
+    assert(!q().queryExecution.executedPlan.toString.contains("Join"),
+      "armed via DDL: the join must eliminate")
+    spark.sql(s"ALTER '$fact' DROP FOREIGN KEY (fk)").collect()
+    assert(q().queryExecution.executedPlan.toString.contains("Join"),
+      "dropped via DDL: the join returns")
+    // a violating relationship refuses to arm through the DDL too
+    val orphan = s"$base/orphan"
+    D.create(spark, orphan, Seq((10L, 999L)).toDF("id", "fk"))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER '$orphan' ADD CONSTRAINT fk_bad FOREIGN KEY (fk) " +
+        s"REFERENCES '$dim' (k) RELY").collect()
+    }
+  }
+
   test("FK elimination soundness holes stay closed: union provenance, left-outer non-key ref, nested tables") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
