@@ -69,7 +69,8 @@ object Medallion {
         preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
         version: Option[Int] = None, latestVersion: Option[Int] = None,
         deprecationDate: Option[String] = None,
-        group: Option[String] = None, access: String = "protected")
+        group: Option[String] = None, access: String = "protected",
+        tags: Seq[String] = Nil)
 
     /** dbt MODEL VERSIONS (`versions:` config): a versioned model is
       * one Model entry PER VERSION, all sharing `name`. Node identity
@@ -229,6 +230,69 @@ object Medallion {
       }.toMap
     }
 
+    /** dbt NODE SELECTION (`--select` syntax): SPACE-separated terms
+      * union; each term is
+      *  - `name`   — the node (or versioned family) itself;
+      *  - `+name`  — the node plus ALL ancestors;
+      *  - `name+`  — the node plus ALL descendants;
+      *  - `+name+` — both closures;
+      *  - `@name`  — the node, its descendants, and every ancestor of
+      *               those descendants (dbt's build-out-and-up operator
+      *               for CI: everything needed to rebuild and re-test
+      *               the blast radius);
+      *  - `tag:t`  — every node declaring tag t.
+      * Selection is pure driver metadata — deciding WHAT to build never
+      * reads data at any scale. Returns models in the input order. */
+    def select(models: Seq[Model], spec: String): Seq[Model] = {
+      val ids = models.map(nodeId)
+      val parents: Map[String, Set[String]] = models.map(m =>
+        nodeId(m) -> m.deps.map(d => nodeId(resolveRef(models, d))).toSet).toMap
+      val children: Map[String, Set[String]] = ids.map(id =>
+        id -> parents.collect { case (c, ps) if ps.contains(id) => c }.toSet).toMap
+      def closure(seed: Set[String], edge: Map[String, Set[String]]): Set[String] = {
+        var acc = seed; var frontier = seed
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(edge.getOrElse(_, Set.empty)) -- acc
+          acc ++= next; frontier = next
+        }
+        acc
+      }
+      def base(name: String): Set[String] = {
+        val hit = models.filter(m => nodeId(m) == name || m.name == name)
+        require(hit.nonEmpty, s"selector '$name' matches no model")
+        hit.map(nodeId).toSet
+      }
+      val chosen: Set[String] = spec.trim.split("""\s+""").toSeq
+        .filter(_.nonEmpty).flatMap { term =>
+          if (term.startsWith("tag:")) {
+            val t = term.stripPrefix("tag:")
+            models.filter(_.tags.contains(t)).map(nodeId)
+          } else if (term.startsWith("@")) {
+            val seed = base(term.stripPrefix("@"))
+            val down = closure(seed, children)
+            down ++ closure(down, parents)
+          } else {
+            val up = term.startsWith("+"); val down = term.endsWith("+")
+            val seed = base(term.stripPrefix("+").stripSuffix("+"))
+            seed ++ (if (up) closure(seed, parents) else Set.empty) ++
+              (if (down) closure(seed, children) else Set.empty)
+          }
+        }.toSet
+      models.filter(m => chosen.contains(nodeId(m)))
+    }
+
+    /** `dbt run --select <spec>` (+ the `--defer` contract for what the
+      * selection leaves out): build exactly the selected nodes; an
+      * UNSELECTED upstream must already be materialized under the
+      * target and serves ref()s as-is — status "deferred", no hooks, no
+      * build, no commit. A missing deferred upstream fails that subtree
+      * with a clear error instead of silently rebuilding it. */
+    def runSelect(s: SparkSession, models: Seq[Model], targetDir: String,
+        spec: String, threads: Int = 4,
+        selective: Boolean = false): Map[String, String] =
+      run(s, models, targetDir, threads, selective,
+        buildOnly = Some(select(models, spec).map(nodeId).toSet))
+
     /** Table property carrying the model fingerprint that produced the
       * materialization — the persisted `state` that dbt's
       * `--select state:modified+` compares manifests against. Living in
@@ -303,7 +367,8 @@ object Medallion {
       * metadata only — at 100 TB an unchanged-subtree run costs zero
       * data reads and zero commits. */
     def run(s: SparkSession, models: Seq[Model], targetDir: String,
-        threads: Int = 4, selective: Boolean = false): Map[String, String] = {
+        threads: Int = 4, selective: Boolean = false,
+        buildOnly: Option[Set[String]] = None): Map[String, String] = {
       import java.util.concurrent.{CompletableFuture, Executors}
       val ids = models.map(nodeId)
       require(ids.distinct.size == ids.size,
@@ -344,10 +409,21 @@ object Medallion {
               try {
                 val D = graft.sources.DeltaLite
                 val exists = D.latestVersion(path).isDefined
-                val fresh = selective && exists &&
+                val deferred = buildOnly.exists(!_.contains(nodeId(m)))
+                val fresh = !deferred && selective && exists &&
                   D.snapshot(path).properties.get(FingerprintKey)
                     .contains(fp(nodeId(m)))
-                if (fresh) {
+                if (deferred) {
+                  // --select left this node out: it serves downstream
+                  // refs from its EXISTING materialization (dbt defer)
+                  require(exists, s"model ${nodeId(m)} is outside the " +
+                    "selection and has no existing materialization to " +
+                    "defer to")
+                  val snap = D.snapshot(path)
+                  results.put(nodeId(m), RunResult("deferred",
+                    (System.nanoTime() - t0) / 1e9, snap.totalRows,
+                    snap.version))
+                } else if (fresh) {
                   // state:modified+ cache hit: the stored fingerprint
                   // matches — serve the existing materialization, no
                   // build, no commit, no data read

@@ -1646,4 +1646,62 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(st("model.graft.downstream") === "success")
     assert(DeltaLite.read(spark, s"$target/downstream").count() === 1)
   }
+
+  test("dbt node selection: +/@/tag operators; runSelect builds the selection, defers the rest") {
+    import spark.implicits._
+    // diamond + tag: bronze → {silver_a (tag hot), silver_b} → gold
+    val models = Seq(
+      Pipeline.Model("bronze", Nil,
+        (s, _) => Seq((1L, 10L), (2L, 20L)).toDF("k", "v")),
+      Pipeline.Model("silver_a", Seq("bronze"),
+        (_, ref) => ref("bronze").withColumn("va", col("v") * 2L),
+        tags = Seq("hot")),
+      Pipeline.Model("silver_b", Seq("bronze"),
+        (_, ref) => ref("bronze").withColumn("vb", col("v") + 1L)),
+      Pipeline.Model("gold", Seq("silver_a", "silver_b"),
+        (_, ref) => ref("silver_a").join(ref("silver_b"), "k")
+          .select(col("k"), col("va"), col("vb")), tags = Seq("hot")))
+    def names(spec: String) = Pipeline.select(models, spec).map(_.name)
+    assert(names("silver_a") === Seq("silver_a"))
+    assert(names("+gold") === Seq("bronze", "silver_a", "silver_b", "gold"))
+    assert(names("bronze+") === Seq("bronze", "silver_a", "silver_b", "gold"))
+    assert(names("silver_a+") === Seq("silver_a", "gold"))
+    assert(names("+silver_a") === Seq("bronze", "silver_a"))
+    assert(names("+silver_a+") === Seq("bronze", "silver_a", "gold"))
+    // @silver_a = itself + descendants (gold) + gold's OTHER ancestors
+    assert(names("@silver_a") === Seq("bronze", "silver_a", "silver_b", "gold"))
+    assert(names("tag:hot") === Seq("silver_a", "gold"))
+    assert(names("silver_a silver_b") === Seq("silver_a", "silver_b"))
+    intercept[IllegalArgumentException] { Pipeline.select(models, "zorp") }
+
+    // runSelect: unselected upstreams DEFER to their materialization
+    val target = Files.createTempDirectory("graft_select").toString
+    Pipeline.run(spark, models, target) // full first build
+    val bronzeV = DeltaLite.latestVersion(s"$target/bronze").get
+    Pipeline.runSelect(spark, models, target, "silver_a+")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rr = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/run_results.json")), "UTF-8"))
+    val st = (rr \\ "results") match {
+      case JArray(xs) => xs.map(x => (
+        (x \\ "unique_id").asInstanceOf[JString].s,
+        (x \\ "status").asInstanceOf[JString].s)).toMap
+      case other => fail(s"bad results: $other")
+    }
+    assert(st("model.graft.bronze") === "deferred")
+    assert(st("model.graft.silver_b") === "deferred")
+    assert(st("model.graft.silver_a") === "success")
+    assert(st("model.graft.gold") === "success")
+    assert(DeltaLite.latestVersion(s"$target/bronze").get === bronzeV,
+      "a deferred model never commits")
+    // a selection whose deferred upstream was never built fails loudly
+    val empty = Files.createTempDirectory("graft_select2").toString
+    val ex = intercept[Exception] {
+      Pipeline.runSelect(spark, models, empty, "gold")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("defer")), s"got: $ex")
+  }
 }
