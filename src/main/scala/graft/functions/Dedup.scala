@@ -42,8 +42,10 @@ object Dedup {
     * that collide in ≥1 band. Probability of a collision ≈ 1-(1-j^r)^b for
     * true Jaccard j — with 32 hashes, 8 bands × 4 rows the S-curve
     * midpoint sits near j ≈ 0.6. */
-  def minHashCandidates(
-      corpus: DataFrame, id: String, text: String,
+  /** The long (id, band_idx, band_hash) frame behind LSH banding —
+    * shared by in-query candidate generation ([[minHashCandidates]])
+    * and the persisted dedup index ([[graft.operators.DedupIndex]]). */
+  def bandedSignatures(corpus: DataFrame, id: String, text: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     val sets = TextFunctions.shingleSets(corpus, id, text)
@@ -52,9 +54,15 @@ object Dedup {
       xxhash64(((b * rows) until ((b + 1) * rows)).map(j => col(s"m$j")) :+ lit(b): _*)
         .as(s"b$b")
     }
-    val banded = sig.select(col(id) +: bandCols: _*)
+    sig.select(col(id) +: bandCols: _*)
       .unpivot(Array(col(id)), (0 until bands).map(b => col(s"b$b")).toArray,
         "band_idx", "band_hash")
+  }
+
+  def minHashCandidates(
+      corpus: DataFrame, id: String, text: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val banded = bandedSignatures(corpus, id, text, numHashes, bands)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -117,6 +117,37 @@ object Llm {
     // existing docs), else new. The asymmetric join is the point: cost
     // scales with |batch| × collision fan-out, not |corpus|² — rerunning
     // yesterday's dedup never reopens the deduped corpus.
+    // ------------------------------------------------------------- L2 (i2)
+    // PERSISTED dedup index (operators/DedupIndex): the production
+    // lifecycle l2_incremental_dedup's per-run recompute becomes at
+    // crawl scale — build the band index ONCE from the standing corpus
+    // (DeltaLite table partitioned by band), probe the new batch with
+    // one band-equality join + candidate-only exact-Jaccard verify,
+    // append the batch's bands O(batch), and prove freshness by
+    // probing a doc that duplicates a batch member AFTER the append.
+    // Census of the full cycle in one row. Rows-only (minhash_agg is
+    // engine-specific); DedupSpec pins verdicts, O(batch) maintenance,
+    // and index freshness.
+    QueryDef("l2_dedup_index", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 80)
+      val batch = docs.filter(col("doc_id") >= 80)
+      val idx = graft.TempDirs.fresh("l2_dedup_index")
+      graft.operators.DedupIndex.build(s, corpus, "doc_id", "text", idx)
+      val verdicts = graft.operators.DedupIndex.probe(
+        s, batch, corpus, "doc_id", "text", idx, threshold = 0.5)
+      graft.operators.DedupIndex.append(s, batch, "doc_id", "text", idx)
+      val idxRows = graft.sources.DeltaLite.read(s, idx)
+      verdicts.agg(
+          count(lit(1)).as("n_probed"),
+          sum(when(col("near_dup_of").isNotNull, 1L).otherwise(0L))
+            .as("n_near_dups"))
+        .crossJoin(broadcast(idxRows.agg(
+          countDistinct(col("doc_id")).as("n_indexed_docs"),
+          count(lit(1)).as("n_index_rows"))))
+    }, None),
+
     QueryDef("l2_incremental_dedup", (s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
       val existing = docs.filter(col("doc_id") < 80)

@@ -421,4 +421,50 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val cb = graft.functions.Dedup.pqTrain(df, "embedding", m = 2, k = 4, dim = 8)
     assert(cb.length === 2)
   }
+
+  test("DedupIndex: persisted band index — probe verdicts, O(batch) append, freshness") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val D = graft.sources.DeltaLite
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val common = (1 to 40).map(i => s"w$i")
+    // corpus: three distinct docs; batch: 101 ≈ near-dup of 2 (same
+    // word stream with a one-word tail change), 102 unrelated
+    val corpus = Seq(
+      doc(1L, (1 to 40).map(i => s"a$i")),
+      doc(2L, common),
+      doc(3L, (1 to 40).map(i => s"c$i"))).toDF("doc_id", "text")
+    val batch = Seq(
+      doc(101L, common.dropRight(1) :+ "zzz"),
+      doc(102L, (1 to 40).map(i => s"q$i"))).toDF("doc_id", "text")
+    val idx = graft.TempDirs.fresh("dedup_idx")
+    DedupIndex.build(spark, corpus, "doc_id", "text", idx)
+    val rowsPerDoc = D.read(spark, idx)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowsPerDoc.keySet === Set(1L, 2L, 3L))
+    assert(rowsPerDoc.values.forall(_ === 8L), "8 bands per doc")
+    // probe: 101 resolves to 2, 102 is new
+    val v1 = DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
+        idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v1 === Map(101L -> 2L, 102L -> -1L))
+    // append is O(batch): exactly the batch's band rows land
+    val before = D.read(spark, idx).count()
+    DedupIndex.append(spark, batch, "doc_id", "text", idx)
+    assert(D.read(spark, idx).count() === before + 2 * 8)
+    // freshness: a doc duplicating batch member 102 now resolves to it
+    val batch2 = Seq(doc(201L, (1 to 40).map(i => s"q$i")))
+      .toDF("doc_id", "text")
+    val corpusNow = corpus.unionByName(batch)
+    val v2 = DedupIndex.probe(spark, batch2, corpusNow, "doc_id", "text",
+        idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v2 === Map(201L -> 102L))
+    // the index table is a real DeltaLite table: the build commit and
+    // the append commit are both in history (time-travelable)
+    assert(D.latestVersion(idx).get === 1L)
+  }
 }
