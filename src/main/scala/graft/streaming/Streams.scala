@@ -168,6 +168,55 @@ object Streams {
       }
       .start()
 
+  /** Streaming CRAWL-DEDUP GATE: each micro-batch of documents is
+    * judged against EVERYTHING ingested before it through the
+    * persisted [[graft.operators.DedupIndex]], then becomes part of
+    * the standing corpus — the ingest loop of a continuously-fed
+    * training-data lake:
+    *  1. probe: batch bands ⋈ standing index (equality join,
+    *     candidate-only exact-Jaccard verify against the corpus
+    *     table);
+    *  2. verdicts (id, near_dup_of, batch id) append to a DeltaLite
+    *     audit table — downstream mixes filter on it;
+    *  3. the batch's text appends to the corpus table and its bands to
+    *     the index: O(batch) growth, no rebuild, the NEXT batch sees
+    *     this one.
+    * The first batch bootstraps all three tables. In-batch duplicates
+    * are intentionally NOT flagged here (the batch-level l1/l2 exact
+    * pass handles those); the gate's contract is batch-vs-history. At
+    * 100 TB every step is a keyed join or an O(batch) append — nothing
+    * rescans the corpus. */
+  def dedupGate(docs: DataFrame, id: String, text: String,
+      corpusPath: String, indexPath: String, verdictsPath: String,
+      checkpoint: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val D = graft.sources.DeltaLite
+        val b = batch.select(col(id), col(text)).dropDuplicates(id)
+        if (D.latestVersion(indexPath).isEmpty) {
+          // bootstrap: the first batch IS the corpus — everything new
+          D.create(s, corpusPath, b)
+          graft.operators.DedupIndex.build(s, b, id, text, indexPath)
+          D.create(s, verdictsPath, b.select(col(id),
+            lit(null).cast("long").as("near_dup_of"),
+            lit(batchId).as("batch_id")))
+        } else {
+          val corpus = D.read(s, corpusPath)
+          val verdicts = graft.operators.DedupIndex.probe(
+              s, b, corpus, id, text, indexPath, threshold)
+            .withColumn("batch_id", lit(batchId))
+          D.append(s, verdictsPath, verdicts)
+          graft.operators.DedupIndex.append(s, b, id, text, indexPath)
+          D.append(s, corpusPath, b)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming source over an APPEND-ONLY DeltaLite table: Spark's file
     * stream source watches the table's data-file glob, so each
     * committed append batch becomes a micro-batch downstream — the

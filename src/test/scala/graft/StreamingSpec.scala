@@ -786,4 +786,44 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(out.head.dur_sec === 600L)
     } finally q.stop()
   }
+
+  test("streaming dedup gate: every batch is judged against all prior batches; index grows O(batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("stream_dedup_gate")
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val verdicts = s"$base/verdicts"; val ckpt = s"$base/ckpt"
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val common = (1 to 40).map(i => s"w$i")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.dedupGate(docs, "doc_id", "text",
+      corpus, idx, verdicts, ckpt)
+    try {
+      // batch 0 bootstraps: two distinct docs, both "new"
+      input.addData(doc(1L, common), doc(2L, (1 to 40).map(i => s"b$i")))
+      q.processAllAvailable()
+      // batch 1: 11 near-dups batch-0's doc 1; 12 is fresh
+      input.addData(doc(11L, common.dropRight(1) :+ "zzz"),
+        doc(12L, (1 to 40).map(i => s"f$i")))
+      q.processAllAvailable()
+      // batch 2: 21 duplicates 12 — proof the PREVIOUS batch already
+      // serves as history (the index grew without a rebuild)
+      input.addData(doc(21L, (1 to 40).map(i => s"f$i")))
+      q.processAllAvailable()
+      val v = D.read(spark, verdicts).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(v === Map(1L -> -1L, 2L -> -1L,
+        11L -> 1L, 12L -> -1L, 21L -> 12L))
+      // corpus holds every ingested doc; index holds 8 bands per doc
+      assert(D.read(spark, corpus).count() === 5L)
+      assert(D.read(spark, idx).count() === 5L * 8)
+      // growth is append-only: no index rewrite ever happened
+      val ops = D.history(spark, idx).select("operation")
+        .collect().map(_.getString(0)).toSet
+      assert(!ops.exists(o => o.contains("OPTIMIZE") || o.contains("REPLACE")),
+        s"index maintenance must be pure appends, got $ops")
+    } finally q.stop()
+  }
 }
