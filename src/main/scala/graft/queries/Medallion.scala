@@ -552,6 +552,8 @@ object Medallion {
             ("deprecation_date" -> m.deprecationDate) ~
             ("group" -> m.group) ~
             ("access" -> m.access) ~
+            ("tags" -> m.tags.toList) ~
+            ("compiled_code" -> m.code) ~
             ("depends_on" -> ("nodes" -> m.deps.map(dep))))
         }.toMap) ~
         ("child_map" -> order.map(m =>

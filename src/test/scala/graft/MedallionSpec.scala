@@ -1689,6 +1689,12 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         (x \\ "status").asInstanceOf[JString].s)).toMap
       case other => fail(s"bad results: $other")
     }
+    // manifest nodes carry tags + compiled code (dbt's fields)
+    val mf = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/manifest.json")), "UTF-8"))
+    val goldNode = (mf \\ "nodes") \\ "model.graft.gold"
+    assert((goldNode \\ "tags") === JArray(List(JString("hot"))))
+    assert((goldNode \\ "compiled_code") === JString(""))
     assert(st("model.graft.bronze") === "deferred")
     assert(st("model.graft.silver_b") === "deferred")
     assert(st("model.graft.silver_a") === "success")
