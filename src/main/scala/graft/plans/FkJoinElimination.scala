@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -26,9 +26,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  1. every non-null FK value has EXACTLY ONE partner: key containment
   *     (FK ⊆ PK) and PK uniqueness — both VERIFIED against the data at
   *     [[register]] time (one anti-join + one duplicate probe), then
-  *     guarded by version stamps: any commit to EITHER table disarms
-  *     the rewrite until re-registration (the MvRewrite freshness
-  *     discipline — trust is re-earned, never assumed);
+  *     PINNED to that exact snapshot: each matched scan's file set must
+  *     EQUAL the registered-version snapshot's live files (so a
+  *     time-travel read of an older version — whose rows the
+  *     verification never saw — structurally declines), and any commit
+  *     to EITHER table disarms until re-registration (the MvRewrite
+  *     freshness discipline — trust is re-earned, never assumed);
   *  2. the dimension side is a BARE scan of the registered parent table
   *     (attribute-only Projects allowed, filters NOT — a filtered
   *     dimension can drop keys and must keep joining);
@@ -50,9 +53,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * SQL emits most (`fact LEFT JOIN dim` templates projecting only fact
   * measures).
   *
-  * Registered per (child table, fk column) via [[register]]; injected
-  * through [[graft.GraftExtensions]]; disabled per session with
-  * `spark.graft.fk.joinElim=false`.
+  * Two consumer shapes are matched: `Project(Join)` (what Catalyst's
+  * column pruning leaves when the dimension has unreferenced columns)
+  * and `Aggregate(Join)` — the auto-generated BI shape
+  * (`SELECT sum(m) FROM fact JOIN dim ON fk=pk GROUP BY fk`). The
+  * Aggregate sits DIRECTLY on the Join whenever it references every
+  * join output column (a key-only dimension), so pruning never
+  * interposes the Project the first shape relies on.
+  *
+  * Registered per (session, child table, fk column) via [[register]] —
+  * the registry is SESSION-SCOPED (a `newSession()` or any other
+  * session in the JVM sees no FKs it did not register, so the
+  * per-session `spark.graft.fk.joinElim=false` kill switch governs
+  * exactly the sessions the registration does), with weak session keys
+  * so discarded sessions' registrations die with them. Injected through
+  * [[graft.GraftExtensions]].
   */
 object FkJoinElimination extends Rule[LogicalPlan] {
 
@@ -61,16 +76,35 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     * @param fkCol      fact column holding the foreign key
     * @param parentPath dimension table dir
     * @param parentKey  dimension primary-key column
+    * @param name       constraint name (DDL-declared or synthesized)
     * @param childVersion / parentVersion versions the verification ran
-    *   against — the freshness guard */
+    *   against — the freshness guard
+    * @param childFiles / parentFiles the live data-file sets of those
+    *   versions — the scan-identity pin: a matched scan must read
+    *   EXACTLY these files, so a time-travel read of any other version
+    *   (or a different table that happens to nest under the registered
+    *   path) can never borrow the verification */
   final case class FkDef(childPath: String, fkCol: String,
-      parentPath: String, parentKey: String,
-      childVersion: Long = -1L, parentVersion: Long = -1L)
+      parentPath: String, parentKey: String, name: String,
+      childVersion: Long, parentVersion: Long,
+      childFiles: Set[String], parentFiles: Set[String])
 
-  private val registry = new ConcurrentHashMap[String, FkDef]()
+  /** session → (normalized child path, fk col) → FkDef. Weak session
+    * keys: a discarded session's registrations die with it. */
+  private val registry: java.util.Map[SparkSession, ConcurrentHashMap[(String, String), FkDef]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[(String, String), FkDef]]())
 
   private def norm(p: String): String =
     java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** Absolute paths of a version's live data files — the snapshot
+    * identity the rewrite pins scans against. */
+  private def liveFiles(path: String, version: Long): Set[String] = {
+    val snap = graft.sources.DeltaLite.snapshot(path, Some(version))
+    val r = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    snap.files.map(f => norm(r.resolve(f.path).toString)).toSet
+  }
 
   /** Verify the relationship AGAINST THE DATA, then arm the rewrite:
     *  - PK uniqueness: no parent key value occurs twice;
@@ -79,7 +113,8 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     * Both checks are column-pruned scans (two columns total read at any
     * table width). Throws on violation — an unverified FK never arms. */
   def register(spark: SparkSession, childPath: String, fkCol: String,
-      parentPath: String, parentKey: String): Unit = {
+      parentPath: String, parentKey: String,
+      name: String = ""): Unit = {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
     val cv = D.latestVersion(childPath).getOrElse(throw
@@ -98,34 +133,97 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     require(orphans == 0L,
       s"FK registration rejected: $childPath.$fkCol has values absent " +
         s"from $parentPath.$parentKey")
-    registry.put(norm(childPath) + "\u0000" + fkCol,
-      FkDef(childPath, fkCol, parentPath, parentKey, cv, pv))
+    val cname = if (name.nonEmpty) name else s"fk_${fkCol}"
+    sessionDefs(spark).put((norm(childPath), fkCol),
+      FkDef(childPath, fkCol, parentPath, parentKey, cname, cv, pv,
+        liveFiles(childPath, cv), liveFiles(parentPath, pv)))
   }
 
-  def deregister(childPath: String, fkCol: String): Unit =
-    registry.remove(norm(childPath) + "\u0000" + fkCol)
+  private def sessionDefs(
+      spark: SparkSession): ConcurrentHashMap[(String, String), FkDef] =
+    registry.computeIfAbsent(spark,
+      _ => new ConcurrentHashMap[(String, String), FkDef]())
+
+  def deregister(spark: SparkSession, childPath: String,
+      fkCol: String): Unit =
+    sessionDefs(spark).remove((norm(childPath), fkCol))
+
+  /** DROP by the name the constraint was DECLARED under — a drop naming
+    * an unknown constraint is an error, never a silent no-op. */
+  def deregisterByName(spark: SparkSession, childPath: String,
+      name: String): Unit = {
+    val defs = sessionDefs(spark)
+    val child = norm(childPath)
+    val key = defs.entrySet().asScalaSeq
+      .find(e => e.getKey._1 == child && e.getValue.name == name)
+      .map(_.getKey)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no FOREIGN KEY constraint named '$name' on $childPath"))
+    defs.remove(key)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty ||
+    val sess = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    if (sess.isEmpty) return plan
+    val defs = registry.get(sess.get)
+    if (defs == null || defs.isEmpty ||
       !conf.getConfString("spark.graft.fk.joinElim", "true").toBoolean)
       return plan
+    val fks = defs.values.asScalaSeq
     plan.transformUp {
-      case p @ Project(projList,
-          Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)) =>
-        // for LeftOuter only the LEFT side can be the fact; Inner is
-        // symmetric
-        eliminate(projList, left, right, cond, jt)
-          .orElse(if (jt == Inner)
-            eliminate(projList, right, left, cond, jt) else None)
-          .getOrElse(p)
+      case p @ Project(projList, j: Join) =>
+        tryJoin(fks, j, projList).map { case (newChild, key, fk) =>
+          Project(projList.map(rewriteNamed(key, fk)), newChild)
+        }.getOrElse(p)
+      case a @ Aggregate(groupExprs, aggExprs, j: Join, _) =>
+        tryJoin(fks, j, groupExprs ++ aggExprs).map {
+          case (newChild, key, fk) =>
+            a.copy(
+              groupingExpressions = groupExprs.map(rewriteExpr(key, fk)),
+              aggregateExpressions = aggExprs.map(rewriteNamed(key, fk)),
+              child = newChild)
+        }.getOrElse(a)
     }
   }
 
+  /** Both fact/dimension role assignments against `consumed` — the
+    * expressions the single consumer above the join evaluates. */
+  private def tryJoin(fks: Seq[FkDef], j: Join,
+      consumed: Seq[Expression]): Option[(LogicalPlan, Attribute, Attribute)] =
+    j match {
+      case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _) =>
+        // for LeftOuter only the LEFT side can be the fact; Inner is
+        // symmetric
+        eliminate(fks, consumed, left, right, cond, jt)
+          .orElse(if (jt == Inner)
+            eliminate(fks, consumed, right, left, cond, jt) else None)
+      case _ => None
+    }
+
+  /** PK references rewrite to the FK, keeping the PK's name and exprId
+    * so everything above keeps resolving. */
+  private def rewriteNamed(key: Attribute, fk: Attribute)(
+      ne: NamedExpression): NamedExpression = ne match {
+    case a: AttributeReference if a.exprId == key.exprId =>
+      Alias(fk, a.name)(exprId = a.exprId)
+    case other => other.transform {
+      case a: AttributeReference if a.exprId == key.exprId => fk
+    }.asInstanceOf[NamedExpression]
+  }
+
+  private def rewriteExpr(key: Attribute, fk: Attribute)(
+      e: Expression): Expression = e.transform {
+    case a: AttributeReference if a.exprId == key.exprId => fk
+  }
+
   /** Attempt elimination with `childSide` as the fact and `parentSide`
-    * as the dimension. */
-  private def eliminate(projList: Seq[NamedExpression],
+    * as the dimension. Returns the replacement child plan plus the
+    * (pk attr, fk attr) rewrite pair. */
+  private def eliminate(fks: Seq[FkDef], consumed: Seq[Expression],
       childSide: LogicalPlan, parentSide: LogicalPlan,
-      cond: Expression, joinType: JoinType): Option[LogicalPlan] = {
+      cond: Expression, joinType: JoinType):
+      Option[(LogicalPlan, Attribute, Attribute)] = {
     for {
       // single-equality condition between one attr of each side
       (fkAttr, keyAttr) <- (cond match {
@@ -148,16 +246,29 @@ object FkJoinElimination extends Rule[LogicalPlan] {
           u.output.exists(_.exprId == fkAttr.exprId)
         case _ => false
       })
-      fk <- registry.values.asScalaSeq.find { d =>
-        d.fkCol == fkAttr.name && scanOf(childSide, d.childPath)
-          .exists(_.output.exists(_.exprId == fkAttr.exprId))
+      // scan identity = the registered version's EXACT live-file set
+      // (never a path prefix: a time-travel read of another version, or
+      // a different table nested under the registered dir, reads a
+      // different file set and structurally declines)
+      fk <- fks.find { d =>
+        d.fkCol == fkAttr.name && childSide.exists {
+          case lr: LogicalRelation =>
+            lr.output.exists(_.exprId == fkAttr.exprId) &&
+              scanFiles(lr).contains(d.childFiles)
+          case _ => false
+        }
       }
       // the dimension side must be a BARE scan of the registered parent
-      // producing the key attr (no filters — they could drop keys)
-      _ <- bareScan(parentSide, fk.parentPath)
-        .filter(_.output.exists(o =>
-          o.exprId == keyAttr.exprId && o.name == fk.parentKey))
-      // freshness guard: any commit to either table disarms
+      // AT the registered version, producing the key attr (no filters —
+      // they could drop keys)
+      _ <- bareScan(parentSide)
+        .filter(lr => scanFiles(lr).contains(fk.parentFiles) &&
+          lr.output.exists(o =>
+            o.exprId == keyAttr.exprId && o.name == fk.parentKey))
+      // freshness guard: any commit to either table disarms (belt over
+      // the file-set pin's suspenders — also covers commits that leave
+      // data files untouched, keeping the documented "any commit
+      // disarms until re-registration" contract exact)
       _ <- Some(()).filter(_ => graft.sources.DeltaLite
         .latestVersion(fk.childPath).contains(fk.childVersion) &&
         graft.sources.DeltaLite
@@ -169,76 +280,42 @@ object FkJoinElimination extends Rule[LogicalPlan] {
       // reference and eliminate a join the projection still needs
       _ <- Some(()).filter { _ =>
         val parentIds = parentSide.outputSet.map(_.exprId).toSet
-        projList.flatMap(_.references)
+        consumed.flatMap(_.references)
           .filter(a => parentIds.contains(a.exprId))
           .forall(_.exprId == keyAttr.exprId)
       }
     } yield {
-      // PK references rewrite to the FK, keeping the PK's name and
-      // exprId so everything above keeps resolving
-      val newProj = projList.map {
-        case a: AttributeReference if a.exprId == keyAttr.exprId =>
-          Alias(fkAttr, a.name)(exprId = a.exprId)
-        case ne => ne.transform {
-          case a: AttributeReference if a.exprId == keyAttr.exprId => fkAttr
-        }.asInstanceOf[NamedExpression]
-      }
       // inner-join semantics: null-FK facts never matched — keep them
       // out; a LEFT join keeps every fact row, so no filter at all
-      if (joinType == Inner)
-        Project(newProj, Filter(IsNotNull(fkAttr), childSide))
-      else Project(newProj, childSide)
+      val newChild: LogicalPlan =
+        if (joinType == Inner) Filter(IsNotNull(fkAttr), childSide)
+        else childSide
+      (newChild, keyAttr, fkAttr)
     }
   }
 
-  /** The subtree's scan of `tablePath`, if any (walked through any
-    * operators — the FK attr's exprId match is what proves provenance). */
-  private def scanOf(plan: LogicalPlan,
-      tablePath: String): Option[LogicalRelation] =
-    plan.collectFirst {
-      case lr: LogicalRelation if rootsUnder(lr, tablePath) => lr
-    }
-
-  /** `plan` as a bare scan of `tablePath`: a LogicalRelation, optionally
-    * under attribute-only Projects. Filters disqualify. */
-  private def bareScan(plan: LogicalPlan,
-      tablePath: String): Option[LogicalRelation] = plan match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      bareScan(child, tablePath)
-    case lr: LogicalRelation if rootsUnder(lr, tablePath) => Some(lr)
-    case _ => None
-  }
-
-  /** True when the scan reads files belonging to the DeltaLite table at
-    * `tablePath` — resolved by walking each file root UP to the nearest
-    * ancestor directory carrying a `_graft_log` and requiring THAT to
-    * be the registered path. A plain prefix test would also match any
-    * other table physically nested under the registered one (e.g. an
-    * export written below a target dir), silently borrowing the
-    * parent's verification. */
-  private def rootsUnder(lr: LogicalRelation, tablePath: String): Boolean =
+  /** The exact file set a file-source scan reads, normalized — the
+    * identity compared against a registered snapshot's live files.
+    * Metadata only (the paths are already in the relation); NO
+    * filesystem access on the planning path. */
+  private def scanFiles(lr: LogicalRelation): Option[Set[String]] =
     lr.relation match {
       case hfs: HadoopFsRelation =>
-        val table = norm(tablePath)
-        val roots = hfs.location.rootPaths.map(_.toUri.getPath)
-        roots.nonEmpty && roots.forall { r =>
-          val rn = norm(r)
-          (rn == table || rn.startsWith(table + "/")) &&
-            nearestTableRoot(rn).contains(table)
-        }
-      case _ => false
+        val roots = hfs.location.rootPaths.map(p => norm(p.toUri.getPath))
+        if (roots.nonEmpty) Some(roots.toSet) else None
+      case _ => None
     }
 
-  /** The closest ancestor (inclusive) holding a `_graft_log` dir. */
-  private def nearestTableRoot(path: String): Option[String] = {
-    var p = java.nio.file.Paths.get(path)
-    while (p != null) {
-      if (java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
-        return Some(p.toString)
-      p = p.getParent
+  /** `plan` as a bare scan: a LogicalRelation, optionally under
+    * attribute-only Projects. Filters disqualify. */
+  private def bareScan(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        bareScan(child)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
     }
-    None
-  }
 
   private implicit class JCol[T](val c: java.util.Collection[T]) {
     def asScalaSeq: Seq[T] =

@@ -262,15 +262,17 @@ object MaintenanceSql {
     * the relationship against the data (PK uniqueness + containment)
     * and ARMS [[graft.plans.FkJoinElimination]]; registration refuses
     * on violation, and any later commit to either table disarms the
-    * rewrite until re-run. DROP with the same name (child+fk keyed)
-    * disarms explicitly. */
-  final case class AddForeignKeyCommand(childPath: String, fkCol: String,
-      parentPath: String, parentKey: String) extends LeafRunnableCommand {
+    * rewrite until re-run. `DROP FOREIGN KEY (fk)` disarms by column;
+    * `DROP FOREIGN KEY name` disarms by the DECLARED constraint name
+    * and errors on an unknown name (never a silent no-op). */
+  final case class AddForeignKeyCommand(childPath: String, name: String,
+      fkCol: String, parentPath: String, parentKey: String)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("armed", BooleanType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       graft.plans.FkJoinElimination.register(
-        spark, childPath, fkCol, parentPath, parentKey)
+        spark, childPath, fkCol, parentPath, parentKey, name)
       Seq(Row(true))
     }
   }
@@ -280,7 +282,17 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("armed", BooleanType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.plans.FkJoinElimination.deregister(childPath, fkCol)
+      graft.plans.FkJoinElimination.deregister(spark, childPath, fkCol)
+      Seq(Row(false))
+    }
+  }
+
+  final case class DropForeignKeyByNameCommand(childPath: String,
+      name: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("armed", BooleanType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.plans.FkJoinElimination.deregisterByName(spark, childPath, name)
       Seq(Row(false))
     }
   }
@@ -459,12 +471,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val AddFkRe =
-    ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*""" +
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s+FOREIGN\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+REFERENCES\s+""" +
       """'([^']+)'\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+RELY\s*;?\s*""").r
   private val DropFkRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+FOREIGN\s+KEY\s*\(\s*""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*""").r
+  private val DropFkByNameRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+FOREIGN\s+KEY\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val DropConstraintRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
@@ -536,9 +551,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WidenTypeRe(p, c, t) => WidenColumnTypeCommand(p, c, t.trim)
     case DropDefaultRe(p, c) => DropColumnDefaultCommand(p, c)
     case DropColRe(p, c) => DropColumnCommand(p, c)
-    case AddFkRe(child, fk, parent, key) =>
-      AddForeignKeyCommand(child, fk, parent, key)
+    case AddFkRe(child, name, fk, parent, key) =>
+      AddForeignKeyCommand(child, name, fk, parent, key)
     case DropFkRe(child, fk) => DropForeignKeyCommand(child, fk)
+    case DropFkByNameRe(child, name) =>
+      DropForeignKeyByNameCommand(child, name)
     case AddConstraintRe(p, n, check) => AddConstraintCommand(p, n, check.trim)
     case DropConstraintRe(p, n) => DropConstraintCommand(p, n)
     case SetPropsRe(p, pairs) =>

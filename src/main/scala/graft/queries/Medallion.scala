@@ -3582,6 +3582,44 @@ ORDER BY bucket ASC NULLS LAST"""),
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S54
+    // FK join elimination through Aggregate-DIRECTLY-above-Join — the
+    // auto-generated BI shape (`SELECT dim.pk, aggs FROM fact JOIN dim
+    // GROUP BY dim.pk`). When the aggregate references EVERY join output
+    // column (here: a key-only dimension, count over the fk itself),
+    // Catalyst's column pruning never interposes the Project that s53's
+    // shape rides, so the rule matches Aggregate(Join) itself. The
+    // grouped PK rewrites to the FK (same name + exprId); the oracle
+    // runs the REAL join, proving the rewrite invisible. PlanSpec pins
+    // the join-free single-scan plan and the decline path (grouping on
+    // a non-key dimension attribute keeps the join).
+    QueryDef("s54_fk_elim_agg", (s, dir) => {
+      val base = tmp("s54_fk")
+      val D = graft.sources.DeltaLite
+      val ordersPath = s"$base/orders"
+      val custPath = s"$base/customer"
+      D.create(s, custPath, t(s, dir, "customer").select(col("c_custkey")))
+      D.create(s, ordersPath, t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")))
+      graft.plans.FkJoinElimination.register(s, ordersPath, "o_custkey",
+        custPath, "c_custkey")
+      val o = D.read(s, ordersPath)
+      val c = D.read(s, custPath)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_custkey")).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .orderBy(col("c_custkey").asc_nulls_last)
+        .limit(500)
+    }, Some(
+      """SELECT c_custkey,
+                CAST(count(o_custkey) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1 ASC NULLS LAST LIMIT 500""")),
+
     // ------------------------------------------------------------------ D16
     // CUMULATIVE metric (MetricFlow `type: cumulative` + grain_to_date):
     // YTD revenue at month grain — the base metric's single-pass

@@ -731,7 +731,7 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       graft.plans.FkJoinElimination.register(spark, ords, "o_custkey",
         cust, "c_custkey")
     }
-    graft.plans.FkJoinElimination.deregister(ords, "o_custkey")
+    graft.plans.FkJoinElimination.deregister(spark, ords, "o_custkey")
   }
 
   test("FK elimination, LEFT OUTER: join drops with no filter; null FKs keep the left-join contract") {
@@ -772,7 +772,7 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       .select(d("k"), f("fk"))
     assert(q2.queryExecution.executedPlan.toString.contains("Join"),
       "dim LEFT JOIN fact must keep its join")
-    graft.plans.FkJoinElimination.deregister(fact, "fk")
+    graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
   }
 
   test("FK DDL: ADD CONSTRAINT ... FOREIGN KEY ... RELY arms the rewrite; DROP disarms; violations refuse") {
@@ -846,7 +846,113 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(q3.queryExecution.executedPlan.toString.contains("Join"),
       "a nested table is NOT the verified parent — join must survive")
     assert(q3.count() === 0L, "no fact fk matches the nested table's keys")
-    graft.plans.FkJoinElimination.deregister(fact, "fk")
+    graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
+  }
+
+  test("FK elimination declines TIME-TRAVEL scans: only the registered-version file set eliminates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_asof")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))   // dim v0
+    D.create(spark, fact, Seq((10L, 1L), (11L, 2L)).toDF("id", "fk"))  // fact v0
+    // fact v1 only has fks {1,2}; fact v0 is a DIFFERENT row set
+    D.append(spark, fact, Seq((12L, 1L)).toDF("id", "fk"))             // fact v1
+    D.append(spark, dim, Seq((3L, "c")).toDF("k", "name"))             // dim v1
+    // registration binds to (fact v1, dim v1) and their live file sets
+    graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
+    def q(f: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) =
+      f.join(d, f("fk") === d("k")).select(f("id"), d("k"))
+    // latest reads: eliminated
+    assert(!q(D.read(spark, fact), D.read(spark, dim))
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "latest-version scans must eliminate")
+    // a CHILD time-travel scan reads rows the verification never saw
+    // (here fewer — but an older version could equally hold orphans):
+    // the file set differs from the registered snapshot, must decline
+    assert(q(D.read(spark, fact, Some(0L)), D.read(spark, dim))
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "child asOf scan must keep the join")
+    // a PARENT time-travel scan can be missing keys (dim v0 lacks k=3):
+    // containment against the OLD dimension is unverified, must decline
+    assert(q(D.read(spark, fact), D.read(spark, dim, Some(0L)))
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "parent asOf scan must keep the join")
+    // an EXPLICIT asOf at exactly the registered version reads the same
+    // files — same data, elimination stays sound and fires
+    assert(!q(D.read(spark, fact, Some(1L)), D.read(spark, dim, Some(1L)))
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "asOf at the registered version is the same snapshot — eliminates")
+    graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
+  }
+
+  test("FK registry is SESSION-scoped; DROP FOREIGN KEY by name rejects unknown names") {
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_scope")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    D.create(spark, fact, Seq((10L, 1L), (11L, 2L)).toDF("id", "fk"))
+    spark.sql(s"ALTER '$fact' ADD CONSTRAINT orders_cust_fk FOREIGN KEY (fk) " +
+      s"REFERENCES '$dim' (k) RELY").collect()
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val f = D.read(s, fact); val d = D.read(s, dim)
+      f.join(d, f("fk") === d("k")).select(f("id"), d("k"))
+    }
+    assert(!q(spark).queryExecution.executedPlan.toString.contains("Join"),
+      "registering session: eliminated")
+    // ANOTHER session in the same JVM never registered this FK — its
+    // plans must keep the join (the registry is not process-global)
+    val other = spark.newSession()
+    assert(q(other).queryExecution.executedPlan.toString.contains("Join"),
+      "a foreign session must not inherit the FK registration")
+    // DROP by a WRONG constraint name is an error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER '$fact' DROP FOREIGN KEY wrong_name").collect()
+    }
+    assert(!q(spark).queryExecution.executedPlan.toString.contains("Join"),
+      "failed drop must leave the FK armed")
+    // DROP by the DECLARED name disarms
+    spark.sql(s"ALTER '$fact' DROP FOREIGN KEY orders_cust_fk").collect()
+    assert(q(spark).queryExecution.executedPlan.toString.contains("Join"),
+      "named drop must disarm")
+  }
+
+  test("s54_fk_elim_agg: Aggregate directly above the join eliminates; grouping on a dim attr declines") {
+    val p = plan("s54_fk_elim_agg")
+    assert(!p.contains("Join"),
+      s"the PK-FK join under the aggregate must be eliminated:\n$p")
+    assert(count(p, "Scan parquet") === 1,
+      s"elimination must leave exactly the fact scan:\n$p")
+    // decline: grouping on a NON-KEY dimension attribute keeps the join
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_agg_decline")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim, Seq((1L, "x"), (2L, "y")).toDF("k", "grp"))
+    D.create(spark, fact, Seq((10L, 1L, 5L), (11L, 2L, 7L))
+      .toDF("id", "fk", "m"))
+    graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
+    val f = D.read(spark, fact); val d = D.read(spark, dim)
+    // grouping on the PK eliminates even with all columns referenced
+    // (the direct Aggregate(Join) shape — no pruning Project in between)
+    val ok = f.join(d, f("fk") === d("k"))
+      .groupBy(d("k")).agg(
+        org.apache.spark.sql.functions.count(f("fk")).as("n"),
+        sum(f("m")).as("s"), max(f("id")).as("mid"))
+    assert(!ok.queryExecution.executedPlan.toString.contains("Join"),
+      "aggregate-above-join on the PK must eliminate")
+    // grouping on dim.grp consumes a non-key dim column — must decline
+    val bad = f.join(d, f("fk") === d("k"))
+      .groupBy(d("grp")).agg(sum(f("m")).as("s"))
+    assert(bad.queryExecution.executedPlan.toString.contains("Join"),
+      "grouping on a dimension attribute must keep the join")
+    assert(bad.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("x", 5L), ("y", 7L)))
+    graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
   }
 
   test("p13_stratified_sample: the literal budget cut is a WindowGroupLimit, never a full stratum sort") {
