@@ -39,22 +39,37 @@ object DedupIndex {
       partitionBy = Seq("band_idx"))
   }
 
-  /** Append a batch's bands — O(batch), no rebuild. */
+  /** Append a batch's bands — O(batch), no rebuild. With `app` set the
+    * write is an idempotent [[graft.sources.DeltaLite.appendOnce]]
+    * keyed on (app, txnVersion), so a streaming gate replaying a batch
+    * after a partial failure never double-appends bands. */
   def append(spark: SparkSession, batch: DataFrame, id: String,
       text: String, indexPath: String, numHashes: Int = 32,
-      bands: Int = 8): Long = {
+      bands: Int = 8, app: String = null,
+      txnVersion: Long = -1L): Long = {
     val banded = graft.functions.Dedup
       .bandedSignatures(batch, id, text, numHashes, bands)
       .withColumnRenamed(id, "doc_id")
-    graft.sources.DeltaLite.append(spark, indexPath, banded)
+    if (app == null)
+      graft.sources.DeltaLite.append(spark, indexPath, banded)
+    else
+      graft.sources.DeltaLite.appendOnce(spark, indexPath, banded,
+        app, txnVersion)
   }
 
-  /** Probe the index with a batch: per batch doc, the smallest indexed
-    * doc id whose EXACT Jaccard clears `threshold` (NULL = new).
-    * `corpusText` supplies candidate docs' text for the verify step —
-    * only rows matching a candidate id are read (semi-join semantics);
-    * at scale that is a keyed lookup, not a corpus scan. Returns
-    * (id, near_dup_of). */
+  /** Probe the index with a batch: per batch doc, the smallest doc id —
+    * indexed OR earlier in the SAME batch — whose EXACT Jaccard clears
+    * `threshold` (NULL = new). The in-batch pass is the crawl-gate
+    * closure: two fresh documents that duplicate each other but nothing
+    * in the corpus resolve keep-min-id (the smaller id survives as
+    * "new", the larger points at it), so admitting the batch never
+    * ingests both copies. Candidates stay equality-join generated on
+    * both paths (batch bands ⋈ index bands, batch bands ⋈ batch bands —
+    * never all-pairs); `corpusText` supplies indexed candidates' text
+    * for the verify step — only rows matching a candidate id are read
+    * (semi-join semantics), in-batch partners verify against the
+    * batch's own text; at scale both are keyed lookups, not corpus
+    * scans. Returns (id, near_dup_of). */
   def probe(spark: SparkSession, batch: DataFrame, corpusText: DataFrame,
       id: String, text: String, indexPath: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
@@ -63,23 +78,40 @@ object DedupIndex {
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
-    val cand = probeBands.join(index,
+    val idxCand = probeBands.join(index,
         col("band_idx") === col("__ebi") &&
           col("band_hash") === col("__ebh") &&
           col(id) =!= col("__eid"))
-      .select(col(id), col("__eid").as("eid")).distinct()
-    // verify with exact Jaccard over shingles of the candidates only
+      .select(col(id), col("__eid").as("eid"))
+    // in-batch candidates: band-equality self-join, strictly-smaller
+    // partner ids only (keep-min-id; each unordered pair appears once)
+    val selfCand = probeBands.join(
+        probeBands.select(col(id).as("__sid"),
+          col("band_idx").as("__sbi"), col("band_hash").as("__sbh")),
+        col("band_idx") === col("__sbi") &&
+          col("band_hash") === col("__sbh") &&
+          col("__sid") < col(id))
+      .select(col(id), col("__sid").as("eid"))
+    val cand = idxCand.union(selfCand).distinct()
+    // verify with exact Jaccard over shingles of the candidates only:
+    // indexed partners' text from the corpus, in-batch partners' text
+    // from the batch itself (shingleSets rows are distinct, so the
+    // union-distinct stays a true set even if an id existed in both)
+    val candIds = cand.select(col("eid")).distinct()
     val candCorpus = corpusText
-      .join(cand.select(col("eid")).distinct(),
-        corpusText(id) === col("eid"), "left_semi")
+      .join(candIds, corpusText(id) === col("eid"), "left_semi")
     val exSets = graft.functions.TextFunctions
       .shingleSets(candCorpus, id, text)
       .select(col(id).as("eid"), col("shingle"))
     val inSets = graft.functions.TextFunctions.shingleSets(batch, id, text)
+    val selfSets = inSets
+      .join(candIds, inSets(id) === col("eid"), "left_semi")
+      .select(col(id).as("eid"), col("shingle"))
+    val partnerSets = exSets.union(selfSets).distinct()
     val inter = inSets.join(cand, Seq(id))
-      .join(exSets, Seq("eid", "shingle"))
+      .join(partnerSets, Seq("eid", "shingle"))
       .groupBy(col(id), col("eid")).agg(count(lit(1)).as("__inter"))
-    val szE = exSets.groupBy(col("eid")).agg(count(lit(1)).as("__sze"))
+    val szE = partnerSets.groupBy(col("eid")).agg(count(lit(1)).as("__sze"))
     val szI = inSets.groupBy(col(id)).agg(count(lit(1)).as("__szi"))
     val hits = inter.join(szE, "eid").join(szI, id)
       .filter(col("__inter").cast("double") /

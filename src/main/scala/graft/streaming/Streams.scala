@@ -169,23 +169,26 @@ object Streams {
       .start()
 
   /** Streaming CRAWL-DEDUP GATE: each micro-batch of documents is
-    * judged against EVERYTHING ingested before it through the
-    * persisted [[graft.operators.DedupIndex]], then becomes part of
-    * the standing corpus — the ingest loop of a continuously-fed
-    * training-data lake:
-    *  1. probe: batch bands ⋈ standing index (equality join,
-    *     candidate-only exact-Jaccard verify against the corpus
-    *     table);
+    * judged against EVERYTHING ingested before it (and against the
+    * batch itself, keep-min-id) through the persisted
+    * [[graft.operators.DedupIndex]], then becomes part of the standing
+    * corpus — the ingest loop of a continuously-fed training-data lake:
+    *  1. probe: batch bands ⋈ standing index + batch bands ⋈ batch
+    *     bands (equality joins, candidate-only exact-Jaccard verify);
     *  2. verdicts (id, near_dup_of, batch id) append to a DeltaLite
     *     audit table — downstream mixes filter on it;
     *  3. the batch's text appends to the corpus table and its bands to
     *     the index: O(batch) growth, no rebuild, the NEXT batch sees
     *     this one.
-    * The first batch bootstraps all three tables. In-batch duplicates
-    * are intentionally NOT flagged here (the batch-level l1/l2 exact
-    * pass handles those); the gate's contract is batch-vs-history. At
-    * 100 TB every step is a keyed join or an O(batch) append — nothing
-    * rescans the corpus. */
+    * Every write is REPLAY-IDEMPOTENT: the three tables are created as
+    * data-free shells on first contact (safe to re-create-check any
+    * time), and each batch's appends ride
+    * [[graft.sources.DeltaLite.appendOnce]] keyed on this gate's app id
+    * + the batchId — a restart after a partial batch re-runs only the
+    * missing appends and never duplicates verdicts, bands, or corpus
+    * rows (the Delta streaming-sink txn discipline, applied to all
+    * three tables of the gate). At 100 TB every step is a keyed join
+    * or an O(batch) append — nothing rescans the corpus. */
   def dedupGate(docs: DataFrame, id: String, text: String,
       corpusPath: String, indexPath: String, verdictsPath: String,
       checkpoint: String, threshold: Double = 0.5)
@@ -194,28 +197,48 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val D = graft.sources.DeltaLite
-        val b = batch.select(col(id), col(text)).dropDuplicates(id)
-        if (D.latestVersion(indexPath).isEmpty) {
-          // bootstrap: the first batch IS the corpus — everything new
-          D.create(s, corpusPath, b)
-          graft.operators.DedupIndex.build(s, b, id, text, indexPath)
-          D.create(s, verdictsPath, b.select(col(id),
-            lit(null).cast("long").as("near_dup_of"),
-            lit(batchId).as("batch_id")))
-        } else {
-          val corpus = D.read(s, corpusPath)
-          val verdicts = graft.operators.DedupIndex.probe(
-              s, b, corpus, id, text, indexPath, threshold)
-            .withColumn("batch_id", lit(batchId))
-          D.append(s, verdictsPath, verdicts)
-          graft.operators.DedupIndex.append(s, b, id, text, indexPath)
-          D.append(s, corpusPath, b)
-        }
-        ()
+        gateBatch(batch, batchId, id, text, corpusPath, indexPath,
+          verdictsPath, threshold)
       }
       .start()
+
+  /** One gate micro-batch — package-visible so the replay contract is
+    * directly testable (call it twice with the same batchId: the second
+    * run must be a no-op on all three tables). */
+  private[graft] def gateBatch(batch: DataFrame, batchId: Long,
+      id: String, text: String, corpusPath: String, indexPath: String,
+      verdictsPath: String, threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val D = graft.sources.DeltaLite
+    val b = batch.select(col(id), col(text)).dropDuplicates(id)
+    // data-free shells: idempotent on any replay interleaving (a crash
+    // between creates just re-checks existence next time)
+    if (D.latestVersion(corpusPath).isEmpty)
+      D.create(s, corpusPath, b.limit(0))
+    if (D.latestVersion(indexPath).isEmpty)
+      graft.operators.DedupIndex.build(s, b.limit(0), id, text, indexPath)
+    if (D.latestVersion(verdictsPath).isEmpty)
+      // near_dup_of carries DOC IDS — typed as the id column, whatever
+      // that is (string crawl ids work as well as longs)
+      D.create(s, verdictsPath, b.limit(0).select(col(id),
+        lit(null).cast(b.schema(id).dataType).as("near_dup_of"),
+        lit(0L).as("batch_id")))
+    // probe BEFORE this batch's index/corpus appends (the in-batch pass
+    // covers batch-internal dups); on a replay after a partial batch
+    // the recomputed frame is discarded by the txn guard anyway
+    val corpus = D.read(s, corpusPath)
+    val verdicts = graft.operators.DedupIndex.probe(
+        s, b, corpus, id, text, indexPath, threshold)
+      .withColumn("batch_id", lit(batchId))
+    D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId)
+    graft.operators.DedupIndex.append(s, b, id, text, indexPath,
+      app = GateApp, txnVersion = batchId)
+    D.appendOnce(s, corpusPath, b, GateApp, batchId)
+    ()
+  }
+
+  /** The gate's `txn` app id on all three tables. */
+  private[graft] val GateApp = "graft-dedup-gate"
 
   /** Streaming source over an APPEND-ONLY DeltaLite table: Spark's file
     * stream source watches the table's data-file glob, so each

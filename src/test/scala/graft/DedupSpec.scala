@@ -467,4 +467,37 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     // the append commit are both in history (time-travelable)
     assert(D.latestVersion(idx).get === 1L)
   }
+
+  test("DedupIndex.probe flags BATCH-INTERNAL near-dups keep-min-id") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val corpus = Seq(doc(1L, (1 to 40).map(i => s"a$i")))
+      .toDF("doc_id", "text")
+    val idx = graft.TempDirs.fresh("dedup_idx_self")
+    DedupIndex.build(spark, corpus, "doc_id", "text", idx)
+    val common = (1 to 40).map(i => s"s$i")
+    // 55 and 66 duplicate EACH OTHER but nothing in the corpus: the
+    // smaller id survives as new, the larger resolves to it (keep-min);
+    // 77 is genuinely fresh
+    val batch = Seq(doc(55L, common),
+      doc(66L, common.dropRight(1) :+ "zzz"),
+      doc(77L, (1 to 40).map(i => s"t$i"))).toDF("doc_id", "text")
+    val v = DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
+        idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v === Map(55L -> -1L, 66L -> 55L, 77L -> -1L))
+    // an in-batch dup whose partner ALSO matches the corpus resolves to
+    // the overall minimum id (corpus doc 1 < batch partner)
+    val batch2 = Seq(doc(91L, (1 to 40).map(i => s"a$i")),
+      doc(92L, ((1 to 39).map(i => s"a$i")) :+ "zzz"))
+      .toDF("doc_id", "text")
+    val v2 = DedupIndex.probe(spark, batch2, corpus, "doc_id", "text",
+        idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v2 === Map(91L -> 1L, 92L -> 1L),
+      "corpus id 1 is the minimum partner for both batch docs")
+  }
 }

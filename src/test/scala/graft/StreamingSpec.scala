@@ -826,4 +826,79 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
         s"index maintenance must be pure appends, got $ops")
     } finally q.stop()
   }
+
+  test("dedup gate: STRING doc ids work end-to-end; batch-internal dups resolve keep-min-id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("stream_gate_str")
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val verdicts = s"$base/verdicts"; val ckpt = s"$base/ckpt"
+    val common = (1 to 40).map(i => s"w$i")
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.dedupGate(docs, "doc_id", "text",
+      corpus, idx, verdicts, ckpt)
+    try {
+      // batch 0: two fresh docs — with crawl-style STRING ids (this
+      // shape used to die on the bootstrap's hardcoded long cast)
+      input.addData(("docA", common.mkString(" ")),
+        ("docB", (1 to 40).map(i => s"b$i").mkString(" ")))
+      q.processAllAvailable()
+      // batch 1: x1/x2 duplicate EACH OTHER only (keep-min-id in-batch);
+      // z9 near-dups history docA
+      input.addData(
+        ("x1", (1 to 40).map(i => s"p$i").mkString(" ")),
+        ("x2", ((1 to 39).map(i => s"p$i") :+ "zzz").mkString(" ")),
+        ("z9", (common.dropRight(1) :+ "qqq").mkString(" ")))
+      q.processAllAvailable()
+      val v = D.read(spark, verdicts).collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) "-" else r.getString(1))).toMap
+      assert(v === Map("docA" -> "-", "docB" -> "-",
+        "x1" -> "-", "x2" -> "x1", "z9" -> "docA"))
+      // near_dup_of is typed as the id column (string), not long
+      assert(D.read(spark, verdicts).schema("near_dup_of").dataType ===
+        org.apache.spark.sql.types.StringType)
+    } finally q.stop()
+  }
+
+  test("dedup gate replay: re-running a batch — fully or after a partial failure — is a no-op") {
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("stream_gate_replay")
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val verdicts = s"$base/verdicts"
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val common = (1 to 40).map(i => s"w$i")
+    val b0 = Seq(doc(1L, common), doc(2L, (1 to 40).map(i => s"b$i")))
+      .toDF("doc_id", "text")
+    Streams.gateBatch(b0, 0L, "doc_id", "text", corpus, idx, verdicts, 0.5)
+    def counts() = (D.read(spark, corpus).count(),
+      D.read(spark, idx).count(), D.read(spark, verdicts).count())
+    val after0 = counts()
+    assert(after0 === ((2L, 16L, 2L)))
+    // FULL replay of batch 0 (restart before the checkpoint recorded
+    // it): every write is txn-guarded — nothing lands twice
+    Streams.gateBatch(b0, 0L, "doc_id", "text", corpus, idx, verdicts, 0.5)
+    assert(counts() === after0, "a replayed batch must change nothing")
+    // PARTIAL failure: batch 1's verdicts AND index appends landed, the
+    // corpus append did not (the advisor's crash point — the replay
+    // re-probes with the batch's own bands already indexed)
+    val b1 = Seq(doc(11L, common.dropRight(1) :+ "zzz"),
+      doc(12L, (1 to 40).map(i => s"f$i"))).toDF("doc_id", "text")
+    val v1 = graft.operators.DedupIndex.probe(
+        spark, b1, D.read(spark, corpus), "doc_id", "text", idx, 0.5)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+    D.appendOnce(spark, verdicts, v1, Streams.GateApp, 1L)
+    graft.operators.DedupIndex.append(spark, b1, "doc_id", "text", idx,
+      app = Streams.GateApp, txnVersion = 1L)
+    // ... crash here; the stream replays batch 1 in full
+    Streams.gateBatch(b1, 1L, "doc_id", "text", corpus, idx, verdicts, 0.5)
+    assert(counts() === ((4L, 32L, 4L)),
+      "replay must complete ONLY the missing corpus append")
+    val v = D.read(spark, verdicts).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v === Map(1L -> -1L, 2L -> -1L, 11L -> 1L, 12L -> -1L),
+      "landed verdicts survive the replay unchanged")
+  }
 }
