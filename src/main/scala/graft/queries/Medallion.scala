@@ -70,7 +70,9 @@ object Medallion {
         version: Option[Int] = None, latestVersion: Option[Int] = None,
         deprecationDate: Option[String] = None,
         group: Option[String] = None, access: String = "protected",
-        tags: Seq[String] = Nil)
+        tags: Seq[String] = Nil,
+        buildV: Option[(SparkSession, String => DataFrame,
+          String => String) => DataFrame] = None)
 
     /** dbt MODEL VERSIONS (`versions:` config): a versioned model is
       * one Model entry PER VERSION, all sharing `name`. Node identity
@@ -183,6 +185,43 @@ object Medallion {
       hook.replaceAll("""\{\{\s*this\s*\}\}""",
         java.util.regex.Matcher.quoteReplacement(path))
 
+    /** dbt `vars` / `env_var` templating (`{{ var('name') }}`,
+      * `{{ var('name', 'default') }}`, `{{ env_var('NAME') }}`,
+      * `{{ env_var('NAME', 'default') }}`) over a model's code text.
+      * Resolution order matches dbt: the invocation's merged var map
+      * (CLI `--vars` over project `vars:`, merged by the CALLER — last
+      * write wins) for `var()`, the process environment for
+      * `env_var()`; a reference with no binding and no default is a
+      * COMPILE error (dbt's "Required var not found"), raised before
+      * any model runs. Defaults accept single- or double-quoted
+      * literals, or a bare token (numbers, true/false).
+      *
+      * The rendered text is what [[fingerprints]] hashes and what
+      * manifest.json records as `compiled_code` — so flipping a var
+      * re-fingerprints EXACTLY the models whose code references it
+      * (and, through the transitive chain, their descendants), giving
+      * `state:modified+` var-awareness for free: at 100 TB a var flip
+      * rebuilds the consuming subtree and costs zero reads anywhere
+      * else. */
+    private val VarRef =
+      """\{\{\s*(var|env_var)\(\s*['"]([^'"]+)['"]\s*(?:,\s*(?:'([^']*)'|"([^"]*)"|([^)\s]+))\s*)?\)\s*\}\}""".r
+
+    private[graft] def renderVars(text: String, vars: Map[String, String],
+        env: Map[String, String] = sys.env): String =
+      VarRef.replaceAllIn(text, m => {
+        val (kind, name) = (m.group(1), m.group(2))
+        val default = Option(m.group(3)).orElse(Option(m.group(4)))
+          .orElse(Option(m.group(5)))
+        val bound = kind match {
+          case "var"     => vars.get(name)
+          case "env_var" => env.get(name)
+        }
+        val v = bound.orElse(default).getOrElse(throw
+          new IllegalArgumentException(s"required $kind '$name' is not " +
+            "bound and has no default"))
+        java.util.regex.Matcher.quoteReplacement(v)
+      })
+
     /** dbt GROUPS + ACCESS (`groups:` blocks, `access:` config): a
       * PRIVATE model is referenceable only by models in ITS OWN group;
       * `protected` (dbt's default) and `public` resolve freely inside a
@@ -288,10 +327,11 @@ object Medallion {
       * build, no commit. A missing deferred upstream fails that subtree
       * with a clear error instead of silently rebuilding it. */
     def runSelect(s: SparkSession, models: Seq[Model], targetDir: String,
-        spec: String, threads: Int = 4,
-        selective: Boolean = false): Map[String, String] =
+        spec: String, threads: Int = 4, selective: Boolean = false,
+        vars: Map[String, String] = Map.empty): Map[String, String] =
       run(s, models, targetDir, threads, selective,
-        buildOnly = Some(select(models, spec).map(nodeId).toSet))
+        buildOnly = Some(select(models, spec).map(nodeId).toSet),
+        vars = vars)
 
     /** Table property carrying the model fingerprint that produced the
       * materialization — the persisted `state` that dbt's
@@ -307,11 +347,14 @@ object Medallion {
       * `state:modified+` selector — with zero data reads (pure driver
       * metadata; at 100 TB staleness is decided before a single file
       * opens). */
-    def fingerprints(order: Seq[Model]): Map[String, String] = {
+    def fingerprints(order: Seq[Model], vars: Map[String, String] = Map.empty,
+        env: Map[String, String] = sys.env): Map[String, String] = {
       val fp = scala.collection.mutable.Map[String, String]()
       order.foreach { m =>
         val depIds = m.deps.map(d => nodeId(resolveRef(order, d))).sorted
-        val basis = (Seq(nodeId(m), m.code) ++ depIds.map(fp))
+        // hash the RENDERED code: a var/env_var flip re-fingerprints
+        // exactly the models whose code references it
+        val basis = (Seq(nodeId(m), renderVars(m.code, vars, env)) ++ depIds.map(fp))
           .mkString("\u0000") // NUL-joined: code text cannot alias a dep list
         fp(nodeId(m)) = java.security.MessageDigest.getInstance("SHA-256")
           .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -368,7 +411,9 @@ object Medallion {
       * data reads and zero commits. */
     def run(s: SparkSession, models: Seq[Model], targetDir: String,
         threads: Int = 4, selective: Boolean = false,
-        buildOnly: Option[Set[String]] = None): Map[String, String] = {
+        buildOnly: Option[Set[String]] = None,
+        vars: Map[String, String] = Map.empty,
+        env: Map[String, String] = sys.env): Map[String, String] = {
       import java.util.concurrent.{CompletableFuture, Executors}
       val ids = models.map(nodeId)
       require(ids.distinct.size == ids.size,
@@ -391,7 +436,15 @@ object Medallion {
         order ++= ready; remaining = rest
       }
       val warnings = versionWarnings(models)
-      val fp = fingerprints(order)
+      // compile gate: EVERY model's templated code must render — an
+      // unbound var fails the invocation before any model runs (dbt's
+      // parse-time "Required var not found"), never half a DAG in
+      val fp = fingerprints(order, vars, env)
+      // var resolver handed to buildV closures: same binding rules as
+      // the code templates, minus defaults (a build-side default is the
+      // closure's own .getOrElse)
+      val varOf: String => String = n => vars.getOrElse(n, throw
+        new IllegalArgumentException(s"required var '$n' is not bound"))
       val pool = Executors.newFixedThreadPool(math.max(1, threads))
       val results =
         new java.util.concurrent.ConcurrentHashMap[String, RunResult]()
@@ -435,8 +488,14 @@ object Medallion {
                   // dbt hook order: pre-hooks → build+materialize →
                   // post-hooks; a reused (state:modified+ cache-hit)
                   // model runs neither, exactly like a skipped dbt node.
-                  m.preHooks.foreach(h => s.sql(renderHook(h, path)))
-                  val built = m.build(s, ref)
+                  // hooks render vars first (dbt templating order:
+                  // project context, then the node's own {{ this }})
+                  m.preHooks.foreach(h =>
+                    s.sql(renderHook(renderVars(h, vars, env), path)))
+                  val built = m.buildV match {
+                    case Some(b) => b(s, ref, varOf)
+                    case None    => m.build(s, ref)
+                  }
                   // contract gate BEFORE any write: a breaking schema
                   // never materializes, even transiently
                   m.contract.foreach(c => enforceContract(m.name, c,
@@ -466,7 +525,8 @@ object Medallion {
                   // `{{ this }}` as a queryable relation).
                   if (m.postHooks.nonEmpty)
                     D.read(s, path).createOrReplaceTempView(tableName(m))
-                  m.postHooks.foreach(h => s.sql(renderHook(h, path)))
+                  m.postHooks.foreach(h =>
+                    s.sql(renderHook(renderVars(h, vars, env), path)))
                   val snap = D.snapshot(path)
                   results.put(nodeId(m), RunResult("success",
                     (System.nanoTime() - t0) / 1e9, snap.totalRows, v))
@@ -494,7 +554,7 @@ object Medallion {
         // per-model outcome (status / wall / rows / table version).
         writeArtifacts(targetDir, order,
           scala.jdk.CollectionConverters.MapHasAsScala(results).asScala.toMap,
-          (System.nanoTime() - runStart) / 1e9, warnings)
+          (System.nanoTime() - runStart) / 1e9, warnings, vars, env)
       }
     }
 
@@ -509,8 +569,9 @@ object Medallion {
       * stale run_results snapshot. Zero data reads for the reused set
       * at any scale. */
     def retry(s: SparkSession, models: Seq[Model], targetDir: String,
-        threads: Int = 4): Map[String, String] =
-      run(s, models, targetDir, threads, selective = true)
+        threads: Int = 4,
+        vars: Map[String, String] = Map.empty): Map[String, String] =
+      run(s, models, targetDir, threads, selective = true, vars = vars)
 
     /** Per-model outcome captured during [[run]] for run_results.json. */
     final case class RunResult(status: String, executionSec: Double,
@@ -531,12 +592,17 @@ object Medallion {
 
     private def writeArtifacts(targetDir: String, order: Seq[Model],
         results: Map[String, RunResult], elapsedSec: Double,
-        warnings: Seq[String] = Nil): Unit = {
+        warnings: Seq[String] = Nil, vars: Map[String, String] = Map.empty,
+        env: Map[String, String] = sys.env): Unit = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       def uid(n: String) = s"model.graft.$n"
       def dep(d: String) = uid(nodeId(resolveRef(order, d)))
       val manifest =
+        // dbt records the invocation's var bindings in manifest
+        // metadata so state comparisons can see WHICH values produced
+        // these fingerprints (compiled_code below is already rendered)
+        ("metadata" -> ("vars" -> vars)) ~
         ("nodes" -> order.map { m =>
           // a versioned node stamps its version, the family's declared
           // latest, and any deprecation date — dbt's governance fields
@@ -553,7 +619,7 @@ object Medallion {
             ("group" -> m.group) ~
             ("access" -> m.access) ~
             ("tags" -> m.tags.toList) ~
-            ("compiled_code" -> m.code) ~
+            ("compiled_code" -> renderVars(m.code, vars, env)) ~
             ("depends_on" -> ("nodes" -> m.deps.map(dep))))
         }.toMap) ~
         ("child_map" -> order.map(m =>

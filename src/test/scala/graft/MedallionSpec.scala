@@ -379,6 +379,104 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       postEdit.agg(sum(col("value"))).head().getDouble(0)) < 1e-6)
   }
 
+  test("dbt vars/env_var: template rendering, compile-time failure on unbound") {
+    import Pipeline.renderVars
+    // var with binding, var with default, both quote styles, bare token
+    assert(renderVars("where day >= '{{ var('cutoff') }}'",
+      Map("cutoff" -> "1995-01-01")) === "where day >= '1995-01-01'")
+    assert(renderVars("limit {{ var('n', 10) }}", Map.empty) === "limit 10")
+    assert(renderVars("{{ var('a', 'x') }}/{{ var('b', \"y\") }}",
+      Map.empty) === "x/y")
+    // binding beats default (dbt precedence)
+    assert(renderVars("{{ var('n', 10) }}", Map("n" -> "99")) === "99")
+    // env_var reads the (injected) environment, default as fallback
+    assert(renderVars("schema_{{ env_var('GRAFT_ENV') }}", Map.empty,
+      env = Map("GRAFT_ENV" -> "prod")) === "schema_prod")
+    assert(renderVars("{{ env_var('GRAFT_MISSING', 'dev') }}", Map.empty,
+      env = Map.empty) === "dev")
+    // unbound + no default = compile error naming the reference
+    val e1 = intercept[IllegalArgumentException] {
+      renderVars("{{ var('nope') }}", Map.empty) }
+    assert(e1.getMessage.contains("var 'nope'"))
+    val e2 = intercept[IllegalArgumentException] {
+      renderVars("{{ env_var('NOPE') }}", Map.empty, env = Map.empty) }
+    assert(e2.getMessage.contains("env_var 'NOPE'"))
+    // text without templates passes through untouched
+    val plain = "select * from t where x = '{{ this }}'"
+    assert(renderVars(plain, Map.empty) === plain)
+  }
+
+  test("dbt vars: a var flip rebuilds exactly the consuming subtree") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_vars").toString
+    def statuses(): Map[String, String] = {
+      val rr = (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(target, "run_results.json")), "UTF-8"))
+        \ "results").asInstanceOf[JArray].arr
+      rr.map(r => (r \ "unique_id").asInstanceOf[JString].s
+        .stripPrefix("model.graft.") ->
+        (r \ "status").asInstanceOf[JString].s).toMap
+    }
+    // `recent_events` consumes var('min_value'); `event_domains` does
+    // not; `recent_summary` refs the consumer (descendant rebuilds ride
+    // the transitive fingerprint, its own code mentions no var)
+    val models = Seq(
+      Pipeline.Model("raw_events", Nil,
+        (s, _) => Pipeline.bronzeEvents(s, sf),
+        code = "select * from source(events)"),
+      Pipeline.Model("recent_events", Seq("raw_events"),
+        (_, _) => sys.error("buildV takes precedence over build"),
+        code = "select * from ref(raw_events) " +
+          "where value >= {{ var('min_value') }}",
+        buildV = Some((s, ref, varOf) =>
+          ref("raw_events").filter(col("value") >= varOf("min_value").toDouble))),
+      Pipeline.Model("event_domains", Seq("raw_events"), (s, ref) =>
+        ref("raw_events").select(col("event_type")).distinct(),
+        code = "select distinct event_type from ref(raw_events)"),
+      Pipeline.Model("recent_summary", Seq("recent_events"), (s, ref) =>
+        ref("recent_events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        code = "select event_type, count(*) as n " +
+          "from ref(recent_events) group by 1"))
+    // first run at min_value=10: everything builds; the manifest records
+    // the binding and the RENDERED compiled_code
+    Pipeline.run(spark, models, target, selective = true,
+      vars = Map("min_value" -> "10"))
+    assert(statuses().values.forall(_ == "success"))
+    val manifest = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(target, "manifest.json")), "UTF-8"))
+    assert((manifest \ "metadata" \ "vars" \ "min_value")
+      .asInstanceOf[JString].s === "10")
+    assert((manifest \ "nodes" \ "model.graft.recent_events" \
+      "compiled_code").asInstanceOf[JString].s.contains("value >= 10"))
+    val v10 = DeltaLite.read(spark, s"$target/recent_events").count()
+    // same vars rerun: full cache hit
+    Pipeline.run(spark, models, target, selective = true,
+      vars = Map("min_value" -> "10"))
+    assert(statuses().values.forall(_ == "reused"))
+    // var flip: the consumer and its descendant rebuild; the upstream
+    // source and the var-free sibling reuse
+    Pipeline.run(spark, models, target, selective = true,
+      vars = Map("min_value" -> "50"))
+    assert(statuses() === Map("raw_events" -> "reused",
+      "event_domains" -> "reused", "recent_events" -> "success",
+      "recent_summary" -> "success"))
+    val v50 = DeltaLite.read(spark, s"$target/recent_events").count()
+    assert(v50 < v10, "the tighter cutoff must drop rows")
+    // the rebuilt materialization actually reflects the new binding
+    assert(DeltaLite.read(spark, s"$target/recent_events")
+      .filter(col("value") < 50).count() === 0)
+    // an unbound required var fails the invocation BEFORE any build:
+    // no new commits anywhere
+    val before = DeltaLite.latestVersion(s"$target/recent_events").get
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, models, target, selective = true) }
+    assert(e.getMessage.contains("min_value"))
+    assert(DeltaLite.latestVersion(s"$target/recent_events").get === before)
+  }
+
   test("multimodal: stub decode plumbing (schema, batches, frames)") {
     implicit val s = spark
     val media = graft.functions.Multimodal.asMediaTable(
