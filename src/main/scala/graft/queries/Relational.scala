@@ -1431,6 +1431,77 @@ object Relational {
          WHERE r.rk <= q.quota
          GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ P14
+    // TOKEN-BUDGET stratified sampling — p13's quota machinery with the
+    // quotas in SUM-OF-LENGTH space: a training mix is cut by token
+    // count, not document count (a 100-token doc and a 10k-token doc
+    // are not interchangeable mix units). A fixed total budget B splits
+    // across strata proportionally to their token mass (floor(B·T_s/T)),
+    // and each stratum admits the maximal PREFIX of its deterministic-
+    // hash order whose cumulative length fits the stratum quota — same
+    // rows every run, any engine. Scale shape: docs below the 200-char
+    // quality floor drop map-side, so no admitted doc can rank past
+    // B/200 = 500 — the per-stratum rank cut at that LITERAL bound is a
+    // WindowGroupLimit (map-side top-K before the stratum shuffle,
+    // PlanSpec-pinned; the bound must stay under Spark's
+    // windowGroupLimitThreshold of 1000 or the rewrite declines), the
+    // running sum rides the SAME partitioning and sort (zero extra
+    // exchanges), and the exact dynamic quota then filters the
+    // ≤500·strata survivors against the broadcast quota frame. The
+    // stratum never globally sorts, at any corpus size.
+    QueryDef("p14_token_budget_sample", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("n_chars") >= 200L)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("len"))
+      val quotas = docs.groupBy(col("lang"))
+        .agg(sum(col("len")).as("t_stratum"))
+        .crossJoin(broadcast(docs.agg(sum(col("len")).as("t_total"))))
+        .withColumn("quota", expr("(100000L * t_stratum) div t_total"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      // every kept doc is ≥200 chars, so rank >500 ⇒ cum >100000 ≥ any
+      // quota: the literal cut loses nothing and fires WindowGroupLimit
+      val ranked = docs
+        .withColumn("h", md5(concat(lit("p14:"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= lit(500L))
+      val cum = ranked.withColumn("cum", sum(col("len")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.join(broadcast(quotas), Seq("lang"))
+        .filter(col("cum") <= col("quota"))
+        .groupBy(col("lang"))
+        .agg(max(col("t_stratum")).as("t_stratum"),
+          max(col("quota")).as("quota"),
+          count(lit(1)).as("n_docs"),
+          sum(col("len")).as("sum_len"),
+          sum(col("doc_id")).as("sum_keys"))
+        .orderBy(col("lang").asc_nulls_last)
+    }, Some(
+      """WITH f AS (
+           SELECT doc_id, lang, n_chars AS len
+           FROM documents WHERE n_chars >= 200),
+         q AS (
+           SELECT lang, sum(len) AS t_stratum,
+                  (100000 * sum(len)) // (SELECT sum(len) FROM f) AS quota
+           FROM f GROUP BY 1),
+         r AS (
+           SELECT lang, doc_id, len,
+                  sum(len) OVER (PARTITION BY lang
+                    ORDER BY md5('p14:' || CAST(doc_id AS VARCHAR)) ASC,
+                             doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM f)
+         SELECT r.lang,
+                CAST(max(q.t_stratum) AS BIGINT) AS t_stratum,
+                CAST(max(q.quota) AS BIGINT) AS quota,
+                count(*) AS n_docs,
+                CAST(sum(r.len) AS BIGINT) AS sum_len,
+                CAST(sum(r.doc_id) AS BIGINT) AS sum_keys
+         FROM r JOIN q ON r.lang = q.lang
+         WHERE r.cum <= q.quota
+         GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
+
     QueryDef("p10_consistent_sample", (s, dir) => {
       def keep(c: org.apache.spark.sql.Column) = substring(
         md5(concat(lit("cs7:"), c.cast("string")).cast("binary")), 1, 2) < "1a"

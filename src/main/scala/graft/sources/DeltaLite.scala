@@ -2101,6 +2101,52 @@ object DeltaLite {
     level.head
   }
 
+  /** Feed the LOG's table statistics into Catalyst's cost model: the
+    * scan's `LogicalRelation` gets a `CatalogTable` carrying
+    * `CatalogStatistics(sizeInBytes, rowCount)` summed over exactly the
+    * files this scan reads — so a pruned or partition-grouped scan
+    * reports its pruned cardinality, not the whole table's. Catalyst
+    * consults these in `LogicalRelation.computeStats`:
+    * `sizeInBytes` always (it equals the summed live-file bytes the
+    * file-listing estimate would produce, so default behavior is
+    * unchanged), and `rowCount` when `spark.sql.cbo.enabled` or
+    * `spark.sql.cbo.planStats.enabled` is set — then the plan's size
+    * estimate becomes rowCount × row width, the IN-MEMORY size.
+    *
+    * Why it matters at 100 TB: broadcast decisions compare the plan
+    * estimate against `autoBroadcastJoinThreshold`. A well-compressed
+    * (RLE/dictionary) dimension can be kilobytes on disk but gigabytes
+    * as rows — the file-size estimate happily broadcasts it and the
+    * driver OOMs; the log's rowCount declines it. The reverse also
+    * holds for join reordering: real cardinalities beat compressed
+    * byte counts. Stats attach only when every file logged a real size
+    * (pre-sizes-era adds carry 0 — a 0-byte claim would wrongly
+    * broadcast ANY table). Pure driver metadata from the snapshot
+    * already in hand: zero extra I/O at any scale. */
+  private def withLogStats(spark: SparkSession, df: DataFrame, path: String,
+      files: Seq[AddFile]): DataFrame = {
+    if (files.isEmpty || files.exists(_.bytes <= 0L)) return df
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val stats = CatalogStatistics(
+      sizeInBytes = BigInt(files.map(_.bytes).sum),
+      rowCount = Some(BigInt(files.map(_.rows).sum)))
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(CatalogTable(
+          identifier = TableIdentifier(root(path).getFileName.toString),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(root(path).toUri)),
+          schema = lr.schema,
+          provider = Some("parquet"),
+          stats = Some(stats))))
+    }
+    org.apache.spark.sql.graft.PlanFrame.ofRows(spark, plan)
+  }
+
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String]): DataFrame =
@@ -2114,8 +2160,8 @@ object DeltaLite {
         // the logical schema (identity projection when never renamed —
         // filters push through aliases, so pruning/pushdown unaffected)
         val physSchema = StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
-        val base = spark.read.schema(physSchema)
-          .parquet(files.map(f => r.resolve(f.path).toString): _*)
+        val base = withLogStats(spark, spark.read.schema(physSchema)
+          .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files)
         if (physical.isEmpty) base
         else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
       } else {
@@ -2130,8 +2176,9 @@ object DeltaLite {
         unionTree(files.groupBy(_.pv).toSeq
           .sortBy(_._1.toList.sortBy(_._1).mkString(","))
           .map { case (pv, group) =>
-            val base = spark.read.schema(dataSchema)
-              .parquet(group.map(f => r.resolve(f.path).toString): _*)
+            val base = withLogStats(spark, spark.read.schema(dataSchema)
+              .parquet(group.map(f => r.resolve(f.path).toString): _*),
+              path, group)
               .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)
@@ -2179,8 +2226,8 @@ object DeltaLite {
       def scanShape(fs: Seq[AddFile], prefixLen: Int): Option[DataFrame] =
         if (fs.isEmpty) None
         else Some(attachPartitionCols(
-          spark.read.schema(dataSchema)
-            .parquet(fs.map(f => r.resolve(f.path).toString): _*)
+          withLogStats(spark, spark.read.schema(dataSchema)
+            .parquet(fs.map(f => r.resolve(f.path).toString): _*), path, fs)
             .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
             .withColumn("row_index", col("_metadata.row_index")),
           schema, partitionBy, pv)

@@ -963,6 +963,19 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the quota frame must broadcast:\n$p")
   }
 
+  test("p14_token_budget_sample: literal rank cut is a WindowGroupLimit; cumsum reuses the window shuffle") {
+    val p = plan("p14_token_budget_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank <= 500 must cut map-side before the stratum shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the quota frame must broadcast:\n$p")
+    // the running-sum window rides the rank window's partitioning+sort:
+    // exactly one exchange on the stratum key feeds BOTH windows (the
+    // quota aggregation contributes the only other lang exchange)
+    assert(count(p, "Exchange hashpartitioning(lang") <= 2,
+      s"the cumsum window must not re-shuffle the stratum:\n$p")
+  }
+
   test("d18_conversion_metric: conversion candidates are entity-equality joins, never a range cross join") {
     val p = plan("d18_conversion_metric")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -975,5 +988,63 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the grid×days range join must not survive the explode rewrite:\n$p")
     assert(p.contains("Generate explode"),
       s"each (user, day) row must emit its covered window days:\n$p")
+  }
+
+  test("DeltaLite log stats feed Catalyst: rowCount visible; in-memory size flips a broadcast decision") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("log_stats")
+    val big = s"$base/big"; val probe = s"$base/probe"
+    // 400k rows of CONSTANT values: parquet RLE/dictionary shrinks this
+    // to a few KB on disk, but as in-memory rows it's 400k × 24 B ≈
+    // 9.6 MB — the classic compressed-dimension broadcast-OOM shape
+    D.create(spark, big, spark.range(400000L)
+      .select(lit(7L).as("k"), lit(1L).as("v")).repartition(2))
+    // all-distinct longs: plain-encoded, genuinely > 1 MB on disk, so
+    // THIS side never broadcasts either way and cannot mask the flip
+    D.create(spark, probe, spark.range(300000L)
+      .select(col("id").as("k"), col("id").as("p")).repartition(2))
+    val bigBytes = D.snapshot(big).totalBytes
+    assert(bigBytes < 1048576L && bigBytes > 0L,
+      s"fixture must be tiny on disk for the flip, got $bigBytes")
+    assert(D.snapshot(probe).totalBytes > 1048576L)
+    // a CLONED session (shared context, private conf) keeps the
+    // threshold/planStats flips invisible to concurrently running suites
+    val ss = spark.newSession()
+    def joined() = {
+      val b = D.read(ss, big); val pr = D.read(ss, probe)
+      b.join(pr, b("k") === pr("k")).groupBy(pr("p")).agg(sum(b("v")).as("s"))
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    // without plan stats, the size estimate is the on-disk byte count:
+    // the 400k-row table looks broadcastable (the pre-stats behavior)
+    val before = joined().queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastHashJoin"),
+      s"disk-size estimate should broadcast the compressed side:\n$before")
+    // with plan stats on, the LOG's rowCount drives the estimate to
+    // rowCount × row width — far over the threshold: broadcast declined
+    ss.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    // a direct .stats call reads SQLConf.get from THIS thread — under
+    // the full concurrent suite the test thread may lack an active
+    // session (planner calls go through withActive and are unaffected)
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val st = D.read(ss, big).queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(400000L)),
+        s"the log's rowCount must surface in plan stats, got $st")
+      assert(st.sizeInBytes > BigInt(1048576L),
+        s"the in-memory estimate must exceed the threshold, got $st")
+      val after = joined().queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastHashJoin"),
+        s"rowCount-driven estimate must decline the broadcast:\n$after")
+      assert(after.contains("SortMergeJoin"),
+        s"the safe plan is a sort-merge join:\n$after")
+      // the flip is cost-model only: results agree bit-for-bit
+      val a = joined().orderBy("p").collect().toSeq
+      ss.conf.unset("spark.sql.cbo.planStats.enabled")
+      val b = joined().orderBy("p").collect().toSeq
+      assert(a === b)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 }
