@@ -321,6 +321,18 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.unsetProperty(path, key)))
   }
 
+  /** `ANALYZE TABLE '<path>' COMPUTE STATISTICS FOR ALL COLUMNS` (or
+    * `FOR COLUMNS (a, b)`) — one aggregate scan lands NDV/null-count
+    * column statistics in table properties; the read path merges them
+    * with live file min/max into Catalyst ColumnStats under CBO. */
+  final case class AnalyzeTableCommand(path: String, columns: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.analyzeTable(spark, path, columns)))
+  }
+
   /** `COPY INTO '<table>' FROM '<dir>'` — idempotent landing-zone load;
     * reports the files loaded THIS run (0 = everything already loaded),
     * the Databricks COPY INTO result shape. */
@@ -495,6 +507,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val AnalyzeAllRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
+      """FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
+  private val AnalyzeColsRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
+      """FOR\s+COLUMNS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*""" +
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -562,6 +581,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SetPropertiesCommand(p,
         PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
     case UnsetPropRe(p, k) => UnsetPropertyCommand(p, k)
+    case AnalyzeAllRe(p) => AnalyzeTableCommand(p, Nil)
+    case AnalyzeColsRe(p, cols) =>
+      AnalyzeTableCommand(p, cols.split(",").map(_.trim).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -1894,7 +1894,8 @@ object DeltaLite {
     * added columns). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
+    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy,
+      snap.physical, snap.properties)
   }
 
   /** Snapshot read exposing the row-tracking id as a `_row_id` column
@@ -1981,7 +1982,7 @@ object DeltaLite {
     val all = bounds ++ derivedGeneratedBounds(spark, snap, bounds)
     readFiles(spark, path, snap.schema,
       pruneFiles(snap, all, bloomProbesFor(spark, snap, bounds)),
-      snap.partitionBy, snap.physical)
+      snap.partitionBy, snap.physical, snap.properties)
   }
 
   /** xxhash64 probes for POINT bounds (lower == upper, non-null) and
@@ -2124,15 +2125,52 @@ object DeltaLite {
     * broadcast ANY table). Pure driver metadata from the snapshot
     * already in hand: zero extra I/O at any scale. */
   private def withLogStats(spark: SparkSession, df: DataFrame, path: String,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile], props: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty || files.exists(_.bytes <= 0L)) return df
     import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
-      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+      CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val stats = CatalogStatistics(
-      sizeInBytes = BigInt(files.map(_.bytes).sum),
-      rowCount = Some(BigInt(files.map(_.rows).sum)))
+    // COLUMN stats (min/max from the same log entries, the same decline
+    // rules as the stats-only aggregate rewrite) feed CBO's filter
+    // selectivity: `Filter(x > c)` over a scan with known [min,max]
+    // estimates (max−c)/(max−min) of the rows instead of all of them,
+    // so a selective filter above a big fact can re-qualify it for a
+    // broadcast — the 100 TB star-join planning move. Computed ONLY
+    // when a CBO flag is on: the default path pays zero per-column
+    // driver work. Min/max remain valid BOUNDS under deletion vectors
+    // (a DV only removes rows), which is all estimation needs.
+    val wantColStats =
+      spark.conf.get("spark.sql.cbo.enabled", "false") == "true" ||
+      spark.conf.get("spark.sql.cbo.planStats.enabled", "false") == "true"
+    def external(v: Any): Option[String] = v match {
+      case null => None
+      case _: org.apache.spark.unsafe.types.UTF8String => None // no string stats in the catalog model
+      case x => Some(x.toString) // ints/longs/floats/doubles; dates as epoch-day, timestamps as epoch-µs — CatalogColumnStat VERSION=2's external forms
+    }
+    lazy val analyzed = parseColStats(props)
+    def colStatsFor(schema: StructType): Map[String, CatalogColumnStat] =
+      if (!wantColStats) Map.empty
+      else schema.fields.iterator.flatMap { f =>
+        // live bounds from the scan's own file entries; NDV/null counts
+        // from the last ANALYZE (estimate semantics — see analyzeTable)
+        def ex(isMin: Boolean) = graft.plans.StatsAggRewrite
+          .statExtremum(files, f.name, f.dataType, isMin).flatMap(external)
+        val (mn, mx) = (ex(isMin = true), ex(isMin = false)) match {
+          case (a @ Some(_), b @ Some(_)) => (a, b)
+          case _ => (None, None)
+        }
+        val (ndv, nulls, avgLen, maxLen) = analyzed.get(f.name)
+          .getOrElse((None, None, None, None))
+        if (mn.isEmpty && ndv.isEmpty && nulls.isEmpty) None
+        else Some(f.name -> CatalogColumnStat(
+          distinctCount = ndv.map(BigInt(_)),
+          min = mn, max = mx,
+          nullCount = nulls.map(BigInt(_)),
+          avgLen = avgLen.orElse(Some(f.dataType.defaultSize.toLong)),
+          maxLen = maxLen.orElse(Some(f.dataType.defaultSize.toLong)),
+          histogram = None, version = 2))
+      }.toMap
     val plan = df.queryExecution.analyzed.transform {
       case lr: LogicalRelation if lr.catalogTable.isEmpty =>
         lr.copy(catalogTable = Some(CatalogTable(
@@ -2142,14 +2180,18 @@ object DeltaLite {
             locationUri = Some(root(path).toUri)),
           schema = lr.schema,
           provider = Some("parquet"),
-          stats = Some(stats))))
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(files.map(_.bytes).sum),
+            rowCount = Some(BigInt(files.map(_.rows).sum)),
+            colStats = colStatsFor(lr.schema))))))
     }
     org.apache.spark.sql.graft.PlanFrame.ofRows(spark, plan)
   }
 
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String],
-      physical: Map[String, String]): DataFrame =
+      physical: Map[String, String],
+      props: Map[String, String] = Map.empty): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (files.forall(_.dv.isEmpty)) {
@@ -2161,7 +2203,8 @@ object DeltaLite {
         // filters push through aliases, so pruning/pushdown unaffected)
         val physSchema = StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
         val base = withLogStats(spark, spark.read.schema(physSchema)
-          .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files)
+          .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files,
+          props)
         if (physical.isEmpty) base
         else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
       } else {
@@ -2178,14 +2221,15 @@ object DeltaLite {
           .map { case (pv, group) =>
             val base = withLogStats(spark, spark.read.schema(dataSchema)
               .parquet(group.map(f => r.resolve(f.path).toString): _*),
-              path, group)
+              path, group, props)
               .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)
           })
       }
     } else
-      readFilesWithPos(spark, path, schema, files, partitionBy, physical)
+      readFilesWithPos(spark, path, schema, files, partitionBy, physical,
+        props)
         .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Partition columns as typed literals from the logged string values
@@ -2207,7 +2251,8 @@ object DeltaLite {
   private def readFilesWithPos(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile],
       partitionBy: Seq[String],
-      physical: Map[String, String]): DataFrame = {
+      physical: Map[String, String],
+      props: Map[String, String] = Map.empty): DataFrame = {
     val r = root(path)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](),
@@ -2227,7 +2272,8 @@ object DeltaLite {
         if (fs.isEmpty) None
         else Some(attachPartitionCols(
           withLogStats(spark, spark.read.schema(dataSchema)
-            .parquet(fs.map(f => r.resolve(f.path).toString): _*), path, fs)
+            .parquet(fs.map(f => r.resolve(f.path).toString): _*), path, fs,
+            props)
             .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
             .withColumn("row_index", col("_metadata.row_index")),
           schema, partitionBy, pv)
@@ -3122,6 +3168,105 @@ object DeltaLite {
       Nil, Nil, snap.constraints, snap.partitionBy, snap.physical,
       snap.generated, snap.identity, snap.properties ++ props)
   }
+
+  /** Table property holding ANALYZE-computed column statistics (JSON:
+    * `{"analyzedVersion": V, "rows": N, "cols": {"<physical name>":
+    * {"ndv": …, "nulls": …, "avgLen": …, "maxLen": …}}}`). Living in
+    * properties means the stats travel with clones/restores and any
+    * log reader can serve them. */
+  val ColStatsKey = "graft.colStats"
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — the
+    * warehouse column-statistics pass. ONE aggregate scan computes per
+    * stat-eligible column: approximate NDV (HLL — the same sketch
+    * ANALYZE uses everywhere), null count, and for strings avg/max
+    * length; the result lands in table properties under [[ColStatsKey]]
+    * keyed by PHYSICAL column name (rename-stable, like the file
+    * stats). The read path merges these with the LIVE per-file min/max
+    * into Catalyst `ColumnStat`s, which is what unlocks CBO's filter
+    * selectivity and join-cardinality estimates (both require NDV —
+    * min/max alone are ignored by `FilterEstimation.evaluateBinary`).
+    *
+    * Staleness contract: like every warehouse, stats describe the
+    * table AS OF the analyzed version and serve estimates until the
+    * next ANALYZE; rowCount/sizeInBytes stay live from the log either
+    * way. At 100 TB the pass is one map-side-partial aggregation over
+    * the table — run it after large loads, not per query. */
+  def analyzeTable(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): Long = {
+    val snap = snapshot(path)
+    val eligible = snap.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           StringType | BooleanType => true
+      case _ => false
+    }).toSeq
+    val targets =
+      if (columns.isEmpty) eligible
+      else {
+        columns.foreach(c => require(eligible.exists(_.name == c),
+          s"ANALYZE: column '$c' is missing or not stat-eligible"))
+        eligible.filter(f => columns.contains(f.name))
+      }
+    require(targets.nonEmpty, s"ANALYZE: no stat-eligible columns on $path")
+    val aggs = targets.flatMap { f =>
+      Seq(approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
+          .as(s"__nulls_${f.name}")) ++
+      (f.dataType match {
+        case StringType => Seq(
+          ceil(avg(length(col(f.name)))).cast("long").as(s"__avglen_${f.name}"),
+          max(length(col(f.name))).cast("long").as(s"__maxlen_${f.name}"))
+        case _ => Nil
+      })
+    }
+    val row = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
+    def get(n: String): Option[Long] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    import org.json4s.JsonDSL._
+    // a FOR COLUMNS subset updates only the named columns: stats of
+    // untouched columns carry over (warehouse ANALYZE semantics)
+    val kept = parseColStats(snap.properties)
+      .view.filterKeys(k => !targets.exists(f => snap.phys(f.name) == k))
+      .map { case (k, (ndv, nulls, avgLen, maxLen)) =>
+        k -> (("ndv" -> ndv) ~ ("nulls" -> nulls) ~
+          ("avgLen" -> avgLen) ~ ("maxLen" -> maxLen))
+      }.toMap
+    val cols = kept ++ targets.map { f =>
+      snap.phys(f.name) -> (
+        ("ndv" -> get(s"__ndv_${f.name}")) ~
+        ("nulls" -> get(s"__nulls_${f.name}").orElse(Some(0L))) ~
+        ("avgLen" -> (if (f.dataType == StringType)
+          get(s"__avglen_${f.name}") else None)) ~
+        ("maxLen" -> (if (f.dataType == StringType)
+          get(s"__maxlen_${f.name}") else None)))
+    }.toMap
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("analyzedVersion" -> snap.version) ~
+      ("rows" -> snap.totalRows) ~
+      ("cols" -> cols)))
+    setProperties(path, Map(ColStatsKey -> json))
+  }
+
+  /** Parsed [[ColStatsKey]] payload: physical name → (ndv, nulls,
+    * avgLen, maxLen). Tolerant of absent/garbled properties (stats are
+    * estimates — never fail a read over them). */
+  private[graft] def parseColStats(props: Map[String, String]):
+      Map[String, (Option[Long], Option[Long], Option[Long], Option[Long])] =
+    props.get(ColStatsKey).flatMap { json =>
+      try {
+        val cols = JsonMethods.parse(json) \ "cols"
+        Some(cols.asInstanceOf[JObject].obj.map { case (name, v) =>
+          def f(k: String): Option[Long] = v \ k match {
+            case JInt(x) => Some(x.toLong)
+            case JLong(x) => Some(x)
+            case _ => None
+          }
+          name -> (f("ndv"), f("nulls"), f("avgLen"), f("maxLen"))
+        }.toMap)
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
 
   /** Delta `ALTER TABLE ... UNSET TBLPROPERTIES (k)`. */
   def unsetProperty(path: String, key: String): Long = {

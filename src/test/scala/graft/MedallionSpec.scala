@@ -503,6 +503,62 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(resLen === origLen / 4)
   }
 
+  test("ANALYZE TABLE: one-scan NDV/null stats land in properties; CBO reads serve them as ColumnStats") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_analyze")
+      .toString + "/t"
+    DeltaLite.create(spark, path,
+      (0L until 1000L).map(i => (i, i % 10,
+        if (i % 4 == 0) None else Some(s"u${i % 25}")))
+        .toDF("id", "bucket", "tag"))
+    // SQL surface returns the commit version of the stats property
+    val v = spark.sql(
+      s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect()(0).getLong(0)
+    assert(v === 1L)
+    val parsed = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)
+    val (ndvId, nullsId, _, _) = parsed("id")
+    assert(nullsId.contains(0L))
+    assert(ndvId.exists(n => n > 900 && n < 1100), s"HLL ndv ±5%: $ndvId")
+    assert(parsed("bucket")._1.exists(n => n >= 9 && n <= 11))
+    val (ndvTag, nullsTag, avgTag, maxTag) = parsed("tag")
+    assert(nullsTag.contains(250L), s"exact null count: $nullsTag")
+    assert(ndvTag.exists(n => n >= 23 && n <= 27))
+    assert(avgTag.exists(_ >= 2L) && maxTag.exists(_ >= 3L))
+    // CBO reads merge analyzed NDV/nulls with LIVE file min/max
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val st = DeltaLite.read(ss, path).queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(1000)))
+      val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      assert(byName("bucket").distinctCount.exists(n => n >= 9 && n <= 11))
+      assert(byName("bucket").min.contains(0L) &&
+        byName("bucket").max.contains(9L),
+        s"live log min/max must ride along: ${byName("bucket")}")
+      assert(byName("tag").nullCount.contains(BigInt(250)))
+      // equality selectivity prices bucket = 3 at rows/ndv ≈ 100
+      val eq = DeltaLite.read(ss, path).filter(col("bucket") === 3L)
+        .queryExecution.optimizedPlan.stats
+      assert(eq.rowCount.exists(rc => rc >= 80 && rc <= 120),
+        s"NDV equality estimate must land near 100, got $eq")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // FOR COLUMNS subset re-analyzes only the named columns and keeps
+    // the rest (warehouse ANALYZE semantics); unknown columns refuse
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR COLUMNS (bucket)")
+      .collect()
+    val again = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)
+    assert(again.keySet === Set("id", "bucket", "tag"))
+    assert(again("bucket")._1.exists(n => n >= 9 && n <= 11))
+    assert(again("tag")._2.contains(250L), "untouched columns carry over")
+    val bad = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR COLUMNS (nope)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("maintenance SQL: DESCRIBE HISTORY/DETAIL, OPTIMIZE, VACUUM via spark.sql") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString

@@ -1047,4 +1047,59 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       assert(a === b)
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
+
+  test("log column stats: a selective filter re-qualifies a big fact for broadcast under CBO") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("col_stats")
+    val fact = s"$base/fact"; val probe = s"$base/probe"
+    // v uniform over 0..999 (log stats min=0, max=999); k all-distinct
+    // longs keep the table genuinely over the broadcast threshold on
+    // disk AND by rowCount × width
+    D.create(spark, fact, spark.range(400000L)
+      .select((col("id") % 1000L).as("v"), col("id").as("k"))
+      .repartition(2))
+    D.create(spark, probe, spark.range(300000L)
+      .select(col("id").as("k"), col("id").as("p")).repartition(2))
+    assert(D.snapshot(fact).totalBytes > 1048576L)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    def joined() = {
+      val f = D.read(ss, fact).filter(col("v") >= 990L)
+      val pr = D.read(ss, probe)
+      f.join(pr, f("k") === pr("k")).groupBy(f("v"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    }
+    // without CBO the filter does not shrink the size estimate: the
+    // 3 MB+ fact stays over the threshold on both sides — sort-merge
+    val before = joined().queryExecution.executedPlan.toString
+    assert(!before.contains("BroadcastHashJoin") &&
+      before.contains("SortMergeJoin"),
+      s"size-only estimation must keep the big-fact join a sort-merge:\n$before")
+    // ANALYZE computes NDV/null counts into table properties (one scan);
+    // with CBO on, they merge with the LIVE file min/max into ColumnStats
+    // and FilterEstimation prices v >= 990 at ~(999−990)/999 of 400k
+    // rows — far under the threshold: the filtered fact broadcasts (the
+    // star-join planning move)
+    D.analyzeTable(ss, fact)
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val st = D.read(ss, fact).filter(col("v") >= 990L)
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(rc => rc > 0 && rc < BigInt(40000)),
+        s"min/max selectivity must shrink the estimate to ~1%, got $st")
+      assert(st.attributeStats.nonEmpty,
+        s"analyzed column stats must surface in the plan, got $st")
+      val after = joined().queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"the selectively filtered fact must broadcast under CBO:\n$after")
+      // cost-model only: results agree with CBO off
+      val a = joined().orderBy("v").collect().toSeq
+      ss.conf.unset("spark.sql.cbo.enabled")
+      val b = joined().orderBy("v").collect().toSeq
+      assert(a === b)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
 }
