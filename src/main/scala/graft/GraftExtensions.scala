@@ -101,6 +101,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MetaphoneCode].getName, "metaphone_code"),
       graft.functions.Metaphone.builder))
     ext.injectFunction((
+      FunctionIdentifier("dmetaphone_code"),
+      new ExpressionInfo(classOf[graft.functions.DoubleMetaphoneCode].getName, "dmetaphone_code"),
+      graft.functions.DoubleMetaphone.builder))
+    ext.injectFunction((
+      FunctionIdentifier("dmetaphone_alt"),
+      new ExpressionInfo(classOf[graft.functions.DoubleMetaphoneCode].getName, "dmetaphone_alt"),
+      graft.functions.DoubleMetaphone.altBuilder))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs.head, exprs(1))))

@@ -129,6 +129,16 @@ object GraftFunctions {
         "metaphone_code", Metaphone.builder, "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dmetaphone_code"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dmetaphone_code", DoubleMetaphone.builder, "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dmetaphone_alt"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dmetaphone_alt", DoubleMetaphone.altBuilder, "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hilbert_index",

@@ -726,6 +726,44 @@ object Scalars {
             .otherwise(0L)).as("n_hits_lost_mtp"))
     }, None),
 
+    // ------------------------------------------------------------------ F19
+    // Double Metaphone blocking census: the PRIMARY/ALTERNATE key pair
+    // blocks on "any key matches" (Germanic/Slavic/Romance readings of
+    // the same spelling), the property the single-key family can't
+    // express — SCHMIDT(XMT/SMT) blocks with SMITH(SM0/XMT) through the
+    // cross pairing. Same shape as f16–f18: soundex-pair candidates
+    // over the DISTINCT name domain (the fixture's 64-name domain —
+    // never the row count), dmetaphone either-key survivors, jaro-
+    // verified hits kept/lost. Blocking stays an equality join at any
+    // corpus size. Rows-only (DuckDB ships no dmetaphone; the key
+    // vectors are pinned in FunctionsSpec).
+    QueryDef("f19_dmetaphone_blocking", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("head", expr("split(p_name, ' ')[0]"))
+        .withColumn("sdx", expr("soundex_code(head)"))
+        .withColumn("dmp", expr("dmetaphone_code(head)"))
+        .withColumn("dma", expr("dmetaphone_alt(head)"))
+      val a = names.select(col("p_name").as("na"), col("sdx"),
+        col("dmp"), col("dma"))
+      val b = names.select(col("p_name").as("nb"), col("sdx").as("sdxb"),
+        col("dmp").as("dmpb"), col("dma").as("dmab"))
+      a.join(b, col("sdx") === col("sdxb") && col("na") < col("nb"))
+        .withColumn("same_pri", (col("dmp") === col("dmpb")).cast("int"))
+        .withColumn("either", (col("dmp") === col("dmpb") ||
+          col("dmp") === col("dmab") || col("dma") === col("dmpb") ||
+          col("dma") === col("dmab")).cast("int"))
+        .withColumn("jw", expr("round(jaro_winkler(na, nb) * 10000) / 10000"))
+        .agg(count(lit(1)).as("n_soundex_pairs"),
+          sum(col("same_pri").cast("long")).as("n_primary_pairs"),
+          sum(col("either").cast("long")).as("n_either_pairs"),
+          sum(when(col("jw") >= lit(0.85) && col("either") === 1, 1L)
+            .otherwise(0L)).as("n_hits_kept"),
+          sum(when(col("jw") >= lit(0.85) && col("either") === 0, 1L)
+            .otherwise(0L)).as("n_hits_lost"))
+    }, None),
+
     QueryDef("f17_nysiis_blocking", (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val names = t(s, dir, "part")

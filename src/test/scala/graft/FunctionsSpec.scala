@@ -473,4 +473,66 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .select(expr("metaphone_code(s)").as("c"))
       .where(col("c").isNotNull).count() === 0L)
   }
+
+  test("dmetaphone: spec vectors for both keys, cross-key blocking, codegen parity, null contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the scaladoc-spec vector set (primary, alternate) — each pair
+    // exercises a distinct dual-reading rule: initial S before M
+    // (SM0/XMT), SCH (XMT/SMT), silent KN head, JOSE→H, TH→0 vs OM→T,
+    // CH internal X/K, French final R, GN head, Slavic SZ
+    val vectors = Seq(
+      ("SMITH", "SM0", "XMT"), ("SCHMIDT", "XMT", "SMT"),
+      ("KNIGHT", "NT", "NT"), ("JOSE", "HS", "HS"),
+      ("THOMAS", "TMS", "TMS"), ("CHURCH", "XRX", "XRK"),
+      ("CATHERINE", "K0RN", "KTRN"), ("WRIGHT", "RT", "RT"),
+      ("XAVIER", "SF", "SFR"), ("GNOME", "NM", "NM"),
+      ("SZYMANSKI", "SMNS", "XMNS"), ("smith", "SM0", "XMT"))
+    val got = vectors.map(_._1).toDF("s")
+      .select(expr("dmetaphone_code(s)").as("p"),
+        expr("dmetaphone_alt(s)").as("a"))
+      .as[(String, String)].collect()
+    vectors.zip(got).foreach { case ((in, wp, wa), (gp, ga)) =>
+      assert(gp === wp, s"dmetaphone_code($in)")
+      assert(ga === wa, s"dmetaphone_alt($in)")
+    }
+    // the cross-key property the single-key family can't express:
+    // SCHMIDT's primary equals SMITH's alternate — either-key blocking
+    // puts them in one candidate block
+    assert(Seq(("SCHMIDT", "SMITH")).toDF("x", "y")
+      .where(expr("dmetaphone_code(x) = dmetaphone_alt(y)"))
+      .count() === 1L)
+    // optional length arg: n <= 0 keeps the full key
+    assert(Seq("CATHERINE").toDF("s")
+      .select(expr("dmetaphone_code(s, 0)").as("c")).as[String]
+      .head() === "K0RN")
+    assert(Seq("SZYMANSKI").toDF("s")
+      .select(expr("dmetaphone_code(s, 0)").as("c")).as[String]
+      .head() === "SMNSK")
+    // codegen and interpreted kernels agree over the fixture domain
+    val keys = Tables.t(spark, sf, "part")
+      .select(col("p_name"),
+        expr("dmetaphone_code(split(p_name, ' ')[0])").as("p"),
+        expr("dmetaphone_alt(split(p_name, ' ')[0])").as("a"))
+      .collect()
+    keys.foreach { r =>
+      val head = org.apache.spark.unsafe.types.UTF8String.fromString(
+        r.getString(0).split(" ")(0))
+      def direct(altKey: Boolean) = Option(
+        graft.functions.DoubleMetaphone.code(head, altKey, 4)).map(_.toString)
+      assert(Option(r.getString(1)) === direct(altKey = false),
+        s"codegen/interpreted primary on ${r.getString(0)}")
+      assert(Option(r.getString(2)) === direct(altKey = true),
+        s"codegen/interpreted alternate on ${r.getString(0)}")
+      assert(r.getString(1).forall(ch => (ch >= 'A' && ch <= 'Z') || ch == '0'),
+        "keys are uppercase letters plus the TH digit")
+    }
+    // no leading letter → NULL; NULL → NULL (both keys)
+    assert(Seq("123", "", "42nd?").toDF("s")
+      .select(expr("dmetaphone_code(s)").as("p"), expr("dmetaphone_alt(s)").as("a"))
+      .where(col("p").isNotNull || col("a").isNotNull).count() === 0L)
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("dmetaphone_code(s)").as("c"))
+      .where(col("c").isNotNull).count() === 0L)
+  }
 }
