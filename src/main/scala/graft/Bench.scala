@@ -117,7 +117,10 @@ object Bench {
       "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode",
       // t19 is a ~30-step recursive CTE: tiny frontier joins,
       // scheduler-latency-bound like o8; g7 iterates like g4
-      "t19_holt_linear", "g7_modularity")
+      "t19_holt_linear", "g7_modularity",
+      // the crawl gate drives 3 probe+append micro-batches (~9 DeltaLite
+      // commits): a serial lifecycle chain like s25/s26
+      "l2_crawl_gate")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))

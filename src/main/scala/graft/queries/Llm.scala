@@ -148,6 +148,50 @@ object Llm {
           count(lit(1)).as("n_index_rows"))))
     }, None),
 
+    // ------------------------------------------------------------- L2 (i3)
+    // CRAWL GATE over the persisted index (streaming/Streams.gateBatch —
+    // the exact foreachBatch body the dedupGate stream runs): three
+    // deterministic micro-batches arrive in order, each judged against
+    // EVERYTHING ingested before it — batch 1 carries near-dup
+    // mutations of batch-0 docs (last word dropped), batch 2 carries
+    // exact copies of batch-1 docs under new ids — and each batch's
+    // verdicts/index/corpus appends ride the replay-idempotent txn
+    // guard. Census: per batch, flagged vs admitted. Nothing ever
+    // rescans the corpus: probe = band-equality join over the
+    // partitioned index, append = O(batch). Rows-only (minhash_agg is
+    // engine-specific); StreamingSpec pins the streaming twin, replay
+    // no-ops, and string-id gates.
+    QueryDef("l2_crawl_gate", (s, dir) => {
+      val base = graft.TempDirs.fresh("l2_crawl_gate")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(expr(
+            "slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"), " ")
+            .as("text"))
+      val exact = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val batches = Seq(
+        docs.filter(col("doc_id") < 100),
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .unionByName(near),
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+          .unionByName(exact))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.Streams.gateBatch(b, i.toLong, "doc_id", "text",
+          s"$base/corpus", s"$base/index", s"$base/verdicts",
+          threshold = 0.5)
+      }
+      graft.sources.DeltaLite.read(s, s"$base/verdicts")
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_judged"),
+          sum(when(col("near_dup_of").isNotNull, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(when(col("near_dup_of").isNull, 1L).otherwise(0L))
+            .as("n_admitted"))
+        .orderBy(col("batch_id").asc_nulls_last)
+    }, None),
+
     QueryDef("l2_incremental_dedup", (s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
       val existing = docs.filter(col("doc_id") < 80)
