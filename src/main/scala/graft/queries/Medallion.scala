@@ -573,6 +573,39 @@ object Medallion {
         vars: Map[String, String] = Map.empty): Map[String, String] =
       run(s, models, targetDir, threads, selective = true, vars = vars)
 
+    /** `dbt compile`: render every model's code text — vars/env_var
+      * templates resolved, `ref(name)` calls substituted with the
+      * quoted MATERIALIZATION path the run would read (pinned and
+      * floating version refs included) — to
+      * `<targetDir>/compiled/<nodeId>.sql`, one file per node with a
+      * `-- depends_on:` header, WITHOUT executing anything. The same
+      * validations as a run (ref resolution, access enforcement,
+      * template compile) gate the artifact, so `compile` is the cheap
+      * CI signal dbt users lean on: a broken ref, access violation or
+      * unbound var fails here, with zero data reads at any scale.
+      * Returns nodeId → compiled file path. */
+    def compile(models: Seq[Model], targetDir: String,
+        vars: Map[String, String] = Map.empty,
+        env: Map[String, String] = sys.env): Map[String, String] = {
+      models.foreach(m => m.deps.foreach(d => resolveRef(models, d)))
+      enforceAccess(models)
+      val dir = Paths.get(targetDir, "compiled")
+      Files.createDirectories(dir)
+      val RefCall = """ref\(([A-Za-z0-9_.]+)\)""".r
+      models.map { m =>
+        val rendered = renderVars(m.code, vars, env)
+        val resolved = RefCall.replaceAllIn(rendered, mm =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"'$targetDir/${tableName(resolveRef(models, mm.group(1)))}'"))
+        val text = s"-- node: ${nodeId(m)}\n-- depends_on: " +
+          m.deps.map(d => nodeId(resolveRef(models, d))).sorted
+            .mkString(", ") + "\n" + resolved + "\n"
+        val f = dir.resolve(s"${nodeId(m)}.sql")
+        Files.write(f, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        nodeId(m) -> f.toString
+      }.toMap
+    }
+
     /** Per-model outcome captured during [[run]] for run_results.json. */
     final case class RunResult(status: String, executionSec: Double,
         rows: Long, version: Long)

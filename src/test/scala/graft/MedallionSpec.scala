@@ -477,6 +477,47 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.latestVersion(s"$target/recent_events").get === before)
   }
 
+  test("dbt compile: rendered per-model artifacts with refs resolved, zero execution") {
+    val target = Files.createTempDirectory("graft_compile").toString
+    val models = Pipeline.dag(sf).map {
+      case m if m.name == "gold_daily_events" => m.copy(
+        code = m.code + " limit {{ var('row_cap', 1000) }}")
+      case m => m
+    }
+    val out = Pipeline.compile(models, target, vars = Map("row_cap" -> "7"))
+    assert(out.keySet === models.map(Pipeline.nodeId).toSet)
+    def text(n: String): String = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(out(n))), "UTF-8")
+    // ref() resolves to the quoted materialization path the run would read
+    assert(text("silver_events").contains(s"'$target/bronze_events'"))
+    assert(!text("silver_events").contains("ref(bronze_events)"))
+    // vars render; the depends_on header names resolved node ids
+    assert(text("gold_daily_events").contains("limit 7"))
+    assert(text("gold_daily_events").contains("-- depends_on: silver_events"))
+    // nothing executed: no tables, no run artifacts
+    assert(DeltaLite.latestVersion(s"$target/bronze_events").isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(target, "run_results.json")))
+    // the run-time validations gate the artifact: unknown ref, access
+    // violation, unbound var all refuse
+    intercept[IllegalArgumentException] {
+      Pipeline.compile(Seq(Pipeline.Model("x", Seq("nope"),
+        (s, _) => Pipeline.bronzeEvents(s, sf))), target)
+    }
+    // with the default present an unbound run compiles (default used)…
+    assert(Pipeline.compile(models, target)("gold_daily_events").nonEmpty)
+    assert(text("gold_daily_events").contains("limit 1000"))
+    // …without it, an unbound var refuses at compile time
+    intercept[IllegalArgumentException] {
+      Pipeline.compile(models.map {
+        case m if m.name == "gold_daily_events" =>
+          m.copy(code = m.code.replace("{{ var('row_cap', 1000) }}",
+            "{{ var('row_cap') }}"))
+        case m => m
+      }, target)
+    }
+  }
+
   test("multimodal: stub decode plumbing (schema, batches, frames)") {
     implicit val s = spark
     val media = graft.functions.Multimodal.asMediaTable(

@@ -1048,6 +1048,62 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("CBO join reorder: analyzed stats flip a 3-table join to the selective dimension first") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("join_reorder")
+    val fact = s"$base/fact"; val dimBig = s"$base/dim_big"
+    val dimSmall = s"$base/dim_small"
+    // fact: 200k rows; fk_small hits only 10% of its 0..999 domain in
+    // dim_small (keys 0..99) — the selective edge; fk_big joins 1:1
+    // against the 50k-key dimension — the expensive edge
+    D.create(spark, fact, spark.range(200000L).select(
+      (col("id") % 1000L).as("fk_small"),
+      (col("id") % 50000L).as("fk_big"),
+      col("id").as("m")).repartition(2))
+    D.create(spark, dimBig, spark.range(50000L)
+      .select(col("id").as("kb"), (col("id") * 2L).as("vb")).repartition(2))
+    D.create(spark, dimSmall, spark.range(100L)
+      .select(col("id").as("ks"), (col("id") * 3L).as("vs")))
+    Seq(fact, dimBig, dimSmall).foreach(D.analyzeTable(spark, _))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def q() = {
+      val f = D.read(ss, fact); val b = D.read(ss, dimBig)
+      val sm = D.read(ss, dimSmall)
+      // written WORST-FIRST: the 1:1 big-dimension join before the
+      // 10%-selective small-dimension join
+      f.join(b, f("fk_big") === b("kb"))
+        .join(sm, f("fk_small") === sm("ks"))
+        .groupBy(sm("vs")).agg(sum(b("vb")).as("t"))
+    }
+    def innermostJoinOutputs(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      joins.last.output.map(_.name).toSet
+    }
+    // without CBO the join order is as written: the inner join is
+    // fact × dim_big
+    assert(innermostJoinOutputs(q()).contains("kb"),
+      "without CBO the written order must hold")
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      // with analyzed NDVs, CBO prices fact⋈small at ~10% of fact and
+      // reorders it first
+      val inner = innermostJoinOutputs(q())
+      assert(inner.contains("ks") && !inner.contains("kb"),
+        s"CBO must join the selective dimension first, inner join outputs: $inner")
+      // reorder is cost-model only: results agree
+      val a = q().orderBy("vs").collect().toSeq
+      ss.conf.unset("spark.sql.cbo.enabled")
+      ss.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      val b = q().orderBy("vs").collect().toSeq
+      assert(a === b)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("log column stats: a selective filter re-qualifies a big fact for broadcast under CBO") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
