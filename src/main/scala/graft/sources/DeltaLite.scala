@@ -2160,15 +2160,17 @@ object DeltaLite {
           case (a @ Some(_), b @ Some(_)) => (a, b)
           case _ => (None, None)
         }
-        val (ndv, nulls, avgLen, maxLen) = analyzed.get(f.name)
-          .getOrElse((None, None, None, None))
+        val an = analyzed.get(f.name)
+        val ndv = an.flatMap(_.ndv); val nulls = an.flatMap(_.nulls)
         if (mn.isEmpty && ndv.isEmpty && nulls.isEmpty) None
         else Some(f.name -> CatalogColumnStat(
           distinctCount = ndv.map(BigInt(_)),
           min = mn, max = mx,
           nullCount = nulls.map(BigInt(_)),
-          avgLen = avgLen.orElse(Some(f.dataType.defaultSize.toLong)),
-          maxLen = maxLen.orElse(Some(f.dataType.defaultSize.toLong)),
+          avgLen = an.flatMap(_.avgLen)
+            .orElse(Some(f.dataType.defaultSize.toLong)),
+          maxLen = an.flatMap(_.maxLen)
+            .orElse(Some(f.dataType.defaultSize.toLong)),
           histogram = None, version = 2))
       }.toMap
     val plan = df.queryExecution.analyzed.transform {
@@ -2767,6 +2769,12 @@ object DeltaLite {
           advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
           snap.properties)
     maybeAutoCompact(spark, path)
+    // opt-in incremental stats: TBLPROPERTIES graft.stats.auto = true
+    // folds this batch's sketches into the standing ANALYZE stats —
+    // one extra map-side pass over the batch, never a table rescan
+    if (snap.properties.exists { case (k, x) =>
+        k.equalsIgnoreCase("graft.stats.auto") && x.equalsIgnoreCase("true") })
+      analyzeAppend(spark, path, withIds)
     v
   }
 
@@ -3208,8 +3216,45 @@ object DeltaLite {
         eligible.filter(f => columns.contains(f.name))
       }
     require(targets.nonEmpty, s"ANALYZE: no stat-eligible columns on $path")
+    val entries = collectColStats(read(spark, path), targets)
+    // a FOR COLUMNS subset updates only the named columns: stats of
+    // untouched columns carry over (warehouse ANALYZE semantics)
+    val kept = parseColStats(snap.properties)
+      .view.filterKeys(k => !targets.exists(f => snap.phys(f.name) == k))
+      .toMap
+    val byPhys = entries.map { case (n, e) => snap.phys(n) -> e }
+    writeColStats(path, snap.version, snap.totalRows, kept ++ byPhys)
+  }
+
+  /** HLL-sketchable rendering of a column (DataSketches HLL accepts
+    * int/long/string/binary): bijective casts keep the distinct count
+    * exact; None for float/double/decimal (ANALYZE falls back to
+    * approx_count_distinct and the sketch-merge path skips them). */
+  private def hllCast(f: StructField): Option[Column] = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(col(f.name).cast("long"))
+    case BooleanType => Some(col(f.name).cast("int"))
+    case DateType => Some(unix_date(col(f.name)))
+    case TimestampType => Some(unix_micros(col(f.name)))
+    case TimestampNTZType =>
+      Some(unix_micros(col(f.name).cast(TimestampType)))
+    case StringType => Some(col(f.name))
+    case _ => None
+  }
+
+  /** ONE aggregate pass over `df` producing each target's
+    * [[ColStatEntry]]: NDV from an HLL sketch where the type is
+    * sketchable (the sketch itself is kept — it's the mergeable state
+    * behind O(batch) maintenance), approx_count_distinct otherwise;
+    * exact null counts; string avg/max lengths. */
+  private def collectColStats(df: DataFrame,
+      targets: Seq[StructField]): Map[String, ColStatEntry] = {
     val aggs = targets.flatMap { f =>
-      Seq(approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+      val ndvAgg = hllCast(f) match {
+        case Some(c) => base64(hll_sketch_agg(c)).as(s"__hll_${f.name}")
+        case None => approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}")
+      }
+      Seq(ndvAgg,
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
           .as(s"__nulls_${f.name}")) ++
       (f.dataType match {
@@ -3219,54 +3264,146 @@ object DeltaLite {
         case _ => Nil
       })
     }
-    val row = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
-    def get(n: String): Option[Long] = {
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def getL(n: String): Option[Long] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.getLong(i))
     }
-    import org.json4s.JsonDSL._
-    // a FOR COLUMNS subset updates only the named columns: stats of
-    // untouched columns carry over (warehouse ANALYZE semantics)
-    val kept = parseColStats(snap.properties)
-      .view.filterKeys(k => !targets.exists(f => snap.phys(f.name) == k))
-      .map { case (k, (ndv, nulls, avgLen, maxLen)) =>
-        k -> (("ndv" -> ndv) ~ ("nulls" -> nulls) ~
-          ("avgLen" -> avgLen) ~ ("maxLen" -> maxLen))
-      }.toMap
-    val cols = kept ++ targets.map { f =>
-      snap.phys(f.name) -> (
-        ("ndv" -> get(s"__ndv_${f.name}")) ~
-        ("nulls" -> get(s"__nulls_${f.name}").orElse(Some(0L))) ~
-        ("avgLen" -> (if (f.dataType == StringType)
-          get(s"__avglen_${f.name}") else None)) ~
-        ("maxLen" -> (if (f.dataType == StringType)
-          get(s"__maxlen_${f.name}") else None)))
+    def getS(n: String): Option[String] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getString(i))
+    }
+    targets.map { f =>
+      val hll = if (hllCast(f).isDefined) getS(s"__hll_${f.name}") else None
+      val ndv = hll match {
+        case Some(sk) => Some(hllEstimate(df.sparkSession, sk))
+        case None => getL(s"__ndv_${f.name}")
+      }
+      f.name -> ColStatEntry(ndv,
+        getL(s"__nulls_${f.name}").orElse(Some(0L)),
+        if (f.dataType == StringType) getL(s"__avglen_${f.name}") else None,
+        if (f.dataType == StringType) getL(s"__maxlen_${f.name}") else None,
+        hll)
     }.toMap
+  }
+
+  /** Estimate a base64 HLL sketch's cardinality (1-row local project). */
+  private def hllEstimate(spark: SparkSession, b64: String): Long =
+    spark.range(1).select(
+      hll_sketch_estimate(unbase64(lit(b64))).as("e")).head().getLong(0)
+
+  /** Serialize entries under [[ColStatsKey]] (a metadata-only commit). */
+  private def writeColStats(path: String, analyzedVersion: Long,
+      rows: Long, entries: Map[String, ColStatEntry]): Long = {
+    import org.json4s.JsonDSL._
+    val cols = entries.map { case (k, e) =>
+      k -> (("ndv" -> e.ndv) ~ ("nulls" -> e.nulls) ~
+        ("avgLen" -> e.avgLen) ~ ("maxLen" -> e.maxLen) ~
+        ("hll" -> e.hll))
+    }
     val json = JsonMethods.compact(JsonMethods.render(
-      ("analyzedVersion" -> snap.version) ~
-      ("rows" -> snap.totalRows) ~
+      ("analyzedVersion" -> analyzedVersion) ~
+      ("rows" -> rows) ~
       ("cols" -> cols)))
     setProperties(path, Map(ColStatsKey -> json))
   }
 
-  /** Parsed [[ColStatsKey]] payload: physical name → (ndv, nulls,
-    * avgLen, maxLen). Tolerant of absent/garbled properties (stats are
-    * estimates — never fail a read over them). */
+  /** INCREMENTAL statistics maintenance: fold an appended batch into
+    * the standing ANALYZE stats in O(batch) — no table rescan, ever.
+    * HLL sketches are mergeable, so per-column NDV updates as
+    * `estimate(union(stored, sketch(batch)))` (the same math a 1000-
+    * executor ANALYZE would distribute); null counts and row counts
+    * add; string avg length re-weights by row counts and max length
+    * takes the max; min/max need nothing (the read path serves them
+    * LIVE from file stats). Non-sketchable columns (float/double/
+    * decimal) keep their analyzed NDV — an increasingly stale lower
+    * bound, refreshed by the next full ANALYZE. Row-removing ops make
+    * NDV an upper bound (sketches cannot subtract) — still valid as an
+    * estimate; re-ANALYZE to tighten. No-op unless the table has
+    * standing stats. Set TBLPROPERTIES `graft.stats.auto = true` and
+    * [[append]] runs this automatically on every batch. */
+  def analyzeAppend(spark: SparkSession, path: String,
+      batch: DataFrame): Long = {
+    val snap = snapshot(path)
+    val (rows, stored) = parseColStatsFull(snap.properties)
+    if (stored.isEmpty) return -1L
+    // physical → logical: stats are stored by physical name, the batch
+    // carries logical columns
+    val logical = snap.schema.fields.filter(f =>
+      stored.contains(snap.phys(f.name)) && batch.columns.contains(f.name))
+    if (logical.isEmpty) return -1L
+    val fresh = collectColStats(batch, logical.toSeq)
+    val batchRows = batch.count()
+    val merged = stored.map { case (physName, old) =>
+      logical.find(f => snap.phys(f.name) == physName) match {
+        case None => physName -> old
+        case Some(f) =>
+          val b = fresh(f.name)
+          val hll = (old.hll, b.hll) match {
+            case (Some(a), Some(nb)) => Some(hllUnion(spark, a, nb))
+            case _ => None
+          }
+          val ndv = hll match {
+            case Some(sk) => Some(hllEstimate(spark, sk))
+            case None => old.ndv // non-sketchable: keep the analyzed floor
+          }
+          val avgLen = (old.avgLen, b.avgLen) match {
+            case (Some(oa), Some(ba)) if rows + batchRows > 0 =>
+              Some(math.ceil((oa.toDouble * rows + ba.toDouble * batchRows) /
+                (rows + batchRows)).toLong)
+            case (a, bb) => a.orElse(bb)
+          }
+          physName -> ColStatEntry(ndv,
+            Some(old.nulls.getOrElse(0L) + b.nulls.getOrElse(0L)),
+            avgLen,
+            (old.maxLen.toSeq ++ b.maxLen.toSeq).maxOption,
+            hll)
+      }
+    }
+    writeColStats(path, snap.version, rows + batchRows, merged)
+  }
+
+  /** Merge two base64 HLL sketches (1-row local project). */
+  private def hllUnion(spark: SparkSession, a: String, b: String): String =
+    spark.range(1).select(base64(hll_union(
+      unbase64(lit(a)), unbase64(lit(b)))).as("u")).head().getString(0)
+
+  /** One column's ANALYZE entry: NDV + null count (+ string lengths) +
+    * the base64 HLL sketch the NDV came from — the MERGEABLE state that
+    * lets [[analyzeAppend]] maintain NDV in O(batch). */
+  private[graft] final case class ColStatEntry(ndv: Option[Long],
+      nulls: Option[Long], avgLen: Option[Long], maxLen: Option[Long],
+      hll: Option[String])
+
+  /** Parsed [[ColStatsKey]] payload keyed by physical name, plus the
+    * analyzed row count. Tolerant of absent/garbled properties (stats
+    * are estimates — never fail a read over them). */
   private[graft] def parseColStats(props: Map[String, String]):
-      Map[String, (Option[Long], Option[Long], Option[Long], Option[Long])] =
+      Map[String, ColStatEntry] = parseColStatsFull(props)._2
+
+  private[graft] def parseColStatsFull(props: Map[String, String]):
+      (Long, Map[String, ColStatEntry]) =
     props.get(ColStatsKey).flatMap { json =>
       try {
-        val cols = JsonMethods.parse(json) \ "cols"
-        Some(cols.asInstanceOf[JObject].obj.map { case (name, v) =>
+        val root = JsonMethods.parse(json)
+        val rows = root \ "rows" match {
+          case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
+        }
+        val cols = root \ "cols"
+        Some(rows -> cols.asInstanceOf[JObject].obj.map { case (name, v) =>
           def f(k: String): Option[Long] = v \ k match {
             case JInt(x) => Some(x.toLong)
             case JLong(x) => Some(x)
             case _ => None
           }
-          name -> (f("ndv"), f("nulls"), f("avgLen"), f("maxLen"))
+          val hll = v \ "hll" match {
+            case JString(x) => Some(x); case _ => None
+          }
+          name -> ColStatEntry(f("ndv"), f("nulls"), f("avgLen"),
+            f("maxLen"), hll)
         }.toMap)
       } catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
+    }.getOrElse((0L, Map.empty))
 
   /** Delta `ALTER TABLE ... UNSET TBLPROPERTIES (k)`. */
   def unsetProperty(path: String, key: String): Long = {

@@ -558,14 +558,15 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       .collect()(0).getLong(0)
     assert(v === 1L)
     val parsed = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)
-    val (ndvId, nullsId, _, _) = parsed("id")
-    assert(nullsId.contains(0L))
-    assert(ndvId.exists(n => n > 900 && n < 1100), s"HLL ndv ±5%: $ndvId")
-    assert(parsed("bucket")._1.exists(n => n >= 9 && n <= 11))
-    val (ndvTag, nullsTag, avgTag, maxTag) = parsed("tag")
-    assert(nullsTag.contains(250L), s"exact null count: $nullsTag")
-    assert(ndvTag.exists(n => n >= 23 && n <= 27))
-    assert(avgTag.exists(_ >= 2L) && maxTag.exists(_ >= 3L))
+    assert(parsed("id").nulls.contains(0L))
+    assert(parsed("id").ndv.exists(n => n > 900 && n < 1100),
+      s"HLL ndv ±5%: ${parsed("id").ndv}")
+    assert(parsed("bucket").ndv.exists(n => n >= 9 && n <= 11))
+    val tag = parsed("tag")
+    assert(tag.nulls.contains(250L), s"exact null count: ${tag.nulls}")
+    assert(tag.ndv.exists(n => n >= 23 && n <= 27))
+    assert(tag.avgLen.exists(_ >= 2L) && tag.maxLen.exists(_ >= 3L))
+    assert(tag.hll.nonEmpty, "strings carry the mergeable sketch")
     // CBO reads merge analyzed NDV/nulls with LIVE file min/max
     val ss = spark.newSession()
     ss.conf.set("spark.sql.cbo.enabled", "true")
@@ -591,8 +592,61 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       .collect()
     val again = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)
     assert(again.keySet === Set("id", "bucket", "tag"))
-    assert(again("bucket")._1.exists(n => n >= 9 && n <= 11))
-    assert(again("tag")._2.contains(250L), "untouched columns carry over")
+    assert(again("bucket").ndv.exists(n => n >= 9 && n <= 11))
+    assert(again("tag").nulls.contains(250L), "untouched columns carry over")
+  }
+
+  test("incremental stats: appends fold HLL sketches in O(batch); auto property maintains them") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_incstats")
+      .toString + "/t"
+    // 500 keys 0..499; tag nulls every 5th row
+    DeltaLite.create(spark, path,
+      (0L until 500L).map(i => (i,
+        if (i % 5 == 0) None else Some(s"t${i % 40}"))).toDF("k", "tag"))
+    DeltaLite.analyzeTable(spark, path)
+    val v0 = DeltaLite.parseColStatsFull(DeltaLite.snapshot(path).properties)
+    assert(v0._1 === 500L)
+    assert(v0._2("k").ndv.exists(n => n > 470 && n < 530))
+    // batch: 250 OVERLAPPING keys (250..499) + 250 new (500..749), all
+    // tags non-null and longer
+    val batch = (250L until 750L).map(i => (i, Some(s"tag_${i % 60}")))
+      .toDF("k", "tag")
+    DeltaLite.analyzeAppend(spark, path, batch)
+    val v1 = DeltaLite.parseColStatsFull(DeltaLite.snapshot(path).properties)
+    assert(v1._1 === 1000L, "analyzed row count accumulates")
+    // union estimate sees 750 distinct keys — the overlap is NOT double
+    // counted (the point of mergeable sketches)
+    assert(v1._2("k").ndv.exists(n => n > 700 && n < 800),
+      s"union ndv must be ~750, got ${v1._2("k").ndv}")
+    assert(v1._2("tag").nulls.contains(100L), "null counts add")
+    assert(v1._2("tag").maxLen.exists(_ >= 6L), "max length takes the max")
+    // auto maintenance: the property makes append() fold stats itself
+    DeltaLite.setProperties(path, Map("graft.stats.auto" -> "true"))
+    DeltaLite.append(spark, path,
+      (750L until 800L).map(i => (i, Some(s"x$i"))).toDF("k", "tag"))
+    val v2 = DeltaLite.parseColStatsFull(DeltaLite.snapshot(path).properties)
+    assert(v2._1 === 1050L)
+    assert(v2._2("k").ndv.exists(n => n > 740 && n < 860),
+      s"auto-append must extend ndv to ~800, got ${v2._2("k").ndv}")
+    // min/max stay LIVE from file stats either way: CBO sees the new max
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val st = DeltaLite.read(ss, path).queryExecution.optimizedPlan.stats
+      val k = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "k" => cs }.get
+      assert(k.max.contains(799L), s"live max must be current: $k")
+      assert(k.distinctCount.exists(n => n.toLong > 740),
+        s"merged ndv must surface in the plan: $k")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // a table WITHOUT standing stats: analyzeAppend is a no-op
+    val bare = java.nio.file.Files.createTempDirectory("graft_incbare")
+      .toString + "/t"
+    DeltaLite.create(spark, bare, Seq((1L, "a")).toDF("k", "tag"))
+    assert(DeltaLite.analyzeAppend(spark, bare,
+      Seq((2L, "b")).toDF("k", "tag")) === -1L)
     val bad = intercept[Exception] {
       spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR COLUMNS (nope)")
         .collect()
