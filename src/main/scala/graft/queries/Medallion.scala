@@ -734,6 +734,10 @@ object Medallion {
         D.latestVersion(path).map { _ =>
           val snap = D.snapshot(path)
           val hasDv = snap.files.exists(_.dv.nonEmpty)
+          // ANALYZE-computed column stats (NDV / null counts) join the
+          // log-derived extrema — the dbt-docs catalog's per-column
+          // stats block, still zero data reads
+          val analyzed = D.parseColStats(snap.properties)
           val cols = snap.schema.fields.zipWithIndex.map { case (f, i) =>
             val extrema: (Option[String], Option[String]) =
               if (hasDv) (None, None) // a DV can delete the extreme row
@@ -746,12 +750,15 @@ object Medallion {
                     .flatMap(render(f.dataType, _))
                 (ex(isMin = true), ex(isMin = false))
               }
+            val an = analyzed.get(snap.phys(f.name))
             f.name -> (
               ("name" -> f.name) ~
               ("type" -> f.dataType.simpleString) ~
               ("index" -> i) ~
               ("min" -> extrema._1) ~
-              ("max" -> extrema._2))
+              ("max" -> extrema._2) ~
+              ("approx_distinct" -> an.flatMap(_.ndv)) ~
+              ("null_count" -> an.flatMap(_.nulls)))
           }
           uid(m) -> (
             ("metadata" -> (

@@ -1339,6 +1339,20 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       .agg(min(col("n_items")), max(col("n_items"))).head()
     assert((cols("n_items") \ "min") === JString(ni.getLong(0).toString))
     assert((cols("n_items") \ "max") === JString(ni.getLong(1).toString))
+    // an ANALYZEd model surfaces NDV/null counts in its catalog block
+    // (absent before ANALYZE — never a wrong value)
+    assert((cols("day") \ "approx_distinct") === JNothing)
+    DeltaLite.analyzeTable(spark, s"$target/gold_daily_revenue")
+    val catAnalyzed = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Pipeline.generateCatalog(target, order))), "UTF-8"))
+    val cols2 = (catAnalyzed \ "nodes" \ "model.graft.gold_daily_revenue" \
+      "columns").asInstanceOf[JObject].obj.toMap
+    val days = DeltaLite.read(spark, s"$target/gold_daily_revenue")
+      .select(col("day")).distinct().count()
+    val gotNdv = asLong(cols2("day") \ "approx_distinct")
+    assert(math.abs(gotNdv - days) <= math.max(2L, days / 10),
+      s"catalog ndv $gotNdv must approximate $days")
+    assert(asLong(cols2("day") \ "null_count") === 0L)
     // fully-built DAG → no errors
     assert((catalog \ "errors") === JNull || (catalog \ "errors") === JNothing)
     // a declared-but-unmaterialized model is NOT silently dropped: it
