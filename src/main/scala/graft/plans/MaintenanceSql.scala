@@ -322,15 +322,18 @@ object MaintenanceSql {
   }
 
   /** `ANALYZE TABLE '<path>' COMPUTE STATISTICS FOR ALL COLUMNS` (or
-    * `FOR COLUMNS (a, b)`) — one aggregate scan lands NDV/null-count
-    * column statistics in table properties; the read path merges them
-    * with live file min/max into Catalyst ColumnStats under CBO. */
-  final case class AnalyzeTableCommand(path: String, columns: Seq[String])
-      extends LeafRunnableCommand {
+    * `FOR COLUMNS (a, b)`), optionally `WITH HISTOGRAM` — one aggregate
+    * scan lands NDV/null-count column statistics in table properties
+    * (plus 32-bin equi-height histograms under WITH HISTOGRAM); the
+    * read path merges them with live file min/max into Catalyst
+    * ColumnStats under CBO. */
+  final case class AnalyzeTableCommand(path: String, columns: Seq[String],
+      histogram: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(DeltaLite.analyzeTable(spark, path, columns)))
+      Seq(Row(DeltaLite.analyzeTable(spark, path, columns,
+        histogramBins = if (histogram) 32 else 0)))
   }
 
   /** `COPY INTO '<table>' FROM '<dir>'` — idempotent landing-zone load;
@@ -509,11 +512,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
-      """FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
+      """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?\s*;?\s*""").r
   private val AnalyzeColsRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+COLUMNS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*""" +
-      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""").r
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""" +
+      """(\s+WITH\s+HISTOGRAM)?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -581,9 +585,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SetPropertiesCommand(p,
         PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
     case UnsetPropRe(p, k) => UnsetPropertyCommand(p, k)
-    case AnalyzeAllRe(p) => AnalyzeTableCommand(p, Nil)
-    case AnalyzeColsRe(p, cols) =>
-      AnalyzeTableCommand(p, cols.split(",").map(_.trim).toSeq)
+    case AnalyzeAllRe(p, hist) => AnalyzeTableCommand(p, Nil, hist != null)
+    case AnalyzeColsRe(p, cols, hist) =>
+      AnalyzeTableCommand(p, cols.split(",").map(_.trim).toSeq, hist != null)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -654,6 +654,48 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(bad.getMessage.contains("nope"))
   }
 
+  test("ANALYZE WITH HISTOGRAM: skew-aware selectivity replaces the uniform [min,max] guess") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hist")
+      .toString + "/t"
+    // HARD skew: 99% of values in [0, 100), 1% spread to ~10M — the
+    // uniform assumption prices v > 5M at ~50%, reality is ~1%
+    DeltaLite.create(spark, path, spark.range(100000L).select(
+      when(col("id") < 99000L, col("id") % 100L)
+        .otherwise(col("id") * 100L).as("v"),
+      col("id").as("k")).repartition(2))
+    // ids 99000..99999 → v = id*100 > 5M: exactly 1000 true rows
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (v) WITH HISTOGRAM").collect()
+    val entry = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)("v")
+    val (height, bins) = entry.hist.get
+    assert(bins.size === 32)
+    assert(math.abs(height - 100000.0 / 32) < 1.0)
+    // nearly all equi-height bins sit inside the dense [0,100) head
+    assert(bins.count(_._2 <= 100.0) >= 28,
+      s"equi-height bins must crowd the skew head: $bins")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def est(): BigInt = DeltaLite.read(ss, path)
+        .filter(col("v") > 5000000L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      val withHist = est()
+      assert(withHist < BigInt(10000),
+        s"histogram must price the sparse tail, got $withHist (true 1000)")
+      // re-ANALYZE WITHOUT histogram: back to the uniform [min,max] guess
+      DeltaLite.analyzeTable(ss, path, Seq("v"))
+      val uniform = est()
+      assert(uniform > BigInt(30000),
+        s"without bins the uniform guess must stay coarse, got $uniform")
+      assert(withHist < uniform / 3,
+        s"histogram estimate ($withHist) must beat uniform ($uniform)")
+      // estimation only: the actual count is unchanged
+      assert(DeltaLite.read(ss, path).filter(col("v") > 5000000L).count()
+        === 1000L)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("maintenance SQL: DESCRIBE HISTORY/DETAIL, OPTIMIZE, VACUUM via spark.sql") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
