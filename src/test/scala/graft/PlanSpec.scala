@@ -1104,6 +1104,49 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("histogram join estimation: skewed-key cardinality prices by overlapping bins, not NDV uniformity") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("hist_join")
+    val t1 = s"$base/t1"; val t2 = s"$base/t2"
+    // t1: 90% of keys are the hot value 0, 10% distinct 1..10000;
+    // t2: keys 1..10000 once each — the hot key is ABSENT, so the
+    // true join size is 10k. NDV-only estimation assumes uniform keys
+    // (|t1|·|t2| / max(ndv)) ≈ 100k — 10× over.
+    D.create(spark, t1, spark.range(100000L).select(
+      when(col("id") < 90000L, 0L).otherwise(col("id") - 89999L).as("k"),
+      col("id").as("a")).repartition(2))
+    D.create(spark, t2, spark.range(1L, 10001L)
+      .select(col("id").as("k2"), col("id").as("b")).repartition(2))
+    Seq(t1, t2).foreach(p => D.analyzeTable(spark, p, histogramBins = 32))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def est(): BigInt = {
+        val a = D.read(ss, t1); val b = D.read(ss, t2)
+        a.join(b, a("k") === b("k2"))
+          .queryExecution.optimizedPlan.stats.rowCount.get
+      }
+      val withHist = est()
+      // both sides carry histograms: the hot-key bins of t1 overlap
+      // nothing in t2 ([1,10000]) and contribute ~0
+      assert(withHist < BigInt(50000),
+        s"bin-overlap estimate must see the absent hot key, got $withHist (true 10000)")
+      // re-ANALYZE without histograms: the NDV-uniformity guess returns
+      Seq(t1, t2).foreach(p => D.analyzeTable(ss, p))
+      val ndvOnly = est()
+      assert(ndvOnly > BigInt(60000),
+        s"NDV-only estimation must assume uniform keys, got $ndvOnly")
+      assert(withHist < ndvOnly / 2,
+        s"histograms ($withHist) must beat NDV-only ($ndvOnly)")
+      // estimation only: the real join is unchanged
+      val a = D.read(ss, t1); val b = D.read(ss, t2)
+      assert(a.join(b, a("k") === b("k2")).count() === 10000L)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("log column stats: a selective filter re-qualifies a big fact for broadcast under CBO") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
