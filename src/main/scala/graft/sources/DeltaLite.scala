@@ -2143,10 +2143,15 @@ object DeltaLite {
     val wantColStats =
       spark.conf.get("spark.sql.cbo.enabled", "false") == "true" ||
       spark.conf.get("spark.sql.cbo.planStats.enabled", "false") == "true"
-    def external(v: Any): Option[String] = v match {
+    // CatalogColumnStat's OWN external rendering: plain numbers for
+    // numerics but ISO strings for dates/timestamps (fromExternalString
+    // v2 parses with DateFormatter/TimestampFormatter — epoch numbers
+    // would silently land bounds in year ~50000 and neuter estimation)
+    def external(v: Any, dt: DataType): Option[String] = v match {
       case null => None
       case _: org.apache.spark.unsafe.types.UTF8String => None // no string stats in the catalog model
-      case x => Some(x.toString) // ints/longs/floats/doubles; dates as epoch-day, timestamps as epoch-µs — CatalogColumnStat VERSION=2's external forms
+      case x => Some(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+        .toExternalString(x, "", dt))
     }
     lazy val analyzed = parseColStats(props)
     def colStatsFor(schema: StructType): Map[String, CatalogColumnStat] =
@@ -2155,7 +2160,8 @@ object DeltaLite {
         // live bounds from the scan's own file entries; NDV/null counts
         // from the last ANALYZE (estimate semantics — see analyzeTable)
         def ex(isMin: Boolean) = graft.plans.StatsAggRewrite
-          .statExtremum(files, f.name, f.dataType, isMin).flatMap(external)
+          .statExtremum(files, f.name, f.dataType, isMin)
+          .flatMap(external(_, f.dataType))
         val (mn, mx) = (ex(isMin = true), ex(isMin = false)) match {
           case (a @ Some(_), b @ Some(_)) => (a, b)
           case _ => (None, None)

@@ -693,6 +693,21 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       // estimation only: the actual count is unchanged
       assert(DeltaLite.read(ss, path).filter(col("v") > 5000000L).count()
         === 1000L)
+      // DATE columns histogram in epoch-day space — the axis estimation
+      // converts date literals to (a wrong axis would misprice SILENTLY)
+      val dpath = java.nio.file.Files.createTempDirectory("graft_histd")
+        .toString + "/t"
+      DeltaLite.create(ss, dpath, spark.range(100000L).select(
+        date_add(org.apache.spark.sql.functions.to_date(lit("2020-01-01")),
+          when(col("id") < 99000L, (col("id") % 100L).cast("int"))
+            .otherwise(lit(3650))).as("d"),
+        col("id").as("k")).repartition(2))
+      DeltaLite.analyzeTable(ss, dpath, Seq("d"), histogramBins = 32)
+      val dEst = DeltaLite.read(ss, dpath)
+        .filter(col("d") > org.apache.spark.sql.functions.to_date(lit("2025-01-01")))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(dEst < BigInt(10000),
+        s"date bins must price the sparse 2030 tail, got $dEst (true 1000)")
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
