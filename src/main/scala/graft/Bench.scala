@@ -19,6 +19,36 @@ import org.apache.spark.sql.SparkSession
   * parquet footer caches before timing starts (per-query numbers are
   * also reported, measured under concurrency). */
 object Bench {
+  /** FAIR pool allocation written to a temp file at launch: the three
+    * pools used below with minShare floors (steps 8, chains 8) so the
+    * latency-bound families never starve behind the ad-hoc flood. */
+  private def poolConfigFile(): String = {
+    val xml =
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-steps">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
+        |  <pool name="graft-chains">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>2</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
+        |  <pool name="graft-adhoc">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>2</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core on the box: the bench driver sets only
@@ -39,6 +69,12 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.scheduler.mode", "FAIR")
+      // minShare guarantees (see the pool comments below): the iterator
+      // pool's tiny frontier jobs get slots IMMEDIATELY instead of
+      // fair-queueing behind lifecycle stages — a recursive CTE's wall
+      // is (steps × per-step wait), so bounded wait is everything. The
+      // shares sum under the core count; surplus splits by weight.
+      .config("spark.scheduler.allocation.file", poolConfigFile())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +106,10 @@ object Bench {
     // everything else follows in map order. A real multi-tenant cluster
     // queue does exactly this with runtime estimates.
     val heavyFirst = Seq(
+      // the two longest serial chains lead: a chain dequeued at t=15 s
+      // single-handedly sets the makespan (t19 measured 40 s when it
+      // started late vs 18-24 s leading)
+      "t19_holt_linear", "l2_crawl_gate",
       "s26_mv_minmax", "s25_incremental_mv", "t11_microbatch", "s33_join_mv",
       "l3_ann_index", "s35_liquid_cluster", "s34_type_widening",
       "l2_dedup_groups", "s24_merge_evolution", "s9_scd2_snapshot",
@@ -108,19 +148,23 @@ object Bench {
     val chainPool = Set(
       "s26_mv_minmax", "s25_incremental_mv", "l3_ann_index",
       "s24_merge_evolution", "s13_delete_insert", "l2_dedup_groups",
-      "g1_pagerank", "l3_ann_ivf", "o8_recursive_cte",
-      "g2_bfs_hops", "g4_label_prop", "s37_scd2_timestamp",
+      "g1_pagerank", "l3_ann_ivf",
+      "s37_scd2_timestamp",
       "s20_reorg_purge", "s43_orc_interchange",
-      // round-8 serial chains: g6 iterates frontier joins like g2;
-      // the BPE pair (argmax-collect rounds) are job chains like
-      // l3_ann_ivf's train
-      "g6_weighted_sssp", "l4_bpe_train", "l4_bpe_encode",
-      // t19 is a ~30-step recursive CTE: tiny frontier joins,
-      // scheduler-latency-bound like o8; g7 iterates like g4
-      "t19_holt_linear", "g7_modularity",
-      // the crawl gate drives 3 probe+append micro-batches (~9 DeltaLite
-      // commits): a serial lifecycle chain like s25/s26
+      // the crawl gate drives probe+append micro-batches (DeltaLite
+      // commit chain): a serial lifecycle like s25/s26
       "l2_crawl_gate")
+    // The ITERATOR family is a different failure mode than the commit
+    // chains: ~24-40 TINY frontier jobs back-to-back (recursive CTEs,
+    // graph iterations, BPE argmax rounds) — they need scheduling
+    // FREQUENCY, not share. In the 20-member chains pool each step
+    // queued behind whole lifecycle stages and t19 stretched to the
+    // bench wall (41-53 s measured); a pool of their own keeps every
+    // step's wait bounded by the few small in-pool competitors.
+    val stepPool = Set(
+      "o8_recursive_cte", "t19_holt_linear",
+      "g2_bfs_hops", "g4_label_prop", "g6_weighted_sssp", "g7_modularity",
+      "l4_bpe_train", "l4_bpe_encode")
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))
@@ -130,7 +174,9 @@ object Bench {
         // thread-local and threads are reused across queries — set it
         // explicitly for EVERY query, never inherit the previous one's
         spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-          if (chainPool(name)) "graft-chains" else "graft-adhoc")
+          if (chainPool(name)) "graft-chains"
+          else if (stepPool(name)) "graft-steps"
+          else "graft-adhoc")
         val q0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
