@@ -2781,10 +2781,15 @@ object DeltaLite {
     maybeAutoCompact(spark, path)
     // opt-in incremental stats: TBLPROPERTIES graft.stats.auto = true
     // folds this batch's sketches into the standing ANALYZE stats —
-    // one extra map-side pass over the batch, never a table rescan
+    // one extra map-side pass over the batch, never a table rescan.
+    // BEST-EFFORT: the data commit above already succeeded, so a stats
+    // race (concurrent writer winning the metadata commit) or any
+    // stats-side failure must never fail the append — stats are
+    // estimates and the next fold or full ANALYZE repairs them.
     if (snap.properties.exists { case (k, x) =>
         k.equalsIgnoreCase("graft.stats.auto") && x.equalsIgnoreCase("true") })
-      analyzeAppend(spark, path, withIds)
+      try analyzeAppend(spark, path, withIds)
+      catch { case _: Throwable => () }
     v
   }
 

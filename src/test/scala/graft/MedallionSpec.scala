@@ -647,6 +647,14 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     DeltaLite.create(spark, bare, Seq((1L, "a")).toDF("k", "tag"))
     assert(DeltaLite.analyzeAppend(spark, bare,
       Seq((2L, "b")).toDF("k", "tag")) === -1L)
+    // stats maintenance is BEST-EFFORT: a garbled stats property never
+    // fails reads or (auto) appends — the data still lands
+    DeltaLite.setProperties(path,
+      Map(DeltaLite.ColStatsKey -> "{definitely not json"))
+    val before = DeltaLite.read(spark, path).count()
+    DeltaLite.append(spark, path,
+      (800L until 810L).map(i => (i, Some(s"y$i"))).toDF("k", "tag"))
+    assert(DeltaLite.read(spark, path).count() === before + 10)
     val bad = intercept[Exception] {
       spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR COLUMNS (nope)")
         .collect()
