@@ -1104,6 +1104,47 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("pruned scans report pruned cardinality: partition branches and stats-pruned file sets") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("pruned_stats")
+    val part = s"$base/part"; val skip = s"$base/skip"
+    // Hive-layout table: 3 partitions of very different sizes
+    D.create(spark, part, spark.range(60000L).select(
+      when(col("id") < 50000L, "big").when(col("id") < 59000L, "mid")
+        .otherwise("tiny").as("p"),
+      col("id").as("v")), partitionBy = Seq("p"))
+    // unpartitioned table in 4 files with disjoint id ranges (min/max
+    // skipping prunes whole files)
+    D.create(spark, skip, spark.range(40000L)
+      .select(col("id").as("k"), (col("id") * 2L).as("w"))
+      .repartitionByRange(4, col("k")))
+    val ss = spark.newSession()
+    // full CBO, not just planStats: the partition union tree has
+    // Project/Union nodes above the leaves, and only the CBO visitor
+    // propagates rowCount through them (the size-only visitor keeps
+    // just sizeInBytes)
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      // a filter on the partition column constant-folds away the other
+      // branches, and each branch carries ITS OWN file-group stats —
+      // the plan estimate is the partition's true size, not the table's
+      val tiny = D.read(ss, part).filter(col("p") === "tiny")
+        .queryExecution.optimizedPlan.stats
+      assert(tiny.rowCount.contains(BigInt(1000)),
+        s"the tiny branch must report its own 1000 rows, got $tiny")
+      // a stats-pruned scan() reports only the surviving files' rows
+      val pruned = D.scan(ss, skip,
+        Seq(D.ColumnBound("k", Some(0L), Some(5000L))))
+        .queryExecution.optimizedPlan.stats
+      assert(pruned.rowCount.exists(rc => rc >= 5000 && rc < 25000),
+        s"the bound must prune whole files from the estimate, got $pruned")
+      val full = D.read(ss, skip).queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(40000)))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("histogram join estimation: skewed-key cardinality prices by overlapping bins, not NDV uniformity") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
