@@ -279,10 +279,21 @@ object Medallion {
       *               those descendants (dbt's build-out-and-up operator
       *               for CI: everything needed to rebuild and re-test
       *               the blast radius);
-      *  - `tag:t`  — every node declaring tag t.
+      *  - `tag:t`  — every node declaring tag t;
+      *  - `state:modified` — every node whose TRANSITIVE fingerprint
+      *    (rendered code + upstream chain, so code edits, var flips and
+      *    upstream changes all count) differs from the one recorded in
+      *    the `--state` manifest.json, or that the state manifest has
+      *    never seen. dbt's slim-CI selector: `state:modified+` with
+      *    `state = Some(prodTargetDir)` builds exactly the blast radius
+      *    of a change against production's last artifacts. Requires
+      *    `state`.
       * Selection is pure driver metadata — deciding WHAT to build never
       * reads data at any scale. Returns models in the input order. */
-    def select(models: Seq[Model], spec: String): Seq[Model] = {
+    def select(models: Seq[Model], spec: String,
+        state: Option[String] = None,
+        vars: Map[String, String] = Map.empty,
+        env: Map[String, String] = sys.env): Seq[Model] = {
       val ids = models.map(nodeId)
       val parents: Map[String, Set[String]] = models.map(m =>
         nodeId(m) -> m.deps.map(d => nodeId(resolveRef(models, d))).toSet).toMap
@@ -296,11 +307,19 @@ object Medallion {
         }
         acc
       }
-      def base(name: String): Set[String] = {
-        val hit = models.filter(m => nodeId(m) == name || m.name == name)
-        require(hit.nonEmpty, s"selector '$name' matches no model")
-        hit.map(nodeId).toSet
-      }
+      def base(name: String): Set[String] =
+        if (name == "state:modified") {
+          val dir = state.getOrElse(throw new IllegalArgumentException(
+            "state:modified requires a --state manifest directory"))
+          val saved = stateChecksums(dir)
+          models.filter(m =>
+            !saved.get(nodeId(m)).contains(ownChecksum(m, vars, env)))
+            .map(nodeId).toSet
+        } else {
+          val hit = models.filter(m => nodeId(m) == name || m.name == name)
+          require(hit.nonEmpty, s"selector '$name' matches no model")
+          hit.map(nodeId).toSet
+        }
       val chosen: Set[String] = spec.trim.split("""\s+""").toSeq
         .filter(_.nonEmpty).flatMap { term =>
           if (term.startsWith("tag:")) {
@@ -326,12 +345,57 @@ object Medallion {
       * target and serves ref()s as-is — status "deferred", no hooks, no
       * build, no commit. A missing deferred upstream fails that subtree
       * with a clear error instead of silently rebuilding it. */
+    /** A node's OWN content hash (id + rendered code, upstreams
+      * excluded) — dbt's node checksum, the `state:modified` unit. */
+    private def ownChecksum(m: Model, vars: Map[String, String],
+        env: Map[String, String]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest((nodeId(m) + " " + renderVars(m.code, vars, env))
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    /** Node id → own-code checksum recorded in a prior run's
+      * manifest.json under `stateDir` (dbt's `--state` artifacts). */
+    private def stateChecksums(stateDir: String): Map[String, String] = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = Paths.get(stateDir, "manifest.json")
+      require(Files.exists(p), s"--state: no manifest.json under $stateDir")
+      val nodes = JsonMethods.parse(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "nodes"
+      nodes.asInstanceOf[JObject].obj.flatMap { case (uid, v) =>
+        v \ "checksum" match {
+          case JString(cs) => Some(uid.stripPrefix("model.graft.") -> cs)
+          case _ => None
+        }
+      }.toMap
+    }
+
     def runSelect(s: SparkSession, models: Seq[Model], targetDir: String,
         spec: String, threads: Int = 4, selective: Boolean = false,
-        vars: Map[String, String] = Map.empty): Map[String, String] =
+        vars: Map[String, String] = Map.empty,
+        state: Option[String] = None): Map[String, String] =
       run(s, models, targetDir, threads, selective,
-        buildOnly = Some(select(models, spec).map(nodeId).toSet),
+        buildOnly = Some(select(models, spec, state, vars).map(nodeId).toSet),
         vars = vars)
+
+    /** Topological order (Kahn) — also rejects accidental ref cycles.
+      * Refs resolve BEFORE ordering, so a floating ref schedules after
+      * whichever version it lands on. */
+    private def topoOrder(models: Seq[Model]): Seq[Model] = {
+      var order = Vector.empty[Model]
+      var remaining = models
+      while (remaining.nonEmpty) {
+        val (ready, rest) = remaining.partition(
+          _.deps.forall { d =>
+            val t = nodeId(resolveRef(models, d))
+            order.exists(o => nodeId(o) == t)
+          })
+        require(ready.nonEmpty,
+          s"ref cycle among ${remaining.map(nodeId).mkString(", ")}")
+        order ++= ready; remaining = rest
+      }
+      order
+    }
 
     /** Table property carrying the model fingerprint that produced the
       * materialization — the persisted `state` that dbt's
@@ -420,21 +484,7 @@ object Medallion {
         s"duplicate model ids: ${ids.diff(ids.distinct).mkString(", ")}")
       models.foreach(m => m.deps.foreach(d => resolveRef(models, d)))
       enforceAccess(models)
-      // topological order (Kahn) — also rejects accidental ref cycles.
-      // Refs resolve BEFORE ordering, so a floating ref schedules after
-      // whichever version it lands on.
-      var order = Vector.empty[Model]
-      var remaining = models
-      while (remaining.nonEmpty) {
-        val (ready, rest) = remaining.partition(
-          _.deps.forall { d =>
-            val t = nodeId(resolveRef(models, d))
-            order.exists(o => nodeId(o) == t)
-          })
-        require(ready.nonEmpty,
-          s"ref cycle among ${remaining.map(nodeId).mkString(", ")}")
-        order ++= ready; remaining = rest
-      }
+      val order = topoOrder(models)
       val warnings = versionWarnings(models)
       // compile gate: EVERY model's templated code must render — an
       // unbound var fails the invocation before any model runs (dbt's
@@ -554,7 +604,7 @@ object Medallion {
         // per-model outcome (status / wall / rows / table version).
         writeArtifacts(targetDir, order,
           scala.jdk.CollectionConverters.MapHasAsScala(results).asScala.toMap,
-          (System.nanoTime() - runStart) / 1e9, warnings, vars, env)
+          (System.nanoTime() - runStart) / 1e9, warnings, vars, env, fp)
       }
     }
 
@@ -626,7 +676,8 @@ object Medallion {
     private def writeArtifacts(targetDir: String, order: Seq[Model],
         results: Map[String, RunResult], elapsedSec: Double,
         warnings: Seq[String] = Nil, vars: Map[String, String] = Map.empty,
-        env: Map[String, String] = sys.env): Unit = {
+        env: Map[String, String] = sys.env,
+        fingerprintsByNode: Map[String, String] = Map.empty): Unit = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       def uid(n: String) = s"model.graft.$n"
@@ -653,6 +704,14 @@ object Medallion {
             ("access" -> m.access) ~
             ("tags" -> m.tags.toList) ~
             ("compiled_code" -> renderVars(m.code, vars, env)) ~
+            // two hashes, two jobs: the TRANSITIVE fingerprint stamps
+            // materializations (staleness), the OWN-code checksum is
+            // what `--select state:modified --state <this dir>` diffs —
+            // dbt's modified means THIS node's code changed; descendants
+            // of a change are selected by the + operator, not by
+            // `modified` itself
+            ("fingerprint" -> fingerprintsByNode.get(nodeId(m))) ~
+            ("checksum" -> ownChecksum(m, vars, env)) ~
             ("depends_on" -> ("nodes" -> m.deps.map(dep))))
         }.toMap) ~
         ("child_map" -> order.map(m =>

@@ -477,6 +477,64 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(DeltaLite.latestVersion(s"$target/recent_events").get === before)
   }
 
+  test("dbt --state slim CI: state:modified diffs manifests; runSelect builds only the blast radius") {
+    val prod = Files.createTempDirectory("graft_state_prod").toString
+    val ci = Files.createTempDirectory("graft_state_ci").toString
+    val models = Pipeline.dag(sf)
+    // production run records per-node fingerprints in manifest.json
+    Pipeline.run(spark, models, prod)
+    // unchanged code against prod state: nothing is modified
+    assert(Pipeline.select(models, "state:modified",
+      state = Some(prod)).isEmpty)
+    // edit the mid-DAG model: modified = exactly it; + closure adds its
+    // descendant, not the upstream or the independent branch
+    val edited = models.map {
+      case m if m.name == "silver_events" =>
+        m.copy(code = m.code + " -- ci edit")
+      case m => m
+    }
+    assert(Pipeline.select(edited, "state:modified", state = Some(prod))
+      .map(_.name) === Seq("silver_events"))
+    assert(Pipeline.select(edited, "state:modified+", state = Some(prod))
+      .map(_.name).toSet === Set("silver_events", "gold_daily_events"))
+    // a VAR flip is a modification too (fingerprints hash rendered code)
+    val varred = models.map {
+      case m if m.name == "gold_daily_revenue" =>
+        m.copy(code = m.code + " limit {{ var('cap', 10) }}")
+      case m => m
+    }
+    Pipeline.run(spark, varred, prod, vars = Map("cap" -> "10"))
+    assert(Pipeline.select(varred, "state:modified", state = Some(prod),
+      vars = Map("cap" -> "10")).isEmpty)
+    assert(Pipeline.select(varred, "state:modified", state = Some(prod),
+      vars = Map("cap" -> "99")).map(_.name) === Seq("gold_daily_revenue"))
+    // slim CI: runSelect state:modified+ builds ONLY the subtree into a
+    // fresh CI target; unselected upstreams defer to EXISTING
+    // materializations — clone them first (the dbt clone + defer combo).
+    // Restore prod's manifest to the UNvarred DAG first (the var run
+    // above legitimately re-checksummed gold_daily_revenue)
+    Pipeline.run(spark, models, prod)
+    Pipeline.cloneEnv(spark, prod, ci, edited)
+    Pipeline.runSelect(spark, edited, ci, "state:modified+",
+      state = Some(prod))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rr = (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ci, "run_results.json")), "UTF-8"))
+      \ "results").asInstanceOf[JArray].arr
+    val statuses = rr.map(r => (r \ "unique_id").asInstanceOf[JString].s
+      .stripPrefix("model.graft.") ->
+      (r \ "status").asInstanceOf[JString].s).toMap
+    assert(statuses("silver_events") === "success")
+    assert(statuses("gold_daily_events") === "success")
+    assert(statuses("bronze_events") === "deferred")
+    assert(statuses("gold_daily_revenue") === "deferred")
+    // missing state dir refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.select(models, "state:modified") }
+    assert(e.getMessage.contains("--state"))
+  }
+
   test("dbt compile: rendered per-model artifacts with refs resolved, zero execution") {
     val target = Files.createTempDirectory("graft_compile").toString
     val models = Pipeline.dag(sf).map {
