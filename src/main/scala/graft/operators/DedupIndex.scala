@@ -100,10 +100,19 @@ object DedupIndex {
     val candIds = cand.select(col("eid")).distinct()
     val candCorpus = corpusText
       .join(candIds, corpusText(id) === col("eid"), "left_semi")
+    val inSets = graft.functions.TextFunctions.shingleSets(batch, id, text)
+    // Partner text resolves per eid with BATCH text winning: a
+    // re-crawled id (present in both the corpus and this batch, possibly
+    // with different text) must verify against its current batch text
+    // only — unioning both versions' shingles would inflate the partner
+    // set size and deflate Jaccard, silently missing real near-dups.
+    // Corpus text serves only ids absent from the batch (keyed
+    // anti-join, O(candidates)).
     val exSets = graft.functions.TextFunctions
       .shingleSets(candCorpus, id, text)
       .select(col(id).as("eid"), col("shingle"))
-    val inSets = graft.functions.TextFunctions.shingleSets(batch, id, text)
+      .join(batch.select(col(id).as("eid")).distinct(), Seq("eid"),
+        "left_anti")
     val selfSets = inSets
       .join(candIds, inSets(id) === col("eid"), "left_semi")
       .select(col(id).as("eid"), col("shingle"))

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -26,15 +26,23 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  1. every non-null FK value has EXACTLY ONE partner: key containment
   *     (FK ⊆ PK) and PK uniqueness — both VERIFIED against the data at
   *     [[register]] time (one anti-join + one duplicate probe), then
-  *     PINNED to that exact snapshot: each matched scan's file set must
-  *     EQUAL the registered-version snapshot's live files (so a
-  *     time-travel read of an older version — whose rows the
-  *     verification never saw — structurally declines), and any commit
-  *     to EITHER table disarms until re-registration (the MvRewrite
-  *     freshness discipline — trust is re-earned, never assumed);
-  *  2. the dimension side is a BARE scan of the registered parent table
-  *     (attribute-only Projects allowed, filters NOT — a filtered
-  *     dimension can drop keys and must keep joining);
+  *     PINNED to that snapshot's live-file set. The FACT side may read
+  *     any SUBSET of those files (every row of every registered file
+  *     passed the containment check, so partition/stats-pruned scans,
+  *     per-partition union branches, and time-travel reads whose files
+  *     all survive into the registered snapshot carry only verified FK
+  *     values); a scan touching any file OUTSIDE the set (a version
+  *     with since-removed files, a different table nested under the
+  *     registered dir) structurally declines. The DIMENSION side must
+  *     read EXACTLY the registered set — a partial dimension could be
+  *     missing keys. Any commit to EITHER table disarms until
+  *     re-registration (the MvRewrite freshness discipline — trust is
+  *     re-earned, never assumed);
+  *  2. the dimension side is a COMPLETE bare scan of the registered
+  *     parent table — a single relation or the partitioned-table union
+  *     of per-partition branches with disjoint file sets covering the
+  *     registered snapshot (row-preserving Projects allowed, filters
+  *     NOT — a filtered dimension can drop keys and must keep joining);
   *  3. the join condition is exactly `fk = pk` with the FK attribute
   *     flowing UNCHANGED (same exprId) from a scan of the registered
   *     child table, so renames can't alias the guarantee;
@@ -80,10 +88,10 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     * @param childVersion / parentVersion versions the verification ran
     *   against — the freshness guard
     * @param childFiles / parentFiles the live data-file sets of those
-    *   versions — the scan-identity pin: a matched scan must read
-    *   EXACTLY these files, so a time-travel read of any other version
-    *   (or a different table that happens to nest under the registered
-    *   path) can never borrow the verification */
+    *   versions — the scan-identity pin: a fact scan must read a SUBSET
+    *   of childFiles (all verified rows), a dimension scan EXACTLY
+    *   parentFiles, so a different table that happens to nest under the
+    *   registered path can never borrow the verification */
   final case class FkDef(childPath: String, fkCol: String,
       parentPath: String, parentKey: String, name: String,
       childVersion: Long, parentVersion: Long,
@@ -235,36 +243,29 @@ object FkJoinElimination extends Rule[LogicalPlan] {
           else None
         case _ => None
       })
-      // the FK attr must flow UNCHANGED from a scan of a registered
-      // child table (same exprId through subset-preserving operators).
-      // Union is the one operator that KEEPS its first child's exprIds
-      // while merging other children's VALUES — rows from the other
-      // branches carry no FK guarantee, so any Union emitting this
-      // exprId disqualifies provenance outright.
-      _ <- Some(()).filter(_ => !childSide.exists {
-        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-          u.output.exists(_.exprId == fkAttr.exprId)
-        case _ => false
-      })
-      // scan identity = the registered version's EXACT live-file set
-      // (never a path prefix: a time-travel read of another version, or
-      // a different table nested under the registered dir, reads a
-      // different file set and structurally declines)
+      // FK VALUE provenance: every value the attr can carry must come
+      // from a data file of the registered child snapshot — a SUBSET of
+      // the registered live set suffices (partition/stats-pruned scans,
+      // one branch of a partitioned table's per-group union, a
+      // time-travel read whose files all survive into the registered
+      // snapshot): every row of every registered live file was seen by
+      // the containment check, so any subset carries only verified FK
+      // values. Unions descend POSITIONALLY — Union keeps its first
+      // child's exprIds while merging other branches' VALUES, so each
+      // branch's column at the FK position must itself ground out at
+      // registered files.
       fk <- fks.find { d =>
-        d.fkCol == fkAttr.name && childSide.exists {
-          case lr: LogicalRelation =>
-            lr.output.exists(_.exprId == fkAttr.exprId) &&
-              scanFiles(lr).contains(d.childFiles)
-          case _ => false
-        }
+        d.fkCol == fkAttr.name &&
+          fkProvenance(childSide, fkAttr.exprId, d.fkCol, d.childFiles)
       }
-      // the dimension side must be a BARE scan of the registered parent
-      // AT the registered version, producing the key attr (no filters —
-      // they could drop keys)
-      _ <- bareScan(parentSide)
-        .filter(lr => scanFiles(lr).contains(fk.parentFiles) &&
-          lr.output.exists(o =>
-            o.exprId == keyAttr.exprId && o.name == fk.parentKey))
+      // the dimension side must be a COMPLETE bare scan of the
+      // registered parent AT the registered version, producing the key
+      // attr (no filters — they could drop keys; partitioned parents
+      // read as a union of per-partition branches whose DISJOINT file
+      // sets together equal the registered live set)
+      _ <- Some(()).filter(_ =>
+        completeParentScan(parentSide, keyAttr.exprId, fk.parentKey,
+          fk.parentFiles))
       // freshness guard: any commit to either table disarms (belt over
       // the file-set pin's suspenders — also covers commits that leave
       // data files untouched, keeping the documented "any commit
@@ -306,16 +307,111 @@ object FkJoinElimination extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** `plan` as a bare scan: a LogicalRelation, optionally under
-    * attribute-only Projects. Filters disqualify. */
-  private def bareScan(plan: LogicalPlan): Option[LogicalRelation] =
-    plan match {
-      case Project(pl, child)
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        bareScan(child)
-      case lr: LogicalRelation => Some(lr)
-      case _ => None
+  /** FK value provenance: true iff every value `id` can carry at this
+    * point flows from a data file of the registered child snapshot.
+    * exprIds are globally unique and Catalyst never rebinds an existing
+    * exprId to a computed value, so following the exprId down to a
+    * LogicalRelation proves the column arrived unchanged — with two
+    * positional exceptions, handled explicitly: Union (keeps its first
+    * child's exprIds while merging other branches' VALUES) and Expand
+    * (its projections may place any expression under an output slot).
+    * The leaf may read any SUBSET of the registered live set — every
+    * row of every registered file passed the containment check, so a
+    * pruned scan, a partition-branch scan, or a time-travel read whose
+    * live files all survive into the registered snapshot carries only
+    * verified values; files OUTSIDE the set (a version with since-
+    * removed files, a different table) decline. */
+  private def fkProvenance(plan: LogicalPlan, id: ExprId, fkCol: String,
+      reg: Set[String]): Boolean = plan match {
+    case u: Union if u.output.exists(_.exprId == id) =>
+      val idx = u.output.indexWhere(_.exprId == id)
+      u.children.forall(c => c.output.length > idx &&
+        fkProvenance(c, c.output(idx).exprId, fkCol, reg))
+    case e: Expand if e.output.exists(_.exprId == id) =>
+      val idx = e.output.indexWhere(_.exprId == id)
+      e.projections.forall(_.apply(idx) match {
+        case a: AttributeReference =>
+          fkProvenance(e.child, a.exprId, fkCol, reg)
+        case _ => false
+      })
+    // a Project may re-alias the column under a new exprId (what
+    // DeduplicateRelations does to union branches): follow the bare
+    // attribute under the Alias — the LEAF name check below still pins
+    // the grounded column to the registered fk, so a rename can never
+    // smuggle a different column's values in under the fk's name
+    case Project(pl, child) if pl.exists(_.exprId == id) =>
+      pl.find(_.exprId == id).get match {
+        case a: AttributeReference => fkProvenance(child, id, fkCol, reg)
+        case Alias(a: AttributeReference, _) =>
+          fkProvenance(child, a.exprId, fkCol, reg)
+        case _ => false
+      }
+    case lr: LogicalRelation
+        if lr.output.exists(o => o.exprId == id && o.name == fkCol) =>
+      scanFiles(lr).exists(fs => fs.nonEmpty && fs.subsetOf(reg))
+    // an EMPTY LocalRelation contributes no rows, hence no values — this
+    // is what PruneFilters leaves in place of a partition-pruned union
+    // branch during the operator batch (the branch only collapses away
+    // in the later LocalRelation batch, after this rule's last chance)
+    case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.data.isEmpty =>
+      true
+    case p =>
+      val carrying = p.children.filter(_.output.exists(_.exprId == id))
+      carrying.nonEmpty &&
+        carrying.forall(c => fkProvenance(c, id, fkCol, reg))
+  }
+
+  /** The dimension as a COMPLETE, row-faithful scan of the registered
+    * parent snapshot: the key column (named `key`) must flow as a bare
+    * attribute from LogicalRelation leaves whose file sets are pairwise
+    * DISJOINT and together EQUAL the registered live set — a single
+    * relation (the unpartitioned shape) or a Union of per-partition
+    * branches (what [[graft.sources.DeltaLite]] builds for Hive-layout
+    * tables). Projects are row-preserving and allowed (only the key slot
+    * must be a bare attribute — attached partition-value literals in
+    * OTHER slots are fine); Filters and anything else disqualify — they
+    * could drop keys and break containment. Overlapping branches would
+    * duplicate keys (breaking PK uniqueness in the joined-as shape), so
+    * disjointness is required, not just coverage. */
+  private def completeParentScan(plan: LogicalPlan, keyId: ExprId,
+      key: String, reg: Set[String]): Boolean = {
+    def walk(p: LogicalPlan, id: ExprId): Option[Seq[Set[String]]] =
+      p match {
+        case u: Union if u.output.exists(_.exprId == id) =>
+          val idx = u.output.indexWhere(_.exprId == id)
+          val parts = u.children.map(c =>
+            if (c.output.length > idx) walk(c, c.output(idx).exprId)
+            else None)
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get))
+          else None
+        case Project(pl, child) =>
+          pl.find(_.exprId == id) match {
+            case Some(a: AttributeReference) => walk(child, a.exprId)
+            // re-aliased key (union-branch deduplication): follow the
+            // bare attribute — the leaf name check still applies
+            case Some(Alias(a: AttributeReference, _)) =>
+              walk(child, a.exprId)
+            case _ => None
+          }
+        // IsNotNull on the traced key is the one row-dropping predicate
+        // that cannot break containment: a NULL key never equals any FK
+        // (equi-join null semantics), so dropping null-key rows never
+        // removes a matching partner. Catalyst infers and pushes exactly
+        // this filter from the join condition.
+        case Filter(IsNotNull(a: AttributeReference), child)
+            if a.exprId == id =>
+          walk(child, id)
+        case lr: LogicalRelation
+            if lr.output.exists(o => o.exprId == id && o.name == key) =>
+          scanFiles(lr).map(Seq(_))
+        case _ => None
+      }
+    walk(plan, keyId).exists { sets =>
+      sets.map(_.size).sum == reg.size &&
+        sets.foldLeft(Set.empty[String])(_ ++ _) == reg
     }
+  }
 
   private implicit class JCol[T](val c: java.util.Collection[T]) {
     def asScalaSeq: Seq[T] =

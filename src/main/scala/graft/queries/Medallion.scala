@@ -350,7 +350,7 @@ object Medallion {
     private def ownChecksum(m: Model, vars: Map[String, String],
         env: Map[String, String]): String =
       java.security.MessageDigest.getInstance("SHA-256")
-        .digest((nodeId(m) + " " + renderVars(m.code, vars, env))
+        .digest((nodeId(m) + "\u0000" + renderVars(m.code, vars, env))
           .getBytes("UTF-8")).map("%02x".format(_)).mkString
 
     /** Node id → own-code checksum recorded in a prior run's

@@ -2781,15 +2781,27 @@ object DeltaLite {
     maybeAutoCompact(spark, path)
     // opt-in incremental stats: TBLPROPERTIES graft.stats.auto = true
     // folds this batch's sketches into the standing ANALYZE stats —
-    // one extra map-side pass over the batch, never a table rescan.
+    // one extra map-side pass, never a table rescan. The fold reads
+    // back the JUST-COMMITTED adds rather than re-executing the input
+    // DataFrame: an expensive upstream pipeline must not run twice, and
+    // a nondeterministic source would describe rows other than those
+    // actually written — the landed files are the ground truth (and
+    // carry default-filled/identity columns the input may have lacked).
     // BEST-EFFORT: the data commit above already succeeded, so a stats
     // race (concurrent writer winning the metadata commit) or any
     // stats-side failure must never fail the append — stats are
-    // estimates and the next fold or full ANALYZE repairs them.
+    // estimates and the next fold or full ANALYZE repairs them. Only
+    // NonFatal is swallowed: fatal JVM errors and interrupts propagate.
     if (snap.properties.exists { case (k, x) =>
         k.equalsIgnoreCase("graft.stats.auto") && x.equalsIgnoreCase("true") })
-      try analyzeAppend(spark, path, withIds)
-      catch { case _: Throwable => () }
+      try analyzeAppend(spark, path, readFiles(spark, path, snap.schema,
+        adds, snap.partitionBy, snap.physical))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").warn(
+            s"auto-stats fold after append to $path failed " +
+              "(stats unchanged; next fold or ANALYZE repairs)", e)
+      }
     v
   }
 

@@ -500,4 +500,28 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(v2 === Map(91L -> 1L, 92L -> 1L),
       "corpus id 1 is the minimum partner for both batch docs")
   }
+
+  test("DedupIndex.probe: a RE-CRAWLED id verifies against its batch text, not a corpus/batch shingle union") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    // corpus: doc 1 with text A (long, disjoint from everything below)
+    val corpus = Seq(doc(1L, (1 to 40).map(i => s"old$i")))
+      .toDF("doc_id", "text")
+    val idx = graft.TempDirs.fresh("dedup_idx_recrawl")
+    DedupIndex.build(spark, corpus, "doc_id", "text", idx)
+    // batch RE-CRAWLS doc 1 with entirely new text B, and doc 2 carries
+    // a near-copy of B. Partner text for eid=1 must be the BATCH text:
+    // unioning shingles(A) ∪ shingles(B) would halve the Jaccard
+    // (|B∩(A∪B)| / |A∪B| ≈ 0.5) and miss the duplicate at 0.7
+    val fresh = (1 to 40).map(i => s"new$i")
+    val batch = Seq(doc(1L, fresh),
+      doc(2L, fresh.dropRight(1) :+ "zzz")).toDF("doc_id", "text")
+    val v = DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
+        idx, threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v === Map(1L -> -1L, 2L -> 1L),
+      "doc 2 must resolve to the re-crawled doc 1 via its BATCH text")
+  }
 }

@@ -849,18 +849,22 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
   }
 
-  test("FK elimination declines TIME-TRAVEL scans: only the registered-version file set eliminates") {
+  test("FK elimination TIME-TRAVEL pin: unverified files decline; surviving-file subsets eliminate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val D = graft.sources.DeltaLite
     val base = graft.TempDirs.fresh("fk_asof")
     val dim = s"$base/dim"; val fact = s"$base/fact"
     D.create(spark, dim, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))   // dim v0
-    D.create(spark, fact, Seq((10L, 1L), (11L, 2L)).toDF("id", "fk"))  // fact v0
-    // fact v1 only has fks {1,2}; fact v0 is a DIFFERENT row set
-    D.append(spark, fact, Seq((12L, 1L)).toDF("id", "fk"))             // fact v1
+    // fact v0 holds a REAL ORPHAN (fk=7 has no dim partner)
+    D.create(spark, fact,
+      Seq((10L, 1L), (11L, 2L), (12L, 7L)).toDF("id", "fk"))           // fact v0
+    // v1 REWRITES the file (delete = copy-without-row): v0's file is
+    // gone from the live set, and v1 is containment-clean
+    D.delete(spark, fact, col("fk") === lit(7L))                       // fact v1
+    D.append(spark, fact, Seq((13L, 1L)).toDF("id", "fk"))             // fact v2
     D.append(spark, dim, Seq((3L, "c")).toDF("k", "name"))             // dim v1
-    // registration binds to (fact v1, dim v1) and their live file sets
+    // registration binds to (fact v2, dim v1) and their live file sets
     graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
     def q(f: org.apache.spark.sql.DataFrame,
         d: org.apache.spark.sql.DataFrame) =
@@ -869,22 +873,77 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(!q(D.read(spark, fact), D.read(spark, dim))
       .queryExecution.executedPlan.toString.contains("Join"),
       "latest-version scans must eliminate")
-    // a CHILD time-travel scan reads rows the verification never saw
-    // (here fewer — but an older version could equally hold orphans):
-    // the file set differs from the registered snapshot, must decline
-    assert(q(D.read(spark, fact, Some(0L)), D.read(spark, dim))
+    // a CHILD asOf whose files were since REWRITTEN reads rows the
+    // verification never saw (v0 holds the fk=7 orphan) — must decline,
+    // and the real join must drop the orphan row
+    val asOf0 = q(D.read(spark, fact, Some(0L)), D.read(spark, dim))
+    assert(asOf0.queryExecution.executedPlan.toString.contains("Join"),
+      "child asOf with since-removed files must keep the join")
+    assert(asOf0.count() === 2L, "the orphan must not survive the join")
+    // a CHILD asOf whose live files ALL SURVIVE into the registered
+    // snapshot (v1 ⊂ v2, append-only in between) reads only verified
+    // rows — the subset pin lets it eliminate soundly
+    assert(!q(D.read(spark, fact, Some(1L)), D.read(spark, dim))
       .queryExecution.executedPlan.toString.contains("Join"),
-      "child asOf scan must keep the join")
+      "child asOf whose files survive into the snapshot eliminates")
     // a PARENT time-travel scan can be missing keys (dim v0 lacks k=3):
     // containment against the OLD dimension is unverified, must decline
     assert(q(D.read(spark, fact), D.read(spark, dim, Some(0L)))
       .queryExecution.executedPlan.toString.contains("Join"),
       "parent asOf scan must keep the join")
-    // an EXPLICIT asOf at exactly the registered version reads the same
+    // an EXPLICIT asOf at exactly the registered versions reads the same
     // files — same data, elimination stays sound and fires
-    assert(!q(D.read(spark, fact, Some(1L)), D.read(spark, dim, Some(1L)))
+    assert(!q(D.read(spark, fact, Some(2L)), D.read(spark, dim, Some(1L)))
       .queryExecution.executedPlan.toString.contains("Join"),
       "asOf at the registered version is the same snapshot — eliminates")
+    graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
+  }
+
+  test("FK elimination on PARTITIONED tables: union-branch fact scans and pruned scans eliminate; partitioned parent too") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("fk_part")
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    D.create(spark, dim,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+        .toDF("k", "name", "region"), partitionBy = Seq("region"))
+    D.create(spark, fact,
+      Seq((10L, 1L, "p1"), (11L, 2L, "p1"), (12L, 3L, "p2"),
+        (13L, 1L, "p2")).toDF("id", "fk", "part"),
+      partitionBy = Seq("part"))
+    graft.plans.FkJoinElimination.register(spark, fact, "fk", dim, "k")
+    val f = D.read(spark, fact); val d = D.read(spark, dim)
+    // full partitioned fact read = a UNION of per-partition branches;
+    // positional provenance must ground every branch and eliminate
+    val q1 = f.join(d, f("fk") === d("k")).select(f("id"), d("k"))
+    assert(!q1.queryExecution.executedPlan.toString.contains("Join"),
+      "partitioned fact (union-branch scan) must eliminate:\n" +
+        q1.queryExecution.optimizedPlan)
+    assert(q1.count() === 4L)
+    // a partition-PRUNED fact scan reads a subset of the verified
+    // files — still only verified rows, still eliminates
+    val f2 = D.read(spark, fact).filter(col("part") === "p1")
+    val q2 = f2.join(d, f2("fk") === d("k")).select(f2("id"), d("k"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("Join"),
+      "partition-pruned fact scan must eliminate:\n" +
+        q2.queryExecution.optimizedPlan)
+    assert(q2.count() === 2L)
+    // the PARTITIONED PARENT read in full is also a branch union whose
+    // disjoint file sets cover the registered snapshot — eliminates
+    val f3 = D.read(spark, fact); val d3 = D.read(spark, dim)
+    val q3 = f3.join(d3, f3("fk") === d3("k")).select(f3("id"), d3("k"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("Join"),
+      "partitioned parent must eliminate:\n" +
+        q3.queryExecution.optimizedPlan)
+    // but a PARTIALLY-read parent (one partition branch pruned away)
+    // can be missing keys — must keep the join
+    val d4 = D.read(spark, dim).filter(col("region") === "x")
+    val f4 = D.read(spark, fact)
+    val q4 = f4.join(d4, f4("fk") === d4("k")).select(f4("id"), d4("k"))
+    assert(q4.queryExecution.executedPlan.toString.contains("Join"),
+      "a pruned parent can drop keys — join must survive")
+    assert(q4.count() === 3L)
     graft.plans.FkJoinElimination.deregister(spark, fact, "fk")
   }
 
