@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CollateKey, FloatVectorDot, HilbertIndex, InterleaveBits, JaroWinklerSimilarity, MinHashAgg, SimHashAgg}
+import graft.functions.{CollateKey, FloatVectorDot, HilbertIndex, InterleaveBits, JaroWinklerSimilarity, MinHashAgg, QuantileSketchAgg, SimHashAgg}
 
 /** Spark extension entry point (SURVEY.md §2.10 / builder prompt: custom
   * operators register via `SparkSessionExtensions`). Activate with
@@ -23,6 +23,16 @@ object GraftExtensions {
       MinHashAgg(shingle, n.eval().asInstanceOf[Number].intValue())
     case exprs => throw new IllegalArgumentException(
       s"minhash_agg expects 1 or 2 arguments, got ${exprs.length}")
+  }
+
+  /** `quantile_sketch_agg(x[, accuracy])` — the optional accuracy must
+    * be a foldable int literal (it pins the sketch's relative error). */
+  val quantileSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(x) => QuantileSketchAgg(x)
+    case Seq(x, n) =>
+      QuantileSketchAgg(x, n.eval().asInstanceOf[Number].intValue())
+    case exprs => throw new IllegalArgumentException(
+      s"quantile_sketch_agg expects 1 or 2 arguments, got ${exprs.length}")
   }
 
   /** `collate_key(s[, locale[, strength]])` — locale and strength must be
@@ -76,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       GraftExtensions.minHashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_sketch_agg"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch_agg"),
+      GraftExtensions.quantileSketchBuilder))
     ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),

@@ -100,6 +100,13 @@ object GraftFunctions {
         "scala_udf")
     }
     if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("quantile_sketch_agg"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "quantile_sketch_agg",
+        graft.GraftExtensions.quantileSketchBuilder,
+        "scala_udf")
+    }
+    if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "interleave_bits",

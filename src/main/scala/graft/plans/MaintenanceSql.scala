@@ -336,6 +336,26 @@ object MaintenanceSql {
         histogramBins = if (histogram) 32 else 0)))
   }
 
+  /** `EXPLAIN COST '<path>'` — the optimizer-facing statistics of a
+    * table as (entity, statistic, value) rows: log-derived size/row
+    * count (what prices broadcasts), ANALYZE-maintained NDV/nulls, live
+    * file-stat min/max, and the histogram's serving state (current /
+    * rebinned from merged digest / disarmed). The inspection window
+    * into the S55/S56 stats surface; metadata-only, never scans data.
+    * (`EXPLAIN COST SELECT ...` stays Spark's own — this is the
+    * quoted-path TABLE spelling Spark has no syntax for.) */
+  final case class ExplainCostCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("entity", StringType, nullable = false)(),
+      AttributeReference("statistic", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      DeltaLite.explainCost(spark, path).map {
+        case (e, s, v) => Row(e, s, v)
+      }
+  }
+
   /** `COPY INTO '<table>' FROM '<dir>'` — idempotent landing-zone load;
     * reports the files loaded THIS run (0 = everything already loaded),
     * the Databricks COPY INTO result shape. */
@@ -510,6 +530,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val ExplainCostRe =
+    """(?is)\s*EXPLAIN\s+COST\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?\s*;?\s*""").r
@@ -566,6 +588,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CloneRe(src, dst, deep) => CloneCommand(src, dst, deep != null)
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
+    case ExplainCostRe(p) => ExplainCostCommand(p)
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
     // the default variants must match BEFORE DROP COLUMN: `ALTER COLUMN c

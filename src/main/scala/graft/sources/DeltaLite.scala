@@ -2153,7 +2153,8 @@ object DeltaLite {
       case x => Some(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
         .toExternalString(x, "", dt))
     }
-    lazy val analyzed = parseColStats(props)
+    lazy val analyzedFull = parseColStatsFull(props)
+    lazy val analyzed = analyzedFull._2
     def colStatsFor(schema: StructType): Map[String, CatalogColumnStat] =
       if (!wantColStats) Map.empty
       else schema.fields.iterator.flatMap { f =>
@@ -2177,7 +2178,8 @@ object DeltaLite {
             .orElse(Some(f.dataType.defaultSize.toLong)),
           maxLen = an.flatMap(_.maxLen)
             .orElse(Some(f.dataType.defaultSize.toLong)),
-          histogram = an.flatMap(_.hist).map { case (h, bins) =>
+          histogram = an.flatMap(e =>
+            servedHistogram(analyzedFull._1, e)).map { case (h, bins) =>
             org.apache.spark.sql.catalyst.plans.logical.Histogram(h,
               bins.map(b => org.apache.spark.sql.catalyst.plans.logical
                 .HistogramBin(b._1, b._2, b._3)).toArray)
@@ -3211,6 +3213,14 @@ object DeltaLite {
     * log reader can serve them. */
   val ColStatsKey = "graft.colStats"
 
+  /** Quantile-digest accuracy for histogram maintenance (relative rank
+    * error 1/512 ≈ 0.2% of rows — a 32-bin grid's bins are 3.1% wide,
+    * so boundary error stays a small fraction of a bin while the stored
+    * digest stays a few KB in the log's properties JSON; single-
+    * percentile consumers like `approx_percentile` default to 10000,
+    * which would bloat every stats commit ~20×). */
+  private val QskAccuracy = 512
+
   /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — the
     * warehouse column-statistics pass. ONE aggregate scan computes per
     * stat-eligible column: approximate NDV (HLL — the same sketch
@@ -3244,13 +3254,23 @@ object DeltaLite {
       }
     require(targets.nonEmpty, s"ANALYZE: no stat-eligible columns on $path")
     val df = read(spark, path)
-    val base = collectColStats(df, targets)
+    // WITH HISTOGRAM also folds a quantile digest per eligible column in
+    // the SAME pass — it both supplies the bin bounds below (no separate
+    // percentile pass) and is stored as the histogram's mergeable state
+    val histTargets: Set[String] =
+      if (histogramBins <= 0) Set.empty
+      else targets.flatMap(f => histCast(f).map(_ => f.name)).toSet
+    val base = collectColStats(df, targets, histTargets)
     val entries =
       if (histogramBins <= 0) base
       else {
         val hists = collectHistograms(df, targets, histogramBins, base,
           snap.totalRows)
-        base.map { case (n, e) => n -> e.copy(hist = hists.get(n)) }
+        base.map { case (n, e) =>
+          n -> e.copy(hist = hists.get(n),
+            histAsOf = hists.get(n).map(_ =>
+              snap.totalRows - e.nulls.getOrElse(0L)))
+        }
       }
     // a FOR COLUMNS subset updates only the named columns: stats of
     // untouched columns carry over (warehouse ANALYZE semantics)
@@ -3259,6 +3279,59 @@ object DeltaLite {
       .toMap
     val byPhys = entries.map { case (n, e) => snap.phys(n) -> e }
     writeColStats(path, snap.version, snap.totalRows, kept ++ byPhys)
+  }
+
+  /** `EXPLAIN COST '<path>'` payload: the optimizer-facing statistics
+    * of a table rendered as (entity, statistic, value) rows — the
+    * user-facing window into everything [[withLogStats]] feeds the CBO.
+    * Table rows carry size/rowCount/file count straight off the live
+    * log entries (what sizes broadcast decisions); column rows carry
+    * the ANALYZE-maintained NDV/nulls/lengths, the LIVE min/max served
+    * from file stats, and the HISTOGRAM STATE — `current` while the
+    * bins match their as-of stamp, `rebinned from merged digest` once
+    * appends have folded past them, exactly what estimation will see.
+    * Log-metadata only: never scans data. */
+  def explainCost(spark: SparkSession, path: String)
+      : Seq[(String, String, String)] = {
+    val snap = snapshot(path)
+    val (aRows, stats) = parseColStatsFull(snap.properties)
+    val live = snap.files
+    val tableRows = Seq(
+      ("table", "size_bytes", live.map(_.bytes).sum.toString),
+      ("table", "row_count", snap.totalRows.toString),
+      ("table", "num_files", live.size.toString)) ++
+      (if (stats.isEmpty) Nil
+       else Seq(("table", "analyzed_non_null_rows", aRows.toString)))
+    def ext(v: Any, dt: DataType): Option[String] = v match {
+      case null => None
+      case _: org.apache.spark.unsafe.types.UTF8String => None
+      case x => Some(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+        .toExternalString(x, "", dt))
+    }
+    val colRows = snap.schema.fields.toSeq.flatMap { f =>
+      stats.get(snap.phys(f.name)).toSeq.flatMap { e =>
+        def live1(isMin: Boolean) = graft.plans.StatsAggRewrite
+          .statExtremum(live, f.name, f.dataType, isMin)
+          .flatMap(ext(_, f.dataType))
+        val histState = servedHistogram(aRows, e).map { case (h, bins) =>
+          val state = e.histAsOf match {
+            case None => "as-of ANALYZE (no digest)"
+            case Some(a) if a == aRows - e.nulls.getOrElse(0L) => "current"
+            case _ => "rebinned from merged digest"
+          }
+          s"${bins.size} equi-height bins, height ${math.round(h)}, $state"
+        }.orElse(e.hist.map(_ => "disarmed (stale bins, no digest)"))
+        Seq(
+          e.ndv.map(v => (f.name, "ndv", v.toString)),
+          e.nulls.map(v => (f.name, "null_count", v.toString)),
+          e.avgLen.map(v => (f.name, "avg_len", v.toString)),
+          e.maxLen.map(v => (f.name, "max_len", v.toString)),
+          live1(isMin = true).map(v => (f.name, "min", v)),
+          live1(isMin = false).map(v => (f.name, "max", v)),
+          histState.map(v => (f.name, "histogram", v))).flatten
+      }
+    }
+    tableRows ++ colRows
   }
 
   /** Double rendering of a column for histogram space — matches the
@@ -3289,14 +3362,14 @@ object DeltaLite {
       : Map[String, (Double, Seq[(Double, Double, Long)])] = {
     val hs = targets.flatMap(f => histCast(f).map(f.name -> _))
     if (hs.isEmpty) return Map.empty
-    val grid = typedLit((0 to bins).map(_.toDouble / bins).toArray)
-    val pctAggs = hs.map { case (n, c) =>
-      percentile_approx(c, grid, lit(10000)).as(s"__pct_$n") }
-    val pctRow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    // bin bounds come straight off the quantile digest collectColStats
+    // already folded (and keeps as the histogram's mergeable state):
+    // the old separate percentile_approx pass over the data is gone —
+    // WITH HISTOGRAM is now 2 passes total, not 3
     val bounds: Map[String, Seq[Double]] = hs.flatMap { case (n, _) =>
-      val i = pctRow.fieldIndex(s"__pct_$n")
-      if (pctRow.isNullAt(i)) None
-      else Some(n -> pctRow.getSeq[Double](i))
+      base.get(n).flatMap(_.qsk)
+        .flatMap(graft.functions.QuantileSketch.boundsBase64(_, bins))
+        .map(n -> _)
     }.toMap
     val ndvAggs = hs.filter(h => bounds.contains(h._1)).flatMap { case (n, c) =>
       val bs = bounds(n)
@@ -3340,8 +3413,10 @@ object DeltaLite {
     * sketchable (the sketch itself is kept — it's the mergeable state
     * behind O(batch) maintenance), approx_count_distinct otherwise;
     * exact null counts; string avg/max lengths. */
-  private def collectColStats(df: DataFrame,
-      targets: Seq[StructField]): Map[String, ColStatEntry] = {
+  private def collectColStats(df: DataFrame, targets: Seq[StructField],
+      sketchCols: Set[String] = Set.empty): Map[String, ColStatEntry] = {
+    if (sketchCols.nonEmpty) // quantile_sketch_agg below needs resolving
+      graft.functions.GraftFunctions.register(df.sparkSession)
     val aggs = targets.flatMap { f =>
       val ndvAgg = hllCast(f) match {
         case Some(c) => base64(hll_sketch_agg(c)).as(s"__hll_${f.name}")
@@ -3350,6 +3425,10 @@ object DeltaLite {
       Seq(ndvAgg,
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
           .as(s"__nulls_${f.name}")) ++
+      (if (sketchCols.contains(f.name)) histCast(f).map(c =>
+        base64(call_function("quantile_sketch_agg", c,
+          lit(QskAccuracy))).as(s"__qsk_${f.name}")).toSeq
+       else Nil) ++
       (f.dataType match {
         case StringType => Seq(
           ceil(avg(length(col(f.name)))).cast("long").as(s"__avglen_${f.name}"),
@@ -3372,11 +3451,15 @@ object DeltaLite {
         case Some(sk) => Some(hllEstimate(df.sparkSession, sk))
         case None => getL(s"__ndv_${f.name}")
       }
+      val qsk =
+        if (sketchCols.contains(f.name) && histCast(f).isDefined)
+          getS(s"__qsk_${f.name}")
+        else None
       f.name -> ColStatEntry(ndv,
         getL(s"__nulls_${f.name}").orElse(Some(0L)),
         if (f.dataType == StringType) getL(s"__avglen_${f.name}") else None,
         if (f.dataType == StringType) getL(s"__maxlen_${f.name}") else None,
-        hll)
+        hll, qsk = qsk)
     }.toMap
   }
 
@@ -3392,9 +3475,10 @@ object DeltaLite {
     val cols = entries.map { case (k, e) =>
       val base = ("ndv" -> e.ndv) ~ ("nulls" -> e.nulls) ~
         ("avgLen" -> e.avgLen) ~ ("maxLen" -> e.maxLen) ~
-        ("hll" -> e.hll)
+        ("hll" -> e.hll) ~ ("qsk" -> e.qsk)
       k -> e.hist.map { case (h, bins) =>
         base ~ ("hist" -> (("height" -> h) ~
+          ("asof" -> e.histAsOf) ~
           ("bins" -> bins.map(b => Seq(JDouble(b._1), JDouble(b._2),
             JLong(b._3))).toList)))
       }.getOrElse(base)
@@ -3430,7 +3514,12 @@ object DeltaLite {
     val logical = snap.schema.fields.filter(f =>
       stored.contains(snap.phys(f.name)) && batch.columns.contains(f.name))
     if (logical.isEmpty) return -1L
-    val fresh = collectColStats(batch, logical.toSeq)
+    // columns with a stored quantile digest fold the batch's digest too
+    // (same single pass): the histogram's bin bounds re-derive from the
+    // merged digest on read, so bins never go stale under appends
+    val sketchCols = logical.filter(f =>
+      stored(snap.phys(f.name)).qsk.isDefined).map(_.name).toSet
+    val fresh = collectColStats(batch, logical.toSeq, sketchCols)
     val batchRows = batch.count()
     val merged = stored.map { case (physName, old) =>
       logical.find(f => snap.phys(f.name) == physName) match {
@@ -3451,13 +3540,26 @@ object DeltaLite {
                 (rows + batchRows)).toLong)
             case (a, bb) => a.orElse(bb)
           }
-          // the histogram carries as-of its ANALYZE (bins can't merge
-          // incrementally) — same staleness contract as warehouse stats
+          // GK digests merge driver-side with error bounds preserved
+          val qsk = (old.qsk, b.qsk) match {
+            case (Some(a), Some(nb)) =>
+              Some(graft.functions.QuantileSketch.mergeBase64(a, nb))
+            case _ => None
+          }
+          // The stored bins stay AS-OF their build (bins themselves
+          // can't merge), but with a folded digest the READ path rebins
+          // from the merged sketch whenever asof ≠ maintained non-null
+          // count. Without a digest the histogram is unmaintainable —
+          // DROP it (correct-by-decline) rather than let the CBO price
+          // a drifted distribution against stale bins.
+          val (hist, asof) =
+            if (old.hist.isDefined && qsk.isDefined) (old.hist, old.histAsOf)
+            else (None, None)
           physName -> ColStatEntry(ndv,
             Some(old.nulls.getOrElse(0L) + b.nulls.getOrElse(0L)),
             avgLen,
             (old.maxLen.toSeq ++ b.maxLen.toSeq).maxOption,
-            hll, old.hist)
+            hll, hist, qsk, asof)
       }
     }
     writeColStats(path, snap.version, rows + batchRows, merged)
@@ -3472,11 +3574,52 @@ object DeltaLite {
     * the base64 HLL sketch the NDV came from — the MERGEABLE state that
     * lets [[analyzeAppend]] maintain NDV in O(batch) — and optionally
     * an equi-height histogram (height, bins of (lo, hi, ndv) in the
-    * column's double rendering) for skew-aware selectivity. */
+    * column's double rendering) for skew-aware selectivity. WITH
+    * HISTOGRAM additionally keeps `qsk`, a base64 Greenwald–Khanna
+    * quantile digest — the histogram's own mergeable state: appends
+    * fold their digest in (the HLL discipline applied to distribution
+    * shape), and the read path re-derives bin bounds from the merged
+    * digest whenever `histAsOf` (non-null rows when the bins were
+    * built) no longer matches the maintained count, so the CBO never
+    * prices a drifted distribution against stale bins. */
   private[graft] final case class ColStatEntry(ndv: Option[Long],
       nulls: Option[Long], avgLen: Option[Long], maxLen: Option[Long],
       hll: Option[String],
-      hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
+      hist: Option[(Double, Seq[(Double, Double, Long)])] = None,
+      qsk: Option[String] = None,
+      histAsOf: Option[Long] = None)
+
+  /** The histogram to SERVE for a column entry: the stored bins while
+    * they're current, a REBIN from the merged quantile digest once
+    * appends have folded past them (`histAsOf` no longer matches the
+    * maintained non-null count), nothing when neither is trustworthy.
+    * Rebinned bins put the equi-height boundary grid of the MERGED
+    * digest under the maintained row count, so a range predicate over
+    * freshly-appended value ranges prices against bins that actually
+    * cover them — never against the stale as-of-ANALYZE frame. Per-bin
+    * NDV on a rebin is the maintained (HLL-folded) NDV split evenly:
+    * the uniformity assumption WITHIN the fresh equi-height frame —
+    * the bounds carry the skew signal. Entries without an `asof` stamp
+    * (pre-digest stats) serve as stored, exactly the legacy contract. */
+  private def servedHistogram(rows: Long, e: ColStatEntry)
+      : Option[(Double, Seq[(Double, Double, Long)])] = e.hist match {
+    case None => None
+    case some @ Some((_, bins)) =>
+      val nonNull = rows - e.nulls.getOrElse(0L)
+      e.histAsOf match {
+        case None => some
+        case Some(asof) if asof == nonNull => some
+        case _ =>
+          val nBins = bins.size
+          e.qsk
+            .flatMap(graft.functions.QuantileSketch.boundsBase64(_, nBins))
+            .map { bs =>
+              val ndvEach = math.max(1L, e.ndv.map(_ / nBins).getOrElse(1L))
+              (nonNull.toDouble / nBins,
+                (0 until nBins).map(i => (bs(i), bs(i + 1), ndvEach)))
+            } // no digest → None: disarmed, never stale-priced
+      }
+  }
 
   /** Parsed [[ColStatsKey]] payload keyed by physical name, plus the
     * analyzed row count. Tolerant of absent/garbled properties (stats
@@ -3506,18 +3649,27 @@ object DeltaLite {
             case JDouble(x) => x; case JInt(x) => x.toDouble
             case JLong(x) => x.toDouble; case _ => 0.0
           }
-          val hist = v \ "hist" match {
+          val qsk = v \ "qsk" match {
+            case JString(x) => Some(x); case _ => None
+          }
+          val (hist, asof) = v \ "hist" match {
             case h: JObject =>
               val bins = (h \ "bins") match {
                 case JArray(bs) => bs.collect { case JArray(List(lo, hi, n)) =>
                   (d(lo), d(hi), d(n).toLong) }
                 case _ => Nil
               }
-              if (bins.isEmpty) None else Some((d(h \ "height"), bins))
-            case _ => None
+              val a = h \ "asof" match {
+                case JInt(x) => Some(x.toLong)
+                case JLong(x) => Some(x)
+                case _ => None
+              }
+              if (bins.isEmpty) (None, None)
+              else (Some((d(h \ "height"), bins)), a)
+            case _ => (None, None)
           }
           name -> ColStatEntry(f("ndv"), f("nulls"), f("avgLen"),
-            f("maxLen"), hll, hist)
+            f("maxLen"), hll, hist, qsk, asof)
         }.toMap)
       } catch { case _: Throwable => None }
     }.getOrElse((0L, Map.empty))

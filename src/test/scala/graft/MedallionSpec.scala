@@ -777,6 +777,83 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("mergeable histograms: appends fold the quantile digest and reads REBIN — the CBO never prices a drifted distribution against stale bins") {
+    val path = java.nio.file.Files.createTempDirectory("graft_histm")
+      .toString + "/t"
+    // v0: 100k rows valued in [0, 1000)
+    DeltaLite.create(spark, path, spark.range(100000L).select(
+      (col("id") % 1000L).as("v"), col("id").as("k")).repartition(2),
+      properties = Map("graft.stats.auto" -> "true"))
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (v) WITH HISTOGRAM").collect()
+    val e0 = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)("v")
+    assert(e0.qsk.isDefined, "WITH HISTOGRAM must keep the quantile digest")
+    assert(e0.histAsOf === Some(100000L))
+    // DISTRIBUTION SHIFT: append 100k rows in the DISJOINT range
+    // [100000, 101000) — the auto-stats fold merges the batch's digest
+    // but the stored bins (all under 1000) are now one epoch behind
+    DeltaLite.append(spark, path, spark.range(100000L).select(
+      (col("id") % 1000L + 100000L).as("v"),
+      (col("id") + 100000L).as("k")).repartition(2))
+    val e1 = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)("v")
+    assert(e1.qsk.isDefined && e1.hist.isDefined)
+    assert(e1.histAsOf === Some(100000L),
+      "the as-of stamp records the bins' build, not the fold")
+    assert(e1.qsk.get !== e0.qsk.get, "the fold must merge the digest")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def est(): BigInt = DeltaLite.read(ss, path)
+        .filter(col("v") > 50000L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      // HALF the table (the whole appended batch) sits above 50000.
+      // The stale bins top out below 1000 and would price this ~0;
+      // the rebinned frame from the merged digest prices ~100k.
+      val rebinned = est()
+      assert(rebinned > BigInt(60000),
+        s"estimate must see the appended range via the merged digest, " +
+          s"got $rebinned (true 100000)")
+      assert(rebinned <= BigInt(200000), s"bounded by the table, got $rebinned")
+      assert(DeltaLite.read(ss, path).filter(col("v") > 50000L).count()
+        === 100000L, "estimation only — results unchanged")
+      // a SECOND fold keeps maintaining the same digest chain
+      DeltaLite.append(ss, path, spark.range(50000L).select(
+        (col("id") % 1000L + 200000L).as("v"),
+        (col("id") + 300000L).as("k")).repartition(2))
+      val again = DeltaLite.read(ss, path).filter(col("v") > 150000L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(again > BigInt(25000),
+        s"second fold must extend the frame to the 200k range, got $again " +
+          "(true 50000)")
+      // DIGEST-LESS histogram (pre-digest stats / garbled property):
+      // the read path must DISARM — serve no histogram rather than
+      // price against bins it cannot rebin. Strip qsk and the asof
+      // stamp stays ≠ maintained count, so rebin is demanded but
+      // impossible → the estimate falls back to uniform [min,max].
+      val props = DeltaLite.snapshot(path).properties
+      val stripped = props(DeltaLite.ColStatsKey)
+        .replaceAll("\"qsk\":\"[^\"]*\",?", "")
+      DeltaLite.setProperties(path, Map(DeltaLite.ColStatsKey -> stripped))
+      val e2 = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)("v")
+      assert(e2.qsk.isEmpty && e2.hist.isDefined,
+        "precondition: bins present, digest gone")
+      val disarmed = DeltaLite.read(ss, path).filter(col("v") > 150000L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      // uniform over live [0, 200999] prices v > 150000 at ~25% of 250k
+      assert(disarmed > BigInt(25000),
+        s"disarmed estimate must fall back to uniform, not stale-bin ~0: " +
+          s"got $disarmed")
+      // and a fold over a digest-less entry DROPS the unmaintainable
+      // histogram outright (disarm at fold time)
+      DeltaLite.append(ss, path, spark.range(10L).select(
+        col("id").as("v"), (col("id") + 999999L).as("k")))
+      val e3 = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)("v")
+      assert(e3.hist.isEmpty && e3.qsk.isEmpty,
+        "fold without a digest must drop the stale bins")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("maintenance SQL: DESCRIBE HISTORY/DETAIL, OPTIMIZE, VACUUM via spark.sql") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString

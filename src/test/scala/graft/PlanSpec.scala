@@ -1049,6 +1049,43 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"each (user, day) row must emit its covered window days:\n$p")
   }
 
+  test("EXPLAIN COST '<path>': the CBO-facing stats render — size/rowCount, ANALYZE columns, histogram serving state") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val path = graft.TempDirs.fresh("explain_cost") + "/t"
+    D.create(spark, path, spark.range(10000L).select(
+      (col("id") % 100L).as("v"), col("id").as("k")).repartition(2),
+      properties = Map("graft.stats.auto" -> "true"))
+    def m(): Map[(String, String), String] =
+      spark.sql(s"EXPLAIN COST '$path'").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // pre-ANALYZE: table-level log stats render, no column rows
+    val m0 = m()
+    assert(m0(("table", "row_count")) === "10000")
+    assert(m0(("table", "size_bytes")).toLong > 0L)
+    assert(m0(("table", "num_files")).toLong >= 1L)
+    assert(!m0.keys.exists(_._1 == "v"), "no column stats before ANALYZE")
+    // ANALYZE WITH HISTOGRAM: NDV/nulls/min/max/histogram rows appear
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (v) WITH HISTOGRAM").collect()
+    val m1 = m()
+    assert(math.abs(m1(("v", "ndv")).toLong - 100L) <= 5L,
+      s"HLL NDV ~100, got ${m1(("v", "ndv"))}")
+    assert(m1(("v", "null_count")) === "0")
+    assert(m1(("v", "min")) === "0" && m1(("v", "max")) === "99",
+      "live min/max from file stats")
+    assert(m1(("v", "histogram")).contains("current"),
+      s"freshly built bins serve as current: ${m1(("v", "histogram"))}")
+    // a fold moves the serving state to REBINNED (digest merged)
+    D.append(spark, path, spark.range(1000L).select(
+      (col("id") + 5000L).as("v"), (col("id") + 10000L).as("k")))
+    val m2 = m()
+    assert(m2(("table", "row_count")) === "11000")
+    assert(m2(("v", "histogram")).contains("rebinned"),
+      s"folded-past bins must serve rebinned: ${m2(("v", "histogram"))}")
+    assert(m2(("v", "max")) === "5999", "live max tracks the append")
+  }
+
   test("DeltaLite log stats feed Catalyst: rowCount visible; in-memory size flips a broadcast decision") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
