@@ -324,16 +324,21 @@ object MaintenanceSql {
   /** `ANALYZE TABLE '<path>' COMPUTE STATISTICS FOR ALL COLUMNS` (or
     * `FOR COLUMNS (a, b)`), optionally `WITH HISTOGRAM` — one aggregate
     * scan lands NDV/null-count column statistics in table properties
-    * (plus 32-bin equi-height histograms under WITH HISTOGRAM); the
-    * read path merges them with live file min/max into Catalyst
-    * ColumnStats under CBO. */
+    * (plus 32-bin equi-height histograms + their mergeable quantile
+    * digest under WITH HISTOGRAM); the read path merges them with live
+    * file min/max into Catalyst ColumnStats under CBO. Optionally
+    * `BY PARTITION` — one extra GROUPED pass lands partition-LOCAL
+    * NDV/null stats, so partition-pruned scans price with the pruned
+    * partition's own selectivity (bounded to 64 live partitions). */
   final case class AnalyzeTableCommand(path: String, columns: Seq[String],
-      histogram: Boolean = false) extends LeafRunnableCommand {
+      histogram: Boolean = false, byPartition: Boolean = false)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(DeltaLite.analyzeTable(spark, path, columns,
-        histogramBins = if (histogram) 32 else 0)))
+        histogramBins = if (histogram) 32 else 0,
+        byPartition = byPartition)))
   }
 
   /** `EXPLAIN COST '<path>'` — the optimizer-facing statistics of a
@@ -534,12 +539,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*EXPLAIN\s+COST\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
-      """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?\s*;?\s*""").r
+      """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?""" +
+      """(\s+BY\s+PARTITION)?\s*;?\s*""").r
   private val AnalyzeColsRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+COLUMNS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*""" +
       """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)""" +
-      """(\s+WITH\s+HISTOGRAM)?\s*;?\s*""").r
+      """(\s+WITH\s+HISTOGRAM)?(\s+BY\s+PARTITION)?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(p, lim) =>
@@ -608,9 +614,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SetPropertiesCommand(p,
         PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
     case UnsetPropRe(p, k) => UnsetPropertyCommand(p, k)
-    case AnalyzeAllRe(p, hist) => AnalyzeTableCommand(p, Nil, hist != null)
-    case AnalyzeColsRe(p, cols, hist) =>
-      AnalyzeTableCommand(p, cols.split(",").map(_.trim).toSeq, hist != null)
+    case AnalyzeAllRe(p, hist, byPart) =>
+      AnalyzeTableCommand(p, Nil, hist != null, byPart != null)
+    case AnalyzeColsRe(p, cols, hist, byPart) =>
+      AnalyzeTableCommand(p, cols.split(",").map(_.trim).toSeq,
+        hist != null, byPart != null)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -2155,6 +2155,23 @@ object DeltaLite {
     }
     lazy val analyzedFull = parseColStatsFull(props)
     lazy val analyzed = analyzedFull._2
+    // PARTITION-LOCAL stats: when this scan's file group sits entirely
+    // inside ONE partition (exactly what [[readFiles]] builds for
+    // Hive-layout tables — and what survives partition pruning) and the
+    // table carries BY PARTITION stats for it, the partition's own
+    // NDV/null counts replace the table-global values: a
+    // partition-correlated column prices with partition-local
+    // selectivity instead of a table-wide average. The table histogram
+    // is NOT served with partition-local stats (its bins describe the
+    // whole table's distribution — on a correlated column that's the
+    // very skew this feature corrects; min/max stay live per file
+    // group, so range pricing keeps partition-local bounds).
+    lazy val partLocal: Map[String, ColStatEntry] = {
+      val pvs = files.map(_.pv).distinct
+      if (pvs.size != 1 || pvs.head.isEmpty) Map.empty
+      else parsePartStats(props).get(pvKey(pvs.head))
+        .map(_._2).getOrElse(Map.empty)
+    }
     def colStatsFor(schema: StructType): Map[String, CatalogColumnStat] =
       if (!wantColStats) Map.empty
       else schema.fields.iterator.flatMap { f =>
@@ -2167,7 +2184,13 @@ object DeltaLite {
           case (a @ Some(_), b @ Some(_)) => (a, b)
           case _ => (None, None)
         }
-        val an = analyzed.get(f.name)
+        val an = (analyzed.get(f.name), partLocal.get(f.name)) match {
+          case (Some(t), Some(p)) => Some(t.copy(
+            ndv = p.ndv.orElse(t.ndv), nulls = p.nulls.orElse(t.nulls),
+            hist = None, qsk = None, histAsOf = None))
+          case (None, p @ Some(_)) => p
+          case (t, None) => t
+        }
         val ndv = an.flatMap(_.ndv); val nulls = an.flatMap(_.nulls)
         if (mn.isEmpty && ndv.isEmpty && nulls.isEmpty) None
         else Some(f.name -> CatalogColumnStat(
@@ -3238,7 +3261,8 @@ object DeltaLite {
     * way. At 100 TB the pass is one map-side-partial aggregation over
     * the table — run it after large loads, not per query. */
   def analyzeTable(spark: SparkSession, path: String,
-      columns: Seq[String] = Nil, histogramBins: Int = 0): Long = {
+      columns: Seq[String] = Nil, histogramBins: Int = 0,
+      byPartition: Boolean = false): Long = {
     val snap = snapshot(path)
     val eligible = snap.schema.fields.filter(f => f.dataType match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType |
@@ -3278,7 +3302,79 @@ object DeltaLite {
       .view.filterKeys(k => !targets.exists(f => snap.phys(f.name) == k))
       .toMap
     val byPhys = entries.map { case (n, e) => snap.phys(n) -> e }
-    writeColStats(path, snap.version, snap.totalRows, kept ++ byPhys)
+    // BY PARTITION: one extra GROUPED pass lands partition-LOCAL NDV and
+    // null counts (with their HLL fold state), replacing the standing
+    // partition-stats set; without it, existing partition stats carry
+    // over untouched (they keep maintaining under appends). Bounded to
+    // MaxAnalyzedPartitions live partitions — property-resident stats,
+    // not a second table.
+    val parts =
+      if (!byPartition) parsePartStats(snap.properties)
+      else {
+        require(snap.partitionBy.nonEmpty,
+          s"ANALYZE ... BY PARTITION: table at $path is not partitioned")
+        val nParts = snap.files.map(_.pv).distinct.size
+        require(nParts <= MaxAnalyzedPartitions,
+          s"ANALYZE ... BY PARTITION supports at most $MaxAnalyzedPartitions " +
+            s"live partitions; $path has $nParts — use file-level stats " +
+            "(always live) or a coarser partitioning")
+        collectPartColStats(df, targets, snap)
+      }
+    writeColStats(path, snap.version, snap.totalRows, kept ++ byPhys, parts)
+  }
+
+  /** Per-partition column statistics in ONE grouped aggregate pass:
+    * canonical partition key → (rows, physical-name-keyed entries).
+    * NDV estimates ride the same aggregate (hll_sketch_estimate over
+    * the group's sketch — no per-partition driver jobs); the sketch
+    * itself is kept so [[analyzeAppend]] folds per-partition in
+    * O(batch). Partition columns themselves are skipped (constant
+    * within a partition; the plan's literal already tells the optimizer
+    * more than a stat could). */
+  private def collectPartColStats(df: DataFrame,
+      targets: Seq[StructField], snap: Snapshot)
+      : Map[String, (Long, Map[String, ColStatEntry])] = {
+    val pcols = snap.partitionBy
+    val statTargets = targets.filterNot(f => pcols.contains(f.name))
+    if (statTargets.isEmpty) return Map.empty
+    val keyCols = pcols.map(c => coalesce(col(c).cast("string"),
+      lit("__HIVE_DEFAULT_PARTITION__")).as(s"__pk_$c"))
+    val aggs = statTargets.flatMap { f =>
+      (hllCast(f) match {
+        case Some(c) => Seq(
+          base64(hll_sketch_agg(c)).as(s"__hll_${f.name}"),
+          hll_sketch_estimate(hll_sketch_agg(c)).as(s"__ndv_${f.name}"))
+        case None => Seq(
+          approx_count_distinct(col(f.name)).cast("long")
+            .as(s"__ndv_${f.name}"))
+      }) :+
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).cast("long")
+        .as(s"__nulls_${f.name}")
+    } :+ count(lit(1)).as("__rows")
+    // bounded collect: ≤ MaxAnalyzedPartitions result rows by the
+    // caller's gate (or the batch's own partition count on a fold)
+    df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val key = pcols.sorted
+          .map(c => c + "=" + r.getString(r.fieldIndex(s"__pk_$c")))
+          .mkString("/")
+        def getL(n: String): Option[Long] = {
+          val i = r.fieldIndex(n)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        def getS(n: String): Option[String] = {
+          val i = r.fieldIndex(n)
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        }
+        val cols = statTargets.map { f =>
+          val hll = if (hllCast(f).isDefined) getS(s"__hll_${f.name}") else None
+          snap.phys(f.name) -> ColStatEntry(
+            getL(s"__ndv_${f.name}"),
+            getL(s"__nulls_${f.name}").orElse(Some(0L)),
+            None, None, hll)
+        }.toMap
+        key -> (r.getLong(r.fieldIndex("__rows")), cols)
+      }.toMap
   }
 
   /** `EXPLAIN COST '<path>'` payload: the optimizer-facing statistics
@@ -3331,7 +3427,19 @@ object DeltaLite {
           histState.map(v => (f.name, "histogram", v))).flatten
       }
     }
-    tableRows ++ colRows
+    def logical(phys: String): String = snap.schema.fields
+      .find(f => snap.phys(f.name) == phys).map(_.name).getOrElse(phys)
+    val partRows = parsePartStats(snap.properties).toSeq.sortBy(_._1)
+      .flatMap { case (k, (n, cs)) =>
+        (s"partition $k", "row_count", n.toString) +:
+          cs.toSeq.sortBy(_._1).flatMap { case (c, e) =>
+            e.ndv.map(v =>
+              (s"partition $k", s"ndv(${logical(c)})", v.toString)).toSeq ++
+            e.nulls.map(v =>
+              (s"partition $k", s"null_count(${logical(c)})", v.toString))
+          }
+      }
+    tableRows ++ colRows ++ partRows
   }
 
   /** Double rendering of a column for histogram space — matches the
@@ -3468,11 +3576,17 @@ object DeltaLite {
     spark.range(1).select(
       hll_sketch_estimate(unbase64(lit(b64))).as("e")).head().getLong(0)
 
-  /** Serialize entries under [[ColStatsKey]] (a metadata-only commit). */
+  /** Serialize entries under [[ColStatsKey]] (a metadata-only commit).
+    * `parts` is the partition-level stats map (ANALYZE ... BY
+    * PARTITION) — every writer passes the current/folded value through,
+    * so a table-global re-ANALYZE or an append fold never silently
+    * drops partition stats. */
   private def writeColStats(path: String, analyzedVersion: Long,
-      rows: Long, entries: Map[String, ColStatEntry]): Long = {
+      rows: Long, entries: Map[String, ColStatEntry],
+      parts: Map[String, (Long, Map[String, ColStatEntry])] = Map.empty)
+      : Long = {
     import org.json4s.JsonDSL._
-    val cols = entries.map { case (k, e) =>
+    def colsJson(es: Map[String, ColStatEntry]) = es.map { case (k, e) =>
       val base = ("ndv" -> e.ndv) ~ ("nulls" -> e.nulls) ~
         ("avgLen" -> e.avgLen) ~ ("maxLen" -> e.maxLen) ~
         ("hll" -> e.hll) ~ ("qsk" -> e.qsk)
@@ -3483,12 +3597,30 @@ object DeltaLite {
             JLong(b._3))).toList)))
       }.getOrElse(base)
     }
-    val json = JsonMethods.compact(JsonMethods.render(
-      ("analyzedVersion" -> analyzedVersion) ~
-      ("rows" -> rows) ~
-      ("cols" -> cols)))
+    val obj0 = ("analyzedVersion" -> analyzedVersion) ~
+      ("rows" -> rows) ~ ("cols" -> colsJson(entries))
+    val obj =
+      if (parts.isEmpty) obj0
+      else obj0 ~ ("parts" -> parts.map { case (k, (n, cs)) =>
+        k -> (("rows" -> n) ~ ("cols" -> colsJson(cs)))
+      })
+    val json = JsonMethods.compact(JsonMethods.render(obj))
     setProperties(path, Map(ColStatsKey -> json))
   }
+
+  /** Canonical key of one partition's value map — sorted `c=v` pairs
+    * joined with '/'. Values are the LOG's (Hive-path) string rendering;
+    * the ANALYZE-side grouped pass renders with cast-to-string, which
+    * matches for every partitionable type (dates ISO, numerics plain,
+    * booleans true/false, null → the Hive default sentinel). */
+  private def pvKey(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1).map { case (c, v) => s"$c=$v" }.mkString("/")
+
+  /** Live-partition cap for BY PARTITION stats: the entries live in one
+    * log property, so the surface is bounded — a 10k-partition table
+    * wants file-level stats (already live) or a coarser key, not 10k
+    * property-resident HLL sketches. */
+  val MaxAnalyzedPartitions = 64
 
   /** INCREMENTAL statistics maintenance: fold an appended batch into
     * the standing ANALYZE stats in O(batch) — no table rescan, ever.
@@ -3562,7 +3694,42 @@ object DeltaLite {
             hll, hist, qsk, asof)
       }
     }
-    writeColStats(path, snap.version, rows + batchRows, merged)
+    // partition-level stats fold the same way: the batch's grouped pass
+    // merges into matching partitions by HLL union (new partitions just
+    // insert). If the fold would exceed the partition cap, the whole
+    // partition-stats set drops — disarm, never a silently partial map.
+    val storedParts = parsePartStats(snap.properties)
+    val foldedParts: Map[String, (Long, Map[String, ColStatEntry])] =
+      if (storedParts.isEmpty) storedParts
+      else {
+        val partCols = storedParts.values.flatMap(_._2.keys).toSet
+        val pTargets = snap.schema.fields.filter(f =>
+          partCols.contains(snap.phys(f.name)) &&
+            batch.columns.contains(f.name)).toSeq
+        val fresh = collectPartColStats(batch, pTargets, snap)
+        val all = (storedParts.keySet ++ fresh.keySet).toSeq.map { k =>
+          (storedParts.get(k), fresh.get(k)) match {
+            case (Some((r0, c0)), Some((r1, c1))) =>
+              k -> ((r0 + r1, (c0.keySet ++ c1.keySet).toSeq.map { pn =>
+                (c0.get(pn), c1.get(pn)) match {
+                  case (Some(a), Some(b)) =>
+                    val h = (a.hll, b.hll) match {
+                      case (Some(x), Some(y)) => Some(hllUnion(spark, x, y))
+                      case _ => None
+                    }
+                    pn -> ColStatEntry(
+                      h.map(hllEstimate(spark, _)).orElse(a.ndv),
+                      Some(a.nulls.getOrElse(0L) + b.nulls.getOrElse(0L)),
+                      None, None, h)
+                  case (a, b) => pn -> a.orElse(b).get
+                }
+              }.toMap))
+            case (a, b) => k -> a.orElse(b).get
+          }
+        }.toMap
+        if (all.size > MaxAnalyzedPartitions) Map.empty else all
+      }
+    writeColStats(path, snap.version, rows + batchRows, merged, foldedParts)
   }
 
   /** Merge two base64 HLL sketches (1-row local project). */
@@ -3627,6 +3794,47 @@ object DeltaLite {
   private[graft] def parseColStats(props: Map[String, String]):
       Map[String, ColStatEntry] = parseColStatsFull(props)._2
 
+  private def parseEntry(v: JValue): ColStatEntry = {
+    def f(k: String): Option[Long] = v \ k match {
+      case JInt(x) => Some(x.toLong)
+      case JLong(x) => Some(x)
+      case _ => None
+    }
+    val hll = v \ "hll" match {
+      case JString(x) => Some(x); case _ => None
+    }
+    def d(j: JValue): Double = j match {
+      case JDouble(x) => x; case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble; case _ => 0.0
+    }
+    val qsk = v \ "qsk" match {
+      case JString(x) => Some(x); case _ => None
+    }
+    val (hist, asof) = v \ "hist" match {
+      case h: JObject =>
+        val bins = (h \ "bins") match {
+          case JArray(bs) => bs.collect { case JArray(List(lo, hi, n)) =>
+            (d(lo), d(hi), d(n).toLong) }
+          case _ => Nil
+        }
+        val a = h \ "asof" match {
+          case JInt(x) => Some(x.toLong)
+          case JLong(x) => Some(x)
+          case _ => None
+        }
+        if (bins.isEmpty) (None, None)
+        else (Some((d(h \ "height"), bins)), a)
+      case _ => (None, None)
+    }
+    ColStatEntry(f("ndv"), f("nulls"), f("avgLen"),
+      f("maxLen"), hll, hist, qsk, asof)
+  }
+
+  private def parseEntries(cols: JValue): Map[String, ColStatEntry] =
+    cols.asInstanceOf[JObject].obj.map { case (name, v) =>
+      name -> parseEntry(v)
+    }.toMap
+
   private[graft] def parseColStatsFull(props: Map[String, String]):
       (Long, Map[String, ColStatEntry]) =
     props.get(ColStatsKey).flatMap { json =>
@@ -3635,44 +3843,29 @@ object DeltaLite {
         val rows = root \ "rows" match {
           case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
         }
-        val cols = root \ "cols"
-        Some(rows -> cols.asInstanceOf[JObject].obj.map { case (name, v) =>
-          def f(k: String): Option[Long] = v \ k match {
-            case JInt(x) => Some(x.toLong)
-            case JLong(x) => Some(x)
-            case _ => None
-          }
-          val hll = v \ "hll" match {
-            case JString(x) => Some(x); case _ => None
-          }
-          def d(j: JValue): Double = j match {
-            case JDouble(x) => x; case JInt(x) => x.toDouble
-            case JLong(x) => x.toDouble; case _ => 0.0
-          }
-          val qsk = v \ "qsk" match {
-            case JString(x) => Some(x); case _ => None
-          }
-          val (hist, asof) = v \ "hist" match {
-            case h: JObject =>
-              val bins = (h \ "bins") match {
-                case JArray(bs) => bs.collect { case JArray(List(lo, hi, n)) =>
-                  (d(lo), d(hi), d(n).toLong) }
-                case _ => Nil
-              }
-              val a = h \ "asof" match {
-                case JInt(x) => Some(x.toLong)
-                case JLong(x) => Some(x)
-                case _ => None
-              }
-              if (bins.isEmpty) (None, None)
-              else (Some((d(h \ "height"), bins)), a)
-            case _ => (None, None)
-          }
-          name -> ColStatEntry(f("ndv"), f("nulls"), f("avgLen"),
-            f("maxLen"), hll, hist, qsk, asof)
-        }.toMap)
+        Some(rows -> parseEntries(root \ "cols"))
       } catch { case _: Throwable => None }
     }.getOrElse((0L, Map.empty))
+
+  /** Partition-level stats (`ANALYZE ... BY PARTITION`): canonical
+    * partition key → (partition row count, physical-name-keyed
+    * NDV/null entries with their HLL fold state). Same garbled-property
+    * tolerance as the table-level parse. */
+  private[graft] def parsePartStats(props: Map[String, String]):
+      Map[String, (Long, Map[String, ColStatEntry])] =
+    props.get(ColStatsKey).flatMap { json =>
+      try {
+        JsonMethods.parse(json) \ "parts" match {
+          case p: JObject => Some(p.obj.map { case (k, v) =>
+            val rows = v \ "rows" match {
+              case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
+            }
+            k -> (rows, parseEntries(v \ "cols"))
+          }.toMap)
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
 
   /** Delta `ALTER TABLE ... UNSET TBLPROPERTIES (k)`. */
   def unsetProperty(path: String, key: String): Long = {

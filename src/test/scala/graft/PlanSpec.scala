@@ -1200,6 +1200,69 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("ANALYZE BY PARTITION: a pruned branch prices with partition-LOCAL NDV, folds under appends, renders in EXPLAIN COST") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val path = graft.TempDirs.fresh("part_analyze") + "/t"
+    // p1: 1000 DISTINCT keys; p2: ONE key repeated 1000× — the
+    // partition-correlated shape a table-global NDV mis-prices hardest
+    D.create(spark, path,
+      spark.range(1000L).select(col("id").as("k"), lit("p1").as("part"))
+        .unionByName(spark.range(1000L).select(lit(5L).as("k"),
+          lit("p2").as("part"))).repartition(2),
+      partitionBy = Seq("part"),
+      properties = Map("graft.stats.auto" -> "true"))
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (k)").collect()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def est(): BigInt = D.read(ss, path)
+        .filter(col("part") === "p2" && col("k") === 5L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      // table-global NDV ≈ 1001 prices k=5 on the pruned p2 branch at
+      // ~1 row — wrong by 3 orders of magnitude on this partition
+      val global = est()
+      assert(global < BigInt(50),
+        s"global NDV must misprice the correlated branch, got $global")
+      // BY PARTITION: p2's local NDV is 1 → the same filter prices the
+      // whole branch
+      ss.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+        "FOR COLUMNS (k) BY PARTITION").collect()
+      val local = est()
+      assert(local > BigInt(500),
+        s"partition-local NDV must price the whole branch, got $local " +
+          "(true 1000)")
+      assert(D.read(ss, path)
+        .filter(col("part") === "p2" && col("k") === 5L).count() === 1000L)
+      // an UN-pruned read is a union of per-partition branches, and each
+      // branch carries ITS OWN local stats — so k=5 over the whole table
+      // prices as p2's ~1000 + p1's ~1, far closer to the true 1001 than
+      // the global-NDV guess of ~2 ever was
+      val multi = D.read(ss, path).filter(col("k") === 5L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(multi > BigInt(900) && multi < BigInt(1100),
+        s"per-branch local stats must sum to ~1001, got $multi")
+      // the auto-stats fold maintains partition stats in O(batch):
+      // appending 500 fresh-keyed rows to p2 lifts its local NDV
+      D.append(ss, path, spark.range(500L)
+        .select((col("id") + 10000L).as("k"), lit("p2").as("part")))
+      val parts = D.parsePartStats(D.snapshot(path).properties)
+      assert(parts("part=p2")._1 === 1500L, "p2 rows fold 1000+500")
+      val p2ndv = parts("part=p2")._2("k").ndv.get
+      assert(p2ndv >= 450L && p2ndv <= 550L,
+        s"p2 local NDV must fold to ~501, got $p2ndv")
+      assert(parts("part=p1")._1 === 1000L, "p1 untouched by the fold")
+      // EXPLAIN COST renders the partition rows
+      val m = ss.sql(s"EXPLAIN COST '$path'").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(m(("partition part=p2", "row_count")) === "1500")
+      assert(m(("partition part=p1", "ndv(k)")).toLong > 900L)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("pruned scans report pruned cardinality: partition branches and stats-pruned file sets") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
