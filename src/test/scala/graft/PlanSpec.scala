@@ -1263,6 +1263,45 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("stats visitor CONTRACT: bare planStats serves leaf rowCount only; cbo.enabled propagates through Project/Union") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val path = graft.TempDirs.fresh("visitor_contract") + "/t"
+    D.create(spark, path, spark.range(5000L).select(
+      col("id").as("k"), lit("a").as("p"), col("id").as("v"))
+      .unionByName(spark.range(5000L).select((col("id") + 5000L).as("k"),
+        lit("b").as("p"), col("id").as("v"))),
+      partitionBy = Seq("p"))
+    val ss = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def leafStats() = D.read(ss, path).filter(col("p") === "a")
+        .queryExecution.optimizedPlan.collectLeaves().head.stats
+      def rootStats() = D.read(ss, path).select(col("k"))
+        .queryExecution.optimizedPlan.stats
+      // bare planStats: Spark picks its stats visitor on cbo.enabled
+      // ALONE, so the size-only visitor runs — leaves carry the log's
+      // rowCount, but Project/Union above them keep only sizeInBytes.
+      // This is Spark's own LogicalPlanStats contract, pinned here so a
+      // Spark upgrade that changes it gets noticed (README documents it
+      // as the user-facing difference between the two flags).
+      ss.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      assert(leafStats().rowCount.contains(BigInt(5000)),
+        "planStats alone must surface the pruned leaf's rowCount")
+      assert(rootStats().rowCount.isEmpty,
+        "the size-only visitor drops rowCount at the Project above")
+      // full cbo.enabled: the Basic visitor propagates rowCount through
+      // every row-preserving node — the flag pruned-cardinality
+      // consumers must set
+      ss.conf.set("spark.sql.cbo.enabled", "true")
+      assert(rootStats().rowCount.contains(BigInt(10000)),
+        "cbo.enabled must propagate rowCount through the Project/Union")
+      assert(D.read(ss, path).filter(col("p") === "a")
+        .queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(5000)),
+        "pruned-branch cardinality reaches the root under cbo.enabled")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("pruned scans report pruned cardinality: partition branches and stats-pruned file sets") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
