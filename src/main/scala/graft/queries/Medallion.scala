@@ -840,6 +840,126 @@ object Medallion {
       out.toString
     }
 
+    /** `dbt docs` STATIC SITE: one self-contained index.html rendered
+      * over the manifest.json + catalog.json this pipeline already
+      * writes — the artifact dbt serves with `dbt docs serve`, built the
+      * way a 100 TB lake needs it: zero data reads (both JSONs are log/
+      * metadata-derived), zero external assets (serves from a file://
+      * mount or any object store's static hosting). Sidebar lists
+      * models + exposures; a node page shows governance fields (group/
+      * access/version/deprecation/tags), upstream/downstream lineage
+      * from depends_on/child_map, the RENDERED compiled code, and the
+      * catalog's column table (type, live min/max, ANALYZE NDV/nulls)
+      * with table stats. Both JSONs embed verbatim (script-safe
+      * `<\/`-escaped), so the page doubles as the machine-readable
+      * artifact bundle. */
+    def generateDocsSite(targetDir: String): String = {
+      val dir = Paths.get(targetDir)
+      def readJson(name: String): String = {
+        val p = dir.resolve(name)
+        require(Files.exists(p),
+          s"docs site needs $name under $targetDir — run the pipeline " +
+            "(manifest.json) and generateCatalog (catalog.json) first")
+        new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).replace("</", "<\\/")
+      }
+      val manifest = readJson("manifest.json")
+      val catalog = readJson("catalog.json")
+      val head =
+        """<!doctype html>
+          |<html><head><meta charset="utf-8"><title>graft dbt docs</title>
+          |<style>
+          |body{margin:0;font:14px/1.45 system-ui,sans-serif;display:flex;min-height:100vh}
+          |#side{width:270px;background:#20232a;color:#eee;padding:12px;overflow:auto}
+          |#side h2{font-size:12px;text-transform:uppercase;color:#9aa;margin:14px 0 4px}
+          |#side a{display:block;color:#cdd;text-decoration:none;padding:2px 6px;border-radius:4px;word-break:break-all}
+          |#side a:hover,#side a.sel{background:#3a3f4b;color:#fff}
+          |#main{flex:1;padding:18px 26px;overflow:auto}
+          |table{border-collapse:collapse;margin:8px 0}
+          |td,th{border:1px solid #ccc;padding:3px 8px;text-align:left;font-size:13px}
+          |th{background:#f2f2f2}
+          |pre{background:#f6f8fa;padding:10px;border-radius:6px;overflow:auto}
+          |.pill{display:inline-block;background:#e2e8f0;border-radius:9px;padding:1px 8px;margin:0 4px 4px 0;font-size:12px}
+          |.lineage a{margin-right:10px}
+          |</style></head><body>
+          |<div id="side"></div><div id="main"><p>Select a node.</p></div>
+          |<script>
+          |var MANIFEST = """.stripMargin
+      val mid = """;
+          |var CATALOG = """.stripMargin
+      val tail =
+        """;
+          |function el(t,attrs,kids){var e=document.createElement(t);
+          |  for(var k in (attrs||{})){if(k=='text')e.textContent=attrs[k];
+          |    else if(k=='click')e.onclick=attrs[k];else e.setAttribute(k,attrs[k]);}
+          |  (kids||[]).forEach(function(c){e.appendChild(c);});return e;}
+          |function show(id){
+          |  var m=document.getElementById('main');m.innerHTML='';
+          |  var sides=document.querySelectorAll('#side a');
+          |  sides.forEach(function(a){a.className=(a.dataset.id==id)?'sel':'';});
+          |  var node=(MANIFEST.nodes||{})[id]||(MANIFEST.exposures||{})[id]||{};
+          |  var cat=(CATALOG.nodes||{})[id];
+          |  m.appendChild(el('h1',{text:id}));
+          |  var pills=el('div');
+          |  ['resource_type','group','access','version','latest_version','deprecation_date']
+          |    .forEach(function(k){if(node[k]!=null&&node[k]!=='')
+          |      pills.appendChild(el('span',{'class':'pill',text:k+': '+node[k]}));});
+          |  (node.tags||[]).forEach(function(t){
+          |    pills.appendChild(el('span',{'class':'pill',text:'#'+t}));});
+          |  m.appendChild(pills);
+          |  var deps=(node.depends_on||{}).nodes||[];
+          |  var kids=(MANIFEST.child_map||{})[id]||[];
+          |  function lin(title,ids){if(!ids.length)return;
+          |    m.appendChild(el('h3',{text:title}));
+          |    var d=el('div',{'class':'lineage'});
+          |    ids.forEach(function(x){d.appendChild(el('a',{href:'#'+x,
+          |      text:x,click:function(){show(x);}}));});
+          |    m.appendChild(d);}
+          |  lin('Upstream',deps);lin('Downstream',kids);
+          |  if(cat){
+          |    var st=cat.stats||{};
+          |    m.appendChild(el('h3',{text:'Table'}));
+          |    m.appendChild(el('div',{text:'rows: '+st.row_count+
+          |      ' · bytes: '+st.bytes+' · files: '+st.num_files+
+          |      ' · version: '+(cat.metadata||{}).version}));
+          |    m.appendChild(el('h3',{text:'Columns'}));
+          |    var tb=el('table'),hd=el('tr');
+          |    ['name','type','min','max','approx_distinct','null_count']
+          |      .forEach(function(h){hd.appendChild(el('th',{text:h}));});
+          |    tb.appendChild(hd);
+          |    var cols=Object.values(cat.columns||{})
+          |      .sort(function(a,b){return a.index-b.index;});
+          |    cols.forEach(function(c){var tr=el('tr');
+          |      ['name','type','min','max','approx_distinct','null_count']
+          |        .forEach(function(h){tr.appendChild(el('td',
+          |          {text:c[h]==null?'':String(c[h])}));});
+          |      tb.appendChild(tr);});
+          |    m.appendChild(tb);}
+          |  if(node.compiled_code){
+          |    m.appendChild(el('h3',{text:'Compiled code'}));
+          |    m.appendChild(el('pre',{text:node.compiled_code}));}
+          |}
+          |(function(){
+          |  var s=document.getElementById('side');
+          |  function group(title,obj){var ids=Object.keys(obj||{}).sort();
+          |    if(!ids.length)return;
+          |    s.appendChild(el('h2',{text:title}));
+          |    ids.forEach(function(id){s.appendChild(el('a',
+          |      {href:'#'+id,'data-id':id,text:id.replace(/^(model|exposure)\.graft\./,''),
+          |       click:function(){show(id);}}));});}
+          |  group('Models',MANIFEST.nodes);
+          |  group('Exposures',MANIFEST.exposures);
+          |  var h=location.hash.slice(1);
+          |  if(h&&((MANIFEST.nodes||{})[h]||(MANIFEST.exposures||{})[h]))show(h);
+          |})();
+          |</script></body></html>
+          |""".stripMargin
+      val out = dir.resolve("index.html")
+      Files.write(out, (head + manifest + mid + catalog + tail)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.toString
+    }
+
     /** dbt `test --store-failures`: a data test's VIOLATING rows
       * materialize to an audit table (`dq_failures/<test>` under the
       * target, dbt's `dbt_test__audit.<test_name>`) so triage reads the

@@ -535,4 +535,55 @@ class FunctionsSpec extends AnyFunSuite with TestSpark {
       .select(expr("dmetaphone_code(s)").as("c"))
       .where(col("c").isNotNull).count() === 0L)
   }
+
+  test("quantile_sketch_agg: distributed digest ≡ single-partition digest; merge preserves quantiles; nulls skipped") {
+    import spark.implicits._
+    import graft.functions.QuantileSketch
+    // deterministic skewed data: 90% in [0,100), 10% in [10000,11000)
+    val vals = (0 until 20000).map(i =>
+      if (i % 10 == 9) 10000.0 + (i % 1000) else (i % 100).toDouble)
+    val df = vals.toDF("v")
+    def digest(d: org.apache.spark.sql.DataFrame, parts: Int): String =
+      d.repartition(parts)
+        .agg(base64(expr("quantile_sketch_agg(v)")).as("s"))
+        .head().getString(0)
+    // GK merge is error-bounded, not bit-identical — compare the
+    // QUANTILE ANSWERS of a 16-partition (merge-path) digest against a
+    // 1-partition (pure-insert) digest on a fine grid
+    val multi = QuantileSketch.fromBase64(digest(df, 16))
+    val single = QuantileSketch.fromBase64(digest(df, 1))
+    val grid = (0 to 64).map(_ / 64.0).toArray
+    val (qm, qs1) = (multi.getPercentiles(grid), single.getPercentiles(grid))
+    assert(qm.size === 65 && qs1.size === 65)
+    qm.zip(qs1).zipWithIndex.foreach { case ((a, b), i) =>
+      // skip the grid points hugging the head→tail cliff at rank 0.9:
+      // there a ±ε rank error legitimately jumps the value by ~10000
+      if ((grid(i) - 0.9).abs > 0.02)
+        assert(math.abs(a - b) <= 110.0, // one head value step + slack
+          s"quantile ${grid(i)}: merged $a vs single $b")
+    }
+    // the skew shape survives: p50 in the dense head, p95+ in the tail
+    assert(multi.getPercentiles(Array(0.5)).head < 100.0)
+    assert(multi.getPercentiles(Array(0.95)).head >= 10000.0)
+    // driver-side mergeBase64 ≡ one digest over the union
+    val (h1, h2) = (vals.take(10000), vals.drop(10000))
+    val m = QuantileSketch.mergeBase64(
+      digest(h1.toDF("v"), 4), digest(h2.toDF("v"), 4))
+    val all = QuantileSketch.fromBase64(m)
+    assert(math.abs(all.getPercentiles(Array(0.5)).head -
+      single.getPercentiles(Array(0.5)).head) <= 110.0)
+    // nulls are skipped, not zero-counted: digest of (nulls ++ 1,2,3)
+    // has count 3 and median 2
+    val withNulls = Seq[Option[Double]](None, None, Some(1.0), Some(2.0),
+      Some(3.0)).toDF("v")
+    val nd = QuantileSketch.fromBase64(digest(withNulls, 2))
+    assert(nd.getPercentiles(Array(0.5)).head === 2.0)
+    // foldable-literal accuracy arg resolves through both registries;
+    // non-double input fails analysis loudly
+    assert(Seq(1.0, 2.0).toDF("v")
+      .agg(expr("quantile_sketch_agg(v, 128)")).head() != null)
+    intercept[Exception] {
+      Seq("x").toDF("s").agg(expr("quantile_sketch_agg(s)")).head()
+    }
+  }
 }

@@ -1571,6 +1571,36 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(errs.exists(e => e.contains("ghost_model") && e.contains("skipped")))
   }
 
+  test("dbt docs SITE: self-contained index.html embeds manifest + catalog and renders every node") {
+    val target = Files.createTempDirectory("graft_docs_site").toString
+    val order = Pipeline.dag(sf)
+    Pipeline.runAll(spark, sf, target)
+    Pipeline.generateCatalog(target, order)
+    val path = Pipeline.generateDocsSite(target)
+    assert(path.endsWith("index.html"))
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    // the embedded manifest carries every model node and the exposures
+    order.foreach(m => assert(html.contains(s"model.graft.${m.name}"),
+      s"node ${m.name} must embed"))
+    assert(html.contains("exposure.graft.revenue_dashboard"))
+    // script-safe embedding: the ONLY literal </script> is the real
+    // closing tag — every "</" inside the JSON payloads is escaped, so
+    // compiled code or column values can never truncate the page
+    assert(html.sliding("</script>".length)
+      .count(_ == "</script>") === 1, "exactly one closing script tag")
+    // self-contained: no external assets to fetch (file:// serving)
+    assert(!html.contains("http://") && !html.contains("https://"),
+      "no external references")
+    // catalog data reaches the page payload
+    assert(html.contains("\"row_count\"") && html.contains("\"columns\""))
+    // missing artifacts fail loudly, never render an empty site
+    val empty = Files.createTempDirectory("graft_docs_empty").toString
+    intercept[IllegalArgumentException] {
+      Pipeline.generateDocsSite(empty)
+    }
+  }
+
   test("dbt test --store-failures: violating rows land in the audit table; rerun replaces") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft_storefail").toString
