@@ -1263,6 +1263,72 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("BY PARTITION key parity: spaced, escaped and NULL partition values resolve local stats; date axis rebins after a fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("part_key_parity")
+    val path = s"$base/t"
+    // partition values that exercise the Hive path-escape round-trip:
+    // a space (not escaped), a percent+equals (escaped %25/%3D on
+    // write, unescaped in the log pv), and NULL (the Hive default
+    // sentinel) — the ANALYZE-side cast-to-string key must land on the
+    // same canonical string as the log's pv for local stats to serve
+    val rows = Seq.tabulate(300) { i =>
+      val p = i % 3 match {
+        case 0 => "north region"
+        case 1 => "a%b=c"
+        case _ => null
+      }
+      // the null partition gets ONE distinct k; the others many
+      (if (p == null) 7L else i.toLong, p)
+    }
+    D.create(spark, path, rows.toDF("k", "part"), partitionBy = Seq("part"))
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (k) BY PARTITION").collect()
+    val parts = D.parsePartStats(D.snapshot(path).properties)
+    assert(parts.keySet === Set("part=north region", "part=a%b=c",
+      "part=__HIVE_DEFAULT_PARTITION__"),
+      s"canonical keys must match the log's unescaped pv: ${parts.keySet}")
+    assert(parts("part=__HIVE_DEFAULT_PARTITION__")._2("k").ndv
+      .contains(1L))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      // the NULL partition's branch serves LOCAL ndv=1: k=7 prices the
+      // whole 100-row branch instead of the global-NDV ~1-row guess
+      val est = D.read(ss, path)
+        .filter(col("part").isNull && col("k") === 7L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(est > BigInt(60),
+        s"NULL-partition branch must price with local NDV 1, got $est")
+      // DATE columns: digest + bins live in epoch-DAY space. After a
+      // fold appends a 2030-era batch, a 2029 cutoff must price through
+      // the REBINNED frame — stale 2020-only bins would say ~0 rows
+      val dpath = s"$base/d"
+      D.create(ss, dpath, spark.range(10000L).select(
+        date_add(to_date(lit("2020-01-01")),
+          (col("id") % 100L).cast("int")).as("d"),
+        col("id").as("k")),
+        properties = Map("graft.stats.auto" -> "true"))
+      ss.sql(s"ANALYZE TABLE '$dpath' COMPUTE STATISTICS " +
+        "FOR COLUMNS (d) WITH HISTOGRAM").collect()
+      D.append(ss, dpath, spark.range(10000L).select(
+        date_add(to_date(lit("2030-01-01")),
+          (col("id") % 100L).cast("int")).as("d"),
+        (col("id") + 10000L).as("k")))
+      val dEst = D.read(ss, dpath)
+        .filter(col("d") > to_date(lit("2029-01-01")))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(dEst > BigInt(6000),
+        s"rebinned date bins must price the appended 2030 rows, " +
+          s"got $dEst (true 10000)")
+      assert(D.read(ss, dpath)
+        .filter(col("d") > to_date(lit("2029-01-01"))).count() === 10000L)
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("stats visitor CONTRACT: bare planStats serves leaf rowCount only; cbo.enabled propagates through Project/Union") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
