@@ -3778,13 +3778,17 @@ object DeltaLite {
         case Some(asof) if asof == nonNull => some
         case _ =>
           val nBins = bins.size
-          e.qsk
-            .flatMap(graft.functions.QuantileSketch.boundsBase64(_, nBins))
-            .map { bs =>
-              val ndvEach = math.max(1L, e.ndv.map(_ / nBins).getOrElse(1L))
-              (nonNull.toDouble / nBins,
-                (0 until nBins).map(i => (bs(i), bs(i + 1), ndvEach)))
-            } // no digest → None: disarmed, never stale-priced
+          e.qsk.flatMap { q =>
+            memo(rebinCache, (q, nBins, nonNull, e.ndv.getOrElse(-1L))) {
+              graft.functions.QuantileSketch.boundsBase64(q, nBins)
+                .map { bs =>
+                  val ndvEach =
+                    math.max(1L, e.ndv.map(_ / nBins).getOrElse(1L))
+                  (nonNull.toDouble / nBins,
+                    (0 until nBins).map(i => (bs(i), bs(i + 1), ndvEach)))
+                }
+            }
+          } // no digest → None: disarmed, never stale-priced
       }
   }
 
@@ -3835,16 +3839,46 @@ object DeltaLite {
       name -> parseEntry(v)
     }.toMap
 
+  /** PARSE MEMOS (scale-path, not semantics): under CBO a partitioned
+    * read builds one scan branch per partition group, and every branch
+    * re-parses the SAME stats property — a JSON that with digests can
+    * reach ~100 KB on a wide analyzed table, so a 64-branch read would
+    * otherwise parse megabytes per plan build. Keyed by the property
+    * string itself (a new string per snapshot load, equal across the
+    * branches of one read); wholesale-cleared past a small bound —
+    * pure memos, correctness unaffected. The rebin memo does the same
+    * for the digest→bins derivation (deserialize + 33-point quantile
+    * query per histogram column per branch). */
+  private val statsParseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, ColStatEntry])]()
+  private val partStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (Long, Map[String, ColStatEntry])]]()
+  private val rebinCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, Long), Option[(Double, Seq[(Double, Double, Long)])]]()
+  private def memo[K, V](cache: java.util.concurrent.ConcurrentHashMap[K, V],
+      key: K)(compute: => V): V = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      if (cache.size > 64) cache.clear()
+      cache.put(key, v)
+      v
+    }
+  }
+
   private[graft] def parseColStatsFull(props: Map[String, String]):
       (Long, Map[String, ColStatEntry]) =
-    props.get(ColStatsKey).flatMap { json =>
-      try {
-        val root = JsonMethods.parse(json)
-        val rows = root \ "rows" match {
-          case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
-        }
-        Some(rows -> parseEntries(root \ "cols"))
-      } catch { case _: Throwable => None }
+    props.get(ColStatsKey).map { json =>
+      memo(statsParseCache, json) {
+        try {
+          val root = JsonMethods.parse(json)
+          val rows = root \ "rows" match {
+            case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
+          }
+          rows -> parseEntries(root \ "cols")
+        } catch { case _: Throwable => (0L, Map.empty[String, ColStatEntry]) }
+      }
     }.getOrElse((0L, Map.empty))
 
   /** Partition-level stats (`ANALYZE ... BY PARTITION`): canonical
@@ -3853,18 +3887,23 @@ object DeltaLite {
     * tolerance as the table-level parse. */
   private[graft] def parsePartStats(props: Map[String, String]):
       Map[String, (Long, Map[String, ColStatEntry])] =
-    props.get(ColStatsKey).flatMap { json =>
-      try {
-        JsonMethods.parse(json) \ "parts" match {
-          case p: JObject => Some(p.obj.map { case (k, v) =>
-            val rows = v \ "rows" match {
-              case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
-            }
-            k -> (rows, parseEntries(v \ "cols"))
-          }.toMap)
-          case _ => None
+    props.get(ColStatsKey).map { json =>
+      memo(partStatsCache, json) {
+        try {
+          JsonMethods.parse(json) \ "parts" match {
+            case p: JObject => p.obj.map { case (k, v) =>
+              val rows = v \ "rows" match {
+                case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L
+              }
+              k -> ((rows, parseEntries(v \ "cols")))
+            }.toMap
+            case _ => Map.empty[String, (Long, Map[String, ColStatEntry])]
+          }
+        } catch {
+          case _: Throwable =>
+            Map.empty[String, (Long, Map[String, ColStatEntry])]
         }
-      } catch { case _: Throwable => None }
+      }
     }.getOrElse(Map.empty)
 
   /** Delta `ALTER TABLE ... UNSET TBLPROPERTIES (k)`. */
