@@ -3392,12 +3392,19 @@ object DeltaLite {
     val snap = snapshot(path)
     val (aRows, stats) = parseColStatsFull(snap.properties)
     val live = snap.files
+    // analyzedVersion renders the stats' AGE: appends fold (stats stay
+    // fresh), but row-removing commits do not — "analyzed at v3, table
+    // at v9" is the signal to re-ANALYZE after a churn of deletes
+    val analyzedV: Option[Long] =
+      props_analyzedVersion(snap.properties)
     val tableRows = Seq(
       ("table", "size_bytes", live.map(_.bytes).sum.toString),
       ("table", "row_count", snap.totalRows.toString),
-      ("table", "num_files", live.size.toString)) ++
+      ("table", "num_files", live.size.toString),
+      ("table", "version", snap.version.toString)) ++
       (if (stats.isEmpty) Nil
-       else Seq(("table", "analyzed_non_null_rows", aRows.toString)))
+       else Seq(("table", "analyzed_non_null_rows", aRows.toString)) ++
+         analyzedV.map(v => ("table", "analyzed_version", v.toString)))
     def ext(v: Any, dt: DataType): Option[String] = v match {
       case null => None
       case _: org.apache.spark.unsafe.types.UTF8String => None
@@ -3626,6 +3633,17 @@ object DeltaLite {
       gz.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gz.close()
       "gz:" + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+
+  /** The version the standing stats were computed at (fold commits
+    * rewrite it to the fold's base version). */
+  private def props_analyzedVersion(props: Map[String, String]): Option[Long] =
+    props.get(ColStatsKey).flatMap { json =>
+      try JsonMethods.parse(decodeStatsJson(json)) \ "analyzedVersion" match {
+        case JInt(x) => Some(x.toLong)
+        case JLong(x) => Some(x)
+        case _ => None
+      } catch { case _: Throwable => None }
     }
 
   private def decodeStatsJson(v: String): String =

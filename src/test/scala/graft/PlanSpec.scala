@@ -1084,6 +1084,13 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(m2(("v", "histogram")).contains("rebinned"),
       s"folded-past bins must serve rebinned: ${m2(("v", "histogram"))}")
     assert(m2(("v", "max")) === "5999", "live max tracks the append")
+    // stats age is legible: analyzed_version + current version render,
+    // and the fold advanced the analyzed stamp with the append
+    assert(m2(("table", "version")).toLong >
+      m1(("table", "version")).toLong)
+    assert(m2(("table", "analyzed_version")).toLong >
+      m1(("table", "analyzed_version")).toLong,
+      "the auto-fold must re-stamp analyzed_version")
   }
 
   test("DeltaLite log stats feed Catalyst: rowCount visible; in-memory size flips a broadcast decision") {
