@@ -2804,19 +2804,32 @@ object DeltaLite {
           advanceHighWater(snap.identity, adds, snap.schema, snap.physical),
           snap.properties)
     maybeAutoCompact(spark, path)
-    // opt-in incremental stats: TBLPROPERTIES graft.stats.auto = true
-    // folds this batch's sketches into the standing ANALYZE stats —
-    // one extra map-side pass, never a table rescan. The fold reads
-    // back the JUST-COMMITTED adds rather than re-executing the input
-    // DataFrame: an expensive upstream pipeline must not run twice, and
-    // a nondeterministic source would describe rows other than those
-    // actually written — the landed files are the ground truth (and
-    // carry default-filled/identity columns the input may have lacked).
-    // BEST-EFFORT: the data commit above already succeeded, so a stats
-    // race (concurrent writer winning the metadata commit) or any
-    // stats-side failure must never fail the append — stats are
-    // estimates and the next fold or full ANALYZE repairs them. Only
-    // NonFatal is swallowed: fatal JVM errors and interrupts propagate.
+    maybeFoldStats(spark, path, adds)
+    v
+  }
+
+  /** Opt-in incremental stats for the WHOLE append family
+    * (TBLPROPERTIES `graft.stats.auto = true`): folds a just-landed
+    * batch's sketches into the standing ANALYZE stats — one extra
+    * aggregate pass over the batch, never a table rescan. Called AFTER
+    * the data commit by [[append]], [[appendOnce]] (so a streaming
+    * sink's tables maintain stats exactly like batch ingest),
+    * [[appendTxns]] and [[appendEvolve]]. The fold reads back the
+    * JUST-COMMITTED adds against the POST-commit snapshot rather than
+    * re-executing the input DataFrame: an expensive upstream pipeline
+    * must not run twice, a nondeterministic source would describe rows
+    * other than those actually written, and an evolve commit's widened
+    * schema is only on the post-commit snapshot — the landed files are
+    * the ground truth (and carry default-filled/identity columns the
+    * input may have lacked). BEST-EFFORT: the data commit has already
+    * succeeded, so a stats race (concurrent writer winning the metadata
+    * commit) or any stats-side failure must never fail the append —
+    * stats are estimates and the next fold or full ANALYZE repairs
+    * them. Only NonFatal is swallowed: fatal JVM errors and interrupts
+    * propagate. */
+  private def maybeFoldStats(spark: SparkSession, path: String,
+      adds: Seq[AddFile]): Unit = {
+    val snap = snapshot(path)
     if (snap.properties.exists { case (k, x) =>
         k.equalsIgnoreCase("graft.stats.auto") && x.equalsIgnoreCase("true") })
       try analyzeAppend(spark, path, readFiles(spark, path, snap.schema,
@@ -2827,7 +2840,6 @@ object DeltaLite {
             s"auto-stats fold after append to $path failed " +
               "(stats unchanged; next fold or ANALYZE repairs)", e)
       }
-    v
   }
 
   /** Row-INSERTING DML (merge/delete+insert/replaceWhere) would need
@@ -2896,6 +2908,7 @@ object DeltaLite {
                 s"${snap.version + 1} on $path; re-run against the new snapshot")
         }
     maybeAutoCompact(spark, path)
+    maybeFoldStats(spark, path, adds)
     v
   }
 
@@ -2923,6 +2936,7 @@ object DeltaLite {
       snap.properties)
     val v = commitAddsWithRetry(path, "APPEND", snap.schema, adds, txns = txns)
     maybeAutoCompact(spark, path)
+    maybeFoldStats(spark, path, adds)
     v
   }
 
@@ -3011,13 +3025,16 @@ object DeltaLite {
       generatedChecks(df.columns.toSet, snap.generated), "APPEND_EVOLVE")
     val adds = writeData(spark, root(path), snap.version + 1, withIds, evolved,
       snap.partitionBy, physical, snap.generated, snap.properties)
-    if (snap.identity.isEmpty && physical == snap.physical)
-      commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
-    else
-      commitExclusive(path, snap.version + 1, "APPEND_EVOLVE", evolved, adds,
-        Nil, snap.constraints, snap.partitionBy, physical, snap.generated,
-        advanceHighWater(snap.identity, adds, evolved, physical),
-        snap.properties)
+    val v =
+      if (snap.identity.isEmpty && physical == snap.physical)
+        commitAddsWithRetry(path, "APPEND_EVOLVE", evolved, adds)
+      else
+        commitExclusive(path, snap.version + 1, "APPEND_EVOLVE", evolved, adds,
+          Nil, snap.constraints, snap.partitionBy, physical, snap.generated,
+          advanceHighWater(snap.identity, adds, evolved, physical),
+          snap.properties)
+    maybeFoldStats(spark, path, adds)
+    v
   }
 
   /** Delta `ALTER TABLE ... ADD CONSTRAINT name CHECK (check)` — the

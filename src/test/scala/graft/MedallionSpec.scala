@@ -654,6 +654,47 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(again("tag").nulls.contains(250L), "untouched columns carry over")
   }
 
+  test("auto-stats fold covers the WHOLE append family: appendOnce (streaming) and appendEvolve fold; txn replays don't") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_foldfam")
+      .toString + "/t"
+    DeltaLite.create(spark, path,
+      (0L until 400L).map(i => (i, i % 20)).toDF("k", "v"),
+      properties = Map("graft.stats.auto" -> "true"))
+    DeltaLite.analyzeTable(spark, path)
+    def stats() =
+      DeltaLite.parseColStatsFull(DeltaLite.snapshot(path).properties)
+    assert(stats()._1 === 400L)
+    // a STREAMING-path write (appendOnce, exactly-once txn) folds like
+    // a batch append — a gate table under graft.stats.auto maintains
+    // stats through its micro-batches
+    DeltaLite.appendOnce(spark, path,
+      (400L until 500L).map(i => (i, i % 20)).toDF("k", "v"),
+      "gate_app", 1L)
+    val s1 = stats()
+    assert(s1._1 === 500L, "appendOnce must fold the batch's rows")
+    assert(s1._2("k").ndv.exists(n => n > 460 && n < 540),
+      s"appendOnce must fold ndv to ~500, got ${s1._2("k").ndv}")
+    // a REPLAYED txn is a data no-op and must be a stats no-op too
+    val before = DeltaLite.snapshot(path).properties(DeltaLite.ColStatsKey)
+    DeltaLite.appendOnce(spark, path,
+      (400L until 500L).map(i => (i, i % 20)).toDF("k", "v"),
+      "gate_app", 1L)
+    assert(DeltaLite.snapshot(path).properties(DeltaLite.ColStatsKey)
+      === before, "a replayed appendOnce must not double-fold")
+    // schema-evolving append folds the EXISTING columns' stats (the new
+    // column has none until the next ANALYZE)
+    DeltaLite.appendEvolve(spark, path,
+      (500L until 600L).map(i => (i, i % 20, s"n$i"))
+        .toDF("k", "v", "note"))
+    val s2 = stats()
+    assert(s2._1 === 600L, "appendEvolve must fold the batch's rows")
+    assert(s2._2("k").ndv.exists(n => n > 550 && n < 650),
+      s"appendEvolve must fold ndv to ~600, got ${s2._2("k").ndv}")
+    assert(!s2._2.contains("note"),
+      "the evolved column has no stats until ANALYZE")
+  }
+
   test("incremental stats: appends fold HLL sketches in O(batch); auto property maintains them") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_incstats")
