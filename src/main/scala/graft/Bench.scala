@@ -220,21 +220,27 @@ object Bench {
       "g2_bfs_hops", "g4_label_prop", "g6_weighted_sssp", "g7_modularity",
       "l4_bpe_train", "l4_bpe_encode")
     // MEASURED classification (primary layer, from the prior committed
-    // run): an iterator is many TINY jobs (scheduling-frequency-bound);
+    // run): an iterator is MANY tiny jobs (scheduling-frequency-bound);
     // a chain is many jobs with real total time (share-bound commit
-    // lifecycle). Caps keep the pools small — FAIR splits half the box
-    // per pool, so membership dilutes the share that makes the split
-    // work (12 chains measured 34 s where 6 measured 24 s, round 7).
+    // lifecycle). Thresholds are deliberately HIGH — the pools protect
+    // the few queries that set the makespan, and every quick query that
+    // sneaks in dilutes the minShare doing the protecting (first
+    // self-seeded run: jobs>=12 admitted dozens of mid queries into
+    // steps and the t19 wall went 42.5 s -> 47.5 s across two idle
+    // runs; 12 chains measured 34 s where 6 measured 24 s, round 7).
+    // A query only NEEDS a pool when it is both long (>=5 s measured)
+    // and job-rich; everything else is served fine ad-hoc.
     val measuredSteps = priorJobs.collect {
-      case (n, j) if j >= 12 && priorSec.get(n).exists(_ / j <= 0.25) => n
+      case (n, j) if j >= 24 && priorSec.get(n).exists(s =>
+        s >= 5.0 && s / j <= 0.25) => n
     }.toSet
     val measuredChains = priorJobs.collect {
-      case (n, j) if j >= 10 && priorSec.get(n).exists(_ >= 2.0) => n
+      case (n, j) if j >= 10 && priorSec.get(n).exists(_ >= 5.0) => n
     }.toSet -- measuredSteps
     def cap(s: Set[String], n: Int): Set[String] =
       if (s.size <= n) s
       else s.toSeq.sortBy(q => -priorSec.getOrElse(q, 0.0)).take(n).toSet
-    val stepPool = cap(staticSteps ++ measuredSteps, 12)
+    val stepPool = cap(staticSteps ++ measuredSteps, 10)
     val chainPool = cap(staticChains ++ measuredChains, 14) -- stepPool
     // LPT order from MEASURED times: longest prior queries submit first
     // (a 10 s query dequeued at t=15 s drags the tail); queries the
