@@ -3453,9 +3453,17 @@ object DeltaLite {
     }
     def logical(phys: String): String = snap.schema.fields
       .find(f => snap.phys(f.name) == phys).map(_.name).getOrElse(phys)
+    // live per-partition footprint straight off the log's file entries
+    // (what a pruned branch's CatalogStatistics will carry), alongside
+    // the ANALYZE-maintained local column stats
+    val liveByPart: Map[String, (Long, Long)] = live.groupBy(f => pvKey(f.pv))
+      .map { case (k, fs) => k -> ((fs.map(_.rows).sum, fs.map(_.bytes).sum)) }
     val partRows = parsePartStats(snap.properties).toSeq.sortBy(_._1)
       .flatMap { case (k, (n, cs)) =>
-        (s"partition $k", "row_count", n.toString) +:
+        Seq((s"partition $k", "row_count", n.toString)) ++
+          liveByPart.get(k).toSeq.flatMap { case (r, b) => Seq(
+            (s"partition $k", "live_row_count", r.toString),
+            (s"partition $k", "size_bytes", b.toString)) } ++
           cs.toSeq.sortBy(_._1).flatMap { case (c, e) =>
             e.ndv.map(v =>
               (s"partition $k", s"ndv(${logical(c)})", v.toString)).toSeq ++

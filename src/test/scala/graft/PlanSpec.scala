@@ -1267,6 +1267,9 @@ class PlanSpec extends AnyFunSuite with TestSpark {
         .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
       assert(m(("partition part=p2", "row_count")) === "1500")
       assert(m(("partition part=p1", "ndv(k)")).toLong > 900L)
+      // live per-partition footprint rides next to the maintained stats
+      assert(m(("partition part=p2", "live_row_count")) === "1500")
+      assert(m(("partition part=p1", "size_bytes")).toLong > 0L)
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
