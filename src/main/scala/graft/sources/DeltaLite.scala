@@ -3414,6 +3414,18 @@ object DeltaLite {
     // at v9" is the signal to re-ANALYZE after a churn of deletes
     val analyzedV: Option[Long] =
       props_analyzedVersion(snap.properties)
+    // ROW-CHURN staleness: appends fold into the stats, but these ops
+    // change or remove committed rows in ways sketches cannot track
+    // (they can't subtract) — count the ones the standing stats have
+    // never seen, so "stats_churn_commits_since_analyze: 3" is the
+    // legible re-ANALYZE signal. O(log) metadata via history; a
+    // cleanupLogs-pruned history yields a lower bound.
+    val churnOps = Set("DELETE", "DELETE_DV", "DELETE_INSERT", "MERGE",
+      "REPLACE_WHERE", "UPDATE", "RESTORE")
+    val churn: Option[Long] = analyzedV.map { av =>
+      history(spark, path).collect()
+        .count(r => r.getLong(0) > av && churnOps(r.getString(1))).toLong
+    }
     val tableRows = Seq(
       ("table", "size_bytes", live.map(_.bytes).sum.toString),
       ("table", "row_count", snap.totalRows.toString),
@@ -3421,7 +3433,9 @@ object DeltaLite {
       ("table", "version", snap.version.toString)) ++
       (if (stats.isEmpty) Nil
        else Seq(("table", "analyzed_non_null_rows", aRows.toString)) ++
-         analyzedV.map(v => ("table", "analyzed_version", v.toString)))
+         analyzedV.map(v => ("table", "analyzed_version", v.toString)) ++
+         churn.map(n =>
+           ("table", "stats_churn_commits_since_analyze", n.toString)))
     def ext(v: Any, dt: DataType): Option[String] = v match {
       case null => None
       case _: org.apache.spark.unsafe.types.UTF8String => None

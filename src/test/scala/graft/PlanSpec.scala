@@ -1091,6 +1091,17 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(m2(("table", "analyzed_version")).toLong >
       m1(("table", "analyzed_version")).toLong,
       "the auto-fold must re-stamp analyzed_version")
+    // appends fold — churn counter stays 0; a DELETE is row churn the
+    // sketches can't track, and the counter flags it until re-ANALYZE
+    assert(m2(("table", "stats_churn_commits_since_analyze")) === "0")
+    D.delete(spark, path, col("v") === lit(3L))
+    val m3 = m()
+    assert(m3(("table", "stats_churn_commits_since_analyze")) === "1",
+      "a delete after the last fold must count as churn")
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR COLUMNS (v) WITH HISTOGRAM").collect()
+    assert(m()(("table", "stats_churn_commits_since_analyze")) === "0",
+      "re-ANALYZE resets the churn counter")
   }
 
   test("DeltaLite log stats feed Catalyst: rowCount visible; in-memory size flips a broadcast decision") {
