@@ -82,7 +82,14 @@ object Bench {
           num(v).filter(_ >= 0).map(n -> _) }.toMap
         case _ => Map.empty
       }
-      (obj("queries"), obj("jobs").map { case (k, v) => k -> v.toLong })
+      // EMA layer: `ema` smooths per-query seconds across runs (the box
+      // runs a documented ~1.4× "slow mode" some runs — a single slow
+      // sample would misclassify pools and scramble the LPT head for
+      // the NEXT run; the half-life-of-one-run average forgets it in
+      // two). Falls back to the raw last-run seconds for artifacts
+      // written before the field existed.
+      val sec = { val e = obj("ema"); if (e.nonEmpty) e else obj("queries") }
+      (sec, obj("jobs").map { case (k, v) => k -> v.toLong })
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (priorSec, priorJobs) = prior
 
@@ -298,7 +305,16 @@ object Bench {
           "\"" + k + "\":" +
             Option(jobCounts.get(k)).map(_.get).getOrElse(0L)
         }.mkString(""","jobs":{""", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$jobs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
+      // EMA of per-query seconds (file artifact only): 0.5·prior + 0.5·now
+      // — what the NEXT run's pool classification and LPT order read, so
+      // one slow-mode or queue-noise sample can't scramble the schedule
+      val ema =
+        if (!withJobs) ""
+        else entries.collect { case (k, v, true) =>
+          val folded = priorSec.get(k).map(p => 0.5 * p + 0.5 * v).getOrElse(v)
+          "\"" + k + "\":" + f"$folded%.3f"
+        }.mkString(""","ema":{""", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$jobs$ema,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
     }
     // Full per-query detail goes to the file; the PRINTED line carries a
     // headline subset because the bench driver keeps only the final 2000

@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drop the join operator entirely (see FkJoinElimination; off by
     // conf, disarmed by any commit to either table)
     ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
+    // join-driven partition pruning for the per-partition union scan
+    // shape: a small dimension's distinct keys, probed once at plan
+    // time, empty the fact branches they can never match (see
+    // DynamicBranchPruning; off by conf)
+    ext.injectOptimizerRule(_ => graft.plans.DynamicBranchPruning)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

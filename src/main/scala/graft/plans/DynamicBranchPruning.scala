@@ -1,0 +1,253 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, Join, LocalRelation, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types._
+
+/** JOIN-DRIVEN PARTITION PRUNING for the log-driven union scan shape —
+  * the dynamic-partition-pruning analogue for [[graft.sources.DeltaLite]]
+  * partitioned tables.
+  *
+  * DeltaLite reads a Hive-layout table as a Union of one scan branch per
+  * live partition, with the partition column attached as a per-branch
+  * LITERAL from the log (readFiles) — so a STATIC filter on the
+  * partition column constant-folds per branch and Catalyst's PruneFilters
+  * empties non-matching branches for free. What static folding cannot
+  * see is a JOIN: `fact JOIN dim ON fact.part = dim.key WHERE dim.f`
+  * names the surviving partitions only through the DIMENSION'S DATA.
+  * Spark's own DynamicPartitionPruning rule never fires here — it keys
+  * on HadoopFsRelation partition columns, and these scans carry their
+  * partition values as plan literals instead — and the row-level runtime
+  * filters (bloom/semi-join) still SCAN every partition before
+  * filtering. At 100 TB the difference is the whole game: a date-dim
+  * filter selecting 3 of 3,000 daily partitions should read 3.
+  *
+  * The rewrite is the EAGER form of DPP (the same shape Spark plans when
+  * broadcast reuse is unavailable: run the dimension as a subquery,
+  * then prune): at optimization time, run
+  *
+  *   SELECT DISTINCT key FROM dim WHERE key IN (<branch literals>)
+  *
+  * once — the IN pushes the branch-literal domain into the dimension
+  * scan, so the probe returns AT MOST one row per live partition no
+  * matter how large the dimension is — and replace every union branch
+  * whose partition literal is absent from the result with an empty
+  * LocalRelation (exactly what PruneFilters leaves for a statically
+  * pruned branch; the later LocalRelation batch collapses them away).
+  * The pruned branches' scans simply never exist in the physical plan:
+  * zero I/O, zero tasks, not even a footprint in the scan's split
+  * planning.
+  *
+  * Soundness (every condition structural; any miss declines — the rule
+  * can only decline, never corrupt):
+  *  - the traced join-key slot must be a foldable LITERAL in EVERY
+  *    non-empty union branch (the attachPartitionCols shape after
+  *    constant folding), so a branch's rows ALL carry that key value;
+  *  - a branch is removable iff its literal has no partner on the
+  *    dimension side: `EqualTo` never matches NULL, and a value absent
+  *    from the probe's result (which saw the FULL dimension — the IN
+  *    only restricts to the branch domain, never drops a partner inside
+  *    it) matches nothing. Removing rows that match nothing preserves
+  *    Inner/LeftSemi joins and the pruned side of LeftOuter/RightOuter
+  *    (unmatched preserved-side rows keep their match status — the
+  *    pruned rows never matched anything);
+  *  - prune sides follow Spark's own DPP eligibility: left under
+  *    Inner/LeftSemi/RightOuter, right under Inner/LeftOuter (plus
+  *    right under LeftAnti — an anti join's right side only acts
+  *    through matches);
+  *  - the dimension must be fully DETERMINISTIC and non-streaming (it
+  *    executes twice: once for the probe, once in the join — a
+  *    nondeterministic dimension could produce a partner at runtime the
+  *    probe never saw), and small by plan stats (default: the
+  *    auto-broadcast threshold — the probe costs the same class of work
+  *    as the broadcast build the join was going to do anyway; with the
+  *    S55 log stats attached, the bound compares real cardinalities);
+  *  - float/double/binary join keys decline (set membership under
+  *    -0.0/NaN/array equality differs from join equality; partition
+  *    keys are never usefully floats).
+  *
+  * Each Join is probed AT MOST ONCE per optimization (a TreeNodeTag
+  * marks probed joins; tags survive makeCopy, so fixed-point reruns of
+  * the operator batch skip already-probed joins), and the probe's own
+  * compilation is re-entrancy-guarded. Nothing is cached across
+  * queries: a fresh query re-probes, so a dimension that changed
+  * between queries can never prune against stale keys.
+  *
+  * Per-session kill switch: `spark.graft.dpp.enabled=false`. Size
+  * bound: `spark.graft.dpp.maxDimBytes` (default
+  * autoBroadcastJoinThreshold). Injected through
+  * [[graft.GraftExtensions]].
+  */
+object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Set on a Join once its prune opportunity has been probed (or
+    * structurally declined after a full shape match), so fixed-point
+    * reruns of the operator batch never re-execute the dimension. */
+  private val PROBED = TreeNodeTag[Unit]("graft.dbp.probed")
+
+  /** Probe executions — exposed for tests to pin the once-per-join
+    * contract. */
+  private[graft] val probeCount = new AtomicLong(0L)
+
+  /** Re-entrancy guard: the probe's own query compilation runs this
+    * rule again on the same thread. */
+  private val inProbe = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inProbe.get()) return plan
+    if (!conf.getConfString("spark.graft.dpp.enabled", "true").toBoolean)
+      return plan
+    val sess = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    if (sess.isEmpty) return plan
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if j.getTagValue(PROBED).isEmpty && !j.isStreaming =>
+        // both sides may prune (a co-partitioned fact-fact join): a
+        // left branch pruned for lack of a right partner implies no
+        // right row carried that key, so the pruned left is an
+        // equivalent — and cheaper — probe target for the right side
+        val l = if (canPruneLeft(jt)) tryPrune(sess.get, left, right, cond)
+          else (None, false)
+        val newLeft = l._1.getOrElse(left)
+        val r = if (canPruneRight(jt))
+          tryPrune(sess.get, right, newLeft, cond) else (None, false)
+        val out = if (l._1.isEmpty && r._1.isEmpty) j
+          else j.copy(left = newLeft, right = r._1.getOrElse(right))
+        // tag only once a probe EXECUTED: a structural decline (e.g. a
+        // not-yet-folded literal slot) must stay retryable in later
+        // fixed-point iterations, but the dimension never runs twice
+        if (l._2 || r._2) out.setTagValue(PROBED, ())
+        out
+    }
+  }
+
+  /** Spark's DPP side-eligibility (pruning removes only rows that match
+    * nothing, so the REMOVED side must act only through matches), plus
+    * LeftAnti's right side for the same reason. */
+  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+  private def canPruneRight(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | LeftAnti => true
+    case _ => false
+  }
+
+  /** Key types whose internal values compare consistently between join
+    * equality and Set membership. */
+  private def supportedKeyType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Attempt to prune `fact` (a Union of literal-keyed branches) against
+    * `dim` through one equality conjunct of `cond`. Returns (replacement
+    * plan if any branches pruned, whether a probe EXECUTED) — the caller
+    * tags the join exactly when a probe ran. */
+  private def tryPrune(spark: SparkSession, fact: LogicalPlan,
+      dim: LogicalPlan, cond: Expression): (Option[LogicalPlan], Boolean) = {
+    val pairs = splitConjunctivePredicates(cond).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if fact.outputSet.contains(a) && dim.outputSet.contains(b) =>
+        (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if fact.outputSet.contains(b) && dim.outputSet.contains(a) =>
+        (b, a)
+    }
+    // chain across pairs: a multi-column-partitioned fact (several
+    // literal-slotted keys in the condition) prunes through each key in
+    // turn — the survivor union of one pass is the probe target of the
+    // next
+    var probed = false
+    var cur = fact
+    var changed = false
+    pairs.foreach { case (factKey, dimKey) =>
+      val (r, p) = pruneVia(spark, cur, dim, factKey, dimKey)
+      probed ||= p
+      r.foreach { nf => cur = nf; changed = true }
+    }
+    (if (changed) Some(cur) else None, probed)
+  }
+
+  private def pruneVia(spark: SparkSession, fact: LogicalPlan,
+      dim: LogicalPlan, factKey: AttributeReference,
+      dimKey: AttributeReference): (Option[LogicalPlan], Boolean) = {
+    val decline = (None, false)
+    val u = fact match {
+      case u: Union => u
+      case _ => return decline
+    }
+    val idx = u.output.indexWhere(_.exprId == factKey.exprId)
+    if (idx < 0) return decline
+    if (!supportedKeyType(factKey.dataType)) return decline
+    // every non-empty branch must carry a literal in the key slot;
+    // already-empty branches (prior static pruning) pass through
+    sealed trait Slot
+    case object EmptyBranch extends Slot
+    final case class Lit(v: Any) extends Slot
+    val slots: Seq[Option[Slot]] = u.children.map {
+      case l: LocalRelation if l.data.isEmpty => Some(EmptyBranch)
+      case Project(pl, _) if pl.length > idx =>
+        pl(idx) match {
+          case Alias(Literal(v, _), _) => Some(Lit(v))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (slots.exists(_.isEmpty)) return decline
+    val live = slots.flatten.collect { case Lit(v) => v }
+    if (live.size < 2) return decline // nothing worth a probe
+    val domain = live.filter(_ != null).distinct
+    if (domain.size > conf
+        .getConfString("spark.graft.dpp.maxBranches", "1024").toInt)
+      return decline
+    // dimension guards: deterministic, non-streaming, small by stats
+    if (dim.isStreaming) return decline
+    if (dim.exists(p => p.expressions.exists(e =>
+        e.exists(!_.deterministic)))) return decline
+    val maxBytes = conf.getConfString("spark.graft.dpp.maxDimBytes",
+      conf.autoBroadcastJoinThreshold.toString).toLong
+    if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
+      return decline
+    // probe: the dimension's distinct keys WITHIN the branch domain —
+    // at most one row per live partition regardless of dimension size
+    val partners: Set[Any] =
+      if (domain.isEmpty) Set.empty
+      else {
+        probeCount.incrementAndGet()
+        inProbe.set(true)
+        try {
+          val lits = domain.map(v => Literal(v, factKey.dataType))
+          val probe = Distinct(Project(Seq(dimKey),
+            Filter(In(dimKey, lits), dim)))
+          org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
+            .queryExecution.executedPlan.executeCollect()
+            .map(_.get(0, factKey.dataType)).toSet
+        } finally inProbe.set(false)
+      }
+    // a NULL branch literal never equals anything; a live literal
+    // without a probe partner matches nothing
+    def keep(s: Slot): Boolean = s match {
+      case EmptyBranch => true // nothing to remove
+      case Lit(null) => false
+      case Lit(v) => partners.contains(v)
+    }
+    val anyPruned = slots.flatten.exists(s => !keep(s) && s != EmptyBranch)
+    if (!anyPruned) return (None, true)
+    val newChildren = u.children.zip(slots.flatten).map { case (c, s) =>
+      if (keep(s)) c else LocalRelation(c.output, Nil)
+    }
+    (Some(u.copy(children = newChildren)), true)
+  }
+}

@@ -1527,4 +1527,146 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       assert(a === b)
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
+
+  // ---- DynamicBranchPruning: join-driven partition pruning of the
+  // per-partition union scan shape (the eager-DPP analogue) ----
+
+  /** A 4-partition fact whose partition column is the join key. */
+  private def dbpFact(tag: String): String = {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val path = graft.TempDirs.fresh(tag) + "/fact"
+    D.create(spark, path, spark.range(4000L).select(
+      col("id").as("v"),
+      concat(lit("p"), (col("id") % 4L).cast("string")).as("part")),
+      partitionBy = Seq("part"))
+    path
+  }
+
+  private def factScans(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.length
+
+  test("dynamic branch pruning: a small dimension's keys empty the union branches they can never match") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_basic")
+    // dimension: carries keys for only 2 of the 4 fact partitions
+    val dim = spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"),
+        col("id").as("w"))
+    val q = D.read(spark, fact).join(dim, col("part") === col("key"))
+      .groupBy(col("part")).agg(sum(col("v")).as("s"))
+    val before = graft.plans.DynamicBranchPruning.probeCount.get()
+    assert(factScans(q) === 2,
+      s"2 of 4 partition branches must prune away:\n" +
+        q.queryExecution.optimizedPlan)
+    // ... with exactly ONE probe execution (the PROBED tag survives
+    // the operator batch's fixed-point reruns)
+    assert(graft.plans.DynamicBranchPruning.probeCount.get() - before === 1L,
+      "the dimension must be probed exactly once per compile")
+    // physical plan carries no trace of the pruned scans either
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("part=p2") && !phys.contains("part=p3"),
+      s"pruned partitions must not appear in the physical plan:\n$phys")
+    // cost-model-only rewrite: results identical with the rule off
+    val got = q.orderBy("part").collect().toSeq
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try {
+      val q2 = D.read(spark, fact).join(dim, col("part") === col("key"))
+        .groupBy(col("part")).agg(sum(col("v")).as("s"))
+      assert(factScans(q2) === 4, "kill switch must decline the rewrite")
+      assert(q2.orderBy("part").collect().toSeq === got)
+    } finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
+  test("dynamic branch pruning declines: preserved fact side, nondeterministic or oversized dimension") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_decline")
+    val dim = spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+    // LEFT OUTER with the fact on the preserved (left) side: unmatched
+    // fact rows survive the join, so no branch may be removed
+    val lo = D.read(spark, fact).join(dim, col("part") === col("key"),
+      "left_outer")
+    assert(factScans(lo) === 4,
+      s"left-outer preserved fact must keep all branches:\n" +
+        lo.queryExecution.optimizedPlan)
+    assert(lo.count() === 4000L)
+    // ... but the fact on the PRUNED side of a left outer (dim LEFT
+    // JOIN fact) is eligible, exactly like Spark's own DPP
+    val loPruned = dim.join(D.read(spark, fact),
+      col("part") === col("key"), "left_outer")
+    assert(factScans(loPruned) === 2,
+      "fact on the non-preserved side of a left outer must prune")
+    // a nondeterministic dimension could match keys at runtime the
+    // probe never saw — decline (NB: the predicate must not be provably
+    // true — Spark folds `rand() >= 0.0` and the filter vanishes)
+    val nd = D.read(spark, fact).join(
+      dim.filter(rand(7L) < 0.9999), col("part") === col("key"))
+    assert(factScans(nd) === 4,
+      "a nondeterministic dimension must decline the probe")
+    // dimension over the size bound: the probe is broadcast-build-class
+    // work, so an unbounded dimension must decline
+    spark.conf.set("spark.graft.dpp.maxDimBytes", "0")
+    try {
+      val big = D.read(spark, fact).join(dim, col("part") === col("key"))
+      assert(factScans(big) === 4,
+        "a dimension above maxDimBytes must decline")
+    } finally spark.conf.unset("spark.graft.dpp.maxDimBytes")
+  }
+
+  test("dynamic branch pruning composes with static pruning and a filtered dimension TABLE") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("dbp_table")
+    val fact = s"$base/fact"; val dim = s"$base/dim"
+    D.create(spark, fact, spark.range(4000L).select(
+      col("id").as("v"),
+      concat(lit("p"), (col("id") % 4L).cast("string")).as("part")),
+      partitionBy = Seq("part"))
+    // dimension TABLE whose filter survives only keys p0/p1 — the probe
+    // sees the FILTERED dimension (pushdown runs in the same batch)
+    D.create(spark, dim, spark.range(4L).select(
+      concat(lit("p"), col("id").cast("string")).as("key"),
+      (col("id") < 2L).as("live")))
+    val q = D.read(spark, fact)
+      .join(D.read(spark, dim).filter(col("live")), col("part") === col("key"))
+    assert(factScans(q) === 3, // 2 fact branches + 1 dim scan
+      s"the filtered dimension's keys must prune 2 of 4 branches:\n" +
+        q.queryExecution.optimizedPlan)
+    assert(q.count() === 2000L)
+    // static filter composes: a fact-side partition predicate first
+    // empties p0 statically, then the dim keys prune p2/p3
+    val q2 = D.read(spark, fact).filter(col("part") =!= "p0")
+      .join(D.read(spark, dim).filter(col("live")), col("part") === col("key"))
+    assert(factScans(q2) === 2, // 1 fact branch (p1) + 1 dim scan
+      s"static + dynamic pruning must leave one fact branch:\n" +
+        q2.queryExecution.optimizedPlan)
+    assert(q2.count() === 1000L)
+  }
+
+  test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val base = graft.TempDirs.fresh("dbp_both")
+    val a = s"$base/a"; val b = s"$base/b"
+    // partitions p0..p3 vs p2..p5 — only p2/p3 can ever join
+    D.create(spark, a, spark.range(4000L).select(
+      col("id").as("va"),
+      concat(lit("p"), (col("id") % 4L).cast("string")).as("part")),
+      partitionBy = Seq("part"))
+    D.create(spark, b, spark.range(4000L).select(
+      col("id").as("vb"),
+      concat(lit("p"), (col("id") % 4L + 2L).cast("string")).as("bpart")),
+      partitionBy = Seq("bpart"))
+    val q = D.read(spark, a).join(D.read(spark, b),
+      col("part") === col("bpart"))
+    assert(factScans(q) === 4, // 2 surviving branches each side
+      s"both sides must prune to the 2-partition overlap:\n" +
+        q.queryExecution.optimizedPlan)
+    assert(q.count() === 2000000L)
+  }
 }
