@@ -2372,6 +2372,36 @@ object Medallion {
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S59
+    // JOIN-DRIVEN partition pruning (the DPP analogue): the fact is
+    // partitioned by nation key, and the partitions that survive are
+    // named only by the DIMENSION'S DATA (nations of one region) — no
+    // static filter on the partition column exists for constant folding
+    // to see. DynamicBranchPruning probes the filtered nation dim once
+    // at plan time and empties the 20 of 25 branches whose key has no
+    // partner; at 100 TB the pruned branches are partitions never read.
+    // The oracle restates the join in plain SQL — bit-identical results
+    // are the proof the rewrite is semantics-free.
+    QueryDef("s59_dpp_join", (s, dir) => {
+      val path = tmp("s59_delta")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      DeltaLite.create(s, path, c, partitionBy = Seq("c_nationkey"))
+      val dim = t(s, dir, "nation").filter(col("n_regionkey") === 1L)
+        .select(col("n_nationkey"))
+      DeltaLite.read(s, path)
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          expr("round((sum(c_acctbal))*100)/100").as("total"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    }, Some(
+      """SELECT c_nationkey, count(*) AS n,
+                (round((sum(c_acctbal))*100)/100) AS total
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_regionkey = 1
+         GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S17
     // Multi-clause MERGE (the full Delta surface: WHEN MATCHED [AND cond]
     // THEN DELETE / UPDATE, WHEN NOT MATCHED [AND cond] THEN INSERT, with

@@ -1648,6 +1648,12 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(q2.count() === 1000L)
   }
 
+  test("s59_dpp_join: 5 of 25 partition branches survive the dim probe") {
+    val p = plan("s59_dpp_join")
+    assert(count(p, "Scan parquet graft_s59") === 5,
+      s"the one-region nation dim must prune 20 of 25 fact branches:\n$p")
+  }
+
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
