@@ -72,12 +72,26 @@ import org.apache.spark.sql.types._
   *    -0.0/NaN/array equality differs from join equality; partition
   *    keys are never usefully floats).
   *
-  * Each Join is probed AT MOST ONCE per optimization (a TreeNodeTag
-  * marks probed joins; tags survive makeCopy, so fixed-point reruns of
-  * the operator batch skip already-probed joins), and the probe's own
-  * compilation is re-entrancy-guarded. Nothing is cached across
-  * queries: a fresh query re-probes, so a dimension that changed
-  * between queries can never prune against stale keys.
+  * Two consumer shapes are matched: `Join` with an equality conjunct on
+  * the literal-slotted column (both sides may prune — a co-partitioned
+  * fact-fact join shrinks to the key overlap — and multiple equality
+  * pairs chain for multi-column partitioning), and the per-branch
+  * `Filter(lit IN (subquery))` residue of the SQL-first spelling
+  * `WHERE part IN (SELECT ...)` — pushdown distributes that filter
+  * into the branches with each partition literal substituted, and
+  * RewritePredicateSubquery would later build one semi-join PER BRANCH;
+  * [[evalConstantInSubqueries]] instead resolves every such conjunct
+  * from one pooled probe per distinct subquery (provably-false filters
+  * empty the branch, provably-true conjuncts drop along with their
+  * would-be runtime semi-joins).
+  *
+  * Each Join/Filter is probed AT MOST ONCE per optimization (a
+  * TreeNodeTag marks probed nodes; tags survive makeCopy, so
+  * fixed-point reruns of the operator batch skip already-probed
+  * nodes), and the probe's own compilation is re-entrancy-guarded.
+  * Nothing is cached across queries: a fresh query re-probes, so a
+  * dimension that changed between queries can never prune against
+  * stale keys.
   *
   * Per-session kill switch: `spark.graft.dpp.enabled=false`. Size
   * bound: `spark.graft.dpp.maxDimBytes` (default
@@ -127,6 +141,69 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         // fixed-point iterations, but the dimension never runs twice
         if (l._2 || r._2) out.setTagValue(PROBED, ())
         out
+    } match { case p => evalConstantInSubqueries(sess.get, p) }
+  }
+
+  /** CONSTANT IN-subquery evaluation — the shape the SQL-first spelling
+    * `WHERE part IN (SELECT key FROM dim ...)` reaches this rule in:
+    * predicate pushdown distributes the filter into the per-partition
+    * union branches and substitutes each branch's partition LITERAL for
+    * the column, leaving `Filter(lit IN (subquery), branch)` — a
+    * row-independent predicate Catalyst never evaluates at plan time
+    * (RewritePredicateSubquery later turns EACH branch's copy into its
+    * own semi-join build). One probe per DISTINCT subquery — all
+    * branches' literals pool into a single IN-bounded domain, so 3,000
+    * partition branches cost one plan-time job, not 3,000 — then every
+    * conjunct resolves: literal absent from the result (or NULL) means
+    * the filter keeps nothing (IN yields FALSE or NULL — never TRUE) →
+    * the branch becomes an empty LocalRelation and its scan never
+    * exists; literal present means the conjunct is provably TRUE → it
+    * drops, and the per-branch runtime semi-join evaporates with it.
+    * NOT IN declines structurally (its NULL semantics need a
+    * contains-null probe this pass doesn't run). Guards and probe
+    * bounds are [[pruneVia]]'s; matched conjuncts always transform
+    * away, so fixed-point reruns find nothing to re-probe. */
+  private def evalConstantInSubqueries(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    // pass 1: pool literal domains per canonicalized subquery
+    val groups = scala.collection.mutable.LinkedHashMap[
+      LogicalPlan, (ListQuery, DataType, scala.collection.mutable.LinkedHashSet[Any])]()
+    plan.foreach {
+      case Filter(cond, _) => splitConjunctivePredicates(cond).foreach {
+        case InSubquery(Seq(Literal(v, dt)), l: ListQuery)
+            if l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
+              l.plan.output.length == 1 && supportedKeyType(dt) &&
+              v != null =>
+          groups.getOrElseUpdate(l.plan.canonicalized,
+            (l, dt, scala.collection.mutable.LinkedHashSet[Any]()))._3 += v
+        case _ => ()
+      }
+      case _ => ()
+    }
+    if (groups.isEmpty) return plan
+    // pass 2: probe each group under the standard guards
+    val partners: Map[LogicalPlan, Set[Any]] = groups.iterator.flatMap {
+      case (canon, (l, dt, domain)) =>
+        probeKeys(spark, l.plan, l.plan.output.head, dt, domain.toSeq)
+          .map(canon -> _)
+    }.toMap
+    if (partners.isEmpty) return plan
+    // pass 3: resolve every matched conjunct
+    plan.transformUp {
+      case f @ Filter(cond, child) =>
+        val conj = splitConjunctivePredicates(cond)
+        var emptied = false
+        val kept = conj.filter {
+          case InSubquery(Seq(Literal(v, _)), l: ListQuery)
+              if partners.contains(l.plan.canonicalized) =>
+            if (v != null && partners(l.plan.canonicalized).contains(v))
+              false // provably TRUE — drop the conjunct
+            else { emptied = true; true } // FALSE/NULL — keeps no rows
+          case _ => true
+        }
+        if (emptied) LocalRelation(f.output, Nil)
+        else if (kept.length == conj.length) f
+        else kept.reduceOption(And).map(Filter(_, child)).getOrElse(child)
     }
   }
 
@@ -182,7 +259,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private def pruneVia(spark: SparkSession, fact: LogicalPlan,
       dim: LogicalPlan, factKey: AttributeReference,
-      dimKey: AttributeReference): (Option[LogicalPlan], Boolean) = {
+      dimKey: Attribute): (Option[LogicalPlan], Boolean) = {
     val decline = (None, false)
     val u = fact match {
       case u: Union => u
@@ -209,32 +286,10 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     val live = slots.flatten.collect { case Lit(v) => v }
     if (live.size < 2) return decline // nothing worth a probe
     val domain = live.filter(_ != null).distinct
-    if (domain.size > conf
-        .getConfString("spark.graft.dpp.maxBranches", "1024").toInt)
-      return decline
-    // dimension guards: deterministic, non-streaming, small by stats
-    if (dim.isStreaming) return decline
-    if (dim.exists(p => p.expressions.exists(e =>
-        e.exists(!_.deterministic)))) return decline
-    val maxBytes = conf.getConfString("spark.graft.dpp.maxDimBytes",
-      conf.autoBroadcastJoinThreshold.toString).toLong
-    if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
-      return decline
-    // probe: the dimension's distinct keys WITHIN the branch domain —
-    // at most one row per live partition regardless of dimension size
     val partners: Set[Any] =
-      if (domain.isEmpty) Set.empty
-      else {
-        probeCount.incrementAndGet()
-        inProbe.set(true)
-        try {
-          val lits = domain.map(v => Literal(v, factKey.dataType))
-          val probe = Distinct(Project(Seq(dimKey),
-            Filter(In(dimKey, lits), dim)))
-          org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
-            .queryExecution.executedPlan.executeCollect()
-            .map(_.get(0, factKey.dataType)).toSet
-        } finally inProbe.set(false)
+      probeKeys(spark, dim, dimKey, factKey.dataType, domain) match {
+        case Some(keys) => keys
+        case None => return decline
       }
     // a NULL branch literal never equals anything; a live literal
     // without a probe partner matches nothing
@@ -249,5 +304,38 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       if (keep(s)) c else LocalRelation(c.output, Nil)
     }
     (Some(u.copy(children = newChildren)), true)
+  }
+
+  /** Shared probe: the dimension's distinct keys WITHIN `domain` — at
+    * most one result row per domain value regardless of dimension size.
+    * None = a guard declined and NO job ran; Some(keys) = the probe
+    * executed (an empty domain resolves without a job). Guards:
+    * domain within `spark.graft.dpp.maxBranches` (1024), dimension
+    * deterministic + non-streaming + within
+    * `spark.graft.dpp.maxDimBytes` by plan stats (default
+    * autoBroadcastJoinThreshold — probe work is broadcast-build-class). */
+  private def probeKeys(spark: SparkSession, dim: LogicalPlan,
+      dimKey: Attribute, dt: DataType, domain: Seq[Any]): Option[Set[Any]] = {
+    if (domain.size > conf
+        .getConfString("spark.graft.dpp.maxBranches", "1024").toInt)
+      return None
+    if (dim.isStreaming) return None
+    if (dim.exists(p => p.expressions.exists(e =>
+        e.exists(!_.deterministic)))) return None
+    val maxBytes = conf.getConfString("spark.graft.dpp.maxDimBytes",
+      conf.autoBroadcastJoinThreshold.toString).toLong
+    if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
+      return None
+    if (domain.isEmpty) return Some(Set.empty)
+    probeCount.incrementAndGet()
+    inProbe.set(true)
+    try {
+      val lits = domain.map(v => Literal(v, dt))
+      val probe = Distinct(Project(Seq(dimKey),
+        Filter(In(dimKey, lits), dim)))
+      Some(org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
+        .queryExecution.executedPlan.executeCollect()
+        .map(_.get(0, dt)).toSet)
+    } finally inProbe.set(false)
   }
 }

@@ -1648,6 +1648,42 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(q2.count() === 1000L)
   }
 
+  test("dynamic branch pruning: the IN (SELECT ...) spelling prunes through the Filter shape") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_insub")
+    D.read(spark, fact).createOrReplaceTempView("dbp_insub_fact")
+    spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+      .createOrReplaceTempView("dbp_insub_dim")
+    // RewritePredicateSubquery only builds the semi-join AFTER the
+    // operator batch — the rule must catch the Filter(InSubquery) shape
+    val q = spark.sql(
+      """SELECT part, sum(v) AS s FROM dbp_insub_fact
+         WHERE part IN (SELECT key FROM dbp_insub_dim) GROUP BY part""")
+    val before = graft.plans.DynamicBranchPruning.probeCount.get()
+    assert(factScans(q) === 2,
+      s"the IN-subquery's keys must prune 2 of 4 branches:\n" +
+        q.queryExecution.optimizedPlan)
+    // all four branch literals pooled into ONE probe of the subquery
+    assert(graft.plans.DynamicBranchPruning.probeCount.get() - before === 1L,
+      "the pooled-domain probe must execute exactly once")
+    // surviving branches' conjuncts resolved provably TRUE — the
+    // per-branch runtime semi-joins evaporate with them
+    assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      s"no per-branch semi-join may remain:\n" +
+        q.queryExecution.optimizedPlan)
+    val got = q.orderBy("part").collect().toSeq
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try {
+      val q2 = spark.sql(
+        """SELECT part, sum(v) AS s FROM dbp_insub_fact
+           WHERE part IN (SELECT key FROM dbp_insub_dim) GROUP BY part""")
+      assert(factScans(q2) === 4)
+      assert(q2.orderBy("part").collect().toSeq === got)
+    } finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
   test("s59_dpp_join: 5 of 25 partition branches survive the dim probe") {
     val p = plan("s59_dpp_join")
     assert(count(p, "Scan parquet graft_s59") === 5,
