@@ -865,6 +865,73 @@ object Medallion {
       }
       val manifest = readJson("manifest.json")
       val catalog = readJson("catalog.json")
+      // LINEAGE DAG, rendered SERVER-SIDE as inline SVG (dbt docs' graph
+      // view): layered by longest-path depth from the manifest's
+      // child_map — pure metadata, zero data reads, zero JS layout
+      // dependencies, and the artifact is grep-testable. Nodes click
+      // through to the same show(id) pages.
+      val dagSvg: String = {
+        import org.json4s._
+        val mj = org.json4s.jackson.JsonMethods.parse(
+          new String(Files.readAllBytes(dir.resolve("manifest.json")),
+            java.nio.charset.StandardCharsets.UTF_8))
+        def keysOf(v: JValue): Seq[String] = v match {
+          case JObject(o) => o.map(_._1); case _ => Nil
+        }
+        val modelIds = keysOf(mj \ "nodes")
+        val allIds = modelIds ++ keysOf(mj \ "exposures")
+        val edges: Seq[(String, String)] = (mj \ "child_map") match {
+          case JObject(o) => o.flatMap {
+            case (p, JArray(cs)) =>
+              cs.collect { case JString(c) if allIds.contains(c) => (p, c) }
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+        val parentsOf = edges.groupBy(_._2).map {
+          case (c, es) => c -> es.map(_._1)
+        }
+        // longest-path layering (the DAG is topologically valid by
+        // construction — Pipeline.run rejects cycles before any artifact
+        // exists)
+        val memo = scala.collection.mutable.Map[String, Int]()
+        def depth(id: String): Int = memo.getOrElseUpdate(id,
+          parentsOf.get(id).filter(_.nonEmpty)
+            .map(_.map(depth).max + 1).getOrElse(0))
+        val (w, h, xGap, yGap) = (190, 28, 240, 46)
+        val byLayer = allIds.groupBy(depth).toSeq.sortBy(_._1)
+        val pos: Map[String, (Int, Int)] = byLayer.flatMap {
+          case (d, ids) => ids.sorted.zipWithIndex.map {
+            case (id, i) => id -> (20 + d * xGap, 20 + i * yGap)
+          }
+        }.toMap
+        val width = 40 + (byLayer.map(_._1).maxOption.getOrElse(0) + 1) * xGap
+        val height = 40 + byLayer.map(_._2.size).maxOption.getOrElse(1) * yGap
+        def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+          .replace("\"", "&quot;").replace("'", "&#39;")
+        val edgeSvg = edges.flatMap { case (p, c) =>
+          for { (x1, y1) <- pos.get(p); (x2, y2) <- pos.get(c) } yield {
+            val (sx, sy, ex, ey) = (x1 + w, y1 + h / 2, x2, y2 + h / 2)
+            val mx = (sx + ex) / 2
+            s"""<path class="edge" data-from="${esc(p)}" data-to="${esc(c)}" d="M $sx $sy C $mx $sy $mx $ey $ex $ey" fill="none" stroke="#8a93a6" stroke-width="1.5"/>"""
+          }
+        }.mkString("\n")
+        val nodeSvg = allIds.map { id =>
+          val (x, y) = pos(id)
+          val fill = if (modelIds.contains(id)) "#20232a" else "#4a5568"
+          val label = {
+            val s = id.replaceAll("^(model|exposure)\\.graft\\.", "")
+            if (s.length > 26) s.take(25) + "…" else s
+          }
+          s"""<g class="dagnode" onclick="show('${esc(id)}')" style="cursor:pointer"><rect x="$x" y="$y" width="$w" height="$h" rx="6" fill="$fill"/><text x="${x + 8}" y="${y + 18}" fill="#fff" font-size="12" font-family="system-ui,sans-serif">${esc(label)}</text></g>"""
+        }.mkString("\n")
+        // no xmlns: inline SVG in an HTML5 document needs none, and the
+        // site's self-containment test forbids any external reference
+        s"""<h1>Lineage graph</h1><svg id="dagsvg" width="$width" height="$height" viewBox="0 0 $width $height">
+$edgeSvg
+$nodeSvg
+</svg>"""
+      }
       val head =
         """<!doctype html>
           |<html><head><meta charset="utf-8"><title>graft dbt docs</title>
@@ -939,8 +1006,17 @@ object Medallion {
           |    m.appendChild(el('h3',{text:'Compiled code'}));
           |    m.appendChild(el('pre',{text:node.compiled_code}));}
           |}
+          |function showDag(){
+          |  var m=document.getElementById('main');
+          |  m.innerHTML=document.getElementById('dag').innerHTML;
+          |  document.querySelectorAll('#side a').forEach(function(a){
+          |    a.className=(a.dataset.id=='__dag')?'sel':'';});
+          |}
           |(function(){
           |  var s=document.getElementById('side');
+          |  s.appendChild(el('h2',{text:'Project'}));
+          |  s.appendChild(el('a',{href:'#','data-id':'__dag',
+          |    text:'Lineage graph',click:function(){showDag();}}));
           |  function group(title,obj){var ids=Object.keys(obj||{}).sort();
           |    if(!ids.length)return;
           |    s.appendChild(el('h2',{text:title}));
@@ -951,11 +1027,17 @@ object Medallion {
           |  group('Exposures',MANIFEST.exposures);
           |  var h=location.hash.slice(1);
           |  if(h&&((MANIFEST.nodes||{})[h]||(MANIFEST.exposures||{})[h]))show(h);
+          |  else showDag();
           |})();
           |</script></body></html>
           |""".stripMargin
       val out = dir.resolve("index.html")
-      Files.write(out, (head + manifest + mid + catalog + tail)
+      // the DAG template rides OUTSIDE the <script> block (plain hidden
+      // markup — no escaping interplay with the embedded JSONs)
+      val dagDiv = "<div id=\"dag\" style=\"display:none\">" + dagSvg + "</div>"
+      Files.write(out, (head + manifest + mid + catalog +
+        tail.replace("</script></body></html>",
+          "</script>" + dagDiv + "</body></html>"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.toString
     }

@@ -1635,6 +1635,19 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       "no external references")
     // catalog data reaches the page payload
     assert(html.contains("\"row_count\"") && html.contains("\"columns\""))
+    // the lineage DAG renders SERVER-SIDE as inline SVG: one clickable
+    // node per model + exposure, edges straight from child_map — the
+    // graph view exists in the artifact itself, not just in JS
+    assert(html.contains("Lineage graph") && html.contains("<svg"),
+      "the lineage SVG must embed")
+    assert(html.sliding("class=\"dagnode\"".length)
+      .count(_ == "class=\"dagnode\"") ===
+      order.length + 3, // + the three declared exposures
+      "one DAG node per model and exposure")
+    order.filter(_.deps.nonEmpty).foreach { m =>
+      assert(html.contains(s"""data-to="model.graft.${m.name}""""),
+        s"dependent model ${m.name} must have an inbound DAG edge")
+    }
     // missing artifacts fail loudly, never render an empty site
     val empty = Files.createTempDirectory("graft_docs_empty").toString
     intercept[IllegalArgumentException] {
