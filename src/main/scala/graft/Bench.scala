@@ -106,6 +106,9 @@ object Bench {
       // is (steps × per-step wait), so bounded wait is everything. The
       // shares sum under the core count; surplus splits by weight.
       .config("spark.scheduler.allocation.file", poolConfigFile())
+      // A/B knob for the plan-time dim probes (DynamicBranchPruning)
+      .config("spark.graft.dpp.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_DPP", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -307,13 +310,31 @@ object Bench {
         }.mkString(""","jobs":{""", ",", "}")
       // EMA of per-query seconds (file artifact only): 0.5·prior + 0.5·now
       // — what the NEXT run's pool classification and LPT order read, so
-      // one slow-mode or queue-noise sample can't scramble the schedule
+      // one slow-mode or queue-noise sample can't scramble the schedule.
+      // HOST-SPEED NORMALIZATION first: this box swings 1.4–3× uniformly
+      // between runs (documented since r10; measured 42.5 s vs 112–122 s
+      // on identical code at idle starts), and the pool classification
+      // thresholds are ABSOLUTE seconds — one slow-mode sample pushed 58
+      // mid queries over the 5 s chain bar (r12). Dividing the run by
+      // its median inflation vs the prior EMA keeps the EMA in
+      // reference-speed units: ordering is scale-invariant anyway, and
+      // thresholds stay meaningful across host modes. Per-query
+      // regressions still surface — they move against the median.
       val ema =
         if (!withJobs) ""
-        else entries.collect { case (k, v, true) =>
-          val folded = priorSec.get(k).map(p => 0.5 * p + 0.5 * v).getOrElse(v)
-          "\"" + k + "\":" + f"$folded%.3f"
-        }.mkString(""","ema":{""", ",", "}")
+        else {
+          val ratios = entries.collect { case (k, v, true)
+            if priorSec.get(k).exists(_ > 0.3) && v > 0.3 =>
+            v / priorSec(k) }.sorted
+          val speed = if (ratios.size < 20) 1.0
+            else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
+          entries.collect { case (k, v, true) =>
+            val norm = v / speed
+            val folded = priorSec.get(k).map(p => 0.5 * p + 0.5 * norm)
+              .getOrElse(norm)
+            "\"" + k + "\":" + f"$folded%.3f"
+          }.mkString(""","ema":{""", ",", "}")
+        }
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$jobs$ema,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
     }
     // Full per-query detail goes to the file; the PRINTED line carries a
