@@ -122,24 +122,42 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     val sess = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
     if (sess.isEmpty) return plan
+    val materialize = conf
+      .getConfString("spark.graft.dpp.materializeDim", "true").toBoolean
     plan.transformUp {
       case j @ Join(left, right, jt, Some(cond), _)
           if j.getTagValue(PROBED).isEmpty && !j.isStreaming =>
         // both sides may prune (a co-partitioned fact-fact join): a
         // left branch pruned for lack of a right partner implies no
         // right row carried that key, so the pruned left is an
-        // equivalent — and cheaper — probe target for the right side
-        val l = if (canPruneLeft(jt)) tryPrune(sess.get, left, right, cond)
-          else (None, false)
-        val newLeft = l._1.getOrElse(left)
-        val r = if (canPruneRight(jt))
-          tryPrune(sess.get, right, newLeft, cond) else (None, false)
-        val out = if (l._1.isEmpty && r._1.isEmpty) j
-          else j.copy(left = newLeft, right = r._1.getOrElse(right))
+        // equivalent — and cheaper — probe target for the right side.
+        // The probe also captures the dimension's matching rows (when
+        // bounded): the dimension-side ELIGIBILITY for materializing
+        // them is the same prune-side predicate — a dim row whose key
+        // is outside the fact's literal domain matches nothing, so
+        // dropping it is sound exactly where pruning that side would be
+        val l = if (canPruneLeft(jt))
+          tryPrune(sess.get, left, right, cond,
+            wantRows = materialize && canPruneRight(jt))
+          else Pruned(None, None, probed = false)
+        val newLeft = l.newFact.getOrElse(left)
+        // dim rows captured → the dimension subtree already executed in
+        // full (dim ⋉ domain): serve the join from the materialized
+        // LocalRelation instead of executing it a second time
+        val matRight = l.dimRows.map(rs => LocalRelation(right.output, rs))
+        val r = if (matRight.isEmpty && canPruneRight(jt))
+          tryPrune(sess.get, right, newLeft, cond,
+            wantRows = materialize && canPruneLeft(jt))
+          else Pruned(None, None, probed = false)
+        val matLeft = r.dimRows.map(rs => LocalRelation(left.output, rs))
+        val newRight = matRight.orElse(r.newFact).getOrElse(right)
+        val out = if (l.newFact.isEmpty && r.newFact.isEmpty &&
+            matRight.isEmpty && matLeft.isEmpty) j
+          else j.copy(left = matLeft.getOrElse(newLeft), right = newRight)
         // tag only once a probe EXECUTED: a structural decline (e.g. a
         // not-yet-folded literal slot) must stay retryable in later
         // fixed-point iterations, but the dimension never runs twice
-        if (l._2 || r._2) out.setTagValue(PROBED, ())
+        if (l.probed || r.probed) out.setTagValue(PROBED, ())
         out
     } match { case p => evalConstantInSubqueries(sess.get, p) }
   }
@@ -228,12 +246,20 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Per-join prune outcome.
+    * @param newFact  replacement fact side, when ≥1 branch pruned
+    * @param dimRows  the dimension's full matching rows, when the probe
+    *   captured them un-truncated (the caller may materialize the dim
+    *   side from them — see [[probeFull]])
+    * @param probed   whether a probe EXECUTED (drives the once-only tag) */
+  private final case class Pruned(newFact: Option[LogicalPlan],
+      dimRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]],
+      probed: Boolean)
+
   /** Attempt to prune `fact` (a Union of literal-keyed branches) against
-    * `dim` through one equality conjunct of `cond`. Returns (replacement
-    * plan if any branches pruned, whether a probe EXECUTED) — the caller
-    * tags the join exactly when a probe ran. */
+    * `dim` through the equality conjuncts of `cond`. */
   private def tryPrune(spark: SparkSession, fact: LogicalPlan,
-      dim: LogicalPlan, cond: Expression): (Option[LogicalPlan], Boolean) = {
+      dim: LogicalPlan, cond: Expression, wantRows: Boolean): Pruned = {
     val pairs = splitConjunctivePredicates(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if fact.outputSet.contains(a) && dim.outputSet.contains(b) =>
@@ -245,22 +271,26 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     // chain across pairs: a multi-column-partitioned fact (several
     // literal-slotted keys in the condition) prunes through each key in
     // turn — the survivor union of one pass is the probe target of the
-    // next
+    // next. Dim rows are only captured in the single-pair case: rows
+    // filtered by one key's domain are NOT `dim ⋉ (all keys)`.
     var probed = false
     var cur = fact
     var changed = false
+    var rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = None
     pairs.foreach { case (factKey, dimKey) =>
-      val (r, p) = pruneVia(spark, cur, dim, factKey, dimKey)
-      probed ||= p
-      r.foreach { nf => cur = nf; changed = true }
+      val res = pruneVia(spark, cur, dim, factKey, dimKey,
+        wantRows && pairs.size == 1)
+      probed ||= res.probed
+      rows = rows.orElse(res.dimRows)
+      res.newFact.foreach { nf => cur = nf; changed = true }
     }
-    (if (changed) Some(cur) else None, probed)
+    Pruned(if (changed) Some(cur) else None, rows, probed)
   }
 
   private def pruneVia(spark: SparkSession, fact: LogicalPlan,
       dim: LogicalPlan, factKey: AttributeReference,
-      dimKey: Attribute): (Option[LogicalPlan], Boolean) = {
-    val decline = (None, false)
+      dimKey: Attribute, wantRows: Boolean = false): Pruned = {
+    val decline = Pruned(None, None, probed = false)
     val u = fact match {
       case u: Union => u
       case _ => return decline
@@ -286,9 +316,10 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     val live = slots.flatten.collect { case Lit(v) => v }
     if (live.size < 2) return decline // nothing worth a probe
     val domain = live.filter(_ != null).distinct
-    val partners: Set[Any] =
-      probeKeys(spark, dim, dimKey, factKey.dataType, domain) match {
-        case Some(keys) => keys
+    val (partners, dimRows) =
+      probeFull(spark, dim, dimKey, factKey.dataType, domain,
+        wantRows) match {
+        case Some((keys, rows)) => (keys, rows)
         case None => return decline
       }
     // a NULL branch literal never equals anything; a live literal
@@ -299,11 +330,11 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       case Lit(v) => partners.contains(v)
     }
     val anyPruned = slots.flatten.exists(s => !keep(s) && s != EmptyBranch)
-    if (!anyPruned) return (None, true)
+    if (!anyPruned) return Pruned(None, dimRows, probed = true)
     val newChildren = u.children.zip(slots.flatten).map { case (c, s) =>
       if (keep(s)) c else LocalRelation(c.output, Nil)
     }
-    (Some(u.copy(children = newChildren)), true)
+    Pruned(Some(u.copy(children = newChildren)), dimRows, probed = true)
   }
 
   /** Shared probe: the dimension's distinct keys WITHIN `domain` — at
@@ -315,7 +346,22 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * `spark.graft.dpp.maxDimBytes` by plan stats (default
     * autoBroadcastJoinThreshold — probe work is broadcast-build-class). */
   private def probeKeys(spark: SparkSession, dim: LogicalPlan,
-      dimKey: Attribute, dt: DataType, domain: Seq[Any]): Option[Set[Any]] = {
+      dimKey: Attribute, dt: DataType, domain: Seq[Any]): Option[Set[Any]] =
+    probeFull(spark, dim, dimKey, dt, domain, wantRows = false).map(_._1)
+
+  /** Like [[probeKeys]], but with `wantRows = true` the probe collects
+    * the dimension's FULL matching rows (`dim WHERE key IN domain`)
+    * instead of just distinct keys, bounded by
+    * `spark.graft.dpp.maxDimRows` (65536): the rows are the join's
+    * build side MATERIALIZED — [[apply]] swaps them in as a
+    * LocalRelation so the dimension subtree executes ONCE (the probe)
+    * instead of twice (probe + runtime build). If the row cap
+    * truncates, the full key set is completed by the distinct-keys
+    * probe and no rows are returned (pruning still proceeds). */
+  private def probeFull(spark: SparkSession, dim: LogicalPlan,
+      dimKey: Attribute, dt: DataType, domain: Seq[Any],
+      wantRows: Boolean):
+      Option[(Set[Any], Option[Seq[org.apache.spark.sql.catalyst.InternalRow]])] = {
     if (domain.size > conf
         .getConfString("spark.graft.dpp.maxBranches", "1024").toInt)
       return None
@@ -326,16 +372,32 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       conf.autoBroadcastJoinThreshold.toString).toLong
     if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
       return None
-    if (domain.isEmpty) return Some(Set.empty)
-    probeCount.incrementAndGet()
+    if (domain.isEmpty) return Some((Set.empty, Some(Nil)))
+    val lits = domain.map(v => Literal(v, dt))
+    val keyOrd = dim.output.indexWhere(_.exprId == dimKey.exprId)
     inProbe.set(true)
     try {
-      val lits = domain.map(v => Literal(v, dt))
+      if (wantRows && keyOrd >= 0) {
+        val cap = conf.getConfString("spark.graft.dpp.maxDimRows",
+          "65536").toInt
+        probeCount.incrementAndGet()
+        val rows = org.apache.spark.sql.graft.PlanFrame.ofRows(spark,
+          Filter(In(dimKey, lits), dim))
+          .queryExecution.executedPlan.executeTake(cap + 1)
+        if (rows.length <= cap)
+          // un-truncated: the rows ARE dim ⋉ domain, and their key
+          // column is the complete partner set
+          return Some((rows.map(_.get(keyOrd, dt)).toSet,
+            Some(rows.toSeq)))
+        // fall through: too many rows to materialize — complete the
+        // key set with the cheap distinct probe below
+      }
+      probeCount.incrementAndGet()
       val probe = Distinct(Project(Seq(dimKey),
         Filter(In(dimKey, lits), dim)))
-      Some(org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
+      Some((org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
         .queryExecution.executedPlan.executeCollect()
-        .map(_.get(0, dt)).toSet)
+        .map(_.get(0, dt)).toSet, None))
     } finally inProbe.set(false)
   }
 }

@@ -1634,18 +1634,31 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       (col("id") < 2L).as("live")))
     val q = D.read(spark, fact)
       .join(D.read(spark, dim).filter(col("live")), col("part") === col("key"))
-    assert(factScans(q) === 3, // 2 fact branches + 1 dim scan
-      s"the filtered dimension's keys must prune 2 of 4 branches:\n" +
+    // 2 fact branches; the dimension SCAN is gone too — the probe
+    // already executed it, so the join serves from the materialized rows
+    assert(factScans(q) === 2,
+      s"the filtered dimension's keys must prune 2 of 4 branches and " +
+        s"the probed dimension must materialize:\n" +
         q.queryExecution.optimizedPlan)
     assert(q.count() === 2000L)
     // static filter composes: a fact-side partition predicate first
     // empties p0 statically, then the dim keys prune p2/p3
     val q2 = D.read(spark, fact).filter(col("part") =!= "p0")
       .join(D.read(spark, dim).filter(col("live")), col("part") === col("key"))
-    assert(factScans(q2) === 2, // 1 fact branch (p1) + 1 dim scan
+    assert(factScans(q2) === 1, // 1 fact branch (p1); dim materialized
       s"static + dynamic pruning must leave one fact branch:\n" +
         q2.queryExecution.optimizedPlan)
     assert(q2.count() === 1000L)
+    // the materialization is probe-work reuse, not a second execution
+    // path: with it disabled the dim scan stays and results agree
+    spark.conf.set("spark.graft.dpp.materializeDim", "false")
+    try {
+      val q3 = D.read(spark, fact)
+        .join(D.read(spark, dim).filter(col("live")), col("part") === col("key"))
+      assert(factScans(q3) === 3, // 2 fact branches + 1 dim scan
+        "materializeDim=false must keep the dimension scan")
+      assert(q3.count() === 2000L)
+    } finally spark.conf.unset("spark.graft.dpp.materializeDim")
   }
 
   test("dynamic branch pruning: the IN (SELECT ...) spelling prunes through the Filter shape") {
@@ -1706,9 +1719,21 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       partitionBy = Seq("bpart"))
     val q = D.read(spark, a).join(D.read(spark, b),
       col("part") === col("bpart"))
-    assert(factScans(q) === 4, // 2 surviving branches each side
-      s"both sides must prune to the 2-partition overlap:\n" +
+    // a prunes to its 2 overlap branches; b (small enough to probe)
+    // materializes outright from the probe's captured rows
+    assert(factScans(q) === 2,
+      s"both sides must shrink to the 2-partition overlap:\n" +
         q.queryExecution.optimizedPlan)
     assert(q.count() === 2000000L)
+    // with materialization off, both unions prune branch-wise instead
+    spark.conf.set("spark.graft.dpp.materializeDim", "false")
+    try {
+      val q2 = D.read(spark, a).join(D.read(spark, b),
+        col("part") === col("bpart"))
+      assert(factScans(q2) === 4, // 2 surviving branches each side
+        s"both sides must prune to the 2-partition overlap:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(q2.count() === 2000000L)
+    } finally spark.conf.unset("spark.graft.dpp.materializeDim")
   }
 }
