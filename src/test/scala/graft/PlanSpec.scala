@@ -1697,6 +1697,30 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally spark.conf.unset("spark.graft.dpp.enabled")
   }
 
+  test("dim materialization keeps duplicate keys, drops only never-matching rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_mat")
+    val dimPath = graft.TempDirs.fresh("dbp_mat") + "/dim"
+    // duplicate p0 keys (inner join multiplies — rows, not Distinct,
+    // must materialize), a NULL key and an unmatched p9 (both can never
+    // equal any fact row)
+    D.create(spark, dimPath, Seq(
+      (Some("p0"), 1L), (Some("p0"), 2L), (None, 9L), (Some("p9"), 3L))
+      .toDF("key", "w"))
+    def q() = D.read(spark, fact)
+      .join(D.read(spark, dimPath), col("part") === col("key"))
+    assert(factScans(q()) === 1, // only the p0 branch; dim materialized
+      s"dim keys must prune 3 branches and the dim scan must go:\n" +
+        q().queryExecution.optimizedPlan)
+    val got = q().orderBy("v", "w").collect().toSeq
+    assert(got.length === 2000) // 1000 p0 fact rows × the duplicate pair
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try assert(q().orderBy("v", "w").collect().toSeq === got)
+    finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
   test("s59_dpp_join: 5 of 25 partition branches survive the dim probe") {
     val p = plan("s59_dpp_join")
     assert(count(p, "Scan parquet graft_s59") === 5,
