@@ -183,40 +183,75 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * away, so fixed-point reruns find nothing to re-probe. */
   private def evalConstantInSubqueries(spark: SparkSession,
       plan: LogicalPlan): LogicalPlan = {
-    // pass 1: pool literal domains per canonicalized subquery
-    val groups = scala.collection.mutable.LinkedHashMap[
-      LogicalPlan, (ListQuery, DataType, scala.collection.mutable.LinkedHashSet[Any])]()
+    // pass 1: pool literal domains per canonicalized subquery. NOT IN
+    // conjuncts join the same pool but flag a contains-null probe —
+    // `v NOT IN (sub)` is TRUE only when v ∉ sub AND sub carries no
+    // NULL (three-valued IN: v ∉ sub with a NULL present yields NULL,
+    // which a filter drops like FALSE).
+    final case class Group(l: ListQuery, dt: DataType,
+      domain: scala.collection.mutable.LinkedHashSet[Any],
+      var needNull: Boolean)
+    val groups =
+      scala.collection.mutable.LinkedHashMap[LogicalPlan, Group]()
+    def eligible(l: ListQuery, dt: DataType): Boolean =
+      l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
+        l.plan.output.length == 1 && supportedKeyType(dt)
+    def admit(l: ListQuery, dt: DataType, v: Any, negated: Boolean): Unit = {
+      val g = groups.getOrElseUpdate(l.plan.canonicalized,
+        Group(l, dt, scala.collection.mutable.LinkedHashSet[Any](),
+          needNull = false))
+      if (v != null) g.domain += v
+      if (negated) g.needNull = true
+    }
     plan.foreach {
       case Filter(cond, _) => splitConjunctivePredicates(cond).foreach {
         case InSubquery(Seq(Literal(v, dt)), l: ListQuery)
-            if l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
-              l.plan.output.length == 1 && supportedKeyType(dt) &&
-              v != null =>
-          groups.getOrElseUpdate(l.plan.canonicalized,
-            (l, dt, scala.collection.mutable.LinkedHashSet[Any]()))._3 += v
+            if eligible(l, dt) && v != null =>
+          admit(l, dt, v, negated = false)
+        case Not(InSubquery(Seq(Literal(v, dt)), l: ListQuery))
+            if eligible(l, dt) && v != null =>
+          admit(l, dt, v, negated = true)
         case _ => ()
       }
       case _ => ()
     }
     if (groups.isEmpty) return plan
-    // pass 2: probe each group under the standard guards
-    val partners: Map[LogicalPlan, Set[Any]] = groups.iterator.flatMap {
-      case (canon, (l, dt, domain)) =>
-        probeKeys(spark, l.plan, l.plan.output.head, dt, domain.toSeq)
-          .map(canon -> _)
-    }.toMap
+    // pass 2: probe each group under the standard guards; NOT IN groups
+    // add a LIMIT-1 null-existence probe on the same (small) subquery
+    val partners: Map[LogicalPlan, (Set[Any], Boolean)] =
+      groups.iterator.flatMap { case (canon, g) =>
+        probeKeys(spark, g.l.plan, g.l.plan.output.head, g.dt,
+          g.domain.toSeq).map { keys =>
+          val hasNull = g.needNull && {
+            inProbe.set(true)
+            try org.apache.spark.sql.graft.PlanFrame.ofRows(spark,
+              Filter(IsNull(g.l.plan.output.head), g.l.plan))
+              .queryExecution.executedPlan.executeTake(1).nonEmpty
+            finally inProbe.set(false)
+          }
+          canon -> (keys, hasNull)
+        }
+      }.toMap
     if (partners.isEmpty) return plan
     // pass 3: resolve every matched conjunct
     plan.transformUp {
       case f @ Filter(cond, child) =>
         val conj = splitConjunctivePredicates(cond)
         var emptied = false
+        def resolve(truthy: Boolean): Boolean =
+          if (truthy) false // provably TRUE — drop the conjunct
+          else { emptied = true; true } // FALSE/NULL — keeps no rows
         val kept = conj.filter {
           case InSubquery(Seq(Literal(v, _)), l: ListQuery)
               if partners.contains(l.plan.canonicalized) =>
-            if (v != null && partners(l.plan.canonicalized).contains(v))
-              false // provably TRUE — drop the conjunct
-            else { emptied = true; true } // FALSE/NULL — keeps no rows
+            resolve(v != null && partners(l.plan.canonicalized)._1.contains(v))
+          // v != null required: `NULL NOT IN (sub)` is TRUE when sub is
+          // EMPTY but NULL otherwise, and the domain-restricted probe
+          // cannot tell an empty sub from a disjoint one — decline
+          case Not(InSubquery(Seq(Literal(v, _)), l: ListQuery))
+              if v != null && partners.contains(l.plan.canonicalized) =>
+            val (keys, hasNull) = partners(l.plan.canonicalized)
+            resolve(!keys.contains(v) && !hasNull)
           case _ => true
         }
         if (emptied) LocalRelation(f.output, Nil)

@@ -1697,6 +1697,42 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally spark.conf.unset("spark.graft.dpp.enabled")
   }
 
+  test("dynamic branch pruning: constant NOT IN resolves with a contains-null probe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_notin")
+    D.read(spark, fact).createOrReplaceTempView("dbp_notin_fact")
+    val sql = """SELECT part, sum(v) AS s FROM dbp_notin_fact
+                 WHERE part NOT IN (SELECT key FROM dbp_notin_dim)
+                 GROUP BY part"""
+    // null-free subquery: p0/p1 branches are provably excluded, the
+    // p2/p3 conjuncts are provably TRUE — no anti-join remains at all
+    Seq(Some("p0"), Some("p1")).toDF("key")
+      .createOrReplaceTempView("dbp_notin_dim")
+    val q = spark.sql(sql)
+    assert(factScans(q) === 2,
+      s"NOT IN keys must empty their branches:\n" +
+        q.queryExecution.optimizedPlan)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Join"),
+      s"the per-branch null-aware anti joins must be fully resolved:\n" +
+        q.queryExecution.optimizedPlan)
+    val got = q.orderBy("part").collect().toSeq
+    assert(got.map(_.getString(0)) === Seq("p2", "p3"))
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try assert(spark.sql(sql).orderBy("part").collect().toSeq === got)
+    finally spark.conf.unset("spark.graft.dpp.enabled")
+    // a NULL in the subquery flips every v ∉ sub conjunct to NULL —
+    // three-valued NOT IN keeps NOTHING
+    Seq(Some("p0"), None).toDF("key")
+      .createOrReplaceTempView("dbp_notin_dim")
+    val qNull = spark.sql(sql)
+    assert(qNull.count() === 0L, "NULL in a NOT IN subquery keeps no rows")
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try assert(spark.sql(sql).count() === 0L)
+    finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
   test("dim materialization keeps duplicate keys, drops only never-matching rows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
