@@ -106,8 +106,18 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
   private val PROBED = TreeNodeTag[Unit]("graft.dbp.probed")
 
   /** Probe executions — exposed for tests to pin the once-per-join
-    * contract. */
+    * contract. The thread-local twin isolates a test's delta from
+    * concurrently-running suites (optimization runs on the calling
+    * thread, so a thread's own compilations are exactly what it
+    * probed). */
   private[graft] val probeCount = new AtomicLong(0L)
+  private[graft] val probeCountLocal = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+  private def countProbe(): Unit = {
+    probeCount.incrementAndGet()
+    probeCountLocal.set(probeCountLocal.get() + 1L)
+  }
 
   /** Re-entrancy guard: the probe's own query compilation runs this
     * rule again on the same thread. */
@@ -144,12 +154,20 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         // dim rows captured → the dimension subtree already executed in
         // full (dim ⋉ domain): serve the join from the materialized
         // LocalRelation instead of executing it a second time
-        val matRight = l.dimRows.map(rs => LocalRelation(right.output, rs))
+        val matRight = l.dimRows.map { rs =>
+          logInfo(s"DynamicBranchPruning: materialized right dim side " +
+            s"(${rs.size} rows)")
+          LocalRelation(right.output, rs)
+        }
         val r = if (matRight.isEmpty && canPruneRight(jt))
           tryPrune(sess.get, right, newLeft, cond,
             wantRows = materialize && canPruneLeft(jt))
           else Pruned(None, None, probed = false)
-        val matLeft = r.dimRows.map(rs => LocalRelation(left.output, rs))
+        val matLeft = r.dimRows.map { rs =>
+          logInfo(s"DynamicBranchPruning: materialized left dim side " +
+            s"(${rs.size} rows)")
+          LocalRelation(left.output, rs)
+        }
         val newRight = matRight.orElse(r.newFact).getOrElse(right)
         val out = if (l.newFact.isEmpty && r.newFact.isEmpty &&
             matRight.isEmpty && matLeft.isEmpty) j
@@ -254,6 +272,10 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
             resolve(!keys.contains(v) && !hasNull)
           case _ => true
         }
+        if (kept.length != conj.length || emptied)
+          logInfo(s"DynamicBranchPruning: constant IN-subquery conjuncts " +
+            s"resolved — ${conj.length - kept.length} dropped as TRUE" +
+            (if (emptied) ", branch emptied" else ""))
         if (emptied) LocalRelation(f.output, Nil)
         else if (kept.length == conj.length) f
         else kept.reduceOption(And).map(Filter(_, child)).getOrElse(child)
@@ -369,6 +391,12 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     val newChildren = u.children.zip(slots.flatten).map { case (c, s) =>
       if (keep(s)) c else LocalRelation(c.output, Nil)
     }
+    // observability: a silent plan rewrite at warehouse scale must be
+    // auditable from the driver log
+    logInfo("DynamicBranchPruning: pruned " +
+      slots.flatten.count(s => !keep(s) && s != EmptyBranch) +
+      s" of ${u.children.size} branches — key '${factKey.name}', " +
+      s"domain ${domain.size}, partners ${partners.size}")
     Pruned(Some(u.copy(children = newChildren)), dimRows, probed = true)
   }
 
@@ -415,7 +443,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       if (wantRows && keyOrd >= 0) {
         val cap = conf.getConfString("spark.graft.dpp.maxDimRows",
           "65536").toInt
-        probeCount.incrementAndGet()
+        countProbe()
         val rows = org.apache.spark.sql.graft.PlanFrame.ofRows(spark,
           Filter(In(dimKey, lits), dim))
           .queryExecution.executedPlan.executeTake(cap + 1)
@@ -427,7 +455,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         // fall through: too many rows to materialize — complete the
         // key set with the cheap distinct probe below
       }
-      probeCount.incrementAndGet()
+      countProbe()
       val probe = Distinct(Project(Seq(dimKey),
         Filter(In(dimKey, lits), dim)))
       Some((org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)

@@ -1558,13 +1558,13 @@ class PlanSpec extends AnyFunSuite with TestSpark {
         col("id").as("w"))
     val q = D.read(spark, fact).join(dim, col("part") === col("key"))
       .groupBy(col("part")).agg(sum(col("v")).as("s"))
-    val before = graft.plans.DynamicBranchPruning.probeCount.get()
+    val before = graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue()
     assert(factScans(q) === 2,
       s"2 of 4 partition branches must prune away:\n" +
         q.queryExecution.optimizedPlan)
     // ... with exactly ONE probe execution (the PROBED tag survives
     // the operator batch's fixed-point reruns)
-    assert(graft.plans.DynamicBranchPruning.probeCount.get() - before === 1L,
+    assert(graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue() - before === 1L,
       "the dimension must be probed exactly once per compile")
     // physical plan carries no trace of the pruned scans either
     val phys = q.queryExecution.executedPlan.toString
@@ -1674,12 +1674,12 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     val q = spark.sql(
       """SELECT part, sum(v) AS s FROM dbp_insub_fact
          WHERE part IN (SELECT key FROM dbp_insub_dim) GROUP BY part""")
-    val before = graft.plans.DynamicBranchPruning.probeCount.get()
+    val before = graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue()
     assert(factScans(q) === 2,
       s"the IN-subquery's keys must prune 2 of 4 branches:\n" +
         q.queryExecution.optimizedPlan)
     // all four branch literals pooled into ONE probe of the subquery
-    assert(graft.plans.DynamicBranchPruning.probeCount.get() - before === 1L,
+    assert(graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue() - before === 1L,
       "the pooled-domain probe must execute exactly once")
     // surviving branches' conjuncts resolved provably TRUE — the
     // per-branch runtime semi-joins evaporate with them
