@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, Join, LocalRelation, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Offset, Project, Sample, Tail, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types._
@@ -125,6 +125,15 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     override def initialValue(): java.lang.Boolean = false
   }
 
+  /** Per-COMPILE memo for the constant IN-subquery probes: keyed by the
+    * thread's current QueryPlanningTracker identity (first tuple slot)
+    * so entries can never outlive the compile that produced them —
+    * entries map a canonicalized subquery plan to
+    * (domain probed, partner keys, contains-null when probed). */
+  private val subqMemo = new ThreadLocal[(AnyRef,
+    scala.collection.mutable.Map[LogicalPlan,
+      (Set[Any], Set[Any], Option[Boolean])])]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (inProbe.get()) return plan
     if (!conf.getConfString("spark.graft.dpp.enabled", "true").toBoolean)
@@ -153,8 +162,11 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         val newLeft = l.newFact.getOrElse(left)
         // dim rows captured → the dimension subtree already executed in
         // full (dim ⋉ domain): serve the join from the materialized
-        // LocalRelation instead of executing it a second time
-        val matRight = l.dimRows.map { rs =>
+        // LocalRelation instead of executing it a second time. The
+        // eligibility re-check is defensive: rows must NEVER replace a
+        // side that pruning could not have touched
+        val matRight = l.dimRows.filter(_ =>
+          materialize && canPruneRight(jt)).map { rs =>
           logInfo(s"DynamicBranchPruning: materialized right dim side " +
             s"(${rs.size} rows)")
           LocalRelation(right.output, rs)
@@ -163,7 +175,8 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
           tryPrune(sess.get, right, newLeft, cond,
             wantRows = materialize && canPruneLeft(jt))
           else Pruned(None, None, probed = false)
-        val matLeft = r.dimRows.map { rs =>
+        val matLeft = r.dimRows.filter(_ =>
+          materialize && canPruneLeft(jt)).map { rs =>
           logInfo(s"DynamicBranchPruning: materialized left dim side " +
             s"(${rs.size} rows)")
           LocalRelation(left.output, rs)
@@ -235,19 +248,59 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (groups.isEmpty) return plan
     // pass 2: probe each group under the standard guards; NOT IN groups
-    // add a LIMIT-1 null-existence probe on the same (small) subquery
+    // add a LIMIT-1 null-existence probe on the same (small) subquery.
+    // PER-COMPILE MEMO: the PROBED tag only covers the Join path —
+    // here, predicate pushdown can distribute NEW Filter(lit IN (sub))
+    // copies into branches on a LATER fixed-point iteration of the
+    // operator batch, which would re-run the pooled probe once per
+    // iteration. The memo is scoped to ONE COMPILE via the thread's
+    // QueryPlanningTracker identity (every QueryExecution optimizes
+    // under its own tracker object), so a dimension that changed
+    // between queries can never be resolved from a stale probe; no
+    // tracker on the thread → no caching at all.
+    val memo: Option[scala.collection.mutable.Map[
+        LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]] =
+      org.apache.spark.sql.catalyst.QueryPlanningTracker.get.map { t =>
+        val cur = subqMemo.get()
+        if (cur != null && (cur._1 eq t)) cur._2
+        else {
+          val fresh = (t: AnyRef, scala.collection.mutable.Map[
+            LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]())
+          subqMemo.set(fresh)
+          fresh._2
+        }
+      }
     val partners: Map[LogicalPlan, (Set[Any], Boolean)] =
       groups.iterator.flatMap { case (canon, g) =>
-        probeKeys(spark, g.l.plan, g.l.plan.output.head, g.dt,
-          g.domain.toSeq).map { keys =>
-          val hasNull = g.needNull && {
-            inProbe.set(true)
-            try org.apache.spark.sql.graft.PlanFrame.ofRows(spark,
-              Filter(IsNull(g.l.plan.output.head), g.l.plan))
-              .queryExecution.executedPlan.executeTake(1).nonEmpty
-            finally inProbe.set(false)
-          }
-          canon -> (keys, hasNull)
+        val dom = g.domain.toSet
+        memo.flatMap(_.get(canon)).filter { case (cDom, _, cNull) =>
+          dom.subsetOf(cDom) && (!g.needNull || cNull.isDefined)
+        } match {
+          case Some((_, keys, cNull)) =>
+            // cache hit: this compile already probed a superset domain
+            Some(canon -> (keys, cNull.getOrElse(false)))
+          case None =>
+            probeKeys(spark, g.l.plan, g.l.plan.output.head, g.dt,
+              g.domain.toSeq).map { keys =>
+              val hasNullOpt = if (!g.needNull) None else Some {
+                inProbe.set(true)
+                try org.apache.spark.sql.graft.PlanFrame.ofRows(spark,
+                  Filter(IsNull(g.l.plan.output.head), g.l.plan))
+                  .queryExecution.executedPlan.executeTake(1).nonEmpty
+                finally inProbe.set(false)
+              }
+              memo.foreach { m =>
+                // merge with any narrower prior entry: keys are exact
+                // within their probed domain, so unions stay exact
+                val merged = m.get(canon) match {
+                  case Some((cDom, cKeys, cNull)) =>
+                    (cDom ++ dom, cKeys ++ keys, hasNullOpt.orElse(cNull))
+                  case None => (dom, keys, hasNullOpt)
+                }
+                m.update(canon, merged)
+              }
+              canon -> (keys, hasNullOpt.getOrElse(false))
+            }
         }
       }.toMap
     if (partners.isEmpty) return plan
@@ -259,15 +312,21 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         def resolve(truthy: Boolean): Boolean =
           if (truthy) false // provably TRUE — drop the conjunct
           else { emptied = true; true } // FALSE/NULL — keeps no rows
+        // eligible() re-checked here (not just in pass 1): canonical
+        // PLAN equality says nothing about the ListQuery wrapper — a
+        // structurally different wrapper (correlated outerAttrs, a
+        // joinCond, multi-column output) sharing a canonicalized plan
+        // must never be resolved from another conjunct's probe
         val kept = conj.filter {
-          case InSubquery(Seq(Literal(v, _)), l: ListQuery)
-              if partners.contains(l.plan.canonicalized) =>
+          case InSubquery(Seq(Literal(v, dt)), l: ListQuery)
+              if eligible(l, dt) && partners.contains(l.plan.canonicalized) =>
             resolve(v != null && partners(l.plan.canonicalized)._1.contains(v))
           // v != null required: `NULL NOT IN (sub)` is TRUE when sub is
           // EMPTY but NULL otherwise, and the domain-restricted probe
           // cannot tell an empty sub from a disjoint one — decline
-          case Not(InSubquery(Seq(Literal(v, _)), l: ListQuery))
-              if v != null && partners.contains(l.plan.canonicalized) =>
+          case Not(InSubquery(Seq(Literal(v, dt)), l: ListQuery))
+              if v != null && eligible(l, dt) &&
+                partners.contains(l.plan.canonicalized) =>
             val (keys, hasNull) = partners(l.plan.canonicalized)
             resolve(!keys.contains(v) && !hasNull)
           case _ => true
@@ -431,11 +490,31 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     if (dim.isStreaming) return None
     if (dim.exists(p => p.expressions.exists(e =>
         e.exists(!_.deterministic)))) return None
+    // ORDER-DEPENDENT operators make the dimension's row SET
+    // run-dependent even when every expression is deterministic: an
+    // unordered LIMIT/OFFSET/SAMPLE/TAIL can return different rows at
+    // the plan-time probe than at the runtime join build, so a branch
+    // could be pruned whose key the runtime build side actually
+    // contains. Sound only if the probe's rows REPLACE the dim side —
+    // but that guarantee threads through too many fallbacks
+    // (materializeDim=false, row-cap truncation, multi-key chaining),
+    // so decline the probe outright: decline-only discipline.
+    if (dim.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Offset | _: Sample |
+           _: Tail => true
+      case _ => false
+    }) return None
     val maxBytes = conf.getConfString("spark.graft.dpp.maxDimBytes",
       conf.autoBroadcastJoinThreshold.toString).toLong
     if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
       return None
-    if (domain.isEmpty) return Some((Set.empty, Some(Nil)))
+    // rows only when the caller ASKED for them: an unconditional
+    // Some(Nil) here would let apply() materialize a PRESERVED (non
+    // prune-eligible) join side as an empty relation — e.g. a RIGHT
+    // OUTER join probing its left side with wantRows=false — silently
+    // dropping every preserved row
+    if (domain.isEmpty)
+      return Some((Set.empty, if (wantRows) Some(Nil) else None))
     val lits = domain.map(v => Literal(v, dt))
     val keyOrd = dim.output.indexWhere(_.exprId == dimKey.exprId)
     inProbe.set(true)

@@ -879,11 +879,22 @@ object Medallion {
           case JObject(o) => o.map(_._1); case _ => Nil
         }
         val modelIds = keysOf(mj \ "nodes")
-        val allIds = modelIds ++ keysOf(mj \ "exposures")
+        val pageIds = modelIds ++ keysOf(mj \ "exposures")
+        // a dbt-compatible manifest's child_map may carry PARENT keys
+        // this pipeline doesn't emit as nodes (source.* / seed.* ids):
+        // they must still be LAID OUT and DRAWN — dropping their edges
+        // while parentsOf counts them toward layer depth would both
+        // hide source lineage dbt's graph view shows and skew the
+        // layering of every downstream node
+        val extIds = (mj \ "child_map") match {
+          case JObject(o) => o.map(_._1).filterNot(pageIds.contains)
+          case _ => Nil
+        }
+        val allIds = pageIds ++ extIds
         val edges: Seq[(String, String)] = (mj \ "child_map") match {
           case JObject(o) => o.flatMap {
             case (p, JArray(cs)) =>
-              cs.collect { case JString(c) if allIds.contains(c) => (p, c) }
+              cs.collect { case JString(c) if pageIds.contains(c) => (p, c) }
             case _ => Nil
           }
           case _ => Nil
@@ -918,12 +929,17 @@ object Medallion {
         }.mkString("\n")
         val nodeSvg = allIds.map { id =>
           val (x, y) = pos(id)
-          val fill = if (modelIds.contains(id)) "#20232a" else "#4a5568"
+          // third style for source/seed-class externals (dbt's green
+          // source nodes); they have no node page, so no click-through
+          val fill = if (modelIds.contains(id)) "#20232a"
+            else if (pageIds.contains(id)) "#4a5568" else "#1f6f43"
+          val click = if (pageIds.contains(id))
+            s""" onclick="show('${esc(id)}')" style="cursor:pointer"""" else ""
           val label = {
-            val s = id.replaceAll("^(model|exposure)\\.graft\\.", "")
+            val s = id.replaceAll("^(model|exposure|source|seed)\\.[A-Za-z0-9_]+\\.", "")
             if (s.length > 26) s.take(25) + "…" else s
           }
-          s"""<g class="dagnode" onclick="show('${esc(id)}')" style="cursor:pointer"><rect x="$x" y="$y" width="$w" height="$h" rx="6" fill="$fill"/><text x="${x + 8}" y="${y + 18}" fill="#fff" font-size="12" font-family="system-ui,sans-serif">${esc(label)}</text></g>"""
+          s"""<g class="dagnode"$click><rect x="$x" y="$y" width="$w" height="$h" rx="6" fill="$fill"/><text x="${x + 8}" y="${y + 18}" fill="#fff" font-size="12" font-family="system-ui,sans-serif">${esc(label)}</text></g>"""
         }.mkString("\n")
         // no xmlns: inline SVG in an HTML5 document needs none, and the
         // site's self-containment test forbids any external reference

@@ -1648,6 +1648,29 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       assert(html.contains(s"""data-to="model.graft.${m.name}""""),
         s"dependent model ${m.name} must have an inbound DAG edge")
     }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // a dbt-compatible manifest may carry source.*/seed.* PARENTS in
+    // child_map that this pipeline doesn't emit as nodes — the SVG must
+    // still lay them out and draw their edges (dbt's graph view shows
+    // source lineage), never silently drop them while counting them
+    // toward layer depth
+    val mPath = java.nio.file.Paths.get(target, "manifest.json")
+    val mj = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(mPath), "UTF-8"))
+    val firstModel = s"model.graft.${order.head.name}"
+    val withSource = mj.transformField {
+      case ("child_map", JObject(o)) => ("child_map", JObject(
+        ("source.graft.raw_events" -> JArray(List(JString(firstModel)))) :: o))
+    }
+    java.nio.file.Files.write(mPath,
+      JsonMethods.pretty(JsonMethods.render(withSource)).getBytes("UTF-8"))
+    val html2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Pipeline.generateDocsSite(target))), "UTF-8")
+    assert(html2.contains("""data-from="source.graft.raw_events""""),
+      "the source parent's edge must render")
+    assert(html2.contains(">raw_events<") && html2.contains("#1f6f43"),
+      "the source node must render in the third (source) style")
     // missing artifacts fail loudly, never render an empty site
     val empty = Files.createTempDirectory("graft_docs_empty").toString
     intercept[IllegalArgumentException] {

@@ -1763,6 +1763,80 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"the one-region nation dim must prune 20 of 25 fact branches:\n$p")
   }
 
+  test("dynamic branch pruning: all-NULL branch literals prune the eligible side but never materialize the preserved side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a union whose key slot constant-folds to NULL in EVERY branch:
+    // the probe domain is EMPTY — the rule prunes the (eligible) union
+    // side, but it must NOT hand back captured rows that apply() could
+    // use to replace the PRESERVED side with an empty relation (the
+    // RightOuter left-probe runs with wantRows=false)
+    val factNull = spark.range(10L)
+      .select(lit(null).cast("string").as("part"), col("id").as("v"))
+      .union(spark.range(10L)
+        .select(lit(null).cast("string").as("part"),
+          (col("id") + 10L).as("v")))
+    val dim = Seq(("p0", 10L), ("p1", 11L)).toDF("key", "w")
+    val q = factNull.join(dim, col("part") === col("key"), "right_outer")
+    // RIGHT OUTER: left is prune-eligible (NULL literals never match),
+    // right is PRESERVED — every dim row survives with NULL left cols
+    val got = q.orderBy("key").collect().toSeq
+    assert(got.length === 2,
+      s"preserved right side must keep all rows:\n" +
+        q.queryExecution.optimizedPlan)
+    assert(got.forall(_.isNullAt(0)))
+    spark.conf.set("spark.graft.dpp.enabled", "false")
+    try assert(factNull.join(dim, col("part") === col("key"), "right_outer")
+      .orderBy("key").collect().toSeq === got)
+    finally spark.conf.unset("spark.graft.dpp.enabled")
+  }
+
+  test("dynamic branch pruning declines an order-dependent (LIMIT/SAMPLE) dimension") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_limit")
+    // an unordered LIMIT's row SET can differ between the plan-time
+    // probe and the runtime join build — the probe must decline even
+    // though every expression in the subtree is deterministic
+    val dim = spark.range(4L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+      .limit(2)
+    val q = D.read(spark, fact).join(dim, col("part") === col("key"))
+    assert(factScans(q) === 4,
+      s"a LIMIT dimension must decline the probe:\n" +
+        q.queryExecution.optimizedPlan)
+    val sampled = spark.range(4L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+      .sample(0.99, 7L)
+    val qs = D.read(spark, fact).join(sampled, col("part") === col("key"))
+    assert(factScans(qs) === 4,
+      s"a SAMPLE dimension must decline the probe:\n" +
+        qs.queryExecution.optimizedPlan)
+  }
+
+  test("dynamic branch pruning: the IN-subquery memo is per-compile — a fresh query re-probes") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_memo")
+    D.read(spark, fact).createOrReplaceTempView("dbp_memo_fact")
+    spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+      .createOrReplaceTempView("dbp_memo_dim")
+    val sql = """SELECT part, sum(v) AS s FROM dbp_memo_fact
+                 WHERE part IN (SELECT key FROM dbp_memo_dim) GROUP BY part"""
+    val before = graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue()
+    spark.sql(sql).queryExecution.optimizedPlan
+    val after1 = graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue()
+    assert(after1 - before === 1L,
+      "one pooled probe per compile (memoed across fixed-point reruns)")
+    // a SECOND compile of the same text must probe AGAIN — the
+    // dimension may have changed between queries, so the memo is
+    // scoped to one QueryPlanningTracker and nothing crosses compiles
+    spark.sql(sql).queryExecution.optimizedPlan
+    assert(graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue() - after1 === 1L,
+      "the memo must not serve a different compile")
+  }
+
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
