@@ -90,7 +90,16 @@ object DeltaLite {
       physical: Map[String, String] = Map.empty,
       generated: Map[String, String] = Map.empty,
       identity: Map[String, IdentityCol] = Map.empty,
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      /** Versions of row-removing commits ([[ChurnOps]]) SINCE the last
+        * ANALYZE — tracked during log replay at zero extra I/O, so the
+        * stats serve path can disarm NDV/nulls/histograms the standing
+        * ANALYZE can no longer vouch for (appends fold; deletes can't —
+        * sketches don't subtract). Empty when the table has no standing
+        * stats. A cold replay from a checkpoint sees only post-checkpoint
+        * commits, so this is a LOWER bound there (same caveat as
+        * cleanupLogs-pruned history). */
+      churnVersions: Seq[Long] = Nil) {
     def filePaths(root: Path): Seq[String] = files.map(f => root.resolve(f.path).toString)
     def totalRows: Long = files.map(_.rows).sum
     /** Sum of logged file sizes (0 for pre-sizes-era adds). */
@@ -139,21 +148,80 @@ object DeltaLite {
   private def root(path: String): Path = Paths.get(path).toAbsolutePath.normalize()
   private def logDir(path: String): Path = root(path).resolve("_graft_log")
 
+  /** COMMIT-CLAIM STORE — the object-store port seam. Every write path
+    * funnels into [[claim]]; its three-property contract is what OCC,
+    * commitResolve rebase, and snapshot replay are derived from:
+    *  (1) claiming a target either succeeds for exactly ONE racing
+    *      writer or throws `FileAlreadyExistsException` — never two
+    *      winners;
+    *  (2) a won target is IMMUTABLE — no later claim may replace or
+    *      mutate it (readers cache replayed versions forever);
+    *  (3) a failed claim leaves no partial or temporary state visible.
+    * The default [[PosixCommitClaimStore]] satisfies them with
+    * CREATE_NEW + link(2) on a single POSIX filesystem. An object-store
+    * port implements this ONE trait instead: S3 conditional PUT
+    * (`If-None-Match: *`, native since 2024-08), GCS
+    * `x-goog-if-generation-match: 0`, Azure ETag `If-None-Match: *` —
+    * each is exactly (1)+(2), and (3) holds because the conditional PUT
+    * IS the only write. Stores without conditional create need an
+    * external coordinator claiming (table, version) — the
+    * DynamoDB-style log-store design. `readImmutable`/`listLog` are the
+    * matching read/list surface (GET / LIST on an object store).
+    * ScaleSpec's "commit claim contract" test runs BOTH the POSIX impl
+    * and an in-memory conditional-PUT mock through the contract. */
+  trait CommitClaimStore {
+    /** Atomic claim of `target` with `content` — contract (1)-(3). */
+    def claim(target: Path, content: Array[Byte]): Unit
+    /** Lines of a claimed (immutable) log file. */
+    def readImmutable(target: Path): Seq[String]
+    /** File names in a log directory (Nil if the directory is absent). */
+    def listLog(dir: Path): Seq[String]
+  }
+
+  object PosixCommitClaimStore extends CommitClaimStore {
+    /** Unique temp per writer, then an atomic hard link to the final
+      * name: link(2) fails with FileAlreadyExistsException when the
+      * target is already taken, so exactly ONE racing writer wins and
+      * no winner's file can be silently replaced. (Files.move's
+      * no-replace check is check-then-rename — NOT atomic on POSIX,
+      * where rename overwrites — and a shared temp name lets racers
+      * clobber each other's content; both races were caught by the
+      * 8-writer test under full-suite load.) */
+    override def claim(target: Path, content: Array[Byte]): Unit = {
+      val tmp = target.getParent.resolve(
+        s".${target.getFileName}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp, content, StandardOpenOption.CREATE_NEW)
+      try Files.createLink(target, tmp) // atomic claim + visibility
+      finally Files.deleteIfExists(tmp)
+    }
+    override def readImmutable(target: Path): Seq[String] =
+      Files.readAllLines(target).asScala.toSeq
+    override def listLog(dir: Path): Seq[String] =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val stream = Files.list(dir)
+        try stream.iterator().asScala.map(_.getFileName.toString).toList
+        finally stream.close()
+      }
+  }
+
+  /** Thread-scoped store override (test seam — suites share the JVM, so
+    * a global swap would leak into concurrent suites' commits); commits
+    * and log reads run on the calling thread. */
+  private val claimStoreOverride = new ThreadLocal[CommitClaimStore]
+  private[graft] def withClaimStore[T](s: CommitClaimStore)(f: => T): T = {
+    claimStoreOverride.set(s)
+    try f finally claimStoreOverride.remove()
+  }
+  private def claimStore: CommitClaimStore =
+    Option(claimStoreOverride.get()).getOrElse(PosixCommitClaimStore)
+
   /** Latest committed version, if the table exists. */
   def latestVersion(path: String): Option[Long] = {
-    val ld = logDir(path)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val stream = Files.list(ld)
-      try {
-        val vs = stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.matches("""\d+\.json"""))
-          .map(_.stripSuffix(".json").toLong)
-          .toSeq
-        if (vs.isEmpty) None else Some(vs.max)
-      } finally stream.close()
-    }
+    val vs = claimStore.listLog(logDir(path))
+      .filter(_.matches("""\d+\.json"""))
+      .map(_.stripSuffix(".json").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   // ---------------------------------------------------- stats (de)coding
@@ -616,18 +684,29 @@ object DeltaLite {
         }
         ckpt.map(_.version + 1).getOrElse(0L)
     }
+    // row-churn tracking rides the replay (zero extra I/O): collect the
+    // version of every row-removing commit, then keep only those newer
+    // than the FINAL analyzedVersion — an ANALYZE (or fold) commit moves
+    // that property forward and implicitly clears older churn
+    val churnBuf = scala.collection.mutable.ArrayBuffer[Long]()
+    from.foreach(_.churnVersions.foreach(churnBuf += _))
     (start to v).foreach { i =>
-      applyActions(Files.readAllLines(logDir(path).resolve(s"$i.json")).asScala.toSeq,
+      applyActions(claimStore.readImmutable(logDir(path).resolve(s"$i.json")),
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
         m => physical = m, g => generated = g, x => identity = x,
-        pr => properties = pr)
+        pr => properties = pr,
+        onCommitOp = op => if (ChurnOps(op)) churnBuf += i)
     }
     require(schema != null, s"log at $path has no metaData action")
     // forward-compat gate: a log requiring reader features we don't
     // implement must refuse resolution, not silently misread
     checkReaderFeatures(path, properties)
+    val churn = props_analyzedVersion(properties) match {
+      case Some(av) => churnBuf.distinct.filter(_ > av).sorted.toSeq
+      case None => Nil // no standing stats — nothing to disarm
+    }
     Snapshot(v, schema, live.values.toSeq, txns.toMap, constraints, partitionBy,
-      physical, generated, identity, properties)
+      physical, generated, identity, properties, churn)
   }
 
   private def applyActions(lines: Seq[String], onSchema: StructType => Unit,
@@ -638,7 +717,8 @@ object DeltaLite {
       onPhysical: Map[String, String] => Unit,
       onGenerated: Map[String, String] => Unit,
       onIdentity: Map[String, IdentityCol] => Unit,
-      onProperties: Map[String, String] => Unit): Unit = {
+      onProperties: Map[String, String] => Unit,
+      onCommitOp: String => Unit = _ => ()): Unit = {
     var schema: StructType = null
     var physical = Map.empty[String, String]
     lines.filter(_.nonEmpty).foreach { line =>
@@ -691,6 +771,8 @@ object DeltaLite {
               app <- m.get("app").collect { case JString(a) => a }
               ver <- m.get("version").collect { case JLong(l) => l; case JInt(i) => i.toLong }
             } txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
+          case ("commit", JObject(c)) =>
+            c.collectFirst { case ("op", JString(s)) => s }.foreach(onCommitOp)
           case _ => ()
         }
         case _ => ()
@@ -1260,43 +1342,13 @@ object DeltaLite {
       removes.map(p => JsonMethods.compact(JObject(List("remove" ->
         JObject(List("path" -> JString(p))))))) ++
       adds2.map(f => JsonMethods.compact(encodeAdd(f, schema, physical)))
-    // Unique temp per writer, then an atomic hard link to the final name:
-    // link(2) fails with FileAlreadyExistsException when the version is
-    // already taken, so exactly ONE racing writer wins and no winner's
-    // commit can be silently replaced. (Files.move's no-replace check is
-    // check-then-rename — NOT atomic on POSIX, where rename overwrites —
-    // and a shared temp name lets racers clobber each other's content;
-    // both races were caught by the 8-writer test under full-suite load.)
-    //
-    // COMMIT BOUNDARY CONTRACT (the object-store port seam). Every write
-    // path in this file funnels into the claim below; its contract is:
-    //   (1) claiming version N either succeeds for exactly one writer or
-    //       fails with FileAlreadyExistsException — never two winners;
-    //   (2) a won commit file is IMMUTABLE — no later attempt may replace
-    //       or mutate `N.json` (readers cache replayed versions forever);
-    //   (3) a failed claim leaves no partial/temp state behind.
-    // Everything above (OCC, commitResolve rebase, snapshot replay) is
-    // derived from these three properties and nothing else. The link(2)
-    // implementation satisfies them on a SINGLE POSIX filesystem only —
-    // object stores have no hard links and their rename is copy+delete.
-    // Porting to an object store means swapping ONLY this claim:
-    //   - S3: conditional PUT with `If-None-Match: *` (native since
-    //     2024-08); GCS: `x-goog-if-generation-match: 0`; Azure Blob:
-    //     ETag `If-None-Match: *` — each is exactly contract (1)+(2),
-    //     and (3) holds because the conditional PUT IS the only write.
-    //   - Stores without conditional create need an external
-    //     coordinator claiming (table, version) — the DynamoDB-style
-    //     log-store design — or a documented single-writer-per-table
-    //     operational constraint at that boundary.
-    // ScaleSpec's "commit claim contract" test asserts (1)-(3) directly
-    // so a future port has the contract pinned, not just described.
-    val tmp = logDir(path).resolve(
-      s".$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
-    val fin = logDir(path).resolve(s"$version.json")
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
-    try Files.createLink(fin, tmp) // atomic claim + visibility of the commit
-    finally Files.deleteIfExists(tmp)
+    // COMMIT BOUNDARY: the atomic version claim — see
+    // [[CommitClaimStore]] for the 3-property contract (one winner,
+    // immutable won commits, failed claims leave nothing) that OCC,
+    // commitResolve rebase, and snapshot replay are derived from, and
+    // for the object-store port story (swap ONE trait impl).
+    claimStore.claim(logDir(path).resolve(s"$version.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(path, version)
     version
@@ -1335,13 +1387,10 @@ object DeltaLite {
       val lines = checkpointJsonLines(snap) ++
         snap.files.map(f =>
           JsonMethods.compact(encodeAdd(f, snap.schema, snap.physical)))
-      val tmp = logDir(path).resolve(
-        s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
-      try Files.createLink(logDir(path).resolve(s"checkpoint-$version.json"), tmp)
+      // checkpoints are an optimization: a lost claim race is a no-op
+      try claimStore.claim(logDir(path).resolve(s"checkpoint-$version.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
     }
   }
 
@@ -1668,13 +1717,9 @@ object DeltaLite {
         "nAdds" -> JLong(byBucket(b).size.toLong))))))
     }
     val lines = checkpointJsonLines(snap) ++ sidecarLines
-    val tmpj = ld.resolve(
-      s".checkpoint-$version-${java.util.UUID.randomUUID.toString.take(8)}.v2.json.tmp")
-    Files.write(tmpj, lines.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
-    try Files.createLink(ld.resolve(s"checkpoint-$version.v2.json"), tmpj)
+    try claimStore.claim(ld.resolve(s"checkpoint-$version.v2.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    finally Files.deleteIfExists(tmpj)
     gcSidecars(path)
   }
 
@@ -1895,7 +1940,7 @@ object DeltaLite {
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
     readFiles(spark, path, snap.schema, snap.files, snap.partitionBy,
-      snap.physical, snap.properties)
+      snap.physical, snap.properties, snap.churnVersions.length.toLong)
   }
 
   /** Snapshot read exposing the row-tracking id as a `_row_id` column
@@ -1982,7 +2027,8 @@ object DeltaLite {
     val all = bounds ++ derivedGeneratedBounds(spark, snap, bounds)
     readFiles(spark, path, snap.schema,
       pruneFiles(snap, all, bloomProbesFor(spark, snap, bounds)),
-      snap.partitionBy, snap.physical, snap.properties)
+      snap.partitionBy, snap.physical, snap.properties,
+      snap.churnVersions.length.toLong)
   }
 
   /** xxhash64 probes for POINT bounds (lower == upper, non-null) and
@@ -2125,7 +2171,8 @@ object DeltaLite {
     * broadcast ANY table). Pure driver metadata from the snapshot
     * already in hand: zero extra I/O at any scale. */
   private def withLogStats(spark: SparkSession, df: DataFrame, path: String,
-      files: Seq[AddFile], props: Map[String, String] = Map.empty): DataFrame = {
+      files: Seq[AddFile], props: Map[String, String] = Map.empty,
+      churn: Long = 0L): DataFrame = {
     if (files.isEmpty || files.exists(_.bytes <= 0L)) return df
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
@@ -2153,7 +2200,27 @@ object DeltaLite {
       case x => Some(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
         .toExternalString(x, "", dt))
     }
-    lazy val analyzedFull = parseColStatsFull(props)
+    // ROW-CHURN DISARM: appends fold into the standing stats, but the
+    // [[ChurnOps]] family changes/removes committed rows in ways
+    // sketches cannot track — once such a commit lands, the ANALYZE-
+    // derived NDV/nulls/histograms describe a table that no longer
+    // exists and the CBO must stop pricing from them (decline-only:
+    // serve NOTHING rather than something stale). Live min/max stay —
+    // they come from the scan's own live file entries and are always
+    // correct bounds. `spark.graft.stats.maxChurn` (default 0) tolerates
+    // that many row-removing commits before disarming; ANALYZE (or the
+    // auto-fold's analyzedVersion advance) re-arms.
+    val churnTolerance = spark.conf
+      .get("spark.graft.stats.maxChurn", "0").toLong
+    val churnDisarmed = churn > churnTolerance
+    if (churnDisarmed && wantColStats)
+      org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").info(
+        s"withLogStats: ANALYZE stats DISARMED for $path — " +
+          s"$churn row-removing commit(s) since the last ANALYZE " +
+          s"(tolerance $churnTolerance); serving live min/max only")
+    lazy val analyzedFull =
+      if (churnDisarmed) (0L, Map.empty[String, ColStatEntry])
+      else parseColStatsFull(props)
     lazy val analyzed = analyzedFull._2
     // PARTITION-LOCAL stats: when this scan's file group sits entirely
     // inside ONE partition (exactly what [[readFiles]] builds for
@@ -2168,7 +2235,7 @@ object DeltaLite {
     // group, so range pricing keeps partition-local bounds).
     lazy val partLocal: Map[String, ColStatEntry] = {
       val pvs = files.map(_.pv).distinct
-      if (pvs.size != 1 || pvs.head.isEmpty) Map.empty
+      if (churnDisarmed || pvs.size != 1 || pvs.head.isEmpty) Map.empty
       else parsePartStats(props).get(pvKey(pvs.head))
         .map(_._2).getOrElse(Map.empty)
     }
@@ -2228,7 +2295,8 @@ object DeltaLite {
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String],
-      props: Map[String, String] = Map.empty): DataFrame =
+      props: Map[String, String] = Map.empty,
+      churn: Long = 0L): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (files.forall(_.dv.isEmpty)) {
@@ -2241,7 +2309,7 @@ object DeltaLite {
         val physSchema = StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
         val base = withLogStats(spark, spark.read.schema(physSchema)
           .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files,
-          props)
+          props, churn)
         if (physical.isEmpty) base
         else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
       } else {
@@ -2258,7 +2326,7 @@ object DeltaLite {
           .map { case (pv, group) =>
             val base = withLogStats(spark, spark.read.schema(dataSchema)
               .parquet(group.map(f => r.resolve(f.path).toString): _*),
-              path, group, props)
+              path, group, props, churn)
               .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)
@@ -2266,7 +2334,7 @@ object DeltaLite {
       }
     } else
       readFilesWithPos(spark, path, schema, files, partitionBy, physical,
-        props)
+        props, churn)
         .select(schema.fieldNames.map(col).toSeq: _*)
 
   /** Partition columns as typed literals from the logged string values
@@ -2289,7 +2357,8 @@ object DeltaLite {
       schema: StructType, files: Seq[AddFile],
       partitionBy: Seq[String],
       physical: Map[String, String],
-      props: Map[String, String] = Map.empty): DataFrame = {
+      props: Map[String, String] = Map.empty,
+      churn: Long = 0L): DataFrame = {
     val r = root(path)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](),
@@ -2310,7 +2379,7 @@ object DeltaLite {
         else Some(attachPartitionCols(
           withLogStats(spark, spark.read.schema(dataSchema)
             .parquet(fs.map(f => r.resolve(f.path).toString): _*), path, fs,
-            props)
+            props, churn)
             .withColumn("path", substring(col("_metadata.file_path"), prefixLen, 100000))
             .withColumn("row_index", col("_metadata.row_index")),
           schema, partitionBy, pv)
@@ -2456,7 +2525,7 @@ object DeltaLite {
       limit.map(n => math.max(0L, latest - n + 1)).getOrElse(0L))
     val rows = (from to latest).reverse.map { v =>
       var op = ""; var ts = 0L; var adds = 0; var removes = 0; var rowsAdded = 0L
-      Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+      claimStore.readImmutable(logDir(path).resolve(s"$v.json"))
         .filter(_.nonEmpty).foreach { line =>
           parseLine(line) match {
             case JObject(fields) => fields.foreach {
@@ -2534,7 +2603,7 @@ object DeltaLite {
     * (`maxFilesPerTrigger` / `maxRowsPerTrigger` / `maxBytesPerTrigger`)
     * walks these to size a micro-batch without touching any data file. */
   def versionAddStats(path: String, v: Long): (Long, Long, Long) = {
-    val lines = Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+    val lines = claimStore.readImmutable(logDir(path).resolve(s"$v.json"))
     var files = 0L
     var rows = 0L
     var bytes = 0L
@@ -3414,17 +3483,22 @@ object DeltaLite {
     // at v9" is the signal to re-ANALYZE after a churn of deletes
     val analyzedV: Option[Long] =
       props_analyzedVersion(snap.properties)
-    // ROW-CHURN staleness: appends fold into the stats, but these ops
+    // ROW-CHURN staleness: appends fold into the stats, but [[ChurnOps]]
     // change or remove committed rows in ways sketches cannot track
-    // (they can't subtract) — count the ones the standing stats have
-    // never seen, so "stats_churn_commits_since_analyze: 3" is the
-    // legible re-ANALYZE signal. O(log) metadata via history; a
-    // cleanupLogs-pruned history yields a lower bound.
-    val churnOps = Set("DELETE", "DELETE_DV", "DELETE_INSERT", "MERGE",
-      "REPLACE_WHERE", "UPDATE", "RESTORE")
-    val churn: Option[Long] = analyzedV.map { av =>
-      history(spark, path).collect()
-        .count(r => r.getLong(0) > av && churnOps(r.getString(1))).toLong
+    // (they can't subtract) — the count here is the SAME replay-tracked
+    // figure the serve path disarms on, so what this renders is exactly
+    // what estimation will (not) see. A cold checkpoint replay yields a
+    // lower bound (commitInfo before the checkpoint is not replayed).
+    val churn: Option[Long] =
+      analyzedV.map(_ => snap.churnVersions.length.toLong)
+    val churnTolerance = spark.conf
+      .get("spark.graft.stats.maxChurn", "0").toLong
+    val serving = churn.map { n =>
+      if (n > churnTolerance)
+        s"DISARMED — $n row-removing commit(s) since ANALYZE " +
+          s"(tolerance $churnTolerance); serving live min/max only — " +
+          "re-ANALYZE to re-arm"
+      else "armed"
     }
     val tableRows = Seq(
       ("table", "size_bytes", live.map(_.bytes).sum.toString),
@@ -3435,7 +3509,8 @@ object DeltaLite {
        else Seq(("table", "analyzed_non_null_rows", aRows.toString)) ++
          analyzedV.map(v => ("table", "analyzed_version", v.toString)) ++
          churn.map(n =>
-           ("table", "stats_churn_commits_since_analyze", n.toString)))
+           ("table", "stats_churn_commits_since_analyze", n.toString)) ++
+         serving.map(s => ("table", "stats_serving", s)))
     def ext(v: Any, dt: DataType): Option[String] = v match {
       case null => None
       case _: org.apache.spark.unsafe.types.UTF8String => None
@@ -3674,15 +3749,29 @@ object DeltaLite {
       "gz:" + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
 
+  /** Commit operations that change or remove committed rows in ways the
+    * standing ANALYZE stats cannot track (sketches can't subtract) —
+    * appends FOLD (analyzeAppend), the OPTIMIZE/CLUSTER/REORG family is
+    * row-preserving; everything here leaves NDV/nulls/histograms
+    * describing rows that no longer exist. */
+  private[graft] val ChurnOps: Set[String] = Set("DELETE", "DELETE_DV",
+    "DELETE_INSERT", "MERGE", "REPLACE_WHERE", "UPDATE", "RESTORE")
+
   /** The version the standing stats were computed at (fold commits
-    * rewrite it to the fold's base version). */
+    * rewrite it to the fold's base version). Memoized by the property
+    * string — this runs on every log replay, and the payload can be a
+    * ~100 KB gzipped JSON. */
+  private val analyzedVCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
   private def props_analyzedVersion(props: Map[String, String]): Option[Long] =
     props.get(ColStatsKey).flatMap { json =>
-      try JsonMethods.parse(decodeStatsJson(json)) \ "analyzedVersion" match {
-        case JInt(x) => Some(x.toLong)
-        case JLong(x) => Some(x)
-        case _ => None
-      } catch { case _: Throwable => None }
+      memo(analyzedVCache, json) {
+        try JsonMethods.parse(decodeStatsJson(json)) \ "analyzedVersion" match {
+          case JInt(x) => Some(x.toLong)
+          case JLong(x) => Some(x)
+          case _ => None
+        } catch { case _: Throwable => None }
+      }
     }
 
   private def decodeStatsJson(v: String): String =
@@ -4668,7 +4757,7 @@ object DeltaLite {
 
   /** The op string recorded in version `v`'s commit header. */
   private def commitOp(path: String, v: Long): Option[String] = {
-    val lines = Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+    val lines = claimStore.readImmutable(logDir(path).resolve(s"$v.json"))
     lines.headOption.flatMap(l => parseLine(l) match {
       case JObject(fields) => fields.collectFirst {
         case ("commit", JObject(c)) =>
@@ -4951,7 +5040,7 @@ object DeltaLite {
       case Some(last) =>
         val addedSince = scala.collection.mutable.Set[String]()
         ((last + 1) to snap.version).foreach { v =>
-          Files.readAllLines(logDir(path).resolve(s"$v.json")).asScala
+          claimStore.readImmutable(logDir(path).resolve(s"$v.json"))
             .filter(_.nonEmpty).foreach { line =>
               parseLine(line) match {
                 case JObject(fields) => fields.foreach {
@@ -5080,21 +5169,11 @@ object DeltaLite {
 
   /** Earliest commit file still present in the log (0 for its whole
     * life unless [[cleanupLogs]] has pruned history). */
-  def earliestVersion(path: String): Option[Long] = {
-    val ld = logDir(path)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val stream = Files.list(ld)
-      try {
-        val vs = stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.matches("""\d+\.json"""))
-          .map(_.stripSuffix(".json").toLong)
-          .toSeq
-        vs.minOption
-      } finally stream.close()
-    }
-  }
+  def earliestVersion(path: String): Option[Long] =
+    claimStore.listLog(logDir(path))
+      .filter(_.matches("""\d+\.json"""))
+      .map(_.stripSuffix(".json").toLong)
+      .minOption
 
   /** Delete EXPIRED COMMIT LOG files (Delta's `logRetentionDuration`
     * cleanup, version-addressed like [[vacuum]]): at 100-TB scale the

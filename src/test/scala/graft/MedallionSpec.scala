@@ -695,6 +695,70 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       "the evolved column has no stats until ANALYZE")
   }
 
+  test("row churn DISARMS the CBO stats serve path; ANALYZE re-arms; appends never trip it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_churn")
+      .toString + "/t"
+    // 1000 rows, bucket 0..9 (100 each)
+    DeltaLite.create(spark, path,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("id", "bucket"))
+    DeltaLite.analyzeTable(spark, path)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      def bucketStats() = DeltaLite.read(ss, path)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .collectFirst { case (a, cs) if a.name == "bucket" => cs }.get
+      def filterEst() = DeltaLite.read(ss, path)
+        .filter(col("bucket") === 3L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      // armed: equality prices bucket = 3 at rows/ndv ≈ 100
+      val armed = filterEst()
+      assert(armed >= 80 && armed <= 120, s"armed estimate ~100: $armed")
+      // an APPEND is no churn: stats stay armed (they fold/stay valid)
+      DeltaLite.append(ss, path,
+        (1000L until 1100L).map(i => (i, i % 10)).toDF("id", "bucket"))
+      assert(bucketStats().distinctCount.isDefined,
+        "appends must not disarm the standing stats")
+      // DELETE half the value range: sketches can't subtract, so the
+      // standing NDV(bucket)=10 would price bucket=3 at 550/10 = 55
+      // while the true answer is 110 — the serve path must DISARM
+      // (serve nothing) rather than mis-price from pre-delete stats
+      DeltaLite.delete(ss, path, col("bucket") >= 5L)
+      val disarmed = bucketStats()
+      assert(disarmed.distinctCount.isEmpty && disarmed.nullCount.isEmpty,
+        s"churn must disarm ANALYZE-derived NDV/nulls: $disarmed")
+      assert(disarmed.min.contains(0L) && disarmed.max.contains(4L),
+        s"live min/max stay (file-entry truth, always valid): $disarmed")
+      val afterDelete = filterEst()
+      assert(afterDelete < 40 || afterDelete > 70,
+        s"the stale 10-NDV pricing (~55) must be gone, got $afterDelete")
+      // EXPLAIN COST renders the SAME serving decision
+      val cost = DeltaLite.explainCost(ss, path)
+        .map { case (e, s, v) => (e, s) -> v }.toMap
+      assert(cost(("table", "stats_serving")).startsWith("DISARMED"),
+        s"explain cost must render the disarm: $cost")
+      assert(cost(("table", "stats_churn_commits_since_analyze")) === "1")
+      // tolerance knob: a churn budget re-serves the (estimate-grade)
+      // stats for workloads that prefer stale pricing over none
+      ss.conf.set("spark.graft.stats.maxChurn", "5")
+      try assert(bucketStats().distinctCount.isDefined,
+        "within tolerance the stats serve again")
+      finally ss.conf.unset("spark.graft.stats.maxChurn")
+      // re-ANALYZE re-arms with post-delete truth: ndv(bucket) = 5
+      DeltaLite.analyzeTable(ss, path)
+      val rearmed = bucketStats()
+      assert(rearmed.distinctCount.exists(n => n >= 4 && n <= 6),
+        s"re-ANALYZE must re-arm with ndv≈5: $rearmed")
+      val freshEst = filterEst()
+      assert(freshEst >= 88 && freshEst <= 132,
+        s"re-armed estimate ~110: $freshEst")
+      assert(DeltaLite.explainCost(ss, path).collectFirst {
+        case ("table", "stats_serving", v) => v }.contains("armed"))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("incremental stats: appends fold HLL sketches in O(batch); auto property maintains them") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_incstats")
