@@ -105,6 +105,36 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * reruns of the operator batch never re-execute the dimension. */
   private val PROBED = TreeNodeTag[Unit]("graft.dbp.probed")
 
+  /** Human-readable decision record for every Join the rule CONSIDERED
+    * (its fact side matched the literal-branch union shape): what was
+    * pruned/materialized and why, or why it declined — the
+    * inspectability parity the stats surface has via EXPLAIN COST.
+    * Keyed WEAKLY by the compile's QueryPlanningTracker (a plan tag
+    * would not survive later rules rebuilding the Join node via plain
+    * case-class copies), so records die with their QueryExecution and
+    * can never mix compiles. Purely informational: never consulted by
+    * the rewrite itself. Read with [[decisions]] or
+    * `EXPLAIN PRUNING <sql>`. */
+  private val decisionLog = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, List[(String, String)]]())
+
+  private def recordDecisions(joinCond: String, notes: Seq[String]): Unit =
+    org.apache.spark.sql.catalyst.QueryPlanningTracker.get.foreach { t =>
+      val prev = Option(decisionLog.get(t)).getOrElse(Nil)
+      decisionLog.put(t,
+        (prev ++ notes.map(n => (joinCond, n))).distinct)
+    }
+
+  /** The prune decisions recorded while `qe` optimized (forces the
+    * optimization if it hasn't run): (join condition, decision) pairs.
+    * Joins whose fact side never matched the union-of-literal-branches
+    * shape carry no record (the rule never considered them). */
+  def decisions(qe: org.apache.spark.sql.execution.QueryExecution)
+      : Seq[(String, String)] = {
+    qe.optimizedPlan // force the compile that writes the log
+    Option(decisionLog.get(qe.tracker)).getOrElse(Nil)
+  }
+
   /** Probe executions — exposed for tests to pin the once-per-join
     * contract. The thread-local twin isolates a test's delta from
     * concurrently-running suites (optimization runs on the calling
@@ -189,6 +219,15 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         // not-yet-folded literal slot) must stay retryable in later
         // fixed-point iterations, but the dimension never runs twice
         if (l.probed || r.probed) out.setTagValue(PROBED, ())
+        // decision record (informational): side-labeled notes from both
+        // prune attempts plus the materialization outcome
+        val notes = l.notes.map(n => s"left: $n") ++
+          r.notes.map(n => s"right: $n") ++
+          matRight.map(m => s"right: materialized dim from probe rows " +
+            s"(${m.data.size} rows, dim scan eliminated)") ++
+          matLeft.map(m => s"left: materialized dim from probe rows " +
+            s"(${m.data.size} rows, dim scan eliminated)")
+        if (notes.nonEmpty) recordDecisions(cond.sql, notes)
         out
     } match { case p => evalConstantInSubqueries(sess.get, p) }
   }
@@ -367,10 +406,13 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * @param dimRows  the dimension's full matching rows, when the probe
     *   captured them un-truncated (the caller may materialize the dim
     *   side from them — see [[probeFull]])
-    * @param probed   whether a probe EXECUTED (drives the once-only tag) */
+    * @param probed   whether a probe EXECUTED (drives the once-only tag)
+    * @param notes    decision record lines for the [[DECISION]] tag —
+    *   only emitted once the fact side matched the union shape (a
+    *   considered candidate), so ordinary joins stay record-free */
   private final case class Pruned(newFact: Option[LogicalPlan],
       dimRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]],
-      probed: Boolean)
+      probed: Boolean, notes: Seq[String] = Nil)
 
   /** Attempt to prune `fact` (a Union of literal-keyed branches) against
     * `dim` through the equality conjuncts of `cond`. */
@@ -393,27 +435,34 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     var cur = fact
     var changed = false
     var rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = None
+    val notes = Seq.newBuilder[String]
     pairs.foreach { case (factKey, dimKey) =>
       val res = pruneVia(spark, cur, dim, factKey, dimKey,
         wantRows && pairs.size == 1)
       probed ||= res.probed
       rows = rows.orElse(res.dimRows)
+      notes ++= res.notes
       res.newFact.foreach { nf => cur = nf; changed = true }
     }
-    Pruned(if (changed) Some(cur) else None, rows, probed)
+    Pruned(if (changed) Some(cur) else None, rows, probed, notes.result())
   }
 
   private def pruneVia(spark: SparkSession, fact: LogicalPlan,
       dim: LogicalPlan, factKey: AttributeReference,
       dimKey: Attribute, wantRows: Boolean = false): Pruned = {
     val decline = Pruned(None, None, probed = false)
+    def declined(reason: String) =
+      Pruned(None, None, probed = false,
+        notes = Seq(s"declined (key '${factKey.name}'): $reason"))
     val u = fact match {
       case u: Union => u
-      case _ => return decline
+      case _ => return decline // not a candidate shape — no record
     }
     val idx = u.output.indexWhere(_.exprId == factKey.exprId)
     if (idx < 0) return decline
-    if (!supportedKeyType(factKey.dataType)) return decline
+    if (!supportedKeyType(factKey.dataType))
+      return declined(s"key type ${factKey.dataType.simpleString} has no " +
+        "consistent set membership (float/binary keys decline)")
     // every non-empty branch must carry a literal in the key slot;
     // already-empty branches (prior static pruning) pass through
     sealed trait Slot
@@ -428,15 +477,16 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         }
       case _ => None
     }
-    if (slots.exists(_.isEmpty)) return decline
+    if (slots.exists(_.isEmpty)) return decline // may fold later — retryable, no record
     val live = slots.flatten.collect { case Lit(v) => v }
-    if (live.size < 2) return decline // nothing worth a probe
+    if (live.size < 2)
+      return declined("fewer than 2 live branches — nothing worth a probe")
     val domain = live.filter(_ != null).distinct
     val (partners, dimRows) =
       probeFull(spark, dim, dimKey, factKey.dataType, domain,
         wantRows) match {
-        case Some((keys, rows)) => (keys, rows)
-        case None => return decline
+        case scala.Right((keys, rows)) => (keys, rows)
+        case scala.Left(reason) => return declined(reason)
       }
     // a NULL branch literal never equals anything; a live literal
     // without a probe partner matches nothing
@@ -445,18 +495,21 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       case Lit(null) => false
       case Lit(v) => partners.contains(v)
     }
-    val anyPruned = slots.flatten.exists(s => !keep(s) && s != EmptyBranch)
-    if (!anyPruned) return Pruned(None, dimRows, probed = true)
+    val prunedN = slots.flatten.count(s => !keep(s) && s != EmptyBranch)
+    if (prunedN == 0)
+      return Pruned(None, dimRows, probed = true, notes = Seq(
+        s"no branches pruned (key '${factKey.name}': all ${domain.size} " +
+          "branch literals have dimension partners)"))
     val newChildren = u.children.zip(slots.flatten).map { case (c, s) =>
       if (keep(s)) c else LocalRelation(c.output, Nil)
     }
     // observability: a silent plan rewrite at warehouse scale must be
     // auditable from the driver log
-    logInfo("DynamicBranchPruning: pruned " +
-      slots.flatten.count(s => !keep(s) && s != EmptyBranch) +
-      s" of ${u.children.size} branches — key '${factKey.name}', " +
-      s"domain ${domain.size}, partners ${partners.size}")
-    Pruned(Some(u.copy(children = newChildren)), dimRows, probed = true)
+    val note = s"pruned $prunedN of ${u.children.size} branches — key " +
+      s"'${factKey.name}', domain ${domain.size}, partners ${partners.size}"
+    logInfo(s"DynamicBranchPruning: $note")
+    Pruned(Some(u.copy(children = newChildren)), dimRows, probed = true,
+      notes = Seq(note))
   }
 
   /** Shared probe: the dimension's distinct keys WITHIN `domain` — at
@@ -469,7 +522,8 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * autoBroadcastJoinThreshold — probe work is broadcast-build-class). */
   private def probeKeys(spark: SparkSession, dim: LogicalPlan,
       dimKey: Attribute, dt: DataType, domain: Seq[Any]): Option[Set[Any]] =
-    probeFull(spark, dim, dimKey, dt, domain, wantRows = false).map(_._1)
+    probeFull(spark, dim, dimKey, dt, domain, wantRows = false)
+      .toOption.map(_._1)
 
   /** Like [[probeKeys]], but with `wantRows = true` the probe collects
     * the dimension's FULL matching rows (`dim WHERE key IN domain`)
@@ -483,13 +537,18 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
   private def probeFull(spark: SparkSession, dim: LogicalPlan,
       dimKey: Attribute, dt: DataType, domain: Seq[Any],
       wantRows: Boolean):
-      Option[(Set[Any], Option[Seq[org.apache.spark.sql.catalyst.InternalRow]])] = {
-    if (domain.size > conf
-        .getConfString("spark.graft.dpp.maxBranches", "1024").toInt)
-      return None
-    if (dim.isStreaming) return None
+      Either[String,
+        (Set[Any], Option[Seq[org.apache.spark.sql.catalyst.InternalRow]])] = {
+    val maxBranches = conf
+      .getConfString("spark.graft.dpp.maxBranches", "1024").toInt
+    if (domain.size > maxBranches)
+      return scala.Left(s"domain ${domain.size} exceeds " +
+        s"spark.graft.dpp.maxBranches $maxBranches")
+    if (dim.isStreaming) return scala.Left("dimension side is streaming")
     if (dim.exists(p => p.expressions.exists(e =>
-        e.exists(!_.deterministic)))) return None
+        e.exists(!_.deterministic))))
+      return scala.Left("dimension side is nondeterministic — the runtime " +
+        "build could match keys the probe never saw")
     // ORDER-DEPENDENT operators make the dimension's row SET
     // run-dependent even when every expression is deterministic: an
     // unordered LIMIT/OFFSET/SAMPLE/TAIL can return different rows at
@@ -503,18 +562,22 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       case _: GlobalLimit | _: LocalLimit | _: Offset | _: Sample |
            _: Tail => true
       case _ => false
-    }) return None
+    }) return scala.Left("dimension side contains an order-dependent operator " +
+      "(LIMIT/OFFSET/SAMPLE/TAIL) — its row set can differ between probe " +
+      "and runtime build")
     val maxBytes = conf.getConfString("spark.graft.dpp.maxDimBytes",
       conf.autoBroadcastJoinThreshold.toString).toLong
     if (maxBytes >= 0 && dim.stats.sizeInBytes > BigInt(maxBytes))
-      return None
+      return scala.Left(s"dimension estimated ${dim.stats.sizeInBytes} bytes " +
+        s"exceeds spark.graft.dpp.maxDimBytes $maxBytes — probe work " +
+        "must stay broadcast-build-class")
     // rows only when the caller ASKED for them: an unconditional
     // Some(Nil) here would let apply() materialize a PRESERVED (non
     // prune-eligible) join side as an empty relation — e.g. a RIGHT
     // OUTER join probing its left side with wantRows=false — silently
     // dropping every preserved row
     if (domain.isEmpty)
-      return Some((Set.empty, if (wantRows) Some(Nil) else None))
+      return scala.Right((Set.empty, if (wantRows) Some(Nil) else None))
     val lits = domain.map(v => Literal(v, dt))
     val keyOrd = dim.output.indexWhere(_.exprId == dimKey.exprId)
     inProbe.set(true)
@@ -529,7 +592,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
         if (rows.length <= cap)
           // un-truncated: the rows ARE dim ⋉ domain, and their key
           // column is the complete partner set
-          return Some((rows.map(_.get(keyOrd, dt)).toSet,
+          return scala.Right((rows.map(_.get(keyOrd, dt)).toSet,
             Some(rows.toSeq)))
         // fall through: too many rows to materialize — complete the
         // key set with the cheap distinct probe below
@@ -537,7 +600,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       countProbe()
       val probe = Distinct(Project(Seq(dimKey),
         Filter(In(dimKey, lits), dim)))
-      Some((org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
+      scala.Right((org.apache.spark.sql.graft.PlanFrame.ofRows(spark, probe)
         .queryExecution.executedPlan.executeCollect()
         .map(_.get(0, dt)).toSet, None))
     } finally inProbe.set(false)

@@ -38,6 +38,8 @@ import graft.sources.DeltaLite
   *     REFERENCES '<path>' (key) RELY
   *   ALTER '<path>' DROP FOREIGN KEY (fk)
   *   ALTER '<path>' DROP CONSTRAINT name
+  *   EXPLAIN COST '<path>'
+  *   EXPLAIN PRUNING <query>
   *   DELETE FROM '<path>' WHERE <cond>
   *   UPDATE '<path>' SET a = e1[, b = e2 ...] WHERE <cond>
   *   INSERT INTO '<path>' <select>
@@ -361,6 +363,28 @@ object MaintenanceSql {
       }
   }
 
+  /** `EXPLAIN PRUNING <query>` — the join-driven partition-pruning
+    * decisions ([[DynamicBranchPruning]]) for a query, one row per
+    * decision: which branches each probed join pruned (key, domain,
+    * partner count), whether the probe's rows materialized the
+    * dimension side, or WHY the probe declined — the same
+    * inspectability EXPLAIN COST gives the stats surface. Compiles the
+    * query (the probe is plan-time work by design) but never executes
+    * it. */
+  final case class ExplainPruningCommand(sql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("join", StringType, nullable = false)(),
+      AttributeReference("decision", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val ds = DynamicBranchPruning.decisions(spark.sql(sql).queryExecution)
+      if (ds.isEmpty)
+        Seq(Row("(none)", "no join was a pruning candidate (no " +
+          "literal-branch union fact side found)"))
+      else ds.map { case (j, d) => Row(j, d) }
+    }
+  }
+
   /** `COPY INTO '<table>' FROM '<dir>'` — idempotent landing-zone load;
     * reports the files loaded THIS run (0 = everything already loaded),
     * the Databricks COPY INTO result shape. */
@@ -537,6 +561,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val ExplainCostRe =
     """(?is)\s*EXPLAIN\s+COST\s+'([^']+)'\s*;?\s*""".r
+  private val ExplainPruningRe =
+    """(?is)\s*EXPLAIN\s+PRUNING\s+(.+?)\s*;?\s*""".r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?""" +
@@ -595,6 +621,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ExplainCostRe(p) => ExplainCostCommand(p)
+    case ExplainPruningRe(sql) => ExplainPruningCommand(sql)
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)
     // the default variants must match BEFORE DROP COLUMN: `ALTER COLUMN c

@@ -1761,6 +1761,11 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     val p = plan("s59_dpp_join")
     assert(count(p, "Scan parquet graft_s59") === 5,
       s"the one-region nation dim must prune 20 of 25 fact branches:\n$p")
+    // ... and the decision record renders on the query's own plan
+    val df = graft.SparkEntry.queries("s59_dpp_join")(spark, sf)
+    val ds = graft.plans.DynamicBranchPruning.decisions(df.queryExecution)
+    assert(ds.exists(_._2.contains("pruned 20 of 25 branches")),
+      s"s59's prune decision must be inspectable: $ds")
   }
 
   test("dynamic branch pruning: all-NULL branch literals prune the eligible side but never materialize the preserved side") {
@@ -1835,6 +1840,72 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     spark.sql(sql).queryExecution.optimizedPlan
     assert(graft.plans.DynamicBranchPruning.probeCountLocal.get().longValue() - after1 === 1L,
       "the memo must not serve a different compile")
+  }
+
+  test("EXPLAIN PRUNING renders the branch-prune decisions, including declines with reasons") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_explain")
+    val dim = spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"),
+        col("id").as("w"))
+    // probed + pruned + materialized: the decision record rides the
+    // optimized plan as a tag
+    val q = D.read(spark, fact).join(dim, col("part") === col("key"))
+    val ds = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
+    assert(ds.exists(_._2.contains("pruned 2 of 4 branches")),
+      s"the prune outcome must be recorded: $ds")
+    assert(ds.exists(d => d._2.contains("domain 4") &&
+      d._2.contains("partners 2")), s"domain/partner census: $ds")
+    assert(ds.exists(_._2.contains("materialized dim from probe rows")),
+      s"the materialization outcome must be recorded: $ds")
+    // DECLINED case carries its reason (kill the size bound)
+    spark.conf.set("spark.graft.dpp.maxDimBytes", "0")
+    try {
+      val qd = D.read(spark, fact).join(dim, col("part") === col("key"))
+      val dd = graft.plans.DynamicBranchPruning.decisions(qd.queryExecution)
+      assert(dd.exists(d => d._2.contains("declined (key 'part')") &&
+        d._2.contains("maxDimBytes")),
+        s"the decline and its reason must be recorded: $dd")
+    } finally spark.conf.unset("spark.graft.dpp.maxDimBytes")
+    // the SQL surface: EXPLAIN PRUNING <query> — compiles, never runs
+    D.read(spark, fact).createOrReplaceTempView("dbp_explain_fact")
+    dim.createOrReplaceTempView("dbp_explain_dim")
+    val rows = spark.sql(
+      """EXPLAIN PRUNING SELECT part, sum(v) AS s
+         FROM dbp_explain_fact f JOIN dbp_explain_dim d ON f.part = d.key
+         GROUP BY part""").collect()
+    assert(rows.exists(_.getString(1).contains("pruned 2 of 4 branches")),
+      s"EXPLAIN PRUNING must render the decision: ${rows.toSeq}")
+    // a query with no candidate shape says so instead of rendering
+    // nothing
+    val none = spark.sql(
+      "EXPLAIN PRUNING SELECT 1 AS a").collect()
+    assert(none.exists(_.getString(1).contains("no join was a pruning " +
+      "candidate")))
+  }
+
+  test("dynamic branch pruning scope pin: a graft-delta FORMAT read declines (opaque relation, no branch shape)") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    val fact = dbpFact("dbp_format")
+    val dim = spark.range(2L)
+      .select(concat(lit("p"), col("id").cast("string")).as("key"))
+    // the registered-format read is a single PrunedFilteredScan
+    // relation: static partition filters push down into it, but it has
+    // no per-branch literal shape for a JOIN to prune — documented in
+    // README; this pin is the contract that the rule DECLINES (results
+    // stay correct) rather than mis-fires on the opaque relation
+    val q = spark.read.format("graft-delta").load(fact)
+      .join(dim, col("part") === col("key"))
+    val ds = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
+    assert(!ds.exists(_._2.contains("pruned")),
+      s"format reads must not be branch-pruned: $ds")
+    assert(q.count() === 2000L, "results correct; join filters at runtime")
+    // same query through DeltaLite.read DOES prune — the documented way
+    // to get join-driven pruning
+    val q2 = D.read(spark, fact).join(dim, col("part") === col("key"))
+    assert(factScans(q2) === 2)
   }
 
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
