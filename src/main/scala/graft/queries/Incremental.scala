@@ -1061,41 +1061,65 @@ object Incremental {
     // LEVEL; Holt adds a coupled TREND so the forecast extrapolates
     // instead of lagging a drifting series. The coupled recursion
     // (level_t needs trend_{t-1} and vice versa) has NO closed form, so
-    // it cannot be a window expression — it runs as a RECURSIVE CTE over
-    // the bounded daily frame, identically worded on both engines (the
-    // o8 surface doing real numeric work). Each step is a fixed IEEE
-    // expression over the previous row, evaluated in the SAME order on
-    // both engines → bit-identical trajectories; 6dp display rounding
-    // only. Scale: the corpus collapses to ~30 daily rows in one keyed
-    // agg FIRST; the recursion is O(days), never O(events) — at 100 TB
-    // per-series Holt over many keys becomes the same recursion keyed
-    // by series (the CTE join carries the key), each series bounded.
+    // it cannot be a window expression. SPLIT BY NATURE OF THE WORK:
+    // the DISTRIBUTED part collapses the corpus to the bounded daily
+    // frame in one keyed agg (O(events), scales out); the SEQUENTIAL
+    // part — the recursion itself, which NO engine can parallelize —
+    // runs as a driver loop over the COLLECTED bounded frame (O(days):
+    // ~30 here, thousands over years; bounded by the observation span,
+    // never by data volume). The earlier recursive-CTE spelling was
+    // semantically identical but paid ~30 sequential Spark-job
+    // schedulings (~40 s of pure scheduler latency — the whole suite's
+    // makespan pole); o8_recursive_cte keeps the genuine recursive-CTE
+    // surface. Each step is the same fixed IEEE double expression the
+    // oracle's CTE evaluates, in the same order → bit-identical
+    // trajectories; display rounding stays in Spark SQL (same codepath
+    // both sides). At 100 TB per-series Holt over many keys becomes a
+    // per-key sequential fold inside the executors (each series
+    // bounded); the single-series query is driver-bounded work.
     QueryDef("t19_holt_linear", (s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql(
-        """WITH RECURSIVE daily AS (
-             SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
-                    CAST(count(*) AS DOUBLE) AS x,
-                    CAST(row_number() OVER
-                      (ORDER BY CAST(date_trunc('second', ts) AS DATE))
-                      AS BIGINT) AS k
-             FROM events GROUP BY 1),
-           holt AS (
-             SELECT a.day, a.x, a.k,
-                    a.x AS level, b.x - a.x AS trend
-             FROM daily a JOIN daily b ON a.k = 1 AND b.k = 2
-             UNION ALL
-             SELECT d.day, d.x, d.k,
-                    0.5D * d.x + 0.5D * (h.level + h.trend) AS level,
-                    0.3D * ((0.5D * d.x + 0.5D * (h.level + h.trend))
-                      - h.level) + 0.7D * h.trend AS trend
-             FROM holt h JOIN daily d ON d.k = h.k + 1)
-           SELECT day, CAST(x AS BIGINT) AS observed,
-                  round(level * 1000000) / 1000000 AS level,
-                  round(trend * 1000000) / 1000000 AS trend,
-                  round((level + 3 * trend) * 1000000) / 1000000
-                    AS forecast_3d
-           FROM holt ORDER BY day ASC NULLS LAST""")
+      val daily = s.sql(
+        """SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1 ORDER BY 1""").collect()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      // base case mirrors the CTE's `a.k = 1 AND b.k = 2` join: fewer
+      // than 2 days → empty result, exactly like the SQL
+      if (daily.length >= 2) {
+        var level = daily(0).getDouble(1)
+        var trend = daily(1).getDouble(1) - level
+        out += org.apache.spark.sql.Row(
+          daily(0).getDate(0), daily(0).getDouble(1), level, trend)
+        var i = 1
+        while (i < daily.length) {
+          val x = daily(i).getDouble(1)
+          val nl = 0.5 * x + 0.5 * (level + trend)
+          val nt = 0.3 * (nl - level) + 0.7 * trend
+          level = nl; trend = nt
+          out += org.apache.spark.sql.Row(daily(i).getDate(0), x, level, trend)
+          i += 1
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("level_raw",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("trend_raw",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.BufferHasAsJava(out).asJava), schema)
+        .select(col("day"),
+          expr("CAST(x AS BIGINT)").as("observed"),
+          expr("round(level_raw * 1000000) / 1000000").as("level"),
+          expr("round(trend_raw * 1000000) / 1000000").as("trend"),
+          expr("round((level_raw + 3 * trend_raw) * 1000000) / 1000000")
+            .as("forecast_3d"))
+        .orderBy(col("day").asc_nulls_last)
     }, Some(
       """WITH RECURSIVE daily AS (
            SELECT CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
@@ -1502,15 +1526,19 @@ object Incremental {
     // exact BIGINTs (n via a reverse running sum over the BOUNDED
     // lifetime frame — days of observation span, never users), the
     // hazard is d·1e6 div n, and the survival product S(t) = Π(1-d/n)
-    // runs as a ppm-scaled integer recursion (s·(n-d) div n) through a
-    // RECURSIVE CTE — the t19 move — so both engines walk the identical
-    // truncating-integer sequence and the oracle is hash-exact with no
-    // float product anywhere. Corpus collapses in one (user,day) agg;
-    // recursion depth = distinct lifetimes ≤ observation days.
+    // is a ppm-scaled truncating-integer recursion (s·(n-d) div n).
+    // The t19 split applies: the DISTRIBUTED part collapses the corpus
+    // (one (user,day) agg + the lifetime census); the SEQUENTIAL
+    // product runs as a driver loop over the COLLECTED risk frame
+    // (O(distinct lifetimes) ≤ observation days — the recursive-CTE
+    // spelling paid one Spark-job scheduling per lifetime, ~25 s of
+    // pure latency). Scala's Long division truncates like both
+    // engines' integer div on these all-positive operands, so the
+    // oracle stays hash-exact with no float product anywhere.
     QueryDef("t25_kaplan_meier", (s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql(
-        """WITH RECURSIVE ud AS (
+      val risk = s.sql(
+        """WITH ud AS (
              SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS day
              FROM events GROUP BY 1, 2),
            lives AS (
@@ -1525,26 +1553,31 @@ object Incremental {
            grp AS (
              SELECT lt, CAST(count(*) AS BIGINT) AS n_users,
                     CAST(sum(churned) AS BIGINT) AS d
-             FROM cohort GROUP BY 1),
-           risk AS (
-             SELECT lt, d,
-                    CAST(sum(n_users) OVER (ORDER BY lt DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS BIGINT) AS n,
-                    CAST(row_number() OVER (ORDER BY lt ASC) AS BIGINT) AS k
-             FROM grp),
-           km AS (
-             SELECT lt, d, n, k, ((n - d) * 1000000) div n AS s_ppm
-             FROM risk WHERE k = 1
-             UNION ALL
-             SELECT r.lt, r.d, r.n, r.k, (km.s_ppm * (r.n - r.d)) div r.n
-             FROM km JOIN risk r ON r.k = km.k + 1)
-           SELECT CAST(lt AS BIGINT) AS lifetime_days,
-                  CAST(d AS BIGINT) AS n_churned,
-                  CAST(n AS BIGINT) AS n_at_risk,
-                  CAST((d * 1000000) div n AS BIGINT) AS hazard_ppm,
-                  CAST(s_ppm AS BIGINT) AS survival_ppm
-           FROM km ORDER BY lifetime_days ASC NULLS LAST""")
+             FROM cohort GROUP BY 1)
+           SELECT lt, d,
+                  CAST(sum(n_users) OVER (ORDER BY lt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n
+           FROM grp ORDER BY lt ASC""").collect()
+      var sPpm = 0L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var i = 0
+      while (i < risk.length) {
+        val lt = risk(i).getLong(0); val d = risk(i).getLong(1)
+        val n = risk(i).getLong(2)
+        sPpm = if (i == 0) ((n - d) * 1000000L) / n
+          else (sPpm * (n - d)) / n
+        out += org.apache.spark.sql.Row(lt, d, n, (d * 1000000L) / n, sPpm)
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        "lifetime_days", "n_churned", "n_at_risk", "hazard_ppm",
+        "survival_ppm").map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.BufferHasAsJava(out).asJava), schema)
+        .orderBy(col("lifetime_days").asc_nulls_last)
     }, Some(
       """WITH RECURSIVE ud AS (
            SELECT user_id,
