@@ -320,14 +320,21 @@ object Bench {
       // reference-speed units: ordering is scale-invariant anyway, and
       // thresholds stay meaningful across host modes. Per-query
       // regressions still surface — they move against the median.
+      // CALIBRATION SIGNAL, recorded in the artifact itself: the median
+      // per-query inflation vs the prior EMA (and the sample count it
+      // rests on) — so a cross-round reader can tell "host ran 2.6×
+      // slow" from "code got slower" without forensics. 1.0 when there
+      // is no prior or too few common samples.
+      val ratios = entries.collect { case (k, v, true)
+        if priorSec.get(k).exists(_ > 0.3) && v > 0.3 =>
+        v / priorSec(k) }.sorted
+      val speed = if (ratios.size < 20) 1.0
+        else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
+      val calib =
+        f""","host_speed":$speed%.3f,"host_speed_samples":${ratios.size}"""
       val ema =
         if (!withJobs) ""
         else {
-          val ratios = entries.collect { case (k, v, true)
-            if priorSec.get(k).exists(_ > 0.3) && v > 0.3 =>
-            v / priorSec(k) }.sorted
-          val speed = if (ratios.size < 20) 1.0
-            else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
           entries.collect { case (k, v, true) =>
             val norm = v / speed
             val folded = priorSec.get(k).map(p => 0.5 * p + 0.5 * norm)
@@ -335,7 +342,7 @@ object Bench {
             "\"" + k + "\":" + f"$folded%.3f"
           }.mkString(""","ema":{""", ",", "}")
         }
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$jobs$ema,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$jobs$ema$calib,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","cpus":$cpus}"""
     }
     // Full per-query detail goes to the file; the PRINTED line carries a
     // headline subset because the bench driver keeps only the final 2000

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EMPIRICAL scale curve — the measured counterpart to the per-operator
+  * 100 TB scale ARGUMENTS (PlanSpec pins shapes; this measures the
+  * growth SLOPE). A deterministic ~4× fixture is synthesized from
+  * sf0.01 by replicating every fact table with RE-KEYED ids (each copy
+  * joins within itself, so join cardinalities — and therefore work —
+  * grow linearly; naive replication without re-keying would square
+  * them), and the ten heaviest operators run at both scales:
+  * wall-clock must grow ≲ ~1.5× the data ratio and the driver heap must
+  * stay flat. This is the cheapest way to catch a hidden driver-side
+  * O(rows) bottleneck (an accidental collect, a per-row driver loop)
+  * that no plan-shape pin can see.
+  *
+  * Methodology notes:
+  *  - 1× is the SAME synthesized layout (re-keyed copy 0, proportional
+  *    file counts), never the raw fixture — both scales pay identical
+  *    per-file constants, so the ratio isolates the data slope;
+  *  - each operator measures 1× and 4× BACK-TO-BACK so host-load drift
+  *    (this box's documented slow modes are uniform) hits both sides of
+  *    the ratio alike; the assertion is on the SUM across operators
+  *    (per-op ratios at seconds-scale are scheduler-noise-bound);
+  *  - one retry: a transient load spike fails the first pass, a real
+  *    superlinear operator fails both. */
+class ScaleCurveSpec extends AnyFunSuite with TestSpark {
+
+  // sf0.1: at sf0.01 the per-op fixed costs (commit lifecycles, job
+  // setup) drown the data term and the measured slope degenerates to
+  // ~1.0 regardless of complexity — sf0.1 is the smallest base where
+  // 4x data visibly moves the needle
+  private val base = "/root/testdata/sf0.1"
+  private val Copies = 4
+
+  /** (table, column) → key domain; columns in one domain share an
+    * offset so referential integrity holds within each copy. Dims
+    * (region/nation and the *_nationkey refs) are NOT replicated — a
+    * 4× fact world shares its dimensions, like a real lake. */
+  private val domainOf: Map[String, Seq[(String, String)]] = Map(
+    "lineitem" -> Seq(("l_orderkey", "orderkey"), ("l_partkey", "partkey"),
+      ("l_suppkey", "suppkey")),
+    "orders" -> Seq(("o_orderkey", "orderkey"), ("o_custkey", "custkey")),
+    "customer" -> Seq(("c_custkey", "custkey")),
+    "supplier" -> Seq(("s_suppkey", "suppkey")),
+    "part" -> Seq(("p_partkey", "partkey")),
+    "events" -> Seq(("event_id", "eventid"), ("user_id", "userid")),
+    "documents" -> Seq(("doc_id", "docid")),
+    "embeddings" -> Seq(("vec_id", "vecid")))
+
+  private lazy val (dir1x, dir4x): (String, String) = {
+    val out1 = TempDirs.fresh("curve_1x")
+    val out4 = TempDirs.fresh("curve_4x")
+    // one offset per key DOMAIN: max over every column in the domain +1
+    val offsets: Map[String, Long] = domainOf.toSeq
+      .flatMap { case (t, cols) =>
+        val df = spark.read.parquet(s"$base/$t.parquet")
+        val mx = df.agg(cols.map { case (c, _) => max(col(c)) }.head,
+          cols.map { case (c, _) => max(col(c)) }.tail: _*).head()
+        cols.zipWithIndex.map { case ((_, d), i) => d -> mx.getLong(i) }
+      }.groupBy(_._1).map { case (d, xs) => d -> (xs.map(_._2).max + 1L) }
+    def writeScaled(t: String, copies: Int, out: String): Unit = {
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      val keyed = (0 until copies).map { i =>
+        domainOf(t).foldLeft(df) { case (d, (c, dom)) =>
+          d.withColumn(c, col(c) + lit(i * offsets(dom)))
+        }
+      }.reduce(_ unionAll _)
+      // proportional file counts: per-file constants scale WITH the
+      // data, as a real 4× table's layout would
+      keyed.repartition(2 * copies).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    Seq("region", "nation").foreach { t =>
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out1/$t.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out4/$t.parquet")
+    }
+    domainOf.keys.foreach { t =>
+      writeScaled(t, 1, out1)
+      writeScaled(t, Copies, out4)
+    }
+    (out1, out4)
+  }
+
+  private val Ops = Seq(
+    "l2_minhash_lsh", "l2_dedup_groups", "l3_ann_index", "l4_tfidf",
+    "l7_pipeline", "s8_merge_upsert", "s9_scd2_snapshot",
+    "s25_incremental_mv", "s26_mv_minmax", "s33_join_mv")
+
+  private def runOp(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    // noop sink: full execution, zero driver-side result materialization
+    SparkEntry.queries(name)(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def usedHeapMb(): Long = {
+    System.gc(); Thread.sleep(200); System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  test("4x data costs ~4x wall on the ten heaviest operators; driver heap stays flat") {
+    // force fixture synthesis outside the timed region
+    val (d1, d4) = (dir1x, dir4x)
+    val ratio = spark.read.parquet(s"$d4/lineitem.parquet").count().toDouble /
+      spark.read.parquet(s"$d1/lineitem.parquet").count().toDouble
+    assert(ratio > 3.9 && ratio < 4.1, s"fixture ratio must be ~4x: $ratio")
+    val heap0 = usedHeapMb()
+    // WARM-UP pass (untimed): codegen compilation, JIT, first-scan
+    // footprint — without it the 1x pass absorbs every fixed cost and
+    // the measured slope degenerates below 1 (observed 0.66x on the
+    // first un-warmed run), hiding any real superlinearity
+    Ops.foreach(runOp(_, d1))
+    def pass(): (Double, Double, Seq[(String, Double, Double)]) = {
+      val per = Ops.map { op =>
+        val w1 = runOp(op, d1)
+        val w4 = runOp(op, d4)
+        info(f"$op%-20s 1x ${w1}%6.2fs  4x ${w4}%6.2fs  slope ${w4 / w1}%4.2fx")
+        (op, w1, w4)
+      }
+      (per.map(_._2).sum, per.map(_._3).sum, per)
+    }
+    // bound: wall grows at most ~1.5x the data ratio, plus a fixed
+    // allowance for per-run constants (commit lifecycles, job setup)
+    def ok(s1: Double, s4: Double): Boolean = s4 <= s1 * ratio * 1.5 + 5.0
+    val (s1, s4, _) = pass()
+    val (f1, f4) =
+      if (ok(s1, s4)) (s1, s4)
+      else { // one retry: transient host-load spikes fail a single pass
+        info(f"retrying: first pass sum 1x $s1%.1fs -> 4x $s4%.1fs")
+        val (r1, r4, _) = pass(); (r1, r4)
+      }
+    info(f"scale curve: sum 1x $f1%.1fs -> 4x $f4%.1fs " +
+      f"(slope ${f4 / f1}%.2fx over ${ratio}%.1fx data)")
+    assert(ok(f1, f4),
+      f"wall must scale ~linearly: 1x $f1%.1fs -> 4x $f4%.1fs " +
+        f"(${f4 / f1}%.2fx over ${ratio}%.1fx data)")
+    // driver heap flat: a gross O(rows) driver materialization of the
+    // 4x batch would show up here; estimates and codebooks are bounded
+    val heapGrowth = usedHeapMb() - heap0
+    assert(heapGrowth < 1536,
+      s"driver heap must stay flat across the scale-up, grew ${heapGrowth} MB")
+  }
+}
