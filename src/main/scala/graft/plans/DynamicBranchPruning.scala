@@ -344,7 +344,9 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
       }.toMap
     if (partners.isEmpty) return plan
     // pass 3: resolve every matched conjunct
-    plan.transformUp {
+    var droppedTotal = 0
+    var emptiedTotal = 0
+    val rewritten = plan.transformUp {
       case f @ Filter(cond, child) =>
         val conj = splitConjunctivePredicates(cond)
         var emptied = false
@@ -374,10 +376,20 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
           logInfo(s"DynamicBranchPruning: constant IN-subquery conjuncts " +
             s"resolved — ${conj.length - kept.length} dropped as TRUE" +
             (if (emptied) ", branch emptied" else ""))
+        if (emptied) emptiedTotal += 1
+        droppedTotal += conj.length - kept.length
         if (emptied) LocalRelation(f.output, Nil)
         else if (kept.length == conj.length) f
         else kept.reduceOption(And).map(Filter(_, child)).getOrElse(child)
     }
+    // the Filter-shape decision record (the Join shape records inside
+    // apply): one summary per compile pass, same EXPLAIN PRUNING surface
+    if (droppedTotal > 0 || emptiedTotal > 0)
+      recordDecisions("<literal> IN (subquery)", Seq(
+        s"constant IN-subquery resolution: $droppedTotal conjunct(s) " +
+          s"provably TRUE dropped, $emptiedTotal branch(es) emptied " +
+          s"(${groups.size} pooled probe group(s))"))
+    rewritten
   }
 
   /** Spark's DPP side-eligibility (pruning removes only rows that match

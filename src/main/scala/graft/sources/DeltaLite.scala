@@ -701,6 +701,14 @@ object DeltaLite {
     // forward-compat gate: a log requiring reader features we don't
     // implement must refuse resolution, not silently misread
     checkReaderFeatures(path, properties)
+    // checkpoint-persisted churn (see writeCheckpoint): merge it into
+    // the replay-tracked buffer and STRIP the carrier key — it must
+    // never surface in table properties or ride into a commit
+    properties.get(PendingChurnKey).foreach { v =>
+      v.split(',').iterator.filter(_.nonEmpty)
+        .foreach(x => scala.util.Try(x.toLong).foreach(churnBuf += _))
+      properties = properties - PendingChurnKey
+    }
     val churn = props_analyzedVersion(properties) match {
       case Some(av) => churnBuf.distinct.filter(_ > av).sorted.toSeq
       case None => Nil // no standing stats — nothing to disarm
@@ -1371,7 +1379,18 @@ object DeltaLite {
     * the driver only collects the already-typed rows it must hold to
     * resolve a snapshot. */
   private def writeCheckpoint(path: String, version: Long): Unit = {
-    val snap = snapshot(path, Some(version))
+    val snap0 = snapshot(path, Some(version))
+    // persist un-ANALYZEd row churn INTO the checkpoint (as a property
+    // in the checkpoint's own metaData, never in any commit): a cold
+    // replay starts from here and would otherwise never see the
+    // pre-checkpoint commitInfo lines — the stats serve path would
+    // silently re-arm stale NDV/histograms after a restart. Replay
+    // strips the key back out of the surfaced properties, so it exists
+    // only inside checkpoint files.
+    val snap =
+      if (snap0.churnVersions.isEmpty) snap0
+      else snap0.copy(properties = snap0.properties +
+        (PendingChurnKey -> snap0.churnVersions.mkString(",")))
     val threshold = snap.properties.collectFirst {
       case (k, x) if k.equalsIgnoreCase("graft.checkpoint.parquetThreshold") => x
     }.flatMap(x => scala.util.Try(x.trim.toLong).toOption).getOrElse(10000L)
@@ -3748,6 +3767,11 @@ object DeltaLite {
       gz.close()
       "gz:" + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
+
+  /** Carrier key for un-ANALYZEd churn versions inside CHECKPOINT
+    * metaData only (written by writeCheckpoint, stripped by replay) —
+    * never present in surfaced table properties or commits. */
+  private val PendingChurnKey = "graft.stats.pendingChurnVersions"
 
   /** Commit operations that change or remove committed rows in ways the
     * standing ANALYZE stats cannot track (sketches can't subtract) —

@@ -759,6 +759,48 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("row churn survives a checkpoint: a cold replay still serves disarmed stats") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_churnckpt")
+      .toString + "/t"
+    DeltaLite.create(spark, path,                               // v0
+      (0L until 400L).map(i => (i, i % 8)).toDF("id", "bucket"))
+    DeltaLite.analyzeTable(spark, path)                         // v1
+    DeltaLite.delete(spark, path, col("bucket") >= 4L)          // v2 CHURN
+    // commits up to v10 cross the checkpoint boundary (interval 10)
+    (0 until 8).foreach(i => DeltaLite.append(spark, path,      // v3..v10
+      Seq((1000L + i, i % 4)).toDF("id", "bucket")))
+    assert({
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "_graft_log")).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("checkpoint-10"))
+    }, "precondition: a checkpoint must exist at v10")
+    // COLD replay: starts from the checkpoint, which never replays the
+    // v2 commitInfo — the churn must ride the checkpoint itself
+    DeltaLite.clearSnapshotCache()
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.churnVersions === Seq(2L),
+      s"checkpoint-persisted churn must survive a cold replay: " +
+        s"${snap.churnVersions}")
+    assert(!snap.properties.keys.exists(_.contains("pendingChurn")),
+      "the carrier key must never surface in table properties")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val bucket = DeltaLite.read(ss, path)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .collectFirst { case (a, cs) if a.name == "bucket" => cs }.get
+      assert(bucket.distinctCount.isEmpty,
+        s"post-restart reads must still disarm the pre-delete NDV: $bucket")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // re-ANALYZE clears the persisted churn at the next checkpoint too
+    DeltaLite.analyzeTable(spark, path)
+    DeltaLite.clearSnapshotCache()
+    assert(DeltaLite.snapshot(path).churnVersions.isEmpty)
+  }
+
   test("incremental stats: appends fold HLL sketches in O(batch); auto property maintains them") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_incstats")

@@ -1686,6 +1686,10 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
       s"no per-branch semi-join may remain:\n" +
         q.queryExecution.optimizedPlan)
+    // ... and the Filter-shape decision is on the EXPLAIN PRUNING record
+    assert(graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
+      .exists(_._2.contains("constant IN-subquery resolution")),
+      "the IN-subquery resolution must be inspectable")
     val got = q.orderBy("part").collect().toSeq
     spark.conf.set("spark.graft.dpp.enabled", "false")
     try {
