@@ -1898,10 +1898,16 @@ object DeltaLite {
     var rebases = 0
     testHookBeforeCommit()
     while (true) {
-      try return writeCommit(path, version, op, base.schema, adds, removes,
-        None, base.constraints, base.partitionBy, base.physical,
-        base.generated, base.identity, base.properties)
-      catch {
+      try {
+        val v = writeCommit(path, version, op, base.schema, adds, removes,
+          None, base.constraints, base.partitionBy, base.physical,
+          base.generated, base.identity, base.properties)
+        if (ChurnOps(op))
+          maybeRepairChurnStats(path,
+            (adds.map(f => pvKey(f.pv)) ++ removes.flatMap(p =>
+              base.files.find(_.path == p).map(f => pvKey(f.pv)))).toSet)
+        return v
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           rebases += 1
           def conflict(why: String): Nothing =
@@ -1941,9 +1947,21 @@ object DeltaLite {
       properties: Map[String, String],
       txn: Option[(String, Long)] = None,
       txns: Seq[(String, Long)] = Nil): Long =
-    try writeCommit(path, version, op, schema, adds, removes, txn, constraints,
-      partitionBy, physical, generated, identity, properties, txns)
-    catch {
+    try {
+      // churn repair needs the removed files' partitions, which only
+      // the PRE-commit snapshot can name — resolve before claiming
+      val preFiles =
+        if (!ChurnOps(op)) Nil
+        else scala.util.Try(snapshot(path).files).getOrElse(Nil)
+      val v = writeCommit(path, version, op, schema, adds, removes, txn,
+        constraints, partitionBy, physical, generated, identity,
+        properties, txns)
+      if (ChurnOps(op))
+        maybeRepairChurnStats(path,
+          (adds.map(f => pvKey(f.pv)) ++ removes.flatMap(p =>
+            preFiles.find(_.path == p).map(f => pvKey(f.pv)))).toSet)
+      v
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit beat $op at version $version on $path; " +
@@ -2928,6 +2946,113 @@ object DeltaLite {
             s"auto-stats fold after append to $path failed " +
               "(stats unchanged; next fold or ANALYZE repairs)", e)
       }
+  }
+
+  /** Opt-in CHURN REPAIR — the write-side twin of the serve-side churn
+    * DISARM: after a row-removing commit ([[ChurnOps]]) on a
+    * `graft.stats.auto = true` table with BY PARTITION stats, re-ANALYZE
+    * exactly the TOUCHED partitions (one grouped pass over their live
+    * files — O(touched), never a table rescan) and re-derive the
+    * table-level stats from the per-partition state:
+    *  - untouched partitions' entries are still TRUE (the delete never
+    *    saw them) and carry over;
+    *  - table NDV re-derives as the HLL UNION across every live
+    *    partition's kept sketch (mergeable — the same math the append
+    *    fold uses), table nulls as the exact per-partition sum;
+    *  - partition COLUMNS repair exactly from the log (distinct live
+    *    partition values / null-partition row count) — no data read;
+    *  - a column any live partition lacks a sketch for DROPS its
+    *    NDV/nulls (decline-only: lengths stay as estimate-grade widths,
+    *    nothing stale is re-armed); histograms and digests DROP (their
+    *    bins/quantiles describe deleted rows and cannot subtract —
+    *    the next full ANALYZE WITH HISTOGRAM rebuilds them).
+    * The repair commit advances analyzedVersion past the churn, so the
+    * serve path re-arms with repaired numbers instead of disarming.
+    * Preconditions (any miss → stay disarmed until manual ANALYZE):
+    * partitioned table, BY PARTITION stats covering every untouched
+    * live partition, ≤ [[MaxAnalyzedPartitions]] live partitions.
+    * Non-partitioned tables decline — an automatic FULL rescan after
+    * every DELETE is not a surprise to spring at 100 TB. BEST-EFFORT
+    * like the append fold: the data commit has succeeded; stats-side
+    * failures log and leave the disarm standing. */
+  private def maybeRepairChurnStats(path: String,
+      touchedPvs: Set[String]): Unit = {
+    val sparkOpt = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    if (sparkOpt.isEmpty) return
+    val spark = sparkOpt.get
+    try {
+      val snap = snapshot(path)
+      if (!snap.properties.exists { case (k, x) =>
+          k.equalsIgnoreCase("graft.stats.auto") &&
+            x.equalsIgnoreCase("true") }) return
+      if (snap.churnVersions.isEmpty) return
+      val stored = parseColStats(snap.properties)
+      if (stored.isEmpty) return
+      if (snap.partitionBy.isEmpty) return // would need a full rescan
+      val oldParts = parsePartStats(snap.properties)
+      if (oldParts.isEmpty) return // no BY PARTITION state to repair from
+      val livePvs = snap.files.map(f => pvKey(f.pv)).distinct
+      if (livePvs.size > MaxAnalyzedPartitions) return
+      // every untouched live partition must carry standing entries —
+      // its stats are what makes the table-level union sound
+      if (!livePvs.forall(k => touchedPvs.contains(k) ||
+          oldParts.contains(k))) return
+      val targets = snap.schema.fields.filter(f =>
+        stored.contains(snap.phys(f.name))).toSeq
+      val touchedFiles = snap.files.filter(f => touchedPvs(pvKey(f.pv)))
+      val fresh =
+        if (touchedFiles.isEmpty) Map.empty[String, (Long, Map[String, ColStatEntry])]
+        else collectPartColStats(
+          readFiles(spark, path, snap.schema, touchedFiles,
+            snap.partitionBy, snap.physical), targets, snap)
+      val newParts = (oldParts -- touchedPvs) ++ fresh
+      // drop vanished partitions (all rows deleted)
+      val liveParts = newParts.view.filterKeys(livePvs.toSet).toMap
+      val pcolsPhys = snap.partitionBy.map(snap.phys).toSet
+      val defaultPv = "__HIVE_DEFAULT_PARTITION__"
+      val newTable = stored.map { case (phys, old) =>
+        val logical = snap.schema.fields
+          .find(f => snap.phys(f.name) == phys).map(_.name)
+        val entry =
+          if (pcolsPhys.contains(phys)) {
+            // exact from the log: partition values ARE the column
+            val c = logical.getOrElse(phys)
+            val vals = snap.files.map(_.pv.getOrElse(c, defaultPv)).distinct
+            val nullRows = liveParts.collect {
+              case (k, (n, _)) if k.split('/').contains(s"$c=$defaultPv") => n
+            }.sum
+            old.copy(ndv = Some(vals.count(_ != defaultPv).toLong),
+              nulls = Some(nullRows), hll = None,
+              hist = None, qsk = None, histAsOf = None)
+          } else {
+            val entries = liveParts.values.map(_._2.get(phys)).toSeq
+            val allHave = entries.forall(_.isDefined)
+            val hlls = entries.flatten.flatMap(_.hll).toSeq
+            val canUnion = allHave && hlls.size == entries.size
+            val merged =
+              if (!canUnion) None
+              else Some(hlls.reduceOption(hllUnion).getOrElse(hlls.head))
+            old.copy(
+              ndv = merged.map(hllEstimate),
+              nulls = if (allHave) Some(entries.flatten.flatMap(_.nulls)
+                .sum) else None,
+              hll = merged,
+              hist = None, qsk = None, histAsOf = None)
+          }
+        phys -> entry
+      }
+      writeColStats(path, snap.version, snap.totalRows, newTable, liveParts)
+      org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").info(
+        s"churn repair at $path: re-analyzed ${touchedPvs.size} touched " +
+          s"partition(s), table stats re-derived from ${liveParts.size} " +
+          "partition sketches; analyzedVersion advanced")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").warn(
+          s"churn stats repair at $path failed (stats stay disarmed; " +
+            "ANALYZE repairs)", e)
+    }
   }
 
   /** Row-INSERTING DML (merge/delete+insert/replaceWhere) would need

@@ -759,6 +759,72 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("churn REPAIR: auto-stats partitioned tables re-analyze touched partitions and re-arm") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_churnfix")
+      .toString + "/t"
+    // 4 partitions × 250 rows; bucket is partition-correlated: each
+    // partition holds 5 of the 20 bucket values, so deleting one
+    // partition REMOVES values — exactly what sketches can't subtract
+    DeltaLite.create(spark, path,
+      (0L until 1000L).map(i => (i, i % 20, s"p${i % 4}"))
+        .toDF("id", "bucket", "part"),
+      partitionBy = Seq("part"),
+      properties = Map("graft.stats.auto" -> "true"))
+    spark.sql(s"ANALYZE TABLE '$path' COMPUTE STATISTICS " +
+      "FOR ALL COLUMNS WITH HISTOGRAM BY PARTITION").collect()
+    DeltaLite.delete(spark, path, col("part") === "p3")
+    // the repair commit advanced analyzedVersion past the churn: the
+    // serve path re-ARMS with repaired numbers instead of disarming
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.churnVersions.isEmpty,
+      s"repair must clear the churn, got ${snap.churnVersions}")
+    val (aRows, stored) = DeltaLite.parseColStatsFull(snap.properties)
+    assert(aRows === 750L, "analyzed rows re-derive post-delete")
+    assert(stored("bucket").ndv.exists(n => n >= 13 && n <= 17),
+      s"table NDV re-derives as the partition-HLL union (~15): " +
+        s"${stored("bucket").ndv}")
+    assert(stored("id").ndv.exists(n => n >= 700 && n <= 800),
+      s"ndv(id) ~750: ${stored("id").ndv}")
+    assert(stored("bucket").hist.isEmpty && stored("bucket").qsk.isEmpty,
+      "histograms/digests describe deleted rows — they must DROP")
+    // the partition column repairs EXACTLY from the log
+    assert(stored(snap.phys("part")).ndv.contains(3L))
+    // per-partition state: the deleted partition's entry is gone,
+    // untouched partitions carried over
+    val parts = DeltaLite.parsePartStats(snap.properties)
+    assert(parts.size === 3 && !parts.keySet.exists(_.contains("p3")))
+    // the CBO serves the repaired numbers
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      // a partitioned read serves per-branch PARTITION-LOCAL stats (the
+      // union root drops distinctCount by design — NDVs don't union
+      // without sketches): assert the leaves serve the repaired
+      // partition-local NDV (5 bucket values per partition) instead of
+      // disarming
+      val leafNdvs = DeltaLite.read(ss, path).queryExecution.optimizedPlan
+        .collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.stats.attributeStats.collectFirst {
+              case (a, cs) if a.name == "bucket" => cs.distinctCount
+            }.flatten
+        }.flatten
+      assert(leafNdvs.nonEmpty && leafNdvs.forall(n => n.toLong === 5L),
+        s"repaired partition-local NDV must serve at the leaves: $leafNdvs")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    assert(DeltaLite.explainCost(spark, path).collectFirst {
+      case ("table", "stats_serving", v) => v }.contains("armed"))
+    // appends keep folding on the repaired state
+    DeltaLite.append(spark, path,
+      (2000L until 2100L).map(i => (i, 20L + i % 5, "p0"))
+        .toDF("id", "bucket", "part"))
+    val after = DeltaLite.parseColStats(DeltaLite.snapshot(path).properties)
+    assert(after("bucket").ndv.exists(n => n >= 18 && n <= 22),
+      s"fold over repaired sketches (~20): ${after("bucket").ndv}")
+  }
+
   test("row churn survives a checkpoint: a cold replay still serves disarmed stats") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_churnckpt")
