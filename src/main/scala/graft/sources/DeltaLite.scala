@@ -3638,11 +3638,20 @@ object DeltaLite {
     val churnTolerance = spark.conf
       .get("spark.graft.stats.maxChurn", "0").toLong
     val serving = churn.map { n =>
-      if (n > churnTolerance)
+      if (n > churnTolerance) {
+        // say WHY automatic churn repair did not engage, so the fix is
+        // one read away instead of a docs hunt
+        val repairHint =
+          if (snap.partitionBy.isEmpty)
+            "churn repair unavailable: table is not partitioned"
+          else if (parsePartStats(snap.properties).isEmpty)
+            "for automatic repair: ANALYZE ... BY PARTITION + " +
+              "TBLPROPERTIES graft.stats.auto = true"
+          else "for automatic repair: TBLPROPERTIES graft.stats.auto = true"
         s"DISARMED — $n row-removing commit(s) since ANALYZE " +
           s"(tolerance $churnTolerance); serving live min/max only — " +
-          "re-ANALYZE to re-arm"
-      else "armed"
+          s"re-ANALYZE to re-arm ($repairHint)"
+      } else "armed"
     }
     val tableRows = Seq(
       ("table", "size_bytes", live.map(_.bytes).sum.toString),
