@@ -3009,6 +3009,11 @@ object DeltaLite {
       val newParts = (oldParts -- touchedPvs) ++ fresh
       // drop vanished partitions (all rows deleted)
       val liveParts = newParts.view.filterKeys(livePvs.toSet).toMap
+      // every live partition must have an entry NOW (a touched
+      // partition whose re-analysis produced nothing — e.g. an
+      // all-partition-column stats subset — would silently undercount
+      // the table union below): decline, stay disarmed
+      if (!livePvs.forall(liveParts.contains)) return
       val pcolsPhys = snap.partitionBy.map(snap.phys).toSet
       val defaultPv = "__HIVE_DEFAULT_PARTITION__"
       val newTable = stored.map { case (phys, old) =>
@@ -3033,10 +3038,14 @@ object DeltaLite {
             val merged =
               if (!canUnion) None
               else Some(hlls.reduceOption(hllUnion).getOrElse(hlls.head))
+            // nulls: the exact per-partition sum, but only when EVERY
+            // live partition's entry carries one — a silent skip would
+            // undercount while claiming fresh
+            val nullCounts = entries.flatten.map(_.nulls)
             old.copy(
               ndv = merged.map(hllEstimate),
-              nulls = if (allHave) Some(entries.flatten.flatMap(_.nulls)
-                .sum) else None,
+              nulls = if (allHave && nullCounts.forall(_.isDefined))
+                Some(nullCounts.flatten.sum) else None,
               hll = merged,
               hist = None, qsk = None, histAsOf = None)
           }
