@@ -2247,8 +2247,13 @@ object DeltaLite {
     // correct bounds. `spark.graft.stats.maxChurn` (default 0) tolerates
     // that many row-removing commits before disarming; ANALYZE (or the
     // auto-fold's analyzedVersion advance) re-arms.
-    val churnTolerance = spark.conf
-      .get("spark.graft.stats.maxChurn", "0").toLong
+    // tolerance: per-table TBLPROPERTY first (the natural place for a
+    // warehouse operator to declare "this table prefers stale pricing
+    // over none"), session conf as the fleet-wide fallback
+    val churnTolerance = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.stats.maxChurn") =>
+        scala.util.Try(v.trim.toLong).getOrElse(0L)
+    }.getOrElse(spark.conf.get("spark.graft.stats.maxChurn", "0").toLong)
     val churnDisarmed = churn > churnTolerance
     if (churnDisarmed && wantColStats)
       org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").info(
@@ -3644,8 +3649,10 @@ object DeltaLite {
     // lower bound (commitInfo before the checkpoint is not replayed).
     val churn: Option[Long] =
       analyzedV.map(_ => snap.churnVersions.length.toLong)
-    val churnTolerance = spark.conf
-      .get("spark.graft.stats.maxChurn", "0").toLong
+    val churnTolerance = snap.properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.stats.maxChurn") =>
+        scala.util.Try(v.trim.toLong).getOrElse(0L)
+    }.getOrElse(spark.conf.get("spark.graft.stats.maxChurn", "0").toLong)
     val serving = churn.map { n =>
       if (n > churnTolerance) {
         // say WHY automatic churn repair did not engage, so the fix is

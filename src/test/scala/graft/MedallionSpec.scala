@@ -746,6 +746,15 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       try assert(bucketStats().distinctCount.isDefined,
         "within tolerance the stats serve again")
       finally ss.conf.unset("spark.graft.stats.maxChurn")
+      // ... and per-TABLE: the TBLPROPERTY overrides the session default
+      DeltaLite.setProperties(path, Map("graft.stats.maxChurn" -> "5"))
+      assert(bucketStats().distinctCount.isDefined,
+        "the per-table tolerance property must re-serve")
+      assert(DeltaLite.explainCost(ss, path).collectFirst {
+        case ("table", "stats_serving", v) => v }.contains("armed"))
+      DeltaLite.unsetProperty(path, "graft.stats.maxChurn")
+      assert(bucketStats().distinctCount.isEmpty,
+        "unsetting the property restores the disarm")
       // re-ANALYZE re-arms with post-delete truth: ndv(bucket) = 5
       DeltaLite.analyzeTable(ss, path)
       val rearmed = bucketStats()
