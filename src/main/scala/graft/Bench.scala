@@ -41,6 +41,11 @@ object Bench {
         |    <weight>2</weight>
         |    <minShare>0</minShare>
         |  </pool>
+        |  <pool name="graft-critical">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>4</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
         |</allocations>
         |""".stripMargin
     val f = java.nio.file.Files.createTempFile("graft-pools", ".xml")
@@ -259,6 +264,14 @@ object Bench {
       .sortBy(-_._2).map(_._1)
     val heavyFirst = (measuredOrder ++
       heavyFirstStatic.filterNot(measuredOrder.contains)).distinct
+    // CRITICAL PATH: the single longest measured chain IS the suite
+    // makespan (its completion == the wall in every recorded run since
+    // the recursion poles fell). Classic critical-path-first: it gets a
+    // one-member pool with a strong share, so its serial jobs never
+    // wait behind in-pool siblings — one member by construction, the
+    // scarcity that makes minShare work (HANDOFF round-11/12 lesson).
+    val critical: Option[String] = measuredOrder.headOption
+      .filter(n => chainPool(n) && priorSec.get(n).exists(_ >= 10.0))
     val orderedQueries =
       heavyFirst.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.queries.toSeq.filterNot(q => heavyFirst.contains(q._1))
@@ -268,7 +281,8 @@ object Bench {
         // thread-locals and threads are reused across queries — set them
         // explicitly for EVERY query, never inherit the previous one's
         spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-          if (chainPool(name)) "graft-chains"
+          if (critical.contains(name)) "graft-critical"
+          else if (chainPool(name)) "graft-chains"
           else if (stepPool(name)) "graft-steps"
           else "graft-adhoc")
         // job-group tag feeds the per-query job tally (the shape signal
