@@ -691,11 +691,19 @@ object DeltaLite {
     val churnBuf = scala.collection.mutable.ArrayBuffer[Long]()
     from.foreach(_.churnVersions.foreach(churnBuf += _))
     (start to v).foreach { i =>
-      applyActions(claimStore.readImmutable(logDir(path).resolve(s"$i.json")),
+      val lines =
+        claimStore.readImmutable(logDir(path).resolve(s"$i.json"))
+      // a churn OP that touched no data (e.g. DELETE matching nothing —
+      // the op still writes its audit commit) must not count: nothing
+      // the standing stats describe changed. Commit lines are compact
+      // single-action objects, so the action key is the line head.
+      def touchedData = lines.exists(l =>
+        l.startsWith("{\"add\"") || l.startsWith("{\"remove\""))
+      applyActions(lines,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
         m => physical = m, g => generated = g, x => identity = x,
         pr => properties = pr,
-        onCommitOp = op => if (ChurnOps(op)) churnBuf += i)
+        onCommitOp = op => if (ChurnOps(op) && touchedData) churnBuf += i)
     }
     require(schema != null, s"log at $path has no metaData action")
     // forward-compat gate: a log requiring reader features we don't
@@ -1902,7 +1910,7 @@ object DeltaLite {
         val v = writeCommit(path, version, op, base.schema, adds, removes,
           None, base.constraints, base.partitionBy, base.physical,
           base.generated, base.identity, base.properties)
-        if (ChurnOps(op))
+        if (ChurnOps(op) && (adds.nonEmpty || removes.nonEmpty))
           maybeRepairChurnStats(path,
             (adds.map(f => pvKey(f.pv)) ++ removes.flatMap(p =>
               base.files.find(_.path == p).map(f => pvKey(f.pv)))).toSet)
@@ -1951,12 +1959,12 @@ object DeltaLite {
       // churn repair needs the removed files' partitions, which only
       // the PRE-commit snapshot can name — resolve before claiming
       val preFiles =
-        if (!ChurnOps(op)) Nil
+        if (!ChurnOps(op) || (adds.isEmpty && removes.isEmpty)) Nil
         else scala.util.Try(snapshot(path).files).getOrElse(Nil)
       val v = writeCommit(path, version, op, schema, adds, removes, txn,
         constraints, partitionBy, physical, generated, identity,
         properties, txns)
-      if (ChurnOps(op))
+      if (ChurnOps(op) && (adds.nonEmpty || removes.nonEmpty))
         maybeRepairChurnStats(path,
           (adds.map(f => pvKey(f.pv)) ++ removes.flatMap(p =>
             preFiles.find(_.path == p).map(f => pvKey(f.pv)))).toSet)

@@ -721,6 +721,11 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         (1000L until 1100L).map(i => (i, i % 10)).toDF("id", "bucket"))
       assert(bucketStats().distinctCount.isDefined,
         "appends must not disarm the standing stats")
+      // a NO-OP churn commit (DELETE matching nothing still writes its
+      // audit commit) touches no data — it must not disarm either
+      DeltaLite.deleteVectorized(ss, path, col("bucket") === 999L)
+      assert(bucketStats().distinctCount.isDefined,
+        "a no-op delete must not disarm the standing stats")
       // DELETE half the value range: sketches can't subtract, so the
       // standing NDV(bucket)=10 would price bucket=3 at 550/10 = 55
       // while the true answer is 110 — the serve path must DISARM
