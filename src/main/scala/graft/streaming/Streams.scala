@@ -230,10 +230,34 @@ object Streams {
     val verdicts = graft.operators.DedupIndex.probe(
         s, b, corpus, id, text, indexPath, threshold)
       .withColumn("batch_id", lit(batchId))
-    D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId)
-    graft.operators.DedupIndex.append(s, b, id, text, indexPath,
-      app = GateApp, txnVersion = batchId)
-    D.appendOnce(s, corpusPath, b, GateApp, batchId)
+    // the three sink appends are MUTUALLY INDEPENDENT (verdicts from
+    // the finished probe; index bands and corpus text both from `b`) —
+    // they target different tables, so their write jobs + commit fsyncs
+    // OVERLAP instead of forming a serial chain (the gate's wall is
+    // commit latency; measured ~16 s solo serial). Each worker re-sets
+    // the caller's scheduler-pool/job-group locals: the shared EC's
+    // threads are reused across callers and would otherwise carry a
+    // stale pool or misattribute jobs.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val sc = s.sparkContext
+      val pool = sc.getLocalProperty("spark.scheduler.pool")
+      val group = sc.getLocalProperty("spark.jobGroup.id")
+      def sink[T](body: => T): Future[T] = Future {
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        sc.setLocalProperty("spark.jobGroup.id", group)
+        body
+      }
+      val appends: Seq[Future[Any]] = Seq(
+        sink[Any](D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId)),
+        sink[Any](graft.operators.DedupIndex.append(s, b, id, text,
+          indexPath, app = GateApp, txnVersion = batchId)),
+        sink[Any](D.appendOnce(s, corpusPath, b, GateApp, batchId)))
+      appends.foreach(Await.result(_, Duration.Inf))
+    }
     ()
   }
 
