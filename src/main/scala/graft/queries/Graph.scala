@@ -661,6 +661,83 @@ object Graph {
                 CAST((sum(q_num) OVER ()) * 1000000 // (4 * m * m)
                   AS BIGINT) AS q_ppm
          FROM rep
-         ORDER BY community ASC NULLS LAST"""))
+         ORDER BY community ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- G8
+    // k-core decomposition (bounded peeling) over the part co-purchase
+    // graph (G5's graph: parts sharing >= 2 orders — the weight floor is
+    // the same scale control, keeping the edge set ~flat as the corpus
+    // grows). Three peel rounds at k = 3: each round drops every node
+    // whose CURRENT degree is < k, then induces the subgraph on the
+    // survivors; the census after each round (nodes with a surviving
+    // edge, undirected edge count) is the convergence trace a curation
+    // pipeline reads to pick its connectivity threshold. Shape per
+    // round: one degree aggregate + two semi-shaped equality joins on
+    // the (tiny) survivor set — never a node cross join; the edge frame
+    // is lineage-cut per round (G1's lazy localCheckpoint pattern), so
+    // round r never re-derives rounds 1..r-1 from the corpus scan. All
+    // counts are integers — the unrolled-CTE oracle matches exactly.
+    QueryDef("g8_kcore", (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      val census = (1 to 3).map { r =>
+        val keep = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3)
+          .select(col("src").as("node"))
+          .localCheckpoint(false)
+        edges = edges
+          .join(keep.select(col("node").as("src")), Seq("src"))
+          .join(keep.select(col("node").as("dst")), Seq("dst"))
+          .localCheckpoint(false)
+        edges.agg(countDistinct(col("src")).as("n_nodes"),
+            expr("count(1) div 2").as("n_edges"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      }.reduce(_ unionAll _)
+      census.orderBy(col("round").asc_nulls_last)
+    }, Some(
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b
+           FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         k1 AS (SELECT src AS node FROM e0 GROUP BY src
+                HAVING count(*) >= 3),
+         e1 AS (SELECT e.src, e.dst FROM e0 e
+                JOIN k1 s ON e.src = s.node JOIN k1 d ON e.dst = d.node),
+         k2 AS (SELECT src AS node FROM e1 GROUP BY src
+                HAVING count(*) >= 3),
+         e2 AS (SELECT e.src, e.dst FROM e1 e
+                JOIN k2 s ON e.src = s.node JOIN k2 d ON e.dst = d.node),
+         k3 AS (SELECT src AS node FROM e2 GROUP BY src
+                HAVING count(*) >= 3),
+         e3 AS (SELECT e.src, e.dst FROM e2 e
+                JOIN k3 s ON e.src = s.node JOIN k3 d ON e.dst = d.node)
+         SELECT CAST(1 AS INTEGER) AS round,
+                count(DISTINCT src) AS n_nodes,
+                count(*) // 2 AS n_edges FROM e1
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), count(DISTINCT src), count(*) // 2
+         FROM e2
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), count(DISTINCT src), count(*) // 2
+         FROM e3
+         ORDER BY round ASC NULLS LAST"""))
   )
 }

@@ -645,6 +645,93 @@ object Llm {
          FROM ranked WHERE rk <= 3
          ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L6 (d)
+    // Margin-scored bitext mining (Artetxe & Schwenk 2019) — the
+    // translation-pair miner behind CCMatrix-style parallel corpora: for
+    // documents in two languages, a pair (x, y) is kept when each is the
+    // other's nearest neighbor (mutual top-1) and scored by the RATIO
+    // margin cos(x,y) / mean(top-k neighborhood sims of both sides) —
+    // absolute cosine thresholds fail because "hubness" makes some
+    // vectors near-everything; the margin normalizes by each point's own
+    // neighborhood density. Parity design: each pairwise cosine is the
+    // l3-family IEEE tree (bit-identical across engines), then shifted
+    // (+1, always positive) and rounded ONCE into a 1e6 integer lattice;
+    // ranks, top-4 sums, and the final margin are pure BIGINT ops — no
+    // float aggregation anywhere. Scale: the pairwise frame is computed
+    // ONCE (lineage-cut) and feeds both rank directions; at test SF the
+    // candidate step is the exact cross join, at 100 TB it swaps for the
+    // IVF-bucketed candidate join (l3_ann_ivf's quantizer — same frame
+    // contract), leaving ranks/margins untouched. Window ranks and the
+    // top-4 sums are per-doc partitions — parallel across the corpus.
+    QueryDef("l6_bitext_mining", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = emb(s, dir)
+      val de = d.join(e, col("doc_id") === col("vec_id"))
+      val src = de.filter(col("lang") === "en")
+        .select(col("doc_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"))
+      val tgt = de.filter(col("lang") === "de")
+        .select(col("doc_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"))
+      val sims = src.crossJoin(tgt)
+        .select(col("qid"), col("nid"),
+          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                  * 1000000) AS BIGINT)""").as("ssim"))
+        .localCheckpoint(false)
+      val rk = sims
+        .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ssim").desc, col("nid").asc)))
+        .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+          .orderBy(col("ssim").desc, col("qid").asc)))
+      val f4 = rk.filter(col("rkf") <= 4)
+        .groupBy(col("qid")).agg(sum(col("ssim")).as("s4f"))
+      val b4 = rk.filter(col("rkb") <= 4)
+        .groupBy(col("nid")).agg(sum(col("ssim")).as("s4b"))
+      rk.filter(col("rkf") === 1 && col("rkb") === 1)
+        .join(f4, Seq("qid")).join(b4, Seq("nid"))
+        .select(col("qid"), col("nid"), col("ssim"),
+          expr("(ssim * 8000000L) div (s4f + s4b)").as("margin_ppm"))
+        .orderBy(col("margin_ppm").desc, col("qid").asc)
+    }, Some(
+      """WITH de AS (
+           SELECT d.doc_id, d.lang, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         p AS (
+           SELECT a.doc_id AS qid, b.doc_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM de a JOIN de b ON a.lang = 'en' AND b.lang = 'de'
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         s AS (
+           SELECT qid, nid,
+                  CAST(round((dot / (sqrt(qa) * sqrt(qb)) + 1.0)
+                    * 1000000) AS BIGINT) AS ssim
+           FROM p),
+         r AS (
+           SELECT qid, nid, ssim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ssim DESC, nid ASC) AS rkf,
+                  row_number() OVER (PARTITION BY nid
+                    ORDER BY ssim DESC, qid ASC) AS rkb
+           FROM s),
+         f4 AS (
+           SELECT qid, CAST(sum(ssim) AS BIGINT) AS s4f
+           FROM r WHERE rkf <= 4 GROUP BY 1),
+         b4 AS (
+           SELECT nid, CAST(sum(ssim) AS BIGINT) AS s4b
+           FROM r WHERE rkb <= 4 GROUP BY 1)
+         SELECT r.qid, r.nid, r.ssim,
+                CAST((r.ssim * 8000000) // (f4.s4f + b4.s4b) AS BIGINT)
+                  AS margin_ppm
+         FROM r JOIN f4 USING (qid) JOIN b4 USING (nid)
+         WHERE rkf = 1 AND rkb = 1
+         ORDER BY margin_ppm DESC, qid ASC""")),
+
     // ------------------------------------------------------------- L2 (k)
     // Bloom-accelerated incremental dedup — the two-tier membership shape
     // a streaming ingest runs at 100 TB: the corpus's fingerprint set is

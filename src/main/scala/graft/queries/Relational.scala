@@ -3937,6 +3937,70 @@ ORDER BY fold ASC NULLS LAST"""),
                   * 1000000) / 1000000 AS spearman_rho
          FROM sums""")),
 
+    // ------------------------------------------------------------------ A30
+    // THEIL–SEN robust slope (lower-median variant) of daily revenue per
+    // order priority over one month — the outlier-proof trend estimator
+    // (Theil 1950 / Sen 1968): the slope is the median of all pairwise
+    // slopes (y2-y1)/(d2-d1), so up to ~29% corrupted days cannot move
+    // it (vs OLS, where one bad day owns the fit). Parity design: daily
+    // revenue is exact BIGINT cents, each pairwise slope is ONE IEEE
+    // double division of exact integers (bit-identical across engines),
+    // and the median is the LOWER median — the exact order statistic at
+    // rank (n+1) div 2 under a total order (slope, d1, d2) — never an
+    // interpolated midpoint, whose a+(b-a)/2 vs (a+b)/2 forms differ in
+    // ULPs between engines. Scale: the pair join is per-GROUP (a month
+    // of days squared — bounded by calendar, not by corpus), the daily
+    // rollup before it is the only pass over the fact table, and the
+    // rank/census windows run per-priority (parallel across groups).
+    QueryDef("a30_theil_sen", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1996-01-01")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = daily.select(col("o_orderpriority").as("pri"),
+        col("d").as("d1"), col("y").as("y1"))
+      val b = daily.select(col("o_orderpriority").as("pri"),
+        col("d").as("d2"), col("y").as("y2"))
+      val pairs = a.join(b, Seq("pri"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("slope",
+          expr("CAST(y2 - y1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE)"))
+      pairs
+        .withColumn("rk", row_number().over(Window.partitionBy(col("pri"))
+          .orderBy(col("slope").asc, col("d1").asc, col("d2").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+        .filter(expr("rk = (n + 1) div 2"))
+        .select(col("pri").as("o_orderpriority"), col("n").as("n_pairs"),
+          expr("round(slope * 100) / 100").as("slope_cents_per_day"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH daily AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(o_orderdate AS DATE) - DATE '1996-01-01' AS d,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.pri, a.d AS d1, b.d AS d2,
+                  CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                    AS slope
+           FROM daily a JOIN daily b ON a.pri = b.pri AND a.d < b.d),
+         ranked AS (
+           SELECT pri, slope,
+                  row_number() OVER (PARTITION BY pri
+                    ORDER BY slope ASC, d1 ASC, d2 ASC) AS rk,
+                  CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+           FROM pairs)
+         SELECT pri AS o_orderpriority, n AS n_pairs,
+                round(slope * 100) / 100 AS slope_cents_per_day
+         FROM ranked WHERE rk = (n + 1) // 2
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ D11
     // BENFORD'S LAW first-digit audit on order amounts — the classic
     // fabricated-data screen: natural multi-scale amounts follow
