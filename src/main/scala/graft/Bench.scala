@@ -308,6 +308,22 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadEnd = loadavg()
 
+    // CALIBRATION SIGNAL, recorded in the artifact itself: the median
+    // per-query inflation vs the prior EMA (and the sample count it
+    // rests on) — so a cross-round reader can tell "host ran 2.6×
+    // slow" from "code got slower" without forensics. 1.0 when there
+    // is no prior or too few common samples. Computed ONCE over the
+    // FULL result set: the printed headline subset (24 queries) would
+    // otherwise publish its own median and disagree with
+    // bench_result.json — the exact forensics the field exists to end.
+    val ratios = results.collect { case (k, v, true)
+      if priorSec.get(k).exists(_ > 0.3) && v > 0.3 =>
+      v / priorSec(k) }.sorted
+    val speed = if (ratios.size < 20) 1.0
+      else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
+    val calib =
+      f""","host_speed":$speed%.3f,"host_speed_samples":${ratios.size}"""
+
     def line(entries: Seq[(String, Double, Boolean)],
         withJobs: Boolean = false): String = {
       val qs = entries.map { case (k, v, ok) =>
@@ -334,18 +350,6 @@ object Bench {
       // reference-speed units: ordering is scale-invariant anyway, and
       // thresholds stay meaningful across host modes. Per-query
       // regressions still surface — they move against the median.
-      // CALIBRATION SIGNAL, recorded in the artifact itself: the median
-      // per-query inflation vs the prior EMA (and the sample count it
-      // rests on) — so a cross-round reader can tell "host ran 2.6×
-      // slow" from "code got slower" without forensics. 1.0 when there
-      // is no prior or too few common samples.
-      val ratios = entries.collect { case (k, v, true)
-        if priorSec.get(k).exists(_ > 0.3) && v > 0.3 =>
-        v / priorSec(k) }.sorted
-      val speed = if (ratios.size < 20) 1.0
-        else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
-      val calib =
-        f""","host_speed":$speed%.3f,"host_speed_samples":${ratios.size}"""
       val ema =
         if (!withJobs) ""
         else {

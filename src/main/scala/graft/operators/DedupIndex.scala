@@ -78,11 +78,28 @@ object DedupIndex {
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
+    // Index partners that are THEMSELVES in the current batch are
+    // excluded (keyed anti-join, O(candidates)): in-batch pairs belong
+    // to the self-candidate path below, which enforces keep-min-id by
+    // construction. The index can hold current-batch ids two ways — a
+    // re-crawled id (indexed by an earlier batch) or a REPLAY after a
+    // crash that committed the index append before the verdicts append
+    // (the three sink appends overlap) — and in both cases the
+    // undirected index hit would add the REVERSED pair (min-id doc
+    // flagged as a dup of the max-id doc), marking both copies dup and
+    // losing the document. This anti-join is the membership-level twin
+    // of the "batch text wins" rule below, and it is what makes every
+    // replay interleaving of the three overlapped appends safe.
     val idxCand = probeBands.join(index,
         col("band_idx") === col("__ebi") &&
           col("band_hash") === col("__ebh") &&
           col(id) =!= col("__eid"))
       .select(col(id), col("__eid").as("eid"))
+      .join(batch.select(col(id).as("eid")).distinct(), Seq("eid"),
+        "left_anti")
+      // a using-column join moves the join column FIRST; restore (id,
+      // eid) order or the positional union with selfCand swaps the pair
+      .select(col(id), col("eid"))
     // in-batch candidates: band-equality self-join, strictly-smaller
     // partner ids only (keep-min-id; each unordered pair appears once)
     val selfCand = probeBands.join(

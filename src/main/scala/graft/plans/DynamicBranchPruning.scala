@@ -155,14 +155,18 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     override def initialValue(): java.lang.Boolean = false
   }
 
-  /** Per-COMPILE memo for the constant IN-subquery probes: keyed by the
-    * thread's current QueryPlanningTracker identity (first tuple slot)
-    * so entries can never outlive the compile that produced them —
-    * entries map a canonicalized subquery plan to
-    * (domain probed, partner keys, contains-null when probed). */
-  private val subqMemo = new ThreadLocal[(AnyRef,
-    scala.collection.mutable.Map[LogicalPlan,
-      (Set[Any], Set[Any], Option[Boolean])])]
+  /** Per-COMPILE memo for the constant IN-subquery probes: keyed
+    * WEAKLY by the compile's QueryPlanningTracker (the decisionLog
+    * pattern) so entries die with their compile — a ThreadLocal would
+    * pin the LAST compile's subquery plans and tracker per pool thread
+    * for the JVM's lifetime. Entries map a canonicalized subquery plan
+    * to (domain probed, partner keys, contains-null when probed);
+    * values hold no tracker reference, so the weak key stays
+    * collectable. */
+  private val subqMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      scala.collection.mutable.Map[LogicalPlan,
+        (Set[Any], Set[Any], Option[Boolean])]]())
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (inProbe.get()) return plan
@@ -292,21 +296,21 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     // here, predicate pushdown can distribute NEW Filter(lit IN (sub))
     // copies into branches on a LATER fixed-point iteration of the
     // operator batch, which would re-run the pooled probe once per
-    // iteration. The memo is scoped to ONE COMPILE via the thread's
+    // iteration. The memo is scoped to ONE COMPILE via the compile's
     // QueryPlanningTracker identity (every QueryExecution optimizes
-    // under its own tracker object), so a dimension that changed
-    // between queries can never be resolved from a stale probe; no
-    // tracker on the thread → no caching at all.
+    // under its own tracker object; weak-keyed so entries die with it),
+    // so a dimension that changed between queries can never be resolved
+    // from a stale probe; no tracker on the thread → no caching at all.
     val memo: Option[scala.collection.mutable.Map[
         LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]] =
       org.apache.spark.sql.catalyst.QueryPlanningTracker.get.map { t =>
-        val cur = subqMemo.get()
-        if (cur != null && (cur._1 eq t)) cur._2
+        val cur = subqMemo.get(t)
+        if (cur != null) cur
         else {
-          val fresh = (t: AnyRef, scala.collection.mutable.Map[
-            LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]())
-          subqMemo.set(fresh)
-          fresh._2
+          val fresh = scala.collection.mutable.Map[
+            LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]()
+          subqMemo.put(t, fresh)
+          fresh
         }
       }
     val partners: Map[LogicalPlan, (Set[Any], Boolean)] =

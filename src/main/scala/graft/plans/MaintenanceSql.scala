@@ -377,7 +377,21 @@ object MaintenanceSql {
       AttributeReference("join", StringType, nullable = false)(),
       AttributeReference("decision", StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
-      val ds = DynamicBranchPruning.decisions(spark.sql(sql).queryExecution)
+      // COMPILE-ONLY, enforced in two layers: (1) parse + executePlan
+      // instead of spark.sql(...) — Dataset.ofRows eagerly executes
+      // command plans; (2) command operands are REFUSED before anything
+      // forces optimizedPlan, because QueryExecution.optimizedPlan is
+      // built from the commandExecuted phase — forcing it on a DML/DDL
+      // operand would run the command while the user believes they are
+      // doing read-only plan inspection.
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val qe = spark.sessionState.executePlan(parsed)
+      if (qe.analyzed.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command]))
+        return Seq(Row("(refused)", "EXPLAIN PRUNING never executes " +
+          "its operand, and a command (DML/DDL) only optimizes its " +
+          "query during execution — pass the inner SELECT instead"))
+      val ds = DynamicBranchPruning.decisions(qe)
       if (ds.isEmpty)
         Seq(Row("(none)", "no join was a pruning candidate (no " +
           "literal-branch union fact side found)"))

@@ -1538,12 +1538,17 @@ object Relational {
     // default 100-level recursion limit). Scale shape: Spark lowers each
     // step to ONE (c, rn)-equality hash join of the frontier against the
     // static numbered frame — frontier-sized, never corpus². The static
-    // frame is CACHED first: Spark's recursive execution re-plans the
-    // step subtree every iteration, so an uncached `ord` would pay its
+    // frame is MATERIALIZED first (lazy localCheckpoint, the g1
+    // lineage-cut): Spark's recursive execution re-plans the step
+    // subtree every iteration, so an unmaterialized `ord` would pay its
     // scan+shuffle+window ~24 more times (measured as the suite's
-    // second-worst makespan pole); the cache turns each step's static
-    // side into an in-memory scan. The iterative twins (g1/g2)
-    // hand-build this loop; o8 certifies the declarative spelling.
+    // second-worst makespan pole); the checkpoint turns each step's
+    // static side into an in-memory block scan — and unlike cache(),
+    // whose entry would sit in the session-shared CacheManager with no
+    // post-recursion point to unpersist it, checkpoint blocks free via
+    // the ContextCleaner once the frame is unreferenced. The iterative
+    // twins (g1/g2) hand-build this loop; o8 certifies the declarative
+    // spelling.
     QueryDef("o8_recursive_cte", (s, dir) => {
       Tables.registerAll(s, dir)
       val ord = s.sql(
@@ -1551,7 +1556,7 @@ object Relational {
                   CAST(round(o_totalprice*100) AS BIGINT) AS cents,
                   row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
-           FROM orders WHERE o_custkey % 10 = 0""").cache()
+           FROM orders WHERE o_custkey % 10 = 0""").localCheckpoint(false)
       ord.createOrReplaceTempView("o8_ord")
       s.sql(
         """WITH RECURSIVE chain AS (

@@ -648,6 +648,26 @@ object DeltaLite {
     var generated = from.map(_.generated).getOrElse(Map.empty[String, String])
     var identity = from.map(_.identity).getOrElse(Map.empty[String, IdentityCol])
     var properties = from.map(_.properties).getOrElse(Map.empty[String, String])
+    // row-churn tracking rides the replay (zero extra I/O). The buffer
+    // is declared BEFORE the checkpoint readers run because the
+    // checkpoint-persisted carrier (see writeCheckpoint) is harvested
+    // the moment a metaData's properties arrive: every commit re-states
+    // metaData from the (stripped) snapshot properties, so the FIRST
+    // post-checkpoint commit in the replay range would otherwise
+    // REPLACE the checkpoint's properties — and a post-loop harvest
+    // would find nothing, silently re-arming stale stats after a cold
+    // restart. Harvest-on-set is interposition-proof: whichever action
+    // carries the key, its versions land in the buffer and the key
+    // never surfaces in table properties or rides into a commit.
+    val churnBuf = scala.collection.mutable.ArrayBuffer[Long]()
+    from.foreach(_.churnVersions.foreach(churnBuf += _))
+    def setProps(pr: Map[String, String]): Unit = {
+      pr.get(PendingChurnKey).foreach { v =>
+        v.split(',').iterator.filter(_.nonEmpty)
+          .foreach(x => scala.util.Try(x.toLong).foreach(churnBuf += _))
+      }
+      properties = pr - PendingChurnKey
+    }
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     from.foreach(_.files.foreach(f => live(f.path) = f))
     val txns = scala.collection.mutable.HashMap[String, Long]()
@@ -669,27 +689,25 @@ object DeltaLite {
             readV2Checkpoint(sparkOpt.get, path, cv,
               s => schema = s, live, txns, c => constraints = c,
               p => partitionBy = p, m => physical = m, g => generated = g,
-              i => identity = i, pr => properties = pr)
+              i => identity = i, pr => setProps(pr))
           case CkptRef(cv, "parquet") =>
             readParquetCheckpoint(sparkOpt.get, path, cv,
               s => schema = s, live, txns, c => constraints = c,
               p => partitionBy = p, m => physical = m, g => generated = g,
-              i => identity = i, pr => properties = pr)
+              i => identity = i, pr => setProps(pr))
           case CkptRef(cv, _) =>
             applyActions(Files.readAllLines(
               logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
               s => schema = s, live, txns, c => constraints = c,
               p => partitionBy = p, m => physical = m, g => generated = g,
-              i => identity = i, pr => properties = pr)
+              i => identity = i, pr => setProps(pr))
         }
         ckpt.map(_.version + 1).getOrElse(0L)
     }
-    // row-churn tracking rides the replay (zero extra I/O): collect the
-    // version of every row-removing commit, then keep only those newer
-    // than the FINAL analyzedVersion — an ANALYZE (or fold) commit moves
-    // that property forward and implicitly clears older churn
-    val churnBuf = scala.collection.mutable.ArrayBuffer[Long]()
-    from.foreach(_.churnVersions.foreach(churnBuf += _))
+    // commit-range churn: collect the version of every row-removing
+    // commit, then keep only those newer than the FINAL analyzedVersion
+    // — an ANALYZE (or fold) commit moves that property forward and
+    // implicitly clears older churn
     (start to v).foreach { i =>
       val lines =
         claimStore.readImmutable(logDir(path).resolve(s"$i.json"))
@@ -702,21 +720,13 @@ object DeltaLite {
       applyActions(lines,
         s => schema = s, live, txns, c => constraints = c, p => partitionBy = p,
         m => physical = m, g => generated = g, x => identity = x,
-        pr => properties = pr,
+        pr => setProps(pr),
         onCommitOp = op => if (ChurnOps(op) && touchedData) churnBuf += i)
     }
     require(schema != null, s"log at $path has no metaData action")
     // forward-compat gate: a log requiring reader features we don't
     // implement must refuse resolution, not silently misread
     checkReaderFeatures(path, properties)
-    // checkpoint-persisted churn (see writeCheckpoint): merge it into
-    // the replay-tracked buffer and STRIP the carrier key — it must
-    // never surface in table properties or ride into a commit
-    properties.get(PendingChurnKey).foreach { v =>
-      v.split(',').iterator.filter(_.nonEmpty)
-        .foreach(x => scala.util.Try(x.toLong).foreach(churnBuf += _))
-      properties = properties - PendingChurnKey
-    }
     val churn = props_analyzedVersion(properties) match {
       case Some(av) => churnBuf.distinct.filter(_ > av).sorted.toSeq
       case None => Nil // no standing stats — nothing to disarm
@@ -2255,19 +2265,13 @@ object DeltaLite {
     // correct bounds. `spark.graft.stats.maxChurn` (default 0) tolerates
     // that many row-removing commits before disarming; ANALYZE (or the
     // auto-fold's analyzedVersion advance) re-arms.
-    // tolerance: per-table TBLPROPERTY first (the natural place for a
-    // warehouse operator to declare "this table prefers stale pricing
-    // over none"), session conf as the fleet-wide fallback
-    val churnTolerance = props.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("graft.stats.maxChurn") =>
-        scala.util.Try(v.trim.toLong).getOrElse(0L)
-    }.getOrElse(spark.conf.get("spark.graft.stats.maxChurn", "0").toLong)
-    val churnDisarmed = churn > churnTolerance
+    val churnDisarmed = churn > churnTolerance(props, spark)
     if (churnDisarmed && wantColStats)
       org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").info(
         s"withLogStats: ANALYZE stats DISARMED for $path — " +
           s"$churn row-removing commit(s) since the last ANALYZE " +
-          s"(tolerance $churnTolerance); serving live min/max only")
+          s"(tolerance ${churnTolerance(props, spark)}); " +
+          "serving live min/max only")
     lazy val analyzedFull =
       if (churnDisarmed) (0L, Map.empty[String, ColStatEntry])
       else parseColStatsFull(props)
@@ -3657,12 +3661,9 @@ object DeltaLite {
     // lower bound (commitInfo before the checkpoint is not replayed).
     val churn: Option[Long] =
       analyzedV.map(_ => snap.churnVersions.length.toLong)
-    val churnTolerance = snap.properties.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("graft.stats.maxChurn") =>
-        scala.util.Try(v.trim.toLong).getOrElse(0L)
-    }.getOrElse(spark.conf.get("spark.graft.stats.maxChurn", "0").toLong)
+    val tolerance = churnTolerance(snap.properties, spark)
     val serving = churn.map { n =>
-      if (n > churnTolerance) {
+      if (n > tolerance) {
         // say WHY automatic churn repair did not engage, so the fix is
         // one read away instead of a docs hunt
         val repairHint =
@@ -3673,7 +3674,7 @@ object DeltaLite {
               "TBLPROPERTIES graft.stats.auto = true"
           else "for automatic repair: TBLPROPERTIES graft.stats.auto = true"
         s"DISARMED — $n row-removing commit(s) since ANALYZE " +
-          s"(tolerance $churnTolerance); serving live min/max only — " +
+          s"(tolerance $tolerance); serving live min/max only — " +
           s"re-ANALYZE to re-arm ($repairHint)"
       } else "armed"
     }
@@ -3930,6 +3931,19 @@ object DeltaLite {
     * metaData only (written by writeCheckpoint, stripped by replay) —
     * never present in surfaced table properties or commits. */
   private val PendingChurnKey = "graft.stats.pendingChurnVersions"
+
+  /** Row-churn tolerance before ANALYZE-derived stats disarm: per-table
+    * TBLPROPERTY first (the natural place for a warehouse operator to
+    * declare "this table prefers stale pricing over none"), session
+    * conf as the fleet-wide fallback, default 0. ONE resolution rule
+    * shared by the serve path (withLogStats) and EXPLAIN COST — the
+    * render must report exactly what estimation will (not) see. */
+  private def churnTolerance(props: Map[String, String],
+      spark: SparkSession): Long =
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("graft.stats.maxChurn") =>
+        scala.util.Try(v.trim.toLong).getOrElse(0L)
+    }.getOrElse(spark.conf.get("spark.graft.stats.maxChurn", "0").toLong)
 
   /** Commit operations that change or remove committed rows in ways the
     * standing ANALYZE stats cannot track (sketches can't subtract) —

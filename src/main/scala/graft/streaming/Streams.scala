@@ -224,8 +224,13 @@ object Streams {
         lit(null).cast(b.schema(id).dataType).as("near_dup_of"),
         lit(0L).as("batch_id")))
     // probe BEFORE this batch's index/corpus appends (the in-batch pass
-    // covers batch-internal dups); on a replay after a partial batch
-    // the recomputed frame is discarded by the txn guard anyway
+    // covers batch-internal dups). Replay safety does NOT depend on the
+    // append order below: the probe is blind to the current batch's own
+    // prior partial appends (index partners in the batch are anti-joined
+    // out of the candidate set; corpus text for batch ids loses to batch
+    // text — both in DedupIndex.probe), so a replay after ANY crash
+    // point recomputes the same verdicts, and the txn guards drop
+    // whichever appends already landed.
     val corpus = D.read(s, corpusPath)
     val verdicts = graft.operators.DedupIndex.probe(
         s, b, corpus, id, text, indexPath, threshold)

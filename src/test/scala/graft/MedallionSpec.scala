@@ -856,6 +856,13 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
         java.nio.file.Paths.get(path, "_graft_log")).iterator().asScala
         .exists(_.getFileName.toString.startsWith("checkpoint-10"))
     }, "precondition: a checkpoint must exist at v10")
+    // a commit AFTER the checkpoint: its metaData re-states the
+    // (stripped) snapshot properties, which during replay REPLACES the
+    // checkpoint's properties — the carrier must be harvested when the
+    // checkpoint's metaData is read, not from the final properties map,
+    // or this single append silently re-arms the stale stats
+    DeltaLite.append(spark, path,                               // v11
+      Seq((2000L, 1L)).toDF("id", "bucket"))
     // COLD replay: starts from the checkpoint, which never replays the
     // v2 commitInfo — the churn must ride the checkpoint itself
     DeltaLite.clearSnapshotCache()

@@ -1887,6 +1887,18 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       "EXPLAIN PRUNING SELECT 1 AS a").collect()
     assert(none.exists(_.getString(1).contains("no join was a pruning " +
       "candidate")))
+    // COMPILE-ONLY contract: a command operand is REFUSED, not run —
+    // Spark eagerly executes command plans when a Dataset is built (and
+    // optimizedPlan itself is built from the commandExecuted phase), so
+    // without the refusal this DELETE would remove rows during "plan
+    // inspection"
+    val before = D.read(spark, fact).count()
+    val refused = spark.sql(
+      s"EXPLAIN PRUNING DELETE FROM '$fact' WHERE v >= 0").collect()
+    assert(refused.exists(_.getString(1).contains("never executes")),
+      s"command operands must be refused: ${refused.toSeq}")
+    assert(D.read(spark, fact).count() === before,
+      "EXPLAIN PRUNING over a DELETE must not delete anything")
   }
 
   test("dynamic branch pruning scope pin: a graft-delta FORMAT read declines (opaque relation, no branch shape)") {

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** EMPIRICAL scale curve — the measured counterpart to the per-operator
   * 100 TB scale ARGUMENTS (PlanSpec pins shapes; this measures the
   * growth SLOPE). A deterministic ~4× fixture is synthesized from
-  * sf0.01 by replicating every fact table with RE-KEYED ids (each copy
+  * sf0.1 (see the `base` note: sf0.01's fixed costs drown the data
+  * term) by replicating every fact table with RE-KEYED ids (each copy
   * joins within itself, so join cardinalities — and therefore work —
   * grow linearly; naive replication without re-keying would square
   * them), and the ten heaviest operators run at both scales:

@@ -900,5 +900,26 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(v === Map(1L -> -1L, 2L -> -1L, 11L -> 1L, 12L -> -1L),
       "landed verdicts survive the replay unchanged")
+    // REVERSED partial failure (the overlapped-appends crash point):
+    // batch 2's INDEX and CORPUS appends landed, the verdicts append did
+    // NOT — the replay's probe sees the batch's own bands in the index
+    // and its own text in the corpus. Without the probe's batch-member
+    // anti-join the index hit adds the reversed pair (21 flagged as a
+    // dup of 22), both copies drop downstream, and the document is lost.
+    val b2words = (1 to 40).map(i => s"g$i")
+    val b2 = Seq(doc(21L, b2words), doc(22L, b2words.dropRight(1) :+ "qqq"))
+      .toDF("doc_id", "text")
+    graft.operators.DedupIndex.append(spark, b2, "doc_id", "text", idx,
+      app = Streams.GateApp, txnVersion = 2L)
+    D.appendOnce(spark, corpus, b2, Streams.GateApp, 2L)
+    // ... crash here (verdicts never committed); full replay of batch 2
+    Streams.gateBatch(b2, 2L, "doc_id", "text", corpus, idx, verdicts, 0.5)
+    assert(counts() === ((6L, 48L, 6L)),
+      "replay must complete ONLY the missing verdicts append")
+    val v2 = D.read(spark, verdicts).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v2 === Map(1L -> -1L, 2L -> -1L, 11L -> 1L, 12L -> -1L,
+      21L -> -1L, 22L -> 21L),
+      "index-first replay must still produce keep-min-id verdicts")
   }
 }
