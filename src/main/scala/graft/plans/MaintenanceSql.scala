@@ -23,7 +23,7 @@ import graft.sources.DeltaLite
   *   OPTIMIZE '<path>' [WHERE <partCol> = '<value>'] ZORDER BY (a, b)
   *   RESTORE '<path>' TO VERSION AS OF n
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<instant>'
-  *   CLONE '<src>' TO '<dst>'
+  *   CLONE '<src>' [VERSION AS OF n] TO '<dst>' [DEEP]
   *   CONVERT TO DELTA '<path>'
   *   REORG '<path>' APPLY (PURGE)
   *   ALTER '<path>' RENAME COLUMN old TO new
@@ -200,13 +200,14 @@ object MaintenanceSql {
   }
 
   final case class CloneCommand(source: String, target: String,
-      deep: Boolean = false) extends LeafRunnableCommand {
+      deep: Boolean = false, asOf: Option[Long] = None)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(
-        if (deep) DeltaLite.cloneDeep(spark, source, target)
-        else DeltaLite.cloneShallow(spark, source, target)))
+        if (deep) DeltaLite.cloneDeep(spark, source, target, asOf)
+        else DeltaLite.cloneShallow(spark, source, target, asOf)))
   }
 
   final case class RenameColumnCommand(path: String, oldName: String,
@@ -525,7 +526,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?\s*;?\s*""".r
+    ("""(?is)\s*CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """\s+TO\s+'([^']+)'(\s+DEEP)?\s*;?\s*""").r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
   private val ReorgRe =
@@ -631,7 +633,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         })
     case RestoreRe(p, v) => RestoreCommand(p, v.toLong)
     case RestoreTsRe(p, ts) => RestoreTimestampCommand(p, ts)
-    case CloneRe(src, dst, deep) => CloneCommand(src, dst, deep != null)
+    case CloneRe(src, v, dst, deep) => CloneCommand(src, dst, deep != null,
+      Option(v).map(_.toLong))
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ExplainCostRe(p) => ExplainCostCommand(p)

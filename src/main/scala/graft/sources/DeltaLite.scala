@@ -4504,12 +4504,21 @@ object DeltaLite {
     * only walks the clone's root so referenced source files are never
     * deleted. Cloning a table with live deletion vectors is rejected
     * (their positions key on source-relative paths); OPTIMIZE the source
-    * first to materialize DVs, like Delta requires. */
+    * first to materialize DVs, like Delta requires.
+    *
+    * `asOf` = CLONE AT VERSION (Delta `CLONE src VERSION AS OF n`): the
+    * clone's v0 references the files live at that SOURCE version — a
+    * zero-copy fork of historical state (reproduce last week's training
+    * run against last week's table, O(metadata)). Same dependency
+    * caveat as any shallow clone, sharpened: the referenced files may
+    * already be non-live in the source HEAD, so a source VACUUM breaks
+    * the clone — Delta documents the identical hazard; deep-clone to
+    * cut the tie. */
   def cloneShallow(spark: SparkSession, sourcePath: String,
-      targetPath: String): Long = {
+      targetPath: String, asOf: Option[Long] = None): Long = {
     require(latestVersion(targetPath).isEmpty,
       s"table already exists at $targetPath")
-    val snap = snapshot(sourcePath)
+    val snap = snapshot(sourcePath, asOf)
     require(snap.files.forall(_.dv.isEmpty),
       "cannot shallow-clone a table with live deletion vectors; " +
         "run compact/cluster on the source first to materialize them")
@@ -4531,12 +4540,15 @@ object DeltaLite {
     * clone is the documented way to cut its tie to the origin; such
     * files must not carry DVs (their DV rows name the ABSOLUTE origin
     * path — REORG first). O(table bytes), embarrassingly parallel
-    * per-file at scale. The target starts its own timeline at CLONE. */
+    * per-file at scale. The target starts its own timeline at CLONE.
+    * `asOf` = CLONE AT VERSION: materializes the files live at that
+    * source version — a fully independent copy of historical state
+    * (no vacuum hazard, unlike the shallow form). */
   def cloneDeep(spark: SparkSession, sourcePath: String,
-      targetPath: String): Long = {
+      targetPath: String, asOf: Option[Long] = None): Long = {
     require(latestVersion(targetPath).isEmpty,
       s"table already exists at $targetPath")
-    val snap = snapshot(sourcePath)
+    val snap = snapshot(sourcePath, asOf)
     val srcRoot = root(sourcePath)
     val dstRoot = root(targetPath)
     Files.createDirectories(dstRoot)

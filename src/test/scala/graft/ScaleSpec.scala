@@ -867,6 +867,41 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("CLONE AT VERSION: a zero-copy fork of historical state; deep form is vacuum-proof") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cloneasof").toString + "/t"
+    DeltaLite.create(spark, src,                                  // v0
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    DeltaLite.append(spark, src,                                  // v1
+      (50L until 80L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    DeltaLite.delete(spark, src, $"k" < 20L)                      // v2
+    // shallow clone AT v1: pre-delete state, zero data copied
+    val dst1 = Files.createTempDirectory("graft_cloneasof1").toString + "/t"
+    DeltaLite.cloneShallow(spark, src, dst1, asOf = Some(1L))
+    assert(DeltaLite.read(spark, dst1).count() === 80,
+      "the clone must serve the HISTORICAL (pre-delete) row set")
+    assert(DeltaLite.read(spark, src).count() === 60,
+      "the source HEAD is untouched")
+    // the clone evolves independently of post-clone source history
+    DeltaLite.append(spark, dst1, Seq((900L, 9.0)).toDF("k", "v"))
+    assert(DeltaLite.read(spark, dst1).count() === 81)
+    assert(DeltaLite.read(spark, src).count() === 60)
+    // SQL spelling, DEEP form: materialized copy of the old version —
+    // no dependency on source files at all
+    val dst2 = Files.createTempDirectory("graft_cloneasof2").toString + "/t"
+    spark.sql(s"CLONE '$src' VERSION AS OF 0 TO '$dst2' DEEP")
+    assert(DeltaLite.read(spark, dst2).count() === 50)
+    // vacuuming the source breaks no deep clone (files are copies);
+    // the v0-only files the deep clone came from may be gone at source
+    DeltaLite.vacuum(src, keepVersions = 1)
+    assert(DeltaLite.read(spark, dst2).count() === 50,
+      "a deep AT-VERSION clone must survive a source vacuum")
+    // plain CLONE (no VERSION AS OF) still parses to the HEAD form
+    val dst3 = Files.createTempDirectory("graft_cloneasof3").toString + "/t"
+    spark.sql(s"CLONE '$src' TO '$dst3'")
+    assert(DeltaLite.read(spark, dst3).count() === 60)
+  }
+
   test("DeltaLite deep clone: fully independent copy, DVs and layout preserved") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_deepsrc").toString + "/t"
