@@ -27,7 +27,9 @@ import graft.sources.DeltaLite
   *   CONVERT TO DELTA '<path>'
   *   REORG '<path>' APPLY (PURGE)
   *   ALTER '<path>' RENAME COLUMN old TO new
+  *   ALTER '<path>' ADD COLUMN name <type>
   *   ALTER '<path>' DROP COLUMN name
+  *   SHOW TBLPROPERTIES '<path>'
   *   ALTER '<path>' ALTER COLUMN name SET DEFAULT expr
   *   ALTER '<path>' ALTER COLUMN name DROP DEFAULT
   *   ALTER '<path>' ALTER COLUMN name TYPE <widerType>
@@ -242,6 +244,29 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.widenColumnType(path, column,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(typeName))))
+  }
+
+  final case class AddColumnCommand(path: String, column: String,
+      typeName: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaLite.addColumn(path, column,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(typeName))))
+  }
+
+  /** `SHOW TBLPROPERTIES '<path>'` — the quoted-path twin of Spark's
+    * catalog statement: every table property as (key, value) rows,
+    * sorted by key. Log-metadata-only. */
+  final case class ShowTblPropertiesCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      DeltaLite.snapshot(path).properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => Row(k, v) }
   }
 
   final case class DropColumnDefaultCommand(path: String, column: String)
@@ -547,6 +572,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropColRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val AddColRe =
+    ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9(,)\s]+?)\s*;?\s*""").r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraintRe =
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -647,6 +677,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WidenTypeRe(p, c, t) => WidenColumnTypeCommand(p, c, t.trim)
     case DropDefaultRe(p, c) => DropColumnDefaultCommand(p, c)
     case DropColRe(p, c) => DropColumnCommand(p, c)
+    case AddColRe(p, c, t) => AddColumnCommand(p, c, t.trim)
+    case ShowPropsRe(p) => ShowTblPropertiesCommand(p)
     case AddFkRe(child, name, fk, parent, key) =>
       AddForeignKeyCommand(child, name, fk, parent, key)
     case DropFkRe(child, fk) => DropForeignKeyCommand(child, fk)

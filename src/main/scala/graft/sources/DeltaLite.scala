@@ -3424,6 +3424,36 @@ object DeltaLite {
       snap.properties + (RetiredPhysKey -> retired))
   }
 
+  /** Delta `ALTER TABLE ... ADD COLUMN name type` — METADATA-ONLY
+    * schema evolution as an explicit DDL (the evolve-on-write paths —
+    * appendEvolve, MERGE WITH SCHEMA EVOLUTION, on_schema_change —
+    * discover new columns from a batch; this declares one up front).
+    * One metaData commit, zero file rewrites at any table size: every
+    * existing file reads the new column as null through the log schema
+    * (the same parquet missing-column-as-null semantics the evolve
+    * paths rely on), and only future writes carry values. The column is
+    * nullable by construction (historical rows HAVE no value); declare
+    * a DEFAULT afterwards via `ALTER ... SET DEFAULT` if inserts should
+    * fill it. A name matching a retired dropped column's physical name
+    * is born under a fresh physical name ([[birthPhysical]]) so stale
+    * historical bytes can never resurface as the new column's data. */
+  def addColumn(path: String, name: String,
+      dt: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot(path)
+    require(!snap.schema.fieldNames.contains(name),
+      s"column '$name' already exists")
+    val physNames = snap.schema.fieldNames.map(snap.phys).toSet
+    require(!physNames.contains(name),
+      s"new column '$name' collides with the physical name of a renamed column")
+    val field = StructField(name, dt, nullable = true)
+    val newSchema = StructType(snap.schema.fields :+ field)
+    val physical =
+      snap.physical ++ birthPhysical(snap, snap.version + 1, Seq(field))
+    commitExclusive(path, snap.version + 1, "ADD_COLUMN", newSchema,
+      Nil, Nil, snap.constraints, snap.partitionBy, physical,
+      snap.generated, snap.identity, snap.properties)
+  }
+
   /** Table property holding comma-separated physical names that once
     * backed a since-dropped column — see [[dropColumn]]/[[birthPhysical]]. */
   private val RetiredPhysKey = "graft.retired.physicalNames"

@@ -784,6 +784,51 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       .agg(sum($"price")).collect()(0).getDouble(0) === 6000.0)
   }
 
+  test("ALTER ADD COLUMN: metadata-only schema evolution; retired names reborn fresh; SHOW TBLPROPERTIES") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_addcol").toString + "/t"
+    DeltaLite.create(spark, path,                                     // v0
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      properties = Map("team" -> "ingest"))
+    val filesBefore = DeltaLite.snapshot(path).files.map(_.path).toSet
+    spark.sql(s"ALTER '$path' ADD COLUMN note STRING")                // v1
+    // metadata-only: identical file set; old files read the column null
+    val snap = DeltaLite.snapshot(path)
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    val r = DeltaLite.read(spark, path)
+    assert(r.columns.toSeq === Seq("k", "v", "note"))
+    assert(r.filter($"note".isNotNull).count() === 0,
+      "historical rows must read the added column as null")
+    // future writes carry values; old rows stay null
+    DeltaLite.append(spark, path,                                     // v2
+      Seq((100L, 1.0, "fresh")).toDF("k", "v", "note"))
+    assert(DeltaLite.read(spark, path)
+      .filter($"note" === "fresh").count() === 1)
+    // time travel to v0 sees the pre-evolution schema
+    assert(DeltaLite.read(spark, path, asOf = Some(0L)).columns.toSeq
+      === Seq("k", "v"))
+    // guards: existing logical name; a DROPPED column's name is reborn
+    // under a FRESH physical name (stale bytes must not resurface)
+    intercept[IllegalArgumentException] {
+      DeltaLite.addColumn(path, "k",
+        org.apache.spark.sql.types.LongType)
+    }
+    DeltaLite.dropColumn(path, "note")                                // v3
+    DeltaLite.addColumn(path, "note",                                 // v4
+      org.apache.spark.sql.types.StringType)
+    assert(DeltaLite.snapshot(path).phys("note") !== "note",
+      "a reborn column must not read the retired physical name")
+    assert(DeltaLite.read(spark, path)
+      .filter($"note".isNotNull).count() === 0,
+      "the pre-drop 'fresh' value must NOT resurface in the reborn column")
+    // SHOW TBLPROPERTIES: quoted-path catalog statement, sorted keys
+    val props = spark.sql(s"SHOW TBLPROPERTIES '$path'").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(props.get("team") === Some("ingest"))
+    assert(props.keys.exists(_.startsWith("graft.retired")),
+      s"internal properties surface like Delta's: ${props.keys}")
+  }
+
   test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_reorg").toString
