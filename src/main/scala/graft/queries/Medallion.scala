@@ -3473,6 +3473,58 @@ $nodeSvg
     // cells and 6dp-rounded (the d7 float discipline). At 100 TB the
     // corpus collapses to the cell table in one shuffle; everything
     // after is O(cells).
+    // ------------------------------------------------------------------ D19
+    // K-ANONYMITY census over quasi-identifiers — the re-identification
+    // risk screen a training-data pipeline runs before releasing or
+    // mixing user-derived data (Sweeney 2002): group rows by the
+    // quasi-identifier tuple (nation, market segment, account-balance
+    // band), then report the distribution of group sizes k — every row
+    // in a group of size k is indistinguishable from k-1 others, so the
+    // k<5 mass is the disclosure-risk budget. All-integer: the balance
+    // band is exact cents SHIFTED non-negative before the floor-div
+    // (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    // disagree on negative quotients, the g7 lesson), shares are ppm
+    // floor-divs of exact counts. Scale: ONE QI-keyed aggregate
+    // collapses the corpus; the k-histogram and window total are
+    // O(distinct group sizes) — at 100 TB this is a single shuffle plus
+    // arithmetic over a tiny frame.
+    QueryDef("d19_k_anonymity", (s, dir) => {
+      val qi = t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("""(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)
+                div 100000""").as("bal_band"))
+      val groups = qi
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("k"))
+      groups.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"))
+        .withColumn("n_rows", col("k") * col("n_groups"))
+        .withColumn("total", sum(col("n_rows")).over(Window.partitionBy()))
+        .select(col("k"), col("n_groups"), col("n_rows"),
+          expr("(n_rows * 1000000L) div total").as("share_ppm"),
+          (col("k") < 5).as("at_risk"))
+        .orderBy(col("k").asc_nulls_last)
+    }, Some(
+      """WITH qi AS (
+           SELECT c_nationkey, c_mktsegment,
+                  (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)
+                    // 100000 AS bal_band
+           FROM customer),
+         groups AS (
+           SELECT c_nationkey, c_mktsegment, bal_band,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM qi GROUP BY 1, 2, 3),
+         hist AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(k * count(*) AS BIGINT) AS n_rows
+           FROM groups GROUP BY k)
+         SELECT k, n_groups, n_rows,
+                CAST((n_rows * 1000000) // (sum(n_rows) OVER ())
+                  AS BIGINT) AS share_ppm,
+                k < 5 AS at_risk
+         FROM hist
+         ORDER BY k ASC NULLS LAST""")),
+
     QueryDef("d10_chi_square", (s, dir) => {
       val cells = Pipeline.silverEvents(s, dir)
         .groupBy(col("event_type"),
