@@ -1145,6 +1145,112 @@ object Incremental {
                 round((level + 3 * trend) * 1000000) / 1000000 AS forecast_3d
          FROM holt ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T26
+    // HOLT-WINTERS additive seasonal smoothing (weekly m=7) over the
+    // daily event counts — t19's level/trend recursion plus a seasonal
+    // component: level' = α(x − s_head) + (1−α)(level+trend), trend' =
+    // β(level'−level) + (1−β)trend, s_new = γ(x − level') + (1−γ)s_head,
+    // zero-seeded seasonals (the first week's updates fill them — a
+    // deterministic, engine-mirrorable initialization). The 7 seasonal
+    // slots ride the recursion as a ROTATING tuple (s1 applies today,
+    // s7 is 7 days out), so the oracle is a plain recursive CTE carrying
+    // 7 extra columns — no arrays, no lag-7 self-join. Engine parity is
+    // t19's: every step is the identical IEEE double tree on both sides
+    // (the Spark side runs the collected BOUNDED daily frame through a
+    // driver loop — ≤ observation days, the t19/t25 makespan move; the
+    // distributed work is the one daily rollup), so trajectories match
+    // bit-exactly and the 6dp display rounding is cosmetic. At 100 TB
+    // the corpus collapses to the daily frame in one shuffle; the
+    // recursion cost is O(days), independent of corpus size.
+    QueryDef("t26_holt_winters", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val daily = s.sql(
+        """SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1 ORDER BY 1""").collect()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      if (daily.nonEmpty) {
+        var level = daily(0).getDouble(1)
+        var trend = 0.0
+        val sea = Array.fill(7)(0.0) // sea(0) applies to the NEXT day
+        out += org.apache.spark.sql.Row(daily(0).getDate(0),
+          daily(0).getDouble(1), level, trend, 0.0, level + 7 * trend)
+        var i = 1
+        while (i < daily.length) {
+          val x = daily(i).getDouble(1)
+          val sh = sea(0)
+          val nl = 0.3 * (x - sh) + 0.7 * (level + trend)
+          val nt = 0.1 * (nl - level) + 0.9 * trend
+          val sn = 0.2 * (x - nl) + 0.8 * sh
+          var j = 0
+          while (j < 6) { sea(j) = sea(j + 1); j += 1 }
+          sea(6) = sn
+          level = nl; trend = nt
+          out += org.apache.spark.sql.Row(daily(i).getDate(0), x,
+            level, trend, sh, level + 7 * trend + sea(6))
+          i += 1
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("level_raw",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("trend_raw",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("s_app_raw",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("fc_raw",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.BufferHasAsJava(out).asJava), schema)
+        .select(col("day"),
+          expr("CAST(x AS BIGINT)").as("observed"),
+          expr("round(level_raw * 1000000) / 1000000").as("level"),
+          expr("round(trend_raw * 1000000) / 1000000").as("trend"),
+          expr("round(s_app_raw * 1000000) / 1000000").as("seasonal"),
+          expr("round(fc_raw * 1000000) / 1000000").as("forecast_7d"))
+        .orderBy(col("day").asc_nulls_last)
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day,
+                  CAST(count(*) AS DOUBLE) AS x,
+                  CAST(row_number() OVER
+                    (ORDER BY CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                       AS DATE)) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         hw AS (
+           SELECT day, x, k,
+                  x AS level, CAST(0 AS DOUBLE) AS trend,
+                  CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2,
+                  CAST(0 AS DOUBLE) AS s3, CAST(0 AS DOUBLE) AS s4,
+                  CAST(0 AS DOUBLE) AS s5, CAST(0 AS DOUBLE) AS s6,
+                  CAST(0 AS DOUBLE) AS s7,
+                  CAST(0 AS DOUBLE) AS s_app
+           FROM daily WHERE k = 1
+           UNION ALL
+           SELECT d.day, d.x, d.k,
+                  0.3 * (d.x - h.s1) + 0.7 * (h.level + h.trend) AS level,
+                  0.1 * ((0.3 * (d.x - h.s1) + 0.7 * (h.level + h.trend))
+                    - h.level) + 0.9 * h.trend AS trend,
+                  h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4,
+                  h.s6 AS s5, h.s7 AS s6,
+                  0.2 * (d.x - (0.3 * (d.x - h.s1)
+                    + 0.7 * (h.level + h.trend))) + 0.8 * h.s1 AS s7,
+                  h.s1 AS s_app
+           FROM hw h JOIN daily d ON d.k = h.k + 1)
+         SELECT day, CAST(x AS BIGINT) AS observed,
+                round(level * 1000000) / 1000000 AS level,
+                round(trend * 1000000) / 1000000 AS trend,
+                round(s_app * 1000000) / 1000000 AS seasonal,
+                round((level + 7 * trend + s7) * 1000000) / 1000000
+                  AS forecast_7d
+         FROM hw ORDER BY day ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,
