@@ -732,6 +732,99 @@ object Llm {
          WHERE rkf = 1 AND rkb = 1
          ORDER BY margin_ppm DESC, qid ASC""")),
 
+    // ------------------------------------------------------------- L3 (k)
+    // Greedy k-CENTER diverse-subset selection (farthest-point
+    // traversal, the 2-approximation of Gonzalez 1985; SemDeDup's
+    // complement — semdedup removes redundancy, this PICKS the maximally
+    // spread exemplars for curation/eval-set seeding): start from the
+    // min-id point, then 4 rounds of "take the point farthest from every
+    // chosen center". Exact-integer distances: dims quantize to a 1e-3
+    // lattice (the l6_embedding_drift move — float·1000 can never land
+    // on an exact .5, so the rounding is parity-safe), squared L2 is a
+    // BIGINT sum, argmax ties break on vec_id. Scale: each round is ONE
+    // distributed pass (min-dist update against the single new center +
+    // a TakeOrdered top-1); centers are O(k) driver metadata — the same
+    // bounded-collect discipline as l4_bpe's argmax rounds. The oracle
+    // unrolls the 4 rounds as chained CTEs (each round's center is a
+    // 1-row CTE, min-dist folds via least).
+    QueryDef("l3_kcenter_diversity", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.select(col("vec_id"),
+          expr("""transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))""")
+            .as("qv"))
+        .localCheckpoint(false)
+      def distTo(center: Seq[Long]): String =
+        s"""aggregate(zip_with(qv, array(${center.mkString("L,")}L),
+            (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"""
+      val c0 = q.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (0, c0.getLong(0), 0L))
+      var cur = q.withColumn("md", expr(distTo(c0.getSeq[Long](1))))
+      for (r <- 1 to 4) {
+        val top = cur.select(col("vec_id"), col("qv"), col("md"))
+          .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
+        picks += ((r, top.getLong(0), top.getLong(2)))
+        cur = cur.withColumn("md",
+          least(col("md"), expr(distTo(top.getSeq[Long](1)))))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("round", "vec_id", "min_dist_at_pick")
+        .orderBy(col("round").asc_nulls_last)
+    }, Some(
+      """WITH qd AS (
+           SELECT vec_id, CAST(i AS INTEGER) AS i,
+                  CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * 1000) AS BIGINT) AS qx
+           FROM embeddings CROSS JOIN range(1, 65) r(i)),
+         c0 AS (SELECT min(vec_id) AS id FROM embeddings),
+         d0 AS (
+           SELECT a.vec_id,
+                  CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS md
+           FROM qd a JOIN qd b
+             ON b.vec_id = (SELECT id FROM c0) AND a.i = b.i
+           GROUP BY 1),
+         c1 AS (SELECT vec_id, md FROM d0
+                ORDER BY md DESC, vec_id ASC LIMIT 1),
+         e1 AS (
+           SELECT a.vec_id,
+                  CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d
+           FROM qd a JOIN qd b
+             ON b.vec_id = (SELECT vec_id FROM c1) AND a.i = b.i
+           GROUP BY 1),
+         d1 AS (SELECT d0.vec_id, least(d0.md, e1.d) AS md
+                FROM d0 JOIN e1 USING (vec_id)),
+         c2 AS (SELECT vec_id, md FROM d1
+                ORDER BY md DESC, vec_id ASC LIMIT 1),
+         e2 AS (
+           SELECT a.vec_id,
+                  CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d
+           FROM qd a JOIN qd b
+             ON b.vec_id = (SELECT vec_id FROM c2) AND a.i = b.i
+           GROUP BY 1),
+         d2 AS (SELECT d1.vec_id, least(d1.md, e2.d) AS md
+                FROM d1 JOIN e2 USING (vec_id)),
+         c3 AS (SELECT vec_id, md FROM d2
+                ORDER BY md DESC, vec_id ASC LIMIT 1),
+         e3 AS (
+           SELECT a.vec_id,
+                  CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d
+           FROM qd a JOIN qd b
+             ON b.vec_id = (SELECT vec_id FROM c3) AND a.i = b.i
+           GROUP BY 1),
+         d3 AS (SELECT d2.vec_id, least(d2.md, e3.d) AS md
+                FROM d2 JOIN e3 USING (vec_id)),
+         c4 AS (SELECT vec_id, md FROM d3
+                ORDER BY md DESC, vec_id ASC LIMIT 1)
+         SELECT CAST(0 AS INTEGER) AS round,
+                (SELECT id FROM c0) AS vec_id,
+                CAST(0 AS BIGINT) AS min_dist_at_pick
+         UNION ALL SELECT 1, vec_id, md FROM c1
+         UNION ALL SELECT 2, vec_id, md FROM c2
+         UNION ALL SELECT 3, vec_id, md FROM c3
+         UNION ALL SELECT 4, vec_id, md FROM c4
+         ORDER BY round ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L2 (k)
     // Bloom-accelerated incremental dedup — the two-tier membership shape
     // a streaming ingest runs at 100 TB: the corpus's fingerprint set is
