@@ -4006,6 +4006,72 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM ranked WHERE rk = (n + 1) // 2
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A31
+    // TRIMMED and WINSORIZED means — the other two classical robust
+    // location estimators next to a22's MAD and a30's Theil–Sen: per
+    // priority over exact order cents, drop (trimmed) or clamp
+    // (winsorized) the k = n div 10 most extreme values on each side.
+    // ALL integer: ranks are a total order (cents, orderkey — ties
+    // deterministic), the trim boundaries are exact order statistics
+    // (lo = min of the kept band, hi = max — the sort makes them the
+    // rank-(k+1) and rank-(n−k) values), and winsorization needs NO
+    // per-row clamp pass: clamping k values to each boundary is the
+    // closed form trimmed_sum + k·(lo+hi), so one ranked window + one
+    // grouped aggregate covers all three means. Floor-divs on positive
+    // sums — engine-identical. Scale: one shuffle to rank within
+    // groups, one grouped agg; no self-joins, no percentile sketches.
+    QueryDef("a31_trimmed_winsorized", (s, dir) => {
+      val ranked = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("pri"))
+          .orderBy(col("cents").asc, col("o_orderkey").asc)))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("pri"))))
+        .withColumn("k", expr("n div 10"))
+      ranked.groupBy(col("pri"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          sum(col("cents")).as("sum_all"),
+          sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+            col("cents"))).as("t_sum"),
+          min(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+            col("cents"))).as("lo"),
+          max(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+            col("cents"))).as("hi"))
+        .select(col("pri").as("o_orderpriority"), col("n"),
+          expr("sum_all div n").as("mean_cents"),
+          expr("t_sum div (n - 2 * k)").as("trimmed_mean_cents"),
+          expr("(t_sum + k * (lo + hi)) div n").as("winsor_mean_cents"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH ranked AS (
+           SELECT o_orderpriority AS pri, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                             o_orderkey ASC) AS rk,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+           FROM orders),
+         g AS (
+           SELECT pri, max(n) AS n, max(n // 10) AS k,
+                  CAST(sum(cents) AS BIGINT) AS sum_all,
+                  CAST(sum(CASE WHEN rk > n // 10
+                        AND rk <= n - n // 10 THEN cents END)
+                    AS BIGINT) AS t_sum,
+                  min(CASE WHEN rk > n // 10
+                        AND rk <= n - n // 10 THEN cents END) AS lo,
+                  max(CASE WHEN rk > n // 10
+                        AND rk <= n - n // 10 THEN cents END) AS hi
+           FROM ranked GROUP BY 1)
+         SELECT pri AS o_orderpriority, n,
+                sum_all // n AS mean_cents,
+                t_sum // (n - 2 * k) AS trimmed_mean_cents,
+                (t_sum + k * (lo + hi)) // n AS winsor_mean_cents
+         FROM g
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ D11
     // BENFORD'S LAW first-digit audit on order amounts — the classic
     // fabricated-data screen: natural multi-scale amounts follow
