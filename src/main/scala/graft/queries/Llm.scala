@@ -1685,6 +1685,94 @@ object Llm {
          FROM ranked WHERE rk <= 3
          ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (t)
+    // TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word CO-OCCURRENCE graph — the graph-centrality alternative to
+    // tf-idf (frequency) and RAKE (degree/freq): a word matters when it
+    // neighbors words that matter. Edges = distinct adjacent-word pairs
+    // (window 2) from ONE lead() pass per document — a single doc-keyed
+    // window shuffle, never a token self-join; the graph then collapses
+    // to the VOCABULARY (tiny vs the corpus — the p_name lesson), and
+    // three damped supersteps run in g1's scaled-BIGINT floor-div
+    // lattice, so the iteration is bit-exact vs the unrolled-CTE oracle.
+    // At 100 TB: tokenize+lead is the only corpus pass; the supersteps
+    // iterate a vocab-sized frame.
+    QueryDef("l4_textrank", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      val adj = toks
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+        .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+      val pairs = adj
+        .select(least(col("w"), col("w2")).as("a"),
+          greatest(col("w"), col("w2")).as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      val nf = broadcast(deg.agg(count(lit(1)).as("n")))
+      var ranks = deg.crossJoin(nf)
+        .select(col("src").as("node"), expr("1000000000000 div n").as("pr"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), expr("pr div d").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .crossJoin(nf)
+          .select(col("dst").as("node"),
+            expr("150000000000 div n + (sc * 85) div 100").as("pr"))
+          .localCheckpoint(false)
+      }
+      ranks.select(col("node").as("word"), col("pr"))
+        .orderBy(col("pr").desc, col("word").asc).limit(10)
+    }, Some(
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(generate_series(1, len(l), 1)) AS p, l
+           FROM d),
+         t2 AS (SELECT doc_id, p, l[p] AS w FROM toks),
+         adj AS (
+           SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+           FROM t2),
+         pairs AS (
+           SELECT DISTINCT least(w, w2) AS a, greatest(w, w2) AS b
+           FROM adj WHERE w2 IS NOT NULL AND w <> w2),
+         edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS pr
+                FROM deg),
+         r1 AS (SELECT e.dst AS node,
+                       150000000000 // (SELECT n FROM nn)
+                         + (sum(r.pr // dg.d) * 85) // 100 AS pr
+                FROM edges e JOIN r0 r ON e.src = r.node
+                     JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst),
+         r2 AS (SELECT e.dst AS node,
+                       150000000000 // (SELECT n FROM nn)
+                         + (sum(r.pr // dg.d) * 85) // 100 AS pr
+                FROM edges e JOIN r1 r ON e.src = r.node
+                     JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst),
+         r3 AS (SELECT e.dst AS node,
+                       150000000000 // (SELECT n FROM nn)
+                         + (sum(r.pr // dg.d) * 85) // 100 AS pr
+                FROM edges e JOIN r2 r ON e.src = r.node
+                     JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst)
+         SELECT node AS word, CAST(pr AS BIGINT) AS pr FROM r3
+         ORDER BY pr DESC, word ASC LIMIT 10""")),
+
     // ------------------------------------------------------------- L4 (h)
     // Heavy hitters — corpus-wide frequent tokens via approx_top_k
     // (DataSketches frequent-items, Spark 4.1 builtin). THE scale path
