@@ -738,6 +738,95 @@ object Graph {
          UNION ALL
          SELECT CAST(3 AS INTEGER), count(DISTINCT src), count(*) // 2
          FROM e3
+         ORDER BY round ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------- G9
+    // k-TRUSS peeling (Cohen 2008) over the same part co-purchase graph
+    // — the TRIANGLE-cohesion refinement of G8's degree peeling: an edge
+    // survives a 4-truss round only while it closes ≥ 2 triangles in the
+    // CURRENT subgraph, so bridges and stars (which k-core keeps) fall
+    // away and what remains is overlapping-triangle community structure.
+    // Two rounds, census per round. Shape per round: triangles enumerate
+    // ONCE via the g3 canonical a<b<c join (each triangle then projects
+    // support onto its 3 edges — a union + pair-keyed count, never a
+    // per-edge neighborhood intersection), survivors via ONE semi join;
+    // the canonical edge frame is lineage-cut per round. All counts
+    // integer — the unrolled-CTE oracle matches exactly.
+    QueryDef("g9_ktruss", (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      var pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      val census = (1 to 2).map { r =>
+        val tri = pairs.alias("e1")
+          .join(pairs.alias("e2"), col("e1.b") === col("e2.a"))
+          .join(pairs.alias("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+            col("e2.b").as("tc"))
+        val sup = tri.select(col("ta").as("a"), col("tb").as("b"))
+          .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
+          .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("a"), col("b"))
+        pairs = pairs.join(sup, Seq("a", "b"), "left_semi")
+          .localCheckpoint(false)
+        val nodes = pairs.select(col("a").as("v"))
+          .unionAll(pairs.select(col("b").as("v")))
+          .agg(countDistinct(col("v")).as("n_nodes"))
+        pairs.agg(count(lit(1)).as("n_edges")).crossJoin(nodes)
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      }.reduce(_ unionAll _)
+      census.orderBy(col("round").asc_nulls_last)
+    }, Some(
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         p0 AS MATERIALIZED (
+           SELECT x.pk AS a, y.pk AS b
+           FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         t1 AS MATERIALIZED (
+           SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+           FROM p0 e1 JOIN p0 e2 ON e1.b = e2.a
+           JOIN p0 e3 ON e1.a = e3.a AND e2.b = e3.b),
+         s1 AS MATERIALIZED (
+           SELECT a, b FROM (
+             SELECT ta AS a, tb AS b FROM t1
+             UNION ALL SELECT ta, tc FROM t1
+             UNION ALL SELECT tb, tc FROM t1)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         p1 AS MATERIALIZED (SELECT p0.a, p0.b FROM p0 SEMI JOIN s1
+                ON p0.a = s1.a AND p0.b = s1.b),
+         t2 AS MATERIALIZED (
+           SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+           FROM p1 e1 JOIN p1 e2 ON e1.b = e2.a
+           JOIN p1 e3 ON e1.a = e3.a AND e2.b = e3.b),
+         s2 AS MATERIALIZED (
+           SELECT a, b FROM (
+             SELECT ta AS a, tb AS b FROM t2
+             UNION ALL SELECT ta, tc FROM t2
+             UNION ALL SELECT tb, tc FROM t2)
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         p2 AS MATERIALIZED (SELECT p1.a, p1.b FROM p1 SEMI JOIN s2
+                ON p1.a = s2.a AND p1.b = s2.b)
+         SELECT CAST(1 AS INTEGER) AS round,
+                (SELECT count(DISTINCT v) FROM (
+                   SELECT a AS v FROM p1 UNION ALL SELECT b FROM p1))
+                  AS n_nodes,
+                count(*) AS n_edges FROM p1
+         UNION ALL
+         SELECT CAST(2 AS INTEGER),
+                (SELECT count(DISTINCT v) FROM (
+                   SELECT a AS v FROM p2 UNION ALL SELECT b FROM p2)),
+                count(*) FROM p2
          ORDER BY round ASC NULLS LAST"""))
   )
 }
