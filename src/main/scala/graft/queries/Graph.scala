@@ -587,16 +587,18 @@ object Graph {
         .crossJoin(m)
         .withColumn("q_num", expr("4L * m * e_c - d_c * d_c"))
         // Σq_num can be NEGATIVE (modularity of a poor partition < 0):
-        // Spark `div` truncates toward zero, DuckDB `//` floors — they
-        // disagree by 1 on any negative non-exact quotient. Explicit
-        // BIGINT floordiv (non-negative mod, then exact div) matches
-        // DuckDB for every sign; denom 4m² > 0 always.
+        // MEASURED (a32's oracle probe + a direct duckdb check across
+        // INTEGER/BIGINT/HUGEINT), DuckDB's `//` TRUNCATES toward zero
+        // exactly like Spark's `div` — so the plain operators agree for
+        // every sign and the q_ppm contract is the truncating quotient.
+        // (An earlier revision assumed `//` floors and spelled an
+        // explicit floor here — a latent off-by-one whenever q_tot went
+        // negative and non-divisible, never hit on the fixtures.)
         .withColumn("q_tot", expr("(sum(q_num) OVER ()) * 1000000L"))
         .withColumn("denom", expr("4L * m * m"))
         .select(col("lab").as("community"), col("n_nodes"), col("d_c"),
           col("e_c"), col("q_num"),
-          expr("(q_tot - (((q_tot % denom) + denom) % denom)) div denom")
-            .as("q_ppm"))
+          expr("q_tot div denom").as("q_ppm"))
         .orderBy(col("community").asc_nulls_last)
     }, Some(
       """WITH lo AS (

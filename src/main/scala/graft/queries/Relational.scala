@@ -4006,6 +4006,66 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM ranked WHERE rk = (n + 1) // 2
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A32
+    // KENDALL'S TAU rank correlation (tau-a) — the pair-counting twin of
+    // a29's Spearman: over each priority's daily (day, revenue) series,
+    // count concordant vs discordant day-pairs; tau = (nc − nd) / pairs.
+    // Pure COUNTING (no rank arithmetic, no tie-averaging), so the whole
+    // statistic is integer-exact: the only division is the final ppm
+    // integer division, whose numerator CAN be negative — measured on
+    // this engine pair, BOTH Spark `div` and DuckDB's integer `//`
+    // TRUNCATE toward zero (oracle −2000000 // 6 = −333333), so the
+    // plain operators agree; define tau_ppm as the truncating quotient.
+    // (g7 pins the opposite, FLOORING, behavior for its q_ppm via an
+    // explicit non-negative-mod form on BOTH sides — that form is the
+    // safe spelling whenever a specific rounding is part of the
+    // contract.) The pair join is the a30 calendar-bounded frame
+    // (days², never corpus²); revenue ties count as neither
+    // (tau-a denominator = all pairs).
+    QueryDef("a32_kendall_tau", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1996-01-01")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = daily.select(col("o_orderpriority").as("pri"),
+        col("d").as("d1"), col("y").as("y1"))
+      val b = daily.select(col("o_orderpriority").as("pri"),
+        col("d").as("d2"), col("y").as("y2"))
+      a.join(b, Seq("pri")).filter(col("d1") < col("d2"))
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("y2") > col("y1"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("y2") < col("y1"), 1L).otherwise(0L)).as("nd"))
+        .withColumn("num", expr("(nc - nd) * 1000000L"))
+        .select(col("pri").as("o_orderpriority"), col("n_pairs"),
+          col("nc"), col("nd"),
+          expr("num div n_pairs").as("tau_ppm"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH daily AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(o_orderdate AS DATE) - DATE '1996-01-01' AS d,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+           GROUP BY 1, 2),
+         g AS (
+           SELECT a.pri, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+                  CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nd
+           FROM daily a JOIN daily b ON a.pri = b.pri AND a.d < b.d
+           GROUP BY 1)
+         SELECT pri AS o_orderpriority, n_pairs, nc, nd,
+                ((nc - nd) * 1000000) // n_pairs AS tau_ppm
+         FROM g
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A31
     // TRIMMED and WINSORIZED means — the other two classical robust
     // location estimators next to a22's MAD and a30's Theil–Sen: per
