@@ -3236,6 +3236,112 @@ object Llm {
          GROUP BY csize
          ORDER BY csize ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L7 (d)
+    // DATA CARD — the "datasheets for datasets" summary artifact (Gebru
+    // et al. 2021) every released corpus ships with: one pass computes
+    // the composition (docs/sources/languages), size (chars, whitespace
+    // tokens, mean and LOWER-MEDIAN doc length — the exact order
+    // statistic, a30's rule), balance (max/min language share — the
+    // skew a mixture-weights pass reads first), duplication (exact-dup
+    // rows beyond each keeper) and short-doc mass, emitted as ordered
+    // (section, metric, value) BIGINT rows. Integer-exact throughout —
+    // shares/means are ppm/floor divs of exact counts. Scale: two
+    // corpus passes (per-doc token census; md5 dedup census — the same
+    // shuffles l1/l4_token_count already pay), everything else
+    // aggregates tiny frames; the card itself is O(metrics).
+    QueryDef("l7_data_card", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val per = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"),
+          (size(split(col("text"), " "))).cast("long").as("toks"),
+          md5(col("text")).as("h"))
+        .localCheckpoint(false)
+      val agg = per.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        sum(when(col("toks") < 50L, 1L).otherwise(0L)).as("short_docs"))
+      val med = per
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("toks").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rk = (n + 1) div 2"))
+        .select(col("toks").as("median_toks"))
+      val langShare = per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("ln"))
+        .agg(max(col("ln")).as("max_lang"), min(col("ln")).as("min_lang"))
+      val dups = per.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c - 1")).as("n_dup_rows"))
+      val one = agg.crossJoin(med).crossJoin(langShare).crossJoin(dups)
+      one.selectExpr(
+        "stack(11, " +
+          "'composition', 'n_docs', n_docs, " +
+          "'composition', 'n_sources', n_sources, " +
+          "'composition', 'n_langs', n_langs, " +
+          "'size', 'total_chars', total_chars, " +
+          "'size', 'total_tokens', total_tokens, " +
+          "'size', 'mean_doc_tokens', total_tokens div n_docs, " +
+          "'size', 'median_doc_tokens', median_toks, " +
+          "'balance', 'max_lang_share_ppm', (max_lang * 1000000L) div n_docs, " +
+          "'balance', 'min_lang_share_ppm', (min_lang * 1000000L) div n_docs, " +
+          "'duplication', 'exact_dup_rows', n_dup_rows, " +
+          "'quality', 'short_docs_ppm', (short_docs * 1000000L) div n_docs" +
+          ") AS (section, metric, value)")
+        .orderBy(col("section").asc_nulls_last, col("metric").asc_nulls_last)
+    }, Some(
+      """WITH per AS (
+           SELECT doc_id, lang, source, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                  md5(text) AS h
+           FROM documents),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  CAST(sum(toks) AS BIGINT) AS total_tokens,
+                  CAST(sum(CASE WHEN toks < 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS short_docs
+           FROM per),
+         med AS (
+           SELECT toks AS median_toks FROM (
+             SELECT toks,
+                    row_number() OVER (ORDER BY toks ASC, doc_id ASC) AS rk,
+                    CAST(count(*) OVER () AS BIGINT) AS n
+             FROM per)
+           WHERE rk = (n + 1) // 2),
+         ls AS (
+           SELECT CAST(max(ln) AS BIGINT) AS max_lang,
+                  CAST(min(ln) AS BIGINT) AS min_lang
+           FROM (SELECT count(*) AS ln FROM per GROUP BY lang)),
+         dups AS (
+           SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_rows
+           FROM (SELECT count(*) AS c FROM per GROUP BY h)),
+         one AS (SELECT * FROM agg CROSS JOIN med
+                 CROSS JOIN ls CROSS JOIN dups)
+         SELECT section, metric, value FROM (
+           SELECT 'composition' AS section, 'n_docs' AS metric,
+                  n_docs AS value FROM one
+           UNION ALL SELECT 'composition', 'n_sources', n_sources FROM one
+           UNION ALL SELECT 'composition', 'n_langs', n_langs FROM one
+           UNION ALL SELECT 'size', 'total_chars', total_chars FROM one
+           UNION ALL SELECT 'size', 'total_tokens', total_tokens FROM one
+           UNION ALL SELECT 'size', 'mean_doc_tokens',
+                  total_tokens // n_docs FROM one
+           UNION ALL SELECT 'size', 'median_doc_tokens', median_toks
+                  FROM one
+           UNION ALL SELECT 'balance', 'max_lang_share_ppm',
+                  (max_lang * 1000000) // n_docs FROM one
+           UNION ALL SELECT 'balance', 'min_lang_share_ppm',
+                  (min_lang * 1000000) // n_docs FROM one
+           UNION ALL SELECT 'duplication', 'exact_dup_rows', n_dup_rows
+                  FROM one
+           UNION ALL SELECT 'quality', 'short_docs_ppm',
+                  (short_docs * 1000000) // n_docs FROM one)
+         ORDER BY section ASC NULLS LAST, metric ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L7 (b)
     // CURATION FUNNEL census — the dashboard number every data team
     // watches: survivors (docs AND tokens) after each successive gate,
