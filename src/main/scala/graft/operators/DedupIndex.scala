@@ -78,6 +78,10 @@ object DedupIndex {
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
+    // the batch's id set, shared by BOTH batch-membership rules below
+    // (candidate-level and text-level) — one frame, so the two rules
+    // stay provably identical and the dedup aggregate plans once
+    val batchIds = batch.select(col(id).as("eid")).distinct()
     // Index partners that are THEMSELVES in the current batch are
     // excluded (keyed anti-join, O(candidates)): in-batch pairs belong
     // to the self-candidate path below, which enforces keep-min-id by
@@ -95,8 +99,7 @@ object DedupIndex {
           col("band_hash") === col("__ebh") &&
           col(id) =!= col("__eid"))
       .select(col(id), col("__eid").as("eid"))
-      .join(batch.select(col(id).as("eid")).distinct(), Seq("eid"),
-        "left_anti")
+      .join(batchIds, Seq("eid"), "left_anti")
       // a using-column join moves the join column FIRST; restore (id,
       // eid) order or the positional union with selfCand swaps the pair
       .select(col(id), col("eid"))
@@ -128,8 +131,7 @@ object DedupIndex {
     val exSets = graft.functions.TextFunctions
       .shingleSets(candCorpus, id, text)
       .select(col(id).as("eid"), col("shingle"))
-      .join(batch.select(col(id).as("eid")).distinct(), Seq("eid"),
-        "left_anti")
+      .join(batchIds, Seq("eid"), "left_anti")
     val selfSets = inSets
       .join(candIds, inSets(id) === col("eid"), "left_semi")
       .select(col(id).as("eid"), col("shingle"))

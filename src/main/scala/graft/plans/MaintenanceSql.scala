@@ -573,8 +573,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val AddColRe =
+    // the type charset admits nested types (ARRAY<STRING>, MAP<...>,
+    // STRUCT<a: INT, ...>) — CatalystSqlParser.parseDataType does the
+    // real validation; the regex only needs to not reject them
     ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+""" +
-      """([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9(,)\s]+?)\s*;?\s*""").r
+      """([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_(,)<>:\s]+?)\s*;?\s*""").r
   private val ShowPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraintRe =

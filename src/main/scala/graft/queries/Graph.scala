@@ -23,6 +23,28 @@ object Graph {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
+  /** The part CO-PURCHASE graph shared by G5/G8/G9 (canonical pairs
+    * a < b of parts appearing in ≥ 2 shared orders). The weight floor
+    * is the shared scale control: it prunes single-co-occurrence noise
+    * AND keeps the edge count ~flat as the corpus grows (measured: 101M
+    * wedge pairs unfiltered at sf0.1 → 1.4k filtered; ~3.5k edges
+    * across 0.001→0.1). ONE definition so the three queries provably
+    * peel/score the SAME graph — their oracles restate it textually.
+    * Lineage-cut: every caller re-references the frame several times. */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.alias("x").join(lp.alias("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .select(col("a"), col("b"))
+      .localCheckpoint(false)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------- G1
@@ -371,17 +393,7 @@ object Graph {
     // degree lookups by key. Every join is equality-shaped; the
     // edge/degree frames are lineage-cut once (G1's pattern).
     QueryDef("g5_common_neighbors", (s, dir) => {
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
-        .filter(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+      val pairs = coPurchasePairs(s, dir)
       val und = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(false)
@@ -680,17 +692,7 @@ object Graph {
     // round r never re-derives rounds 1..r-1 from the corpus scan. All
     // counts are integers — the unrolled-CTE oracle matches exactly.
     QueryDef("g8_kcore", (s, dir) => {
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
-        .filter(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+      val pairs = coPurchasePairs(s, dir)
       var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(false)
@@ -755,17 +757,7 @@ object Graph {
     // the canonical edge frame is lineage-cut per round. All counts
     // integer — the unrolled-CTE oracle matches exactly.
     QueryDef("g9_ktruss", (s, dir) => {
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      var pairs = lp.alias("x").join(lp.alias("y"), Seq("ok"))
-        .filter(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+      var pairs = coPurchasePairs(s, dir)
       val census = (1 to 2).map { r =>
         val tri = pairs.alias("e1")
           .join(pairs.alias("e2"), col("e1.b") === col("e2.a"))

@@ -3462,17 +3462,6 @@ $nodeSvg
     // exact BIGINT counts — same text both engines. At 100 TB this is a
     // map-only classify + K-row aggregate; the totals ride a broadcast
     // 1-row frame, never a driver action.
-    // ----------------------------------------------------------------- D10
-    // CHI-SQUARE INDEPENDENCE test (event_type × weekday) — the
-    // categorical-association check next to d7's PSI (numeric drift):
-    // is activity mix independent of day-of-week? Observed counts are
-    // ONE (type, weekday)-keyed aggregate; marginals/total are window
-    // sums over the bounded 35-cell contingency table (never the
-    // corpus); expected and per-cell contributions are a fixed IEEE
-    // tree over identical BIGINT counts, whole-table χ² summed over 35
-    // cells and 6dp-rounded (the d7 float discipline). At 100 TB the
-    // corpus collapses to the cell table in one shuffle; everything
-    // after is O(cells).
     // ------------------------------------------------------------------ D19
     // K-ANONYMITY census over quasi-identifiers — the re-identification
     // risk screen a training-data pipeline runs before releasing or
@@ -3525,6 +3514,17 @@ $nodeSvg
          FROM hist
          ORDER BY k ASC NULLS LAST""")),
 
+    // ----------------------------------------------------------------- D10
+    // CHI-SQUARE INDEPENDENCE test (event_type × weekday) — the
+    // categorical-association check next to d7's PSI (numeric drift):
+    // is activity mix independent of day-of-week? Observed counts are
+    // ONE (type, weekday)-keyed aggregate; marginals/total are window
+    // sums over the bounded 35-cell contingency table (never the
+    // corpus); expected and per-cell contributions are a fixed IEEE
+    // tree over identical BIGINT counts, whole-table χ² summed over 35
+    // cells and 6dp-rounded (the d7 float discipline). At 100 TB the
+    // corpus collapses to the cell table in one shuffle; everything
+    // after is O(cells).
     QueryDef("d10_chi_square", (s, dir) => {
       val cells = Pipeline.silverEvents(s, dir)
         .groupBy(col("event_type"),

@@ -2265,13 +2265,13 @@ object DeltaLite {
     // correct bounds. `spark.graft.stats.maxChurn` (default 0) tolerates
     // that many row-removing commits before disarming; ANALYZE (or the
     // auto-fold's analyzedVersion advance) re-arms.
-    val churnDisarmed = churn > churnTolerance(props, spark)
+    val tol = churnTolerance(props, spark)
+    val churnDisarmed = churn > tol
     if (churnDisarmed && wantColStats)
       org.slf4j.LoggerFactory.getLogger("graft.DeltaLite").info(
         s"withLogStats: ANALYZE stats DISARMED for $path — " +
           s"$churn row-removing commit(s) since the last ANALYZE " +
-          s"(tolerance ${churnTolerance(props, spark)}); " +
-          "serving live min/max only")
+          s"(tolerance $tol); serving live min/max only")
     lazy val analyzedFull =
       if (churnDisarmed) (0L, Map.empty[String, ColStatEntry])
       else parseColStatsFull(props)

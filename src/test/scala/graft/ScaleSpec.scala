@@ -827,6 +827,11 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(props.get("team") === Some("ingest"))
     assert(props.keys.exists(_.startsWith("graft.retired")),
       s"internal properties surface like Delta's: ${props.keys}")
+    // nested types parse through the DDL (CatalystSqlParser validates)
+    spark.sql(s"ALTER '$path' ADD COLUMN tags ARRAY<STRING>")
+    assert(DeltaLite.snapshot(path).schema("tags").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
   }
 
   test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
