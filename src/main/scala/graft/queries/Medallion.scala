@@ -1813,6 +1813,57 @@ $nodeSvg
                 min(ts_sec) AS first_ts, max(ts_sec) AS last_ts
          FROM f""")),
 
+    // ------------------------------------------------------------------ S63
+    // READ-SIDE GOVERNANCE — row-filter + column-mask policies as table
+    // properties (the lakehouse row-filter/column-mask feature family):
+    // the serving reads (DeltaLite.read/scan) filter on RAW values then
+    // mask the projection, DML rewrites stay raw (masking a rewrite
+    // would corrupt stored rows), the policy travels with the table
+    // (clones/RESTORE/time travel), and unenforceable policies fail
+    // loudly instead of serving raw data (ScaleSpec pins all of that +
+    // the masked-column pruning decline). Here: customers load into a
+    // governed table (negative balances filtered, phone masked to
+    // last-4), and the analyst aggregate runs over what the POLICY
+    // serves — the oracle restates filter+mask inline, so the hash
+    // match proves the served frame. Masking is a map-side projection
+    // (zero extra shuffles); the row filter participates in pushdown
+    // like any user predicate.
+    QueryDef("s63_column_mask", (s, dir) => {
+      val path = tmp("s63_gov")
+      DeltaLite.create(s, path,
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"), col("c_name"), col("c_acctbal")),
+        properties = Map(
+          "graft.rowFilter" -> "c_acctbal >= 0.0D",
+          "graft.mask.c_name" -> "last4"))
+      DeltaLite.read(s, path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_name")).as("n_masked_names"),
+          max(col("c_name")).as("max_masked_name"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .as("bal_cents"))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    }, Some(
+      """WITH gov AS (
+           -- DuckDB lateral column aliases: naming this c_name would
+           -- make the expression's own c_name reference bind to the
+           -- alias being defined (circular) — use a fresh name
+           SELECT c_mktsegment,
+                  repeat('*', greatest(length(c_name) - 4, 0)) ||
+                    substring(c_name, greatest(length(c_name) - 3, 1))
+                    AS masked_name,
+                  c_acctbal
+           FROM customer WHERE c_acctbal >= 0.0)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT masked_name) AS BIGINT)
+                  AS n_masked_names,
+                max(masked_name) AS max_masked_name,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+         FROM gov GROUP BY 1
+         ORDER BY c_mktsegment ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S51
     // GENERATE symlink_format_manifest — the interop bridge to
     // log-unaware engines (Presto/Trino/Athena/Hive external tables):

@@ -1994,8 +1994,72 @@ object DeltaLite {
     * added columns). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    readFiles(spark, path, snap.schema, snap.files, snap.partitionBy,
-      snap.physical, snap.properties, snap.churnVersions.length.toLong)
+    applyGovernance(spark, readFiles(spark, path, snap.schema, snap.files,
+      snap.partitionBy, snap.physical, snap.properties,
+      snap.churnVersions.length.toLong), snap.properties)
+  }
+
+  /** READ-side governance policies (the Databricks row-filter /
+    * column-mask feature family), declared as table properties so they
+    * travel with the table (clones, RESTORE, time travel — a historical
+    * read is governed by the POLICY IN FORCE at that version):
+    *
+    *   graft.rowFilter            = '<boolean SQL over raw columns>'
+    *   graft.mask.<logicalName>   = 'null' | 'md5' | 'last4'
+    *
+    * Enforcement point: the SERVING reads ([[read]] / [[scan]]) only.
+    * DML and maintenance rewrites (merge/delete/update/OPTIMIZE/
+    * clustering) read RAW data by design — masking a rewrite would
+    * CORRUPT stored rows, the classic view-based-security failure.
+    * The row filter evaluates over RAW values BEFORE masking (matching
+    * the lakehouse semantics: policy predicates see the data, users see
+    * the mask). `spark.graft.governance.bypass = true` serves raw reads
+    * (the admin/debug escape hatch; also how tests prove stored data
+    * stayed raw). Masks keep the column's TYPE AND presence — schema,
+    * joins, and downstream code keep working: 'null' nulls it out,
+    * 'md5' (string columns) replaces with the hex digest — equality
+    * joins on the masked column still group identically, 'last4'
+    * (string columns) keeps the last 4 chars behind '*' padding.
+    * Unknown kinds and non-string md5/last4 targets fail LOUDLY at
+    * read — a policy that cannot be enforced must never serve raw
+    * data silently. Scale: masking is a map-side projection on top of
+    * the scan (zero extra shuffles); the row filter is a plain
+    * predicate that participates in pushdown like any user filter. */
+  private def applyGovernance(spark: SparkSession, df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val masks = props.collect {
+      case (k, v) if k.startsWith("graft.mask.") =>
+        k.stripPrefix("graft.mask.") -> v.trim
+    }
+    val rowFilter = props.get("graft.rowFilter")
+    if (masks.isEmpty && rowFilter.isEmpty) return df
+    if (spark.conf.get("spark.graft.governance.bypass", "false").toBoolean)
+      return df
+    val filtered = rowFilter.map(p => df.filter(expr(p))).getOrElse(df)
+    masks.toSeq.sortBy(_._1).foldLeft(filtered) { case (d, (c, kind)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val dt = d.schema(c).dataType
+        def requireString(): Unit = require(dt == StringType,
+          s"mask '$kind' on '$c' requires a STRING column, got " +
+            s"${dt.simpleString} — an unenforceable policy must not " +
+            "serve raw data")
+        kind match {
+          case "null" => d.withColumn(c, lit(null).cast(dt))
+          case "md5" =>
+            requireString()
+            d.withColumn(c, md5(col(c).cast("binary")))
+          case "last4" =>
+            requireString()
+            d.withColumn(c, concat(
+              expr(s"repeat('*', greatest(length(`$c`) - 4, 0))"),
+              expr(s"substring(`$c`, greatest(length(`$c`) - 3, 1))")))
+          case other => throw new IllegalArgumentException(
+            s"unknown mask kind '$other' for column '$c' " +
+              "(supported: null, md5, last4)")
+        }
+      }
+    }
   }
 
   /** Snapshot read exposing the row-tracking id as a `_row_id` column
@@ -2079,11 +2143,19 @@ object DeltaLite {
   def scan(spark: SparkSession, path: String, bounds: Seq[ColumnBound],
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    val all = bounds ++ derivedGeneratedBounds(spark, snap, bounds)
-    readFiles(spark, path, snap.schema,
-      pruneFiles(snap, all, bloomProbesFor(spark, snap, bounds)),
+    // bounds on a MASKED column must not prune: file stats describe RAW
+    // values, the caller sees masked ones — pruning would drop files
+    // whose raw stats "can't contain" the masked literal the caller
+    // filters on. Decline-only (those bounds just stop skipping).
+    val masked = snap.properties.keysIterator
+      .filter(_.startsWith("graft.mask."))
+      .map(_.stripPrefix("graft.mask.")).toSet
+    val prunable = bounds.filterNot(b => masked.contains(b.column))
+    val all = prunable ++ derivedGeneratedBounds(spark, snap, prunable)
+    applyGovernance(spark, readFiles(spark, path, snap.schema,
+      pruneFiles(snap, all, bloomProbesFor(spark, snap, prunable)),
       snap.partitionBy, snap.physical, snap.properties,
-      snap.churnVersions.length.toLong)
+      snap.churnVersions.length.toLong), snap.properties)
   }
 
   /** xxhash64 probes for POINT bounds (lower == upper, non-null) and

@@ -834,6 +834,76 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         org.apache.spark.sql.types.StringType))
   }
 
+  test("governance policies: row filter + column masks govern serving reads; DML rewrites stay raw") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_gov").toString + "/t"
+    DeltaLite.create(spark, path,                                   // v0
+      Seq((1L, "25-989-741-2988", "alpha", 100.0),
+        (2L, "13-555-123-4567", "beta", -5.0),
+        (3L, "99", "gamma", 40.0))
+        .toDF("id", "phone", "note", "bal"),
+      properties = Map(
+        "graft.rowFilter" -> "bal >= 0.0",
+        "graft.mask.phone" -> "last4",
+        "graft.mask.note" -> "md5"))
+    val served = DeltaLite.read(spark, path).orderBy($"id").collect()
+    assert(served.map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      "the row filter must drop the negative-balance row")
+    assert(served(0).getString(1) === "***********2988",
+      "last4 keeps only the tail behind '*' padding")
+    assert(served(1).getString(1) === "99",
+      "short strings serve whole (nothing before the last 4)")
+    assert(served(0).getString(2).matches("[0-9a-f]{32}"),
+      "md5 mask serves the hex digest, same type")
+    // schema is unchanged — joins and downstream code keep working
+    assert(DeltaLite.read(spark, path).schema("phone").dataType ===
+      org.apache.spark.sql.types.StringType)
+    // bypass (admin/debug): raw rows, and proof the STORED data is raw
+    spark.conf.set("spark.graft.governance.bypass", "true")
+    try {
+      val raw = DeltaLite.read(spark, path).orderBy($"id").collect()
+      assert(raw.length === 3)
+      assert(raw(0).getString(1) === "25-989-741-2988")
+      assert(raw(0).getString(2) === "alpha")
+    } finally spark.conf.unset("spark.graft.governance.bypass")
+    // DML reads raw by design: the update sees the filtered-out row and
+    // rewrites store RAW values (masking a rewrite would corrupt rows)
+    DeltaLite.update(spark, path, $"id" === 2L,                     // v1
+      Map("bal" -> lit(50.0)))
+    val after = DeltaLite.read(spark, path).orderBy($"id").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "the updated row now passes the filter")
+    assert(after(1).getString(1) === "***********4567",
+      "the rewritten row serves masked but stored raw")
+    spark.conf.set("spark.graft.governance.bypass", "true")
+    try assert(DeltaLite.read(spark, path).filter($"id" === 2L)
+      .collect()(0).getString(1) === "13-555-123-4567",
+      "the rewrite must have stored the RAW phone")
+    finally spark.conf.unset("spark.graft.governance.bypass")
+    // policy travels with the table version: time travel is governed
+    assert(DeltaLite.read(spark, path, asOf = Some(0L)).count() === 2)
+    // unenforceable policies fail loudly instead of serving raw
+    DeltaLite.setProperties(path, Map("graft.mask.bal" -> "md5"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, path).collect()
+    }
+    DeltaLite.setProperties(path, Map("graft.mask.bal" -> "rot13"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, path).collect()
+    }
+    // dropping the policy re-opens the table
+    DeltaLite.unsetProperty(path, "graft.mask.bal")
+    DeltaLite.unsetProperty(path, "graft.rowFilter")
+    assert(DeltaLite.read(spark, path).count() === 3)
+    // scan(): bounds on a masked column DECLINE pruning (file stats
+    // describe raw values, the caller filters masked ones)
+    val scanned = DeltaLite.scan(spark, path, Seq(
+      DeltaLite.ColumnBound("phone", Some("***********2988"),
+        Some("***********2988"))))
+    assert(scanned.filter($"phone" === "***********2988").count() === 1,
+      "the masked-literal filter must still find its row")
+  }
+
   test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_reorg").toString
