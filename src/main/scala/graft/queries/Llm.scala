@@ -732,6 +732,72 @@ object Llm {
          WHERE rkf = 1 AND rkb = 1
          ORDER BY margin_ppm DESC, qid ASC""")),
 
+    // ------------------------------------------------------------- L3 (h)
+    // HUBNESS census (Radovanović 2010) — the high-dimensional kNN
+    // pathology diagnostic: some vectors ("hubs") appear in far more
+    // k-neighborhoods than average while "antihubs" appear in none,
+    // and a skewed in-degree distribution silently degrades every
+    // kNN-based step downstream (dedup recall, retrieval, margin
+    // scoring — the reason l6_bitext_mining normalizes by neighborhood
+    // density). The census: build the k=5 NN graph INSIDE label blocks
+    // (the ANN-bucket analogue — candidate generation is a label
+    // equality join, never corpus²), count each vector's kNN in-degree,
+    // and emit the in-degree histogram INCLUDING the 0 bucket (antihubs
+    // only exist if you left-join the full vector set back). Same
+    // 1e6-lattice cosine parity as l6_bitext; ranks/degrees all BIGINT.
+    QueryDef("l3_hubness", (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), col("norm"))
+      val a = e.select(col("vec_id").as("qid"), col("label"),
+        col("embedding").as("qe"), col("norm").as("qn"))
+      val b = e.select(col("vec_id").as("nid"), col("label"),
+        col("embedding").as("ne"), col("norm").as("nn"))
+      val nn = a.join(b, Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                  * 1000000) AS BIGINT)""").as("ssim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ssim").desc, col("nid").asc)))
+        .filter(col("rk") <= 5)
+      val indeg = e.select(col("vec_id").as("nid"))
+        .join(nn.groupBy(col("nid")).agg(count(lit(1)).as("d")),
+          Seq("nid"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("in_deg"))
+      indeg.groupBy(col("in_deg"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("in_deg").asc_nulls_last)
+    }, Some(
+      """WITH p AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2),
+         nn AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid ORDER BY
+                      CAST(round((dot / (sqrt(qa) * sqrt(qb)) + 1.0)
+                        * 1000000) AS BIGINT) DESC, nid ASC) AS rk
+             FROM p)
+           WHERE rk <= 5),
+         indeg AS (
+           SELECT COALESCE(d.d, 0) AS in_deg
+           FROM embeddings e LEFT JOIN (
+             SELECT nid, CAST(count(*) AS BIGINT) AS d
+             FROM nn GROUP BY 1) d ON e.vec_id = d.nid)
+         SELECT CAST(in_deg AS BIGINT) AS in_deg,
+                CAST(count(*) AS BIGINT) AS n_vecs
+         FROM indeg GROUP BY 1
+         ORDER BY in_deg ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (k)
     // Greedy k-CENTER diverse-subset selection (farthest-point
     // traversal, the 2-approximation of Gonzalez 1985; SemDeDup's
