@@ -2006,6 +2006,8 @@ object DeltaLite {
     *
     *   graft.rowFilter            = '<boolean SQL over raw columns>'
     *   graft.mask.<logicalName>   = 'null' | 'md5' | 'last4'
+    *   graft.maskExempt.<name>    = 'alice,bob'   (see principals below)
+    *   graft.rowFilterExempt      = 'etl'
     *
     * Enforcement point: the SERVING reads ([[read]] / [[scan]]) only.
     * DML and maintenance rewrites (merge/delete/update/OPTIMIZE/
@@ -2035,9 +2037,23 @@ object DeltaLite {
     if (masks.isEmpty && rowFilter.isEmpty) return df
     if (spark.conf.get("spark.graft.governance.bypass", "false").toBoolean)
       return df
-    val filtered = rowFilter.map(p => df.filter(expr(p))).getOrElse(df)
+    // IDENTITY-AWARE EXEMPTIONS (the lakehouse identity-function
+    // analogue): `spark.graft.principal` names the session's caller;
+    // `graft.maskExempt.<col>` / `graft.rowFilterExempt` hold
+    // comma-separated principals who see that column (or the filtered
+    // rows) RAW. Deny-by-default: no principal set, or a principal not
+    // on the list, gets the governed view — an exemption list can only
+    // ever WIDEN one named column/filter for named callers, never
+    // disable a policy wholesale (that is the bypass conf's job, and it
+    // is the audit-worthy switch).
+    val principal = spark.conf.get("spark.graft.principal", "").trim
+    def exempt(key: String): Boolean = principal.nonEmpty &&
+      props.get(key).exists(_.split(',').map(_.trim).contains(principal))
+    val filtered = rowFilter
+      .filter(_ => !exempt("graft.rowFilterExempt"))
+      .map(p => df.filter(expr(p))).getOrElse(df)
     masks.toSeq.sortBy(_._1).foldLeft(filtered) { case (d, (c, kind)) =>
-      if (!d.columns.contains(c)) d
+      if (!d.columns.contains(c) || exempt(s"graft.maskExempt.$c")) d
       else {
         val dt = d.schema(c).dataType
         def requireString(): Unit = require(dt == StringType,

@@ -891,8 +891,35 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException] {
       DeltaLite.read(spark, path).collect()
     }
-    // dropping the policy re-opens the table
+    // IDENTITY-AWARE EXEMPTIONS: a named principal sees an exempted
+    // column (or the filtered rows) raw; everyone else stays governed
     DeltaLite.unsetProperty(path, "graft.mask.bal")
+    DeltaLite.setProperties(path, Map(
+      "graft.rowFilter" -> "bal >= 45.0", // governed view: ids 1, 2
+      "graft.maskExempt.phone" -> "alice, bob",
+      "graft.rowFilterExempt" -> "etl"))
+    assert(DeltaLite.read(spark, path).count() === 2)
+    def phoneOf(id: Long): String = DeltaLite.read(spark, path)
+      .filter($"id" === id).collect()(0).getString(1)
+    assert(phoneOf(1L) === "***********2988",
+      "no principal set -> governed (deny-by-default)")
+    spark.conf.set("spark.graft.principal", "alice")
+    try {
+      assert(phoneOf(1L) === "25-989-741-2988",
+        "an exempted principal sees the column raw")
+      assert(DeltaLite.read(spark, path).collect()(0)
+        .getString(2).matches("[0-9a-f]{32}"),
+        "the exemption is PER COLUMN: note stays masked for alice")
+      spark.conf.set("spark.graft.principal", "mallory")
+      assert(phoneOf(1L) === "***********2988",
+        "a principal not on the list stays governed")
+      spark.conf.set("spark.graft.principal", "etl")
+      assert(DeltaLite.read(spark, path).count() === 3,
+        "the rowFilter exemption serves the full row set")
+      assert(phoneOf(1L) === "***********2988",
+        "etl is row-exempt but NOT column-exempt")
+    } finally spark.conf.unset("spark.graft.principal")
+    // dropping the policy re-opens the table
     DeltaLite.unsetProperty(path, "graft.rowFilter")
     assert(DeltaLite.read(spark, path).count() === 3)
     // scan(): bounds on a masked column DECLINE pruning (file stats
