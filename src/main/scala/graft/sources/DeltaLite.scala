@@ -3807,6 +3807,21 @@ object DeltaLite {
          churn.map(n =>
            ("table", "stats_churn_commits_since_analyze", n.toString)) ++
          serving.map(s => ("table", "stats_serving", s)))
+    // governance policies render too (the S63 surface) — EXPLAIN COST
+    // is where an operator asks "what will a read of this table DO",
+    // and a row filter or mask changes that answer as much as stats do
+    val govRows =
+      snap.properties.get("graft.rowFilter").map(f =>
+        ("governance", "row_filter",
+          f + snap.properties.get("graft.rowFilterExempt")
+            .map(e => s" (exempt: $e)").getOrElse(""))).toSeq ++
+      snap.properties.toSeq.collect {
+        case (k, v) if k.startsWith("graft.mask.") =>
+          val c = k.stripPrefix("graft.mask.")
+          ("governance", s"mask.$c",
+            v + snap.properties.get(s"graft.maskExempt.$c")
+              .map(e => s" (exempt: $e)").getOrElse(""))
+      }.sortBy(_._2)
     def ext(v: Any, dt: DataType): Option[String] = v match {
       case null => None
       case _: org.apache.spark.unsafe.types.UTF8String => None
@@ -3856,7 +3871,7 @@ object DeltaLite {
               (s"partition $k", s"null_count(${logical(c)})", v.toString))
           }
       }
-    tableRows ++ colRows ++ partRows
+    tableRows ++ govRows ++ colRows ++ partRows
   }
 
   /** Double rendering of a column for histogram space — matches the

@@ -919,6 +919,13 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       assert(phoneOf(1L) === "***********2988",
         "etl is row-exempt but NOT column-exempt")
     } finally spark.conf.unset("spark.graft.principal")
+    // EXPLAIN COST renders the governance surface (what a READ will do)
+    val cost = spark.sql(s"EXPLAIN COST '$path'").collect()
+      .filter(_.getString(0) == "governance")
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(cost("row_filter") === "bal >= 45.0 (exempt: etl)", s"$cost")
+    assert(cost("mask.phone") === "last4 (exempt: alice, bob)")
+    assert(cost("mask.note") === "md5")
     // dropping the policy re-opens the table
     DeltaLite.unsetProperty(path, "graft.rowFilter")
     assert(DeltaLite.read(spark, path).count() === 3)
