@@ -9,6 +9,13 @@ import graft.sources.DeltaLite
   * behind dbt's incremental models, driven by the CHANGE DATA FEED so a
   * refresh costs O(changes since last refresh), never O(source table).
   *
+  * GOVERNANCE CONTRACT: the MV materializes RAW source data (every read
+  * here is DeltaLite.readRaw) — CDF deltas are raw by nature, so a
+  * governed base load would drift from its own increments and bake
+  * masked/filtered values into stored rows. Govern the MV TABLE itself
+  * (its own graft.rowFilter/graft.mask.* properties) when its readers
+  * need a policy.
+  *
   * The view is `SELECT keys, sum(value), count(*) FROM source GROUP BY
   * keys` (sum+count also derive avg). Refresh:
   *
@@ -54,7 +61,7 @@ object IncrementalMv {
       case None =>
         // initial materialization: one full aggregate, applied-version
         // recorded on the SAME commit
-        val full = DeltaLite.read(spark, sourcePath)
+        val full = DeltaLite.readRaw(spark, sourcePath)
           .groupBy(keys.map(col): _*)
           .agg(sum(col(valueCol).cast(sumT)).cast(sumT).as("sum_value"),
             count(lit(1)).as("n_rows"))
@@ -116,7 +123,7 @@ object IncrementalMv {
     DeltaLite.latestVersion(targetPath) match {
       case None =>
         DeltaLite.create(spark, targetPath,
-          aggregate(DeltaLite.read(spark, sourcePath)),
+          aggregate(DeltaLite.readRaw(spark, sourcePath)),
           properties = properties, txn = Some((txnApp, srcVersion)))
       case Some(_) =>
         val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
@@ -125,7 +132,7 @@ object IncrementalMv {
         val dirty = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
           .select(keys.map(col): _*).distinct()
         val fresh = aggregate(
-          DeltaLite.read(spark, sourcePath).join(dirty, keys, "left_semi"))
+          DeltaLite.readRaw(spark, sourcePath).join(dirty, keys, "left_semi"))
         // dirty ⟕ fresh: a dirty key with NO fresh row is a vanished group
         val updates = dirty.join(fresh, keys, "left_outer")
         DeltaLite.mergeClauses(spark, targetPath, updates, keys, Seq(
@@ -146,7 +153,7 @@ object IncrementalMv {
 
   /** The view as a DataFrame (keys, sum_value, n_rows, avg_value). */
   def read(spark: SparkSession, targetPath: String): DataFrame = {
-    val v = DeltaLite.read(spark, targetPath)
+    val v = DeltaLite.readRaw(spark, targetPath)
     v.withColumn("avg_value",
       (col("sum_value") / col("n_rows")).cast("decimal(28,8)"))
   }
@@ -194,7 +201,7 @@ object IncrementalMv {
     DeltaLite.latestVersion(targetPath) match {
       case None =>
         DeltaLite.create(spark, targetPath,
-          joined(DeltaLite.read(spark, pathA), DeltaLite.read(spark, pathB)),
+          joined(DeltaLite.readRaw(spark, pathA), DeltaLite.readRaw(spark, pathB)),
           properties = properties, txns = Seq((appA, vA), (appB, vB)))
       case Some(_) =>
         val txns = DeltaLite.snapshot(targetPath).txns
@@ -206,7 +213,7 @@ object IncrementalMv {
           return DeltaLite.snapshot(targetPath).version
         def inserts(path: String, from: Long, to: Long,
             cols: Seq[String]): DataFrame = {
-          if (from >= to) return DeltaLite.read(spark, path)
+          if (from >= to) return DeltaLite.readRaw(spark, path)
             .select(cols.map(col): _*).limit(0)
           val d = DeltaLite.changes(spark, path, from, to)
           val bad = d.filter(col("_change_type") =!= "insert").limit(1).count()
@@ -217,8 +224,8 @@ object IncrementalMv {
         }
         val dA = inserts(pathA, apA, vA, colsA)
         val dB = inserts(pathB, apB, vB, colsB)
-        val aOld = DeltaLite.read(spark, pathA, Some(apA))
-        val bNew = DeltaLite.read(spark, pathB)
+        val aOld = DeltaLite.readRaw(spark, pathA, Some(apA))
+        val bNew = DeltaLite.readRaw(spark, pathB)
         val deltaJ = dA
           .join(bNew.select(colsB.map(col): _*), col(keyA) === col(keyB))
           .unionByName(aOld.select(colsA.map(col): _*)

@@ -1992,11 +1992,46 @@ object DeltaLite {
     * parquet scan over exactly the live files; schema comes from the log
     * (so files written before a schema evolution read with nulls for the
     * added columns). */
-  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame =
+    applyGovernance(spark, readRaw(spark, path, asOf),
+      snapshot(path, asOf).properties)
+
+  /** The ungoverned snapshot read — the building block every INTERNAL
+    * consumer uses: maintenance validation (ADD CONSTRAINT must check
+    * STORED rows), statistics (ANALYZE must describe STORED data), and
+    * derived-data pipelines (IncrementalMv folds raw CDF deltas, so its
+    * base load must be raw too or the view drifts). User-facing serving
+    * goes through [[read]]/[[scan]], which add the S63 governance
+    * layer. Package-private on purpose: external callers cannot reach
+    * around the policy. */
+  private[graft] def readRaw(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
-    applyGovernance(spark, readFiles(spark, path, snap.schema, snap.files,
+    readFiles(spark, path, snap.schema, snap.files,
       snap.partitionBy, snap.physical, snap.properties,
-      snap.churnVersions.length.toLong), snap.properties)
+      snap.churnVersions.length.toLong)
+  }
+
+  /** Guard for read surfaces that do NOT implement governance (CDF,
+    * streaming offsets, the registered-format relation): rather than
+    * silently serving raw data from a governed table — the classic
+    * secondary-path leak — they REFUSE until the policy is dropped or
+    * the session sets the audit-worthy bypass. Masking change feeds is
+    * genuinely subtle (a filtered-out row's update must not surface as
+    * a bare delete, a masked column's pre/post images must mask
+    * consistently), so refusal is the sound contract until someone
+    * designs that surface deliberately. */
+  private[graft] def requireUngoverned(spark: SparkSession,
+      props: Map[String, String], surface: String): Unit = {
+    val governed = props.contains("graft.rowFilter") ||
+      props.keysIterator.exists(_.startsWith("graft.mask."))
+    if (governed &&
+        !spark.conf.get("spark.graft.governance.bypass", "false").toBoolean)
+      throw new IllegalArgumentException(
+        s"$surface does not enforce governance policies " +
+          "(graft.rowFilter / graft.mask.*) — read through " +
+          "DeltaLite.read/scan, drop the policy, or set " +
+          "spark.graft.governance.bypass for an audited raw read")
   }
 
   /** READ-side governance policies (the Databricks row-filter /
@@ -2053,7 +2088,15 @@ object DeltaLite {
       .filter(_ => !exempt("graft.rowFilterExempt"))
       .map(p => df.filter(expr(p))).getOrElse(df)
     masks.toSeq.sortBy(_._1).foldLeft(filtered) { case (d, (c, kind)) =>
-      if (!d.columns.contains(c) || exempt(s"graft.maskExempt.$c")) d
+      // a mask naming a column the frame does not carry FAILS LOUDLY:
+      // silently skipping would fail OPEN on a policy typo or an
+      // orphaned key (rename/drop now refuse while referenced, but a
+      // hand-edited property must not serve raw either)
+      require(d.columns.contains(c),
+        s"mask policy 'graft.mask.$c' names a column this table does " +
+          s"not carry (${d.columns.mkString(", ")}) — fix or drop the " +
+          "policy; an unenforceable policy must not serve raw data")
+      if (exempt(s"graft.maskExempt.$c")) d
       else {
         val dt = d.schema(c).dataType
         def requireString(): Unit = require(dt == StringType,
@@ -2095,6 +2138,9 @@ object DeltaLite {
   def readWithRowIds(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
+    // a SERVING read: the S63 governance layer applies exactly like
+    // [[read]] (masks keep types, the filter drops rows before ids
+    // surface; _row_id/_row_commit_version are never maskable targets)
     val withPos = readFilesWithPos(spark, path, withMatCols(snap.schema),
       snap.files, snap.partitionBy, snap.physical)
     withJoinedRowIds(spark, withPos, snap.files)
@@ -2104,6 +2150,7 @@ object DeltaLite {
         coalesce(col(MatRowCommitCol), col("__b_commit")))
       .drop("path", "row_index", "__b_path", "__b_base", "__b_commit",
         MatRowIdCol, MatRowCommitCol)
+      .transform(df => applyGovernance(spark, df, snap.properties))
   }
 
   /** Logical schema + the two materialized row-tracking columns (read
@@ -2712,6 +2759,8 @@ object DeltaLite {
   def readVersionAppends(spark: SparkSession, path: String,
       from: Option[Long], to: Long, allowRewrites: Boolean): DataFrame = {
     val toSnap = snapshot(path, Some(to))
+    requireUngoverned(spark, toSnap.properties,
+      "the streaming source (version-append offsets)")
     from match {
       case None =>
         readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy, toSnap.physical)
@@ -3376,7 +3425,10 @@ object DeltaLite {
     val snap = snapshot(path)
     require(!snap.constraints.contains(name),
       s"constraint '$name' already exists on $path")
-    val bad = read(spark, path)
+    // validate against STORED rows (readRaw): a CHECK recorded while a
+    // row filter hides violating rows would be a lie the next rewrite's
+    // re-validation trips over
+    val bad = readRaw(spark, path)
       .filter(not(coalesce(expr(check), lit(true)))).limit(1).count()
     require(bad == 0L,
       s"cannot add constraint '$name': existing rows violate CHECK ($check)")
@@ -3410,6 +3462,14 @@ object DeltaLite {
       s"'$newName' collides with an existing physical column name")
     require(!constraintMentions(snap.constraints, oldName),
       s"cannot rename '$oldName': referenced by a CHECK constraint")
+    require(!snap.properties.contains(s"graft.mask.$oldName") &&
+        !snap.properties.contains(s"graft.maskExempt.$oldName") &&
+        !snap.properties.get("graft.rowFilter")
+          .exists(f => ("(?i)\\b" +
+            java.util.regex.Pattern.quote(oldName) + "\\b").r
+            .findFirstIn(f).isDefined),
+      s"cannot rename '$oldName': referenced by a governance policy " +
+        "(graft.mask.* / graft.rowFilter) — update or drop the policy first")
     require(!snap.generated.contains(oldName) &&
         !constraintMentions(snap.generated, oldName),
       s"cannot rename '$oldName': it is, or is referenced by, a generated column")
@@ -3493,6 +3553,14 @@ object DeltaLite {
     require(snap.schema.fields.length > 1, "cannot drop the only column")
     require(!constraintMentions(snap.constraints, name),
       s"cannot drop '$name': referenced by a CHECK constraint")
+    require(!snap.properties.contains(s"graft.mask.$name") &&
+        !snap.properties.contains(s"graft.maskExempt.$name") &&
+        !snap.properties.get("graft.rowFilter")
+          .exists(f => ("(?i)\\b" +
+            java.util.regex.Pattern.quote(name) + "\\b").r
+            .findFirstIn(f).isDefined),
+      s"cannot drop '$name': referenced by a governance policy " +
+        "(graft.mask.* / graft.rowFilter) — update or drop the policy first")
     require(!constraintMentions(snap.generated, name),
       s"cannot drop '$name': referenced by a generated column's expression")
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
@@ -3651,7 +3719,9 @@ object DeltaLite {
         eligible.filter(f => columns.contains(f.name))
       }
     require(targets.nonEmpty, s"ANALYZE: no stat-eligible columns on $path")
-    val df = read(spark, path)
+    // statistics describe STORED data (readRaw): governed-frame stats
+    // would be principal-dependent and inconsistent with totalRows
+    val df = readRaw(spark, path)
     // WITH HISTOGRAM also folds a quantile digest per eligible column in
     // the SAME pass — it both supplies the bin bounds below (no separate
     // percentile pass) and is stored as the histogram's mergeable state
@@ -5069,6 +5139,8 @@ object DeltaLite {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val from = snapshot(path, Some(fromVersion))
     val to = snapshot(path, Some(toVersion))
+    requireUngoverned(spark, to.properties,
+      "the change data feed (table_changes)")
     // identity = (path, dv): a deletion-vector change re-adds the same
     // physical file with a new DV, and the shared surviving rows cancel
     // in the exceptAll below — only the newly-deleted rows surface

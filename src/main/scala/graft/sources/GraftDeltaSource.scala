@@ -75,6 +75,12 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
+    // the streaming source serves version appends / CDF batches, which
+    // do not implement governance — refuse a governed table up front
+    // (the clearer error than failing at the first getBatch)
+    DeltaLite.requireUngoverned(ctx.sparkSession,
+      DeltaLite.snapshot(path).properties,
+      "the graft-delta streaming source")
     new GraftDeltaStreamSource(ctx.sparkSession, path,
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),

@@ -919,6 +919,41 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       assert(phoneOf(1L) === "***********2988",
         "etl is row-exempt but NOT column-exempt")
     } finally spark.conf.unset("spark.graft.principal")
+    // UN-GOVERNED SURFACES REFUSE rather than leak: CDF, streaming,
+    // and a rename/drop that would orphan a policy key
+    intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, path, 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(path, "phone", "phone_number")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.dropColumn(path, "note")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(path, "bal", "balance") // rowFilter names it
+    }
+    // a policy naming a column the table does not carry fails CLOSED
+    DeltaLite.setProperties(path, Map("graft.mask.phnoe" -> "last4"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, path).collect()
+    }
+    DeltaLite.unsetProperty(path, "graft.mask.phnoe")
+    // MAINTENANCE reads raw: ANALYZE describes STORED data (3 rows, not
+    // the governed 2) and ADD CONSTRAINT validates STORED rows (id 3's
+    // bal=40 violates even though the row filter hides it)
+    DeltaLite.analyzeTable(spark, path)
+    assert(DeltaLite.parseColStatsFull(
+      DeltaLite.snapshot(path).properties)._1 === 3L,
+      "statistics must describe stored data, not the governed view")
+    intercept[IllegalArgumentException] {
+      DeltaLite.addConstraint(spark, path, "pos_bal", "bal >= 45.0")
+    }
+    // row-id reads are a SERVING surface: governed like read()
+    val rid = DeltaLite.readWithRowIds(spark, path).collect()
+    assert(rid.length === 2, "readWithRowIds must apply the row filter")
+    assert(rid.map(_.getAs[String]("phone")).forall(_.contains("*")),
+      "readWithRowIds must apply the masks")
     // EXPLAIN COST renders the governance surface (what a READ will do)
     val cost = spark.sql(s"EXPLAIN COST '$path'").collect()
       .filter(_.getString(0) == "governance")
