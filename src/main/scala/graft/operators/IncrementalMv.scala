@@ -73,7 +73,7 @@ object IncrementalMv {
           sys.error(s"$targetPath is not a view over $sourcePath " +
             "(no applied-version txn)"))
         if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
-        val deltas = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
+        val deltas = DeltaLite.changesRaw(spark, sourcePath, applied, srcVersion)
           .withColumn("__sign",
             when(col("_change_type").isin("insert", "update_postimage"), 1L)
               .otherwise(-1L))
@@ -129,7 +129,7 @@ object IncrementalMv {
         val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
           sys.error(s"$targetPath is not a full view over $sourcePath"))
         if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
-        val dirty = DeltaLite.changes(spark, sourcePath, applied, srcVersion)
+        val dirty = DeltaLite.changesRaw(spark, sourcePath, applied, srcVersion)
           .select(keys.map(col): _*).distinct()
         val fresh = aggregate(
           DeltaLite.readRaw(spark, sourcePath).join(dirty, keys, "left_semi"))
@@ -151,9 +151,14 @@ object IncrementalMv {
     }
   }
 
-  /** The view as a DataFrame (keys, sum_value, n_rows, avg_value). */
+  /** The view as a DataFrame (keys, sum_value, n_rows, avg_value).
+    * A SERVING surface: goes through [[DeltaLite.read]], so governance
+    * policies declared on the MV TABLE (graft.rowFilter / graft.mask.*)
+    * are enforced here exactly like on any other table. Only the
+    * refresh INTERNALS (base load, merge inputs) read raw — they fold
+    * raw deltas and must see stored values or the view drifts. */
   def read(spark: SparkSession, targetPath: String): DataFrame = {
-    val v = DeltaLite.readRaw(spark, targetPath)
+    val v = DeltaLite.read(spark, targetPath)
     v.withColumn("avg_value",
       (col("sum_value") / col("n_rows")).cast("decimal(28,8)"))
   }
@@ -215,7 +220,7 @@ object IncrementalMv {
             cols: Seq[String]): DataFrame = {
           if (from >= to) return DeltaLite.readRaw(spark, path)
             .select(cols.map(col): _*).limit(0)
-          val d = DeltaLite.changes(spark, path, from, to)
+          val d = DeltaLite.changesRaw(spark, path, from, to)
           val bad = d.filter(col("_change_type") =!= "insert").limit(1).count()
           require(bad == 0L,
             s"join view over $path requires append-only sources " +

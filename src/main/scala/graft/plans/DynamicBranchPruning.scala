@@ -304,14 +304,15 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     val memo: Option[scala.collection.mutable.Map[
         LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]] =
       org.apache.spark.sql.catalyst.QueryPlanningTracker.get.map { t =>
-        val cur = subqMemo.get(t)
-        if (cur != null) cur
-        else {
-          val fresh = scala.collection.mutable.Map[
-            LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]()
-          subqMemo.put(t, fresh)
-          fresh
-        }
+        // computeIfAbsent INSIDE the synchronized map keeps the
+        // get-or-create atomic; the inner mutable.Map itself is still
+        // touched by one thread only — Spark optimizes a given compile
+        // (one tracker) on a single thread, and this rule never hands
+        // the map across threads. If that invariant ever broke the
+        // inner map would need its own lock, not just this lookup.
+        subqMemo.computeIfAbsent(t, _ =>
+          scala.collection.mutable.Map[
+            LogicalPlan, (Set[Any], Set[Any], Option[Boolean])]())
       }
     val partners: Map[LogicalPlan, (Set[Any], Boolean)] =
       groups.iterator.flatMap { case (canon, g) =>

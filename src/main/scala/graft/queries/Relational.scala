@@ -4016,9 +4016,10 @@ ORDER BY fold ASC NULLS LAST"""),
     // this engine pair, BOTH Spark `div` and DuckDB's integer `//`
     // TRUNCATE toward zero (oracle −2000000 // 6 = −333333), so the
     // plain operators agree; define tau_ppm as the truncating quotient.
-    // (g7 pins the opposite, FLOORING, behavior for its q_ppm via an
-    // explicit non-negative-mod form on BOTH sides — that form is the
-    // safe spelling whenever a specific rounding is part of the
+    // (g7's q_ppm now rides the same plain truncating quotient on both
+    // sides — the measurement that fixed its earlier floor-assumption
+    // bug; an explicit non-negative-mod floor form remains the safe
+    // spelling whenever FLOORING specifically is part of a
     // contract.) The pair join is the a30 calendar-bounded frame
     // (days², never corpus²); revenue ties count as neither
     // (tau-a denominator = all pairs).

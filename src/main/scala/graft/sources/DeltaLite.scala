@@ -2012,28 +2012,6 @@ object DeltaLite {
       snap.churnVersions.length.toLong)
   }
 
-  /** Guard for read surfaces that do NOT implement governance (CDF,
-    * streaming offsets, the registered-format relation): rather than
-    * silently serving raw data from a governed table — the classic
-    * secondary-path leak — they REFUSE until the policy is dropped or
-    * the session sets the audit-worthy bypass. Masking change feeds is
-    * genuinely subtle (a filtered-out row's update must not surface as
-    * a bare delete, a masked column's pre/post images must mask
-    * consistently), so refusal is the sound contract until someone
-    * designs that surface deliberately. */
-  private[graft] def requireUngoverned(spark: SparkSession,
-      props: Map[String, String], surface: String): Unit = {
-    val governed = props.contains("graft.rowFilter") ||
-      props.keysIterator.exists(_.startsWith("graft.mask."))
-    if (governed &&
-        !spark.conf.get("spark.graft.governance.bypass", "false").toBoolean)
-      throw new IllegalArgumentException(
-        s"$surface does not enforce governance policies " +
-          "(graft.rowFilter / graft.mask.*) — read through " +
-          "DeltaLite.read/scan, drop the policy, or set " +
-          "spark.graft.governance.bypass for an audited raw read")
-  }
-
   /** READ-side governance policies (the Databricks row-filter /
     * column-mask feature family), declared as table properties so they
     * travel with the table (clones, RESTORE, time travel — a historical
@@ -2043,6 +2021,19 @@ object DeltaLite {
     *   graft.mask.<logicalName>   = 'null' | 'md5' | 'last4'
     *   graft.maskExempt.<name>    = 'alice,bob'   (see principals below)
     *   graft.rowFilterExempt      = 'etl'
+    *   graft.roles.<role>         = 'alice,bob'   (role membership —
+    *                                exemption lists may name roles)
+    *
+    * TRUST MODEL (stated plainly): identity and the bypass are plain
+    * session confs (`spark.graft.principal`,
+    * `spark.graft.governance.bypass`) that any code holding the
+    * SparkSession can set, so exemptions are SELF-ASSERTED. This is
+    * view-based security in a shared-session engine: it enforces
+    * correct data shaping for well-behaved readers and assumes a
+    * trusted session owner / perimeter-controlled confs — it is NOT a
+    * security boundary against a hostile caller inside the same JVM
+    * (that requires an external enforcement point: a proxy, a catalog
+    * server, per-user sessions).
     *
     * Enforcement point: the SERVING reads ([[read]] / [[scan]]) only.
     * DML and maintenance rewrites (merge/delete/update/OPTIMIZE/
@@ -2079,11 +2070,25 @@ object DeltaLite {
     // rows) RAW. Deny-by-default: no principal set, or a principal not
     // on the list, gets the governed view — an exemption list can only
     // ever WIDEN one named column/filter for named callers, never
-    // disable a policy wholesale (that is the bypass conf's job, and it
-    // is the audit-worthy switch).
+    // disable a policy wholesale (that is the bypass conf's job).
+    // Both confs are self-asserted — see the trust-model note above:
+    // "deny-by-default" describes the lookup's semantics for honest
+    // sessions, not resistance to a caller who sets the confs.
+    // ROLE INDIRECTION (the warehouse-grants analogue): an exemption
+    // list may name ROLES as well as principals. `graft.roles.<role>` =
+    // 'alice,bob' declares the role's membership as a table property —
+    // widening a policy for a new team member edits ONE membership
+    // list, not every exemption on every column. Resolution is ONE
+    // level deep by design (a role's members are principals, never
+    // other roles): nested role graphs need cycle detection and make
+    // "who can see this" unanswerable by reading one property — the
+    // flat form keeps the audit story greppable.
     val principal = spark.conf.get("spark.graft.principal", "").trim
+    def memberOf(name: String): Boolean = name == principal ||
+      props.get(s"graft.roles.$name")
+        .exists(_.split(',').map(_.trim).contains(principal))
     def exempt(key: String): Boolean = principal.nonEmpty &&
-      props.get(key).exists(_.split(',').map(_.trim).contains(principal))
+      props.get(key).exists(_.split(',').map(_.trim).exists(memberOf))
     val filtered = rowFilter
       .filter(_ => !exempt("graft.rowFilterExempt"))
       .map(p => df.filter(expr(p))).getOrElse(df)
@@ -2759,11 +2764,20 @@ object DeltaLite {
   def readVersionAppends(spark: SparkSession, path: String,
       from: Option[Long], to: Long, allowRewrites: Boolean): DataFrame = {
     val toSnap = snapshot(path, Some(to))
-    requireUngoverned(spark, toSnap.properties,
-      "the streaming source (version-append offsets)")
+    // A SERVING surface: each micro-batch gets the S63 projection (raw
+    // row filter -> masks) under the policy IN FORCE AT THE BATCH'S END
+    // VERSION — a policy change mid-stream governs every batch from the
+    // first one whose end version carries it, earlier batches are
+    // already delivered and stay as served (the same
+    // policy-at-version rule as time travel). Appends are whole rows,
+    // so the projection is exactly the batch-read shape: no change-feed
+    // pre/post-image subtleties here.
+    def governed(df: DataFrame): DataFrame =
+      applyGovernance(spark, df, toSnap.properties)
     from match {
       case None =>
-        readFiles(spark, path, toSnap.schema, toSnap.files, toSnap.partitionBy, toSnap.physical)
+        governed(readFiles(spark, path, toSnap.schema, toSnap.files,
+          toSnap.partitionBy, toSnap.physical))
       case Some(f) =>
         val fromSnap = snapshot(path, Some(f))
         // file identity is (path, dv): a deletion-vector delete keeps the
@@ -2782,9 +2796,9 @@ object DeltaLite {
               "set ignoreChanges=true to stream through rewrites, or " +
               "readChangeFeed=true to consume row-level change events")
         val fromKeys = fromSnap.files.map(x => (x.path, x.dv)).toSet
-        readFiles(spark, path, toSnap.schema,
+        governed(readFiles(spark, path, toSnap.schema,
           toSnap.files.filterNot(x => fromKeys.contains((x.path, x.dv))),
-          toSnap.partitionBy, toSnap.physical)
+          toSnap.partitionBy, toSnap.physical))
     }
   }
 
@@ -5133,25 +5147,59 @@ object DeltaLite {
     * update post-images) and net-removed rows (`'delete'`, covering
     * deletes and update pre-images), as a multiset diff. Downstream
     * incremental consumers (the dbt-style use) apply inserts and retract
-    * deletes. */
+    * deletes. A SERVING surface: S63 governance applies (see the
+    * governed-change-feed comment in the body). Derived-data refreshers
+    * that fold deltas into stored state use [[changesRaw]] — folding a
+    * governed delta into a raw accumulator drifts the result. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long): DataFrame =
+    changesImpl(spark, path, fromVersion, toVersion, governed = true)
+
+  /** The ungoverned change feed for REFRESH INTERNALS (IncrementalMv's
+    * delta folds) — the CDF twin of [[readRaw]], package-private for
+    * the same reason: derived-data maintenance must see STORED deltas
+    * or the maintained state drifts; the policy belongs on the serving
+    * read of the DERIVED table (and of this one). */
+  private[graft] def changesRaw(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    changesImpl(spark, path, fromVersion, toVersion, governed = false)
+
+  private def changesImpl(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, governed: Boolean): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val from = snapshot(path, Some(fromVersion))
     val to = snapshot(path, Some(toVersion))
-    requireUngoverned(spark, to.properties,
-      "the change data feed (table_changes)")
     // identity = (path, dv): a deletion-vector change re-adds the same
     // physical file with a new DV, and the shared surviving rows cancel
     // in the exceptAll below — only the newly-deleted rows surface
     val fromKeys = from.files.map(f => (f.path, f.dv)).toSet
     val toKeys = to.files.map(f => (f.path, f.dv)).toSet
+    // GOVERNED CHANGE FEED: the S63 serving projection (raw row
+    // filter -> masks) applies to EACH IMAGE BEFORE the multiset diff,
+    // under the policy at the `to` version, so the feed describes
+    // changes to the GOVERNED VIEW — the deliberately-designed
+    // semantics that replaced the earlier fail-closed refusal:
+    //   * a filtered-out row's lifecycle emits NO events (its delete
+    //     must not leak existence);
+    //   * an update moving a row ACROSS the filter surfaces as a bare
+    //     insert (entered the view) or delete (left the view);
+    //   * masks apply identically to pre- and post-images, so a change
+    //     visible only through a masked-away column CANCELS in the
+    //     diff — correct: the governed view did not change;
+    //   * exemption principals and the bypass conf see exactly what
+    //     their batch read would (applyGovernance owns that logic).
+    // Change-type labels still describe the COMMIT's operation;
+    // governance only decides which rows are visible.
     // read through the LATER schema so evolved columns align (nulls for
     // rows from pre-evolution files)
-    val removedRows = readFiles(spark, path, to.schema,
-      from.files.filterNot(f => toKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
-    val addedRows = readFiles(spark, path, to.schema,
-      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))), to.partitionBy, to.physical)
+    def serve(df: DataFrame): DataFrame =
+      if (governed) applyGovernance(spark, df, to.properties) else df
+    val removedRows = serve(readFiles(spark, path, to.schema,
+      from.files.filterNot(f => toKeys.contains((f.path, f.dv))),
+      to.partitionBy, to.physical))
+    val addedRows = serve(readFiles(spark, path, to.schema,
+      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))),
+      to.partitionBy, to.physical))
     // Delta CDF labels an UPDATE commit's rows update_preimage /
     // update_postimage instead of delete / insert. The distinction is
     // only well-defined PER COMMIT (an aggregate diff over many versions

@@ -75,12 +75,10 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
-    // the streaming source serves version appends / CDF batches, which
-    // do not implement governance — refuse a governed table up front
-    // (the clearer error than failing at the first getBatch)
-    DeltaLite.requireUngoverned(ctx.sparkSession,
-      DeltaLite.snapshot(path).properties,
-      "the graft-delta streaming source")
+    // governance on a streaming read is enforced PER MICRO-BATCH inside
+    // DeltaLite.readVersionAppends / DeltaLite.changes (the S63 serving
+    // projection under the policy at each batch's end version), so a
+    // governed table streams fine — no up-front refusal needed
     new GraftDeltaStreamSource(ctx.sparkSession, path,
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),

@@ -478,6 +478,26 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
     assert(viewRows().exceptAll(recompute()).count() === 0)
     assert(recompute().exceptAll(viewRows()).count() === 0)
+    // governance declared ON THE MV TABLE is enforced through the
+    // serving accessor (IncrementalMv.read rides DeltaLite.read); the
+    // refresh internals keep reading raw, so a refresh under policy
+    // still lands exact stored state
+    DeltaLite.setProperties(tgt, Map(
+      "graft.rowFilter" -> "g <> 'g1'", "graft.mask.g" -> "md5"))
+    val governedMv = IncrementalMv.read(spark, tgt).collect()
+    assert(governedMv.forall(_.getAs[String]("g").matches("[0-9a-f]{32}")),
+      "the MV's own mask policy must apply through IncrementalMv.read")
+    assert(governedMv.length === viewRows().count().toInt &&
+      governedMv.length < 5,
+      "the MV's own row filter must drop g1 through IncrementalMv.read")
+    DeltaLite.append(spark, src, Seq((1000L, "g1", 2.0)).toDF("k", "g", "v"))
+    IncrementalMv.refreshSum(spark, src, tgt, Seq("g"), "v")
+    spark.conf.set("spark.graft.governance.bypass", "true")
+    try {
+      assert(viewRows().exceptAll(recompute()).count() === 0,
+        "refresh under a table policy must store exact raw state")
+      assert(recompute().exceptAll(viewRows()).count() === 0)
+    } finally spark.conf.unset("spark.graft.governance.bypass")
   }
 
   test("IncrementalMv.refreshFull: min/max stay exact via dirty-group recompute") {
@@ -918,12 +938,52 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         "the rowFilter exemption serves the full row set")
       assert(phoneOf(1L) === "***********2988",
         "etl is row-exempt but NOT column-exempt")
+      // ROLE INDIRECTION: the exemption list names a ROLE whose
+      // membership is its own table property — adding carol to the
+      // team edits ONE membership list, not every column's exemption
+      DeltaLite.setProperties(path, Map(
+        "graft.roles.support" -> "carol,dave",
+        "graft.maskExempt.phone" -> "alice, bob, support"))
+      spark.conf.set("spark.graft.principal", "carol")
+      assert(phoneOf(1L) === "25-989-741-2988",
+        "a member of an exempted ROLE sees the column raw")
+      spark.conf.set("spark.graft.principal", "support")
+      assert(phoneOf(1L) === "25-989-741-2988",
+        "a principal literally named on the list still matches " +
+          "(role names resolve as names too)")
+      spark.conf.set("spark.graft.principal", "mallory")
+      assert(phoneOf(1L) === "***********2988",
+        "not a member, not listed -> governed")
+      // REVOCATION is one property edit: shrink the membership
+      DeltaLite.setProperties(path, Map("graft.roles.support" -> "dave"))
+      spark.conf.set("spark.graft.principal", "carol")
+      assert(phoneOf(1L) === "***********2988",
+        "a revoked member is governed again immediately")
+      // resolution is ONE level: a role listing another role does NOT
+      // chain (nested grants make the audit story unreadable)
+      DeltaLite.setProperties(path, Map(
+        "graft.roles.support" -> "team_b",
+        "graft.roles.team_b" -> "carol"))
+      assert(phoneOf(1L) === "***********2988",
+        "role-in-role must not resolve transitively")
+      DeltaLite.unsetProperty(path, "graft.roles.support")
+      DeltaLite.unsetProperty(path, "graft.roles.team_b")
+      DeltaLite.setProperties(path,
+        Map("graft.maskExempt.phone" -> "alice, bob"))
     } finally spark.conf.unset("spark.graft.principal")
-    // UN-GOVERNED SURFACES REFUSE rather than leak: CDF, streaming,
-    // and a rename/drop that would orphan a policy key
-    intercept[IllegalArgumentException] {
-      DeltaLite.changes(spark, path, 0L, 1L)
-    }
+    // GOVERNED CHANGE FEED: the serving projection applies to each
+    // image BEFORE the multiset diff — id 2's pre-image (bal = -5,
+    // hidden by the row filter) must NOT leak as an update_preimage
+    // event, while its post-image (bal = 50) entered the governed view
+    // and serves masked. (v0 -> v1 was the UPDATE of id 2 above.)
+    val cdf = DeltaLite.changes(spark, path, 0L, 1L).collect()
+    assert(cdf.map(_.getAs[String]("_change_type")).toSeq ===
+      Seq("update_postimage"),
+      s"filtered-out pre-image must not surface: ${cdf.toSeq}")
+    assert(cdf(0).getAs[Long]("id") === 2L)
+    assert(cdf(0).getAs[String]("phone") === "***********4567",
+      "change-feed rows serve masked like any other read")
+    // a rename/drop that would orphan a policy key still refuses
     intercept[IllegalArgumentException] {
       DeltaLite.renameColumn(path, "phone", "phone_number")
     }

@@ -556,6 +556,107 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("a GOVERNED table streams: each micro-batch serves the S63 projection; policy changes govern from their version on") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gov_stream")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "25-989-741-2988", 100.0), (2L, "13-555-123-4567", -5.0))
+        .toDF("k", "phone", "bal"),
+      properties = Map(
+        "graft.rowFilter" -> "bal >= 0.0", "graft.mask.phone" -> "last4"))
+    val q = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("gov_src")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT k, phone FROM gov_src")
+        .as[(Long, String)].collect().toSeq
+      assert(first === Seq((1L, "***********2988")),
+        "the initial-snapshot batch must filter rows and mask columns")
+      // an append batch is governed the same way
+      graft.sources.DeltaLite.append(spark, table,
+        Seq((3L, "999", 50.0), (4L, "888", -1.0)).toDF("k", "phone", "bal"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM gov_src").as[Long].collect().sorted
+        .toSeq === Seq(1L, 3L), "k=4 is hidden by the row filter")
+      // POLICY CHANGE MID-STREAM: dropping the policy governs every
+      // batch whose end version no longer carries it — new rows serve
+      // raw; rows hidden in ALREADY-DELIVERED batches do not
+      // retro-deliver (append-only offsets never re-read old versions)
+      graft.sources.DeltaLite.unsetProperty(table, "graft.rowFilter")
+      graft.sources.DeltaLite.unsetProperty(table, "graft.mask.phone")
+      graft.sources.DeltaLite.append(spark, table,
+        Seq((5L, "777-111", -2.0)).toDF("k", "phone", "bal"))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT k, phone FROM gov_src")
+        .as[(Long, String)].collect().toMap
+      assert(after.keySet === Set(1L, 3L, 5L),
+        "post-drop batches serve raw; hidden rows from governed " +
+          "batches stay undelivered")
+      assert(after(5L) === "777-111", "no mask after the policy drop")
+      assert(after(1L) === "***********2988",
+        "already-delivered rows keep the shape they were served with")
+    } finally q.stop()
+  }
+
+  test("a GOVERNED CDF stream: hidden rows' events never leak; images mask consistently; exemptions apply per batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gov_cdf")
+    val table = dir.resolve("tbl").toString
+    graft.sources.DeltaLite.create(spark, table,
+      Seq((1L, "alpha", 10.0), (2L, "beta", -5.0)).toDF("k", "s", "bal"),
+      properties = Map(
+        "graft.rowFilter" -> "bal >= 0.0", "graft.mask.s" -> "md5",
+        "graft.maskExempt.s" -> "etl"))
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", true).load(table)
+      .writeStream.format("memory").queryName("gov_cdf")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val v0 = spark.sql(
+        "SELECT k, s FROM gov_cdf WHERE _commit_version = 0")
+        .as[(Long, String)].collect().toSeq
+      assert(v0.map(_._1) === Seq(1L),
+        "the hidden row's initial insert must not leak")
+      assert(v0.head._2.matches("[0-9a-f]{32}"), "events serve masked")
+      // deleting a row the filter hides emits NOTHING — a delete event
+      // would leak the row's existence
+      graft.sources.DeltaLite.delete(spark, table, $"k" === 2L)
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT * FROM gov_cdf WHERE _commit_version = 1").count() === 0,
+        "a hidden row's delete must not surface")
+      // an update moving a row OUT of the governed view surfaces only
+      // the pre-image (the row left the view); the filtered post-image
+      // must not appear
+      graft.sources.DeltaLite.update(spark, table, $"k" === 1L,
+        Map("bal" -> org.apache.spark.sql.functions.lit(-1.0)))
+      q.processAllAvailable()
+      val v2 = spark.sql(
+        "SELECT _change_type FROM gov_cdf WHERE _commit_version = 2")
+        .as[String].collect().toSeq
+      assert(v2 === Seq("update_preimage"),
+        s"expected just the departing pre-image, got $v2")
+      // EXEMPTION PRINCIPALS apply per batch: etl (on graft.maskExempt.s)
+      // sees the masked column raw in batches served while it is the
+      // session principal
+      spark.conf.set("spark.graft.principal", "etl")
+      try {
+        graft.sources.DeltaLite.append(spark, table,
+          Seq((3L, "gamma", 7.0)).toDF("k", "s", "bal"))
+        q.processAllAvailable()
+        assert(spark.sql(
+          "SELECT s FROM gov_cdf WHERE _commit_version = 3")
+          .as[String].collect().toSeq === Seq("gamma"),
+          "the exempted principal's batch serves the column raw")
+      } finally spark.conf.unset("spark.graft.principal")
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft-delta) lands exactly-once commits via the registered sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
