@@ -71,8 +71,47 @@ object Medallion {
         deprecationDate: Option[String] = None,
         group: Option[String] = None, access: String = "protected",
         tags: Seq[String] = Nil,
+        grants: Map[String, String] = Map.empty,
         buildV: Option[(SparkSession, String => DataFrame,
           String => String) => DataFrame] = None)
+
+    /** dbt `grants:`-style governance config: the model declares its
+      * materialized table's S63 policy surface (graft.rowFilter,
+      * graft.mask.<col>, graft.maskExempt.<col>, graft.rowFilterExempt,
+      * graft.roles.<role>) as config, and every materialization compiles
+      * it onto the target's TBLPROPERTIES — so the policy lives in the
+      * project (reviewed, versioned, deployed with the model), not in
+      * hand-edited table state. Semantics follow dbt grants exactly:
+      * the declared config is AUTHORITATIVE — each run applies the
+      * declared keys and REVOKES governance keys no longer declared
+      * (revocation by omission; dbt computes the same show-grants diff).
+      * Keys outside the governance namespace are rejected at declaration
+      * — this surface manages policy, not arbitrary properties. Cost is
+      * pure metadata: a no-change sync reads one snapshot and commits
+      * nothing. */
+    private def isGovernanceKey(k: String): Boolean =
+      k == "graft.rowFilter" || k == "graft.rowFilterExempt" ||
+        k.startsWith("graft.mask.") || k.startsWith("graft.maskExempt.") ||
+        k.startsWith("graft.roles.")
+
+    private[graft] def syncGrants(path: String,
+        declared: Map[String, String]): Unit = {
+      declared.keys.find(!isGovernanceKey(_)).foreach(k =>
+        throw new IllegalArgumentException(s"grants config key '$k' is " +
+          "not a governance property (graft.rowFilter / graft.mask.* / " +
+          "graft.maskExempt.* / graft.rowFilterExempt / graft.roles.*)"))
+      val D = graft.sources.DeltaLite
+      val current = D.snapshot(path).properties.filter {
+        case (k, _) => isGovernanceKey(k)
+      }
+      // revocation by omission: a key the config no longer declares is
+      // dropped — EXCEPT mask keys a live rowFilter/exemption still
+      // references are fine to drop (masks and filters are independent)
+      (current.keySet -- declared.keySet).toSeq.sorted
+        .foreach(D.unsetProperty(path, _))
+      val changed = declared.filter { case (k, v) => !current.get(k).contains(v) }
+      if (changed.nonEmpty) D.setProperties(path, changed)
+    }
 
     /** dbt MODEL VERSIONS (`versions:` config): a versioned model is
       * one Model entry PER VERSION, all sharing `name`. Node identity
@@ -568,6 +607,11 @@ object Medallion {
                       D.replaceWhere(s, path, lit(true), built)
                       D.setProperties(path, Map(FingerprintKey -> fp(nodeId(m))))
                     }
+                  // grants config -> S63 properties, every materialization
+                  // (declared-authoritative: omissions revoke)
+                  if (m.grants.nonEmpty ||
+                      D.snapshot(path).properties.keys.exists(isGovernanceKey))
+                    syncGrants(path, m.grants)
                   // post-hooks see the just-materialized relation two
                   // ways: `{{ this }}` renders to the target path (for
                   // the lake's quoted-path DML), and a temp view named

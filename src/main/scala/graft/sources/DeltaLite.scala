@@ -3905,6 +3905,10 @@ object DeltaLite {
           ("governance", s"mask.$c",
             v + snap.properties.get(s"graft.maskExempt.$c")
               .map(e => s" (exempt: $e)").getOrElse(""))
+        case (k, v) if k.startsWith("graft.roles.") =>
+          // role membership renders beside the policies that may name
+          // it — "who can see this" answers from one EXPLAIN COST
+          ("governance", s"role.${k.stripPrefix("graft.roles.")}", v)
       }.sortBy(_._2)
     def ext(v: Any, dt: DataType): Option[String] = v match {
       case null => None

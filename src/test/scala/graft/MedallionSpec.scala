@@ -310,6 +310,61 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(boom.getMessage.contains("model exploded"))
   }
 
+  test("Pipeline grants config compiles to S63 properties: grant, role exemption, revoke by omission") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_grants").toString
+    def contacts(g: Map[String, String]) = Pipeline.Model("contacts", Nil,
+      (s, _) => { import s.implicits._
+        Seq((1L, "25-989-741-2988", 100.0), (2L, "13-555-123-4567", -5.0))
+          .toDF("id", "phone", "bal") },
+      grants = g)
+    val path = s"$target/contacts"
+    // GRANT: model config -> table properties at materialization
+    Pipeline.run(spark, Seq(contacts(Map(
+      "graft.rowFilter" -> "bal >= 0.0",
+      "graft.mask.phone" -> "last4",
+      "graft.maskExempt.phone" -> "support",
+      "graft.roles.support" -> "carol"))), target)
+    val props = DeltaLite.snapshot(path).properties
+    assert(props.get("graft.rowFilter") === Some("bal >= 0.0") &&
+      props.get("graft.mask.phone") === Some("last4") &&
+      props.get("graft.roles.support") === Some("carol"),
+      s"grants config must round-trip into TBLPROPERTIES: $props")
+    val served = DeltaLite.read(spark, path).orderBy($"id").collect()
+    assert(served.map(_.getLong(0)).toSeq === Seq(1L) &&
+      served(0).getString(1) === "***********2988",
+      "the compiled policy governs serving reads immediately")
+    spark.conf.set("spark.graft.principal", "carol")
+    try assert(DeltaLite.read(spark, path).collect()(0).getString(1)
+      === "25-989-741-2988",
+      "role-in-exemption-list: a member of the granted role reads raw")
+    finally spark.conf.unset("spark.graft.principal")
+    // REVOCATION BY OMISSION: a re-run whose config drops the role
+    // grant revokes it; undeclared governance keys are removed
+    Pipeline.run(spark, Seq(contacts(Map(
+      "graft.rowFilter" -> "bal >= 0.0",
+      "graft.mask.phone" -> "last4"))), target)
+    val props2 = DeltaLite.snapshot(path).properties
+    assert(!props2.contains("graft.roles.support") &&
+      !props2.contains("graft.maskExempt.phone"),
+      s"omitted grants must revoke: $props2")
+    spark.conf.set("spark.graft.principal", "carol")
+    try assert(DeltaLite.read(spark, path).collect()(0).getString(1)
+      === "***********2988", "the revoked role member is governed again")
+    finally spark.conf.unset("spark.graft.principal")
+    // empty config revokes the whole policy surface
+    Pipeline.run(spark, Seq(contacts(Map.empty)), target)
+    assert(!DeltaLite.snapshot(path).properties.keys
+      .exists(k => k.startsWith("graft.mask") || k == "graft.rowFilter"))
+    assert(DeltaLite.read(spark, path).count() === 2)
+    // non-governance keys are rejected at declaration — grants manage
+    // policy, not arbitrary properties
+    val bad = intercept[RuntimeException] {
+      Pipeline.run(spark, Seq(contacts(Map("team" -> "ingest"))), target)
+    }
+    assert(bad.getMessage.contains("not a governance property"))
+  }
+
   test("Pipeline selective rebuild (state:modified+): editing one model rebuilds only its subtree") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
