@@ -311,20 +311,72 @@ object Dedup {
     * (probe cell) and `probe_rk` (1..probes). */
   def ivfProbes(df: DataFrame, id: String, embCol: String,
       centers: Array[Array[Float]], probes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(df.sparkSession)
-    val centRows = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-    val cent = df.sparkSession.createDataFrame(centRows).toDF("centroid", "c_emb")
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__d2").asc, col("centroid").asc)
-    df.crossJoin(broadcast(cent))
-      .withColumn("__d2",
-        call_function("vec_dot", col(embCol), col(embCol))
-          - lit(2.0) * call_function("vec_dot", col(embCol), col("c_emb"))
-          + call_function("vec_dot", col("c_emb"), col("c_emb")))
-      .withColumn("probe_rk", row_number().over(w))
-      .filter(col("probe_rk") <= probes)
-      .drop("__d2", "c_emb")
+    // MAP-SIDE expansion, zero joins and zero shuffles: the centroid
+    // table rides as a plan literal (same as [[ivfAssign]]), each row
+    // scores all k cells in one codegen'd projection, array_sort picks
+    // its `probes` nearest (struct order: distance, then cell id — ties
+    // deterministic), posexplode emits them with their probe rank.
+    // The ‖e‖² term is row-constant and drops from the ordering.
+    val scored = array(centers.indices.map { i =>
+      val c = typedLit(centers(i))
+      struct((call_function("vec_dot", c, c) -
+        lit(2.0) * call_function("vec_dot", col(embCol), c)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    df.select(col("*"),
+        posexplode(slice(array_sort(scored), 1, probes)).as(Seq("__pos", "__probe")))
+      .withColumn("centroid", col("__probe").getField("i"))
+      .withColumn("probe_rk", (col("__pos") + 1).cast("int"))
+      .drop("__pos", "__probe")
+  }
+
+  /** Margin-scored bitext mining over IVF-BUCKETED candidates — the
+    * 100 TB-shaped twin of the exact `l6_bitext_mining` query (same
+    * margin/rank machinery, same 1e6 integer sim lattice), with the
+    * corpus×corpus cartesian replaced by the FAISS-style candidate
+    * plan every other similarity operator here uses: source docs
+    * multi-probe their `probes` nearest coarse cells ([[ivfProbes]]),
+    * target docs sit in their primary cell ([[ivfAssign]]), and
+    * candidates come from the CELL-EQUALITY JOIN — shuffle cost
+    * O(|src|·probes + |tgt|), never |src|×|tgt|. Ranks, top-4
+    * neighborhood sums, and the ratio margin (Artetxe & Schwenk 2019)
+    * then evaluate on the candidate frame: mutual-top-1 within
+    * candidates, margins normalized by candidate neighborhoods — the
+    * standard mined-corpus approximation, whose recall on true
+    * translation pairs is pinned by DedupSpec's planted-pair proof
+    * (pairs co-bucket because a translation pair's vectors are close,
+    * and multi-probe covers cell-boundary splits).
+    *
+    * `src` carries (qid, qe, qn), `tgt` (nid, ne, nn) — embedding +
+    * precomputed L2 norm per side. Output: (qid, nid, ssim, margin_ppm)
+    * for mutual-top-1 pairs, best margin first. */
+  def bitextMineIvf(src: DataFrame, tgt: DataFrame,
+      centers: Array[Array[Float]], probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = ivfProbes(src, "qid", "qe", centers, probes).drop("probe_rk")
+    val cp = ivfAssign(tgt, "ne", centers).withColumnRenamed("centroid", "cc")
+    // each (qid, nid) pair appears AT MOST ONCE: the query side's probe
+    // cells are distinct and the target side has one primary cell
+    val sims = qp.join(cp, col("centroid") === col("cc"))
+      .select(col("qid"), col("nid"),
+        expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                * 1000000) AS BIGINT)""").as("ssim"))
+      .localCheckpoint(false) // computed once, feeds both rank directions
+    val rk = sims
+      .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ssim").desc, col("nid").asc)))
+      .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+        .orderBy(col("ssim").desc, col("qid").asc)))
+    val f4 = rk.filter(col("rkf") <= 4)
+      .groupBy(col("qid")).agg(sum(col("ssim")).as("s4f"))
+    val b4 = rk.filter(col("rkb") <= 4)
+      .groupBy(col("nid")).agg(sum(col("ssim")).as("s4b"))
+    rk.filter(col("rkf") === 1 && col("rkb") === 1)
+      .join(f4, Seq("qid")).join(b4, Seq("nid"))
+      .select(col("qid"), col("nid"), col("ssim"),
+        expr("(ssim * 8000000L) div (s4f + s4b)").as("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("qid").asc)
   }
 
   // ------------------------------------------------- product quantization

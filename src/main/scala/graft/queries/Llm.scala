@@ -658,11 +658,15 @@ object Llm {
     // (+1, always positive) and rounded ONCE into a 1e6 integer lattice;
     // ranks, top-4 sums, and the final margin are pure BIGINT ops — no
     // float aggregation anywhere. Scale: the pairwise frame is computed
-    // ONCE (lineage-cut) and feeds both rank directions; at test SF the
-    // candidate step is the exact cross join, at 100 TB it swaps for the
-    // IVF-bucketed candidate join (l3_ann_ivf's quantizer — same frame
-    // contract), leaving ranks/margins untouched. Window ranks and the
-    // top-4 sums are per-doc partitions — parallel across the corpus.
+    // ONCE (lineage-cut) and feeds both rank directions. This EXACT
+    // variant is the small-corpus oracle anchor (all-pairs cross join —
+    // certifiable against DuckDB, like l3_cosine_pairs next to the
+    // l3_ann_* family); the corpus-scale path is `l6_bitext_ivf` below
+    // (Dedup.bitextMineIvf): identical rank/margin machinery over
+    // IVF-bucketed cell-equality candidates, no cartesian anywhere —
+    // PlanSpec pins the shape, DedupSpec pins planted-pair recall.
+    // Window ranks and the top-4 sums are per-doc partitions — parallel
+    // across the corpus.
     QueryDef("l6_bitext_mining", (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val e = emb(s, dir)
@@ -731,6 +735,31 @@ object Llm {
          FROM r JOIN f4 USING (qid) JOIN b4 USING (nid)
          WHERE rkf = 1 AND rkb = 1
          ORDER BY margin_ppm DESC, qid ASC""")),
+
+    // ------------------------------------------------------------- L6 (d')
+    // IVF-BUCKETED bitext mining — the corpus-scale candidate plan for
+    // the exact miner above (the l3_cosine_pairs / l3_ann_* pattern:
+    // exact twin carries the oracle, bucketed twin carries the scale).
+    // Candidates come from a cell-equality join (source side multi-
+    // probes 4 cells, target side sits in its primary cell), so the
+    // plan has NO cartesian — PlanSpec pins that, and DedupSpec proves
+    // planted-translation-pair recall through the bucketing. Margins
+    // normalize by CANDIDATE neighborhoods (the mined-corpus
+    // approximation); rows-only check by design — the quantizer's
+    // xxhash-free but engine-specific float argmin has no DuckDB twin.
+    QueryDef("l6_bitext_ivf", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = emb(s, dir)
+      val de = d.join(e, col("doc_id") === col("vec_id"))
+      val centers = Dedup.ivfTrain(e, "embedding", k = 8)
+      val src = de.filter(col("lang") === "en")
+        .select(col("doc_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qn"))
+      val tgt = de.filter(col("lang") === "de")
+        .select(col("doc_id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"))
+      Dedup.bitextMineIvf(src, tgt, centers, probes = 4)
+    }, None),
 
     // ------------------------------------------------------------- L3 (h)
     // HUBNESS census (Radovanović 2010) — the high-dimensional kNN

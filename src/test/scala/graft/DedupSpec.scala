@@ -324,6 +324,45 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(single.values.forall(_.size == 1) && multi.values.forall(_.size == 2))
   }
 
+  test("bitextMineIvf: planted translation pairs survive the IVF bucketing (recall proof)") {
+    GraftFunctions.register(spark)
+    // Plant translations: 30 "en" docs are corpus vectors, their "de"
+    // partners are 2%-perturbed copies (cos ≈ 0.9997 — far above the
+    // ~0.35 top-1 cosine of the unclustered gaussian noise), plus 100
+    // noise docs on the de side. The exact miner would find every pair
+    // by construction; the proof is that the IVF CANDIDATE BUCKETING
+    // does not lose them — each pair must co-bucket within the query's
+    // 4 probes and emerge mutual-top-1 with its margin.
+    val e = Tables.t(spark, sf, "embeddings")
+    val en = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<float>").as("qe"))
+      .withColumn("qn", sqrt(call_function("vec_dot", col("qe"), col("qe"))))
+    val trans = e.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("nid"),
+        expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
+          .as("ne"))
+    val noise = e.filter(col("vec_id") >= 30 && col("vec_id") < 130)
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<float>").as("ne"))
+    val de = trans.unionByName(noise)
+      .withColumn("nn", sqrt(call_function("vec_dot", col("ne"), col("ne"))))
+    val centers = Dedup.ivfTrain(e, "embedding", k = 8)
+    val mined = Dedup.bitextMineIvf(en, de, centers, probes = 4)
+      .select("qid", "nid", "margin_ppm").collect()
+    val pairOf = mined.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 30L).count(i => pairOf.get(i).contains(i + 10000))
+    assert(hits >= 28,
+      s"only $hits/30 planted pairs mined through the bucketing: $pairOf")
+    // margin sanity: a planted pair's sim dominates its candidate
+    // neighborhood, so the ratio margin must clear the uninformative
+    // 1_000_000 ppm level (sim == neighborhood mean) decisively
+    val margins = mined.filter(r => pairOf.get(r.getLong(0))
+      .contains(r.getLong(0) + 10000)).map(_.getLong(2))
+    assert(margins.forall(_ > 1100000L),
+      s"planted pairs must carry a decisive margin: ${margins.toSeq}")
+  }
+
   test("connected components groups near-dup pairs into duplicate clusters") {
     import spark.implicits._
     // two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}

@@ -248,30 +248,44 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     // coarse IVF cells gate the candidate set: query probes join corpus
     // codes on centroid id (an equality join); ADC re-rank is expression-
     // only. A cartesian over the corpus would be the brute-force shape
-    // this operator exists to avoid. The single permitted nested-loop is
-    // the 16-row centroid table broadcast inside ivfProbes (k rows, never
-    // corpus-sized).
+    // this operator exists to avoid. ivfProbes is now a pure map-side
+    // expansion (plan-literal centroids + posexplode), so NO nested
+    // loop appears anywhere.
     assert(!p.contains("CartesianProduct"),
       s"ivfpq candidates must come from the cell equality join:\n$p")
-    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
-      s"only the k-row centroid probe may nested-loop:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      s"probe expansion is map-side — no nested loop at all:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"corpus candidates must join on the cell id:\n$p")
     assert(count(p, "WindowGroupLimit") >= 1,
       s"per-query top-k must be group-limited before the final sort:\n$p")
   }
 
+  test("l6_bitext_ivf: candidate generation is the IVF cell equality join — no cartesian anywhere") {
+    val p = plan("l6_bitext_ivf")
+    // the exact miner (l6_bitext_mining) is the all-pairs oracle anchor;
+    // THIS is the corpus-scale path, and its whole point is that the
+    // en×de cross join is gone: source probes expand map-side
+    // (plan-literal centroids + posexplode), candidates come from the
+    // centroid equality join, ranks/margins ride keyed windows and aggs.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bitext candidates must come from the cell equality join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"candidates must join on the probed cell id:\n$p")
+  }
+
   test("l3_ann_index: the serve plan joins probed cells by equality, never a cartesian") {
     val p = plan("l3_ann_index")
     // same contract as the in-query IVF-PQ path, but over the PERSISTED
     // index: candidates come from the codes-table equality join on the
-    // probed cell id; the only permitted nested loop is the k-row
-    // centroid broadcast inside ivfProbes; ADC re-rank is expression-
-    // only; per-query top-k group-limits before the final sort.
+    // probed cell id; probe expansion is map-side (plan-literal
+    // centroids); ADC re-rank is expression-only; per-query top-k
+    // group-limits before the final sort.
     assert(!p.contains("CartesianProduct"),
       s"persisted-index serve must join candidates on the cell id:\n$p")
-    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
-      s"only the k-row centroid probe may nested-loop:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      s"probe expansion is map-side — no nested loop at all:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"codes candidates must join on the cell id:\n$p")
     assert(count(p, "WindowGroupLimit") >= 1,
