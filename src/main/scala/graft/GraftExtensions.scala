@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drop the join operator entirely (see FkJoinElimination; off by
     // conf, disarmed by any commit to either table)
     ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
+    // registered-format reads of PARTITIONED tables substitute the
+    // direct-read branch-union plan, so static folding and the rule
+    // below fire on catalog-mounted tables too (see FormatReadBranching)
+    ext.injectOptimizerRule(_ => graft.plans.FormatReadBranching)
     // join-driven partition pruning for the per-partition union scan
     // shape: a small dimension's distinct keys, probed once at plan
     // time, empty the fact branches they can never match (see

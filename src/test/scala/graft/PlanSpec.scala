@@ -1915,27 +1915,58 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       "EXPLAIN PRUNING over a DELETE must not delete anything")
   }
 
-  test("dynamic branch pruning scope pin: a graft-delta FORMAT read declines (opaque relation, no branch shape)") {
+  test("a graft-delta FORMAT read branch-prunes like the direct read (FormatReadBranching routes S59)") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
     val fact = dbpFact("dbp_format")
     val dim = spark.range(2L)
       .select(concat(lit("p"), col("id").cast("string")).as("key"))
-    // the registered-format read is a single PrunedFilteredScan
-    // relation: static partition filters push down into it, but it has
-    // no per-branch literal shape for a JOIN to prune — documented in
-    // README; this pin is the contract that the rule DECLINES (results
-    // stay correct) rather than mis-fires on the opaque relation
+    // FormatReadBranching substitutes the partitioned relation with the
+    // direct-read branch-union plan, so the JOIN prunes exactly like
+    // DeltaLite.read — the round-13 decline pin, flipped positive
     val q = spark.read.format("graft-delta").load(fact)
       .join(dim, col("part") === col("key"))
+    assert(factScans(q) === 2,
+      s"format-read join must prune to the 2 partnered partitions:\n" +
+        q.queryExecution.optimizedPlan)
     val ds = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
-    assert(!ds.exists(_._2.contains("pruned")),
-      s"format reads must not be branch-pruned: $ds")
-    assert(q.count() === 2000L, "results correct; join filters at runtime")
-    // same query through DeltaLite.read DOES prune — the documented way
-    // to get join-driven pruning
-    val q2 = D.read(spark, fact).join(dim, col("part") === col("key"))
-    assert(factScans(q2) === 2)
+    assert(ds.exists(_._2.contains("pruned 2 of 4 branches")),
+      s"the prune must be recorded: $ds")
+    assert(q.count() === 2000L, "pruned results stay correct")
+    // the CATALOG-MOUNTED spelling prunes too: CREATE TABLE ... USING
+    // graft-delta resolves to the same relation, same substitution
+    spark.sql(s"CREATE TABLE dbp_cat USING `graft-delta` LOCATION '$fact'")
+    try {
+      dim.createOrReplaceTempView("dbp_cat_dim")
+      val qc = spark.sql(
+        "SELECT sum(v) AS s FROM dbp_cat f JOIN dbp_cat_dim d ON f.part = d.key")
+      assert(factScans(qc) === 2,
+        s"catalog-table join must prune:\n${qc.queryExecution.optimizedPlan}")
+      assert(qc.head().getLong(0) ===
+        spark.range(4000L).filter(col("id") % 4L < 2L)
+          .agg(sum("id")).head().getLong(0))
+    } finally spark.sql("DROP TABLE dbp_cat")
+    // a STATIC partition predicate folds branches through the format
+    // read as well (free with the branch shape)
+    val qs = spark.read.format("graft-delta").load(fact)
+      .filter(col("part") === "p1")
+    assert(factScans(qs) === 1,
+      s"static filter must fold to one branch:\n${qs.queryExecution.optimizedPlan}")
+    assert(qs.count() === 1000L)
+    // the kill switch restores the opaque-relation plan
+    spark.conf.set("spark.graft.formatBranching.enabled", "false")
+    try {
+      val qOff = spark.read.format("graft-delta").load(fact)
+        .join(dim, col("part") === col("key"))
+      assert(factScans(qOff) === 1,
+        "disabled: the single opaque relation plans as before")
+      assert(qOff.count() === 2000L)
+    } finally spark.conf.unset("spark.graft.formatBranching.enabled")
+    // an UNPARTITIONED table keeps its V1 relation (and its log-stats
+    // file pruning) — branching would gain nothing there
+    val flat = graft.TempDirs.fresh("dbp_format_flat") + "/t"
+    D.create(spark, flat, spark.range(10L).select(col("id").as("v")))
+    assert(factScans(spark.read.format("graft-delta").load(flat)) === 1)
   }
 
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
