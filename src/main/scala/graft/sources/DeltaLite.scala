@@ -170,12 +170,93 @@ object DeltaLite {
     * ScaleSpec's "commit claim contract" test runs BOTH the POSIX impl
     * and an in-memory conditional-PUT mock through the contract. */
   trait CommitClaimStore {
-    /** Atomic claim of `target` with `content` — contract (1)-(3). */
+    /** Atomic claim of `target` with `content` — contract (1)-(3).
+      *
+      * RECOVERY CONTRACT for real stores (what the engine guarantees
+      * and what an impl may therefore throw):
+      *  - known failure (target taken): throw
+      *    `FileAlreadyExistsException` — the engine's OCC rebase loop
+      *    owns it;
+      *  - UNKNOWN outcome (request timeout, dropped response — "did my
+      *    PUT land?"): throw [[AmbiguousClaimException]]. The engine
+      *    resolves it at the commit boundary by READ-BACK COMPARE:
+      *    it reads the target and (a) treats byte-identical content as
+      *    its own landed claim (success, no double-apply), (b) treats
+      *    different content as a lost race (normal rebase), (c) retries
+      *    the claim a bounded number of times when nothing landed.
+      *    Read-back compare is sound because commit payloads are
+      *    globally unique (added files carry UUID names), so a racer's
+      *    commit can never be byte-identical to this writer's;
+      *  - transient LIST staleness (eventual consistency) is tolerated
+      *    by the same rebase loop: a claim at a stale version fails as
+      *    taken, the loop re-snapshots and advances — it converges as
+      *    soon as the list does, and never double-assigns a version
+      *    (the claim, not the list, is the arbiter). ScaleSpec's flaky
+      *    store suite drives all three injections through the full OCC
+      *    scenario. */
     def claim(target: Path, content: Array[Byte]): Unit
     /** Lines of a claimed (immutable) log file. */
     def readImmutable(target: Path): Seq[String]
     /** File names in a log directory (Nil if the directory is absent). */
     def listLog(dir: Path): Seq[String]
+  }
+
+  /** A claim whose outcome the store cannot determine (timeout after
+    * the request may have been applied) — see the recovery contract on
+    * [[CommitClaimStore.claim]]. */
+  final class AmbiguousClaimException(target: Path, cause: Throwable = null)
+      extends java.io.IOException(
+        s"claim outcome unknown for $target (did the PUT land?)", cause)
+
+  /** The ONE commit-boundary claim, with ambiguity resolution: claims
+    * `target`, resolving [[AmbiguousClaimException]] by read-back
+    * compare per the trait contract. Exactly-one-winner and
+    * no-double-apply hold because the payload is unique to this writer
+    * and a landed claim is immutable. */
+  private def claimCommit(target: Path, lines: Seq[String]): Unit = {
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    var attempts = 0
+    var sawAmbiguity = false
+    // bounded re-reads: a transient read error during RECOVERY must not
+    // force a wrong conclusion while the store is still flapping
+    def readBack(): Option[Seq[String]] = {
+      var tries = 0
+      while (tries < 3) {
+        try return Some(claimStore.readImmutable(target))
+        catch { case scala.util.control.NonFatal(_) => tries += 1 }
+      }
+      None
+    }
+    while (true) {
+      try { claimStore.claim(target, bytes); return }
+      catch {
+        case a: AmbiguousClaimException =>
+          sawAmbiguity = true
+          attempts += 1
+          readBack() match {
+            case Some(l) if l == lines => return // own claim landed
+            case Some(_) => // a racer's commit is there — normal OCC loss
+              throw new java.nio.file.FileAlreadyExistsException(
+                target.toString)
+            case None => // nothing readable: the PUT likely failed
+              if (attempts >= 5) throw a
+          }
+        case e: java.nio.file.FileAlreadyExistsException if sawAmbiguity =>
+          // an earlier ambiguous attempt may have been the winner: a
+          // plain rethrow would feed the rebase loop and DOUBLE-APPLY
+          // this writer's own landed commit as if a racer had won —
+          // verify by read-back before declaring the race lost
+          readBack() match {
+            case Some(l) if l == lines => return // it was ours all along
+            case Some(_) => throw e // a real racer won — rebase
+            case None =>
+              // the target exists (the claim said so) but cannot be
+              // read: stay AMBIGUOUS — failing loudly is safe, feeding
+              // the rebase loop is not
+              throw new AmbiguousClaimException(target, e)
+          }
+      }
+    }
   }
 
   object PosixCommitClaimStore extends CommitClaimStore {
@@ -1372,9 +1453,11 @@ object DeltaLite {
     // [[CommitClaimStore]] for the 3-property contract (one winner,
     // immutable won commits, failed claims leave nothing) that OCC,
     // commitResolve rebase, and snapshot replay are derived from, and
-    // for the object-store port story (swap ONE trait impl).
-    claimStore.claim(logDir(path).resolve(s"$version.json"),
-      lines.mkString("\n").getBytes("UTF-8"))
+    // for the object-store port story (swap ONE trait impl). Ambiguous
+    // outcomes (store timeouts) resolve here by read-back compare
+    // (claimCommit) so a landed-but-unacknowledged claim never
+    // double-applies and a lost race feeds the normal rebase loop.
+    claimCommit(logDir(path).resolve(s"$version.json"), lines)
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(path, version)
     version
@@ -1427,7 +1510,8 @@ object DeltaLite {
       // checkpoints are an optimization: a lost claim race is a no-op
       try claimStore.claim(logDir(path).resolve(s"checkpoint-$version.json"),
         lines.mkString("\n").getBytes("UTF-8"))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => ()
+              case _: AmbiguousClaimException => () } // best-effort only
     }
   }
 
@@ -1756,7 +1840,8 @@ object DeltaLite {
     val lines = checkpointJsonLines(snap) ++ sidecarLines
     try claimStore.claim(ld.resolve(s"checkpoint-$version.v2.json"),
       lines.mkString("\n").getBytes("UTF-8"))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: AmbiguousClaimException => () } // best-effort only
     gcSidecars(path)
   }
 

@@ -3185,6 +3185,126 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
   }
 
+  /** Failure-injecting wrapper over a real claim store — the object-
+    * store weather the recovery contract on [[DeltaLite.CommitClaimStore]]
+    * exists for: claims whose outcome is unknown (landed or dropped),
+    * eventually-consistent listings that omit the newest commit, and
+    * transient read errors. Budgets are consumed one call at a time. */
+  private final class FlakyClaimStore(delegate: DeltaLite.CommitClaimStore)
+      extends DeltaLite.CommitClaimStore {
+    var ambiguousLanded = 0 // claim applies, then the response "drops"
+    var ambiguousDropped = 0 // claim does NOT apply, response "drops"
+    var staleLists = 0 // listLog omits the newest commit
+    var failedReads = 0 // readImmutable throws transiently
+    var claimCalls = 0
+    override def claim(target: java.nio.file.Path,
+        content: Array[Byte]): Unit = {
+      claimCalls += 1
+      if (ambiguousLanded > 0) {
+        ambiguousLanded -= 1
+        delegate.claim(target, content)
+        throw new DeltaLite.AmbiguousClaimException(target)
+      }
+      if (ambiguousDropped > 0) {
+        ambiguousDropped -= 1
+        throw new DeltaLite.AmbiguousClaimException(target)
+      }
+      delegate.claim(target, content)
+    }
+    override def readImmutable(target: java.nio.file.Path): Seq[String] = {
+      if (failedReads > 0) {
+        failedReads -= 1
+        throw new java.io.IOException("injected transient read failure")
+      }
+      delegate.readImmutable(target)
+    }
+    override def listLog(dir: java.nio.file.Path): Seq[String] = {
+      val l = delegate.listLog(dir)
+      if (staleLists > 0) {
+        staleLists -= 1
+        val commits = l.filter(_.matches("""\d+\.json"""))
+          .map(_.stripSuffix(".json").toLong)
+        if (commits.isEmpty) l else l.filterNot(_ == s"${commits.max}.json")
+      } else l
+    }
+  }
+
+  test("flaky claim store: ambiguous claims, stale listings, transient reads — one winner, no double-apply, no fork") {
+    import spark.implicits._
+    val flaky = new FlakyClaimStore(DeltaLite.PosixCommitClaimStore)
+    DeltaLite.withClaimStore(flaky) {
+      val path = Files.createTempDirectory("graft_claim_flaky").toString
+      DeltaLite.create(spark, path,
+        Seq((1L, "a")).toDF("k", "s").coalesce(1))                    // v0
+      // (a) ambiguous but LANDED: read-back compare recognizes the
+      // writer's own payload — reported success, exactly one commit
+      flaky.ambiguousLanded = 1
+      DeltaLite.append(spark, path,
+        Seq((2L, "b")).toDF("k", "s").coalesce(1))                    // v1
+      assert(DeltaLite.latestVersion(path) === Some(1L))
+      assert(DeltaLite.read(spark, path).count() === 2L)
+      // (b) ambiguous and DROPPED: the claim retries and lands once
+      flaky.ambiguousDropped = 1
+      val calls = flaky.claimCalls
+      DeltaLite.append(spark, path,
+        Seq((3L, "c")).toDF("k", "s").coalesce(1))                    // v2
+      assert(flaky.claimCalls - calls >= 2, "a dropped claim must retry")
+      assert(DeltaLite.latestVersion(path) === Some(2L))
+      assert(DeltaLite.read(spark, path).count() === 3L)
+      // (c) the DOUBLE-APPLY trap: ambiguity whose recovery read ALSO
+      // fails transiently — the retried claim then hits
+      // FileAlreadyExists on the writer's OWN landed commit, and a
+      // naive rebase would append the same rows again; the verified
+      // read-back resolves it as success instead
+      flaky.ambiguousLanded = 1
+      flaky.failedReads = 3 // exactly the recovery read budget
+      DeltaLite.append(spark, path,
+        Seq((4L, "d")).toDF("k", "s").coalesce(1))                    // v3
+      assert(DeltaLite.read(spark, path).count() === 4L,
+        "the landed-ambiguous commit must not re-apply through a rebase")
+      assert(DeltaLite.latestVersion(path) === Some(3L))
+      // (d) UNRESOLVABLE ambiguity (every read fails too): the engine
+      // fails LOUDLY — ambiguous, never silently rebased — and the
+      // txn-keyed append surface turns the caller's retry into the
+      // documented exactly-once no-op
+      flaky.ambiguousLanded = 1
+      flaky.failedReads = 100
+      intercept[DeltaLite.AmbiguousClaimException] {
+        DeltaLite.appendOnce(spark, path,
+          Seq((5L, "e")).toDF("k", "s").coalesce(1),
+          app = "flaky-writer", txnVersion = 7L)                      // v4 (landed!)
+      }
+      flaky.failedReads = 0
+      assert(DeltaLite.latestVersion(path) === Some(4L),
+        "the ambiguous claim had in fact landed")
+      // caller-side recovery: replay the SAME txn — a no-op, not a dup
+      DeltaLite.appendOnce(spark, path,
+        Seq((5L, "e")).toDF("k", "s").coalesce(1),
+        app = "flaky-writer", txnVersion = 7L)
+      assert(DeltaLite.latestVersion(path) === Some(4L),
+        "a replayed txn after ambiguity must be a no-op")
+      assert(DeltaLite.read(spark, path).filter($"k" === 5L).count() === 1L)
+      // (e) STALE LISTING (eventual consistency): the next writer plans
+      // against a prefix snapshot, loses the claim at the stale tip to
+      // the real one, and the rebase loop converges as the list does —
+      // versions stay contiguous, no commit is ever overwritten
+      DeltaLite.clearSnapshotCache()
+      flaky.staleLists = 2
+      DeltaLite.append(spark, path,
+        Seq((6L, "f")).toDF("k", "s").coalesce(1))                    // v5
+      assert(DeltaLite.latestVersion(path) === Some(5L))
+      val commits = DeltaLite.PosixCommitClaimStore
+        .listLog(java.nio.file.Paths.get(path, "_graft_log"))
+        .filter(_.matches("""\d+\.json""")).sorted
+      assert(commits === (0 to 5).map(v => s"$v.json"),
+        s"contiguous one-winner history expected: $commits")
+      DeltaLite.clearSnapshotCache()
+      assert(DeltaLite.read(spark, path).orderBy("k").select("k")
+        .as[Long].collect().toSeq === (1L to 6L),
+        "every effect exactly once through all injected weather")
+    }
+  }
+
   test("conflict resolution: OPTIMIZE rebases over a concurrent append, keeps both effects") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_rebase_opt").toString
