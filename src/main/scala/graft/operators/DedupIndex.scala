@@ -46,16 +46,22 @@ object DedupIndex {
   def append(spark: SparkSession, batch: DataFrame, id: String,
       text: String, indexPath: String, numHashes: Int = 32,
       bands: Int = 8, app: String = null,
-      txnVersion: Long = -1L): Long = {
-    val banded = graft.functions.Dedup
+      txnVersion: Long = -1L): Long =
+    appendBands(spark, graft.functions.Dedup
       .bandedSignatures(batch, id, text, numHashes, bands)
-      .withColumnRenamed(id, "doc_id")
+      .withColumnRenamed(id, "doc_id"), indexPath, app, txnVersion)
+
+  /** Append PRE-COMPUTED band rows (`doc_id`, `band_idx`, `band_hash`) —
+    * the shared-work entry the crawl gate uses: one banding pass per
+    * micro-batch feeds the probe AND this append instead of re-hashing
+    * the batch per consumer. */
+  def appendBands(spark: SparkSession, banded: DataFrame,
+      indexPath: String, app: String = null, txnVersion: Long = -1L): Long =
     if (app == null)
       graft.sources.DeltaLite.append(spark, indexPath, banded)
     else
       graft.sources.DeltaLite.appendOnce(spark, indexPath, banded,
         app, txnVersion)
-  }
 
   /** Probe the index with a batch: per batch doc, the smallest doc id —
     * indexed OR earlier in the SAME batch — whose EXACT Jaccard clears
@@ -72,9 +78,20 @@ object DedupIndex {
     * scans. Returns (id, near_dup_of). */
   def probe(spark: SparkSession, batch: DataFrame, corpusText: DataFrame,
       id: String, text: String, indexPath: String, threshold: Double,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val probeBands = graft.functions.Dedup
+      numHashes: Int = 32, bands: Int = 8,
+      preBands: Option[DataFrame] = None): DataFrame = {
+    // The probe references the batch's band rows THREE times (index
+    // candidates + both sides of the self-join) and its shingle sets
+    // three more (verify, partner sets, sizes) — without a lineage cut
+    // each reference re-shingles and re-minhashes the batch, and the
+    // measured gate wall was exactly that recompute, not commit
+    // latency. Both frames are batch-sized; the lazy checkpoint
+    // materializes each once and every later reference reads blocks.
+    // `preBands` lets the gate hand in bands it also appends — one
+    // banding pass per micro-batch TOTAL.
+    val probeBands = preBands.getOrElse(graft.functions.Dedup
       .bandedSignatures(batch, id, text, numHashes, bands)
+      .localCheckpoint(false))
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
@@ -112,7 +129,10 @@ object DedupIndex {
           col("band_hash") === col("__sbh") &&
           col("__sid") < col(id))
       .select(col(id), col("__sid").as("eid"))
-    val cand = idxCand.union(selfCand).distinct()
+    // candidate pairs feed candIds, the verify join AND (through
+    // candIds) two semi-joins — cut here or the whole candidate
+    // cascade (two band joins + anti-join) recomputes per reference
+    val cand = idxCand.union(selfCand).distinct().localCheckpoint(false)
     // verify with exact Jaccard over shingles of the candidates only:
     // indexed partners' text from the corpus, in-batch partners' text
     // from the batch itself (shingleSets rows are distinct, so the
@@ -121,6 +141,7 @@ object DedupIndex {
     val candCorpus = corpusText
       .join(candIds, corpusText(id) === col("eid"), "left_semi")
     val inSets = graft.functions.TextFunctions.shingleSets(batch, id, text)
+      .localCheckpoint(false)
     // Partner text resolves per eid with BATCH text winning: a
     // re-crawled id (present in both the corpus and this batch, possibly
     // with different text) must verify against its current batch text
@@ -135,7 +156,9 @@ object DedupIndex {
     val selfSets = inSets
       .join(candIds, inSets(id) === col("eid"), "left_semi")
       .select(col(id).as("eid"), col("shingle"))
-    val partnerSets = exSets.union(selfSets).distinct()
+    // referenced by the intersection join and the size agg — cut, or
+    // the corpus semi-join + shingling cascade runs twice
+    val partnerSets = exSets.union(selfSets).distinct().localCheckpoint(false)
     val inter = inSets.join(cand, Seq(id))
       .join(partnerSets, Seq("eid", "shingle"))
       .groupBy(col(id), col("eid")).agg(count(lit(1)).as("__inter"))

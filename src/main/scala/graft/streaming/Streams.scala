@@ -210,7 +210,17 @@ object Streams {
       verdictsPath: String, threshold: Double): Unit = {
     val s = batch.sparkSession
     val D = graft.sources.DeltaLite
+    // the deduped batch feeds the probe (shingles, 3 referencing joins)
+    // and two of the three appends — one EAGER checkpoint replaces a
+    // re-shuffled dropDuplicates per consumer, and makes the frame safe
+    // to share across the overlapped append threads below
     val b = batch.select(col(id), col(text)).dropDuplicates(id)
+      .localCheckpoint(true)
+    // ONE banding pass (shingle + minhash) for the whole micro-batch:
+    // the probe's candidate joins and the index append consume the same
+    // materialized rows — the measured gate wall was this recompute
+    val banded = graft.functions.Dedup
+      .bandedSignatures(b, id, text, 32, 8).localCheckpoint(true)
     // data-free shells: idempotent on any replay interleaving (a crash
     // between creates just re-checks existence next time)
     if (D.latestVersion(corpusPath).isEmpty)
@@ -233,7 +243,8 @@ object Streams {
     // whichever appends already landed.
     val corpus = D.read(s, corpusPath)
     val verdicts = graft.operators.DedupIndex.probe(
-        s, b, corpus, id, text, indexPath, threshold)
+        s, b, corpus, id, text, indexPath, threshold,
+        preBands = Some(banded))
       .withColumn("batch_id", lit(batchId))
     // the three sink appends are MUTUALLY INDEPENDENT (verdicts from
     // the finished probe; index bands and corpus text both from `b`) —
@@ -258,7 +269,8 @@ object Streams {
       }
       val appends: Seq[Future[Any]] = Seq(
         sink[Any](D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId)),
-        sink[Any](graft.operators.DedupIndex.append(s, b, id, text,
+        sink[Any](graft.operators.DedupIndex.appendBands(s,
+          banded.withColumnRenamed(id, "doc_id"),
           indexPath, app = GateApp, txnVersion = batchId)),
         sink[Any](D.appendOnce(s, corpusPath, b, GateApp, batchId)))
       appends.foreach(Await.result(_, Duration.Inf))
