@@ -1251,6 +1251,80 @@ object Incremental {
                   AS forecast_7d
          FROM hw ORDER BY day ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T27
+    // KEYED Holt double-exponential smoothing — the MANY-SERIES form of
+    // the recursion family (t13/t19/t26 are single-series driver
+    // loops over a calendar-bounded frame; this is the design their
+    // comments promised: the per-key fold runs INSIDE executors). Each
+    // user's daily event counts fold through the Holt recursion
+    //   level' = α·x + (1−α)(level + trend)
+    //   trend' = β·(level' − level) + (1−β)·trend
+    // via collect_list → array_sort → the `aggregate` higher-order
+    // function: ONE user-keyed shuffle, then a sequential fold per key
+    // with state = (level, trend, n) and memory bounded by the
+    // OBSERVATION SPAN (days), never the corpus — a million users fold
+    // in parallel, and the driver never sees a row. Float parity is the
+    // t26 discipline: both engines execute the SAME IEEE op order per
+    // step (the recursion is inherently sequential), then round once to
+    // 1e-6 for display. Oracle = per-key recursive CTE.
+    QueryDef("t27_holt_keyed", (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      daily.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("day"), col("x"))).as("s"))
+        .select(col("user_id"), expr(
+          """aggregate(array_sort(s),
+               named_struct('level', CAST(0.0 AS DOUBLE),
+                            'trend', CAST(0.0 AS DOUBLE),
+                            'n', CAST(0 AS BIGINT)),
+               (acc, e) -> IF(acc.n = 0,
+                 named_struct('level', e.x,
+                              'trend', CAST(0.0 AS DOUBLE),
+                              'n', CAST(1 AS BIGINT)),
+                 named_struct(
+                   'level', 0.3D * e.x + 0.7D * (acc.level + acc.trend),
+                   'trend', 0.1D * ((0.3D * e.x
+                              + 0.7D * (acc.level + acc.trend))
+                              - acc.level) + 0.9D * acc.trend,
+                   'n', acc.n + 1L)))""").as("st"))
+        .select(col("user_id"), col("st.n").as("n_days"),
+          expr("round(st.level * 1000000) / 1000000").as("level"),
+          expr("round(st.trend * 1000000) / 1000000").as("trend"),
+          expr("round((st.level + 7 * st.trend) * 1000000) / 1000000")
+            .as("forecast_7d"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      s"""WITH RECURSIVE e AS ($oracleEv),
+         daily AS (
+           SELECT user_id, CAST(ts_sec AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM e GROUP BY 1, 2),
+         dk AS (
+           SELECT user_id, day, x,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS BIGINT) AS k
+           FROM daily),
+         h AS (
+           SELECT user_id, k, x AS level, CAST(0 AS DOUBLE) AS trend
+           FROM dk WHERE k = 1
+           UNION ALL
+           SELECT d.user_id, d.k,
+                  0.3 * d.x + 0.7 * (h.level + h.trend) AS level,
+                  0.1 * ((0.3 * d.x + 0.7 * (h.level + h.trend))
+                    - h.level) + 0.9 * h.trend AS trend
+           FROM h JOIN dk d
+             ON d.user_id = h.user_id AND d.k = h.k + 1),
+         fin AS (SELECT user_id, max(k) AS n_days FROM h GROUP BY 1)
+         SELECT h.user_id, fin.n_days,
+                round(h.level * 1000000) / 1000000 AS level,
+                round(h.trend * 1000000) / 1000000 AS trend,
+                round((h.level + 7 * h.trend) * 1000000) / 1000000
+                  AS forecast_7d
+         FROM h JOIN fin
+           ON h.user_id = fin.user_id AND h.k = fin.n_days
+         ORDER BY h.user_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * term) by replicating every fact table with RE-KEYED ids (each copy
   * joins within itself, so join cardinalities — and therefore work —
   * grow linearly; naive replication without re-keying would square
-  * them), and the ten heaviest operators run at both scales:
+  * them), and the heaviest operators run at both scales:
   * wall-clock must grow ≲ ~1.5× the data ratio and the driver heap must
   * stay flat. This is the cheapest way to catch a hidden driver-side
   * O(rows) bottleneck (an accidental collect, a per-row driver loop)
@@ -85,10 +85,16 @@ class ScaleCurveSpec extends AnyFunSuite with TestSpark {
     (out1, out4)
   }
 
+  // t27_holt_keyed is here for a specific claim: the re-keyed fixture
+  // multiplies the USER domain 4× (same days per user), so its slope
+  // measures that the keyed recursion fold scales with KEYS inside
+  // executors — the many-series design the t13/t19/t26 driver loops
+  // point at — and never with the driver.
   private val Ops = Seq(
     "l2_minhash_lsh", "l2_dedup_groups", "l3_ann_index", "l4_tfidf",
     "l7_pipeline", "s8_merge_upsert", "s9_scd2_snapshot",
-    "s25_incremental_mv", "s26_mv_minmax", "s33_join_mv")
+    "s25_incremental_mv", "s26_mv_minmax", "s33_join_mv",
+    "t27_holt_keyed")
 
   private def runOp(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -104,7 +110,7 @@ class ScaleCurveSpec extends AnyFunSuite with TestSpark {
     (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
   }
 
-  test("4x data costs ~4x wall on the ten heaviest operators; driver heap stays flat") {
+  test("4x data costs ~4x wall on the heaviest operators; driver heap stays flat") {
     // force fixture synthesis outside the timed region
     val (d1, d4) = (dir1x, dir4x)
     val ratio = spark.read.parquet(s"$d4/lineitem.parquet").count().toDouble /
