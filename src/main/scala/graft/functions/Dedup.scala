@@ -309,7 +309,7 @@ object Dedup {
     * centroid table is k rows and broadcast; distances use the codegen'd
     * vec_dot (‖e−c‖² = e·e − 2e·c + c·c). Output: input + `centroid`
     * (probe cell) and `probe_rk` (1..probes). */
-  def ivfProbes(df: DataFrame, id: String, embCol: String,
+  def ivfProbes(df: DataFrame, embCol: String,
       centers: Array[Array[Float]], probes: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // MAP-SIDE expansion, zero joins and zero shuffles: the centroid
@@ -354,7 +354,7 @@ object Dedup {
   def bitextMineIvf(src: DataFrame, tgt: DataFrame,
       centers: Array[Array[Float]], probes: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qp = ivfProbes(src, "qid", "qe", centers, probes).drop("probe_rk")
+    val qp = ivfProbes(src, "qe", centers, probes).drop("probe_rk")
     val cp = ivfAssign(tgt, "ne", centers).withColumnRenamed("centroid", "cc")
     // each (qid, nid) pair appears AT MOST ONCE: the query side's probe
     // cells are distinct and the target side has one primary cell

@@ -91,7 +91,7 @@ object AnnIndex {
       topK: Int = 3): DataFrame = {
     val centers = loadCenters(spark, root)
     val cb = loadCodebooks(spark, root)
-    val probed = Dedup.ivfProbes(queries, qid, qEmbCol, centers, probes)
+    val probed = Dedup.ivfProbes(queries, qEmbCol, centers, probes)
       .select(col(qid), col(qEmbCol), col("centroid"))
     val wanted = probed.select(col("centroid")).distinct()
       .collect().map(_.getInt(0))

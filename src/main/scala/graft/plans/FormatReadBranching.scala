@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -38,11 +38,18 @@ import graft.sources.{DeltaLite, GraftDeltaRelation}
   * retryable by design, so rule ordering inside the fixed point does
   * not matter.)
   *
-  * Scope (all structural, decline-only):
-  *  - only PARTITIONED tables: a partitionless table gains nothing
-  *    from branching, and keeping the V1 relation preserves its
-  *    log-stats FILE pruning, which the branch shape does not replicate
-  *    for non-partition predicates;
+  * Scope (all structural, decline-only). The branch shape and the V1
+  * relation have COMPLEMENTARY strengths — the union exposes partition
+  * structure, the relation pushes per-file min/max + bloom pruning on
+  * arbitrary columns through `DeltaLite.scan` — so substitution
+  * happens only where the trade wins:
+  *  - only PARTITIONED tables (a partitionless table gains nothing);
+  *  - only when the plan actually PREDICATES on a partition column — a
+  *    Filter condition or Join condition referencing one (the
+  *    substitution's entire payoff is partition elimination; a query
+  *    filtering on ordinary columns keeps the relation and its
+  *    log-stats file skipping, which the branch shape does not
+  *    replicate — found by review);
   *  - only batch reads (`isStreaming` declines — the streaming source
   *    never plans through LogicalRelation anyway);
   *  - governance is PRESERVED, not bypassed: the substituted plan is
@@ -53,26 +60,42 @@ import graft.sources.{DeltaLite, GraftDeltaRelation}
   *
   * Kill switch: `spark.graft.formatBranching.enabled=false` (the
   * relation path simply keeps its opaque-scan behavior). Cost: one log
-  * snapshot read per matched relation per compile — the same class of
-  * plan-time metadata work the relation's own buildScan does. */
+  * snapshot read (cached by DeltaLite) per matched relation per
+  * compile — the same class of plan-time metadata work the relation's
+  * own buildScan does. */
 object FormatReadBranching extends Rule[LogicalPlan] {
 
   /** Marks a relation checked-and-declined (unpartitioned), so
-    * fixed-point reruns skip the per-iteration log snapshot read. Tags
-    * survive makeCopy, the DBP PROBED pattern. */
+    * fixed-point reruns skip the per-iteration partition lookup. Tags
+    * survive makeCopy, the DBP PROBED pattern. (The partition-predicate
+    * check is NOT tagged: predicates referencing the relation can
+    * appear or fold away between iterations, and the check is cheap.) */
   private val DECLINED =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.frb.declined")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.formatBranching.enabled", "true")
         .toBoolean) return plan
+    // the union of every attribute referenced by a Filter or Join
+    // condition anywhere in the plan — the surface partition
+    // elimination can act through
+    lazy val predicateRefs: AttributeSet = AttributeSet(
+      plan.collect {
+        case f: Filter => f.condition.references
+        case j: Join => j.condition.map(_.references)
+          .getOrElse(AttributeSet.empty)
+      }.flatMap(_.iterator))
     plan.transformUp {
       case lr: LogicalRelation if !lr.isStreaming &&
           lr.getTagValue(DECLINED).isEmpty &&
           lr.relation.isInstanceOf[GraftDeltaRelation] =>
         val rel = lr.relation.asInstanceOf[GraftDeltaRelation]
-        if (DeltaLite.snapshot(rel.path, rel.asOf).partitionBy.isEmpty) {
+        val partitionBy = DeltaLite.snapshot(rel.path, rel.asOf).partitionBy
+        if (partitionBy.isEmpty) {
           lr.setTagValue(DECLINED, ()); lr
+        } else if (!lr.output.exists(a =>
+            partitionBy.contains(a.name) && predicateRefs.contains(a))) {
+          lr // no partition predicate — the V1 relation's file pruning wins
         } else {
           // the direct-read plan over the same snapshot; only ANALYZED
           // here — it joins this compile's fixed point for optimization

@@ -1071,7 +1071,7 @@ object Llm {
       val q = Dedup.ivfProbes(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe")),
-        "qid", "qe", centers, probes = 2)
+        "qe", centers, probes = 2)
         .select(col("qid"), col("qe"), col("centroid"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("d2").asc, col("nid").asc)

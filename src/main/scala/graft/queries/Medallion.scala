@@ -71,7 +71,7 @@ object Medallion {
         deprecationDate: Option[String] = None,
         group: Option[String] = None, access: String = "protected",
         tags: Seq[String] = Nil,
-        grants: Map[String, String] = Map.empty,
+        grants: Option[Map[String, String]] = None,
         buildV: Option[(SparkSession, String => DataFrame,
           String => String) => DataFrame] = None)
 
@@ -85,24 +85,30 @@ object Medallion {
       * the declared config is AUTHORITATIVE — each run applies the
       * declared keys and REVOKES governance keys no longer declared
       * (revocation by omission; dbt computes the same show-grants diff).
-      * Keys outside the governance namespace are rejected at declaration
-      * — this surface manages policy, not arbitrary properties. Cost is
+      * `None` (the default) means UNMANAGED — a run never touches the
+      * table's governance properties, so policy set out-of-band (an
+      * admin's `setProperties`) survives rebuilds; `Some(Map.empty)` is
+      * the explicit "managed and empty" declaration that revokes
+      * everything. The distinction matters: a fail-open default
+      * treating "no config" as "revoke all" would strip an admin's
+      * policy on the next rebuild (found by review). Keys outside the
+      * governance namespace are rejected at declaration — the predicate
+      * is [[graft.sources.DeltaLite.isGovernanceKey]], owned beside the
+      * enforcement it describes, so a future policy key cannot drift
+      * between declaration and revocation. Grants ride the model
+      * FINGERPRINT: under `state:modified+` a config-only edit rebuilds
+      * (and re-syncs) exactly the models whose policy changed. Cost is
       * pure metadata: a no-change sync reads one snapshot and commits
       * nothing. */
-    private def isGovernanceKey(k: String): Boolean =
-      k == "graft.rowFilter" || k == "graft.rowFilterExempt" ||
-        k.startsWith("graft.mask.") || k.startsWith("graft.maskExempt.") ||
-        k.startsWith("graft.roles.")
-
     private[graft] def syncGrants(path: String,
         declared: Map[String, String]): Unit = {
-      declared.keys.find(!isGovernanceKey(_)).foreach(k =>
+      val D = graft.sources.DeltaLite
+      declared.keys.find(!D.isGovernanceKey(_)).foreach(k =>
         throw new IllegalArgumentException(s"grants config key '$k' is " +
           "not a governance property (graft.rowFilter / graft.mask.* / " +
           "graft.maskExempt.* / graft.rowFilterExempt / graft.roles.*)"))
-      val D = graft.sources.DeltaLite
       val current = D.snapshot(path).properties.filter {
-        case (k, _) => isGovernanceKey(k)
+        case (k, _) => D.isGovernanceKey(k)
       }
       // revocation by omission: a key the config no longer declares is
       // dropped — EXCEPT mask keys a live rowFilter/exemption still
@@ -456,8 +462,21 @@ object Medallion {
       order.foreach { m =>
         val depIds = m.deps.map(d => nodeId(resolveRef(order, d))).sorted
         // hash the RENDERED code: a var/env_var flip re-fingerprints
-        // exactly the models whose code references it
-        val basis = (Seq(nodeId(m), renderVars(m.code, vars, env)) ++ depIds.map(fp))
+        // exactly the models whose code references it. GRANTS CONFIG is
+        // part of the fingerprint too (sorted key=value; None and
+        // Some(empty) hash differently): editing only a model's
+        // governance config re-fingerprints it, so a selective
+        // (state:modified+) run REBUILDS it and syncGrants applies the
+        // change — without this, dropping an exemption from config
+        // would "reuse" the node and keep serving the revoked
+        // principal raw data (found by review)
+        val grantsBasis = m.grants match {
+          case None => "<unmanaged>"
+          case Some(g) => g.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString("\u0001")
+        }
+        val basis = (Seq(nodeId(m), renderVars(m.code, vars, env),
+          grantsBasis) ++ depIds.map(fp))
           .mkString("\u0000") // NUL-joined: code text cannot alias a dep list
         fp(nodeId(m)) = java.security.MessageDigest.getInstance("SHA-256")
           .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -608,10 +627,9 @@ object Medallion {
                       D.setProperties(path, Map(FingerprintKey -> fp(nodeId(m))))
                     }
                   // grants config -> S63 properties, every materialization
-                  // (declared-authoritative: omissions revoke)
-                  if (m.grants.nonEmpty ||
-                      D.snapshot(path).properties.keys.exists(isGovernanceKey))
-                    syncGrants(path, m.grants)
+                  // (Some = declared-authoritative, omissions revoke;
+                  // None = unmanaged, out-of-band policy untouched)
+                  m.grants.foreach(syncGrants(path, _))
                   // post-hooks see the just-materialized relation two
                   // ways: `{{ this }}` renders to the target path (for
                   // the lake's quoted-path DML), and a temp view named

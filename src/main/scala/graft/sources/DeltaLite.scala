@@ -2097,6 +2097,16 @@ object DeltaLite {
       snap.churnVersions.length.toLong)
   }
 
+  /** THE governance property namespace — the one predicate every
+    * surface that manages policy keys shares (Pipeline's dbt-grants
+    * sync declares/revokes by it). Owned here, beside the enforcement
+    * in [[applyGovernance]], so adding a policy key updates declaration
+    * and revocation together. */
+  private[graft] def isGovernanceKey(k: String): Boolean =
+    k == "graft.rowFilter" || k == "graft.rowFilterExempt" ||
+      k.startsWith("graft.mask.") || k.startsWith("graft.maskExempt.") ||
+      k.startsWith("graft.roles.")
+
   /** READ-side governance policies (the Databricks row-filter /
     * column-mask feature family), declared as table properties so they
     * travel with the table (clones, RESTORE, time travel — a historical

@@ -198,7 +198,7 @@ class DedupSpec extends AnyFunSuite with TestSpark {
         .select(col("vec_id").as("qid"),
           expr("transform(embedding, (x, i) -> x * CAST(1.0 + 0.02 * ((i % 3) - 1) AS FLOAT))")
             .as("qe")),
-      "qid", "qe", centers, probes = 2)
+      "qe", centers, probes = 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("d2").asc, col("vec_id").asc)
     val top1 = q.join(corpus, col("centroid") === col("cc"))
@@ -267,7 +267,7 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val probedCell = Dedup.ivfProbes(
       e.filter(col("vec_id") === 60)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      "qid", "qe", AnnIndex.loadCenters(spark, root1), probes = 1)
+      "qe", AnnIndex.loadCenters(spark, root1), probes = 1)
       .select("centroid").head().getInt(0)
     val cellFiles = snap.files.count(_.pv.get("cell").contains(probedCell.toString))
     val scanned = DeltaLite.scan(spark, s"$root1/codes",
@@ -309,7 +309,7 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val all = e.select(col("vec_id"), col("embedding")).unionByName(queries)
     val model = Dedup.ivfTrain(all, "embedding", k = 16)
     def cells(probes: Int): Map[Long, Set[Int]] =
-      Dedup.ivfProbes(all, "vec_id", "embedding", model, probes)
+      Dedup.ivfProbes(all, "embedding", model, probes)
         .select("vec_id", "centroid").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
     val single = cells(1)

@@ -313,11 +313,12 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
   test("Pipeline grants config compiles to S63 properties: grant, role exemption, revoke by omission") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft_grants").toString
-    def contacts(g: Map[String, String]) = Pipeline.Model("contacts", Nil,
-      (s, _) => { import s.implicits._
+    def model(g: Option[Map[String, String]]) = Pipeline.Model("contacts",
+      Nil, (s, _) => { import s.implicits._
         Seq((1L, "25-989-741-2988", 100.0), (2L, "13-555-123-4567", -5.0))
           .toDF("id", "phone", "bal") },
       grants = g)
+    def contacts(g: Map[String, String]) = model(Some(g))
     val path = s"$target/contacts"
     // GRANT: model config -> table properties at materialization
     Pipeline.run(spark, Seq(contacts(Map(
@@ -352,11 +353,32 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     try assert(DeltaLite.read(spark, path).collect()(0).getString(1)
       === "***********2988", "the revoked role member is governed again")
     finally spark.conf.unset("spark.graft.principal")
-    // empty config revokes the whole policy surface
+    // EXPLICIT empty config (Some(Map.empty)) revokes the whole policy
+    // surface — "managed and empty"
     Pipeline.run(spark, Seq(contacts(Map.empty)), target)
     assert(!DeltaLite.snapshot(path).properties.keys
       .exists(k => k.startsWith("graft.mask") || k == "graft.rowFilter"))
     assert(DeltaLite.read(spark, path).count() === 2)
+    // UNMANAGED (grants = None, the default): a rebuild must NOT touch
+    // policy set out-of-band — "no config" is not "revoke everything"
+    DeltaLite.setProperties(path, Map("graft.mask.phone" -> "null"))
+    Pipeline.run(spark, Seq(model(None)), target)
+    assert(DeltaLite.snapshot(path).properties
+      .get("graft.mask.phone") === Some("null"),
+      "an unmanaged model must leave admin-set policy alone")
+    DeltaLite.unsetProperty(path, "graft.mask.phone")
+    // grants ride the FINGERPRINT: under state:modified+ a config-only
+    // edit rebuilds (and re-syncs) the model; an unchanged config reuses
+    Pipeline.run(spark, Seq(contacts(Map("graft.mask.phone" -> "last4"))),
+      target, selective = true)
+    val vAfterGrant = DeltaLite.snapshot(path).version
+    Pipeline.run(spark, Seq(contacts(Map("graft.mask.phone" -> "last4"))),
+      target, selective = true)
+    assert(DeltaLite.snapshot(path).version === vAfterGrant,
+      "an unchanged model+grants must reuse, not rebuild")
+    Pipeline.run(spark, Seq(contacts(Map.empty)), target, selective = true)
+    assert(!DeltaLite.snapshot(path).properties.contains("graft.mask.phone"),
+      "a grants-only edit must re-fingerprint, rebuild and revoke")
     // non-governance keys are rejected at declaration — grants manage
     // policy, not arbitrary properties
     val bad = intercept[RuntimeException] {

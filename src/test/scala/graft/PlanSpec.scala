@@ -1967,6 +1967,17 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     val flat = graft.TempDirs.fresh("dbp_format_flat") + "/t"
     D.create(spark, flat, spark.range(10L).select(col("id").as("v")))
     assert(factScans(spark.read.format("graft-delta").load(flat)) === 1)
+    // a query with NO partition-column predicate ALSO keeps the V1
+    // relation: substitution's payoff is partition elimination, and the
+    // relation's log-stats min/max + bloom file pruning on ordinary
+    // columns does not survive the branch shape — only trade when the
+    // trade wins
+    val qv = spark.read.format("graft-delta").load(fact)
+      .filter(col("v") === 5L)
+    assert(factScans(qv) === 1,
+      s"non-partition predicates keep the pruning relation:\n" +
+        qv.queryExecution.optimizedPlan)
+    assert(qv.count() === 1L)
   }
 
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
