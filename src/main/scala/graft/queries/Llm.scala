@@ -135,9 +135,15 @@ object Llm {
       val batch = docs.filter(col("doc_id") >= 80)
       val idx = graft.TempDirs.fresh("l2_dedup_index")
       graft.operators.DedupIndex.build(s, corpus, "doc_id", "text", idx)
+      // one banding pass serves the probe AND the append (the gateBatch
+      // shared-work shape)
+      val banded = graft.functions.Dedup
+        .bandedSignatures(batch, "doc_id", "text", 32, 8)
+        .localCheckpoint(false)
       val verdicts = graft.operators.DedupIndex.probe(
-        s, batch, corpus, "doc_id", "text", idx, threshold = 0.5)
-      graft.operators.DedupIndex.append(s, batch, "doc_id", "text", idx)
+        s, batch, corpus, "doc_id", "text", idx, threshold = 0.5,
+        preBands = Some(banded))
+      graft.operators.DedupIndex.appendBands(s, banded, idx)
       val idxRows = graft.sources.DeltaLite.read(s, idx)
       verdicts.agg(
           count(lit(1)).as("n_probed"),
