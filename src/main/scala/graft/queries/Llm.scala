@@ -833,6 +833,88 @@ object Llm {
          FROM indeg GROUP BY 1
          ORDER BY in_deg ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L3 (h2)
+    // MUTUAL-PROXIMITY kNN rescaling (Schnitzer et al. 2012) — the
+    // CORRECTION for the pathology l3_hubness measures: a hub vector
+    // ranks high in everyone's neighbor list while ranking few of them
+    // back, so raw-cosine kNN graphs skew toward hubs. MP rescores a
+    // pair by the product of its EMPIRICAL COMPLEMENT RANKS — how many
+    // same-block vectors each side considers FARTHER than the other:
+    // mp(q,n) = (B − rank_q(n)) · (B − rank_n(q)) over block size B.
+    // A hub's poor reverse ranks collapse its mp, demoting it without
+    // any distance-model assumption (the rank form of the original
+    // P(d > d_xy) formulation — integer-EXACT, no distribution fit).
+    // Same frame discipline as l3_hubness: pairs inside label blocks
+    // (equality join, never corpus²), sims on the 1e6 lattice computed
+    // ONCE (lineage-cut) feeding both rank directions, forward/reverse
+    // ranks as per-vector window partitions, top-3 by mp per query.
+    QueryDef("l3_mutual_proximity", (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), col("norm"))
+      val a = e.select(col("vec_id").as("qid"), col("label"),
+        col("embedding").as("qe"), col("norm").as("qn"))
+      val b = e.select(col("vec_id").as("nid"), col("label"),
+        col("embedding").as("ne"), col("norm").as("nn"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("label"), col("qid"), col("nid"),
+          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                  * 1000000) AS BIGINT)""").as("ssim"))
+        .localCheckpoint(false)
+      val rk = pairs
+        .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ssim").desc, col("nid").asc)))
+        .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+          .orderBy(col("ssim").desc, col("qid").asc)))
+      val bsize = e.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+      rk.join(bsize, Seq("label"))
+        .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("mp").desc, col("nid").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("int").as("rk"), col("nid"),
+          col("mp"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, Some(
+      """WITH p AS (
+           SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2, 3),
+         ss AS (
+           SELECT label, qid, nid,
+                  CAST(round((dot / (sqrt(qa) * sqrt(qb)) + 1.0)
+                    * 1000000) AS BIGINT) AS ssim
+           FROM p),
+         r AS (
+           SELECT label, qid, nid, ssim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY ssim DESC, nid ASC) AS BIGINT) AS rkf,
+                  CAST(row_number() OVER (PARTITION BY nid
+                    ORDER BY ssim DESC, qid ASC) AS BIGINT) AS rkb
+           FROM ss),
+         bs AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS bn
+           FROM embeddings GROUP BY 1),
+         m AS (
+           SELECT r.qid, r.nid,
+                  (bs.bn - r.rkf) * (bs.bn - r.rkb) AS mp,
+                  row_number() OVER (PARTITION BY r.qid
+                    ORDER BY (bs.bn - r.rkf) * (bs.bn - r.rkb) DESC,
+                      r.nid ASC) AS rk
+           FROM r JOIN bs ON r.label = bs.label)
+         SELECT qid, CAST(rk AS INTEGER) AS rk, nid,
+                CAST(mp AS BIGINT) AS mp
+         FROM m WHERE rk <= 3
+         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (k)
     // Greedy k-CENTER diverse-subset selection (farthest-point
     // traversal, the 2-approximation of Gonzalez 1985; SemDeDup's

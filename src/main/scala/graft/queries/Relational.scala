@@ -4067,6 +4067,95 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM g
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A33
+    // MANN-KENDALL trend TEST — the significance twin of a30's
+    // Theil–Sen slope (the standard pairing in hydrology/climatology:
+    // Theil–Sen estimates the trend, Mann-Kendall decides whether it
+    // exists): S = nc − nd over the same calendar-bounded pair frame,
+    // Var(S) with the TIE CORRECTION carried as an exact integer in
+    // 1/18 units — var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) over tie
+    // groups of equal daily revenue — so the whole statistic stays
+    // BIGINT until the single z expression. The continuity-corrected
+    // z = (S ∓ 1) / sqrt(var18 / 18) is ONE identical IEEE tree on
+    // both engines (cast, divide, sqrt, divide — the t26 float
+    // discipline), rounded once to 1e-6 for display. Scale: the a30
+    // daily rollup is the only fact pass; pairs are days², ties are a
+    // second keyed agg over the daily frame.
+    QueryDef("a33_mann_kendall", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("pri"),
+          datediff(col("o_orderdate"), lit("1996-01-01")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = daily.select(col("pri"), col("d").as("d1"), col("y").as("y1"))
+      val b = daily.select(col("pri"), col("d").as("d2"), col("y").as("y2"))
+      val sStat = a.join(b, Seq("pri")).filter(col("d1") < col("d2"))
+        .groupBy(col("pri"))
+        .agg((sum(when(col("y2") > col("y1"), 1L).otherwise(0L)) -
+          sum(when(col("y2") < col("y1"), 1L).otherwise(0L))).as("s_stat"))
+      val nDays = daily.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("pri"), col("y"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("pri"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+      sStat.join(nDays, Seq("pri")).join(ties, Seq("pri"))
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+        .select(col("pri").as("o_orderpriority"), col("n_days"),
+          col("s_stat"), col("var18"),
+          expr("""round((CASE WHEN s_stat > 0 THEN
+                    CAST(s_stat - 1 AS DOUBLE)
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0 THEN
+                    CAST(s_stat + 1 AS DOUBLE)
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  ELSE 0.0 END) * 1000000) / 1000000""").as("z"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    }, Some(
+      """WITH daily AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(o_orderdate AS DATE) - DATE '1996-01-01' AS d,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+           GROUP BY 1, 2),
+         s AS (
+           SELECT a.pri,
+                  CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b ON a.pri = b.pri AND a.d < b.d
+           GROUP BY 1),
+         n AS (
+           SELECT pri, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+         ties AS (
+           SELECT pri, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                    AS tie18
+           FROM (SELECT pri, y, CAST(count(*) AS BIGINT) AS t
+                 FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+         v AS (
+           SELECT s.pri, s.s_stat, n.n_days,
+                  CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                    - ties.tie18 AS BIGINT) AS var18
+           FROM s JOIN n ON s.pri = n.pri
+                  JOIN ties ON s.pri = ties.pri)
+         SELECT pri AS o_orderpriority, n_days, s_stat, var18,
+                round((CASE WHEN s_stat > 0 THEN
+                         CAST(s_stat - 1 AS DOUBLE)
+                           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                       WHEN s_stat < 0 THEN
+                         CAST(s_stat + 1 AS DOUBLE)
+                           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                       ELSE 0.0 END) * 1000000) / 1000000 AS z
+         FROM v
+         ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ A31
     // TRIMMED and WINSORIZED means — the other two classical robust
     // location estimators next to a22's MAD and a30's Theil–Sen: per
