@@ -915,6 +915,115 @@ object Llm {
          FROM m WHERE rk <= 3
          ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L3 (h3)
+    // RANK-BIASED OVERLAP (Webber et al. 2010) between the RAW-cosine
+    // and MUTUAL-PROXIMITY neighbor rankings, per query — the ranker-
+    // agreement metric that tells you WHICH queries the hubness
+    // correction actually re-ordered (low RBO = a hub-dominated
+    // neighborhood; high = the correction was a no-op there). RBO's
+    // top-weighted geometric series is float by definition, but at
+    // p = 0.9 truncated to depth 5 every term is RATIONAL with small
+    // denominators, so the whole sum is EXACT INTEGER arithmetic:
+    // weight w_d = (1−p)p^(d−1) scaled by 1e12 is 9^(d−1)·10^(12−d),
+    // the 1/d factors clear through LCM(1..5) = 60, and a pair seen at
+    // ranks (rkf, rkm) contributes the closed-form tail
+    // C(m) = Σ_{d≥m} (60/d)·w_d for m = max(rkf, rkm) ≤ 5 — five
+    // BIGINT constants, no float ever aggregates (sum order cannot
+    // ulp-drift a hash compare). Normalized to the full-agreement
+    // maximum 60·Σw_d = 24,570,600,000,000 in basis points. Same
+    // label-block frame as l3_mutual_proximity; singleton blocks (no
+    // pairs) report 0 via the full-vector left join.
+    QueryDef("l3_rbo_agreement", (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), col("norm"))
+      val a = e.select(col("vec_id").as("qid"), col("label"),
+        col("embedding").as("qe"), col("norm").as("qn"))
+      val b = e.select(col("vec_id").as("nid"), col("label"),
+        col("embedding").as("ne"), col("norm").as("nn"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("label"), col("qid"), col("nid"),
+          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                  * 1000000) AS BIGINT)""").as("ssim"))
+        .localCheckpoint(false)
+      val rk = pairs
+        .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ssim").desc, col("nid").asc)))
+        .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+          .orderBy(col("ssim").desc, col("qid").asc)))
+      val bsize = e.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+      val scored = rk.join(bsize, Seq("label"))
+        .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
+        .withColumn("rkm", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("mp").desc, col("nid").asc)))
+      val agreed = scored
+        .withColumn("dmax", greatest(col("rkf"), col("rkm")))
+        .filter(col("dmax") <= 5)
+        .withColumn("contrib", expr(
+          """CASE dmax WHEN 1 THEN CAST(12200820000000 AS BIGINT)
+                       WHEN 2 THEN CAST(6200820000000 AS BIGINT)
+                       WHEN 3 THEN CAST(3500820000000 AS BIGINT)
+                       WHEN 4 THEN CAST(1880820000000 AS BIGINT)
+                       ELSE CAST(787320000000 AS BIGINT) END"""))
+        .groupBy(col("qid")).agg(sum(col("contrib")).as("rbo_scaled"))
+      e.select(col("vec_id").as("qid"))
+        .join(agreed, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"))
+        .withColumn("rbo_bp",
+          expr("(rbo_scaled * 10000) div 24570600000000"))
+        .orderBy(col("qid").asc_nulls_last)
+    }, Some(
+      """WITH p AS (
+           SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+                  sum(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qa,
+                  sum(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2, 3),
+         ss AS (
+           SELECT label, qid, nid,
+                  CAST(round((dot / (sqrt(qa) * sqrt(qb)) + 1.0)
+                    * 1000000) AS BIGINT) AS ssim
+           FROM p),
+         r AS (
+           SELECT label, qid, nid, ssim,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY ssim DESC, nid ASC) AS BIGINT) AS rkf,
+                  CAST(row_number() OVER (PARTITION BY nid
+                    ORDER BY ssim DESC, qid ASC) AS BIGINT) AS rkb
+           FROM ss),
+         bs AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS bn
+           FROM embeddings GROUP BY 1),
+         m AS (
+           SELECT r.qid, r.nid, r.rkf,
+                  CAST(row_number() OVER (PARTITION BY r.qid
+                    ORDER BY (bs.bn - r.rkf) * (bs.bn - r.rkb) DESC,
+                      r.nid ASC) AS BIGINT) AS rkm
+           FROM r JOIN bs ON r.label = bs.label),
+         c AS (
+           SELECT qid,
+                  CAST(sum(CASE greatest(rkf, rkm)
+                    WHEN 1 THEN 12200820000000
+                    WHEN 2 THEN 6200820000000
+                    WHEN 3 THEN 3500820000000
+                    WHEN 4 THEN 1880820000000
+                    ELSE 787320000000 END) AS BIGINT) AS rbo_scaled
+           FROM m WHERE greatest(rkf, rkm) <= 5
+           GROUP BY 1)
+         SELECT e.vec_id AS qid,
+                CAST(COALESCE(c.rbo_scaled, 0) AS BIGINT) AS rbo_scaled,
+                CAST((COALESCE(c.rbo_scaled, 0) * 10000)
+                  // 24570600000000 AS BIGINT) AS rbo_bp
+         FROM embeddings e LEFT JOIN c ON e.vec_id = c.qid
+         ORDER BY qid ASC NULLS LAST""")),
+
     // ------------------------------------------------------------- L3 (k)
     // Greedy k-CENTER diverse-subset selection (farthest-point
     // traversal, the 2-approximation of Gonzalez 1985; SemDeDup's

@@ -1502,6 +1502,53 @@ object Relational {
          WHERE r.cum <= q.quota
          GROUP BY 1 ORDER BY 1 ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ P15
+    // TEMPORAL train/test split with an EMBARGO gap — the leakage
+    // hygiene for time-ordered data (de Prado's purged split): train
+    // ends a full embargo period BEFORE the test window starts, and
+    // the embargoed slice is DROPPED from both sides, so near-boundary
+    // correlation (sessions spanning the cut, labels computed over
+    // trailing windows) cannot leak future information into training.
+    // The census per event_type × split carries the day bounds — the
+    // audit that train's last day < embargo < test's first day. Pure
+    // map-side classification + one keyed agg; at 100 TB the split
+    // predicate prunes partitions when the table is laid out by day.
+    QueryDef("p15_temporal_split", (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ts_sec", date_trunc("second", col("ts")))
+      e.withColumn("split",
+          when(col("ts_sec") < lit("2024-01-24 00:00:00").cast("timestamp"),
+            "train")
+            .when(col("ts_sec") >= lit("2024-01-25 00:00:00")
+              .cast("timestamp"), "test")
+            .otherwise("embargo"))
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_sec").cast("date")).as("first_day"),
+          max(col("ts_sec").cast("date")).as("last_day"))
+        .orderBy(col("event_type").asc_nulls_last,
+          col("split").asc_nulls_last)
+    }, Some(
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(date_trunc('second', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS ts_sec
+           FROM events),
+         s AS (
+           SELECT event_type,
+                  CASE WHEN ts_sec < TIMESTAMP '2024-01-24 00:00:00'
+                         THEN 'train'
+                       WHEN ts_sec >= TIMESTAMP '2024-01-25 00:00:00'
+                         THEN 'test'
+                       ELSE 'embargo' END AS split,
+                  ts_sec
+           FROM e)
+         SELECT event_type, split, count(*) AS n,
+                CAST(min(ts_sec) AS DATE) AS first_day,
+                CAST(max(ts_sec) AS DATE) AS last_day
+         FROM s GROUP BY 1, 2
+         ORDER BY event_type ASC NULLS LAST, split ASC NULLS LAST""")),
+
     QueryDef("p10_consistent_sample", (s, dir) => {
       def keep(c: org.apache.spark.sql.Column) = substring(
         md5(concat(lit("cs7:"), c.cast("string")).cast("binary")), 1, 2) < "1a"
