@@ -1978,6 +1978,19 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"non-partition predicates keep the pruning relation:\n" +
         qv.queryExecution.optimizedPlan)
     assert(qv.count() === 1L)
+    // GOVERNANCE × branching: a governed partitioned table read through
+    // the format serves the S63 projection whichever plan shape wins —
+    // the substituted plan IS DeltaLite.read's governed plan
+    graft.sources.DeltaLite.setProperties(fact,
+      Map("graft.rowFilter" -> "v < 2000"))
+    try {
+      val qg = spark.read.format("graft-delta").load(fact)
+        .filter(col("part") === "p1")
+      assert(qg.count() === 500L, // p1 = ids ≡1 (mod 4); half are < 2000
+        "the row filter must apply through the branched format read")
+      assert(qg.filter(col("v") >= 2000L).count() === 0L)
+    } finally
+      graft.sources.DeltaLite.unsetProperty(fact, "graft.rowFilter")
   }
 
   test("dynamic branch pruning: a co-partitioned fact-fact join prunes BOTH sides to the key overlap") {
