@@ -1145,6 +1145,63 @@ $nodeSvg
       (D.snapshot(path).totalRows, v)
     }
 
+    /** dbt data-test SEVERITY config (`severity` / `warn_if` /
+      * `error_if` — the dbt test-config block): a test's outcome is a
+      * THRESHOLDED classification of its failure count, not a bare
+      * nonzero check. Exactly dbt's documented decision order:
+      *  - `severity: error` (default): `error_if` (default `!=0`)
+      *    checked FIRST — met ⇒ status "error"; otherwise `warn_if`
+      *    (default `!=0`) — met ⇒ "warn"; else "pass";
+      *  - `severity: warn`: `error_if` is SKIPPED entirely; `warn_if`
+      *    met ⇒ "warn", else "pass" — the test can never fail a build.
+      * Conditions are dbt's comparison grammar (`!=0`, `>10`, `<=3`,
+      * ...) against the failure COUNT — so "error only past 100 bad
+      * rows, warn past 10" is config, not SQL. Failures store to the
+      * audit table ([[storeTestFailures]]) when `storeFailures` —
+      * including on warns, dbt's behavior. Cost: one count over the
+      * test's failing rows; a passing test at 100 TB counts an empty
+      * frame. */
+    final case class TestConfig(severity: String = "error",
+        warnIf: String = "!=0", errorIf: String = "!=0",
+        storeFailures: Boolean = false) {
+      require(Seq("error", "warn").contains(severity),
+        s"severity must be error|warn, got '$severity'")
+    }
+
+    final case class TestResult(status: String, failures: Long,
+        auditVersion: Option[Long])
+
+    private[graft] def conditionMet(cond: String, n: Long): Boolean = {
+      val m = """\s*(!=|>=|<=|>|<|=)\s*(\d+)\s*""".r
+      cond match {
+        case m(op, v) =>
+          val t = v.toLong
+          op match {
+            case "!=" => n != t; case ">=" => n >= t; case "<=" => n <= t
+            case ">" => n > t; case "<" => n < t; case "=" => n == t
+          }
+        case _ => throw new IllegalArgumentException(
+          s"unparseable test condition '$cond' (expected e.g. !=0, >10)")
+      }
+    }
+
+    def runTest(s: SparkSession, targetDir: String, testName: String,
+        model: String, invocationId: String, failures: DataFrame,
+        config: TestConfig = TestConfig()): TestResult = {
+      val n = failures.count()
+      val status =
+        if (config.severity == "error" && conditionMet(config.errorIf, n))
+          "error"
+        else if (conditionMet(config.warnIf, n)) "warn"
+        else "pass"
+      val audit =
+        if (config.storeFailures)
+          Some(storeTestFailures(s, targetDir, testName, model,
+            invocationId, failures)._2)
+        else None
+      TestResult(status, n, audit)
+    }
+
     /** dbt `on_schema_change` incremental config: the four-way declared
       * policy an incremental model applies when a batch's schema
       * diverges from the already-materialized target (dbt docs, the

@@ -1995,6 +1995,43 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       s"$target/dq_failures/not_null_events_value").count() === 0L)
   }
 
+  test("dbt test severity config: error_if/warn_if thresholds classify outcomes in dbt's order") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_severity").toString
+    def failuresOf(n: Int) =
+      (0 until n).map(i => (i.toLong, s"bad$i")).toDF("id", "why")
+    def run(n: Int, cfg: Pipeline.TestConfig) =
+      Pipeline.runTest(spark, target, "t_sev", "m", "run-1",
+        failuresOf(n), cfg)
+    import Pipeline.TestConfig
+    // defaults: severity error, error_if !=0 — any failure errors
+    assert(run(0, TestConfig()).status === "pass")
+    assert(run(1, TestConfig()).status === "error")
+    // thresholded: error past 100, warn past 10, else pass
+    val tiered = TestConfig(errorIf = ">100", warnIf = ">10")
+    assert(run(5, tiered).status === "pass")
+    assert(run(50, tiered).status === "warn")
+    assert(run(150, tiered).status === "error")
+    assert(run(150, tiered).failures === 150L)
+    // severity warn: error_if is SKIPPED entirely (dbt's decision
+    // order) — even a count that meets it only warns
+    val soft = TestConfig(severity = "warn", errorIf = "!=0")
+    assert(run(999, soft).status === "warn")
+    assert(run(0, soft).status === "pass")
+    // store-failures composes: the audit table lands on a WARN too
+    val stored = run(3, TestConfig(errorIf = ">10", storeFailures = true))
+    assert(stored.status === "warn" && stored.auditVersion.isDefined)
+    assert(DeltaLite.read(spark, s"$target/dq_failures/t_sev")
+      .count() === 3L)
+    // unparseable conditions fail loudly, not silently-pass
+    intercept[IllegalArgumentException] {
+      run(1, TestConfig(errorIf = "lots"))
+    }
+    intercept[IllegalArgumentException] {
+      TestConfig(severity = "fatal")
+    }
+  }
+
   test("multimodal: dHash is deterministic, batch path matches the kernel, census coheres") {
     import spark.implicits._
     import graft.functions.Multimodal
