@@ -444,6 +444,70 @@ object Graph {
          ORDER BY cn DESC, jac_ppm DESC, n.pa ASC, n.pb ASC
          LIMIT 20""")),
 
+    // ------------------------------------------------------------------ G10
+    // ADAMIC-ADAR link prediction (Adamic & Adar 2003) — g5's
+    // common-neighbor count, degree-weighted: each shared neighbor w
+    // contributes 1/ln(deg w), so a RARE mutual contact (the obscure
+    // part both orders include) predicts a link far more strongly than
+    // a ubiquitous hub every pair shares — the classic fix for
+    // popularity bias in co-occurrence graphs. Float discipline: each
+    // wedge's 1/ln(deg) rounds ONCE onto a 1e9 integer lattice
+    // (identical cast-div-ln-round tree per engine), then the per-pair
+    // score is a BIGINT sum — aggregation order can never ulp-drift
+    // the hash compare. Scale shape is g5's: one wedge self-join on
+    // the deduped undirected edges (each middle node = one wedge per
+    // ordered pair), degree from one keyed agg joined on the MIDDLE
+    // node, adjacency removed by anti-join — never an all-pairs frame.
+    QueryDef("g10_adamic_adar", (s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val wedges = und.alias("w1").join(und.alias("w2"),
+          col("w1.dst") === col("w2.src") && col("w1.src") < col("w2.dst"))
+        .select(col("w1.src").as("pa"), col("w1.dst").as("mid"),
+          col("w2.dst").as("pb"))
+      wedges.join(deg.select(col("src").as("mid"), col("d")), Seq("mid"))
+        .withColumn("term", expr(
+          "CAST(round(1000000000 / ln(CAST(d AS DOUBLE))) AS BIGINT)"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("cn"), sum(col("term")).as("aa_e9"))
+        .join(pairs, col("pa") === col("a") && col("pb") === col("b"),
+          "left_anti")
+        .orderBy(col("aa_e9").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+    }, Some(
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b
+           FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+         w AS (
+           SELECT w1.src AS pa, w1.dst AS mid, w2.dst AS pb
+           FROM und w1 JOIN und w2
+             ON w1.dst = w2.src AND w1.src < w2.dst),
+         aa AS (
+           SELECT w.pa, w.pb, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(CAST(round(1000000000
+                    / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                    AS aa_e9
+           FROM w JOIN deg ON deg.src = w.mid
+           GROUP BY 1, 2),
+         nonadj AS (
+           SELECT aa.* FROM aa
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pairs p WHERE p.a = aa.pa AND p.b = aa.pb))
+         SELECT pa, pb, cn, aa_e9
+         FROM nonadj
+         ORDER BY aa_e9 DESC, pa ASC, pb ASC
+         LIMIT 20""")),
+
     // ------------------------------------------------------------------- G6
     // WEIGHTED single-source shortest paths (Bellman-Ford supersteps)
     // over the trade graph — g2's BFS counts hops; this prices them.
