@@ -118,7 +118,7 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
   private val decisionLog = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef, List[(String, String)]]())
 
-  private def recordDecisions(joinCond: String, notes: Seq[String]): Unit =
+  private[plans] def recordDecisions(joinCond: String, notes: Seq[String]): Unit =
     org.apache.spark.sql.catalyst.QueryPlanningTracker.get.foreach { t =>
       val prev = Option(decisionLog.get(t)).getOrElse(Nil)
       decisionLog.put(t,

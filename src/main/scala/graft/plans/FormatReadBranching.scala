@@ -95,7 +95,13 @@ object FormatReadBranching extends Rule[LogicalPlan] {
           lr.setTagValue(DECLINED, ()); lr
         } else if (!lr.output.exists(a =>
             partitionBy.contains(a.name) && predicateRefs.contains(a))) {
-          lr // no partition predicate — the V1 relation's file pruning wins
+          // no partition predicate — the V1 relation's file pruning
+          // wins; recorded so EXPLAIN PRUNING explains the kept shape
+          DynamicBranchPruning.recordDecisions(
+            s"<format read ${rel.path}>", Seq(
+              "kept the V1 pruning relation (no Filter/Join predicate " +
+                s"on partition column(s) ${partitionBy.mkString(", ")})"))
+          lr
         } else {
           // the direct-read plan over the same snapshot; only ANALYZED
           // here — it joins this compile's fixed point for optimization
@@ -106,6 +112,11 @@ object FormatReadBranching extends Rule[LogicalPlan] {
             Alias(byName(o.name), o.name)(exprId = o.exprId,
               qualifier = o.qualifier)
           }
+          DynamicBranchPruning.recordDecisions(
+            s"<format read ${rel.path}>", Seq(
+              "substituted the branch-union plan (partition predicate " +
+                "present) — static folding and join-driven pruning now " +
+                "apply"))
           Project(aliases, sub)
         }
     }

@@ -1932,6 +1932,9 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     val ds = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
     assert(ds.exists(_._2.contains("pruned 2 of 4 branches")),
       s"the prune must be recorded: $ds")
+    assert(ds.exists(d => d._1.startsWith("<format read") &&
+      d._2.contains("substituted the branch-union plan")),
+      s"the substitution itself must be inspectable: $ds")
     assert(q.count() === 2000L, "pruned results stay correct")
     // the CATALOG-MOUNTED spelling prunes too: CREATE TABLE ... USING
     // graft-delta resolves to the same relation, same substitution
@@ -1977,6 +1980,9 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     assert(factScans(qv) === 1,
       s"non-partition predicates keep the pruning relation:\n" +
         qv.queryExecution.optimizedPlan)
+    assert(graft.plans.DynamicBranchPruning.decisions(qv.queryExecution)
+      .exists(_._2.contains("kept the V1 pruning relation")),
+      "the keep decision must be inspectable too")
     assert(qv.count() === 1L)
     // GOVERNANCE × branching: a governed partitioned table read through
     // the format serves the S63 projection whichever plan shape wins —
