@@ -3499,6 +3499,80 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM w
          ORDER BY brand ASC NULLS LAST, ym ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ X25
+    // TPC-DS Q1 SHAPE — above-average returners per region: customers
+    // whose total returned value exceeds 1.2× their NATION's average
+    // returner (the correlated aggregate-vs-group-average pattern; DS
+    // q1 does it over store returns, here lineitem R-flag returns map
+    // the shape onto the TPC-H schema). Exactness: the 1.2 factor is
+    // the rational 6/5, so the comparison is the cross-multiplied
+    // integer form 5·n·cents > 6·sum_cents — no division, no float,
+    // no ulp at the decision boundary. Scale: one returns rollup
+    // (customer grain), a nation-keyed agg for the denominators, one
+    // broadcast-sized join back — the correlated subquery never
+    // re-executes per row (the decorrelated form Catalyst and DuckDB
+    // both plan).
+    QueryDef("x25_ds_returns_above_avg", (s, dir) => {
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("ret_cents"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+      val byNation = ret.join(cust, col("o_custkey") === col("c_custkey"))
+      val nationAvg = byNation.groupBy(col("c_nationkey"))
+        .agg(sum(col("ret_cents")).as("sum_cents"),
+          count(lit(1)).as("n_ret"))
+      byNation.join(nationAvg, Seq("c_nationkey"))
+        .filter(expr("5 * n_ret * ret_cents > 6 * sum_cents"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("ret_cents"))
+        .orderBy(col("ret_cents").desc, col("c_custkey").asc)
+        .limit(100)
+    }, Some(
+      """WITH ret AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS ret_cents
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+           GROUP BY 1),
+         bn AS (
+           SELECT c.c_custkey, c.c_name, c.c_nationkey, r.ret_cents
+           FROM ret r JOIN customer c ON r.o_custkey = c.c_custkey),
+         na AS (
+           SELECT c_nationkey,
+                  CAST(sum(ret_cents) AS BIGINT) AS sum_cents,
+                  CAST(count(*) AS BIGINT) AS n_ret
+           FROM bn GROUP BY 1)
+         SELECT bn.c_custkey, bn.c_name, bn.c_nationkey, bn.ret_cents
+         FROM bn JOIN na ON bn.c_nationkey = na.c_nationkey
+         WHERE 5 * na.n_ret * bn.ret_cents > 6 * na.sum_cents
+         ORDER BY ret_cents DESC, c_custkey ASC
+         LIMIT 100""")),
+
+    // ------------------------------------------------------------------ P16
+    // SELECT * EXCLUDE / REPLACE — the DuckDB star-modifier surface a
+    // reference user types daily (`SELECT * EXCLUDE (secret), REPLACE
+    // (upper(name) AS name)`): Spark has no star modifiers, but the
+    // SEMANTICS are exactly drop + withColumn on the DataFrame side —
+    // position-preserving (REPLACE keeps the column's slot, EXCLUDE
+    // closes the gap), which the hash compare enforces column-by-
+    // column. Pure projection: zero shuffles, scan-pruned to the kept
+    // columns.
+    QueryDef("p16_star_modifiers", (s, dir) => {
+      t(s, dir, "customer")
+        .drop("c_acctbal")
+        .withColumn("c_name", lower(col("c_name")))
+        .orderBy(col("c_custkey").asc_nulls_last)
+    }, Some(
+      """SELECT * EXCLUDE (c_acctbal) REPLACE (lower(c_name) AS c_name)
+         FROM customer
+         ORDER BY c_custkey ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ W12
     // ROLLING REGRESSION SLOPE — the trend detector a moving average
     // lags on: per day, the least-squares slope of revenue over the
