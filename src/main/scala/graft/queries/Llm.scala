@@ -41,6 +41,41 @@ object Llm {
       .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
   }
 
+  /** Shared label-block MUTUAL-PROXIMITY frame for the hubness-
+    * correction family (`l3_mutual_proximity`, `l3_rbo_agreement`) —
+    * ONE definition so both queries provably score the SAME pairs (the
+    * Graph.coPurchasePairs discipline). Pairs inside label blocks
+    * (equality join, never corpus²), sims on the 1e6 integer lattice
+    * computed ONCE (lineage-cut) feeding both rank directions, block
+    * size joined back, mp = (bn − rkf)·(bn − rkb), and rkm = the MP
+    * re-ranking per query (mp desc, nid asc). Columns:
+    * (label, qid, nid, ssim, rkf, rkb, bn, mp, rkm). */
+  private def mpScored(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), col("norm"))
+    val a = e.select(col("vec_id").as("qid"), col("label"),
+      col("embedding").as("qe"), col("norm").as("qn"))
+    val b = e.select(col("vec_id").as("nid"), col("label"),
+      col("embedding").as("ne"), col("norm").as("nn"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"),
+        expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                * 1000000) AS BIGINT)""").as("ssim"))
+      .localCheckpoint(false)
+    val rk = pairs
+      .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ssim").desc, col("nid").asc)))
+      .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+        .orderBy(col("ssim").desc, col("qid").asc)))
+    val bsize = e.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    rk.join(bsize, Seq("label"))
+      .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
+      .withColumn("rkm", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("mp").desc, col("nid").asc)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------- L1
@@ -838,41 +873,21 @@ object Llm {
     // CORRECTION for the pathology l3_hubness measures: a hub vector
     // ranks high in everyone's neighbor list while ranking few of them
     // back, so raw-cosine kNN graphs skew toward hubs. MP rescores a
-    // pair by the product of its EMPIRICAL COMPLEMENT RANKS — how many
-    // same-block vectors each side considers FARTHER than the other:
-    // mp(q,n) = (B − rank_q(n)) · (B − rank_n(q)) over block size B.
-    // A hub's poor reverse ranks collapse its mp, demoting it without
-    // any distance-model assumption (the rank form of the original
-    // P(d > d_xy) formulation — integer-EXACT, no distribution fit).
-    // Same frame discipline as l3_hubness: pairs inside label blocks
-    // (equality join, never corpus²), sims on the 1e6 lattice computed
-    // ONCE (lineage-cut) feeding both rank directions, forward/reverse
-    // ranks as per-vector window partitions, top-3 by mp per query.
+    // pair by the product of its 1-OFFSET COMPLEMENT RANKS: with block
+    // size B, mp(q,n) = (B − rank_q(n)) · (B − rank_n(q)) — each
+    // factor counts the same-block vectors ranked NO NEARER than the
+    // partner, plus the partner itself (rank 1 → B−1, the best; last
+    // rank B−1 → 1, never zero, so one hostile direction dampens
+    // rather than annihilates — the multiplicative analogue of the
+    // original P(d > d_xy) product, integer-EXACT, no distribution
+    // fit). A hub's poor reverse ranks collapse its mp, demoting it
+    // without any distance-model assumption. Frame = [[mpScored]],
+    // shared verbatim with l3_rbo_agreement (one definition, the
+    // coPurchasePairs discipline); top-3 by mp per query.
     QueryDef("l3_mutual_proximity", (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("label"),
-        col("embedding"), col("norm"))
-      val a = e.select(col("vec_id").as("qid"), col("label"),
-        col("embedding").as("qe"), col("norm").as("qn"))
-      val b = e.select(col("vec_id").as("nid"), col("label"),
-        col("embedding").as("ne"), col("norm").as("nn"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("label"), col("qid"), col("nid"),
-          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
-                  * 1000000) AS BIGINT)""").as("ssim"))
-        .localCheckpoint(false)
-      val rk = pairs
-        .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("ssim").desc, col("nid").asc)))
-        .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
-          .orderBy(col("ssim").desc, col("qid").asc)))
-      val bsize = e.groupBy(col("label")).agg(count(lit(1)).as("bn"))
-      rk.join(bsize, Seq("label"))
-        .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("mp").desc, col("nid").asc)))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk").cast("int").as("rk"), col("nid"),
+      mpScored(s, dir)
+        .filter(col("rkm") <= 3)
+        .select(col("qid"), col("rkm").cast("int").as("rk"), col("nid"),
           col("mp"))
         .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
     }, Some(
@@ -934,29 +949,9 @@ object Llm {
     // label-block frame as l3_mutual_proximity; singleton blocks (no
     // pairs) report 0 via the full-vector left join.
     QueryDef("l3_rbo_agreement", (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("label"),
-        col("embedding"), col("norm"))
-      val a = e.select(col("vec_id").as("qid"), col("label"),
-        col("embedding").as("qe"), col("norm").as("qn"))
-      val b = e.select(col("vec_id").as("nid"), col("label"),
-        col("embedding").as("ne"), col("norm").as("nn"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("label"), col("qid"), col("nid"),
-          expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
-                  * 1000000) AS BIGINT)""").as("ssim"))
-        .localCheckpoint(false)
-      val rk = pairs
-        .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("ssim").desc, col("nid").asc)))
-        .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
-          .orderBy(col("ssim").desc, col("qid").asc)))
-      val bsize = e.groupBy(col("label")).agg(count(lit(1)).as("bn"))
-      val scored = rk.join(bsize, Seq("label"))
-        .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
-        .withColumn("rkm", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("mp").desc, col("nid").asc)))
-      val agreed = scored
+      // frame = mpScored, shared verbatim with l3_mutual_proximity —
+      // the agreement metric must score the SAME rankings it compares
+      val agreed = mpScored(s, dir)
         .withColumn("dmax", greatest(col("rkf"), col("rkm")))
         .filter(col("dmax") <= 5)
         .withColumn("contrib", expr(
@@ -966,7 +961,7 @@ object Llm {
                        WHEN 4 THEN CAST(1880820000000 AS BIGINT)
                        ELSE CAST(787320000000 AS BIGINT) END"""))
         .groupBy(col("qid")).agg(sum(col("contrib")).as("rbo_scaled"))
-      e.select(col("vec_id").as("qid"))
+      emb(s, dir).select(col("vec_id").as("qid"))
         .join(agreed, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"))

@@ -1172,7 +1172,10 @@ $nodeSvg
         auditVersion: Option[Long])
 
     private[graft] def conditionMet(cond: String, n: Long): Boolean = {
-      val m = """\s*(!=|>=|<=|>|<|=)\s*(\d+)\s*""".r
+      // ≤18 digits: within Long range, so the threshold can never
+      // escape the documented loud IllegalArgumentException as a
+      // NumberFormatException
+      val m = """\s*(!=|>=|<=|>|<|=)\s*(\d{1,18})\s*""".r
       cond match {
         case m(op, v) =>
           val t = v.toLong
@@ -1188,17 +1191,24 @@ $nodeSvg
     def runTest(s: SparkSession, targetDir: String, testName: String,
         model: String, invocationId: String, failures: DataFrame,
         config: TestConfig = TestConfig()): TestResult = {
-      val n = failures.count()
+      // config validates BEFORE the frame executes: a typo'd threshold
+      // must fail the invocation, not a half-written audit table
+      Seq(config.warnIf, config.errorIf).foreach(conditionMet(_, 0L))
+      // ONE execution of the failures frame either way: the store's
+      // replace-write already returns the stored row count, which IS
+      // the failure count — counting separately would compute an
+      // arbitrarily expensive test frame twice
+      val (n, audit) =
+        if (config.storeFailures) {
+          val (stored, v) = storeTestFailures(s, targetDir, testName,
+            model, invocationId, failures)
+          (stored, Some(v))
+        } else (failures.count(), None)
       val status =
         if (config.severity == "error" && conditionMet(config.errorIf, n))
           "error"
         else if (conditionMet(config.warnIf, n)) "warn"
         else "pass"
-      val audit =
-        if (config.storeFailures)
-          Some(storeTestFailures(s, targetDir, testName, model,
-            invocationId, failures)._2)
-        else None
       TestResult(status, n, audit)
     }
 

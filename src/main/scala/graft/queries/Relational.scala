@@ -3523,6 +3523,9 @@ ORDER BY fold ASC NULLS LAST"""),
       val cust = t(s, dir, "customer").select(col("c_custkey"),
         col("c_name"), col("c_nationkey"))
       val byNation = ret.join(cust, col("o_custkey") === col("c_custkey"))
+        // feeds the denominators AND the final join: cut, or the
+        // returns rollup (the query's only fact pass) runs twice
+        .localCheckpoint(false)
       val nationAvg = byNation.groupBy(col("c_nationkey"))
         .agg(sum(col("ret_cents")).as("sum_cents"),
           count(lit(1)).as("n_ret"))
@@ -4209,6 +4212,9 @@ ORDER BY fold ASC NULLS LAST"""),
         .groupBy(col("o_orderpriority").as("pri"),
           datediff(col("o_orderdate"), lit("1996-01-01")).as("d"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+        // referenced FOUR times (both pair sides, day count, tie
+        // groups): cut, or the fact rollup runs four times
+        .localCheckpoint(false)
       val a = daily.select(col("pri"), col("d").as("d1"), col("y").as("y1"))
       val b = daily.select(col("pri"), col("d").as("d2"), col("y").as("y2"))
       val sStat = a.join(b, Seq("pri")).filter(col("d1") < col("d2"))
