@@ -1325,6 +1325,95 @@ object Incremental {
            ON h.user_id = fin.user_id AND h.k = fin.n_days
          ORDER BY h.user_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T28
+    // KEYED Holt-WINTERS — t27's per-key executor fold with t26's
+    // additive weekly seasonal component: the 7 seasonal slots ride
+    // the fold state as a rotating tuple (s1 applies today, s7 is the
+    // newest), exactly t26's recursion per USER. The lambda spells
+    // each intermediate (new level) out textually wherever it is
+    // reused — higher-order-function lambdas bind no lets, and the
+    // oracle's recursive CTE repeats the SAME textual tree, so both
+    // engines execute identical IEEE op sequences per step (the t26
+    // discipline; one display round at the end). State is a flat
+    // 10-field struct per key — O(1) beyond the sorted day array;
+    // scale = keys, never driver.
+    QueryDef("t28_hw_keyed", (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), col("ts_sec").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      daily.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("day"), col("x"))).as("s"))
+        .select(col("user_id"), expr(
+          """aggregate(array_sort(s),
+               named_struct('level', CAST(0.0 AS DOUBLE),
+                 'trend', CAST(0.0 AS DOUBLE),
+                 's1', CAST(0.0 AS DOUBLE), 's2', CAST(0.0 AS DOUBLE),
+                 's3', CAST(0.0 AS DOUBLE), 's4', CAST(0.0 AS DOUBLE),
+                 's5', CAST(0.0 AS DOUBLE), 's6', CAST(0.0 AS DOUBLE),
+                 's7', CAST(0.0 AS DOUBLE), 'n', CAST(0 AS BIGINT)),
+               (acc, e) -> IF(acc.n = 0,
+                 named_struct('level', e.x, 'trend', CAST(0.0 AS DOUBLE),
+                   's1', CAST(0.0 AS DOUBLE), 's2', CAST(0.0 AS DOUBLE),
+                   's3', CAST(0.0 AS DOUBLE), 's4', CAST(0.0 AS DOUBLE),
+                   's5', CAST(0.0 AS DOUBLE), 's6', CAST(0.0 AS DOUBLE),
+                   's7', CAST(0.0 AS DOUBLE), 'n', CAST(1 AS BIGINT)),
+                 named_struct(
+                   'level', 0.3D * (e.x - acc.s1)
+                     + 0.7D * (acc.level + acc.trend),
+                   'trend', 0.1D * ((0.3D * (e.x - acc.s1)
+                       + 0.7D * (acc.level + acc.trend)) - acc.level)
+                     + 0.9D * acc.trend,
+                   's1', acc.s2, 's2', acc.s3, 's3', acc.s4,
+                   's4', acc.s5, 's5', acc.s6, 's6', acc.s7,
+                   's7', 0.2D * (e.x - (0.3D * (e.x - acc.s1)
+                       + 0.7D * (acc.level + acc.trend)))
+                     + 0.8D * acc.s1,
+                   'n', acc.n + 1L)))""").as("st"))
+        .select(col("user_id"), col("st.n").as("n_days"),
+          expr("round(st.level * 1000000) / 1000000").as("level"),
+          expr("round(st.trend * 1000000) / 1000000").as("trend"),
+          expr("round((st.level + 7 * st.trend + st.s7) * 1000000) " +
+            "/ 1000000").as("forecast_7d"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      s"""WITH RECURSIVE e AS ($oracleEv),
+         daily AS (
+           SELECT user_id, CAST(ts_sec AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM e GROUP BY 1, 2),
+         dk AS (
+           SELECT user_id, day, x,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS BIGINT) AS k
+           FROM daily),
+         h AS (
+           SELECT user_id, k, x AS level, CAST(0 AS DOUBLE) AS trend,
+                  CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2,
+                  CAST(0 AS DOUBLE) AS s3, CAST(0 AS DOUBLE) AS s4,
+                  CAST(0 AS DOUBLE) AS s5, CAST(0 AS DOUBLE) AS s6,
+                  CAST(0 AS DOUBLE) AS s7
+           FROM dk WHERE k = 1
+           UNION ALL
+           SELECT d.user_id, d.k,
+                  0.3 * (d.x - h.s1) + 0.7 * (h.level + h.trend) AS level,
+                  0.1 * ((0.3 * (d.x - h.s1) + 0.7 * (h.level + h.trend))
+                    - h.level) + 0.9 * h.trend AS trend,
+                  h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4,
+                  h.s6 AS s5, h.s7 AS s6,
+                  0.2 * (d.x - (0.3 * (d.x - h.s1)
+                    + 0.7 * (h.level + h.trend))) + 0.8 * h.s1 AS s7
+           FROM h JOIN dk d
+             ON d.user_id = h.user_id AND d.k = h.k + 1),
+         fin AS (SELECT user_id, max(k) AS n_days FROM h GROUP BY 1)
+         SELECT h.user_id, fin.n_days,
+                round(h.level * 1000000) / 1000000 AS level,
+                round(h.trend * 1000000) / 1000000 AS trend,
+                round((h.level + 7 * h.trend + h.s7) * 1000000) / 1000000
+                  AS forecast_7d
+         FROM h JOIN fin
+           ON h.user_id = fin.user_id AND h.k = fin.n_days
+         ORDER BY h.user_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,
