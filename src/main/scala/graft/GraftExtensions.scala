@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drop the join operator entirely (see FkJoinElimination; off by
     // conf, disarmed by any commit to either table)
     ext.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
+    // log-stats FILE pruning for the branch-union read path: a Filter
+    // over any DeltaLite-built scan drops whole files the log's
+    // min/max stats prove empty (see BranchFilePruning)
+    ext.injectOptimizerRule(_ => graft.plans.BranchFilePruning)
     // registered-format reads of PARTITIONED tables substitute the
     // direct-read branch-union plan, so static folding and the rule
     // below fire on catalog-mounted tables too (see FormatReadBranching)

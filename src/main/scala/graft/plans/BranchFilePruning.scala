@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.sources.DeltaLite
+
+/** LOG-STATS FILE PRUNING for the branch-union read path — the
+  * data-skipping gap the format-read work exposed: `DeltaLite.scan`
+  * prunes files from explicit [[DeltaLite.ColumnBound]]s, but the
+  * PRIMARY read surface (`DeltaLite.read(...).filter(...)`, and every
+  * branch the union shape builds per partition) scheduled a task per
+  * live file regardless of the filter — parquet row-group stats still
+  * skipped DATA, but at 100 TB the cost that matters first is opening
+  * ten thousand footers and scheduling ten thousand tasks the log
+  * already knows are empty.
+  *
+  * Mechanism: [[graft.sources.DeltaLite]] tags every scan it builds
+  * with the file group's log entries (path, per-file min/max stats —
+  * driver-side metadata it already holds). After Spark's own
+  * PushDownPredicates has moved a query's Filter down against the scan
+  * (rewriting it onto the relation's PHYSICAL attribute names — which
+  * is exactly how file stats are keyed), this rule:
+  *
+  *   1. translates the Filter's simple conjuncts (attr op literal,
+  *      attr IN (literals)) into [[DeltaLite.ColumnBound]]s —
+  *      non-translatable conjuncts simply contribute nothing;
+  *   2. drops files whose stats PROVE no row can match
+  *      ([[DeltaLite.pruneByStats]] — the same skip-safety core
+  *      `scan()` uses, one shared implementation);
+  *   3. rebuilds the scan over the kept subset (exprIds re-bound
+  *      through an aliasing Project, the FormatReadBranching pattern),
+  *      or replaces a provably-empty branch with an empty
+  *      LocalRelation. The Filter STAYS — pruning only removes whole
+  *      files, rows inside kept files still filter normally.
+  *
+  * Fixed-point termination: the rebuilt scan is re-tagged with the
+  * KEPT subset, so a second visit with the same bounds prunes nothing
+  * and leaves the plan unchanged; stacked/folded filters keep
+  * tightening monotonically. Governance composes for free: masked
+  * columns serve EXPRESSIONS (md5/concat/null literals), so no simple
+  * attr-vs-literal conjunct on a masked column can reach the scan —
+  * raw-stats pruning against masked literals (the scan()-path decline)
+  * cannot arise here by construction.
+  *
+  * Scope: min/max bounds and IN-sets only — bloom probes and
+  * strictExact generated-column bounds remain `scan()`/format-relation
+  * capabilities. Kill switch: `spark.graft.branchFilePruning.enabled`.
+  * Cost: driver-side metadata work proportional to the scan's file
+  * count, only on plans that actually filter a tagged scan. */
+object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** What a tagged scan knows about itself: table root, PHYSICAL
+    * column types, and the file group's log entries. */
+  final case class BranchScanInfo(root: String,
+      types: Map[String, DataType], files: Seq[DeltaLite.AddFile])
+
+  val ScanTag: TreeNodeTag[BranchScanInfo] =
+    TreeNodeTag[BranchScanInfo]("graft.bfp.scan")
+
+  /** Called by DeltaLite at scan-build time: tag the relation node
+    * inside `df`'s plan with its file group. (Tags ride the node
+    * instance through analysis reuse and makeCopy — the DBP/FRB
+    * pattern.) */
+  def tagScan(df: DataFrame, root: String,
+      types: Map[String, DataType],
+      files: Seq[DeltaLite.AddFile]): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRelation =>
+        lr.setTagValue(ScanTag, BranchScanInfo(root, types, files))
+      case _ => ()
+    }
+    df
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.branchFilePruning.enabled", "true")
+        .toBoolean) return plan
+    plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation)
+          if lr.getTagValue(ScanTag).isDefined =>
+        val info = lr.getTagValue(ScanTag).get
+        val bounds = toBounds(cond, lr.outputSet)
+        if (bounds.isEmpty) f
+        else {
+          val kept = DeltaLite.pruneByStats(info.types, info.files, bounds)
+          if (kept.size >= info.files.size) f
+          else if (kept.isEmpty) {
+            logInfo(s"BranchFilePruning: ALL ${info.files.size} file(s) " +
+              s"of ${info.root} proven empty for ${cond.sql}")
+            LocalRelation(f.output, Nil)
+          } else {
+            logInfo(s"BranchFilePruning: ${info.files.size - kept.size} " +
+              s"of ${info.files.size} file(s) of ${info.root} pruned " +
+              s"for ${cond.sql}")
+            val spark = SparkSession.active
+            val rootP = java.nio.file.Paths.get(info.root)
+            val physSchema = StructType(lr.output.map(a =>
+              StructField(a.name, a.dataType, a.nullable)))
+            val raw = spark.read.schema(physSchema)
+              .parquet(kept.map(x => rootP.resolve(x.path).toString): _*)
+              .queryExecution.analyzed
+            // the original scan carried the log's CatalogStatistics
+            // (row count, CBO column stats — the S55 surface); the
+            // rebuilt scan keeps them UNCHANGED: the Filter stays in
+            // the plan and applies its selectivity to these stats
+            // exactly once — restating row counts over the kept subset
+            // would DOUBLE-APPLY the filter (file-level effect in the
+            // relation, histogram selectivity in the Filter; measured
+            // as a halved estimate). Physical I/O still reads only the
+            // kept files; estimation describes the pre-filter table,
+            // as it did before pruning.
+            val sub = raw.transform {
+              case l2: LogicalRelation if lr.catalogTable.isDefined =>
+                l2.copy(catalogTable = lr.catalogTable)
+            }
+            // re-tag with the KEPT subset: stacked filters keep
+            // pruning, and a same-bounds revisit is a no-op (fixpoint)
+            sub.foreach {
+              case l2: LogicalRelation =>
+                l2.setTagValue(ScanTag, info.copy(files = kept))
+              case _ => ()
+            }
+            val byName = sub.output.map(a => a.name -> a).toMap
+            val aliases: Seq[NamedExpression] = lr.output.map { o =>
+              Alias(byName(o.name), o.name)(exprId = o.exprId,
+                qualifier = o.qualifier)
+            }
+            Filter(cond, Project(aliases, sub))
+          }
+        }
+    }
+  }
+
+  /** Simple conjuncts → stat bounds; everything else contributes
+    * nothing (pruning stays an optimization). Literal values convert
+    * to their external Scala form — the space [[DeltaLite.pruneFiles]]
+    * normalizes from. */
+  private def toBounds(cond: Expression,
+      scanOutput: AttributeSet): Seq[DeltaLite.ColumnBound] = {
+    def ext(v: Any, dt: DataType): Option[Any] =
+      Option(CatalystTypeConverters.convertToScala(v, dt))
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt))
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, Some(x), Some(x))).toSeq
+      case EqualTo(Literal(v, dt), a: AttributeReference)
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, Some(x), Some(x))).toSeq
+      case GreaterThan(a: AttributeReference, Literal(v, dt))
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, lower = Some(x))).toSeq
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, lower = Some(x))).toSeq
+      case LessThan(a: AttributeReference, Literal(v, dt))
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, upper = Some(x))).toSeq
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, upper = Some(x))).toSeq
+      case GreaterThan(Literal(v, dt), a: AttributeReference)
+          if scanOutput.contains(a) => // lit > a  ⇔  a < lit
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, upper = Some(x))).toSeq
+      case LessThan(Literal(v, dt), a: AttributeReference)
+          if scanOutput.contains(a) => // lit < a  ⇔  a > lit
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, lower = Some(x))).toSeq
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, upper = Some(x))).toSeq
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if scanOutput.contains(a) =>
+        ext(v, dt).map(x =>
+          DeltaLite.ColumnBound(a.name, lower = Some(x))).toSeq
+      case In(a: AttributeReference, vs)
+          if scanOutput.contains(a) && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.collect { case Literal(v, dt) => ext(v, dt) }
+        // a NULL in the list proves nothing about reachability; the
+        // conjunct contributes no bound then
+        if (xs.exists(_.isEmpty)) Nil
+        else Seq(DeltaLite.ColumnBound(a.name, inSet = Some(xs.flatten)))
+      case _ => Nil
+    }
+  }
+}

@@ -436,36 +436,7 @@ object DeltaLite {
             val st: Option[ColStats] = f.stats.get(snap.phys(b.column)).orElse(
               f.pv.get(b.column).flatMap(parsePartitionValue(dt, _))
                 .map(v => ColStats(Some(v), Some(v))))
-            // a strictExact bound may only prune on an EXACT same-width
-            // stat — ranged or width-mismatched stats could hide values
-            // where the deriving function folds out of lexical order
-            def decisive(bound: Any): Boolean = !b.strictExact ||
-              ((st.flatMap(_.min), st.flatMap(_.max)) match {
-                case (Some(mn), Some(mx)) if mn == mx => (mn, bound) match {
-                  case (s1: String, s2: String) => s1.length == s2.length
-                  case _ => true
-                }
-                case _ => false
-              })
-            val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
-              yield !decisive(nlo) || cmp(dt, mx, nlo) >= 0).getOrElse(true)
-            val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
-              yield !decisive(nhi) || cmp(dt, mn, nhi) <= 0).getOrElse(true)
-            // IN-set: kept only if SOME value could be inside [min, max].
-            // Stats-free files are kept; an unnormalizable value keeps the
-            // file (pruning stays an optimization); an EMPTY set prunes
-            // every file that HAS stats (no value can match).
-            val inOk = b.inSet.forall { vs =>
-              st.isEmpty || vs.exists { v =>
-                normBound(dt, v) match {
-                  case None => true
-                  case Some(nv) => !decisive(nv) ||
-                    (st.flatMap(_.min).forall(mn => cmp(dt, mn, nv) <= 0) &&
-                     st.flatMap(_.max).forall(mx => cmp(dt, mx, nv) >= 0))
-                }
-              }
-            }
-            loOk && hiOk && inOk
+            fileMayMatch(dt, st, b)
           case None => true
         }
       } && bloomProbes.forall { case (pn, hashes) =>
@@ -480,6 +451,59 @@ object DeltaLite {
       }
     }
   }
+
+  /** The per-(file, bound) decision [[pruneFiles]] and [[pruneByStats]]
+    * share — ONE implementation of the skip-safety rules (strictExact
+    * decisiveness, lo/hi comparisons, IN-set reachability), so the two
+    * call sites can never diverge on what "provably cannot match"
+    * means. */
+  private def fileMayMatch(dt: DataType, st: Option[ColStats],
+      b: ColumnBound): Boolean = {
+    // a strictExact bound may only prune on an EXACT same-width
+    // stat — ranged or width-mismatched stats could hide values
+    // where the deriving function folds out of lexical order
+    def decisive(bound: Any): Boolean = !b.strictExact ||
+      ((st.flatMap(_.min), st.flatMap(_.max)) match {
+        case (Some(mn), Some(mx)) if mn == mx => (mn, bound) match {
+          case (s1: String, s2: String) => s1.length == s2.length
+          case _ => true
+        }
+        case _ => false
+      })
+    val loOk = (for { lo <- b.lower; nlo <- normBound(dt, lo); mx <- st.flatMap(_.max) }
+      yield !decisive(nlo) || cmp(dt, mx, nlo) >= 0).getOrElse(true)
+    val hiOk = (for { hi <- b.upper; nhi <- normBound(dt, hi); mn <- st.flatMap(_.min) }
+      yield !decisive(nhi) || cmp(dt, mn, nhi) <= 0).getOrElse(true)
+    // IN-set: kept only if SOME value could be inside [min, max].
+    // Stats-free files are kept; an unnormalizable value keeps the
+    // file (pruning stays an optimization); an EMPTY set prunes
+    // every file that HAS stats (no value can match).
+    val inOk = b.inSet.forall { vs =>
+      st.isEmpty || vs.exists { v =>
+        normBound(dt, v) match {
+          case None => true
+          case Some(nv) => !decisive(nv) ||
+            (st.flatMap(_.min).forall(mn => cmp(dt, mn, nv) <= 0) &&
+             st.flatMap(_.max).forall(mx => cmp(dt, mx, nv) >= 0))
+        }
+      }
+    }
+    loOk && hiOk && inOk
+  }
+
+  /** Stats-only pruning for an ALREADY-SELECTED file group — the
+    * branch-scan path ([[graft.plans.BranchFilePruning]]): like
+    * [[pruneFiles]] minus the partition-value fallback (branch groups
+    * are single-partition and partition predicates constant-fold
+    * branch-side) and bloom probes. Bounds name PHYSICAL columns — the
+    * names file stats are keyed by, which is what a pushed-down Filter
+    * references at the scan. */
+  private[graft] def pruneByStats(types: Map[String, DataType],
+      files: Seq[AddFile], bounds: Seq[ColumnBound]): Seq[AddFile] =
+    files.filter(f => bounds.forall(b => types.get(b.column) match {
+      case Some(dt) => fileMayMatch(dt, f.stats.get(b.column), b)
+      case None => true
+    }))
 
   /** Decode a Hive-layout partition value string into [[cmp]]'s
     * comparable space. Unparseable / unsupported types yield None — the
@@ -2596,9 +2620,14 @@ object DeltaLite {
         // the logical schema (identity projection when never renamed —
         // filters push through aliases, so pruning/pushdown unaffected)
         val physSchema = StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
-        val base = withLogStats(spark, spark.read.schema(physSchema)
-          .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files,
-          props, churn)
+        // tagged for BranchFilePruning: a later Filter can drop whole
+        // files from the log's min/max stats (see graft.plans)
+        val base = graft.plans.BranchFilePruning.tagScan(
+          withLogStats(spark, spark.read.schema(physSchema)
+            .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files,
+            props, churn),
+          r.toString,
+          physSchema.fields.map(f => f.name -> f.dataType).toMap, files)
         if (physical.isEmpty) base
         else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
       } else {
@@ -2613,9 +2642,12 @@ object DeltaLite {
         unionTree(files.groupBy(_.pv).toSeq
           .sortBy(_._1.toList.sortBy(_._1).mkString(","))
           .map { case (pv, group) =>
-            val base = withLogStats(spark, spark.read.schema(dataSchema)
-              .parquet(group.map(f => r.resolve(f.path).toString): _*),
-              path, group, props, churn)
+            val base = graft.plans.BranchFilePruning.tagScan(
+              withLogStats(spark, spark.read.schema(dataSchema)
+                .parquet(group.map(f => r.resolve(f.path).toString): _*),
+                path, group, props, churn),
+              r.toString,
+              dataSchema.fields.map(f => f.name -> f.dataType).toMap, group)
               .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)

@@ -1915,6 +1915,67 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       "EXPLAIN PRUNING over a DELETE must not delete anything")
   }
 
+  test("branch file pruning: a plain .filter over DeltaLite.read drops whole files via log min/max stats") {
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    // UNPARTITIONED table, 4 files with disjoint v ranges (one append
+    // per range — each commit's file carries tight min/max in the log)
+    val flat = graft.TempDirs.fresh("bfp_flat") + "/t"
+    D.create(spark, flat,
+      spark.range(0L, 1000L).select(col("id").as("v")).coalesce(1))
+    (1 to 3).foreach(i => D.append(spark, flat,
+      spark.range(i * 1000L, (i + 1) * 1000L).select(col("id").as("v"))
+        .coalesce(1)))
+    assert(scanFiles(D.read(spark, flat)) === 4)
+    val q1 = D.read(spark, flat).filter(col("v") >= 2500L)
+    assert(scanFiles(q1) === 2,
+      s"v >= 2500 must keep the [2000,3000) and [3000,4000) files:\n" +
+        q1.queryExecution.optimizedPlan)
+    assert(q1.count() === 1500L, "pruned results stay exact")
+    // equality and IN-set bounds prune to the single covering file
+    assert(scanFiles(D.read(spark, flat).filter(col("v") === 1234L)) === 1)
+    assert(scanFiles(D.read(spark, flat)
+      .filter(col("v").isin(10L, 20L))) === 1)
+    // a provably-empty result collapses the scan entirely
+    val qe = D.read(spark, flat).filter(col("v") > 100000L)
+    assert(scanFiles(qe) === 0,
+      s"no file can satisfy v > 100000:\n${qe.queryExecution.optimizedPlan}")
+    assert(qe.count() === 0L)
+    // PARTITIONED table: file pruning composes with branch folding —
+    // the partition predicate folds branches, the data predicate drops
+    // files inside the surviving branch
+    val part = graft.TempDirs.fresh("bfp_part") + "/t"
+    D.create(spark, part,
+      spark.range(0L, 1000L).select(col("id").as("v"),
+        (col("id") % 2L).cast("string").as("p")).repartition(1),
+      partitionBy = Seq("p"))
+    D.append(spark, part,
+      spark.range(1000L, 2000L).select(col("id").as("v"),
+        (col("id") % 2L).cast("string").as("p")).repartition(1))
+    val qp = D.read(spark, part)
+      .filter(col("p") === "1" && col("v") < 1000L)
+    assert(scanFiles(qp) === 1,
+      s"one branch folded away, one file pruned inside the kept branch:\n" +
+        qp.queryExecution.optimizedPlan)
+    assert(qp.count() === 500L)
+    // kill switch restores the scan-everything plan
+    spark.conf.set("spark.graft.branchFilePruning.enabled", "false")
+    try {
+      val off = D.read(spark, flat).filter(col("v") >= 2500L)
+      assert(scanFiles(off) === 4)
+      assert(off.count() === 1500L)
+    } finally spark.conf.unset("spark.graft.branchFilePruning.enabled")
+  }
+
   test("a graft-delta FORMAT read branch-prunes like the direct read (FormatReadBranching routes S59)") {
     import org.apache.spark.sql.functions._
     val D = graft.sources.DeltaLite
