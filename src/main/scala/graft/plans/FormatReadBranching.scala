@@ -47,9 +47,13 @@ import graft.sources.{DeltaLite, GraftDeltaRelation}
   *  - only when the plan actually PREDICATES on a partition column — a
   *    Filter condition or Join condition referencing one (the
   *    substitution's entire payoff is partition elimination; a query
-  *    filtering on ordinary columns keeps the relation and its
-  *    log-stats file skipping, which the branch shape does not
-  *    replicate — found by review);
+  *    filtering on ordinary columns keeps the relation, whose
+  *    `DeltaLite.scan` path still carries the capabilities the branch
+  *    shape lacks: BLOOM probes and strictExact generated-column
+  *    bounds. Plain min/max file skipping is no longer a difference —
+  *    [[BranchFilePruning]] gives the branch shape that too — but
+  *    bloom-indexed point lookups remain the V1 relation's edge, so
+  *    the conservative scope stands);
   *  - only batch reads (`isStreaming` declines — the streaming source
   *    never plans through LogicalRelation anyway);
   *  - governance is PRESERVED, not bypassed: the substituted plan is
