@@ -89,7 +89,16 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
         val bounds = toBounds(cond, lr.outputSet)
         if (bounds.isEmpty) f
         else {
-          val kept = DeltaLite.pruneByStats(info.types, info.files, bounds)
+          // point bounds on bloom-indexed columns also probe the
+          // per-file blooms (the scan()-path capability, now on plain
+          // filters): one tiny driver job hashes the literals with the
+          // builder's own xxhash64 — a definitive miss in every probed
+          // value drops the file even when min/max cover it
+          val probes = DeltaLite.bloomProbeHashes(SparkSession.active,
+            info.files.iterator.flatMap(_.bloom.keys).toSet,
+            info.types, identity, bounds)
+          val kept = DeltaLite.pruneByStats(info.types, info.files,
+            bounds, probes)
           if (kept.size >= info.files.size) f
           else if (kept.isEmpty) {
             logInfo(s"BranchFilePruning: ALL ${info.files.size} file(s) " +

@@ -439,18 +439,23 @@ object DeltaLite {
             fileMayMatch(dt, st, b)
           case None => true
         }
-      } && bloomProbes.forall { case (pn, hashes) =>
-        // a definitive bloom miss for EVERY probed value proves the file
-        // holds no matching row; a file without a bloom for this column
-        // is always kept (decode once, probe each value)
-        f.bloom.get(pn).forall { b64 =>
-          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(dec.decode(b64)))
-          hashes.exists(bf.mightContainLong)
-        }
-      }
+      } && bloomKeeps(f, bloomProbes, dec)
     }
   }
+
+  /** Bloom verdict for one file: a definitive miss for EVERY probed
+    * value proves the file holds no matching row; a file without a
+    * bloom for this column is always kept (decode once, probe each
+    * value). Shared by [[pruneFiles]] and [[pruneByStats]]. */
+  private def bloomKeeps(f: AddFile, probes: Map[String, Seq[Long]],
+      dec: java.util.Base64.Decoder): Boolean =
+    probes.forall { case (pn, hashes) =>
+      f.bloom.get(pn).forall { b64 =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(dec.decode(b64)))
+        hashes.exists(bf.mightContainLong)
+      }
+    }
 
   /** The per-(file, bound) decision [[pruneFiles]] and [[pruneByStats]]
     * share — ONE implementation of the skip-safety rules (strictExact
@@ -499,11 +504,14 @@ object DeltaLite {
     * names file stats are keyed by, which is what a pushed-down Filter
     * references at the scan. */
   private[graft] def pruneByStats(types: Map[String, DataType],
-      files: Seq[AddFile], bounds: Seq[ColumnBound]): Seq[AddFile] =
+      files: Seq[AddFile], bounds: Seq[ColumnBound],
+      bloomProbes: Map[String, Seq[Long]] = Map.empty): Seq[AddFile] = {
+    val dec = java.util.Base64.getDecoder
     files.filter(f => bounds.forall(b => types.get(b.column) match {
       case Some(dt) => fileMayMatch(dt, f.stats.get(b.column), b)
       case None => true
-    }))
+    }) && bloomKeeps(f, bloomProbes, dec))
+  }
 
   /** Decode a Hive-layout partition value string into [[cmp]]'s
     * comparable space. Unparseable / unsupported types yield None — the
@@ -2353,10 +2361,23 @@ object DeltaLite {
     * Catalyst type). IN-set values hash in ONE local 1-row job (probe
     * sets are driver-side metadata — queries × probes ints). */
   private def bloomProbesFor(spark: SparkSession, snap: Snapshot,
-      bounds: Seq[ColumnBound]): Map[String, Seq[Long]] = {
-    val indexed = snap.files.iterator.flatMap(_.bloom.keys).toSet
+      bounds: Seq[ColumnBound]): Map[String, Seq[Long]] =
+    bloomProbeHashes(spark,
+      snap.files.iterator.flatMap(_.bloom.keys).toSet,
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap,
+      snap.phys, bounds)
+
+  /** Point bounds (equality / IN-set) on bloom-indexed columns →
+    * per-column probe hash lists, via the SAME xxhash64 expression the
+    * bloom builder hashed with (one tiny spark job evaluates the whole
+    * literal batch). Shared by [[scan]]'s snapshot path and the
+    * branch-scan pruning rule ([[graft.plans.BranchFilePruning]], where
+    * bound names are already physical — `phys` = identity there). */
+  private[graft] def bloomProbeHashes(spark: SparkSession,
+      indexed: Set[String], types: Map[String, DataType],
+      phys: String => String, bounds: Seq[ColumnBound])
+      : Map[String, Seq[Long]] = {
     if (indexed.isEmpty) return Map.empty
-    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     bounds.flatMap { b =>
       val pointVals: Option[Seq[Any]] = (b.lower, b.upper, b.inSet) match {
         case (_, _, Some(vs)) => Some(vs)
@@ -2364,13 +2385,13 @@ object DeltaLite {
         case _ => None
       }
       (pointVals, types.get(b.column)) match {
-        case (Some(vs), Some(dt)) if indexed.contains(snap.phys(b.column)) =>
+        case (Some(vs), Some(dt)) if indexed.contains(phys(b.column)) =>
           val hashes = if (vs.isEmpty) Seq.empty[Long] else {
             val row = spark.range(1).select(vs.zipWithIndex.map { case (v, i) =>
               xxhash64(lit(v).cast(dt)).as(s"h$i") }: _*).collect()(0)
             vs.indices.map(row.getLong)
           }
-          Some(snap.phys(b.column) -> hashes)
+          Some(phys(b.column) -> hashes)
         case _ => None
       }
     }.toMap

@@ -1967,6 +1967,21 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"one branch folded away, one file pruned inside the kept branch:\n" +
         qp.queryExecution.optimizedPlan)
     assert(qp.count() === 500L)
+    // BLOOM-indexed point lookup through a PLAIN filter: 8 hash-
+    // bucketed files all span ~the whole key range (min/max prune
+    // nothing — the bloom's exact workload); the per-file blooms drop
+    // all but the needle's bucket (fp-tolerant bound)
+    val bloomy = graft.TempDirs.fresh("bfp_bloom") + "/t"
+    import spark.implicits._
+    D.create(spark, bloomy,
+      (0L until 4000L).map(i => (i, s"name$i")).toDF("k", "s")
+        .repartition(8, pmod(col("k"), lit(8))),
+      properties = Map("graft.bloom.columns" -> "k"))
+    val qb = D.read(spark, bloomy).filter(col("k") === 1234L)
+    assert(scanFiles(qb) <= 2,
+      s"the bloom must skip to ~1 file through a plain filter:\n" +
+        qb.queryExecution.optimizedPlan)
+    assert(qb.select("s").head().getString(0) === "name1234")
     // kill switch restores the scan-everything plan
     spark.conf.set("spark.graft.branchFilePruning.enabled", "false")
     try {
