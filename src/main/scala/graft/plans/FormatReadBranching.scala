@@ -46,14 +46,12 @@ import graft.sources.{DeltaLite, GraftDeltaRelation}
   *  - only PARTITIONED tables (a partitionless table gains nothing);
   *  - only when the plan actually PREDICATES on a partition column — a
   *    Filter condition or Join condition referencing one (the
-  *    substitution's entire payoff is partition elimination; a query
-  *    filtering on ordinary columns keeps the relation, whose
-  *    `DeltaLite.scan` path still carries the capabilities the branch
-  *    shape lacks: BLOOM probes and strictExact generated-column
-  *    bounds. Plain min/max file skipping is no longer a difference —
-  *    [[BranchFilePruning]] gives the branch shape that too — but
-  *    bloom-indexed point lookups remain the V1 relation's edge, so
-  *    the conservative scope stands);
+  *    substitution's entire payoff is partition elimination;
+  *    [[BranchFilePruning]] now gives the branch shape min/max AND
+  *    bloom file skipping, so the V1 relation's remaining edge is
+  *    strictExact generated-column bounds (derivedGeneratedBounds) —
+  *    that, plus not building an N-branch union on compiles that
+  *    cannot benefit, keeps the conservative scope);
   *  - only batch reads (`isStreaming` declines — the streaming source
   *    never plans through LogicalRelation anyway);
   *  - governance is PRESERVED, not bypassed: the substituted plan is
