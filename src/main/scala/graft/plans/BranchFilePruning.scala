@@ -64,6 +64,30 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
   val ScanTag: TreeNodeTag[BranchScanInfo] =
     TreeNodeTag[BranchScanInfo]("graft.bfp.scan")
 
+  /** Bounds already evaluated against this scan instance: fixpoint
+    * re-visits with the same bounds (the common case — the pruned or
+    * unprunable Filter re-matches on every later iteration of both
+    * operator batches) skip the probe job and the per-file bloom
+    * decodes entirely. A rule that copies the node drops the tag and
+    * costs one redundant evaluation — acceptable, never wrong. */
+  private val AppliedBounds: TreeNodeTag[Seq[DeltaLite.ColumnBound]] =
+    TreeNodeTag[Seq[DeltaLite.ColumnBound]]("graft.bfp.applied")
+
+  /** Substitution-transparency helper shared with
+    * [[FormatReadBranching]]: project `sub` back onto `target`'s
+    * names/exprIds/qualifiers so every parent operator sees the swap
+    * as a no-op. ONE implementation — the rebind contract is
+    * correctness-critical and must not drift between the two rules. */
+  private[plans] def rebindToOutput(
+      target: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      sub: LogicalPlan): Project = {
+    val byName = sub.output.map(a => a.name -> a).toMap
+    Project(target.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)
+    }, sub)
+  }
+
   /** Called by DeltaLite at scan-build time: tag the relation node
     * inside `df`'s plan with its file group. (Tags ride the node
     * instance through analysis reuse and makeCopy — the DBP/FRB
@@ -88,6 +112,7 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
         val info = lr.getTagValue(ScanTag).get
         val bounds = toBounds(cond, lr.outputSet)
         if (bounds.isEmpty) f
+        else if (lr.getTagValue(AppliedBounds).contains(bounds)) f
         else {
           // point bounds on bloom-indexed columns also probe the
           // per-file blooms (the scan()-path capability, now on plain
@@ -99,7 +124,11 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
             info.types, identity, bounds)
           val kept = DeltaLite.pruneByStats(info.types, info.files,
             bounds, probes)
-          if (kept.size >= info.files.size) f
+          if (kept.size >= info.files.size) {
+            // nothing prunable under these bounds — remember, so every
+            // later fixpoint visit skips the probe work entirely
+            lr.setTagValue(AppliedBounds, bounds); f
+          }
           else if (kept.isEmpty) {
             logInfo(s"BranchFilePruning: ALL ${info.files.size} file(s) " +
               s"of ${info.root} proven empty for ${cond.sql}")
@@ -129,19 +158,16 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
               case l2: LogicalRelation if lr.catalogTable.isDefined =>
                 l2.copy(catalogTable = lr.catalogTable)
             }
-            // re-tag with the KEPT subset: stacked filters keep
-            // pruning, and a same-bounds revisit is a no-op (fixpoint)
+            // re-tag with the KEPT subset (stacked filters keep
+            // pruning) AND the applied bounds (a same-bounds revisit
+            // skips probe work — fixpoint no-op for free)
             sub.foreach {
               case l2: LogicalRelation =>
                 l2.setTagValue(ScanTag, info.copy(files = kept))
+                l2.setTagValue(AppliedBounds, bounds)
               case _ => ()
             }
-            val byName = sub.output.map(a => a.name -> a).toMap
-            val aliases: Seq[NamedExpression] = lr.output.map { o =>
-              Alias(byName(o.name), o.name)(exprId = o.exprId,
-                qualifier = o.qualifier)
-            }
-            Filter(cond, Project(aliases, sub))
+            Filter(cond, rebindToOutput(lr.output, sub))
           }
         }
     }

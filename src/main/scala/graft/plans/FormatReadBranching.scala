@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -109,17 +109,12 @@ object FormatReadBranching extends Rule[LogicalPlan] {
           // here — it joins this compile's fixed point for optimization
           val sub = DeltaLite.read(rel.spark, rel.path, rel.asOf)
             .queryExecution.analyzed
-          val byName = sub.output.map(a => a.name -> a).toMap
-          val aliases: Seq[NamedExpression] = lr.output.map { o =>
-            Alias(byName(o.name), o.name)(exprId = o.exprId,
-              qualifier = o.qualifier)
-          }
           DynamicBranchPruning.recordDecisions(
             s"<format read ${rel.path}>", Seq(
               "substituted the branch-union plan (partition predicate " +
                 "present) — static folding and join-driven pruning now " +
                 "apply"))
-          Project(aliases, sub)
+          BranchFilePruning.rebindToOutput(lr.output, sub)
         }
     }
   }
