@@ -85,13 +85,16 @@ object DedupIndex {
     // three more (verify, partner sets, sizes) — without a lineage cut
     // each reference re-shingles and re-minhashes the batch, and the
     // measured gate wall was exactly that recompute, not commit
-    // latency. Both frames are batch-sized; the lazy checkpoint
-    // materializes each once and every later reference reads blocks.
+    // latency. Both frames are batch-sized; the cut materializes each
+    // once and every later reference reads blocks. Cuts go through
+    // [[graft.Frames.cut]]: default localCheckpoint (snapshot-exact,
+    // executor-liveness-bound), `spark.graft.cut.mode=replicated` for
+    // clusters with executor churn — see Frames for the trade.
     // `preBands` lets the gate hand in bands it also appends — one
     // banding pass per micro-batch TOTAL.
-    val probeBands = preBands.getOrElse(graft.functions.Dedup
-      .bandedSignatures(batch, id, text, numHashes, bands)
-      .localCheckpoint(false))
+    val probeBands = preBands.getOrElse(graft.Frames.cut(
+      graft.functions.Dedup
+        .bandedSignatures(batch, id, text, numHashes, bands)))
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
@@ -132,7 +135,7 @@ object DedupIndex {
     // candidate pairs feed candIds, the verify join AND (through
     // candIds) two semi-joins — cut here or the whole candidate
     // cascade (two band joins + anti-join) recomputes per reference
-    val cand = idxCand.union(selfCand).distinct().localCheckpoint(false)
+    val cand = graft.Frames.cut(idxCand.union(selfCand).distinct())
     // verify with exact Jaccard over shingles of the candidates only:
     // indexed partners' text from the corpus, in-batch partners' text
     // from the batch itself (shingleSets rows are distinct, so the
@@ -140,8 +143,8 @@ object DedupIndex {
     val candIds = cand.select(col("eid")).distinct()
     val candCorpus = corpusText
       .join(candIds, corpusText(id) === col("eid"), "left_semi")
-    val inSets = graft.functions.TextFunctions.shingleSets(batch, id, text)
-      .localCheckpoint(false)
+    val inSets = graft.Frames.cut(
+      graft.functions.TextFunctions.shingleSets(batch, id, text))
     // Partner text resolves per eid with BATCH text winning: a
     // re-crawled id (present in both the corpus and this batch, possibly
     // with different text) must verify against its current batch text
@@ -158,7 +161,7 @@ object DedupIndex {
       .select(col(id).as("eid"), col("shingle"))
     // referenced by the intersection join and the size agg — cut, or
     // the corpus semi-join + shingling cascade runs twice
-    val partnerSets = exSets.union(selfSets).distinct().localCheckpoint(false)
+    val partnerSets = graft.Frames.cut(exSets.union(selfSets).distinct())
     val inter = inSets.join(cand, Seq(id))
       .join(partnerSets, Seq("eid", "shingle"))
       .groupBy(col(id), col("eid")).agg(count(lit(1)).as("__inter"))

@@ -49,17 +49,29 @@ import graft.sources.DeltaLite
   * raw-stats pruning against masked literals (the scan()-path decline)
   * cannot arise here by construction.
   *
-  * Scope: min/max bounds and IN-sets only — bloom probes and
-  * strictExact generated-column bounds remain `scan()`/format-relation
-  * capabilities. Kill switch: `spark.graft.branchFilePruning.enabled`.
+  * Scope: min/max bounds, IN-sets, per-file bloom probes on point
+  * bounds, AND derived generated-column bounds (the scan()-path
+  * `derivedGeneratedBounds` capability, via the tag's derive hook) —
+  * on a partitioned branch a derived bound on the partition column
+  * resolves against the branch's logged partition value, so a filter
+  * on the BASE column of a generated partition column eliminates
+  * whole branches. The branch path now matches `scan()`'s skipping
+  * power; decisions surface in `EXPLAIN PRUNING` alongside DBP/FRB.
+  * Kill switch: `spark.graft.branchFilePruning.enabled`.
   * Cost: driver-side metadata work proportional to the scan's file
   * count, only on plans that actually filter a tagged scan. */
 object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
 
   /** What a tagged scan knows about itself: table root, PHYSICAL
-    * column types, and the file group's log entries. */
+    * column types (INCLUDING partition columns on the branch path, so
+    * derived partition-column bounds can resolve against logged
+    * partition values), the file group's log entries, and the table's
+    * generated-column bound-derivation hook (physical-name space in
+    * and out; `_ => Nil` when the table has no generated columns). */
   final case class BranchScanInfo(root: String,
-      types: Map[String, DataType], files: Seq[DeltaLite.AddFile])
+      types: Map[String, DataType], files: Seq[DeltaLite.AddFile],
+      derive: Seq[DeltaLite.ColumnBound] => Seq[DeltaLite.ColumnBound] =
+        _ => Nil)
 
   val ScanTag: TreeNodeTag[BranchScanInfo] =
     TreeNodeTag[BranchScanInfo]("graft.bfp.scan")
@@ -68,10 +80,29 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     * re-visits with the same bounds (the common case — the pruned or
     * unprunable Filter re-matches on every later iteration of both
     * operator batches) skip the probe job and the per-file bloom
-    * decodes entirely. A rule that copies the node drops the tag and
-    * costs one redundant evaluation — acceptable, never wrong. */
-  private val AppliedBounds: TreeNodeTag[Seq[DeltaLite.ColumnBound]] =
-    TreeNodeTag[Seq[DeltaLite.ColumnBound]]("graft.bfp.applied")
+    * decodes entirely. A SET of recent bound lists, not a single
+    * slot: one scan node can sit under several Filters (a union of
+    * two filters over the same read frame), and alternating visits
+    * on a single-slot memo would overwrite each other and re-run the
+    * probe work every fixpoint iteration. Bounded at
+    * [[AppliedBoundsCap]] distinct lists — a pathological plan past
+    * the cap degrades to redundant (never wrong) re-evaluation. A
+    * rule that copies the node drops the tag entirely with the same
+    * cost model. */
+  private val AppliedBounds: TreeNodeTag[Seq[Seq[DeltaLite.ColumnBound]]] =
+    TreeNodeTag[Seq[Seq[DeltaLite.ColumnBound]]]("graft.bfp.applied")
+  private val AppliedBoundsCap = 16
+
+  private def alreadyApplied(lr: LogicalRelation,
+      bounds: Seq[DeltaLite.ColumnBound]): Boolean =
+    lr.getTagValue(AppliedBounds).exists(_.contains(bounds))
+
+  private def rememberApplied(lr: LogicalRelation,
+      bounds: Seq[DeltaLite.ColumnBound]): Unit = {
+    val prev = lr.getTagValue(AppliedBounds).getOrElse(Nil)
+    if (!prev.contains(bounds))
+      lr.setTagValue(AppliedBounds, (prev :+ bounds).takeRight(AppliedBoundsCap))
+  }
 
   /** Substitution-transparency helper shared with
     * [[FormatReadBranching]]: project `sub` back onto `target`'s
@@ -94,10 +125,12 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     * pattern.) */
   def tagScan(df: DataFrame, root: String,
       types: Map[String, DataType],
-      files: Seq[DeltaLite.AddFile]): DataFrame = {
+      files: Seq[DeltaLite.AddFile],
+      derive: Seq[DeltaLite.ColumnBound] => Seq[DeltaLite.ColumnBound] =
+        _ => Nil): DataFrame = {
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRelation =>
-        lr.setTagValue(ScanTag, BranchScanInfo(root, types, files))
+        lr.setTagValue(ScanTag, BranchScanInfo(root, types, files, derive))
       case _ => ()
     }
     df
@@ -112,7 +145,7 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
         val info = lr.getTagValue(ScanTag).get
         val bounds = toBounds(cond, lr.outputSet)
         if (bounds.isEmpty) f
-        else if (lr.getTagValue(AppliedBounds).contains(bounds)) f
+        else if (alreadyApplied(lr, bounds)) f
         else {
           // point bounds on bloom-indexed columns also probe the
           // per-file blooms (the scan()-path capability, now on plain
@@ -122,21 +155,49 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
           val probes = DeltaLite.bloomProbeHashes(SparkSession.active,
             info.files.iterator.flatMap(_.bloom.keys).toSet,
             info.types, identity, bounds)
+          // generated-column derivation (the scan()-path
+          // derivedGeneratedBounds capability, now on plain filters): a
+          // bound on a BASE column implies a bound on its monotone
+          // generated column — on a partitioned branch that bound
+          // resolves against the branch's logged partition value, so a
+          // base-column filter can prove a whole branch empty
+          val derived = info.derive(bounds)
           val kept = DeltaLite.pruneByStats(info.types, info.files,
-            bounds, probes)
+            bounds ++ derived, probes)
+          val how = Seq(
+            if (probes.nonEmpty) Some(s"${probes.size} bloom probe col(s)")
+            else None,
+            if (derived.nonEmpty)
+              Some(s"${derived.size} generated-column bound(s)")
+            else None).flatten match {
+            case Nil => ""
+            case xs => xs.mkString(" (", ", ", ")")
+          }
           if (kept.size >= info.files.size) {
             // nothing prunable under these bounds — remember, so every
             // later fixpoint visit skips the probe work entirely
-            lr.setTagValue(AppliedBounds, bounds); f
+            rememberApplied(lr, bounds)
+            DynamicBranchPruning.recordDecisions(cond.sql, Seq(
+              s"BranchFilePruning: kept all ${info.files.size} file(s) " +
+                s"of ${info.root} — no file provably empty$how"))
+            f
           }
           else if (kept.isEmpty) {
             logInfo(s"BranchFilePruning: ALL ${info.files.size} file(s) " +
               s"of ${info.root} proven empty for ${cond.sql}")
+            DynamicBranchPruning.recordDecisions(cond.sql, Seq(
+              s"BranchFilePruning: all ${info.files.size} file(s) of " +
+                s"${info.root} proven empty — scan replaced by empty " +
+                s"relation$how"))
             LocalRelation(f.output, Nil)
           } else {
             logInfo(s"BranchFilePruning: ${info.files.size - kept.size} " +
               s"of ${info.files.size} file(s) of ${info.root} pruned " +
               s"for ${cond.sql}")
+            DynamicBranchPruning.recordDecisions(cond.sql, Seq(
+              s"BranchFilePruning: pruned ${info.files.size - kept.size} " +
+                s"of ${info.files.size} file(s) of ${info.root} from " +
+                s"log stats$how"))
             val spark = SparkSession.active
             val rootP = java.nio.file.Paths.get(info.root)
             val physSchema = StructType(lr.output.map(a =>
@@ -164,7 +225,7 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
             sub.foreach {
               case l2: LogicalRelation =>
                 l2.setTagValue(ScanTag, info.copy(files = kept))
-                l2.setTagValue(AppliedBounds, bounds)
+                l2.setTagValue(AppliedBounds, Seq(bounds))
               case _ => ()
             }
             Filter(cond, rebindToOutput(lr.output, sub))

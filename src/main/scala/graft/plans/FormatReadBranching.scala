@@ -47,11 +47,10 @@ import graft.sources.{DeltaLite, GraftDeltaRelation}
   *  - only when the plan actually PREDICATES on a partition column — a
   *    Filter condition or Join condition referencing one (the
   *    substitution's entire payoff is partition elimination;
-  *    [[BranchFilePruning]] now gives the branch shape min/max AND
-  *    bloom file skipping, so the V1 relation's remaining edge is
-  *    strictExact generated-column bounds (derivedGeneratedBounds) —
-  *    that, plus not building an N-branch union on compiles that
-  *    cannot benefit, keeps the conservative scope);
+  *    [[BranchFilePruning]] now gives the branch shape min/max, bloom,
+  *    AND derived generated-column file skipping — full scan()-path
+  *    parity — so the scope stays conservative purely to avoid
+  *    building an N-branch union on compiles that cannot benefit);
   *  - only batch reads (`isStreaming` declines — the streaming source
   *    never plans through LogicalRelation anyway);
   *  - governance is PRESERVED, not bypassed: the substituted plan is

@@ -3507,7 +3507,14 @@ ORDER BY fold ASC NULLS LAST"""),
     // the shape onto the TPC-H schema). Exactness: the 1.2 factor is
     // the rational 6/5, so the comparison is the cross-multiplied
     // integer form 5·n·cents > 6·sum_cents — no division, no float,
-    // no ulp at the decision boundary. Scale: one returns rollup
+    // no ulp at the decision boundary. The products are evaluated in
+    // WIDE integer space (Spark DECIMAL(38,0), DuckDB HUGEINT — both
+    // exact below 1e38), so the decision cannot silently wrap at large
+    // SFs where 5·n_ret·ret_cents exceeds BIGINT: even 1e12 returners
+    // × 1e15 cents is 5e27, eleven orders inside the exact range, and
+    // past 1e38 Spark's non-ANSI overflow yields NULL (row drops loud
+    // in the count) rather than a wrapped comparison. Scale: one
+    // returns rollup
     // (customer grain), a nation-keyed agg for the denominators, one
     // broadcast-sized join back — the correlated subquery never
     // re-executes per row (the decorrelated form Catalyst and DuckDB
@@ -3530,7 +3537,8 @@ ORDER BY fold ASC NULLS LAST"""),
         .agg(sum(col("ret_cents")).as("sum_cents"),
           count(lit(1)).as("n_ret"))
       byNation.join(nationAvg, Seq("c_nationkey"))
-        .filter(expr("5 * n_ret * ret_cents > 6 * sum_cents"))
+        .filter(expr("""CAST(5 AS DECIMAL(38,0)) * n_ret * ret_cents
+                        > CAST(6 AS DECIMAL(38,0)) * sum_cents"""))
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("ret_cents"))
         .orderBy(col("ret_cents").desc, col("c_custkey").asc)
@@ -3553,7 +3561,8 @@ ORDER BY fold ASC NULLS LAST"""),
            FROM bn GROUP BY 1)
          SELECT bn.c_custkey, bn.c_name, bn.c_nationkey, bn.ret_cents
          FROM bn JOIN na ON bn.c_nationkey = na.c_nationkey
-         WHERE 5 * na.n_ret * bn.ret_cents > 6 * na.sum_cents
+         WHERE 5::HUGEINT * na.n_ret * bn.ret_cents
+               > 6::HUGEINT * na.sum_cents
          ORDER BY ret_cents DESC, c_custkey ASC
          LIMIT 100""")),
 

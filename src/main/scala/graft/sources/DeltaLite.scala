@@ -496,19 +496,27 @@ object DeltaLite {
     loOk && hiOk && inOk
   }
 
-  /** Stats-only pruning for an ALREADY-SELECTED file group — the
-    * branch-scan path ([[graft.plans.BranchFilePruning]]): like
-    * [[pruneFiles]] minus the partition-value fallback (branch groups
-    * are single-partition and partition predicates constant-fold
-    * branch-side) and bloom probes. Bounds name PHYSICAL columns — the
-    * names file stats are keyed by, which is what a pushed-down Filter
-    * references at the scan. */
+  /** Stats pruning for an ALREADY-SELECTED file group — the branch-scan
+    * path ([[graft.plans.BranchFilePruning]]). Bounds name PHYSICAL
+    * columns — the names file stats are keyed by, which is what a
+    * pushed-down Filter references at the scan. Partition-value
+    * fallback included: a bound on a partition column (derived from a
+    * generated-column shape, typically — direct partition predicates
+    * constant-fold branch-side and never reach the scan) resolves
+    * against the logged partition value exactly as [[pruneFiles]]
+    * does; since a branch group shares one partition value, the effect
+    * is whole-branch elimination. Partition columns cannot be renamed,
+    * so physical = logical there and the shared key space is sound. */
   private[graft] def pruneByStats(types: Map[String, DataType],
       files: Seq[AddFile], bounds: Seq[ColumnBound],
       bloomProbes: Map[String, Seq[Long]] = Map.empty): Seq[AddFile] = {
     val dec = java.util.Base64.getDecoder
     files.filter(f => bounds.forall(b => types.get(b.column) match {
-      case Some(dt) => fileMayMatch(dt, f.stats.get(b.column), b)
+      case Some(dt) =>
+        val st = f.stats.get(b.column).orElse(
+          f.pv.get(b.column).flatMap(parsePartitionValue(dt, _))
+            .map(v => ColStats(Some(v), Some(v))))
+        fileMayMatch(dt, st, b)
       case None => true
     }) && bloomKeeps(f, bloomProbes, dec))
   }
@@ -2126,7 +2134,7 @@ object DeltaLite {
     val snap = snapshot(path, asOf)
     readFiles(spark, path, snap.schema, snap.files,
       snap.partitionBy, snap.physical, snap.properties,
-      snap.churnVersions.length.toLong)
+      snap.churnVersions.length.toLong, snap.generated)
   }
 
   /** THE governance property namespace — the one predicate every
@@ -2350,7 +2358,7 @@ object DeltaLite {
     applyGovernance(spark, readFiles(spark, path, snap.schema,
       pruneFiles(snap, all, bloomProbesFor(spark, snap, prunable)),
       snap.partitionBy, snap.physical, snap.properties,
-      snap.churnVersions.length.toLong), snap.properties)
+      snap.churnVersions.length.toLong, snap.generated), snap.properties)
   }
 
   /** xxhash64 probes for POINT bounds (lower == upper, non-null) and
@@ -2409,11 +2417,20 @@ object DeltaLite {
     * lo ≤ x ≤ hi  ⇒  f(lo) ≤ f(x) ≤ f(hi). Unrecognized expressions
     * derive nothing (pruning stays an optimization, never a filter). */
   private[graft] def derivedGeneratedBounds(spark: SparkSession,
-      snap: Snapshot, bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
-    if (snap.generated.isEmpty) return Nil
-    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      snap: Snapshot, bounds: Seq[ColumnBound]): Seq[ColumnBound] =
+    derivedGeneratedBoundsFrom(spark, snap.generated,
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap, bounds)
+
+  /** The snapshot-free core of [[derivedGeneratedBounds]] — also fed by
+    * the branch-scan derive hook ([[graft.plans.BranchFilePruning]]),
+    * where the generated map and bound names arrive already translated
+    * into a shared (logical) name space. */
+  private[graft] def derivedGeneratedBoundsFrom(spark: SparkSession,
+      generated: Map[String, String], types: Map[String, DataType],
+      bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
+    if (generated.isEmpty) return Nil
     for {
-      (c, e) <- snap.generated.toSeq
+      (c, e) <- generated.toSeq
       (base, shape) <- monotoneBaseOf(e).toSeq
       b <- bounds.filter(x => x.column == base &&
         (x.lower.isDefined || x.upper.isDefined))
@@ -2626,16 +2643,40 @@ object DeltaLite {
     org.apache.spark.sql.graft.PlanFrame.ofRows(spark, plan)
   }
 
+  /** Translate a generated-column map into a BOUND-DERIVATION hook for
+    * the branch-scan pruning rule: physical bound names map back to
+    * logical, [[derivedGeneratedBoundsFrom]] derives in logical space,
+    * derived names map forward to physical (identity for partition
+    * columns, which cannot be renamed). Built once per tagged scan;
+    * evaluated only when a Filter actually lands on it. */
+  private def generatedDeriveHook(schema: StructType,
+      physical: Map[String, String], generated: Map[String, String])
+      : Seq[ColumnBound] => Seq[ColumnBound] =
+    if (generated.isEmpty) (_ => Nil)
+    else {
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      val toLogical = physical.map(_.swap)
+      bs => {
+        val logical = bs.map(b =>
+          b.copy(column = toLogical.getOrElse(b.column, b.column)))
+        derivedGeneratedBoundsFrom(SparkSession.active, generated, types,
+          logical).map(b =>
+            b.copy(column = physical.getOrElse(b.column, b.column)))
+      }
+    }
+
   private def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String],
       props: Map[String, String] = Map.empty,
-      churn: Long = 0L): DataFrame =
+      churn: Long = 0L,
+      generated: Map[String, String] = Map.empty): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (files.forall(_.dv.isEmpty)) {
       val r = root(path)
       def phys(n: String) = physical.getOrElse(n, n)
+      val derive = generatedDeriveHook(schema, physical, generated)
       if (partitionBy.isEmpty) {
         // data files carry PHYSICAL names; read them and alias back to
         // the logical schema (identity projection when never renamed —
@@ -2648,7 +2689,8 @@ object DeltaLite {
             .parquet(files.map(f => r.resolve(f.path).toString): _*), path, files,
             props, churn),
           r.toString,
-          physSchema.fields.map(f => f.name -> f.dataType).toMap, files)
+          physSchema.fields.map(f => f.name -> f.dataType).toMap, files,
+          derive)
         if (physical.isEmpty) base
         else base.select(schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
       } else {
@@ -2663,12 +2705,19 @@ object DeltaLite {
         unionTree(files.groupBy(_.pv).toSeq
           .sortBy(_._1.toList.sortBy(_._1).mkString(","))
           .map { case (pv, group) =>
+            // type map includes PARTITION columns (logical = physical
+            // there): a derived generated-column bound on the partition
+            // column then resolves against the group's logged partition
+            // value — whole-branch elimination from a base-column filter
             val base = graft.plans.BranchFilePruning.tagScan(
               withLogStats(spark, spark.read.schema(dataSchema)
                 .parquet(group.map(f => r.resolve(f.path).toString): _*),
                 path, group, props, churn),
               r.toString,
-              dataSchema.fields.map(f => f.name -> f.dataType).toMap, group)
+              dataSchema.fields.map(f => f.name -> f.dataType).toMap ++
+                schema.fields.filter(f => partitionBy.contains(f.name))
+                  .map(f => f.name -> f.dataType),
+              group, derive)
               .select(dataFields.map(f => col(phys(f.name)).as(f.name)).toSeq: _*)
             attachPartitionCols(base, schema, partitionBy, pv)
               .select(schema.fieldNames.map(col).toSeq: _*)

@@ -214,13 +214,13 @@ object Streams {
     // and two of the three appends — one EAGER checkpoint replaces a
     // re-shuffled dropDuplicates per consumer, and makes the frame safe
     // to share across the overlapped append threads below
-    val b = batch.select(col(id), col(text)).dropDuplicates(id)
-      .localCheckpoint(true)
+    val b = graft.Frames.cut(
+      batch.select(col(id), col(text)).dropDuplicates(id), eager = true)
     // ONE banding pass (shingle + minhash) for the whole micro-batch:
     // the probe's candidate joins and the index append consume the same
     // materialized rows — the measured gate wall was this recompute
-    val banded = graft.functions.Dedup
-      .bandedSignatures(b, id, text, 32, 8).localCheckpoint(true)
+    val banded = graft.Frames.cut(graft.functions.Dedup
+      .bandedSignatures(b, id, text, 32, 8), eager = true)
     // data-free shells: idempotent on any replay interleaving (a crash
     // between creates just re-checks existence next time)
     if (D.latestVersion(corpusPath).isEmpty)

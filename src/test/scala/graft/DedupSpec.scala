@@ -507,6 +507,38 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(D.latestVersion(idx).get === 1L)
   }
 
+  test("Frames.cut replicated mode: probe verdicts identical under persist-with-replication (the cluster-liveness switch)") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val common = (1 to 40).map(i => s"m$i")
+    val corpus = Seq(doc(1L, (1 to 40).map(i => s"a$i")),
+      doc(2L, common)).toDF("doc_id", "text")
+    val batch = Seq(doc(101L, common.dropRight(1) :+ "zzz"),
+      doc(102L, (1 to 40).map(i => s"q$i")),
+      doc(103L, (1 to 40).map(i => s"q$i"))).toDF("doc_id", "text")
+    val idx = graft.TempDirs.fresh("dedup_idx_repl")
+    DedupIndex.build(spark, corpus, "doc_id", "text", idx)
+    def verdicts(): Map[Long, Long] =
+      DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
+          idx, threshold = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val local = verdicts()
+    spark.conf.set("spark.graft.cut.mode", "replicated")
+    try {
+      val repl = verdicts()
+      assert(repl === local,
+        "the cut mode must not change any verdict")
+      assert(repl === Map(101L -> 2L, 102L -> -1L, 103L -> 102L))
+    } finally {
+      spark.conf.unset("spark.graft.cut.mode")
+      // replicated mode persists; don't leak cache entries into
+      // later suites
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("DedupIndex.probe flags BATCH-INTERNAL near-dups keep-min-id") {
     import spark.implicits._
     import graft.operators.DedupIndex
