@@ -105,6 +105,23 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * reruns of the operator batch never re-execute the dimension. */
   private val PROBED = TreeNodeTag[Unit]("graft.dbp.probed")
 
+  /** Caller hint: mark every Join in `df`'s analyzed plan as already
+    * probed, so this rule never runs its plan-time dim probe on them.
+    * For callers that KNOW the dim side always spans the fact side's
+    * whole branch domain — e.g. the dedup-index probe join, where a
+    * batch's band rows cover all band indexes by construction — the
+    * probe is a guaranteed-no-prune job per compile; this skips it
+    * without touching the session-wide kill switch (which would race
+    * with concurrently-compiling queries that DO benefit). */
+  private[graft] def skipProbes(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case j: Join => j.setTagValue(PROBED, ())
+      case _ => ()
+    }
+    df
+  }
+
   /** Human-readable decision record for every Join the rule CONSIDERED
     * (its fact side matched the literal-branch union shape): what was
     * pruned/materialized and why, or why it declined — the

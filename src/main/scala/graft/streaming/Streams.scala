@@ -210,29 +210,69 @@ object Streams {
       verdictsPath: String, threshold: Double): Unit = {
     val s = batch.sparkSession
     val D = graft.sources.DeltaLite
+    // phase timings at INFO (logger "graft.Streams") — the gate is the
+    // bench suite's wall; attribution must be one log flip away
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Streams")
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = {
+      val t1 = System.nanoTime()
+      log.info(f"gateBatch[$batchId] $phase ${(t1 - t0) / 1e9}%.2fs")
+      gateLaps.offer((batchId, phase, (t1 - t0) / 1e9))
+      t0 = t1
+    }
+    // data-free shells OVERLAP the batch cuts below (independent work:
+    // shells need only the batch's SCHEMA, never its rows — measured
+    // ~1 s of first-batch wall reclaimed). Still idempotent on any
+    // replay interleaving (a crash between creates just re-checks
+    // existence next time). The worker re-sets the caller's scheduler
+    // locals, same as the append workers.
+    val shells: Option[scala.concurrent.Future[Unit]] =
+      if (D.latestVersion(corpusPath).nonEmpty &&
+          D.latestVersion(indexPath).nonEmpty &&
+          D.latestVersion(verdictsPath).nonEmpty) None
+      else Some {
+        import scala.concurrent.Future
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val empty = batch.select(col(id), col(text)).limit(0)
+        val sc = s.sparkContext
+        val pool = sc.getLocalProperty("spark.scheduler.pool")
+        val group = sc.getLocalProperty("spark.jobGroup.id")
+        Future {
+          sc.setLocalProperty("spark.scheduler.pool", pool)
+          sc.setLocalProperty("spark.jobGroup.id", group)
+          if (D.latestVersion(corpusPath).isEmpty)
+            D.create(s, corpusPath, empty)
+          if (D.latestVersion(indexPath).isEmpty)
+            graft.operators.DedupIndex.build(s, empty, id, text, indexPath)
+          if (D.latestVersion(verdictsPath).isEmpty)
+            // near_dup_of carries DOC IDS — typed as the id column,
+            // whatever that is (string crawl ids work as well as longs)
+            D.create(s, verdictsPath, empty.select(col(id),
+              lit(null).cast(empty.schema(id).dataType).as("near_dup_of"),
+              lit(0L).as("batch_id")))
+          ()
+        }
+      }
     // the deduped batch feeds the probe (shingles, 3 referencing joins)
-    // and two of the three appends — one EAGER checkpoint replaces a
-    // re-shuffled dropDuplicates per consumer, and makes the frame safe
-    // to share across the overlapped append threads below
+    // and two of the three appends — a LAZY cut: the banding job below
+    // materializes b's blocks as its parent (one job barrier instead
+    // of two), and by the time the overlapped append threads read b it
+    // is a materialized snapshot all consumers share
     val b = graft.Frames.cut(
-      batch.select(col(id), col(text)).dropDuplicates(id), eager = true)
+      batch.select(col(id), col(text)).dropDuplicates(id))
+    lap("cut_batch")
     // ONE banding pass (shingle + minhash) for the whole micro-batch:
     // the probe's candidate joins and the index append consume the same
     // materialized rows — the measured gate wall was this recompute
     val banded = graft.Frames.cut(graft.functions.Dedup
       .bandedSignatures(b, id, text, 32, 8), eager = true)
-    // data-free shells: idempotent on any replay interleaving (a crash
-    // between creates just re-checks existence next time)
-    if (D.latestVersion(corpusPath).isEmpty)
-      D.create(s, corpusPath, b.limit(0))
-    if (D.latestVersion(indexPath).isEmpty)
-      graft.operators.DedupIndex.build(s, b.limit(0), id, text, indexPath)
-    if (D.latestVersion(verdictsPath).isEmpty)
-      // near_dup_of carries DOC IDS — typed as the id column, whatever
-      // that is (string crawl ids work as well as longs)
-      D.create(s, verdictsPath, b.limit(0).select(col(id),
-        lit(null).cast(b.schema(id).dataType).as("near_dup_of"),
-        lit(0L).as("batch_id")))
+    lap("cut_bands")
+    // the probe below reads index + corpus, and the appends need the
+    // tables — the shells must exist from here on
+    shells.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    lap("shells")
     // probe BEFORE this batch's index/corpus appends (the in-batch pass
     // covers batch-internal dups). Replay safety does NOT depend on the
     // append order below: the probe is blind to the current batch's own
@@ -246,6 +286,7 @@ object Streams {
         s, b, corpus, id, text, indexPath, threshold,
         preBands = Some(banded))
       .withColumn("batch_id", lit(batchId))
+    lap("probe_built")
     // the three sink appends are MUTUALLY INDEPENDENT (verdicts from
     // the finished probe; index bands and corpus text both from `b`) —
     // they target different tables, so their write jobs + commit fsyncs
@@ -267,16 +308,33 @@ object Streams {
         sc.setLocalProperty("spark.jobGroup.id", group)
         body
       }
+      def timed[T](nm: String)(body: => T): T = {
+        val a0 = System.nanoTime()
+        val r = body
+        val dt = (System.nanoTime() - a0) / 1e9
+        log.info(f"gateBatch[$batchId] append_$nm $dt%.2fs")
+        gateLaps.offer((batchId, s"append_$nm", dt))
+        r
+      }
       val appends: Seq[Future[Any]] = Seq(
-        sink[Any](D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId)),
-        sink[Any](graft.operators.DedupIndex.appendBands(s,
+        sink[Any](timed("verdicts")(
+          D.appendOnce(s, verdictsPath, verdicts, GateApp, batchId))),
+        sink[Any](timed("index")(graft.operators.DedupIndex.appendBands(s,
           banded.withColumnRenamed(id, "doc_id"),
-          indexPath, app = GateApp, txnVersion = batchId)),
-        sink[Any](D.appendOnce(s, corpusPath, b, GateApp, batchId)))
+          indexPath, app = GateApp, txnVersion = batchId))),
+        sink[Any](timed("corpus")(
+          D.appendOnce(s, corpusPath, b, GateApp, batchId))))
       appends.foreach(Await.result(_, Duration.Inf))
+      lap("appends")
     }
     ()
   }
+
+  /** Phase timings from [[gateBatch]] runs in this JVM — (batchId,
+    * phase, seconds). Ring-buffered by the caller's drain; tests and
+    * profiling harnesses read attribution here without a log flip. */
+  private[graft] val gateLaps =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
 
   /** The gate's `txn` app id on all three tables. */
   private[graft] val GateApp = "graft-dedup-gate"

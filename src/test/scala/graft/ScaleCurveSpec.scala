@@ -162,4 +162,82 @@ class ScaleCurveSpec extends AnyFunSuite with TestSpark {
       s"driver heap grew ${heapGrowth} MB across the scale-up — gross " +
         "driver-side materialization")
   }
+
+  test("file-pruning rules: 4x files under a selective filter costs ~flat wall (the skip is O(metadata), not O(files))") {
+    // The measured counterpart to the BranchFilePruning / Format-
+    // ReadBranching PlanSpec pins: two table shapes, each built at 4
+    // and 16 files with PROPORTIONAL data, queried with a filter that
+    // keeps exactly one file/partition. If the skip really is log-
+    // metadata work, wall stays ~flat while data and file count grow
+    // 4x; a rule that silently fell back to scanning would track the
+    // data ratio instead.
+    import org.apache.spark.sql.functions._
+    val D = graft.sources.DeltaLite
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    val rowsPerFile = 2000000L
+    // flat shape (BranchFilePruning): one commit, range-partitioned
+    // writer → disjoint per-file v ranges in the log's stats
+    def mkFlat(nFiles: Int): String = {
+      val p = TempDirs.fresh(s"curve_bfp_$nFiles") + "/t"
+      D.create(spark, p, spark.range(nFiles * rowsPerFile)
+        .select(col("id").as("v"), (col("id") % 97L).as("w"))
+        .repartitionByRange(nFiles, col("v")))
+      p
+    }
+    // partitioned shape (FormatReadBranching): one partition per file;
+    // 4x = 4x partitions of the same per-partition volume
+    def mkPart(nParts: Int): String = {
+      val p = TempDirs.fresh(s"curve_frb_$nParts") + "/t"
+      D.create(spark, p, spark.range(nParts * rowsPerFile)
+        .select(col("id").as("v"),
+          concat(lit("p"), (col("id") % nParts).cast("string")).as("pt"))
+        .repartition(nParts, col("pt")),
+        partitionBy = Seq("pt"))
+      p
+    }
+    val (flat1, flat4) = (mkFlat(4), mkFlat(16))
+    val (part1, part4) = (mkPart(4), mkPart(16))
+    def qFlat(p: String) = D.read(spark, p)
+      .filter(col("v") >= 1000L && col("v") < 900000L)
+    def qPart(p: String) = spark.read.format("graft-delta").load(p)
+      .filter(col("pt") === "p2" && col("v") >= 0L)
+    // plan evidence first: both rules prune to exactly one file at
+    // BOTH scales — the wall bound below then measures only metadata
+    Seq(qFlat(flat1), qFlat(flat4), qPart(part1), qPart(part4))
+      .foreach(q => assert(scanFiles(q) === 1,
+        s"selective filter must keep exactly 1 file:\n" +
+          q.queryExecution.optimizedPlan))
+    def time(q: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      q.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up (codegen/JIT), then timed passes with the suite's retry
+    // discipline (shared JVM — a sibling suite's stage can stall one
+    // pass)
+    Seq(time(qFlat(flat1)), time(qPart(part1)))
+    def pass(): (Double, Double) = {
+      val w1 = time(qFlat(flat1)) + time(qPart(part1))
+      val w4 = time(qFlat(flat4)) + time(qPart(part4))
+      info(f"pruned-query wall: 1x $w1%5.2fs  4x(files) $w4%5.2fs")
+      (w1, w4)
+    }
+    def ok(w1: Double, w4: Double): Boolean = w4 <= w1 * 2.0 + 10.0
+    var (w1, w4) = pass()
+    var retries = 0
+    while (!ok(w1, w4) && retries < 2) {
+      retries += 1; val r = pass(); w1 = r._1; w4 = r._2
+    }
+    assert(ok(w1, w4),
+      f"pruned wall must stay ~flat over 4x files: 1x $w1%.2fs -> " +
+        f"4x $w4%.2fs")
+  }
 }

@@ -1033,6 +1033,37 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       "the masked-literal filter must still find its row")
   }
 
+  test("governance: a role flip mid-session changes what the NEXT read serves (membership evaluated per read, never cached)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_roleflip").toString
+    DeltaLite.create(spark, path,
+      Seq((1L, "s3cr3t")).toDF("id", "secret"),
+      properties = Map("graft.mask.secret" -> "md5",
+        "graft.maskExempt.secret" -> "ops"))
+    def served(): String =
+      DeltaLite.read(spark, path).collect()(0).getString(1)
+    def costRole(): Option[String] = spark.sql(s"EXPLAIN COST '$path'")
+      .collect().filter(_.getString(0) == "governance")
+      .map(r => r.getString(1) -> r.getString(2)).toMap.get("role.ops")
+    // the principal conf is set ONCE and never touched again — every
+    // behavior change below comes from the table PROPERTY alone
+    spark.conf.set("spark.graft.principal", "carol")
+    try {
+      assert(served().matches("[0-9a-f]{32}"),
+        "not yet a role member -> masked")
+      DeltaLite.setProperties(path, Map("graft.roles.ops" -> "carol"))
+      assert(served() === "s3cr3t",
+        "the grant lands on the SAME session's next read — membership " +
+          "must resolve per read, not from a session cache")
+      assert(costRole().contains("carol"),
+        "EXPLAIN COST must render the membership a read would use now")
+      DeltaLite.setProperties(path, Map("graft.roles.ops" -> "dave"))
+      assert(served().matches("[0-9a-f]{32}"),
+        "the revocation lands on the next read, conf untouched")
+      assert(costRole().contains("dave"))
+    } finally spark.conf.unset("spark.graft.principal")
+  }
+
   test("DeltaLite REORG PURGE rewrites only DV files, drops the anti-join") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_reorg").toString
