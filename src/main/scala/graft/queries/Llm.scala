@@ -49,11 +49,15 @@ object Llm {
     * computed ONCE (lineage-cut) feeding both rank directions, block
     * size joined back, mp = (bn − rkf)·(bn − rkb), and rkm = the MP
     * re-ranking per query (mp desc, nid asc). Columns:
-    * (label, qid, nid, ssim, rkf, rkb, bn, mp, rkm). */
-  private def mpScored(s: SparkSession, dir: String): DataFrame = {
+    * (label, qid, nid, ssim, rkf, rkb, bn, mp, rkm).
+    *
+    * Scale scope: this is the EXACT frame — pairs grow quadratically
+    * in per-label block size, so it stays the small-block ORACLE
+    * ANCHOR (the l6_bitext_mining role). The corpus-scale twin is
+    * [[mpScoreFrameIvf]]. Package-visible so DedupSpec can run both
+    * definitions over one planted fixture for the agreement proof. */
+  private[graft] def mpScoreFrame(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(s, dir).select(col("vec_id"), col("label"),
-      col("embedding"), col("norm"))
     val a = e.select(col("vec_id").as("qid"), col("label"),
       col("embedding").as("qe"), col("norm").as("qn"))
     val b = e.select(col("vec_id").as("nid"), col("label"),
@@ -74,6 +78,85 @@ object Llm {
       .withColumn("mp", (col("bn") - col("rkf")) * (col("bn") - col("rkb")))
       .withColumn("rkm", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("mp").desc, col("nid").asc)))
+  }
+
+  private def mpScored(s: SparkSession, dir: String): DataFrame =
+    mpScoreFrame(emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), col("norm")))
+
+  /** The 100 TB twin of [[mpScoreFrame]] — same MP machinery, the
+    * within-label ALL-PAIRS frame replaced by IVF CANDIDATE LISTS
+    * (the l6_bitext_ivf pattern): queries multi-probe their `probes`
+    * nearest coarse cells map-side ([[Dedup.ivfProbes]]), neighbors
+    * sit in their primary cell ([[Dedup.ivfAssign]]), and candidate
+    * pairs come from the (label, cell) EQUALITY join — per-label cost
+    * O(B·probes·B/k) instead of B², with the cell count k trained to
+    * scale with the corpus, so block growth no longer squares the
+    * frame. Each (qid, nid) pair appears at most once (probe cells
+    * are distinct; one primary cell per neighbor). Complement ranks
+    * use a FIXED truncation depth `kDepth` as the common base —
+    * mp = max(K+1−rkf, 1)·max(K+1−rkb, 1), the kNN-list form of MP —
+    * where the exact frame uses the block size: the base must be
+    * CONSTANT across neighbors or the product compares list sizes
+    * instead of ranks (a hub with a long candidate list would beat a
+    * true neighbor with a short one — measured as exactly that
+    * failure before the fix; ranks past K floor at 1, the exact
+    * frame's own minimum). DedupSpec pins top-3 agreement with the
+    * exact frame on planted neighborhood structure. Columns:
+    * (label, qid, nid, ssim, rkf, rkb, mp, rkm). */
+  private[graft] def mpScoreFrameIvf(e: DataFrame,
+      centers: Array[Array[Float]], probes: Int,
+      kDepth: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the candidate frame is lineage-cut (it feeds both rank
+    // directions), which HIDES its join shape from the final plan —
+    // PlanSpec therefore pins the UNCUT [[mpCandidatePairsIvf]]
+    // directly (the stronger form of the l6_bitext no-cartesian pin)
+    val pairs = mpCandidatePairsIvf(e, centers, probes)
+      .localCheckpoint(false)
+    val kk = lit(kDepth.toLong + 1L)
+    pairs
+      .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ssim").desc, col("nid").asc)))
+      .withColumn("rkb", row_number().over(Window.partitionBy(col("nid"))
+        .orderBy(col("ssim").desc, col("qid").asc)))
+      .withColumn("mp",
+        greatest(kk - col("rkf"), lit(1L)) *
+        greatest(kk - col("rkb"), lit(1L)))
+      .withColumn("rkm", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("mp").desc, col("nid").asc)))
+  }
+
+  /** The IVF candidate frame [[mpScoreFrameIvf]] ranks over, UNCUT —
+    * (label, qid, nid, ssim): query probes expand map-side, neighbors
+    * sit in their primary cell, pairs come from the (label, cell)
+    * equality join. Package-visible so PlanSpec can pin the join
+    * shape that the lineage cut hides from the declared queries'
+    * final plans. */
+  private[graft] def mpCandidatePairsIvf(e: DataFrame,
+      centers: Array[Array[Float]], probes: Int): DataFrame = {
+    val q = Dedup.ivfProbes(e.select(col("vec_id").as("qid"), col("label"),
+        col("embedding").as("qe"), col("norm").as("qn")),
+        "qe", centers, probes)
+      .drop("probe_rk")
+    val n = Dedup.ivfAssign(e.select(col("vec_id").as("nid"),
+        col("label").as("__nl"), col("embedding").as("ne"),
+        col("norm").as("nn")), "ne", centers)
+      .withColumnRenamed("centroid", "cc")
+    q.join(n, col("label") === col("__nl") &&
+        col("centroid") === col("cc") && col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"),
+        expr("""CAST(round((vec_dot(qe, ne) / (qn * nn) + 1.0D)
+                * 1000000) AS BIGINT)""").as("ssim"))
+  }
+
+  /** Declared-query instantiation of [[mpScoreFrameIvf]]: seeded
+    * driver-side k-means (one sample collect, plan-literal centroid
+    * table) — k = 16 coarse cells, 4 probes, the l3_ann_ivf recipe. */
+  private def mpScoredIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), col("norm"))
+    mpScoreFrameIvf(e, Dedup.ivfTrain(e, "embedding", k = 16), probes = 4)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1018,6 +1101,70 @@ object Llm {
                   // 24570600000000 AS BIGINT) AS rbo_bp
          FROM embeddings e LEFT JOIN c ON e.vec_id = c.qid
          ORDER BY qid ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------ L3 (h4)
+    // IVF-BUCKETED mutual proximity — the corpus-scale twin of
+    // l3_mutual_proximity (the l6_bitext_ivf exact-anchor + bucketed-
+    // twin pattern applied to the hubness-correction family): the
+    // within-label all-pairs frame grows quadratically with block
+    // size, so at scale MP evaluates over IVF CANDIDATE LISTS instead
+    // — (label, cell)-equality candidates, ranks and complement
+    // counts within the lists. Rows-only (the candidate sets ride
+    // engine-side k-means cells); exactness of the MP arithmetic is
+    // carried by the exact twin's oracle, the bucketing's fidelity by
+    // DedupSpec's planted-structure agreement pin, the plan shape
+    // (no all-pairs, map-side probes) by PlanSpec.
+    QueryDef("l3_mp_ivf", (s, dir) => {
+      mpScoredIvf(s, dir)
+        .filter(col("rkm") <= 3)
+        .select(col("qid"), col("rkm").cast("int").as("rk"), col("nid"),
+          col("mp"))
+        .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+    }, None),
+
+    // ------------------------------------------------------------ L3 (h5)
+    // IVF-BUCKETED hubness census — l3_hubness's corpus-scale twin
+    // over the same candidate frame as l3_mp_ivf (one definition, the
+    // mpScored discipline): k=5 NN in-degrees within candidate lists,
+    // antihubs (in-degree 0) included via the full-vector left join.
+    QueryDef("l3_hubness_ivf", (s, dir) => {
+      val frame = mpScoredIvf(s, dir)
+      emb(s, dir).select(col("vec_id").as("nid"))
+        .join(frame.filter(col("rkf") <= 5)
+          .groupBy(col("nid")).agg(count(lit(1)).as("d")),
+          Seq("nid"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("in_deg"))
+        .groupBy(col("in_deg"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("in_deg").asc_nulls_last)
+    }, None),
+
+    // ------------------------------------------------------------ L3 (h6)
+    // IVF-BUCKETED RBO agreement — l3_rbo_agreement's corpus-scale
+    // twin: the raw-cosine vs MP ranking comparison over the SAME
+    // candidate frame as l3_mp_ivf, with the identical p=0.9 depth-5
+    // closed-form BIGINT tail constants (see l3_rbo_agreement for the
+    // derivation; the integer arithmetic is unchanged, only the pair
+    // universe is the candidate lists).
+    QueryDef("l3_rbo_ivf", (s, dir) => {
+      val agreed = mpScoredIvf(s, dir)
+        .withColumn("dmax", greatest(col("rkf"), col("rkm")))
+        .filter(col("dmax") <= 5)
+        .withColumn("contrib", expr(
+          """CASE dmax WHEN 1 THEN CAST(12200820000000 AS BIGINT)
+                       WHEN 2 THEN CAST(6200820000000 AS BIGINT)
+                       WHEN 3 THEN CAST(3500820000000 AS BIGINT)
+                       WHEN 4 THEN CAST(1880820000000 AS BIGINT)
+                       ELSE CAST(787320000000 AS BIGINT) END"""))
+        .groupBy(col("qid")).agg(sum(col("contrib")).as("rbo_scaled"))
+      emb(s, dir).select(col("vec_id").as("qid"))
+        .join(agreed, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"))
+        .withColumn("rbo_bp",
+          expr("(rbo_scaled * 10000) div 24570600000000"))
+        .orderBy(col("qid").asc_nulls_last)
+    }, None),
 
     // ------------------------------------------------------------- L3 (k)
     // Greedy k-CENTER diverse-subset selection (farthest-point

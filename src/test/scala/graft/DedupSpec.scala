@@ -363,6 +363,57 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"planted pairs must carry a decisive margin: ${margins.toSeq}")
   }
 
+  test("mpScoreFrameIvf: bucketed MP top-3 agrees with the exact block frame on planted neighborhood structure") {
+    GraftFunctions.register(spark)
+    // Planted structure: 40 anchor vectors, each with 4 perturbed
+    // copies (cos ≈ 0.999 inside a family, ~0.35 across) — the regime
+    // real embeddings live in (clustered neighborhoods), where the
+    // whole IVF premise holds. Every vector's true MP top-3 is its
+    // family; the proof is that the (label, cell) candidate bucketing
+    // preserves the exact frame's decisions: families co-bucket, so
+    // candidate-list ranks reproduce block ranks at the top. (On
+    // structureless gaussian noise NO candidate method can agree with
+    // all-pairs — that is a property of the data, not the operator.)
+    val base = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 40)
+    val anchors = base.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val copies = (1 to 4).map(j => anchors.select(
+      (col("vec_id") + j * 1000L).as("vec_id"),
+      expr(s"""transform(embedding, (x, i) ->
+           x * CAST(1.0 + 0.005 * (((i + $j) % 3) - 1) AS FLOAT))""")
+        .as("embedding")))
+    val e = copies.foldLeft(anchors)(_ unionByName _)
+      .withColumn("label", (col("vec_id") % 1000L % 5L).cast("int"))
+      .withColumn("norm",
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      .localCheckpoint(false)
+    def top3(frame: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      frame.filter(col("rkm") <= 3).select(col("qid"), col("nid"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = top3(graft.queries.Llm.mpScoreFrame(e))
+    val centers = Dedup.ivfTrain(e, "embedding", k = 8)
+    val bucketed = top3(graft.queries.Llm.mpScoreFrameIvf(e, centers,
+      probes = 4))
+    val qids = exact.keySet
+    assert(qids.size === 200, s"every vector must rank (got ${qids.size})")
+    val agree = qids.count(q =>
+      (exact(q) & bucketed.getOrElse(q, Set.empty)).size >= 2)
+    assert(agree >= (qids.size * 9) / 10,
+      s"bucketed MP top-3 must share >=2 of 3 with exact on >=90% of " +
+        s"queries: $agree/${qids.size}")
+    // family-recall floor: the bucketed top-1 is a family member for
+    // nearly every query (the decision the MP correction exists for)
+    def family(q: Long): Set[Long] = {
+      val a = q % 1000L
+      (0 to 4).map(j => a + j * 1000L).toSet - q
+    }
+    val top1Fam = qids.count(q => bucketed.getOrElse(q, Set.empty)
+      .exists(family(q).contains))
+    assert(top1Fam >= (qids.size * 95) / 100,
+      s"bucketed top-3 must hit the family on >=95%: $top1Fam/${qids.size}")
+  }
+
   test("connected components groups near-dup pairs into duplicate clusters") {
     import spark.implicits._
     // two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}

@@ -275,6 +275,44 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"candidates must join on the probed cell id:\n$p")
   }
 
+  test("l3_mp_ivf / l3_hubness_ivf: MP candidates come from the (label, cell) equality join — the label all-pairs frame is gone") {
+    // the exact hubness family (l3_hubness/l3_mutual_proximity/
+    // l3_rbo_agreement) stays the oracle anchor; THIS family is the
+    // corpus-scale path. The candidate frame is lineage-cut inside the
+    // queries (it feeds both rank directions), which hides its join
+    // from the final plans — so the join shape is pinned on the UNCUT
+    // candidate frame itself: probe expansion map-side (plan-literal
+    // centroids + posexplode, no join at all), candidates from the
+    // (label, centroid) equality join.
+    import org.apache.spark.sql.functions.{col, sqrt, call_function}
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("norm",
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+    val centers = graft.functions.Dedup.ivfTrain(e, "embedding", k = 8)
+    val cp = graft.queries.Llm.mpCandidatePairsIvf(e, centers, probes = 4)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"),
+      s"MP candidates must come from the (label, cell) equality join:\n$cp")
+    assert(count(cp, "BroadcastNestedLoopJoin") === 0,
+      s"probe expansion is map-side — no nested loop:\n$cp")
+    assert(cp.contains("BroadcastHashJoin") || cp.contains("SortMergeJoin") ||
+      cp.contains("ShuffledHashJoin"),
+      s"candidates must hash-join on (label, cell):\n$cp")
+    // the declared queries stay cartesian-free end to end, and the
+    // per-query top-3 is group-limited before the final sort
+    Seq("l3_mp_ivf", "l3_hubness_ivf", "l3_rbo_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        count(p, "BroadcastNestedLoopJoin") === 0,
+        s"$q must stay cartesian-free:\n$p")
+    }
+    assert(count(plan("l3_mp_ivf"), "WindowGroupLimit") >= 1,
+      "per-query top-3 must be group-limited before the final sort")
+  }
+
   test("l3_ann_index: the serve plan joins probed cells by equality, never a cartesian") {
     val p = plan("l3_ann_index")
     // same contract as the in-query IVF-PQ path, but over the PERSISTED
