@@ -101,7 +101,18 @@ object MvRewrite extends Rule[LogicalPlan] {
         (for {
           (mv, filters) <- sourceMv(child)
           rewritten <- rewrite(groupings, aggExprs, mv, filters)
-        } yield rewritten).getOrElse(agg)
+        } yield {
+          // EXPLAIN PRUNING surface (the DBP/FRB/BFP decision log):
+          // an answered-from-MV aggregate is exactly the kind of
+          // silent plan substitution a user needs to be able to ask
+          // about
+          DynamicBranchPruning.recordDecisions(
+            s"aggregate over ${mv.sourcePath}", Seq(
+              s"MvRewrite: served from materialized view ${mv.mvPath} " +
+                s"(source @ v${mv.sourceVersion}; " +
+                s"${filters.size} filter(s) replayed over MV keys)"))
+          rewritten
+        }).getOrElse(agg)
     }
   }
 

@@ -53,16 +53,35 @@ object StatsAggRewrite extends Rule[LogicalPlan] {
         (for {
           files <- scannedAddFiles(child)
           row <- answer(aggExprs, files)
-        } yield LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
-          Seq(row))).getOrElse(agg)
+        } yield {
+          record(aggExprs, files.size, grouped = false)
+          LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+            Seq(row))
+        }).getOrElse(agg)
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if groupings.nonEmpty =>
         answerGrouped(groupings, aggExprs, child)
-          .map(rows => LocalRelation(
-            agg.output.map(_.asInstanceOf[Attribute]), rows))
+          .map { rows =>
+            record(aggExprs, rows.size, grouped = true)
+            LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
+          }
           .getOrElse(agg)
     }
   }
+
+  /** EXPLAIN PRUNING surface (the shared DBP decision log): a
+    * stats-only aggregate never scans data — the substitution must be
+    * askable, like every other silent plan rewrite here. */
+  private def record(aggExprs: Seq[NamedExpression], n: Int,
+      grouped: Boolean): Unit =
+    DynamicBranchPruning.recordDecisions(
+      s"aggregate(${aggExprs.map(_.name).mkString(", ")})",
+      Seq(if (grouped)
+        s"StatsAggRewrite: $n group row(s) answered from log stats — " +
+          "branch partition literals + per-file stats, no data scan"
+      else
+        s"StatsAggRewrite: answered from the log stats of $n file " +
+          "entr(ies), no data scan"))
 
   /** GROUP BY over PARTITION columns of a partitioned DeltaLite scan —
     * the grouped twin of the global rewrite. A partitioned read presents

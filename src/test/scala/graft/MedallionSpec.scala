@@ -1412,6 +1412,12 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       val roots = scanRoots(q)
       assert(roots.nonEmpty && roots.forall(_.startsWith(mvp)),
         s"the aggregate must redirect onto the MV scan, got $roots")
+      // the substitution surfaces in the shared decision log (the
+      // EXPLAIN PRUNING surface) — silent rewrites must be askable
+      val mvDs = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
+      assert(mvDs.exists(_._2.contains(
+        "MvRewrite: served from materialized view")),
+        s"the MV rewrite must be recorded: $mvDs")
       // rewritten results equal the un-rewritten computation exactly
       // (sum re-association over doubles: compare at 1e-9 tolerance)
       spark.conf.set("spark.graft.mv.autoRewrite", "false")
@@ -1547,6 +1553,11 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       max(col("ts")).as("mxts"))
     assert(!hasRelation(q), "the scan must collapse to a LocalRelation:\n" +
       q.queryExecution.optimizedPlan)
+    // the substitution surfaces in the shared decision log (the
+    // EXPLAIN PRUNING surface)
+    val saDs = graft.plans.DynamicBranchPruning.decisions(q.queryExecution)
+    assert(saDs.exists(_._2.contains("StatsAggRewrite: answered from")),
+      s"the stats-only answer must be recorded: $saDs")
     val row = q.collect()(0)
     assert(row.getLong(0) === 3L && row.getLong(1) === 1L &&
       row.getDouble(2) === 99.0 && row.getString(3) === "alpha")
