@@ -1414,6 +1414,74 @@ object Incremental {
            ON h.user_id = fin.user_id AND h.k = fin.n_days
          ORDER BY h.user_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T29
+    // KEYED FUNNEL STATE MACHINE — the t27/t28 per-key fold generalized
+    // from numeric smoothing to an ARBITRARY transition table: per user,
+    // events in (ts, event_id) order drive a 4-stage conversion funnel
+    // (view → click → signup → purchase; a completed funnel increments
+    // the counter and re-arms; `error` resets progress; off-path events
+    // keep state). This is inherently sequential per key — a window
+    // can't express reset + ordered-progress + re-arm — and the
+    // established fold shape handles it: collect_list → array_sort →
+    // `aggregate` HOF, state = (stage, completions), one user-keyed
+    // shuffle, the sequential scan INSIDE executors, driver never sees
+    // a row. ALL-INTEGER state (no IEEE concerns at all — the easiest
+    // member of the recursion family); oracle = the same transition
+    // table as a per-key recursive CTE over row-numbered events.
+    QueryDef("t29_funnel_keyed", (s, dir) => {
+      val e = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      e.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type"))).as("s"))
+        .select(col("user_id"), expr(
+          """aggregate(array_sort(s),
+               named_struct('st', 0, 'done', CAST(0 AS BIGINT)),
+               (acc, e) -> CASE
+                 WHEN e.event_type = 'error'
+                   THEN named_struct('st', 0, 'done', acc.done)
+                 WHEN acc.st = 0 AND e.event_type = 'view'
+                   THEN named_struct('st', 1, 'done', acc.done)
+                 WHEN acc.st = 1 AND e.event_type = 'click'
+                   THEN named_struct('st', 2, 'done', acc.done)
+                 WHEN acc.st = 2 AND e.event_type = 'signup'
+                   THEN named_struct('st', 3, 'done', acc.done)
+                 WHEN acc.st = 3 AND e.event_type = 'purchase'
+                   THEN named_struct('st', 0,
+                     'done', acc.done + CAST(1 AS BIGINT))
+                 ELSE acc END)""").as("fin"))
+        .select(col("user_id"), col("fin.done").as("funnels_done"),
+          col("fin.st").cast("int").as("end_stage"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some(
+      """WITH RECURSIVE ev AS MATERIALIZED (
+           SELECT user_id, event_type,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn
+           FROM events),
+         step AS (
+           SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS st,
+                  CAST(0 AS BIGINT) AS done
+           FROM (SELECT DISTINCT user_id FROM ev)
+           UNION ALL
+           SELECT e.user_id, e.rn,
+                  CASE WHEN e.event_type = 'error' THEN 0
+                       WHEN s.st = 0 AND e.event_type = 'view' THEN 1
+                       WHEN s.st = 1 AND e.event_type = 'click' THEN 2
+                       WHEN s.st = 2 AND e.event_type = 'signup' THEN 3
+                       WHEN s.st = 3 AND e.event_type = 'purchase' THEN 0
+                       ELSE s.st END,
+                  CASE WHEN s.st = 3 AND e.event_type = 'purchase'
+                       THEN s.done + 1 ELSE s.done END
+           FROM step s JOIN ev e
+             ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+         mx AS (SELECT user_id, max(rn) AS mrn FROM ev GROUP BY 1)
+         SELECT s.user_id, s.done AS funnels_done,
+                CAST(s.st AS INTEGER) AS end_stage
+         FROM step s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.mrn
+         ORDER BY s.user_id ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,
