@@ -3260,6 +3260,75 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("flaky CHECKPOINT writes: ambiguous or dropped checkpoint claims never break the commit, replay, or a later checkpoint") {
+    import spark.implicits._
+    // injection targeted at checkpoint-*.json claims ONLY — commits
+    // stay healthy, so this isolates the best-effort contract the
+    // checkpoint path declares (a lost checkpoint costs replay time,
+    // never correctness)
+    val store = new DeltaLite.CommitClaimStore {
+      private val delegate = DeltaLite.PosixCommitClaimStore
+      @volatile var mode: String = "off" // ambiguousDropped | ambiguousLanded
+      @volatile var hits = 0
+      override def claim(target: java.nio.file.Path,
+          content: Array[Byte]): Unit =
+        if (target.getFileName.toString.startsWith("checkpoint-") &&
+            mode != "off") {
+          hits += 1
+          mode match {
+            case "ambiguousLanded" =>
+              delegate.claim(target, content)
+              throw new DeltaLite.AmbiguousClaimException(target)
+            case _ =>
+              throw new DeltaLite.AmbiguousClaimException(target)
+          }
+        } else delegate.claim(target, content)
+      override def readImmutable(target: java.nio.file.Path): Seq[String] =
+        delegate.readImmutable(target)
+      override def listLog(dir: java.nio.file.Path): Seq[String] =
+        delegate.listLog(dir)
+    }
+    DeltaLite.withClaimStore(store) {
+      val path = Files.createTempDirectory("graft_ckpt_flaky").toString
+      DeltaLite.create(spark, path,
+        Seq((0L, "a")).toDF("k", "s").coalesce(1))                    // v0
+      // the v10 checkpoint claim DROPS ambiguously: the commit must
+      // land anyway, no checkpoint file, and replay walks the commits
+      store.mode = "ambiguousDropped"
+      (1 to 10).foreach(i => DeltaLite.append(spark, path,
+        Seq((i.toLong, "a")).toDF("k", "s").coalesce(1)))
+      assert(store.hits === 1, "exactly the v10 checkpoint claim injects")
+      assert(DeltaLite.latestVersion(path) === Some(10L),
+        "a failed best-effort checkpoint must not fail its commit")
+      assert(!Files.exists(java.nio.file.Paths.get(path)
+          .resolve("_graft_log").resolve("checkpoint-10.json")),
+        "the dropped claim must leave no checkpoint")
+      DeltaLite.clearSnapshotCache()
+      assert(DeltaLite.read(spark, path).count() === 11L,
+        "cold replay without the checkpoint stays exact")
+      // the v20 checkpoint claim LANDS but the response drops: the
+      // file is valid (claims are atomic), cold replay may use it
+      store.mode = "ambiguousLanded"
+      (11 to 20).foreach(i => DeltaLite.append(spark, path,
+        Seq((i.toLong, "a")).toDF("k", "s").coalesce(1)))
+      assert(store.hits === 2)
+      assert(Files.exists(java.nio.file.Paths.get(path)
+          .resolve("_graft_log").resolve("checkpoint-20.json")),
+        "an ambiguous-but-landed checkpoint claim leaves the valid file")
+      DeltaLite.clearSnapshotCache()
+      assert(DeltaLite.read(spark, path).count() === 21L,
+        "cold replay THROUGH the ambiguously-landed checkpoint is exact")
+      // a later healthy checkpoint still writes (no poisoned state)
+      store.mode = "off"
+      (21 to 30).foreach(i => DeltaLite.append(spark, path,
+        Seq((i.toLong, "a")).toDF("k", "s").coalesce(1)))
+      assert(Files.exists(java.nio.file.Paths.get(path)
+        .resolve("_graft_log").resolve("checkpoint-30.json")))
+      DeltaLite.clearSnapshotCache()
+      assert(DeltaLite.read(spark, path).count() === 31L)
+    }
+  }
+
   test("flaky claim store: ambiguous claims, stale listings, transient reads — one winner, no double-apply, no fork") {
     import spark.implicits._
     val flaky = new FlakyClaimStore(DeltaLite.PosixCommitClaimStore)
