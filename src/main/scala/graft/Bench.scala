@@ -117,29 +117,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // One KNOWN-BENIGN error class is filtered from the artifact: the
-    // DAGScheduler's "Failed to update accumulator" stack traces fire
-    // when a lineage-cut frame (localCheckpoint in DedupIndex/Streams/
-    // mpScored) is unpersisted while a straggler task-end event is
-    // still draining — the task succeeded, the metric owner is simply
-    // gone (rc 0, zero query failures every round it appeared). Left
-    // unfiltered it trains artifact readers to ignore ERROR tails; the
-    // filter is scoped to the ONE logger and the ONE message so any
-    // real DAGScheduler error still surfaces.
-    locally {
-      import org.apache.logging.log4j.{Level, LogManager}
-      import org.apache.logging.log4j.core.{Filter, LoggerContext}
-      import org.apache.logging.log4j.core.config.LoggerConfig
-      import org.apache.logging.log4j.core.filter.RegexFilter
-      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-      val name = "org.apache.spark.scheduler.DAGScheduler"
-      val lc = new LoggerConfig(name, Level.ERROR, true)
-      lc.addFilter(RegexFilter.createFilter(
-        "(?s)Failed to update accumulator.*", null, false,
-        Filter.Result.DENY, Filter.Result.NEUTRAL))
-      ctx.getConfiguration.addLogger(name, lc)
-      ctx.updateLoggers()
-    }
+    LogHygiene.suppressKnownBenign() // see LogHygiene — artifact tails
 
     // per-query JOB counts: each query tags its jobs with a job-group id
     // and a listener tallies them — the shape signal (many tiny frontier

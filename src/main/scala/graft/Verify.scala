@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.suppressKnownBenign() // see LogHygiene — artifact tails
     new java.io.File(outDir).mkdirs()
     // Queries dump concurrently (Spark's scheduler interleaves the tiny
     // jobs across cores; each write lands in its own directory).

@@ -114,15 +114,19 @@ object DedupIndex {
     // losing the document. This anti-join is the membership-level twin
     // of the "batch text wins" rule below, and it is what makes every
     // replay interleaving of the three overlapped appends safe.
-    // DBP probe hint: the batch side spans ALL band indexes by
-    // construction (every doc emits one row per band), so the
-    // plan-time dim probe on this join can never prune an index
-    // branch — skip it (measured as pure per-compile job overhead)
-    val idxCand = graft.plans.DynamicBranchPruning.skipProbes(
-        probeBands.join(index,
+    // DBP probe hint on the BAND JOIN alone: the batch side spans
+    // ALL band indexes by construction (every doc emits one row per
+    // band), so the plan-time dim probe on this join can never prune
+    // an index branch — skip it (measured as pure per-compile job
+    // overhead). Applied directly to the join so nested or downstream
+    // joins (the batch-membership anti-join below) keep their normal
+    // pruning eligibility.
+    val bandJoin = graft.plans.DynamicBranchPruning.skipProbes(
+      probeBands.join(index,
         col("band_idx") === col("__ebi") &&
           col("band_hash") === col("__ebh") &&
           col(id) =!= col("__eid")))
+    val idxCand = bandJoin
       .select(col(id), col("__eid").as("eid"))
       .join(batchIds, Seq("eid"), "left_anti")
       // a using-column join moves the join column FIRST; restore (id,

@@ -145,7 +145,17 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
         val info = lr.getTagValue(ScanTag).get
         val bounds = toBounds(cond, lr.outputSet)
         if (bounds.isEmpty) f
-        else if (alreadyApplied(lr, bounds)) f
+        else if (alreadyApplied(lr, bounds)) {
+          // the memo skips the PROBE WORK only — the decision still
+          // records, or a temp view's second identical EXPLAIN PRUNING
+          // would silently lose its BFP row (the shared LogicalRelation
+          // carries the memo across compiles)
+          DynamicBranchPruning.recordDecisions(cond.sql, Seq(
+            s"BranchFilePruning: kept all ${lr.getTagValue(ScanTag).get
+              .files.size} file(s) — no file provably empty under these " +
+              "bounds (memoized)"))
+          f
+        }
         else {
           // point bounds on bloom-indexed columns also probe the
           // per-file blooms (the scan()-path capability, now on plain

@@ -105,19 +105,22 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
     * reruns of the operator batch never re-execute the dimension. */
   private val PROBED = TreeNodeTag[Unit]("graft.dbp.probed")
 
-  /** Caller hint: mark every Join in `df`'s analyzed plan as already
-    * probed, so this rule never runs its plan-time dim probe on them.
-    * For callers that KNOW the dim side always spans the fact side's
-    * whole branch domain — e.g. the dedup-index probe join, where a
-    * batch's band rows cover all band indexes by construction — the
-    * probe is a guaranteed-no-prune job per compile; this skips it
-    * without touching the session-wide kill switch (which would race
-    * with concurrently-compiling queries that DO benefit). */
+  /** Caller hint: mark the TOPMOST Join in `df`'s analyzed plan as
+    * already probed, so this rule never runs its plan-time dim probe
+    * on it. For callers that KNOW the dim side always spans the fact
+    * side's whole branch domain — e.g. the dedup-index band join,
+    * where a batch's band rows cover all band indexes by
+    * construction — the probe is a guaranteed-no-prune job per
+    * compile; this skips it without touching the session-wide kill
+    * switch (which would race with concurrently-compiling queries
+    * that DO benefit). Only the topmost Join: joins NESTED in the
+    * operands (a DV anti-join inside a DeltaLite read, say) keep
+    * their normal pruning eligibility — call this directly on the
+    * join you mean, before stacking further operators. */
   private[graft] def skipProbes(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed.collectFirst {
       case j: Join => j.setTagValue(PROBED, ())
-      case _ => ()
     }
     df
   }

@@ -916,12 +916,12 @@ object Graph {
     QueryDef("g11_coreness", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val pairs = coPurchasePairs(s, dir)
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(false)
-      var h = edges.groupBy(col("src")).agg(count(lit(1)).as("h"))
-        .select(col("src").as("node"), col("h"))
-        .localCheckpoint(false)
+      val edges = graft.Frames.cut(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      var h = graft.Frames.cut(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("h"))
+          .select(col("src").as("node"), col("h")))
       var r = 0
       var converged = false
       while (r < CoreRounds && !converged) {
@@ -929,12 +929,11 @@ object Graph {
           .join(h.select(col("node").as("dst"), col("h").as("nh")),
             Seq("dst"))
           .select(col("src").as("node"), col("nh"))
-        val next = nv
+        val next = graft.Frames.cut(nv
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("node")).orderBy(col("nh").desc)))
           .groupBy(col("node"))
-          .agg(max(least(col("nh"), col("rn").cast("bigint"))).as("h"))
-          .localCheckpoint(false)
+          .agg(max(least(col("nh"), col("rn").cast("bigint"))).as("h")))
         converged = next
           .join(h.select(col("node"), col("h").as("ph")), Seq("node"))
           .filter(col("h") =!= col("ph"))

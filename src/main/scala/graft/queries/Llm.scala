@@ -112,8 +112,7 @@ object Llm {
     // directions), which HIDES its join shape from the final plan —
     // PlanSpec therefore pins the UNCUT [[mpCandidatePairsIvf]]
     // directly (the stronger form of the l6_bitext no-cartesian pin)
-    val pairs = mpCandidatePairsIvf(e, centers, probes)
-      .localCheckpoint(false)
+    val pairs = graft.Frames.cut(mpCandidatePairsIvf(e, centers, probes))
     val kk = lit(kDepth.toLong + 1L)
     pairs
       .withColumn("rkf", row_number().over(Window.partitionBy(col("qid"))

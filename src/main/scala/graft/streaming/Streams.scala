@@ -217,7 +217,7 @@ object Streams {
     def lap(phase: String): Unit = {
       val t1 = System.nanoTime()
       log.info(f"gateBatch[$batchId] $phase ${(t1 - t0) / 1e9}%.2fs")
-      gateLaps.offer((batchId, phase, (t1 - t0) / 1e9))
+      offerLap((batchId, phase, (t1 - t0) / 1e9))
       t0 = t1
     }
     // data-free shells OVERLAP the batch cuts below (independent work:
@@ -258,9 +258,14 @@ object Streams {
     // and two of the three appends — a LAZY cut: the banding job below
     // materializes b's blocks as its parent (one job barrier instead
     // of two), and by the time the overlapped append threads read b it
-    // is a materialized snapshot all consumers share
+    // is a materialized snapshot all consumers share. Dedup is
+    // max-by-text, NOT dropDuplicates: the surviving row must be
+    // DETERMINISTIC (Frames.cut's replicated mode may recompute this
+    // frame after block eviction — an order-dependent survivor could
+    // then diverge between the already-run probe and a later append)
     val b = graft.Frames.cut(
-      batch.select(col(id), col(text)).dropDuplicates(id))
+      batch.select(col(id), col(text)).groupBy(col(id))
+        .agg(max(col(text)).as(text)))
     lap("cut_batch")
     // ONE banding pass (shingle + minhash) for the whole micro-batch:
     // the probe's candidate joins and the index append consume the same
@@ -313,7 +318,7 @@ object Streams {
         val r = body
         val dt = (System.nanoTime() - a0) / 1e9
         log.info(f"gateBatch[$batchId] append_$nm $dt%.2fs")
-        gateLaps.offer((batchId, s"append_$nm", dt))
+        offerLap((batchId, s"append_$nm", dt))
         r
       }
       val appends: Seq[Future[Any]] = Seq(
@@ -331,10 +336,17 @@ object Streams {
   }
 
   /** Phase timings from [[gateBatch]] runs in this JVM — (batchId,
-    * phase, seconds). Ring-buffered by the caller's drain; tests and
-    * profiling harnesses read attribution here without a log flip. */
+    * phase, seconds), drop-oldest capped at [[GateLapsCap]] so an
+    * always-on gate holds O(1) driver state; tests and profiling
+    * harnesses read attribution here without a log flip. */
   private[graft] val gateLaps =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+  private val GateLapsCap = 256
+  private def offerLap(t: (Long, String, Double)): Unit = {
+    gateLaps.offer(t)
+    // drop-oldest cap — an always-on gate must not grow driver state
+    while (gateLaps.size > GateLapsCap) gateLaps.poll()
+  }
 
   /** The gate's `txn` app id on all three tables. */
   private[graft] val GateApp = "graft-dedup-gate"

@@ -570,24 +570,24 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       doc(103L, (1 to 40).map(i => s"q$i"))).toDF("doc_id", "text")
     val idx = graft.TempDirs.fresh("dedup_idx_repl")
     DedupIndex.build(spark, corpus, "doc_id", "text", idx)
-    def verdicts(): Map[Long, Long] =
-      DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
-          idx, threshold = 0.5)
-        .collect().map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val local = verdicts()
-    spark.conf.set("spark.graft.cut.mode", "replicated")
-    try {
-      val repl = verdicts()
-      assert(repl === local,
-        "the cut mode must not change any verdict")
-      assert(repl === Map(101L -> 2L, 102L -> -1L, 103L -> 102L))
-    } finally {
-      spark.conf.unset("spark.graft.cut.mode")
-      // replicated mode persists; don't leak cache entries into
-      // later suites
-      spark.sharedState.cacheManager.clearCache()
-    }
+    val local = DedupIndex.probe(spark, batch, corpus, "doc_id", "text",
+        idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // the mode flip rides a SEPARATE session: the conf is session-
+    // scoped and suites run in parallel — flipping the shared
+    // session's conf would switch every concurrent suite's cuts
+    // mid-test (review finding)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.cut.mode", "replicated")
+    val repl = DedupIndex.probe(s2,
+        s2.createDataFrame(batch.collectAsList(), batch.schema),
+        s2.createDataFrame(corpus.collectAsList(), corpus.schema),
+        "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(repl === local, "the cut mode must not change any verdict")
+    assert(repl === Map(101L -> 2L, 102L -> -1L, 103L -> 102L))
   }
 
   test("DedupIndex.probe flags BATCH-INTERNAL near-dups keep-min-id") {
