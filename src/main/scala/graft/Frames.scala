@@ -35,6 +35,16 @@ import org.apache.spark.storage.StorageLevel
   * switch instead of a footnote. */
 object Frames {
 
+  /** Replicated-mode frames created on this thread inside the current
+    * [[scoped]] block — released at scope exit. Local-mode cuts are
+    * never tracked: localCheckpoint blocks free via the ContextCleaner
+    * once the RDD is unreferenced, but `persist` registers in the
+    * session's CacheManager, which holds STRONG references — without
+    * an explicit unpersist, an always-on operator (the crawl gate)
+    * would grow one cache entry per cut per micro-batch forever. */
+  private val tracked = new ThreadLocal[
+    scala.collection.mutable.Buffer[DataFrame]]
+
   /** Cut `df`'s lineage under the session's configured mode. `eager`
     * materializes now (both modes); lazy cuts materialize on first
     * action. */
@@ -43,7 +53,30 @@ object Frames {
     if (mode == "replicated") {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
       if (eager) p.count()
+      Option(tracked.get()).foreach(_ += p)
       p
     } else df.localCheckpoint(eager)
+  }
+
+  /** Run `body`, then release (unpersist, non-blocking) every
+    * replicated-mode cut created ON THIS THREAD inside it. Operators
+    * with a natural frame lifetime (one crawl-gate micro-batch: every
+    * cut is dead once the batch's sinks land) wrap their unit of work
+    * here, so replicated mode stays O(live frames) instead of leaking
+    * a CacheManager entry per cut. Cuts made on OTHER threads inside
+    * `body` are not tracked — construct frames on the owning thread
+    * (the gate does; its worker threads only run actions). Nested
+    * scopes release at their own exit. No-op overhead in local mode
+    * (nothing is ever tracked). */
+  def scoped[T](body: => T): T = {
+    val prev = tracked.get()
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    tracked.set(buf)
+    try body
+    finally {
+      tracked.set(prev)
+      buf.foreach(df => try df.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+    }
   }
 }

@@ -151,9 +151,8 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
           // would silently lose its BFP row (the shared LogicalRelation
           // carries the memo across compiles)
           DynamicBranchPruning.recordDecisions(cond.sql, Seq(
-            s"BranchFilePruning: kept all ${lr.getTagValue(ScanTag).get
-              .files.size} file(s) — no file provably empty under these " +
-              "bounds (memoized)"))
+            s"BranchFilePruning: kept all ${info.files.size} file(s) — " +
+              "no file provably empty under these bounds (memoized)"))
           f
         }
         else {

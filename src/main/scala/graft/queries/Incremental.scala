@@ -1429,11 +1429,15 @@ object Incremental {
     // member of the recursion family); oracle = the same transition
     // table as a per-key recursive CTE over row-numbered events.
     QueryDef("t29_funnel_keyed", (s, dir) => {
-      val e = Tables.t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
+      // ts_sec discipline (file header): raw ts is ns in the fixture
+      // and us in Spark — ordering on it can diverge between engines;
+      // second-floored ts + the unique event_id tiebreak is identical
+      // on both sides
+      val e = ev(s, dir)
+        .select(col("user_id"), col("ts_sec"), col("event_id"),
           col("event_type"))
       e.groupBy(col("user_id"))
-        .agg(collect_list(struct(col("ts"), col("event_id"),
+        .agg(collect_list(struct(col("ts_sec"), col("event_id"),
           col("event_type"))).as("s"))
         .select(col("user_id"), expr(
           """aggregate(array_sort(s),
@@ -1455,11 +1459,12 @@ object Incremental {
           col("fin.st").cast("int").as("end_stage"))
         .orderBy(col("user_id").asc_nulls_last)
     }, Some(
-      """WITH RECURSIVE ev AS MATERIALIZED (
+      s"""WITH RECURSIVE e AS ($oracleEv),
+         ev AS MATERIALIZED (
            SELECT user_id, event_type,
                   CAST(row_number() OVER (PARTITION BY user_id
-                    ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn
-           FROM events),
+                    ORDER BY ts_sec ASC, event_id ASC) AS BIGINT) AS rn
+           FROM e),
          step AS (
            SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS st,
                   CAST(0 AS BIGINT) AS done

@@ -207,6 +207,18 @@ object Streams {
     * run must be a no-op on all three tables). */
   private[graft] def gateBatch(batch: DataFrame, batchId: Long,
       id: String, text: String, corpusPath: String, indexPath: String,
+      verdictsPath: String, threshold: Double): Unit =
+    // one micro-batch = one frame lifetime: every lineage cut below
+    // (and inside DedupIndex.probe, built on this thread) is dead once
+    // the three sinks land — the scope releases replicated-mode cache
+    // entries so an always-on gate stays O(1) in CacheManager state
+    graft.Frames.scoped {
+    gateBatchBody(batch, batchId, id, text, corpusPath, indexPath,
+      verdictsPath, threshold)
+  }
+
+  private def gateBatchBody(batch: DataFrame, batchId: Long,
+      id: String, text: String, corpusPath: String, indexPath: String,
       verdictsPath: String, threshold: Double): Unit = {
     val s = batch.sparkSession
     val D = graft.sources.DeltaLite
