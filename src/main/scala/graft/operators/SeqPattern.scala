@@ -1,0 +1,137 @@
+package graft.operators
+
+/** MATCH_RECOGNIZE-lite: compile a row-pattern over event CLASSES into
+  * the engine-portable transition tables the keyed-recursion family
+  * executes (the t29 funnel generalized from one hand-written table to
+  * a COMPILED operator — Flink-CEP/ISO row-pattern territory expressed
+  * as a per-key executor fold).
+  *
+  * Pattern grammar (v1, validated at compile):
+  *   pattern  := elem (' ' elem)*
+  *   elem     := CLASS quant?          CLASS = one [A-Z] symbol
+  *   quant    := '+' | '?'             (exactly-one when absent)
+  * The LAST element must not be optional (greedy quantifiers with a
+  * trailing '?' need lookahead a single-pass fold cannot do).
+  *
+  * Semantics (deterministic, both engines execute the same table):
+  * scan each key's rows in order; a match COMPLETES on the row that
+  * satisfies the last element (AFTER MATCH SKIP PAST LAST ROW — the
+  * match counter increments and the scan restarts at state 0 on the
+  * NEXT row); on a row that fits no transition, the scan restarts AT
+  * THAT ROW (it may begin a new match: class == first element → state
+  * 1, else state 0). This is the skip-to-next CEP strategy, not full
+  * backtracking — overlapping matches and mid-pattern re-entry (KMP
+  * failure functions over quantified elements) are out of scope and
+  * documented as such.
+  *
+  * DFA construction: state s = number of pattern elements fully
+  * committed (0..n−1; completing element n emits and resets). Reading
+  * class c at state s:
+  *   1. if s ≥ 1 and element s is '+' and c == class(s): stay (absorb);
+  *   2. else advance: the first element j > s with class(j) == c and
+  *      every element strictly between s and j optional ('?') — j == n
+  *      emits a match (next state 0), else next state j;
+  *   3. else restart: c == class(1) behaves as rule 2 from state 0
+  *      (n == 1 emits immediately), anything else → state 0.
+  *
+  * The compiled table renders as ONE `CASE` tree, generated twice from
+  * the same rows with different variable spellings — Spark's
+  * `aggregate` lambda (acc.st / e.cls) and the oracle's recursive CTE
+  * (s.st / e.cls) — so both engines execute the identical decision
+  * tree and integer parity is by construction. */
+object SeqPattern {
+
+  final case class Elem(cls: Char, quant: Char) // quant: '1' | '+' | '?'
+
+  /** (state, class) → (next state, emits-match). Only classes the
+    * pattern names appear; any other class is the implicit
+    * restart-to-0 default. */
+  final case class Compiled(elems: Seq[Elem],
+      rows: Seq[((Int, Char), (Int, Boolean))]) {
+    def classes: Seq[Char] = elems.map(_.cls).distinct
+
+    /** The next-state CASE over `st`/`cls` variable spellings; both
+      * engines get the same tree, one textual form each. */
+    def nextStateCase(st: String, cls: String): String =
+      caseTree(st, cls, { case (next, _) => next.toString })
+
+    /** The match-increment CASE (1 on emitting transitions, else 0). */
+    def emitCase(st: String, cls: String): String =
+      caseTree(st, cls, { case (_, emits) => if (emits) "1" else "0" })
+
+    private def caseTree(st: String, cls: String,
+        render: ((Int, Boolean)) => String): String = {
+      val whens = rows.map { case ((s, c), out) =>
+        s"WHEN $st = $s AND $cls = '$c' THEN ${render(out)}"
+      }
+      val dflt = render((0, false))
+      s"CASE ${whens.mkString(" ")} ELSE $dflt END"
+    }
+  }
+
+  def compile(pattern: String): Compiled = {
+    val elems = parse(pattern)
+    val n = elems.length
+    require(elems.last.quant != '?',
+      s"the last pattern element must not be optional: '$pattern'")
+    // a greedy '+' followed (through optionals) by the SAME class can
+    // never advance — absorb always wins. Reject at compile instead of
+    // silently never matching.
+    elems.zipWithIndex.foreach { case (e, i) =>
+      if (e.quant == '+') {
+        var j = i + 1
+        var blocked = true
+        while (j < n && blocked) {
+          require(elems(j).cls != e.cls,
+            s"'${e.cls}+' followed by '${elems(j).cls}' through " +
+              s"optionals can never advance: '$pattern'")
+          blocked = elems(j).quant == '?'
+          j += 1
+        }
+      }
+    }
+    val classes = elems.map(_.cls).distinct
+    // rule 2/3 core: from committed-count `s`, what does class c do?
+    def advance(s: Int, c: Char): Option[(Int, Boolean)] = {
+      var j = s + 1
+      while (j <= n) {
+        if (elems(j - 1).cls == c) return Some((j, j == n))
+        if (elems(j - 1).quant != '?') return None
+        j += 1
+      }
+      None
+    }
+    val rows = for {
+      s <- 0 until n
+      c <- classes
+      out <- {
+        val absorb =
+          if (s >= 1 && elems(s - 1).quant == '+' && elems(s - 1).cls == c)
+            Some((s, false)) else None
+        val adv = absorb.orElse(advance(s, c))
+        val restart = adv.orElse(advance(0, c)).orElse(Some((0, false)))
+        // normalize: an emitting transition's NEXT state is always 0
+        // (AFTER MATCH SKIP PAST LAST ROW) — the table is the public
+        // contract, so it states that directly
+        restart.map { case (j, em) => (if (em) 0 else j, em) }
+      }
+      // drop rows that equal the implicit default (state 0, no emit) —
+      // the CASE stays small and the default arm covers them
+      if out != ((0, false))
+    } yield ((s, c), out)
+    Compiled(elems, rows)
+  }
+
+  private def parse(pattern: String): Seq[Elem] = {
+    val toks = pattern.trim.split("\\s+").toSeq
+    require(toks.nonEmpty && toks.head.nonEmpty, "empty pattern")
+    toks.map { t =>
+      require(t.length <= 2 && t.head.isUpper,
+        s"pattern element must be CLASS[+?]: '$t'")
+      val q = if (t.length == 2) t(1) else '1'
+      require(q == '1' || q == '+' || q == '?',
+        s"unknown quantifier in '$t'")
+      Elem(t.head, q)
+    }
+  }
+}

@@ -1487,6 +1487,69 @@ object Incremental {
          FROM step s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.mrn
          ORDER BY s.user_id ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T30
+    // MATCH_RECOGNIZE-lite — t29's transition table, COMPILED: the row
+    // pattern "V C+ S? P" (view, one-or-more clicks, optional signup,
+    // purchase — strict contiguity over the funnel-relevant event
+    // classes) compiles through [[graft.operators.SeqPattern]] into
+    // ONE CASE decision tree rendered twice from the same table —
+    // into the Spark `aggregate` lambda AND into the oracle's
+    // recursive CTE — so engine parity is by construction, for ANY
+    // pattern the grammar admits (the ISO row-pattern/Flink-CEP
+    // skip-to-next strategy as a per-key executor fold; all-integer
+    // state, one user-keyed shuffle, driver never sees a row).
+    QueryDef("t30_match_recognize", (s, dir) => {
+      val pat = graft.operators.SeqPattern.compile("V C+ S? P")
+      val e = ev(s, dir)
+        .filter(col("event_type").isin("view", "click", "signup",
+          "purchase"))
+        .select(col("user_id"), col("ts_sec"), col("event_id"),
+          expr("""CASE event_type WHEN 'view' THEN 'V'
+                  WHEN 'click' THEN 'C' WHEN 'signup' THEN 'S'
+                  ELSE 'P' END""").as("cls"))
+      e.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts_sec"), col("event_id"),
+          col("cls"))).as("s"))
+        .select(col("user_id"), expr(
+          s"""aggregate(array_sort(s),
+               named_struct('st', 0, 'done', CAST(0 AS BIGINT)),
+               (acc, e) -> named_struct(
+                 'st', ${pat.nextStateCase("acc.st", "e.cls")},
+                 'done', acc.done +
+                   CAST(${pat.emitCase("acc.st", "e.cls")} AS BIGINT)))""")
+          .as("fin"))
+        .select(col("user_id"), col("fin.done").as("n_matches"),
+          col("fin.st").cast("int").as("end_state"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some {
+      val pat = graft.operators.SeqPattern.compile("V C+ S? P")
+      s"""WITH RECURSIVE e0 AS ($oracleEv),
+         ev AS MATERIALIZED (
+           SELECT user_id,
+                  CASE event_type WHEN 'view' THEN 'V'
+                  WHEN 'click' THEN 'C' WHEN 'signup' THEN 'S'
+                  ELSE 'P' END AS cls,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_sec ASC, event_id ASC) AS BIGINT) AS rn
+           FROM e0
+           WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+         step AS (
+           SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS st,
+                  CAST(0 AS BIGINT) AS done
+           FROM (SELECT DISTINCT user_id FROM ev)
+           UNION ALL
+           SELECT e.user_id, e.rn,
+                  ${pat.nextStateCase("s.st", "e.cls")},
+                  s.done + ${pat.emitCase("s.st", "e.cls")}
+           FROM step s JOIN ev e
+             ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+         mx AS (SELECT user_id, max(rn) AS mrn FROM ev GROUP BY 1)
+         SELECT s.user_id, s.done AS n_matches,
+                CAST(s.st AS INTEGER) AS end_state
+         FROM step s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.mrn
+         ORDER BY s.user_id ASC NULLS LAST"""
+    }),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,
