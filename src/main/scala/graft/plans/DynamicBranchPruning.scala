@@ -141,9 +141,33 @@ object DynamicBranchPruning extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def recordDecisions(joinCond: String, notes: Seq[String]): Unit =
     org.apache.spark.sql.catalyst.QueryPlanningTracker.get.foreach { t =>
       val prev = Option(decisionLog.get(t)).getOrElse(Nil)
-      decisionLog.put(t,
-        (prev ++ notes.map(n => (joinCond, n))).distinct)
+      val merged = (prev ++ notes.map(n => (joinCond, n))).distinct
+      decisionLog.put(t, merged)
+      // the SESSION history receives only what this call actually
+      // added (fixpoint re-records dedup per compile above, so the
+      // ring never sees the same compile's decision twice)
+      merged.drop(prev.length).foreach { case (j, n) =>
+        history.addLast((historySeq.incrementAndGet(), j, n))
+      }
+      while (history.size > HistoryCap) history.pollFirst()
     }
+
+  /** Session-global RING of recent decisions across compiles (newest
+    * last), feeding `SHOW PRUNING HISTORY`: EXPLAIN PRUNING answers
+    * "what would this query do", the history answers "what did my
+    * recent queries actually decide" — the post-hoc audit surface.
+    * Bounded at [[HistoryCap]] entries (drop-oldest); entries carry a
+    * monotone sequence number instead of wall time so tests and
+    * replays stay deterministic. */
+  private val history =
+    new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]()
+  private val historySeq = new AtomicLong(0L)
+  private val HistoryCap = 256
+  private[plans] def historySnapshot(): Seq[(Long, String, String)] = {
+    val b = Seq.newBuilder[(Long, String, String)]
+    history.descendingIterator().forEachRemaining(e => b += e)
+    b.result()
+  }
 
   /** The prune decisions recorded while `qe` optimized (forces the
     * optimization if it hasn't run): (join condition, decision) pairs.

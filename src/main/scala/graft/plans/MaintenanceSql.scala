@@ -42,6 +42,7 @@ import graft.sources.DeltaLite
   *   ALTER '<path>' DROP CONSTRAINT name
   *   EXPLAIN COST '<path>'
   *   EXPLAIN PRUNING <query>
+  *   SHOW PRUNING HISTORY [LIMIT n]
   *   DELETE FROM '<path>' WHERE <cond>
   *   UPDATE '<path>' SET a = e1[, b = e2 ...] WHERE <cond>
   *   INSERT INTO '<path>' <select>
@@ -397,6 +398,30 @@ object MaintenanceSql {
     * inspectability EXPLAIN COST gives the stats surface. Compiles the
     * query (the probe is plan-time work by design) but never executes
     * it. */
+  /** `SHOW PRUNING HISTORY [LIMIT n]` — the session's recent pruning
+    * and rewrite decisions (DBP, FRB, BranchFilePruning, MvRewrite,
+    * StatsAggRewrite), newest first, from the bounded ring
+    * [[DynamicBranchPruning.historySnapshot]]. EXPLAIN PRUNING answers
+    * "what would this query do"; this answers "what did my recent
+    * queries actually decide" — the post-hoc audit after a batch ran
+    * without anyone wrapping each statement. Sequence numbers are
+    * session-monotone (not timestamps), so output is deterministic
+    * under test. */
+  final case class ShowPruningHistoryCommand(limit: Option[Int])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("seq", LongType, nullable = false)(),
+      AttributeReference("target", StringType, nullable = false)(),
+      AttributeReference("decision", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val all = DynamicBranchPruning.historySnapshot()
+      val cut = limit.fold(all)(all.take)
+      if (cut.isEmpty) Seq(Row(0L, "(none)",
+        "no pruning or rewrite decisions recorded in this session yet"))
+      else cut.map { case (seq, j, d) => Row(seq, j, d) }
+    }
+  }
+
   final case class ExplainPruningCommand(sql: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -612,6 +637,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*EXPLAIN\s+COST\s+'([^']+)'\s*;?\s*""".r
   private val ExplainPruningRe =
     """(?is)\s*EXPLAIN\s+PRUNING\s+(.+?)\s*;?\s*""".r
+  private val ShowPruningHistoryRe =
+    """(?is)\s*SHOW\s+PRUNING\s+HISTORY(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+ALL\s+COLUMNS(\s+WITH\s+HISTOGRAM)?""" +
@@ -671,6 +698,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ExplainCostRe(p) => ExplainCostCommand(p)
+    case ShowPruningHistoryRe(limit) =>
+      ShowPruningHistoryCommand(Option(limit).map(_.toInt))
     case ExplainPruningRe(sql) => ExplainPruningCommand(sql)
     case ReorgRe(p) => ReorgCommand(p)
     case RenameColRe(p, o, n) => RenameColumnCommand(p, o, n)

@@ -2029,6 +2029,30 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally spark.conf.unset("spark.graft.branchFilePruning.enabled")
   }
 
+  test("SHOW PRUNING HISTORY: the session ring serves recent decisions newest-first, LIMIT bounds it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val D = graft.sources.DeltaLite
+    val path = graft.TempDirs.fresh("sph") + "/t"
+    D.create(spark, path,
+      spark.range(0L, 1000L).select(col("id").as("v")).coalesce(1))
+    D.append(spark, path,
+      spark.range(1000L, 2000L).select(col("id").as("v")).coalesce(1))
+    // a pruned filter lands a BFP decision in the session history
+    D.read(spark, path).filter(col("v") >= 1500L).count()
+    val rows = spark.sql("SHOW PRUNING HISTORY").collect()
+    assert(rows.nonEmpty, "history must hold rows")
+    assert(rows.exists(_.getString(2).contains("BranchFilePruning")),
+      s"the pruned filter's decision must appear: " +
+        rows.take(5).map(_.getString(2)).mkString(" | "))
+    // newest first: sequence numbers strictly decrease
+    val seqs = rows.map(_.getLong(0)).toSeq
+    assert(seqs === seqs.sortBy(-_), s"newest-first order: $seqs")
+    // LIMIT bounds the result
+    assert(spark.sql("SHOW PRUNING HISTORY LIMIT 3").collect()
+      .length <= 3)
+  }
+
   test("branch-path generated-column pruning: a BASE-column filter eliminates branches via derived bounds, and BFP decisions render in EXPLAIN PRUNING") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
