@@ -151,11 +151,18 @@ object Llm {
 
   /** Declared-query instantiation of [[mpScoreFrameIvf]]: seeded
     * driver-side k-means (one sample collect, plan-literal centroid
-    * table) — k = 16 coarse cells, 4 probes, the l3_ann_ivf recipe. */
+    * table), 4 probes. The cell count SCALES WITH THE CORPUS
+    * (k ≈ n/125, clamped to [16, 256]) — this is the whole scale
+    * argument: with k fixed, 4× vectors is still 16× candidate pairs
+    * (quadratic at a smaller constant); with per-cell occupancy held
+    * ~constant, candidates grow ~linearly (ScaleCurveSpec measures
+    * the slope). The count is one driver-side aggregate; training
+    * stays sample-bounded regardless of k. */
   private def mpScoredIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"),
       col("embedding"), col("norm"))
-    mpScoreFrameIvf(e, Dedup.ivfTrain(e, "embedding", k = 16), probes = 4)
+    val k = math.max(16L, math.min(256L, e.count() / 125L)).toInt
+    mpScoreFrameIvf(e, Dedup.ivfTrain(e, "embedding", k = k), probes = 4)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -90,11 +90,16 @@ class ScaleCurveSpec extends AnyFunSuite with TestSpark {
   // measures that the keyed recursion fold scales with KEYS inside
   // executors — the many-series design the t13/t19/t26 driver loops
   // point at — and never with the driver.
+  // l3_mp_ivf is here for a specific claim: the hubness family's
+  // bucketed twin holds per-cell occupancy ~constant (k scales with
+  // the corpus), so its candidate frame — the thing that made the
+  // exact twin the last data-quadratic plan — grows ~linearly with
+  // the re-keyed 4× vector domain.
   private val Ops = Seq(
     "l2_minhash_lsh", "l2_dedup_groups", "l3_ann_index", "l4_tfidf",
     "l7_pipeline", "s8_merge_upsert", "s9_scd2_snapshot",
     "s25_incremental_mv", "s26_mv_minmax", "s33_join_mv",
-    "t27_holt_keyed")
+    "t27_holt_keyed", "l3_mp_ivf")
 
   private def runOp(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
