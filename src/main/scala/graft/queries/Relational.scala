@@ -3566,6 +3566,41 @@ ORDER BY fold ASC NULLS LAST"""),
          ORDER BY ret_cents DESC, c_custkey ASC
          LIMIT 100""")),
 
+    // ------------------------------------------------------------------ X26
+    // TPC-DS Q88 SHAPE — time-band traffic census: eight 3-hour-band
+    // click counts as ONE ROW. DS q88 spells this as eight scalar
+    // subqueries — eight scans of store_sales; the efficient plan (and
+    // the whole point of carrying the shape) is ONE scan with eight
+    // conditional aggregates, which both engines then execute as a
+    // single pass with map-side partials. All counts BIGINT; bands
+    // partition hour-of-day exactly, so the row also self-checks
+    // (sum of bands = total clicks).
+    QueryDef("x26_ds_timeband_counts", (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(hour(col("ts")).as("h"))
+      e.agg(
+        count(when(col("h").between(0, 2), 1)).as("h00_02"),
+        count(when(col("h").between(3, 5), 1)).as("h03_05"),
+        count(when(col("h").between(6, 8), 1)).as("h06_08"),
+        count(when(col("h").between(9, 11), 1)).as("h09_11"),
+        count(when(col("h").between(12, 14), 1)).as("h12_14"),
+        count(when(col("h").between(15, 17), 1)).as("h15_17"),
+        count(when(col("h").between(18, 20), 1)).as("h18_20"),
+        count(when(col("h").between(21, 23), 1)).as("h21_23"))
+    }, Some(
+      """SELECT
+           count(*) FILTER (WHERE h BETWEEN 0 AND 2) AS h00_02,
+           count(*) FILTER (WHERE h BETWEEN 3 AND 5) AS h03_05,
+           count(*) FILTER (WHERE h BETWEEN 6 AND 8) AS h06_08,
+           count(*) FILTER (WHERE h BETWEEN 9 AND 11) AS h09_11,
+           count(*) FILTER (WHERE h BETWEEN 12 AND 14) AS h12_14,
+           count(*) FILTER (WHERE h BETWEEN 15 AND 17) AS h15_17,
+           count(*) FILTER (WHERE h BETWEEN 18 AND 20) AS h18_20,
+           count(*) FILTER (WHERE h BETWEEN 21 AND 23) AS h21_23
+         FROM (SELECT hour(CAST(ts AS TIMESTAMP)) AS h FROM events
+               WHERE event_type = 'click')""")),
+
     // ------------------------------------------------------------------ P16
     // SELECT * EXCLUDE / REPLACE — the DuckDB star-modifier surface a
     // reference user types daily (`SELECT * EXCLUDE (secret), REPLACE

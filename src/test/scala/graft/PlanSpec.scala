@@ -2029,6 +2029,16 @@ class PlanSpec extends AnyFunSuite with TestSpark {
     } finally spark.conf.unset("spark.graft.branchFilePruning.enabled")
   }
 
+  test("x26_ds_timeband_counts: eight band counts ride ONE scan (the q88 eight-subquery shape collapsed)") {
+    val p = plan("x26_ds_timeband_counts")
+    assert(count(p, "Scan ") === 1,
+      s"eight conditional counts must share a single events scan:\n$p")
+    assert(!p.contains("Union") && !p.contains("Join"),
+      s"no per-band rescan or self-join:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"the click filter must reach the scan:\n$p")
+  }
+
   test("SHOW PRUNING HISTORY: the session ring serves recent decisions newest-first, LIMIT bounds it") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
