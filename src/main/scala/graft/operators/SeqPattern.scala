@@ -50,6 +50,14 @@ object SeqPattern {
       rows: Seq[((Int, Char), (Int, Boolean))]) {
     def classes: Seq[Char] = elems.map(_.cls).distinct
 
+    private lazy val lookup = rows.toMap
+
+    /** The Scala twin of the rendered CASE — same `rows`, so the
+      * streaming state processor and the batch fold execute the
+      * identical table by construction. */
+    def step(st: Int, cls: Char): (Int, Boolean) =
+      lookup.getOrElse((st, cls), (0, false))
+
     /** The next-state CASE over `st`/`cls` variable spellings; both
       * engines get the same tree, one textual form each. */
     def nextStateCase(st: String, cls: String): String =

@@ -457,4 +457,44 @@ object Streams {
           closed.reverseIterator
       }
   }
+
+  final case class PatternState(st: Int, done: Long)
+  final case class PatternOut(user_id: Long, n_matches: Long, state: Int)
+
+  /** STREAMING row-pattern matching — [[graft.operators.SeqPattern]]'s
+    * compiled DFA carried across micro-batches as keyed state (the CEP
+    * deployment shape of t30): per user, each micro-batch's events
+    * fold through `Compiled.step` — the SAME transition table the
+    * batch query and its oracle render as a CASE tree — starting from
+    * the state the PREVIOUS batch left, so a match spanning a batch
+    * boundary completes exactly as it would in one batch. Emits the
+    * running (user, n_matches, state) per batch touched (Update-mode
+    * semantics). `classOf` maps an event to its single-letter class;
+    * events sort by (event time, event_id) WITHIN a batch — cross-
+    * batch order is arrival order, the standard mapGroupsWithState
+    * contract (a production pipeline feeding from an ordered log
+    * satisfies it by construction; out-of-order sources need a
+    * watermark-driven buffer first). State is one (int, long) per
+    * user, hash-partitioned — O(keys) total, never O(events). */
+  def matchPattern(events: Dataset[Event], pattern: String,
+      classOf: String => Char)(
+      implicit spark: SparkSession): Dataset[PatternOut] = {
+    import spark.implicits._
+    val pat = graft.operators.SeqPattern.compile(pattern)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[PatternState, PatternOut](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[PatternState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(PatternState(0, 0L))
+          sorted.foreach { e =>
+            val (n, emits) = pat.step(s.st, classOf(e.event_type))
+            s = PatternState(n, if (emits) s.done + 1 else s.done)
+          }
+          state.update(s)
+          PatternOut(userId, s.done, s.st)
+      }
+  }
 }

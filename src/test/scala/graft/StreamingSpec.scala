@@ -888,6 +888,48 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming row-pattern matching: the compiled DFA state carries across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def cls(t: String): Char = t match {
+      case "view" => 'V'
+      case "click" => 'C'
+      case "purchase" => 'P'
+      case _ => 'X'
+    }
+    val q = Streams.matchPattern(input.toDS(), "V C+ P", cls).writeStream
+      .format("memory").queryName("cep_pattern").outputMode("update")
+      .start()
+    try {
+      // batch 1 ends MID-PATTERN for user 7 (V C — state 2, no match);
+      // user 9 sees only noise
+      input.addData(
+        Streams.Event(1L, ts(0), 7L, "view", 1.0),
+        Streams.Event(2L, ts(1), 7L, "click", 1.0),
+        Streams.Event(3L, ts(1), 9L, "error", 1.0))
+      q.processAllAvailable()
+      // batch 2: the purchase COMPLETES the match across the boundary —
+      // only possible if state 2 survived the batch edge; the trailing
+      // V P cannot match (P fails at state 1 and is not a start)
+      input.addData(
+        Streams.Event(4L, ts(2), 7L, "purchase", 1.0),
+        Streams.Event(5L, ts(3), 7L, "view", 1.0),
+        Streams.Event(6L, ts(4), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cep_pattern").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows.contains(Streams.PatternOut(7L, 0L, 2)),
+        s"batch 1 must leave user 7 mid-pattern: $rows")
+      assert(rows.contains(Streams.PatternOut(7L, 1L, 0)),
+        s"batch 2 must complete the cross-boundary match exactly once: " +
+          s"$rows")
+      assert(rows.contains(Streams.PatternOut(9L, 0L, 0)),
+        s"noise-only keys stay at state 0 with zero matches: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup gate: every batch is judged against all prior batches; index grows O(batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
