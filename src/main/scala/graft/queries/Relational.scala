@@ -4327,6 +4327,82 @@ ORDER BY fold ASC NULLS LAST"""),
          FROM v
          ORDER BY o_orderpriority ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ A34
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-equality test
+    // next to a28's Mann-Whitney (location) and d10's chi-square
+    // (categorical): D = sup |F1 − F2| over returned vs non-returned
+    // line price distributions. EXACT integer arithmetic end to end:
+    // prices on the cents lattice, ECDF comparison cross-multiplied —
+    // |cumA·n2 − cumB·n1| in BIGINT — so the supremum and its
+    // location carry no float at all; the test statistic displays as
+    // the (d_num, d_den = n1·n2) rational pair. Tie handling is the
+    // textbook one-point-per-VALUE form: ECDFs step once per distinct
+    // price, both samples evaluated at the same point set. Scale: the
+    // per-value rollup collapses the corpus (one shuffle); the
+    // cumulative window runs over DISTINCT cents — the domain-bounded
+    // frame, orders of magnitude below row count (the t-family
+    // global-window argument); argmax ties resolve to the smallest
+    // price.
+    QueryDef("a34_ks_test", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("v"), col("l_returnflag"))
+        .filter(col("l_returnflag").isin("R", "N"))
+      val perV = li.groupBy(col("v")).agg(
+          count(when(col("l_returnflag") === "R", 1)).as("ca"),
+          count(when(col("l_returnflag") === "N", 1)).as("cb"))
+        // feeds the cumulative window AND the n1/n2 totals — cut, or
+        // the fact rollup runs twice
+        .localCheckpoint(false)
+      val tot = perV.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the diff frame feeds the supremum AND its argmin location —
+      // cut, or the rollup + window run twice
+      val d = perV
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
+        .localCheckpoint(false)
+      val mx = d.groupBy(col("n1"), col("n2"))
+        .agg(max(col("diff")).as("d_num"))
+      d.join(broadcast(mx), Seq("n1", "n2"))
+        .filter(col("diff") === col("d_num"))
+        .groupBy(col("n1"), col("n2"), col("d_num"))
+        .agg(min(col("v")).as("at_cents"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("n1") * col("n2")).as("d_den"), col("at_cents"))
+    }, Some(
+      """WITH li AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  l_returnflag AS rf
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         pv AS MATERIALIZED (
+           SELECT v,
+                  CAST(count(*) FILTER (WHERE rf = 'R') AS BIGINT) AS ca,
+                  CAST(count(*) FILTER (WHERE rf = 'N') AS BIGINT) AS cb
+           FROM li GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+                        CAST(sum(cb) AS BIGINT) AS n2 FROM pv),
+         cum AS (
+           SELECT v,
+                  sum(ca) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cuma,
+                  sum(cb) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cumb
+           FROM pv),
+         d AS (
+           SELECT v, abs(cuma * tot.n2 - cumb * tot.n1) AS diff,
+                  tot.n1 AS n1, tot.n2 AS n2
+           FROM cum, tot)
+         SELECT n1, n2, CAST(max(diff) AS BIGINT) AS d_num,
+                CAST(n1 * n2 AS BIGINT) AS d_den,
+                CAST(min(v) FILTER (WHERE diff = (SELECT max(diff) FROM d))
+                  AS BIGINT) AS at_cents
+         FROM d GROUP BY 1, 2""")),
+
     // ------------------------------------------------------------------ A31
     // TRIMMED and WINSORIZED means — the other two classical robust
     // location estimators next to a22's MAD and a30's Theil–Sen: per
