@@ -82,17 +82,31 @@ object SeqPattern {
     val n = elems.length
     require(elems.last.quant != '?',
       s"the last pattern element must not be optional: '$pattern'")
-    // a greedy '+' followed (through optionals) by the SAME class can
-    // never advance — absorb always wins. Reject at compile instead of
-    // silently never matching.
+    // a trailing '+' needs the same lookahead a trailing '?' does: the
+    // emitting transition resets to state 0, so greedy absorption can
+    // never fire and the element would silently behave as exactly-one
+    // (over-counting matches vs the documented greedy semantics)
+    require(elems.last.quant != '+',
+      s"the last pattern element must not be '+' (greedy trailing " +
+        s"quantifiers need lookahead a single-pass fold cannot do): " +
+        s"'$pattern'")
+    // shadow rules, both rejected at compile instead of silently
+    // mis-matching: (a) a greedy '+' followed (through optionals) by
+    // the SAME class can never advance — absorb always wins; (b) an
+    // optional element whose class reappears before (or at) the next
+    // required element GREEDILY commits the row to the optional slot,
+    // missing matches only lookahead could recover ("A? A" over one A
+    // must match, but the fold takes the A as the optional and ends
+    // mid-pattern).
     elems.zipWithIndex.foreach { case (e, i) =>
-      if (e.quant == '+') {
+      if (e.quant == '+' || e.quant == '?') {
         var j = i + 1
         var blocked = true
         while (j < n && blocked) {
           require(elems(j).cls != e.cls,
-            s"'${e.cls}+' followed by '${elems(j).cls}' through " +
-              s"optionals can never advance: '$pattern'")
+            s"'${e.cls}${e.quant}' shadowed by the later " +
+              s"'${elems(j).cls}' element (greedy commitment would " +
+              s"mis-match): '$pattern'")
           blocked = elems(j).quant == '?'
           j += 1
         }

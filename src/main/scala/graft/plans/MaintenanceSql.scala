@@ -398,30 +398,6 @@ object MaintenanceSql {
     * inspectability EXPLAIN COST gives the stats surface. Compiles the
     * query (the probe is plan-time work by design) but never executes
     * it. */
-  /** `SHOW PRUNING HISTORY [LIMIT n]` — the session's recent pruning
-    * and rewrite decisions (DBP, FRB, BranchFilePruning, MvRewrite,
-    * StatsAggRewrite), newest first, from the bounded ring
-    * [[DynamicBranchPruning.historySnapshot]]. EXPLAIN PRUNING answers
-    * "what would this query do"; this answers "what did my recent
-    * queries actually decide" — the post-hoc audit after a batch ran
-    * without anyone wrapping each statement. Sequence numbers are
-    * session-monotone (not timestamps), so output is deterministic
-    * under test. */
-  final case class ShowPruningHistoryCommand(limit: Option[Int])
-      extends LeafRunnableCommand {
-    override val output: Seq[Attribute] = Seq(
-      AttributeReference("seq", LongType, nullable = false)(),
-      AttributeReference("target", StringType, nullable = false)(),
-      AttributeReference("decision", StringType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] = {
-      val all = DynamicBranchPruning.historySnapshot()
-      val cut = limit.fold(all)(all.take)
-      if (cut.isEmpty) Seq(Row(0L, "(none)",
-        "no pruning or rewrite decisions recorded in this session yet"))
-      else cut.map { case (seq, j, d) => Row(seq, j, d) }
-    }
-  }
-
   final case class ExplainPruningCommand(sql: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -447,6 +423,33 @@ object MaintenanceSql {
         Seq(Row("(none)", "no join was a pruning candidate (no " +
           "literal-branch union fact side found)"))
       else ds.map { case (j, d) => Row(j, d) }
+    }
+  }
+
+  /** `SHOW PRUNING HISTORY [LIMIT n]` — the session's recent pruning
+    * and rewrite decisions (DBP, FRB, BranchFilePruning, MvRewrite,
+    * StatsAggRewrite), newest first, from the bounded ring
+    * [[DynamicBranchPruning.historySnapshot]]. EXPLAIN PRUNING answers
+    * "what would this query do"; this answers "what did my recent
+    * queries actually decide" — the post-hoc audit after a batch ran
+    * without anyone wrapping each statement. Sequence numbers are
+    * session-monotone (not timestamps), so output is deterministic
+    * under test. */
+  final case class ShowPruningHistoryCommand(limit: Option[Int])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("seq", LongType, nullable = false)(),
+      AttributeReference("target", StringType, nullable = false)(),
+      AttributeReference("decision", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val all = DynamicBranchPruning.historySnapshot()
+      // the placeholder states a fact about the SESSION, so it only
+      // renders when the session truly has no history — LIMIT 0 over
+      // a populated ring returns zero rows, not a false claim
+      if (all.isEmpty) Seq(Row(0L, "(none)",
+        "no pruning or rewrite decisions recorded in this session yet"))
+      else limit.fold(all)(all.take)
+        .map { case (seq, j, d) => Row(seq, j, d) }
     }
   }
 

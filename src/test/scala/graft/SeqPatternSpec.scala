@@ -47,6 +47,14 @@ class SeqPatternSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException](SeqPattern.compile("A B?"))
     intercept[IllegalArgumentException](SeqPattern.compile("A+ A"))
     intercept[IllegalArgumentException](SeqPattern.compile("A+ B? A"))
+    // trailing '+' would silently lose greediness (emit resets state,
+    // so absorb can never fire) — rejected like the trailing '?'
+    intercept[IllegalArgumentException](SeqPattern.compile("A+"))
+    intercept[IllegalArgumentException](SeqPattern.compile("A B+"))
+    // an optional shadowed by a later same-class element greedily
+    // commits the row to the wrong slot ("A? A" over one A must match)
+    intercept[IllegalArgumentException](SeqPattern.compile("A? A"))
+    intercept[IllegalArgumentException](SeqPattern.compile("A B? B"))
     intercept[IllegalArgumentException](SeqPattern.compile("a b"))
     intercept[IllegalArgumentException](SeqPattern.compile("A*"))
     intercept[IllegalArgumentException](SeqPattern.compile(""))
