@@ -56,6 +56,84 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("SeqPattern: the compiled table equals a direct rule interpreter on random patterns and inputs") {
+    // The one-table parity design (Spark fold, oracle CTE, and
+    // streaming step all render from Compiled.rows) means a bug in
+    // table CONSTRUCTION is invisible to the oracle gate — both
+    // engines would execute the same wrong table. The guard is an
+    // INDEPENDENT interpreter of the documented scan rules (absorb /
+    // advance-through-optionals / restart-at-row), structured as a
+    // direct per-event walk over the Elems with no precomputed table.
+    import graft.operators.SeqPattern
+    import graft.operators.SeqPattern.Elem
+    def interpret(elems: Seq[Elem], input: Seq[Char]): (Long, Int) = {
+      val n = elems.length
+      // rule 2: first j > s with class match, optionals skippable
+      def adv(s: Int, c: Char): Option[Int] = {
+        var j = s + 1
+        while (j <= n) {
+          if (elems(j - 1).cls == c) return Some(j)
+          if (elems(j - 1).quant != '?') return None
+          j += 1
+        }
+        None
+      }
+      var st = 0; var done = 0L
+      input.foreach { c =>
+        val absorb = st >= 1 && elems(st - 1).quant == '+' &&
+          elems(st - 1).cls == c
+        if (absorb) () // rule 1
+        else adv(st, c) match {
+          case Some(j) if j == n => done += 1; st = 0 // rule 2, emit
+          case Some(j) => st = j // rule 2
+          case None => adv(0, c) match { // rule 3
+            case Some(j) if j == n => done += 1; st = 0
+            case Some(j) => st = j
+            case None => st = 0
+          }
+        }
+      }
+      (done, st)
+    }
+    def fold(pat: SeqPattern.Compiled, input: Seq[Char]): (Long, Int) = {
+      var st = 0; var done = 0L
+      input.foreach { c =>
+        val (next, emits) = pat.step(st, c)
+        if (emits) done += 1
+        st = next
+      }
+      (done, st)
+    }
+    // random LEGAL patterns over {A, B, C}: draw until compile accepts
+    val rnd = new scala.util.Random(99)
+    def randomPattern(): SeqPattern.Compiled = {
+      while (true) {
+        val n = 1 + rnd.nextInt(4)
+        val p = (0 until n).map { _ =>
+          val cls = ('A' + rnd.nextInt(3)).toChar
+          val q = rnd.nextInt(3) match {
+            case 0 => ""; case 1 => "+"; case 2 => "?"
+          }
+          s"$cls$q"
+        }.mkString(" ")
+        try return SeqPattern.compile(p)
+        catch { case _: IllegalArgumentException => () }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    (1 to 60).foreach { _ =>
+      val pat = randomPattern()
+      val input = Seq.fill(1 + rnd.nextInt(30))(
+        ('A' + rnd.nextInt(4)).toChar) // includes 'D', a foreign class
+      val viaTable = fold(pat, input)
+      val viaRules = interpret(pat.elems, input)
+      assert(viaTable === viaRules,
+        s"pattern '${pat.elems.map(e => s"${e.cls}${e.quant}")
+          .mkString(" ")}' diverges on ${input.mkString}: " +
+          s"table=$viaTable rules=$viaRules")
+    }
+  }
+
   test("filter commutes with projection") {
     for (rows <- samples(5)) {
       import spark.implicits._
