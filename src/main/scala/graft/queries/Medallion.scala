@@ -510,6 +510,81 @@ object Medallion {
         code = "select cast(ts_sec as date) as day, event_type, count(*) as n, " +
           "round2(sum(value)) as sum_value from ref(silver_events) group by 1, 2"))
 
+    /** One dbt 1.8 `unit_tests:` case: run `model`'s LOGIC with every
+      * `ref()` answered from a mock fixture instead of a materialized
+      * table, and compare the result to `expect` — storage never
+      * touched, upstream models never run, so the test isolates the
+      * transform exactly like dbt's (and survives upstream data
+      * drift). Comparison follows dbt's convention: you assert the
+      * columns `expect` LISTS (the output is projected onto them;
+      * asserting a column the model does not produce fails loudly),
+      * multiset row equality, order-insensitive; fixture values are
+      * cast to the model output's types (fixtures are written loosely,
+      * the model's types are authoritative). */
+    final case class UnitTest(name: String, model: String,
+        givenRefs: Map[String, DataFrame], expect: DataFrame)
+
+    final case class UnitTestResult(name: String, model: String,
+        passed: Boolean, detail: String)
+
+    /** Run unit tests against model logic. Versioned models test their
+      * canonical `build` (version-pinned `buildV` variants resolve refs
+      * by name through the same mock map). Never writes. */
+    def runUnitTests(s: SparkSession, models: Seq[Model],
+        tests: Seq[UnitTest]): Seq[UnitTestResult] = tests.map { t =>
+      def fail(d: String) = UnitTestResult(t.name, t.model, passed = false, d)
+      try {
+        val m = resolveRef(models, t.model)
+        val missing = m.deps.filterNot(t.givenRefs.contains)
+        if (missing.nonEmpty)
+          fail(s"missing mock fixture(s) for " +
+            s"ref(${missing.mkString(", ")})")
+        else {
+          val ref: String => DataFrame = d => t.givenRefs.getOrElse(d,
+            throw new IllegalArgumentException(
+              s"model referenced undeclared dep '$d'"))
+          val got0 = m.build(s, ref)
+          val cols = t.expect.columns.toSeq
+          val absent = cols.filterNot(got0.columns.contains)
+          if (absent.nonEmpty)
+            fail(s"expect lists column(s) the model does not produce: " +
+              absent.mkString(", "))
+          else {
+            val gotTypes = got0.schema.fields.map(f =>
+              f.name -> f.dataType).toMap
+            // driver-side multiset compare: unit-test outputs are
+            // fixture-sized BY CONTRACT (mock inputs in, a handful of
+            // rows out), and collecting buys row-level diffs in the
+            // report instead of opaque counts
+            val got = got0.select(cols.map(col): _*)
+              .collect().toSeq.map(_.toSeq)
+            val exp = t.expect.select(cols.map(c =>
+                col(c).cast(gotTypes(c)).as(c)): _*)
+              .collect().toSeq.map(_.toSeq)
+            def counts(rs: Seq[Seq[Any]]) =
+              rs.groupBy(identity).view.mapValues(_.size).toMap
+            val gc = counts(got); val ec = counts(exp)
+            val unexpected = got.filter(r =>
+              gc(r) > ec.getOrElse(r, 0)).distinct
+            val absent2 = exp.filter(r =>
+              ec(r) > gc.getOrElse(r, 0)).distinct
+            if (unexpected.isEmpty && absent2.isEmpty)
+              UnitTestResult(t.name, t.model, passed = true, "ok")
+            else fail(
+              s"on (${cols.mkString(", ")}): " +
+              s"${unexpected.size} unexpected row value(s) " +
+              s"${unexpected.take(3).map(_.mkString("[", ", ", "]"))
+                .mkString(" ")}; " +
+              s"${absent2.size} missing row value(s) " +
+              s"${absent2.take(3).map(_.mkString("[", ", ", "]"))
+                .mkString(" ")}")
+          }
+        }
+      } catch {
+        case e: Exception => fail(s"model logic raised: ${e.getMessage}")
+      }
+    }
+
     /** The `dbt run` analogue (SURVEY §3 EP1): materialize the DAG as
       * DeltaLite tables under `targetDir`, executing INDEPENDENT models
       * concurrently on `threads` workers (dbt `--threads`; Spark's

@@ -2006,6 +2006,65 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
       s"$target/dq_failures/not_null_events_value").count() === 0L)
   }
 
+  test("dbt unit tests: model logic runs against mock refs, never storage; diffs and misconfigurations report, not throw") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-01 11:30:45")
+    // mock bronze: a duplicate event_id, a null event_type, a null
+    // value — silver must dedup and drop both null rows
+    val mockBronze = Seq(
+      (1L, ts0, 7L, Option("click"), Option(1.5), "{}"),
+      (1L, ts0, 7L, Option("click"), Option(1.5), "{}"), // dup event_id
+      (2L, ts1, 7L, Option.empty[String], Option(2.0), "{}"),
+      (3L, ts1, 9L, Option("view"), Option.empty[Double], "{}"),
+      (4L, ts1, 9L, Option("view"), Option(4.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val expectSilver = Seq((1L, "click", 1.5), (4L, "view", 4.0))
+      .toDF("event_id", "event_type", "value")
+    // a SECOND model deeper in the DAG tests in isolation too: gold
+    // aggregates a mock SILVER (upstream logic never runs)
+    val mockSilver = Seq(
+      (10L, ts0, 7L, "click", 1.0, "{}", ts0),
+      (11L, ts0, 7L, "click", 2.5, "{}", ts0),
+      (12L, ts1, 9L, "view", 3.0, "{}", ts1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props",
+        "ts_sec")
+    val expectGold = Seq(("2024-03-01", "click", 2L, 3.5),
+      ("2024-03-01", "view", 1L, 3.0))
+      .toDF("day", "event_type", "n", "sum_value")
+    val models = Pipeline.dag(sf)
+    val results = Pipeline.runUnitTests(spark, models, Seq(
+      Pipeline.UnitTest("silver_dedups_and_filters", "silver_events",
+        Map("bronze_events" -> mockBronze), expectSilver),
+      Pipeline.UnitTest("gold_daily_rollup", "gold_daily_events",
+        Map("silver_events" -> mockSilver), expectGold),
+      // a WRONG expectation reports the diff instead of throwing
+      Pipeline.UnitTest("wrong_expectation", "silver_events",
+        Map("bronze_events" -> mockBronze),
+        Seq((1L, "click"), (2L, "oops")).toDF("event_id", "event_type")),
+      // a missing fixture reports which ref lacks a mock
+      Pipeline.UnitTest("missing_fixture", "silver_events",
+        Map.empty, expectSilver),
+      // asserting a column the model never produces fails loudly
+      Pipeline.UnitTest("phantom_column", "silver_events",
+        Map("bronze_events" -> mockBronze),
+        Seq((1L, "x")).toDF("event_id", "no_such_col"))))
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("silver_dedups_and_filters").passed,
+      byName("silver_dedups_and_filters").detail)
+    assert(byName("gold_daily_rollup").passed,
+      byName("gold_daily_rollup").detail)
+    val wrong = byName("wrong_expectation")
+    assert(!wrong.passed && wrong.detail.contains("unexpected row value"),
+      wrong.detail)
+    val miss = byName("missing_fixture")
+    assert(!miss.passed && miss.detail.contains("bronze_events"),
+      miss.detail)
+    val phantom = byName("phantom_column")
+    assert(!phantom.passed && phantom.detail.contains("no_such_col"),
+      phantom.detail)
+  }
+
   test("dbt test severity config: error_if/warn_if thresholds classify outcomes in dbt's order") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft_severity").toString
