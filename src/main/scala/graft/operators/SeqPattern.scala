@@ -47,7 +47,8 @@ object SeqPattern {
     * pattern names appear; any other class is the implicit
     * restart-to-0 default. */
   final case class Compiled(elems: Seq[Elem],
-      rows: Seq[((Int, Char), (Int, Boolean))]) {
+      rows: Seq[((Int, Char), (Int, Boolean))],
+      restarts: Set[(Int, Char)] = Set.empty) {
     def classes: Seq[Char] = elems.map(_.cls).distinct
 
     private lazy val lookup = rows.toMap
@@ -57,6 +58,14 @@ object SeqPattern {
       * identical table by construction. */
     def step(st: Int, cls: Char): (Int, Boolean) =
       lookup.getOrElse((st, cls), (0, false))
+
+    /** True when (st, cls) resolves through rule 3 — the row could
+      * not continue the open partial and instead BEGINS a new one
+      * (or falls to state 0). The streaming WITHIN clock needs this:
+      * a rule-3 transition to state 1 and an absorb at state 1 are
+      * indistinguishable from (state, next) alone, but only the
+      * former re-bases the partial's start time at the current row. */
+    def isRestart(st: Int, cls: Char): Boolean = restarts((st, cls))
 
     /** The next-state CASE over `st`/`cls` variable spellings; both
       * engines get the same tree, one textual form each. */
@@ -123,25 +132,30 @@ object SeqPattern {
       }
       None
     }
-    val rows = for {
+    val built = for {
       s <- 0 until n
       c <- classes
-      out <- {
-        val absorb =
-          if (s >= 1 && elems(s - 1).quant == '+' && elems(s - 1).cls == c)
-            Some((s, false)) else None
-        val adv = absorb.orElse(advance(s, c))
-        val restart = adv.orElse(advance(0, c)).orElse(Some((0, false)))
-        // normalize: an emitting transition's NEXT state is always 0
-        // (AFTER MATCH SKIP PAST LAST ROW) — the table is the public
-        // contract, so it states that directly
-        restart.map { case (j, em) => (if (em) 0 else j, em) }
-      }
-      // drop rows that equal the implicit default (state 0, no emit) —
+    } yield {
+      val absorb =
+        if (s >= 1 && elems(s - 1).quant == '+' && elems(s - 1).cls == c)
+          Some((s, false)) else None
+      val adv = absorb.orElse(advance(s, c))
+      // rule 3 applies only when the row cannot continue the open
+      // partial — recorded so the streaming WITHIN clock can re-base
+      // the partial's start at this row
+      val viaRestart = s > 0 && adv.isEmpty
+      val out0 = adv.orElse(advance(0, c)).getOrElse((0, false))
+      // normalize: an emitting transition's NEXT state is always 0
+      // (AFTER MATCH SKIP PAST LAST ROW) — the table is the public
+      // contract, so it states that directly
+      val out = (if (out0._2) 0 else out0._1, out0._2)
+      ((s, c), out, viaRestart)
+    }
+    Compiled(elems,
+      // drop rows equal to the implicit default (state 0, no emit) —
       // the CASE stays small and the default arm covers them
-      if out != ((0, false))
-    } yield ((s, c), out)
-    Compiled(elems, rows)
+      built.collect { case (k, out, _) if out != ((0, false)) => (k, out) },
+      built.collect { case (k, _, r) if r => k }.toSet)
   }
 
   private def parse(pattern: String): Seq[Elem] = {

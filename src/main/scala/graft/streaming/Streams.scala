@@ -458,7 +458,8 @@ object Streams {
       }
   }
 
-  final case class PatternState(st: Int, done: Long)
+  final case class PatternState(st: Int, done: Long,
+      partialStartMs: Long = 0L)
   final case class PatternOut(user_id: Long, n_matches: Long, state: Int)
 
   /** STREAMING row-pattern matching — [[graft.operators.SeqPattern]]'s
@@ -478,23 +479,78 @@ object Streams {
     * user, hash-partitioned — O(keys) total, never O(events). */
   def matchPattern(events: Dataset[Event], pattern: String,
       classOf: String => Char)(
+      implicit spark: SparkSession): Dataset[PatternOut] =
+    matchPatternWithin(events, pattern, classOf, withinMs = None,
+      idleEvictMs = None)
+
+  /** [[matchPattern]] with the two bounds an ALWAYS-ON deployment
+    * needs (without them, stale partial matches linger forever and
+    * per-key state grows with the key universe):
+    *
+    *  - `withinMs` — the CEP `WITHIN` clause: a partial match older
+    *    than this (event time from its FIRST committed row to the
+    *    current row) expires BEFORE the current row is offered, and
+    *    the row may then start a fresh match (the restart rule). A
+    *    "V then C+ then P" funnel with within=30min no longer
+    *    credits a purchase to a view from last month.
+    *
+    *  - `idleEvictMs` — event-time state eviction: a key whose last
+    *    event is more than this behind the stream's watermark has its
+    *    state REMOVED (a final tombstone row with state = -1 emits so
+    *    downstream sees the counter's last value). Requires a
+    *    watermark on `ts`. This is what bounds total state to the
+    *    ACTIVE key set instead of every key ever seen — the 100 TB
+    *    always-on contract.
+    *
+    * Both bounds are event-time; processing time never decides
+    * semantics (replays and backfills behave identically). */
+  def matchPatternWithin(events: Dataset[Event], pattern: String,
+      classOf: String => Char, withinMs: Option[Long],
+      idleEvictMs: Option[Long])(
       implicit spark: SparkSession): Dataset[PatternOut] = {
     import spark.implicits._
     val pat = graft.operators.SeqPattern.compile(pattern)
+    val timeoutKind =
+      if (idleEvictMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[PatternState, PatternOut](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[PatternState, PatternOut](timeoutKind) {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[PatternState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(PatternState(0, 0L))
-          sorted.foreach { e =>
-            val (n, emits) = pat.step(s.st, classOf(e.event_type))
-            s = PatternState(n, if (emits) s.done + 1 else s.done)
+          if (state.hasTimedOut) {
+            // idle key: free the state, emit the final tombstone
+            val last = state.getOption.getOrElse(PatternState(0, 0L))
+            state.remove()
+            PatternOut(userId, last.done, -1)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(PatternState(0, 0L))
+            var lastMs = 0L
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              lastMs = math.max(lastMs, ms)
+              // WITHIN: expire a stale partial before offering the row
+              if (s.st > 0 && withinMs.exists(w =>
+                  ms - s.partialStartMs > w))
+                s = PatternState(0, s.done)
+              val cls = classOf(e.event_type)
+              val (n, emits) = pat.step(s.st, cls)
+              val start =
+                if (n == 0) 0L // completed or reset — no open partial
+                else if (s.st == 0 || pat.isRestart(s.st, cls))
+                  ms // partial opened (or re-based) at this row
+                else s.partialStartMs // partial continues
+              s = PatternState(n, if (emits) s.done + 1 else s.done, start)
+            }
+            state.update(s)
+            // the timeout must sit ABOVE the current watermark (Spark
+            // rejects it otherwise) — a batch of late data could
+            // compute one below it
+            idleEvictMs.foreach(idle => state.setTimeoutTimestamp(
+              math.max(lastMs + idle, state.getCurrentWatermarkMs() + 1)))
+            PatternOut(userId, s.done, s.st)
           }
-          state.update(s)
-          PatternOut(userId, s.done, s.st)
       }
   }
 }

@@ -930,6 +930,102 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming pattern WITHIN: a stale partial expires before the row is offered; a fresh one still matches") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def cls(t: String): Char = t match {
+      case "view" => 'V'; case "click" => 'C'; case "purchase" => 'P'
+      case _ => 'X'
+    }
+    val q = Streams.matchPatternWithin(input.toDS(), "V C+ P", cls,
+        withinMs = Some(30L * 60 * 1000), idleEvictMs = None)
+      .writeStream.format("memory").queryName("cep_within")
+      .outputMode("update").start()
+    try {
+      // user 7: V C at t0..t1, P at t+60min — the partial (started at
+      // the V) is older than 30min when the P arrives, so it expires
+      // and no match fires. user 8: the same shape inside the window.
+      input.addData(
+        Streams.Event(1L, ts(0), 7L, "view", 1.0),
+        Streams.Event(2L, ts(1), 7L, "click", 1.0),
+        Streams.Event(3L, ts(0), 8L, "view", 1.0),
+        Streams.Event(4L, ts(1), 8L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Streams.Event(5L, ts(60), 7L, "purchase", 1.0),
+        Streams.Event(6L, ts(10), 8L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cep_within").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows.contains(Streams.PatternOut(7L, 0L, 0)),
+        s"the 60-minute-late purchase must find the partial expired: " +
+          s"$rows")
+      assert(rows.contains(Streams.PatternOut(8L, 1L, 0)),
+        s"the in-window purchase must complete its match: $rows")
+      // the WITHIN clock re-bases on a rule-3 restart: V C (stale) then
+      // V C P all inside one late batch — the second V starts a FRESH
+      // partial whose window is measured from the second V, not the
+      // first
+      input.addData(
+        Streams.Event(7L, ts(120), 7L, "view", 1.0),
+        Streams.Event(8L, ts(121), 7L, "click", 1.0),
+        Streams.Event(9L, ts(170), 7L, "view", 1.0),
+        Streams.Event(10L, ts(171), 7L, "click", 1.0),
+        Streams.Event(11L, ts(175), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("cep_within").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows2.contains(Streams.PatternOut(7L, 1L, 0)),
+        s"the re-based partial completes within ITS OWN window: $rows2")
+    } finally q.stop()
+  }
+
+  test("streaming pattern idle eviction: a key behind the watermark is tombstoned and its state removed") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def cls(t: String): Char = t match {
+      case "view" => 'V'; case "click" => 'C'; case "purchase" => 'P'
+      case _ => 'X'
+    }
+    val q = Streams.matchPatternWithin(
+        input.toDS().withWatermark("ts", "1 minute").as[Streams.Event],
+        "V C+ P", cls, withinMs = None,
+        idleEvictMs = Some(10L * 60 * 1000))
+      .writeStream.format("memory").queryName("cep_evict")
+      .outputMode("update").start()
+    try {
+      // key 7 opens a partial, then only key 9 keeps the stream moving;
+      // once the watermark passes 7's last event + 10min, 7's state is
+      // evicted with a final tombstone (state = -1)
+      input.addData(Streams.Event(1L, ts(0), 7L, "view", 1.0),
+        Streams.Event(2L, ts(1), 7L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(3L, ts(30), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(4L, ts(40), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cep_evict").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows.contains(Streams.PatternOut(7L, 0L, -1)),
+        s"key 7 must be tombstoned once the watermark passes its " +
+          s"idle bound: $rows")
+      // the evicted key starts OVER (state was removed, not parked):
+      // a full V C P after eviction matches from scratch
+      input.addData(Streams.Event(5L, ts(50), 7L, "view", 1.0),
+        Streams.Event(6L, ts(51), 7L, "click", 1.0),
+        Streams.Event(7L, ts(52), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("cep_evict").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows2.contains(Streams.PatternOut(7L, 1L, 0)),
+        s"post-eviction events rebuild state from zero and match: $rows2")
+    } finally q.stop()
+  }
+
   test("streaming dedup gate: every batch is judged against all prior batches; index grows O(batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
