@@ -59,6 +59,16 @@ object SeqPattern {
     def step(st: Int, cls: Char): (Int, Boolean) =
       lookup.getOrElse((st, cls), (0, false))
 
+    /** Rule-3 membership rendered as a 0/1 CASE over `st`/`cls`
+      * variable spellings — the SQL twin of [[isRestart]], for folds
+      * that must re-base a WITHIN clock engine-portably. */
+    def restartCase(st: String, cls: String): String = {
+      val whens = restarts.toSeq.sorted.map { case (s0, c) =>
+        s"WHEN $st = $s0 AND $cls = '$c' THEN 1" }
+      if (whens.isEmpty) "0"
+      else s"CASE ${whens.mkString(" ")} ELSE 0 END"
+    }
+
     /** True when (st, cls) resolves through rule 3 — the row could
       * not continue the open partial and instead BEGINS a new one
       * (or falls to state 0). The streaming WITHIN clock needs this:

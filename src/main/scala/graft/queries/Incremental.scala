@@ -1550,6 +1550,96 @@ object Incremental {
          ORDER BY s.user_id ASC NULLS LAST"""
     }),
 
+    // ------------------------------------------------------------------ T31
+    // t30 WITH THE CEP `WITHIN` CLAUSE, oracle-gated — a partial match
+    // whose first committed row is more than 24 hours (event time)
+    // behind the current row EXPIRES before the row is offered, and a
+    // rule-3 restart RE-BASES the window at the restarting row (the
+    // compiler's restart-transition marking rendered as a 0/1 CASE —
+    // (state, next) alone cannot tell a restart from an absorb). All
+    // trees generated from ONE compiled table into both engines; the
+    // fold state grows a `ps` slot (partial-start epoch seconds,
+    // BIGINT) and every decision stays integer — the streaming twin
+    // (Streams.matchPatternWithin) executes the same table through
+    // Compiled.step/isRestart.
+    QueryDef("t31_match_within", (s, dir) => {
+      val pat = graft.operators.SeqPattern.compile("V C+ P")
+      // 24 h: measured on the fixtures as the informative window —
+      // expiry changes ~2/3 of the no-within outcomes (108 vs 321
+      // matches at sf0.01) while plenty survive; 30 min expires ALL
+      // (events per user are too sparse) and a week expires none
+      val W = 86400L
+      // st0 = the state AFTER the within-expiry check, spelled once
+      // and repeated textually (HOF lambdas bind no lets; the oracle
+      // repeats the same tree)
+      val st0 =
+        s"(CASE WHEN acc.st > 0 AND e.ts_e - acc.ps > $W THEN 0 " +
+          "ELSE acc.st END)"
+      val e = ev(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          expr("CAST(unix_timestamp(ts_sec) AS BIGINT)").as("ts_e"),
+          col("event_id"),
+          expr("""CASE event_type WHEN 'view' THEN 'V'
+                  WHEN 'click' THEN 'C' ELSE 'P' END""").as("cls"))
+      e.groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts_e"), col("event_id"),
+          col("cls"))).as("s"))
+        .select(col("user_id"), expr(
+          s"""aggregate(array_sort(s),
+               named_struct('st', 0, 'done', CAST(0 AS BIGINT),
+                            'ps', CAST(0 AS BIGINT)),
+               (acc, e) -> named_struct(
+                 'st', ${pat.nextStateCase(st0, "e.cls")},
+                 'done', acc.done +
+                   CAST(${pat.emitCase(st0, "e.cls")} AS BIGINT),
+                 'ps', CASE
+                   WHEN ${pat.nextStateCase(st0, "e.cls")} = 0
+                     THEN CAST(0 AS BIGINT)
+                   WHEN $st0 = 0 OR ${pat.restartCase(st0, "e.cls")} = 1
+                     THEN e.ts_e
+                   ELSE acc.ps END))""").as("fin"))
+        .select(col("user_id"), col("fin.done").as("n_matches"),
+          col("fin.st").cast("int").as("end_state"))
+        .orderBy(col("user_id").asc_nulls_last)
+    }, Some {
+      val pat = graft.operators.SeqPattern.compile("V C+ P")
+      val W = 86400L
+      val st0 =
+        s"(CASE WHEN s.st > 0 AND e.ts_e - s.ps > $W THEN 0 " +
+          "ELSE s.st END)"
+      s"""WITH RECURSIVE e0 AS ($oracleEpochEv),
+         ev AS MATERIALIZED (
+           SELECT user_id, ts_e,
+                  CASE event_type WHEN 'view' THEN 'V'
+                  WHEN 'click' THEN 'C' ELSE 'P' END AS cls,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_e ASC, event_id ASC) AS BIGINT) AS rn
+           FROM e0
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         step AS (
+           SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS st,
+                  CAST(0 AS BIGINT) AS done, CAST(0 AS BIGINT) AS ps
+           FROM (SELECT DISTINCT user_id FROM ev)
+           UNION ALL
+           SELECT e.user_id, e.rn,
+                  ${pat.nextStateCase(st0, "e.cls")},
+                  s.done + ${pat.emitCase(st0, "e.cls")},
+                  CASE
+                    WHEN ${pat.nextStateCase(st0, "e.cls")} = 0
+                      THEN CAST(0 AS BIGINT)
+                    WHEN $st0 = 0 OR ${pat.restartCase(st0, "e.cls")} = 1
+                      THEN e.ts_e
+                    ELSE s.ps END
+           FROM step s JOIN ev e
+             ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+         mx AS (SELECT user_id, max(rn) AS mrn FROM ev GROUP BY 1)
+         SELECT s.user_id, s.done AS n_matches,
+                CAST(s.st AS INTEGER) AS end_state
+         FROM step s JOIN mx ON s.user_id = mx.user_id AND s.rn = mx.mrn
+         ORDER BY s.user_id ASC NULLS LAST"""
+    }),
+
     // ------------------------------------------------------------------ T24
     // SLO ERROR-BUDGET BURN RATE — the SRE alerting staple over the
     // event stream: per hour, error share vs a 1% SLO in exact ppm,
