@@ -459,7 +459,7 @@ object Streams {
   }
 
   final case class PatternState(st: Int, done: Long,
-      partialStartMs: Long = 0L)
+      partialStartMs: Long = 0L, lastSeenMs: Long = 0L)
   final case class PatternOut(user_id: Long, n_matches: Long, state: Int)
 
   /** STREAMING row-pattern matching — [[graft.operators.SeqPattern]]'s
@@ -526,10 +526,8 @@ object Streams {
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var s = state.getOption.getOrElse(PatternState(0, 0L))
-            var lastMs = 0L
             sorted.foreach { e =>
               val ms = e.ts.getTime
-              lastMs = math.max(lastMs, ms)
               // WITHIN: expire a stale partial before offering the row
               if (s.st > 0 && withinMs.exists(w =>
                   ms - s.partialStartMs > w))
@@ -541,14 +539,19 @@ object Streams {
                 else if (s.st == 0 || pat.isRestart(s.st, cls))
                   ms // partial opened (or re-based) at this row
                 else s.partialStartMs // partial continues
-              s = PatternState(n, if (emits) s.done + 1 else s.done, start)
+              s = PatternState(n, if (emits) s.done + 1 else s.done,
+                start, math.max(s.lastSeenMs, ms))
             }
             state.update(s)
-            // the timeout must sit ABOVE the current watermark (Spark
-            // rejects it otherwise) — a batch of late data could
-            // compute one below it
+            // the idle deadline derives from the key's last event EVER
+            // SEEN (persisted in state) — re-basing from the current
+            // batch alone would let one LATE batch shrink the deadline
+            // and tombstone a recently active key (review finding).
+            // The watermark clamp only guards Spark's requirement that
+            // the timeout sit above the current watermark.
             idleEvictMs.foreach(idle => state.setTimeoutTimestamp(
-              math.max(lastMs + idle, state.getCurrentWatermarkMs() + 1)))
+              math.max(s.lastSeenMs + idle,
+                state.getCurrentWatermarkMs() + 1)))
             PatternOut(userId, s.done, s.st)
           }
       }

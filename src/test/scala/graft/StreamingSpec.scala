@@ -964,21 +964,26 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
           s"$rows")
       assert(rows.contains(Streams.PatternOut(8L, 1L, 0)),
         s"the in-window purchase must complete its match: $rows")
-      // the WITHIN clock re-bases on a rule-3 restart: V C (stale) then
-      // V C P all inside one late batch — the second V starts a FRESH
-      // partial whose window is measured from the second V, not the
-      // first
+      // the WITHIN clock re-bases on a RULE-3 RESTART specifically —
+      // the expiry branch must NOT fire first, or isRestart is never
+      // consulted and a broken restarts table would pass (review
+      // finding): V@120 C@121, then V@140 arrives 20 min into the
+      // 30-min window (no expiry; step at state 2 reading V is the
+      // rule-3 restart), C@141, P@165 — 25 min after the SECOND V
+      // (match iff the window re-based there) but 45 min after the
+      // first (expiry would kill it had start stayed put)
       input.addData(
         Streams.Event(7L, ts(120), 7L, "view", 1.0),
         Streams.Event(8L, ts(121), 7L, "click", 1.0),
-        Streams.Event(9L, ts(170), 7L, "view", 1.0),
-        Streams.Event(10L, ts(171), 7L, "click", 1.0),
-        Streams.Event(11L, ts(175), 7L, "purchase", 1.0))
+        Streams.Event(9L, ts(140), 7L, "view", 1.0),
+        Streams.Event(10L, ts(141), 7L, "click", 1.0),
+        Streams.Event(11L, ts(165), 7L, "purchase", 1.0))
       q.processAllAvailable()
       val rows2 = spark.table("cep_within").as[Streams.PatternOut]
         .collect().toSet
       assert(rows2.contains(Streams.PatternOut(7L, 1L, 0)),
-        s"the re-based partial completes within ITS OWN window: $rows2")
+        s"the rule-3-re-based partial completes within ITS OWN " +
+          s"window: $rows2")
     } finally q.stop()
   }
 
