@@ -158,20 +158,24 @@ object Llm {
     * ~constant, candidates grow ~linearly (ScaleCurveSpec measures
     * the slope). The count is one driver-side aggregate; training
     * stays sample-bounded regardless of k. */
-  /** Embeddings row count per fixture dir, memoized: three declared
-    * queries (l3_mp_ivf / l3_hubness_ivf / l3_rbo_ivf) size their cell
-    * count from it and would otherwise each pay the same count job per
-    * suite run (and per plan-only inspection). Fixture dirs are
-    * immutable, so the cache can never serve a stale count. */
-  private val embCount =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Per-fixture-dir memo for the MP twin's coarse quantizer: three
+    * declared queries (l3_mp_ivf / l3_hubness_ivf / l3_rbo_ivf) share
+    * the identical embeddings frame, so the count job (sizes k) and
+    * the seeded k-means sample+train run ONCE per dir instead of once
+    * per query (and per plan-only inspection). Fixture dirs are
+    * immutable and the training is seeded, so the cache can never
+    * serve stale or divergent centers. */
+  private val mpCenters = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Float]]]()
 
   private def mpScoredIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"),
       col("embedding"), col("norm"))
-    val n = embCount.computeIfAbsent(dir, _ => e.count()).longValue()
-    val k = math.max(16L, math.min(256L, n / 125L)).toInt
-    mpScoreFrameIvf(e, Dedup.ivfTrain(e, "embedding", k = k), probes = 4)
+    val centers = mpCenters.computeIfAbsent(dir, { _ =>
+      val k = math.max(16L, math.min(256L, e.count() / 125L)).toInt
+      Dedup.ivfTrain(e, "embedding", k = k)
+    })
+    mpScoreFrameIvf(e, centers, probes = 4)
   }
 
   val defs: Seq[QueryDef] = Seq(
