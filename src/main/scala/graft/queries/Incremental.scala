@@ -1961,6 +1961,77 @@ object Incremental {
     // (t16 discipline) and every window/median runs over ~24 rows. The
     // classic ops pairing: d4 alarms on raw volume, t17 on regime
     // shifts, THIS on local spikes against the seasonal-free trend.
+    QueryDef("t32_cusum_drift", (s, dir) => {
+      // ---------------------------------------------------------- T32
+      // CUSUM DRIFT DETECTION (Page 1954) — the classic sequential
+      // change-point monitor beside t20's STL outliers and a33's
+      // Mann-Kendall trend: S_t = max(0, S_{t-1} + (y_t − μ − slack)),
+      // alarm when S_t clears a threshold. The recursion NEEDS NO
+      // FOLD: with cum_t = Σ deviations, S_t = cum_t − min(0,
+      // running-min cum) — two plain windows, so this stays a
+      // declarative two-window query both engines execute identically.
+      // ALL integer: daily revenue in cents, deviations scaled by the
+      // baseline day count (n0·y_t − sum0 − sum0 div 20 — mean and 5%
+      // slack cross-multiplied, `div` truncates identically), windows
+      // over the bounded calendar frame (the t-family argument).
+      // Baseline = January 1996; monitored = February on.
+      val daily = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("y"))
+        // feeds the baseline aggregate AND the monitored frame
+        .localCheckpoint(false)
+      val base = daily.filter(col("d") < lit("1996-02-01").cast("date"))
+        .agg(count(lit(1)).as("n0"), sum(col("y")).as("sum0"))
+      val wCum = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.filter(col("d") >= lit("1996-02-01").cast("date"))
+        .crossJoin(broadcast(base))
+        .withColumn("dev",
+          col("n0") * col("y") - col("sum0") - expr("sum0 div 20"))
+        .withColumn("cum", sum(col("dev")).over(wCum))
+        .withColumn("s_scaled",
+          col("cum") - least(lit(0L), min(col("cum")).over(wCum)))
+        .withColumn("alarm",
+          (col("s_scaled") > expr("sum0 div 2")).cast("int"))
+        .select(col("d"), col("y"), col("s_scaled"), col("alarm"))
+        .orderBy(col("d").asc_nulls_last)
+    }, Some(
+      """WITH daily AS MATERIALIZED (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+           GROUP BY 1),
+         base AS (
+           SELECT CAST(count(*) AS BIGINT) AS n0,
+                  CAST(sum(y) AS BIGINT) AS sum0
+           FROM daily WHERE d < DATE '1996-02-01'),
+         dev AS (
+           SELECT d, y, n0 * y - sum0 - sum0 // 20 AS dev,
+                  sum0 FROM daily, base
+           WHERE d >= DATE '1996-02-01'),
+         c1 AS (
+           SELECT d, y, sum0,
+                  sum(dev) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dev),
+         c AS (
+           SELECT d, y, sum0, cum,
+                  min(cum) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS mn
+           FROM c1)
+         SELECT d, y,
+                CAST(cum - least(CAST(0 AS BIGINT), mn) AS BIGINT)
+                  AS s_scaled,
+                CAST(CASE WHEN cum - least(CAST(0 AS BIGINT), mn)
+                  > sum0 // 2 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+         FROM c ORDER BY d ASC NULLS LAST""")),
+
     QueryDef("t20_stl_anomaly", (s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("ts_sec").cast("date").as("day"))
