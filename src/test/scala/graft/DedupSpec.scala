@@ -590,6 +590,43 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(repl === Map(101L -> 2L, 102L -> -1L, 103L -> 102L))
   }
 
+  test("Frames.scoped releases replicated cuts at scope exit; local mode and other threads are untouched") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.cut.mode", "replicated")
+    val df = s2.createDataFrame(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").collectAsList(),
+      Seq((1L, "a")).toDF("k", "s").schema)
+    var inner: org.apache.spark.sql.DataFrame = null
+    graft.Frames.scoped {
+      inner = graft.Frames.cut(df, eager = true)
+      assert(inner.storageLevel != StorageLevel.NONE,
+        "inside the scope the replicated cut is persisted")
+      assert(inner.count() === 2L)
+    }
+    assert(inner.storageLevel == StorageLevel.NONE,
+      "scope exit must unpersist the replicated cut (the always-on " +
+        "gate leaks one CacheManager entry per cut per batch otherwise)")
+    // local mode: scoped is a no-op wrapper (nothing tracked, nothing
+    // to release — localCheckpoint blocks free via the ContextCleaner)
+    var local: org.apache.spark.sql.DataFrame = null
+    graft.Frames.scoped {
+      local = graft.Frames.cut(
+        Seq((1L, "a")).toDF("k", "s"), eager = true)
+    }
+    assert(local.count() === 1L,
+      "a local-mode cut stays readable after scope exit")
+    // a cut made OUTSIDE any scope is never tracked or released
+    val unscoped = graft.Frames.cut(
+      s2.createDataFrame(Seq((9L, "z")).toDF("k", "s").collectAsList(),
+        Seq((9L, "z")).toDF("k", "s").schema), eager = true)
+    assert(unscoped.storageLevel != StorageLevel.NONE &&
+      unscoped.count() === 1L,
+      "unscoped replicated cuts are the caller's to manage")
+    unscoped.unpersist()
+  }
+
   test("DedupIndex.probe flags BATCH-INTERNAL near-dups keep-min-id") {
     import spark.implicits._
     import graft.operators.DedupIndex
