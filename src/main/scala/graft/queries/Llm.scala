@@ -3329,6 +3329,64 @@ object Llm {
     // ranks. Scale shape: the vocabulary census is one keyed agg; the
     // top-100 cut is TakeOrderedAndProject (never a global sort), and the
     // regression runs on 100 rows.
+    // ------------------------------------------------------------- L4 (gt)
+    // FREQUENCY SPECTRUM + GOOD–TURING UNSEEN MASS (Gale & Sampson
+    // 1995) — the corpus-coverage diagnostic next to l4_zipf's rank
+    // law: V_f = how many distinct tokens occur exactly f times; the
+    // Good–Turing estimate of the probability mass on UNSEEN tokens is
+    // P0 = V_1 / N (singleton share of all token occurrences) — the
+    // number that says whether a tokenizer/vocab was trained on enough
+    // data. ALL integer: the spectrum is counts-of-counts, N and V_1
+    // are BIGINTs, P0 reports in ppm via truncating div (identical in
+    // both engines). Scale: token rollup (one shuffle) → spectrum
+    // rollup (tiny domain); the summary broadcast-joins onto the
+    // spectrum rows (first 10 frequencies — the GT-smoothing band).
+    QueryDef("l4_freq_spectrum", (s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        // feeds the spectrum AND the totals — cut, or the token
+        // rollup runs twice
+        .localCheckpoint(false)
+      val spectrum = freq.groupBy(col("f"))
+        .agg(count(lit(1)).as("v_f"))
+      // V1 as a CONDITIONAL SUM, not a filtered subframe: a corpus
+      // with no singletons must still report its spectrum with
+      // p0_ppm = 0 — an empty-frame cross join would vanish every row
+      val tot = freq.agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("v_distinct"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("v1"))
+      // the 10 SMALLEST frequencies present (not f <= 10): the
+      // GT-smoothing band stays informative on any corpus shape —
+      // the fixture soup's rarest tokens sit far above 10
+      spectrum.orderBy(col("f").asc).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("f"), col("v_f"), col("n_tokens"),
+          col("v_distinct"),
+          expr("(v1 * 1000000) div n_tokens").as("p0_ppm"))
+        .orderBy(col("f").asc_nulls_last)
+    }, Some(
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS MATERIALIZED (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+           WHERE tok <> '' GROUP BY 1),
+         spectrum AS MATERIALIZED (
+           SELECT f, CAST(count(*) AS BIGINT) AS v_f
+           FROM freq GROUP BY 1),
+         band AS (SELECT f, v_f FROM spectrum ORDER BY f ASC LIMIT 10),
+         tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS v_distinct,
+                        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v1
+                 FROM freq)
+         SELECT b.f, b.v_f, tot.n_tokens, tot.v_distinct,
+                CAST((tot.v1 * 1000000) // tot.n_tokens AS BIGINT)
+                  AS p0_ppm
+         FROM band b, tot
+         ORDER BY b.f ASC NULLS LAST""")),
+
     QueryDef("l4_zipf", (s, dir) => {
       val freq = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
