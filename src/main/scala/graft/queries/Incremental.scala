@@ -1951,30 +1951,20 @@ object Incremental {
          FROM c WHERE event_type = 'purchase'
          ORDER BY purchase_id ASC NULLS LAST""")),
 
-    // ------------------------------------------------------------------ T20
-    // ROBUST ANOMALY FLAGS on the detrended series — t16 decomposes,
-    // THIS alarms: residual = observed − 7-day centered-MA trend, scale
-    // = MAD (median absolute deviation, the outlier-immune spread the
-    // z-score lacks), flag when |resid| > 3·1.4826·MAD. Residuals are
-    // 6dp-pre-rounded so the medians interpolate over identical values
-    // in both engines; the corpus collapses to the daily frame first
-    // (t16 discipline) and every window/median runs over ~24 rows. The
-    // classic ops pairing: d4 alarms on raw volume, t17 on regime
-    // shifts, THIS on local spikes against the seasonal-free trend.
+    // ------------------------------------------------------------------ T32
+    // CUSUM DRIFT DETECTION (Page 1954) — the classic sequential
+    // change-point monitor beside t20's STL outliers and a33's
+    // Mann-Kendall trend: S_t = max(0, S_{t-1} + (y_t − μ − slack)),
+    // alarm when S_t clears a threshold. The recursion NEEDS NO
+    // FOLD: with cum_t = Σ deviations, S_t = cum_t − min(0,
+    // running-min cum) — two plain windows, so this stays a
+    // declarative two-window query both engines execute identically.
+    // ALL integer: daily revenue in cents, deviations scaled by the
+    // baseline day count (n0·y_t − sum0 − sum0 div 20 — mean and 5%
+    // slack cross-multiplied, `div` truncates identically), windows
+    // over the bounded calendar frame (the t-family argument).
+    // Baseline = January 1996; monitored = February on.
     QueryDef("t32_cusum_drift", (s, dir) => {
-      // ---------------------------------------------------------- T32
-      // CUSUM DRIFT DETECTION (Page 1954) — the classic sequential
-      // change-point monitor beside t20's STL outliers and a33's
-      // Mann-Kendall trend: S_t = max(0, S_{t-1} + (y_t − μ − slack)),
-      // alarm when S_t clears a threshold. The recursion NEEDS NO
-      // FOLD: with cum_t = Σ deviations, S_t = cum_t − min(0,
-      // running-min cum) — two plain windows, so this stays a
-      // declarative two-window query both engines execute identically.
-      // ALL integer: daily revenue in cents, deviations scaled by the
-      // baseline day count (n0·y_t − sum0 − sum0 div 20 — mean and 5%
-      // slack cross-multiplied, `div` truncates identically), windows
-      // over the bounded calendar frame (the t-family argument).
-      // Baseline = January 1996; monitored = February on.
       val daily = Tables.t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
@@ -1995,7 +1985,11 @@ object Incremental {
         .withColumn("s_scaled",
           col("cum") - least(lit(0L), min(col("cum")).over(wCum)))
         .withColumn("alarm",
-          (col("s_scaled") > expr("sum0 div 2")).cast("int"))
+          // when/otherwise, not a boolean cast: a NULL comparison
+          // (empty baseline) must yield 0 exactly like the oracle's
+          // CASE ... ELSE 0 — the cast form yields NULL asymmetrically
+          when(col("s_scaled") > expr("sum0 div 2"), 1)
+            .otherwise(0).cast("int"))
         .select(col("d"), col("y"), col("s_scaled"), col("alarm"))
         .orderBy(col("d").asc_nulls_last)
     }, Some(
@@ -2032,6 +2026,16 @@ object Incremental {
                   > sum0 // 2 THEN 1 ELSE 0 END AS INTEGER) AS alarm
          FROM c ORDER BY d ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ T20
+    // ROBUST ANOMALY FLAGS on the detrended series — t16 decomposes,
+    // THIS alarms: residual = observed − 7-day centered-MA trend, scale
+    // = MAD (median absolute deviation, the outlier-immune spread the
+    // z-score lacks), flag when |resid| > 3·1.4826·MAD. Residuals are
+    // 6dp-pre-rounded so the medians interpolate over identical values
+    // in both engines; the corpus collapses to the daily frame first
+    // (t16 discipline) and every window/median runs over ~24 rows. The
+    // classic ops pairing: d4 alarms on raw volume, t17 on regime
+    // shifts, THIS on local spikes against the seasonal-free trend.
     QueryDef("t20_stl_anomaly", (s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("ts_sec").cast("date").as("day"))

@@ -3322,13 +3322,6 @@ object Llm {
          WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6
          ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
-    // ------------------------------------------------------------- L4 (r)
-    // Zipf fit — the corpus-health diagnostic: natural text follows
-    // freq ∝ rank^s with s ≈ -1; template spam and boilerplate bend the
-    // log-log line. Slope/R² come from regr aggregates over the top-100
-    // ranks. Scale shape: the vocabulary census is one keyed agg; the
-    // top-100 cut is TakeOrderedAndProject (never a global sort), and the
-    // regression runs on 100 rows.
     // ------------------------------------------------------------- L4 (gt)
     // FREQUENCY SPECTRUM + GOOD–TURING UNSEEN MASS (Gale & Sampson
     // 1995) — the corpus-coverage diagnostic next to l4_zipf's rank
@@ -3387,6 +3380,13 @@ object Llm {
          FROM band b, tot
          ORDER BY b.f ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L4 (r)
+    // Zipf fit — the corpus-health diagnostic: natural text follows
+    // freq ∝ rank^s with s ≈ -1; template spam and boilerplate bend the
+    // log-log line. Slope/R² come from regr aggregates over the top-100
+    // ranks. Scale shape: the vocabulary census is one keyed agg; the
+    // top-100 cut is TakeOrderedAndProject (never a global sort), and the
+    // regression runs on 100 rows.
     QueryDef("l4_zipf", (s, dir) => {
       val freq = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))

@@ -617,6 +617,25 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
     assert(local.count() === 1L,
       "a local-mode cut stays readable after scope exit")
+    // thread isolation: a cut made on ANOTHER thread inside the scope
+    // is NOT tracked (the crawl gate's worker threads only run
+    // actions, but the contract must hold if one ever constructs) —
+    // a tracked-set that went global would unpersist frames out from
+    // under concurrent workers
+    var other: org.apache.spark.sql.DataFrame = null
+    graft.Frames.scoped {
+      val th = new Thread(() => {
+        other = graft.Frames.cut(
+          s2.createDataFrame(
+            Seq((5L, "w")).toDF("k", "s").collectAsList(),
+            Seq((5L, "w")).toDF("k", "s").schema), eager = true)
+      })
+      th.start(); th.join()
+    }
+    assert(other.storageLevel != StorageLevel.NONE &&
+      other.count() === 1L,
+      "a cut from another thread survives this thread's scope exit")
+    other.unpersist()
     // a cut made OUTSIDE any scope is never tracked or released
     val unscoped = graft.Frames.cut(
       s2.createDataFrame(Seq((9L, "z")).toDF("k", "s").collectAsList(),

@@ -127,6 +127,10 @@ class ScaleCurveSpec extends AnyFunSuite with TestSpark {
     // the measured slope degenerates below 1 (observed 0.66x on the
     // first un-warmed run), hiding any real superlinearity
     Ops.foreach(runOp(_, d1))
+    // the 4x side of l3_mp_ivf must pre-pay its one-time per-dir
+    // quantizer memo (count + seeded k-means) like the 1x side just
+    // did, or pass 1 measures training, not the candidate frame
+    runOp("l3_mp_ivf", d4)
     def pass(): (Double, Double, Seq[(String, Double, Double)]) = {
       val per = Ops.map { op =>
         val w1 = runOp(op, d1)
