@@ -915,6 +915,19 @@ object Graph {
     // per-round changed-count. */
     QueryDef("g11_coreness", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Under replicated cut mode every cut persists into the session
+      // CacheManager, so the loop's ~27 per-run frames would leak one
+      // entry each per execution (the exact growth Frames.scoped
+      // exists to prevent). The whole iteration therefore runs inside
+      // a scope, and the final state ESCAPES as a lineage-free
+      // snapshot before the scope releases its inputs — the census
+      // the query returns must not depend on frames the exit
+      // unpersists, or its later execution would recompute the full
+      // 25-round chain (edges re-derived once per round). Local mode
+      // tracks nothing and skips the snapshot: behavior unchanged.
+      val replicated =
+        s.conf.get("spark.graft.cut.mode", "local") == "replicated"
+      val hFinal = graft.Frames.scoped {
       val pairs = coPurchasePairs(s, dir)
       val edges = graft.Frames.cut(
         pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -948,7 +961,9 @@ object Graph {
         h = next
         r += 1
       }
-      h.groupBy(col("h").as("coreness"))
+      if (replicated) h.localCheckpoint(true) else h
+      }
+      hFinal.groupBy(col("h").as("coreness"))
         .agg(count(lit(1)).as("n_nodes"))
         .select(col("coreness"), col("n_nodes"))
         .orderBy(col("coreness").asc_nulls_last)

@@ -168,15 +168,33 @@ object Llm {
   private val mpCenters = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Float]]]()
 
-  private def mpScoredIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("label"),
-      col("embedding"), col("norm"))
-    val centers = mpCenters.computeIfAbsent(dir, { _ =>
-      val k = math.max(16L, math.min(256L, e.count() / 125L)).toInt
-      Dedup.ivfTrain(e, "embedding", k = k)
+  /** The scored frame itself is ALSO memoized per (session, dir):
+    * [[mpScoreFrameIvf]] lineage-cuts its candidate frame, and under
+    * replicated cut mode each cut registers a session CacheManager
+    * entry that nothing ever unpersists — three twin queries × N runs
+    * would grow the cache unboundedly (review finding). One shared
+    * entry per fixture dir bounds that to O(dirs) AND serves all
+    * three twins (and repeat runs) from a single persisted candidate
+    * frame instead of three. Fixture dirs are immutable and the
+    * quantizer is memoized/seeded, so a cached frame can never be
+    * stale; the session in the key stops a dead session's frame from
+    * being served to a live one. Direct mpScoreFrameIvf callers
+    * (tests) own their frame's lifetime — declared queries go
+    * through this memo. */
+  private val mpScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def mpScoredIvf(s: SparkSession, dir: String): DataFrame =
+    mpScoredCache.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", { _ =>
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), col("norm"))
+      val centers = mpCenters.computeIfAbsent(dir, { _ =>
+        val k = math.max(16L, math.min(256L, e.count() / 125L)).toInt
+        Dedup.ivfTrain(e, "embedding", k = k)
+      })
+      mpScoreFrameIvf(e, centers, probes = 4)
     })
-    mpScoreFrameIvf(e, centers, probes = 4)
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

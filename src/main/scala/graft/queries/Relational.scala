@@ -4333,9 +4333,12 @@ ORDER BY fold ASC NULLS LAST"""),
     // (categorical): D = sup |F1 − F2| over returned vs non-returned
     // line price distributions. EXACT integer arithmetic end to end:
     // prices on the cents lattice, ECDF comparison cross-multiplied —
-    // |cumA·n2 − cumB·n1| in BIGINT — so the supremum and its
-    // location carry no float at all; the test statistic displays as
-    // the (d_num, d_den = n1·n2) rational pair. Tie handling is the
+    // |cumA·n2 − cumB·n1| widened to DECIMAL(38,0) (Spark) / HUGEINT
+    // (DuckDB), the x25 discipline: per-flag counts beyond ~3e9 rows
+    // push the cross-products past BIGINT, where Spark's non-ANSI
+    // multiply wraps SILENTLY — so the supremum and its location
+    // carry no float and no wrap at any corpus size; the test
+    // statistic displays as the (d_num, d_den = n1·n2) rational pair. Tie handling is the
     // textbook one-point-per-VALUE form: ECDFs step once per distinct
     // price, both samples evaluated at the same point set. Scale: the
     // per-value rollup collapses the corpus (one shuffle); the
@@ -4363,8 +4366,9 @@ ORDER BY fold ASC NULLS LAST"""),
         .withColumn("cuma", sum(col("ca")).over(w))
         .withColumn("cumb", sum(col("cb")).over(w))
         .crossJoin(broadcast(tot))
-        .withColumn("diff",
-          abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
+        .withColumn("diff", abs(
+          expr("CAST(cuma AS DECIMAL(38,0)) * n2") -
+          expr("CAST(cumb AS DECIMAL(38,0)) * n1")))
         .localCheckpoint(false)
       val mx = d.groupBy(col("n1"), col("n2"))
         .agg(max(col("diff")).as("d_num"))
@@ -4373,7 +4377,8 @@ ORDER BY fold ASC NULLS LAST"""),
         .groupBy(col("n1"), col("n2"), col("d_num"))
         .agg(min(col("v")).as("at_cents"))
         .select(col("n1"), col("n2"), col("d_num"),
-          (col("n1") * col("n2")).as("d_den"), col("at_cents"))
+          expr("CAST(n1 AS DECIMAL(38,0)) * n2").as("d_den"),
+          col("at_cents"))
     }, Some(
       """WITH li AS (
            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
@@ -4394,11 +4399,12 @@ ORDER BY fold ASC NULLS LAST"""),
                     ROWS UNBOUNDED PRECEDING) AS cumb
            FROM pv),
          d AS (
-           SELECT v, abs(cuma * tot.n2 - cumb * tot.n1) AS diff,
+           SELECT v, abs(CAST(cuma AS HUGEINT) * tot.n2
+                         - CAST(cumb AS HUGEINT) * tot.n1) AS diff,
                   tot.n1 AS n1, tot.n2 AS n2
            FROM cum, tot)
-         SELECT n1, n2, CAST(max(diff) AS BIGINT) AS d_num,
-                CAST(n1 * n2 AS BIGINT) AS d_den,
+         SELECT n1, n2, CAST(max(diff) AS DECIMAL(38,0)) AS d_num,
+                CAST(CAST(n1 AS HUGEINT) * n2 AS DECIMAL(38,0)) AS d_den,
                 CAST(min(v) FILTER (WHERE diff = (SELECT max(diff) FROM d))
                   AS BIGINT) AS at_cents
          FROM d GROUP BY 1, 2""")),

@@ -251,19 +251,28 @@ object Streams {
         val pool = sc.getLocalProperty("spark.scheduler.pool")
         val group = sc.getLocalProperty("spark.jobGroup.id")
         Future {
+          // the shared EC reuses this thread for arbitrary later
+          // callers — clear the borrowed locals on exit or their
+          // Spark actions inherit the gate's pool/job group (review
+          // finding: skewed Bench's per-query job attribution)
           sc.setLocalProperty("spark.scheduler.pool", pool)
           sc.setLocalProperty("spark.jobGroup.id", group)
-          if (D.latestVersion(corpusPath).isEmpty)
-            D.create(s, corpusPath, empty)
-          if (D.latestVersion(indexPath).isEmpty)
-            graft.operators.DedupIndex.build(s, empty, id, text, indexPath)
-          if (D.latestVersion(verdictsPath).isEmpty)
-            // near_dup_of carries DOC IDS — typed as the id column,
-            // whatever that is (string crawl ids work as well as longs)
-            D.create(s, verdictsPath, empty.select(col(id),
-              lit(null).cast(empty.schema(id).dataType).as("near_dup_of"),
-              lit(0L).as("batch_id")))
-          ()
+          try {
+            if (D.latestVersion(corpusPath).isEmpty)
+              D.create(s, corpusPath, empty)
+            if (D.latestVersion(indexPath).isEmpty)
+              graft.operators.DedupIndex.build(s, empty, id, text, indexPath)
+            if (D.latestVersion(verdictsPath).isEmpty)
+              // near_dup_of carries DOC IDS — typed as the id column,
+              // whatever that is (string crawl ids work as well as longs)
+              D.create(s, verdictsPath, empty.select(col(id),
+                lit(null).cast(empty.schema(id).dataType).as("near_dup_of"),
+                lit(0L).as("batch_id")))
+            ()
+          } finally {
+            sc.setLocalProperty("spark.scheduler.pool", null)
+            sc.setLocalProperty("spark.jobGroup.id", null)
+          }
         }
       }
     // the deduped batch feeds the probe (shingles, 3 referencing joins)
@@ -323,7 +332,13 @@ object Streams {
       def sink[T](body: => T): Future[T] = Future {
         sc.setLocalProperty("spark.scheduler.pool", pool)
         sc.setLocalProperty("spark.jobGroup.id", group)
-        body
+        // clear on exit: the shared EC thread outlives this batch and
+        // must not leak the gate's pool/job group into later callers
+        try body
+        finally {
+          sc.setLocalProperty("spark.scheduler.pool", null)
+          sc.setLocalProperty("spark.jobGroup.id", null)
+        }
       }
       def timed[T](nm: String)(body: => T): T = {
         val a0 = System.nanoTime()
@@ -528,10 +543,15 @@ object Streams {
             var s = state.getOption.getOrElse(PatternState(0, 0L))
             sorted.foreach { e =>
               val ms = e.ts.getTime
-              // WITHIN: expire a stale partial before offering the row
+              // WITHIN: expire a stale partial before offering the row.
+              // Keep the persisted lastSeenMs through the expiry — a
+              // LATE row tripping this branch must not re-anchor the
+              // idle deadline to its own (older) timestamp, or a
+              // recently active key gets a premature tombstone when
+              // withinMs and idleEvictMs are combined (review finding).
               if (s.st > 0 && withinMs.exists(w =>
                   ms - s.partialStartMs > w))
-                s = PatternState(0, s.done)
+                s = PatternState(0, s.done, 0L, s.lastSeenMs)
               val cls = classOf(e.event_type)
               val (n, emits) = pat.step(s.st, cls)
               val start =

@@ -1031,6 +1031,63 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("streaming pattern WITHIN + idle eviction combined: a late row tripping expiry must not shrink the idle deadline") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def cls(t: String): Char = t match {
+      case "view" => 'V'; case "click" => 'C'; case "purchase" => 'P'
+      case _ => 'X'
+    }
+    // The trap needs lastSeen − partialStart > within, which only a
+    // rule-3 restart on a LATE row can produce: V@40 C@41 (start 40,
+    // lastSeen 41), then late V@0 re-bases start to 0 while lastSeen
+    // stays 41. A late C@35 then trips WITHIN expiry (35−0 > 30) —
+    // the expiry rebuild must carry the persisted lastSeen (41)
+    // forward, or the idle deadline collapses to 35+idle and the key
+    // is tombstoned while still inside its true idle window.
+    val q = Streams.matchPatternWithin(
+        input.toDS().withWatermark("ts", "120 minutes").as[Streams.Event],
+        "V C+ P", cls, withinMs = Some(30L * 60 * 1000),
+        idleEvictMs = Some(360L * 60 * 1000))
+      .writeStream.format("memory").queryName("cep_within_evict")
+      .outputMode("update").start()
+    try {
+      input.addData(Streams.Event(1L, ts(40), 7L, "view", 1.0),
+        Streams.Event(2L, ts(41), 7L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(3L, ts(0), 7L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(4L, ts(35), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // drive the watermark to 397 min — past the BUGGY deadline
+      // (35+360 = 395) but short of the true one (41+360 = 401); the
+      // extra batch lets the new watermark take effect for timeouts
+      input.addData(Streams.Event(5L, ts(517), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(6L, ts(518), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val mid = spark.table("cep_within_evict").as[Streams.PatternOut]
+        .collect().toSet
+      assert(!mid.exists(r => r.user_id == 7L && r.state == -1),
+        s"key 7 is still inside its true idle window (last seen " +
+          s"t41, deadline t401 > watermark t397) — a tombstone here " +
+          s"means the late expiry row re-anchored the deadline: $mid")
+      // the un-evicted key completes a fresh match from its kept state
+      input.addData(Streams.Event(7L, ts(520), 7L, "view", 1.0),
+        Streams.Event(8L, ts(521), 7L, "click", 1.0),
+        Streams.Event(9L, ts(522), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cep_within_evict").as[Streams.PatternOut]
+        .collect().toSet
+      assert(rows.contains(Streams.PatternOut(7L, 1L, 0)),
+        s"the surviving key must complete its post-expiry match: $rows")
+      assert(!rows.exists(r => r.user_id == 7L && r.state == -1),
+        s"key 7 must never have been tombstoned in this run: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup gate: every batch is judged against all prior batches; index grows O(batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
