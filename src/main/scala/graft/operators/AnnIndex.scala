@@ -52,12 +52,19 @@ object AnnIndex {
     DeltaLite.create(spark, codesPath(root),
       encode(corpus, idCol, embCol, centers, cb), partitionBy = Seq("cell"),
       properties = Map("graft.optimizeWrite" -> "true"))
+    // float arrays land with containsNull=TRUE in the logged schema:
+    // Spark's file sources force nullability on read, so a
+    // containsNull=false log schema (toDF's default for Seq[Float])
+    // can never round-trip through a read-modify-write (rebuild's
+    // replaceWhere unions the read side with the replacement)
     DeltaLite.create(spark, centersPath(root),
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("cell", "c_emb"))
+        .toSeq.toDF("cell", "c_emb")
+        .select(col("cell"), col("c_emb").cast("array<float>")))
     DeltaLite.create(spark, booksPath(root),
       (for { j <- cb.indices; i <- cb(j).indices }
-        yield (j, i, cb(j)(i).toSeq)).toDF("subspace", "code", "cw"))
+        yield (j, i, cb(j)(i).toSeq)).toDF("subspace", "code", "cw")
+        .select(col("subspace"), col("code"), col("cw").cast("array<float>")))
   }
 
   /** Incremental index maintenance: encode a new batch under the FROZEN
@@ -109,6 +116,71 @@ object AnnIndex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col(qid), col("rk"), col("nid"), col("d2"))
+  }
+
+  // -------------------------------------------------- drift maintenance
+
+  /** Per-cell vector counts from the COMMIT LOG ALONE — each codes file
+    * carries its row count and `cell` partition value in its add
+    * action, so occupancy is a driver-side fold over log metadata:
+    * ZERO data files opened, O(files) not O(vectors). The 100 TB drift
+    * check costs the same as a `DESCRIBE`. */
+  def cellOccupancy(spark: SparkSession, root: String): Map[Int, Long] =
+    DeltaLite.snapshot(codesPath(root)).files
+      .groupBy(_.pv.getOrElse("cell", ""))
+      .collect { case (c, fs) if c.nonEmpty && c != "__HIVE_DEFAULT_PARTITION__" =>
+        c.toInt -> fs.map(_.rows).sum }
+
+  /** Occupancy skew = max cell count / MEAN over ALL k trained cells
+    * (k from the centroids table's own log row count — also metadata).
+    * 1.0 = perfectly balanced; a never-assigned cell still drags the
+    * mean down, so one-sided drift (every new vector landing in one
+    * cell) inflates this fast. */
+  def occupancySkew(spark: SparkSession, root: String): Double = {
+    val occ = cellOccupancy(spark, root)
+    val k = DeltaLite.snapshot(centersPath(root)).totalRows
+    if (occ.isEmpty || k == 0L) return 1.0
+    val mean = occ.values.sum.toDouble / k
+    if (mean == 0.0) 1.0 else occ.values.max / mean
+  }
+
+  /** The MEASURED retrain trigger (the IVF contract: frozen quantizers
+    * degrade only when the data distribution drifts from the training
+    * sample — and drift shows up as cell-occupancy skew, because new
+    * vectors pile into whichever cells sit nearest the drifted mass).
+    * `append` freely until this fires; then [[rebuild]]. Pure log
+    * metadata — safe to evaluate on every batch. */
+  def needsRetrain(spark: SparkSession, root: String,
+      maxSkew: Double = 4.0): Boolean =
+    occupancySkew(spark, root) > maxSkew
+
+  /** Retrain on the CURRENT corpus and re-encode — the drift response.
+    * Lands as new VERSIONS of the same three tables (full-table
+    * replaceWhere), so serving flips atomically per table and time
+    * travel still reads the pre-rebuild index. The caller supplies the
+    * raw vectors (PQ codes are lossy — an index cannot re-derive its
+    * own training data). */
+  def rebuild(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, embCol: String, cells: Int = 16, m: Int = 8,
+      kCodes: Int = 16, dim: Int = 64, seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val centers = Dedup.ivfTrain(corpus, embCol, cells, seed)
+    val cb = Dedup.pqTrain(corpus, embCol, m, kCodes, dim, seed)
+    DeltaLite.replaceWhere(spark, codesPath(root), lit(true),
+      encode(corpus, idCol, embCol, centers, cb))
+    // the replacement frames are built AGAINST THE TABLES' OWN logged
+    // schemas: a fresh toDF types float arrays containsNull=false while
+    // the stored schema may differ only in that bit — an "identical"
+    // type the alignment cast still rejects
+    import scala.jdk.CollectionConverters._
+    def rowsDf(path: String, rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(rows.asJava, DeltaLite.snapshot(path).schema)
+    DeltaLite.replaceWhere(spark, centersPath(root), lit(true),
+      rowsDf(centersPath(root), centers.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }.toSeq))
+    DeltaLite.replaceWhere(spark, booksPath(root), lit(true),
+      rowsDf(booksPath(root), (for { j <- cb.indices; i <- cb(j).indices }
+        yield org.apache.spark.sql.Row(j, i, cb(j)(i).toSeq))))
   }
 
   /** k × dim centroid table back from the index (KBs — plan-literal

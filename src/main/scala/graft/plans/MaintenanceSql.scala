@@ -25,6 +25,7 @@ import graft.sources.DeltaLite
   *   RESTORE '<path>' TO TIMESTAMP AS OF '<instant>'
   *   CLONE '<src>' [VERSION AS OF n] TO '<dst>' [DEEP]
   *   CONVERT TO DELTA '<path>'
+  *   CONVERT FROM DELTA '<path>' [VERSION AS OF n]
   *   REORG '<path>' APPLY (PURGE)
   *   ALTER '<path>' RENAME COLUMN old TO new
   *   ALTER '<path>' ADD COLUMN name <type>
@@ -474,6 +475,18 @@ object MaintenanceSql {
       Seq(Row(DeltaLite.convert(spark, path)))
   }
 
+  /** `CONVERT FROM DELTA '<path>' [VERSION AS OF n]` — adopt a STANDARD
+    * `_delta_log` table (the reference stack's on-disk format) as a
+    * graft-delta table in place, zero copy ([[graft.sources.DeltaInterop
+    * .convertFromDelta]]). */
+  final case class ConvertFromDeltaCommand(path: String,
+      asOf: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.DeltaInterop.convertFromDelta(spark, path, asOf)))
+  }
+
   final case class ReorgCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", LongType, nullable = false)())
@@ -583,6 +596,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+TO\s+'([^']+)'(\s+DEEP)?\s*;?\s*""").r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*;?\s*""".r
+  private val ConvertFromRe =
+    ("""(?is)\s*CONVERT\s+FROM\s+DELTA\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val ReorgRe =
     """(?is)\s*REORG\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val RenameColRe =
@@ -698,6 +714,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreTsRe(p, ts) => RestoreTimestampCommand(p, ts)
     case CloneRe(src, v, dst, deep) => CloneCommand(src, dst, deep != null,
       Option(v).map(_.toLong))
+    // FROM must match before TO: both contain "CONVERT ... DELTA"
+    case ConvertFromRe(p, v) =>
+      ConvertFromDeltaCommand(p, Option(v).map(_.toLong))
     case ConvertRe(p) => ConvertCommand(p)
     case CopyIntoRe(p, src) => CopyIntoCommand(p, src)
     case ExplainCostRe(p) => ExplainCostCommand(p)

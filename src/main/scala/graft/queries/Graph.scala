@@ -937,6 +937,18 @@ object Graph {
           .select(col("src").as("node"), col("h")))
       var r = 0
       var converged = false
+      // convergence via SUM COMPARISON, not a probe join (review
+      // finding: the old next⋈h probe was a full keyed join per
+      // check, ~6 extra joins at a late fixpoint). Sound because the
+      // H-operator from h0 = degree is POINTWISE NON-INCREASING:
+      // h1 ≤ h0 (a node's H-index of neighbor degrees is at most its
+      // degree), and H is monotone in its inputs, so hₜ ≤ hₜ₋₁
+      // inductively. For a non-increasing integer sequence,
+      // sum(hₜ) == sum(hₜ₋₄) ⟺ pointwise equality across the whole
+      // 4-round window ⟺ fixpoint. One scalar BIGINT agg per probe —
+      // exact, and it doubles as the materialization action the
+      // probe needed anyway.
+      var prevSum = -1L
       while (r < CoreRounds && !converged) {
         val nv = edges
           .join(h.select(col("node").as("dst"), col("h").as("nh")),
@@ -954,10 +966,12 @@ object Graph {
         // jobs). Running past the fixpoint is a no-op (idempotent
         // operator), so late detection never changes values; the cap
         // bounds the worst case either way.
-        converged = (r % 4 == 3) && next
-          .join(h.select(col("node"), col("h").as("ph")), Seq("node"))
-          .filter(col("h") =!= col("ph"))
-          .limit(1).count() == 0L
+        if (r % 4 == 3) {
+          val row = next.agg(sum(col("h")).as("s")).collect()(0)
+          val sNow = if (row.isNullAt(0)) 0L else row.getLong(0)
+          converged = sNow == prevSum
+          prevSum = sNow
+        }
         h = next
         r += 1
       }

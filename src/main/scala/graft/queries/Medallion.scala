@@ -4534,6 +4534,138 @@ ORDER BY bucket ASC NULLS LAST"""),
          FROM orders
          WHERE o_orderkey IN (SELECT o_orderkey FROM orders
                               ORDER BY o_orderkey ASC LIMIT 5)
-         ORDER BY o_orderkey ASC NULLS LAST"""))
+         ORDER BY o_orderkey ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S65
+    // STANDARD DELTA-PROTOCOL INTEROP (graft.sources.DeltaInterop): the
+    // reference stack (dbt-duckdb + delta-rs) writes REAL Delta tables —
+    // parquet + `_delta_log/<v>.json` add/remove/metaData actions. This
+    // query builds one (export → append → partition-aligned DELETE as a
+    // pure remove-actions commit), then reads the final snapshot through
+    // `spark.read.format("graft-delta")` — the interop DISPATCH path: a
+    // standard `_delta_log` replays into the native Snapshot model, so
+    // partition re-attachment and stats file pruning are the same
+    // machinery graft's own log uses. Sums ride the cents lattice
+    // (BIGINT, aggregation-order-proof). Scale: the replay is one
+    // driver pass over log JSON (metadata-proportional, delta-spark's
+    // own Snapshot cost shape); the partitioned delete rewrote ZERO
+    // data — remove actions only.
+    QueryDef("s65_delta_interop", (s, dir) => {
+      val path = tmp("s65_delta")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.DeltaInterop.exportToDelta(s,
+        li.filter(col("l_orderkey") % 3 === 0), path,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.DeltaInterop.exportAppend(s,
+        li.filter(col("l_orderkey") % 3 === 1), path)
+      graft.sources.DeltaInterop.exportDeletePartition(s, path,
+        "l_returnflag", "R")
+      s.read.format("graft-delta").load(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                  AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+         FROM lineitem
+         WHERE l_orderkey % 3 IN (0, 1) AND l_returnflag <> 'R'
+         GROUP BY 1, 2
+         ORDER BY l_returnflag ASC NULLS LAST,
+                  l_linestatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S66
+    // Standard-Delta TIME TRAVEL through the format options: the same
+    // export → append → delete lifecycle, read at EVERY version via
+    // `.option("versionAsOf", v)` and unioned with a version tag — the
+    // replay must reconstruct each historical live-file set exactly
+    // (v0 = first slice, v1 = + appended slice, v2 = the delete's
+    // remove actions applied). The oracle restates the three states
+    // from the fixture directly. TIMESTAMP AS OF resolution is pinned
+    // in DeltaInteropSpec (commitInfo timestamps are wall-clock — not
+    // oracle-able).
+    QueryDef("s66_delta_time_travel", (s, dir) => {
+      val path = tmp("s66_delta")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      graft.sources.DeltaInterop.exportToDelta(s,
+        li.filter(col("l_orderkey") % 3 === 0), path,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.DeltaInterop.exportAppend(s,
+        li.filter(col("l_orderkey") % 3 === 1), path)
+      graft.sources.DeltaInterop.exportDeletePartition(s, path,
+        "l_returnflag", "R")
+      val perV = (0L to 2L).map(v =>
+        s.read.format("graft-delta").option("versionAsOf", v).load(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+          .withColumn("version", lit(v)))
+      perV.reduce(_ unionByName _)
+        .select(col("version"), col("l_returnflag"), col("n"),
+          col("sum_qty"))
+        .orderBy(col("version").asc, col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """WITH li AS (
+           SELECT l_orderkey % 3 AS slice, l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         v AS (
+           SELECT CAST(0 AS BIGINT) AS version, l_returnflag, qty
+           FROM li WHERE slice = 0
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), l_returnflag, qty
+           FROM li WHERE slice IN (0, 1)
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), l_returnflag, qty
+           FROM li WHERE slice IN (0, 1) AND l_returnflag <> 'R')
+         SELECT version, l_returnflag, count(*) AS n,
+                CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM v GROUP BY 1, 2
+         ORDER BY version ASC, l_returnflag ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S67
+    // CONVERT FROM DELTA (zero-copy adoption): a standard Delta table
+    // becomes a graft-delta table in place — graft's version 0 restates
+    // the Delta snapshot's live file set, NO data moves — and then the
+    // FULL native write surface runs on the adopted files: a row-level
+    // DELETE (beyond the exporter's partition-aligned one) rewrites
+    // only key-overlapping files, and the serving read is the native
+    // one. This is the lake-migration path: a 100 TB reference-stack
+    // table switches engines with one metadata commit.
+    QueryDef("s67_delta_convert", (s, dir) => {
+      val path = tmp("s67_delta")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.DeltaInterop.exportToDelta(s,
+        li.filter(col("l_orderkey") % 3 === 0), path)
+      graft.sources.DeltaInterop.exportAppend(s,
+        li.filter(col("l_orderkey") % 3 === 1), path)
+      s.sql(s"CONVERT FROM DELTA '$path'")
+      DeltaLite.delete(s, path, col("cents") < 100000L * 100L)
+      DeltaLite.read(s, path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """WITH li AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
+         SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM li WHERE cents >= 10000000
+         GROUP BY 1, 2
+         ORDER BY l_returnflag ASC NULLS LAST,
+                  l_linestatus ASC NULLS LAST"""))
   )
 }

@@ -1,0 +1,703 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** STANDARD Delta-protocol interop — the reference stack's actual
+  * on-disk format. dbt-duckdb + delta-rs (the reference's declared
+  * stack) write real Delta tables: parquet data files plus a
+  * `_delta_log/<20-digit-version>.json` commit log of `add` / `remove`
+  * / `metaData` / `protocol` actions (delta.io PROTOCOL.md — public
+  * spec). A user arriving from the reference has those directories on
+  * disk; this module lets the engine READ them natively, time-travel
+  * them, adopt them zero-copy into graft-delta (`CONVERT FROM DELTA`),
+  * and hand tables BACK as minimal-protocol Delta (`exportToDelta`) so
+  * the reference stack can keep consuming the results.
+  *
+  * Scope, stated plainly (a declined feature must fail LOUDLY, never
+  * read wrong rows):
+  *   - protocol: minReaderVersion 1 and 2 (2 only while
+  *     `delta.columnMapping.mode` is absent/`none` — mapping renames
+  *     physical columns and silently misreads without support);
+  *     minReaderVersion 3 only when every `readerFeatures` entry is in
+  *     [[SupportedReaderFeatures]]. Everything else throws, naming the
+  *     feature.
+  *   - deletion vectors: any live `add` carrying a `deletionVector`
+  *     throws (reading the file raw would resurrect deleted rows).
+  *   - checkpoints: classic parquet checkpoints, single-part
+  *     (`<v>.checkpoint.parquet`) and multi-part
+  *     (`<v>.checkpoint.<i>.<n>.parquet`), are replayed; V2/UUID
+  *     checkpoints are ignored while the JSON commits still cover the
+  *     requested version and throw when they don't (the state would be
+  *     unreconstructible).
+  *
+  * Mechanics: the log replays into [[DeltaLite.Snapshot]] — the same
+  * driver-side state model the native format uses — so EVERYTHING
+  * downstream is shared, not re-implemented: the Hive-layout partition
+  * re-attachment, the min/max stats file pruning ([[DeltaLite.pruneFiles]]
+  * — Delta's `stats` JSON decodes into the same typed bounds), the
+  * BranchFilePruning scan tagging, and the `graft-delta` V1 relation.
+  * At 100 TB the replay is one driver pass over log JSON + at most one
+  * Spark job over checkpoint parquet — metadata-proportional, exactly
+  * delta-spark's own Snapshot cost shape.
+  *
+  * Write-side honesty: [[exportToDelta]]/[[exportAppend]]/
+  * [[exportDeletePartition]] are a SINGLE-WRITER interchange exporter
+  * (atomic rename per commit, no OCC loop) — the concurrent-writer
+  * story lives in graft-delta's own claim store. Deletes are
+  * partition-aligned only (remove actions, zero rewrite) — the
+  * metadata-only shape that survives 100 TB; row-level deletes belong
+  * to the native format's DV/MERGE machinery.
+  */
+object DeltaInterop {
+
+  import DeltaLite.{AddFile, ColStats, Snapshot}
+
+  private def root(path: String): Path =
+    Paths.get(path).toAbsolutePath.normalize()
+  private[graft] def logDir(path: String): Path =
+    root(path).resolve("_delta_log")
+
+  /** Reader features this module actually implements. `timestampNtz`
+    * and `vacuumProtocolCheck`/`v2Checkpoint` gate nothing on our read
+    * path (NTZ is a native Spark type; vacuum is write-side; v2
+    * checkpoints are never REQUIRED while JSON commits are retained —
+    * see the class doc for when their absence throws). */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+
+  /** A directory is a standard Delta table iff `_delta_log/` holds at
+    * least one versioned commit or classic checkpoint. */
+  def isStandardDelta(path: String): Boolean =
+    commitVersions(path).nonEmpty || checkpoints(path).nonEmpty
+
+  private def listLog(path: String): Seq[String] = {
+    val d = logDir(path)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  private def commitVersions(path: String): Seq[Long] =
+    listLog(path).filter(_.matches("""\d{20}\.json"""))
+      .map(_.stripSuffix(".json").toLong).sorted
+
+  /** Classic parquet checkpoints present in the log, version → parts. */
+  private def checkpoints(path: String): Map[Long, Seq[Path]] = {
+    val d = logDir(path)
+    val single = """(\d{20})\.checkpoint\.parquet""".r
+    val multi = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+    listLog(path).flatMap {
+      case n @ single(v) => Some(v.toLong -> d.resolve(n))
+      case n @ multi(v) => Some(v.toLong -> d.resolve(n))
+      case _ => None
+    }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).sortBy(_.toString) }
+  }
+
+  def latestVersion(path: String): Option[Long] =
+    (commitVersions(path) ++ checkpoints(path).keys).maxOption
+
+  // ------------------------------------------------------------- replay
+
+  /** Mutable replay state — one pass over checkpoint rows + JSON lines. */
+  private final class State {
+    var schema: StructType = null
+    var partitionBy: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
+    var minReader: Int = 1
+    var readerFeatures: Seq[String] = Nil
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
+  }
+
+  /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded
+    * relative URIs (PROTOCOL.md "Add File and Remove File"). */
+  private def decodePath(p: String): String =
+    try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  private def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).getRawPath
+
+  /** One JSON commit line → state transition. */
+  private def applyJsonAction(st: State, line: String, where: String): Unit =
+    JsonMethods.parse(line) match {
+      case JObject(fields) => fields.foreach {
+        case ("metaData", JObject(m)) => applyMetaData(st, m.toMap, where)
+        case ("protocol", JObject(p)) =>
+          val pm = p.toMap
+          st.minReader = pm.get("minReaderVersion").collect {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt
+          }.getOrElse(1)
+          st.readerFeatures = pm.get("readerFeatures").collect {
+            case JArray(fs) => fs.collect { case JString(f) => f }
+          }.getOrElse(Nil)
+        case ("add", JObject(a)) =>
+          val am = a.toMap
+          require(!am.contains("deletionVector") ||
+              am("deletionVector") == JNull,
+            s"$where: add action carries a deletionVector — this reader " +
+              "does not support DVs and reading the file raw would " +
+              "resurrect deleted rows; VACUUM/OPTIMIZE the source table " +
+              "to materialize the deletes first")
+          val rel = decodePath(am.get("path").collect {
+            case JString(s) => s
+          }.getOrElse(sys.error(s"$where: add action without path")))
+          val pv = am.get("partitionValues") match {
+            // JSON null value = null partition (absent key reads as
+            // null through attachPartitionCols, same as Hive default)
+            case Some(JObject(vals)) =>
+              vals.collect { case (c, JString(s)) => c -> s }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val bytes = am.get("size").collect {
+            case JLong(l) => l; case JInt(i) => i.toLong
+          }.getOrElse(0L)
+          val (rows, stats) = am.get("stats") match {
+            case Some(JString(s)) if s.nonEmpty =>
+              parseStats(s, st.schema, st.partitionBy)
+            case _ => (0L, Map.empty[String, ColStats])
+          }
+          st.live(rel) = AddFile(rel, rows, stats, None, pv, bytes = bytes)
+        case ("remove", JObject(r)) =>
+          r.collectFirst { case ("path", JString(p)) => p }
+            .foreach(p => st.live.remove(decodePath(p)))
+        case ("txn", JObject(t)) =>
+          val tm = t.toMap
+          for {
+            app <- tm.get("appId").collect { case JString(a) => a }
+            ver <- tm.get("version").collect {
+              case JLong(l) => l; case JInt(i) => i.toLong
+            }
+          } st.txns(app) = math.max(ver, st.txns.getOrElse(app, Long.MinValue))
+        // commitInfo / cdc / domainMetadata carry no snapshot state; a
+        // table REQUIRING them to read gates via protocol features
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+  private def applyMetaData(st: State, m: Map[String, JValue],
+      where: String): Unit = {
+    m.get("format").foreach {
+      case JObject(f) => f.toMap.get("provider").foreach {
+        case JString(p) => require(p.equalsIgnoreCase("parquet"),
+          s"$where: unsupported data format '$p' (parquet only)")
+        case _ => ()
+      }
+      case _ => ()
+    }
+    m.get("schemaString").foreach {
+      case JString(s) =>
+        // Delta's schemaString IS Spark's StructType JSON dialect
+        st.schema = DataType.fromJson(s).asInstanceOf[StructType]
+      case _ => ()
+    }
+    st.partitionBy = m.get("partitionColumns").collect {
+      case JArray(ps) => ps.collect { case JString(p) => p }
+    }.getOrElse(st.partitionBy)
+    st.config = m.get("configuration").collect {
+      case JObject(cs) => cs.collect { case (k, JString(v)) => k -> v }.toMap
+    }.getOrElse(st.config)
+  }
+
+  /** Delta per-file `stats` JSON → (numRecords, typed graft ColStats).
+    * Values land in the DECODED representation [[DeltaLite]] prunes on
+    * (epoch-day / epoch-micros longs for temporal types), so
+    * `pruneFiles` treats an interop snapshot exactly like a native one.
+    * Unparseable or unknown-typed values drop to no-stat (pruning is
+    * only ever an optimization). Delta may truncate string maxValues to
+    * a 32-char prefix with the last char incremented — still a valid
+    * upper bound, used as-is. Nested-struct stats are skipped (we never
+    * prune on nested fields). */
+  private def parseStats(statsJson: String, schema: StructType,
+      partitionBy: Seq[String]): (Long, Map[String, ColStats]) = {
+    val types: Map[String, DataType] =
+      if (schema == null) Map.empty
+      else schema.fields.filterNot(f => partitionBy.contains(f.name))
+        .map(f => f.name -> f.dataType).toMap
+    try {
+      val o = JsonMethods.parse(statsJson) match {
+        case JObject(fs) => fs.toMap
+        case _ => return (0L, Map.empty)
+      }
+      val rows = o.get("numRecords").collect {
+        case JLong(l) => l; case JInt(i) => i.toLong
+      }.getOrElse(0L)
+      def side(key: String): Map[String, Any] = o.get(key) match {
+        case Some(JObject(cols)) => cols.flatMap { case (c, v) =>
+          types.get(c).flatMap(dt => decodeDeltaStat(dt, v)).map(c -> _)
+        }.toMap
+        case _ => Map.empty
+      }
+      val mins = side("minValues")
+      val maxs = side("maxValues")
+      val stats = (mins.keySet ++ maxs.keySet).map(c =>
+        c -> ColStats(mins.get(c), maxs.get(c))).toMap
+      (rows, stats)
+    } catch { case _: Exception => (0L, Map.empty) }
+  }
+
+  /** One Delta-JSON stat value → graft's decoded representation.
+    * PROTOCOL.md "Per-file statistics": dates as `yyyy-MM-dd` strings,
+    * timestamps as ISO-8601 strings (with offset for TIMESTAMP, naive
+    * for TIMESTAMP_NTZ), numbers as JSON numbers. */
+  private def decodeDeltaStat(dt: DataType, j: JValue): Option[Any] =
+    try (dt, j) match {
+      case (_, JNull | JNothing) => None
+      case (ByteType | ShortType | IntegerType | LongType, JInt(i)) =>
+        Some(i.toLong)
+      case (ByteType | ShortType | IntegerType | LongType, JLong(l)) =>
+        Some(l)
+      case (FloatType | DoubleType, JDouble(d)) => Some(d)
+      case (FloatType | DoubleType, JDecimal(d)) => Some(d.toDouble)
+      case (FloatType | DoubleType, JInt(i)) => Some(i.toDouble)
+      case (FloatType | DoubleType, JLong(l)) => Some(l.toDouble)
+      case (_: DecimalType, JDecimal(d)) => Some(d)
+      case (_: DecimalType, JInt(i)) => Some(BigDecimal(i))
+      case (_: DecimalType, JLong(l)) => Some(BigDecimal(l))
+      case (_: DecimalType, JDouble(d)) => Some(BigDecimal(d))
+      case (_: DecimalType, JString(s)) => Some(BigDecimal(s))
+      case (StringType, JString(s)) => Some(s)
+      case (DateType, JString(s)) =>
+        Some(java.time.LocalDate.parse(s).toEpochDay)
+      case (TimestampType | TimestampNTZType, JString(s)) =>
+        Some(parseIsoMicros(s))
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** ISO-8601 (with or without offset) → epoch micros. */
+  private def parseIsoMicros(s: String): Long = {
+    val inst =
+      try java.time.OffsetDateTime.parse(s).toInstant
+      catch { case _: Exception =>
+        java.time.LocalDateTime.parse(s)
+          .toInstant(java.time.ZoneOffset.UTC)
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Replay the standard log to (and including) `asOf` (default
+    * latest) into graft's snapshot model. Starts from the newest
+    * classic checkpoint ≤ target when the JSON commits alone don't
+    * reach back to version 0; throws — naming what's missing — when
+    * neither can reconstruct the state. */
+  def snapshot(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Snapshot = {
+    val jsons = commitVersions(path)
+    val cps = checkpoints(path)
+    val latest = latestVersion(path).getOrElse(
+      sys.error(s"no standard Delta log at $path"))
+    val target = asOf.getOrElse(latest)
+    require(target <= latest && (jsons.contains(target) ||
+        cps.contains(target)),
+      s"version $target does not exist at $path (latest: $latest)")
+    val st = new State
+    // JSON-only replay when commits cover 0..target; otherwise replay
+    // the newest classic checkpoint ≤ target whose tail commits are
+    // all present
+    val fromCp: Option[Long] =
+      if (jsons.headOption.contains(0L) &&
+          jsons.takeWhile(_ <= target) == (0L to target)) None
+      else {
+        val cp = cps.keys.filter(_ <= target).maxOption.getOrElse(
+          sys.error(s"cannot reconstruct version $target at $path: JSON " +
+            s"commits ${jsons.headOption.getOrElse("none")}..${jsons.lastOption
+              .getOrElse("none")} do not reach version 0 and no classic " +
+            "parquet checkpoint ≤ target exists (V2/UUID checkpoints are " +
+            "not supported)"))
+        require(((cp + 1) to target).forall(jsons.contains),
+          s"cannot reconstruct version $target at $path: commits after " +
+            s"checkpoint $cp are incomplete")
+        Some(cp)
+      }
+    fromCp.foreach { cp =>
+      // a checkpoint restates the complete state at cp as parquet rows
+      // (one action per row) — one Spark job, metadata-proportional
+      val rows = spark.read
+        .parquet(cps(cp).map(_.toString): _*)
+        .toJSON.collect()
+      // metaData/protocol rows first: add rows need the schema to type
+      // their stats
+      val (meta, rest) = rows.partition(r =>
+        r.contains("\"metaData\"") || r.contains("\"protocol\""))
+      (meta ++ rest).foreach(applyJsonAction(st, _, s"checkpoint $cp"))
+    }
+    ((fromCp.map(_ + 1L).getOrElse(0L)) to target).foreach { v =>
+      val f = logDir(path).resolve(f"$v%020d.json")
+      Files.readAllLines(f).asScala.filter(_.nonEmpty)
+        .foreach(applyJsonAction(st, _, s"commit $v"))
+    }
+    require(st.schema != null,
+      s"no metaData action found replaying $path to version $target")
+    checkProtocol(path, st)
+    Snapshot(target, st.schema, st.live.values.toSeq,
+      txns = st.txns.toMap, partitionBy = st.partitionBy,
+      properties = st.config)
+  }
+
+  private def checkProtocol(path: String, st: State): Unit = {
+    val mappingMode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    require(mappingMode == "none",
+      s"$path requires column mapping mode '$mappingMode' — unsupported " +
+        "(physical column names diverge from logical; reading without " +
+        "mapping support would silently misread)")
+    if (st.minReader >= 3) {
+      val unsupported = st.readerFeatures.filterNot(SupportedReaderFeatures)
+      require(unsupported.isEmpty,
+        s"$path requires reader features ${unsupported.mkString(", ")} — " +
+          s"unsupported (this reader implements: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+    } else require(st.minReader <= 2,
+      s"$path requires minReaderVersion ${st.minReader} — unsupported")
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Snapshot read of a standard Delta table — one parquet scan over
+    * exactly the live files, schema from the log, Hive-partition
+    * columns re-attached as typed literals from `partitionValues`
+    * (all via [[DeltaLite.readFiles]] — shared machinery, not a port). */
+  def read(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    DeltaLite.readFiles(spark, path, snap.schema, snap.files,
+      snap.partitionBy, Map.empty, snap.properties)
+  }
+
+  /** Stats-pruned read: files whose logged min/max (or partition
+    * values) prove no row can match `bounds` are never opened — Delta's
+    * `stats` JSON feeds the exact same [[DeltaLite.pruneFiles]] core
+    * the native format uses. */
+  def scan(spark: SparkSession, path: String,
+      bounds: Seq[DeltaLite.ColumnBound],
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    DeltaLite.readFiles(spark, path, snap.schema,
+      DeltaLite.pruneFiles(snap, bounds),
+      snap.partitionBy, Map.empty, snap.properties)
+  }
+
+  /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`
+    * — `commitInfo.timestamp` when the commit carries one, else the
+    * commit file's modification time (Delta's documented fallback). */
+  def versionAtTimestamp(path: String, tsMs: Long): Long = {
+    val vs = commitVersions(path)
+    require(vs.nonEmpty, s"no standard Delta log at $path")
+    val stamped = vs.map(v => v -> commitTimestamp(path, v))
+    val at = stamped.filter(_._2 <= tsMs).map(_._1)
+    require(at.nonEmpty,
+      s"no commit at or before timestamp $tsMs at $path " +
+        s"(earliest: ${stamped.head._2})")
+    at.max
+  }
+
+  private def commitTimestamp(path: String, v: Long): Long = {
+    val f = logDir(path).resolve(f"$v%020d.json")
+    val fromInfo = Files.readAllLines(f).asScala.iterator
+      .filter(_.contains("\"commitInfo\""))
+      .map(JsonMethods.parse(_)).collectFirst {
+        case JObject(fs) => fs.collectFirst {
+          case ("commitInfo", JObject(ci)) => ci.collectFirst {
+            case ("timestamp", JLong(t)) => t
+            case ("timestamp", JInt(t)) => t.toLong
+          }
+        }.flatten
+      }.flatten
+    fromInfo.getOrElse(Files.getLastModifiedTime(f).toMillis)
+  }
+
+  /** Commit history of a standard Delta table: (version, timestamp,
+    * operation) — operation from `commitInfo` when present. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commitVersions(path).map { v =>
+      val op = Files.readAllLines(logDir(path).resolve(f"$v%020d.json"))
+        .asScala.iterator.filter(_.contains("\"commitInfo\""))
+        .map(JsonMethods.parse(_)).collectFirst {
+          case JObject(fs) => fs.collectFirst {
+            case ("commitInfo", JObject(ci)) => ci.collectFirst {
+              case ("operation", JString(o)) => o
+            }
+          }.flatten
+        }.flatten.getOrElse("")
+      (v, new java.sql.Timestamp(commitTimestamp(path, v)), op)
+    }.toDF("version", "timestamp", "operation")
+  }
+
+  // ---------------------------------------------- CONVERT FROM DELTA
+
+  /** Adopt a standard Delta table as a graft-delta table IN PLACE —
+    * zero copy: graft's version 0 re-states the Delta snapshot's live
+    * file set (stats, partition values, sizes and all; `txn` app
+    * versions carry over so idempotent-append dedup survives the
+    * switch). The `_delta_log` stays untouched beside the new
+    * `_graft_log`; after convert the table has graft's FULL write
+    * surface — nothing distinguishes adopted files from written ones.
+    * The 100 TB migration path: one driver-side log replay, no data
+    * movement. */
+  def convertFromDelta(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Long = {
+    require(DeltaLite.latestVersion(path).isEmpty,
+      s"a graft-delta table already exists at $path")
+    val snap = snapshot(spark, path, asOf)
+    DeltaLite.writeCommit(path, 0L, "CONVERT_FROM_DELTA", snap.schema,
+      snap.files, Nil, None, Map.empty, snap.partitionBy, Map.empty,
+      Map.empty, Map.empty,
+      // delta.* table configuration is provenance, not behavior, on
+      // the graft side — carried so SHOW TBLPROPERTIES tells the story
+      properties = snap.properties,
+      txns = snap.txns.toSeq)
+  }
+
+  // ------------------------------------------------------------ export
+
+  /** Create a standard Delta table at `path` from `df` — the
+    * interchange EXPORT: protocol (1, 2) + metaData + stats-bearing
+    * adds, readable by delta-rs/dbt-duckdb/delta-spark (and
+    * round-trip-tested against this module's own reader). Single-writer
+    * by contract (see class doc). Returns version 0. */
+  def exportToDelta(spark: SparkSession, df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(!isStandardDelta(path) && DeltaLite.latestVersion(path).isEmpty,
+      s"a table already exists at $path")
+    val dir = root(path)
+    Files.createDirectories(dir)
+    val adds = writeDataFiles(spark, df, dir, partitionBy)
+    val schema = df.schema
+    val metaData = JObject(List(
+      "id" -> JString(java.util.UUID.randomUUID.toString),
+      "format" -> JObject(List("provider" -> JString("parquet"),
+        "options" -> JObject(Nil))),
+      "schemaString" -> JString(schema.json),
+      "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
+      "configuration" -> JObject(Nil),
+      "createdTime" -> JLong(System.currentTimeMillis())))
+    val lines =
+      Seq(JsonMethods.compact(JObject(List("protocol" -> JObject(List(
+          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2))))))) ++
+        Seq(JsonMethods.compact(JObject(List("metaData" -> metaData)))) ++
+        adds.map(a => JsonMethods.compact(encodeDeltaAdd(a, schema))) :+
+        commitInfoLine("WRITE")
+    writeCommitFile(path, 0L, lines)
+    0L
+  }
+
+  /** Append `df` to a standard Delta table — one adds-only commit
+    * (Delta does not restate metaData per commit). */
+  def exportAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val snap = snapshot(spark, path)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"append schema ${df.schema.simpleString} does not match table " +
+        s"schema ${snap.schema.simpleString}")
+    val adds = writeDataFiles(spark, df, root(path), snap.partitionBy)
+    val lines = adds.map(a =>
+      JsonMethods.compact(encodeDeltaAdd(a, snap.schema))) :+
+      commitInfoLine("WRITE")
+    val v = snap.version + 1
+    writeCommitFile(path, v, lines)
+    v
+  }
+
+  /** Partition-aligned DELETE on a standard Delta table: every live
+    * file whose `partitionValues` carry `column = value` is removed in
+    * one metadata-only commit — zero data rewritten, the delete shape
+    * that stays O(log) at 100 TB. Row-level deletes are deliberately
+    * NOT offered here (they need DVs or rewrite machinery — the native
+    * format's job). */
+  def exportDeletePartition(spark: SparkSession, path: String,
+      column: String, value: String): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.partitionBy.contains(column),
+      s"'$column' is not a partition column of $path " +
+        s"(partitioned by: ${snap.partitionBy.mkString(", ")})")
+    val doomed = snap.files.filter(_.pv.get(column).contains(value))
+    require(doomed.nonEmpty, s"no live files with $column=$value at $path")
+    val now = System.currentTimeMillis()
+    val lines = doomed.map(f => JsonMethods.compact(JObject(List(
+      "remove" -> JObject(List(
+        "path" -> JString(encodePath(f.path)),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(true))))))) :+
+      commitInfoLine("DELETE")
+    val v = snap.version + 1
+    writeCommitFile(path, v, lines)
+    v
+  }
+
+  /** Write `df` under `dir` (Hive layout when partitioned) and return
+    * footer-decoded AddFiles for exactly the NEW parquet parts —
+    * snapshot-diff of the file listing, since Delta data files live
+    * directly under the table root across commits. */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame,
+      dir: Path, partitionBy: Seq[String]): Seq[AddFile] = {
+    def parts(): Set[String] = {
+      val w = Files.walk(dir)
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.startsWith(dir.resolve("_delta_log")))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = parts()
+    val writer = if (partitionBy.nonEmpty)
+      df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("append").parquet(dir.toString)
+    val fresh = (parts() -- before).toSeq.sorted
+    // footerAdds walks a directory; restrict to the fresh files by
+    // decoding each one's footer through the same helper shape
+    DeltaLite.footerAdds(spark, dir, dir, df.schema, partitionBy, Map.empty)
+      .filter(a => fresh.contains(dir.resolve(a.path).toString))
+  }
+
+  /** graft AddFile → standard Delta `add` action (stats re-encoded
+    * from the decoded representation into PROTOCOL.md's JSON forms). */
+  private def encodeDeltaAdd(f: AddFile, schema: StructType): JObject = {
+    val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    def enc(c: String, v: Any): Option[JValue] = types.get(c).map {
+      case DateType => JString(java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[Long]).toString)
+      case TimestampType => JString(microsToIso(v.asInstanceOf[Long], "Z"))
+      case TimestampNTZType => JString(microsToIso(v.asInstanceOf[Long], ""))
+      case FloatType | DoubleType => JDouble(v.asInstanceOf[Double])
+      case _: DecimalType => JDecimal(v.asInstanceOf[BigDecimal])
+      case StringType => JString(v.asInstanceOf[String])
+      case _ => JLong(v.asInstanceOf[Long])
+    }
+    def side(pick: ColStats => Option[Any]): JObject = JObject(
+      f.stats.toList.sortBy(_._1).flatMap { case (c, cs) =>
+        pick(cs).flatMap(enc(c, _)).map(c -> _) })
+    val stats = JObject(List(
+      "numRecords" -> JLong(f.rows),
+      "minValues" -> side(_.min),
+      "maxValues" -> side(_.max)))
+    JObject(List("add" -> JObject(List(
+      "path" -> JString(encodePath(f.path)),
+      "partitionValues" -> JObject(f.pv.toList.sortBy(_._1)
+        .map { case (k, v) => k -> JString(v) }),
+      "size" -> JLong(f.bytes),
+      "modificationTime" -> JLong(System.currentTimeMillis()),
+      "dataChange" -> JBool(true),
+      "stats" -> JString(JsonMethods.compact(stats))))))
+  }
+
+  private def microsToIso(micros: Long, suffix: String): String = {
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
+    val ldt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+    ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")) + suffix
+  }
+
+  private def commitInfoLine(op: String): String =
+    JsonMethods.compact(JObject(List("commitInfo" -> JObject(List(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString(op))))))
+
+  /** Atomic single-writer commit: temp file + ATOMIC_MOVE without
+    * REPLACE_EXISTING, so racing a concurrent writer (or re-exporting
+    * over a foreign commit) fails loudly instead of clobbering. */
+  private def writeCommitFile(path: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val d = logDir(path)
+    Files.createDirectories(d)
+    val target = d.resolve(f"$version%020d.json")
+    require(!Files.exists(target), s"commit $version already exists at $path")
+    val tmp = Files.createTempFile(d, s".tmp-$version-", ".json")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The classic checkpoint parquet schema (PROTOCOL.md "Checkpoints"),
+    * declared explicitly so `partitionValues`/`configuration` land as
+    * parquet MAPs (JSON inference would make them structs and break
+    * foreign readers). One action per row; absent actions are null. */
+  private val CheckpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
+
+  /** Classic single-part parquet checkpoint at the latest version + the
+    * `_last_checkpoint` pointer — the fast-start handle foreign readers
+    * look for, and the fixture this module's own checkpoint replay path
+    * is tested against. */
+  def exportCheckpoint(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    def statsJson(f: AddFile): String = {
+      val types = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      def enc(c: String, v: Any): Option[JValue] = types.get(c).map {
+        case DateType => JString(java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Long]).toString)
+        case TimestampType => JString(microsToIso(v.asInstanceOf[Long], "Z"))
+        case TimestampNTZType =>
+          JString(microsToIso(v.asInstanceOf[Long], ""))
+        case FloatType | DoubleType => JDouble(v.asInstanceOf[Double])
+        case _: DecimalType => JDecimal(v.asInstanceOf[BigDecimal])
+        case StringType => JString(v.asInstanceOf[String])
+        case _ => JLong(v.asInstanceOf[Long])
+      }
+      def side(pick: ColStats => Option[Any]): JObject = JObject(
+        f.stats.toList.sortBy(_._1).flatMap { case (c, cs) =>
+          pick(cs).flatMap(enc(c, _)).map(c -> _) })
+      JsonMethods.compact(JObject(List(
+        "numRecords" -> JLong(f.rows),
+        "minValues" -> side(_.min), "maxValues" -> side(_.max))))
+    }
+    val now = System.currentTimeMillis()
+    val rows: Seq[Row] =
+      Seq(Row(Row(1, 2), null, null, null),
+        Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
+          snap.schema.json, snap.partitionBy, snap.properties), null,
+          null)) ++
+        snap.files.map(f => Row(null, null,
+          Row(encodePath(f.path), f.pv, f.bytes, now, true, statsJson(f)),
+          null)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, null, null, Row(app, v)) }
+    val d = logDir(path)
+    val tmpDir = Files.createTempDirectory(d, ".cp-")
+    spark.createDataFrame(rows.asJava, CheckpointSchema).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = {
+      val w = Files.list(tmpDir)
+      try w.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("checkpoint write produced no parquet"))
+      finally w.close()
+    }
+    val target = d.resolve(f"${snap.version}%020d.checkpoint.parquet")
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    val s = Files.walk(tmpDir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { val _ = Files.deleteIfExists(p) })
+    finally s.close()
+    Files.write(d.resolve("_last_checkpoint"),
+      JsonMethods.compact(JObject(List(
+        "version" -> JLong(snap.version),
+        "size" -> JLong((rows.size).toLong)))).getBytes("UTF-8"))
+    snap.version
+  }
+}

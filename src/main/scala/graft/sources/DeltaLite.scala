@@ -1158,7 +1158,7 @@ object DeltaLite {
     * min/max decoded from the files' own footers (no Spark job). Stats
     * are keyed by PHYSICAL column name — the name actually in the
     * footer, stable across renames. */
-  private def footerAdds(spark: SparkSession, tableRoot: Path, dir: Path,
+  private[graft] def footerAdds(spark: SparkSession, tableRoot: Path, dir: Path,
       schema: StructType, partitionBy: Seq[String],
       physical: Map[String, String]): Seq[AddFile] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1394,7 +1394,7 @@ object DeltaLite {
       }))
 
   /** Atomically commit a version: actions to a temp file, then rename. */
-  private def writeCommit(path: String, version: Long, op: String,
+  private[graft] def writeCommit(path: String, version: Long, op: String,
       schema: StructType, adds: Seq[AddFile], removes: Seq[String],
       txn: Option[(String, Long)],
       constraints: Map[String, String],
@@ -2665,7 +2665,7 @@ object DeltaLite {
       }
     }
 
-  private def readFiles(spark: SparkSession, path: String, schema: StructType,
+  private[graft] def readFiles(spark: SparkSession, path: String, schema: StructType,
       files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String],
       props: Map[String, String] = Map.empty,

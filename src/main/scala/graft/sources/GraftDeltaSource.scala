@@ -166,6 +166,19 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta requires a path: spark.read.format(\"graft-delta\").load(path)")))
+    // STANDARD-DELTA DISPATCH: a directory with a real `_delta_log` and
+    // no `_graft_log` reads through [[DeltaInterop]] — the reference
+    // stack's tables load with the same one-liner (and the same file
+    // pruning). A converted table has BOTH logs; graft's own log wins —
+    // it is the one this engine's writes advance.
+    if (DeltaLite.latestVersion(path).isEmpty &&
+        DeltaInterop.isStandardDelta(path)) {
+      val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
+        parameters.get("timestampAsOf").map(ts =>
+          DeltaInterop.versionAtTimestamp(
+            path, java.sql.Timestamp.valueOf(ts).getTime)))
+      return DeltaInteropRelation(ctx.sparkSession, path, asOf)
+    }
     val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map(ts => DeltaLite.versionAtTimestamp(
         path, java.sql.Timestamp.valueOf(ts).getTime)))
@@ -382,6 +395,34 @@ object GraftDeltaStreamSource {
     StructType(base.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
+}
+
+/** The [[GraftDeltaRelation]] twin over a STANDARD `_delta_log` table
+  * ([[DeltaInterop]]): same V1 pushdown contract — pushed filters prune
+  * whole files via the Delta log's own `stats` min/max (through the
+  * shared [[DeltaLite.pruneFiles]] core) and re-apply inside the
+  * parquet scan; every filter is also re-applied above by Spark, so
+  * conservative pruning can never change results. */
+final case class DeltaInteropRelation(spark: SparkSession, path: String,
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType =
+    DeltaInterop.snapshot(spark, path, asOf).schema
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned = DeltaInterop.scan(spark, path,
+      GraftDeltaSource.boundsFromFilters(filters.toSeq), asOf)
+    val filtered = filters.toSeq.flatMap(GraftDeltaSource.filterToColumn)
+      .foldLeft(pruned)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.toSeq.map(col): _*)
+    projected.rdd
+  }
 }
 
 final case class GraftDeltaRelation(spark: SparkSession, path: String,

@@ -299,6 +299,75 @@ class DedupSpec extends AnyFunSuite with TestSpark {
         .filter(col("cell").isin(lo, hi)).count())
   }
 
+  test("AnnIndex drift maintenance: append touches only the new batch; occupancy skew triggers retrain; rebuild rebalances") {
+    import graft.operators.AnnIndex
+    import graft.sources.DeltaLite
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_anndrift").toString
+    AnnIndex.build(spark, root, corpus, "vec_id", "embedding")
+    // balanced fixture: well under the retrain threshold
+    val skew0 = AnnIndex.occupancySkew(spark, root)
+    assert(!AnnIndex.needsRetrain(spark, root, maxSkew = 4.0),
+      s"fixture corpus must start balanced, skew $skew0")
+    // --- APPEND TOUCHES ONLY THE NEW BATCH (the refresh-path pin):
+    // every file live before the append is still live after, and the
+    // commit's adds are exactly the batch's new files — no rewrite, no
+    // re-encode of the standing corpus
+    val before = DeltaLite.snapshot(s"$root/codes")
+    val batch = e.filter(col("vec_id").between(20, 49))
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.append(spark, root, batch, "vec_id", "embedding")
+    val after = DeltaLite.snapshot(s"$root/codes")
+    assert(after.version === before.version + 1)
+    val beforePaths = before.files.map(_.path).toSet
+    val afterPaths = after.files.map(_.path).toSet
+    assert(beforePaths.subsetOf(afterPaths),
+      "append must leave every standing codes file live (no rewrite)")
+    assert((after.files.map(_.rows).sum - before.files.map(_.rows).sum) ===
+      batch.count(), "the adds must carry exactly the batch's rows")
+    // occupancy comes from the LOG alone and agrees with the data
+    val occ = AnnIndex.cellOccupancy(spark, root)
+    val real = DeltaLite.read(spark, s"$root/codes").groupBy(col("cell"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ === real, "log-metadata occupancy must equal the data's")
+    // --- DRIFT: a batch massed on ONE existing vector's neighborhood
+    // piles into one cell; the skew trigger fires without reading data
+    val anchor = corpus.filter(col("vec_id") === 60)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val drifted = Seq.tabulate(600)(i =>
+      (100000L + i, anchor.map(x => x * (1.0f + 0.0005f * (i % 7)))))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(spark, root, drifted, "vec_id", "embedding")
+    val skewDrift = AnnIndex.occupancySkew(spark, root)
+    assert(AnnIndex.needsRetrain(spark, root, maxSkew = 4.0),
+      s"600 vectors massed on one neighborhood must trip the skew " +
+        s"trigger, got $skewDrift (was $skew0)")
+    // --- REBUILD retrains on the current corpus: the new centroids
+    // split the massed region, occupancy rebalances, history keeps the
+    // pre-rebuild index readable
+    val full = corpus.unionByName(batch).unionByName(drifted)
+    AnnIndex.rebuild(spark, root, full, "vec_id", "embedding")
+    val skewAfter = AnnIndex.occupancySkew(spark, root)
+    assert(skewAfter < skewDrift,
+      s"retraining must reduce occupancy skew: $skewDrift → $skewAfter")
+    assert(DeltaLite.read(spark, s"$root/codes").count() === full.count())
+    // serve still works on the rebuilt index and time travel still
+    // reads the pre-rebuild code set
+    val served = AnnIndex.query(spark, root,
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", probes = 2, topK = 3)
+    assert(served.count() > 0)
+    val preRebuild = DeltaLite.read(spark, s"$root/codes",
+      asOf = Some(after.version + 1))
+    assert(preRebuild.count() === full.count())
+  }
+
   test("multi-probe IVF raises cell recall over single-probe") {
     GraftFunctions.register(spark)
     val e = Tables.t(spark, sf, "embeddings")
