@@ -28,15 +28,23 @@ import org.apache.spark.sql.functions._
   * l2_dedup_index census + DedupSpec pin behavior). */
 object DedupIndex {
 
-  /** Build the index table from the corpus. Returns the table version. */
+  /** Build the index table from the corpus. Returns the table version.
+    *
+    * The table is deliberately UNPARTITIONED with `band_idx` as a plain
+    * data column: every probe joins ALL bands by construction (a batch
+    * emits one row per band), so band-partition pruning can never fire
+    * on the serve path — while the Hive layout costs a per-partition
+    * scan branch in every probe's plan (8 branches + a union planned
+    * per micro-batch; measured as the dominant slice of the crawl
+    * gate's warm per-batch plan time). One relation plans once. The
+    * probe shuffles on (band_idx, band_hash) equality either way. */
   def build(spark: SparkSession, corpus: DataFrame, id: String,
       text: String, indexPath: String, numHashes: Int = 32,
       bands: Int = 8): Long = {
     val banded = graft.functions.Dedup
       .bandedSignatures(corpus, id, text, numHashes, bands)
       .withColumnRenamed(id, "doc_id")
-    graft.sources.DeltaLite.create(spark, indexPath, banded,
-      partitionBy = Seq("band_idx"))
+    graft.sources.DeltaLite.create(spark, indexPath, banded)
   }
 
   /** Append a batch's bands — O(batch), no rebuild. With `app` set the
@@ -79,7 +87,8 @@ object DedupIndex {
   def probe(spark: SparkSession, batch: DataFrame, corpusText: DataFrame,
       id: String, text: String, indexPath: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 8,
-      preBands: Option[DataFrame] = None): DataFrame = {
+      preBands: Option[DataFrame] = None,
+      lap: String => Unit = _ => ()): DataFrame = {
     // The probe references the batch's band rows THREE times (index
     // candidates + both sides of the self-join) and its shingle sets
     // three more (verify, partner sets, sizes) — without a lineage cut
@@ -98,6 +107,7 @@ object DedupIndex {
     val index = graft.sources.DeltaLite.read(spark, indexPath)
       .select(col("doc_id").as("__eid"), col("band_idx").as("__ebi"),
         col("band_hash").as("__ebh"))
+    lap("probe_index_read") // snapshot replay + branch-scan construction
     // the batch's id set, shared by BOTH batch-membership rules below
     // (candidate-level and text-level) — one frame, so the two rules
     // stay provably identical and the dedup aggregate plans once
@@ -145,6 +155,7 @@ object DedupIndex {
     // candIds) two semi-joins — cut here or the whole candidate
     // cascade (two band joins + anti-join) recomputes per reference
     val cand = graft.Frames.cut(idxCand.union(selfCand).distinct())
+    lap("probe_cand") // index-read + band-join subtree planned (cut)
     // verify with exact Jaccard over shingles of the candidates only:
     // indexed partners' text from the corpus, in-batch partners' text
     // from the batch itself (shingleSets rows are distinct, so the
@@ -154,6 +165,7 @@ object DedupIndex {
       .join(candIds, corpusText(id) === col("eid"), "left_semi")
     val inSets = graft.Frames.cut(
       graft.functions.TextFunctions.shingleSets(batch, id, text))
+    lap("probe_in_sets") // batch shingling subtree planned (cut)
     // Partner text resolves per eid with BATCH text winning: a
     // re-crawled id (present in both the corpus and this batch, possibly
     // with different text) must verify against its current batch text
@@ -171,6 +183,7 @@ object DedupIndex {
     // referenced by the intersection join and the size agg — cut, or
     // the corpus semi-join + shingling cascade runs twice
     val partnerSets = graft.Frames.cut(exSets.union(selfSets).distinct())
+    lap("probe_partner_sets") // corpus semi-join + shingling planned (cut)
     val inter = inSets.join(cand, Seq(id))
       .join(partnerSets, Seq("eid", "shingle"))
       .groupBy(col(id), col("eid")).agg(count(lit(1)).as("__inter"))

@@ -310,7 +310,8 @@ object Streams {
     val corpus = D.read(s, corpusPath)
     val verdicts = graft.operators.DedupIndex.probe(
         s, b, corpus, id, text, indexPath, threshold,
-        preBands = Some(banded))
+        preBands = Some(banded),
+        lap = phase => lap(phase))
       .withColumn("batch_id", lit(batchId))
     lap("probe_built")
     // the three sink appends are MUTUALLY INDEPENDENT (verdicts from

@@ -12,11 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class GateProfileSpec extends AnyFunSuite with TestSpark {
   test("crawl gate completes with attributable phases at sf0.1") {
     graft.streaming.Streams.gateLaps.clear()
+    // warm the session (first-job costs must not read as gate time)
+    spark.range(8).count()
     val t0 = System.nanoTime()
-    SparkEntry.queries("l2_crawl_gate")(spark, "/root/testdata/sf0.1")
-      .write.mode("overwrite").format("noop").save()
+    val result = SparkEntry.queries("l2_crawl_gate")(spark, "/root/testdata/sf0.1")
+    val tBatches = (System.nanoTime() - t0) / 1e9
+    result.write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9
-    info(f"gate completion $wall%.2fs")
+    info(f"gate completion $wall%.2fs (batches $tBatches%.2fs, " +
+      f"final read ${wall - tBatches}%.2fs)")
     var attributed = 0.0
     graft.streaming.Streams.gateLaps.forEach { case (b, p, s) =>
       info(f"batch $b  $p%-16s $s%6.2fs")
