@@ -199,7 +199,37 @@ object DeltaLite {
     def readImmutable(target: Path): Seq[String]
     /** File names in a log directory (Nil if the directory is absent). */
     def listLog(dir: Path): Seq[String]
+    /** Existence probe for a log artifact (HEAD on an object store).
+      * Default suits stores that mirror claims onto the local
+      * filesystem; pure remote stores override. */
+    def exists(target: Path): Boolean = Files.exists(target)
+    /** Retention-driven deletion of an EXPIRED log artifact (DELETE on
+      * an object store) — the one place immutability is waived, used
+      * only by [[cleanupLogs]] behind its checkpoint-anchor guard.
+      * Multi-part checkpoint dirs delete recursively on POSIX; object
+      * stores have no dirs, so the default's recursion is a no-op
+      * there. */
+    def deleteLog(target: Path): Unit = {
+      if (Files.isDirectory(target)) { // multi-part checkpoint dir
+        val parts = Files.list(target)
+        try parts.iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally parts.close()
+      }
+      Files.deleteIfExists(target)
+      ()
+    }
   }
+
+  /** PLANE SPLIT, stated once: the claim store is the CONTROL-PLANE
+    * authority — every JSON log artifact (commit files, json/v2
+    * checkpoint manifests) is claimed, read, listed, and probed through
+    * it, so porting the log to an object store is implementing this one
+    * trait ([[HttpObjectStoreClaimStore]] is that port, exercised
+    * end-to-end in the suite against a local conditional-PUT server).
+    * DATA-plane artifacts — parquet data files, parquet checkpoints,
+    * DV/sidecar parquet — ride Spark's Hadoop filesystem layer, which
+    * speaks object stores natively (s3a/gs/abfs); the engine never
+    * assumes their bytes are reachable through the claim store. */
 
   /** A claim whose outcome the store cannot determine (timeout after
     * the request may have been applied) — see the recovery contract on
@@ -567,12 +597,8 @@ object DeltaLite {
   private def latestCheckpointAtOrBefore(path: String, v: Long,
       parquetOk: Boolean): Option[CkptRef] = {
     val ld = logDir(path)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val stream = Files.list(ld)
-      try {
-        val cs = stream.iterator().asScala
-          .map(_.getFileName.toString)
+    locally {
+        val cs = claimStore.listLog(ld).iterator
           .flatMap { n =>
             // the .v2.json test must run FIRST: the plain-json branch's
             // suffix strip would otherwise parse "15.v2" as a version
@@ -598,7 +624,6 @@ object DeltaLite {
           .filter(_.version <= v)
           .toSeq
         cs.sortBy(c => (c.version, c.rank)).lastOption
-      } finally stream.close()
     }
   }
 
@@ -742,7 +767,7 @@ object DeltaLite {
       .getOrElse(throw new IllegalArgumentException(s"no DeltaLite table at $path"))
     val v = asOf.getOrElse(latest)
     require(v <= latest, s"version $v was never committed at $path")
-    if (!Files.exists(logDir(path).resolve(s"$v.json")))
+    if (!claimStore.exists(logDir(path).resolve(s"$v.json")))
       throw new IllegalArgumentException(
         s"version $v at $path was pruned by log retention cleanup " +
           s"(earliest retained commit: ${earliestVersion(path).getOrElse(-1L)})")
@@ -817,8 +842,8 @@ object DeltaLite {
               p => partitionBy = p, m => physical = m, g => generated = g,
               i => identity = i, pr => setProps(pr))
           case CkptRef(cv, _) =>
-            applyActions(Files.readAllLines(
-              logDir(path).resolve(s"checkpoint-$cv.json")).asScala.toSeq,
+            applyActions(claimStore.readImmutable(
+              logDir(path).resolve(s"checkpoint-$cv.json")),
               s => schema = s, live, txns, c => constraints = c,
               p => partitionBy = p, m => physical = m, g => generated = g,
               i => identity = i, pr => setProps(pr))
@@ -1801,20 +1826,16 @@ object DeltaLite {
       byBucket.map { case (b, fs) => b -> fingerprint(fs) }
     // previous v2 manifest (any version < this one): reusable sidecars
     val ld = logDir(path)
-    val prevVersion: Option[Long] = {
-      val stream = Files.list(ld)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
+    val prevVersion: Option[Long] =
+      claimStore.listLog(ld).iterator
         .filter(n => n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
         .map(_.stripPrefix("checkpoint-").stripSuffix(".v2.json").toLong)
         .filter(_ < version)
         .foldLeft(Option.empty[Long])((acc, x) =>
           Some(acc.fold(x)(math.max(_, x))))
-      finally stream.close()
-    }
     val prev: Map[Int, (String, String, Long)] = prevVersion.map { pv =>
-      manifestSidecars(Files.readAllLines(
-        ld.resolve(s"checkpoint-$pv.v2.json")).asScala.toSeq)
+      manifestSidecars(claimStore.readImmutable(
+        ld.resolve(s"checkpoint-$pv.v2.json")))
     }.getOrElse(Map.empty)
     val reused: Map[Int, String] = byBucket.keys.flatMap { b =>
       prev.get(b).collect { case (file, fp, _) if fp == prints(b) => b -> file }
@@ -1891,17 +1912,13 @@ object DeltaLite {
     val sd = sidecarDir(path)
     if (!Files.isDirectory(sd)) return
     val ld = logDir(path)
-    val referenced: Set[String] = {
-      val stream = Files.list(ld)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
+    val referenced: Set[String] =
+      claimStore.listLog(ld).iterator
         .filter(n => n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
         .flatMap(n => manifestSidecars(
-          Files.readAllLines(ld.resolve(n)).asScala.toSeq).values.map(_._1))
+          claimStore.readImmutable(ld.resolve(n))).values.map(_._1))
         .map(_.stripPrefix("_sidecars/"))
         .toSet
-      finally stream.close()
-    }
     val cutoff = System.currentTimeMillis() - SidecarGcAgeMs
     val stream = Files.list(sd)
     try stream.iterator().asScala
@@ -1924,8 +1941,8 @@ object DeltaLite {
       onIdentity: Map[String, IdentityCol] => Unit,
       onProperties: Map[String, String] => Unit): Unit = {
     val ld = logDir(path)
-    val lines = Files.readAllLines(
-      ld.resolve(s"checkpoint-$cv.v2.json")).asScala.toSeq
+    val lines = claimStore.readImmutable(
+      ld.resolve(s"checkpoint-$cv.v2.json"))
     var schema: StructType = null
     var physical = Map.empty[String, String]
     // metaData/txn lines apply as usual; `sidecar` lines fall through
@@ -5883,10 +5900,7 @@ object DeltaLite {
     }
     if (anchor <= 0L) return 0
     val ld = logDir(path)
-    val stream = Files.list(ld)
-    val victims = try {
-      stream.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
+    val victims = claimStore.listLog(ld).filter { n =>
         if (n.matches("""\d+\.json""")) n.stripSuffix(".json").toLong < anchor
         else if (n.startsWith("checkpoint-") && n.endsWith(".v2.json"))
           n.stripPrefix("checkpoint-").stripSuffix(".v2.json").toLong < anchor
@@ -5896,16 +5910,8 @@ object DeltaLite {
           n.stripPrefix("checkpoint-").stripSuffix(".parquet").toLong < anchor
         else false
       }.toList
-    } finally stream.close()
     if (!dryRun) {
-      victims.foreach { p =>
-        if (Files.isDirectory(p)) { // multi-part checkpoint dir
-          val parts = Files.list(p)
-          try parts.iterator().asScala.foreach(Files.deleteIfExists(_))
-          finally parts.close()
-          Files.deleteIfExists(p)
-        } else Files.deleteIfExists(p)
-      }
+      victims.foreach(n => claimStore.deleteLog(ld.resolve(n)))
       gcSidecars(path)
       // the cached tip snapshot stays valid (cleanup never touches the
       // retained range), but a cached PRE-anchor historical state cannot

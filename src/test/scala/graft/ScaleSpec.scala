@@ -3158,7 +3158,64 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     }
   }
 
-  private def claimContract(): Unit = {
+  test("commit claim contract (HTTP conditional-PUT object store): the wire backend passes OCC, replay, checkpointed cold start, and retention cleanup") {
+    import spark.implicits._
+    val srv = new TestObjectStore.Server()
+    try {
+      val http = new graft.sources.HttpObjectStoreClaimStore(
+        srv.endpoint, "graft-logs")
+      DeltaLite.withClaimStore(http) {
+        // the full contract scenario over the wire — every commit claim
+        // is a real conditional PUT; commit bytes live ONLY in the
+        // object store (nothing under _graft_log on disk)
+        claimContract(http)
+        val path = Files.createTempDirectory("graft_claim_http").toString
+        DeltaLite.create(spark, path,
+          Seq((1L, "a")).toDF("k", "s").coalesce(1))
+        DeltaLite.append(spark, path,
+          Seq((2L, "b")).toDF("k", "s").coalesce(1))
+        DeltaLite.delete(spark, path, col("k") === 1L)
+        assert(!Files.exists(Paths.get(path, "_graft_log", "0.json")),
+          "commit artifacts must live in the object store, not on disk")
+        DeltaLite.clearSnapshotCache()
+        assert(DeltaLite.read(spark, path).select("k").as[Long]
+          .collect().toSeq === Seq(2L))
+        assert(DeltaLite.read(spark, path, asOf = Some(1L)).orderBy("k")
+          .select("k").as[Long].collect().toSeq === Seq(1L, 2L),
+          "time travel must replay HTTP-claimed history")
+        // drive past the checkpoint cadence: the JSON checkpoint is
+        // claimed into the store, a cold replay starts from it, and
+        // cleanupLogs prunes pre-anchor commits with HTTP DELETEs
+        (3L to 11L).foreach(k => DeltaLite.append(spark, path,
+          Seq((k, s"s$k")).toDF("k", "s").coalesce(1)))
+        val log = Paths.get(path, "_graft_log")
+        assert(http.listLog(log).exists(_.startsWith("checkpoint-")),
+          s"cadence checkpoint must land in the store: ${http.listLog(log)}")
+        DeltaLite.clearSnapshotCache()
+        assert(DeltaLite.read(spark, path).count() === 10L)
+        val pruned = DeltaLite.cleanupLogs(path, keepVersions = 2)
+        assert(pruned > 0, "retention cleanup must prune over HTTP")
+        assert(!http.exists(log.resolve("0.json")),
+          "pruned commits must be deleted from the object store")
+        DeltaLite.clearSnapshotCache()
+        assert(DeltaLite.read(spark, path).count() === 10L,
+          "post-cleanup replay must reconstruct from the checkpoint")
+      }
+    } finally srv.stop()
+  }
+
+  test("flaky weather over the HTTP object store: ambiguity, stale lists, and transient reads recover identically on the wire backend") {
+    val srv = new TestObjectStore.Server()
+    try {
+      flakyScenario(new FlakyClaimStore(
+        new graft.sources.HttpObjectStoreClaimStore(
+          srv.endpoint, "graft-logs")))
+    } finally srv.stop()
+  }
+
+  private def claimContract(
+      store: DeltaLite.CommitClaimStore = DeltaLite.PosixCommitClaimStore)
+      : Unit = {
     // The three properties every object-store port of the claim
     // primitive must preserve (the [[DeltaLite.CommitClaimStore]]
     // contract): (1) exactly one winner per version, (2) a won
@@ -3168,11 +3225,13 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     DeltaLite.create(spark, path, Seq((1L, "a")).toDF("k", "s").coalesce(1)) // v0
     DeltaLite.append(spark, path, Seq((2L, "b")).toDF("k", "s").coalesce(1)) // v1
     val log = java.nio.file.Paths.get(path, "_graft_log")
-    def bytes(v: Long): Seq[Byte] =
-      java.nio.file.Files.readAllBytes(log.resolve(s"$v.json")).toSeq
+    // log artifacts are read back THROUGH the store under test — a pure
+    // remote store holds the only copy (nothing need exist on disk)
+    def bytes(v: Long): Seq[String] =
+      store.readImmutable(log.resolve(s"$v.json"))
     // a winner takes v2 inside the loser's snapshot→commit window; the
     // losing OPTIMIZE's claim on v2 FAILS and it rebases to v3
-    var v2AtWin: Seq[Byte] = null
+    var v2AtWin: Seq[String] = null
     DeltaLite.testHookBeforeCommit = () => {
       DeltaLite.testHookBeforeCommit = () => ()
       DeltaLite.append(spark, path, Seq((3L, "c")).toDF("k", "s").coalesce(1))
@@ -3185,20 +3244,11 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     assert(bytes(2L) === v2AtWin,
       "a won commit must never be replaced by a losing claim")
     // (1) exactly one commit file per version, contiguous 0..3
-    val commits = {
-      val st = java.nio.file.Files.list(log)
-      try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("""\d+\.json""")).toSeq.sorted
-      finally st.close()
-    }
+    val commits = store.listLog(log)
+      .filter(_.matches("""\d+\.json""")).sorted
     assert(commits === Seq("0.json", "1.json", "2.json", "3.json"))
     // (3) no temp/partial claim state litters the log
-    val litter = {
-      val st = java.nio.file.Files.list(log)
-      try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".tmp")).toSeq
-      finally st.close()
-    }
+    val litter = store.listLog(log).filter(_.endsWith(".tmp"))
     assert(litter.isEmpty, s"failed claims must clean up, found $litter")
     // a stale direct claim at an already-won version fails LOUDLY and
     // leaves the won file untouched
@@ -3249,6 +3299,10 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       }
       delegate.readImmutable(target)
     }
+    override def exists(target: java.nio.file.Path): Boolean =
+      delegate.exists(target)
+    override def deleteLog(target: java.nio.file.Path): Unit =
+      delegate.deleteLog(target)
     override def listLog(dir: java.nio.file.Path): Seq[String] = {
       val l = delegate.listLog(dir)
       if (staleLists > 0) {
@@ -3330,8 +3384,15 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
   }
 
   test("flaky claim store: ambiguous claims, stale listings, transient reads — one winner, no double-apply, no fork") {
+    flakyScenario(new FlakyClaimStore(DeltaLite.PosixCommitClaimStore))
+  }
+
+  /** The full injected-weather recovery scenario, parameterized over
+    * the UNDERLYING store — run against the POSIX store and the HTTP
+    * conditional-PUT object store, proving the recovery contract is a
+    * property of the engine's claim protocol, not of one backend. */
+  private def flakyScenario(flaky: FlakyClaimStore): Unit = {
     import spark.implicits._
-    val flaky = new FlakyClaimStore(DeltaLite.PosixCommitClaimStore)
     DeltaLite.withClaimStore(flaky) {
       val path = Files.createTempDirectory("graft_claim_flaky").toString
       DeltaLite.create(spark, path,
@@ -3393,7 +3454,7 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       DeltaLite.append(spark, path,
         Seq((6L, "f")).toDF("k", "s").coalesce(1))                    // v5
       assert(DeltaLite.latestVersion(path) === Some(5L))
-      val commits = DeltaLite.PosixCommitClaimStore
+      val commits = flaky
         .listLog(java.nio.file.Paths.get(path, "_graft_log"))
         .filter(_.matches("""\d+\.json""")).sorted
       assert(commits === (0 to 5).map(v => s"$v.json"),
