@@ -181,20 +181,36 @@ object Llm {
     * being served to a live one. Direct mpScoreFrameIvf callers
     * (tests) own their frame's lifetime — declared queries go
     * through this memo. */
+  private final case class MpScored(owner: SparkSession, df: DataFrame)
   private val mpScoredCache = new java.util.concurrent.ConcurrentHashMap[
-    String, DataFrame]()
+    String, MpScored]()
 
-  private def mpScoredIvf(s: SparkSession, dir: String): DataFrame =
-    mpScoredCache.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir", { _ =>
+  private def mpScoredIvf(s: SparkSession, dir: String): DataFrame = {
+    // sweep entries owned by STOPPED sessions first — a cached frame
+    // strongly references its session, so without eviction a
+    // create/stop session cycle grows the map (and pins dead session
+    // graphs) forever; the sweep bounds it to live sessions × dirs
+    // (review finding)
+    mpScoredCache.forEach((k, v) =>
+      if (v.owner.sparkContext.isStopped) { mpScoredCache.remove(k, v); () })
+    val key = s"${System.identityHashCode(s)}|$dir"
+    val hit = mpScoredCache.get(key)
+    // identity hashes are not unique: serve a hit only when the owner
+    // IS this session, else rebuild and replace (review finding — a
+    // collision must never hand session B a frame bound to session A)
+    if (hit != null && (hit.owner eq s)) hit.df
+    else {
       val e = emb(s, dir).select(col("vec_id"), col("label"),
         col("embedding"), col("norm"))
       val centers = mpCenters.computeIfAbsent(dir, { _ =>
         val k = math.max(16L, math.min(256L, e.count() / 125L)).toInt
         Dedup.ivfTrain(e, "embedding", k = k)
       })
-      mpScoreFrameIvf(e, centers, probes = 4)
-    })
+      val df = mpScoreFrameIvf(e, centers, probes = 4)
+      mpScoredCache.put(key, MpScored(s, df))
+      df
+    }
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -87,16 +87,29 @@ object DeltaInterop {
     listLog(path).filter(_.matches("""\d{20}\.json"""))
       .map(_.stripSuffix(".json").toLong).sorted
 
-  /** Classic parquet checkpoints present in the log, version → parts. */
+  /** Classic parquet checkpoints present AND COMPLETE in the log,
+    * version → parts. A multi-part checkpoint (`<v>.checkpoint.<i>.<n>
+    * .parquet`) counts only when ALL n parts are present — replaying a
+    * partial one would silently drop the missing parts' add actions
+    * (wrong rows, the one outcome this module must never produce), so
+    * an incomplete set is treated as no checkpoint at that version and
+    * replay falls back to JSON commits or an older checkpoint. */
   private def checkpoints(path: String): Map[Long, Seq[Path]] = {
     val d = logDir(path)
     val single = """(\d{20})\.checkpoint\.parquet""".r
-    val multi = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
-    listLog(path).flatMap {
-      case n @ single(v) => Some(v.toLong -> d.resolve(n))
-      case n @ multi(v) => Some(v.toLong -> d.resolve(n))
-      case _ => None
-    }.groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).sortBy(_.toString) }
+    val multi = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val names = listLog(path)
+    val singles = names.collect { case n @ single(v) =>
+      v.toLong -> Seq(d.resolve(n)) }.toMap
+    val multis = names.collect { case n @ multi(v, i, t) =>
+      (v.toLong, i.toInt, t.toInt, d.resolve(n)) }
+      .groupBy(_._1).flatMap { case (v, parts) =>
+        val total = parts.head._3
+        val complete = parts.map(_._3).forall(_ == total) &&
+          parts.map(_._2).toSet == (1 to total).toSet
+        if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+      }
+    singles ++ multis
   }
 
   def latestVersion(path: String): Option[Long] =
@@ -125,7 +138,11 @@ object DeltaInterop {
 
   /** One JSON commit line → state transition. */
   private def applyJsonAction(st: State, line: String, where: String): Unit =
-    JsonMethods.parse(line) match {
+    applyParsedAction(st, JsonMethods.parse(line), where)
+
+  private def applyParsedAction(st: State, jv: JValue,
+      where: String): Unit =
+    jv match {
       case JObject(fields) => fields.foreach {
         case ("metaData", JObject(m)) => applyMetaData(st, m.toMap, where)
         case ("protocol", JObject(p)) =>
@@ -321,11 +338,18 @@ object DeltaInterop {
       val rows = spark.read
         .parquet(cps(cp).map(_.toString): _*)
         .toJSON.collect()
-      // metaData/protocol rows first: add rows need the schema to type
-      // their stats
-      val (meta, rest) = rows.partition(r =>
-        r.contains("\"metaData\"") || r.contains("\"protocol\""))
-      (meta ++ rest).foreach(applyJsonAction(st, _, s"checkpoint $cp"))
+        .map(JsonMethods.parse(_))
+      // metaData/protocol rows first — add rows need the schema to type
+      // their stats. Classified on the PARSED key set: a substring test
+      // would hoist an add row whose stats VALUES contain the text
+      // "metaData" and silently skip its stats (review finding).
+      def isMeta(jv: JValue): Boolean = jv match {
+        case JObject(fs) => fs.exists { case (k, v) =>
+          (k == "metaData" || k == "protocol") && v != JNull }
+        case _ => false
+      }
+      val (meta, rest) = rows.partition(isMeta)
+      (meta ++ rest).foreach(applyParsedAction(st, _, s"checkpoint $cp"))
     }
     ((fromCp.map(_ + 1L).getOrElse(0L)) to target).foreach { v =>
       val f = logDir(path).resolve(f"$v%020d.json")
@@ -375,12 +399,19 @@ object DeltaInterop {
     * the native format uses. */
   def scan(spark: SparkSession, path: String,
       bounds: Seq[DeltaLite.ColumnBound],
-      asOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, path, asOf)
+      asOf: Option[Long] = None): DataFrame =
+    scanSnapshot(spark, path, snapshot(spark, path, asOf), bounds)
+
+  /** [[scan]] over an ALREADY-REPLAYED snapshot — the V1 relation
+    * replays once for its schema and reuses that state for every
+    * buildScan instead of re-walking the log per scan (review
+    * finding: the interop path paid two full replays per query while
+    * the native twin served from its snapshot cache). */
+  private[sources] def scanSnapshot(spark: SparkSession, path: String,
+      snap: Snapshot, bounds: Seq[DeltaLite.ColumnBound]): DataFrame =
     DeltaLite.readFiles(spark, path, snap.schema,
       DeltaLite.pruneFiles(snap, bounds),
       snap.partitionBy, Map.empty, snap.properties)
-  }
 
   /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`
     * — `commitInfo.timestamp` when the commit carries one, else the
@@ -530,35 +561,29 @@ object DeltaInterop {
     v
   }
 
-  /** Write `df` under `dir` (Hive layout when partitioned) and return
-    * footer-decoded AddFiles for exactly the NEW parquet parts —
-    * snapshot-diff of the file listing, since Delta data files live
-    * directly under the table root across commits. */
+  /** Write `df` into a FRESH per-commit subdirectory of the table root
+    * (Hive layout inside it when partitioned) and footer-decode exactly
+    * that subdirectory — commit cost stays O(batch) no matter how many
+    * files the table holds (the earlier root-walk diff re-opened every
+    * standing file's footer per append; review finding). Delta `add`
+    * paths are arbitrary root-relative URIs, so foreign readers are
+    * indifferent to the layout. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame,
       dir: Path, partitionBy: Seq[String]): Seq[AddFile] = {
-    def parts(): Set[String] = {
-      val w = Files.walk(dir)
-      try w.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.startsWith(dir.resolve("_delta_log")))
-        .map(_.toString).toSet
-      finally w.close()
-    }
-    val before = parts()
+    val stage = dir.resolve(
+      "data-" + java.util.UUID.randomUUID.toString.take(12))
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
-    writer.mode("append").parquet(dir.toString)
-    val fresh = (parts() -- before).toSeq.sorted
-    // footerAdds walks a directory; restrict to the fresh files by
-    // decoding each one's footer through the same helper shape
-    DeltaLite.footerAdds(spark, dir, dir, df.schema, partitionBy, Map.empty)
-      .filter(a => fresh.contains(dir.resolve(a.path).toString))
+    writer.mode("overwrite").parquet(stage.toString)
+    DeltaLite.footerAdds(spark, dir, stage, df.schema, partitionBy,
+      Map.empty)
   }
 
-  /** graft AddFile → standard Delta `add` action (stats re-encoded
-    * from the decoded representation into PROTOCOL.md's JSON forms). */
-  private def encodeDeltaAdd(f: AddFile, schema: StructType): JObject = {
+  /** graft decoded stats → PROTOCOL.md's per-file `stats` JSON — the
+    * ONE encoder both commit adds and checkpoint rows go through (two
+    * drifting copies would let a commit and its checkpoint disagree on
+    * the same file's stats; review finding). */
+  private def deltaStatsJson(f: AddFile, schema: StructType): String = {
     val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
     def enc(c: String, v: Any): Option[JValue] = types.get(c).map {
       case DateType => JString(java.time.LocalDate
@@ -573,10 +598,15 @@ object DeltaInterop {
     def side(pick: ColStats => Option[Any]): JObject = JObject(
       f.stats.toList.sortBy(_._1).flatMap { case (c, cs) =>
         pick(cs).flatMap(enc(c, _)).map(c -> _) })
-    val stats = JObject(List(
+    JsonMethods.compact(JObject(List(
       "numRecords" -> JLong(f.rows),
       "minValues" -> side(_.min),
-      "maxValues" -> side(_.max)))
+      "maxValues" -> side(_.max))))
+  }
+
+  /** graft AddFile → standard Delta `add` action (stats re-encoded
+    * from the decoded representation into PROTOCOL.md's JSON forms). */
+  private def encodeDeltaAdd(f: AddFile, schema: StructType): JObject =
     JObject(List("add" -> JObject(List(
       "path" -> JString(encodePath(f.path)),
       "partitionValues" -> JObject(f.pv.toList.sortBy(_._1)
@@ -584,8 +614,7 @@ object DeltaInterop {
       "size" -> JLong(f.bytes),
       "modificationTime" -> JLong(System.currentTimeMillis()),
       "dataChange" -> JBool(true),
-      "stats" -> JString(JsonMethods.compact(stats))))))
-  }
+      "stats" -> JString(deltaStatsJson(f, schema))))))
 
   private def microsToIso(micros: Long, suffix: String): String = {
     val inst = java.time.Instant.ofEpochSecond(
@@ -601,18 +630,24 @@ object DeltaInterop {
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString(op))))))
 
-  /** Atomic single-writer commit: temp file + ATOMIC_MOVE without
-    * REPLACE_EXISTING, so racing a concurrent writer (or re-exporting
-    * over a foreign commit) fails loudly instead of clobbering. */
+  /** Atomic no-clobber commit: unique temp + `link(2)` to the final
+    * name — link fails with FileAlreadyExistsException when the target
+    * exists, so racing writers (or a re-export over a foreign commit)
+    * fail LOUDLY and exactly one wins. (A rename-based move cannot
+    * give this: POSIX rename(2) silently REPLACES the target, and the
+    * ATOMIC_MOVE flag does not change that — the earlier exists()
+    * pre-check was a race window; review finding.) */
   private def writeCommitFile(path: String, version: Long,
       lines: Seq[String]): Unit = {
     val d = logDir(path)
     Files.createDirectories(d)
     val target = d.resolve(f"$version%020d.json")
-    require(!Files.exists(target), s"commit $version already exists at $path")
     val tmp = Files.createTempFile(d, s".tmp-$version-", ".json")
-    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.createLink(target, tmp)
+    } finally Files.deleteIfExists(tmp)
+    ()
   }
 
   /** The classic checkpoint parquet schema (PROTOCOL.md "Checkpoints"),
@@ -647,26 +682,7 @@ object DeltaInterop {
     * is tested against. */
   def exportCheckpoint(spark: SparkSession, path: String): Long = {
     val snap = snapshot(spark, path)
-    def statsJson(f: AddFile): String = {
-      val types = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-      def enc(c: String, v: Any): Option[JValue] = types.get(c).map {
-        case DateType => JString(java.time.LocalDate
-          .ofEpochDay(v.asInstanceOf[Long]).toString)
-        case TimestampType => JString(microsToIso(v.asInstanceOf[Long], "Z"))
-        case TimestampNTZType =>
-          JString(microsToIso(v.asInstanceOf[Long], ""))
-        case FloatType | DoubleType => JDouble(v.asInstanceOf[Double])
-        case _: DecimalType => JDecimal(v.asInstanceOf[BigDecimal])
-        case StringType => JString(v.asInstanceOf[String])
-        case _ => JLong(v.asInstanceOf[Long])
-      }
-      def side(pick: ColStats => Option[Any]): JObject = JObject(
-        f.stats.toList.sortBy(_._1).flatMap { case (c, cs) =>
-          pick(cs).flatMap(enc(c, _)).map(c -> _) })
-      JsonMethods.compact(JObject(List(
-        "numRecords" -> JLong(f.rows),
-        "minValues" -> side(_.min), "maxValues" -> side(_.max))))
-    }
+    def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
     val now = System.currentTimeMillis()
     val rows: Seq[Row] =
       Seq(Row(Row(1, 2), null, null, null),

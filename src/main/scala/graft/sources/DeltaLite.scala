@@ -5949,9 +5949,14 @@ object DeltaLite {
       val victims = all.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .map(p => r.relativize(p).toString)
-        // the log dir holds parquet CHECKPOINT parts, not data files —
-        // never vacuum metadata
+        // the log dirs hold parquet CHECKPOINT parts, not data files —
+        // never vacuum metadata. `_delta_log/` covers CONVERT FROM
+        // DELTA tables, where a standard Delta log coexists beside the
+        // graft one and its checkpoint parquets must survive a graft
+        // VACUUM (review finding: `_last_checkpoint` would otherwise
+        // dangle for foreign readers).
         .filterNot(_.startsWith("_graft_log/"))
+        .filterNot(_.startsWith("_delta_log/"))
         .filterNot(referenced.contains)
         .filterNot(rel => referencedDvDirs.exists(d => rel.startsWith(d + "/")))
         .toList
@@ -6004,6 +6009,7 @@ object DeltaLite {
       .select(col("path").cast("string").as("path"))
       .filter(col("path").endsWith(".parquet"))
       .filter(!col("path").startsWith("_graft_log/"))
+      .filter(!col("path").startsWith("_delta_log/"))
       .filter(!col("path").startsWith("/") && !col("path").contains(".."))
       .filter(!underDv)
       .join(refDf, Seq("path"), "left_anti")

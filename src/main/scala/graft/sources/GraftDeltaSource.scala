@@ -407,15 +407,16 @@ final case class DeltaInteropRelation(spark: SparkSession, path: String,
     asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType =
-    DeltaInterop.snapshot(spark, path, asOf).schema
+  // one replay per relation: schema AND every buildScan serve from it
+  private val snap = DeltaInterop.snapshot(spark, path, asOf)
+  override val schema: StructType = snap.schema
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pruned = DeltaInterop.scan(spark, path,
-      GraftDeltaSource.boundsFromFilters(filters.toSeq), asOf)
+    val pruned = DeltaInterop.scanSnapshot(spark, path, snap,
+      GraftDeltaSource.boundsFromFilters(filters.toSeq))
     val filtered = filters.toSeq.flatMap(GraftDeltaSource.filterToColumn)
       .foldLeft(pruned)(_ filter _)
     val projected =

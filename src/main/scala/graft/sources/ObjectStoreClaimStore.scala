@@ -130,23 +130,45 @@ final class HttpObjectStoreClaimStore(endpoint: String, bucket: String,
   }
 
   override def listLog(dir: Path): Seq[String] = {
+    // PAGINATED ListObjectsV2: real stores cap a page at ~1000 keys —
+    // a single-request list silently truncates there, and a truncated
+    // log listing means a stale latestVersion (wrong-snapshot reads)
+    // and a permanently colliding writer (review finding). Loop on
+    // IsTruncated/NextContinuationToken until the store says done.
     val prefix = key(dir) + "/"
-    val uri = URI.create(s"$endpoint/$bucket?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8"))
-    val resp = client.send(base(uri).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(
-        s"list of $dir failed: HTTP ${resp.statusCode()}")
-    // ListObjectsV2 <Key> entries; the log is flat, so the name is the
-    // suffix after the prefix (deeper keys — multi-part checkpoint
-    // "dirs" — surface as their first segment, deduplicated)
-    KeyRe.findAllMatchIn(resp.body()).map(_.group(1))
-      .map(xmlUnescape)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).split('/').head)
-      .filter(_.nonEmpty)
-      .toSeq.distinct
+    val names = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val uri = URI.create(s"$endpoint/$bucket?list-type=2&prefix=" +
+        java.net.URLEncoder.encode(prefix, "UTF-8") +
+        token.map(t => "&continuation-token=" +
+          java.net.URLEncoder.encode(t, "UTF-8")).getOrElse(""))
+      val resp = client.send(base(uri).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"list of $dir failed: HTTP ${resp.statusCode()}")
+      val body = resp.body()
+      // ListObjectsV2 <Key> entries; the log is flat, so the name is
+      // the suffix after the prefix (deeper keys — multi-part
+      // checkpoint "dirs" — surface as their first segment)
+      names ++= KeyRe.findAllMatchIn(body).map(_.group(1))
+        .map(xmlUnescape)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).split('/').head)
+        .filter(_.nonEmpty)
+      val truncated = TruncRe.findFirstMatchIn(body)
+        .exists(_.group(1).trim == "true")
+      token = if (truncated)
+        TokenRe.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1)))
+      else None
+      more = truncated && token.isDefined
+      if (truncated && token.isEmpty)
+        throw new java.io.IOException(
+          s"list of $dir truncated without a continuation token")
+    }
+    names.result().distinct
   }
 
   override def deleteLog(target: Path): Unit = {
@@ -160,6 +182,9 @@ final class HttpObjectStoreClaimStore(endpoint: String, bucket: String,
   }
 
   private val KeyRe = "<Key>([^<]*)</Key>".r
+  private val TruncRe = "<IsTruncated>([^<]*)</IsTruncated>".r
+  private val TokenRe =
+    "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
   private def xmlUnescape(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")

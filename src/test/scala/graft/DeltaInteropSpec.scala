@@ -218,6 +218,39 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(gone.getMessage.contains("0"))
   }
 
+  test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
+    val path = tmp("interop_multipart")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaInterop.exportToDelta(spark, orders, path)
+    val logDir = Paths.get(path, "_delta_log")
+    // hand-author a 2-part classic checkpoint at version 0 by splitting
+    // the single-part one this module writes
+    DeltaInterop.exportCheckpoint(spark, path)
+    val single = logDir.resolve(f"${0L}%020d.checkpoint.parquet")
+    assert(Files.exists(single))
+    val p1 = logDir.resolve(
+      f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    val p2 = logDir.resolve(
+      f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.copy(single, p1)
+    Files.copy(single, p2) // content dup is fine: presence is under test
+    Files.delete(single)
+    val expected = DeltaInterop.read(spark, path).count()
+    assert(expected === orders.count(),
+      "a COMPLETE 2-part checkpoint must replay (commit 0 also exists)")
+    // drop part 2 AND the JSON commit: state is unreconstructible —
+    // the reader must throw, never serve half the adds
+    Files.delete(p2)
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    val e = intercept[Exception] {
+      DeltaInterop.snapshot(spark, path)
+    }
+    assert(e.getMessage.contains("reconstruct") ||
+      e.getMessage.contains("no standard Delta log"),
+      s"partial checkpoint must fail loudly, got: ${e.getMessage}")
+  }
+
   test("CONVERT FROM DELTA: zero-copy adoption, full graft write surface after, format dispatch prefers the graft log") {
     val path = tmp("interop_convert")
     val orders = spark.read.parquet(s"$sf/orders.parquet")

@@ -12,6 +12,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Runs on a loopback ephemeral port; one instance per test. */
 object TestObjectStore {
 
+  /** Deliberately tiny list page so every multi-commit scenario drives
+    * the client's continuation loop (real stores page at ~1000). */
+  val PageSize = 3
+
   final class Server {
     private val objects = new ConcurrentHashMap[String, Array[Byte]]()
     private val server =
@@ -64,14 +68,31 @@ object TestObjectStore {
             else respond(ex, 200, Array.empty)
           } else { objects.put(key, body); respond(ex, 200, Array.empty) }
         case "GET" if query.contains("list-type=") =>
-          val prefix = query.split('&').collectFirst {
-            case q if q.startsWith("prefix=") =>
-              java.net.URLDecoder.decode(q.stripPrefix("prefix="), "UTF-8")
-          }.getOrElse("")
-          val matched = keys.filter(_.startsWith(prefix)).sorted
-          val xml = matched.map(k =>
-            s"<Contents><Key>${xmlEscape(k)}</Key></Contents>")
-            .mkString("<ListBucketResult>", "", "</ListBucketResult>")
+          def param(name: String): Option[String] =
+            query.split('&').collectFirst {
+              case q if q.startsWith(name + "=") => java.net.URLDecoder
+                .decode(q.stripPrefix(name + "="), "UTF-8")
+            }
+          val prefix = param("prefix").getOrElse("")
+          // PAGINATE like a real store (tiny page size so every suite
+          // listing exercises the continuation loop): the token is the
+          // last key of the previous page, keys strictly after it come
+          // next — S3's lexicographic-continuation semantics
+          val all = keys.filter(_.startsWith(prefix)).sorted
+          val after = param("continuation-token")
+          val remaining = after.fold(all)(t => all.dropWhile(_ <= t))
+          val page = remaining.take(PageSize)
+          val truncated = remaining.size > PageSize
+          val xml = "<ListBucketResult>" +
+            page.map(k =>
+              s"<Contents><Key>${xmlEscape(k)}</Key></Contents>")
+              .mkString +
+            s"<IsTruncated>$truncated</IsTruncated>" +
+            (if (truncated)
+              s"<NextContinuationToken>${xmlEscape(page.last)}" +
+                "</NextContinuationToken>"
+             else "") +
+            "</ListBucketResult>"
           respond(ex, 200, xml.getBytes("UTF-8"))
         case "GET" =>
           Option(objects.get(key)) match {
