@@ -4631,6 +4631,57 @@ ORDER BY bucket ASC NULLS LAST"""),
          FROM v GROUP BY 1, 2
          ORDER BY version ASC, l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S68
+    // Standard-Delta CHANGE FEED: Delta's `table_changes(from, to)`
+    // over a real `_delta_log` — version 0's adds arrive as the
+    // initial inserts, the append's adds as inserts, and the
+    // partition-aligned delete's remove actions surface their files'
+    // pre-commit rows as deletes (read from the removed files — the
+    // CDF shape a CDC consumer migrating off the reference stack
+    // needs). dataChange=false rewrites are invisible by contract
+    // (pinned in DeltaInteropSpec with a hand-authored compaction
+    // commit). Counts ride BIGINT; per-commit work is O(files that
+    // commit touched), the native changes() cost shape.
+    QueryDef("s68_delta_cdf", (s, dir) => {
+      val path = tmp("s68_delta")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      graft.sources.DeltaInterop.exportToDelta(s,
+        li.filter(col("l_orderkey") % 3 === 0), path,
+        partitionBy = Seq("l_returnflag"))
+      graft.sources.DeltaInterop.exportAppend(s,
+        li.filter(col("l_orderkey") % 3 === 1), path)
+      graft.sources.DeltaInterop.exportDeletePartition(s, path,
+        "l_returnflag", "R")
+      graft.sources.DeltaInterop.tableChanges(s, path, 0L, 2L)
+        .groupBy(col("_commit_version"), col("_change_type"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("_commit_version").asc,
+          col("_change_type").asc_nulls_last,
+          col("l_returnflag").asc_nulls_last)
+    }, Some(
+      """WITH li AS (
+           SELECT l_orderkey % 3 AS slice, l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+         ch AS (
+           SELECT CAST(0 AS BIGINT) AS _commit_version,
+                  'insert' AS _change_type, l_returnflag, qty
+           FROM li WHERE slice = 0
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), 'insert', l_returnflag, qty
+           FROM li WHERE slice = 1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'delete', l_returnflag, qty
+           FROM li WHERE slice IN (0, 1) AND l_returnflag = 'R')
+         SELECT _commit_version, _change_type, l_returnflag,
+                count(*) AS n, CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM ch GROUP BY 1, 2, 3
+         ORDER BY _commit_version ASC, _change_type ASC NULLS LAST,
+                  l_returnflag ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S67
     // CONVERT FROM DELTA (zero-copy adoption): a standard Delta table
     // becomes a graft-delta table in place — graft's version 0 restates

@@ -20,9 +20,10 @@ import org.json4s.jackson.JsonMethods
   *
   * Scope, stated plainly (a declined feature must fail LOUDLY, never
   * read wrong rows):
-  *   - protocol: minReaderVersion 1 and 2 (2 only while
-  *     `delta.columnMapping.mode` is absent/`none` — mapping renames
-  *     physical columns and silently misreads without support);
+  *   - protocol: minReaderVersion 1 and 2, including column mapping
+  *     mode `name` (the physical names feed graft's own
+  *     logical→physical read aliasing; `id` mode declines loudly —
+  *     field-id matching has no name-based read);
   *     minReaderVersion 3 only when every `readerFeatures` entry is in
   *     [[SupportedReaderFeatures]]. Everything else throws, naming the
   *     feature.
@@ -68,7 +69,8 @@ object DeltaInterop {
     * checkpoints are never REQUIRED while JSON commits are retained —
     * see the class doc for when their absence throws). */
   private[graft] val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+      "columnMapping")
 
   /** A directory is a standard Delta table iff `_delta_log/` holds at
     * least one versioned commit or classic checkpoint. */
@@ -124,6 +126,10 @@ object DeltaInterop {
     var config: Map[String, String] = Map.empty
     var minReader: Int = 1
     var readerFeatures: Seq[String] = Nil
+    /** Column mapping `name` mode: logical → physical parquet name,
+      * from `delta.columnMapping.physicalName` field metadata. */
+    var physical: Map[String, String] = Map.empty
+    def physToLogical: Map[String, String] = physical.map(_.swap)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
   }
@@ -164,11 +170,16 @@ object DeltaInterop {
           val rel = decodePath(am.get("path").collect {
             case JString(s) => s
           }.getOrElse(sys.error(s"$where: add action without path")))
+          val p2l = st.physToLogical
           val pv = am.get("partitionValues") match {
             // JSON null value = null partition (absent key reads as
-            // null through attachPartitionCols, same as Hive default)
+            // null through attachPartitionCols, same as Hive default).
+            // Under column mapping Delta keys partitionValues by the
+            // PHYSICAL name; graft's model (pruneFiles' pv fallback,
+            // attachPartitionCols) wants LOGICAL keys — translate.
             case Some(JObject(vals)) =>
-              vals.collect { case (c, JString(s)) => c -> s }.toMap
+              vals.collect { case (c, JString(s)) =>
+                p2l.getOrElse(c, c) -> s }.toMap
             case _ => Map.empty[String, String]
           }
           val bytes = am.get("size").collect {
@@ -176,7 +187,7 @@ object DeltaInterop {
           }.getOrElse(0L)
           val (rows, stats) = am.get("stats") match {
             case Some(JString(s)) if s.nonEmpty =>
-              parseStats(s, st.schema, st.partitionBy)
+              parseStats(s, st.schema, st.partitionBy, st.physical)
             case _ => (0L, Map.empty[String, ColStats])
           }
           st.live(rel) = AddFile(rel, rows, stats, None, pv, bytes = bytes)
@@ -210,8 +221,15 @@ object DeltaInterop {
     }
     m.get("schemaString").foreach {
       case JString(s) =>
-        // Delta's schemaString IS Spark's StructType JSON dialect
+        // Delta's schemaString IS Spark's StructType JSON dialect —
+        // including the column-mapping field metadata
         st.schema = DataType.fromJson(s).asInstanceOf[StructType]
+        st.physical = st.schema.fields.flatMap { f =>
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            Some(f.name ->
+              f.metadata.getString("delta.columnMapping.physicalName"))
+          else None
+        }.toMap
       case _ => ()
     }
     st.partitionBy = m.get("partitionColumns").collect {
@@ -232,11 +250,16 @@ object DeltaInterop {
     * upper bound, used as-is. Nested-struct stats are skipped (we never
     * prune on nested fields). */
   private def parseStats(statsJson: String, schema: StructType,
-      partitionBy: Seq[String]): (Long, Map[String, ColStats]) = {
+      partitionBy: Seq[String],
+      physical: Map[String, String] = Map.empty)
+      : (Long, Map[String, ColStats]) = {
+    // stats are keyed by the PHYSICAL column name (identity when the
+    // table has no mapping) — exactly how graft's own AddFile.stats
+    // are keyed, so the decoded map feeds pruneFiles unchanged
     val types: Map[String, DataType] =
       if (schema == null) Map.empty
       else schema.fields.filterNot(f => partitionBy.contains(f.name))
-        .map(f => f.name -> f.dataType).toMap
+        .map(f => physical.getOrElse(f.name, f.name) -> f.dataType).toMap
     try {
       val o = JsonMethods.parse(statsJson) match {
         case JObject(fs) => fs.toMap
@@ -361,15 +384,23 @@ object DeltaInterop {
     checkProtocol(path, st)
     Snapshot(target, st.schema, st.live.values.toSeq,
       txns = st.txns.toMap, partitionBy = st.partitionBy,
-      properties = st.config)
+      physical = st.physical, properties = st.config)
   }
 
   private def checkProtocol(path: String, st: State): Unit = {
     val mappingMode = st.config.getOrElse("delta.columnMapping.mode", "none")
-    require(mappingMode == "none",
+    // `name` mode reads natively: the physical names feed the SAME
+    // logical→physical aliasing graft's own RENAME COLUMN machinery
+    // uses in readFiles. `id` mode matches parquet columns by field id
+    // — a name-based read would misread, so it declines loudly.
+    require(mappingMode == "none" || mappingMode == "name",
       s"$path requires column mapping mode '$mappingMode' — unsupported " +
-        "(physical column names diverge from logical; reading without " +
-        "mapping support would silently misread)")
+        "(only 'none' and 'name' read correctly through name-based " +
+        "parquet column resolution)")
+    require(mappingMode == "none" || st.physical.nonEmpty,
+      s"$path declares column mapping mode 'name' but no field carries " +
+        "delta.columnMapping.physicalName metadata — refusing a read " +
+        "that would silently resolve wrong columns")
     if (st.minReader >= 3) {
       val unsupported = st.readerFeatures.filterNot(SupportedReaderFeatures)
       require(unsupported.isEmpty,
@@ -390,7 +421,7 @@ object DeltaInterop {
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
     DeltaLite.readFiles(spark, path, snap.schema, snap.files,
-      snap.partitionBy, Map.empty, snap.properties)
+      snap.partitionBy, snap.physical, snap.properties)
   }
 
   /** Stats-pruned read: files whose logged min/max (or partition
@@ -411,7 +442,123 @@ object DeltaInterop {
       snap: Snapshot, bounds: Seq[DeltaLite.ColumnBound]): DataFrame =
     DeltaLite.readFiles(spark, path, snap.schema,
       DeltaLite.pruneFiles(snap, bounds),
-      snap.partitionBy, Map.empty, snap.properties)
+      snap.partitionBy, snap.physical, snap.properties)
+
+  // ---------------------------------------------------------------- CDF
+
+  /** Row-level CHANGE FEED over a standard Delta table — Delta's
+    * `table_changes(from, to)` semantics (both bounds inclusive;
+    * version 0 delivers the initial contents as inserts):
+    *
+    *   - a commit's `add` actions with `dataChange = true` surface as
+    *     `insert` rows; its `remove` actions (dataChange = true) as
+    *     `delete` rows, read from the files' pre-commit content;
+    *   - `dataChange = false` actions are INVISIBLE — an OPTIMIZE /
+    *     compaction rewrite moves bytes, not rows, and a feed that
+    *     re-emitted them would double-apply every row downstream;
+    *   - when a commit carries `cdc` actions (a writer materialized
+    *     change files under `_change_data/`), those files are the ONLY
+    *     source for that commit (PROTOCOL.md's CDF rule — the
+    *     add/remove actions of an UPDATE don't distinguish
+    *     update_preimage from delete).
+    *
+    * Output: table columns + `_change_type` + `_commit_version`.
+    * Scale: per commit one pass over only the files that commit
+    * touched — the same O(changed files) shape as the native
+    * [[DeltaLite.changes]]; schema/partition context replays per
+    * version (driver-side log work). */
+  def tableChanges(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"from $fromVersion > to $toVersion")
+    import org.apache.spark.sql.functions.{col, lit}
+    val perCommit = (math.max(0L, fromVersion) to toVersion).map { v =>
+      val snap = snapshot(spark, path, Some(v))
+      val lines = Files.readAllLines(
+        logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
+      final case class Act(kind: String, rel: String,
+        pv: Map[String, String], dataChange: Boolean)
+      val acts = lines.flatMap(l => JsonMethods.parse(l) match {
+        case JObject(fields) => fields.collectFirst {
+          case (k @ ("add" | "remove" | "cdc"), JObject(a)) =>
+            val am = a.toMap
+            Act(k,
+              decodePath(am.get("path").collect { case JString(s) => s }
+                .getOrElse("")),
+              am.get("partitionValues") match {
+                case Some(JObject(vals)) =>
+                  val p2l = snap.physical.map(_.swap)
+                  vals.collect { case (c, JString(s)) =>
+                    p2l.getOrElse(c, c) -> s }.toMap
+                case _ => Map.empty[String, String]
+              },
+              am.get("dataChange") match {
+                case Some(JBool(b)) => b
+                case _ => true // absent = data-changing
+              })
+        }
+        case _ => None
+        // cdc actions carry dataChange=false BY SPEC (they describe
+        // the change, they don't change the table) — the flag only
+        // gates add/remove visibility
+      }).filter(a => a.rel.nonEmpty && (a.kind == "cdc" || a.dataChange))
+      val cdcs = acts.filter(_.kind == "cdc")
+      if (cdcs.nonEmpty) {
+        // cdc files carry the table columns + _change_type as DATA
+        val dataFields = snap.schema.fields
+          .filterNot(f => snap.partitionBy.contains(f.name))
+          .map(f => f.copy(name = snap.phys(f.name)))
+        val cdcSchema = StructType(dataFields :+
+          StructField("_change_type", StringType))
+        val r = root(path)
+        val frames = cdcs.groupBy(_.pv).toSeq.sortBy(_._1.toString)
+          .map { case (pv, group) =>
+            val base = spark.read.schema(cdcSchema)
+              .parquet(group.map(a => r.resolve(a.rel).toString).toSeq: _*)
+              .select(snap.schema.fields
+                .filterNot(f => snap.partitionBy.contains(f.name))
+                .map(f => col(snap.phys(f.name)).as(f.name)).toSeq :+
+                col("_change_type"): _*)
+            snap.partitionBy.foldLeft(base) { (d, c) =>
+              val dt = snap.schema(c).dataType
+              d.withColumn(c, pv.get(c)
+                .map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt)))
+            }.select(snap.schema.fieldNames.map(col).toSeq :+
+              col("_change_type"): _*)
+          }
+        Some(frames.reduce(_ unionByName _)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        val prevFiles: Map[String, AddFile] =
+          if (v == 0L) Map.empty
+          else snapshot(spark, path, Some(v - 1)).files
+            .map(f => f.path -> f).toMap
+        val added = snap.files.filter(f =>
+          acts.exists(a => a.kind == "add" && a.rel == f.path))
+        val removed = acts.filter(_.kind == "remove")
+          .flatMap(a => prevFiles.get(a.rel))
+        def readAs(files: Seq[AddFile], label: String) =
+          DeltaLite.readFiles(spark, path, snap.schema, files,
+            snap.partitionBy, snap.physical, snap.properties)
+            .withColumn("_change_type", lit(label))
+        (if (added.nonEmpty) Some(readAs(added, "insert")) else None)
+          .toSeq ++
+          (if (removed.nonEmpty) Some(readAs(removed.toSeq, "delete"))
+           else None) match {
+          case Nil => None
+          case fs => Some(fs.reduce(_ unionByName _)
+            .withColumn("_commit_version", lit(v)))
+        }
+      }
+    }
+    perCommit.flatten.reduceOption(_ unionByName _).getOrElse {
+      val snap = snapshot(spark, path, Some(toVersion))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(snap.schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false))))
+    }
+  }
 
   /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`
     * — `commitInfo.timestamp` when the commit carries one, else the
@@ -477,7 +624,7 @@ object DeltaInterop {
       s"a graft-delta table already exists at $path")
     val snap = snapshot(spark, path, asOf)
     DeltaLite.writeCommit(path, 0L, "CONVERT_FROM_DELTA", snap.schema,
-      snap.files, Nil, None, Map.empty, snap.partitionBy, Map.empty,
+      snap.files, Nil, None, Map.empty, snap.partitionBy, snap.physical,
       Map.empty, Map.empty,
       // delta.* table configuration is provenance, not behavior, on
       // the graft side — carried so SHOW TBLPROPERTIES tells the story

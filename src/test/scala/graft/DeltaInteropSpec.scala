@@ -167,12 +167,21 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         meta))
     }
     assert(feat.getMessage.contains("deletionVectors"))
-    val cm = intercept[IllegalArgumentException] {
-      DeltaInterop.snapshot(spark, authored("cm")(
+    // `id` mapping mode declines (field-id matching has no name-based
+    // read); `name` mode with MISSING physicalName metadata also
+    // declines — resolving by logical names would silently misread
+    val cmId = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshot(spark, authored("cmid")(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}"""))
+    }
+    assert(cmId.getMessage.contains("column mapping mode 'id'"))
+    val cmBare = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshot(spark, authored("cmbare")(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
     }
-    assert(cm.getMessage.contains("column mapping"))
+    assert(cmBare.getMessage.contains("physicalName"))
     val fmt = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, authored("fmt")(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -216,6 +225,142 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       DeltaInterop.snapshot(spark, path, Some(0L))
     }
     assert(gone.getMessage.contains("0"))
+  }
+
+  test("column mapping 'name' mode: physical parquet names read as logical columns, physical-keyed stats prune, physical pv re-attaches, convert carries the mapping") {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType, LongType, StringType}
+    val path = tmp("interop_colmap")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def mapped(phys: String): Metadata = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapped("col-aaa")),
+      StructField("s", StringType, nullable = true, mapped("col-bbb")),
+      StructField("p", StringType, nullable = true, mapped("col-ppp"))))
+    // data files carry ONLY physical names (and no partition column)
+    import spark.implicits._
+    Seq((1L, "x1"), (2L, "x2")).toDF("col-aaa", "col-bbb").coalesce(1)
+      .write.parquet(dir.resolve("d1").toString)
+    Seq((10L, "y1")).toDF("col-aaa", "col-bbb").coalesce(1)
+      .write.parquet(dir.resolve("d2").toString)
+    def onlyPart(sub: String): String = {
+      val s = Files.list(dir.resolve(sub))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val f1 = s"d1/${onlyPart("d1")}"
+    val f2 = s"d2/${onlyPart("d2")}"
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(schema.json))
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m-cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      // partitionValues and stats are keyed by PHYSICAL names, as a
+      // real column-mapped writer produces them
+      s"""{"add":{"path":"$f1","partitionValues":{"col-ppp":"east"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa\\":1},\\"maxValues\\":{\\"col-aaa\\":2}}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"col-ppp":"west"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"col-aaa\\":10},\\"maxValues\\":{\\"col-aaa\\":10}}"}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // logical read: logical names, typed partition column from pv
+    val df = DeltaInterop.read(spark, path)
+    assert(df.columns.toSeq === Seq("id", "s", "p"))
+    assert(df.filter(col("p") === "east").count() === 2L)
+    assert(df.filter(col("id") === 10L).select("s").head().getString(0)
+      === "y1")
+    // stats prune on the LOGICAL bound through the physical key
+    val snap = DeltaInterop.snapshot(spark, path)
+    val kept = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("id", lower = Some(5L))))
+    assert(kept.map(_.path) === Seq(f2),
+      "physical-keyed stats must prune via the logical column bound")
+    // pv-based pruning on the partition column (logical name)
+    val keptPv = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("p", Some("east"), Some("east"))))
+    assert(keptPv.map(_.path) === Seq(f1))
+    // zero-copy convert carries the mapping; the native read aliases
+    // the same physical columns back to logical
+    DeltaInterop.convertFromDelta(spark, path)
+    val native = DeltaLite.read(spark, path)
+    assert(native.columns.toSeq === Seq("id", "s", "p"))
+    assert(native.orderBy("id").select("id").collect().map(_.getLong(0))
+      .toSeq === Seq(1L, 2L, 10L))
+  }
+
+  test("tableChanges: dataChange=false rewrites are invisible; cdc actions take precedence over add/remove for their commit") {
+    import spark.implicits._
+    val path = tmp("interop_cdf")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    DeltaInterop.exportAppend(spark, Seq((3L, "c")).toDF("id", "s"), path)
+    // v2: hand-authored COMPACTION — remove both files, re-add one
+    // combined file, all dataChange=false: the feed must emit NOTHING
+    val snap = DeltaInterop.snapshot(spark, path)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)
+      .write.parquet(dir.resolve("compacted").toString)
+    val compactedFile = {
+      val w = Files.list(dir.resolve("compacted"))
+      try "compacted/" + w.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally w.close()
+    }
+    val removeLines = snap.files.map(f =>
+      s"""{"remove":{"path":"${f.path}","deletionTimestamp":1,"dataChange":false}}""")
+    Files.write(logDir.resolve(f"${2L}%020d.json"), (removeLines :+
+      s"""{"add":{"path":"$compactedFile","partitionValues":{},"size":1,"modificationTime":1,"dataChange":false}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val afterCompact = DeltaInterop.tableChanges(spark, path, 2L, 2L)
+    assert(afterCompact.count() === 0L,
+      "a dataChange=false rewrite must be invisible to the change feed")
+    // the snapshot itself DID change files but not rows
+    assert(DeltaInterop.read(spark, path).count() === 3L)
+    // v0..v1 deliver the initial inserts and the append
+    val feed = DeltaInterop.tableChanges(spark, path, 0L, 1L)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(feed === Set((1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "insert", 1L)))
+    // v3: a cdc-action commit — its change files are the ONLY source
+    // (the paired remove/add must NOT also surface as delete/insert)
+    val preSchema = DeltaInterop.snapshot(spark, path).schema
+    Seq((2L, "b", "update_preimage"), (2L, "B2", "update_postimage"))
+      .toDF("id", "s", "_change_type").coalesce(1)
+      .write.parquet(dir.resolve("cdc0").toString)
+    val cdcFile = {
+      val w = Files.list(dir.resolve("cdc0"))
+      try "cdc0/" + w.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally w.close()
+    }
+    Seq((1L, "a"), (2L, "B2"), (3L, "c")).toDF("id", "s").coalesce(1)
+      .write.parquet(dir.resolve("upd").toString)
+    val updFile = {
+      val w = Files.list(dir.resolve("upd"))
+      try "upd/" + w.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally w.close()
+    }
+    Files.write(logDir.resolve(f"${3L}%020d.json"), Seq(
+      s"""{"cdc":{"path":"$cdcFile","partitionValues":{},"size":1,"dataChange":false}}""",
+      s"""{"remove":{"path":"$compactedFile","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"$updFile","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val upd = DeltaInterop.tableChanges(spark, path, 3L, 3L)
+      .select("id", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(upd === Set((2L, "b", "update_preimage"),
+      (2L, "B2", "update_postimage")),
+      s"cdc files must be the commit's only change source, got $upd")
+    assert(preSchema.fieldNames.toSeq === Seq("id", "s"))
   }
 
   test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
