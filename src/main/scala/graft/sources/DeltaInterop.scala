@@ -128,8 +128,14 @@ object DeltaInterop {
     var readerFeatures: Seq[String] = Nil
     /** Column mapping `name` mode: logical → physical parquet name,
       * from `delta.columnMapping.physicalName` field metadata. */
-    var physical: Map[String, String] = Map.empty
-    def physToLogical: Map[String, String] = physical.map(_.swap)
+    private var physicalV: Map[String, String] = Map.empty
+    private var p2l: Map[String, String] = Map.empty
+    def physical: Map[String, String] = physicalV
+    def physical_=(m: Map[String, String]): Unit = {
+      physicalV = m
+      p2l = m.map(_.swap) // cached: consulted once per add action
+    }
+    def physToLogical: Map[String, String] = p2l
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
   }
@@ -397,10 +403,13 @@ object DeltaInterop {
       s"$path requires column mapping mode '$mappingMode' — unsupported " +
         "(only 'none' and 'name' read correctly through name-based " +
         "parquet column resolution)")
-    require(mappingMode == "none" || st.physical.nonEmpty,
-      s"$path declares column mapping mode 'name' but no field carries " +
-        "delta.columnMapping.physicalName metadata — refusing a read " +
-        "that would silently resolve wrong columns")
+    require(mappingMode == "none" || (st.schema != null &&
+        st.schema.fields.forall(f =>
+          f.metadata.contains("delta.columnMapping.physicalName"))),
+      s"$path declares column mapping mode 'name' but not EVERY field " +
+        "carries delta.columnMapping.physicalName metadata — a " +
+        "partially-mapped schema would silently resolve the unmapped " +
+        "columns by the wrong (logical) name")
     if (st.minReader >= 3) {
       val unsupported = st.readerFeatures.filterNot(SupportedReaderFeatures)
       require(unsupported.isEmpty,
@@ -469,27 +478,50 @@ object DeltaInterop {
     * version (driver-side log work). */
   def tableChanges(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"from $fromVersion > to $toVersion")
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"invalid change range [$fromVersion, $toVersion]")
     import org.apache.spark.sql.functions.{col, lit}
-    val perCommit = (math.max(0L, fromVersion) to toVersion).map { v =>
-      val snap = snapshot(spark, path, Some(v))
+    // CDF needs the COMMITS themselves: a version served only by a
+    // checkpoint (log cleanup pruned its JSON) has no per-commit action
+    // record, so the feed below that point is unrecoverable — decline
+    // loudly, exactly like Delta's table_changes on a cleaned-up range
+    val jsons = commitVersions(path).toSet
+    (fromVersion to toVersion).foreach(v => require(jsons.contains(v),
+      s"change feed unavailable for version $v at $path: its commit " +
+        s"JSON has been cleaned up (a checkpoint restates STATE, not " +
+        s"per-commit changes); earliest JSON commit: " +
+        s"${commitVersions(path).headOption.getOrElse(-1L)}"))
+    // ONE incremental replay: base state at fromVersion-1 (snapshot
+    // uses a checkpoint when available), then each commit's actions
+    // fold forward — O(total touched files), never O(versions²)
+    // (review finding: the earlier per-version snapshot() pair made a
+    // K-commit feed re-replay the whole log K times)
+    val st = new State
+    if (fromVersion > 0) {
+      val base = snapshot(spark, path, Some(fromVersion - 1))
+      base.files.foreach(f => st.live(f.path) = f)
+      st.schema = base.schema
+      st.partitionBy = base.partitionBy
+      st.physical = base.physical
+      st.config = base.properties
+    }
+    final case class Act(kind: String, rel: String,
+      rawPv: Map[String, String], dataChange: Boolean)
+    val perCommit = (fromVersion to toVersion).map { v =>
       val lines = Files.readAllLines(
         logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
-      final case class Act(kind: String, rel: String,
-        pv: Map[String, String], dataChange: Boolean)
+      val prevFiles: Map[String, AddFile] = st.live.toMap
       val acts = lines.flatMap(l => JsonMethods.parse(l) match {
         case JObject(fields) => fields.collectFirst {
           case (k @ ("add" | "remove" | "cdc"), JObject(a)) =>
             val am = a.toMap
             Act(k,
-              decodePath(am.get("path").collect { case JString(s) => s }
-                .getOrElse("")),
+              decodePath(am.get("path").collect { case JString(x) => x }
+                .getOrElse(sys.error(
+                  s"commit $v at $path: $k action without a path"))),
               am.get("partitionValues") match {
                 case Some(JObject(vals)) =>
-                  val p2l = snap.physical.map(_.swap)
-                  vals.collect { case (c, JString(s)) =>
-                    p2l.getOrElse(c, c) -> s }.toMap
+                  vals.collect { case (c, JString(x)) => c -> x }.toMap
                 case _ => Map.empty[String, String]
               },
               am.get("dataChange") match {
@@ -501,50 +533,66 @@ object DeltaInterop {
         // cdc actions carry dataChange=false BY SPEC (they describe
         // the change, they don't change the table) — the flag only
         // gates add/remove visibility
-      }).filter(a => a.rel.nonEmpty && (a.kind == "cdc" || a.dataChange))
+      }).filter(a => a.kind == "cdc" || a.dataChange)
+      // advance the state THROUGH this commit (metaData included, so
+      // schema/physical below are the at-v view; protocol re-gated)
+      lines.foreach(applyJsonAction(st, _, s"commit $v"))
+      checkProtocol(path, st)
+      val schema = st.schema
+      val partitionBy = st.partitionBy
+      val physical = st.physical
+      def phys(c: String) = physical.getOrElse(c, c)
       val cdcs = acts.filter(_.kind == "cdc")
       if (cdcs.nonEmpty) {
-        // cdc files carry the table columns + _change_type as DATA
-        val dataFields = snap.schema.fields
-          .filterNot(f => snap.partitionBy.contains(f.name))
-          .map(f => f.copy(name = snap.phys(f.name)))
+        // cdc files carry the table columns + _change_type as DATA;
+        // their partitionValues are raw (physical under mapping)
+        val p2l = physical.map(_.swap)
+        val dataFields = schema.fields
+          .filterNot(f => partitionBy.contains(f.name))
+          .map(f => f.copy(name = phys(f.name)))
         val cdcSchema = StructType(dataFields :+
           StructField("_change_type", StringType))
         val r = root(path)
-        val frames = cdcs.groupBy(_.pv).toSeq.sortBy(_._1.toString)
+        val frames = cdcs
+          .map(a => a.copy(rawPv = a.rawPv.map { case (k, x) =>
+            p2l.getOrElse(k, k) -> x }))
+          .groupBy(_.rawPv).toSeq.sortBy(_._1.toString)
           .map { case (pv, group) =>
             val base = spark.read.schema(cdcSchema)
               .parquet(group.map(a => r.resolve(a.rel).toString).toSeq: _*)
-              .select(snap.schema.fields
-                .filterNot(f => snap.partitionBy.contains(f.name))
-                .map(f => col(snap.phys(f.name)).as(f.name)).toSeq :+
+              .select(schema.fields
+                .filterNot(f => partitionBy.contains(f.name))
+                .map(f => col(phys(f.name)).as(f.name)).toSeq :+
                 col("_change_type"): _*)
-            snap.partitionBy.foldLeft(base) { (d, c) =>
-              val dt = snap.schema(c).dataType
+            partitionBy.foldLeft(base) { (d, c) =>
+              val dt = schema(c).dataType
               d.withColumn(c, pv.get(c)
                 .map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt)))
-            }.select(snap.schema.fieldNames.map(col).toSeq :+
+            }.select(schema.fieldNames.map(col).toSeq :+
               col("_change_type"): _*)
           }
         Some(frames.reduce(_ unionByName _)
           .withColumn("_commit_version", lit(v)))
       } else {
-        val prevFiles: Map[String, AddFile] =
-          if (v == 0L) Map.empty
-          else snapshot(spark, path, Some(v - 1)).files
-            .map(f => f.path -> f).toMap
-        val added = snap.files.filter(f =>
-          acts.exists(a => a.kind == "add" && a.rel == f.path))
-        val removed = acts.filter(_.kind == "remove")
-          .flatMap(a => prevFiles.get(a.rel))
+        val addRels = acts.iterator.filter(_.kind == "add")
+          .map(_.rel).toSet
+        val added = st.live.values.filter(f => addRels.contains(f.path))
+          .toSeq
+        val removed = acts.filter(_.kind == "remove").map { a =>
+          prevFiles.getOrElse(a.rel, sys.error(
+            s"commit $v at $path removes '${a.rel}', which is not a " +
+              s"live file at version ${v - 1} — the change feed cannot " +
+              "reconstruct its deleted rows (corrupt or externally " +
+              "modified log)"))
+        }
         def readAs(files: Seq[AddFile], label: String) =
-          DeltaLite.readFiles(spark, path, snap.schema, files,
-            snap.partitionBy, snap.physical, snap.properties)
+          DeltaLite.readFiles(spark, path, schema, files,
+            partitionBy, physical, st.config)
             .withColumn("_change_type", lit(label))
         (if (added.nonEmpty) Some(readAs(added, "insert")) else None)
           .toSeq ++
-          (if (removed.nonEmpty) Some(readAs(removed.toSeq, "delete"))
-           else None) match {
+          (if (removed.nonEmpty)
+            Some(readAs(removed.toSeq, "delete")) else None) match {
           case Nil => None
           case fs => Some(fs.reduce(_ unionByName _)
             .withColumn("_commit_version", lit(v)))
@@ -552,9 +600,8 @@ object DeltaInterop {
       }
     }
     perCommit.flatten.reduceOption(_ unionByName _).getOrElse {
-      val snap = snapshot(spark, path, Some(toVersion))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(snap.schema.fields ++ Seq(
+        StructType(st.schema.fields ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_version", LongType, nullable = false))))
     }
@@ -669,6 +716,7 @@ object DeltaInterop {
     * (Delta does not restate metaData per commit). */
   def exportAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, path, "exportAppend")
     require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"append schema ${df.schema.simpleString} does not match table " +
@@ -707,6 +755,22 @@ object DeltaInterop {
     writeCommitFile(path, v, lines)
     v
   }
+
+  /** The export surfaces write LOGICAL-named parquet, logical-keyed
+    * stats, and logical-keyed partitionValues — on a column-mapped
+    * table those are corrupt artifacts (physical-name readers resolve
+    * them to NULLs), so the artifact-writing exports decline loudly
+    * (review finding: widening the READ gate to name mode silently
+    * un-gated these). [[exportDeletePartition]] stays allowed — remove
+    * actions carry only paths, no name-bearing artifact — as do
+    * reading and CONVERT FROM DELTA. */
+  private def requireUnmapped(snap: Snapshot, path: String,
+      op: String): Unit =
+    require(snap.physical.isEmpty,
+      s"$op on $path: the table uses column mapping — this exporter " +
+        "writes logical-named artifacts, which a mapped table's " +
+        "readers would resolve to NULLs; read/convert the table " +
+        "instead (write-side mapping is the native format's job)")
 
   /** Write `df` into a FRESH per-commit subdirectory of the table root
     * (Hive layout inside it when partitioned) and footer-decode exactly
@@ -829,6 +893,7 @@ object DeltaInterop {
     * is tested against. */
   def exportCheckpoint(spark: SparkSession, path: String): Long = {
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, path, "exportCheckpoint")
     def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
     val now = System.currentTimeMillis()
     val rows: Seq[Row] =
