@@ -607,6 +607,80 @@ object DeltaInterop {
     }
   }
 
+  /** The files version `v`'s commit ADDED (dataChange only), read as
+    * rows with the at-v schema — the streaming-source batch unit over
+    * a standard log. `allowRewrites=false` (Delta's streaming default)
+    * throws on a data-changing remove in range: a MERGE/DELETE rewrote
+    * rows the stream already delivered, and silently re-reading the
+    * rewritten files would duplicate them downstream. Returns per
+    * version so the caller controls batching; one pass over each
+    * commit's own actions — O(touched files), like [[tableChanges]]. */
+  def readVersionAppends(spark: SparkSession, path: String,
+      fromExclusive: Option[Long], toVersion: Long,
+      allowRewrites: Boolean = false): DataFrame = {
+    val from = fromExclusive.map(_ + 1L).getOrElse(0L)
+    if (from > toVersion) {
+      val snap = snapshot(spark, path, Some(toVersion))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+    }
+    val jsons = commitVersions(path).toSet
+    (from to toVersion).foreach(v => require(jsons.contains(v),
+      s"streaming read unavailable for version $v at $path: its commit " +
+        "JSON has been cleaned up — restart the stream from a fresh " +
+        "snapshot"))
+    // ONE incremental replay (the tableChanges fold): base state at
+    // from-1, then each commit's actions advance it — O(touched files)
+    // for the whole range, never O(versions²)
+    val st = new State
+    if (from > 0) {
+      val base = snapshot(spark, path, Some(from - 1))
+      base.files.foreach(f => st.live(f.path) = f)
+      st.schema = base.schema
+      st.partitionBy = base.partitionBy
+      st.physical = base.physical
+      st.config = base.properties
+    }
+    val perV = (from to toVersion).map { v =>
+      val lines = Files.readAllLines(
+        logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
+      var addRels = Set.empty[String]
+      var removed = false
+      lines.foreach(l => JsonMethods.parse(l) match {
+        case JObject(fields) => fields.foreach {
+          case ("add", JObject(a)) =>
+            val am = a.toMap
+            val dc = am.get("dataChange") match {
+              case Some(JBool(b)) => b; case _ => true
+            }
+            if (dc) am.get("path").foreach {
+              case JString(x) => addRels += decodePath(x)
+              case _ => ()
+            }
+          case ("remove", JObject(r)) =>
+            val rm = r.toMap
+            val dc = rm.get("dataChange") match {
+              case Some(JBool(b)) => b; case _ => true
+            }
+            removed ||= dc
+          case _ => ()
+        }
+        case _ => ()
+      })
+      require(!removed || allowRewrites,
+        s"version $v at $path rewrote or deleted rows mid-stream — a " +
+          "version-offset stream would re-deliver or lose them; pass " +
+          "ignoreChanges=true to accept re-delivered rewritten rows " +
+          "(Delta's contract)")
+      lines.foreach(applyJsonAction(st, _, s"commit $v"))
+      checkProtocol(path, st)
+      val files = st.live.values.filter(f => addRels.contains(f.path)).toSeq
+      DeltaLite.readFiles(spark, path, st.schema, files,
+        st.partitionBy, st.physical, st.config)
+    }
+    perV.reduce(_ unionByName _)
+  }
+
   /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`
     * — `commitInfo.timestamp` when the commit carries one, else the
     * commit file's modification time (Delta's documented fallback). */

@@ -53,7 +53,11 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
-    val base = DeltaLite.snapshot(path).schema
+    val base =
+      if (DeltaLite.latestVersion(path).isEmpty &&
+          DeltaInterop.isStandardDelta(path))
+        DeltaInterop.snapshot(ctx.sparkSession, path).schema
+      else DeltaLite.snapshot(path).schema
     val s =
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
         GraftDeltaStreamSource.cdfSchema(base)
@@ -75,6 +79,16 @@ class GraftDeltaSource extends RelationProvider
     val path = GraftDeltaSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-delta source requires a path: readStream.format(\"graft-delta\").load(path)")))
+    // STANDARD-DELTA DISPATCH (the batch-read twin): a real _delta_log
+    // with no graft log streams through the interop source — version
+    // offsets, appends-only contract, and streaming CDF, same as the
+    // native one
+    if (DeltaLite.latestVersion(path).isEmpty &&
+        DeltaInterop.isStandardDelta(path))
+      return new DeltaInteropStreamSource(ctx.sparkSession, path,
+        parameters.get("ignoreChanges").exists(_.toBoolean),
+        parameters.get("readChangeFeed").exists(_.toBoolean),
+        startingVersion = parameters.get("startingVersion").map(_.toLong))
     // governance on a streaming read is enforced PER MICRO-BATCH inside
     // DeltaLite.readVersionAppends / DeltaLite.changes (the S63 serving
     // projection under the policy at each batch's end version), so a
@@ -384,6 +398,64 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
         .withColumn("_change_type", lit("insert"))
       else DeltaLite.changes(spark, path, v - 1, v)
     base.withColumn("_commit_version", lit(v))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Version-offset streaming source over a STANDARD `_delta_log` table
+  * — the streaming twin of [[DeltaInteropRelation]]: a pipeline that
+  * consumed the reference stack's Delta tables as a stream keeps
+  * running against the same directories. Offsets are log versions;
+  * each batch delivers exactly the rows the versions in range ADDED
+  * ([[DeltaInterop.readVersionAppends]] — one incremental replay per
+  * batch, O(touched files)); a data-changing remove fails the stream
+  * unless `ignoreChanges` (Delta's contract); `readChangeFeed` streams
+  * [[DeltaInterop.tableChanges]] with version 0 as the initial inserts
+  * (`_change_type`, `_commit_version` appended). */
+final class DeltaInteropStreamSource(spark: SparkSession, path: String,
+    ignoreChanges: Boolean, cdf: Boolean = false,
+    startingVersion: Option[Long] = None)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val tableSchema: StructType =
+    DeltaInterop.snapshot(spark, path).schema
+
+  override def schema: StructType =
+    if (cdf) GraftDeltaStreamSource.cdfSchema(tableSchema) else tableSchema
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    DeltaInterop.latestVersion(path).map(LongOffset(_))
+
+  private def version(
+      o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other => other.json.trim.toLong // SerializedOffset on restart
+    }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val effStart: Option[Long] =
+      start.map(version).orElse(startingVersion.filter(_ > 0).map(_ - 1))
+    val to = version(end)
+    val batch =
+      if (!cdf)
+        DeltaInterop.readVersionAppends(spark, path, effStart, to,
+          allowRewrites = ignoreChanges)
+      else {
+        val from = effStart.map(_ + 1L).getOrElse(0L)
+        if (from > to)
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](),
+            GraftDeltaStreamSource.cdfSchema(tableSchema))
+        else DeltaInterop.tableChanges(spark, path, from, to)
+      }
+    org.apache.spark.sql.graft.StreamingFrame.tag(batch)
   }
 
   override def stop(): Unit = ()

@@ -454,6 +454,59 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(got === 10L)
   }
 
+  test("standard-Delta streaming source: version offsets deliver appends exactly once; a rewrite fails the stream; CDF mode streams per-commit changes") {
+    import spark.implicits._
+    val path = tmp("interop_stream")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    val q = spark.readStream.format("graft-delta").load(path)
+      .writeStream.format("memory").queryName("interop_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("interop_stream").count() === 2L)
+      DeltaInterop.exportAppend(spark, Seq((3L, "c")).toDF("id", "s"), path)
+      q.processAllAvailable()
+      val ids = spark.table("interop_stream")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L),
+        "each appended row must arrive exactly once across batches")
+    } finally q.stop()
+    // a data-changing remove mid-stream fails (Delta's contract) …
+    val path2 = tmp("interop_stream_del")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "x", "e"), (2L, "y", "w")).toDF("id", "s", "part"),
+      path2, partitionBy = Seq("part"))
+    val q2 = spark.readStream.format("graft-delta").load(path2)
+      .writeStream.format("memory").queryName("interop_stream_del")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      DeltaInterop.exportDeletePartition(spark, path2, "part", "e")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("rewrote or deleted") ||
+        Option(e.getCause).exists(_.getMessage.contains("rewrote or deleted")),
+        s"a mid-stream delete must fail the version-offset stream: $e")
+    } finally q2.stop()
+    // … unless ignoreChanges; and CDF mode streams the change rows
+    val q3 = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(path2)
+      .writeStream.format("memory").queryName("interop_stream_cdf")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val ch = spark.table("interop_stream_cdf")
+        .select("id", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(ch === Set((1L, "insert", 0L), (2L, "insert", 0L),
+        (1L, "delete", 1L)),
+        s"the CDF stream must deliver inserts then the delete: $ch")
+    } finally q3.stop()
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = {
       new Iterator[A] {
