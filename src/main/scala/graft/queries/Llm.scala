@@ -277,6 +277,117 @@ object Llm {
          JOIN sizes sb ON sb.doc_id = idb
          ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------- L2 (c2)
+    // DIRECTED CONTAINMENT — the asymmetric near-dup Jaccard misses:
+    // containment(A→B) = |A∩B| / |A| flags a document whose shingles
+    // are (mostly) a SUBSET of another's — quotes, boilerplate
+    // inclusion, truncated re-crawls — where symmetric Jaccard stays
+    // low because B is much larger. Both directions emitted per
+    // sharing pair; the high flag is an INTEGER cross-multiply
+    // (4·inter ≥ 3·|A| ⟺ containment ≥ 0.75 — no division decides
+    // anything), and the display ratio is the one final float both
+    // engines compute from the same exact integers. Scale: candidates
+    // come from the shingle-equality join (bucketed by shingle value,
+    // never all-pairs); at corpus scale the LSH gate upstream bounds
+    // the pair fan-out exactly as in the Jaccard family.
+    QueryDef("l2_containment", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val sets = TextFunctions.shingleSets(docs, "doc_id", "text")
+      val a = sets.select(col("doc_id").as("ida"), col("shingle"))
+      val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
+      val pairs = a.join(b,
+          col("shingle") === col("shb") && col("ida") =!= col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      pairs
+        .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+        .select(col("ida"), col("idb"), col("inter"), col("sza"),
+          (col("inter") * 4 >= col("sza") * 3).as("high"),
+          expr("round((CAST(inter AS DOUBLE) / sza)*10000)/10000")
+            .as("containment"))
+        .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
+    }, Some(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         sets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM docs)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           FROM sets a JOIN sets b
+             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT ida, idb, inter, sa.sz AS sza,
+                (inter * 4 >= sa.sz * 3) AS high,
+                (round((CAST(inter AS DOUBLE) / sa.sz)*10000)/10000)
+                  AS containment
+         FROM pairs JOIN sizes sa ON sa.doc_id = ida
+         ORDER BY ida ASC NULLS LAST, idb ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------- L4 (f)
+    // DISTRIBUTION DRIFT between two corpus slices — the
+    // training-data health check ("did this week's crawl change the
+    // token distribution?") as two metrics chosen for HASH-EXACTNESS,
+    // not fashion: KL/JS need log(), a LIBRARY function with no
+    // cross-engine rounding guarantee — one ulp at a lattice boundary
+    // breaks the oracle. Instead:
+    //   * TOTAL VARIATION distance: TV = ½·Σ|pₜ − qₜ| — cross-multiply
+    //     to |aₜ·n₂ − bₜ·n₁| and the whole statistic is the exact
+    //     BIGINT rational (tv_num, 2·n₁·n₂);
+    //   * BHATTACHARYYA / HELLINGER affinity: BC = Σ√(pₜqₜ) — per
+    //     token √(aₜ·bₜ) is ONE sqrt over an exact integer, and IEEE
+    //     754 REQUIRES sqrt to be correctly rounded, so both engines
+    //     produce bit-identical doubles; each term rounds once onto
+    //     the 1e6 lattice and sums in BIGINT (aggregation-order-proof;
+    //     Hellinger² = 1 − BC/√(n₁n₂) derives outside the gate).
+    // Counts stay far inside BIGINT: products ≤ (corpus tokens)² ≤
+    // ~1e14 at sf0.1. One token rollup per slice, one full-outer
+    // vocabulary join — two keyed shuffles total.
+    QueryDef("l4_dist_drift", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select((pmod(col("doc_id"), lit(2)) === 0).as("slice_a"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy(col("tok")).agg(
+        sum(when(col("slice_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("slice_a"), 1L).otherwise(0L)).as("b"))
+        // feeds the totals AND the per-token terms — cut, or the token
+        // rollup runs twice
+        .localCheckpoint(false)
+      val tot = perTok.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      perTok.crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(abs(col("a") * col("n2") - col("b") * col("n1")))
+            .as("tv_num"),
+          sum(expr(
+            "CAST(round(sqrt(CAST(a * b AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .as("bc_sum_micro"))
+        .select(col("n1"), col("n2"), col("tv_num"),
+          (col("n1") * col("n2") * 2).as("tv_den"), col("bc_sum_micro"))
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id % 2 = 0 AS slice_a, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         per_tok AS MATERIALIZED (
+           SELECT tok,
+                  CAST(sum(CASE WHEN slice_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN NOT slice_a THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+                        CAST(sum(b) AS BIGINT) AS n2 FROM per_tok)
+         SELECT max(tot.n1) AS n1, max(tot.n2) AS n2,
+                CAST(sum(abs(a * tot.n2 - b * tot.n1)) AS BIGINT) AS tv_num,
+                CAST(max(tot.n1) * max(tot.n2) * 2 AS BIGINT) AS tv_den,
+                CAST(sum(CAST(round(sqrt(CAST(a * b AS DOUBLE)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS bc_sum_micro
+         FROM per_tok, tot""")),
+
     // ------------------------------------------------------------- L2 (j)
     // INCREMENTAL dedup — the production shape: a new batch dedups
     // against the EXISTING corpus (and itself), never corpus×corpus.
