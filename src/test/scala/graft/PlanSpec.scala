@@ -83,6 +83,22 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"funnel stages must join on user_id only:\n$p")
   }
 
+  test("l2_containment / l4_dist_drift: candidate pairs stay equi-joined; the only nested-loop is the 1-row scalar attach") {
+    val pc = plan("l2_containment")
+    assert(!pc.contains("CartesianProduct") &&
+        !pc.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from the shingle-equality " +
+        s"join, never all-pairs:\n$pc")
+    // the drift query attaches its (n1, n2) totals as a broadcast
+    // 1-row scalar — that nested-loop is the intended constant attach,
+    // and it must be the ONLY one (the vocabulary rollup itself never
+    // pairs tokens)
+    val pd = plan("l4_dist_drift")
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(count(pd, "BroadcastNestedLoopJoin") === 1,
+      s"exactly the scalar-totals attach may nest-loop:\n$pd")
+  }
+
   test("l5_train_split: hash-band assignment is map-only before one census agg") {
     val p = plan("l5_train_split")
     assert(count(p, "Exchange hashpartitioning") === 1,
