@@ -165,6 +165,62 @@ object Llm {
     * per query (and per plan-only inspection). Fixture dirs are
     * immutable and the training is seeded, so the cache can never
     * serve stale or divergent centers. */
+  /** Shared shingle-candidate core of l2_ngram_jaccard and
+    * l2_containment — ONE definition of the candidate window, the
+    * shingle sets, the equality-join pair generation, and the size
+    * rollup, in both engines (review finding: two drifting copies ×
+    * two engines = four places one fixture-window edit must hit).
+    * `directed` = emit both orientations (containment) vs one
+    * unordered pair (Jaccard). Returns (pairs(ida, idb, inter),
+    * sizes(doc_id, sz)). */
+  private def shingleCandidates(s: SparkSession, dir: String,
+      directed: Boolean): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+    val sets = TextFunctions.shingleSets(docs, "doc_id", "text")
+    val a = sets.select(col("doc_id").as("ida"), col("shingle"))
+    val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
+    val cond = if (directed) col("ida") =!= col("idb")
+      else col("ida") < col("idb")
+    val pairs = a.join(b, col("shingle") === col("shb") && cond)
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    (pairs, sizes)
+  }
+
+  /** The DuckDB twin of [[shingleCandidates]]: docs/sets/sizes/pairs
+    * CTEs with the pair condition injected — callers append their
+    * SELECT. */
+  private def shingleCandidatesSql(pairCond: String): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         sets AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' ||
+                                string_split(text,' ')[i+1] || ' ' ||
+                                string_split(text,' ')[i+2])
+                    ELSE [] END) AS shingle
+             FROM docs)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           FROM sets a JOIN sets b
+             ON a.shingle = b.shingle AND $pairCond
+           GROUP BY 1, 2)"""
+
+  /** The drift query's UNCUT vocabulary rollup — package-visible so
+    * PlanSpec pins ITS shape (the declared query lineage-cuts it,
+    * which hides the rollup from the final plan — the mpScoreFrameIvf
+    * pin discipline). */
+  private[graft] def driftPerTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((pmod(col("doc_id"), lit(2)) === 0).as("slice_a"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(
+        sum(when(col("slice_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("slice_a"), 1L).otherwise(0L)).as("b"))
+
   private val mpCenters = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Float]]]()
 
@@ -237,13 +293,7 @@ object Llm {
     // the ground-truth near-dup measure. Oracle-checked. At scale the
     // candidate set comes from LSH (below), never from an n² window.
     QueryDef("l2_ngram_jaccard", (s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
-      val sets = TextFunctions.shingleSets(docs, "doc_id", "text")
-      val a = sets.select(col("doc_id").as("ida"), col("shingle"))
-      val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
-      val pairs = a.join(b, col("shingle") === col("shb") && col("ida") < col("idb"))
-        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
-      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val (pairs, sizes) = shingleCandidates(s, dir, directed = false)
       pairs
         .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
         .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
@@ -251,24 +301,8 @@ object Llm {
           expr("round((CAST(inter AS DOUBLE) / (sza + szb - inter))*10000)/10000")
             .as("jaccard"))
         .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
-    }, Some(
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
-         sets AS (
-           SELECT DISTINCT doc_id, shingle FROM (
-             SELECT doc_id, unnest(
-               CASE WHEN len(string_split(text,' ')) >= 3
-                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
-                           i -> string_split(text,' ')[i] || ' ' ||
-                                string_split(text,' ')[i+1] || ' ' ||
-                                string_split(text,' ')[i+2])
-                    ELSE [] END) AS shingle
-             FROM docs)),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-           FROM sets a JOIN sets b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
+    }, Some(shingleCandidatesSql("a.doc_id < b.doc_id") +
+      """
          SELECT ida, idb, inter,
                 (round((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter))*10000)/10000)
                   AS jaccard
@@ -291,14 +325,7 @@ object Llm {
     // never all-pairs); at corpus scale the LSH gate upstream bounds
     // the pair fan-out exactly as in the Jaccard family.
     QueryDef("l2_containment", (s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
-      val sets = TextFunctions.shingleSets(docs, "doc_id", "text")
-      val a = sets.select(col("doc_id").as("ida"), col("shingle"))
-      val b = sets.select(col("doc_id").as("idb"), col("shingle").as("shb"))
-      val pairs = a.join(b,
-          col("shingle") === col("shb") && col("ida") =!= col("idb"))
-        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
-      val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val (pairs, sizes) = shingleCandidates(s, dir, directed = true)
       pairs
         .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
         .select(col("ida"), col("idb"), col("inter"), col("sza"),
@@ -306,24 +333,8 @@ object Llm {
           expr("round((CAST(inter AS DOUBLE) / sza)*10000)/10000")
             .as("containment"))
         .orderBy(col("ida").asc_nulls_last, col("idb").asc_nulls_last)
-    }, Some(
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
-         sets AS (
-           SELECT DISTINCT doc_id, shingle FROM (
-             SELECT doc_id, unnest(
-               CASE WHEN len(string_split(text,' ')) >= 3
-                    THEN list_transform(range(1, len(string_split(text,' ')) - 1),
-                           i -> string_split(text,' ')[i] || ' ' ||
-                                string_split(text,' ')[i+1] || ' ' ||
-                                string_split(text,' ')[i+2])
-                    ELSE [] END) AS shingle
-             FROM docs)),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-           FROM sets a JOIN sets b
-             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-           GROUP BY 1, 2)
+    }, Some(shingleCandidatesSql("a.doc_id <> b.doc_id") +
+      """
          SELECT ida, idb, inter, sa.sz AS sza,
                 (inter * 4 >= sa.sz * 3) AS high,
                 (round((CAST(inter AS DOUBLE) / sa.sz)*10000)/10000)
@@ -351,15 +362,9 @@ object Llm {
     // ~1e14 at sf0.1. One token rollup per slice, one full-outer
     // vocabulary join — two keyed shuffles total.
     QueryDef("l4_dist_drift", (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select((pmod(col("doc_id"), lit(2)) === 0).as("slice_a"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-      val perTok = toks.groupBy(col("tok")).agg(
-        sum(when(col("slice_a"), 1L).otherwise(0L)).as("a"),
-        sum(when(!col("slice_a"), 1L).otherwise(0L)).as("b"))
-        // feeds the totals AND the per-token terms — cut, or the token
-        // rollup runs twice
-        .localCheckpoint(false)
+      // feeds the totals AND the per-token terms — cut, or the token
+      // rollup runs twice (PlanSpec pins the UNCUT driftPerTok)
+      val perTok = driftPerTok(s, dir).localCheckpoint(false)
       val tot = perTok.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
       perTok.crossJoin(broadcast(tot))
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),

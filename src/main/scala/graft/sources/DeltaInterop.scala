@@ -453,6 +453,78 @@ object DeltaInterop {
       DeltaLite.pruneFiles(snap, bounds),
       snap.partitionBy, snap.physical, snap.properties)
 
+  // ------------------------------------------------- per-commit folding
+
+  /** One parsed add/remove/cdc action of a commit (raw partition-value
+    * keys — PHYSICAL under column mapping; consumers translate). */
+  private final case class CommitAct(kind: String, rel: String,
+      rawPv: Map[String, String], dataChange: Boolean)
+
+  /** THE per-commit fold both [[tableChanges]] and
+    * [[readVersionAppends]] run on (review finding: two drifting
+    * copies of the replay skeleton): verifies the range's commit JSONs
+    * still exist (a checkpoint restates STATE, not per-commit
+    * changes), seeds the state at `from - 1` (one snapshot — uses a
+    * checkpoint when available), then per commit parses the action
+    * lines ONCE, hands the consumer the pre-commit live-file map plus
+    * the commit's visible actions, advances the state through the
+    * commit, and re-gates the protocol. O(total touched files) for
+    * any range. The consumer sees `st` AFTER the commit applied (the
+    * at-v schema/partition/physical view). */
+  private def foldCommitRange[A](spark: SparkSession, path: String,
+      from: Long, to: Long, what: String)(
+      consume: (Long, State, Map[String, AddFile], Seq[CommitAct]) => A)
+      : Seq[A] = {
+    val jsons = commitVersions(path)
+    val jsonSet = jsons.toSet
+    (from to to).foreach(v => require(jsonSet.contains(v),
+      s"$what unavailable for version $v at $path: its commit JSON " +
+        "has been cleaned up (a checkpoint restates STATE, not " +
+        "per-commit changes); earliest JSON commit: " +
+        s"${jsons.headOption.getOrElse(-1L)}"))
+    val st = new State
+    if (from > 0) {
+      val base = snapshot(spark, path, Some(from - 1))
+      base.files.foreach(f => st.live(f.path) = f)
+      st.schema = base.schema
+      st.partitionBy = base.partitionBy
+      st.physical = base.physical
+      st.config = base.properties
+    }
+    (from to to).map { v =>
+      val parsed = Files.readAllLines(
+        logDir(path).resolve(f"$v%020d.json")).asScala
+        .filter(_.nonEmpty).map(JsonMethods.parse(_))
+      val prevFiles: Map[String, AddFile] = st.live.toMap
+      val acts = parsed.flatMap {
+        case JObject(fields) => fields.collectFirst {
+          case (k @ ("add" | "remove" | "cdc"), JObject(a)) =>
+            val am = a.toMap
+            CommitAct(k,
+              decodePath(am.get("path").collect { case JString(x) => x }
+                .getOrElse(sys.error(
+                  s"commit $v at $path: $k action without a path"))),
+              am.get("partitionValues") match {
+                case Some(JObject(vals)) =>
+                  vals.collect { case (c, JString(x)) => c -> x }.toMap
+                case _ => Map.empty[String, String]
+              },
+              am.get("dataChange") match {
+                case Some(JBool(b)) => b
+                case _ => true // absent = data-changing
+              })
+        }
+        case _ => None
+        // cdc actions carry dataChange=false BY SPEC (they describe
+        // the change, they don't change the table) — the flag only
+        // gates add/remove visibility
+      }.filter(a => a.kind == "cdc" || a.dataChange).toSeq
+      parsed.foreach(applyParsedAction(st, _, s"commit $v"))
+      checkProtocol(path, st)
+      consume(v, st, prevFiles, acts)
+    }
+  }
+
   // ---------------------------------------------------------------- CDF
 
   /** Row-level CHANGE FEED over a standard Delta table — Delta's
@@ -481,64 +553,11 @@ object DeltaInterop {
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"invalid change range [$fromVersion, $toVersion]")
     import org.apache.spark.sql.functions.{col, lit}
-    // CDF needs the COMMITS themselves: a version served only by a
-    // checkpoint (log cleanup pruned its JSON) has no per-commit action
-    // record, so the feed below that point is unrecoverable — decline
-    // loudly, exactly like Delta's table_changes on a cleaned-up range
-    val jsons = commitVersions(path).toSet
-    (fromVersion to toVersion).foreach(v => require(jsons.contains(v),
-      s"change feed unavailable for version $v at $path: its commit " +
-        s"JSON has been cleaned up (a checkpoint restates STATE, not " +
-        s"per-commit changes); earliest JSON commit: " +
-        s"${commitVersions(path).headOption.getOrElse(-1L)}"))
-    // ONE incremental replay: base state at fromVersion-1 (snapshot
-    // uses a checkpoint when available), then each commit's actions
-    // fold forward — O(total touched files), never O(versions²)
-    // (review finding: the earlier per-version snapshot() pair made a
-    // K-commit feed re-replay the whole log K times)
-    val st = new State
-    if (fromVersion > 0) {
-      val base = snapshot(spark, path, Some(fromVersion - 1))
-      base.files.foreach(f => st.live(f.path) = f)
-      st.schema = base.schema
-      st.partitionBy = base.partitionBy
-      st.physical = base.physical
-      st.config = base.properties
-    }
-    final case class Act(kind: String, rel: String,
-      rawPv: Map[String, String], dataChange: Boolean)
-    val perCommit = (fromVersion to toVersion).map { v =>
-      val lines = Files.readAllLines(
-        logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
-      val prevFiles: Map[String, AddFile] = st.live.toMap
-      val acts = lines.flatMap(l => JsonMethods.parse(l) match {
-        case JObject(fields) => fields.collectFirst {
-          case (k @ ("add" | "remove" | "cdc"), JObject(a)) =>
-            val am = a.toMap
-            Act(k,
-              decodePath(am.get("path").collect { case JString(x) => x }
-                .getOrElse(sys.error(
-                  s"commit $v at $path: $k action without a path"))),
-              am.get("partitionValues") match {
-                case Some(JObject(vals)) =>
-                  vals.collect { case (c, JString(x)) => c -> x }.toMap
-                case _ => Map.empty[String, String]
-              },
-              am.get("dataChange") match {
-                case Some(JBool(b)) => b
-                case _ => true // absent = data-changing
-              })
-        }
-        case _ => None
-        // cdc actions carry dataChange=false BY SPEC (they describe
-        // the change, they don't change the table) — the flag only
-        // gates add/remove visibility
-      }).filter(a => a.kind == "cdc" || a.dataChange)
-      // advance the state THROUGH this commit (metaData included, so
-      // schema/physical below are the at-v view; protocol re-gated)
-      lines.foreach(applyJsonAction(st, _, s"commit $v"))
-      checkProtocol(path, st)
+    var lastSchema: StructType = null
+    val perCommit = foldCommitRange(spark, path, fromVersion, toVersion,
+        "change feed") { (v, st, prevFiles, acts) =>
       val schema = st.schema
+      lastSchema = schema
       val partitionBy = st.partitionBy
       val physical = st.physical
       def phys(c: String) = physical.getOrElse(c, c)
@@ -546,7 +565,7 @@ object DeltaInterop {
       if (cdcs.nonEmpty) {
         // cdc files carry the table columns + _change_type as DATA;
         // their partitionValues are raw (physical under mapping)
-        val p2l = physical.map(_.swap)
+        val p2l = st.physToLogical
         val dataFields = schema.fields
           .filterNot(f => partitionBy.contains(f.name))
           .map(f => f.copy(name = phys(f.name)))
@@ -559,7 +578,7 @@ object DeltaInterop {
           .groupBy(_.rawPv).toSeq.sortBy(_._1.toString)
           .map { case (pv, group) =>
             val base = spark.read.schema(cdcSchema)
-              .parquet(group.map(a => r.resolve(a.rel).toString).toSeq: _*)
+              .parquet(group.map(a => r.resolve(a.rel).toString): _*)
               .select(schema.fields
                 .filterNot(f => partitionBy.contains(f.name))
                 .map(f => col(phys(f.name)).as(f.name)).toSeq :+
@@ -592,7 +611,7 @@ object DeltaInterop {
         (if (added.nonEmpty) Some(readAs(added, "insert")) else None)
           .toSeq ++
           (if (removed.nonEmpty)
-            Some(readAs(removed.toSeq, "delete")) else None) match {
+            Some(readAs(removed, "delete")) else None) match {
           case Nil => None
           case fs => Some(fs.reduce(_ unionByName _)
             .withColumn("_commit_version", lit(v)))
@@ -601,7 +620,7 @@ object DeltaInterop {
     }
     perCommit.flatten.reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(st.schema.fields ++ Seq(
+        StructType(lastSchema.fields ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_version", LongType, nullable = false))))
     }
@@ -617,68 +636,30 @@ object DeltaInterop {
     * commit's own actions — O(touched files), like [[tableChanges]]. */
   def readVersionAppends(spark: SparkSession, path: String,
       fromExclusive: Option[Long], toVersion: Long,
-      allowRewrites: Boolean = false): DataFrame = {
+      allowRewrites: Boolean = false,
+      emptySchema: Option[StructType] = None): DataFrame = {
     val from = fromExclusive.map(_ + 1L).getOrElse(0L)
     if (from > toVersion) {
-      val snap = snapshot(spark, path, Some(toVersion))
+      // empty range (restart replays, startingVersion ahead of the
+      // log): serve the caller-cached schema instead of paying a full
+      // snapshot replay per empty micro-batch (review finding)
+      val sch = emptySchema.getOrElse(
+        snapshot(spark, path, Some(toVersion)).schema)
       return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     }
-    val jsons = commitVersions(path).toSet
-    (from to toVersion).foreach(v => require(jsons.contains(v),
-      s"streaming read unavailable for version $v at $path: its commit " +
-        "JSON has been cleaned up — restart the stream from a fresh " +
-        "snapshot"))
-    // ONE incremental replay (the tableChanges fold): base state at
-    // from-1, then each commit's actions advance it — O(touched files)
-    // for the whole range, never O(versions²)
-    val st = new State
-    if (from > 0) {
-      val base = snapshot(spark, path, Some(from - 1))
-      base.files.foreach(f => st.live(f.path) = f)
-      st.schema = base.schema
-      st.partitionBy = base.partitionBy
-      st.physical = base.physical
-      st.config = base.properties
-    }
-    val perV = (from to toVersion).map { v =>
-      val lines = Files.readAllLines(
-        logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
-      var addRels = Set.empty[String]
-      var removed = false
-      lines.foreach(l => JsonMethods.parse(l) match {
-        case JObject(fields) => fields.foreach {
-          case ("add", JObject(a)) =>
-            val am = a.toMap
-            val dc = am.get("dataChange") match {
-              case Some(JBool(b)) => b; case _ => true
-            }
-            if (dc) am.get("path").foreach {
-              case JString(x) => addRels += decodePath(x)
-              case _ => ()
-            }
-          case ("remove", JObject(r)) =>
-            val rm = r.toMap
-            val dc = rm.get("dataChange") match {
-              case Some(JBool(b)) => b; case _ => true
-            }
-            removed ||= dc
-          case _ => ()
-        }
-        case _ => ()
-      })
-      require(!removed || allowRewrites,
+    foldCommitRange(spark, path, from, toVersion, "streaming read") {
+        (v, st, _, acts) =>
+      require(!acts.exists(_.kind == "remove") || allowRewrites,
         s"version $v at $path rewrote or deleted rows mid-stream — a " +
           "version-offset stream would re-deliver or lose them; pass " +
           "ignoreChanges=true to accept re-delivered rewritten rows " +
           "(Delta's contract)")
-      lines.foreach(applyJsonAction(st, _, s"commit $v"))
-      checkProtocol(path, st)
+      val addRels = acts.iterator.filter(_.kind == "add").map(_.rel).toSet
       val files = st.live.values.filter(f => addRels.contains(f.path)).toSeq
       DeltaLite.readFiles(spark, path, st.schema, files,
         st.partitionBy, st.physical, st.config)
-    }
-    perV.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
   }
 
   /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`

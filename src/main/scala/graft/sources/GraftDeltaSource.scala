@@ -84,11 +84,24 @@ class GraftDeltaSource extends RelationProvider
     // offsets, appends-only contract, and streaming CDF, same as the
     // native one
     if (DeltaLite.latestVersion(path).isEmpty &&
-        DeltaInterop.isStandardDelta(path))
+        DeltaInterop.isStandardDelta(path)) {
+      val unsupported = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
+        "maxBytesPerTrigger").filter(parameters.contains)
+      require(unsupported.isEmpty,
+        s"options ${unsupported.mkString(", ")} are not supported on " +
+          "standard-Delta streams yet — silently ignoring a rate limit " +
+          "would deliver one unbounded first batch; drop the option or " +
+          "CONVERT FROM DELTA for the native source's admission control")
+      val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
       return new DeltaInteropStreamSource(ctx.sparkSession, path,
         parameters.get("ignoreChanges").exists(_.toBoolean),
-        parameters.get("readChangeFeed").exists(_.toBoolean),
-        startingVersion = parameters.get("startingVersion").map(_.toLong))
+        cdf,
+        startingVersion = parameters.get("startingVersion").map(_.toLong),
+        // the engine hands back sourceSchema's result — reuse it
+        // instead of a second full log replay (base schema only; the
+        // CDF form appends the two change columns)
+        baseSchemaHint = schema.filter(_ => !cdf))
+    }
     // governance on a streaming read is enforced PER MICRO-BATCH inside
     // DeltaLite.readVersionAppends / DeltaLite.changes (the S63 serving
     // projection under the policy at each batch's end version), so a
@@ -365,11 +378,12 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
     storePos(version(end))
     start.map(version).foreach(storePos)
     // Delta's `startingVersion`: subscribe WITHOUT the initial-snapshot
-    // backfill — the first batch delivers versions startingVersion..end
-    // only, as if the stream had been running since then. (With an
-    // explicit start offset from the checkpoint it is inert.)
-    val effStart: Option[Long] =
-      start.map(version).orElse(startingVersion.filter(_ > 0).map(_ - 1))
+    // backfill — delivery begins at startingVersion. Combined with the
+    // checkpointed offset by MAX on every batch: applied only to the
+    // first batch it would go inert once an offset commits below it
+    // and deliver versions the user excluded (review finding).
+    val effStart: Option[Long] = Seq(start.map(version),
+      startingVersion.filter(_ > 0).map(_ - 1)).flatten.maxOption
     // getBatch must return a STREAMING-tagged frame — see StreamingFrame.
     if (!cdf)
       org.apache.spark.sql.graft.StreamingFrame.tag(
@@ -415,12 +429,13 @@ final class GraftDeltaStreamSource(spark: SparkSession, path: String,
   * (`_change_type`, `_commit_version` appended). */
 final class DeltaInteropStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, cdf: Boolean = false,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    baseSchemaHint: Option[StructType] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private val tableSchema: StructType =
-    DeltaInterop.snapshot(spark, path).schema
+    baseSchemaHint.getOrElse(DeltaInterop.snapshot(spark, path).schema)
 
   override def schema: StructType =
     if (cdf) GraftDeltaStreamSource.cdfSchema(tableSchema) else tableSchema
@@ -440,14 +455,28 @@ final class DeltaInteropStreamSource(spark: SparkSession, path: String,
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset)
       : org.apache.spark.sql.DataFrame = {
-    val effStart: Option[Long] =
-      start.map(version).orElse(startingVersion.filter(_ > 0).map(_ - 1))
+    // startingVersion combines with the checkpointed offset by MAX on
+    // every batch — applied only to the first batch it would go inert
+    // once an offset commits below it, delivering versions the user
+    // excluded (review finding)
+    val effStart: Option[Long] = Seq(start.map(version),
+      startingVersion.filter(_ > 0).map(_ - 1)).flatten.maxOption
     val to = version(end)
     val batch =
-      if (!cdf)
-        DeltaInterop.readVersionAppends(spark, path, effStart, to,
-          allowRewrites = ignoreChanges)
-      else {
+      if (!cdf) {
+        if (start.isEmpty && startingVersion.isEmpty)
+          // Delta's initial-snapshot contract: batch 0 without an
+          // offset delivers the table's CURRENT contents — never a
+          // from-zero append replay, which would fail on (or with
+          // ignoreChanges re-deliver) rows deleted BEFORE the stream
+          // existed, and cannot start at all once early commit JSONs
+          // are log-cleaned (review finding)
+          DeltaInterop.read(spark, path, asOf = Some(to))
+        else
+          DeltaInterop.readVersionAppends(spark, path, effStart, to,
+            allowRewrites = ignoreChanges,
+            emptySchema = Some(tableSchema))
+      } else {
         val from = effStart.map(_ + 1L).getOrElse(0L)
         if (from > to)
           spark.createDataFrame(

@@ -490,6 +490,41 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         Option(e.getCause).exists(_.getMessage.contains("rewrote or deleted")),
         s"a mid-stream delete must fail the version-offset stream: $e")
     } finally q2.stop()
+    // INITIAL-SNAPSHOT contract: a table with a pre-stream delete in
+    // its history still starts — batch 0 is the CURRENT snapshot, not
+    // a from-zero append replay (which would trip the rewrite guard on
+    // history that predates the stream; review finding)
+    val q2b = spark.readStream.format("graft-delta").load(path2)
+      .writeStream.format("memory").queryName("interop_stream_post")
+      .outputMode("append").start()
+    try {
+      q2b.processAllAvailable()
+      val rows = spark.table("interop_stream_post")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(rows === Seq(2L),
+        s"batch 0 must be the post-delete snapshot, got $rows")
+      DeltaInterop.exportAppend(spark,
+        Seq((9L, "z", "w")).toDF("id", "s", "part"), path2)
+      q2b.processAllAvailable()
+      assert(spark.table("interop_stream_post")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(2L, 9L), "post-snapshot appends keep streaming")
+    } finally q2b.stop()
+    // unsupported rate limits decline loudly instead of delivering one
+    // unbounded first batch (createSource runs on the stream thread,
+    // so the refusal surfaces through the query, not start())
+    val rlq = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", 10).load(path2)
+      .writeStream.format("memory").queryName("interop_stream_rl")
+      .outputMode("append").start()
+    try {
+      val rl = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        rlq.processAllAvailable()
+      }
+      assert(rl.getMessage.contains("maxFilesPerTrigger") ||
+        Option(rl.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")),
+        s"rate-limit options must decline loudly: $rl")
+    } finally rlq.stop()
     // … unless ignoreChanges; and CDF mode streams the change rows
     val q3 = spark.readStream.format("graft-delta")
       .option("readChangeFeed", "true").load(path2)
@@ -502,7 +537,7 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .toSet
       assert(ch === Set((1L, "insert", 0L), (2L, "insert", 0L),
-        (1L, "delete", 1L)),
+        (1L, "delete", 1L), (9L, "insert", 2L)),
         s"the CDF stream must deliver inserts then the delete: $ch")
     } finally q3.stop()
   }

@@ -91,12 +91,18 @@ class PlanSpec extends AnyFunSuite with TestSpark {
         s"join, never all-pairs:\n$pc")
     // the drift query attaches its (n1, n2) totals as a broadcast
     // 1-row scalar — that nested-loop is the intended constant attach,
-    // and it must be the ONLY one (the vocabulary rollup itself never
-    // pairs tokens)
+    // and it must be the ONLY one
     val pd = plan("l4_dist_drift")
     assert(!pd.contains("CartesianProduct"), pd)
     assert(count(pd, "BroadcastNestedLoopJoin") === 1,
       s"exactly the scalar-totals attach may nest-loop:\n$pd")
+    // the vocabulary rollup is lineage-cut inside the query, which
+    // HIDES its plan from the pin above — pin the UNCUT frame directly
+    // (the mpScoreFrameIvf discipline): one keyed rollup, no joins
+    val pr = graft.queries.Llm.driftPerTok(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("Join"),
+      s"the vocabulary rollup must never pair tokens:\n$pr")
   }
 
   test("l5_train_split: hash-band assignment is map-only before one census agg") {
