@@ -455,6 +455,13 @@ object DeltaInterop {
 
   // ------------------------------------------------- per-commit folding
 
+  /** Commits parsed by [[foldCommitRange]] in this JVM — the
+    * O(range)-not-O(range²) pin's measurement hook (tests reset and
+    * count; a regression to per-version snapshot() replays would
+    * multiply this). */
+  private[graft] val foldedCommits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One parsed add/remove/cdc action of a commit (raw partition-value
     * keys — PHYSICAL under column mapping; consumers translate). */
   private final case class CommitAct(kind: String, rel: String,
@@ -492,6 +499,7 @@ object DeltaInterop {
       st.config = base.properties
     }
     (from to to).map { v =>
+      foldedCommits.incrementAndGet()
       val parsed = Files.readAllLines(
         logDir(path).resolve(f"$v%020d.json")).asScala
         .filter(_.nonEmpty).map(JsonMethods.parse(_))
@@ -779,6 +787,35 @@ object DeltaInterop {
     val adds = writeDataFiles(spark, df, root(path), snap.partitionBy)
     val lines = adds.map(a =>
       JsonMethods.compact(encodeDeltaAdd(a, snap.schema))) :+
+      commitInfoLine("WRITE")
+    val v = snap.version + 1
+    writeCommitFile(path, v, lines)
+    v
+  }
+
+  /** OVERWRITE the table's contents in one commit — delta-rs's
+    * `mode="overwrite"` (the reference stack's most common write):
+    * the new batch's adds plus a data-changing remove of every
+    * previously-live file, atomically versioned, history still
+    * time-travelable. Schema must match (overwrite-with-evolution is
+    * the native format's job). */
+  def exportOverwrite(spark: SparkSession, df: DataFrame,
+      path: String): Long = {
+    val snap = snapshot(spark, path)
+    requireUnmapped(snap, path, "exportOverwrite")
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"overwrite schema ${df.schema.simpleString} does not match " +
+        s"table schema ${snap.schema.simpleString}")
+    val adds = writeDataFiles(spark, df, root(path), snap.partitionBy)
+    val now = System.currentTimeMillis()
+    val lines = adds.map(a =>
+      JsonMethods.compact(encodeDeltaAdd(a, snap.schema))) ++
+      snap.files.map(f => JsonMethods.compact(JObject(List(
+        "remove" -> JObject(List(
+          "path" -> JString(encodePath(f.path)),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true))))))) :+
       commitInfoLine("WRITE")
     val v = snap.version + 1
     writeCommitFile(path, v, lines)

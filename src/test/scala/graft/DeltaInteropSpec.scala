@@ -363,6 +363,62 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(preSchema.fieldNames.toSeq === Seq("id", "s"))
   }
 
+  test("exportOverwrite: one atomic contents swap, history time-travels, the change feed sees delete+insert") {
+    import spark.implicits._
+    val path = tmp("interop_overwrite")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    DeltaInterop.exportOverwrite(spark,
+      Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("id", "s"), path)
+    assert(DeltaInterop.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(10L, 11L, 12L))
+    assert(DeltaInterop.read(spark, path, Some(0L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L), "the pre-overwrite version must stay readable")
+    val feed = DeltaInterop.tableChanges(spark, path, 1L, 1L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((1L, "delete"), (2L, "delete"),
+      (10L, "insert"), (11L, "insert"), (12L, "insert")),
+      s"the overwrite commit is a delete of the old contents plus the " +
+        s"new inserts: $feed")
+    // schema mismatch declines loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.exportOverwrite(spark,
+        Seq((1, "bad-int-id")).toDF("id", "s"), path)
+    }
+    assert(e.getMessage.contains("overwrite schema"))
+  }
+
+  test("foldCommitRange parses each commit exactly once across the whole range (the O(range), not O(range²), pin)") {
+    import spark.implicits._
+    val path = tmp("interop_fold")
+    DeltaInterop.exportToDelta(spark, Seq((0L, "v0")).toDF("id", "s"), path)
+    (1L to 7L).foreach(v => DeltaInterop.exportAppend(spark,
+      Seq((v, s"v$v")).toDF("id", "s"), path))
+    def counted[T](body: => T): (T, Long) = {
+      val before = DeltaInterop.foldedCommits.get()
+      val r = body
+      (r, DeltaInterop.foldedCommits.get() - before)
+    }
+    // materialize (count()) so the frames' reads also run — the pin is
+    // about DRIVER-side log work, which happens at construction
+    val (nCdf, parsedCdf) = counted(
+      DeltaInterop.tableChanges(spark, path, 0L, 7L).count())
+    assert(nCdf === 8L)
+    assert(parsedCdf === 8L,
+      s"an 8-commit change feed must parse exactly 8 commits, " +
+        s"parsed $parsedCdf (a per-version snapshot replay would " +
+        "multiply this)")
+    val (nApp, parsedApp) = counted(
+      DeltaInterop.readVersionAppends(spark, path, None, 7L).count())
+    assert(nApp === 8L)
+    assert(parsedApp === 8L,
+      s"an 8-version streaming batch must parse exactly 8 commits, " +
+        s"parsed $parsedApp")
+  }
+
   test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
     val path = tmp("interop_multipart")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
