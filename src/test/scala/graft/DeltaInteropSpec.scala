@@ -598,6 +598,78 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     } finally q3.stop()
   }
 
+  test("lifecycle model check: random export op sequences replay identically to a graft-delta twin at every version; CDF conserves the state") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val path = tmp(s"interop_model_$seed")
+      val twin = tmp(s"interop_model_twin_$seed")
+      var nextId = 0L
+      def batch(n: Int): org.apache.spark.sql.DataFrame = {
+        val rows = Seq.tabulate(n) { _ =>
+          nextId += 1
+          (nextId, s"s$nextId", if (rng.nextBoolean()) "e" else "w")
+        }
+        rows.toDF("id", "s", "part")
+      }
+      val first = batch(4)
+      DeltaInterop.exportToDelta(spark, first, path, Seq("part"))
+      DeltaLite.create(spark, twin, first, partitionBy = Seq("part"))
+      var ops = List("create")
+      (1 to 5).foreach { _ =>
+        rng.nextInt(3) match {
+          case 0 =>
+            val b = batch(1 + rng.nextInt(3))
+            DeltaInterop.exportAppend(spark, b, path)
+            DeltaLite.append(spark, twin, b)
+            ops ::= "append"
+          case 1 =>
+            val b = batch(1 + rng.nextInt(3))
+            DeltaInterop.exportOverwrite(spark, b, path)
+            DeltaLite.replaceWhere(spark, twin, lit(true), b)
+            ops ::= "overwrite"
+          case 2 =>
+            val live = DeltaInterop.snapshot(spark, path).files
+              .flatMap(_.pv.get("part")).distinct
+            if (live.nonEmpty) {
+              val v = live(rng.nextInt(live.size))
+              DeltaInterop.exportDeletePartition(spark, path, "part", v)
+              DeltaLite.delete(spark, twin, col("part") === v)
+              ops ::= s"delete($v)"
+            } else {
+              val b = batch(1)
+              DeltaInterop.exportAppend(spark, b, path)
+              DeltaLite.append(spark, twin, b)
+              ops ::= "append"
+            }
+        }
+      }
+      val latest = DeltaInterop.latestVersion(path).get
+      val trail = s"seed $seed ops ${ops.reverse.mkString(" → ")}"
+      for (v <- 0L to latest)
+        assert(sorted(DeltaInterop.read(spark, path, Some(v))
+            .select("id", "s", "part")) ===
+          sorted(DeltaLite.read(spark, twin, Some(v))
+            .select("id", "s", "part")),
+          s"$trail: version $v must replay identically to the twin")
+      // CDF conservation: per id, inserts − deletes across the full
+      // feed equals its multiplicity in the final state (ids are
+      // unique per batch row here, so 0 or 1)
+      val net = DeltaInterop.tableChanges(spark, path, 0L, latest)
+        .groupBy(col("id"))
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("net"))
+      val finalIds = DeltaInterop.read(spark, path)
+        .select("id").collect().map(_.getLong(0)).toSet
+      net.collect().foreach { r =>
+        val (id, n) = (r.getLong(0), r.getLong(1))
+        assert(n === (if (finalIds.contains(id)) 1L else 0L),
+          s"$trail: CDF must conserve id $id (net $n, " +
+            s"final ${finalIds.contains(id)})")
+      }
+    }
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = {
       new Iterator[A] {
