@@ -126,6 +126,8 @@ object DeltaInterop {
     var config: Map[String, String] = Map.empty
     var minReader: Int = 1
     var readerFeatures: Seq[String] = Nil
+    var minWriter: Int = 1
+    var writerFeatures: Seq[String] = Nil
     /** Column mapping `name` mode: logical → physical parquet name,
       * from `delta.columnMapping.physicalName` field metadata. */
     private var physicalV: Map[String, String] = Map.empty
@@ -163,6 +165,12 @@ object DeltaInterop {
             case JInt(i) => i.toInt; case JLong(l) => l.toInt
           }.getOrElse(1)
           st.readerFeatures = pm.get("readerFeatures").collect {
+            case JArray(fs) => fs.collect { case JString(f) => f }
+          }.getOrElse(Nil)
+          st.minWriter = pm.get("minWriterVersion").collect {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt
+          }.getOrElse(1)
+          st.writerFeatures = pm.get("writerFeatures").collect {
             case JArray(fs) => fs.collect { case JString(f) => f }
           }.getOrElse(Nil)
         case ("add", JObject(a)) =>
@@ -334,6 +342,16 @@ object DeltaInterop {
     * neither can reconstruct the state. */
   def snapshot(spark: SparkSession, path: String,
       asOf: Option[Long] = None): Snapshot = {
+    val (target, st) = replayState(spark, path, asOf)
+    Snapshot(target, st.schema, st.live.values.toSeq,
+      txns = st.txns.toMap, partitionBy = st.partitionBy,
+      physical = st.physical, properties = st.config)
+  }
+
+  /** The full replay including the parts [[DeltaLite.Snapshot]] has no
+    * slot for (writer protocol) — the export surfaces gate on it. */
+  private def replayState(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): (Long, State) = {
     val jsons = commitVersions(path)
     val cps = checkpoints(path)
     val latest = latestVersion(path).getOrElse(
@@ -388,9 +406,7 @@ object DeltaInterop {
     require(st.schema != null,
       s"no metaData action found replaying $path to version $target")
     checkProtocol(path, st)
-    Snapshot(target, st.schema, st.live.values.toSeq,
-      txns = st.txns.toMap, partitionBy = st.partitionBy,
-      physical = st.physical, properties = st.config)
+    (target, st)
   }
 
   private def checkProtocol(path: String, st: State): Unit = {
@@ -462,6 +478,14 @@ object DeltaInterop {
   private[graft] val foldedCommits =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-THREAD commits-parsed counter — the deterministic form the
+    * fold pin diffs (suites run in parallel and other threads' folds
+    * would inflate a global diff; construction runs on the calling
+    * thread, so the thread-local sees exactly this call's work). */
+  private[graft] val foldedCommitsLocal = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+
   /** One parsed add/remove/cdc action of a commit (raw partition-value
     * keys — PHYSICAL under column mapping; consumers translate). */
   private final case class CommitAct(kind: String, rel: String,
@@ -500,6 +524,7 @@ object DeltaInterop {
     }
     (from to to).map { v =>
       foldedCommits.incrementAndGet()
+      foldedCommitsLocal.set(foldedCommitsLocal.get() + 1L)
       val parsed = Files.readAllLines(
         logDir(path).resolve(f"$v%020d.json")).asScala
         .filter(_.nonEmpty).map(JsonMethods.parse(_))
@@ -778,19 +803,16 @@ object DeltaInterop {
   /** Append `df` to a standard Delta table — one adds-only commit
     * (Delta does not restate metaData per commit). */
   def exportAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
-    val snap = snapshot(spark, path)
-    requireUnmapped(snap, path, "exportAppend")
-    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"append schema ${df.schema.simpleString} does not match table " +
-        s"schema ${snap.schema.simpleString}")
-    val adds = writeDataFiles(spark, df, root(path), snap.partitionBy)
+    val (version, st) = replayState(spark, path)
+    requireWritable(st, path, "exportAppend", removesRows = false)
+    requireUnmapped(st, path, "exportAppend")
+    requireSchemaMatch(df, st, path, "exportAppend")
+    val adds = writeDataFiles(spark, df, root(path), st.partitionBy)
     val lines = adds.map(a =>
-      JsonMethods.compact(encodeDeltaAdd(a, snap.schema))) :+
+      JsonMethods.compact(encodeDeltaAdd(a, st.schema))) :+
       commitInfoLine("WRITE")
-    val v = snap.version + 1
-    writeCommitFile(path, v, lines)
-    v
+    writeCommitFile(path, version + 1, lines)
+    version + 1
   }
 
   /** OVERWRITE the table's contents in one commit — delta-rs's
@@ -801,25 +823,18 @@ object DeltaInterop {
     * the native format's job). */
   def exportOverwrite(spark: SparkSession, df: DataFrame,
       path: String): Long = {
-    val snap = snapshot(spark, path)
-    requireUnmapped(snap, path, "exportOverwrite")
-    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"overwrite schema ${df.schema.simpleString} does not match " +
-        s"table schema ${snap.schema.simpleString}")
-    val adds = writeDataFiles(spark, df, root(path), snap.partitionBy)
+    val (version, st) = replayState(spark, path)
+    requireWritable(st, path, "exportOverwrite", removesRows = true)
+    requireUnmapped(st, path, "exportOverwrite")
+    requireSchemaMatch(df, st, path, "exportOverwrite")
+    val adds = writeDataFiles(spark, df, root(path), st.partitionBy)
     val now = System.currentTimeMillis()
     val lines = adds.map(a =>
-      JsonMethods.compact(encodeDeltaAdd(a, snap.schema))) ++
-      snap.files.map(f => JsonMethods.compact(JObject(List(
-        "remove" -> JObject(List(
-          "path" -> JString(encodePath(f.path)),
-          "deletionTimestamp" -> JLong(now),
-          "dataChange" -> JBool(true))))))) :+
+      JsonMethods.compact(encodeDeltaAdd(a, st.schema))) ++
+      st.live.values.map(f => removeLine(f, now)) :+
       commitInfoLine("WRITE")
-    val v = snap.version + 1
-    writeCommitFile(path, v, lines)
-    v
+    writeCommitFile(path, version + 1, lines)
+    version + 1
   }
 
   /** Partition-aligned DELETE on a standard Delta table: every live
@@ -830,22 +845,84 @@ object DeltaInterop {
     * format's job). */
   def exportDeletePartition(spark: SparkSession, path: String,
       column: String, value: String): Long = {
-    val snap = snapshot(spark, path)
-    require(snap.partitionBy.contains(column),
+    val (version, st) = replayState(spark, path)
+    requireWritable(st, path, "exportDeletePartition", removesRows = true)
+    require(st.partitionBy.contains(column),
       s"'$column' is not a partition column of $path " +
-        s"(partitioned by: ${snap.partitionBy.mkString(", ")})")
-    val doomed = snap.files.filter(_.pv.get(column).contains(value))
+        s"(partitioned by: ${st.partitionBy.mkString(", ")})")
+    val doomed = st.live.values.filter(_.pv.get(column).contains(value))
+      .toSeq
     require(doomed.nonEmpty, s"no live files with $column=$value at $path")
     val now = System.currentTimeMillis()
-    val lines = doomed.map(f => JsonMethods.compact(JObject(List(
+    val lines = doomed.map(removeLine(_, now)) :+ commitInfoLine("DELETE")
+    writeCommitFile(path, version + 1, lines)
+    version + 1
+  }
+
+  /** THE remove-action encoder — one definition for the overwrite and
+    * partition-delete commits (review finding: verbatim copies drift). */
+  private def removeLine(f: AddFile, now: Long): String =
+    JsonMethods.compact(JObject(List(
       "remove" -> JObject(List(
         "path" -> JString(encodePath(f.path)),
         "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(true))))))) :+
-      commitInfoLine("DELETE")
-    val v = snap.version + 1
-    writeCommitFile(path, v, lines)
-    v
+        "dataChange" -> JBool(true))))))
+
+  /** WRITER-side protocol gate (review finding: the reader gate
+    * accepting a table says nothing about writing it). This exporter
+    * implements writer version ≤ 2 minus invariants: it declines
+    * loudly on
+    *   - `delta.appendOnly = true` when the commit would remove rows
+    *     (overwrite/partition-delete on an append-only table breaks
+    *     the contract downstream consumers rely on);
+    *   - any column carrying a `delta.invariants` expression (writer
+    *     v2 requires ENFORCING it on write — we don't evaluate them);
+    *   - minWriterVersion > 2 or any `writerFeatures` (v7 tables
+    *     demand per-feature write obligations — row tracking, DVs,
+    *     CDC files — this minimal exporter does not meet). */
+  private def requireWritable(st: State, path: String, op: String,
+      removesRows: Boolean): Unit = {
+    require(st.minWriter <= 2 && st.writerFeatures.isEmpty,
+      s"$op on $path: the table requires minWriterVersion " +
+        s"${st.minWriter}" +
+        (if (st.writerFeatures.nonEmpty)
+          s" with writer features ${st.writerFeatures.mkString(", ")}"
+         else "") +
+        " — this minimal-protocol exporter writes version 2 commits " +
+        "only; use the native format (CONVERT FROM DELTA) for full " +
+        "write semantics")
+    require(!removesRows ||
+        !st.config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+      s"$op on $path: the table declares delta.appendOnly=true — a " +
+        "row-removing commit would break the append-only contract " +
+        "downstream consumers rely on")
+    if (st.schema != null)
+      st.schema.fields.foreach(f => require(
+        !f.metadata.contains("delta.invariants"),
+        s"$op on $path: column '${f.name}' carries a delta.invariants " +
+          "expression this exporter does not enforce — writing without " +
+          "enforcement would violate the writer contract"))
+  }
+
+  /** Shared write-side schema gate: names and types must match
+    * EXACTLY, and a nullable batch column cannot land in a column the
+    * table declares non-nullable (review finding: the log would then
+    * promise non-null while the files carry nulls — foreign readers
+    * trust the schema). A batch whose column provably holds no nulls
+    * declares it non-nullable and passes. */
+  private def requireSchemaMatch(df: DataFrame, st: State, path: String,
+      op: String): Unit = {
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        st.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"$op schema ${df.schema.simpleString} does not match table " +
+        s"schema ${st.schema.simpleString}")
+    val tableNullable = st.schema.fields.map(f => f.name -> f.nullable).toMap
+    df.schema.fields.foreach(f => require(
+      !f.nullable || tableNullable.getOrElse(f.name, true),
+      s"$op on $path: column '${f.name}' is nullable in the batch but " +
+        "the table schema declares it non-nullable — writing it could " +
+        "put nulls behind a schema that promises none; make the batch " +
+        "column non-nullable (or fix the table schema)"))
   }
 
   /** The export surfaces write LOGICAL-named parquet, logical-keyed
@@ -856,9 +933,9 @@ object DeltaInterop {
     * un-gated these). [[exportDeletePartition]] stays allowed — remove
     * actions carry only paths, no name-bearing artifact — as do
     * reading and CONVERT FROM DELTA. */
-  private def requireUnmapped(snap: Snapshot, path: String,
+  private def requireUnmapped(st: State, path: String,
       op: String): Unit =
-    require(snap.physical.isEmpty,
+    require(st.physical.isEmpty,
       s"$op on $path: the table uses column mapping — this exporter " +
         "writes logical-named artifacts, which a mapped table's " +
         "readers would resolve to NULLs; read/convert the table " +
@@ -984,8 +1061,11 @@ object DeltaInterop {
     * look for, and the fixture this module's own checkpoint replay path
     * is tested against. */
   def exportCheckpoint(spark: SparkSession, path: String): Long = {
-    val snap = snapshot(spark, path)
-    requireUnmapped(snap, path, "exportCheckpoint")
+    val (v0, st0) = replayState(spark, path)
+    requireUnmapped(st0, path, "exportCheckpoint")
+    val snap = Snapshot(v0, st0.schema, st0.live.values.toSeq,
+      txns = st0.txns.toMap, partitionBy = st0.partitionBy,
+      physical = st0.physical, properties = st0.config)
     def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
     val now = System.currentTimeMillis()
     val rows: Seq[Row] =

@@ -188,11 +188,29 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         s"""{"metaData":{"id":"m","format":{"provider":"orc","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""))
     }
     assert(fmt.getMessage.contains("orc"))
-    // reader version 3 with only SUPPORTED features is fine
+    // reader version 3 with only SUPPORTED features is fine TO READ …
     val ok = authored("okfeat")(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       meta)
     assert(DeltaInterop.snapshot(spark, ok).files.isEmpty)
+    // … but WRITING it declines: writer v7 features carry per-feature
+    // obligations this minimal exporter does not meet
+    import spark.implicits._
+    val wv = intercept[IllegalArgumentException] {
+      DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), ok)
+    }
+    assert(wv.getMessage.contains("minWriterVersion"))
+    // delta.appendOnly blocks the row-removing exports, not appends
+    val ao = authored("appendonly")(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.appendOnly":"true"}}}""")
+    DeltaInterop.exportAppend(spark, Seq(7L).toDF("id"), ao)
+    val del = intercept[IllegalArgumentException] {
+      DeltaInterop.exportOverwrite(spark, Seq(8L).toDF("id"), ao)
+    }
+    assert(del.getMessage.contains("appendOnly"))
+    assert(DeltaInterop.read(spark, ao).count() === 1L,
+      "the append must have landed; the overwrite must not")
   }
 
   test("checkpoint replay: snapshot reconstructs from a classic parquet checkpoint after the early JSON commits are gone") {
@@ -388,7 +406,7 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       DeltaInterop.exportOverwrite(spark,
         Seq((1, "bad-int-id")).toDF("id", "s"), path)
     }
-    assert(e.getMessage.contains("overwrite schema"))
+    assert(e.getMessage.contains("exportOverwrite schema"))
   }
 
   test("foldCommitRange parses each commit exactly once across the whole range (the O(range), not O(range²), pin)") {
@@ -397,10 +415,12 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     DeltaInterop.exportToDelta(spark, Seq((0L, "v0")).toDF("id", "s"), path)
     (1L to 7L).foreach(v => DeltaInterop.exportAppend(spark,
       Seq((v, s"v$v")).toDF("id", "s"), path))
+    // diff the THREAD-LOCAL counter: suites run in parallel, so the
+    // global one can absorb another suite's folds mid-measurement
     def counted[T](body: => T): (T, Long) = {
-      val before = DeltaInterop.foldedCommits.get()
+      val before = DeltaInterop.foldedCommitsLocal.get(): Long
       val r = body
-      (r, DeltaInterop.foldedCommits.get() - before)
+      (r, (DeltaInterop.foldedCommitsLocal.get(): Long) - before)
     }
     // materialize (count()) so the frames' reads also run — the pin is
     // about DRIVER-side log work, which happens at construction

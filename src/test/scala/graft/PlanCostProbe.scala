@@ -9,8 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * info(); the only assert is that planning succeeds. */
 class PlanCostProbe extends AnyFunSuite with TestSpark {
   test("per-plan fixed cost: rules on vs off") {
-    import spark.implicits._
-    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    // an ISOLATED session (own SQLConf, shared context): the probe
+    // toggles six rule switches over a long window, and the shared
+    // session would leak the off-state into concurrently-running
+    // suites' plan-shape asserts (review finding)
+    val probe = TestSpark.session.newSession()
+    val df = probe.read.parquet(s"$sf/lineitem.parquet")
     // warm everything once
     df.groupBy("l_returnflag").count().queryExecution.executedPlan
     def time(n: Int)(mk: Int => org.apache.spark.sql.DataFrame): Double = {
@@ -26,15 +30,15 @@ class PlanCostProbe extends AnyFunSuite with TestSpark {
       "spark.graft.dpp.enabled", "spark.graft.formatBranching.enabled",
       "spark.graft.fk.joinElim", "spark.graft.mv.autoRewrite",
       "spark.graft.statsAgg")
-    offs.foreach(k => spark.conf.set(k, "false"))
+    offs.foreach(k => probe.conf.set(k, "false"))
     val withoutRules =
       try time(20)(shape)
-      finally offs.foreach(k => spark.conf.unset(k))
+      finally offs.foreach(k => probe.conf.unset(k))
     info(f"per-plan: rules ON $withRules%.4fs, OFF $withoutRules%.4fs")
     // per-rule attribution: turn each off alone
     offs.foreach { k =>
-      spark.conf.set(k, "false")
-      val t = try time(10)(shape) finally spark.conf.unset(k)
+      probe.conf.set(k, "false")
+      val t = try time(10)(shape) finally probe.conf.unset(k)
       info(f"  without $k%-44s $t%.4fs")
     }
     assert(withRules > 0)
