@@ -343,10 +343,13 @@ object DeltaInterop {
   def snapshot(spark: SparkSession, path: String,
       asOf: Option[Long] = None): Snapshot = {
     val (target, st) = replayState(spark, path, asOf)
-    Snapshot(target, st.schema, st.live.values.toSeq,
+    toSnapshot(target, st)
+  }
+
+  private def toSnapshot(version: Long, st: State): Snapshot =
+    Snapshot(version, st.schema, st.live.values.toSeq,
       txns = st.txns.toMap, partitionBy = st.partitionBy,
       physical = st.physical, properties = st.config)
-  }
 
   /** The full replay including the parts [[DeltaLite.Snapshot]] has no
     * slot for (writer protocol) — the export surfaces gate on it. */
@@ -471,17 +474,11 @@ object DeltaInterop {
 
   // ------------------------------------------------- per-commit folding
 
-  /** Commits parsed by [[foldCommitRange]] in this JVM — the
-    * O(range)-not-O(range²) pin's measurement hook (tests reset and
-    * count; a regression to per-version snapshot() replays would
-    * multiply this). */
-  private[graft] val foldedCommits =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Per-THREAD commits-parsed counter — the deterministic form the
-    * fold pin diffs (suites run in parallel and other threads' folds
-    * would inflate a global diff; construction runs on the calling
-    * thread, so the thread-local sees exactly this call's work). */
+  /** Per-THREAD commits-parsed counter — the O(range)-not-O(range²)
+    * pin's measurement hook: the fold-pin test diffs it around a call
+    * (suites run in parallel, so a global counter would absorb other
+    * threads' folds; construction runs on the calling thread, so the
+    * thread-local sees exactly this call's work). */
   private[graft] val foldedCommitsLocal = new ThreadLocal[java.lang.Long] {
     override def initialValue(): java.lang.Long = 0L
   }
@@ -523,7 +520,6 @@ object DeltaInterop {
       st.config = base.properties
     }
     (from to to).map { v =>
-      foldedCommits.incrementAndGet()
       foldedCommitsLocal.set(foldedCommitsLocal.get() + 1L)
       val parsed = Files.readAllLines(
         logDir(path).resolve(f"$v%020d.json")).asScala
@@ -846,7 +842,8 @@ object DeltaInterop {
   def exportDeletePartition(spark: SparkSession, path: String,
       column: String, value: String): Long = {
     val (version, st) = replayState(spark, path)
-    requireWritable(st, path, "exportDeletePartition", removesRows = true)
+    requireWritable(st, path, "exportDeletePartition", removesRows = true,
+      writesRows = false)
     require(st.partitionBy.contains(column),
       s"'$column' is not a partition column of $path " +
         s"(partitioned by: ${st.partitionBy.mkString(", ")})")
@@ -881,7 +878,7 @@ object DeltaInterop {
     *     demand per-feature write obligations — row tracking, DVs,
     *     CDC files — this minimal exporter does not meet). */
   private def requireWritable(st: State, path: String, op: String,
-      removesRows: Boolean): Unit = {
+      removesRows: Boolean, writesRows: Boolean = true): Unit = {
     require(st.minWriter <= 2 && st.writerFeatures.isEmpty,
       s"$op on $path: the table requires minWriterVersion " +
         s"${st.minWriter}" +
@@ -896,10 +893,23 @@ object DeltaInterop {
       s"$op on $path: the table declares delta.appendOnly=true — a " +
         "row-removing commit would break the append-only contract " +
         "downstream consumers rely on")
-    if (st.schema != null)
-      st.schema.fields.foreach(f => require(
-        !f.metadata.contains("delta.invariants"),
-        s"$op on $path: column '${f.name}' carries a delta.invariants " +
+    // invariants gate ONLY commits that write rows (a remove-only
+    // partition delete adds no data, so any invariant is vacuously
+    // preserved — review finding); the scan is RECURSIVE, Delta allows
+    // invariants on nested fields (review finding)
+    def invariantIn(dt: DataType, at: String): Option[String] = dt match {
+      case stct: StructType => stct.fields.view.flatMap { f =>
+        if (f.metadata.contains("delta.invariants"))
+          Some(s"$at${f.name}")
+        else invariantIn(f.dataType, s"$at${f.name}.")
+      }.headOption
+      case ArrayType(et, _) => invariantIn(et, at)
+      case MapType(_, vt, _) => invariantIn(vt, at)
+      case _ => None
+    }
+    if (writesRows && st.schema != null)
+      invariantIn(st.schema, "").foreach(c => sys.error(
+        s"$op on $path: column '$c' carries a delta.invariants " +
           "expression this exporter does not enforce — writing without " +
           "enforcement would violate the writer contract"))
   }
@@ -916,13 +926,25 @@ object DeltaInterop {
         st.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"$op schema ${df.schema.simpleString} does not match table " +
         s"schema ${st.schema.simpleString}")
-    val tableNullable = st.schema.fields.map(f => f.name -> f.nullable).toMap
-    df.schema.fields.foreach(f => require(
-      !f.nullable || tableNullable.getOrElse(f.name, true),
-      s"$op on $path: column '${f.name}' is nullable in the batch but " +
-        "the table schema declares it non-nullable — writing it could " +
-        "put nulls behind a schema that promises none; make the batch " +
-        "column non-nullable (or fix the table schema)"))
+    // Non-nullable table columns enforce on the DATA (the actual
+    // writer-v2 obligation), not the batch's nullable flag — every
+    // file-sourced frame reads back nullable=true even when it holds
+    // no nulls, so a flag check would decline all round-trips (review
+    // finding). One cheap existence probe per affected column; usually
+    // none are.
+    val suspect = st.schema.fields
+      .filter(tf => !tf.nullable &&
+        df.schema.fields.exists(bf => bf.name == tf.name && bf.nullable))
+      .map(_.name)
+    if (suspect.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val offending = suspect.find(c =>
+        df.filter(col(c).isNull).limit(1).count() > 0)
+      offending.foreach(c => sys.error(
+        s"$op on $path: column '$c' contains nulls but the table " +
+          "schema declares it non-nullable — foreign readers trust " +
+          "the schema; drop the null rows or fix the table schema"))
+    }
   }
 
   /** The export surfaces write LOGICAL-named parquet, logical-keyed
@@ -1037,7 +1059,9 @@ object DeltaInterop {
   private val CheckpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -1068,8 +1092,15 @@ object DeltaInterop {
       physical = st0.physical, properties = st0.config)
     def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
     val now = System.currentTimeMillis()
+    // the checkpoint RESTATES the table's protocol — hardcoding (1,2)
+    // would falsify a higher-versioned table's requirements once the
+    // JSON commits are cleaned up, and launder writes past the
+    // requireWritable gate on replay-from-checkpoint (review finding)
     val rows: Seq[Row] =
-      Seq(Row(Row(1, 2), null, null, null),
+      Seq(Row(Row(st0.minReader, st0.minWriter,
+          if (st0.readerFeatures.isEmpty) null else st0.readerFeatures,
+          if (st0.writerFeatures.isEmpty) null else st0.writerFeatures),
+        null, null, null),
         Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
           snap.schema.json, snap.partitionBy, snap.properties), null,
           null)) ++

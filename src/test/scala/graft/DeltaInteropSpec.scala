@@ -439,6 +439,33 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         s"parsed $parsedApp")
   }
 
+  test("a checkpoint RESTATES the table's protocol: checkpoint-only replay still declines v7 writes (no gate laundering)") {
+    import spark.implicits._
+    val path = tmp("interop_cp_protocol")
+    val logDir = Paths.get(path, "_delta_log")
+    Files.createDirectories(logDir)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // readable (features supported) → checkpoint is allowed
+    DeltaInterop.exportCheckpoint(spark, path)
+    // log cleanup: the checkpoint is now the only protocol source
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    assert(DeltaInterop.snapshot(spark, path).files.isEmpty,
+      "the checkpoint alone must reconstruct the (empty) table")
+    val e = intercept[Exception] {
+      DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), path)
+    }
+    assert(e.getMessage.contains("minWriterVersion"),
+      s"the v7 writer requirement must survive checkpoint-only " +
+        s"replay — a hardcoded checkpoint protocol would launder the " +
+        s"write past the gate: $e")
+  }
+
   test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
     val path = tmp("interop_multipart")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
