@@ -69,8 +69,18 @@ object MaintenanceSql {
       AttributeReference("num_added_files", IntegerType, nullable = false)(),
       AttributeReference("num_removed_files", IntegerType, nullable = false)(),
       AttributeReference("rows_added", LongType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      // STANDARD-DELTA DISPATCH (the read path's twin): DESCRIBE
+      // HISTORY over a real _delta_log serves from the interop log walk
+      if (DeltaLite.latestVersion(path).isEmpty &&
+          graft.sources.DeltaInterop.isStandardDelta(path))
+        return graft.sources.DeltaInterop.historyRows(path)
+          .sortBy(-_._1)
+          .map { case (v, op, ts, na, nr, rows) =>
+            Row(v, op, new java.sql.Timestamp(ts), na, nr, rows) }
+          .take(limit.getOrElse(Int.MaxValue))
       DeltaLite.history(spark, path, limit).collect().toSeq
+    }
   }
 
   final case class DescribeDetailCommand(path: String)

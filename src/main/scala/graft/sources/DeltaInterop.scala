@@ -720,6 +720,46 @@ object DeltaInterop {
     fromInfo.getOrElse(Files.getLastModifiedTime(f).toMillis)
   }
 
+  /** `DESCRIBE HISTORY` rows for a standard Delta table — per commit:
+    * version, operation, timestamp, add/remove action counts, and the
+    * rows added (sum of the adds' stats numRecords; 0 when the writer
+    * recorded no stats). One driver pass over each commit's JSON. */
+  private[graft] def historyRows(path: String)
+      : Seq[(Long, String, Long, Int, Int, Long)] =
+    commitVersions(path).map { v =>
+      val lines = Files.readAllLines(
+        logDir(path).resolve(f"$v%020d.json")).asScala.filter(_.nonEmpty)
+      var op = ""
+      var ts = -1L
+      var nAdd = 0
+      var nRemove = 0
+      var rowsAdded = 0L
+      lines.foreach(l => JsonMethods.parse(l) match {
+        case JObject(fields) => fields.foreach {
+          case ("commitInfo", JObject(ci)) =>
+            val cm = ci.toMap
+            cm.get("operation").foreach {
+              case JString(o) => op = o; case _ => () }
+            cm.get("timestamp").foreach {
+              case JLong(t) => ts = t
+              case JInt(t) => ts = t.toLong
+              case _ => () }
+          case ("add", JObject(a)) =>
+            nAdd += 1
+            a.toMap.get("stats").foreach {
+              case JString(x) if x.nonEmpty =>
+                rowsAdded += parseStats(x, null, Nil)._1
+              case _ => ()
+            }
+          case ("remove", _) => nRemove += 1
+          case _ => ()
+        }
+        case _ => ()
+      })
+      (v, op, if (ts >= 0) ts else commitTimestamp(path, v),
+        nAdd, nRemove, rowsAdded)
+    }
+
   /** Commit history of a standard Delta table: (version, timestamp,
     * operation) — operation from `commitInfo` when present. */
   def history(spark: SparkSession, path: String): DataFrame = {

@@ -81,6 +81,15 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     val ops = DeltaInterop.history(spark, path)
       .orderBy("version").collect().map(_.getString(2)).toSeq
     assert(ops === Seq("WRITE", "WRITE", "DELETE"))
+    // DESCRIBE HISTORY dispatches to the standard log (newest first,
+    // add/remove counts from the commits themselves)
+    val h = spark.sql(s"DESCRIBE HISTORY '$path'").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(1)).toSeq === Seq("DELETE", "WRITE", "WRITE"))
+    assert(h.last.getInt(3) > 0 && h.last.getLong(5) > 0L,
+      s"commit 0 must report its add count and rows: ${h.toSeq}")
+    assert(h.head.getInt(4) > 0 && h.head.getInt(3) === 0,
+      s"the delete commit must report removes and no adds: ${h.toSeq}")
   }
 
   test("hand-authored foreign log: percent-encoded paths, ISO timestamp stats, null partition value, remove replay") {
