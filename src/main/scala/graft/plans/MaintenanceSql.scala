@@ -98,8 +98,20 @@ object MaintenanceSql {
       AttributeReference("identity_columns", StringType, nullable = false)(),
       AttributeReference("properties", StringType, nullable = false)(),
       AttributeReference("schema_json", StringType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      // standard-Delta dispatch: DETAIL serves from the interop replay
+      if (DeltaLite.latestVersion(path).isEmpty &&
+          graft.sources.DeltaInterop.isStandardDelta(path)) {
+        val snap = graft.sources.DeltaInterop.snapshot(spark, path)
+        return Seq(Row(snap.version, snap.totalRows, snap.totalBytes,
+          snap.files.size, snap.files.size, snap.files.size,
+          snap.partitionBy.mkString(","), 0, "", "",
+          snap.properties.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(","),
+          snap.schema.json))
+      }
       DeltaLite.detail(spark, path).collect().toSeq
+    }
   }
 
   final case class VacuumCommand(path: String, keepVersions: Int,

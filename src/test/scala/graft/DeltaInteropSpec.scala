@@ -90,6 +90,13 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       s"commit 0 must report its add count and rows: ${h.toSeq}")
     assert(h.head.getInt(4) > 0 && h.head.getInt(3) === 0,
       s"the delete commit must report removes and no adds: ${h.toSeq}")
+    // DESCRIBE DETAIL dispatches too: live rows/files at the latest
+    // version, partition columns from the log
+    val det = spark.sql(s"DESCRIBE DETAIL '$path'").collect()(0)
+    assert(det.getLong(0) === 2L)
+    assert(det.getLong(1) ===
+      DeltaInterop.read(spark, path).count())
+    assert(det.getString(6) === "o_orderstatus")
   }
 
   test("hand-authored foreign log: percent-encoded paths, ISO timestamp stats, null partition value, remove replay") {
