@@ -22,7 +22,16 @@ object SparkEntry {
     graft.queries.Graph.defs
   )
 
-  private lazy val all: Seq[QueryDef] = modules.flatten
+  private lazy val all: Seq[QueryDef] = {
+    val qs = modules.flatten
+    // Seq.toMap keeps the LAST duplicate silently — a same-named QueryDef
+    // in two modules (or twice in one) ships the wrong query with no
+    // signal (the r16 l2_containment shadowing). Fail loudly instead.
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names would silently shadow: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary (SURVEY §7.2 M0). */

@@ -324,7 +324,11 @@ object Llm {
     // come from the shingle-equality join (bucketed by shingle value,
     // never all-pairs); at corpus scale the LSH gate upstream bounds
     // the pair fan-out exactly as in the Jaccard family.
-    QueryDef("l2_containment", (s, dir) => {
+    // (Named _directed: the symmetric-threshold l2_containment below
+    // at L2 (k) predates this variant; the r16 cut shipped both under
+    // ONE name and Seq.toMap silently dropped this one — SparkEntry
+    // now `require`s distinct names so a collision can never ship.)
+    QueryDef("l2_containment_directed", (s, dir) => {
       val (pairs, sizes) = shingleCandidates(s, dir, directed = true)
       pairs
         .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
@@ -366,15 +370,25 @@ object Llm {
       // rollup runs twice (PlanSpec pins the UNCUT driftPerTok)
       val perTok = driftPerTok(s, dir).localCheckpoint(false)
       val tot = perTok.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      // Cross-products widen to DECIMAL(38,0)/HUGEINT (the a34/x25/s64
+      // discipline): aₜ·n₂ wraps SILENTLY in Spark's non-ANSI BIGINT
+      // multiply once slice token counts pass ~2e9 (tv_den = 2·n₁·n₂
+      // first). Display casts back to BIGINT — exact at fixture SFs,
+      // and the output schema stays decimal-free (driver-hasher rule).
       perTok.crossJoin(broadcast(tot))
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          sum(abs(col("a") * col("n2") - col("b") * col("n1")))
-            .as("tv_num"),
+          sum(abs(expr("CAST(a AS DECIMAL(38,0)) * n2") -
+                  expr("CAST(b AS DECIMAL(38,0)) * n1")))
+            .as("tv_num_w"),
           sum(expr(
-            "CAST(round(sqrt(CAST(a * b AS DOUBLE)) * 1000000) AS BIGINT)"))
+            "CAST(round(sqrt(CAST(CAST(a AS DECIMAL(38,0)) * b AS DOUBLE))" +
+              " * 1000000) AS BIGINT)"))
             .as("bc_sum_micro"))
-        .select(col("n1"), col("n2"), col("tv_num"),
-          (col("n1") * col("n2") * 2).as("tv_den"), col("bc_sum_micro"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(tv_num_w AS BIGINT)").as("tv_num"),
+          expr("CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * 2 AS BIGINT)")
+            .as("tv_den"),
+          col("bc_sum_micro"))
     }, Some(
       """WITH toks AS (
            SELECT doc_id % 2 = 0 AS slice_a, unnest(string_split(text, ' ')) AS tok
@@ -387,9 +401,13 @@ object Llm {
          tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
                         CAST(sum(b) AS BIGINT) AS n2 FROM per_tok)
          SELECT max(tot.n1) AS n1, max(tot.n2) AS n2,
-                CAST(sum(abs(a * tot.n2 - b * tot.n1)) AS BIGINT) AS tv_num,
-                CAST(max(tot.n1) * max(tot.n2) * 2 AS BIGINT) AS tv_den,
-                CAST(sum(CAST(round(sqrt(CAST(a * b AS DOUBLE)) * 1000000)
+                CAST(sum(abs(CAST(a AS HUGEINT) * tot.n2
+                             - CAST(b AS HUGEINT) * tot.n1)) AS BIGINT)
+                  AS tv_num,
+                CAST(CAST(max(tot.n1) AS HUGEINT) * max(tot.n2) * 2
+                  AS BIGINT) AS tv_den,
+                CAST(sum(CAST(round(sqrt(CAST(CAST(a AS HUGEINT) * b
+                  AS DOUBLE)) * 1000000)
                   AS BIGINT)) AS BIGINT) AS bc_sum_micro
          FROM per_tok, tot""")),
 

@@ -246,4 +246,22 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(msgs(ex).exists(_.contains("DistributedRank")),
       s"expected the non-null-bin contract error, got: $ex")
   }
+
+  test("query registry: names are distinct and both containment variants ship") {
+    // Seq.toMap keeps the last duplicate silently — the r16 shadowing
+    // shipped the wrong l2_containment for a full round. SparkEntry now
+    // `require`s distinctness at init; this pin makes any future
+    // collision a test failure, not a silent swap.
+    val names = SparkEntry.queries.keySet
+    assert(names.contains("l2_containment"), "symmetric variant missing")
+    assert(names.contains("l2_containment_directed"), "directed variant missing")
+    // the directed variant is the one with the integer cross-multiply flag
+    val sf = "/root/testdata/sf0.001"
+    val directed = SparkEntry.queries("l2_containment_directed")(spark, sf)
+    assert(directed.columns.toSeq ===
+      Seq("ida", "idb", "inter", "sza", "high", "containment"))
+    // oracle twins exist for both
+    assert(SparkEntry.oracleSql.contains("l2_containment"))
+    assert(SparkEntry.oracleSql.contains("l2_containment_directed"))
+  }
 }
