@@ -140,6 +140,12 @@ object DeltaInterop {
     def physToLogical: Map[String, String] = p2l
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    /** Remove TOMBSTONES (path → deletionTimestamp) still inside the
+      * retention window's reach: PROTOCOL.md checkpoints carry them so
+      * foreign VACUUM (which scans the checkpoint, not cleaned-up JSON)
+      * can still distinguish recently-removed files from untracked
+      * garbage. Re-adding a path clears its tombstone. */
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
   }
 
   /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded
@@ -150,9 +156,27 @@ object DeltaInterop {
   private def encodePath(p: String): String =
     new java.net.URI(null, null, p, null).getRawPath
 
-  /** One JSON commit line → state transition. */
-  private def applyJsonAction(st: State, line: String, where: String): Unit =
-    applyParsedAction(st, JsonMethods.parse(line), where)
+  /** metaData/protocol actions first — add actions need the schema to
+    * type their stats (and, under column mapping, to translate
+    * partitionValues keys to logical names). PROTOCOL.md does NOT
+    * guarantee metaData precedes add within a commit's line order, so
+    * BOTH the checkpoint replay and the JSON commit replay reorder
+    * (review finding: only the checkpoint path did — an
+    * add-before-metaData commit 0 silently dropped stats typing and
+    * re-attached mapped partition columns as NULL). Classified on the
+    * PARSED key set: a substring test would hoist an add row whose
+    * stats VALUES contain the text "metaData". */
+  private def isMeta(jv: JValue): Boolean = jv match {
+    case JObject(fs) => fs.exists { case (k, v) =>
+      (k == "metaData" || k == "protocol") && v != JNull }
+    case _ => false
+  }
+
+  private def applyActionsMetaFirst(st: State, actions: Seq[JValue],
+      where: String): Unit = {
+    val (meta, rest) = actions.partition(isMeta)
+    (meta ++ rest).foreach(applyParsedAction(st, _, where))
+  }
 
   private def applyParsedAction(st: State, jv: JValue,
       where: String): Unit =
@@ -205,9 +229,16 @@ object DeltaInterop {
             case _ => (0L, Map.empty[String, ColStats])
           }
           st.live(rel) = AddFile(rel, rows, stats, None, pv, bytes = bytes)
+          st.tombstones.remove(rel)
         case ("remove", JObject(r)) =>
-          r.collectFirst { case ("path", JString(p)) => p }
-            .foreach(p => st.live.remove(decodePath(p)))
+          val rm = r.toMap
+          rm.get("path").collect { case JString(p) => p }.foreach { p =>
+            val rel = decodePath(p)
+            st.live.remove(rel)
+            st.tombstones(rel) = rm.get("deletionTimestamp").collect {
+              case JLong(l) => l; case JInt(i) => i.toLong
+            }.getOrElse(System.currentTimeMillis())
+          }
         case ("txn", JObject(t)) =>
           val tm = t.toMap
           for {
@@ -389,22 +420,13 @@ object DeltaInterop {
         .parquet(cps(cp).map(_.toString): _*)
         .toJSON.collect()
         .map(JsonMethods.parse(_))
-      // metaData/protocol rows first — add rows need the schema to type
-      // their stats. Classified on the PARSED key set: a substring test
-      // would hoist an add row whose stats VALUES contain the text
-      // "metaData" and silently skip its stats (review finding).
-      def isMeta(jv: JValue): Boolean = jv match {
-        case JObject(fs) => fs.exists { case (k, v) =>
-          (k == "metaData" || k == "protocol") && v != JNull }
-        case _ => false
-      }
-      val (meta, rest) = rows.partition(isMeta)
-      (meta ++ rest).foreach(applyParsedAction(st, _, s"checkpoint $cp"))
+      applyActionsMetaFirst(st, rows, s"checkpoint $cp")
     }
     ((fromCp.map(_ + 1L).getOrElse(0L)) to target).foreach { v =>
       val f = logDir(path).resolve(f"$v%020d.json")
-      Files.readAllLines(f).asScala.filter(_.nonEmpty)
-        .foreach(applyJsonAction(st, _, s"commit $v"))
+      applyActionsMetaFirst(st,
+        Files.readAllLines(f).asScala.filter(_.nonEmpty).toSeq
+          .map(JsonMethods.parse(_)), s"commit $v")
     }
     require(st.schema != null,
       s"no metaData action found replaying $path to version $target")
@@ -548,7 +570,7 @@ object DeltaInterop {
         // the change, they don't change the table) — the flag only
         // gates add/remove visibility
       }.filter(a => a.kind == "cdc" || a.dataChange).toSeq
-      parsed.foreach(applyParsedAction(st, _, s"commit $v"))
+      applyActionsMetaFirst(st, parsed.toSeq, s"commit $v")
       checkProtocol(path, st)
       consume(v, st, prevFiles, acts)
     }
@@ -1116,9 +1138,53 @@ object DeltaInterop {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
+
+  /** Writer features whose mandated state this classic checkpointer
+    * provably RESTATES (schema-/configuration-carried only — nothing
+    * lives in actions or per-add fields the [[CheckpointSchema]] lacks).
+    * Anything else declines: a checkpoint of a `domainMetadata` /
+    * `rowTracking` / `deletionVectors` table would restate the protocol
+    * but silently DROP the feature's state (domainMetadata actions,
+    * per-add baseRowId/DV fields), and a foreign reader fast-starting
+    * from `_last_checkpoint` after JSON cleanup loses it without any
+    * error (review finding). `changeDataFeed` is safe: PROTOCOL.md
+    * excludes cdc actions from checkpoints by design. */
+  private[graft] val CheckpointSafeWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "timestampNtz", "typeWidening", "typeWidening-preview",
+    "vacuumProtocolCheck", "v2Checkpoint")
+
+  /** `delta.deletedFileRetentionDuration` ("interval N unit", default
+    * one week — delta.io's documented default) → milliseconds. */
+  private def tombstoneRetentionMs(config: Map[String, String]): Long = {
+    val spec = config.getOrElse("delta.deletedFileRetentionDuration",
+      "interval 1 week")
+    val m = """(?i)\s*interval\s+(\d+)\s+(\w+?)s?\s*""".r
+    spec match {
+      case m(n, unit) =>
+        val per = unit.toLowerCase match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+          case "millisecond" => 1L
+          case other => sys.error(
+            s"unsupported retention unit '$other' in '$spec'")
+        }
+        n.toLong * per
+      case _ => sys.error(
+        s"unparseable delta.deletedFileRetentionDuration '$spec'")
+    }
+  }
 
   /** Classic single-part parquet checkpoint at the latest version + the
     * `_last_checkpoint` pointer — the fast-start handle foreign readers
@@ -1127,11 +1193,28 @@ object DeltaInterop {
   def exportCheckpoint(spark: SparkSession, path: String): Long = {
     val (v0, st0) = replayState(spark, path)
     requireUnmapped(st0, path, "exportCheckpoint")
+    // WRITER-side gate (review finding: the read path accepting a
+    // feature says nothing about CHECKPOINTING it — a checkpoint that
+    // restates the protocol but drops a feature's mandated state is
+    // worse than declining, because foreign readers fast-starting from
+    // _last_checkpoint after JSON cleanup lose that state silently).
+    val unsafe = st0.writerFeatures.filterNot(CheckpointSafeWriterFeatures)
+    require(unsafe.isEmpty,
+      s"exportCheckpoint on $path: writer features " +
+        s"${unsafe.mkString(", ")} mandate state (actions or per-add " +
+        "fields) this classic checkpointer does not restate — a " +
+        "checkpoint would silently drop it; checkpoint with the " +
+        "feature-aware writer that owns the table instead")
     val snap = Snapshot(v0, st0.schema, st0.live.values.toSeq,
       txns = st0.txns.toMap, partitionBy = st0.partitionBy,
       physical = st0.physical, properties = st0.config)
     def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
     val now = System.currentTimeMillis()
+    // remove tombstones still inside the retention window ride along —
+    // foreign VACUUM resolves "recently removed, don't collect yet"
+    // from the checkpoint once the JSON commits are cleaned up
+    val keepSince = now - tombstoneRetentionMs(st0.config)
+    val tombs = st0.tombstones.toSeq.filter(_._2 >= keepSince)
     // the checkpoint RESTATES the table's protocol — hardcoding (1,2)
     // would falsify a higher-versioned table's requirements once the
     // JSON commits are cleaned up, and launder writes past the
@@ -1140,15 +1223,17 @@ object DeltaInterop {
       Seq(Row(Row(st0.minReader, st0.minWriter,
           if (st0.readerFeatures.isEmpty) null else st0.readerFeatures,
           if (st0.writerFeatures.isEmpty) null else st0.writerFeatures),
-        null, null, null),
+        null, null, null, null),
         Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
           snap.schema.json, snap.partitionBy, snap.properties), null,
-          null)) ++
+          null, null)) ++
         snap.files.map(f => Row(null, null,
           Row(encodePath(f.path), f.pv, f.bytes, now, true, statsJson(f)),
-          null)) ++
+          null, null)) ++
+        tombs.map { case (p, ts) => Row(null, null, null,
+          Row(encodePath(p), ts, false), null) } ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, null, null, Row(app, v)) }
+          Row(null, null, null, null, Row(app, v)) }
     val d = logDir(path)
     val tmpDir = Files.createTempDirectory(d, ".cp-")
     spark.createDataFrame(rows.asJava, CheckpointSchema).coalesce(1)
@@ -1165,10 +1250,18 @@ object DeltaInterop {
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => { val _ = Files.deleteIfExists(p) })
     finally s.close()
-    Files.write(d.resolve("_last_checkpoint"),
+    // the pointer write must be ATOMIC (overwrite is fine — newer
+    // checkpoints legitimately replace it — but a plain Files.write
+    // left a truncated-pointer window a crashed writer or concurrent
+    // foreign checkpointer could expose; review finding): temp file +
+    // rename, the same discipline as every other log artifact
+    val ptrTmp = Files.createTempFile(d, ".tmp-lastcp-", ".json")
+    Files.write(ptrTmp,
       JsonMethods.compact(JObject(List(
         "version" -> JLong(snap.version),
         "size" -> JLong((rows.size).toLong)))).getBytes("UTF-8"))
+    Files.move(ptrTmp, d.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE)
     snap.version
   }
 }

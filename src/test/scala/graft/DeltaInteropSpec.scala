@@ -455,6 +455,103 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         s"parsed $parsedApp")
   }
 
+  test("add-before-metaData commit replays correctly: stats still type (prune) and partition columns still re-attach") {
+    // PROTOCOL.md does not guarantee metaData precedes add within a
+    // commit — a writer emitting adds first must not cost us stats
+    // typing (pruning) or partition re-attachment (advice finding: the
+    // JSON path lacked the isMeta reordering the checkpoint path had)
+    import spark.implicits._
+    val path = tmp("interop_addfirst")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").coalesce(1)
+      .write.parquet(dir.resolve("d1").toString)
+    Seq((10L, "z")).toDF("id", "s").coalesce(1)
+      .write.parquet(dir.resolve("d2").toString)
+    def onlyPart(sub: String): String = {
+      val s = Files.list(dir.resolve(sub))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val (f1, f2) = (s"d1/${onlyPart("d1")}", s"d2/${onlyPart("d2")}")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("s", "string").add("p", "string")
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(schema.json))
+    // adds FIRST, then metaData, then protocol — worst-case line order
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{"p":"east"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":1},\\"maxValues\\":{\\"id\\":2}}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"p":"west"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"id\\":10},\\"maxValues\\":{\\"id\\":10}}"}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["p"],"configuration":{}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = DeltaInterop.read(spark, path)
+    assert(df.filter(col("p") === "east").count() === 2L,
+      "partition column must re-attach despite add-before-metaData")
+    val snap = DeltaInterop.snapshot(spark, path)
+    val kept = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("id", lower = Some(5L))))
+    assert(kept.map(_.path) === Seq(f2),
+      "stats must type (and prune) despite add-before-metaData")
+  }
+
+  test("exportCheckpoint: state-bearing writer features decline; tombstones within retention ride along; pointer write is atomic-replayable") {
+    import spark.implicits._
+    // 1) a domainMetadata-featured table is READABLE but must DECLINE
+    //    checkpointing — the classic schema cannot restate its state
+    val declined = tmp("interop_cp_gate")
+    val dLog = Paths.get(declined, "_delta_log")
+    Files.createDirectories(dLog)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    Files.write(dLog.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.snapshot(spark, declined).files.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.exportCheckpoint(spark, declined)
+    }
+    assert(e.getMessage.contains("domainMetadata"),
+      s"state-bearing writer feature must decline checkpointing: $e")
+    // 2) tombstones: overwrite removes v0's files; the checkpoint must
+    //    carry them as remove rows (retention default = 1 week)
+    val path = tmp("interop_cp_tomb")
+    DeltaInterop.exportToDelta(spark, Seq((1L, "a")).toDF("id", "s"), path)
+    val v0Files = DeltaInterop.snapshot(spark, path).files.map(_.path)
+    DeltaInterop.exportOverwrite(spark, Seq((2L, "b")).toDF("id", "s"), path)
+    DeltaInterop.exportCheckpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    val cp = spark.read.parquet(
+      logDir.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+    val tombPaths = cp.filter(col("remove").isNotNull)
+      .select(col("remove.path")).collect().map(_.getString(0)).toSeq
+    assert(tombPaths.sorted === v0Files.sorted,
+      "the overwritten files' tombstones must ride the checkpoint")
+    assert(cp.filter(col("remove.dataChange") === true).count() === 0,
+      "checkpoint tombstones restate — never dataChange=true")
+    // 3) checkpoint-only replay still serves the live state (tombstone
+    //    rows must not resurrect or drop anything)
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    Files.delete(logDir.resolve(f"${1L}%020d.json"))
+    assert(DeltaInterop.read(spark, path).collect().map(_.toString).toSeq
+      === Seq("[2,b]"))
+    // 4) the pointer parses and points at the checkpoint version; a
+    //    second checkpoint REPLACES it atomically (no clobber window)
+    val ptr = new String(Files.readAllBytes(
+      logDir.resolve("_last_checkpoint")), "UTF-8")
+    assert(ptr.contains("\"version\":1"))
+    DeltaInterop.exportAppend(spark, Seq((3L, "c")).toDF("id", "s"), path)
+    DeltaInterop.exportCheckpoint(spark, path)
+    val ptr2 = new String(Files.readAllBytes(
+      logDir.resolve("_last_checkpoint")), "UTF-8")
+    assert(ptr2.contains("\"version\":2"))
+  }
+
   test("a checkpoint RESTATES the table's protocol: checkpoint-only replay still declines v7 writes (no gate laundering)") {
     import spark.implicits._
     val path = tmp("interop_cp_protocol")
