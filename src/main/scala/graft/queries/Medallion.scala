@@ -4682,6 +4682,65 @@ ORDER BY bucket ASC NULLS LAST"""),
          ORDER BY _commit_version ASC, _change_type ASC NULLS LAST,
                   l_returnflag ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S71
+    // Standard-Delta DELETION VECTORS (round 17): delta-spark/delta-rs
+    // write row-level DELETEs as roaring-bitmap DVs — the file is
+    // re-added with a `deletionVector` descriptor, zero data rewritten.
+    // This query authors exactly that commit shape against a real
+    // exported table (protocol upgrade to readerFeatures
+    // [deletionVectors], remove + re-add with a `u`-stored DV built by
+    // graft.sources.DeletionVectors — the same public-format codec the
+    // reader decodes), then reads the final snapshot through the
+    // format dispatch: the deleted rows must vanish without any file
+    // rewrite. The row-index set is derived from the WRITTEN file's
+    // own `_metadata.row_index` (authoring-side bounded collect — at
+    // 100 TB the DV writer owns that cost; the READ side ships only
+    // compact roaring bytes to executors and anti-joins). Oracle: the
+    // surviving predicate restated on the fixture.
+    QueryDef("s71_delta_dv", (s, dir) => {
+      val path = tmp("s71_delta")
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        .coalesce(1)
+      graft.sources.DeltaInterop.exportToDelta(s, li, path)
+      val root = java.nio.file.Paths.get(path)
+      val snap0 = graft.sources.DeltaInterop.snapshot(s, path)
+      val rel = snap0.files match {
+        case Seq(only) => only.path
+        case fs => sys.error(s"expected one exported file, got ${fs.size}")
+      }
+      // the positions a foreign DELETE WHERE l_returnflag='R' would mask
+      val positions = s.read.parquet(root.resolve(rel).toString)
+        .select(expr("_metadata.row_index").as("ri"), col("l_returnflag"))
+        .filter(col("l_returnflag") === "R")
+        .select("ri").collect().map(_.getLong(0)).sorted
+      val desc = graft.sources.DeletionVectors.writeDvFile(root,
+        graft.sources.DeletionVectors.serialize(positions),
+        positions.length.toLong)
+      val dvJson = graft.sources.DeletionVectors.toJson(desc)
+      java.nio.file.Files.write(
+        root.resolve("_delta_log").resolve(f"${1L}%020d.json"), Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+          s"""{"remove":{"path":"$rel","deletionTimestamp":1700000000000,"dataChange":true}}""",
+          s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}""",
+          """{"commitInfo":{"timestamp":1700000000000,"operation":"DELETE"}}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      s.read.format("graft-delta").load(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                  AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey % 3 = 0 AND l_returnflag <> 'R'
+         GROUP BY 1, 2
+         ORDER BY l_returnflag ASC NULLS LAST,
+                  l_linestatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S67
     // CONVERT FROM DELTA (zero-copy adoption): a standard Delta table
     // becomes a graft-delta table in place — graft's version 0 restates

@@ -27,8 +27,14 @@ import org.json4s.jackson.JsonMethods
   *     minReaderVersion 3 only when every `readerFeatures` entry is in
   *     [[SupportedReaderFeatures]]. Everything else throws, naming the
   *     feature.
-  *   - deletion vectors: any live `add` carrying a `deletionVector`
-  *     throws (reading the file raw would resurrect deleted rows).
+  *   - deletion vectors READ natively ([[DeletionVectors]] decodes the
+  *     protocol's roaring-bitmap format — u/p/i storage): snapshot and
+  *     pruned reads anti-filter the deleted row indexes, the change
+  *     feed diffs DV flips into row-level deletes/restores, the
+  *     streaming source treats a DV flip as the rewrite it is, and
+  *     CONVERT adopts DVs by translating them into graft's native
+  *     (path, row_index) DV dirs — still zero data-file copies.
+  *     Unsupported DV STORAGE types decline loudly, naming them.
   *   - checkpoints: classic parquet checkpoints, single-part
   *     (`<v>.checkpoint.parquet`) and multi-part
   *     (`<v>.checkpoint.<i>.<n>.parquet`), are replayed; V2/UUID
@@ -70,7 +76,19 @@ object DeltaInterop {
     * see the class doc for when their absence throws). */
   private[graft] val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
-      "columnMapping")
+      "columnMapping", "deletionVectors")
+
+  /** Foreign DV descriptors ride graft's `AddFile.dv` slot as
+    * marker-prefixed JSON (native dv strings are parquet dir PATHS —
+    * the marker keeps the two representations unmistakable; the native
+    * read path never sees interop AddFiles, [[read]]/[[scanSnapshot]]
+    * strip or translate the marker first). */
+  private[sources] val DvMarker = "delta-dv:"
+
+  private[sources] def dvDescriptor(f: AddFile)
+      : Option[DeletionVectors.Descriptor] =
+    f.dv.filter(_.startsWith(DvMarker))
+      .map(s => DeletionVectors.fromJson(s.substring(DvMarker.length)))
 
   /** A directory is a standard Delta table iff `_delta_log/` holds at
     * least one versioned commit or classic checkpoint. */
@@ -199,12 +217,18 @@ object DeltaInterop {
           }.getOrElse(Nil)
         case ("add", JObject(a)) =>
           val am = a.toMap
-          require(!am.contains("deletionVector") ||
-              am("deletionVector") == JNull,
-            s"$where: add action carries a deletionVector — this reader " +
-              "does not support DVs and reading the file raw would " +
-              "resurrect deleted rows; VACUUM/OPTIMIZE the source table " +
-              "to materialize the deletes first")
+          // deletionVector descriptors parse into the AddFile.dv slot
+          // (marker-prefixed JSON — graft's native dv strings are
+          // parquet dir paths, never "delta-dv:…"); the read paths
+          // anti-filter the decoded row indexes. Unsupported STORAGE
+          // types still fail loudly — at bitmapBytes time, naming them.
+          val dvDesc = am.get("deletionVector") match {
+            case Some(o @ JObject(_)) =>
+              Some(DeletionVectors.parseJValue(o, where))
+            case Some(JNull) | None => None
+            case Some(_) => sys.error(
+              s"$where: malformed deletionVector on add action")
+          }
           val rel = decodePath(am.get("path").collect {
             case JString(s) => s
           }.getOrElse(sys.error(s"$where: add action without path")))
@@ -228,7 +252,9 @@ object DeltaInterop {
               parseStats(s, st.schema, st.partitionBy, st.physical)
             case _ => (0L, Map.empty[String, ColStats])
           }
-          st.live(rel) = AddFile(rel, rows, stats, None, pv, bytes = bytes)
+          st.live(rel) = AddFile(rel, rows, stats,
+            dvDesc.map(d => DvMarker + DeletionVectors.toJson(d)),
+            pv, bytes = bytes)
           st.tombstones.remove(rel)
         case ("remove", JObject(r)) =>
           val rm = r.toMap
@@ -470,8 +496,98 @@ object DeltaInterop {
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
-    DeltaLite.readFiles(spark, path, snap.schema, snap.files,
+    readLive(spark, path, snap.schema, snap.files,
       snap.partitionBy, snap.physical, snap.properties)
+  }
+
+  /** DVs small enough (by logged cardinality — no decode needed to
+    * decide) broadcast their positions to the anti-join; larger ones
+    * fall back to a shuffled anti-join, the plan that survives a
+    * mostly-deleted 100 TB table. */
+  private val BroadcastDvMaxPositions = 4L * 1000 * 1000
+
+  /** Snapshot-file read with deletion vectors applied: DV-free files
+    * take the untouched fast path ([[DeltaLite.readFiles]], no
+    * row_index plumbing); DV-carrying files read position-aware and
+    * anti-join their decoded deleted positions. The DV side holds only
+    * compact roaring BYTES on the driver; position expansion happens
+    * on executors. */
+  private def readLive(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[AddFile], partitionBy: Seq[String],
+      physical: Map[String, String], props: Map[String, String])
+      : DataFrame = {
+    val (dvFiles, plain) = files.partition(f => dvDescriptor(f).isDefined)
+    val plainDf = DeltaLite.readFiles(spark, path, schema, plain,
+      partitionBy, physical, props)
+    if (dvFiles.isEmpty) plainDf
+    else plainDf.unionByName(readMinusOwnDv(spark, path, schema, dvFiles,
+      partitionBy, physical, props))
+  }
+
+  /** Rows of `dvFiles` MINUS each file's own deletion vector. */
+  private def readMinusOwnDv(spark: SparkSession, path: String,
+      schema: StructType, dvFiles: Seq[AddFile], partitionBy: Seq[String],
+      physical: Map[String, String], props: Map[String, String])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val (pos, cardinality) = dvPositionsFrame(spark, path,
+      dvFiles.flatMap(f => dvDescriptor(f).map(f.path -> _)))
+    val withPos = DeltaLite.readFilesWithPos(spark, path, schema,
+      dvFiles.map(_.copy(dv = None)), partitionBy, physical, props)
+    val dvSide =
+      if (cardinality <= BroadcastDvMaxPositions) broadcast(pos) else pos
+    withPos.join(dvSide,
+      col("path") === col("__dv_path") &&
+        col("row_index") === col("__dv_ri"), "left_anti")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Rows of `files` AT the given positions only (the change-feed's
+    * "exactly the newly-deleted/restored rows" read). */
+  private def readOnlyPositions(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[AddFile], partitionBy: Seq[String],
+      physical: Map[String, String], props: Map[String, String],
+      pos: DataFrame, cardinality: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val withPos = DeltaLite.readFilesWithPos(spark, path, schema,
+      files.map(_.copy(dv = None)), partitionBy, physical, props)
+    val dvSide =
+      if (cardinality <= BroadcastDvMaxPositions) broadcast(pos) else pos
+    withPos.join(dvSide,
+      col("path") === col("__dv_path") &&
+        col("row_index") === col("__dv_ri"), "left_semi")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** (`__dv_path`, `__dv_ri`) frame of the given descriptors' deleted
+    * positions. The driver holds (path, roaring bytes, cardinality)
+    * triples — metadata-proportional, like the log itself; executors
+    * decode and expand, and each decode is cardinality-checked against
+    * the log's declared count (a short decode would silently resurrect
+    * rows). Returns the frame plus the total logged cardinality (the
+    * broadcast decision input). */
+  private def dvPositionsFrame(spark: SparkSession, path: String,
+      descs: Seq[(String, DeletionVectors.Descriptor)])
+      : (DataFrame, Long) = {
+    val r = root(path)
+    val payload: Seq[(String, Array[Byte], Long)] = descs.map {
+      case (rel, d) => (rel, DeletionVectors.bitmapBytes(r, d),
+        d.cardinality)
+    }
+    val total = descs.map(_._2.cardinality).sum
+    import spark.implicits._
+    val df = spark.sparkContext
+      .parallelize(payload, math.max(1, math.min(payload.size, 32)))
+      .flatMap { case (rel, bytes, card) =>
+        val ps = DeletionVectors.positions(bytes)
+        require(ps.length == card,
+          s"deletion vector of '$rel' decodes to ${ps.length} " +
+            s"positions but the log declares cardinality $card " +
+            "(corrupt DV)")
+        ps.iterator.map(ri => (rel, ri))
+      }
+      .toDF("__dv_path", "__dv_ri")
+    (df, total)
   }
 
   /** Stats-pruned read: files whose logged min/max (or partition
@@ -490,7 +606,10 @@ object DeltaInterop {
     * the native twin served from its snapshot cache). */
   private[sources] def scanSnapshot(spark: SparkSession, path: String,
       snap: Snapshot, bounds: Seq[DeltaLite.ColumnBound]): DataFrame =
-    DeltaLite.readFiles(spark, path, snap.schema,
+    // DV files' rows/stats are PHYSICAL upper bounds (a DV only ever
+    // removes rows), so stats pruning stays sound before the DV
+    // anti-filter applies
+    readLive(spark, path, snap.schema,
       DeltaLite.pruneFiles(snap, bounds),
       snap.partitionBy, snap.physical, snap.properties)
 
@@ -506,9 +625,11 @@ object DeltaInterop {
   }
 
   /** One parsed add/remove/cdc action of a commit (raw partition-value
-    * keys — PHYSICAL under column mapping; consumers translate). */
+    * keys — PHYSICAL under column mapping; consumers translate). `dv`
+    * is the add action's deletionVector descriptor, when present. */
   private final case class CommitAct(kind: String, rel: String,
-      rawPv: Map[String, String], dataChange: Boolean)
+      rawPv: Map[String, String], dataChange: Boolean,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** THE per-commit fold both [[tableChanges]] and
     * [[readVersionAppends]] run on (review finding: two drifting
@@ -563,7 +684,12 @@ object DeltaInterop {
               am.get("dataChange") match {
                 case Some(JBool(b)) => b
                 case _ => true // absent = data-changing
-              })
+              },
+              dv = if (k != "add") None
+                else am.get("deletionVector").collect {
+                  case o @ JObject(_) =>
+                    DeletionVectors.parseJValue(o, s"commit $v")
+                })
         }
         case _ => None
         // cdc actions carry dataChange=false BY SPEC (they describe
@@ -644,25 +770,59 @@ object DeltaInterop {
         Some(frames.reduce(_ unionByName _)
           .withColumn("_commit_version", lit(v)))
       } else {
-        val addRels = acts.iterator.filter(_.kind == "add")
-          .map(_.rel).toSet
-        val added = st.live.values.filter(f => addRels.contains(f.path))
-          .toSeq
-        val removed = acts.filter(_.kind == "remove").map { a =>
-          prevFiles.getOrElse(a.rel, sys.error(
-            s"commit $v at $path removes '${a.rel}', which is not a " +
-              s"live file at version ${v - 1} — the change feed cannot " +
-              "reconstruct its deleted rows (corrupt or externally " +
-              "modified log)"))
-        }
+        val addActs = acts.filter(_.kind == "add")
+        val addRelSet = addActs.map(_.rel).toSet
+        // a path that was live at v-1 and is RE-ADDED here is a DV flip
+        // (or an idempotent re-add): its row-level changes are the DV
+        // DIFF, not a wholesale re-insert — re-emitting the surviving
+        // rows would double-apply them downstream, the same failure
+        // class as surfacing a compaction
+        val (readds, freshActs) =
+          addActs.partition(a => prevFiles.contains(a.rel))
+        val fresh = st.live.values
+          .filter(f => freshActs.exists(_.rel == f.path)).toSeq
+        val removedOnly = acts
+          .filter(a => a.kind == "remove" && !addRelSet.contains(a.rel))
+          .map { a =>
+            prevFiles.getOrElse(a.rel, sys.error(
+              s"commit $v at $path removes '${a.rel}', which is not a " +
+                s"live file at version ${v - 1} — the change feed cannot " +
+                "reconstruct its deleted rows (corrupt or externally " +
+                "modified log)"))
+          }
+        // fresh inserts and whole-file deletes apply each file's own DV
+        // (an added file can be BORN with a DV; a removed file's
+        // pre-commit content excludes its already-deleted rows)
         def readAs(files: Seq[AddFile], label: String) =
-          DeltaLite.readFiles(spark, path, schema, files,
-            partitionBy, physical, st.config)
+          readLive(spark, path, schema, files, partitionBy, physical,
+            st.config)
             .withColumn("_change_type", lit(label))
-        (if (added.nonEmpty) Some(readAs(added, "insert")) else None)
+        val flipFrames: Seq[DataFrame] = if (readds.isEmpty) Nil else {
+          val flipFiles = readds.map(a => prevFiles(a.rel))
+          val (newPos, newCard) = dvPositionsFrame(spark, path,
+            readds.flatMap(a => a.dv.map(a.rel -> _)))
+          val (oldPos, oldCard) = dvPositionsFrame(spark, path,
+            flipFiles.flatMap(f => dvDescriptor(f).map(f.path -> _)))
+          def diff(a: DataFrame, b: DataFrame): DataFrame =
+            a.join(b.withColumnRenamed("__dv_path", "__o_p")
+                .withColumnRenamed("__dv_ri", "__o_r"),
+              col("__dv_path") === col("__o_p") &&
+                col("__dv_ri") === col("__o_r"), "left_anti")
+          // newly-deleted rows (in the new DV, not the old) are deletes;
+          // restored rows (dropped from the DV) are inserts
+          Seq(
+            readOnlyPositions(spark, path, schema, flipFiles, partitionBy,
+              physical, st.config, diff(newPos, oldPos), newCard)
+              .withColumn("_change_type", lit("delete")),
+            readOnlyPositions(spark, path, schema, flipFiles, partitionBy,
+              physical, st.config, diff(oldPos, newPos), oldCard)
+              .withColumn("_change_type", lit("insert")))
+        }
+        (if (fresh.nonEmpty) Some(readAs(fresh, "insert")) else None)
           .toSeq ++
-          (if (removed.nonEmpty)
-            Some(readAs(removed, "delete")) else None) match {
+          (if (removedOnly.nonEmpty)
+            Some(readAs(removedOnly, "delete")) else None) ++
+          flipFrames match {
           case Nil => None
           case fs => Some(fs.reduce(_ unionByName _)
             .withColumn("_commit_version", lit(v)))
@@ -700,15 +860,21 @@ object DeltaInterop {
         new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     }
     foldCommitRange(spark, path, from, toVersion, "streaming read") {
-        (v, st, _, acts) =>
-      require(!acts.exists(_.kind == "remove") || allowRewrites,
+        (v, st, prevFiles, acts) =>
+      // a DV flip on an already-live path IS a rewrite: the stream
+      // delivered those rows already and the new add re-describes them
+      val dvFlip = acts.exists(a =>
+        a.kind == "add" && prevFiles.contains(a.rel))
+      require((!acts.exists(_.kind == "remove") && !dvFlip) ||
+          allowRewrites,
         s"version $v at $path rewrote or deleted rows mid-stream — a " +
           "version-offset stream would re-deliver or lose them; pass " +
           "ignoreChanges=true to accept re-delivered rewritten rows " +
           "(Delta's contract)")
       val addRels = acts.iterator.filter(_.kind == "add").map(_.rel).toSet
       val files = st.live.values.filter(f => addRels.contains(f.path)).toSeq
-      DeltaLite.readFiles(spark, path, st.schema, files,
+      // files carry their DV markers — delivery excludes deleted rows
+      readLive(spark, path, st.schema, files,
         st.partitionBy, st.physical, st.config)
     }.reduce(_ unionByName _)
   }
@@ -816,12 +982,35 @@ object DeltaInterop {
     require(DeltaLite.latestVersion(path).isEmpty,
       s"a graft-delta table already exists at $path")
     val snap = snapshot(spark, path, asOf)
+    // foreign deletion vectors ADOPT by translation, not data rewrite:
+    // the roaring positions decode once into ONE graft-native DV dir
+    // (the (path, row_index) parquet every native read path
+    // anti-joins), data files untouched — the convert stays zero-copy
+    // on the 100 TB side and pays only O(deleted positions) once
+    val dvCarrying = snap.files.filter(f => dvDescriptor(f).isDefined)
+    val (files, props) =
+      if (dvCarrying.isEmpty) (snap.files, snap.properties)
+      else {
+        import org.apache.spark.sql.functions.col
+        val (pos, _) = dvPositionsFrame(spark, path,
+          dvCarrying.flatMap(f => dvDescriptor(f).map(f.path -> _)))
+        val dvRel = "dv-00000-adopt-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        pos.select(col("__dv_path").as("path"),
+            col("__dv_ri").as("row_index"))
+          .write.mode("errorifexists")
+          .parquet(root(path).resolve(dvRel).toString)
+        (snap.files.map(f =>
+          if (dvDescriptor(f).isDefined) f.copy(dv = Some(dvRel)) else f),
+          DeltaLite.withFeature(snap.properties, "deletionVectors",
+            reader = true))
+      }
     DeltaLite.writeCommit(path, 0L, "CONVERT_FROM_DELTA", snap.schema,
-      snap.files, Nil, None, Map.empty, snap.partitionBy, snap.physical,
+      files, Nil, None, Map.empty, snap.partitionBy, snap.physical,
       Map.empty, Map.empty,
       // delta.* table configuration is provenance, not behavior, on
       // the graft side — carried so SHOW TBLPROPERTIES tells the story
-      properties = snap.properties,
+      properties = props,
       txns = snap.txns.toSeq)
   }
 

@@ -709,7 +709,7 @@ object DeltaLite {
 
   /** Merge `feature` into the properties' reader and/or writer feature
     * sets (a writer feature is implied by a reader feature, like Delta). */
-  private def withFeature(props: Map[String, String], feature: String,
+  private[sources] def withFeature(props: Map[String, String], feature: String,
       reader: Boolean): Map[String, String] = {
     val w = (featureSet(props, ProtocolWriterKey) + feature).toSeq.sorted
     val base = props + (ProtocolWriterKey -> w.mkString(","))
@@ -2761,7 +2761,7 @@ object DeltaLite {
   /** Like [[readFiles]] but with `path` (table-relative) and `row_index`
     * position columns, deletion vectors applied — the row-position view
     * that both the DV read path and DV creation share. */
-  private def readFilesWithPos(spark: SparkSession, path: String,
+  private[sources] def readFilesWithPos(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile],
       partitionBy: Seq[String],
       physical: Map[String, String],

@@ -171,18 +171,25 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       org.json4s.JString(new org.apache.spark.sql.types.StructType()
         .add("id", "long").json))
     val meta = s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""
-    val dv = intercept[IllegalArgumentException] {
-      DeltaInterop.snapshot(spark, authored("dv")(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
-        """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    // DV descriptors now PARSE (snapshot succeeds); what declines is a
+    // genuinely unsupported DV STORAGE type — loudly, at read time,
+    // naming it (never silently reading the file raw)
+    val dvTable = authored("dv")(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"z","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}""")
+    assert(DeltaInterop.snapshot(spark, dvTable).files.size === 1)
+    val dv = intercept[Exception] {
+      DeltaInterop.read(spark, dvTable).collect()
     }
-    assert(dv.getMessage.contains("deletionVector"))
+    assert(dv.getMessage.contains("storageType 'z'"),
+      s"unknown DV storage type must decline by name: $dv")
+    // an UNKNOWN reader feature still declines at snapshot time
     val feat = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, authored("feat")(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening-unknown"],"writerFeatures":["typeWidening-unknown"]}}""",
         meta))
     }
-    assert(feat.getMessage.contains("deletionVectors"))
+    assert(feat.getMessage.contains("typeWidening-unknown"))
     // `id` mapping mode declines (field-id matching has no name-based
     // read); `name` mode with MISSING physicalName metadata also
     // declines — resolving by logical names would silently misread
@@ -453,6 +460,175 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(parsedApp === 8L,
       s"an 8-version streaming batch must parse exactly 8 commits, " +
         s"parsed $parsedApp")
+  }
+
+  test("DV codec: decoder matches HAND-COMPUTED spec bytes (not just its own encoder), Z85 pins the reference vector, encoder round-trips") {
+    import graft.sources.DeletionVectors
+    // Z85 reference vector from the ZeroMQ spec (32/Z85): the 8 bytes
+    // 86 4F D2 6F B5 59 F7 5B encode exactly as "HelloWorld" — pins the
+    // alphabet and big-endian block order against the PUBLIC spec
+    val helloBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(DeletionVectors.z85Encode(helloBytes) === "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq === helloBytes.toSeq)
+    // hand-computed portable RoaringBitmapArray holding {0, 2, 5}:
+    // magic 1681511377 LE | count=1 LE int64 | key=0 LE int32 |
+    // roaring32: cookie 12347 LE | size=1 LE | header (key=0,
+    // card-1=2) | offset=16 LE | values 0,2,5 as uint16 LE
+    val fixtureA = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, // magic
+      1, 0, 0, 0, 0, 0, 0, 0, // one bitmap
+      0, 0, 0, 0,             // key 0
+      0x3b, 0x30, 0, 0,       // cookie SERIAL_COOKIE_NO_RUNCONTAINER
+      1, 0, 0, 0,             // one container
+      0, 0, 2, 0,             // container key 0, cardinality-1 = 2
+      16, 0, 0, 0,            // container offset from bitmap start
+      0, 0, 2, 0, 5, 0        // values
+    ).map(_.toByte)
+    assert(DeletionVectors.positions(fixtureA).toSeq === Seq(0L, 2L, 5L))
+    // two 32-bit keys: {3} under key 0 and {7} under key 1 → the
+    // 64-bit positions 3 and 2^32+7 (pins the key↔high-bits splice)
+    val fixtureB = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64,
+      2, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0,
+      0x3b, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 3, 0,
+      1, 0, 0, 0,
+      0x3b, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 7, 0
+    ).map(_.toByte)
+    assert(DeletionVectors.positions(fixtureB).toSeq ===
+      Seq(3L, (1L << 32) + 7L))
+    // encoder round-trip incl. a >4096-cardinality container (bitmap
+    // encoding) and a second 16-bit container key
+    val big = ((0L until 5000L) ++ Seq(70000L, (1L << 32) + 11L)).toArray
+    assert(DeletionVectors.positions(DeletionVectors.serialize(big)).toSeq
+      === big.toSeq)
+  }
+
+  test("deletion vectors: snapshot read drops exactly the deleted rows; time travel, CDF diff, streaming gate, convert-as-translation, export decline, CRC tripwire") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val path = tmp("interop_dv")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // one data file with a KNOWN physical row order (single in-memory
+    // partition → coalesce(1) preserves it): ids 1..6
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id").coalesce(1)
+      .write.parquet(dir.resolve("d1").toString)
+    def onlyPart(sub: String): String = {
+      val s = Files.list(dir.resolve(sub))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val f1 = s"d1/${onlyPart("d1")}"
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    def dvJson(d: DeletionVectors.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    def commit(v: Long, lines: String*): Unit =
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def addLine(dv: Option[DeletionVectors.Descriptor]): String =
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true""" +
+        dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("") +
+        "}}"
+    def removeLine(dv: Option[DeletionVectors.Descriptor]): String =
+      s"""{"remove":{"path":"$f1","deletionTimestamp":1700000000000,"dataChange":true}}"""
+    // v0: plain add; v1: DV {0,2} (deletes ids 1,3); v2: DV grows to
+    // {0,2,4} (newly deletes id 5); v3: DV shrinks to {0} (restores 3,5)
+    val dv1 = DeletionVectors.writeDvFile(dir,
+      DeletionVectors.serialize(Array(0L, 2L)), 2L)
+    val dv2 = DeletionVectors.writeDvFile(dir,
+      DeletionVectors.serialize(Array(0L, 2L, 4L)), 3L)
+    val dv3 = DeletionVectors.writeDvFile(dir,
+      DeletionVectors.serialize(Array(0L)), 1L)
+    commit(0L,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m-dv","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableDeletionVectors":"true"}}}""",
+      addLine(None))
+    commit(1L, removeLine(None), addLine(Some(dv1)))
+    commit(2L, removeLine(Some(dv1)), addLine(Some(dv2)))
+    commit(3L, removeLine(Some(dv2)), addLine(Some(dv3)))
+    def ids(df: DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // snapshot + time travel across every DV state
+    assert(ids(DeltaInterop.read(spark, path, Some(0L))) === Seq(1L, 2, 3, 4, 5, 6))
+    assert(ids(DeltaInterop.read(spark, path, Some(1L))) === Seq(2L, 4, 5, 6))
+    assert(ids(DeltaInterop.read(spark, path, Some(2L))) === Seq(2L, 4, 6))
+    assert(ids(DeltaInterop.read(spark, path)) === Seq(2L, 3, 4, 5, 6))
+    // CDF: v1 deletes ids 1,3; v2 deletes id 5; v3 RESTORES ids 3,5
+    val cdf = DeltaInterop.tableChanges(spark, path, 1L, 3L)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(cdf === Seq(
+      (1L, "delete", 1L), (3L, "delete", 1L),
+      (3L, "insert", 3L), (5L, "delete", 2L), (5L, "insert", 3L)),
+      s"DV flips must diff into row-level deletes/restores, got $cdf")
+    // streaming: a DV flip is a rewrite — gate unless allowRewrites;
+    // with rewrites allowed, delivery excludes the deleted rows
+    val gate = intercept[Exception] {
+      DeltaInterop.readVersionAppends(spark, path, Some(0L), 1L).collect()
+    }
+    assert(gate.getMessage.contains("rewrote"))
+    assert(ids(DeltaInterop.readVersionAppends(spark, path, Some(0L), 1L,
+      allowRewrites = true)) === Seq(2L, 4, 5, 6))
+    // inline-DV twin table: same bitmap, storageType "i" (Z85 pads to
+    // 4-byte blocks; sizeInBytes carries the true length)
+    val inlinePath = tmp("interop_dv_inline")
+    val idir = Paths.get(inlinePath)
+    Files.createDirectories(idir.resolve("_delta_log"))
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id").coalesce(1)
+      .write.parquet(idir.resolve("d1").toString)
+    val if1 = {
+      val s = Files.list(idir.resolve("d1"))
+      try "d1/" + s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val raw = DeletionVectors.serialize(Array(0L, 2L))
+    val padded = raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
+    val inlineDesc = s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85Encode(padded)}","sizeInBytes":${raw.length},"cardinality":2}"""
+    Files.write(idir.resolve("_delta_log").resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m-i","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$if1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$inlineDesc}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(ids(DeltaInterop.read(spark, inlinePath)) === Seq(2L, 4, 5, 6))
+    // exports and checkpoints DECLINE on a DV table (writer feature
+    // obligations this exporter does not meet)
+    val exp = intercept[IllegalArgumentException] {
+      DeltaInterop.exportAppend(spark, Seq(9L).toDF("id"), path)
+    }
+    assert(exp.getMessage.contains("minWriterVersion"))
+    val cpe = intercept[IllegalArgumentException] {
+      DeltaInterop.exportCheckpoint(spark, path)
+    }
+    assert(cpe.getMessage.contains("deletionVectors"))
+    // CONVERT adopts by TRANSLATION: data files untouched, DVs decoded
+    // once into a graft-native (path, row_index) dir; the native read
+    // and the full native write surface work after
+    DeltaInterop.convertFromDelta(spark, path)
+    assert(ids(DeltaLite.read(spark, path)) === Seq(2L, 3, 4, 5, 6))
+    val nv = DeltaLite.deleteVectorized(spark, path, col("id") === 4L)
+    assert(nv === 1L)
+    assert(ids(DeltaLite.read(spark, path)) === Seq(2L, 3, 5, 6))
+    // CRC tripwire: corrupt one byte of dv3's bitmap → the read fails
+    // loudly instead of resurrecting or dropping rows
+    val dvFile = DeletionVectors.dvFilePath(dir, dv3)
+    val bytes = Files.readAllBytes(dvFile)
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x7f).toByte
+    Files.write(dvFile, bytes)
+    val crc = intercept[Exception] {
+      DeltaInterop.read(spark, path + "") // fresh replay, no cache
+      DeltaInterop.tableChanges(spark, path, 3L, 3L).collect()
+    }
+    assert(crc.getMessage.toLowerCase.contains("crc"),
+      s"a corrupt DV must fail its checksum loudly: $crc")
   }
 
   test("add-before-metaData commit replays correctly: stats still type (prune) and partition columns still re-attach") {
