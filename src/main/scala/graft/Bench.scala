@@ -54,6 +54,47 @@ object Bench {
     f.toString
   }
 
+  /** Parse the self-seeding schedule (per-query EMA seconds + job
+    * counts) out of a committed bench_result.json — REJECTING a seed
+    * that doesn't cover the suite. The driver's loaded bench runs have
+    * twice overwritten the artifact with the PRINTED 24-query headline
+    * subset (no ema, no jobs); seeding from that scrambles the LPT
+    * head and pool classification for the next run (the hs-4.0 chaos
+    * BASELINE.md documents). A seed covering under half the declared
+    * queries is that failure mode, not a schedule — fall back to the
+    * static lists and say so on stderr.
+    *
+    * EMA layer: `ema` smooths per-query seconds across runs (the box
+    * runs a documented ~1.4× "slow mode" some runs — a single slow
+    * sample would misclassify pools; the half-life-of-one-run average
+    * forgets it in two). Falls back to the raw last-run seconds for
+    * artifacts written before the field existed. */
+  private[graft] def loadSeed(jsonText: String, declared: Set[String])
+      : (Map[String, Double], Map[String, Long]) = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(jsonText)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(x) => Some(x); case JInt(x) => Some(x.toDouble)
+      case JLong(x) => Some(x.toDouble); case _ => None
+    }
+    def obj(k: String): Map[String, Double] = j \ k match {
+      case o: JObject => o.obj.flatMap { case (n, v) =>
+        num(v).filter(_ >= 0).map(n -> _) }.toMap
+      case _ => Map.empty
+    }
+    val sec = { val e = obj("ema"); if (e.nonEmpty) e else obj("queries") }
+    val covered = declared.count(sec.contains).toDouble
+    if (sec.nonEmpty && declared.nonEmpty &&
+        covered / declared.size < 0.5) {
+      System.err.println(
+        s"[bench] ignoring bench_result.json seed: it covers only " +
+          s"${covered.toInt}/${declared.size} declared queries (a " +
+          "headline-subset overwrite, not a schedule) — restore the " +
+          "committed artifact; falling back to the static schedule")
+      (Map.empty, Map.empty)
+    } else (sec, obj("jobs").map { case (k, v) => k -> v.toLong })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core on the box: the bench driver sets only
@@ -74,27 +115,10 @@ object Bench {
     // instead of waiting for a hand-maintained list to notice it
     // dragging the makespan (what l2_crawl_gate did in round 11).
     val prior: (Map[String, Double], Map[String, Long]) = try {
-      import org.json4s._
-      val j = org.json4s.jackson.JsonMethods.parse(new String(
+      Bench.loadSeed(new String(
         java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_result.json")), "UTF-8"))
-      def num(v: JValue): Option[Double] = v match {
-        case JDouble(x) => Some(x); case JInt(x) => Some(x.toDouble)
-        case JLong(x) => Some(x.toDouble); case _ => None
-      }
-      def obj(k: String): Map[String, Double] = j \ k match {
-        case o: JObject => o.obj.flatMap { case (n, v) =>
-          num(v).filter(_ >= 0).map(n -> _) }.toMap
-        case _ => Map.empty
-      }
-      // EMA layer: `ema` smooths per-query seconds across runs (the box
-      // runs a documented ~1.4× "slow mode" some runs — a single slow
-      // sample would misclassify pools and scramble the LPT head for
-      // the NEXT run; the half-life-of-one-run average forgets it in
-      // two). Falls back to the raw last-run seconds for artifacts
-      // written before the field existed.
-      val sec = { val e = obj("ema"); if (e.nonEmpty) e else obj("queries") }
-      (sec, obj("jobs").map { case (k, v) => k -> v.toLong })
+          java.nio.file.Paths.get("bench_result.json")), "UTF-8"),
+        SparkEntry.queries.keySet)
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (priorSec, priorJobs) = prior
 

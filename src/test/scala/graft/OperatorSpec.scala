@@ -247,6 +247,31 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
       s"expected the non-null-bin contract error, got: $ex")
   }
 
+  test("Bench seed loader: full-coverage seeds load, headline-subset overwrites are rejected, garbage is empty") {
+    val declared = (1 to 100).map(i => s"q$i").toSet
+    def artifact(names: Seq[String], withEma: Boolean): String = {
+      val qs = names.map(n => s""""$n":1.5""").mkString("{", ",", "}")
+      val ema = if (withEma) s""","ema":$qs""" else ""
+      s"""{"metric":"total","value":9.9,"unit":"sec","queries":$qs$ema,"jobs":$qs,"sf":"x"}"""
+    }
+    // a real artifact covering the suite seeds the schedule
+    val (sec, jobs) = Bench.loadSeed(
+      artifact(declared.toSeq, withEma = true), declared)
+    assert(sec.size === 100 && jobs.size === 100)
+    // the driver's headline-subset overwrite (24 of 100 queries, no
+    // ema) must be REJECTED — seeding from it scrambles the next run
+    val (sec2, jobs2) = Bench.loadSeed(
+      artifact(declared.toSeq.take(24), withEma = false), declared)
+    assert(sec2.isEmpty && jobs2.isEmpty,
+      "a sub-coverage seed must fall back to the static schedule")
+    // pre-ema artifacts (full queries map, no ema field) still load
+    val (sec3, _) = Bench.loadSeed(
+      artifact(declared.toSeq, withEma = false), declared)
+    assert(sec3.size === 100)
+    // unparseable content propagates as an exception (main catches it)
+    intercept[Exception] { Bench.loadSeed("not json {", declared) }
+  }
+
   test("query registry: names are distinct and both containment variants ship") {
     // Seq.toMap keeps the last duplicate silently — the r16 shadowing
     // shipped the wrong l2_containment for a full round. SparkEntry now
