@@ -21,9 +21,11 @@ import org.json4s.jackson.JsonMethods
   * Scope, stated plainly (a declined feature must fail LOUDLY, never
   * read wrong rows):
   *   - protocol: minReaderVersion 1 and 2, including column mapping
-  *     mode `name` (the physical names feed graft's own
-  *     logical→physical read aliasing; `id` mode declines loudly —
-  *     field-id matching has no name-based read);
+  *     modes `name` (the physical names feed graft's own
+  *     logical→physical read aliasing) and `id` (Delta's
+  *     `delta.columnMapping.id` translates to `parquet.field.id`
+  *     metadata and Spark's field-id reader resolves columns by id —
+  *     file column names are free to differ from physicalName);
   *     minReaderVersion 3 only when every `readerFeatures` entry is in
   *     [[SupportedReaderFeatures]]. Everything else throws, naming the
   *     feature.
@@ -309,6 +311,26 @@ object DeltaInterop {
     st.config = m.get("configuration").collect {
       case JObject(cs) => cs.collect { case (k, JString(v)) => k -> v }.toMap
     }.getOrElse(st.config)
+    // `id` mapping mode: parquet columns resolve by FIELD ID, not name
+    // (the file's column names are free to differ from physicalName —
+    // iceberg-converted tables do). Spark's reader speaks field ids
+    // natively when the read schema carries `parquet.field.id`
+    // metadata, so translate Delta's `delta.columnMapping.id` into it
+    // once here — every downstream read (snapshot scans, row-position
+    // DV reads, CDF) inherits the id-resolving schema through the
+    // shared physSchema copy.
+    if (st.config.get("delta.columnMapping.mode").contains("id") &&
+        st.schema != null)
+      st.schema = StructType(st.schema.fields.map { f =>
+        if (f.metadata.contains("delta.columnMapping.id") &&
+            !f.metadata.contains("parquet.field.id"))
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+        else f
+      })
   }
 
   /** Delta per-file `stats` JSON → (numRecords, typed graft ColStats).
@@ -464,19 +486,25 @@ object DeltaInterop {
     val mappingMode = st.config.getOrElse("delta.columnMapping.mode", "none")
     // `name` mode reads natively: the physical names feed the SAME
     // logical→physical aliasing graft's own RENAME COLUMN machinery
-    // uses in readFiles. `id` mode matches parquet columns by field id
-    // — a name-based read would misread, so it declines loudly.
-    require(mappingMode == "none" || mappingMode == "name",
-      s"$path requires column mapping mode '$mappingMode' — unsupported " +
-        "(only 'none' and 'name' read correctly through name-based " +
-        "parquet column resolution)")
+    // uses in readFiles. `id` mode reads by parquet FIELD ID (the
+    // translated parquet.field.id metadata + Spark's field-id reader —
+    // see applyMetaData); anything else declines loudly.
+    require(mappingMode == "none" || mappingMode == "name" ||
+        mappingMode == "id",
+      s"$path requires column mapping mode '$mappingMode' — unsupported")
     require(mappingMode == "none" || (st.schema != null &&
         st.schema.fields.forall(f =>
           f.metadata.contains("delta.columnMapping.physicalName"))),
-      s"$path declares column mapping mode 'name' but not EVERY field " +
-        "carries delta.columnMapping.physicalName metadata — a " +
+      s"$path declares column mapping mode '$mappingMode' but not EVERY " +
+        "field carries delta.columnMapping.physicalName metadata — a " +
         "partially-mapped schema would silently resolve the unmapped " +
         "columns by the wrong (logical) name")
+    require(mappingMode != "id" ||
+        st.schema.fields.forall(f =>
+          f.metadata.contains("delta.columnMapping.id")),
+      s"$path declares column mapping mode 'id' but not EVERY field " +
+        "carries delta.columnMapping.id metadata — field-id resolution " +
+        "would silently miss the unmapped columns")
     if (st.minReader >= 3) {
       val unsupported = st.readerFeatures.filterNot(SupportedReaderFeatures)
       require(unsupported.isEmpty,
@@ -512,10 +540,22 @@ object DeltaInterop {
     * anti-join their decoded deleted positions. The DV side holds only
     * compact roaring BYTES on the driver; position expansion happens
     * on executors. */
+  /** Spark's parquet reader resolves columns by FIELD ID (instead of
+    * name) only under this conf; flip it on lazily the first time an
+    * id-mapped schema (carrying the translated `parquet.field.id`
+    * metadata — see applyMetaData) reaches a read. Harmless globally:
+    * schemas without the metadata keep resolving by name. */
+  private def ensureFieldIdRead(spark: SparkSession,
+      schema: StructType): Unit =
+    if (schema != null && schema.fields.exists(
+        _.metadata.contains("parquet.field.id")))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def readLive(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String], props: Map[String, String])
       : DataFrame = {
+    ensureFieldIdRead(spark, schema)
     val (dvFiles, plain) = files.partition(f => dvDescriptor(f).isDefined)
     val plainDf = DeltaLite.readFiles(spark, path, schema, plain,
       partitionBy, physical, props)
@@ -549,6 +589,7 @@ object DeltaInterop {
       physical: Map[String, String], props: Map[String, String],
       pos: DataFrame, cardinality: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    ensureFieldIdRead(spark, schema)
     val withPos = DeltaLite.readFilesWithPos(spark, path, schema,
       files.map(_.copy(dv = None)), partitionBy, physical, props)
     val dvSide =
@@ -742,6 +783,7 @@ object DeltaInterop {
       if (cdcs.nonEmpty) {
         // cdc files carry the table columns + _change_type as DATA;
         // their partitionValues are raw (physical under mapping)
+        ensureFieldIdRead(spark, schema)
         val p2l = st.physToLogical
         val dataFields = schema.fields
           .filterNot(f => partitionBy.contains(f.name))
@@ -981,7 +1023,18 @@ object DeltaInterop {
       asOf: Option[Long] = None): Long = {
     require(DeltaLite.latestVersion(path).isEmpty,
       s"a graft-delta table already exists at $path")
-    val snap = snapshot(spark, path, asOf)
+    val (v, st) = replayState(spark, path, asOf)
+    // `id`-mapped adoption declines: the native read path resolves
+    // parquet columns by (physical) NAME, and id-mode files are free
+    // to name columns anything (iceberg-converted tables do) — an
+    // adopted table could silently read NULLs. Reading/streaming the
+    // table through the interop surfaces keeps working.
+    require(!st.config.get("delta.columnMapping.mode").contains("id"),
+      s"CONVERT FROM DELTA on $path: the table uses column mapping " +
+        "mode 'id' — graft's native reader resolves by physical name, " +
+        "which id-mode files do not guarantee; keep reading it through " +
+        "the interop surfaces instead")
+    val snap = toSnapshot(v, st)
     // foreign deletion vectors ADOPT by translation, not data rewrite:
     // the roaring positions decode once into ONE graft-native DV dir
     // (the (path, row_index) parquet every native read path

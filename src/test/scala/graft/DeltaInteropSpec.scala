@@ -330,6 +330,69 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       .toSeq === Seq(1L, 2L, 10L))
   }
 
+  test("column mapping 'id' mode: parquet columns resolve by FIELD ID even when file names differ from physicalName; stats prune; convert declines") {
+    import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val path = tmp("interop_colmap_id")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // data files: column NAMES are deliberately NOT the physicalNames
+    // ("zzz-*" vs "col-*") — only field-id resolution reads them right;
+    // a name-based read would resolve every column to NULL
+    def fid(id: Long): Metadata = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("zzz-1", LongType, nullable = true, fid(1)),
+      StructField("zzz-2", StringType, nullable = true, fid(2))))
+    def writeFile(sub: String, rows: Seq[(Long, String)]): String = {
+      val jrows = new java.util.ArrayList[Row]()
+      rows.foreach(r => jrows.add(Row(r._1, r._2)))
+      spark.createDataFrame(jrows, fileSchema)
+        .coalesce(1).write.parquet(dir.resolve(sub).toString)
+      val s = Files.list(dir.resolve(sub))
+      try s"$sub/" + s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val f1 = writeFile("d1", Seq((1L, "x1"), (2L, "x2")))
+    val f2 = writeFile("d2", Seq((10L, "y1")))
+    def mapped(id: Long, phys: String): Metadata = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapped(1, "col-a")),
+      StructField("s", StringType, nullable = true, mapped(2, "col-b"))))
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(schema.json))
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m-cmid","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-a\\":1},\\"maxValues\\":{\\"col-a\\":2}}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"col-a\\":10},\\"maxValues\\":{\\"col-a\\":10}}"}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = DeltaInterop.read(spark, path)
+    assert(df.columns.toSeq === Seq("id", "s"))
+    assert(df.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x1"), (2L, "x2"), (10L, "y1")),
+      "field-id resolution must read the differently-named columns")
+    // physical-keyed stats still prune through the logical bound
+    val snap = DeltaInterop.snapshot(spark, path)
+    val kept = DeltaLite.pruneFiles(snap,
+      Seq(DeltaLite.ColumnBound("id", lower = Some(5L))))
+    assert(kept.map(_.path) === Seq(f2))
+    // the V1 relation dispatch reads it too
+    assert(spark.read.format("graft-delta").load(path).count() === 3L)
+    // CONVERT declines: the native reader resolves by physical NAME,
+    // which these files deliberately do not carry
+    val conv = intercept[IllegalArgumentException] {
+      DeltaInterop.convertFromDelta(spark, path)
+    }
+    assert(conv.getMessage.contains("'id'"))
+  }
+
   test("tableChanges: dataChange=false rewrites are invisible; cdc actions take precedence over add/remove for their commit") {
     import spark.implicits._
     val path = tmp("interop_cdf")
