@@ -39,10 +39,12 @@ import org.json4s.jackson.JsonMethods
   *     Unsupported DV STORAGE types decline loudly, naming them.
   *   - checkpoints: classic parquet checkpoints, single-part
   *     (`<v>.checkpoint.parquet`) and multi-part
-  *     (`<v>.checkpoint.<i>.<n>.parquet`), are replayed; V2/UUID
-  *     checkpoints are ignored while the JSON commits still cover the
-  *     requested version and throw when they don't (the state would be
-  *     unreconstructible).
+  *     (`<v>.checkpoint.<i>.<n>.parquet`), AND v2/UUID checkpoints
+  *     (`<v>.checkpoint.<uniqueStr>.{json|parquet}` manifests with
+  *     `checkpointMetadata` validation and `_sidecars/` replay) all
+  *     reconstruct snapshots — a log-cleaned table stays readable
+  *     whichever checkpoint shape its writer left behind. A missing
+  *     sidecar or multi-part piece throws; half a state never serves.
   *
   * Mechanics: the log replays into [[DeltaLite.Snapshot]] — the same
   * driver-side state model the native format uses — so EVERYTHING
@@ -93,9 +95,10 @@ object DeltaInterop {
       .map(s => DeletionVectors.fromJson(s.substring(DvMarker.length)))
 
   /** A directory is a standard Delta table iff `_delta_log/` holds at
-    * least one versioned commit or classic checkpoint. */
+    * least one versioned commit or checkpoint (classic or v2). */
   def isStandardDelta(path: String): Boolean =
-    commitVersions(path).nonEmpty || checkpoints(path).nonEmpty
+    commitVersions(path).nonEmpty || checkpoints(path).nonEmpty ||
+      v2Checkpoints(path).nonEmpty
 
   private def listLog(path: String): Seq[String] = {
     val d = logDir(path)
@@ -134,8 +137,25 @@ object DeltaInterop {
     singles ++ multis
   }
 
+  /** V2 (UUID-named) checkpoints — PROTOCOL.md "V2 Checkpoints":
+    * `<v>.checkpoint.<uniqueStr>.{json|parquet}` manifests carrying a
+    * `checkpointMetadata` action, the snapshot actions, and optional
+    * `sidecar` references into `_delta_log/_sidecars/`. Version →
+    * manifest (newest uniqueStr arbitrary — any manifest at a version
+    * restates the same state, per spec). The classic multi-part
+    * pattern (`<v>.checkpoint.<i>.<n>.parquet`) cannot collide: its
+    * uniqueStr would need an interior dot. */
+  private def v2Checkpoints(path: String): Map[Long, Path] = {
+    val d = logDir(path)
+    val v2 = """(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)""".r
+    listLog(path).collect {
+      case n @ v2(v, _, _) => v.toLong -> d.resolve(n)
+    }.toMap
+  }
+
   def latestVersion(path: String): Option[Long] =
-    (commitVersions(path) ++ checkpoints(path).keys).maxOption
+    (commitVersions(path) ++ checkpoints(path).keys ++
+      v2Checkpoints(path).keys).maxOption
 
   // ------------------------------------------------------------- replay
 
@@ -436,38 +456,41 @@ object DeltaInterop {
       asOf: Option[Long] = None): (Long, State) = {
     val jsons = commitVersions(path)
     val cps = checkpoints(path)
+    // a version with BOTH a classic and a v2 checkpoint restates the
+    // same state — prefer the classic one (single read, no sidecars)
+    val v2s = v2Checkpoints(path).filterNot(kv => cps.contains(kv._1))
     val latest = latestVersion(path).getOrElse(
       sys.error(s"no standard Delta log at $path"))
     val target = asOf.getOrElse(latest)
     require(target <= latest && (jsons.contains(target) ||
-        cps.contains(target)),
+        cps.contains(target) || v2s.contains(target)),
       s"version $target does not exist at $path (latest: $latest)")
     val st = new State
     // JSON-only replay when commits cover 0..target; otherwise replay
-    // the newest classic checkpoint ≤ target whose tail commits are
-    // all present
+    // the newest checkpoint ≤ target whose tail commits are all present
     val fromCp: Option[Long] =
       if (jsons.headOption.contains(0L) &&
           jsons.takeWhile(_ <= target) == (0L to target)) None
       else {
-        val cp = cps.keys.filter(_ <= target).maxOption.getOrElse(
-          sys.error(s"cannot reconstruct version $target at $path: JSON " +
-            s"commits ${jsons.headOption.getOrElse("none")}..${jsons.lastOption
-              .getOrElse("none")} do not reach version 0 and no classic " +
-            "parquet checkpoint ≤ target exists (V2/UUID checkpoints are " +
-            "not supported)"))
+        val cp = (cps.keySet ++ v2s.keySet).filter(_ <= target).maxOption
+          .getOrElse(
+            sys.error(s"cannot reconstruct version $target at $path: JSON " +
+              s"commits ${jsons.headOption.getOrElse("none")}..${jsons.lastOption
+                .getOrElse("none")} do not reach version 0 and no " +
+              "checkpoint (classic or v2) ≤ target exists"))
         require(((cp + 1) to target).forall(jsons.contains),
           s"cannot reconstruct version $target at $path: commits after " +
             s"checkpoint $cp are incomplete")
         Some(cp)
       }
     fromCp.foreach { cp =>
-      // a checkpoint restates the complete state at cp as parquet rows
-      // (one action per row) — one Spark job, metadata-proportional
-      val rows = spark.read
-        .parquet(cps(cp).map(_.toString): _*)
-        .toJSON.collect()
-        .map(JsonMethods.parse(_))
+      // a checkpoint restates the complete state at cp as action rows
+      // — one Spark job (plus one per sidecar set), metadata-proportional
+      val rows: Seq[JValue] =
+        if (cps.contains(cp))
+          spark.read.parquet(cps(cp).map(_.toString): _*)
+            .toJSON.collect().toSeq.map(JsonMethods.parse(_))
+        else v2CheckpointActions(spark, path, cp, v2s(cp))
       applyActionsMetaFirst(st, rows, s"checkpoint $cp")
     }
     ((fromCp.map(_ + 1L).getOrElse(0L)) to target).foreach { v =>
@@ -480,6 +503,64 @@ object DeltaInterop {
       s"no metaData action found replaying $path to version $target")
     checkProtocol(path, st)
     (target, st)
+  }
+
+  /** One v2 checkpoint manifest → the full action row set: validates
+    * the mandatory `checkpointMetadata` (its declared version must
+    * match the file name — a copied manifest must never replay as the
+    * wrong version), then appends the referenced sidecar files'
+    * add/remove rows. A MISSING sidecar fails loudly — replaying
+    * without it would silently drop its file actions, the wrong-rows
+    * outcome this module never produces. `checkpointMetadata` and
+    * `sidecar` keys are inert in [[applyParsedAction]], so the
+    * combined row set replays through the one shared path. */
+  private def v2CheckpointActions(spark: SparkSession, path: String,
+      cp: Long, manifest: Path): Seq[JValue] = {
+    val raw: Seq[JValue] =
+      if (manifest.toString.endsWith(".json"))
+        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).toSeq
+          .map(JsonMethods.parse(_))
+      else spark.read.parquet(manifest.toString)
+        .toJSON.collect().toSeq.map(JsonMethods.parse(_))
+    def field(jv: JValue, k: String): Option[Map[String, JValue]] =
+      jv match {
+        case JObject(fs) => fs.collectFirst {
+          case (`k`, JObject(o)) => o.toMap }
+        case _ => None
+      }
+    val metas = raw.flatMap(field(_, "checkpointMetadata"))
+    require(metas.nonEmpty,
+      s"v2 checkpoint $manifest carries no checkpointMetadata action " +
+        "(mandatory per spec) — refusing to replay an unidentified " +
+        "manifest")
+    metas.foreach { m =>
+      val v = m.get("version").collect {
+        case JInt(i) => i.toLong; case JLong(l) => l }
+      require(v.contains(cp),
+        s"v2 checkpoint $manifest declares version " +
+          s"${v.getOrElse("<none>")} but is named for version $cp")
+    }
+    val sidecarActions: Seq[JValue] = {
+      val refs = raw.flatMap(field(_, "sidecar")).map(s =>
+        s.get("path").collect { case JString(p) => p }.getOrElse(
+          sys.error(s"v2 checkpoint $manifest: sidecar action " +
+            "without a path")))
+      if (refs.isEmpty) Nil
+      else {
+        val sdir = logDir(path).resolve("_sidecars")
+        val files = refs.map { p =>
+          val cand = Paths.get(decodePath(p))
+          val resolved = if (cand.isAbsolute) cand else sdir.resolve(cand)
+          require(Files.isRegularFile(resolved),
+            s"sidecar '$p' of v2 checkpoint $manifest is missing — " +
+              "replaying without it would silently drop its file actions")
+          resolved.toString
+        }
+        spark.read.parquet(files: _*)
+          .toJSON.collect().toSeq.map(JsonMethods.parse(_))
+      }
+    }
+    raw ++ sidecarActions
   }
 
   private def checkProtocol(path: String, st: State): Unit = {

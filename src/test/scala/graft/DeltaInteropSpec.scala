@@ -851,6 +851,145 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       s"partial checkpoint must fail loudly, got: ${e.getMessage}")
   }
 
+  test("v2/UUID checkpoints: a JSON manifest with ZERO commits reconstructs the snapshot; parquet manifest replays its sidecars; missing sidecar and version mismatch fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType, StringType, StructField, StructType}
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("s", "string").json))
+    def dataFile(dirPath: java.nio.file.Path, sub: String,
+        rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1)
+        .write.parquet(dirPath.resolve(sub).toString)
+      val s = Files.list(dirPath.resolve(sub))
+      try s"$sub/" + s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    // ---- case 1: sidecar-less v2 JSON manifest, NO json commits at all
+    val p1 = tmp("interop_v2_json")
+    val d1 = Paths.get(p1)
+    Files.createDirectories(d1.resolve("_delta_log"))
+    val f1 = dataFile(d1, "a", Seq((1L, "x"), (2L, "y")))
+    Files.write(d1.resolve("_delta_log")
+      .resolve(f"${3L}%020d.checkpoint.80a083e8-7026.json"), Seq(
+      """{"checkpointMetadata":{"version":3}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m-v2","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":1},\\"maxValues\\":{\\"id\\":2}}"}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.latestVersion(p1) === Some(3L))
+    val snap1 = DeltaInterop.snapshot(spark, p1)
+    assert(snap1.version === 3L && snap1.files.map(_.path) === Seq(f1))
+    assert(DeltaInterop.read(spark, p1).count() === 2L)
+    // a version BELOW the checkpoint with no JSON commits declines
+    intercept[Exception] { DeltaInterop.snapshot(spark, p1, Some(2L)) }
+    // ---- case 2: parquet manifest whose adds live in TWO sidecars,
+    //      plus a tail JSON commit on top
+    val p2 = tmp("interop_v2_sidecar")
+    val d2 = Paths.get(p2)
+    val log2 = d2.resolve("_delta_log")
+    Files.createDirectories(log2.resolve("_sidecars"))
+    val g1 = dataFile(d2, "a", Seq((1L, "x")))
+    val g2 = dataFile(d2, "b", Seq((2L, "y")))
+    val g3 = dataFile(d2, "c", Seq((3L, "z")))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    def sidecar(name: String, adds: Seq[String]): Unit = {
+      val rows = new java.util.ArrayList[Row]()
+      adds.foreach(a => rows.add(Row(Row(a, Map.empty[String, String],
+        1L, 1L, true))))
+      spark.createDataFrame(rows,
+          StructType(Seq(StructField("add", addType))))
+        .coalesce(1).write.parquet(log2.resolve("_sc_tmp").toString)
+      val s = Files.list(log2.resolve("_sc_tmp"))
+      val part = try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+      Files.move(part, log2.resolve("_sidecars").resolve(name))
+      val w = Files.walk(log2.resolve("_sc_tmp"))
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(pp => { val _ = Files.deleteIfExists(pp) })
+      finally w.close()
+    }
+    sidecar("sc-1.parquet", Seq(g1))
+    sidecar("sc-2.parquet", Seq(g2))
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)))))))
+    val mrows = new java.util.ArrayList[Row]()
+    mrows.add(Row(Row(0L), null, null, null))
+    mrows.add(Row(null, Row("sc-1.parquet", 1L, 1L), null, null))
+    mrows.add(Row(null, Row("sc-2.parquet", 1L, 1L), null, null))
+    mrows.add(Row(null, null, Row(3, 7,
+      Seq("v2Checkpoint"), Seq("v2Checkpoint")), null))
+    mrows.add(Row(null, null, null, Row("m-v2s", Row("parquet"),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("s", "string").json, Seq.empty[String],
+      Map.empty[String, String])))
+    spark.createDataFrame(mrows, manifestSchema).coalesce(1)
+      .write.parquet(log2.resolve("_m_tmp").toString)
+    val ms = Files.list(log2.resolve("_m_tmp"))
+    val mpart = try ms.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally ms.close()
+    Files.move(mpart,
+      log2.resolve(f"${0L}%020d.checkpoint.11c448b1-93a2.parquet"))
+    val mw = Files.walk(log2.resolve("_m_tmp"))
+    try mw.sorted(java.util.Comparator.reverseOrder())
+      .forEach(pp => { val _ = Files.deleteIfExists(pp) })
+    finally mw.close()
+    // tail commit 1 adds a third file on top of the v2 checkpoint
+    Files.write(log2.resolve(f"${1L}%020d.json"),
+      (s"""{"add":{"path":"$g3","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaInterop.read(spark, p2, Some(0L)).count() === 2L,
+      "the v2 parquet manifest + both sidecars must reconstruct v0")
+    assert(DeltaInterop.read(spark, p2).count() === 3L,
+      "tail JSON commits must replay on top of the v2 checkpoint")
+    // ---- decline twins: missing sidecar; version mismatch
+    Files.delete(log2.resolve("_sidecars").resolve("sc-2.parquet"))
+    val miss = intercept[Exception] {
+      DeltaInterop.snapshot(spark, p2, Some(0L))
+    }
+    assert(miss.getMessage.contains("sidecar"),
+      s"a missing sidecar must fail loudly, got: $miss")
+    val p3 = tmp("interop_v2_mismatch")
+    val d3 = Paths.get(p3)
+    Files.createDirectories(d3.resolve("_delta_log"))
+    Files.write(d3.resolve("_delta_log")
+      .resolve(f"${5L}%020d.checkpoint.00aa11bb-0001.json"), Seq(
+      """{"checkpointMetadata":{"version":4}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val mm = intercept[Exception] { DeltaInterop.snapshot(spark, p3) }
+    assert(mm.getMessage.contains("declares version 4"),
+      s"a mis-versioned manifest must fail loudly, got: $mm")
+  }
+
   test("CONVERT FROM DELTA: zero-copy adoption, full graft write surface after, format dispatch prefers the graft log") {
     val path = tmp("interop_convert")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
