@@ -56,10 +56,13 @@ import org.json4s.jackson.JsonMethods
   * Spark job over checkpoint parquet — metadata-proportional, exactly
   * delta-spark's own Snapshot cost shape.
   *
-  * Write-side honesty: [[exportToDelta]]/[[exportAppend]]/
-  * [[exportDeletePartition]] are a SINGLE-WRITER interchange exporter
-  * (atomic rename per commit, no OCC loop) — the concurrent-writer
-  * story lives in graft-delta's own claim store. Deletes are
+  * Write-side: the mutating exports commit through the SAME
+  * claim-store OCC contract the native format uses — `<v>.json` is
+  * CLAIMED (conditional-PUT semantics, exactly one winner, ambiguity
+  * resolved by read-back compare), and a lost race re-replays and
+  * REBUILDS the commit against the new state ([[occCommit]]) — so
+  * concurrent writers (including the reference stack racing the
+  * exporter) interleave instead of clobbering. Deletes are
   * partition-aligned only (remove actions, zero rewrite) — the
   * metadata-only shape that survives 100 TB; row-level deletes belong
   * to the native format's DV/MERGE machinery.
@@ -1177,23 +1180,33 @@ object DeltaInterop {
         Seq(JsonMethods.compact(JObject(List("metaData" -> metaData)))) ++
         adds.map(a => JsonMethods.compact(encodeDeltaAdd(a, schema))) :+
         commitInfoLine("WRITE")
-    writeCommitFile(path, 0L, lines)
+    // a lost CREATE claim is not rebase-able — another writer owns the
+    // table now; say so instead of surfacing a raw claim collision
+    try writeCommitFile(path, 0L, lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"exportToDelta on $path: a concurrent writer created the " +
+            "table first", e)
+    }
     0L
   }
 
   /** Append `df` to a standard Delta table — one adds-only commit
     * (Delta does not restate metaData per commit). */
   def exportAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
-    val (version, st) = replayState(spark, path)
-    requireWritable(st, path, "exportAppend", removesRows = false)
-    requireUnmapped(st, path, "exportAppend")
-    requireSchemaMatch(df, st, path, "exportAppend")
-    val adds = writeDataFiles(spark, df, root(path), st.partitionBy)
-    val lines = adds.map(a =>
-      JsonMethods.compact(encodeDeltaAdd(a, st.schema))) :+
-      commitInfoLine("WRITE")
-    writeCommitFile(path, version + 1, lines)
-    version + 1
+    val (_, st0) = replayState(spark, path)
+    requireWritable(st0, path, "exportAppend", removesRows = false)
+    requireUnmapped(st0, path, "exportAppend")
+    requireSchemaMatch(df, st0, path, "exportAppend")
+    val adds = writeDataFiles(spark, df, root(path), st0.partitionBy)
+    occCommit(spark, path, "exportAppend") { st =>
+      requireWritable(st, path, "exportAppend", removesRows = false)
+      requireUnmapped(st, path, "exportAppend")
+      requireSchemaMatch(df, st, path, "exportAppend")
+      adds.map(a => JsonMethods.compact(encodeDeltaAdd(a, st.schema))) :+
+        commitInfoLine("WRITE")
+    }
   }
 
   /** OVERWRITE the table's contents in one commit — delta-rs's
@@ -1204,18 +1217,22 @@ object DeltaInterop {
     * the native format's job). */
   def exportOverwrite(spark: SparkSession, df: DataFrame,
       path: String): Long = {
-    val (version, st) = replayState(spark, path)
-    requireWritable(st, path, "exportOverwrite", removesRows = true)
-    requireUnmapped(st, path, "exportOverwrite")
-    requireSchemaMatch(df, st, path, "exportOverwrite")
-    val adds = writeDataFiles(spark, df, root(path), st.partitionBy)
-    val now = System.currentTimeMillis()
-    val lines = adds.map(a =>
-      JsonMethods.compact(encodeDeltaAdd(a, st.schema))) ++
-      st.live.values.map(f => removeLine(f, now)) :+
-      commitInfoLine("WRITE")
-    writeCommitFile(path, version + 1, lines)
-    version + 1
+    val (_, st0) = replayState(spark, path)
+    requireWritable(st0, path, "exportOverwrite", removesRows = true)
+    requireUnmapped(st0, path, "exportOverwrite")
+    requireSchemaMatch(df, st0, path, "exportOverwrite")
+    val adds = writeDataFiles(spark, df, root(path), st0.partitionBy)
+    occCommit(spark, path, "exportOverwrite") { st =>
+      requireWritable(st, path, "exportOverwrite", removesRows = true)
+      requireUnmapped(st, path, "exportOverwrite")
+      requireSchemaMatch(df, st, path, "exportOverwrite")
+      val now = System.currentTimeMillis()
+      // the CURRENT live set per attempt — a rebase removes the racing
+      // writer's files too, which is exactly what overwrite means
+      adds.map(a => JsonMethods.compact(encodeDeltaAdd(a, st.schema))) ++
+        st.live.values.map(f => removeLine(f, now)) :+
+        commitInfoLine("WRITE")
+    }
   }
 
   /** Partition-aligned DELETE on a standard Delta table: every live
@@ -1226,19 +1243,18 @@ object DeltaInterop {
     * format's job). */
   def exportDeletePartition(spark: SparkSession, path: String,
       column: String, value: String): Long = {
-    val (version, st) = replayState(spark, path)
-    requireWritable(st, path, "exportDeletePartition", removesRows = true,
-      writesRows = false)
-    require(st.partitionBy.contains(column),
-      s"'$column' is not a partition column of $path " +
-        s"(partitioned by: ${st.partitionBy.mkString(", ")})")
-    val doomed = st.live.values.filter(_.pv.get(column).contains(value))
-      .toSeq
-    require(doomed.nonEmpty, s"no live files with $column=$value at $path")
-    val now = System.currentTimeMillis()
-    val lines = doomed.map(removeLine(_, now)) :+ commitInfoLine("DELETE")
-    writeCommitFile(path, version + 1, lines)
-    version + 1
+    occCommit(spark, path, "exportDeletePartition") { st =>
+      requireWritable(st, path, "exportDeletePartition", removesRows = true,
+        writesRows = false)
+      require(st.partitionBy.contains(column),
+        s"'$column' is not a partition column of $path " +
+          s"(partitioned by: ${st.partitionBy.mkString(", ")})")
+      val doomed = st.live.values.filter(_.pv.get(column).contains(value))
+        .toSeq
+      require(doomed.nonEmpty, s"no live files with $column=$value at $path")
+      val now = System.currentTimeMillis()
+      doomed.map(removeLine(_, now)) :+ commitInfoLine("DELETE")
+    }
   }
 
   /** THE remove-action encoder — one definition for the overwrite and
@@ -1417,24 +1433,49 @@ object DeltaInterop {
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString(op))))))
 
-  /** Atomic no-clobber commit: unique temp + `link(2)` to the final
-    * name — link fails with FileAlreadyExistsException when the target
-    * exists, so racing writers (or a re-export over a foreign commit)
-    * fail LOUDLY and exactly one wins. (A rename-based move cannot
-    * give this: POSIX rename(2) silently REPLACES the target, and the
-    * ATOMIC_MOVE flag does not change that — the earlier exists()
-    * pre-check was a race window; review finding.) */
+  /** Claim `<version>.json` through the SAME claim-store contract the
+    * native format uses ([[DeltaLite.claimCommit]]: conditional PUT
+    * semantics, exactly one winner, ambiguity resolved by read-back
+    * compare) — one attempt; the OCC REBASE on a lost race is
+    * [[occCommit]]'s loop. Log READS on the interop side stay on the
+    * filesystem layer (the standard `_delta_log` is the foreign
+    * stack's directory); the claim store guards the one mutation. */
   private def writeCommitFile(path: String, version: Long,
       lines: Seq[String]): Unit = {
     val d = logDir(path)
     Files.createDirectories(d)
-    val target = d.resolve(f"$version%020d.json")
-    val tmp = Files.createTempFile(d, s".tmp-$version-", ".json")
-    try {
-      Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      Files.createLink(target, tmp)
-    } finally Files.deleteIfExists(tmp)
-    ()
+    DeltaLite.claimCommit(d.resolve(f"$version%020d.json"), lines)
+  }
+
+  /** OCC commit loop for the mutating export surfaces — the same
+    * contract the native format's commitExclusive gives: build the
+    * commit lines against a FRESH replay, claim `<v+1>.json`, and on
+    * a lost race re-replay and rebuild. The exports' semantics are
+    * all rebase-safe by construction (append re-encodes the same
+    * already-written files against the new schema state; overwrite
+    * re-removes the CURRENT live set; partition delete re-selects the
+    * CURRENT doomed set), and `build` re-runs the writability gates so
+    * a concurrent protocol upgrade or appendOnly flip declines instead
+    * of laundering through a stale check. Bounded attempts keep a
+    * runaway-writer table loud. */
+  private def occCommit(spark: SparkSession, path: String, op: String)(
+      build: State => Seq[String]): Long = {
+    var attempts = 0
+    while (true) {
+      val (version, st) = replayState(spark, path)
+      val lines = build(st)
+      try {
+        writeCommitFile(path, version + 1, lines)
+        return version + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"$op on $path lost $attempts consecutive commit claims — " +
+              "a livelocked or runaway-writer table; giving up loudly")
+      }
+    }
+    -1L // unreachable
   }
 
   /** The classic checkpoint parquet schema (PROTOCOL.md "Checkpoints"),

@@ -243,7 +243,7 @@ object DeltaLite {
     * compare per the trait contract. Exactly-one-winner and
     * no-double-apply hold because the payload is unique to this writer
     * and a landed claim is immutable. */
-  private def claimCommit(target: Path, lines: Seq[String]): Unit = {
+  private[sources] def claimCommit(target: Path, lines: Seq[String]): Unit = {
     val bytes = lines.mkString("\n").getBytes("UTF-8")
     var attempts = 0
     var sawAmbiguity = false

@@ -3387,6 +3387,66 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     flakyScenario(new FlakyClaimStore(DeltaLite.PosixCommitClaimStore))
   }
 
+  test("flaky claim store over the standard-Delta EXPORT path: ambiguity resolves, lost races rebase, foreign commits survive, no double-apply") {
+    import spark.implicits._
+    import graft.sources.DeltaInterop
+    val flaky = new FlakyClaimStore(DeltaLite.PosixCommitClaimStore)
+    DeltaLite.withClaimStore(flaky) {
+      val path = Files.createTempDirectory("graft_export_occ").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a")).toDF("k", "s").coalesce(1), path)            // v0
+      // (a) ambiguous but LANDED: read-back compare reports success —
+      // exactly one commit, no duplicate rows
+      flaky.ambiguousLanded = 1
+      DeltaInterop.exportAppend(spark,
+        Seq((2L, "b")).toDF("k", "s").coalesce(1), path)            // v1
+      assert(DeltaInterop.latestVersion(path) === Some(1L))
+      assert(DeltaInterop.read(spark, path).count() === 2L)
+      // (b) ambiguous and DROPPED: the claim retries and lands once
+      flaky.ambiguousDropped = 1
+      val calls = flaky.claimCalls
+      DeltaInterop.exportAppend(spark,
+        Seq((3L, "c")).toDF("k", "s").coalesce(1), path)            // v2
+      assert(flaky.claimCalls - calls >= 2, "a dropped claim must retry")
+      assert(DeltaInterop.read(spark, path).count() === 3L)
+      // (c) a REAL RACE: a foreign writer (the reference stack) claims
+      // the next version first — the export must REBASE to the version
+      // after, and the foreign commit's bytes survive untouched
+      val logDir = Paths.get(path, "_delta_log")
+      val foreignTarget = logDir.resolve(f"${3L}%020d.json")
+      val foreignLine =
+        """{"commitInfo":{"timestamp":1700000000000,"operation":"FOREIGN"}}"""
+      DeltaLite.PosixCommitClaimStore.claim(foreignTarget,
+        foreignLine.getBytes("UTF-8"))
+      DeltaInterop.exportAppend(spark,
+        Seq((4L, "d")).toDF("k", "s").coalesce(1), path)            // v4!
+      assert(DeltaInterop.latestVersion(path) === Some(4L),
+        "the lost claim must rebase to the next version")
+      assert(new String(Files.readAllBytes(foreignTarget), "UTF-8").trim
+        === foreignLine, "the foreign commit must never be clobbered")
+      assert(DeltaInterop.read(spark, path).count() === 4L)
+      // (d) the DOUBLE-APPLY trap: ambiguity whose recovery reads also
+      // fail — the retried claim hits FileAlreadyExists on the
+      // writer's OWN landed commit; verified read-back resolves it as
+      // success instead of feeding the rebase loop a duplicate
+      flaky.ambiguousLanded = 1
+      flaky.failedReads = 3
+      DeltaInterop.exportAppend(spark,
+        Seq((5L, "e")).toDF("k", "s").coalesce(1), path)            // v5
+      assert(DeltaInterop.read(spark, path).count() === 5L,
+        "the landed-ambiguous export must not re-apply through a rebase")
+      assert(DeltaInterop.latestVersion(path) === Some(5L))
+      // (e) overwrite under weather: ambiguity resolves, and the final
+      // state is exactly the new batch (every prior file removed)
+      flaky.ambiguousLanded = 1
+      DeltaInterop.exportOverwrite(spark,
+        Seq((9L, "z")).toDF("k", "s").coalesce(1), path)            // v6
+      assert(DeltaInterop.read(spark, path).collect()
+        .map(_.toString).toSeq === Seq("[9,z]"))
+      assert(DeltaInterop.latestVersion(path) === Some(6L))
+    }
+  }
+
   /** The full injected-weather recovery scenario, parameterized over
     * the UNDERLYING store — run against the POSIX store and the HTTP
     * conditional-PUT object store, proving the recovery contract is a
