@@ -46,9 +46,18 @@ object Dedup {
     * shared by in-query candidate generation ([[minHashCandidates]])
     * and the persisted dedup index ([[graft.operators.DedupIndex]]). */
   def bandedSignatures(corpus: DataFrame, id: String, text: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    bandedSignaturesFromSets(TextFunctions.shingleSets(corpus, id, text),
+      id, numHashes, bands)
+
+  /** [[bandedSignatures]] from ALREADY-COMPUTED shingle rows — the
+    * shared-subtree entry the crawl gate uses: one shingling pass per
+    * micro-batch feeds the probe's verify joins AND the banding (the
+    * gate previously shingled twice — once for inSets, once inside the
+    * banding — paying the explode and an extra planned tree). */
+  def bandedSignaturesFromSets(sets: DataFrame, id: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sets = TextFunctions.shingleSets(corpus, id, text)
     val sig = minHashSignature(sets, id, numHashes)
     val bandCols = (0 until bands).map { b =>
       xxhash64(((b * rows) until ((b + 1) * rows)).map(j => col(s"m$j")) :+ lit(b): _*)

@@ -88,6 +88,7 @@ object DedupIndex {
       id: String, text: String, indexPath: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 8,
       preBands: Option[DataFrame] = None,
+      preSets: Option[DataFrame] = None,
       lap: String => Unit = _ => ()): DataFrame = {
     // The probe references the batch's band rows THREE times (index
     // candidates + both sides of the self-join) and its shingle sets
@@ -163,9 +164,12 @@ object DedupIndex {
     val candIds = cand.select(col("eid")).distinct()
     val candCorpus = corpusText
       .join(candIds, corpusText(id) === col("eid"), "left_semi")
-    val inSets = graft.Frames.cut(
-      graft.functions.TextFunctions.shingleSets(batch, id, text))
-    lap("probe_in_sets") // batch shingling subtree planned (cut)
+    // `preSets` mirrors `preBands`: the gate hands in the one shingle
+    // pass its banding already materialized — no second shingling tree
+    val inSets = preSets.getOrElse(graft.Frames.cut(
+      graft.functions.TextFunctions.shingleSets(batch, id, text)))
+    if (preSets.isEmpty)
+      lap("probe_in_sets") // batch shingling subtree planned (cut)
     // Partner text resolves per eid with BATCH text winning: a
     // re-crawled id (present in both the corpus and this batch, possibly
     // with different text) must verify against its current batch text

@@ -287,12 +287,21 @@ object Streams {
     val b = graft.Frames.cut(
       batch.select(col(id), col(text)).groupBy(col(id))
         .agg(max(col(text)).as(text)))
-    lap("cut_batch")
-    // ONE banding pass (shingle + minhash) for the whole micro-batch:
-    // the probe's candidate joins and the index append consume the same
-    // materialized rows — the measured gate wall was this recompute
+    // ONE shingling pass for the whole micro-batch (r17 fusion): this
+    // eager cut materializes b's blocks as its parent AND produces the
+    // shingle rows that feed BOTH the probe's verify joins (preSets —
+    // the probe previously planned its own shingling cut) and the
+    // banding below (which previously re-shingled inside
+    // bandedSignatures). Two planned trees and one explode drop out of
+    // every micro-batch.
+    val inSets = graft.Frames.cut(
+      graft.functions.TextFunctions.shingleSets(b, id, text),
+      eager = true)
+    lap("cut_sets")
+    // minhash + banding FROM the materialized shingles — the probe's
+    // candidate joins and the index append consume the same rows
     val banded = graft.Frames.cut(graft.functions.Dedup
-      .bandedSignatures(b, id, text, 32, 8), eager = true)
+      .bandedSignaturesFromSets(inSets, id, 32, 8), eager = true)
     lap("cut_bands")
     // the probe below reads index + corpus, and the appends need the
     // tables — the shells must exist from here on
@@ -310,7 +319,7 @@ object Streams {
     val corpus = D.read(s, corpusPath)
     val verdicts = graft.operators.DedupIndex.probe(
         s, b, corpus, id, text, indexPath, threshold,
-        preBands = Some(banded),
+        preBands = Some(banded), preSets = Some(inSets),
         lap = phase => lap(phase))
       .withColumn("batch_id", lit(batchId))
     lap("probe_built")
