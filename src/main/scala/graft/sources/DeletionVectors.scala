@@ -107,6 +107,11 @@ object DeletionVectors {
         v = v * 85 + dig
         j += 1
       }
+      // each 5-char group must decode below 2^32 (Z85 spec); silently
+      // truncating an over-range group would hand an inline DV (which
+      // has no CRC framing) wrong-but-plausible bitmap bytes
+      require(v <= 0xffffffffL,
+        s"Z85 group '${s.substring(i, i + 5)}' decodes above 2^32")
       val o = i / 5 * 4
       out(o) = (v >>> 24).toByte
       out(o + 1) = (v >>> 16).toByte

@@ -285,10 +285,35 @@ object DeltaInterop {
           val rm = r.toMap
           rm.get("path").collect { case JString(p) => p }.foreach { p =>
             val rel = decodePath(p)
-            st.live.remove(rel)
+            // Delta reconciliation identifies a LOGICAL file by (path,
+            // deletionVector.uniqueId), and line order within a commit
+            // is not guaranteed — a DV-flip commit may order
+            // [add(path, newDV), remove(path, oldDV-or-none)]. A
+            // remove evicts the live entry only when their DV
+            // identities MATCH EXACTLY (none matches none): if the
+            // add landed first, the live entry's identity differs and
+            // the remove refers to the superseded logical file — a
+            // path-only removal there silently dropped the whole file
+            // (wrong rows; review finding). Strict matching is correct
+            // for every spec-legal order; only a spec-violating remove
+            // (evicting a DV'd file without naming its DV) is
+            // mis-replayed, and in the safe direction across commits.
+            val rmDv = rm.get("deletionVector") match {
+              case Some(o @ JObject(_)) =>
+                Some(DeletionVectors.parseJValue(o, where))
+              case _ => None
+            }
+            def ident(d: DeletionVectors.Descriptor) =
+              (d.storageType, d.pathOrInlineDv, d.offset)
+            val liveDv = st.live.get(rel).flatMap(dvDescriptor)
+            if (liveDv.map(ident) == rmDv.map(ident)) st.live.remove(rel)
+            // deletionTimestamp is optional; an absent one defaults to
+            // 0 (already aged out) — defaulting to wall-clock would
+            // make replays non-deterministic and pin the tombstone in
+            // every future checkpoint (review finding)
             st.tombstones(rel) = rm.get("deletionTimestamp").collect {
               case JLong(l) => l; case JInt(i) => i.toLong
-            }.getOrElse(System.currentTimeMillis())
+            }.getOrElse(0L)
           }
         case ("txn", JObject(t)) =>
           val tm = t.toMap
@@ -612,11 +637,14 @@ object DeltaInterop {
       snap.partitionBy, snap.physical, snap.properties)
   }
 
-  /** DVs small enough (by logged cardinality — no decode needed to
-    * decide) broadcast their positions to the anti-join; larger ones
-    * fall back to a shuffled anti-join, the plan that survives a
-    * mostly-deleted 100 TB table. */
-  private val BroadcastDvMaxPositions = 4L * 1000 * 1000
+  /** DVs small enough broadcast their positions to the anti-join;
+    * larger ones fall back to a shuffled anti-join, the plan that
+    * survives a mostly-deleted 100 TB table. The decision weighs
+    * BYTES, not row count (each position row carries the file's full
+    * path string — a 4M-row broadcast of date-partitioned paths is
+    * hundreds of MB; review finding), estimated from the log alone
+    * (cardinality × path length — no decode needed to decide). */
+  private val BroadcastDvMaxBytes = 64L << 20
 
   /** Snapshot-file read with deletion vectors applied: DV-free files
     * take the untouched fast path ([[DeltaLite.readFiles]], no
@@ -654,12 +682,13 @@ object DeltaInterop {
       physical: Map[String, String], props: Map[String, String])
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val (pos, cardinality) = dvPositionsFrame(spark, path,
+    requireNoPosCollision(schema, physical, "deletion-vector read")
+    val (pos, estBytes) = dvPositionsFrame(spark, path,
       dvFiles.flatMap(f => dvDescriptor(f).map(f.path -> _)))
     val withPos = DeltaLite.readFilesWithPos(spark, path, schema,
       dvFiles.map(_.copy(dv = None)), partitionBy, physical, props)
     val dvSide =
-      if (cardinality <= BroadcastDvMaxPositions) broadcast(pos) else pos
+      if (estBytes <= BroadcastDvMaxBytes) broadcast(pos) else pos
     withPos.join(dvSide,
       col("path") === col("__dv_path") &&
         col("row_index") === col("__dv_ri"), "left_anti")
@@ -671,17 +700,35 @@ object DeltaInterop {
   private def readOnlyPositions(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile], partitionBy: Seq[String],
       physical: Map[String, String], props: Map[String, String],
-      pos: DataFrame, cardinality: Long): DataFrame = {
+      pos: DataFrame, estBytes: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     ensureFieldIdRead(spark, schema)
+    requireNoPosCollision(schema, physical, "deletion-vector change feed")
     val withPos = DeltaLite.readFilesWithPos(spark, path, schema,
       files.map(_.copy(dv = None)), partitionBy, physical, props)
     val dvSide =
-      if (cardinality <= BroadcastDvMaxPositions) broadcast(pos) else pos
+      if (estBytes <= BroadcastDvMaxBytes) broadcast(pos) else pos
     withPos.join(dvSide,
       col("path") === col("__dv_path") &&
         col("row_index") === col("__dv_ri"), "left_semi")
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The row-position reads inject `path`/`row_index` columns (the
+    * shared [[DeltaLite.readFilesWithPos]] plumbing); a FOREIGN table
+    * whose own columns use either name would collide and misread —
+    * decline loudly instead (the pre-DV behavior for such tables),
+    * never serve the file path as the user's data. */
+  private def requireNoPosCollision(schema: StructType,
+      physical: Map[String, String], what: String): Unit = {
+    val taken = schema.fieldNames.toSet ++ physical.values
+    val clash = Seq("path", "row_index").filter(taken)
+    require(clash.isEmpty,
+      s"$what: the table has a column named ${clash.mkString("/")}, " +
+        "which collides with the row-position plumbing the DV " +
+        "anti-filter rides — this reader declines rather than risk " +
+        "serving wrong values; OPTIMIZE/VACUUM the source to " +
+        "materialize its deletes first")
   }
 
   /** (`__dv_path`, `__dv_ri`) frame of the given descriptors' deleted
@@ -689,8 +736,8 @@ object DeltaInterop {
     * triples — metadata-proportional, like the log itself; executors
     * decode and expand, and each decode is cardinality-checked against
     * the log's declared count (a short decode would silently resurrect
-    * rows). Returns the frame plus the total logged cardinality (the
-    * broadcast decision input). */
+    * rows). Returns the frame plus an estimated materialized byte
+    * weight (the broadcast decision input — path strings dominate). */
   private def dvPositionsFrame(spark: SparkSession, path: String,
       descs: Seq[(String, DeletionVectors.Descriptor)])
       : (DataFrame, Long) = {
@@ -699,7 +746,8 @@ object DeltaInterop {
       case (rel, d) => (rel, DeletionVectors.bitmapBytes(r, d),
         d.cardinality)
     }
-    val total = descs.map(_._2.cardinality).sum
+    val total = descs.map { case (rel, d) =>
+      d.cardinality * (rel.length.toLong * 2 + 24) }.sum
     import spark.implicits._
     val df = spark.sparkContext
       .parallelize(payload, math.max(1, math.min(payload.size, 32)))
@@ -905,8 +953,9 @@ object DeltaInterop {
         // class as surfacing a compaction
         val (readds, freshActs) =
           addActs.partition(a => prevFiles.contains(a.rel))
+        val freshRels = freshActs.map(_.rel).toSet
         val fresh = st.live.values
-          .filter(f => freshActs.exists(_.rel == f.path)).toSeq
+          .filter(f => freshRels.contains(f.path)).toSeq
         val removedOnly = acts
           .filter(a => a.kind == "remove" && !addRelSet.contains(a.rel))
           .map { a =>
@@ -925,9 +974,9 @@ object DeltaInterop {
             .withColumn("_change_type", lit(label))
         val flipFrames: Seq[DataFrame] = if (readds.isEmpty) Nil else {
           val flipFiles = readds.map(a => prevFiles(a.rel))
-          val (newPos, newCard) = dvPositionsFrame(spark, path,
+          val (newPos, newBytes) = dvPositionsFrame(spark, path,
             readds.flatMap(a => a.dv.map(a.rel -> _)))
-          val (oldPos, oldCard) = dvPositionsFrame(spark, path,
+          val (oldPos, oldBytes) = dvPositionsFrame(spark, path,
             flipFiles.flatMap(f => dvDescriptor(f).map(f.path -> _)))
           def diff(a: DataFrame, b: DataFrame): DataFrame =
             a.join(b.withColumnRenamed("__dv_path", "__o_p")
@@ -938,10 +987,10 @@ object DeltaInterop {
           // restored rows (dropped from the DV) are inserts
           Seq(
             readOnlyPositions(spark, path, schema, flipFiles, partitionBy,
-              physical, st.config, diff(newPos, oldPos), newCard)
+              physical, st.config, diff(newPos, oldPos), newBytes)
               .withColumn("_change_type", lit("delete")),
             readOnlyPositions(spark, path, schema, flipFiles, partitionBy,
-              physical, st.config, diff(oldPos, newPos), oldCard)
+              physical, st.config, diff(oldPos, newPos), oldBytes)
               .withColumn("_change_type", lit("insert")))
         }
         (if (fresh.nonEmpty) Some(readAs(fresh, "insert")) else None)
@@ -1526,28 +1575,32 @@ object DeltaInterop {
     "timestampNtz", "typeWidening", "typeWidening-preview",
     "vacuumProtocolCheck", "v2Checkpoint")
 
-  /** `delta.deletedFileRetentionDuration` ("interval N unit", default
-    * one week — delta.io's documented default) → milliseconds. */
+  /** `delta.deletedFileRetentionDuration` ("interval N unit [N unit
+    * ...]" — Delta parses a full CalendarInterval, so multi-unit
+    * values like "interval 1 day 12 hours" are legal; default one
+    * week, delta.io's documented default) → milliseconds (units sum). */
   private def tombstoneRetentionMs(config: Map[String, String]): Long = {
     val spec = config.getOrElse("delta.deletedFileRetentionDuration",
       "interval 1 week")
-    val m = """(?i)\s*interval\s+(\d+)\s+(\w+?)s?\s*""".r
-    spec match {
-      case m(n, unit) =>
-        val per = unit.toLowerCase match {
-          case "week" => 7L * 24 * 3600 * 1000
-          case "day" => 24L * 3600 * 1000
-          case "hour" => 3600L * 1000
-          case "minute" => 60L * 1000
-          case "second" => 1000L
-          case "millisecond" => 1L
-          case other => sys.error(
-            s"unsupported retention unit '$other' in '$spec'")
-        }
-        n.toLong * per
-      case _ => sys.error(
-        s"unparseable delta.deletedFileRetentionDuration '$spec'")
-    }
+    val pair = """(\d+)\s+([a-zA-Z]+)""".r
+    require(spec.trim.toLowerCase.startsWith("interval"),
+      s"unparseable delta.deletedFileRetentionDuration '$spec'")
+    val pairs = pair.findAllMatchIn(spec).toSeq
+    require(pairs.nonEmpty,
+      s"unparseable delta.deletedFileRetentionDuration '$spec'")
+    pairs.map { m =>
+      val per = m.group(2).toLowerCase.stripSuffix("s") match {
+        case "week" => 7L * 24 * 3600 * 1000
+        case "day" => 24L * 3600 * 1000
+        case "hour" => 3600L * 1000
+        case "minute" => 60L * 1000
+        case "second" => 1000L
+        case "millisecond" => 1L
+        case other => sys.error(
+          s"unsupported retention unit '$other' in '$spec'")
+      }
+      m.group(1).toLong * per
+    }.sum
   }
 
   /** Classic single-part parquet checkpoint at the latest version + the

@@ -183,6 +183,21 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     }
     assert(dv.getMessage.contains("storageType 'z'"),
       s"unknown DV storage type must decline by name: $dv")
+    // a DV table whose own column is named `path` collides with the
+    // row-position plumbing — decline loudly, never serve file paths
+    // as the user's data
+    val pathSchema = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("path", "string").json))
+    val collide = authored("dvcollide")(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$pathSchema,"partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"x","sizeInBytes":1,"cardinality":1}}}""")
+    val ce = intercept[Exception] {
+      DeltaInterop.read(spark, collide).collect()
+    }
+    assert(ce.getMessage.contains("collides"),
+      s"a path-column DV table must decline by name: $ce")
     // an UNKNOWN reader feature still declines at snapshot time
     val feat = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, authored("feat")(
@@ -599,8 +614,12 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true""" +
         dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("") +
         "}}"
+    // removes NAME the logical file they evict — path + its current DV
+    // (PROTOCOL.md reconciliation identity; the replayer matches on it)
     def removeLine(dv: Option[DeletionVectors.Descriptor]): String =
-      s"""{"remove":{"path":"$f1","deletionTimestamp":1700000000000,"dataChange":true}}"""
+      s"""{"remove":{"path":"$f1","deletionTimestamp":1700000000000,"dataChange":true""" +
+        dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("") +
+        "}}"
     // v0: plain add; v1: DV {0,2} (deletes ids 1,3); v2: DV grows to
     // {0,2,4} (newly deletes id 5); v3: DV shrinks to {0} (restores 3,5)
     val dv1 = DeletionVectors.writeDvFile(dir,
@@ -653,15 +672,28 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
         .getFileName.toString
       finally s.close()
     }
-    val raw = DeletionVectors.serialize(Array(0L, 2L))
-    val padded = raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
-    val inlineDesc = s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85Encode(padded)}","sizeInBytes":${raw.length},"cardinality":2}"""
+    def inlineDesc(pos: Array[Long]): String = {
+      val raw = DeletionVectors.serialize(pos)
+      val padded = raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
+      s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85Encode(padded)}","sizeInBytes":${raw.length},"cardinality":${pos.length}}"""
+    }
+    val inline1 = inlineDesc(Array(0L, 2L))
     Files.write(idir.resolve("_delta_log").resolve(f"${0L}%020d.json"), Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       s"""{"metaData":{"id":"m-i","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
-      s"""{"add":{"path":"$if1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$inlineDesc}}""")
+      s"""{"add":{"path":"$if1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$inline1}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     assert(ids(DeltaInterop.read(spark, inlinePath)) === Seq(2L, 4, 5, 6))
+    // spec-legal ACTION ORDER: line order within a commit is not
+    // guaranteed — a DV flip ordered [add(newDV), remove(oldDV)] must
+    // keep the file live (the remove names the SUPERSEDED logical
+    // file); path-only reconciliation dropped the whole file here
+    Files.write(idir.resolve("_delta_log").resolve(f"${1L}%020d.json"), Seq(
+      s"""{"add":{"path":"$if1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":${inlineDesc(Array(0L, 2L, 4L))}}}""",
+      s"""{"remove":{"path":"$if1","deletionTimestamp":1700000000001,"dataChange":true,"deletionVector":$inline1}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(ids(DeltaInterop.read(spark, inlinePath)) === Seq(2L, 4, 6),
+      "an add-before-remove DV flip must keep the file live with the NEW DV")
     // exports and checkpoints DECLINE on a DV table (writer feature
     // obligations this exporter does not meet)
     val exp = intercept[IllegalArgumentException] {
@@ -789,6 +821,28 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     val ptr2 = new String(Files.readAllBytes(
       logDir.resolve("_last_checkpoint")), "UTF-8")
     assert(ptr2.contains("\"version\":2"))
+    // 5) multi-unit retention configs are legal CalendarIntervals
+    //    ("interval 1 day 12 hours") — the checkpoint must parse them,
+    //    and a tombstone inside the window rides along
+    val p4 = tmp("interop_cp_retention")
+    val log4 = Paths.get(p4, "_delta_log")
+    Files.createDirectories(log4)
+    val schemaJson2 = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    Files.write(log4.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson2,"partitionColumns":[],"configuration":{"delta.deletedFileRetentionDuration":"interval 1 day 12 hours"}}}""",
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(log4.resolve(f"${1L}%020d.json"),
+      (s"""{"remove":{"path":"f.parquet","deletionTimestamp":${System.currentTimeMillis() - 3600 * 1000L},"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaInterop.exportCheckpoint(spark, p4)
+    val cp4 = spark.read.parquet(
+      log4.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+    assert(cp4.filter(col("remove").isNotNull).count() === 1L,
+      "a 1h-old tombstone sits inside the 1.5-day window")
   }
 
   test("a checkpoint RESTATES the table's protocol: checkpoint-only replay still declines v7 writes (no gate laundering)") {
