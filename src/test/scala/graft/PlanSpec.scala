@@ -2269,4 +2269,53 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       assert(q2.count() === 2000000L)
     } finally spark.conf.unset("spark.graft.dpp.materializeDim")
   }
+
+  test("standard-Delta DV read plan: DV-free files keep the plain scan (no row-index plumbing), DV files anti-join a BROADCAST position set") {
+    import spark.implicits._
+    import graft.sources.{DeletionVectors, DeltaInterop}
+    val path = TempDirs.fresh("plan_dv")
+    val dir = java.nio.file.Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def file(sub: String, n: Int): String = {
+      (0 until n).map(_.toLong).toDF("id").coalesce(1)
+        .write.parquet(dir.resolve(sub).toString)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir.resolve(sub))
+      try s"$sub/" + s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val plain = file("a", 4)
+    val dvd = file("b", 4)
+    val desc = DeletionVectors.writeDvFile(dir,
+      DeletionVectors.serialize(Array(1L)), 1L)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$plain","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$dvd","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${desc.pathOrInlineDv}","offset":1,"sizeInBytes":${desc.sizeInBytes},"cardinality":1}}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = DeltaInterop.read(spark, path)
+    assert(df.count() === 7L) // 4 plain + 4 minus 1 deleted
+    val plan = df.queryExecution.executedPlan.toString
+    // the DV side anti-joins a small BROADCAST position set — a
+    // shuffled anti-join here would pay an exchange per read at any
+    // deletion count; the bytes-weighted decision picks broadcast
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join for the DV positions:\n$plan")
+    // the DV-free branch stays a PLAIN scan: of the two parquet file
+    // scans (one per branch), exactly ONE carries the _metadata
+    // row-index plumbing in its read schema
+    val fileScans = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(fileScans.size === 2,
+      s"expected one scan per branch (plain + DV):\n$plan")
+    assert(fileScans.count(_.contains("_tmp_metadata_row_index")) === 1,
+      s"exactly the DV branch must read row indexes:\n$plan")
+  }
 }
