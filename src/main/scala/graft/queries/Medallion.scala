@@ -73,7 +73,26 @@ object Medallion {
         tags: Seq[String] = Nil,
         grants: Option[Map[String, String]] = None,
         buildV: Option[(SparkSession, String => DataFrame,
-          String => String) => DataFrame] = None)
+          String => String) => DataFrame] = None,
+        /** dbt records each node's `language` ("sql" / "python") in
+          * manifest.json; the engine-idiomatic twin of dbt-duckdb's
+          * PYTHON MODELS is a `"scala"` model — authored as the build
+          * FUNCTION itself (imperative DataFrame code with loops and
+          * branches, `ref()` via the resolver — exactly dbt's
+          * `def model(dbt, session)` contract), materialized as a
+          * table like dbt requires of Python models, and fingerprinted
+          * by its `code` text (dbt checksums the .py file the same
+          * way: the AUTHOR keeps code text and function in sync — the
+          * same contract every sql-language model here already has).
+          * Everything else (contracts, hooks, versions, groups,
+          * grants, state:modified+, exposures) applies unchanged. */
+        language: String = "sql") {
+      require(language == "sql" || language == "scala",
+        s"model $name: unsupported language '$language'")
+      require(language != "scala" || code.nonEmpty,
+        s"model $name: a scala-language (function) model needs its " +
+          "code text — state:modified+ has nothing to checksum otherwise")
+    }
 
     /** dbt `grants:`-style governance config: the model declares its
       * materialized table's S63 policy surface (graft.rowFilter,
@@ -840,6 +859,7 @@ object Medallion {
             ("group" -> m.group) ~
             ("access" -> m.access) ~
             ("tags" -> m.tags.toList) ~
+            ("language" -> m.language) ~
             ("compiled_code" -> renderVars(m.code, vars, env)) ~
             // two hashes, two jobs: the TRANSITIVE fingerprint stamps
             // materializations (staleness), the OWN-code checksum is
@@ -3768,6 +3788,83 @@ $nodeSvg
                 k < 5 AS at_risk
          FROM hist
          ORDER BY k ASC NULLS LAST""")),
+
+    // ----------------------------------------------------------------- D20
+    // FUNCTION MODELS (round 17) — dbt-duckdb's documented PYTHON MODEL
+    // surface, engine-idiomatic: a model authored as imperative
+    // DataFrame CODE (`def model(dbt, session)` ≙ the build function
+    // with the ref() resolver), declared `language = "scala"`,
+    // materialized as a table (dbt's Python-model requirement), and
+    // riding the WHOLE existing project surface unchanged — contracts,
+    // fingerprints, state:modified+ reuse, manifest (which records
+    // `language` per node, like dbt's). The demo model does the
+    // classically imperative thing SQL text is awkward at: a
+    // threshold-list fold building the ABC (Pareto) classification —
+    // cumulative spend share cross-multiplied in BIGINT (A ≤ 80%,
+    // B ≤ 95%; no division decides). Scale: the global cumulative
+    // window runs over the CUSTOMER dimension (corpus already
+    // collapsed by one keyed aggregate); a fact-sized ranking would
+    // ride operators/DistributedRank instead.
+    QueryDef("d20_function_model", (s, dir) => {
+      val target = tmp("d20_models")
+      val silver = Pipeline.Model("silver_spend", Nil,
+        (s2, _) => t(s2, dir, "orders").groupBy(col("o_custkey"))
+          .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))" +
+            " AS BIGINT)").as("cents")),
+        code = "select o_custkey, sum(price_cents) as cents " +
+          "from orders group by 1")
+      val gold = Pipeline.Model("gold_abc", Seq("silver_spend"),
+        (s2, ref) => {
+          val spend = ref("silver_spend")
+          val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tot = spend.agg(sum(col("cents")).as("total"))
+          val cum = spend
+            .withColumn("cum_cents", sum(col("cents")).over(w))
+            .crossJoin(broadcast(tot))
+          // the imperative bit a function model exists for: fold a
+          // config-driven threshold list into one classification column
+          val classes = Seq(("A", 4L, 5L), ("B", 19L, 20L))
+          val abc = classes.foldRight(lit("C")) {
+            case ((nm, num, den), els) =>
+              when(col("cum_cents") * den <= col("total") * num, nm)
+                .otherwise(els)
+          }
+          cum.withColumn("abc", abc)
+        },
+        code = "def model(ref): cumulative-share ABC classes over " +
+          "silver_spend, thresholds [(A,80%),(B,95%)] v1",
+        language = "scala")
+      val models = Seq(silver, gold)
+      Pipeline.run(s, models, target, selective = true)
+      // second invocation: both fingerprints match → pure reuse (the
+      // state:modified+ surface applies to function models unchanged;
+      // MedallionSpec pins the statuses and the manifest's language)
+      Pipeline.run(s, models, target, selective = true)
+      graft.sources.DeltaLite.read(s, s"$target/gold_abc")
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("class_cents"))
+        .orderBy(col("abc").asc_nulls_last)
+    }, Some(
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         cum AS (
+           SELECT o_custkey, cents,
+                  sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                  sum(cents) OVER () AS total
+           FROM spend)
+         SELECT CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+                     WHEN cum_cents * 20 <= total * 19 THEN 'B'
+                     ELSE 'C' END AS abc,
+                count(*) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS class_cents
+         FROM cum GROUP BY 1
+         ORDER BY abc ASC NULLS LAST""")),
 
     // ----------------------------------------------------------------- D10
     // CHI-SQUARE INDEPENDENCE test (event_type × weekday) — the

@@ -387,6 +387,70 @@ class MedallionSpec extends AnyFunSuite with TestSpark {
     assert(bad.getMessage.contains("not a governance property"))
   }
 
+  test("function models (dbt python-model twin): language rides the manifest, state:modified+ applies, code edits rebuild exactly the function model") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val target = Files.createTempDirectory("graft_fnmodel").toString
+    def statuses(): Map[String, String] = {
+      val rr = (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(target, "run_results.json")), "UTF-8"))
+        \ "results").asInstanceOf[JArray].arr
+      rr.map(r => (r \ "unique_id").asInstanceOf[JString].s
+        .stripPrefix("model.graft.") ->
+        (r \ "status").asInstanceOf[JString].s).toMap
+    }
+    val silver = Pipeline.Model("fn_silver", Nil,
+      (s2, _) => Tables.t(s2, sf, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")),
+      code = "select o_custkey, count(*) as n from orders group by 1")
+    val fn = Pipeline.Model("fn_gold", Seq("fn_silver"),
+      (s2, ref) => {
+        // imperative authoring — the python-model shape
+        var d = ref("fn_silver")
+        for (t <- Seq(3L, 10L))
+          d = d.withColumn(s"ge_$t", col("n") >= t)
+        d
+      },
+      code = "def model(ref): threshold flags [3,10] v1",
+      language = "scala")
+    Pipeline.run(spark, Seq(silver, fn), target, selective = true)
+    assert(statuses().values.forall(_ == "success"))
+    // manifest records language per node, like dbt's
+    val nodes = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target, "manifest.json")), "UTF-8")) \ "nodes"
+    def lang(n: String): String =
+      (nodes \ s"model.graft.$n" \ "language").asInstanceOf[JString].s
+    assert(lang("fn_silver") === "sql" && lang("fn_gold") === "scala")
+    // unchanged rerun: the function model reuses like any other node
+    Pipeline.run(spark, Seq(silver, fn), target, selective = true)
+    assert(statuses().values.forall(_ == "reused"))
+    // a code edit (the author's checksum obligation) rebuilds exactly
+    // it — same schema, doubled thresholds (the in-place rebuild is
+    // replaceWhere: schema changes are a different, gated migration)
+    val edited = fn.copy(
+      code = "def model(ref): threshold flags, doubled thresholds v2",
+      build = (s2, ref) => {
+        var d = ref("fn_silver")
+        for (t <- Seq(3L, 10L))
+          d = d.withColumn(s"ge_$t", col("n") >= t * 2)
+        d
+      })
+    Pipeline.run(spark, Seq(silver, edited), target, selective = true)
+    assert(statuses() === Map("fn_silver" -> "reused", "fn_gold" -> "success"))
+    assert(DeltaLite.read(spark, s"$target/fn_gold")
+      .filter(col("n") >= 3 && col("n") < 6 && col("ge_3")).count() === 0L,
+      "the rebuilt function model must reflect the doubled threshold")
+    // declaration gates: unknown language; scala model without code text
+    intercept[IllegalArgumentException] {
+      Pipeline.Model("bad", Nil, (s2, _) => spark.range(1).toDF(),
+        language = "python")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.Model("bad2", Nil, (s2, _) => spark.range(1).toDF(),
+        language = "scala")
+    }
+  }
+
   test("Pipeline selective rebuild (state:modified+): editing one model rebuilds only its subtree") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
