@@ -99,9 +99,7 @@ object DeltaInterop {
 
   /** A directory is a standard Delta table iff `_delta_log/` holds at
     * least one versioned commit or checkpoint (classic or v2). */
-  def isStandardDelta(path: String): Boolean =
-    commitVersions(path).nonEmpty || checkpoints(path).nonEmpty ||
-      v2Checkpoints(path).nonEmpty
+  def isStandardDelta(path: String): Boolean = !listing(path).isEmpty
 
   private def listLog(path: String): Seq[String] = {
     val d = logDir(path)
@@ -111,9 +109,33 @@ object DeltaInterop {
     finally s.close()
   }
 
-  private def commitVersions(path: String): Seq[Long] =
-    listLog(path).filter(_.matches("""\d{20}\.json"""))
+  /** One directory listing, all three artifact views (review finding:
+    * commitVersions + checkpoints + v2Checkpoints each re-listed
+    * `_delta_log` — with latestVersion re-running all three, a replay
+    * paid ~7 listings on the hottest metadata path; on an object
+    * store each is a round trip). `v2s` is UNFILTERED here — replay
+    * prefers the classic checkpoint at a shared version, but `latest`
+    * must see every version either kind restates. */
+  private final case class LogListing(jsons: Seq[Long],
+      cps: Map[Long, Seq[Path]], v2s: Map[Long, Path]) {
+    def isEmpty: Boolean = jsons.isEmpty && cps.isEmpty && v2s.isEmpty
+    def latest: Option[Long] = (jsons ++ cps.keys ++ v2s.keys).maxOption
+  }
+
+  private def listing(path: String): LogListing = {
+    val names = listLog(path)
+    LogListing(commitVersionsOf(names), checkpointsOf(path, names),
+      v2CheckpointsOf(path, names))
+  }
+
+  private def commitVersionsOf(names: Seq[String]): Seq[Long] =
+    names.filter(_.matches("""\d{20}\.json"""))
       .map(_.stripSuffix(".json").toLong).sorted
+
+  /** The commit-range walkers (CDF, history, streaming) need only the
+    * JSON commit versions — one listing each. */
+  private def commitVersions(path: String): Seq[Long] =
+    commitVersionsOf(listLog(path))
 
   /** Classic parquet checkpoints present AND COMPLETE in the log,
     * version → parts. A multi-part checkpoint (`<v>.checkpoint.<i>.<n>
@@ -122,11 +144,11 @@ object DeltaInterop {
     * (wrong rows, the one outcome this module must never produce), so
     * an incomplete set is treated as no checkpoint at that version and
     * replay falls back to JSON commits or an older checkpoint. */
-  private def checkpoints(path: String): Map[Long, Seq[Path]] = {
+  private def checkpointsOf(path: String,
+      names: Seq[String]): Map[Long, Seq[Path]] = {
     val d = logDir(path)
     val single = """(\d{20})\.checkpoint\.parquet""".r
     val multi = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-    val names = listLog(path)
     val singles = names.collect { case n @ single(v) =>
       v.toLong -> Seq(d.resolve(n)) }.toMap
     val multis = names.collect { case n @ multi(v, i, t) =>
@@ -148,17 +170,16 @@ object DeltaInterop {
     * restates the same state, per spec). The classic multi-part
     * pattern (`<v>.checkpoint.<i>.<n>.parquet`) cannot collide: its
     * uniqueStr would need an interior dot. */
-  private def v2Checkpoints(path: String): Map[Long, Path] = {
+  private def v2CheckpointsOf(path: String,
+      names: Seq[String]): Map[Long, Path] = {
     val d = logDir(path)
     val v2 = """(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)""".r
-    listLog(path).collect {
+    names.collect {
       case n @ v2(v, _, _) => v.toLong -> d.resolve(n)
     }.toMap
   }
 
-  def latestVersion(path: String): Option[Long] =
-    (commitVersions(path) ++ checkpoints(path).keys ++
-      v2Checkpoints(path).keys).maxOption
+  def latestVersion(path: String): Option[Long] = listing(path).latest
 
   // ------------------------------------------------------------- replay
 
@@ -305,15 +326,26 @@ object DeltaInterop {
             }
             def ident(d: DeletionVectors.Descriptor) =
               (d.storageType, d.pathOrInlineDv, d.offset)
+            val wasLive = st.live.contains(rel)
             val liveDv = st.live.get(rel).flatMap(dvDescriptor)
             if (liveDv.map(ident) == rmDv.map(ident)) st.live.remove(rel)
-            // deletionTimestamp is optional; an absent one defaults to
-            // 0 (already aged out) — defaulting to wall-clock would
-            // make replays non-deterministic and pin the tombstone in
-            // every future checkpoint (review finding)
-            st.tombstones(rel) = rm.get("deletionTimestamp").collect {
-              case JLong(l) => l; case JInt(i) => i.toLong
-            }.getOrElse(0L)
+            // Tombstone the path only when this remove actually evicted
+            // (or the file was already absent — a retention restatement
+            // for a file this replay never saw live). A remove whose DV
+            // identity does NOT match the live entry refers to a
+            // superseded logical file whose data file is still live
+            // under the new DV — registering a tombstone there would
+            // leave the path simultaneously live and tombstoned, and an
+            // exported checkpoint restating both rows could make a
+            // path-keyed foreign replay drop the live file (review
+            // finding). deletionTimestamp is optional; an absent one
+            // defaults to 0 (already aged out) — defaulting to
+            // wall-clock would make replays non-deterministic and pin
+            // the tombstone in every future checkpoint (review finding)
+            if (!wasLive || !st.live.contains(rel))
+              st.tombstones(rel) = rm.get("deletionTimestamp").collect {
+                case JLong(l) => l; case JInt(i) => i.toLong
+              }.getOrElse(0L)
           }
         case ("txn", JObject(t)) =>
           val tm = t.toMap
@@ -482,12 +514,13 @@ object DeltaInterop {
     * slot for (writer protocol) — the export surfaces gate on it. */
   private def replayState(spark: SparkSession, path: String,
       asOf: Option[Long] = None): (Long, State) = {
-    val jsons = commitVersions(path)
-    val cps = checkpoints(path)
+    val log = listing(path)
+    val jsons = log.jsons
+    val cps = log.cps
     // a version with BOTH a classic and a v2 checkpoint restates the
     // same state — prefer the classic one (single read, no sidecars)
-    val v2s = v2Checkpoints(path).filterNot(kv => cps.contains(kv._1))
-    val latest = latestVersion(path).getOrElse(
+    val v2s = log.v2s.filterNot(kv => cps.contains(kv._1))
+    val latest = log.latest.getOrElse(
       sys.error(s"no standard Delta log at $path"))
     val target = asOf.getOrElse(latest)
     require(target <= latest && (jsons.contains(target) ||
@@ -633,8 +666,8 @@ object DeltaInterop {
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
-    readLive(spark, path, snap.schema, snap.files,
-      snap.partitionBy, snap.physical, snap.properties)
+    stripFieldIds(readLive(spark, path, snap.schema, snap.files,
+      snap.partitionBy, snap.physical, snap.properties))
   }
 
   /** DVs small enough broadcast their positions to the anti-join;
@@ -655,13 +688,39 @@ object DeltaInterop {
   /** Spark's parquet reader resolves columns by FIELD ID (instead of
     * name) only under this conf; flip it on lazily the first time an
     * id-mapped schema (carrying the translated `parquet.field.id`
-    * metadata — see applyMetaData) reaches a read. Harmless globally:
-    * schemas without the metadata keep resolving by name. */
+    * metadata — see applyMetaData) reaches a read. The conf is
+    * SESSION-GLOBAL and consumed at plan time (ParquetFileFormat
+    * re-sets the hadoopConf key from the session conf, so a per-read
+    * option cannot scope it) — schemas without the metadata keep
+    * resolving by name, and [[stripFieldIds]] keeps the metadata from
+    * leaking out through returned frames, so the only reads whose
+    * semantics change are ones whose requested schema EXPLICITLY
+    * carries `parquet.field.id` — i.e. callers who opted into id
+    * resolution (review finding). */
   private def ensureFieldIdRead(spark: SparkSession,
       schema: StructType): Unit =
     if (schema != null && schema.fields.exists(
         _.metadata.contains("parquet.field.id")))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** The translated `parquet.field.id` metadata must not LEAK out of
+    * the interop read: [[ensureFieldIdRead]] leaves the session's
+    * field-id reader on, so a caller who copies a returned frame's
+    * schema to read OTHER parquet would silently switch that read from
+    * by-name to by-id resolution (erroring on id-less files, or worse,
+    * resolving different columns — review finding). Aliases with
+    * explicit stripped metadata; identity when nothing to strip. */
+  private def stripFieldIds(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.metadata.contains("parquet.field.id")))
+      df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.map { f =>
+        val m = new MetadataBuilder().withMetadata(f.metadata)
+          .remove("parquet.field.id").build()
+        col(f.name).as(f.name, m)
+      }.toSeq: _*)
+    }
 
   private def readLive(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile], partitionBy: Seq[String],
@@ -1004,12 +1063,12 @@ object DeltaInterop {
         }
       }
     }
-    perCommit.flatten.reduceOption(_ unionByName _).getOrElse {
+    stripFieldIds(perCommit.flatten.reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(lastSchema.fields ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_version", LongType, nullable = false))))
-    }
+    })
   }
 
   /** The files version `v`'s commit ADDED (dataChange only), read as
@@ -1031,8 +1090,8 @@ object DeltaInterop {
       // snapshot replay per empty micro-batch (review finding)
       val sch = emptySchema.getOrElse(
         snapshot(spark, path, Some(toVersion)).schema)
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+      return stripFieldIds(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
     }
     foldCommitRange(spark, path, from, toVersion, "streaming read") {
         (v, st, prevFiles, acts) =>
@@ -1051,7 +1110,7 @@ object DeltaInterop {
       // files carry their DV markers — delivery excludes deleted rows
       readLive(spark, path, st.schema, files,
         st.partitionBy, st.physical, st.config)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).transform(stripFieldIds)
   }
 
   /** `TIMESTAMP AS OF`: the last version committed at or before `tsMs`
@@ -1244,19 +1303,36 @@ object DeltaInterop {
   /** Append `df` to a standard Delta table — one adds-only commit
     * (Delta does not restate metaData per commit). */
   def exportAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
-    val (_, st0) = replayState(spark, path)
+    val (v0, st0) = replayState(spark, path)
     requireWritable(st0, path, "exportAppend", removesRows = false)
     requireUnmapped(st0, path, "exportAppend")
     requireSchemaMatch(df, st0, path, "exportAppend")
     val adds = writeDataFiles(spark, df, root(path), st0.partitionBy)
-    occCommit(spark, path, "exportAppend") { st =>
+    occCommit(spark, path, "exportAppend", Some((v0, st0))) { st =>
       requireWritable(st, path, "exportAppend", removesRows = false)
       requireUnmapped(st, path, "exportAppend")
       requireSchemaMatch(df, st, path, "exportAppend")
+      requireSameLayout(st, st0, path, "exportAppend")
       adds.map(a => JsonMethods.compact(encodeDeltaAdd(a, st.schema))) :+
         commitInfoLine("WRITE")
     }
   }
+
+  /** OCC-rebase gate twin of the writability checks: the staged data
+    * files were laid out (Hive directories + per-add partitionValues)
+    * under the PRE-STAGING partitioning — if a racing foreign writer
+    * changed the table's partitioning (overwriteSchema with the same
+    * columns passes the schema gate), committing the staged adds would
+    * attach stale partitionValues and foreign readers would re-attach
+    * the partition columns as NULL (review finding). Decline loudly;
+    * the caller re-stages against fresh state. */
+  private def requireSameLayout(st: State, st0: State, path: String,
+      op: String): Unit =
+    require(st.partitionBy == st0.partitionBy,
+      s"$op on $path: the table's partitioning changed concurrently " +
+        s"(${st0.partitionBy.mkString(",")} -> " +
+        s"${st.partitionBy.mkString(",")}) — the staged files follow " +
+        "the old layout; re-run the export against the new state")
 
   /** OVERWRITE the table's contents in one commit — delta-rs's
     * `mode="overwrite"` (the reference stack's most common write):
@@ -1266,15 +1342,16 @@ object DeltaInterop {
     * the native format's job). */
   def exportOverwrite(spark: SparkSession, df: DataFrame,
       path: String): Long = {
-    val (_, st0) = replayState(spark, path)
+    val (v0, st0) = replayState(spark, path)
     requireWritable(st0, path, "exportOverwrite", removesRows = true)
     requireUnmapped(st0, path, "exportOverwrite")
     requireSchemaMatch(df, st0, path, "exportOverwrite")
     val adds = writeDataFiles(spark, df, root(path), st0.partitionBy)
-    occCommit(spark, path, "exportOverwrite") { st =>
+    occCommit(spark, path, "exportOverwrite", Some((v0, st0))) { st =>
       requireWritable(st, path, "exportOverwrite", removesRows = true)
       requireUnmapped(st, path, "exportOverwrite")
       requireSchemaMatch(df, st, path, "exportOverwrite")
+      requireSameLayout(st, st0, path, "exportOverwrite")
       val now = System.currentTimeMillis()
       // the CURRENT live set per attempt — a rebase removes the racing
       // writer's files too, which is exactly what overwrite means
@@ -1506,12 +1583,20 @@ object DeltaInterop {
     * CURRENT doomed set), and `build` re-runs the writability gates so
     * a concurrent protocol upgrade or appendOnly flip declines instead
     * of laundering through a stale check. Bounded attempts keep a
-    * runaway-writer table loud. */
-  private def occCommit(spark: SparkSession, path: String, op: String)(
+    * runaway-writer table loud. `first` lets a caller that already
+    * replayed for its pre-staging gates hand that state to the first
+    * attempt — halving the pre-commit replay cost (each replay is O(log)
+    * plus a Spark checkpoint-read job on checkpointed tables; review
+    * finding); the claim still arbitrates, and any lost race replays
+    * fresh. */
+  private def occCommit(spark: SparkSession, path: String, op: String,
+      first: Option[(Long, State)] = None)(
       build: State => Seq[String]): Long = {
     var attempts = 0
+    var pre = first
     while (true) {
-      val (version, st) = replayState(spark, path)
+      val (version, st) = pre.getOrElse(replayState(spark, path))
+      pre = None
       val lines = build(st)
       try {
         writeCommitFile(path, version + 1, lines)

@@ -393,6 +393,13 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "x1"), (2L, "x2"), (10L, "y1")),
       "field-id resolution must read the differently-named columns")
+    // the translated parquet.field.id metadata must NOT leak out of
+    // the returned frame: the session's field-id reader stays on, so a
+    // caller copying this schema to read OTHER parquet would silently
+    // switch that read to by-id resolution (review finding)
+    assert(df.schema.fields.forall(
+      !_.metadata.contains("parquet.field.id")),
+      "returned schema must not carry the translated field-id metadata")
     // physical-keyed stats still prune through the logical bound
     val snap = DeltaInterop.snapshot(spark, path)
     val kept = DeltaLite.pruneFiles(snap,

@@ -3278,9 +3278,14 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
     var staleLists = 0 // listLog omits the newest commit
     var failedReads = 0 // readImmutable throws transiently
     var claimCalls = 0
+    /** Race-injection hook: runs BEFORE the delegate claim — lets a
+      * test land a foreign commit between a writer's replay and its
+      * claim (the window a wall-clock race needs luck to hit). */
+    var beforeClaim: java.nio.file.Path => Unit = _ => ()
     override def claim(target: java.nio.file.Path,
         content: Array[Byte]): Unit = {
       claimCalls += 1
+      beforeClaim(target)
       if (ambiguousLanded > 0) {
         ambiguousLanded -= 1
         delegate.claim(target, content)
@@ -3444,6 +3449,30 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
       assert(DeltaInterop.read(spark, path).collect()
         .map(_.toString).toSeq === Seq("[9,z]"))
       assert(DeltaInterop.latestVersion(path) === Some(6L))
+      // (f) layout race: a foreign commit that CHANGES the table's
+      // partitioning (same columns, so the schema gate passes) lands
+      // in the window between the export's replay and its claim — the
+      // rebased export must DECLINE, because its staged files were
+      // laid out under the old partitioning and committing them would
+      // attach stale partitionValues (NULL partition columns for
+      // foreign readers)
+      val foreignRepartition = logDir.resolve(f"${7L}%020d.json")
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${7L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          DeltaLite.PosixCommitClaimStore.claim(foreignRepartition,
+            """{"metaData":{"partitionColumns":["s"]}}"""
+              .getBytes("UTF-8"))
+        }
+      }
+      val layoutErr = intercept[IllegalArgumentException] {
+        DeltaInterop.exportAppend(spark,
+          Seq((10L, "y")).toDF("k", "s").coalesce(1), path)
+      }
+      assert(layoutErr.getMessage.contains("partitioning changed"),
+        s"unexpected decline: ${layoutErr.getMessage}")
+      assert(DeltaInterop.latestVersion(path) === Some(7L),
+        "the declined export must leave the foreign commit standing")
     }
   }
 
