@@ -243,6 +243,14 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** [[toBounds]] for callers OUTSIDE the optimizer rule —
+    * [[graft.sources.DeltaInterop.exportDeleteWhere]] prunes its
+    * candidate file set from the SAME conjunct→bound translation the
+    * read-path rule uses (one pruning semantics, not two). */
+  private[graft] def boundsOf(cond: Expression,
+      scanOutput: AttributeSet): Seq[DeltaLite.ColumnBound] =
+    toBounds(cond, scanOutput)
+
   /** Simple conjuncts → stat bounds; everything else contributes
     * nothing (pruning stays an optimization). Literal values convert
     * to their external Scala form — the space [[DeltaLite.pruneFiles]]

@@ -4838,6 +4838,44 @@ ORDER BY bucket ASC NULLS LAST"""),
          ORDER BY l_returnflag ASC NULLS LAST,
                   l_linestatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S75
+    // Row-level DELETE WHERE via DELETION VECTORS on the EXPORT path
+    // (round 17): where s71 READS a foreign writer's DVs, this WRITES
+    // them — graft.sources.DeltaInterop.exportDeleteWhere flips each
+    // touched file to (remove(old identity), add(same path, packed
+    // roaring DV)) with ZERO data files rewritten, upgrading the
+    // table's protocol to table features on first use. Two sequential
+    // deletes exercise both DV paths: the fresh bitmap AND the
+    // old-∪-new union (a re-delete must never forget prior deletes).
+    // At 100 TB this is THE delete shape: bitmaps build on executors,
+    // the driver holds compact bytes, and no byte of surviving data
+    // moves. The serving read is the graft-delta dispatch over the
+    // DV'd standard log.
+    QueryDef("s75_delta_dv_delete", (s, dir) => {
+      val path = tmp("s75_delta")
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .coalesce(2) // two data files: the deletes touch a real subset
+      graft.sources.DeltaInterop.exportToDelta(s, src, path)
+      graft.sources.DeltaInterop.exportDeleteWhere(s, path,
+        "o_orderstatus = 'F'")
+      graft.sources.DeltaInterop.exportDeleteWhere(s, path,
+        "cents % 10 = 3") // overlaps the first delete → union path
+      s.read.format("graft-delta").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM (SELECT o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders) t
+         WHERE o_orderstatus <> 'F' AND cents % 10 <> 3
+         GROUP BY 1
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S67
     // CONVERT FROM DELTA (zero-copy adoption): a standard Delta table
     // becomes a graft-delta table in place — graft's version 0 restates

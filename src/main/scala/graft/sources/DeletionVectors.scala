@@ -383,6 +383,44 @@ object DeletionVectors {
     bb.array()
   }
 
+  /** Write MANY deletion vectors into ONE `u`-typed DV file (the
+    * packing delta-spark's own writer does — one physical file per
+    * delete commit, not one per touched data file) and return each
+    * entry's descriptor. File layout per PROTOCOL.md: a single format
+    * version byte (1), then per DV a big-endian 4-byte size, the
+    * serialized portable RoaringBitmapArray bytes, and a big-endian
+    * CRC-32 of those bytes; each descriptor's `offset` points at its
+    * own size field. The write is temp-file + atomic move — a reader
+    * can never observe a half-written DV file (its descriptors only
+    * become visible through the commit that follows the move). */
+  private[graft] def writeDvFilePacked(tableRoot: Path,
+      entries: Seq[(Array[Byte], Long)]): Seq[Descriptor] = {
+    require(entries.nonEmpty, "writeDvFilePacked needs at least one DV")
+    val uuid = java.util.UUID.randomUUID
+    val ub = ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val enc = z85Encode(ub.array())
+    val total = 1 + entries.map(e => 4 + e._1.length + 4).sum
+    val out = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    out.put(1.toByte)
+    val descs = entries.map { case (data, card) =>
+      val off = out.position()
+      out.putInt(data.length)
+      out.put(data)
+      val crc = new CRC32
+      crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      Descriptor("u", enc, Some(off), data.length, card)
+    }
+    val f = tableRoot.resolve(s"deletion_vector_$uuid.bin")
+    val tmp = Files.createTempFile(tableRoot, ".dv", ".tmp")
+    Files.write(tmp, out.array())
+    Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    descs
+  }
+
   /** Write `bitmapData` as a fresh single-DV file under `tableRoot`
     * and return the matching `u`-typed descriptor (used by the spec to
     * author foreign DV tables this module did not read-path-share). */

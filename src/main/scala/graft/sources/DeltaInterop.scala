@@ -1383,14 +1383,167 @@ object DeltaInterop {
     }
   }
 
-  /** THE remove-action encoder — one definition for the overwrite and
-    * partition-delete commits (review finding: verbatim copies drift). */
+  /** Row-level DELETE on a standard Delta table via DELETION VECTORS —
+    * the delete shape that stays metadata-proportional at 100 TB: zero
+    * data files rewritten; each touched file's deleted row positions
+    * land in one packed roaring DV file and the commit flips
+    * (remove(old identity) + add(same path, new DV)). The bitmaps
+    * build on EXECUTORS (per-file sorted positions → portable roaring
+    * bytes); the driver holds only (path, compact bytes, cardinality)
+    * — the same metadata-proportional contract the DV READ side keeps.
+    * A file already carrying a DV gets the UNION (old ∪ new) — never a
+    * DV that forgets prior deletes. First DV on a legacy-protocol
+    * table upgrades it in the same commit (minReader 3 / minWriter 7,
+    * restating the legacy-implied features per PROTOCOL.md). On an OCC
+    * rebase the build re-verifies every touched file is still live
+    * under the SAME DV identity the union was computed against — a
+    * concurrent flip or file removal declines loudly (delta-spark's
+    * concurrent-delete conflict), never commits a DV that would
+    * resurrect or double-count rows. Returns the committed version, or
+    * the current version unchanged when no live row matches. */
+  def exportDeleteWhere(spark: SparkSession, path: String,
+      predicate: String): Long = {
+    import org.apache.spark.sql.functions.{col, collect_set, expr, sort_array}
+    val (v0, st0) = replayState(spark, path)
+    requireWritable(st0, path, "exportDeleteWhere", removesRows = true,
+      writesRows = false, dvFlip = true)
+    requireUnmapped(st0, path, "exportDeleteWhere")
+    requireNoPosCollision(st0.schema, st0.physical,
+      "deletion-vector delete")
+    val live = st0.live.values.toSeq
+    if (live.isEmpty) return v0
+    // log-stats candidate pruning — the 100 TB lever: a selective
+    // delete must not OPEN every file. The predicate's simple
+    // conjuncts translate to stat bounds through the SAME machinery
+    // the read path prunes with (BranchFilePruning.boundsOf →
+    // DeltaLite.pruneFiles); a file whose logged min/max disprove the
+    // predicate holds no matching live row (a DV'd file's stats are
+    // PHYSICAL bounds — deletion only shrinks the live set, so
+    // pruning stays sound). Analyzing the filter over an empty frame
+    // also validates the predicate's names/types before any I/O.
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[Row](), st0.schema).filter(expr(predicate))
+    val bounds = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        graft.plans.BranchFilePruning.boundsOf(f.condition,
+          f.child.outputSet)
+    }.flatten
+    val candidates =
+      if (bounds.isEmpty) live
+      else DeltaLite.pruneFiles(toSnapshot(v0, st0), bounds)
+    if (candidates.isEmpty) return v0
+    // physical row positions of rows matching the predicate (DV-less
+    // read: positions are per-file PHYSICAL indexes, the DV's domain)
+    val withPos = DeltaLite.readFilesWithPos(spark, path, st0.schema,
+      candidates.map(_.copy(dv = None)), st0.partitionBy, st0.physical,
+      st0.config)
+    val matches = withPos.filter(expr(predicate))
+      .select(col("path"), col("row_index"))
+    val oldDvs = candidates.flatMap(f => dvDescriptor(f).map(f.path -> _))
+    val (oldPos, _) = dvPositionsFrame(spark, path, oldDvs)
+    // rows already deleted must not count as fresh matches (they would
+    // make an untouched file look touched and inflate cardinality)
+    val fresh = matches.join(oldPos,
+      col("path") === col("__dv_path") &&
+        col("row_index") === col("__dv_ri"), "left_anti")
+    val touched = fresh.select(col("path")).distinct()
+    // final per-file DV = fresh matches ∪ the file's EXISTING deletes
+    // (old positions join in only for touched files — untouched DV
+    // files keep their current descriptor, no gratuitous flip)
+    val finalPos = fresh.unionByName(
+      oldPos.toDF("path", "row_index")
+        .join(touched, Seq("path"), "left_semi"))
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte], Long)] = finalPos
+      .groupBy(col("path"))
+      .agg(sort_array(collect_set(col("row_index"))).as("pos"))
+      .as[(String, Array[Long])]
+      .map { case (p, pos) =>
+        (p, DeletionVectors.serialize(pos), pos.length.toLong) }
+      .collect().toSeq.sortBy(_._1)
+    if (perFile.isEmpty) return v0 // no live row matches — no-op
+    val descs = DeletionVectors.writeDvFilePacked(root(path),
+      perFile.map(e => (e._2, e._3)))
+    val newDv: Map[String, DeletionVectors.Descriptor] =
+      perFile.map(_._1).zip(descs).toMap
+    def dvIdent(f: AddFile): Option[(String, String, Option[Int])] =
+      dvDescriptor(f).map(d => (d.storageType, d.pathOrInlineDv, d.offset))
+    val oldIdent: Map[String, Option[(String, String, Option[Int])]] =
+      perFile.map { case (p, _, _) => p -> dvIdent(st0.live(p)) }.toMap
+    occCommit(spark, path, "exportDeleteWhere", Some((v0, st0))) { st =>
+      requireWritable(st, path, "exportDeleteWhere", removesRows = true,
+        writesRows = false, dvFlip = true)
+      requireUnmapped(st, path, "exportDeleteWhere")
+      // rebase safety: every touched file must still be live under the
+      // EXACT DV identity the union was computed against — a foreign
+      // flip in the race window means our union misses its deletes
+      // (committing would RESURRECT them); a foreign removal means the
+      // file is gone (committing would resurrect the whole file)
+      perFile.foreach { case (p, _, _) =>
+        val cur = st.live.get(p).getOrElse(sys.error(
+          s"exportDeleteWhere on $path: file '$p' was removed by a " +
+            "concurrent writer — re-run the delete against fresh state"))
+        require(dvIdent(cur) == oldIdent(p),
+          s"exportDeleteWhere on $path: the deletion vector of '$p' " +
+            "changed concurrently — re-run the delete against fresh " +
+            "state (committing a stale union would resurrect rows)")
+      }
+      val now = System.currentTimeMillis()
+      dvProtocolUpgrade(st).toSeq ++
+        perFile.flatMap { case (p, _, _) =>
+          val old = st.live(p)
+          val upd = old.copy(dv =
+            Some(DvMarker + DeletionVectors.toJson(newDv(p))))
+          Seq(removeLine(old, now),
+            JsonMethods.compact(encodeDeltaAdd(upd, st.schema)))
+        } :+ commitInfoLine("DELETE")
+    }
+  }
+
+  /** The `deletionVectors` protocol upgrade, when the table's current
+    * protocol does not already carry it: one protocol action in the
+    * same commit as the first DV flip — minReader 3 / minWriter 7 with
+    * reader/writer feature lists that RESTATE the legacy versions'
+    * implied features (PROTOCOL.md: a table-features upgrade must name
+    * everything the table uses). */
+  private def dvProtocolUpgrade(st: State): Option[String] = {
+    val has = st.minReader >= 3 &&
+      st.readerFeatures.contains("deletionVectors") &&
+      st.minWriter >= 7 && st.writerFeatures.contains("deletionVectors")
+    if (has) None
+    else {
+      val readerFeats = (if (st.minReader >= 3) st.readerFeatures.toSet
+        else if (st.minReader == 2) Set("columnMapping")
+        else Set.empty[String]) + "deletionVectors"
+      val writerFeats = effectiveWriterFeatures(st) + "deletionVectors"
+      Some(JsonMethods.compact(JObject(List("protocol" -> JObject(List(
+        "minReaderVersion" -> JInt(3),
+        "minWriterVersion" -> JInt(7),
+        "readerFeatures" -> JArray(
+          readerFeats.toList.sorted.map(JString(_))),
+        "writerFeatures" -> JArray(
+          writerFeats.toList.sorted.map(JString(_)))))))))
+    }
+  }
+
+  /** THE remove-action encoder — one definition for the overwrite,
+    * partition-delete, and DV-flip commits (review finding: verbatim
+    * copies drift). A remove of a DV-carrying file MUST name the DV:
+    * Delta reconciliation identifies a logical file by (path, DV
+    * uniqueId), so a path-only remove of a DV'd file would fail to
+    * evict it under strict-identity replay (our own reader's rule). */
   private def removeLine(f: AddFile, now: Long): String =
     JsonMethods.compact(JObject(List(
       "remove" -> JObject(List(
         "path" -> JString(encodePath(f.path)),
         "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(true))))))
+        "dataChange" -> JBool(true),
+        "extendedFileMetadata" -> JBool(true),
+        "partitionValues" -> JObject(f.pv.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JString(v) }),
+        "size" -> JLong(f.bytes)) ++
+        dvDescriptor(f).map(d => "deletionVector" ->
+          JsonMethods.parse(DeletionVectors.toJson(d))).toList))))
 
   /** WRITER-side protocol gate (review finding: the reader gate
     * accepting a table says nothing about writing it). This exporter
@@ -1404,22 +1557,87 @@ object DeltaInterop {
     *   - minWriterVersion > 2 or any `writerFeatures` (v7 tables
     *     demand per-feature write obligations — row tracking, DVs,
     *     CDC files — this minimal exporter does not meet). */
+  /** Legacy minWriterVersions imply fixed feature sets (PROTOCOL.md
+    * "Table Features" — a version-7 upgrade must restate them); the
+    * uniform gate below reasons about FEATURES, so translate once. */
+  private def effectiveWriterFeatures(st: State): Set[String] =
+    if (st.minWriter >= 7) st.writerFeatures.toSet
+    else Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= st.minWriter).flatMap(_._2).toSet
+
+  /** Writer features whose per-commit obligations these exporters MEET
+    * (each conditionally — the checks in [[requireWritable]] are the
+    * honoring): appendOnly/invariants/checkConstraints/generated/
+    * identity gate on the table actually USING them; changeDataFeed is
+    * safe for append/overwrite/partition-delete (foreign CDF readers
+    * derive those correctly from dataChange add/remove actions) and
+    * gates only the DV flip; columnMapping is gated separately by
+    * [[requireUnmapped]] on every exporter; deletionVectors is honored
+    * by DV-identified removes + [[exportDeleteWhere]]'s own machinery;
+    * the rest carry no write-side obligation this exporter can
+    * violate. Anything NOT here (rowTracking's baseRowIds,
+    * domainMetadata, icebergCompat*, unknowns) declines by name. */
+  private[graft] val HonoredWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "identityColumns", "columnMapping",
+    "deletionVectors", "timestampNtz", "typeWidening",
+    "typeWidening-preview", "vacuumProtocolCheck", "v2Checkpoint")
+
   private def requireWritable(st: State, path: String, op: String,
-      removesRows: Boolean, writesRows: Boolean = true): Unit = {
-    require(st.minWriter <= 2 && st.writerFeatures.isEmpty,
+      removesRows: Boolean, writesRows: Boolean = true,
+      dvFlip: Boolean = false): Unit = {
+    val feats = effectiveWriterFeatures(st)
+    val unmet = (feats -- HonoredWriterFeatures).toSeq.sorted
+    require(unmet.isEmpty,
       s"$op on $path: the table requires minWriterVersion " +
-        s"${st.minWriter}" +
-        (if (st.writerFeatures.nonEmpty)
-          s" with writer features ${st.writerFeatures.mkString(", ")}"
-         else "") +
-        " — this minimal-protocol exporter writes version 2 commits " +
-        "only; use the native format (CONVERT FROM DELTA) for full " +
-        "write semantics")
+        s"${st.minWriter} with writer features ${unmet.mkString(", ")} " +
+        "whose write obligations this exporter does not meet; use the " +
+        "native format (CONVERT FROM DELTA) for full write semantics")
     require(!removesRows ||
         !st.config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
       s"$op on $path: the table declares delta.appendOnly=true — a " +
         "row-removing commit would break the append-only contract " +
         "downstream consumers rely on")
+    // checkConstraints: a CHECK gates only commits that WRITE rows (a
+    // delete cannot create a violating row) — and only when the table
+    // actually declares one
+    require(!writesRows ||
+        !st.config.keys.exists(_.startsWith("delta.constraints.")),
+      s"$op on $path: the table declares CHECK constraints " +
+        s"(${st.config.keys.filter(_.startsWith("delta.constraints."))
+          .mkString(", ")}) this exporter does not enforce — writing " +
+        "without enforcement would violate the writer contract")
+    // generated/identity columns oblige the writer to PRODUCE
+    // conforming values on new rows — gate row-writing commits when
+    // the schema actually carries the metadata
+    if (writesRows && st.schema != null) {
+      val special = st.schema.fields.collect {
+        case f if f.metadata.contains("delta.generationExpression") =>
+          s"${f.name} (generated)"
+        case f if f.metadata.contains("delta.identity.start") ||
+            f.metadata.contains("delta.identity.step") =>
+          s"${f.name} (identity)"
+      }
+      require(special.isEmpty,
+        s"$op on $path: column(s) ${special.mkString(", ")} oblige the " +
+          "writer to produce conforming values — this exporter writes " +
+          "the caller's batch verbatim and declines instead")
+    }
+    // a DV flip commit without cdc files would MIS-DERIVE in foreign
+    // CDF readers (remove+re-add of the same path reads as a file
+    // rewrite, not a row-level delete) — decline when the table has
+    // CDF enabled; plain appends/overwrites/partition deletes derive
+    // correctly from their dataChange actions and stay allowed
+    require(!dvFlip || !st.config.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true")),
+      s"$op on $path: delta.enableChangeDataFeed=true obliges cdc " +
+        "files for row-level deletes, which this exporter does not " +
+        "write — foreign CDF readers would mis-derive the DV flip")
     // invariants gate ONLY commits that write rows (a remove-only
     // partition delete adds no data, so any invariant is vacuously
     // preserved — review finding); the scan is RECURSIVE, Delta allows
@@ -1530,11 +1748,18 @@ object DeltaInterop {
     JsonMethods.compact(JObject(List(
       "numRecords" -> JLong(f.rows),
       "minValues" -> side(_.min),
-      "maxValues" -> side(_.max))))
+      "maxValues" -> side(_.max)) ++
+      // a DV'd file's stats describe the PHYSICAL file: numRecords is
+      // the physical row count and min/max are valid but possibly not
+      // tight for the LIVE rows — PROTOCOL.md's tightBounds=false
+      // (absent means true, so emit only the false case)
+      (if (f.dv.isDefined) List("tightBounds" -> JBool(false)) else Nil)))
   }
 
   /** graft AddFile → standard Delta `add` action (stats re-encoded
-    * from the decoded representation into PROTOCOL.md's JSON forms). */
+    * from the decoded representation into PROTOCOL.md's JSON forms;
+    * a marker-carried DV descriptor re-emits as the `deletionVector`
+    * struct). */
   private def encodeDeltaAdd(f: AddFile, schema: StructType): JObject =
     JObject(List("add" -> JObject(List(
       "path" -> JString(encodePath(f.path)),
@@ -1543,7 +1768,9 @@ object DeltaInterop {
       "size" -> JLong(f.bytes),
       "modificationTime" -> JLong(System.currentTimeMillis()),
       "dataChange" -> JBool(true),
-      "stats" -> JString(deltaStatsJson(f, schema))))))
+      "stats" -> JString(deltaStatsJson(f, schema))) ++
+      dvDescriptor(f).map(d => "deletionVector" ->
+        JsonMethods.parse(DeletionVectors.toJson(d))).toList)))
 
   private def microsToIso(micros: Long, suffix: String): String = {
     val inst = java.time.Instant.ofEpochSecond(

@@ -231,13 +231,21 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       meta)
     assert(DeltaInterop.snapshot(spark, ok).files.isEmpty)
-    // … but WRITING it declines: writer v7 features carry per-feature
-    // obligations this minimal exporter does not meet
+    // … and WRITING it is fine too — every listed writer feature's
+    // obligation is met (timestampNtz carries none); a feature whose
+    // obligation we can NOT meet (rowTracking's baseRowIds) declines
+    // BY NAME
     import spark.implicits._
+    DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), ok)
+    assert(DeltaInterop.read(spark, ok).count() === 1L)
+    val rt = authored("rowtracking")(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz","rowTracking"]}}""",
+      meta)
     val wv = intercept[IllegalArgumentException] {
-      DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), ok)
+      DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), rt)
     }
-    assert(wv.getMessage.contains("minWriterVersion"))
+    assert(wv.getMessage.contains("minWriterVersion") &&
+      wv.getMessage.contains("rowTracking"))
     // delta.appendOnly blocks the row-removing exports, not appends
     val ao = authored("appendonly")(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -701,12 +709,10 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     assert(ids(DeltaInterop.read(spark, inlinePath)) === Seq(2L, 4, 6),
       "an add-before-remove DV flip must keep the file live with the NEW DV")
-    // exports and checkpoints DECLINE on a DV table (writer feature
-    // obligations this exporter does not meet)
-    val exp = intercept[IllegalArgumentException] {
-      DeltaInterop.exportAppend(spark, Seq(9L).toDF("id"), path)
-    }
-    assert(exp.getMessage.contains("minWriterVersion"))
+    // checkpoints still DECLINE on a DV table (the classic checkpoint
+    // schema cannot restate per-add DV state); appends are allowed as
+    // of the DV-delete wave — the DV-delete lifecycle test pins the
+    // write surface on its own table
     val cpe = intercept[IllegalArgumentException] {
       DeltaInterop.exportCheckpoint(spark, path)
     }
@@ -861,22 +867,28 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       org.json4s.JString(new org.apache.spark.sql.types.StructType()
         .add("id", "long").json))
     Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
-    // readable (features supported) → checkpoint is allowed
+    // checkpoint while the table is still legacy-protocol…
     DeltaInterop.exportCheckpoint(spark, path)
-    // log cleanup: the checkpoint is now the only protocol source
+    // …then a TAIL commit upgrades to v7 with an unmet writer feature,
+    // and log cleanup removes the original protocol's JSON source
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["appendOnly","invariants","rowTracking"]}}""" +
+        "\n").getBytes("UTF-8"))
     Files.delete(logDir.resolve(f"${0L}%020d.json"))
     assert(DeltaInterop.snapshot(spark, path).files.isEmpty,
-      "the checkpoint alone must reconstruct the (empty) table")
+      "checkpoint fast-start + tail commit must reconstruct the table")
     val e = intercept[Exception] {
       DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), path)
     }
-    assert(e.getMessage.contains("minWriterVersion"),
-      s"the v7 writer requirement must survive checkpoint-only " +
-        s"replay — a hardcoded checkpoint protocol would launder the " +
-        s"write past the gate: $e")
+    assert(e.getMessage.contains("minWriterVersion") &&
+      e.getMessage.contains("rowTracking"),
+      s"the v7 writer requirement must survive checkpoint fast-start " +
+        s"— losing the tail protocol would launder the write past the " +
+        s"gate: $e")
   }
 
   test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
@@ -910,6 +922,129 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("reconstruct") ||
       e.getMessage.contains("no standard Delta log"),
       s"partial checkpoint must fail loudly, got: ${e.getMessage}")
+  }
+
+  test("exportDeleteWhere: row-level DV delete — zero rewrite, union on re-delete, protocol upgrade, CDF derivation, post-upgrade writes") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val path = tmp("interop_dv_delete")
+    val dir = Paths.get(path)
+    // two data files (two commits) so the delete touches a SUBSET
+    DeltaInterop.exportToDelta(spark,
+      (1L to 8L).toDF("id").coalesce(1), path)                       // v0
+    DeltaInterop.exportAppend(spark,
+      (9L to 16L).toDF("id").coalesce(1), path)                      // v1
+    def dataFiles(): Set[String] = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_delta_log"))
+        .toSet
+      finally s.close()
+    }
+    val filesBefore = dataFiles()
+    def ids(df: DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // delete multiples of 3 → rows 3,6,9,12,15 gone, ZERO files rewritten
+    val v2 = DeltaInterop.exportDeleteWhere(spark, path, "id % 3 = 0")
+    assert(v2 === 2L)
+    assert(ids(DeltaInterop.read(spark, path)) ===
+      (1L to 16L).filterNot(_ % 3 == 0))
+    assert(dataFiles() === filesBefore,
+      "a DV delete must rewrite ZERO data files")
+    assert(ids(DeltaInterop.read(spark, path, Some(1L))) === (1L to 16L),
+      "time travel must still see the pre-delete state")
+    // the upgrade commit carries the protocol + per-add DV descriptors
+    val commitJson = new String(Files.readAllBytes(
+      dir.resolve("_delta_log").resolve(f"${2L}%020d.json")), "UTF-8")
+    assert(commitJson.contains(""""minWriterVersion":7""") &&
+      commitJson.contains(""""deletionVectors"""") &&
+      commitJson.contains(""""appendOnly"""") &&
+      commitJson.contains(""""invariants""""),
+      "the first DV flip must upgrade protocol, restating the legacy-" +
+        s"implied features: $commitJson")
+    assert(commitJson.contains(""""deletionVector":{"storageType":"u""""),
+      "flipped adds must carry u-typed DV descriptors")
+    assert(commitJson.contains("""\"tightBounds\":false"""),
+      "a DV'd add's stats must declare tightBounds false")
+    // our own CDF derives the row-level deletes from the DV diff
+    val cdf = DeltaInterop.tableChanges(spark, path, 2L, 2L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(cdf === Seq(3L, 6L, 9L, 12L, 15L).map(_ -> "delete"),
+      s"CDF must see exactly the deleted rows: $cdf")
+    // RE-delete (multiples of 4): union with the existing DVs — never
+    // a DV that forgets prior deletes
+    val v3 = DeltaInterop.exportDeleteWhere(spark, path, "id % 4 = 0")
+    assert(v3 === 3L)
+    assert(ids(DeltaInterop.read(spark, path)) ===
+      (1L to 16L).filterNot(i => i % 3 == 0 || i % 4 == 0))
+    val snap3 = DeltaInterop.snapshot(spark, path)
+    val cards = snap3.files.flatMap(f =>
+      f.dv.map(s => DeletionVectors.fromJson(
+        s.stripPrefix("delta-dv:")).cardinality)).sorted
+    assert(cards === Seq(4L, 4L), // file1: {3,4,6,8}; file2: {9,12,15,16}
+      s"per-file DV cardinality must be the UNION of both deletes: $cards")
+    // no-match delete is a no-op at the current version
+    assert(DeltaInterop.exportDeleteWhere(spark, path, "id > 999") === 3L)
+    // the upgraded v7 table still accepts the other exporters
+    DeltaInterop.exportAppend(spark, Seq(100L).toDF("id").coalesce(1), path)
+    assert(ids(DeltaInterop.read(spark, path)).contains(100L))
+    // overwrite on a DV table: removes must NAME each DV (strict-
+    // identity reconciliation) — state afterward is exactly the batch
+    DeltaInterop.exportOverwrite(spark, Seq(7L, 77L).toDF("id")
+      .coalesce(1), path)
+    assert(ids(DeltaInterop.read(spark, path)) === Seq(7L, 77L))
+    val owJson = new String(Files.readAllBytes(dir.resolve("_delta_log")
+      .resolve(f"${5L}%020d.json")), "UTF-8")
+    assert(owJson.contains(""""deletionVector""""),
+      "an overwrite's removes of DV'd files must carry the DV identity")
+    // a CDF-enabled table declines the DV flip (cdc write obligation)
+    val cdfPath = tmp("interop_dv_delete_cdf")
+    DeltaInterop.exportToDelta(spark, (1L to 4L).toDF("id").coalesce(1),
+      cdfPath)
+    val logDir2 = Paths.get(cdfPath, "_delta_log")
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    Files.write(logDir2.resolve(f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"m-cdf","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" +
+        "\n").getBytes("UTF-8"))
+    val cdfErr = intercept[IllegalArgumentException] {
+      DeltaInterop.exportDeleteWhere(spark, cdfPath, "id = 1")
+    }
+    assert(cdfErr.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("exportDeleteWhere prunes candidates by log stats: a file whose bounds disprove the predicate never flips") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val path = tmp("interop_dv_prune")
+    DeltaInterop.exportToDelta(spark, (1L to 8L).toDF("id").coalesce(1),
+      path)                                                          // v0
+    DeltaInterop.exportAppend(spark,
+      (100L to 108L).toDF("id").coalesce(1), path)                   // v1
+    assert(DeltaInterop.exportDeleteWhere(spark, path, "id <= 4") === 2L)
+    val snap = DeltaInterop.snapshot(spark, path)
+    val (flipped, untouched) = snap.files.partition(_.dv.isDefined)
+    assert(flipped.size === 1 && untouched.size === 1,
+      "exactly the stats-overlapping file must flip")
+    assert(DeletionVectors.fromJson(flipped.head.dv.get
+      .stripPrefix("delta-dv:")).cardinality === 4L)
+    // the commit itself touches ONE file: one remove + one DV'd add
+    // (the pruned file appears in no action — it was never even read)
+    val commitJson = new String(Files.readAllBytes(Paths.get(path,
+      "_delta_log").resolve(f"${2L}%020d.json")), "UTF-8")
+    assert("\"remove\"".r.findAllIn(commitJson).size === 1,
+      s"the pruned file must not appear in the commit: $commitJson")
+    assert(DeltaInterop.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      ((5L to 8L) ++ (100L to 108L)))
+    // an unparseable predicate fails FAST (analysis over an empty
+    // probe frame), before any replay-visible side effect
+    intercept[Exception] {
+      DeltaInterop.exportDeleteWhere(spark, path, "no_such_col = 1")
+    }
+    assert(DeltaInterop.latestVersion(path) === Some(2L))
   }
 
   test("v2/UUID checkpoints: a JSON manifest with ZERO commits reconstructs the snapshot; parquet manifest replays its sidecars; missing sidecar and version mismatch fail loudly") {

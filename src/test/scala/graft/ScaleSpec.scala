@@ -3473,6 +3473,33 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         s"unexpected decline: ${layoutErr.getMessage}")
       assert(DeltaInterop.latestVersion(path) === Some(7L),
         "the declined export must leave the foreign commit standing")
+      // (g) DV-delete race, on a FRESH table (the layout race above
+      // left `path` with a foreign partitioning): a foreign commit
+      // REMOVES the touched file in the replay→claim window — the
+      // rebased delete must decline (committing the stale DV flip
+      // would resurrect the whole file), never silently re-add a file
+      // a concurrent writer deleted
+      val path2 = Files.createTempDirectory("graft_export_dv_occ").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), path2) // v0
+      val livePath = DeltaInterop.snapshot(spark, path2).files.head.path
+      val log2 = Paths.get(path2, "_delta_log")
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${1L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          DeltaLite.PosixCommitClaimStore.claim(
+            log2.resolve(f"${1L}%020d.json"),
+            (s"""{"remove":{"path":"$livePath","deletionTimestamp":1700000000002,"dataChange":true}}""")
+              .getBytes("UTF-8"))
+        }
+      }
+      val dvRace = intercept[RuntimeException] {
+        DeltaInterop.exportDeleteWhere(spark, path2, "k = 1")
+      }
+      assert(dvRace.getMessage.contains("concurrent"),
+        s"unexpected decline: ${dvRace.getMessage}")
+      assert(DeltaInterop.latestVersion(path2) === Some(1L),
+        "the declined DV delete must leave the foreign remove standing")
     }
   }
 
