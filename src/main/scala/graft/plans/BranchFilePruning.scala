@@ -246,10 +246,18 @@ object BranchFilePruning extends Rule[LogicalPlan] with PredicateHelper {
   /** [[toBounds]] for callers OUTSIDE the optimizer rule —
     * [[graft.sources.DeltaInterop.exportDeleteWhere]] prunes its
     * candidate file set from the SAME conjunct→bound translation the
-    * read-path rule uses (one pruning semantics, not two). */
+    * read-path rule uses (one pruning semantics, not two). External
+    * callers hand ANALYZED (not optimized) conditions, where type
+    * coercion wraps literals in Cast (`id <= 4` on BIGINT becomes
+    * `id <= cast(4 as bigint)`) — the rule itself runs after constant
+    * folding and never sees these, but here they'd silently disable
+    * every bound (review finding), so fold literal-rooted Casts first. */
   private[graft] def boundsOf(cond: Expression,
       scanOutput: AttributeSet): Seq[DeltaLite.ColumnBound] =
-    toBounds(cond, scanOutput)
+    toBounds(cond.transformUp {
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        Literal.create(c.eval(null), c.dataType)
+    }, scanOutput)
 
   /** Simple conjuncts → stat bounds; everything else contributes
     * nothing (pruning stays an optimization). Literal values convert

@@ -422,25 +422,11 @@ object DeletionVectors {
   }
 
   /** Write `bitmapData` as a fresh single-DV file under `tableRoot`
-    * and return the matching `u`-typed descriptor (used by the spec to
-    * author foreign DV tables this module did not read-path-share). */
+    * and return the matching `u`-typed descriptor — the single-entry
+    * case of [[writeDvFilePacked]] (one framing implementation; a
+    * second copy would drift, and the packed writer's temp-file +
+    * atomic move covers this path too — review finding). */
   private[graft] def writeDvFile(tableRoot: Path, bitmapData: Array[Byte],
-      cardinality: Long): Descriptor = {
-    val uuid = java.util.UUID.randomUUID
-    val bb = ByteBuffer.allocate(16)
-    bb.putLong(uuid.getMostSignificantBits)
-    bb.putLong(uuid.getLeastSignificantBits)
-    val enc = z85Encode(bb.array())
-    val f = tableRoot.resolve(s"deletion_vector_$uuid.bin")
-    val crc = new CRC32
-    crc.update(bitmapData)
-    val out = ByteBuffer.allocate(1 + 4 + bitmapData.length + 4)
-    out.put(1.toByte)
-    out.order(ByteOrder.BIG_ENDIAN)
-    out.putInt(bitmapData.length)
-    out.put(bitmapData)
-    out.putInt(crc.getValue.toInt)
-    Files.write(f, out.array())
-    Descriptor("u", enc, Some(1), bitmapData.length, cardinality)
-  }
+      cardinality: Long): Descriptor =
+    writeDvFilePacked(tableRoot, Seq((bitmapData, cardinality))).head
 }

@@ -298,9 +298,12 @@ object DeltaInterop {
               parseStats(s, st.schema, st.partitionBy, st.physical)
             case _ => (0L, Map.empty[String, ColStats])
           }
+          val mtime = am.get("modificationTime").collect {
+            case JLong(l) => l; case JInt(i) => i.toLong
+          }
           st.live(rel) = AddFile(rel, rows, stats,
             dvDesc.map(d => DvMarker + DeletionVectors.toJson(d)),
-            pv, bytes = bytes)
+            pv, bytes = bytes, mtime = mtime)
           st.tombstones.remove(rel)
         case ("remove", JObject(r)) =>
           val rm = r.toMap
@@ -1423,11 +1426,19 @@ object DeltaInterop {
     // also validates the predicate's names/types before any I/O.
     val probe = spark.createDataFrame(
       new java.util.ArrayList[Row](), st0.schema).filter(expr(predicate))
-    val bounds = probe.queryExecution.analyzed.collect {
+    val conds = probe.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        graft.plans.BranchFilePruning.boundsOf(f.condition,
-          f.child.outputSet)
-    }.flatten
+        f.condition -> f.child.outputSet
+    }
+    // a nondeterministic predicate (rand()-based sampling deletes)
+    // cannot produce a consistent DV: the matching scan and any
+    // re-evaluation would disagree — delta-spark declines these too
+    require(conds.forall(_._1.deterministic),
+      s"exportDeleteWhere on $path: predicate '$predicate' is " +
+        "nondeterministic — a deletion vector must name a stable row " +
+        "set; materialize the choice into a column first")
+    val bounds = conds.flatMap { case (c, out) =>
+      graft.plans.BranchFilePruning.boundsOf(c, out) }
     val candidates =
       if (bounds.isEmpty) live
       else DeltaLite.pruneFiles(toSnapshot(v0, st0), bounds)
@@ -1442,10 +1453,13 @@ object DeltaInterop {
     val oldDvs = candidates.flatMap(f => dvDescriptor(f).map(f.path -> _))
     val (oldPos, _) = dvPositionsFrame(spark, path, oldDvs)
     // rows already deleted must not count as fresh matches (they would
-    // make an untouched file look touched and inflate cardinality)
-    val fresh = matches.join(oldPos,
+    // make an untouched file look touched and inflate cardinality);
+    // the CUT matters: `fresh` feeds BOTH union branches (directly and
+    // through `touched`) — uncut, the predicate scan and DV anti-join
+    // would execute twice per delete (review finding)
+    val fresh = graft.Frames.cut(matches.join(oldPos,
       col("path") === col("__dv_path") &&
-        col("row_index") === col("__dv_ri"), "left_anti")
+        col("row_index") === col("__dv_ri"), "left_anti"))
     val touched = fresh.select(col("path")).distinct()
     // final per-file DV = fresh matches ∪ the file's EXISTING deletes
     // (old positions join in only for touched files — untouched DV
@@ -1488,6 +1502,18 @@ object DeltaInterop {
             "changed concurrently — re-run the delete against fresh " +
             "state (committing a stale union would resurrect rows)")
       }
+      // serializability: a file APPENDED in the race window may hold
+      // rows matching the predicate this delete never evaluated —
+      // committing over it yields a history no serial order explains
+      // (delete@v+1 that ignores append@v's matching rows;
+      // delta-spark's ConcurrentAppendException). Decline every
+      // concurrent add; re-running re-evaluates the full live set.
+      val appended = st.live.keySet -- st0.live.keySet
+      require(appended.isEmpty,
+        s"exportDeleteWhere on $path: file(s) " +
+          s"${appended.toSeq.sorted.take(3).mkString(", ")} were " +
+          "appended concurrently and may match the predicate — " +
+          "re-run the delete against fresh state")
       val now = System.currentTimeMillis()
       dvProtocolUpgrade(st).toSeq ++
         perFile.flatMap { case (p, _, _) =>
@@ -1759,16 +1785,28 @@ object DeltaInterop {
   /** graft AddFile → standard Delta `add` action (stats re-encoded
     * from the decoded representation into PROTOCOL.md's JSON forms;
     * a marker-carried DV descriptor re-emits as the `deletionVector`
-    * struct). */
+    * struct). Restatement fidelity (review findings): a replayed
+    * `modificationTime` is preserved (foreign consumers key
+    * incremental processing on it — a metadata-only DV flip must not
+    * re-stamp a years-old file as just-modified), and a file whose
+    * ORIGINAL add carried no stats re-emits WITHOUT stats — `stats`
+    * is optional in the protocol, and fabricating `numRecords:0` next
+    * to a positive DV cardinality would violate the
+    * cardinality ≤ numRecords invariant foreign readers check (a
+    * non-empty flipped file with rows==0 && stats.isEmpty can ONLY be
+    * a stats-less replay: a genuinely empty file has no positions to
+    * delete). */
   private def encodeDeltaAdd(f: AddFile, schema: StructType): JObject =
     JObject(List("add" -> JObject(List(
       "path" -> JString(encodePath(f.path)),
       "partitionValues" -> JObject(f.pv.toList.sortBy(_._1)
         .map { case (k, v) => k -> JString(v) }),
       "size" -> JLong(f.bytes),
-      "modificationTime" -> JLong(System.currentTimeMillis()),
-      "dataChange" -> JBool(true),
-      "stats" -> JString(deltaStatsJson(f, schema))) ++
+      "modificationTime" -> JLong(
+        f.mtime.getOrElse(System.currentTimeMillis())),
+      "dataChange" -> JBool(true)) ++
+      (if (f.stats.isEmpty && f.rows == 0L) Nil
+       else List("stats" -> JString(deltaStatsJson(f, schema)))) ++
       dvDescriptor(f).map(d => "deletionVector" ->
         JsonMethods.parse(DeletionVectors.toJson(d))).toList)))
 
@@ -1957,7 +1995,13 @@ object DeltaInterop {
           snap.schema.json, snap.partitionBy, snap.properties), null,
           null, null)) ++
         snap.files.map(f => Row(null, null,
-          Row(encodePath(f.path), f.pv, f.bytes, now, true, statsJson(f)),
+          Row(encodePath(f.path), f.pv, f.bytes,
+            // same restatement fidelity as encodeDeltaAdd: preserve
+            // the original modificationTime; stats-less adds restate
+            // WITHOUT stats (null slot) instead of fabricating
+            // numRecords:0 (review finding)
+            java.lang.Long.valueOf(f.mtime.getOrElse(now)), true,
+            if (f.stats.isEmpty && f.rows == 0L) null else statsJson(f)),
           null, null)) ++
         tombs.map { case (p, ts) => Row(null, null, null,
           Row(encodePath(p), ts, false), null) } ++

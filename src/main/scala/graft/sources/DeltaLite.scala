@@ -67,7 +67,12 @@ object DeltaLite {
       bloom: Map[String, String] = Map.empty,
       bytes: Long = 0L,
       baseRowId: Option[Long] = None,
-      rowCommitVersion: Option[Long] = None)
+      rowCommitVersion: Option[Long] = None,
+      /** Interop-only carry: a standard-Delta add's `modificationTime`,
+        * preserved so a DV flip restates the ORIGINAL value instead of
+        * stamping the flip's wall clock (foreign consumers key
+        * incremental processing on it). The native log never emits it. */
+      mtime: Option[Long] = None)
 
   /** Resolved table state at a version: schema + live file set +
     * CHECK constraints (name → SQL predicate, enforced on every write) +

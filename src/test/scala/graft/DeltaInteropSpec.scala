@@ -889,6 +889,37 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       s"the v7 writer requirement must survive checkpoint fast-start " +
         s"— losing the tail protocol would launder the write past the " +
         s"gate: $e")
+    // and a protocol carried ONLY by a foreign checkpoint's OWN rows
+    // (zero JSON commits left) gates too — a replay that dropped or
+    // defaulted the checkpoint's protocol row would launder the write
+    // (the original review-finding case; our own exportCheckpoint
+    // can't author this table because rowTracking isn't
+    // checkpoint-safe, so hand-author the foreign checkpoint)
+    val path2 = tmp("interop_cp_protocol2")
+    val log2 = Paths.get(path2, "_delta_log")
+    Files.createDirectories(log2)
+    val cpLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz","rowTracking"]}}""",
+      s"""{"metaData":{"id":"m2","format":{"provider":"parquet"},"schemaString":$schemaJson}}""")
+    val tmpCp = Files.createTempDirectory(log2, ".cp-author")
+    spark.read.json(spark.createDataset(cpLines)(
+      org.apache.spark.sql.Encoders.STRING)).coalesce(1)
+      .write.mode("overwrite").parquet(tmpCp.toString)
+    val part = {
+      val s = Files.list(tmpCp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.move(part, log2.resolve(f"${0L}%020d.checkpoint.parquet"))
+    assert(DeltaInterop.snapshot(spark, path2).files.isEmpty,
+      "the foreign checkpoint alone must reconstruct the table")
+    val e2 = intercept[Exception] {
+      DeltaInterop.exportAppend(spark, Seq(1L).toDF("id"), path2)
+    }
+    assert(e2.getMessage.contains("rowTracking"),
+      s"a checkpoint-row protocol must gate writes like a commit-row " +
+        s"one: $e2")
   }
 
   test("an INCOMPLETE multi-part checkpoint is never replayed: missing parts decline to JSON or fail loudly, never drop rows") {
@@ -1044,7 +1075,83 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     intercept[Exception] {
       DeltaInterop.exportDeleteWhere(spark, path, "no_such_col = 1")
     }
+    // …as does a NONDETERMINISTIC one (a DV must name a stable row set)
+    val nd = intercept[IllegalArgumentException] {
+      DeltaInterop.exportDeleteWhere(spark, path, "rand() < 0.5")
+    }
+    assert(nd.getMessage.contains("nondeterministic"))
     assert(DeltaInterop.latestVersion(path) === Some(2L))
+    // the pruning pin must not be VACUOUS (an unpruned no-match file
+    // also yields no action): assert the bound translation itself
+    // survives analyzed-plan literals, which arrive Cast-wrapped
+    // (`id <= 4` on BIGINT analyzes to `id <= cast(4 as bigint)` —
+    // review finding: bare-Literal matching silently disabled pruning)
+    val probeDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType().add("id", "long"))
+      .filter(expr("id <= 4"))
+    val bs = probeDf.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        graft.plans.BranchFilePruning.boundsOf(f.condition,
+          f.child.outputSet)
+    }.flatten
+    assert(bs.nonEmpty && bs.head.column == "id",
+      s"coerced literals must still translate to stat bounds: $bs")
+    // restatement fidelity: the flipped add preserves the ORIGINAL
+    // modificationTime (a metadata-only delete must not re-stamp the
+    // file as just-modified) and keeps its real stats
+    def addActions(v: Long): Seq[String] =
+      new String(Files.readAllBytes(Paths.get(path, "_delta_log")
+        .resolve(f"$v%020d.json")), "UTF-8")
+        .linesIterator.filter(_.contains("\"add\"")).toSeq
+    def mtimeOf(line: String): Long =
+      """"modificationTime":(\d+)""".r.findFirstMatchIn(line)
+        .get.group(1).toLong
+    val origAdd = addActions(0L).head
+    val flipAdd = addActions(2L).head
+    assert(mtimeOf(flipAdd) === mtimeOf(origAdd),
+      "a DV flip must restate the original modificationTime")
+    assert(flipAdd.contains("\"stats\""),
+      "a stats-bearing add keeps its stats through the flip")
+  }
+
+  test("exportDeleteWhere on a stats-less foreign add: the flip re-emits WITHOUT stats instead of fabricating numRecords:0") {
+    import spark.implicits._
+    val path = tmp("interop_dv_nostats")
+    val dir = Paths.get(path)
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Seq(1L, 2L, 3L, 4L).toDF("id").coalesce(1)
+      .write.parquet(dir.resolve("d1").toString)
+    val f1 = {
+      val s = Files.list(dir.resolve("d1"))
+      try "d1/" + s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .getFileName.toString
+      finally s.close()
+    }
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json))
+    // the add carries NO stats — delta tables converted without stats
+    // collection look exactly like this
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m-ns","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":99,"modificationTime":1700000000123,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.exportDeleteWhere(spark, path, "id = 2") === 1L)
+    val commit = new String(Files.readAllBytes(
+      logDir.resolve(f"${1L}%020d.json")), "UTF-8")
+    val addLine = commit.linesIterator.find(_.contains("\"add\"")).get
+    assert(!addLine.contains("\"stats\""),
+      s"a stats-less add must not grow fabricated stats (numRecords:0 " +
+        s"would violate cardinality<=numRecords next to the DV): $addLine")
+    assert(addLine.contains("\"modificationTime\":1700000000123"),
+      "the foreign modificationTime must survive the flip")
+    assert(addLine.contains("\"deletionVector\""))
+    assert(DeltaInterop.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
   }
 
   test("v2/UUID checkpoints: a JSON manifest with ZERO commits reconstructs the snapshot; parquet manifest replays its sidecars; missing sidecar and version mismatch fail loudly") {

@@ -3500,6 +3500,30 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         s"unexpected decline: ${dvRace.getMessage}")
       assert(DeltaInterop.latestVersion(path2) === Some(1L),
         "the declined DV delete must leave the foreign remove standing")
+      // (h) DV-delete vs concurrent APPEND: the foreign file may hold
+      // rows matching the predicate this delete never evaluated —
+      // committing over it would be a non-serializable history
+      // (delta-spark's ConcurrentAppendException), so it declines
+      val path3 = Files.createTempDirectory("graft_export_dv_app").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), path3) // v0
+      val log3 = Paths.get(path3, "_delta_log")
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${1L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          DeltaLite.PosixCommitClaimStore.claim(
+            log3.resolve(f"${1L}%020d.json"),
+            """{"add":{"path":"dforeign/part-0.parquet","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true}}"""
+              .getBytes("UTF-8"))
+        }
+      }
+      val appendRace = intercept[IllegalArgumentException] {
+        DeltaInterop.exportDeleteWhere(spark, path3, "k = 2")
+      }
+      assert(appendRace.getMessage.contains("appended concurrently"),
+        s"unexpected decline: ${appendRace.getMessage}")
+      assert(DeltaInterop.latestVersion(path3) === Some(1L),
+        "the declined DV delete must leave the foreign append standing")
     }
   }
 
