@@ -1900,7 +1900,17 @@ object DeltaInterop {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      // PROTOCOL.md checkpoints RESTATE per-add deletionVector structs
+      // — without this column a checkpoint of a DV table would
+      // silently resurrect every deleted row on fast-start (the decline
+      // this column lifts; see CheckpointSafeWriterFeatures)
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -1910,20 +1920,24 @@ object DeltaInterop {
       StructField("version", LongType))))))
 
   /** Writer features whose mandated state this classic checkpointer
-    * provably RESTATES (schema-/configuration-carried only — nothing
-    * lives in actions or per-add fields the [[CheckpointSchema]] lacks).
-    * Anything else declines: a checkpoint of a `domainMetadata` /
-    * `rowTracking` / `deletionVectors` table would restate the protocol
-    * but silently DROP the feature's state (domainMetadata actions,
-    * per-add baseRowId/DV fields), and a foreign reader fast-starting
-    * from `_last_checkpoint` after JSON cleanup loses it without any
-    * error (review finding). `changeDataFeed` is safe: PROTOCOL.md
-    * excludes cdc actions from checkpoints by design. */
+    * provably RESTATES (schema-/configuration-carried, plus the add
+    * struct's `deletionVector` column). Anything else declines: a
+    * checkpoint of a `domainMetadata` / `rowTracking` table would
+    * restate the protocol but silently DROP the feature's state
+    * (domainMetadata actions, per-add baseRowId fields), and a
+    * foreign reader fast-starting from `_last_checkpoint` after JSON
+    * cleanup loses it without any error (review finding).
+    * `changeDataFeed` is safe: PROTOCOL.md excludes cdc actions from
+    * checkpoints by design. */
   private[graft] val CheckpointSafeWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "timestampNtz", "typeWidening", "typeWidening-preview",
-    "vacuumProtocolCheck", "v2Checkpoint")
+    "vacuumProtocolCheck", "v2Checkpoint",
+    // restatable since the add struct gained its deletionVector column
+    // — a DV table under repeated exportDeleteWhere can now checkpoint
+    // and survive JSON log cleanup
+    "deletionVectors")
 
   /** `delta.deletedFileRetentionDuration` ("interval N unit [N unit
     * ...]" — Delta parses a full CalendarInterval, so multi-unit
@@ -1999,9 +2013,15 @@ object DeltaInterop {
             // same restatement fidelity as encodeDeltaAdd: preserve
             // the original modificationTime; stats-less adds restate
             // WITHOUT stats (null slot) instead of fabricating
-            // numRecords:0 (review finding)
+            // numRecords:0 (review finding); DV descriptors restate as
+            // the protocol's struct (replay's toJSON round-trip feeds
+            // the same parseJValue path the JSON commits use)
             java.lang.Long.valueOf(f.mtime.getOrElse(now)), true,
-            if (f.stats.isEmpty && f.rows == 0L) null else statsJson(f)),
+            if (f.stats.isEmpty && f.rows == 0L) null else statsJson(f),
+            dvDescriptor(f).map(d => Row(d.storageType, d.pathOrInlineDv,
+              d.offset.map(java.lang.Integer.valueOf).orNull,
+              java.lang.Integer.valueOf(d.sizeInBytes), d.cardinality))
+              .orNull),
           null, null)) ++
         tombs.map { case (p, ts) => Row(null, null, null,
           Row(encodePath(p), ts, false), null) } ++

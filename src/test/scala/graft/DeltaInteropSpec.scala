@@ -709,14 +709,15 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     assert(ids(DeltaInterop.read(spark, inlinePath)) === Seq(2L, 4, 6),
       "an add-before-remove DV flip must keep the file live with the NEW DV")
-    // checkpoints still DECLINE on a DV table (the classic checkpoint
-    // schema cannot restate per-add DV state); appends are allowed as
-    // of the DV-delete wave — the DV-delete lifecycle test pins the
-    // write surface on its own table
-    val cpe = intercept[IllegalArgumentException] {
-      DeltaInterop.exportCheckpoint(spark, path)
-    }
-    assert(cpe.getMessage.contains("deletionVectors"))
+    // checkpoints RESTATE per-add DV structs (the add struct's
+    // deletionVector column): a reader fast-starting from the
+    // checkpoint ALONE — every JSON commit cleaned up — still
+    // excludes exactly the deleted rows
+    DeltaInterop.exportCheckpoint(spark, path)
+    (0L to 3L).foreach(v =>
+      Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(ids(DeltaInterop.read(spark, path)) === Seq(2L, 3, 4, 5, 6),
+      "a checkpoint-only fast-start must carry the DV state")
     // CONVERT adopts by TRANSLATION: data files untouched, DVs decoded
     // once into a graft-native (path, row_index) dir; the native read
     // and the full native write surface work after
@@ -1113,6 +1114,23 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       "a DV flip must restate the original modificationTime")
     assert(flipAdd.contains("\"stats\""),
       "a stats-bearing add keeps its stats through the flip")
+    // DV deletes COMPOSE across a checkpoint boundary: checkpoint the
+    // DV'd state, clean up every JSON commit, and a further delete
+    // unions with the checkpoint-carried DV
+    DeltaInterop.exportCheckpoint(spark, path)
+    (0L to 2L).foreach(v => Files.delete(
+      Paths.get(path, "_delta_log").resolve(f"$v%020d.json")))
+    assert(DeltaInterop.exportDeleteWhere(spark, path, "id = 7") === 3L)
+    assert(DeltaInterop.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 6L, 8L) ++ (100L to 108L),
+      "the post-checkpoint delete must union with the restated DV")
+    val snap4 = DeltaInterop.snapshot(spark, path)
+    val card4 = snap4.files.flatMap(_.dv).map(s =>
+      graft.sources.DeletionVectors.fromJson(
+        s.stripPrefix("delta-dv:")).cardinality).sum
+    assert(card4 === 5L, // {1,2,3,4} from the flip + {7}
+      s"the union across the checkpoint boundary must not forget: $card4")
   }
 
   test("exportDeleteWhere on a stats-less foreign add: the flip re-emits WITHOUT stats instead of fabricating numRecords:0") {
