@@ -209,7 +209,18 @@ object DeltaInterop {
       * foreign VACUUM (which scans the checkpoint, not cleaned-up JSON)
       * can still distinguish recently-removed files from untracked
       * garbage. Re-adding a path clears its tombstone. */
-    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    /** path → (deletionTimestamp, the removed logical file's DV
+      * identity). The DV rides along so a checkpoint can restate it —
+      * a foreign VACUUM fast-starting from the checkpoint must still
+      * associate the superseded deletion_vector file with its
+      * recently-removed entry, or it collects the DV file before the
+      * retention contract allows (review finding). */
+    val tombstones = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Option[DeletionVectors.Descriptor])]
+    /** metaData.id — restated verbatim by checkpoints (a fresh random
+      * id per checkpoint would change table identity under foreign
+      * streaming queries that pin it; review finding). */
+    var tableId: String = null
   }
 
   /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded
@@ -346,9 +357,9 @@ object DeltaInterop {
             // wall-clock would make replays non-deterministic and pin
             // the tombstone in every future checkpoint (review finding)
             if (!wasLive || !st.live.contains(rel))
-              st.tombstones(rel) = rm.get("deletionTimestamp").collect {
+              st.tombstones(rel) = (rm.get("deletionTimestamp").collect {
                 case JLong(l) => l; case JInt(i) => i.toLong
-              }.getOrElse(0L)
+              }.getOrElse(0L), rmDv)
           }
         case ("txn", JObject(t)) =>
           val tm = t.toMap
@@ -367,6 +378,7 @@ object DeltaInterop {
 
   private def applyMetaData(st: State, m: Map[String, JValue],
       where: String): Unit = {
+    m.get("id").foreach { case JString(i) => st.tableId = i; case _ => () }
     m.get("format").foreach {
       case JObject(f) => f.toMap.get("provider").foreach {
         case JString(p) => require(p.equalsIgnoreCase("parquet"),
@@ -1914,7 +1926,16 @@ object DeltaInterop {
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      // the removed logical file's DV identity rides along so foreign
+      // VACUUM can associate the superseded deletion_vector file with
+      // its retention window after JSON cleanup (review finding)
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -1990,12 +2011,16 @@ object DeltaInterop {
       txns = st0.txns.toMap, partitionBy = st0.partitionBy,
       physical = st0.physical, properties = st0.config)
     def statsJson(f: AddFile): String = deltaStatsJson(f, snap.schema)
+    def dvRow(d: DeletionVectors.Descriptor): Row =
+      Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(java.lang.Integer.valueOf).orNull,
+        java.lang.Integer.valueOf(d.sizeInBytes), d.cardinality)
     val now = System.currentTimeMillis()
     // remove tombstones still inside the retention window ride along —
     // foreign VACUUM resolves "recently removed, don't collect yet"
     // from the checkpoint once the JSON commits are cleaned up
     val keepSince = now - tombstoneRetentionMs(st0.config)
-    val tombs = st0.tombstones.toSeq.filter(_._2 >= keepSince)
+    val tombs = st0.tombstones.toSeq.filter(_._2._1 >= keepSince)
     // the checkpoint RESTATES the table's protocol — hardcoding (1,2)
     // would falsify a higher-versioned table's requirements once the
     // JSON commits are cleaned up, and launder writes past the
@@ -2005,7 +2030,12 @@ object DeltaInterop {
           if (st0.readerFeatures.isEmpty) null else st0.readerFeatures,
           if (st0.writerFeatures.isEmpty) null else st0.writerFeatures),
         null, null, null, null),
-        Row(null, Row(java.util.UUID.randomUUID.toString, Row("parquet"),
+        // restate the table's OWN id — a fresh random id per checkpoint
+        // would change table identity under foreign streaming queries
+        // that pin metaData.id (review finding); random only for a
+        // spec-violating foreign log that never declared one
+        Row(null, Row(Option(st0.tableId)
+            .getOrElse(java.util.UUID.randomUUID.toString), Row("parquet"),
           snap.schema.json, snap.partitionBy, snap.properties), null,
           null, null)) ++
         snap.files.map(f => Row(null, null,
@@ -2016,15 +2046,16 @@ object DeltaInterop {
             // numRecords:0 (review finding); DV descriptors restate as
             // the protocol's struct (replay's toJSON round-trip feeds
             // the same parseJValue path the JSON commits use)
-            java.lang.Long.valueOf(f.mtime.getOrElse(now)), true,
+            // dataChange=false: checkpoint rows are RESTATEMENTS, not
+            // data changes — PROTOCOL.md's checkpoint contract, and
+            // what strict foreign validators check (review finding;
+            // the tombstone rows below already wrote false)
+            java.lang.Long.valueOf(f.mtime.getOrElse(now)), false,
             if (f.stats.isEmpty && f.rows == 0L) null else statsJson(f),
-            dvDescriptor(f).map(d => Row(d.storageType, d.pathOrInlineDv,
-              d.offset.map(java.lang.Integer.valueOf).orNull,
-              java.lang.Integer.valueOf(d.sizeInBytes), d.cardinality))
-              .orNull),
+            dvDescriptor(f).map(dvRow).orNull),
           null, null)) ++
-        tombs.map { case (p, ts) => Row(null, null, null,
-          Row(encodePath(p), ts, false), null) } ++
+        tombs.map { case (p, (ts, dv)) => Row(null, null, null,
+          Row(encodePath(p), ts, false, dv.map(dvRow).orNull), null) } ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, null, Row(app, v)) }
     val d = logDir(path)

@@ -1030,6 +1030,24 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       .resolve(f"${5L}%020d.json")), "UTF-8")
     assert(owJson.contains(""""deletionVector""""),
       "an overwrite's removes of DV'd files must carry the DV identity")
+    // checkpoint restatement fidelity: the table's ORIGINAL metaData.id
+    // (not a fresh random one), dataChange=false on restated adds, and
+    // remove tombstones carrying their superseded DV identities so
+    // foreign VACUUM keeps the DV files inside retention
+    val id0 = """"id":"([^"]+)"""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(dir.resolve("_delta_log")
+        .resolve(f"${0L}%020d.json")), "UTF-8")).get.group(1)
+    DeltaInterop.exportCheckpoint(spark, path)
+    val cp = spark.read.parquet(dir.resolve("_delta_log")
+      .resolve(f"${5L}%020d.checkpoint.parquet").toString)
+    assert(cp.filter(col("metaData").isNotNull)
+      .select("metaData.id").collect().head.getString(0) === id0,
+      "a checkpoint must restate the table's original metaData.id")
+    assert(cp.filter(col("add").isNotNull).select("add.dataChange")
+      .collect().forall(!_.getBoolean(0)),
+      "checkpoint add rows are restatements: dataChange must be false")
+    assert(cp.filter(col("remove.deletionVector").isNotNull).count() >= 1,
+      "tombstones of DV'd files must carry the DV identity")
     // a CDF-enabled table declines the DV flip (cdc write obligation)
     val cdfPath = tmp("interop_dv_delete_cdf")
     DeltaInterop.exportToDelta(spark, (1L to 4L).toDF("id").coalesce(1),
