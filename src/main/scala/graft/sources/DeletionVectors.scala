@@ -218,8 +218,14 @@ object DeletionVectors {
 
   private val PortableMagic = 1681511377
   private val NativeMagic = 1681511376
-  private val SerialCookieNoRuns = 12347
-  private val SerialCookieRuns = 12346
+  // RoaringFormatSpec: SERIAL_COOKIE_NO_RUNCONTAINER = 12346 (0x303A,
+  // standalone cookie, container count in the NEXT int32);
+  // SERIAL_COOKIE = 12347 (0x303B, run containers present, count-1 in
+  // the cookie's high 16 bits followed by the run-flags bitset).
+  // Cross-checked against org.roaringbitmap.RoaringBitmap 1.3.0
+  // serialize() output in DeltaInteropSpec (the jar Spark bundles).
+  private val SerialCookieNoRuns = 12346
+  private val SerialCookieRuns = 12347
 
   /** Decode a portable RoaringBitmapArray into sorted 64-bit row
     * indexes. Cost is O(cardinality) time / output — executors run

@@ -566,13 +566,13 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(DeletionVectors.z85Decode("HelloWorld").toSeq === helloBytes.toSeq)
     // hand-computed portable RoaringBitmapArray holding {0, 2, 5}:
     // magic 1681511377 LE | count=1 LE int64 | key=0 LE int32 |
-    // roaring32: cookie 12347 LE | size=1 LE | header (key=0,
+    // roaring32: cookie 12346 LE | size=1 LE | header (key=0,
     // card-1=2) | offset=16 LE | values 0,2,5 as uint16 LE
     val fixtureA = Array[Int](
       0xd1, 0xd3, 0x39, 0x64, // magic
       1, 0, 0, 0, 0, 0, 0, 0, // one bitmap
       0, 0, 0, 0,             // key 0
-      0x3b, 0x30, 0, 0,       // cookie SERIAL_COOKIE_NO_RUNCONTAINER
+      0x3a, 0x30, 0, 0,       // cookie SERIAL_COOKIE_NO_RUNCONTAINER
       1, 0, 0, 0,             // one container
       0, 0, 2, 0,             // container key 0, cardinality-1 = 2
       16, 0, 0, 0,            // container offset from bitmap start
@@ -585,9 +585,9 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       0xd1, 0xd3, 0x39, 0x64,
       2, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 0,
-      0x3b, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 3, 0,
+      0x3a, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 3, 0,
       1, 0, 0, 0,
-      0x3b, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 7, 0
+      0x3a, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 16, 0, 0, 0, 7, 0
     ).map(_.toByte)
     assert(DeletionVectors.positions(fixtureB).toSeq ===
       Seq(3L, (1L << 32) + 7L))
@@ -596,6 +596,62 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     val big = ((0L until 5000L) ++ Seq(70000L, (1L << 32) + 11L)).toArray
     assert(DeletionVectors.positions(DeletionVectors.serialize(big)).toSeq
       === big.toSeq)
+  }
+
+  test("DV codec: cross-checked against org.roaringbitmap 1.3.0 serialize() bytes (array, bitmap AND run containers) — a cookie swap or header misread cannot survive this") {
+    import graft.sources.DeletionVectors
+    import org.roaringbitmap.RoaringBitmap
+    // Delta's portable RoaringBitmapArray concatenates STANDARD 32-bit
+    // RoaringBitmaps under int32 keys, so per-key cross-checking against
+    // the real library (bundled with Spark at /opt/spark/jars) pins our
+    // codec to the wire format actual delta-spark/delta-rs DVs use —
+    // self-consistent encoder/decoder pairs pass round-trips even when
+    // both share a spec misreading; this test cannot.
+    def wrap64(r32: Array[Byte], key: Int = 0): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + r32.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377); bb.putLong(1L); bb.putInt(key)
+      bb.put(r32); bb.array()
+    }
+    def libSer(r: RoaringBitmap): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(r.serializedSizeInBytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      r.serialize(bb); bb.array()
+    }
+    // 1. array container, no runs → cookie 12346 path
+    val arr = RoaringBitmap.bitmapOf(0, 2, 5, 40000)
+    assert(DeletionVectors.positions(wrap64(libSer(arr))).toSeq ===
+      Seq(0L, 2L, 5L, 40000L))
+    // 2. dense >4096 container → bitmap container + a second 16-bit key
+    val dense = new RoaringBitmap
+    (0 until 5000).foreach(dense.add); dense.add(70000)
+    assert(DeletionVectors.positions(wrap64(libSer(dense))).toSeq ===
+      ((0L until 5000L) :+ 70000L))
+    // 3. runOptimize → run cookie 12347, size<4 so NO offsets section
+    val runs = new RoaringBitmap
+    runs.add(10L, 1001L); runs.add(2000)
+    assert(runs.runOptimize(), "fixture must actually hold run containers")
+    assert(DeletionVectors.positions(wrap64(libSer(runs))).toSeq ===
+      ((10L until 1001L) :+ 2000L))
+    // 4. runs under MANY 16-bit keys (>=4 containers) → run cookie WITH
+    // the offsets section present
+    val runsWide = new RoaringBitmap
+    (0 until 5).foreach(k => runsWide.add(k.toLong << 16, (k.toLong << 16) + 50L))
+    assert(runsWide.runOptimize())
+    assert(DeletionVectors.positions(wrap64(libSer(runsWide))).length === 250)
+    // 5. OUR serialize() must parse back through the real library —
+    // the direction real Delta engines exercise on our written DVs
+    val ours = DeletionVectors.serialize(
+      ((0L until 4200L) ++ Seq(99999L)).toArray)
+    val bb = java.nio.ByteBuffer.wrap(ours)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt === 1681511377); assert(bb.getLong === 1L)
+    assert(bb.getInt === 0)
+    val lib = new RoaringBitmap
+    lib.deserialize(bb.slice().order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    assert(lib.getLongCardinality === 4201L)
+    assert(lib.contains(0) && lib.contains(4199) && lib.contains(99999))
+    assert(!lib.contains(4200) && !lib.contains(99998))
   }
 
   test("deletion vectors: snapshot read drops exactly the deleted rows; time travel, CDF diff, streaming gate, convert-as-translation, export decline, CRC tripwire") {
