@@ -97,6 +97,14 @@ object DeltaInterop {
     f.dv.filter(_.startsWith(DvMarker))
       .map(s => DeletionVectors.fromJson(s.substring(DvMarker.length)))
 
+  /** A deletion vector's reconciliation identity (PROTOCOL.md
+    * `dvUniqueId` — storage type + payload + offset): the unit a
+    * remove action names and the second half of the (path, DV)
+    * logical-file key replay and tombstones match on. */
+  private def dvIdentity(d: DeletionVectors.Descriptor)
+      : (String, String, Option[Int]) =
+    (d.storageType, d.pathOrInlineDv, d.offset)
+
   /** A directory is a standard Delta table iff `_delta_log/` holds at
     * least one versioned commit or checkpoint (classic or v2). */
   def isStandardDelta(path: String): Boolean = !listing(path).isEmpty
@@ -204,19 +212,24 @@ object DeltaInterop {
     def physToLogical: Map[String, String] = p2l
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
-    /** Remove TOMBSTONES (path → deletionTimestamp) still inside the
-      * retention window's reach: PROTOCOL.md checkpoints carry them so
-      * foreign VACUUM (which scans the checkpoint, not cleaned-up JSON)
-      * can still distinguish recently-removed files from untracked
-      * garbage. Re-adding a path clears its tombstone. */
-    /** path → (deletionTimestamp, the removed logical file's DV
-      * identity). The DV rides along so a checkpoint can restate it —
-      * a foreign VACUUM fast-starting from the checkpoint must still
-      * associate the superseded deletion_vector file with its
-      * recently-removed entry, or it collects the DV file before the
-      * retention contract allows (review finding). */
+    /** Remove TOMBSTONES still inside the retention window's reach:
+      * PROTOCOL.md checkpoints carry them so foreign VACUUM (which
+      * scans the checkpoint, not cleaned-up JSON) can still distinguish
+      * recently-removed files from untracked garbage.
+      *
+      * Keyed by the LOGICAL FILE identity — (path, DV identity) — the
+      * same key Delta reconciliation uses, NOT by path alone: a DV
+      * flip is remove(path, oldDV) + add(path, newDV), and under a
+      * path key the re-add erased (or pre-empted) the superseded
+      * identity's tombstone, so a checkpoint written after the flip
+      * dropped the remove that keeps the superseded deletion_vector
+      * file safe from foreign VACUUM inside the retention window
+      * (review finding — the r17 known limitation, now closed). Value
+      * = (deletionTimestamp, the full DV descriptor for checkpoint
+      * restatement). */
     val tombstones = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Option[DeletionVectors.Descriptor])]
+      .empty[(String, Option[(String, String, Option[Int])]),
+        (Long, Option[DeletionVectors.Descriptor])]
     /** metaData.id — restated verbatim by checkpoints (a fresh random
       * id per checkpoint would change table identity under foreign
       * streaming queries that pin it; review finding). */
@@ -315,7 +328,11 @@ object DeltaInterop {
           st.live(rel) = AddFile(rel, rows, stats,
             dvDesc.map(d => DvMarker + DeletionVectors.toJson(d)),
             pv, bytes = bytes, mtime = mtime)
-          st.tombstones.remove(rel)
+          // resurrect exactly THIS logical file (path + DV identity);
+          // a tombstone for the same path under a different DV
+          // identity refers to a superseded logical file and must
+          // survive the re-add (DV-flip checkpoint restatement)
+          st.tombstones.remove((rel, dvDesc.map(dvIdentity)))
         case ("remove", JObject(r)) =>
           val rm = r.toMap
           rm.get("path").collect { case JString(p) => p }.foreach { p =>
@@ -338,26 +355,25 @@ object DeltaInterop {
                 Some(DeletionVectors.parseJValue(o, where))
               case _ => None
             }
-            def ident(d: DeletionVectors.Descriptor) =
-              (d.storageType, d.pathOrInlineDv, d.offset)
-            val wasLive = st.live.contains(rel)
             val liveDv = st.live.get(rel).flatMap(dvDescriptor)
-            if (liveDv.map(ident) == rmDv.map(ident)) st.live.remove(rel)
-            // Tombstone the path only when this remove actually evicted
-            // (or the file was already absent — a retention restatement
-            // for a file this replay never saw live). A remove whose DV
-            // identity does NOT match the live entry refers to a
-            // superseded logical file whose data file is still live
-            // under the new DV — registering a tombstone there would
-            // leave the path simultaneously live and tombstoned, and an
-            // exported checkpoint restating both rows could make a
-            // path-keyed foreign replay drop the live file (review
-            // finding). deletionTimestamp is optional; an absent one
-            // defaults to 0 (already aged out) — defaulting to
-            // wall-clock would make replays non-deterministic and pin
-            // the tombstone in every future checkpoint (review finding)
-            if (!wasLive || !st.live.contains(rel))
-              st.tombstones(rel) = (rm.get("deletionTimestamp").collect {
+            if (liveDv.map(dvIdentity) == rmDv.map(dvIdentity))
+              st.live.remove(rel)
+            // Tombstone the removed LOGICAL identity unconditionally:
+            // keyed by (path, DV identity), a tombstone can never
+            // shadow the live entry — when identities differ, the live
+            // file under the same path is a DIFFERENT logical file
+            // (the post-flip one), and a spec-conformant foreign
+            // replay reconciles on the same compound key, so a
+            // checkpoint restating both rows round-trips. This is what
+            // closes the r17 limitation: the flip's superseded
+            // identity now restates into checkpoints regardless of
+            // remove/add line order. deletionTimestamp is optional; an
+            // absent one defaults to 0 (already aged out) — defaulting
+            // to wall-clock would make replays non-deterministic and
+            // pin the tombstone in every future checkpoint (review
+            // finding)
+            st.tombstones((rel, rmDv.map(dvIdentity))) =
+              (rm.get("deletionTimestamp").collect {
                 case JLong(l) => l; case JInt(i) => i.toLong
               }.getOrElse(0L), rmDv)
           }
@@ -2054,7 +2070,7 @@ object DeltaInterop {
             if (f.stats.isEmpty && f.rows == 0L) null else statsJson(f),
             dvDescriptor(f).map(dvRow).orNull),
           null, null)) ++
-        tombs.map { case (p, (ts, dv)) => Row(null, null, null,
+        tombs.map { case ((p, _), (ts, dv)) => Row(null, null, null,
           Row(encodePath(p), ts, false, dv.map(dvRow).orNull), null) } ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, null, Row(app, v)) }

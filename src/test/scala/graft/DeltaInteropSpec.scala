@@ -1121,6 +1121,56 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
     assert(cdfErr.getMessage.contains("enableChangeDataFeed"))
   }
 
+  test("DV-flip tombstones: a checkpoint restates every superseded (path, DV) identity, survives JSON log cleanup, and a fast-start re-checkpoint round-trips them") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val path = tmp("interop_dv_flip_tomb")
+    val dir = Paths.get(path)
+    val logD = dir.resolve("_delta_log")
+    DeltaInterop.exportToDelta(spark,
+      (1L to 8L).toDF("id").coalesce(1), path)                       // v0
+    DeltaInterop.exportDeleteWhere(spark, path, "id % 3 = 0")        // v1
+    // capture DV1's identity before it is superseded
+    val dv1 = DeltaInterop.snapshot(spark, path, Some(1L)).files
+      .flatMap(f => f.dv.map(s =>
+        DeletionVectors.fromJson(s.stripPrefix("delta-dv:")))).head
+    DeltaInterop.exportDeleteWhere(spark, path, "id % 4 = 0")        // v2
+    DeltaInterop.exportCheckpoint(spark, path)
+    def removeRows(v: Long): Seq[(String, Option[String])] = {
+      val cp = spark.read.parquet(
+        logD.resolve(f"$v%020d.checkpoint.parquet").toString)
+      cp.filter(col("remove").isNotNull)
+        .select(col("remove.path"),
+          col("remove.deletionVector.pathOrInlineDv"))
+        .collect().map(r => (r.getString(0),
+          Option(r.getString(1)))).toSeq
+    }
+    // TWO flips → TWO superseded logical identities of the SAME path:
+    // (path, no-DV) from flip 1 and (path, DV1) from flip 2. The old
+    // path-keyed model dropped both (the re-add cleared them).
+    val rms = removeRows(2L)
+    assert(rms.size === 2, s"both superseded identities must restate: $rms")
+    assert(rms.map(_._2).toSet === Set(None, Some(dv1.pathOrInlineDv)),
+      s"the flip tombstones must carry no-DV and DV1 identities: $rms")
+    // the JSON log cleans up — state must reconstruct from the
+    // checkpoint alone, and read the post-both-deletes rows
+    (0L to 2L).foreach(v =>
+      Files.delete(logD.resolve(f"$v%020d.json")))
+    val ids = DeltaInterop.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1L to 8L).filterNot(i => i % 3 == 0 || i % 4 == 0))
+    // a fast-start (checkpoint-seeded) writer commits and
+    // re-checkpoints: the superseded identities must ROUND-TRIP into
+    // the new checkpoint — this is the foreign-VACUUM contract (the
+    // DV1 file stays associated with a recent remove inside retention)
+    DeltaInterop.exportAppend(spark, Seq(100L).toDF("id").coalesce(1),
+      path)                                                          // v3
+    DeltaInterop.exportCheckpoint(spark, path)
+    val rms3 = removeRows(3L)
+    assert(rms3.map(_._2).toSet === Set(None, Some(dv1.pathOrInlineDv)),
+      s"fast-start re-checkpoint must keep the flip tombstones: $rms3")
+  }
+
   test("exportDeleteWhere prunes candidates by log stats: a file whose bounds disprove the predicate never flips") {
     import graft.sources.DeletionVectors
     import spark.implicits._
