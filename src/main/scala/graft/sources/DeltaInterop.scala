@@ -1437,7 +1437,7 @@ object DeltaInterop {
     import org.apache.spark.sql.functions.{col, collect_set, expr, sort_array}
     val (v0, st0) = replayState(spark, path)
     requireWritable(st0, path, "exportDeleteWhere", removesRows = true,
-      writesRows = false, dvFlip = true)
+      writesRows = false)
     requireUnmapped(st0, path, "exportDeleteWhere")
     requireNoPosCollision(st0.schema, st0.physical,
       "deletion-vector delete")
@@ -1504,6 +1504,41 @@ object DeltaInterop {
         (p, DeletionVectors.serialize(pos), pos.length.toLong) }
       .collect().toSeq.sortBy(_._1)
     if (perFile.isEmpty) return v0 // no live row matches — no-op
+    // delta.enableChangeDataFeed=true obliges ROW-LEVEL change files
+    // for a DV flip: a foreign CDF reader sees remove+re-add of the
+    // same path as a file rewrite, so the deleted rows materialize
+    // under _change_data/ with _change_type='delete' and the commit
+    // carries cdc actions — which CDF readers then use as the ONLY
+    // change source for this commit (PROTOCOL.md "Change Data Files";
+    // cdc actions are dataChange=false BY SPEC). Staged pre-claim like
+    // the DV file: uncommitted files are invisible, and the OCC rebase
+    // declines any concurrent append/flip, so the staged rows stay
+    // exactly the commit's delete set on every attempt.
+    val cdcActs: Seq[String] =
+      if (!st0.config.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true"))) Nil
+      else {
+        val delRows = withPos.filter(expr(predicate))
+          .join(fresh, Seq("path", "row_index"), "left_semi")
+          .drop("path", "row_index")
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete"))
+        val stage = root(path).resolve("_change_data")
+          .resolve("cdc-" + java.util.UUID.randomUUID.toString.take(12))
+        val writer = if (st0.partitionBy.nonEmpty)
+          delRows.write.partitionBy(st0.partitionBy: _*) else delRows.write
+        writer.parquet(stage.toString)
+        val cdcSchema = StructType(st0.schema.fields :+
+          StructField("_change_type", StringType))
+        DeltaLite.footerAdds(spark, root(path), stage, cdcSchema,
+          st0.partitionBy, Map.empty).map(a =>
+          JsonMethods.compact(JObject(List("cdc" -> JObject(List(
+            "path" -> JString(encodePath(a.path)),
+            "partitionValues" -> JObject(a.pv.toList.sortBy(_._1)
+              .map { case (k, v) => k -> JString(v) }),
+            "size" -> JLong(a.bytes),
+            "dataChange" -> JBool(false)))))))
+      }
     val descs = DeletionVectors.writeDvFilePacked(root(path),
       perFile.map(e => (e._2, e._3)))
     val newDv: Map[String, DeletionVectors.Descriptor] =
@@ -1514,7 +1549,7 @@ object DeltaInterop {
       perFile.map { case (p, _, _) => p -> dvIdent(st0.live(p)) }.toMap
     occCommit(spark, path, "exportDeleteWhere", Some((v0, st0))) { st =>
       requireWritable(st, path, "exportDeleteWhere", removesRows = true,
-        writesRows = false, dvFlip = true)
+        writesRows = false)
       requireUnmapped(st, path, "exportDeleteWhere")
       // rebase safety: every touched file must still be live under the
       // EXACT DV identity the union was computed against — a foreign
@@ -1550,7 +1585,7 @@ object DeltaInterop {
             Some(DvMarker + DeletionVectors.toJson(newDv(p))))
           Seq(removeLine(old, now),
             JsonMethods.compact(encodeDeltaAdd(upd, st.schema)))
-        } :+ commitInfoLine("DELETE")
+        } ++ cdcActs :+ commitInfoLine("DELETE")
     }
   }
 
@@ -1643,8 +1678,7 @@ object DeltaInterop {
     "typeWidening-preview", "vacuumProtocolCheck", "v2Checkpoint")
 
   private def requireWritable(st: State, path: String, op: String,
-      removesRows: Boolean, writesRows: Boolean = true,
-      dvFlip: Boolean = false): Unit = {
+      removesRows: Boolean, writesRows: Boolean = true): Unit = {
     val feats = effectiveWriterFeatures(st)
     val unmet = (feats -- HonoredWriterFeatures).toSeq.sorted
     require(unmet.isEmpty,
@@ -1682,16 +1716,6 @@ object DeltaInterop {
           "writer to produce conforming values — this exporter writes " +
           "the caller's batch verbatim and declines instead")
     }
-    // a DV flip commit without cdc files would MIS-DERIVE in foreign
-    // CDF readers (remove+re-add of the same path reads as a file
-    // rewrite, not a row-level delete) — decline when the table has
-    // CDF enabled; plain appends/overwrites/partition deletes derive
-    // correctly from their dataChange actions and stay allowed
-    require(!dvFlip || !st.config.get("delta.enableChangeDataFeed")
-        .exists(_.equalsIgnoreCase("true")),
-      s"$op on $path: delta.enableChangeDataFeed=true obliges cdc " +
-        "files for row-level deletes, which this exporter does not " +
-        "write — foreign CDF readers would mis-derive the DV flip")
     // invariants gate ONLY commits that write rows (a remove-only
     // partition delete adds no data, so any invariant is vacuously
     // preserved — review finding); the scan is RECURSIVE, Delta allows

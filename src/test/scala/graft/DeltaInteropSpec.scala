@@ -1104,21 +1104,96 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       "checkpoint add rows are restatements: dataChange must be false")
     assert(cp.filter(col("remove.deletionVector").isNotNull).count() >= 1,
       "tombstones of DV'd files must carry the DV identity")
-    // a CDF-enabled table declines the DV flip (cdc write obligation)
+  }
+
+  test("exportDeleteWhere on a CDF-enabled table writes _change_data files: our tableChanges AND a foreign-style cdc read agree row-for-row with the DV diff") {
+    import spark.implicits._
     val cdfPath = tmp("interop_dv_delete_cdf")
-    DeltaInterop.exportToDelta(spark, (1L to 4L).toDF("id").coalesce(1),
-      cdfPath)
-    val logDir2 = Paths.get(cdfPath, "_delta_log")
+    val cdfDir = Paths.get(cdfPath)
+    DeltaInterop.exportToDelta(spark, (1L to 8L).toDF("id").coalesce(1),
+      cdfPath)                                                       // v0
+    val logDir2 = cdfDir.resolve("_delta_log")
     val schemaJson = org.json4s.jackson.JsonMethods.compact(
       org.json4s.JString(new org.apache.spark.sql.types.StructType()
         .add("id", "long").json))
-    Files.write(logDir2.resolve(f"${1L}%020d.json"),
+    Files.write(logDir2.resolve(f"${1L}%020d.json"),               // v1
       (s"""{"metaData":{"id":"m-cdf","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" +
         "\n").getBytes("UTF-8"))
-    val cdfErr = intercept[IllegalArgumentException] {
-      DeltaInterop.exportDeleteWhere(spark, cdfPath, "id = 1")
+    val vDel = DeltaInterop.exportDeleteWhere(spark, cdfPath, "id % 2 = 0")
+    assert(vDel === 2L)
+    assert(DeltaInterop.read(spark, cdfPath).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L, 7L))
+    // the commit carries cdc actions (dataChange=false BY SPEC)
+    // pointing under _change_data/
+    val commitJson = new String(Files.readAllBytes(
+      logDir2.resolve(f"${2L}%020d.json")), "UTF-8")
+    assert(commitJson.contains(""""cdc":{"path":"_change_data/"""),
+      s"the DV-flip commit must carry cdc actions: $commitJson")
+    assert(!commitJson.contains(""""cdc":{"path":"_change_data/""" + "\"")
+      && commitJson.split("\n").filter(_.contains(""""cdc"""")).forall(
+        _.contains(""""dataChange":false""")),
+      "cdc actions must be dataChange=false")
+    // foreign-style read: the cdc parquet files themselves hold the
+    // deleted rows with _change_type='delete'
+    val cdcFiles = {
+      val w = Files.walk(cdfDir.resolve("_change_data"))
+      try w.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally w.close()
     }
-    assert(cdfErr.getMessage.contains("enableChangeDataFeed"))
+    assert(cdcFiles.nonEmpty)
+    val foreign = spark.read.parquet(cdcFiles: _*)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(foreign === Seq(2L, 4L, 6L, 8L).map(_ -> "delete"))
+    // our own tableChanges takes the cdc route (precedence over the
+    // add/remove DV diff) and agrees with it
+    val cdf = DeltaInterop.tableChanges(spark, cdfPath, 2L, 2L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(cdf === foreign)
+    // RE-delete: cdc carries only the FRESH deletes (already-deleted
+    // rows are not re-announced)
+    val vDel2 = DeltaInterop.exportDeleteWhere(spark, cdfPath, "id <= 3")
+    assert(vDel2 === 3L)
+    val cdf2 = DeltaInterop.tableChanges(spark, cdfPath, 3L, 3L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(cdf2 === Seq(1L, 3L).map(_ -> "delete"),
+      s"re-delete cdc must carry only fresh deletes: $cdf2")
+  }
+
+  test("exportDeleteWhere cdc on a PARTITIONED CDF table: change files land per partition with partitionValues, and tableChanges re-attaches them") {
+    import spark.implicits._
+    val path = tmp("interop_dv_cdc_part")
+    val dir = Paths.get(path)
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "p"),
+      path, partitionBy = Seq("p"))                                  // v0
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("p", "string").json))
+    Files.write(dir.resolve("_delta_log").resolve(f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"m-cdfp","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" +
+        "\n").getBytes("UTF-8"))                                     // v1
+    val v = DeltaInterop.exportDeleteWhere(spark, path, "id % 2 = 0")
+    assert(v === 2L)
+    val commitJson = new String(Files.readAllBytes(
+      dir.resolve("_delta_log").resolve(f"${2L}%020d.json")), "UTF-8")
+    val cdcLines = commitJson.split("\n").filter(_.contains(""""cdc""""))
+    assert(cdcLines.length === 2 &&
+      cdcLines.exists(_.contains(""""partitionValues":{"p":"a"}""")) &&
+      cdcLines.exists(_.contains(""""partitionValues":{"p":"b"}""")),
+      s"cdc actions must carry per-partition partitionValues: " +
+        cdcLines.mkString(" | "))
+    val cdf = DeltaInterop.tableChanges(spark, path, 2L, 2L)
+      .select("id", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(cdf === Seq((2L, "a", "delete"), (4L, "b", "delete")),
+      s"partition columns must re-attach through the cdc read: $cdf")
+    assert(DeltaInterop.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
   }
 
   test("DV-flip tombstones: a checkpoint restates every superseded (path, DV) identity, survives JSON log cleanup, and a fast-start re-checkpoint round-trips them") {
