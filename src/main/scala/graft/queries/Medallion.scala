@@ -4876,6 +4876,110 @@ ORDER BY bucket ASC NULLS LAST"""),
          GROUP BY 1
          ORDER BY o_orderstatus ASC NULLS LAST""")),
 
+    // ------------------------------------------------------------------ S77
+    // Row-level UPDATE via deletion vectors on the EXPORT path
+    // (round 18): graft.sources.DeltaInterop.exportUpdateWhere DVs
+    // the matched rows out of their files and appends the rewritten
+    // rows as fresh files in ONE commit — no surviving byte moves.
+    // Two sequential updates exercise the fresh-DV AND the
+    // old-∪-new union paths; the second predicate reads the first's
+    // committed state (cents untouched by update 1, so the oracle's
+    // CASE chain stays exact integer arithmetic). The serving read is
+    // the graft-delta dispatch over the DV'd standard log.
+    QueryDef("s77_delta_update", (s, dir) => {
+      val path = tmp("s77_delta")
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus"))
+        .coalesce(2)
+      graft.sources.DeltaInterop.exportToDelta(s, src, path)
+      graft.sources.DeltaInterop.exportUpdateWhere(s, path,
+        "o_orderstatus = 'F'", Map("o_orderstatus" -> "'U'"))
+      graft.sources.DeltaInterop.exportUpdateWhere(s, path,
+        "cents % 10 = 3", Map("cents" -> "cents + 1000000"))
+      s.read.format("graft-delta").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderstatus
+           FROM orders),
+         u1 AS (
+           SELECT o_orderkey, cents,
+                  CASE WHEN o_orderstatus = 'F' THEN 'U'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM base),
+         u2 AS (
+           SELECT o_orderkey,
+                  CASE WHEN cents % 10 = 3 THEN cents + 1000000
+                       ELSE cents END AS cents,
+                  o_orderstatus
+           FROM u1)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM u2
+         GROUP BY 1
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    // ------------------------------------------------------------------ S78
+    // MERGE (upsert) on the EXPORT path (round 18) — the reference
+    // stack's bread-and-butter: dbt incremental `merge` materialized
+    // to a shared Delta table. exportMerge DVs each matched target
+    // row, appends the source's rewrites + inserts as fresh files,
+    // and commits once under OCC. Candidate files prune by the
+    // source's key bounds — at 100 TB a selective merge opens only
+    // key-overlapping files. Matched keys (o_orderkey % 7 = 0)
+    // rewrite to the source's values; negated keys are guaranteed-new
+    // inserts. Oracle: the same upsert restated as a CASE + UNION ALL.
+    QueryDef("s78_delta_merge", (s, dir) => {
+      val path = tmp("s78_delta")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus"))
+      graft.sources.DeltaInterop.exportToDelta(s, base.coalesce(2), path)
+      val source = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("cents") + 5).as("cents"),
+          lit("M").as("o_orderstatus"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 0 &&
+            col("o_orderkey") > 0) // key 0 would negate to itself
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("cents"), lit("N").as("o_orderstatus")))
+      graft.sources.DeltaInterop.exportMerge(s, path, source,
+        Seq("o_orderkey"))
+      s.read.format("graft-delta").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    }, Some(
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderstatus
+           FROM orders),
+         merged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN cents + 5
+                       ELSE cents END AS cents,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'M'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM base
+           UNION ALL
+           SELECT -o_orderkey, cents, 'N'
+           FROM base WHERE o_orderkey % 11 = 0 AND o_orderkey > 0)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM merged
+         GROUP BY 1
+         ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     // ------------------------------------------------------------------ S67
     // CONVERT FROM DELTA (zero-copy adoption): a standard Delta table
     // becomes a graft-delta table in place — graft's version 0 restates

@@ -1488,10 +1488,241 @@ object DeltaInterop {
     val fresh = graft.Frames.cut(matches.join(oldPos,
       col("path") === col("__dv_path") &&
         col("row_index") === col("__dv_ri"), "left_anti"))
+    dvFlipCommit(spark, path, "exportDeleteWhere", "DELETE", v0, st0,
+      fresh, oldPos, () => Nil,
+      () => Some(withPos.filter(expr(predicate))
+        .join(fresh, Seq("path", "row_index"), "left_semi")
+        .drop("path", "row_index")
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete"))))
+  }
+
+  /** Row-level UPDATE via deletion vectors on the export path: DV the
+    * matched rows out of their files (zero data-file rewrites of
+    * survivors) and append the rewritten rows as fresh files, in ONE
+    * OCC commit. `set` maps column name → SQL expression; every
+    * expression evaluates against the row's OLD values (standard
+    * UPDATE semantics) and casts to the column's declared type.
+    * Updating a partition column is allowed — the rewritten rows land
+    * in their new partitions through the partitioned stage write.
+    * Matching, pruning, DV union, rebase and serializability rules
+    * are [[exportDeleteWhere]]'s (shared machinery); the appended
+    * files additionally pass the row-writing gates (CHECK/generated/
+    * identity/invariants, non-null enforcement). CDF tables get
+    * update_preimage/update_postimage change files. */
+  def exportUpdateWhere(spark: SparkSession, path: String,
+      predicate: String, set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val (v0, st0) = replayState(spark, path)
+    requireWritable(st0, path, "exportUpdateWhere", removesRows = true,
+      writesRows = true)
+    requireUnmapped(st0, path, "exportUpdateWhere")
+    requireNoPosCollision(st0.schema, st0.physical,
+      "deletion-vector update")
+    require(set.nonEmpty, s"exportUpdateWhere on $path: empty SET")
+    val unknown = set.keySet -- st0.schema.fieldNames
+    require(unknown.isEmpty,
+      s"exportUpdateWhere on $path: SET names unknown column(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    val live = st0.live.values.toSeq
+    if (live.isEmpty) return v0
+    val emptyT = spark.createDataFrame(
+      new java.util.ArrayList[Row](), st0.schema)
+    val probe = emptyT.filter(expr(predicate))
+    val conds = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition -> f.child.outputSet
+    }
+    require(conds.forall(_._1.deterministic),
+      s"exportUpdateWhere on $path: predicate '$predicate' is " +
+        "nondeterministic — a deletion vector must name a stable row " +
+        "set; materialize the choice into a column first")
+    // SET expressions re-evaluate on rebase retries and feed cdc
+    // postimages — nondeterminism would let the three disagree
+    val setProbe = emptyT.select(
+      set.toSeq.map { case (k, e) => expr(e).as(k) }: _*)
+    require(setProbe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+      s"exportUpdateWhere on $path: a SET expression is " +
+        "nondeterministic — materialize the choice into a column first")
+    val bounds = conds.flatMap { case (c, out) =>
+      graft.plans.BranchFilePruning.boundsOf(c, out) }
+    val candidates =
+      if (bounds.isEmpty) live
+      else DeltaLite.pruneFiles(toSnapshot(v0, st0), bounds)
+    if (candidates.isEmpty) return v0
+    val withPos = DeltaLite.readFilesWithPos(spark, path, st0.schema,
+      candidates.map(_.copy(dv = None)), st0.partitionBy, st0.physical,
+      st0.config)
+    val oldDvs = candidates.flatMap(f => dvDescriptor(f).map(f.path -> _))
+    val (oldPos, _) = dvPositionsFrame(spark, path, oldDvs)
+    // matched LIVE rows with their data — multi-referenced (positions,
+    // rewrite source, cdc preimage), so cut once
+    val matchedData = graft.Frames.cut(withPos.filter(expr(predicate))
+      .join(oldPos, col("path") === col("__dv_path") &&
+        col("row_index") === col("__dv_ri"), "left_anti")
+      .drop("__dv_path", "__dv_ri"))
+    val fresh = matchedData.select(col("path"), col("row_index"))
+    // every SET expression sees the OLD row (one select, not chained
+    // withColumn — a chained form would let one SET read another's
+    // result); the cast to the declared type is UPDATE's implicit cast
+    val rewritten = matchedData.select(st0.schema.fields.map(f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))).toSeq: _*)
+    requireSchemaMatch(rewritten, st0, path, "exportUpdateWhere")
+    dvFlipCommit(spark, path, "exportUpdateWhere", "UPDATE", v0, st0,
+      fresh, oldPos,
+      () => if (matchedData.isEmpty) Nil
+        else writeDataFiles(spark, rewritten, root(path), st0.partitionBy),
+      () => Some(
+        matchedData.drop("path", "row_index")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(rewritten
+            .withColumn("_change_type", lit("update_postimage")))))
+  }
+
+  /** MERGE (upsert) on the export path — the reference stack's
+    * bread-and-butter shape (dbt incremental `merge` materialized to
+    * a shared Delta table): target rows matching a source row on
+    * `keys` are rewritten with the source row's values (WHEN MATCHED
+    * THEN UPDATE SET *), source rows matching no live target row
+    * insert (WHEN NOT MATCHED THEN INSERT *). Matched target rows DV
+    * out of their files; the source batch's rewrites + inserts append
+    * as fresh files; ONE OCC commit carries both. Source keys must be
+    * unique (two source rows matching one target row is ambiguous —
+    * delta-spark's multiple-source-match error). Candidate files
+    * prune by the source's per-key min/max against log stats — a
+    * selective merge into a 100 TB table opens only key-overlapping
+    * files. CDF tables get update_preimage/update_postimage/insert
+    * change files. */
+  def exportMerge(spark: SparkSession, path: String,
+      source: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val (v0, st0) = replayState(spark, path)
+    requireWritable(st0, path, "exportMerge", removesRows = true,
+      writesRows = true)
+    requireUnmapped(st0, path, "exportMerge")
+    requireNoPosCollision(st0.schema, st0.physical,
+      "deletion-vector merge")
+    requireSchemaMatch(source, st0, path, "exportMerge")
+    require(keys.nonEmpty, s"exportMerge on $path: empty key list")
+    val unknown = keys.toSet -- st0.schema.fieldNames
+    require(unknown.isEmpty,
+      s"exportMerge on $path: unknown key column(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    val src = graft.Frames.cut(source)
+    require(src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count() == 0L,
+      s"exportMerge on $path: duplicate source keys — a target row " +
+        "matched by two source rows is ambiguous (delta-spark's " +
+        "multiple-source-match error); de-duplicate the source first")
+    val live = st0.live.values.toSeq
+    if (src.isEmpty) return v0 // empty source: nothing matches, nothing inserts
+    // key-bound candidate pruning — the 100 TB lever: a merge's
+    // touchable files are those whose logged per-key min/max overlap
+    // the SOURCE's key ranges (one small agg over the source); a
+    // pruned-out file has some key column's range disjoint from every
+    // source value, so no row in it can match
+    val keyTypes = keys.map(k => k -> st0.schema(k).dataType)
+    val aggExprs = keyTypes.zipWithIndex.flatMap { case ((k, _), i) =>
+      Seq(min(col(k)).as(s"mn$i"), max(col(k)).as(s"mx$i")) }
+    val mm = src.agg(aggExprs.head, aggExprs.tail: _*).collect().head
+    val bounds = keyTypes.zipWithIndex.flatMap { case ((k, dt), i) =>
+      (decodedBoundValue(dt, mm.get(2 * i)),
+        decodedBoundValue(dt, mm.get(2 * i + 1))) match {
+        case (lo @ Some(_), hi @ Some(_)) =>
+          Some(DeltaLite.ColumnBound(k, lower = lo, upper = hi))
+        case _ => None
+      }
+    }
+    val candidates =
+      if (bounds.isEmpty) live
+      else DeltaLite.pruneFiles(toSnapshot(v0, st0), bounds)
+    val withPos = DeltaLite.readFilesWithPos(spark, path, st0.schema,
+      candidates.map(_.copy(dv = None)), st0.partitionBy, st0.physical,
+      st0.config)
+    val oldDvs = candidates.flatMap(f => dvDescriptor(f).map(f.path -> _))
+    val (oldPos, _) = dvPositionsFrame(spark, path, oldDvs)
+    // matched LIVE target rows (deleted rows must neither flip again
+    // nor block a source row from inserting) — multi-referenced, cut
+    val matchedData = graft.Frames.cut(withPos
+      .join(src.select(keys.map(col): _*), keys, "left_semi")
+      .join(oldPos, col("path") === col("__dv_path") &&
+        col("row_index") === col("__dv_ri"), "left_anti")
+      .drop("__dv_path", "__dv_ri"))
+    val fresh = matchedData.select(col("path"), col("row_index"))
+    // WHEN MATCHED: each matched target row takes its source row's
+    // values (a key shared by N target rows yields N identical
+    // rewrites — delta-spark's multi-target-match semantics)
+    val rewritten = matchedData.select(keys.map(col): _*)
+      .join(src, keys, "inner")
+      .select(st0.schema.fieldNames.map(col).toSeq: _*)
+    // WHEN NOT MATCHED: source rows whose key matches no LIVE target
+    // row (candidate pruning is sound for this anti-join too — a
+    // non-candidate file cannot hold a matching key)
+    val inserts = src.join(matchedData.select(keys.map(col): _*),
+      keys, "left_anti").select(st0.schema.fieldNames.map(col).toSeq: _*)
+    val appendDf = rewritten.unionByName(inserts)
+    dvFlipCommit(spark, path, "exportMerge", "MERGE", v0, st0,
+      fresh, oldPos,
+      () => if (appendDf.isEmpty) Nil
+        else writeDataFiles(spark, appendDf, root(path), st0.partitionBy),
+      () => Some(
+        matchedData.drop("path", "row_index")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(rewritten
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(inserts
+            .withColumn("_change_type", lit("insert")))))
+  }
+
+  /** A collected external value → the decoded representation
+    * [[DeltaLite.pruneFiles]] compares stats in (epoch-day /
+    * epoch-micros longs for temporal types). None = no bound for this
+    * type (pruning is only an optimization). */
+  private def decodedBoundValue(dt: DataType, v: Any): Option[Any] =
+    (dt, v) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(n.longValue)
+      case (FloatType | DoubleType, n: Number) => Some(n.doubleValue)
+      case (StringType, s: String) => Some(s)
+      case (_: DecimalType, d: java.math.BigDecimal) => Some(BigDecimal(d))
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (TimestampNTZType, l: java.time.LocalDateTime) =>
+        Some(l.toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+          * 1000000L + l.getNano / 1000L)
+      case _ => None
+    }
+
+  /** The shared COMMIT TAIL of the row-level DV write surfaces
+    * (DELETE / UPDATE / MERGE): per-file DV union (fresh positions ∪
+    * the file's existing deletes, touched files only — untouched DV
+    * files keep their descriptor), packed DV file write, cdc staging
+    * when CDF is enabled, and the OCC commit with rebase-identity +
+    * concurrent-append serializability checks. `fresh` is the
+    * (path, row_index) frame of freshly-deleted positions (already
+    * anti-joined against existing DVs, already cut); `stageAdds`
+    * stages the op's appended data files (empty for DELETE) and runs
+    * only when the commit will actually be attempted; `cdcFrame`
+    * builds the change rows (table columns + _change_type) and runs
+    * only when delta.enableChangeDataFeed=true. cdc files stage
+    * pre-claim like the DV file: uncommitted files are invisible, and
+    * the rebase declines any concurrent append/flip, so the staged
+    * rows stay exactly the commit's change set on every attempt. */
+  private def dvFlipCommit(spark: SparkSession, path: String,
+      op: String, commitOp: String, v0: Long, st0: State,
+      fresh: DataFrame, oldPos: DataFrame,
+      stageAdds: () => Seq[AddFile],
+      cdcFrame: () => Option[DataFrame]): Long = {
+    import org.apache.spark.sql.functions.{col, collect_set, sort_array}
     val touched = fresh.select(col("path")).distinct()
-    // final per-file DV = fresh matches ∪ the file's EXISTING deletes
-    // (old positions join in only for touched files — untouched DV
-    // files keep their current descriptor, no gratuitous flip)
     val finalPos = fresh.unionByName(
       oldPos.toDF("path", "row_index")
         .join(touched, Seq("path"), "left_semi"))
@@ -1503,54 +1734,33 @@ object DeltaInterop {
       .map { case (p, pos) =>
         (p, DeletionVectors.serialize(pos), pos.length.toLong) }
       .collect().toSeq.sortBy(_._1)
-    if (perFile.isEmpty) return v0 // no live row matches — no-op
-    // delta.enableChangeDataFeed=true obliges ROW-LEVEL change files
-    // for a DV flip: a foreign CDF reader sees remove+re-add of the
-    // same path as a file rewrite, so the deleted rows materialize
-    // under _change_data/ with _change_type='delete' and the commit
-    // carries cdc actions — which CDF readers then use as the ONLY
-    // change source for this commit (PROTOCOL.md "Change Data Files";
-    // cdc actions are dataChange=false BY SPEC). Staged pre-claim like
-    // the DV file: uncommitted files are invisible, and the OCC rebase
-    // declines any concurrent append/flip, so the staged rows stay
-    // exactly the commit's delete set on every attempt.
+    val newAdds = stageAdds()
+    if (perFile.isEmpty && newAdds.isEmpty) return v0 // no-op
+    // delta.enableChangeDataFeed=true obliges ROW-LEVEL change files:
+    // a foreign CDF reader sees remove+re-add of the same path as a
+    // file rewrite, so the change rows materialize under
+    // _change_data/ and the commit carries cdc actions — which CDF
+    // readers then use as the ONLY change source for this commit
+    // (PROTOCOL.md "Change Data Files"; dataChange=false BY SPEC)
     val cdcActs: Seq[String] =
       if (!st0.config.get("delta.enableChangeDataFeed")
           .exists(_.equalsIgnoreCase("true"))) Nil
-      else {
-        val delRows = withPos.filter(expr(predicate))
-          .join(fresh, Seq("path", "row_index"), "left_semi")
-          .drop("path", "row_index")
-          .withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("delete"))
-        val stage = root(path).resolve("_change_data")
-          .resolve("cdc-" + java.util.UUID.randomUUID.toString.take(12))
-        val writer = if (st0.partitionBy.nonEmpty)
-          delRows.write.partitionBy(st0.partitionBy: _*) else delRows.write
-        writer.parquet(stage.toString)
-        val cdcSchema = StructType(st0.schema.fields :+
-          StructField("_change_type", StringType))
-        DeltaLite.footerAdds(spark, root(path), stage, cdcSchema,
-          st0.partitionBy, Map.empty).map(a =>
-          JsonMethods.compact(JObject(List("cdc" -> JObject(List(
-            "path" -> JString(encodePath(a.path)),
-            "partitionValues" -> JObject(a.pv.toList.sortBy(_._1)
-              .map { case (k, v) => k -> JString(v) }),
-            "size" -> JLong(a.bytes),
-            "dataChange" -> JBool(false)))))))
-      }
-    val descs = DeletionVectors.writeDvFilePacked(root(path),
-      perFile.map(e => (e._2, e._3)))
+      else cdcFrame().map(stageCdcFiles(spark, path, _, st0))
+        .getOrElse(Nil)
+    val descs =
+      if (perFile.isEmpty) Nil
+      else DeletionVectors.writeDvFilePacked(root(path),
+        perFile.map(e => (e._2, e._3)))
     val newDv: Map[String, DeletionVectors.Descriptor] =
       perFile.map(_._1).zip(descs).toMap
     def dvIdent(f: AddFile): Option[(String, String, Option[Int])] =
-      dvDescriptor(f).map(d => (d.storageType, d.pathOrInlineDv, d.offset))
+      dvDescriptor(f).map(dvIdentity)
     val oldIdent: Map[String, Option[(String, String, Option[Int])]] =
       perFile.map { case (p, _, _) => p -> dvIdent(st0.live(p)) }.toMap
-    occCommit(spark, path, "exportDeleteWhere", Some((v0, st0))) { st =>
-      requireWritable(st, path, "exportDeleteWhere", removesRows = true,
-        writesRows = false)
-      requireUnmapped(st, path, "exportDeleteWhere")
+    occCommit(spark, path, op, Some((v0, st0))) { st =>
+      requireWritable(st, path, op, removesRows = true,
+        writesRows = newAdds.nonEmpty)
+      requireUnmapped(st, path, op)
       // rebase safety: every touched file must still be live under the
       // EXACT DV identity the union was computed against — a foreign
       // flip in the race window means our union misses its deletes
@@ -1558,35 +1768,59 @@ object DeltaInterop {
       // file is gone (committing would resurrect the whole file)
       perFile.foreach { case (p, _, _) =>
         val cur = st.live.get(p).getOrElse(sys.error(
-          s"exportDeleteWhere on $path: file '$p' was removed by a " +
-            "concurrent writer — re-run the delete against fresh state"))
+          s"$op on $path: file '$p' was removed by a concurrent " +
+            "writer — re-run against fresh state"))
         require(dvIdent(cur) == oldIdent(p),
-          s"exportDeleteWhere on $path: the deletion vector of '$p' " +
-            "changed concurrently — re-run the delete against fresh " +
-            "state (committing a stale union would resurrect rows)")
+          s"$op on $path: the deletion vector of '$p' changed " +
+            "concurrently — re-run against fresh state (committing a " +
+            "stale union would resurrect rows)")
       }
       // serializability: a file APPENDED in the race window may hold
-      // rows matching the predicate this delete never evaluated —
+      // rows matching the predicate/keys this op never evaluated —
       // committing over it yields a history no serial order explains
-      // (delete@v+1 that ignores append@v's matching rows;
-      // delta-spark's ConcurrentAppendException). Decline every
+      // (delta-spark's ConcurrentAppendException). Decline every
       // concurrent add; re-running re-evaluates the full live set.
       val appended = st.live.keySet -- st0.live.keySet
       require(appended.isEmpty,
-        s"exportDeleteWhere on $path: file(s) " +
+        s"$op on $path: file(s) " +
           s"${appended.toSeq.sorted.take(3).mkString(", ")} were " +
-          "appended concurrently and may match the predicate — " +
-          "re-run the delete against fresh state")
+          "appended concurrently and may match — re-run against " +
+          "fresh state")
       val now = System.currentTimeMillis()
-      dvProtocolUpgrade(st).toSeq ++
+      (if (perFile.isEmpty) None else dvProtocolUpgrade(st)).toSeq ++
         perFile.flatMap { case (p, _, _) =>
           val old = st.live(p)
           val upd = old.copy(dv =
             Some(DvMarker + DeletionVectors.toJson(newDv(p))))
           Seq(removeLine(old, now),
             JsonMethods.compact(encodeDeltaAdd(upd, st.schema)))
-        } ++ cdcActs :+ commitInfoLine("DELETE")
+        } ++
+        newAdds.map(a => JsonMethods.compact(
+          encodeDeltaAdd(a, st.schema))) ++
+        cdcActs :+ commitInfoLine(commitOp)
     }
+  }
+
+  /** Stage `df` (table columns + _change_type) as change-data parquet
+    * under `_change_data/` — per-partition files when the table is
+    * partitioned — and return the commit's cdc action lines. */
+  private def stageCdcFiles(spark: SparkSession, path: String,
+      df: DataFrame, st0: State): Seq[String] = {
+    val stage = root(path).resolve("_change_data")
+      .resolve("cdc-" + java.util.UUID.randomUUID.toString.take(12))
+    val writer = if (st0.partitionBy.nonEmpty)
+      df.write.partitionBy(st0.partitionBy: _*) else df.write
+    writer.parquet(stage.toString)
+    val cdcSchema = StructType(st0.schema.fields :+
+      StructField("_change_type", StringType))
+    DeltaLite.footerAdds(spark, root(path), stage, cdcSchema,
+      st0.partitionBy, Map.empty).map(a =>
+      JsonMethods.compact(JObject(List("cdc" -> JObject(List(
+        "path" -> JString(encodePath(a.path)),
+        "partitionValues" -> JObject(a.pv.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JString(v) }),
+        "size" -> JLong(a.bytes),
+        "dataChange" -> JBool(false)))))))
   }
 
   /** The `deletionVectors` protocol upgrade, when the table's current

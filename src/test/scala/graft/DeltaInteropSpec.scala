@@ -1246,6 +1246,180 @@ class DeltaInteropSpec extends AnyFunSuite with TestSpark {
       s"fast-start re-checkpoint must keep the flip tombstones: $rms3")
   }
 
+  test("exportUpdateWhere: DV the old rows + append rewritten rows in one commit; SET sees OLD values; re-update unions; time travel; CDF pre/postimages") {
+    import spark.implicits._
+    val path = tmp("interop_update")
+    val dir = Paths.get(path)
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+        .toDF("id", "v").coalesce(1), path)                          // v0
+    def state(): Seq[(Long, Long)] = DeltaInterop.read(spark, path)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def dataFiles(): Set[String] = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.map(dir.relativize(_).toString)
+        .filter(p => p.endsWith(".parquet") && !p.startsWith("_"))
+        .toSet
+      finally s.close()
+    }
+    val before = dataFiles()
+    // SET expressions see the OLD row: swapping via v = v + id,
+    // id = id * 10 must use the ORIGINAL v and id in both
+    val v1 = DeltaInterop.exportUpdateWhere(spark, path, "id % 2 = 0",
+      Map("v" -> "v + id", "id" -> "id * 10"))
+    assert(v1 === 1L)
+    assert(state() === Seq((1L, 10L), (3L, 30L), (20L, 22L), (40L, 44L)))
+    assert(before.subsetOf(dataFiles()),
+      "an update must not rewrite the original data files")
+    assert(DeltaInterop.read(spark, path, Some(0L)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+      "time travel must see the pre-update state")
+    // re-update touches a previously-updated file → DV union path
+    val v2 = DeltaInterop.exportUpdateWhere(spark, path, "id = 1",
+      Map("v" -> "v * 100"))
+    assert(v2 === 2L)
+    assert(state() === Seq((1L, 1000L), (3L, 30L), (20L, 22L), (40L, 44L)))
+    // no-match update is a no-op
+    assert(DeltaInterop.exportUpdateWhere(spark, path, "id > 999",
+      Map("v" -> "0")) === 2L)
+    // nondeterministic SET declines
+    val ndErr = intercept[IllegalArgumentException] {
+      DeltaInterop.exportUpdateWhere(spark, path, "id = 1",
+        Map("v" -> "CAST(rand() * 100 AS BIGINT)"))
+    }
+    assert(ndErr.getMessage.contains("nondeterministic"))
+    // unknown SET column declines
+    val unkErr = intercept[IllegalArgumentException] {
+      DeltaInterop.exportUpdateWhere(spark, path, "id = 1",
+        Map("nope" -> "1"))
+    }
+    assert(unkErr.getMessage.contains("unknown column"))
+    // CDF table: update writes update_preimage + update_postimage
+    val cdfPath = tmp("interop_update_cdf")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), cdfPath)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("v", "long").json))
+    Files.write(Paths.get(cdfPath, "_delta_log")
+      .resolve(f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"m-ucdf","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" +
+        "\n").getBytes("UTF-8"))
+    DeltaInterop.exportUpdateWhere(spark, cdfPath, "id = 2",
+      Map("v" -> "v + 1"))
+    val cdf = DeltaInterop.tableChanges(spark, cdfPath, 2L, 2L)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(cdf === Seq((2L, 20L, "update_preimage"),
+      (2L, 21L, "update_postimage")), s"CDF must carry both images: $cdf")
+  }
+
+  test("exportUpdateWhere moves rows across partitions when SET touches a partition column") {
+    import spark.implicits._
+    val path = tmp("interop_update_part")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"),
+      path, partitionBy = Seq("p"))
+    DeltaInterop.exportUpdateWhere(spark, path, "id = 1",
+      Map("p" -> "'b'"))
+    val out = DeltaInterop.read(spark, path).select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((1L, "b"), (2L, "a"), (3L, "b")))
+    // partition pruning still serves the moved row from its NEW side
+    val bSide = DeltaInterop.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("p") === "b")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bSide === Seq(1L, 3L))
+  }
+
+  test("exportMerge: matched rows rewrite to source values, unmatched insert, DV-deleted rows re-insert; duplicate source keys decline; CDF carries all three change types") {
+    import spark.implicits._
+    val path = tmp("interop_merge")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1),
+      path)                                                          // v0
+    def state(): Seq[(Long, String)] = DeltaInterop.read(spark, path)
+      .select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val v1 = DeltaInterop.exportMerge(spark, path,
+      Seq((2L, "B"), (4L, "D")).toDF("id", "s"), Seq("id"))
+    assert(v1 === 1L)
+    assert(state() === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(DeltaInterop.read(spark, path, Some(0L)).count() === 3L)
+    // a row deleted via DV must not block its key from re-inserting
+    DeltaInterop.exportDeleteWhere(spark, path, "id = 3")            // v2
+    val v3 = DeltaInterop.exportMerge(spark, path,
+      Seq((3L, "C2")).toDF("id", "s"), Seq("id"))
+    assert(v3 === 3L)
+    assert(state() === Seq((1L, "a"), (2L, "B"), (3L, "C2"), (4L, "D")))
+    // duplicate source keys decline (ambiguous multi-source match)
+    val dupErr = intercept[IllegalArgumentException] {
+      DeltaInterop.exportMerge(spark, path,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "s"), Seq("id"))
+    }
+    assert(dupErr.getMessage.contains("duplicate source keys"))
+    // empty source is a no-op
+    assert(DeltaInterop.exportMerge(spark, path,
+      Seq.empty[(Long, String)].toDF("id", "s"), Seq("id")) === 3L)
+    // insert-only merge (no matches) commits adds without any DV flip
+    val v4 = DeltaInterop.exportMerge(spark, path,
+      Seq((9L, "i")).toDF("id", "s"), Seq("id"))
+    assert(v4 === 4L)
+    val commitJson = new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log").resolve(f"${4L}%020d.json")), "UTF-8")
+    assert(!commitJson.contains("deletionVector"),
+      "an insert-only merge must not flip any DV")
+    assert(state().contains((9L, "i")))
+    // CDF table: one merge carries update_preimage/postimage + insert
+    val cdfPath = tmp("interop_merge_cdf")
+    DeltaInterop.exportToDelta(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), cdfPath)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("s", "string").json))
+    Files.write(Paths.get(cdfPath, "_delta_log")
+      .resolve(f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"m-mcdf","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" +
+        "\n").getBytes("UTF-8"))
+    DeltaInterop.exportMerge(spark, cdfPath,
+      Seq((2L, "B"), (5L, "E")).toDF("id", "s"), Seq("id"))
+    val cdf = DeltaInterop.tableChanges(spark, cdfPath, 2L, 2L)
+      .select("id", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(cdf === Seq((2L, "B", "update_postimage"),
+      (2L, "b", "update_preimage"), (5L, "E", "insert")),
+      s"merge CDF must carry all three change types: $cdf")
+  }
+
+  test("exportMerge prunes candidate files by source key bounds: files outside the source's key range never open") {
+    import spark.implicits._
+    import graft.sources.DeltaLite
+    val path = tmp("interop_merge_prune")
+    DeltaInterop.exportToDelta(spark,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1),
+      path)                                                          // v0
+    DeltaInterop.exportAppend(spark,
+      (100L to 108L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1),
+      path)                                                          // v1
+    // source keys 101..103: only the second file's bounds overlap —
+    // the first file must not flip (its rows stay under their add)
+    val v = DeltaInterop.exportMerge(spark, path,
+      Seq((101L, "X"), (103L, "Y")).toDF("id", "s"), Seq("id"))
+    assert(v === 2L)
+    val commitJson = new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log").resolve(f"${2L}%020d.json")), "UTF-8")
+    val snap = DeltaInterop.snapshot(spark, path)
+    val flipped = snap.files.filter(_.dv.isDefined).map(_.path)
+    assert(flipped.size === 1,
+      s"exactly ONE file (the key-overlapping one) must flip: $flipped")
+    assert(DeltaInterop.read(spark, path).count() === 17L)
+    assert(DeltaInterop.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("id") === 101L)
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("X"))
+  }
+
   test("exportDeleteWhere prunes candidates by log stats: a file whose bounds disprove the predicate never flips") {
     import graft.sources.DeletionVectors
     import spark.implicits._

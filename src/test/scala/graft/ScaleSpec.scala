@@ -3524,6 +3524,83 @@ class ScaleSpec extends AnyFunSuite with TestSpark {
         s"unexpected decline: ${appendRace.getMessage}")
       assert(DeltaInterop.latestVersion(path3) === Some(1L),
         "the declined DV delete must leave the foreign append standing")
+      // (i) UPDATE vs a concurrent foreign DV flip of the touched
+      // file: the rebase re-verifies the DV identity and declines —
+      // committing the stale union would resurrect the foreign delete
+      val path4 = Files.createTempDirectory("graft_export_upd_occ").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), path4) // v0
+      DeltaInterop.exportDeleteWhere(spark, path4, "k = 2")          // v1 (DV)
+      val snap4 = DeltaInterop.snapshot(spark, path4)
+      val f4 = snap4.files.head
+      val log4 = Paths.get(path4, "_delta_log")
+      // foreign flip: same path, a DIFFERENT DV identity (the fake
+      // u-typed descriptor is never dereferenced — the rebase's
+      // identity check declines before any DV read)
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${2L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          val oldDvJson = f4.dv.get.stripPrefix("delta-dv:")
+          DeltaLite.PosixCommitClaimStore.claim(
+            log4.resolve(f"${2L}%020d.json"),
+            (s"""{"remove":{"path":"${f4.path}","deletionTimestamp":1700000000003,"dataChange":true,"deletionVector":$oldDvJson}}""" + "\n" +
+              s"""{"add":{"path":"${f4.path}","partitionValues":{},"size":${f4.bytes},"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"aaaaaaaaaaaaaaaaaaaa","offset":1,"sizeInBytes":8,"cardinality":1}}}""")
+              .getBytes("UTF-8"))
+        }
+      }
+      val updRace = intercept[RuntimeException] {
+        DeltaInterop.exportUpdateWhere(spark, path4, "k = 1",
+          Map("s" -> "'z'"))
+      }
+      assert(updRace.getMessage.contains("concurrent"),
+        s"unexpected decline: ${updRace.getMessage}")
+      assert(DeltaInterop.latestVersion(path4) === Some(2L),
+        "the declined update must leave the foreign flip standing")
+      // (j) MERGE vs a concurrent foreign APPEND: the appended file
+      // may hold matching keys the merge never evaluated (it would
+      // insert a duplicate instead of updating) — declines
+      val path5 = Files.createTempDirectory("graft_export_mrg_occ").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), path5) // v0
+      val log5 = Paths.get(path5, "_delta_log")
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${1L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          DeltaLite.PosixCommitClaimStore.claim(
+            log5.resolve(f"${1L}%020d.json"),
+            """{"add":{"path":"dforeign/part-0.parquet","partitionValues":{},"size":9,"modificationTime":1,"dataChange":true}}"""
+              .getBytes("UTF-8"))
+        }
+      }
+      val mergeRace = intercept[IllegalArgumentException] {
+        DeltaInterop.exportMerge(spark, path5,
+          Seq((2L, "B"), (3L, "C")).toDF("k", "s"), Seq("k"))
+      }
+      assert(mergeRace.getMessage.contains("appended concurrently"),
+        s"unexpected decline: ${mergeRace.getMessage}")
+      assert(DeltaInterop.latestVersion(path5) === Some(1L),
+        "the declined merge must leave the foreign append standing")
+      // (k) a CLEAN lost race with no semantic conflict: a foreign
+      // commitInfo-only commit lands in the window — the update
+      // REBASES past it and commits at the next version
+      val path6 = Files.createTempDirectory("graft_export_upd_rb").toString
+      DeltaInterop.exportToDelta(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), path6) // v0
+      val log6 = Paths.get(path6, "_delta_log")
+      flaky.beforeClaim = { t =>
+        if (t.getFileName.toString == f"${1L}%020d.json") {
+          flaky.beforeClaim = _ => ()
+          DeltaLite.PosixCommitClaimStore.claim(
+            log6.resolve(f"${1L}%020d.json"),
+            """{"commitInfo":{"timestamp":1700000000004,"operation":"FOREIGN"}}"""
+              .getBytes("UTF-8"))
+        }
+      }
+      val v6 = DeltaInterop.exportUpdateWhere(spark, path6, "k = 1",
+        Map("s" -> "'z'"))
+      assert(v6 === 2L, "a conflict-free lost race must rebase and land")
+      assert(DeltaInterop.read(spark, path6).collect()
+        .map(_.toString).sorted.toSeq === Seq("[1,z]", "[2,b]"))
     }
   }
 
