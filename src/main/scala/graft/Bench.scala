@@ -82,7 +82,20 @@ object Bench {
         num(v).filter(_ >= 0).map(n -> _) }.toMap
       case _ => Map.empty
     }
-    val sec = { val e = obj("ema"); if (e.nonEmpty) e else obj("queries") }
+    // Prefer the EMA (already in reference-speed units — the writer
+    // normalizes before folding). A pre-EMA artifact only has raw
+    // `queries` seconds: normalize those by the run's recorded
+    // host_speed, else a seed written on a 3.6×-loaded box (the r17
+    // driver overwrite) pushes dozens of mid queries over the absolute
+    // pool thresholds and scrambles the schedule.
+    val sec = {
+      val e = obj("ema")
+      if (e.nonEmpty) e
+      else {
+        val hs = num(j \ "host_speed").filter(_ > 0).getOrElse(1.0)
+        obj("queries").map { case (k, v) => k -> v / hs }
+      }
+    }
     val covered = declared.count(sec.contains).toDouble
     if (sec.nonEmpty && declared.nonEmpty &&
         covered / declared.size < 0.5) {
@@ -94,6 +107,21 @@ object Bench {
       (Map.empty, Map.empty)
     } else (sec, obj("jobs").map { case (k, v) => k -> v.toLong })
   }
+
+  /** EMA fold for one query's normalized sample. A heavily loaded run
+    * (median inflation `speed` > 1.5) has per-query noise far above the
+    * median correction — the r17 driver run at hs 3.616 put l4_tfidf at
+    * 7.1× and l2_simhash at 6.9× while untouched — so a loaded sample is
+    * NOT absorbed into an existing EMA (the schedule keeps the calm
+    * prior); only a query with no prior takes its normalized first
+    * sample (better than falling back to the static lists). */
+  private[graft] def foldEma(
+      prior: Option[Double], norm: Double, speed: Double): Double =
+    prior match {
+      case Some(p) if speed > 1.5 => p
+      case Some(p) => 0.5 * p + 0.5 * norm
+      case None => norm
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -379,9 +407,7 @@ object Bench {
         if (!withJobs) ""
         else {
           entries.collect { case (k, v, true) =>
-            val norm = v / speed
-            val folded = priorSec.get(k).map(p => 0.5 * p + 0.5 * norm)
-              .getOrElse(norm)
+            val folded = foldEma(priorSec.get(k), v / speed, speed)
             "\"" + k + "\":" + f"$folded%.3f"
           }.mkString(""","ema":{""", ",", "}")
         }

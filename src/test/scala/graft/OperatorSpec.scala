@@ -270,6 +270,23 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(sec3.size === 100)
     // unparseable content propagates as an exception (main catches it)
     intercept[Exception] { Bench.loadSeed("not json {", declared) }
+    // the r17 contamination case: a FULL-coverage pre-EMA artifact
+    // written by a loaded run (host_speed 3.616) passes the subset
+    // guard — raw seconds must come back normalized by host_speed so
+    // absolute pool thresholds keep meaning reference-speed seconds
+    val qs = declared.toSeq.map(n => s""""$n":3.616""").mkString("{", ",", "}")
+    val loaded =
+      s"""{"metric":"total","value":9.9,"unit":"sec","queries":$qs,"host_speed":3.616,"sf":"x"}"""
+    val (sec4, _) = Bench.loadSeed(loaded, declared)
+    assert(sec4.size === 100)
+    assert(math.abs(sec4("q1") - 1.0) < 1e-9,
+      s"raw seconds must be host_speed-normalized, got ${sec4("q1")}")
+    // EMA absorption refuses loaded samples: an existing prior survives
+    // a speed>1.5 run untouched; a new query still takes its first
+    // (normalized) sample; calm runs fold 0.5/0.5 as before
+    assert(Bench.foldEma(Some(2.0), 7.0, 3.6) === 2.0)
+    assert(Bench.foldEma(None, 7.0, 3.6) === 7.0)
+    assert(Bench.foldEma(Some(2.0), 3.0, 1.0) === 2.5)
   }
 
   test("query registry: names are distinct and both containment variants ship") {
