@@ -296,14 +296,29 @@ object Dedup {
   def ivfAssign(df: DataFrame, embCol: String,
       centers: Array[Array[Float]]): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val scored = array(centers.indices.map { i =>
-      val c = typedLit(centers(i))
-      struct((call_function("vec_dot", c, c) -
-        lit(2.0) * call_function("vec_dot", col(embCol), c)).as("d"),
-        lit(i).as("i"))
-    }: _*)
-    df.withColumn("centroid", array_min(scored).getField("i"))
+    df.withColumn("centroid", argminCell(col(embCol), centers).getField("i"))
   }
+
+  /** Shared argmin-over-centroids expression: ONE k×dim literal walked by
+    * `transform((c, i) -> struct(d, i))` instead of k unrolled per-centroid
+    * struct branches. Same arithmetic node for node (vec_dot(c,c) −
+    * 2·vec_dot(e,c), index tiebreak via lexicographic struct array_min),
+    * so scores and winners are bit-identical — but the expression tree is
+    * O(1) in k, not O(k·dim): the unrolled form embedded k separate
+    * vec_dot pairs + dim-float literals that Catalyst re-walked on every
+    * rule pass and codegen inlined into one huge method (at k=16/dim=64,
+    * pqEncode's 8 subspaces stacked 128 vec_dots into one Project;
+    * measured 4.7 s/run of plan+compile overhead on l3_ann_pq at sf0.1,
+    * repeatable — not a one-time JIT cost). The lambda runs interpreted
+    * per element, but k·|rows| evals of an 8-64-dim dot are microseconds
+    * of real work next to seconds of tree overhead (guide §4: expression
+    * choice; §1.2: fix per-task work only after the shape is right). */
+  private def argminCell(e: Column,
+      centers: Array[Array[Float]]): Column =
+    array_min(transform(typedLit(centers), (c, i) =>
+      struct((call_function("vec_dot", c, c) -
+        lit(2.0) * call_function("vec_dot", e, c)).as("d"),
+        i.as("i"))))
 
   /** Convenience train-and-assign for demos/tests — production code calls
     * [[ivfTrain]] once and [[ivfAssign]] per batch. */
@@ -322,17 +337,16 @@ object Dedup {
       centers: Array[Array[Float]], probes: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // MAP-SIDE expansion, zero joins and zero shuffles: the centroid
-    // table rides as a plan literal (same as [[ivfAssign]]), each row
-    // scores all k cells in one codegen'd projection, array_sort picks
-    // its `probes` nearest (struct order: distance, then cell id — ties
-    // deterministic), posexplode emits them with their probe rank.
-    // The ‖e‖² term is row-constant and drops from the ordering.
-    val scored = array(centers.indices.map { i =>
-      val c = typedLit(centers(i))
+    // table rides as ONE plan literal (same argminCell transform shape as
+    // [[ivfAssign]] — O(1) expression tree in k), each row scores all k
+    // cells, array_sort picks its `probes` nearest (struct order:
+    // distance, then cell id — ties deterministic), posexplode emits them
+    // with their probe rank. The ‖e‖² term is row-constant and drops from
+    // the ordering.
+    val scored = transform(typedLit(centers), (c, i) =>
       struct((call_function("vec_dot", c, c) -
         lit(2.0) * call_function("vec_dot", col(embCol), c)).as("d"),
-        lit(i).as("i"))
-    }: _*)
+        i.as("i")))
     df.select(col("*"),
         posexplode(slice(array_sort(scored), 1, probes)).as(Seq("__pos", "__probe")))
       .withColumn("centroid", col("__probe").getField("i"))
@@ -478,14 +492,13 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // per subspace: one k×sub literal + the shared argminCell transform
+    // (see its doc) instead of k unrolled struct branches — m=8, k=16
+    // unrolled stacked 128 vec_dot nodes into ONE Project, whose per-run
+    // plan+codegen overhead dominated l3_ann_pq/_ivfpq/_index.
     val codeCols = (0 until m).map { j =>
       val s = slice(col(embCol), j * sub + 1, sub)
-      val scored = array(codebooks(j).indices.map { i =>
-        val c = typedLit(codebooks(j)(i))
-        struct((call_function("vec_dot", c, c) -
-          lit(2.0) * call_function("vec_dot", s, c)).as("d"), lit(i).as("i"))
-      }: _*)
-      array_min(scored).getField("i").as(s"pq$j")
+      argminCell(s, codebooks(j)).getField("i").as(s"pq$j")
     }
     df.select(df.columns.map(col).toSeq ++ codeCols: _*)
   }
