@@ -610,16 +610,30 @@ object Relational {
     // (t-digest, mergeable) — exact percentile requires a full sort per
     // group; noted here deliberately.
     QueryDef("a8_stats_aggs", (s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      // r18: the two exact percentiles move to GroupedPercentile (rank
+      // arithmetic on a sorted window; bit-equal parity pinned in
+      // OperatorSpec) and rejoin the moment aggregates on the 3-row group
+      // frame. One percentile in the agg list forced the WHOLE aggregate
+      // — stddev/var/corr/min/max included — onto the ObjectHashAggregate
+      // path (2.8 s solo at sf0.1); split, the moments run as one codegen
+      // hash agg and the percentiles as one narrow sort.
+      val li = t(s, dir, "lineitem")
+      val moments = li.groupBy(col("l_returnflag"))
         .agg(
           (round((stddev_samp(col("l_quantity")))*10000)/10000).as("sd_qty"),
           (round((var_samp(col("l_quantity")))*10000)/10000).as("var_qty"),
           (round((corr(col("l_quantity"), col("l_extendedprice")))*10000)/10000).as("corr_qty_price"),
-          (round((expr("percentile(l_extendedprice, 0.5)"))*10000)/10000).as("median_price"),
-          (round((expr("percentile(l_extendedprice, 0.9)"))*10000)/10000).as("p90_price"),
           (round((min(col("l_discount")))*100)/100).as("min_disc"),
           (round((max(col("l_discount")))*100)/100).as("max_disc"))
+      val pct = graft.operators.GroupedPercentile.of(li,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(("p50", 0.5), ("p90", 0.9)))
+      moments.join(broadcast(pct), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sd_qty"), col("var_qty"),
+          col("corr_qty_price"),
+          (round(col("p50")*10000)/10000).as("median_price"),
+          (round(col("p90")*10000)/10000).as("p90_price"),
+          col("min_disc"), col("max_disc"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     }, Some(
       """SELECT l_returnflag,
@@ -1311,12 +1325,15 @@ object Relational {
       val c = t(s, dir, "events")
         .select(col("event_type").as("g"),
           round(col("value") * 100).cast("long").as("cents"))
-      val med = c.groupBy(col("g"))
-        .agg(expr("percentile(cents, 0.5)").as("med"))
+      // r18: both grouped medians via GroupedPercentile (rank arithmetic,
+      // bit-equal to the native percentile — OperatorSpec parity pin)
+      // instead of two map-building percentile aggregates over the fact.
+      val med = graft.operators.GroupedPercentile.of(c,
+        Seq("g"), "cents", Seq(("med", 0.5)))
       val dev = c.join(broadcast(med), "g")
         .withColumn("adev2", (abs(col("cents") - col("med")) * 2).cast("long"))
-      val mad = dev.groupBy(col("g"))
-        .agg(expr("percentile(adev2, 0.5)").as("mad2"))
+      val mad = graft.operators.GroupedPercentile.of(dev,
+        Seq("g"), "adev2", Seq(("mad2", 0.5)))
       dev.join(broadcast(mad), "g")
         .groupBy(col("g"))
         .agg(expr("round((max(med))*100)/100").as("median_cents"),
@@ -1640,13 +1657,24 @@ object Relational {
     // each group sorts locally — fine for bounded group cardinality; the
     // unbounded-cardinality path is approx_percentile (A3's sketch family).
     QueryDef("a12_percentiles", (s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          (round((expr("percentile(l_extendedprice, 0.25)"))*10000)/10000).as("p25_price"),
-          (round((expr("percentile(l_extendedprice, 0.5)"))*10000)/10000).as("p50_price"),
-          (round((expr("percentile(l_extendedprice, 0.75)"))*10000)/10000).as("p75_price"),
-          (round((expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"))*100)/100).as("med_qty_disc"))
+      // r18: rank-arithmetic exact percentiles (GroupedPercentile) instead
+      // of the native map-building percentile aggregate — same numbers
+      // bit-for-bit (parity property-pinned in OperatorSpec), 4.3 s → sub-
+      // second solo at sf0.1. Two sorted windows (price, qty) + a 3-row
+      // broadcast joinback replace one ObjectHashAggregate whose partial
+      // state was the boxed column itself.
+      val li = t(s, dir, "lineitem")
+      val price = graft.operators.GroupedPercentile.of(li,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+      val qty = graft.operators.GroupedPercentile.of(li,
+        Seq("l_returnflag"), "l_quantity", Nil, Seq(("dq", 0.5)))
+      price.join(broadcast(qty), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (round(col("p25")*10000)/10000).as("p25_price"),
+          (round(col("p50")*10000)/10000).as("p50_price"),
+          (round(col("p75")*10000)/10000).as("p75_price"),
+          (round(col("dq")*100)/100).as("med_qty_disc"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     }, Some(
       """SELECT l_returnflag,

@@ -289,6 +289,58 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(Bench.foldEma(Some(2.0), 3.0, 1.0) === 2.5)
   }
 
+  test("GroupedPercentile matches native percentile/percentile_disc bit-for-bit") {
+    import spark.implicits._
+    // seeded generator: int-ish values (heavy ties), continuous doubles,
+    // group sizes from 1 up, including a single-row group — the edge set
+    // where interpolation shortcuts (lower==higher, lowerKey==higherKey)
+    // and the disc rank clamp actually fire
+    val rnd = new scala.util.Random(4242L)
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      val v: java.lang.Double =
+        if (rnd.nextBoolean()) rnd.nextInt(20).toDouble // ties
+        else rnd.nextDouble() * 1000.0
+      (g, v)
+    } :+ (("solo", java.lang.Double.valueOf(42.0))) // 1-row group
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.3333333333333333, 0.9, 1.0)
+    val cont = ps.zipWithIndex.map { case (p, i) => (s"c$i", p) }
+    val disc = ps.zipWithIndex.map { case (p, i) => (s"d$i", p) }
+    val ours = graft.operators.GroupedPercentile
+      .of(df, Seq("g"), "v", cont, disc)
+      .orderBy(col("g")).collect()
+    val nativeAggs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(v, ${p}D)").as(s"c$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile_disc(${p}D) WITHIN GROUP (ORDER BY v)").as(s"d$i") }
+    val ref = df.groupBy(col("g")).agg(nativeAggs.head, nativeAggs.tail: _*)
+      .orderBy(col("g")).collect()
+    assert(ours.length === ref.length)
+    ours.zip(ref).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      (1 until a.length).foreach { i =>
+        val (x, y) = (a.getDouble(i), b.getDouble(i))
+        assert(java.lang.Double.doubleToRawLongBits(x) ===
+          java.lang.Double.doubleToRawLongBits(y),
+          s"group ${a.getString(0)} col $i: ours=$x native=$y")
+      }
+    }
+    // long-typed input (the a22 cents shape): same parity
+    val dl = rows.map { case (g, v) => (g, math.round(v * 100)) }
+      .toDF("g", "cents")
+    val oursL = graft.operators.GroupedPercentile
+      .of(dl, Seq("g"), "cents", Seq(("med", 0.5)))
+      .orderBy(col("g")).collect()
+    val refL = dl.groupBy(col("g"))
+      .agg(expr("percentile(cents, 0.5D)").as("med"))
+      .orderBy(col("g")).collect()
+    oursL.zip(refL).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(b.getDouble(1)))
+    }
+  }
+
   test("query registry: names are distinct and both containment variants ship") {
     // Seq.toMap keeps the last duplicate silently — the r16 shadowing
     // shipped the wrong l2_containment for a full round. SparkEntry now
