@@ -113,4 +113,25 @@ object GroupedPercentile {
     } ++ disc.map { case (name, _) => col(name) }
     folded.select(gCols ++ outs: _*)
   }
+
+  /** Continuous percentile folded over an ALREADY-SORTED array column —
+    * the same interpolation and shortcuts as [[of]], for array-shaped
+    * callers. Bit-equality with `percentile(v, p)` (incl. as a window
+    * aggregate) is pinned by the OperatorSpec property test. NOTE for
+    * SLIDING-frame use: measured 2.3× slower than the native windowed
+    * percentile on w5 (both rebuild O(frame) state per row; the array
+    * sort + per-row ArrayData copies cost more than the value-map
+    * rebuild) — w5 keeps the native aggregate; this stays for callers
+    * that already hold a sorted array. Null handling is the caller's:
+    * collect_list drops nulls like the native agg. */
+  def contOfSorted(vals: Column, p: Double): Column = {
+    val pos = lit(p) * (size(vals).cast("double") - 1.0)
+    val lo = floor(pos); val hi = ceil(pos)
+    val vlo = element_at(vals, (lo + 1).cast("int"))
+    val vhi = element_at(vals, (hi + 1).cast("int"))
+    when(size(vals) === 0, lit(null).cast("double"))
+      .when(lo === hi, vlo)
+      .when(vlo === vhi, vlo)
+      .otherwise((hi - pos) * vlo + (pos - lo) * vhi)
+  }
 }

@@ -1064,6 +1064,13 @@ object Relational {
     QueryDef("w5_windowed_median", (s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_orderkey")).rowsBetween(-10, Window.currentRow)
+      // r18 tried and reverted: folding a sorted windowed collect_list
+      // through an interpolation expression measured 2.3× SLOWER than the
+      // native windowed percentile (canary-adjusted same-session A/B) —
+      // both rebuild an O(frame) buffer per row in a sliding frame, and
+      // the array sort + per-row ArrayData copies cost more than the
+      // value-map rebuild they replaced. The grouped (non-windowed)
+      // percentile rewrite (GroupedPercentile.of) is where the win was.
       t(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderkey"),
           (round((expr("percentile(o_totalprice, 0.5)").over(w))*100)/100)

@@ -32,6 +32,8 @@ object Solo {
     val planDir = sys.env.get("SPARK_GRAFT_PLANDIR")
     planDir.foreach(d => new java.io.File(d).mkdirs())
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -47,7 +49,14 @@ object Solo {
     val out = new StringBuilder("{")
     var first = true
     names.foreach { n =>
-      SparkEntry.queries.get(n) match {
+      // A/B support: a "set:key=value" list entry flips a session conf
+      // between passes, so variant comparisons run inside ONE JVM and
+      // box-speed drift between invocations cancels out.
+      if (n.startsWith("set:")) {
+        val kv = n.stripPrefix("set:").split("=", 2)
+        spark.conf.set(kv(0), kv(1))
+        println(s"SOLO-CONF ${kv(0)}=${kv(1)}")
+      } else SparkEntry.queries.get(n) match {
         case None => System.err.println(s"[solo] unknown query: $n")
         case Some(fn) =>
           spark.sparkContext.setJobDescription(s"solo:$n")

@@ -339,6 +339,23 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
       assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1)) ===
         java.lang.Double.doubleToRawLongBits(b.getDouble(1)))
     }
+    // windowed flavor: contOfSorted over a sliding collect_list must
+    // bit-match the native percentile as a window aggregate, including
+    // short head frames (n = 1..11)
+    val wdf = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("g", "k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("k")).rowsBetween(-10, 0)
+    val both = wdf.select(
+      expr("percentile(v, 0.5D)").over(w).as("ref"),
+      graft.operators.GroupedPercentile.contOfSorted(
+        sort_array(collect_list(col("v")).over(w)), 0.5).as("ours"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"windowed: ref=${r.getDouble(0)} ours=${r.getDouble(1)}")
+    }
   }
 
   test("query registry: names are distinct and both containment variants ship") {
