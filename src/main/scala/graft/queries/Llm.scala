@@ -2879,43 +2879,58 @@ object Llm {
         .withColumn("rk", row_number().over(wRel))
         .filter(col("rk") <= 8)
         .select(col("qid"), col("nid"), col("reli"), col("ne"), col("nn"))
-        .localCheckpoint(false)
-      val sims = cand
-        .select(col("qid"), col("nid").as("a"), col("ne").as("ae"),
-          col("nn").as("an"))
-        .join(cand.select(col("qid"), col("nid").as("b"), col("ne").as("be"),
-          col("nn").as("bn")), Seq("qid"))
-        .filter(col("a") =!= col("b"))
-        .select(col("qid"), col("a"), col("b"),
-          expr("CAST(round(vec_dot(ae, be) / (an * bn) * 10000) AS BIGINT)")
-            .as("simi"))
-        .localCheckpoint(false)
-      val wPick = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("nid").asc)
-      var selected = cand
-        .select(col("qid"), col("nid"), (col("reli") * 7).as("score"))
-        .withColumn("rk", row_number().over(wPick))
-        .filter(col("rk") === 1)
-        .select(col("qid"), col("nid"), lit(1).as("step"), col("score"))
-        .localCheckpoint(false)
-      for (k <- 2 to 4) {
-        val sel = selected.select(col("qid").as("sq"), col("nid").as("sn"))
-        val maxsim = sims
-          .join(sel, sims("qid") === col("sq") && sims("b") === col("sn"))
-          .groupBy(sims("qid").as("mq"), col("a"))
-          .agg(max(col("simi")).as("ms"))
-        val next = cand
-          .join(sel, cand("qid") === col("sq") && cand("nid") === col("sn"),
-            "left_anti")
-          .join(maxsim, cand("qid") === col("mq") && cand("nid") === col("a"))
-          .select(cand("qid"), cand("nid"),
-            (col("reli") * 7 - col("ms") * 3).as("score"))
-          .withColumn("rk", row_number().over(wPick))
-          .filter(col("rk") === 1)
-          .select(col("qid"), col("nid"), lit(k).as("step"), col("score"))
-        selected = selected.unionByName(next).localCheckpoint(false)
-      }
-      selected.orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
+      // r18: the greedy selection was a 3-round DataFrame loop (self-join
+      // sims + per-round max-window + localCheckpoint) over frames of ≤8
+      // rows per query — ~30 AQE stage jobs of pure fixed overhead,
+      // measured 6.0 s solo at sf0.1. MMR over a top-k candidate set is a
+      // per-QUERY fold over O(k²) integers: collect the k candidates per
+      // qid into one aggregate row and run the identical integer greedy
+      // (pairwise sims = round(vec_dot/(norms)·1e4) with vec_dot's exact
+      // left-to-right float→double fold; score = reli·7 − maxsim·3; ties
+      // to the lower nid) in a per-row fold — one shuffle, one pass, and
+      // at any scale the state is k·dim floats per served query, exactly
+      // the serve-path rerank shape. The corpus-sized work (relevance
+      // cosines + top-k) stays fully distributed above. Output is
+      // bit-identical (same integer arithmetic; oracle-gated).
+      val mmrPick = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+        val cs = rows.map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2).toArray, r.getDouble(3))).sortBy(_._1).toArray
+        def dot(x: Array[Float], y: Array[Float]): Double = {
+          val n = math.min(x.length, y.length)
+          var acc = 0.0; var i = 0
+          while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+          acc
+        }
+        val k = cs.length
+        val simi = Array.tabulate(k, k)((i, j) =>
+          if (i == j) 0L
+          else math.round(dot(cs(i)._3, cs(j)._3) / (cs(i)._4 * cs(j)._4) * 10000))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+        (1 to math.min(4, k)).foreach { step =>
+          var best = -1; var bestScore = 0L
+          (0 until k).foreach { i =>
+            if (!selected.contains(i)) {
+              val score =
+                if (step == 1) cs(i)._2 * 7
+                else cs(i)._2 * 7 - selected.map(j => simi(i)(j)).max * 3
+              // pick max score; ties to the lower nid (cs is nid-sorted,
+              // so strict > keeps the earlier = lower nid on ties)
+              if (best < 0 || score > bestScore) { best = i; bestScore = score }
+            }
+          }
+          selected += best
+          out += ((cs(best)._1, step, bestScore))
+        }
+        out.toSeq
+      })
+      cand.groupBy(col("qid"))
+        .agg(collect_list(struct(col("nid"), col("reli"), col("ne"),
+          col("nn"))).as("cands"))
+        .select(col("qid"), explode(mmrPick(col("cands"))).as("pick"))
+        .select(col("qid"), col("pick._1").as("nid"),
+          col("pick._2").as("step"), col("pick._3").as("score"))
+        .orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
     }, Some(
       """WITH rel AS (
            SELECT a.vec_id AS qid, b.vec_id AS nid,

@@ -358,6 +358,29 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("l3_mmr_rerank greedy fold: relevance-first pick, diversity penalty flips step 2, ties to lower nid") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("l3_mmr_rerank")(spark, sf)
+      .select(col("qid"), col("nid"), col("step"), col("score")).collect()
+    // shape: 4 steps per query id, steps strictly 1..4, no repeated nid
+    // within a query, and step-1 is the max-relevance (score = reli*7)
+    // candidate — the integer greedy the unrolled-CTE oracle restates
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4), s"q$q steps")
+      val nids = rows.map(_.getLong(1))
+      assert(nids.distinct.length === nids.length, s"q$q picked a nid twice")
+    }
+    // step scores never increase within a query after step 1's pure
+    // relevance (the diversity penalty only subtracts)
+    byQ.foreach { case (q, rows) =>
+      val s = rows.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(s.tail.zip(s).forall { case (b, a) => b <= a },
+        s"q$q scores increased across steps: ${s.toSeq}")
+    }
+  }
+
   test("query registry: names are distinct and both containment variants ship") {
     // Seq.toMap keeps the last duplicate silently — the r16 shadowing
     // shipped the wrong l2_containment for a full round. SparkEntry now
