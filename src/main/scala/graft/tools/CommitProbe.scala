@@ -19,10 +19,18 @@ object CommitProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
       val r = f
-      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s jobs=${jobs.get() - j0}")
       r
     }
     val o = graft.Tables.t(spark, sfDir, "orders")
