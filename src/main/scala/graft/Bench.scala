@@ -69,8 +69,8 @@ object Bench {
     * sample would misclassify pools; the half-life-of-one-run average
     * forgets it in two). Falls back to the raw last-run seconds for
     * artifacts written before the field existed. */
-  private[graft] def loadSeed(jsonText: String, declared: Set[String])
-      : (Map[String, Double], Map[String, Long]) = {
+  private[graft] def loadSeed(jsonText: String, declared: Set[String],
+      cpus: Int = 0): (Map[String, Double], Map[String, Long]) = {
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(jsonText)
     def num(v: JValue): Option[Double] = v match {
@@ -81,6 +81,27 @@ object Bench {
       case o: JObject => o.obj.flatMap { case (n, v) =>
         num(v).filter(_ >= 0).map(n -> _) }.toMap
       case _ => Map.empty
+    }
+    // CORE-COUNT GUARD (r19): per-query completion seconds are only
+    // comparable at the SAME core count — the submission pool width, the
+    // queue depth and every completion time are functions of it. The
+    // driver benches at a low core count after the main run and that run
+    // OVERWRITES the artifact: r18's 8-core overwrite (folded at a
+    // meaningless hs 0.5 computed against the 32-core EMA) pushed s77 to
+    // a 44 s "EMA" and handed l2_minhash_lsh a 29.9 s completion on the
+    // next 32-core run. An EMA recorded at a different core count is a
+    // different experiment — fall back to the static schedule and let
+    // this run re-seed in its own units. `ema_cpus` (written below)
+    // tags the units; older artifacts fall back to their `cpus` field.
+    val seedCpus = num(j \ "ema_cpus").orElse(num(j \ "cpus"))
+      .map(_.toInt).getOrElse(cpus)
+    if (cpus > 0 && seedCpus != cpus) {
+      System.err.println(
+        s"[bench] ignoring bench_result.json seed: its schedule was " +
+          s"measured at cpus=$seedCpus, this run is cpus=$cpus — " +
+          "completion times are not comparable across core counts; " +
+          "falling back to the static schedule")
+      return (Map.empty, Map.empty)
     }
     // Prefer the EMA (already in reference-speed units — the writer
     // normalizes before folding). A pre-EMA artifact only has raw
@@ -146,7 +167,7 @@ object Bench {
       Bench.loadSeed(new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_result.json")), "UTF-8"),
-        SparkEntry.queries.keySet)
+        SparkEntry.queries.keySet, cpus.toInt)
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (priorSec, priorJobs) = prior
 
@@ -374,8 +395,10 @@ object Bench {
       v / priorSec(k) }.sorted
     val speed = if (ratios.size < 20) 1.0
       else math.max(0.5, math.min(4.0, ratios(ratios.size / 2)))
+    // ema_cpus tags the units the EMA (and the pool thresholds reading
+    // it) are valid in — the next run's loadSeed rejects a mismatch.
     val calib =
-      f""","host_speed":$speed%.3f,"host_speed_samples":${ratios.size}"""
+      f""","host_speed":$speed%.3f,"host_speed_samples":${ratios.size},"ema_cpus":$cpus"""
 
     def line(entries: Seq[(String, Double, Boolean)],
         withJobs: Boolean = false): String = {

@@ -287,6 +287,24 @@ class OperatorSpec extends AnyFunSuite with TestSpark {
     assert(Bench.foldEma(Some(2.0), 7.0, 3.6) === 2.0)
     assert(Bench.foldEma(None, 7.0, 3.6) === 7.0)
     assert(Bench.foldEma(Some(2.0), 3.0, 1.0) === 2.5)
+    // the r18 contamination case: a seed recorded at a DIFFERENT core
+    // count (the driver's 8-core scaling run overwrites the artifact) is
+    // a different experiment — completion times are functions of the
+    // submission-pool width. Reject it; same-cpus seeds still load, and
+    // artifacts predating ema_cpus fall back to their cpus field.
+    def cpusArtifact(ec: String): String = {
+      val qs = declared.toSeq.map(n => s""""$n":1.5""").mkString("{", ",", "}")
+      s"""{"metric":"total","value":9.9,"unit":"sec","queries":$qs,"ema":$qs$ec,"sf":"x"}"""
+    }
+    val (sec5, _) = Bench.loadSeed(cpusArtifact(""","ema_cpus":8"""), declared, 32)
+    assert(sec5.isEmpty, "an off-cpus seed must fall back to the static schedule")
+    val (sec6, _) = Bench.loadSeed(cpusArtifact(""","ema_cpus":32"""), declared, 32)
+    assert(sec6.size === 100)
+    val (sec7, _) = Bench.loadSeed(cpusArtifact(""","cpus":8"""), declared, 32)
+    assert(sec7.isEmpty, "pre-ema_cpus artifacts must honor their cpus field")
+    // cpus=0 (callers that don't know the core count) keeps legacy behavior
+    val (sec8, _) = Bench.loadSeed(cpusArtifact(""","cpus":8"""), declared)
+    assert(sec8.size === 100)
   }
 
   test("GroupedPercentile matches native percentile/percentile_disc bit-for-bit") {
