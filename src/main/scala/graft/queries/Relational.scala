@@ -1332,15 +1332,18 @@ object Relational {
       val c = t(s, dir, "events")
         .select(col("event_type").as("g"),
           round(col("value") * 100).cast("long").as("cents"))
-      // r18: both grouped medians via GroupedPercentile (rank arithmetic,
-      // bit-equal to the native percentile — OperatorSpec parity pin)
-      // instead of two map-building percentile aggregates over the fact.
-      val med = graft.operators.GroupedPercentile.of(c,
-        Seq("g"), "cents", Seq(("med", 0.5)))
+      // r19: native percentile aggregates, REVERTING the r18
+      // GroupedPercentile rewire for this query only. Same-JVM warm/cold
+      // A/B in both orders (tools/PctAB, plans/r19/pct_ab_*.json): the
+      // rewrite ran 1.0-1.3 s warm vs 0.6-0.7 s native — cents is a
+      // LONG column with heavy ties, so the native agg's value→count map
+      // stays small while the rank windows sort the full fact twice.
+      // a12/a8 keep the rewrite (mostly-distinct DOUBLE column: the map
+      // IS the column; measured 1.6-2.0× the other way).
+      val med = c.groupBy("g").agg(expr("percentile(cents, 0.5)").as("med"))
       val dev = c.join(broadcast(med), "g")
         .withColumn("adev2", (abs(col("cents") - col("med")) * 2).cast("long"))
-      val mad = graft.operators.GroupedPercentile.of(dev,
-        Seq("g"), "adev2", Seq(("mad2", 0.5)))
+      val mad = dev.groupBy("g").agg(expr("percentile(adev2, 0.5)").as("mad2"))
       dev.join(broadcast(mad), "g")
         .groupBy(col("g"))
         .agg(expr("round((max(med))*100)/100").as("median_cents"),
