@@ -73,14 +73,23 @@ object IncrementalMv {
           sys.error(s"$targetPath is not a view over $sourcePath " +
             "(no applied-version txn)"))
         if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
-        val deltas = DeltaLite.changesRaw(spark, sourcePath, applied, srcVersion)
-          .withColumn("__sign",
-            when(col("_change_type").isin("insert", "update_postimage"), 1L)
-              .otherwise(-1L))
+        // r19: fold SIGNED rows (added +1 / removed −1) instead of the
+        // row-level CDF diff — rewrite-carried rows cancel exactly in the
+        // DECIMAL/integer sums, so the fold is identical while the plan
+        // drops changesRaw's two whole-row exceptAll shuffles for one
+        // map-side-combinable agg on the view key (guide §2.3/§2.4).
+        // The trailing filter drops keys whose deltas net to exactly
+        // zero (a row-preserving OPTIMIZE between refreshes): the merge
+        // then touches O(true changes) keys, as before. A null d_sum
+        // rides through — all-null values with nonzero/zero d_n behave
+        // exactly as the CDF path did.
+        val deltas = DeltaLite.signedChangesRaw(spark, sourcePath, applied, srcVersion)
           .groupBy(keys.map(col): _*)
-          .agg(sum(col(valueCol).cast(sumT) * col("__sign")).cast(sumT)
+          .agg(sum(col(valueCol).cast(sumT) * col("_cdf_sign")).cast(sumT)
             .as("d_sum"),
-            sum(col("__sign")).as("d_n"))
+            sum(col("_cdf_sign")).as("d_n"))
+          .filter(!(col("d_n") === 0L &&
+            col("d_sum") <=> lit(BigDecimal(0)).cast(sumT)))
         DeltaLite.mergeClauses(spark, targetPath, deltas, keys, Seq(
           // a group whose live row count reaches zero leaves the view
           Merge.MatchedDelete(Some(col("n_rows") + Merge.src("d_n") === 0L)),

@@ -4753,22 +4753,41 @@ object DeltaLite {
     * stats-prune candidates by the updates' key ranges, locate truly-hit
     * files with a `_metadata.file_path` semi-join, upsert those rows, and
     * carry every other file forward by reference. */
-  def merge(spark: SparkSession, path: String, updates: DataFrame,
+  def merge(spark: SparkSession, path: String, updatesIn: DataFrame,
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge keys required")
     val snap = snapshot(path)
     rejectIdentity(snap, "MERGE")
     rejectIfAppendOnly(snap, "MERGE")
-    checkWriteSchema(updates.schema, snap.schema, "MERGE")
-    val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
-    val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
-    checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
-    val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, merged, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    checkWriteSchema(updatesIn.schema, snap.schema, "MERGE")
+    withMaterializedSource(updatesIn) { updates =>
+      val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, updates, keys)
+      val merged = graft.operators.Merge.upsert(touchedRows, align(updates, snap.schema), keys)
+      checkConstraints(merged, snap.schema, snap.constraints, "MERGE")
+      val v = snap.version + 1
+      val adds = writeData(spark, root(path), v, merged, snap.schema,
+        snap.partitionBy, snap.physical, snap.generated, snap.properties)
+      commitExclusive(path, v, "MERGE", snap.schema, adds, touched,
+        snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+        snap.identity, snap.properties)
+    }
+  }
+
+  /** Materialize a merge/delete+insert SOURCE once before its multiple
+    * consumers run (Delta's MERGE materializes its source for the same
+    * reason): the source plan is evaluated up to four times per commit —
+    * key-bounds aggregate, candidate-confirm semi-join, duplicate-key
+    * guard, and the merge join itself — and for CDF-derived sources
+    * (incremental MV refreshes) each evaluation replays the whole
+    * change-diff. A spillable within-commit cache collapses that to one
+    * evaluation; unpersisted before returning, so nothing outlives the
+    * commit. Also lets AQE see the source's REAL (post-computation) size
+    * when picking the merge join strategy. */
+  private def withMaterializedSource[T](source: DataFrame)
+      (f: DataFrame => T): T = {
+    val mat = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(mat) finally { mat.unpersist(false); () }
   }
 
   /** Full multi-clause MERGE INTO (Delta `WHEN MATCHED [AND cond] THEN
@@ -4797,7 +4816,7 @@ object DeltaLite {
     * turns the confirm scan from all-files into the recent tail);
     * conjuncts the extractor cannot read still apply row-level, so
     * pruning stays an optimization, never a semantics change. */
-  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+  def mergeClauses(spark: SparkSession, path: String, sourceIn: DataFrame,
       keys: Seq[String],
       clauses: Seq[graft.operators.Merge.MergeClause],
       schemaEvolution: Boolean = false,
@@ -4811,6 +4830,7 @@ object DeltaLite {
     txn.foreach { case (app, ver) =>
       if (snap.txns.get(app).exists(_ >= ver)) return snap.version
     }
+    withMaterializedSource(sourceIn) { source =>
     rejectIdentity(snap, "MERGE")
     rejectIfAppendOnly(snap, "MERGE")
     // Delta `MERGE ... WITH SCHEMA EVOLUTION`: extra SOURCE columns join
@@ -4905,6 +4925,7 @@ object DeltaLite {
     commitExclusive(path, v, "MERGE", evolved, adds, touched,
       snap.constraints, snap.partitionBy, physical, snap.generated,
       snap.identity, snap.properties, txn)
+    }
   }
 
   /** dbt incremental `delete+insert` strategy: delete every target row
@@ -4919,20 +4940,22 @@ object DeltaLite {
     val snap = snapshot(path)
     rejectIdentity(snap, "DELETE_INSERT")
     rejectIfAppendOnly(snap, "DELETE_INSERT")
-    val batch = applyDefaults(batchIn, snap.schema, snap.properties)
-    checkWriteSchema(batch.schema, snap.schema, "DELETE_INSERT")
-    val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
-    val survivors = touchedRows.join(
-      batch.select(keys.map(batch.col): _*).distinct(), keys, "left_anti")
-    val newData = survivors.unionByName(align(batch, snap.schema))
-    checkConstraints(align(batch, snap.schema), snap.schema, snap.constraints,
-      "DELETE_INSERT")
-    val v = snap.version + 1
-    val adds = writeData(spark, root(path), v, newData, snap.schema,
-      snap.partitionBy, snap.physical, snap.generated, snap.properties)
-    commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
-      snap.constraints, snap.partitionBy, snap.physical, snap.generated,
-      snap.identity, snap.properties)
+    val batchRaw = applyDefaults(batchIn, snap.schema, snap.properties)
+    checkWriteSchema(batchRaw.schema, snap.schema, "DELETE_INSERT")
+    withMaterializedSource(batchRaw) { batch =>
+      val (touched, touchedRows) = filesHoldingKeys(spark, path, snap, batch, keys)
+      val survivors = touchedRows.join(
+        batch.select(keys.map(batch.col): _*).distinct(), keys, "left_anti")
+      val newData = survivors.unionByName(align(batch, snap.schema))
+      checkConstraints(align(batch, snap.schema), snap.schema, snap.constraints,
+        "DELETE_INSERT")
+      val v = snap.version + 1
+      val adds = writeData(spark, root(path), v, newData, snap.schema,
+        snap.partitionBy, snap.physical, snap.generated, snap.properties)
+      commitExclusive(path, v, "DELETE_INSERT", snap.schema, adds, touched,
+        snap.constraints, snap.partitionBy, snap.physical, snap.generated,
+        snap.identity, snap.properties)
+    }
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -5386,6 +5409,35 @@ object DeltaLite {
   private[graft] def changesRaw(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame =
     changesImpl(spark, path, fromVersion, toVersion, governed = false)
+
+  /** Signed row-change view for AGGREGATE folding — every row of files
+    * added in (from, to] carrying `_cdf_sign` +1 and of files removed
+    * carrying −1, WITHOUT the row-level exceptAll cancellation
+    * [[changesRaw]] performs. Rows a rewrite carried through unchanged
+    * appear once with each sign and cancel ARITHMETICALLY in any per-key
+    * sum/count fold (the sums ride exact DECIMAL/integer types), so a
+    * consumer folding signed sums (the incremental-MV refresher) gets
+    * identical aggregates from ONE map-side-combinable shuffle on the
+    * group key instead of two whole-row exceptAll shuffles plus the agg
+    * (guide §2.3: aggregate before you shuffle; §2.4: remove shuffles).
+    * NOT a CDF surface: no _change_type labels, no per-commit
+    * update_pre/postimage split — aggregate folding never needs them. */
+  private[graft] def signedChangesRaw(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val from = snapshot(path, Some(fromVersion))
+    val to = snapshot(path, Some(toVersion))
+    val fromKeys = from.files.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.files.map(f => (f.path, f.dv)).toSet
+    val removedRows = readFiles(spark, path, to.schema,
+      from.files.filterNot(f => toKeys.contains((f.path, f.dv))),
+      to.partitionBy, to.physical)
+    val addedRows = readFiles(spark, path, to.schema,
+      to.files.filterNot(f => fromKeys.contains((f.path, f.dv))),
+      to.partitionBy, to.physical)
+    addedRows.withColumn("_cdf_sign", lit(1L))
+      .unionByName(removedRows.withColumn("_cdf_sign", lit(-1L)))
+  }
 
   private def changesImpl(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, governed: Boolean): DataFrame = {
