@@ -138,8 +138,15 @@ object IncrementalMv {
         val applied = DeltaLite.snapshot(targetPath).txns.getOrElse(txnApp,
           sys.error(s"$targetPath is not a full view over $sourcePath"))
         if (applied >= srcVersion) return DeltaLite.snapshot(targetPath).version
+        // r19: the dirty-key frame appears TWICE in the merge source's
+        // plan (the live-source semi-join AND the vanished-group outer
+        // join), so even the single materialized evaluation of the
+        // source would replay the CDF diff twice — persist it for the
+        // refresh (unpersisted in the finally; nothing outlives it).
         val dirty = DeltaLite.changesRaw(spark, sourcePath, applied, srcVersion)
           .select(keys.map(col): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val fresh = aggregate(
           DeltaLite.readRaw(spark, sourcePath).join(dirty, keys, "left_semi"))
         // dirty ⟕ fresh: a dirty key with NO fresh row is a vanished group
@@ -157,6 +164,7 @@ object IncrementalMv {
             "min_value" -> Merge.src("min_value"),
             "max_value" -> Merge.src("max_value")))),
           txn = Some((txnApp, srcVersion)))
+        } finally dirty.unpersist(false)
     }
   }
 
@@ -225,32 +233,43 @@ object IncrementalMv {
           sys.error(s"$targetPath is not a join view over $pathB"))
         if (apA >= vA && apB >= vB)
           return DeltaLite.snapshot(targetPath).version
+        // r19: each side's CDF diff is consumed TWICE per refresh (the
+        // append-only guard's count, then the delta join the write
+        // evaluates) — persist it for the refresh's duration so the
+        // change diff replays once per side, not twice (same rationale
+        // as DeltaLite's merge-source materialization). Unpersisted
+        // before returning; nothing outlives the refresh.
+        val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
         def inserts(path: String, from: Long, to: Long,
             cols: Seq[String]): DataFrame = {
           if (from >= to) return DeltaLite.readRaw(spark, path)
             .select(cols.map(col): _*).limit(0)
           val d = DeltaLite.changesRaw(spark, path, from, to)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += d
           val bad = d.filter(col("_change_type") =!= "insert").limit(1).count()
           require(bad == 0L,
             s"join view over $path requires append-only sources " +
               "(saw a non-insert change)")
           d.select(cols.map(col): _*)
         }
-        val dA = inserts(pathA, apA, vA, colsA)
-        val dB = inserts(pathB, apB, vB, colsB)
-        val aOld = DeltaLite.readRaw(spark, pathA, Some(apA))
-        val bNew = DeltaLite.readRaw(spark, pathB)
-        val deltaJ = dA
-          .join(bNew.select(colsB.map(col): _*), col(keyA) === col(keyB))
-          .unionByName(aOld.select(colsA.map(col): _*)
-            .join(dB, col(keyA) === col(keyB)))
-        // record only the versions that ADVANCE: an unchanged source's
-        // applied version already lives in the log (txn state carries
-        // forward), and re-stating it would trip the partial-overlap
-        // conflict rule on every refresh where one source stood still
-        val advanced = Seq((appA, vA)).filter(_ => vA > apA) ++
-          Seq((appB, vB)).filter(_ => vB > apB)
-        DeltaLite.appendTxns(spark, targetPath, deltaJ, advanced)
+        try {
+          val dA = inserts(pathA, apA, vA, colsA)
+          val dB = inserts(pathB, apB, vB, colsB)
+          val aOld = DeltaLite.readRaw(spark, pathA, Some(apA))
+          val bNew = DeltaLite.readRaw(spark, pathB)
+          val deltaJ = dA
+            .join(bNew.select(colsB.map(col): _*), col(keyA) === col(keyB))
+            .unionByName(aOld.select(colsA.map(col): _*)
+              .join(dB, col(keyA) === col(keyB)))
+          // record only the versions that ADVANCE: an unchanged source's
+          // applied version already lives in the log (txn state carries
+          // forward), and re-stating it would trip the partial-overlap
+          // conflict rule on every refresh where one source stood still
+          val advanced = Seq((appA, vA)).filter(_ => vA > apA) ++
+            Seq((appB, vB)).filter(_ => vB > apB)
+          DeltaLite.appendTxns(spark, targetPath, deltaJ, advanced)
+        } finally persisted.foreach(_.unpersist(false))
     }
   }
 }
