@@ -77,7 +77,22 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * ([[graft.GraftExtensions]]); register() remains as the idempotent
   * fallback for externally-created sessions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = synchronized {
+  // Per-session fast path (r19, same treatment as Tables.registerAll):
+  // register() is called from every operator constructor that needs
+  // vec_dot & co., 16-wide under the concurrent bench, and each call
+  // paid the object-global lock plus 16 registry lookups. One weak map
+  // hit skips all of it after the first registration; weak keys let a
+  // stopped session unpin. Metadata only — no plans or data cached.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = {
+    if (registered.containsKey(spark)) return
+    registerSlow(spark)
+    registered.put(spark, java.lang.Boolean.TRUE)
+  }
+
+  private def registerSlow(spark: SparkSession): Unit = synchronized {
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1165,7 +1165,16 @@ object Relational {
     // ------------------------------------------------------------------- O5
     // INTERSECT / EXCEPT (set semantics) tagged and unioned.
     QueryDef("o5_intersect_except", (s, dir) => {
-      val ordered = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+      // r19 (guide §2.3/§3.1): INTERSECT/EXCEPT are set ops, so de-duping
+      // the probe side first cannot change results — but it moves the
+      // dedup BELOW the broadcast: the planner was broadcasting the RAW
+      // 6M-row l_partkey column twice (plans/r19/o5_*_before.txt), a 6M-
+      // entry driver-built hash relation per branch and the reason this
+      // query was the suite's only core-starved one at 8 cores. distinct()
+      // adds a map-side partial dedup before a ~20k-row exchange, and the
+      // broadcast now ships the distinct key set.
+      val ordered = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey")).distinct()
       val branded = t(s, dir, "part").filter(col("p_size") >= 40).select(col("p_partkey"))
       val both = branded.intersect(ordered).withColumn("op", lit("intersect"))
       val neverOrdered = branded.except(ordered).withColumn("op", lit("except"))
