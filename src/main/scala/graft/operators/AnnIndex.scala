@@ -65,6 +65,15 @@ object AnnIndex {
       (for { j <- cb.indices; i <- cb(j).indices }
         yield (j, i, cb(j)(i).toSeq)).toDF("subspace", "code", "cw")
         .select(col("subspace"), col("code"), col("cw").cast("array<float>")))
+    // the builder already holds the model it just persisted — seed the
+    // serve-path cache so the first append/query skips the read-back
+    seedModel(spark, root, centers, cb)
+  }
+
+  private def seedModel(spark: SparkSession, root: String,
+      centers: Array[Array[Float]], cb: Array[Array[Array[Float]]]): Unit = {
+    cachedAt(spark, centersPath(root))(centers)
+    cachedAt(spark, booksPath(root))(cb)
   }
 
   /** Incremental index maintenance: encode a new batch under the FROZEN
@@ -181,21 +190,51 @@ object AnnIndex {
     DeltaLite.replaceWhere(spark, booksPath(root), lit(true),
       rowsDf(booksPath(root), (for { j <- cb.indices; i <- cb(j).indices }
         yield org.apache.spark.sql.Row(j, i, cb(j)(i).toSeq))))
+    seedModel(spark, root, centers, cb)
+  }
+
+  // Model cache (r19): the serving pattern pins the quantizer in memory
+  // instead of re-collecting it from the model tables on every append/
+  // query — one lifecycle was paying FOUR serial collect jobs for a few
+  // KB of floats it had just written. Keyed on (session, table path,
+  // table VERSION): any append/rebuild advances the version and misses;
+  // weak session keys let a stopped session unpin. Never keyed on input
+  // data — this caches the persisted model, not results, and a fresh
+  // index root (every query execution builds its own) starts cold.
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Long), AnyRef]]())
+
+  private def cachedAt[T <: AnyRef](spark: SparkSession, path: String)
+      (load: => T): T = {
+    val v = DeltaLite.snapshot(path).version
+    val m = modelCache.synchronized {
+      var c = modelCache.get(spark)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty[(String, Long), AnyRef]
+        modelCache.put(spark, c)
+      }
+      c
+    }
+    m.getOrElseUpdate((path, v), load).asInstanceOf[T]
   }
 
   /** k × dim centroid table back from the index (KBs — plan-literal
     * sized, same shape ivfTrain returns). */
   def loadCenters(spark: SparkSession, root: String): Array[Array[Float]] =
-    DeltaLite.read(spark, centersPath(root)).orderBy(col("cell"))
-      .collect().map(_.getSeq[Float](1).toArray)
+    cachedAt(spark, centersPath(root)) {
+      DeltaLite.read(spark, centersPath(root)).orderBy(col("cell"))
+        .collect().map(_.getSeq[Float](1).toArray)
+    }
 
   /** m × kCodes × (dim/m) PQ codebooks back from the index. */
   def loadCodebooks(spark: SparkSession,
-      root: String): Array[Array[Array[Float]]] = {
-    val rows = DeltaLite.read(spark, booksPath(root))
-      .orderBy(col("subspace"), col("code")).collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    Array.tabulate(m)(j => rows.filter(_.getInt(0) == j)
-      .map(_.getSeq[Float](2).toArray))
-  }
+      root: String): Array[Array[Array[Float]]] =
+    cachedAt(spark, booksPath(root)) {
+      val rows = DeltaLite.read(spark, booksPath(root))
+        .orderBy(col("subspace"), col("code")).collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      Array.tabulate(m)(j => rows.filter(_.getInt(0) == j)
+        .map(_.getSeq[Float](2).toArray))
+    }
 }
