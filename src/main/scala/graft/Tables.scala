@@ -32,6 +32,31 @@ object Tables {
     * regardless of fixture vintage. Queries must still truncate to whole
     * seconds before *outputting* ts values (FIXTURES.md parity trap). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Memoized per (session, dir, name) — r19, the registerAll treatment
+    // one level down: every spark.read.parquet call re-lists the file and
+    // fires a one-task schema-inference job, and queries call t() for the
+    // same table several times per lifecycle (a microbatch demo pays it
+    // once per batch). The cached value is the LAZY analyzed plan — no
+    // data, no results; the fixtures are immutable and the key carries
+    // the dir, so a session switching fixture dirs (the test suites)
+    // misses cleanly. Weak session keys collect on session stop.
+    val m = tables.synchronized {
+      var c = tables.get(spark)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        tables.put(spark, c)
+      }
+      c
+    }
+    m.getOrElseUpdate((dir, name), tUncached(spark, dir, name))
+  }
+
+  private val tables = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
+  private def tUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")

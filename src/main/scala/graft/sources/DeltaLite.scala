@@ -5354,14 +5354,59 @@ object DeltaLite {
       hit: Column): (Seq[String], DataFrame) = {
     val touched =
       if (snap.files.isEmpty) Nil
-      else readFilesWithPos(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
-        .select(col("path").as("__fp"), hit.as("__hit"))
-        .filter(col("__hit")).select("__fp").distinct().collect()
-        .map(_.getString(0))
-        .toSeq
+      else partitionOnlyTouched(spark, snap, hit).getOrElse {
+        readFilesWithPos(spark, path, snap.schema, snap.files, snap.partitionBy, snap.physical)
+          .select(col("path").as("__fp"), hit.as("__hit"))
+          .filter(col("__hit")).select("__fp").distinct().collect()
+          .map(_.getString(0))
+          .toSeq
+      }
     val touchedSet = touched.toSet
     (touched, readFiles(spark, path, snap.schema,
       snap.files.filter(f => touchedSet.contains(f.path)), snap.partitionBy, snap.physical))
+  }
+
+  /** Metadata-only touched-file resolution for PARTITION-scoped
+    * predicates (Delta's metadata-only replaceWhere, r19): when `hit`
+    * resolves against the partition columns alone, each file's logged
+    * partition values decide it outright — the predicate is constant
+    * per partition, so "file contains a matching row" ⟺ "file's
+    * partition matches". Evaluated driver-side over the distinct pv
+    * set as a LocalRelation (ConvertToLocalRelation folds the filter —
+    * zero Spark jobs), with the same string→type cast the read path's
+    * attachPartitionCols applies. None = predicate needs data columns
+    * (analysis fails) — caller falls back to the confirm scan. A
+    * day-scoped microbatch replaceWhere on a 100 TB table then costs
+    * one log fold, not a table-wide find scan. */
+  private def partitionOnlyTouched(spark: SparkSession, snap: Snapshot,
+      hit: Column): Option[Seq[String]] = {
+    if (snap.partitionBy.isEmpty) return None
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pvs = snap.files.map(_.pv).distinct
+    try {
+      import scala.jdk.CollectionConverters._
+      val rawSchema = StructType(
+        StructField("__pv_ord", org.apache.spark.sql.types.IntegerType,
+          nullable = false) +:
+        snap.partitionBy.map(c =>
+          StructField(s"__raw_$c", org.apache.spark.sql.types.StringType,
+            nullable = true)))
+      val rows = pvs.zipWithIndex.map { case (pv, i) =>
+        Row.fromSeq(i +: snap.partitionBy.map(c =>
+          pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
+      }
+      var df = spark.createDataFrame(rows.asJava, rawSchema)
+      snap.partitionBy.foreach { c =>
+        df = df.withColumn(c, col(s"__raw_$c").cast(types(c)))
+      }
+      // resolution throws here when `hit` names any non-partition column
+      val hits = df.filter(coalesce(hit, lit(false)))
+        .select(col("__pv_ord")).collect().map(_.getInt(0)).toSet
+      val matched = hits.map(pvs)
+      Some(snap.files.filter(f => matched.contains(f.pv)).map(_.path))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   /** Delta `OPTIMIZE` analogue: small-file compaction — rewrite the
