@@ -2316,6 +2316,9 @@ object Relational {
           col("l_extendedprice").cast("decimal(18,2)").as("v"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("v")).as("value"))
+        // feeds the global total AND the filter side: cut, or the
+        // per-supplier rollup (the query's only fact pass) runs twice
+        .localCheckpoint(false)
       val total = perSupp.agg(sum(col("value")).as("tot"))
       perSupp
         .crossJoin(broadcast(total))
@@ -2503,6 +2506,9 @@ object Relational {
             .as("rev_c"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_c")).as("total_c"))
+        // feeds the max subquery AND the outer filter: cut, or the
+        // revenue rollup (the query's only fact pass) runs twice
+        .localCheckpoint(false)
       val mx = broadcast(rev.agg(max(col("total_c")).as("max_c")))
       rev.crossJoin(mx)
         .filter(col("total_c") === col("max_c"))
@@ -2851,9 +2857,16 @@ object Relational {
         .filter(col("n_regionkey") === 3)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           col("n_name")))
+      // r19: `eligible` feeds BOTH the min-cost aggregate and the
+      // join-back; the two branches materialize concurrently under AQE,
+      // so exchange reuse misses and the whole distinct+join subtree ran
+      // twice (JobTrace showed the pair of identical 0.75 s jobs). The
+      // lazy lineage cut materializes it once inside the same action —
+      // the g1 pattern; blocks free via the ContextCleaner.
       val eligible = ps
         .join(pf, col("partkey") === col("p_partkey"))
         .join(suppEu, col("suppkey") === col("s_suppkey"))
+        .localCheckpoint(false)
       val minCost = eligible.groupBy(col("partkey").as("mk"))
         .agg(min(col("cost_c")).as("min_c"))
       eligible
