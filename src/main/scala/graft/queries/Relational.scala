@@ -3451,6 +3451,12 @@ ORDER BY fold ASC NULLS LAST"""),
     // pair join); candidate pairs come from ONE order-keyed
     // self-equality join, never parts×parts.
     QueryDef("x23_market_basket", (s, dir) => {
+      // r19 NOTE: a localCheckpoint cut on `lp` was measured 1.5× SLOWER
+      // (2.25 → 3.30 s solo action) and rejected — unlike x19/x7/x11,
+      // the self-join's two sides are canonically identical, so the
+      // planner already reuses ONE (ok,pk) exchange for both, and the
+      // cut replaced that reuse with fresh shuffles from checkpoint
+      // blocks. Keep the plan-level reuse.
       val lp = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
