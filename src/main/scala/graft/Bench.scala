@@ -187,6 +187,12 @@ object Bench {
       // A/B knob for the plan-time dim probes (DynamicBranchPruning)
       .config("spark.graft.dpp.enabled",
         sys.env.getOrElse("SPARK_GRAFT_DPP", "true"))
+      // AQE stays ON by default (the 100 TB answer: runtime coalescing,
+      // skew splits, runtime join downgrades). The env knob exists for
+      // A/B only — r19 measured the suite with it off (see
+      // OPTIMIZATION_r19.md) before keeping the default.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
