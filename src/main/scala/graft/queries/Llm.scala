@@ -603,6 +603,13 @@ object Llm {
           s"transform(sequence(1, size(toks) - ${k - 1}), " +
             s"p -> md5(array_join(slice(toks, p, $k), ' ')))")).as("gh"))
         .distinct()
+      // r19 NOTE: a lazy cut here was tried against the twin 1.07 s
+      // materializations of this subtree (df-cap branch + join branch)
+      // and measured FLAT solo (3.71 -> 3.85 s total): the twins run in
+      // PARALLEL on idle cores, so deduping them buys CPU, not wall, at
+      // this plan's width — and the lazy checkpoint doesn't even dedup
+      // when both consumers materialize concurrently (they race it).
+      // Rejected; kept as the boundary note for the x19-style cuts.
       val eligible = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("df_docs"))
         .filter(col("df_docs").between(2, 20))
@@ -5118,6 +5125,11 @@ object Llm {
              x -> x.tok), ' ')""").as("phrase"),
           count(lit(1)).as("plen"))
         .filter(col("plen") >= 2)
+      // r19 NOTE: a lazy cut here did NOT dedup the twin 0.99 s window
+      // jobs — the word-stats and phrase-score branches materialize
+      // concurrently and race the un-materialized checkpoint, each
+      // computing it. Solo wall flat (parallel twins on idle cores).
+      // Rejected, same boundary as l2_substring_dedup.
       val words = phrases
         .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
         .groupBy(col("w"))
