@@ -5400,7 +5400,15 @@ object DeltaLite {
         df = df.withColumn(c, col(s"__raw_$c").cast(types(c)))
       }
       // resolution throws here when `hit` names any non-partition column
-      val hits = df.filter(coalesce(hit, lit(false)))
+      val filtered = df.filter(coalesce(hit, lit(false)))
+      // a NONDETERMINISTIC predicate is not constant per partition — one
+      // per-partition draw here would diverge from the per-row rewrite
+      // (such predicates are already per-row-incoherent for DELETE, but
+      // never make it worse); take the scan path
+      val resolvedOk = filtered.queryExecution.analyzed.expressions
+        .forall(_.deterministic)
+      if (!resolvedOk) return None
+      val hits = filtered
         .select(col("__pv_ord")).collect().map(_.getInt(0)).toSet
       val matched = hits.map(pvs)
       Some(snap.files.filter(f => matched.contains(f.pv)).map(_.path))
