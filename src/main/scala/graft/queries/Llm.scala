@@ -599,9 +599,14 @@ object Llm {
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= k)
+        // gh is INTERNAL (never projected to output): carry the md5 as
+        // its 16-byte binary (unhex) instead of the 32-char hex string —
+        // a bijection of the same 128-bit identity, so every distinct /
+        // df-count / join decision is unchanged while the key that rides
+        // all three shuffles halves (guide §2.3 "narrower types").
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(toks) - ${k - 1}), " +
-            s"p -> md5(array_join(slice(toks, p, $k), ' ')))")).as("gh"))
+            s"p -> unhex(md5(array_join(slice(toks, p, $k), ' '))))")).as("gh"))
         .distinct()
       // r19 NOTE: a lazy cut here was tried against the twin 1.07 s
       // materializations of this subtree (df-cap branch + join branch)
