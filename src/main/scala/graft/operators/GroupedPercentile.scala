@@ -70,15 +70,22 @@ object GroupedPercentile {
     // broadcast-joined back was measured SLOWER — the extra pass and the
     // broadcast barrier cost more than the window's partition buffer at
     // any group size a sort-based exact percentile can serve anyway).
+    // The count rides the SAME (partition, order) spec as the
+    // row_number, with an explicit whole-partition frame: a full-frame
+    // count is order-insensitive (same value as the partition-only
+    // window), and sharing the spec lets Spark evaluate both functions
+    // in ONE Window operator / one pass over the sorted buffer instead
+    // of two stacked Window nodes (r19; plan diff 2 Window → 1 per call).
     val nonNull = df
       .filter(col(value).isNotNull)
       .select(gCols :+ col(value).cast("double").as("__v"): _*)
+    val specced = Window.partitionBy(gCols: _*).orderBy(v.asc)
     val ranked = nonNull
-      .withColumn("__rn0", row_number().over(
-        Window.partitionBy(gCols: _*).orderBy(v.asc))
+      .withColumn("__rn0", row_number().over(specced)
         .cast("double") - 1.0)
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(gCols: _*)).cast("double"))
+      .withColumn("__n", count(lit(1)).over(specced.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("double"))
     def pos(p: Double): Column = lit(p) * (col("__n") - 1.0)
     def discRank0(p: Double): Column =
       greatest(lit(0.0), ceil(lit(p) * col("__n")).cast("double") - 1.0)
